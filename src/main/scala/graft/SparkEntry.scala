@@ -1,13 +1,313 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model.{AggregationSpec, RollupSpec}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.plan.RuleCompiler
+import graft.sources.{EnvelopeJson, EventsAdapter}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (plus the training-data-pipeline extensions), each with a
+  * DuckDB oracle over the same parquet tables where SQL-expressible.
+  *
+  * Float determinism policy: outputs that are order-INdependent (counts,
+  * min/max, exact integer ratios, delta/rate on bit-identical timestamp
+  * doubles) are emitted unrounded; order-dependent double sums/avgs are
+  * rounded to 2 decimals on both sides. The oracle timestamp expression
+  * `((epoch_us(..)/1000000.0)*1000)` replicates Spark's
+  * cast(timestamp→double)·1000 IEEE op sequence bit-for-bit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val HOUR = 3600L
+  private val DAY = 86400L
+
+  // ------------------------------------------------------------ inputs
+
+  private def envs(s: SparkSession, dir: String): DataFrame =
+    EventsAdapter.envelopes(s, dir)
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def spec(fn: String, metricName: String,
+      grouped: Seq[String] = Seq("user_id"),
+      filtered: Map[String, String] = Map.empty,
+      rejected: Map[String, String] = Map.empty,
+      roll: Option[RollupSpec] = None): AggregationSpec =
+    AggregationSpec(name = s"q_${metricName}_$fn", function = fn,
+      filteredMetricName = metricName, filteredDimensions = filtered,
+      rejectedDimensions = rejected, groupedDimensions = grouped,
+      aggregatedMetricName = s"agg_${metricName}_$fn", rollup = roll)
+
+  /** Cross-engine-stable 2-decimal rounding: Spark's round() (BigDecimal
+    * HALF_UP on the binary value) and DuckDB's ROUND (multiply-based) disagree
+    * when the exact value sits on a half-cent boundary — which avg() of
+    * 2-decimal prices hits constantly. floor(x*100 + 0.5 − 1e-6) moves the
+    * boundary 1e-6 off the lattice: cross-engine noise is ~1e-11 and genuine
+    * non-boundary values sit ≥ ~1e-4 away, so both engines always agree.
+    * Mirrored by sqlRound2 below. */
+  private def safeRound2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(100.0) + lit(0.499999)) / lit(100.0)
+
+  /** Grouped parity query: purchases per user per tumbling window. */
+  private def groupedQ(fn: String, windowSec: Long, round2: Boolean)(
+      s: SparkSession, dir: String): DataFrame = {
+    val out = RuleCompiler.compileGrouped(spec(fn, "purchase"), windowSec)(envs(s, dir))
+    val v = if (round2) safeRound2(col("agg_value")) else col("agg_value")
+    out.select(col("w.start").cast("long").as("window_start"), col("tenant_id"),
+      col("dim_user_id").as("user_id"), v.as("value"))
+  }
+
+  /** Filter-only parity query (exercises prepare()'s F1–F4 compilation). */
+  private def filterQ(sp: AggregationSpec)(s: SparkSession, dir: String): DataFrame =
+    RuleCompiler.prepare(sp)(envs(s, dir))
+      .select(col("dim_event_id").cast("long").as("event_id"), col("value"))
+
+  // --------------------------------------------------- oracle SQL helpers
+
+  private val TsUs = "epoch_us(CAST(ts AS TIMESTAMP))"
+  /** Bit-exact mirror of Spark's (cast(ts as double) * 1000). */
+  private val TsMs = s"(($TsUs / 1000000.0) * 1000)"
+  private def wstart(w: Long) = s"(($TsUs // ${w}000000) * $w)"
+  private val Tenant = "('t' || CAST(user_id % 3 AS VARCHAR))"
+  private val PropsK = "json_extract_string(props, '$.k')"
+
+  private def sqlRound2(e: String): String = s"(floor(($e) * 100 + 0.499999) / 100)"
+
+  private def groupedSql(agg: String, w: Long, metricName: String): String =
+    s"SELECT ${wstart(w)} AS window_start, $Tenant AS tenant_id, " +
+      s"CAST(user_id AS VARCHAR) AS user_id, $agg AS value " +
+      s"FROM events WHERE event_type = '$metricName' GROUP BY 1, 2, 3"
+
+  private val DeltaAgg = s"(arg_max(value, $TsUs) - arg_min(value, $TsUs))"
+  private val RateAgg =
+    s"(CASE WHEN max($TsMs) = min($TsMs) THEN 0.0 " +
+      s"ELSE $DeltaAgg / ((max($TsMs) - min($TsMs)) / 1000) END)"
+
+  /** Distinct word-trigram shingle list (mirror of Dedup.wordShingles(_, 3)). */
+  private val ShinglesCte =
+    "WITH t AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') " +
+      "for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh " +
+      "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents))"
+
+  private val JaccardPairsSql =
+    s"$ShinglesCte SELECT id_a, id_b, jaccard FROM (" +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard " +
+      "FROM t a JOIN t b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5"
+
+  private val CosD =
+    "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+
+  private val enStops = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+  private val LowerToks = "string_split_regex(trim(lower(text)), '\\s+')"
+  private val RawToks = "string_split_regex(trim(text), '\\s+')"
+  private val StopRatioSql =
+    s"(CAST(len(list_filter($LowerToks, x -> x IN (${sqlList(enStops)}))) AS DOUBLE) / len($RawToks))"
+  private val AlphaRatioSql =
+    "(CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / length(text))"
+
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "en" -> enStops,
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"))
+
+  private val LangIdSql = {
+    val hits = langStops.map { case (l, ws) =>
+      s"len(list_filter($LowerToks, x -> x IN (${sqlList(ws)}))) AS h_$l"
+    }.mkString(", ")
+    val gr = "greatest(" + langStops.map(l => s"h_${l._1}").mkString(", ") + ")"
+    // first-in-order argmax == the Scala fold's strict-greater replacement
+    val cases = langStops.map { case (l, _) => s"WHEN h_$l = $gr THEN '$l'" }.mkString(" ")
+    s"SELECT doc_id, CASE WHEN $gr = 0 THEN 'und' $cases END AS lang_pred " +
+      s"FROM (SELECT doc_id, $hits FROM documents)"
+  }
+
+  // ------------------------------------------------------------- contract
+
+  /** Flagship: full rule pipeline (filter → window → group → avg → envelope
+    * projection) on sf0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RuleCompiler.compile(spec("avg", "purchase"), DAY)(
+      envs(spark, "/root/testdata/sf0.001"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S2 — JSON serialize → parse round-trip with corrupt-record dropping
+    "s2_json_roundtrip" -> ((s, dir) => {
+      val good = EnvelopeJson.serialize(envs(s, dir))
+      val bad = s.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row("{not json"),
+          org.apache.spark.sql.Row("{\"metric\": 12}")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType))))
+      EnvelopeJson.parse(good.unionByName(bad))
+        .groupBy(col("metric.name").as("name")).agg(count(lit(1)).as("n"))
+    }),
+    // F1 — metric-name equality filter
+    "f1_name_filter" -> filterQ(spec("count", "click", grouped = Seq("event_id"))),
+    // F2 — conjunctive dimension equality filter
+    "f2_dim_filter" -> filterQ(spec("count", "click", grouped = Seq("event_id"),
+      filtered = Map("k" -> "42"))),
+    // F3 — dimension reject incl. "" wildcard (any value of key)
+    "f3_dim_reject" -> filterQ(spec("count", "view", grouped = Seq("event_id"),
+      rejected = Map("k" -> "7", "vip" -> ""))),
+    // F4 — grouped-key existence predicate (rows lacking `vip` are dropped)
+    "f4_group_presence" -> ((s, dir) =>
+      RuleCompiler.compileGrouped(
+        spec("count", "signup", grouped = Seq("vip", "user_id")), DAY)(envs(s, dir))
+        .select(col("w.start").cast("long").as("window_start"), col("tenant_id"),
+          col("dim_vip").as("vip"), col("dim_user_id").as("user_id"),
+          col("agg_value").as("value"))),
+    // F5 — multi-rule fan-out over one source (union of two compiled rules)
+    "f5_multi_rule" -> ((s, dir) => {
+      val e = envs(s, dir)
+      val a = RuleCompiler.compile(spec("count", "click", grouped = Seq.empty), HOUR)(e)
+      val b = RuleCompiler.compile(spec("sum", "purchase", grouped = Seq.empty), DAY)(e)
+      a.unionByName(b).select(col("metric.name").as("name"),
+        col("meta").getItem("tenantId").as("tenant_id"),
+        col("metric.timestamp").as("ts_ms"),
+        safeRound2(col("metric.value")).as("value"))
+    }),
+    // W1 — epoch-aligned tumbling event-time windows (1 h)
+    "w1_count_1h" -> ((s, dir) =>
+      RuleCompiler.compileGrouped(spec("count", "click", grouped = Seq.empty), HOUR)(envs(s, dir))
+        .select(col("w.start").cast("long").as("window_start"), col("tenant_id"),
+          col("agg_value").as("value"))),
+    // A1–A7 — the seven aggregate functions (per user per day over purchases)
+    "a1_sum_1d" -> groupedQ("sum", DAY, round2 = true),
+    "a2_count_1d" -> groupedQ("count", DAY, round2 = false),
+    "a3_avg_1d" -> groupedQ("avg", DAY, round2 = true),
+    "a4_min_1d" -> groupedQ("min", DAY, round2 = false),
+    "a5_max_1d" -> groupedQ("max", DAY, round2 = false),
+    "a6_delta_1d" -> groupedQ("delta", DAY, round2 = false),
+    "a7_rate_1d" -> groupedQ("rate", DAY, round2 = false),
+    // R1 — rollup: per-user avg re-aggregated to a per-tenant sum
+    "r1_rollup_1d" -> ((s, dir) =>
+      RuleCompiler.compileGrouped(
+        spec("avg", "purchase", roll = Some(RollupSpec("sum", Seq.empty))), DAY)(envs(s, dir))
+        .select(col("w.start").cast("long").as("window_start"), col("tenant_id"),
+          safeRound2(col("agg_value")).as("value"))),
+    // P1/P2 — envelope projection; output timestamp = window start (ms)
+    "p1_envelope" -> ((s, dir) =>
+      RuleCompiler.compile(spec("avg", "purchase"), DAY)(envs(s, dir))
+        .select(col("metric.name").as("name"),
+          col("metric.dimensions").getItem("user_id").as("user_id"),
+          col("metric.timestamp").as("ts_ms"),
+          safeRound2(col("metric.value")).as("value"))),
+
+    // ----- training-data-pipeline extensions -----
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5)),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), n = 3, k = 128, bands = 32, threshold = 0.5)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 3)),
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairs(emb(s, dir), 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
+    "sim_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(emb(s, dir).filter(col("vec_id") < 10), emb(s, dir), 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          round(col("cosine"), 4).as("cosine"))),
+    "sim_lsh_pairs" -> ((s, dir) =>
+      Similarity.lshBucketedPairs(emb(s, dir), threshold = 0.4, nPlanes = 6, tables = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
+    "text_stats" -> ((s, dir) => TextAnalysis.analyze(docs(s, dir))),
+    "text_langid" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+    "mm_meta" -> ((s, dir) =>
+      Multimodal.metadata(Multimodal.synthesizeFromDocs(docs(s, dir)))
+        .select(col("doc_id"), col("mime"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("pixels").cast("long").as("pixels"))),
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.synthesizeFromDocs(docs(s, dir)), 64, 16)
+        .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"))))
+
+  def oracleSql: Map[String, String] = Map(
+    "s2_json_roundtrip" ->
+      "SELECT event_type AS name, count(*) AS n FROM events GROUP BY 1",
+    "f1_name_filter" ->
+      "SELECT event_id, value FROM events WHERE event_type = 'click'",
+    "f2_dim_filter" ->
+      s"SELECT event_id, value FROM events WHERE event_type = 'click' AND $PropsK = '42'",
+    "f3_dim_reject" ->
+      (s"SELECT event_id, value FROM events WHERE event_type = 'view' " +
+        s"AND NOT (COALESCE($PropsK = '7', FALSE) OR user_id % 10 = 0)"),
+    "f4_group_presence" ->
+      (s"SELECT ${wstart(DAY)} AS window_start, $Tenant AS tenant_id, '1' AS vip, " +
+        "CAST(user_id AS VARCHAR) AS user_id, CAST(count(*) AS DOUBLE) AS value " +
+        "FROM events WHERE event_type = 'signup' AND user_id % 10 = 0 GROUP BY 1, 2, 3, 4"),
+    "f5_multi_rule" ->
+      (s"SELECT 'agg_click_count' AS name, $Tenant AS tenant_id, " +
+        s"CAST(${wstart(HOUR)} * 1000 AS DOUBLE) AS ts_ms, " +
+        s"${sqlRound2("CAST(count(*) AS DOUBLE)")} AS value " +
+        "FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3 " +
+        "UNION ALL " +
+        s"SELECT 'agg_purchase_sum' AS name, $Tenant AS tenant_id, " +
+        s"CAST(${wstart(DAY)} * 1000 AS DOUBLE) AS ts_ms, ${sqlRound2("SUM(value)")} AS value " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3"),
+    "w1_count_1h" ->
+      (s"SELECT ${wstart(HOUR)} AS window_start, $Tenant AS tenant_id, " +
+        "CAST(count(*) AS DOUBLE) AS value FROM events WHERE event_type = 'click' GROUP BY 1, 2"),
+    "a1_sum_1d" -> groupedSql(sqlRound2("SUM(value)"), DAY, "purchase"),
+    "a2_count_1d" -> groupedSql("CAST(count(*) AS DOUBLE)", DAY, "purchase"),
+    "a3_avg_1d" -> groupedSql(sqlRound2("AVG(value)"), DAY, "purchase"),
+    "a4_min_1d" -> groupedSql("MIN(value)", DAY, "purchase"),
+    "a5_max_1d" -> groupedSql("MAX(value)", DAY, "purchase"),
+    "a6_delta_1d" -> groupedSql(DeltaAgg, DAY, "purchase"),
+    "a7_rate_1d" -> groupedSql(RateAgg, DAY, "purchase"),
+    "r1_rollup_1d" ->
+      (s"SELECT window_start, tenant_id, ${sqlRound2("SUM(uavg)")} AS value FROM (" +
+        s"SELECT ${wstart(DAY)} AS window_start, $Tenant AS tenant_id, user_id, " +
+        "AVG(value) AS uavg FROM events WHERE event_type = 'purchase' " +
+        "GROUP BY 1, 2, 3) GROUP BY 1, 2"),
+    "p1_envelope" ->
+      (s"SELECT 'agg_purchase_avg' AS name, CAST(user_id AS VARCHAR) AS user_id, " +
+        s"CAST(${wstart(DAY)} * 1000 AS DOUBLE) AS ts_ms, ${sqlRound2("AVG(value)")} AS value " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3"),
+    "dedup_exact" ->
+      ("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint, " +
+        "MIN(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1"),
+    "dedup_ngram" -> JaccardPairsSql,
+    // MinHash-LSH with k=128, b=32, r=4 has recall ≈ 1 − 1.5e-15 at the
+    // dataset's minimum true-pair similarity (J ≥ 0.9) and exact verification,
+    // so its output equals the exact-Jaccard pair set.
+    "dedup_minhash" -> JaccardPairsSql,
+    "dedup_embedding" ->
+      (s"SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM (" +
+        s"SELECT a.vec_id AS id_a, b.vec_id AS id_b, $CosD AS c " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) WHERE c >= 0.4"),
+    "sim_topk" ->
+      ("SELECT query_id, neighbor_id, rank, ROUND(c, 4) AS cosine FROM (" +
+        "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, " +
+        "b.vec_id ASC) AS rank " +
+        "FROM embeddings q, embeddings b WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id) " +
+        "WHERE rank <= 5"),
+    "text_stats" ->
+      (s"SELECT doc_id, len($RawToks) AS n_tokens, " +
+        s"CAST(list_sum(list_transform($RawToks, x -> length(x))) AS DOUBLE) / len($RawToks) AS mean_token_len, " +
+        s"$StopRatioSql AS stopword_ratio, $AlphaRatioSql AS alpha_ratio, " +
+        s"(CASE WHEN len($RawToks) BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.2 + " +
+        s"$StopRatioSql * 0.4 + $AlphaRatioSql * 0.4 AS quality, " +
+        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint " +
+        "FROM documents"),
+    "text_langid" -> LangIdSql,
+    "mm_meta" ->
+      ("SELECT doc_id, 'application/x-fake' AS mime, " +
+        "CAST(n_chars % 64 + 1 AS BIGINT) AS width, " +
+        "CAST(n_chars % 48 + 1 AS BIGINT) AS height, " +
+        "CAST((n_chars % 64 + 1) * (n_chars % 48 + 1) AS BIGINT) AS pixels FROM documents"),
+    "mm_frames" ->
+      ("SELECT doc_id, CAST(greatest((octet_length(encode(text)) - 64) // 16, 0) + 1 AS BIGINT) " +
+        "AS n_frames FROM documents"))
 }

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The seven aggregate functions of the rule DSL, mapped onto Spark's built-in
+  * (codegen'd, partial+final) aggregates — no UDAFs in the hot path.
+  *
+  * Reference dispatch: aggregation/metric_holder.go:67-82; implementations in
+  * aggregation/{sum,counting,avg,min,max,delta,rate}_metric.go.
+  *
+  * Semantic decisions (SURVEY.md §2.1):
+  *  - delta/rate use deterministic EVENT-TIME order (min_by/max_by on the event
+  *    timestamp), not the reference's arrival order
+  *    (aggregation/delta_metric.go:28-30 overwrites unconditionally).
+  *  - single-point windows: delta = 0 (max_by == min_by) and rate = 0, instead
+  *    of the reference's degenerate `0 - v` / `v·1000/ts`
+  *    (aggregation/delta_metric.go:24-36, aggregation/rate_metric.go:26-43).
+  */
+object FunctionCatalog {
+
+  val names: Set[String] = Set("sum", "count", "avg", "min", "max", "delta", "rate")
+
+  /** Aggregate column for `function` over a measurement column and its
+    * event-time column (epoch milliseconds, double). */
+  def aggregate(function: String, value: Column, tsMs: Column): Column =
+    function match {
+      case "sum"   => sum(value)
+      case "count" =>
+        // counts rows, ignores value (aggregation/counting_metric.go:19-29);
+        // emitted as double for wire parity (metric value is float64)
+        count(lit(1)).cast("double")
+      case "avg"   => avg(value)
+      case "min"   => min(value)
+      case "max"   => max(value)
+      case "delta" =>
+        // last-by-event-time minus first-by-event-time; 0 for 1-point windows
+        max_by(value, tsMs) - min_by(value, tsMs)
+      case "rate"  =>
+        // delta per second: delta / ((lastTs - firstTs)/1000)
+        // (aggregation/rate_metric.go:36-42); 0 when the window has a single
+        // point / zero time span (divide-by-zero guard)
+        when(max(tsMs) === min(tsMs), lit(0.0))
+          .otherwise((max_by(value, tsMs) - min_by(value, tsMs)) /
+            ((max(tsMs) - min(tsMs)) / lit(1000.0)))
+      case other =>
+        throw new IllegalArgumentException(s"unknown aggregation function: $other")
+    }
+}

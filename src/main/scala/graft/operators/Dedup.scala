@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for the
+  * 100 TB shape of the problem:
+  *
+  *  - exact: hash-groupBy on a fingerprint — one shuffle on a short key, no
+  *    raw-text shuffle (the fingerprint is computed map-side first).
+  *  - n-gram Jaccard: sparse similarity join via an inverted (shingle → doc)
+  *    index — never materializes the O(n²) pair space, only pairs sharing at
+  *    least one shingle.
+  *  - MinHash + LSH: fixed-size signatures (k hashes) + banding, so candidate
+  *    generation is an equi-join on (band, bandHash) — pure shuffle-join, no
+  *    similarity computation until the small candidate set.
+  *  - SimHash: 64-bit signature + pigeonhole banding for hamming ≤ 3.
+  *  - embedding cosine: threshold pair join, brute-force blocked variant here,
+  *    LSH-bucketed variant in [[Similarity]].
+  *
+  * Everything is `functions._` higher-order-function column code — codegen'd,
+  * no UDFs, no driver-side loops.
+  */
+object Dedup {
+
+  /** Distinct whitespace tokens (word-level shingles, n=1). */
+  def tokenSet(text: Column): Column =
+    array_distinct(TextAnalysis.tokens(text))
+
+  /** Distinct word n-gram shingles tokens joined with a single space. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    array_distinct(transform(idx, i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+  }
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: keep the lowest doc_id per normalized-text fingerprint.
+    * The shuffle key is the 128-bit md5, not the text: at 100 TB the exchange
+    * moves ~32 bytes/row instead of documents. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"), col(idCol))
+      .groupBy("fingerprint")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact-dedup'd surviving rows (semantics of dropDuplicates(text) with a
+    * deterministic keeper). */
+  def exactSurvivors(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.join(exact(docs, idCol, textCol).select(col("keep_id").as(idCol)), idCol)
+
+  // ------------------------------------------------- n-gram Jaccard (exact)
+
+  /** Exact Jaccard-similarity pairs over distinct word shingles, via an
+    * inverted index: explode (doc, shingle), self-join on shingle, count
+    * co-occurrences = |A∩B|, then J = |A∩B| / (|A|+|B|−|A∩B|).
+    *
+    * Scale note: the only shuffles are the explode-side exchange on `shingle`
+    * and the groupBy on (a,b); hot (ubiquitous) shingles are the classic skew
+    * source — `maxDocFreq` drops shingles appearing in more than that many
+    * docs (they contribute candidates, not discrimination), bounding both
+    * skew and candidate count. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+      maxDocFreq: Long = 0, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        wordShingles(col(textCol), n).as("shingles"))
+      .select(col("id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("shingle"))
+    val filtered =
+      if (maxDocFreq > 0) {
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select("shingle")
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      } else sh
+    val a = filtered.select(col("id").as("id_a"), col("n_sh").as("na"), col("shingle"))
+    val b = filtered.select(col("id").as("id_b"), col("n_sh").as("nb"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------------------- MinHash + LSH
+
+  /** k seeded 64-bit min-hashes of the shingle set. Shingles are hashed to
+    * longs once, then re-mixed with each seed (xxhash64 over (hash, seed)), so
+    * the whole signature is one codegen'd expression — no UDAF, no explode. */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val hashes = transform(shingles, t => xxhash64(t))
+    transform(sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(hashes, h => xxhash64(h, s))))
+  }
+
+  /** MinHash-LSH candidate pairs verified with exact Jaccard.
+    *
+    * bands·rows = k; a pair collides if any band of `rows` consecutive
+    * signature slots matches — the standard S-curve: P(candidate) =
+    * 1−(1−J^rows)^bands. Candidates come from an equi-join on
+    * (band, hash(band slice)); verification re-computes exact Jaccard only on
+    * the candidate set. At 100 TB the pair space is never enumerated. */
+  def minhashLshPairs(docs: DataFrame, n: Int, k: Int, bands: Int,
+      threshold: Double, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rows = k / bands
+    val sigs = docs.select(col(idCol).as("id"),
+      wordShingles(col(textCol), n).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), k))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bh"))
+    }
+    val banded = sigs.select(col("id"), col("shingles"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("shingles"), col("bb.band"), col("bb.bh"))
+    val l = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("shingles").as("sh_a"))
+    val r = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("shingles").as("sh_b"))
+    val cand = l.join(r, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of the token multiset: per bit, sum ±1 over token hashes,
+    * take the sign. The 64 bit-counters are unrolled at plan-build time (bit
+    * index is a Scala constant, so `shiftright` amounts are literals) into one
+    * pass over the hashed-token array — no shuffle, no UDF. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val bitCols = (0 until 64).map { i =>
+      aggregate(hashes, lit(0),
+        (acc, h) => acc +
+          when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+    }
+    bitCols.zipWithIndex.map { case (c, i) =>
+      when(c > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, using the
+    * pigeonhole banding trick: split the 64 bits into (maxHamming+1) blocks —
+    * any pair within distance shares at least one exact block → equi-join on
+    * (block idx, block bits), verify with bit_count(xor). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val blocks = maxHamming + 1
+    require(64 % blocks == 0, s"maxHamming+1=$blocks must divide 64")
+    val width = 64 / blocks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val blockStructs = (0 until blocks).map { b =>
+      struct(lit(b).as("blk"),
+        shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask)).as("bits"))
+    }
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(array(blockStructs: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.blk"), col("bb.bits"))
+    val l = banded.select(col("blk"), col("bits"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("blk"), col("bits"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("blk", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold (brute-force; see
+    * [[Similarity.cosine]] for the column expression and
+    * [[Similarity.lshBucketedPairs]] for the 100 TB-scale variant). */
+  def embeddingPairs(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = emb.select(col(idCol).as("id"),
+      Similarity.toDoubleVec(col(vecCol)).as("v"))
+    val a = v.select(col("id").as("id_a"), col("v").as("va"))
+    val b = v.select(col("id").as("id_b"), col("v").as("vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

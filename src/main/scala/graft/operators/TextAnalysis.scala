@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, n-gram language ID and document fingerprinting.
+  *
+  * All of them are pure `org.apache.spark.sql.functions` column expressions —
+  * whole-stage-codegen'd, no UDFs — so at 100 TB they run as a single narrow
+  * map stage over the parquet scan with full column pruning (only `text` is
+  * read) and zero shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text (deterministic, single definition used
+    * by every operator below — and mirrored by the DuckDB oracles). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count: whitespace tokenization. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword proxy: count of alternating letter/digit/punctuation
+    * runs, a cheap deterministic stand-in for a real tokenizer's token count
+    * (ratio letters-runs + digits-runs + symbols). */
+  def bpeishTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "(?<=[a-zA-Z])(?=[^a-zA-Z\\s])|(?<=[^a-zA-Z\\s])(?=[a-zA-Z])|\\s+")))
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"))
+
+  private def stopHitCount(text: Column, lang: String): Column = {
+    val set = typedLit(stopwords(lang))
+    size(filter(tokens(lower(text)), t => array_contains(set, t)))
+  }
+
+  /** Stopword ratio against the English list — one of the classic quality
+    * signals (Gopher-style filters). Exact integer division → deterministic
+    * across engines, no rounding needed. */
+  def stopwordRatio(text: Column): Column =
+    stopHitCount(text, "en").cast("double") / tokenCount(text).cast("double")
+
+  /** Mean token length in characters. */
+  def meanTokenLength(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Fraction of characters that are ASCII letters or spaces. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^a-zA-Z ]", "")).cast("double") /
+      length(text).cast("double")
+
+  /** Composite quality score in [0,1]: weighted mix of length band, stopword
+    * presence and alphabetic ratio — the shape of a Gopher/C4-style filter,
+    * deterministic and codegen-friendly. */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(tokenCount(text).between(5, 10000), lit(1.0)).otherwise(lit(0.0))
+    lenOk * 0.2 + stopwordRatio(text) * 0.4 + alphaRatio(text) * 0.4
+  }
+
+  /** N-gram-heuristic language ID: score each language by stopword hits and
+    * take the argmax; deterministic tie-break by language code order. */
+  def langId(text: Column): Column = {
+    val langs = Seq("de", "en", "es", "fr", "zh") // asc order = tie-break order
+    val scored = langs.map(l => struct(stopHitCount(text, l).as("hits"), lit(l).as("lang")))
+    // array_max on struct: max by (hits, lang); invert lang for asc tie-break
+    // via picking the FIRST max score in order instead:
+    val best = scored.reduceLeft { (a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
+    }
+    when(best.getField("hits") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Document fingerprint: md5 of the normalized (lowercased, trimmed,
+    * whitespace-collapsed) text — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** All signals over a `documents`-shaped table (doc_id, text, ...). */
+  def analyze(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      meanTokenLength(col("text")).as("mean_token_len"),
+      stopwordRatio(col("text")).as("stopword_ratio"),
+      alphaRatio(col("text")).as("alpha_ratio"),
+      qualityScore(col("text")).as("quality"),
+      fingerprint(col("text")).as("fingerprint"))
+}

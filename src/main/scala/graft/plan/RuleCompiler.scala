@@ -1,0 +1,150 @@
+package graft.plan
+
+import graft.functions.FunctionCatalog
+import graft.model.AggregationSpec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Compiles an [[AggregationSpec]] into a declarative DataFrame plan —
+  * filter → key-extraction → window-groupBy → aggregate → envelope projection
+  * (→ optional rollup re-aggregation). The same compiled stages serve batch
+  * (parquet) and Structured Streaming (Kafka/MemoryStream) inputs; the
+  * streaming runner inserts `withWatermark` between [[prepare]] and
+  * [[aggregate]].
+  *
+  * This replaces the reference's per-row interpreter
+  * (aggregation/aggregation_rule.go:49-139) with a Catalyst plan: predicate
+  * pushdown, column pruning, partial+final hash aggregation and whole-stage
+  * codegen all come for free, and the shuffle is hash-partitioned by
+  * (window, tenantId, groupedDims) — the distribution the hand-rolled
+  * `MetricCache` (aggregation/caching.go:17-28) could never have.
+  */
+object RuleCompiler {
+
+  /** Column names used between stages. */
+  private val WindowCol = "w"
+  private val TenantCol = "tenant_id"
+  private val ValueCol = "agg_value"
+  private def dimCol(k: String) = s"dim_$k"
+
+  /** The full F1–F4 row predicate of `MatchesMetric`
+    * (aggregation/aggregation_rule.go:141-176), as one Column so Catalyst can
+    * push it at/below the scan.
+    */
+  def matchPredicate(spec: AggregationSpec): Column = {
+    val dims = col("metric.dimensions")
+    // F1 — required name equality (aggregation/aggregation_rule.go:143-146)
+    val f1 = col("metric.name") === lit(spec.filteredMetricName)
+    // F2 — conjunctive dimension equality; absent key ⇒ no match
+    // (aggregation/aggregation_rule.go:178-190)
+    val f2 = spec.filteredDimensions.map { case (k, v) =>
+      dims.getItem(k) === lit(v)
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    // F3 — reject if any (k,v) matches; v == "" rejects ANY value of key k
+    // (aggregation/aggregation_rule.go:192-201). Absent key must NOT reject,
+    // hence the coalesce(false) around the null-propagating equality.
+    val f3 = spec.rejectedDimensions.map {
+      case (k, "") => map_contains_key(dims, lit(k))
+      case (k, v)  => coalesce(dims.getItem(k) === lit(v), lit(false))
+    }.reduceOption(_ || _).map(!_).getOrElse(lit(true))
+    // F4 — every grouped key must be present, else the row is filtered (NOT
+    // grouped under null) (aggregation/aggregation_rule.go:166-173, 203-215)
+    val f4 = spec.groupedDimensions.map { k =>
+      map_contains_key(dims, lit(k))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    f1 && f2 && f3 && f4
+  }
+
+  /** Stage 1: filter + flatten the grouping keys out of the dimension map.
+    * Spark cannot group by a MapType column, so grouped dims become top-level
+    * string columns — the declarative analog of the reference's key-concat
+    * (aggregation/aggregation_rule.go:58-65). Also derives `event_ts`
+    * (TimestampType) from the epoch-ms double for window()/withWatermark.
+    */
+  def prepare(spec: AggregationSpec)(df: DataFrame): DataFrame = {
+    val dims = col("metric.dimensions")
+    val dimCols = spec.groupedDimensions.map(k => dims.getItem(k).as(dimCol(k)))
+    df.filter(matchPredicate(spec))
+      .select(Seq(
+        coalesce(col("meta").getItem("tenantId"), lit("")).as(TenantCol),
+        (col("metric.timestamp") / 1000).cast("timestamp").as("event_ts"),
+        col("metric.timestamp").as("ts_ms"),
+        col("metric.value").as("value")) ++ dimCols: _*)
+  }
+
+  /** Stage 2: epoch-aligned tumbling-window grouped aggregation
+    * (aggregation/aggregation_rule.go:51-78). Spark's window() is also
+    * epoch-aligned: windowIdx = floor(ts_ms / (1000·windowSize)).
+    */
+  def aggregate(spec: AggregationSpec, windowSizeSec: Long)(df: DataFrame): DataFrame = {
+    val keys = Seq(window(col("event_ts"), s"$windowSizeSec seconds").as(WindowCol),
+      col(TenantCol)) ++ spec.groupedDimensions.map(k => col(dimCol(k)))
+    df.groupBy(keys: _*)
+      .agg(FunctionCatalog.aggregate(spec.function, col("value"), col("ts_ms"))
+        .as(ValueCol))
+  }
+
+  /** Stage 2b: optional rollup — re-aggregate the grouped results by the
+    * rollup key (⊆ grouped dims) with an independent function; the rule then
+    * emits ONLY the rollup rows (aggregation/aggregation_rule.go:86-134).
+    * The event-time of a stage-1 row is its window start (the reference sets
+    * the stage-1 envelope timestamp to window·1000·size before rollup,
+    * aggregation/aggregation_rule.go:73,117), so delta/rate rollups see a
+    * constant timestamp per window — deterministic here, arrival-order
+    * dependent in the reference.
+    */
+  def rollup(spec: AggregationSpec)(df: DataFrame): DataFrame = {
+    val r = spec.rollup.get
+    val keys = Seq(col(WindowCol), col(TenantCol)) ++
+      r.groupedDimensions.map(k => col(dimCol(k)))
+    val windowStartMs = col(WindowCol).getField("start").cast("double") * 1000
+    df.groupBy(keys: _*)
+      .agg(FunctionCatalog.aggregate(r.function, col(ValueCol), windowStartMs)
+        .as(ValueCol))
+  }
+
+  /** Stage 3: envelope projection (P1–P3, aggregation/metric_holder.go:44-64):
+    * output name = aggregatedMetricName; dimensions = filteredDimensions ∪
+    * {k → dims[k] for k in emitted grouping}; timestamp = window START in
+    * epoch ms (aggregation/aggregation_rule.go:73); meta is reconstructed as
+    * {tenantId → key} (deterministic — the reference copies the first
+    * contributing envelope's meta, which is nondeterministic; tenantId is the
+    * only key the engine ever reads); creation_time stamped at emission
+    * (server.go:228).
+    */
+  def project(spec: AggregationSpec)(df: DataFrame): DataFrame = {
+    val emittedDims =
+      spec.rollup.map(_.groupedDimensions).getOrElse(spec.groupedDimensions)
+    val filteredEntries = spec.filteredDimensions.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    val groupedEntries = emittedDims.flatMap(k => Seq(lit(k), col(dimCol(k))))
+    val entries = filteredEntries ++ groupedEntries
+    val dimsOut =
+      if (entries.isEmpty) map().cast("map<string,string>")
+      else map(entries: _*)
+    df.select(
+      struct(
+        lit(spec.aggregatedMetricName).as("name"),
+        dimsOut.as("dimensions"),
+        (col(WindowCol).getField("start").cast("double") * 1000).as("timestamp"),
+        col(ValueCol).cast("double").as("value"),
+        map().cast("map<string,string>").as("value_meta")).as("metric"),
+      map(lit("tenantId"), col(TenantCol)).as("meta"),
+      (unix_millis(current_timestamp())).as("creation_time"))
+  }
+
+  /** Whole rule, batch path: envelope-schema DataFrame in → emitted
+    * envelope-schema DataFrame out. */
+  def compile(spec: AggregationSpec, windowSizeSec: Long): DataFrame => DataFrame = { df =>
+    val grouped = aggregate(spec, windowSizeSec)(prepare(spec)(df))
+    val finalGrouped = if (spec.rollup.isDefined) rollup(spec)(grouped) else grouped
+    project(spec)(finalGrouped)
+  }
+
+  /** Grouped (pre-projection) result — window struct, tenant, dim_* columns,
+    * agg_value — useful for tests and SQL-oracle comparison. */
+  def compileGrouped(spec: AggregationSpec, windowSizeSec: Long): DataFrame => DataFrame = { df =>
+    val grouped = aggregate(spec, windowSizeSec)(prepare(spec)(df))
+    if (spec.rollup.isDefined) rollup(spec)(grouped) else grouped
+  }
+}

@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adapts the driver testdata `events` table (event_id, ts, user_id,
+  * event_type, value, props-json) into the MetricEnvelope shape so the rule
+  * compiler runs unchanged over batch parquet (see FIXTURES.md §5).
+  *
+  * Mapping (deterministic, mirrored 1:1 by the DuckDB oracle SQL in
+  * SparkEntry.oracleSql):
+  *   name       = event_type
+  *   dimensions = { event_id → str(event_id), user_id → str(user_id), k → str(props.k),
+  *                  vip → "1" only when user_id % 10 == 0 }   // F4 fodder
+  *   timestamp  = epoch ms (double) of ts
+  *   value      = value
+  *   meta       = { tenantId → "t" + str(user_id % 3) }
+  */
+object EventsAdapter {
+
+  def envelopes(spark: SparkSession, sfDir: String): DataFrame = {
+    // the testdata writes TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+    // default; read the raw int64 nanos and truncate to micros ourselves
+    // (identical to DuckDB's CAST(ts AS TIMESTAMP) truncation in the oracle)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    toEnvelopes(spark.read.parquet(s"$sfDir/events.parquet"))
+  }
+
+  def toEnvelopes(events: DataFrame): DataFrame = {
+    val baseDims = map(
+      lit("event_id"), col("event_id").cast("string"),
+      lit("user_id"), col("user_id").cast("string"),
+      lit("k"), get_json_object(col("props"), "$.k"))
+    val dims = when(col("user_id") % 10 === 0,
+        map_concat(baseDims, map(lit("vip"), lit("1"))))
+      .otherwise(baseDims)
+    // epoch micros regardless of how the parquet reader surfaced `ts`
+    // (int64 nanos under the legacy conf, or a proper timestamp)
+    val tsUs = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts"))
+    }
+    events.select(
+      struct(
+        col("event_type").as("name"),
+        dims.as("dimensions"),
+        (tsUs.cast("double") / lit(1000000.0) * lit(1000.0)).as("timestamp"),
+        col("value").as("value"),
+        map().cast("map<string,string>").as("value_meta")).as("metric"),
+      map(lit("tenantId"),
+        concat(lit("t"), (col("user_id") % 3).cast("string"))).as("meta"),
+      lit(0L).as("creation_time"))
+  }
+}
