@@ -1,0 +1,85 @@
+package graft
+
+import graft.functions.FunctionCatalog
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The seven aggregate functions over hand-computed fixtures, including the
+  * SURVEY.md §2.1 single-point and out-of-order edge cases, plus seeded
+  * randomized checks against naive folds. */
+class FunctionCatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** (value, tsMs) rows aggregated as one group. */
+  private def agg(fn: String, rows: Seq[(Double, Double)]): Double =
+    rows.toDF("value", "ts_ms")
+      .agg(FunctionCatalog.aggregate(fn, col("value"), col("ts_ms")).as("v"))
+      .as[Double].head()
+
+  private val window = Seq((2.0, 1000.0), (6.0, 2000.0), (1.0, 3000.0))
+
+  test("sum")   { assert(agg("sum", window) == 9.0) }
+  test("count") { assert(agg("count", window) == 3.0) }
+  test("avg")   { assert(agg("avg", window) == 3.0) }
+  test("min")   { assert(agg("min", window) == 1.0) }
+  test("max")   { assert(agg("max", window) == 6.0) }
+
+  test("delta = last-by-event-time minus first-by-event-time") {
+    assert(agg("delta", window) == -1.0) // 1.0 (ts 3000) - 2.0 (ts 1000)
+  }
+
+  test("delta is event-time ordered, not arrival ordered (§2.1.2)") {
+    // same rows, shuffled arrival order — answer unchanged
+    assert(agg("delta", window.reverse) == -1.0)
+  }
+
+  test("rate = delta per second over the observed span") {
+    // (1.0 - 2.0) / ((3000 - 1000)/1000) = -0.5
+    assert(agg("rate", window) == -0.5)
+  }
+
+  test("single-point window: delta = 0 (not -v as in the reference, §2.1.1)") {
+    assert(agg("delta", Seq((42.0, 1000.0))) == 0.0)
+  }
+
+  test("single-point window: rate = 0 (divide-by-zero guard, §2.1.1)") {
+    assert(agg("rate", Seq((42.0, 1000.0))) == 0.0)
+  }
+
+  test("zero-span multi-point window: rate = 0") {
+    assert(agg("rate", Seq((1.0, 1000.0), (9.0, 1000.0))) == 0.0)
+  }
+
+  test("unknown function is rejected") {
+    intercept[IllegalArgumentException] {
+      FunctionCatalog.aggregate("median", col("v"), col("t"))
+    }
+  }
+
+  private def randomRows(rnd: scala.util.Random, n: Int): Seq[(Double, Double)] =
+    Seq.fill(n)((rnd.between(-1e6, 1e6), rnd.between(0L, 10_000_000L).toDouble))
+
+  test("randomized: sum/min/max/count/avg match naive folds") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 10) {
+      val rows = randomRows(rnd, 1 + rnd.nextInt(40))
+      val vs = rows.map(_._1)
+      assert(agg("count", rows) == vs.length.toDouble)
+      assert(math.abs(agg("sum", rows) - vs.sum) <= math.max(1e-9, math.abs(vs.sum) * 1e-9))
+      assert(agg("min", rows) == vs.min)
+      assert(agg("max", rows) == vs.max)
+      assert(math.abs(agg("avg", rows) - vs.sum / vs.length) <= 1e-6)
+    }
+  }
+
+  test("randomized: delta matches event-time-sorted first/last") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 10) {
+      val uniq = randomRows(rnd, 1 + rnd.nextInt(40)).distinctBy(_._2)
+      val sorted = uniq.sortBy(_._2)
+      val expected = sorted.last._1 - sorted.head._1
+      assert(agg("delta", uniq) == expected)
+    }
+  }
+}

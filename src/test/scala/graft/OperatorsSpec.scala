@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data-pipeline operators: dedup family (exact, MinHash-LSH,
+  * SimHash, n-gram Jaccard, embedding cosine), similarity search, text
+  * analysis, multimodal plumbing. Uses the sf0.001 testdata tables where a
+  * realistic corpus matters. */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("exact dedup: duplicated corpus collapses to one keeper per text") {
+    val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 10000))
+    val d = Dedup.exact(doubled)
+    assert(d.count() == docs.count()) // one row per distinct text
+    assert(d.filter($"n_dups" =!= 2).count() == 0)
+    // keeper is the minimum id → always the original, not the +10000 clone
+    assert(d.filter($"keep_id" >= 10000).count() == 0)
+    val survivors = Dedup.exactSurvivors(doubled)
+    assert(survivors.count() == docs.count())
+  }
+
+  test("whitespace-variant texts share a fingerprint") {
+    val d = Seq((1L, "Hello  World"), (2L, "  hello world "), (3L, "other")).toDF("doc_id", "text")
+    val fps = d.select(TextAnalysis.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("MinHash-LSH pairs equal exact trigram-Jaccard pairs on the testdata corpus") {
+    // at k=128, b=32, r=4 the miss probability at the corpus's minimum
+    // true-pair similarity (J≥0.9) is ~1e-15, and candidates are verified
+    // with exact Jaccard — so LSH output must match the exact join
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, 3, 128, 32, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty) // the corpus plants near-duplicates
+    assert(lsh == exact)
+  }
+
+  test("SimHash: near-identical docs collide, hamming is symmetric-bounded") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sim = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.filter($"hamming" > 3).count() == 0)
+    // docs with ≥0.9 trigram overlap are token-near-identical → simhash finds most
+    assert(exact.intersect(sim).size >= exact.size / 2)
+  }
+
+  test("brute-force top-k matches a driver-side naive computation") {
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap.view.mapValues(_.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val got = Similarity.bruteForceTopK(emb.filter($"vec_id" < 3), emb, 4)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)]
+      .collect().groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    for (q <- 0L until 3L) {
+      val expected = vecs.keys.filter(_ != q).toSeq
+        .map(i => (i, cos(vecs(q), vecs(i))))
+        .sortBy { case (i, c) => (-c, i) }.take(4).map(_._1)
+      assert(got(q) == expected, s"query $q")
+    }
+  }
+
+  test("LSH-bucketed similarity pairs are a verified subset of brute force") {
+    val brute = Dedup.embeddingPairs(emb, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshBucketedPairs(emb, 0.4, nPlanes = 6, tables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute)) // exact verification → no false positives
+  }
+
+  test("token counting handles empty/whitespace/multi-space text") {
+    val d = Seq("", "   ", "one", "a  b\tc", " x y ").toDF("text")
+    val counts = d.select(TextAnalysis.tokenCount($"text")).as[Int].collect().toSeq
+    assert(counts == Seq(0, 0, 1, 3, 2))
+  }
+
+  test("langId picks the language with most stopword hits, 'und' when none") {
+    val d = Seq(
+      "the cat sat on the mat and it is that",
+      "el perro y la casa en un que se no",
+      "zzz qqq xxx").toDF("text")
+    val langs = d.select(TextAnalysis.langId($"text")).as[String].collect().toSeq
+    assert(langs == Seq("en", "es", "und"))
+  }
+
+  test("quality score is bounded and favors stopword-bearing prose") {
+    val q = docs.select(TextAnalysis.qualityScore($"text").as("q"))
+    assert(q.filter($"q" < 0 || $"q" > 1).count() == 0)
+  }
+
+  test("multimodal: stub decoder produces normalized histograms partition-parallel") {
+    val media = Multimodal.synthesizeFromDocs(docs).repartition(4)
+    val feats = Multimodal.decodeStub(spark, media)
+    val f = feats.filter($"doc_id" === 0).head()
+    assert(f.byte_len > 0)
+    assert(math.abs(f.histogram.map(_.toDouble).sum - 1.0) < 1e-5)
+    assert(feats.count() == docs.count())
+  }
+
+  test("multimodal: metadata projection prunes the binary column from the scan") {
+    val media = Multimodal.synthesizeFromDocs(docs)
+    val meta = Multimodal.metadata(media)
+    assert(!meta.queryExecution.optimizedPlan.output.map(_.name).contains("media"))
+    assert(meta.count() == docs.count())
+  }
+
+  test("multimodal: frame sampling yields ceil((len-frame)/stride)+1 frames") {
+    val media = Seq((1L, Array.fill[Byte](100)(7))).toDF("doc_id", "media")
+    val out = Multimodal.frameSample(media, 64, 16).head()
+    assert(out.getAs[Int]("n_frames") == 3) // offsets 0,16,32 (48+64>100 excluded → floor((100-64)/16)=2 → 3 frames)
+    val frames = out.getSeq[Array[Byte]](out.fieldIndex("frames"))
+    assert(frames.forall(_.length == 64))
+  }
+}

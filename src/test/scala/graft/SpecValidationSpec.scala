@@ -1,0 +1,82 @@
+package graft
+
+import graft.model.{AggregationSpec, RollupSpec}
+import graft.spec.SpecLoader
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Port of the reference's validation unit tests
+  * (aggregation/aggregation_rule_test.go:23-97) — same inputs, same error
+  * strings (aggregation/aggregation_rule.go:29-47). */
+class SpecValidationSpec extends AnyFunSuite {
+
+  private def base = AggregationSpec(
+    name = "Aggregation",
+    function = "avg",
+    filteredMetricName = "metric",
+    groupedDimensions = Seq("hostname", "service"),
+    aggregatedMetricName = "aggregated-metric")
+
+  test("bad rollup dimension not in groupedDimensions") {
+    val s = base.copy(rollup = Some(RollupSpec("sum", Seq("service1"))))
+    assert(SpecLoader.validate(s) ==
+      Left("Rule Aggregation must have all rollup.groupedDimensions also in groupedDimensions"))
+  }
+
+  test("rollup dims against empty grouped dims") {
+    val s = base.copy(groupedDimensions = Seq.empty,
+      rollup = Some(RollupSpec("sum", Seq("service"))))
+    assert(SpecLoader.validate(s) ==
+      Left("Rule Aggregation must have all rollup.groupedDimensions also in groupedDimensions"))
+  }
+
+  test("valid spec round-trips") {
+    val s = base.copy(rollup = Some(RollupSpec("sum", Seq("service"))))
+    assert(SpecLoader.validate(s) == Right(s))
+  }
+
+  test("missing aggregated metric name") {
+    assert(SpecLoader.validate(base.copy(aggregatedMetricName = "")) ==
+      Left("Rule Aggregation must have an aggregated metric name"))
+  }
+
+  test("missing filtered metric name") {
+    assert(SpecLoader.validate(base.copy(filteredMetricName = "")) ==
+      Left("Rule Aggregation must have a filtered metric name"))
+  }
+
+  test("missing function") {
+    assert(SpecLoader.validate(base.copy(function = "")) ==
+      Left("Rule Aggregation must have a function"))
+  }
+
+  test("empty rollup dims are a subset of anything (utils.go CheckSubArray)") {
+    assert(SpecLoader.validate(
+      base.copy(rollup = Some(RollupSpec("sum", Seq.empty)))).isRight)
+  }
+
+  test("yaml loading parses all spec fields") {
+    val yaml =
+      """aggregationSpecifications:
+        |  - name: Aggregation4
+        |    aggregatedMetricName: aggregated-metric4
+        |    filteredMetricName: metric4
+        |    filteredDimensions: {service: mini-mon}
+        |    rejectedDimensions: {hostname: ""}
+        |    groupedDimensions: [service]
+        |    function: count
+        |    rollup:
+        |      function: sum
+        |      groupedDimensions: [service]
+        |""".stripMargin
+    val in = new java.io.ByteArrayInputStream(yaml.getBytes("UTF-8"))
+    val Seq(s) = SpecLoader.load(in)
+    assert(s.name == "Aggregation4")
+    assert(s.function == "count")
+    assert(s.filteredMetricName == "metric4")
+    assert(s.filteredDimensions == Map("service" -> "mini-mon"))
+    assert(s.rejectedDimensions == Map("hostname" -> ""))
+    assert(s.groupedDimensions == Seq("service"))
+    assert(s.rollup.contains(RollupSpec("sum", Seq("service"))))
+    assert(SpecLoader.validate(s).isRight)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.model.{AggregationSpec, Metric, MetricEnvelope, RollupSpec}
+import graft.streaming.StreamRunner
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming end-to-end through MemoryStream: append-mode emission on
+  * watermark advance, late-data drop, and the chained-stateful rollup —
+  * the streaming analog of the reference's publisher scenario
+  * (tools/publisher.go + config windowSize=10s windowLag=2s). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def env(name: String, dims: Map[String, String], tsMs: Double,
+      value: Double): MetricEnvelope =
+    MetricEnvelope(Metric(name, dims, tsMs, value, Map.empty),
+      Map("tenantId" -> "tenant-a"), 0L)
+
+  private val agg2 = AggregationSpec(name = "Aggregation2", function = "avg",
+    filteredMetricName = "metric2",
+    groupedDimensions = Seq("hostname", "service"),
+    aggregatedMetricName = "aggregated-metric2")
+
+  /** Run a compiled streaming rule over batches of envelopes, return the
+    * emitted (dims, value, tsMs) rows from the append-mode sink. */
+  private def runStream(spec: AggregationSpec, windowSizeSec: Long,
+      lagSec: Long, batches: Seq[Seq[MetricEnvelope]],
+      queryName: String): Seq[(Map[String, String], Double, Double)] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[MetricEnvelope]
+    val out = StreamRunner.buildStreaming(spec, windowSizeSec, lagSec)(input.toDF())
+    val q = out.writeStream.format("memory").queryName(queryName)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      spark.table(queryName)
+        .select($"metric.dimensions", $"metric.value", $"metric.timestamp")
+        .as[(Map[String, String], Double, Double)].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("publisher grid: each closed 10s window emits 6 groups of avg 2.0") {
+    val base = 1000000000L // epoch-aligned seconds
+    val grid = for {
+      tick <- 0 until 10; service <- 0 until 3; host <- 0 until 2
+    } yield env("metric2",
+      Map("service" -> service.toString, "hostname" -> host.toString),
+      (base + tick) * 1000.0, 2.0)
+    // second batch advances event time past window end + lag → closes window 1
+    val closer = Seq(env("metric2",
+      Map("service" -> "0", "hostname" -> "0"), (base + 13) * 1000.0, 2.0))
+    val rows = runStream(agg2, 10L, 2L, Seq(grid, closer), "pub_grid")
+    assert(rows.length == 6)
+    assert(rows.forall(_._2 == 2.0))
+    assert(rows.forall(_._3 == base * 1000.0)) // output ts = window start ms
+    assert(rows.map(_._1).toSet ==
+      (for (s <- 0 until 3; h <- 0 until 2)
+        yield Map("service" -> s.toString, "hostname" -> h.toString)).toSet)
+  }
+
+  test("data later than the watermark is dropped (divergence §2.1.4: no resurrection)") {
+    val base = 2000000000L
+    val batches = Seq(
+      Seq(env("metric2", Map("service" -> "0", "hostname" -> "0"), base * 1000.0, 2.0)),
+      // advance watermark far past the first window
+      Seq(env("metric2", Map("service" -> "0", "hostname" -> "0"), (base + 100) * 1000.0, 4.0)),
+      // late point for the first (already emitted) window → must be dropped
+      Seq(env("metric2", Map("service" -> "0", "hostname" -> "0"), (base + 1) * 1000.0, 999.0)),
+      // close the second window too
+      Seq(env("metric2", Map("service" -> "0", "hostname" -> "0"), (base + 200) * 1000.0, 6.0)))
+    val rows = runStream(agg2, 10L, 2L, batches, "late_drop")
+    val byWindow = rows.map(r => r._3 -> r._2).toMap
+    assert(byWindow(base * 1000.0) == 2.0) // late 999.0 never re-emitted
+    assert(byWindow((base + 100) * 1000.0) == 4.0)
+  }
+
+  test("streaming rollup: chained stateful aggregation in append mode") {
+    val sp = AggregationSpec(name = "Aggregation3", function = "avg",
+      filteredMetricName = "m", groupedDimensions = Seq("hostname", "service"),
+      aggregatedMetricName = "agg3",
+      rollup = Some(RollupSpec("sum", Seq("service"))))
+    val base = 3000000000L
+    val batches = Seq(
+      Seq(
+        env("m", Map("hostname" -> "h1", "service" -> "s"), base * 1000.0, 2.0),
+        env("m", Map("hostname" -> "h1", "service" -> "s"), (base + 1) * 1000.0, 4.0),
+        env("m", Map("hostname" -> "h2", "service" -> "s"), (base + 2) * 1000.0, 5.0)),
+      Seq(env("m", Map("hostname" -> "h9", "service" -> "s"), (base + 60) * 1000.0, 1.0)),
+      Seq(env("m", Map("hostname" -> "h9", "service" -> "s"), (base + 120) * 1000.0, 1.0)))
+    val rows = runStream(sp, 10L, 2L, batches, "roll_stream")
+    val first = rows.filter(_._3 == base * 1000.0)
+    assert(first.length == 1)
+    assert(first.head._2 == 8.0) // avg(2,4)=3 + avg(5)=5
+    assert(first.head._1 == Map("service" -> "s"))
+  }
+}
