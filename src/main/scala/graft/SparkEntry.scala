@@ -220,8 +220,7 @@ object SparkEntry {
       Similarity.lshBucketedPairs(emb(s, dir), threshold = 0.4, nPlanes = 6, tables = 8)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
     "text_stats" -> ((s, dir) => TextAnalysis.analyze(docs(s, dir))),
-    "text_langid" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+    "text_langid" -> ((s, dir) => TextAnalysis.langIdByJoin(docs(s, dir))),
     "mm_meta" -> ((s, dir) =>
       Multimodal.metadata(Multimodal.synthesizeFromDocs(docs(s, dir)))
         .select(col("doc_id"), col("mime"), col("width").cast("long").as("width"),

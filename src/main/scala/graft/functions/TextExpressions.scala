@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expression producing the DISTINCT word n-gram shingles of a text
+  * (tokens = `\s+` split of the trimmed text; shingles joined with a single
+  * space; first-occurrence order, matching array_distinct).
+  *
+  * Why not `transform(sequence(...), i => array_join(slice(tokens, i, n)))`:
+  * higher-order functions interpret their lambda per element — for shingling
+  * that is O(tokens·n) interpreted closure calls plus repeated array slicing,
+  * and the expression gets re-evaluated at every plan node that references it.
+  * This expression is ONE eval call per row with a tight loop (the per-row
+  * cost is string building, ~µs), which keeps the dedup pipelines scan-bound.
+  * CodegenFallback only boxes this expression's eval; the surrounding stage
+  * still whole-stage-codegens.
+  */
+case class WordNGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"WordNGrams requires a string argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val count = math.max(toks.length - n + 1, 1) // short texts yield one (short) shingle
+    val seen = new java.util.LinkedHashSet[String](count * 2)
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      val end = math.min(i + n, toks.length)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  /** Distinct word n-gram shingles as a codegen-compatible native expression. */
+  def wordNGrams(text: Column, n: Int): Column =
+    GraftBridge.column(WordNGrams(GraftBridge.expression(text), n))
+}

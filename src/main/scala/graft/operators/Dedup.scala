@@ -27,12 +27,10 @@ object Dedup {
   def tokenSet(text: Column): Column =
     array_distinct(TextAnalysis.tokens(text))
 
-  /** Distinct word n-gram shingles tokens joined with a single space. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    array_distinct(transform(idx, i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-  }
+  /** Distinct word n-gram shingles, tokens joined with a single space
+    * (native one-pass expression — see [[graft.functions.WordNGrams]]). */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.TextExpressions.wordNGrams(text, n)
 
   // ---------------------------------------------------------------- exact
 
@@ -66,15 +64,19 @@ object Dedup {
         wordShingles(col(textCol), n).as("shingles"))
       .select(col("id"), size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("shingle"))
+      // join on the 64-bit shingle hash, not the string: smaller exchange,
+      // cheaper compares; collision odds over the distinct-shingle space are
+      // ~|S|²/2^65 — immaterial for co-occurrence counting
+      .select(col("id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
     val filtered =
       if (maxDocFreq > 0) {
-        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDocFreq).select("shingle")
-        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        val hot = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select("sh_h")
+        sh.join(broadcast(hot), Seq("sh_h"), "left_anti")
       } else sh
-    val a = filtered.select(col("id").as("id_a"), col("n_sh").as("na"), col("shingle"))
-    val b = filtered.select(col("id").as("id_b"), col("n_sh").as("nb"), col("shingle"))
-    a.join(b, Seq("shingle"))
+    val a = filtered.select(col("id").as("id_a"), col("n_sh").as("na"), col("sh_h"))
+    val b = filtered.select(col("id").as("id_b"), col("n_sh").as("nb"), col("sh_h"))
+    a.join(b, Seq("sh_h"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "na", "nb")
       .agg(count(lit(1)).as("inter"))
@@ -106,9 +108,20 @@ object Dedup {
       threshold: Double, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rows = k / bands
-    val sigs = docs.select(col(idCol).as("id"),
+    val base = docs.select(col(idCol).as("id"),
       wordShingles(col(textCol), n).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), k))
+    // signature via explode + k codegen'd min-aggregates (same values as the
+    // scalar minhashSignature, which pays per-element interpreted-lambda cost)
+    val hashed = base.select(col("id"), explode(col("shingles")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val sigCols = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    // persist: the signature relation feeds both sides of the band self-join
+    // and the verification join — without it the whole signature pipeline
+    // (explode + k min-aggregates) re-executes once per reference
+    val sigs = hashed.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+      .join(base, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bh"))
@@ -147,6 +160,25 @@ object Dedup {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** (id, sig) via explode + 64 codegen'd sum-aggregates — identical values
+    * to the scalar [[simhash]], but the per-token work is vectorized
+    * whole-stage-codegen arithmetic instead of interpreted HOF lambdas; the
+    * only shuffle is the (id, tokenHash) groupBy. */
+  def simhashSignatures(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    hashed.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map { i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+  }
+
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, using the
     * pigeonhole banding trick: split the 64 bits into (maxHamming+1) blocks —
     * any pair within distance shares at least one exact block → equi-join on
@@ -157,7 +189,8 @@ object Dedup {
     require(64 % blocks == 0, s"maxHamming+1=$blocks must divide 64")
     val width = 64 / blocks
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val sigs = simhashSignatures(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blockStructs = (0 until blocks).map { b =>
       struct(lit(b).as("blk"),
         shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask)).as("bits"))
@@ -177,18 +210,17 @@ object Dedup {
 
   // ------------------------------------------------- embedding near-dup
 
-  /** Near-duplicate pairs by embedding cosine ≥ threshold (brute-force; see
-    * [[Similarity.cosine]] for the column expression and
+  /** Near-duplicate pairs by embedding cosine ≥ threshold (brute-force over
+    * unit-normalized vectors — one codegen'd dot per pair; see
     * [[Similarity.lshBucketedPairs]] for the 100 TB-scale variant). */
   def embeddingPairs(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = emb.select(col(idCol).as("id"),
-      Similarity.toDoubleVec(col(vecCol)).as("v"))
+    val v = Similarity.unitVectors(emb, idCol, vecCol, "id", "v")
     val a = v.select(col("id").as("id_a"), col("v").as("va"))
     val b = v.select(col("id").as("id_b"), col("v").as("vb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cosine", graft.functions.VectorExpressions.dot(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

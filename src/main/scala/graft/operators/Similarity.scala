@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.VectorExpressions.dot
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -10,38 +11,45 @@ import org.apache.spark.sql.functions._
   *  - [[bruteForceTopK]]: broadcast the (small) query set, scan the corpus
   *    once, per-query top-k. The corpus is never shuffled — at 100 TB this is
   *    a single narrow pass; only the tiny (query × k) result moves.
-  *  - [[lshBucketedPairs]] / [[lshBucketedTopK]]: random-hyperplane LSH
-  *    buckets turn the all-pairs problem into an equi-join on bucket id —
-  *    the scale path when the query set IS the corpus.
+  *  - [[lshBucketedPairs]]: random-hyperplane LSH buckets turn the all-pairs
+  *    problem into an equi-join on bucket id — the scale path when the query
+  *    set IS the corpus.
   *
-  * Vector math is done with codegen'd higher-order functions
-  * (`zip_with`/`aggregate`) in double precision — no UDFs.
+  * Vector math: embeddings are normalized to unit length ONCE per vector (a
+  * narrow map), after which every pair score is a single codegen'd
+  * [[graft.functions.DotProduct]] — the per-pair hot loop carries no norm
+  * recomputation and no interpreted lambdas.
   */
 object Similarity {
 
   def toDoubleVec(v: Column): Column = transform(v, _.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** id + unit-length double vector (`u`); zero vectors become null. */
+  private[operators] def unitVectors(emb: DataFrame, idCol: String, vecCol: String,
+      outId: String, outVec: String): DataFrame = {
+    val v = toDoubleVec(col(vecCol))
+    emb.select(col(idCol).as(outId), v.as("_v"))
+      .select(col(outId), sqrt(dot(col("_v"), col("_v"))).as("_n"), col("_v"))
+      .select(col(outId),
+        when(col("_n") > 0, transform(col("_v"), x => x / col("_n"))).as(outVec))
+      .filter(col(outVec).isNotNull)
+  }
 
   /** Exact top-k neighbors for each query vector, brute force.
     *
     * `queries` is broadcast (assert it's small); the corpus side stays
-    * partition-local until the final per-query top-k, which shuffles only
-    * (nQueries × corpusPartitions × k) candidate rows thanks to the
-    * partial top-k pushed below the window by Spark's
-    * `WindowGroupLimit`/TopK optimization on `row_number <= k`. */
+    * partition-local until the final per-query top-k, which Spark's
+    * WindowGroupLimit pushes into a partial top-k below the shuffle. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("cv"))
+    val q = unitVectors(queries, idCol, vecCol, "query_id", "qu")
+    val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "cu")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dot(col("qu"), col("cu")))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -69,7 +77,10 @@ object Similarity {
   def lshBucketedPairs(emb: DataFrame, threshold: Double, nPlanes: Int = 12,
       tables: Int = 4, dim: Int = 64, seed: Long = 42,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = emb.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    // persisted: feeds both sides of the bucket self-join (and carries the
+    // unit vectors into verification) — avoids recomputing the projections
+    val v = unitVectors(emb, idCol, vecCol, "id", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketStructs = (0 until tables).map { t =>
       struct(lit(t).as("tbl"),
         lshBucket(col("v"), hyperplanes(nPlanes, dim, seed + t)).as("bucket"))
@@ -81,7 +92,7 @@ object Similarity {
     l.join(r, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine", dot(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

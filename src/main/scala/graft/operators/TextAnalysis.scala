@@ -77,6 +77,31 @@ object TextAnalysis {
     when(best.getField("hits") === 0, lit("und")).otherwise(best.getField("lang"))
   }
 
+  /** DataFrame-level language ID: explode tokens, broadcast-join the
+    * (lang, stopword) table, count hits per (doc, lang), argmax with the same
+    * first-in-lang-order tie-break as [[langId]]. Identical answers, but the
+    * per-token work is a codegen'd broadcast hash join + one count aggregate
+    * instead of per-language interpreted list scans — the shape that holds at
+    * 100 TB. Docs with zero hits in every language come out as 'und'. */
+  def langIdByJoin(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stopTable = broadcast(
+      stopwords.toSeq.flatMap { case (l, ws) => ws.map(w => (l, w)) }
+        .toDF("lang", "tok"))
+    val hits = docs
+      .select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("tok"))
+      .join(stopTable, "tok")
+      .groupBy("id", "lang").agg(count(lit(1)).as("hits"))
+    // min over (-hits, lang) = max hits, ties to the alphabetically first lang
+    val best = hits.groupBy("id")
+      .agg(min(struct((-col("hits")).as("nh"), col("lang"))).as("best"))
+      .select(col("id"), col("best.lang").as("lang_pred"))
+    docs.select(col(idCol).as("id")).join(best, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("lang_pred"), lit("und")).as("lang_pred"))
+  }
+
   /** Document fingerprint: md5 of the normalized (lowercased, trimmed,
     * whitespace-collapsed) text — the exact-dedup key. */
   def fingerprint(text: Column): Column =

@@ -98,6 +98,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(langs == Seq("en", "es", "und"))
   }
 
+  test("join-based langId agrees with the scalar fold on the corpus") {
+    val scalar = docs.select($"doc_id", TextAnalysis.langId($"text").as("lang_pred"))
+      .as[(Long, String)].collect().toMap
+    val joined = TextAnalysis.langIdByJoin(docs)
+      .as[(Long, String)].collect().toMap
+    assert(joined == scalar)
+  }
+
+  test("fast simhash signatures equal the scalar expression") {
+    val scalar = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val fast = Dedup.simhashSignatures(docs).as[(Long, Long)].collect().toMap
+    assert(fast == scalar)
+  }
+
+  test("codegen'd dot product equals the HOF fold") {
+    import graft.functions.VectorExpressions
+    val two = emb.limit(1).select(Similarity.toDoubleVec($"embedding").as("v"))
+      .crossJoin(emb.limit(50).select(Similarity.toDoubleVec($"embedding").as("w")))
+    val hof = two.select(
+      aggregate(zip_with($"v", $"w", (x, y) => x * y), lit(0.0), (a, x) => a + x))
+      .as[Double].collect().toSeq
+    val fast = two.select(VectorExpressions.dot($"v", $"w")).as[Double].collect().toSeq
+    assert(fast == hof)
+  }
+
   test("quality score is bounded and favors stopword-bearing prose") {
     val q = docs.select(TextAnalysis.qualityScore($"text").as("q"))
     assert(q.filter($"q" < 0 || $"q" > 1).count() == 0)
