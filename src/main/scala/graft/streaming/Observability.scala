@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+/** Control-plane parity with the reference (SURVEY.md §2 O2/O3):
+  *
+  *  - O3 — the reference exposes Prometheus counters in_messages/out_messages
+  *    (server.go:42-49, 90-91, 370-375). Here the same counters are fed from
+  *    StreamingQueryProgress (numInputRows / sink numOutputRows) per query;
+  *    [[snapshot]] returns them for scraping by whatever metrics bridge the
+  *    deployment uses.
+  *  - O2 — the reference dies if no message arrives within one windowSize (a
+  *    KAFKA-3593 workaround, server.go:51-52, 384-388). Spark's source does
+  *    not need the workaround; [[stalledQueries]] reports queries whose last
+  *    progress is older than the threshold so the operator can alert or
+  *    restart instead of hard-killing the process.
+  */
+class Observability(maxSilenceMs: Long) extends StreamingQueryListener {
+
+  final case class Counters(inRows: AtomicLong, outRows: AtomicLong,
+      lastProgressMs: AtomicLong)
+
+  private val byQuery = new ConcurrentHashMap[String, Counters]()
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+    byQuery.putIfAbsent(e.name,
+      Counters(new AtomicLong(0), new AtomicLong(0),
+        new AtomicLong(System.currentTimeMillis())))
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val c = byQuery.computeIfAbsent(e.progress.name,
+      _ => Counters(new AtomicLong(0), new AtomicLong(0), new AtomicLong(0)))
+    c.inRows.addAndGet(e.progress.numInputRows)
+    Option(e.progress.sink).foreach(s => c.outRows.addAndGet(math.max(s.numOutputRows, 0)))
+    c.lastProgressMs.set(System.currentTimeMillis())
+  }
+
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+  /** (query → (in_messages, out_messages)) — the reference's two counters. */
+  def snapshot: Map[String, (Long, Long)] = {
+    val b = Map.newBuilder[String, (Long, Long)]
+    byQuery.forEach((k, c) => b += k -> (c.inRows.get() -> c.outRows.get()))
+    b.result()
+  }
+
+  /** Queries with no progress within maxSilenceMs (O2 watchdog condition). */
+  def stalledQueries(nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    byQuery.forEach((k, c) => if (nowMs - c.lastProgressMs.get() > maxSilenceMs) b += k)
+    b.result()
+  }
+}
+
+object Observability {
+  /** Attach to a session; silence threshold defaults to one window
+    * (the reference's watchdog interval). */
+  def attach(spark: SparkSession, windowSizeSec: Long): Observability = {
+    val o = new Observability(windowSizeSec * 1000)
+    spark.streams.addListener(o)
+    o
+  }
+}

@@ -76,6 +76,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(byWindow((base + 100) * 1000.0) == 4.0)
   }
 
+  test("observability listener counts input rows and flags stalled queries") {
+    import graft.streaming.Observability
+    val obs = Observability.attach(spark, windowSizeSec = 1)
+    try {
+      val base = 4000000000L
+      runStream(agg2, 10L, 2L, Seq(
+        Seq(env("metric2", Map("service" -> "0", "hostname" -> "0"), base * 1000.0, 2.0)),
+        Seq(env("metric2", Map("service" -> "0", "hostname" -> "0"), (base + 50) * 1000.0, 2.0))),
+        "obs_q")
+      // listener events are delivered asynchronously; wait for the counter
+      val deadline = System.currentTimeMillis() + 10000
+      while (obs.snapshot.get("obs_q").forall(_._1 == 0) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val (in, _) = obs.snapshot("obs_q")
+      assert(in >= 2) // both batches counted (O3 in_messages)
+      // O2: after silence exceeding one windowSize the query reads as stalled
+      assert(obs.stalledQueries(System.currentTimeMillis() + 60000).contains("obs_q"))
+    } finally spark.streams.removeListener(obs)
+  }
+
   test("streaming rollup: chained stateful aggregation in append mode") {
     val sp = AggregationSpec(name = "Aggregation3", function = "avg",
       filteredMetricName = "m", groupedDimensions = Seq("hostname", "service"),
