@@ -44,7 +44,46 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val eps = ingestThroughput(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""throughput_eps":$eps,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Ingest-throughput probe against the reference's one published number
+    * (">50K metrics/sec", README.md:62-63): JSON envelopes/sec through the
+    * reference hot path — parse → rule match → window-group aggregate
+    * (server.go:307-332). JSON strings are pre-materialized and persisted so
+    * only the ingest pipeline is timed. */
+  private def ingestThroughput(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    import graft.model.AggregationSpec
+    import graft.plan.RuleCompiler
+    import graft.sources.EnvelopeJson
+    val n = 4000000L
+    val envelopes = spark.range(n).select(
+      struct(
+        concat(lit("metric"), (col("id") % 5).cast("string")).as("name"),
+        map(
+          lit("service"), ((col("id") / 2) % 3).cast("string"),
+          lit("hostname"), (col("id") % 2).cast("string")).as("dimensions"),
+        (lit(1700000000000.0) + col("id") * 10).as("timestamp"),
+        ((col("id") % 1000) / 7.0).as("value"),
+        map().cast("map<string,string>").as("value_meta")).as("metric"),
+      map(lit("tenantId"), (col("id") % 3).cast("string")).as("meta"),
+      lit(0L).as("creation_time"))
+    val json = EnvelopeJson.serialize(envelopes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    json.count() // materialize outside the timed section
+    val spec = AggregationSpec(name = "ingest", function = "avg",
+      filteredMetricName = "metric0",
+      groupedDimensions = Seq("service", "hostname"),
+      aggregatedMetricName = "agg0")
+    val t0 = System.nanoTime()
+    RuleCompiler.compile(spec, 10L)(EnvelopeJson.parse(json))
+      .write.format("noop").mode("overwrite").save()
+    val eps = n / ((System.nanoTime() - t0) / 1e9)
+    json.unpersist()
+    eps
   }
 }

@@ -219,6 +219,11 @@ object SparkEntry {
     "sim_lsh_pairs" -> ((s, dir) =>
       Similarity.lshBucketedPairs(emb(s, dir), threshold = 0.4, nPlanes = 6, tables = 8)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
+    "sim_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir).filter(col("vec_id") < 10), emb(s, dir),
+          k = 5, nLists = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          round(col("cosine"), 4).as("cosine"))),
     "text_stats" -> ((s, dir) => TextAnalysis.analyze(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langIdByJoin(docs(s, dir))),
     "mm_meta" -> ((s, dir) =>

@@ -57,6 +57,48 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** IVF (inverted-file) ANN: the corpus is partitioned into `nLists` Voronoi
+    * cells around centroids sampled deterministically from the corpus itself;
+    * each query probes only its `nProbe` nearest cells. With nProbe == nLists
+    * this degrades gracefully to exact brute force.
+    *
+    * Scale shape: centroids are tiny and broadcast as literals (collected once
+    * from a deterministic hash-ordered sample — the only driver-side step);
+    * corpus assignment is a narrow map; the probe is an equi-join on cell id,
+    * so each query scores ~nProbe/nLists of the corpus instead of all of it. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nLists: Int,
+      nProbe: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nLists)
+    val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "cu")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic centroid sample: first nLists corpus vectors by id hash
+    val centroids: Seq[Seq[Double]] = c
+      .orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
+      .limit(nLists).select(col("cu")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    // array of (score, cell) structs sorted descending — head = assignment,
+    // prefix = probe list
+    def rankedCells(v: Column): Column = {
+      val scored = centroids.zipWithIndex.map { case (p, i) =>
+        struct(dot(v, typedLit(p)).as("s"), lit(i).as("c"))
+      }
+      reverse(array_sort(array(scored: _*)))
+    }
+    val assigned = c.withColumn("cell", rankedCells(col("cu")).getItem(0).getField("c"))
+    val q = unitVectors(queries, idCol, vecCol, "query_id", "qu")
+      .withColumn("cell", explode(slice(
+        transform(rankedCells(col("qu")), x => x.getField("c")), 1, nProbe)))
+    val scored = q.join(assigned, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qu"), col("cu")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Deterministic pseudo-random unit hyperplanes (seeded), built at
     * plan-construction time and shipped as a literal — reproducible across
     * runs and executors. */

@@ -75,6 +75,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF top-k with exhaustive probe equals brute force; partial probe is well-formed") {
+    val queries = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(queries, emb, 3)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val exhaustive = Similarity.ivfTopK(queries, emb, 3, nLists = 8, nProbe = 8)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(exhaustive == brute)
+    val partial = Similarity.ivfTopK(queries, emb, 3, nLists = 16, nProbe = 4)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)].collect()
+    assert(partial.groupBy(_._1).forall { case (_, rs) =>
+      rs.length <= 3 && rs.map(_._3).sorted.sameElements(1 to rs.length)
+    })
+  }
+
   test("LSH-bucketed similarity pairs are a verified subset of brute force") {
     val brute = Dedup.embeddingPairs(emb, 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
