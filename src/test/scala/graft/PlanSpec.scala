@@ -1,0 +1,82 @@
+package graft
+
+import graft.model.{AggregationSpec, Metric, MetricEnvelope}
+import graft.plan.RuleCompiler
+import graft.spec.SpecLoader
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-regression guards on the PHYSICAL plans (these are the properties
+  * that make the engine viable at 100 TB — a change that silently loses
+  * pushdown or partial aggregation must fail here), plus the shipped
+  * reference spec corpus loading + compiling end-to-end. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("metric-name filter is pushed into the parquet scan") {
+    val q = SparkEntry.queries("f1_name_filter")(spark, "/root/testdata/sf0.001")
+    val scan = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters") && scan.contains("EqualTo(event_type,click)"),
+      s"filter not pushed to scan:\n$scan")
+  }
+
+  test("grouped aggregation is partial (map-side) before the exchange") {
+    val plan = executedPlan(
+      SparkEntry.queries("a1_sum_1d")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("partial_sum"), s"no map-side partial aggregation:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one shuffle:\n$plan")
+  }
+
+  test("rollup adds one more exchange with its own partial aggregate") {
+    val plan = executedPlan(
+      SparkEntry.queries("r1_rollup_1d")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("partial_avg") && plan.contains("partial_sum"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2)
+  }
+
+  test("brute-force top-k broadcasts the query side, not the corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = executedPlan(graft.operators.Similarity.bruteForceTopK(
+      emb.filter($"vec_id" < 3), emb, 4))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$plan")
+  }
+
+  test("metadata projection prunes the binary media column at the source") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = graft.operators.Multimodal.synthesizeFromDocs(docs)
+    val scan = graft.operators.Multimodal.metadata(media)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!scan.contains("text"), s"text column not pruned from scan:\n$scan")
+  }
+
+  test("the shipped reference spec corpus loads, validates and compiles") {
+    val specs = SpecLoader.loadValidated(
+      getClass.getResource("/aggregation-specifications.yaml").getPath)
+    assert(specs.map(_.name) == Seq("Aggregation0", "Aggregation1", "Aggregation2",
+      "Aggregation3", "Aggregation4"))
+    assert(specs(4).rejectedDimensions == Map("hostname" -> "inactive-host", "device" -> ""))
+    // every rule compiles and runs over a small envelope batch
+    val envs = (0 to 4).flatMap { i =>
+      Seq(MetricEnvelope(
+        Metric(s"metric$i",
+          Map("hostname" -> "test-01", "service" -> "svc", "cluster" -> "test-cluster-01"),
+          1000000000000.0, 1.0, Map.empty),
+        Map("tenantId" -> "t"), 0L))
+    }
+    val df = envs.toDF()
+    specs.foreach { sp =>
+      val out = RuleCompiler.compile(sp, 10L)(df).collect()
+      assert(out.length == 1, s"${sp.name} emitted ${out.length} rows")
+      assert(out.head.getStruct(0).getString(0) == sp.aggregatedMetricName)
+    }
+  }
+
+  test("flagship entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
