@@ -225,6 +225,14 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
           round(col("cosine"), 4).as("cosine"))),
     "text_stats" -> ((s, dir) => TextAnalysis.analyze(docs(s, dir))),
+    "text_tokens" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))),
+    "text_rollhash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(TextAnalysis.rollingFingerprints(col("text"), 32, 4)).cast("long")
+          .as("n_cutpoints"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langIdByJoin(docs(s, dir))),
     "mm_meta" -> ((s, dir) =>
       Multimodal.metadata(Multimodal.synthesizeFromDocs(docs(s, dir)))
@@ -306,6 +314,10 @@ object SparkEntry {
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint " +
         "FROM documents"),
     "text_langid" -> LangIdSql,
+    "text_tokens" ->
+      (s"SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($RawToks) END AS BIGINT) AS n_ws, " +
+        "CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[^a-zA-Z\\s]+')) AS BIGINT) AS n_bpeish " +
+        "FROM documents"),
     "mm_meta" ->
       ("SELECT doc_id, 'application/x-fake' AS mime, " +
         "CAST(n_chars % 64 + 1 AS BIGINT) AS width, " +

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Rabin–Karp rolling hashes over a document's UTF-8 bytes: one 64-bit
+  * polynomial hash per sliding `window`-byte span, computed in O(n) with the
+  * classic push/pop update (hᵢ₊₁ = (hᵢ − bᵢ·B^{w−1})·B + bᵢ₊w, mod 2⁶⁴).
+  *
+  * This is the fingerprinting primitive behind content-defined chunking and
+  * byte-level near-dup detection: downstream operators can explode the array,
+  * keep hashes matching a mask (CDC cut-points), or min-sample them as a
+  * cheap byte-level MinHash. One eval per row, no per-element lambdas. Texts
+  * shorter than the window yield a single hash over all bytes.
+  */
+case class RollingHashes(child: Expression, window: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(window >= 1, s"window must be >= 1, got $window")
+
+  private val B = 1000003L // polynomial base (mod 2^64 via long overflow)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"RollingHashes requires a string argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    val w = math.min(window, math.max(n, 1))
+    if (n == 0) return new GenericArrayData(Array[Any](0L))
+    // B^(w-1) mod 2^64 for the pop term
+    var bPow = 1L
+    var p = 1
+    while (p < w) { bPow *= B; p += 1 }
+    var h = 0L
+    var i = 0
+    while (i < w) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    val out = new Array[Any](n - w + 1)
+    out(0) = h
+    var j = w
+    while (j < n) {
+      h = (h - (bytes(j - w) & 0xffL) * bPow) * B + (bytes(j) & 0xffL)
+      out(j - w + 1) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashes =
+    copy(child = newChild)
+}
+
+object HashExpressions {
+  /** Array of 64-bit Rabin–Karp hashes, one per `window`-byte sliding span. */
+  def rollingHashes(text: Column, window: Int): Column =
+    GraftBridge.column(RollingHashes(GraftBridge.expression(text), window))
+}

@@ -47,6 +47,16 @@ object Dedup {
   def exactSurvivors(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.join(exact(docs, idCol, textCol).select(col("keep_id").as(idCol)), idCol)
 
+  /** Streaming exact dedup: first-seen row per normalized-text fingerprint
+    * within the watermark horizon (`dropDuplicatesWithinWatermark` keeps
+    * per-key state only until the watermark passes — bounded state, unlike a
+    * global-forever dropDuplicates). Input must carry an event-time column. */
+  def streamingExact(docs: DataFrame, eventTimeCol: String, watermark: String,
+      textCol: String = "text"): DataFrame =
+    docs.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   // ------------------------------------------------- n-gram Jaccard (exact)
 
   /** Exact Jaccard-similarity pairs over distinct word shingles, via an

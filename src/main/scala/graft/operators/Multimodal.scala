@@ -75,6 +75,31 @@ object Multimodal {
       }
   }
 
+  /** Resize, batched per partition — REAL pipeline shape, STUB kernel:
+    * nearest-neighbor subsampling of the byte buffer to targetW×targetH
+    * (a real deployment would decode and rescale pixels here). Metadata is
+    * updated alongside the payload, as a real resize must. */
+  def resizeStub(spark: SparkSession, media: DataFrame,
+      targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.select("doc_id", "media", "mime", "width", "height").as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { rec =>
+          val src = rec.media
+          val n = targetW * targetH
+          val out = new Array[Byte](n)
+          if (src.length > 0) {
+            var i = 0
+            while (i < n) {
+              out(i) = src((i.toLong * src.length / n).toInt)
+              i += 1
+            }
+          }
+          rec.copy(media = out, width = targetW, height = targetH)
+        }
+      }
+  }
+
   /** Frame sampling: every `stride`-th byte-window stands in for a video
     * frame. Pure column code (slice on a byte array) — shows the
     * array-of-frames shape a real frame sampler would emit. */

@@ -21,12 +21,12 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
-  /** BPE-ish subword proxy: count of alternating letter/digit/punctuation
-    * runs, a cheap deterministic stand-in for a real tokenizer's token count
-    * (ratio letters-runs + digits-runs + symbols). */
+  /** BPE-ish subword proxy: tokens are maximal runs of letters OR maximal
+    * runs of non-letter-non-space characters — a cheap deterministic
+    * stand-in for a real tokenizer's count (splits "don't" into 3, "a1b"
+    * into 3). Pure regexp_extract_all, mirrored 1:1 by the DuckDB oracle. */
   def bpeishTokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "(?<=[a-zA-Z])(?=[^a-zA-Z\\s])|(?<=[^a-zA-Z\\s])(?=[a-zA-Z])|\\s+")))
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[^a-zA-Z\\s]+"), lit(0)))
 
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
@@ -106,6 +106,16 @@ object TextAnalysis {
     * whitespace-collapsed) text — the exact-dedup key. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** Byte-level rolling fingerprints (Rabin–Karp, see
+    * [[graft.functions.RollingHashes]]): sampled down to the hashes that hit a
+    * zero low-`maskBits` pattern — deterministic content-defined sampling, the
+    * building block for CDC chunking / byte-shingle near-dup. */
+  def rollingFingerprints(text: Column, window: Int, maskBits: Int): Column = {
+    val mask = (1L << maskBits) - 1
+    filter(graft.functions.HashExpressions.rollingHashes(text, window),
+      h => h.bitwiseAND(lit(mask)) === 0L)
+  }
 
   /** All signals over a `documents`-shaped table (doc_id, text, ...). */
   def analyze(docs: DataFrame): DataFrame =

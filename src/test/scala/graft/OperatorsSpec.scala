@@ -143,6 +143,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(q.filter($"q" < 0 || $"q" > 1).count() == 0)
   }
 
+  test("BPE-ish token count splits letter runs from symbol runs") {
+    val d = Seq("don't stop", "a1b c", "", "   ").toDF("text")
+    val counts = d.select(TextAnalysis.bpeishTokenCount($"text")).as[Int].collect().toSeq
+    assert(counts == Seq(4, 4, 0, 0)) // don|'|t|stop ; a|1|b|c
+  }
+
+  test("rolling hashes match a naive per-window recomputation") {
+    import graft.functions.HashExpressions
+    val text = "the quick brown fox jumps over the lazy dog"
+    val w = 8
+    val got = Seq(text).toDF("text")
+      .select(HashExpressions.rollingHashes($"text", w)).as[Seq[Long]].head()
+    val bytes = text.getBytes("UTF-8")
+    val naive = (0 to bytes.length - w).map { i =>
+      bytes.slice(i, i + w).foldLeft(0L)((h, b) => h * 1000003L + (b & 0xffL))
+    }
+    assert(got == naive)
+    // short text: single hash over all bytes
+    val short = Seq("abc").toDF("text")
+      .select(HashExpressions.rollingHashes($"text", w)).as[Seq[Long]].head()
+    assert(short == Seq("abc".getBytes("UTF-8").foldLeft(0L)((h, b) => h * 1000003L + (b & 0xffL))))
+  }
+
+  test("streaming exact dedup drops within-watermark duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("id", "ts", "text")
+    val out = Dedup.streamingExact(df, "ts", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      input.addData(
+        (1L, new java.sql.Timestamp(t0), "same text"),
+        (2L, new java.sql.Timestamp(t0 + 1000), "same text"),
+        (3L, new java.sql.Timestamp(t0 + 2000), "Other"))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select($"id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L)) // duplicate id=2 dropped
+    } finally q.stop()
+  }
+
+  test("multimodal: resize stub rescales payload and metadata together") {
+    val media = Multimodal.synthesizeFromDocs(docs.limit(10))
+    val resized = Multimodal.resizeStub(spark, media, 16, 8)
+    val r = resized.collect()
+    assert(r.length == 10)
+    assert(r.forall(m => m.media.length == 16 * 8 && m.width == 16 && m.height == 8))
+  }
+
   test("multimodal: stub decoder produces normalized histograms partition-parallel") {
     val media = Multimodal.synthesizeFromDocs(docs).repartition(4)
     val feats = Multimodal.decodeStub(spark, media)
