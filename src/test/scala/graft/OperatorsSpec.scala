@@ -186,6 +186,17 @@ class OperatorsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("SQL function registration: graft_* callable from spark.sql") {
+    graft.sql.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1d, 2d, 3d), array(4d, 5d, 6d)) AS d,
+        |       graft_word_ngrams('a b c d', 2) AS ng,
+        |       size(graft_rolling_hashes('hello world!', 4)) AS nh""".stripMargin).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getSeq[String](1) == Seq("a b", "b c", "c d"))
+    assert(r.getInt(2) == 9)
+  }
+
   test("multimodal: resize stub rescales payload and metadata together") {
     val media = Multimodal.synthesizeFromDocs(docs.limit(10))
     val resized = Multimodal.resizeStub(spark, media, 16, 8)
