@@ -24,8 +24,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def exec(name: String, dir: String): Unit =
-      SparkEntry.queries(name)(spark, dir)
+      try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
+      finally spark.catalog.clearCache() // operators persist LSH relations;
+                                         // don't let them accumulate across queries
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
@@ -33,13 +35,17 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // best of two timed runs per query — evens out GC/compilation noise
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try exec(name, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try exec(name, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
