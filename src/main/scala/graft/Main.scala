@@ -1,0 +1,44 @@
+package graft
+
+import graft.spec.{EngineConfig, SpecLoader}
+import graft.streaming.{Observability, StreamRunner}
+import org.apache.spark.sql.SparkSession
+
+/** The deployable service — the equivalent of the reference's `main`
+  * (server.go:338-416): load config + aggregation specs, start one
+  * checkpointed Kafka→Kafka streaming query per rule, attach observability,
+  * await termination.
+  *
+  * Usage: graft.Main [config.yaml] [aggregation-specifications.yaml]
+  * (requires the spark-sql-kafka connector on the classpath and a reachable
+  * broker; every piece below the Kafka source/sink is exercised broker-free
+  * by the test suite through MemoryStream.)
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val config = args.headOption.map(EngineConfig.load).getOrElse(EngineConfig())
+    val specsPath = args.lift(1).getOrElse("aggregation-specifications.yaml")
+    val specs = SpecLoader.loadValidated(specsPath) // fatal on invalid, like the reference
+
+    val spark = SparkSession.builder()
+      .appName("monasca-aggregator-spark")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      .getOrCreate()
+
+    val obs = Observability.attach(spark, config.windowSize)
+    val queries = StreamRunner.run(spark, specs,
+      servers = config.kafkaBootstrapServers,
+      inTopic = config.consumerTopic,
+      outTopic = config.producerTopic,
+      windowSizeSec = config.windowSize,
+      windowLagSec = config.windowLag,
+      checkpointRoot = config.checkpointRoot)
+
+    sys.addShutdownHook {
+      queries.foreach(q => scala.util.Try(q.stop()))
+      println(s"counters at shutdown: ${obs.snapshot}")
+    }
+    spark.streams.awaitAnyTermination()
+  }
+}

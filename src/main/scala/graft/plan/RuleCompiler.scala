@@ -41,10 +41,11 @@ object RuleCompiler {
       dims.getItem(k) === lit(v)
     }.reduceOption(_ && _).getOrElse(lit(true))
     // F3 — reject if any (k,v) matches; v == "" rejects ANY value of key k
-    // (aggregation/aggregation_rule.go:192-201). Absent key must NOT reject,
-    // hence the coalesce(false) around the null-propagating equality.
+    // (aggregation/aggregation_rule.go:192-201). Absent key — and an entirely
+    // absent (null) dimensions map — must NOT reject, hence coalesce(false)
+    // around every null-propagating term.
     val f3 = spec.rejectedDimensions.map {
-      case (k, "") => map_contains_key(dims, lit(k))
+      case (k, "") => coalesce(map_contains_key(dims, lit(k)), lit(false))
       case (k, v)  => coalesce(dims.getItem(k) === lit(v), lit(false))
     }.reduceOption(_ || _).map(!_).getOrElse(lit(true))
     // F4 — every grouped key must be present, else the row is filtered (NOT

@@ -93,6 +93,29 @@ class RuleCompilerSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getAs[Double]("agg_value") == 2.0)
   }
 
+  test("F3 with null dimensions map: row is kept (reference keeps nil-dims rows)") {
+    val sp = agg2.copy(filteredMetricName = "m", groupedDimensions = Seq.empty,
+      rejectedDimensions = Map("bad" -> "1", "blocked" -> ""), function = "count")
+    val envs = Seq(MetricEnvelope(
+      Metric("m", null, 0.0, 1.0, Map.empty), Map("tenantId" -> "t"), 0L))
+    val out = RuleCompiler.compileGrouped(sp, 10L)(df(envs: _*)).collect()
+    assert(out.length == 1 && out.head.getAs[Double]("agg_value") == 1.0)
+  }
+
+  test("JSON with missing fields parses to Go zero values, nil dims stay null") {
+    import graft.sources.EnvelopeJson
+    val raw = Seq(
+      """{"metric": {"name": "m"}}""",
+      """{"metric": {"value": 7.5, "timestamp": 1000.0}}""").toDF("value")
+    val rows = EnvelopeJson.parse(raw)
+      .select($"metric.name", $"metric.timestamp", $"metric.value",
+        $"metric.dimensions".isNull, $"creation_time")
+      .as[(String, Double, Double, Boolean, Long)].collect().toSet
+    assert(rows == Set(
+      ("m", 0.0, 0.0, true, 0L),
+      ("", 1000.0, 7.5, true, 0L)))
+  }
+
   test("rollup re-aggregates group results with an independent function") {
     // per-host avg → per-service sum (docs/aggregations.md:61-71 example)
     val sp = AggregationSpec(name = "Aggregation3", function = "avg",

@@ -54,6 +54,24 @@ class SpecValidationSpec extends AnyFunSuite {
       base.copy(rollup = Some(RollupSpec("sum", Seq.empty)))).isRight)
   }
 
+  test("engine config loads the reference config.yaml shape with its defaults") {
+    import graft.spec.EngineConfig
+    val yaml =
+      """windowSize: 30
+        |consumerTopic: in-metrics
+        |kafka:
+        |  bootstrap.servers: broker:9092
+        |""".stripMargin
+    val c = EngineConfig.load(new java.io.ByteArrayInputStream(yaml.getBytes("UTF-8")))
+    assert(c.windowSize == 30L)
+    assert(c.windowLag == 2L) // default (server.go:96-97)
+    assert(c.consumerTopic == "in-metrics")
+    assert(c.producerTopic == "metrics") // default
+    assert(c.kafkaBootstrapServers == "broker:9092")
+    assert(EngineConfig() == EngineConfig.load(
+      new java.io.ByteArrayInputStream("".getBytes("UTF-8"))))
+  }
+
   test("yaml loading parses all spec fields") {
     val yaml =
       """aggregationSpecifications:

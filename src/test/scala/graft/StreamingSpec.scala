@@ -76,6 +76,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(byWindow((base + 100) * 1000.0) == 4.0)
   }
 
+  test("publisher rate stream has the reference grid shape (S4)") {
+    val out = StreamRunner.publisherStream(spark, rowsPerSecond = 60)
+    val q = out.writeStream.format("memory").queryName("pub_src")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table("pub_src").isEmpty && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(200)
+      }
+      import spark.implicits._
+      val rows = spark.table("pub_src")
+        .select($"metric.name", $"metric.dimensions", $"metric.value")
+        .as[(String, Map[String, String], Double)].collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_._1 == "metric2"))
+      assert(rows.forall(_._3 == 2.0))
+      assert(rows.forall { case (_, d, _) =>
+        d.keySet == Set("service", "hostname") &&
+          d("service").toInt >= 0 && d("service").toInt < 3 &&
+          d("hostname").toInt >= 0 && d("hostname").toInt < 2
+      })
+    } finally q.stop()
+  }
+
   test("observability listener counts input rows and flags stalled queries") {
     import graft.streaming.Observability
     val obs = Observability.attach(spark, windowSizeSec = 1)
