@@ -35,17 +35,18 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // best of two timed runs per query — evens out GC/compilation noise
+    // best of two timed runs per query — evens out GC/compilation noise;
+    // a failed query reports -1 instead of masquerading as a fast success
     val results = names.map { name =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try exec(name, sfDir)
+        try { exec(name, sfDir); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -39,6 +39,16 @@ object Main {
       queries.foreach(q => scala.util.Try(q.stop()))
       println(s"counters at shutdown: ${obs.snapshot}")
     }
-    spark.streams.awaitAnyTermination()
+    // supervision loop: a single failing rule must not take down the healthy
+    // ones — log the failure, clear the terminated set, keep serving until no
+    // query remains active
+    while (spark.streams.active.nonEmpty) {
+      try spark.streams.awaitAnyTermination()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[graft] streaming query failed: ${e.getMessage}")
+      }
+      spark.streams.resetTerminated()
+    }
   }
 }

@@ -82,7 +82,10 @@ object SparkEntry {
       s"CAST(user_id AS VARCHAR) AS user_id, $agg AS value " +
       s"FROM events WHERE event_type = '$metricName' GROUP BY 1, 2, 3"
 
-  private val DeltaAgg = s"(arg_max(value, $TsUs) - arg_min(value, $TsUs))"
+  // struct min/max mirrors FunctionCatalog's deterministic (ts, value)
+  // lexicographic first/last (equal-ts ties break by value in both engines)
+  private val DeltaAgg =
+    s"((max({'t': $TsUs, 'v': value})).v - (min({'t': $TsUs, 'v': value})).v)"
   private val RateAgg =
     s"(CASE WHEN max($TsMs) = min($TsMs) THEN 0.0 " +
       s"ELSE $DeltaAgg / ((max($TsMs) - min($TsMs)) / 1000) END)"
@@ -103,21 +106,20 @@ object SparkEntry {
   private val CosD =
     "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
 
-  private val enStops = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+  private val enStops = TextAnalysis.stopwords("en")
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
   private val LowerToks = "string_split_regex(trim(lower(text)), '\\s+')"
   private val RawToks = "string_split_regex(trim(text), '\\s+')"
+  private val TokN = s"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($RawToks) END)"
   private val StopRatioSql =
-    s"(CAST(len(list_filter($LowerToks, x -> x IN (${sqlList(enStops)}))) AS DOUBLE) / len($RawToks))"
+    s"(CASE WHEN $TokN = 0 THEN 0.0 ELSE " +
+      s"CAST(len(list_filter($LowerToks, x -> x IN (${sqlList(enStops)}))) AS DOUBLE) / len($RawToks) END)"
   private val AlphaRatioSql =
-    "(CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / length(text))"
+    "(CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+      "CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / length(text) END)"
 
-  private val langStops: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
-    "en" -> enStops,
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
-    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
-    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"))
+  private val langStops: Seq[(String, Seq[String])] =
+    TextAnalysis.stopwords.toSeq.sortBy(_._1)
 
   private val LangIdSql = {
     val hits = langStops.map { case (l, ws) =>
@@ -306,10 +308,11 @@ object SparkEntry {
         "FROM embeddings q, embeddings b WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id) " +
         "WHERE rank <= 5"),
     "text_stats" ->
-      (s"SELECT doc_id, len($RawToks) AS n_tokens, " +
-        s"CAST(list_sum(list_transform($RawToks, x -> length(x))) AS DOUBLE) / len($RawToks) AS mean_token_len, " +
+      (s"SELECT doc_id, $TokN AS n_tokens, " +
+        s"(CASE WHEN $TokN = 0 THEN 0.0 ELSE " +
+        s"CAST(list_sum(list_transform($RawToks, x -> length(x))) AS DOUBLE) / len($RawToks) END) AS mean_token_len, " +
         s"$StopRatioSql AS stopword_ratio, $AlphaRatioSql AS alpha_ratio, " +
-        s"(CASE WHEN len($RawToks) BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.2 + " +
+        s"(CASE WHEN $TokN BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.2 + " +
         s"$StopRatioSql * 0.4 + $AlphaRatioSql * 0.4 AS quality, " +
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint " +
         "FROM documents"),

@@ -34,16 +34,26 @@ object FunctionCatalog {
       case "min"   => min(value)
       case "max"   => max(value)
       case "delta" =>
-        // last-by-event-time minus first-by-event-time; 0 for 1-point windows
-        max_by(value, tsMs) - min_by(value, tsMs)
+        // last-by-event-time minus first-by-event-time; 0 for 1-point
+        // windows. Implemented as min/max over a (ts, value) struct, NOT
+        // max_by/min_by: the struct's lexicographic order breaks equal-ts
+        // ties by value, making the result deterministic across partition
+        // merges (max_by tie-breaking is partial-merge-order dependent)
+        lastByTime(value, tsMs) - firstByTime(value, tsMs)
       case "rate"  =>
         // delta per second: delta / ((lastTs - firstTs)/1000)
         // (aggregation/rate_metric.go:36-42); 0 when the window has a single
         // point / zero time span (divide-by-zero guard)
         when(max(tsMs) === min(tsMs), lit(0.0))
-          .otherwise((max_by(value, tsMs) - min_by(value, tsMs)) /
+          .otherwise((lastByTime(value, tsMs) - firstByTime(value, tsMs)) /
             ((max(tsMs) - min(tsMs)) / lit(1000.0)))
       case other =>
         throw new IllegalArgumentException(s"unknown aggregation function: $other")
     }
+
+  private def lastByTime(value: Column, tsMs: Column): Column =
+    max(struct(tsMs.as("t"), value.as("v"))).getField("v")
+
+  private def firstByTime(value: Column, tsMs: Column): Column =
+    min(struct(tsMs.as("t"), value.as("v"))).getField("v")
 }

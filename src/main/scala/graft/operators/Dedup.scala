@@ -82,7 +82,13 @@ object Dedup {
       if (maxDocFreq > 0) {
         val hot = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select("sh_h")
-        sh.join(broadcast(hot), Seq("sh_h"), "left_anti")
+        val surviving = sh.join(broadcast(hot), Seq("sh_h"), "left_anti")
+        // Jaccard is then defined over SURVIVING shingles: the set sizes must
+        // be recomputed post-filter, or dropped shingles would deflate every
+        // similarity (they can never appear in the intersection)
+        val sizes = surviving.groupBy("id").agg(count(lit(1)).as("n_post"))
+        surviving.drop("n_sh")
+          .join(sizes, "id").withColumnRenamed("n_post", "n_sh")
       } else sh
     val a = filtered.select(col("id").as("id_a"), col("n_sh").as("na"), col("sh_h"))
     val b = filtered.select(col("id").as("id_b"), col("n_sh").as("nb"), col("sh_h"))

@@ -28,7 +28,9 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[^a-zA-Z\\s]+"), lit(0)))
 
-  private val stopwords: Map[String, Seq[String]] = Map(
+  /** Per-language stopword lists — also the single source for the DuckDB
+    * oracle SQL in SparkEntry (never duplicate these). */
+  private[graft] val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
@@ -42,19 +44,24 @@ object TextAnalysis {
 
   /** Stopword ratio against the English list — one of the classic quality
     * signals (Gopher-style filters). Exact integer division → deterministic
-    * across engines, no rounding needed. */
+    * across engines, no rounding needed; 0.0 for empty text (guarded: double
+    * 0/0 would be NaN in Spark but engine-dependent elsewhere). */
   def stopwordRatio(text: Column): Column =
-    stopHitCount(text, "en").cast("double") / tokenCount(text).cast("double")
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(stopHitCount(text, "en").cast("double") / tokenCount(text).cast("double"))
 
-  /** Mean token length in characters. */
+  /** Mean token length in characters; 0.0 for empty text. */
   def meanTokenLength(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
-      tokenCount(text).cast("double")
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(
+        aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          tokenCount(text).cast("double"))
 
-  /** Fraction of characters that are ASCII letters or spaces. */
+  /** Fraction of characters that are ASCII letters or spaces; 0.0 for empty. */
   def alphaRatio(text: Column): Column =
-    length(regexp_replace(text, "[^a-zA-Z ]", "")).cast("double") /
-      length(text).cast("double")
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^a-zA-Z ]", "")).cast("double") /
+        length(text).cast("double"))
 
   /** Composite quality score in [0,1]: weighted mix of length band, stopword
     * presence and alphabetic ratio — the shape of a Gopher/C4-style filter,

@@ -116,7 +116,12 @@ object RuleCompiler {
   def project(spec: AggregationSpec)(df: DataFrame): DataFrame = {
     val emittedDims =
       spec.rollup.map(_.groupedDimensions).getOrElse(spec.groupedDimensions)
-    val filteredEntries = spec.filteredDimensions.toSeq.sortBy(_._1)
+    // a key both filtered and grouped resolves to the grouped (actual) value —
+    // the reference writes filtered dims first and then overwrites with the
+    // grouped lookup (aggregation/metric_holder.go:49-59, Go map assignment);
+    // building both into one map() would throw DUPLICATE_MAP_KEY instead
+    val filteredEntries = spec.filteredDimensions.toSeq
+      .filterNot { case (k, _) => emittedDims.contains(k) }.sortBy(_._1)
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
     val groupedEntries = emittedDims.flatMap(k => Seq(lit(k), col(dimCol(k))))
     val entries = filteredEntries ++ groupedEntries

@@ -26,12 +26,15 @@ class Observability(maxSilenceMs: Long) extends StreamingQueryListener {
   private val byQuery = new ConcurrentHashMap[String, Counters]()
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
-    byQuery.putIfAbsent(e.name,
+    byQuery.putIfAbsent(Option(e.name).getOrElse(e.id.toString),
       Counters(new AtomicLong(0), new AtomicLong(0),
         new AtomicLong(System.currentTimeMillis())))
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-    val c = byQuery.computeIfAbsent(e.progress.name,
+    // unnamed queries have a null name — fall back to the query id (a null
+    // key would make ConcurrentHashMap throw inside the listener bus)
+    val c = byQuery.computeIfAbsent(
+      Option(e.progress.name).getOrElse(e.progress.id.toString),
       _ => Counters(new AtomicLong(0), new AtomicLong(0), new AtomicLong(0)))
     c.inRows.addAndGet(e.progress.numInputRows)
     Option(e.progress.sink).foreach(s => c.outRows.addAndGet(math.max(s.numOutputRows, 0)))

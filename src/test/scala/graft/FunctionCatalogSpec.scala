@@ -39,6 +39,12 @@ class FunctionCatalogSpec extends AnyFunSuite {
     assert(agg("rate", window) == -0.5)
   }
 
+  test("delta ties on equal timestamps break deterministically by value") {
+    // (ts=1000: 3.0 and 7.0) — lexicographic (ts,value): first=3.0, last=7.0
+    assert(agg("delta", Seq((3.0, 1000.0), (7.0, 1000.0), (5.0, 2000.0))) == 2.0)
+    assert(agg("delta", Seq((7.0, 1000.0), (3.0, 1000.0), (5.0, 2000.0))) == 2.0)
+  }
+
   test("single-point window: delta = 0 (not -v as in the reference, §2.1.1)") {
     assert(agg("delta", Seq((42.0, 1000.0))) == 0.0)
   }

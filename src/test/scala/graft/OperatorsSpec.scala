@@ -127,6 +127,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fast == scalar)
   }
 
+  test("maxDocFreq recomputes Jaccard over surviving shingles only") {
+    // hot shingle "x x x" appears in all 4 docs (df=4 > 2) and is dropped;
+    // docs 1/2 share ALL surviving shingles → J=1.0; docs 3/4 share none
+    val d = Seq(
+      (1L, "a b c x x x"), (2L, "a b c x x x"),
+      (3L, "p q r x x x"), (4L, "u v w x x x")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, 3, 0.5, maxDocFreq = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 == 1.0) // would be deflated if sizes counted dropped shingles
+  }
+
+  test("empty and whitespace-only text produce zero-valued stats, not NaN") {
+    val d = Seq((1L, ""), (2L, "   "), (3L, "real text here")).toDF("doc_id", "text")
+    val rows = TextAnalysis.analyze(d)
+      .select($"doc_id", $"n_tokens", $"mean_token_len", $"stopword_ratio", $"alpha_ratio")
+      .as[(Long, Int, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows(0) == ((1L, 0, 0.0, 0.0, 0.0)))
+    assert(rows(1)._2 == 0 && rows(1)._3 == 0.0 && rows(1)._4 == 0.0)
+    assert(rows(2)._2 == 3)
+  }
+
+  test("dot product rejects mismatched vector lengths") {
+    import graft.functions.VectorExpressions
+    val d = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      d.select(VectorExpressions.dot($"a", $"b")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("codegen'd dot product equals the HOF fold") {
     import graft.functions.VectorExpressions
     val two = emb.limit(1).select(Similarity.toDoubleVec($"embedding").as("v"))

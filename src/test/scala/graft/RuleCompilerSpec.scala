@@ -143,6 +143,15 @@ class RuleCompilerSpec extends AnyFunSuite {
     assert(out == Map("t1" -> 1.0, "t2" -> 3.0))
   }
 
+  test("a dim both filtered and grouped emits once with the actual value (no duplicate key)") {
+    val sp = agg2.copy(filteredDimensions = Map("service" -> "s"),
+      groupedDimensions = Seq("hostname", "service"))
+    val envs = Seq(env("metric2", Map("hostname" -> "h", "service" -> "s"), 0.0, 2.0))
+    val dims = RuleCompiler.compile(sp, 10L)(df(envs: _*))
+      .select($"metric.dimensions").as[Map[String, String]].head()
+    assert(dims == Map("hostname" -> "h", "service" -> "s"))
+  }
+
   test("output envelope carries filtered dims plus grouped dim values") {
     val sp = agg2.copy(filteredDimensions = Map("env" -> "prod"))
     val envs = Seq(env("metric2",
