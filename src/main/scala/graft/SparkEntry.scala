@@ -312,6 +312,8 @@ object SparkEntry {
         s"(CASE WHEN $TokN = 0 THEN 0.0 ELSE " +
         s"CAST(list_sum(list_transform($RawToks, x -> length(x))) AS DOUBLE) / len($RawToks) END) AS mean_token_len, " +
         s"$StopRatioSql AS stopword_ratio, $AlphaRatioSql AS alpha_ratio, " +
+        s"(CASE WHEN $TokN = 0 THEN 0.0 ELSE " +
+        s"1.0 - CAST(len(list_distinct($RawToks)) AS DOUBLE) / len($RawToks) END) AS repetition_ratio, " +
         s"(CASE WHEN $TokN BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.2 + " +
         s"$StopRatioSql * 0.4 + $AlphaRatioSql * 0.4 AS quality, " +
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint " +

@@ -63,6 +63,13 @@ object TextAnalysis {
       .otherwise(length(regexp_replace(text, "[^a-zA-Z ]", "")).cast("double") /
         length(text).cast("double"))
 
+  /** Within-document repetition: 1 − distinct_tokens/tokens (0 = no repeats);
+    * the classic repetitious-text filter signal. 0.0 for empty text. */
+  def repetitionRatio(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(tokens(text))).cast("double") /
+        tokenCount(text).cast("double"))
+
   /** Composite quality score in [0,1]: weighted mix of length band, stopword
     * presence and alphabetic ratio — the shape of a Gopher/C4-style filter,
     * deterministic and codegen-friendly. */
@@ -132,6 +139,7 @@ object TextAnalysis {
       meanTokenLength(col("text")).as("mean_token_len"),
       stopwordRatio(col("text")).as("stopword_ratio"),
       alphaRatio(col("text")).as("alpha_ratio"),
+      repetitionRatio(col("text")).as("repetition_ratio"),
       qualityScore(col("text")).as("quality"),
       fingerprint(col("text")).as("fingerprint"))
 }
