@@ -50,7 +50,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, t) if t >= 0 => t }.sum
     val eps = ingestThroughput(spark)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""throughput_eps":$eps,"sf":"$sfDir"}""")
@@ -72,7 +72,9 @@ object Bench {
       struct(
         concat(lit("metric"), (col("id") % 5).cast("string")).as("name"),
         map(
-          lit("service"), ((col("id") / 2) % 3).cast("string"),
+          // integer division: Spark's `/` on longs is double division and
+          // would produce fractional service ids (12 groups, not 6)
+          lit("service"), (expr("id div 2") % 3).cast("string"),
           lit("hostname"), (col("id") % 2).cast("string")).as("dimensions"),
         (lit(1700000000000.0) + col("id") * 10).as("timestamp"),
         ((col("id") % 1000) / 7.0).as("value"),

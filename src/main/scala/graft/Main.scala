@@ -41,14 +41,18 @@ object Main {
     }
     // supervision loop: a single failing rule must not take down the healthy
     // ones — log the failure, clear the terminated set, keep serving until no
-    // query remains active
+    // query remains active. Fatal JVM errors propagate; if any rule failed by
+    // the time the service drains, exit nonzero so the orchestrator restarts.
+    var anyFailed = false
     while (spark.streams.active.nonEmpty) {
       try spark.streams.awaitAnyTermination()
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
+          anyFailed = true
           System.err.println(s"[graft] streaming query failed: ${e.getMessage}")
       }
       spark.streams.resetTerminated()
     }
+    if (anyFailed) sys.exit(1)
   }
 }

@@ -82,7 +82,10 @@ object Dedup {
       if (maxDocFreq > 0) {
         val hot = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select("sh_h")
+        // persisted: feeds the size recount AND both sides of the pair join —
+        // without it the explode/hash/anti-join pipeline re-executes per use
         val surviving = sh.join(broadcast(hot), Seq("sh_h"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // Jaccard is then defined over SURVIVING shingles: the set sizes must
         // be recomputed post-filter, or dropped shingles would deflate every
         // similarity (they can never appear in the intersection)

@@ -117,12 +117,19 @@ object Similarity {
     * bucketings, verified with exact cosine ≥ threshold. Equi-join on
     * (table, bucket) — never enumerates the O(n²) pair space. */
   def lshBucketedPairs(emb: DataFrame, threshold: Double, nPlanes: Int = 12,
-      tables: Int = 4, dim: Int = 64, seed: Long = 42,
+      tables: Int = 4, seed: Long = 42,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // persisted: feeds both sides of the bucket self-join (and carries the
     // unit vectors into verification) — avoids recomputing the projections
     val v = unitVectors(emb, idCol, vecCol, "id", "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hyperplane dimensionality comes from the data — a hardcoded guess would
+    // crash DotProduct's length check on any non-matching corpus
+    val firstDim = v.select(size(col("v")).as("d")).head(1)
+    if (firstDim.isEmpty)
+      return v.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cosine")).limit(0)
+    val dim = firstDim.head.getInt(0)
     val bucketStructs = (0 until tables).map { t =>
       struct(lit(t).as("tbl"),
         lshBucket(col("v"), hyperplanes(nPlanes, dim, seed + t)).as("bucket"))

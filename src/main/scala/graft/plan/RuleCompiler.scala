@@ -41,13 +41,19 @@ object RuleCompiler {
       dims.getItem(k) === lit(v)
     }.reduceOption(_ && _).getOrElse(lit(true))
     // F3 — reject if any (k,v) matches; v == "" rejects ANY value of key k
-    // (aggregation/aggregation_rule.go:192-201). Absent key — and an entirely
-    // absent (null) dimensions map — must NOT reject, hence coalesce(false)
-    // around every null-propagating term.
-    val f3 = spec.rejectedDimensions.map {
-      case (k, "") => coalesce(map_contains_key(dims, lit(k)), lit(false))
-      case (k, v)  => coalesce(dims.getItem(k) === lit(v), lit(false))
-    }.reduceOption(_ || _).map(!_).getOrElse(lit(true))
+    // (aggregation/aggregation_rule.go:192-201). An ABSENT KEY must not
+    // reject (coalesce(false) around the null-propagating terms), but a rule
+    // that declares rejectedDimensions drops nil-dims metrics outright
+    // (aggregation/aggregation_rule.go:157-160), hence the isNotNull guard.
+    val f3 =
+      if (spec.rejectedDimensions.isEmpty) lit(true)
+      else {
+        val anyReject = spec.rejectedDimensions.map {
+          case (k, "") => coalesce(map_contains_key(dims, lit(k)), lit(false))
+          case (k, v)  => coalesce(dims.getItem(k) === lit(v), lit(false))
+        }.reduce(_ || _)
+        dims.isNotNull && !anyReject
+      }
     // F4 — every grouped key must be present, else the row is filtered (NOT
     // grouped under null) (aggregation/aggregation_rule.go:166-173, 203-215)
     val f4 = spec.groupedDimensions.map { k =>

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 
 /** Control-plane parity with the reference (SURVEY.md §2 O2/O3):
   *
@@ -14,46 +14,52 @@ import java.util.concurrent.atomic.AtomicLong
   *    deployment uses.
   *  - O2 — the reference dies if no message arrives within one windowSize (a
   *    KAFKA-3593 workaround, server.go:51-52, 384-388). Spark's source does
-  *    not need the workaround; [[stalledQueries]] reports queries whose last
-  *    progress is older than the threshold so the operator can alert or
-  *    restart instead of hard-killing the process.
+  *    not need the workaround; [[stalledQueries]] reports RUNNING queries
+  *    whose last progress is older than the threshold so the operator can
+  *    alert or restart instead of hard-killing the process. Terminated
+  *    queries keep their counters for scraping but are never "stalled".
+  *
+  * Internally keyed by query id (names are optional and may be null).
   */
 class Observability(maxSilenceMs: Long) extends StreamingQueryListener {
 
-  final case class Counters(inRows: AtomicLong, outRows: AtomicLong,
-      lastProgressMs: AtomicLong)
+  final case class Counters(displayName: String, inRows: AtomicLong,
+      outRows: AtomicLong, lastProgressMs: AtomicLong, terminated: AtomicBoolean)
 
   private val byQuery = new ConcurrentHashMap[String, Counters]()
 
+  private def counters(id: String, name: String): Counters =
+    byQuery.computeIfAbsent(id, _ =>
+      Counters(Option(name).getOrElse(id), new AtomicLong(0), new AtomicLong(0),
+        new AtomicLong(System.currentTimeMillis()), new AtomicBoolean(false)))
+
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
-    byQuery.putIfAbsent(Option(e.name).getOrElse(e.id.toString),
-      Counters(new AtomicLong(0), new AtomicLong(0),
-        new AtomicLong(System.currentTimeMillis())))
+    counters(e.id.toString, e.name)
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-    // unnamed queries have a null name — fall back to the query id (a null
-    // key would make ConcurrentHashMap throw inside the listener bus)
-    val c = byQuery.computeIfAbsent(
-      Option(e.progress.name).getOrElse(e.progress.id.toString),
-      _ => Counters(new AtomicLong(0), new AtomicLong(0), new AtomicLong(0)))
+    val c = counters(e.progress.id.toString, e.progress.name)
     c.inRows.addAndGet(e.progress.numInputRows)
     Option(e.progress.sink).foreach(s => c.outRows.addAndGet(math.max(s.numOutputRows, 0)))
     c.lastProgressMs.set(System.currentTimeMillis())
   }
 
-  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+    Option(byQuery.get(e.id.toString)).foreach(_.terminated.set(true))
 
   /** (query → (in_messages, out_messages)) — the reference's two counters. */
   def snapshot: Map[String, (Long, Long)] = {
     val b = Map.newBuilder[String, (Long, Long)]
-    byQuery.forEach((k, c) => b += k -> (c.inRows.get() -> c.outRows.get()))
+    byQuery.forEach((_, c) => b += c.displayName -> (c.inRows.get() -> c.outRows.get()))
     b.result()
   }
 
-  /** Queries with no progress within maxSilenceMs (O2 watchdog condition). */
+  /** Running queries with no progress within maxSilenceMs (O2 watchdog). */
   def stalledQueries(nowMs: Long = System.currentTimeMillis()): Seq[String] = {
     val b = Seq.newBuilder[String]
-    byQuery.forEach((k, c) => if (nowMs - c.lastProgressMs.get() > maxSilenceMs) b += k)
+    byQuery.forEach { (_, c) =>
+      if (!c.terminated.get() && nowMs - c.lastProgressMs.get() > maxSilenceMs)
+        b += c.displayName
+    }
     b.result()
   }
 }

@@ -93,12 +93,18 @@ class RuleCompilerSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getAs[Double]("agg_value") == 2.0)
   }
 
-  test("F3 with null dimensions map: row is kept (reference keeps nil-dims rows)") {
-    val sp = agg2.copy(filteredMetricName = "m", groupedDimensions = Seq.empty,
-      rejectedDimensions = Map("bad" -> "1", "blocked" -> ""), function = "count")
-    val envs = Seq(MetricEnvelope(
+  test("nil dimensions map: dropped by rules declaring rejectedDimensions, kept otherwise") {
+    // reference: RejectedDimensions != nil && Dimensions == nil → no match
+    // (aggregation_rule.go:157-160); a rule with NO dimension predicates at
+    // all accepts nil-dims metrics (only the name filter applies)
+    val nilDims = Seq(MetricEnvelope(
       Metric("m", null, 0.0, 1.0, Map.empty), Map("tenantId" -> "t"), 0L))
-    val out = RuleCompiler.compileGrouped(sp, 10L)(df(envs: _*)).collect()
+    val rejecting = agg2.copy(filteredMetricName = "m", groupedDimensions = Seq.empty,
+      rejectedDimensions = Map("bad" -> "1", "blocked" -> ""), function = "count")
+    assert(RuleCompiler.compileGrouped(rejecting, 10L)(df(nilDims: _*)).collect().isEmpty)
+    val nameOnly = agg2.copy(filteredMetricName = "m", groupedDimensions = Seq.empty,
+      function = "count")
+    val out = RuleCompiler.compileGrouped(nameOnly, 10L)(df(nilDims: _*)).collect()
     assert(out.length == 1 && out.head.getAs[Double]("agg_value") == 1.0)
   }
 

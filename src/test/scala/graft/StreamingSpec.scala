@@ -102,22 +102,35 @@ class StreamingSpec extends AnyFunSuite {
 
   test("observability listener counts input rows and flags stalled queries") {
     import graft.streaming.Observability
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
     val obs = Observability.attach(spark, windowSizeSec = 1)
+    val input = MemoryStream[MetricEnvelope]
+    val out = StreamRunner.buildStreaming(agg2, 10L, 2L)(input.toDF())
+    val q = out.writeStream.format("memory").queryName("obs_q")
+      .outputMode("append").start()
     try {
       val base = 4000000000L
-      runStream(agg2, 10L, 2L, Seq(
-        Seq(env("metric2", Map("service" -> "0", "hostname" -> "0"), base * 1000.0, 2.0)),
-        Seq(env("metric2", Map("service" -> "0", "hostname" -> "0"), (base + 50) * 1000.0, 2.0))),
-        "obs_q")
+      input.addData(Seq(
+        env("metric2", Map("service" -> "0", "hostname" -> "0"), base * 1000.0, 2.0),
+        env("metric2", Map("service" -> "0", "hostname" -> "0"), (base + 50) * 1000.0, 2.0)))
+      q.processAllAvailable()
       // listener events are delivered asynchronously; wait for the counter
       val deadline = System.currentTimeMillis() + 10000
       while (obs.snapshot.get("obs_q").forall(_._1 == 0) &&
         System.currentTimeMillis() < deadline) Thread.sleep(100)
       val (in, _) = obs.snapshot("obs_q")
-      assert(in >= 2) // both batches counted (O3 in_messages)
-      // O2: after silence exceeding one windowSize the query reads as stalled
+      assert(in >= 2) // both rows counted (O3 in_messages)
+      // O2: a RUNNING query with silence exceeding one windowSize is stalled
       assert(obs.stalledQueries(System.currentTimeMillis() + 60000).contains("obs_q"))
-    } finally spark.streams.removeListener(obs)
+      q.stop()
+      val deadline2 = System.currentTimeMillis() + 10000
+      while (obs.stalledQueries(System.currentTimeMillis() + 60000).contains("obs_q") &&
+        System.currentTimeMillis() < deadline2) Thread.sleep(100)
+      // terminated queries keep counters but never read as stalled
+      assert(!obs.stalledQueries(System.currentTimeMillis() + 60000).contains("obs_q"))
+      assert(obs.snapshot.contains("obs_q"))
+    } finally { scala.util.Try(q.stop()); spark.streams.removeListener(obs) }
   }
 
   test("streaming rollup: chained stateful aggregation in append mode") {
