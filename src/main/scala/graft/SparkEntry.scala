@@ -235,6 +235,10 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         size(TextAnalysis.rollingFingerprints(col("text"), 32, 4)).cast("long")
           .as("n_cutpoints"))),
+    "text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkByContent(docs(s, dir), window = 16, maskBits = 5)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), sum(length(col("chunk"))).as("total_len"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langIdByJoin(docs(s, dir))),
     "mm_meta" -> ((s, dir) =>
       Multimodal.metadata(Multimodal.synthesizeFromDocs(docs(s, dir)))

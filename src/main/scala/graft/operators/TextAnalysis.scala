@@ -131,6 +131,35 @@ object TextAnalysis {
       h => h.bitwiseAND(lit(mask)) === 0L)
   }
 
+  /** Content-defined chunking: split each document at positions where the
+    * Rabin–Karp rolling hash hits a zero low-`maskBits` pattern (expected
+    * chunk length ≈ 2^maskBits bytes) — boundaries survive insertions/
+    * deletions elsewhere in the document, unlike fixed-size splitting. Emits
+    * one row per (doc, chunk_idx, chunk). Narrow per-document column work; at
+    * 100 TB this is a scan-bound map + explode, no shuffle.
+    *
+    * Note: cut positions are computed over UTF-8 BYTES but applied with
+    * character-based substring — exact byte/char alignment only for ASCII
+    * text; multi-byte corpora shift boundaries, which is harmless for
+    * chunking purposes (boundaries remain content-determined). */
+  def chunkByContent(docs: DataFrame, window: Int, maskBits: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val mask = (1L << maskBits) - 1
+    val hashes = graft.functions.HashExpressions.rollingHashes(col(textCol), window)
+    // positions (1-based char offsets) AFTER which we cut: index of matching
+    // window end = i + window, for hash index i (0-based)
+    val cutsRaw = filter(
+      transform(hashes, (h, i) => when(h.bitwiseAND(lit(mask)) === 0L, i + window)
+        .otherwise(lit(-1))),
+      p => p =!= -1)
+    val bounds = concat(array(lit(0)), cutsRaw, array(length(col(textCol))))
+    val chunks = filter(
+      zip_with(slice(bounds, 1, 100000), slice(bounds, 2, 100000),
+        (a, b) => when(b > a, col(textCol).substr(a + 1, b - a)).otherwise(lit(null))),
+      c => c.isNotNull)
+    docs.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+  }
+
   /** All signals over a `documents`-shaped table (doc_id, text, ...). */
   def analyze(docs: DataFrame): DataFrame =
     docs.select(

@@ -197,6 +197,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(short == Seq("abc".getBytes("UTF-8").foldLeft(0L)((h, b) => h * 1000003L + (b & 0xffL))))
   }
 
+  test("content-defined chunking reassembles to the original text and is insertion-stable") {
+    val chunks = TextAnalysis.chunkByContent(docs, window = 16, maskBits = 5)
+      .as[(Long, Int, String)].collect()
+    val reassembled = chunks.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).mkString).toMap
+    val originals = docs.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(reassembled == originals)
+    assert(chunks.groupBy(_._1).values.exists(_.length > 1)) // actually splits
+    // content-defined: a prefix insertion leaves later chunk boundaries intact
+    val doc = originals(0L)
+    val edited = Seq((0L, "PREFIX INSERTED " + doc)).toDF("doc_id", "text")
+    val editedChunks = TextAnalysis.chunkByContent(edited, 16, 5)
+      .as[(Long, Int, String)].collect().sortBy(_._2).map(_._3)
+    val origChunks = chunks.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    assert(origChunks.toSet.intersect(editedChunks.toSet).nonEmpty)
+  }
+
   test("streaming exact dedup drops within-watermark duplicates") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
