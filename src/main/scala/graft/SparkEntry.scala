@@ -211,6 +211,8 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), n = 3, k = 128, bands = 32, threshold = 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 3)),
+    "dedup_cluster" -> ((s, dir) =>
+      Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5))),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(emb(s, dir), 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
@@ -294,6 +296,13 @@ object SparkEntry {
       ("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint, " +
         "MIN(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1"),
     "dedup_ngram" -> JaccardPairsSql,
+    // transitive closure over the same pair set: component = min reachable id
+    "dedup_cluster" ->
+      (s"WITH RECURSIVE p AS ($JaccardPairsSql), edges AS (" +
+        "SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p" +
+        "), reach(a, b) AS (SELECT src, dst FROM edges " +
+        "UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src) " +
+        "SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a"),
     // MinHash-LSH with k=128, b=32, r=4 has recall ≈ 1 − 1.5e-15 at the
     // dataset's minimum true-pair similarity (J ≥ 0.9) and exact verification,
     // so its output equals the exact-Jaccard pair set.

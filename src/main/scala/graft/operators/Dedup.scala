@@ -227,6 +227,55 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  // ------------------------------------------------- cluster + survivors
+
+  /** Connected components over a near-dup pair graph via min-label
+    * propagation: every node's label converges to the smallest id reachable
+    * from it. Converges in O(cluster diameter) rounds — near-dup clusters are
+    * shallow (duplicates of a common source), so a handful of iterations
+    * suffices; each round is one join + one aggregation on the (small) pair
+    * graph, never on the corpus. Returns (id, component). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id"))
+      .distinct().withColumn("component", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node adopts the min of its own and its neighbors' labels
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("n_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_min"), col("component")))
+            .as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Survivors of near-dup clustering: every document except non-minimal
+    * members of a pair-graph component (the lowest id in each cluster is
+    * kept, plus all unpaired documents). */
+  def nearDupSurvivors(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold (brute-force over

@@ -174,6 +174,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(q.filter($"q" < 0 || $"q" > 1).count() == 0)
   }
 
+  test("connected components match a driver-side union-find; survivors keep cluster minima") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+    val edgeList = pairs.select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(edgeList.nonEmpty)
+    // naive union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edgeList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    // survivors: all docs minus non-minimal cluster members
+    val survivors = Dedup.nearDupSurvivors(docs, pairs).select($"doc_id").as[Long].collect().toSet
+    val dropped = expected.collect { case (id, comp) if id != comp => id }.toSet
+    assert(survivors == docs.select($"doc_id").as[Long].collect().toSet -- dropped)
+  }
+
   test("BPE-ish token count splits letter runs from symbol runs") {
     val d = Seq("don't stop", "a1b c", "", "   ").toDF("text")
     val counts = d.select(TextAnalysis.bpeishTokenCount($"text")).as[Int].collect().toSeq
