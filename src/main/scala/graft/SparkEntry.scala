@@ -143,13 +143,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S2 — JSON serialize → parse round-trip with corrupt-record dropping
     "s2_json_roundtrip" -> ((s, dir) => {
+      import s.implicits._
       val good = EnvelopeJson.serialize(envs(s, dir))
-      val bad = s.createDataFrame(
-        java.util.Arrays.asList(org.apache.spark.sql.Row("{not json"),
-          org.apache.spark.sql.Row("{\"metric\": 12}")),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("value",
-            org.apache.spark.sql.types.StringType))))
+      val bad = Seq("{not json", "{\"metric\": 12}").toDF("value")
       EnvelopeJson.parse(good.unionByName(bad))
         .groupBy(col("metric.name").as("name")).agg(count(lit(1)).as("n"))
     }),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines, each designed for the
   * 100 TB shape of the problem:
@@ -85,7 +86,7 @@ object Dedup {
         // persisted: feeds the size recount AND both sides of the pair join —
         // without it the explode/hash/anti-join pipeline re-executes per use
         val surviving = sh.join(broadcast(hot), Seq("sh_h"), "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persist(StorageLevel.MEMORY_AND_DISK)
         // Jaccard is then defined over SURVIVING shingles: the set sizes must
         // be recomputed post-filter, or dropped shingles would deflate every
         // similarity (they can never appear in the intersection)
@@ -140,7 +141,7 @@ object Dedup {
     val sigs = hashed.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
       .join(base, "id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bh"))
@@ -209,7 +210,7 @@ object Dedup {
     val width = 64 / blocks
     val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = simhashSignatures(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val blockStructs = (0 until blocks).map { b =>
       struct(lit(b).as("blk"),
         shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask)).as("bits"))
@@ -240,9 +241,10 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id"))
       .distinct().withColumn("component", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -255,13 +257,15 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("n_min"), col("component")))
             .as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).limit(1).count()
+      labels.unpersist() // superseded generation; `next` was materialized above
       labels = next
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.VectorExpressions.dot
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Approximate-nearest-neighbor / similarity search over an embedding column
   * (`array<float>`).
@@ -71,7 +72,7 @@ object Similarity {
       seed: Long = 42): DataFrame = {
     require(nProbe >= 1 && nProbe <= nLists)
     val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "cu")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // deterministic centroid sample: first nLists corpus vectors by id hash
     val centroids: Seq[Seq[Double]] = c
       .orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
@@ -122,7 +123,7 @@ object Similarity {
     // persisted: feeds both sides of the bucket self-join (and carries the
     // unit vectors into verification) — avoids recomputing the projections
     val v = unitVectors(emb, idCol, vecCol, "id", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // hyperplane dimensionality comes from the data — a hardcoded guess would
     // crash DotProduct's length check on any non-matching corpus
     val firstDim = v.select(size(col("v")).as("d")).head(1)

@@ -153,8 +153,10 @@ object TextAnalysis {
         .otherwise(lit(-1))),
       p => p =!= -1)
     val bounds = concat(array(lit(0)), cutsRaw, array(length(col(textCol))))
+    // pair consecutive bounds: zip bounds with its own tail (zip_with pads the
+    // shorter side with null, which the b > a guard filters out)
     val chunks = filter(
-      zip_with(slice(bounds, 1, 100000), slice(bounds, 2, 100000),
+      zip_with(bounds, slice(bounds, lit(2), greatest(size(bounds) - 1, lit(1)).cast("int")),
         (a, b) => when(b > a, col(textCol).substr(a + 1, b - a)).otherwise(lit(null))),
       c => c.isNotNull)
     docs.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))

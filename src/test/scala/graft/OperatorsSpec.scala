@@ -120,6 +120,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(joined == scalar)
   }
 
+  test("scalar minhash signature matches the fast explode+groupBy path's hashes") {
+    // the fast path's slot i is min(xxhash64(xxhash64(shingle), i)) — assert
+    // the scalar HOF expression produces identical signatures
+    val scalar = docs.limit(20)
+      .select($"doc_id", Dedup.minhashSignature(Dedup.wordShingles($"text", 3), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val exploded = docs.limit(20)
+      .select($"doc_id", explode(Dedup.wordShingles($"text", 3)).as("s"))
+      .select($"doc_id", xxhash64($"s").as("h"))
+    val fast = exploded.groupBy("doc_id")
+      .agg(array((0 until 16).map(i => min(xxhash64($"h", lit(i)))): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(scalar == fast)
+  }
+
   test("fast simhash signatures equal the scalar expression") {
     val scalar = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
       .as[(Long, Long)].collect().toMap
