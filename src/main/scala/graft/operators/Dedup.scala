@@ -258,13 +258,18 @@ object Dedup {
           least(col("component"), coalesce(col("n_min"), col("component")))
             .as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize EVERY partition before dropping the prior
+                   // generation (the convergence probe below short-circuits)
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).limit(1).count()
-      labels.unpersist() // superseded generation; `next` was materialized above
+      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] connectedComponents: not converged after " +
+        s"$maxIter rounds — labels may split clusters with diameter > $maxIter")
     edges.unpersist()
     labels
   }

@@ -118,22 +118,29 @@ object Similarity {
     * bucketings, verified with exact cosine ≥ threshold. Equi-join on
     * (table, bucket) — never enumerates the O(n²) pair space. */
   def lshBucketedPairs(emb: DataFrame, threshold: Double, nPlanes: Int = 12,
-      tables: Int = 4, seed: Long = 42,
+      tables: Int = 4, seed: Long = 42, dim: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // persisted: feeds both sides of the bucket self-join (and carries the
     // unit vectors into verification) — avoids recomputing the projections
     val v = unitVectors(emb, idCol, vecCol, "id", "v")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // hyperplane dimensionality comes from the data — a hardcoded guess would
-    // crash DotProduct's length check on any non-matching corpus
-    val firstDim = v.select(size(col("v")).as("d")).head(1)
-    if (firstDim.isEmpty)
-      return v.select(col("id").as("id_a"), col("id").as("id_b"),
-        lit(0.0).as("cosine")).limit(0)
-    val dim = firstDim.head.getInt(0)
+    // hyperplane dimensionality must match the data or DotProduct's length
+    // check fires; dim <= 0 derives it with a one-row batch action (pass dim
+    // explicitly for streaming inputs / to keep plan construction lazy)
+    val resolvedDim =
+      if (dim > 0) dim
+      else {
+        val firstDim = v.select(size(col("v")).as("d")).head(1)
+        if (firstDim.isEmpty) {
+          v.unpersist()
+          return v.select(col("id").as("id_a"), col("id").as("id_b"),
+            lit(0.0).as("cosine")).limit(0)
+        }
+        firstDim.head.getInt(0)
+      }
     val bucketStructs = (0 until tables).map { t =>
       struct(lit(t).as("tbl"),
-        lshBucket(col("v"), hyperplanes(nPlanes, dim, seed + t)).as("bucket"))
+        lshBucket(col("v"), hyperplanes(nPlanes, resolvedDim, seed + t)).as("bucket"))
     }
     val banded = v.select(col("id"), col("v"), explode(array(bucketStructs: _*)).as("bb"))
       .select(col("id"), col("v"), col("bb.tbl"), col("bb.bucket"))

@@ -158,7 +158,10 @@ object TextAnalysis {
     val chunks = filter(
       zip_with(bounds, slice(bounds, lit(2), greatest(size(bounds) - 1, lit(1)).cast("int")),
         (a, b) => when(b > a, col(textCol).substr(a + 1, b - a)).otherwise(lit(null))),
-      c => c.isNotNull)
+      // drop nulls (the zip_with padding) AND empty strings: byte-offset cuts
+      // past the char length (multi-byte text) and the empty-document hash
+      // sentinel both produce "" chunks that carry nothing
+      c => c.isNotNull && c =!= "")
     docs.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
   }
 

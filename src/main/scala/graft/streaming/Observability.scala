@@ -33,8 +33,13 @@ class Observability(maxSilenceMs: Long) extends StreamingQueryListener {
       Counters(Option(name).getOrElse(id), new AtomicLong(0), new AtomicLong(0),
         new AtomicLong(System.currentTimeMillis()), new AtomicBoolean(false)))
 
-  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
-    counters(e.id.toString, e.name)
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = {
+    // a restart from the same checkpoint reuses the query id — revive the
+    // entry or the watchdog would ignore the restarted query forever
+    val c = counters(e.id.toString, e.name)
+    c.terminated.set(false)
+    c.lastProgressMs.set(System.currentTimeMillis())
+  }
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val c = counters(e.progress.id.toString, e.progress.name)
@@ -46,11 +51,15 @@ class Observability(maxSilenceMs: Long) extends StreamingQueryListener {
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
     Option(byQuery.get(e.id.toString)).foreach(_.terminated.set(true))
 
-  /** (query → (in_messages, out_messages)) — the reference's two counters. */
+  /** (query → (in_messages, out_messages)) — the reference's two counters.
+    * Multiple incarnations sharing a name (e.g. restarted with a fresh
+    * checkpoint) accumulate into one entry. */
   def snapshot: Map[String, (Long, Long)] = {
-    val b = Map.newBuilder[String, (Long, Long)]
+    val b = Seq.newBuilder[(String, (Long, Long))]
     byQuery.forEach((_, c) => b += c.displayName -> (c.inRows.get() -> c.outRows.get()))
-    b.result()
+    b.result().groupBy(_._1).view.mapValues { vs =>
+      (vs.map(_._2._1).sum, vs.map(_._2._2).sum)
+    }.toMap
   }
 
   /** Running queries with no progress within maxSilenceMs (O2 watchdog). */
@@ -60,7 +69,7 @@ class Observability(maxSilenceMs: Long) extends StreamingQueryListener {
       if (!c.terminated.get() && nowMs - c.lastProgressMs.get() > maxSilenceMs)
         b += c.displayName
     }
-    b.result()
+    b.result().distinct
   }
 }
 
