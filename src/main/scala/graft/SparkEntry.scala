@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{AggregationSpec, RollupSpec}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.plan.RuleCompiler
 import graft.sources.{EnvelopeJson, EventsAdapter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -121,6 +121,9 @@ object SparkEntry {
   private val langStops: Seq[(String, Seq[String])] =
     TextAnalysis.stopwords.toSeq.sortBy(_._1)
 
+  /** Mirror of Sampling.hashBucket(doc_id, 42). */
+  private val HashB = s"(((doc_id % 1000003) * 2654435761 + 42) % ${Sampling.Buckets})"
+
   private val LangIdSql = {
     val hits = langStops.map { case (l, ws) =>
       s"len(list_filter($LowerToks, x -> x IN (${sqlList(ws)}))) AS h_$l"
@@ -238,6 +241,14 @@ object SparkEntry {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"), sum(length(col("chunk"))).as("total_len"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langIdByJoin(docs(s, dir))),
+    "sample_bernoulli" -> ((s, dir) =>
+      Sampling.sampleByHash(docs(s, dir), "doc_id", 0.25).select("doc_id")),
+    "sample_split" -> ((s, dir) =>
+      Sampling.split(docs(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).select("doc_id", "split")),
+    "sample_quota" -> ((s, dir) =>
+      Sampling.quotaPerKey(docs(s, dir), "source", "doc_id", 5)
+        .select("doc_id", "source")),
     "mm_meta" -> ((s, dir) =>
       Multimodal.metadata(Multimodal.synthesizeFromDocs(docs(s, dir)))
         .select(col("doc_id"), col("mime"), col("width").cast("long").as("width"),
@@ -328,6 +339,16 @@ object SparkEntry {
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint " +
         "FROM documents"),
     "text_langid" -> LangIdSql,
+    "sample_bernoulli" ->
+      (s"SELECT doc_id FROM documents WHERE $HashB < ${(0.25 * Sampling.Buckets).toLong}"),
+    "sample_split" ->
+      (s"SELECT doc_id, CASE WHEN $HashB < ${(0.8 * Sampling.Buckets).toLong} THEN 'train' " +
+        s"WHEN $HashB < ${((0.8 + 0.1) * Sampling.Buckets).toLong} THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents"),
+    "sample_quota" ->
+      (s"SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER (" +
+        s"PARTITION BY source ORDER BY $HashB ASC, doc_id ASC) AS rk FROM documents) " +
+        "WHERE rk <= 5"),
     "text_tokens" ->
       (s"SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($RawToks) END AS BIGINT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[^a-zA-Z\\s]+')) AS BIGINT) AS n_bpeish " +

@@ -189,6 +189,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(q.filter($"q" < 0 || $"q" > 1).count() == 0)
   }
 
+  test("deterministic sampling: stable under reruns, splits partition, quotas cap") {
+    import graft.operators.Sampling
+    val s1 = Sampling.sampleByHash(docs, "doc_id", 0.25).select($"doc_id").as[Long].collect().toSet
+    val s2 = Sampling.sampleByHash(docs, "doc_id", 0.25).select($"doc_id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < 500) // reproducible, actually samples
+    // growing the corpus never flips an existing row's fate
+    val bigger = docs.unionByName(docs.withColumn("doc_id", $"doc_id" + 100000))
+    val s3 = Sampling.sampleByHash(bigger, "doc_id", 0.25)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s3.filter(_ < 100000) == s1)
+    val sp = Sampling.split(docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(sp.keySet == Set("train", "val", "test"))
+    assert(sp.values.sum == 500 && sp("train") > sp("val"))
+    val q = Sampling.quotaPerKey(docs, "source", "doc_id", 5)
+      .groupBy("source").count().as[(String, Long)].collect()
+    assert(q.forall(_._2 == 5)) // every source has 25 docs, capped at 5
+  }
+
   test("connected components match a driver-side union-find; survivors keep cluster minima") {
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
     val edgeList = pairs.select($"id_a", $"id_b").as[(Long, Long)].collect()
