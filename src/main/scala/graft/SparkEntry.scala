@@ -190,6 +190,10 @@ object SparkEntry {
     "a5_max_1d" -> groupedQ("max", DAY, round2 = false),
     "a6_delta_1d" -> groupedQ("delta", DAY, round2 = false),
     "a7_rate_1d" -> groupedQ("rate", DAY, round2 = false),
+    // extension aggregates beyond the reference's seven
+    "a8_stddev_1d" -> groupedQ("stddev", DAY, round2 = true),
+    "a9_p50_1d" -> groupedQ("p50", DAY, round2 = true),
+    "a10_p95_1d" -> groupedQ("p95", DAY, round2 = true),
     // R1 — rollup: per-user avg re-aggregated to a per-tenant sum
     "r1_rollup_1d" -> ((s, dir) =>
       RuleCompiler.compileGrouped(
@@ -290,6 +294,9 @@ object SparkEntry {
     "a5_max_1d" -> groupedSql("MAX(value)", DAY, "purchase"),
     "a6_delta_1d" -> groupedSql(DeltaAgg, DAY, "purchase"),
     "a7_rate_1d" -> groupedSql(RateAgg, DAY, "purchase"),
+    "a8_stddev_1d" -> groupedSql(sqlRound2("stddev_samp(value)"), DAY, "purchase"),
+    "a9_p50_1d" -> groupedSql(sqlRound2("quantile_cont(value, 0.5)"), DAY, "purchase"),
+    "a10_p95_1d" -> groupedSql(sqlRound2("quantile_cont(value, 0.95)"), DAY, "purchase"),
     "r1_rollup_1d" ->
       (s"SELECT window_start, tenant_id, ${sqlRound2("SUM(uavg)")} AS value FROM (" +
         s"SELECT ${wstart(DAY)} AS window_start, $Tenant AS tenant_id, user_id, " +

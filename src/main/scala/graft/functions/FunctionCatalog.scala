@@ -19,7 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object FunctionCatalog {
 
-  val names: Set[String] = Set("sum", "count", "avg", "min", "max", "delta", "rate")
+  /** The reference's seven functions (aggregation/metric_holder.go:67-82). */
+  val referenceNames: Set[String] = Set("sum", "count", "avg", "min", "max", "delta", "rate")
+
+  /** Additive extensions a monitoring pipeline wants beyond the reference:
+    * spread and tail percentiles, plus the arrival-order bit-compat modes. */
+  val extensionNames: Set[String] =
+    Set("stddev", "p50", "p95", "p99", "delta_arrival", "rate_arrival")
+
+  val names: Set[String] = referenceNames ++ extensionNames
 
   /** Aggregate column for `function` over a measurement column and its
     * event-time column (epoch milliseconds, double). */
@@ -47,6 +55,13 @@ object FunctionCatalog {
         when(max(tsMs) === min(tsMs), lit(0.0))
           .otherwise((lastByTime(value, tsMs) - firstByTime(value, tsMs)) /
             ((max(tsMs) - min(tsMs)) / lit(1000.0)))
+      case "stddev" => stddev_samp(value)
+      case "p50"    => percentile(value, lit(0.5))
+      case "p95"    => percentile(value, lit(0.95))
+      case "p99"    => percentile(value, lit(0.99))
+      // arrival-order bit-compat modes (SURVEY §7.3) — see ArrivalOrder
+      case "delta_arrival" => ArrivalOrder.delta(value, tsMs)
+      case "rate_arrival"  => ArrivalOrder.rate(value, tsMs)
       case other =>
         throw new IllegalArgumentException(s"unknown aggregation function: $other")
     }

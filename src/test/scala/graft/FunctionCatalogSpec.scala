@@ -11,9 +11,10 @@ class FunctionCatalogSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  /** (value, tsMs) rows aggregated as one group. */
+  /** (value, tsMs) rows aggregated as one group; single partition so the
+    * arrival-order modes see the Seq's order as the arrival order. */
   private def agg(fn: String, rows: Seq[(Double, Double)]): Double =
-    rows.toDF("value", "ts_ms")
+    rows.toDF("value", "ts_ms").coalesce(1)
       .agg(FunctionCatalog.aggregate(fn, col("value"), col("ts_ms")).as("v"))
       .as[Double].head()
 
@@ -55,6 +56,26 @@ class FunctionCatalogSpec extends AnyFunSuite {
 
   test("zero-span multi-point window: rate = 0") {
     assert(agg("rate", Seq((1.0, 1000.0), (9.0, 1000.0))) == 0.0)
+  }
+
+  test("extension aggregates: stddev and interpolated percentiles") {
+    val rows = Seq((1.0, 1.0), (2.0, 2.0), (3.5, 3.0), (10.0, 4.0), (7.0, 5.0))
+    assert(math.abs(agg("stddev", rows) - 3.7349698793966195) < 1e-12)
+    assert(agg("p50", rows) == 3.5)
+    // rank 3.8 → 7 + 0.8·(10−7); interpolation arithmetic may differ by an
+    // ulp from the decimal-exact 9.4 (the oracle's safeRound2 absorbs this)
+    assert(math.abs(agg("p95", rows) - 9.4) < 1e-12)
+  }
+
+  test("arrival-order bit-compat delta/rate replicate the reference exactly") {
+    // arrival order differs from event-time order here: (6.0, ts 2000) arrives last
+    val rows = Seq((2.0, 1000.0), (1.0, 3000.0), (6.0, 2000.0))
+    assert(agg("delta_arrival", rows) == 4.0)  // last-arrived 6.0 − first 2.0
+    assert(agg("delta", rows) == -1.0)         // event-time mode differs
+    assert(agg("rate_arrival", rows) == 4.0 / ((2000.0 - 1000.0) / 1000.0))
+    // single-point degenerates (SURVEY §2.1.1): delta → −v, rate → v·1000/ts
+    assert(agg("delta_arrival", Seq((42.0, 1000.0))) == -42.0)
+    assert(agg("rate_arrival", Seq((42.0, 1000.0))) == (0.0 - 42.0) / ((0.0 - 1000.0) / 1000.0))
   }
 
   test("unknown function is rejected") {
