@@ -200,6 +200,14 @@ object SparkEntry {
         spec("avg", "purchase", roll = Some(RollupSpec("sum", Seq.empty))), DAY)(envs(s, dir))
         .select(col("w.start").cast("long").as("window_start"), col("tenant_id"),
           safeRound2(col("agg_value")).as("value"))),
+    // R1b — graft extension: rollup into COARSER windows (hourly per-user
+    // avgs re-aggregated to a per-tenant daily sum)
+    "r2_rollup_rewindow" -> ((s, dir) =>
+      RuleCompiler.compileGrouped(
+        spec("avg", "purchase",
+          roll = Some(RollupSpec("sum", Seq.empty, Some(DAY)))), HOUR)(envs(s, dir))
+        .select(col("w.start").cast("long").as("window_start"), col("tenant_id"),
+          safeRound2(col("agg_value")).as("value"))),
     // P1/P2 — envelope projection; output timestamp = window start (ms)
     "p1_envelope" -> ((s, dir) =>
       RuleCompiler.compile(spec("avg", "purchase"), DAY)(envs(s, dir))
@@ -300,6 +308,12 @@ object SparkEntry {
     "r1_rollup_1d" ->
       (s"SELECT window_start, tenant_id, ${sqlRound2("SUM(uavg)")} AS value FROM (" +
         s"SELECT ${wstart(DAY)} AS window_start, $Tenant AS tenant_id, user_id, " +
+        "AVG(value) AS uavg FROM events WHERE event_type = 'purchase' " +
+        "GROUP BY 1, 2, 3) GROUP BY 1, 2"),
+    "r2_rollup_rewindow" ->
+      (s"SELECT (hw // 86400) * 86400 AS window_start, tenant_id, " +
+        s"${sqlRound2("SUM(uavg)")} AS value FROM (" +
+        s"SELECT ${wstart(HOUR)} AS hw, $Tenant AS tenant_id, user_id, " +
         "AVG(value) AS uavg FROM events WHERE event_type = 'purchase' " +
         "GROUP BY 1, 2, 3) GROUP BY 1, 2"),
     "p1_envelope" ->

@@ -25,10 +25,14 @@ case class MetricEnvelope(
     creation_time: Long)
 
 /** Optional second-stage re-aggregation of a rule's grouped results.
-  * Reference: models/aggregation_specification.go:28-31. */
+  * Reference: models/aggregation_specification.go:28-31. `windowSizeSec` is a
+  * graft extension the reference lacks: when set (and larger than the rule's
+  * window), the rollup also re-windows into coarser tumbling windows — e.g.
+  * per-host 10 s avgs rolled up to per-service 1 min sums. */
 case class RollupSpec(
     function: String,
-    groupedDimensions: Seq[String])
+    groupedDimensions: Seq[String],
+    windowSizeSec: Option[Long] = None)
 
 /** One aggregation rule. Reference: models/aggregation_specification.go:17-31,
   * field semantics in docs/aggregations.md. */

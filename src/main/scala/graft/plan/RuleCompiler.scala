@@ -102,7 +102,14 @@ object RuleCompiler {
     */
   def rollup(spec: AggregationSpec)(df: DataFrame): DataFrame = {
     val r = spec.rollup.get
-    val keys = Seq(col(WindowCol), col(TenantCol)) ++
+    // graft extension: a rollup may re-window into COARSER tumbling windows
+    // (chained time-window aggregation on the window column — native in
+    // Spark 3.4+ streaming append mode); default keeps the rule's window
+    val windowKey = r.windowSizeSec match {
+      case Some(sec) => window(col(WindowCol), s"$sec seconds").as(WindowCol)
+      case None => col(WindowCol)
+    }
+    val keys = Seq(windowKey, col(TenantCol)) ++
       r.groupedDimensions.map(k => col(dimCol(k)))
     val windowStartMs = col(WindowCol).getField("start").cast("double") * 1000
     df.groupBy(keys: _*)

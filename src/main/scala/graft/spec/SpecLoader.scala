@@ -80,7 +80,8 @@ object SpecLoader {
           groupedDimensions = r.get("groupedDimensions") match {
             case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
             case _ => Seq.empty
-          }))
+          },
+          windowSizeSec = r.get("windowSize").map(_.toString.toLong)))
       case _ => None
     }
     AggregationSpec(

@@ -133,6 +133,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally { scala.util.Try(q.stop()); spark.streams.removeListener(obs) }
   }
 
+  test("streaming rollup into coarser windows (re-windowed chained aggregation)") {
+    val sp = AggregationSpec(name = "ReWindow", function = "avg",
+      filteredMetricName = "m", groupedDimensions = Seq("hostname"),
+      aggregatedMetricName = "agg_rw",
+      rollup = Some(RollupSpec("sum", Seq.empty, Some(60L)))) // 10s → 1min
+    val base = 6000000000L // minute-aligned
+    val batches = Seq(
+      Seq(
+        env("m", Map("hostname" -> "h1"), base * 1000.0, 2.0),        // 10s win 1
+        env("m", Map("hostname" -> "h1"), (base + 15) * 1000.0, 4.0), // 10s win 2
+        env("m", Map("hostname" -> "h2"), (base + 25) * 1000.0, 6.0)),// 10s win 3
+      Seq(env("m", Map("hostname" -> "h9"), (base + 300) * 1000.0, 1.0)),
+      Seq(env("m", Map("hostname" -> "h9"), (base + 600) * 1000.0, 1.0)))
+    val rows = runStream(sp, 10L, 2L, batches, "rewin_stream")
+    val first = rows.filter(_._3 == base * 1000.0)
+    assert(first.length == 1)
+    assert(first.head._2 == 12.0) // sum of the three 10s sub-averages (2+4+6)
+  }
+
   test("checkpoint recovery: restart resumes state without duplicate emission (O1)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
