@@ -121,8 +121,13 @@ object SparkEntry {
   private val langStops: Seq[(String, Seq[String])] =
     TextAnalysis.stopwords.toSeq.sortBy(_._1)
 
-  /** Mirror of Sampling.hashBucket(doc_id, 42). */
-  private val HashB = s"(((doc_id % 1000003) * 2654435761 + 42) % ${Sampling.Buckets})"
+  /** Mirror of Sampling.hashBucket(doc_id, 42); pmod spelled out since
+    * DuckDB's % keeps the dividend's sign. */
+  private val HashB = {
+    def pm(x: String, m: String) = s"((($x) % $m + $m) % $m)"
+    val b = Sampling.Buckets.toString
+    pm(s"${pm("doc_id", "1000003")} * 2654435761 + ${pm("doc_id", "999983")} * 2654435741 + 42", b)
+  }
 
   private val LangIdSql = {
     val hits = langStops.map { case (l, ws) =>
@@ -302,7 +307,7 @@ object SparkEntry {
     "a5_max_1d" -> groupedSql("MAX(value)", DAY, "purchase"),
     "a6_delta_1d" -> groupedSql(DeltaAgg, DAY, "purchase"),
     "a7_rate_1d" -> groupedSql(RateAgg, DAY, "purchase"),
-    "a8_stddev_1d" -> groupedSql(sqlRound2("stddev_samp(value)"), DAY, "purchase"),
+    "a8_stddev_1d" -> groupedSql(sqlRound2("COALESCE(stddev_samp(value), 0.0)"), DAY, "purchase"),
     "a9_p50_1d" -> groupedSql(sqlRound2("quantile_cont(value, 0.5)"), DAY, "purchase"),
     "a10_p95_1d" -> groupedSql(sqlRound2("quantile_cont(value, 0.95)"), DAY, "purchase"),
     "r1_rollup_1d" ->

@@ -55,7 +55,9 @@ object FunctionCatalog {
         when(max(tsMs) === min(tsMs), lit(0.0))
           .otherwise((lastByTime(value, tsMs) - firstByTime(value, tsMs)) /
             ((max(tsMs) - min(tsMs)) / lit(1000.0)))
-      case "stddev" => stddev_samp(value)
+      // single-row groups have no sample spread — emit 0.0, not a null metric
+      // value (downstream envelope consumers expect a double)
+      case "stddev" => coalesce(stddev_samp(value), lit(0.0))
       case "p50"    => percentile(value, lit(0.5))
       case "p95"    => percentile(value, lit(0.95))
       case "p99"    => percentile(value, lit(0.99))

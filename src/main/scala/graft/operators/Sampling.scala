@@ -14,11 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Portable Knuth-style multiplicative hash into [0, Bucket). Bit-for-bit
-    * reproducible in ANSI SQL: ((id % 1000003) * 2654435761 + seed) % 9973. */
+  /** Portable Knuth-style multiplicative hash into [0, Buckets). Bit-for-bit
+    * reproducible in ANSI SQL (pmod spelled ((x % m) + m) % m for engines
+    * whose % keeps the dividend's sign); all intermediates stay inside 63
+    * bits so checked-overflow engines agree. Two coprime-modulus folds keep
+    * assignments independent up to id periods of lcm(1000003, 999983) ≈ 1e12
+    * (a single fold would co-sample ids exactly 1000003 apart). */
   val Buckets = 9973L
+  private val M1 = 1000003L
+  private val M2 = 999983L
   def hashBucket(id: Column, seed: Long): Column =
-    ((id % 1000003L) * 2654435761L + lit(seed)) % Buckets
+    pmod(pmod(id, lit(M1)) * 2654435761L + pmod(id, lit(M2)) * 2654435741L + lit(seed),
+      lit(Buckets))
 
   /** Keep ~rate of rows, chosen by id hash — stable under reruns and data
     * growth (a row's fate never depends on other rows). */

@@ -152,9 +152,20 @@ object RuleCompiler {
       (unix_millis(current_timestamp())).as("creation_time"))
   }
 
+  /** A re-windowing rollup must use a window that is a (≥1×) multiple of the
+    * rule's window — anything else silently mislabels aggregates (a fine
+    * window is assigned to the coarse window containing its event-time, so
+    * non-aligned coarse windows receive data from outside their bounds). */
+  def validateRollupWindow(spec: AggregationSpec, windowSizeSec: Long): Unit =
+    for (r <- spec.rollup; rw <- r.windowSizeSec)
+      require(rw >= windowSizeSec && rw % windowSizeSec == 0,
+        s"Rule ${spec.name}: rollup.windowSize ($rw s) must be a multiple of " +
+          s"the rule window ($windowSizeSec s)")
+
   /** Whole rule, batch path: envelope-schema DataFrame in → emitted
     * envelope-schema DataFrame out. */
   def compile(spec: AggregationSpec, windowSizeSec: Long): DataFrame => DataFrame = { df =>
+    validateRollupWindow(spec, windowSizeSec)
     val grouped = aggregate(spec, windowSizeSec)(prepare(spec)(df))
     val finalGrouped = if (spec.rollup.isDefined) rollup(spec)(grouped) else grouped
     project(spec)(finalGrouped)
@@ -163,6 +174,7 @@ object RuleCompiler {
   /** Grouped (pre-projection) result — window struct, tenant, dim_* columns,
     * agg_value — useful for tests and SQL-oracle comparison. */
   def compileGrouped(spec: AggregationSpec, windowSizeSec: Long): DataFrame => DataFrame = { df =>
+    validateRollupWindow(spec, windowSizeSec)
     val grouped = aggregate(spec, windowSizeSec)(prepare(spec)(df))
     if (spec.rollup.isDefined) rollup(spec)(grouped) else grouped
   }

@@ -81,7 +81,14 @@ object SpecLoader {
             case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
             case _ => Seq.empty
           },
-          windowSizeSec = r.get("windowSize").map(_.toString.toLong)))
+          windowSizeSec = r.get("windowSize").map { v =>
+            try v.toString.toLong
+            catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"Rule ${sm.get("name").map(_.toString).getOrElse("")} " +
+                  s"rollup.windowSize must be an integer number of seconds, got $v")
+            }
+          }))
       case _ => None
     }
     AggregationSpec(

@@ -35,6 +35,7 @@ object StreamRunner {
     * streaming DataFrame (Kafka, MemoryStream, rate-shaped). */
   def buildStreaming(spec: AggregationSpec, windowSizeSec: Long, windowLagSec: Long)(
       envelopes: DataFrame): DataFrame = {
+    RuleCompiler.validateRollupWindow(spec, windowSizeSec)
     val prepared = RuleCompiler.prepare(spec)(envelopes)
       .withWatermark("event_ts", s"$windowLagSec seconds")
     val grouped = RuleCompiler.aggregate(spec, windowSizeSec)(prepared)

@@ -61,10 +61,12 @@ class FunctionCatalogSpec extends AnyFunSuite {
   test("extension aggregates: stddev and interpolated percentiles") {
     val rows = Seq((1.0, 1.0), (2.0, 2.0), (3.5, 3.0), (10.0, 4.0), (7.0, 5.0))
     assert(math.abs(agg("stddev", rows) - 3.7349698793966195) < 1e-12)
+    assert(agg("stddev", Seq((5.0, 1.0))) == 0.0) // n=1: no sample spread, not null
     assert(agg("p50", rows) == 3.5)
     // rank 3.8 → 7 + 0.8·(10−7); interpolation arithmetic may differ by an
     // ulp from the decimal-exact 9.4 (the oracle's safeRound2 absorbs this)
     assert(math.abs(agg("p95", rows) - 9.4) < 1e-12)
+    assert(math.abs(agg("p99", rows) - (7.0 + 0.96 * 3.0)) < 1e-12) // rank 3.96
   }
 
   test("arrival-order bit-compat delta/rate replicate the reference exactly") {

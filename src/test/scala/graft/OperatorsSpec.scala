@@ -206,6 +206,10 @@ class OperatorsSpec extends AnyFunSuite {
     val q = Sampling.quotaPerKey(docs, "source", "doc_id", 5)
       .groupBy("source").count().as[(String, Long)].collect()
     assert(q.forall(_._2 == 5)) // every source has 25 docs, capped at 5
+    // negative ids must hash into [0, Buckets) too (pmod, not %)
+    val neg = Seq(-1L, -999L, -1000003L).toDF("doc_id")
+    val buckets = neg.select(Sampling.hashBucket($"doc_id", 42)).as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b < Sampling.Buckets))
   }
 
   test("connected components match a driver-side union-find; survivors keep cluster minima") {

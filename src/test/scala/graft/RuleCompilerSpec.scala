@@ -139,6 +139,18 @@ class RuleCompilerSpec extends AnyFunSuite {
     assert(out.head.getMap[String, String](1).keySet == Set("service"))
   }
 
+  test("rollup windows must be a multiple of the rule window") {
+    val sp = agg2.copy(rollup = Some(RollupSpec("sum", Seq.empty, Some(90L))))
+    val e = intercept[IllegalArgumentException] {
+      RuleCompiler.compileGrouped(sp, 60L)(df(publisherGrid(): _*))
+    }
+    assert(e.getMessage.contains("must be a multiple"))
+    // equal and exact-multiple sizes are fine
+    RuleCompiler.compileGrouped(
+      sp.copy(rollup = Some(RollupSpec("sum", Seq.empty, Some(120L)))), 60L)(
+      df(publisherGrid(): _*)).collect()
+  }
+
   test("tenantId partitions groups and is reconstructed in output meta") {
     val envs = Seq(
       env("metric2", Map("hostname" -> "h", "service" -> "s"), 0.0, 1.0, tenant = "t1"),
