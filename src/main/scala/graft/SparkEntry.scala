@@ -122,11 +122,13 @@ object SparkEntry {
     TextAnalysis.stopwords.toSeq.sortBy(_._1)
 
   /** Mirror of Sampling.hashBucket(doc_id, 42); pmod spelled out since
-    * DuckDB's % keeps the dividend's sign. */
+    * DuckDB's % keeps the dividend's sign. Seed 42 → both shifted residue
+    * offsets are 43. */
   private val HashB = {
     def pm(x: String, m: String) = s"((($x) % $m + $m) % $m)"
-    val b = Sampling.Buckets.toString
-    pm(s"${pm("doc_id", "1000003")} * 2654435761 + ${pm("doc_id", "999983")} * 2654435741 + 42", b)
+    val t = pm(s"(${pm("doc_id", "1000003")} + 43) * (${pm("doc_id", "999983")} + 43)", "2147483647")
+    val u = pm(s"$t * 48271", "2147483647")
+    pm(pm(s"$u * 48271", "2147483647"), Sampling.Buckets.toString)
   }
 
   private val LangIdSql = {

@@ -100,7 +100,8 @@ object RuleCompiler {
     * constant timestamp per window — deterministic here, arrival-order
     * dependent in the reference.
     */
-  def rollup(spec: AggregationSpec)(df: DataFrame): DataFrame = {
+  def rollup(spec: AggregationSpec, ruleWindowSec: Long)(df: DataFrame): DataFrame = {
+    validateRollupWindow(spec, ruleWindowSec)
     val r = spec.rollup.get
     // graft extension: a rollup may re-window into COARSER tumbling windows
     // (chained time-window aggregation on the window column — native in
@@ -165,17 +166,16 @@ object RuleCompiler {
   /** Whole rule, batch path: envelope-schema DataFrame in → emitted
     * envelope-schema DataFrame out. */
   def compile(spec: AggregationSpec, windowSizeSec: Long): DataFrame => DataFrame = { df =>
-    validateRollupWindow(spec, windowSizeSec)
     val grouped = aggregate(spec, windowSizeSec)(prepare(spec)(df))
-    val finalGrouped = if (spec.rollup.isDefined) rollup(spec)(grouped) else grouped
+    val finalGrouped =
+      if (spec.rollup.isDefined) rollup(spec, windowSizeSec)(grouped) else grouped
     project(spec)(finalGrouped)
   }
 
   /** Grouped (pre-projection) result — window struct, tenant, dim_* columns,
     * agg_value — useful for tests and SQL-oracle comparison. */
   def compileGrouped(spec: AggregationSpec, windowSizeSec: Long): DataFrame => DataFrame = { df =>
-    validateRollupWindow(spec, windowSizeSec)
     val grouped = aggregate(spec, windowSizeSec)(prepare(spec)(df))
-    if (spec.rollup.isDefined) rollup(spec)(grouped) else grouped
+    if (spec.rollup.isDefined) rollup(spec, windowSizeSec)(grouped) else grouped
   }
 }

@@ -81,7 +81,8 @@ object SpecLoader {
             case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
             case _ => Seq.empty
           },
-          windowSizeSec = r.get("windowSize").map { v =>
+          // explicit-null YAML values (`windowSize:`) are treated as absent
+          windowSizeSec = r.get("windowSize").filter(_ != null).map { v =>
             try v.toString.toLong
             catch {
               case _: NumberFormatException => throw new IllegalArgumentException(

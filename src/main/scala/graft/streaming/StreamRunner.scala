@@ -35,14 +35,13 @@ object StreamRunner {
     * streaming DataFrame (Kafka, MemoryStream, rate-shaped). */
   def buildStreaming(spec: AggregationSpec, windowSizeSec: Long, windowLagSec: Long)(
       envelopes: DataFrame): DataFrame = {
-    RuleCompiler.validateRollupWindow(spec, windowSizeSec)
     val prepared = RuleCompiler.prepare(spec)(envelopes)
       .withWatermark("event_ts", s"$windowLagSec seconds")
     val grouped = RuleCompiler.aggregate(spec, windowSizeSec)(prepared)
     // rollup re-aggregates on the time-window column itself — a chained
     // stateful aggregation, natively supported in append mode on Spark 3.5+
     val finalGrouped =
-      if (spec.rollup.isDefined) RuleCompiler.rollup(spec)(grouped) else grouped
+      if (spec.rollup.isDefined) RuleCompiler.rollup(spec, windowSizeSec)(grouped) else grouped
     RuleCompiler.project(spec)(finalGrouped)
   }
 
