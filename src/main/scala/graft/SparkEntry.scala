@@ -231,6 +231,13 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 3)),
     "dedup_cluster" -> ((s, dir) =>
       Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5))),
+    // benchmark decontamination: docs sharing a word trigram with the held-out
+    // "benchmark" slice (doc_id % 50 == 0) are dropped from the corpus
+    "dedup_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0), 3).select("doc_id")
+    }),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(emb(s, dir), 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
@@ -268,6 +275,11 @@ object SparkEntry {
     "sample_quota" -> ((s, dir) =>
       Sampling.quotaPerKey(docs(s, dir), "source", "doc_id", 5)
         .select("doc_id", "source")),
+    // pack-and-split sequence packing: 512-token budget, 8 hash shards
+    "sample_pack" -> ((s, dir) =>
+      Sampling.packSequences(docs(s, dir), "doc_id",
+          TextAnalysis.tokenCount(col("text")), 512L, 8)
+        .select("doc_id", "shard", "seq_id", "tok_offset")),
     "mm_meta" -> ((s, dir) =>
       Multimodal.metadata(Multimodal.synthesizeFromDocs(docs(s, dir)))
         .select(col("doc_id"), col("mime"), col("width").cast("long").as("width"),
@@ -342,6 +354,12 @@ object SparkEntry {
     // dataset's minimum true-pair similarity (J ≥ 0.9) and exact verification,
     // so its output equals the exact-Jaccard pair set.
     "dedup_minhash" -> JaccardPairsSql,
+    "dedup_decontam" ->
+      (s"$ShinglesCte, bench AS (SELECT DISTINCT unnest(sh) AS s FROM t " +
+        "WHERE doc_id % 50 = 0), bad AS (SELECT DISTINCT c.doc_id FROM " +
+        "(SELECT doc_id, unnest(sh) AS s FROM t WHERE doc_id % 50 <> 0) c " +
+        "JOIN bench USING (s)) SELECT doc_id FROM documents " +
+        "WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)"),
     "dedup_embedding" ->
       (s"SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM (" +
         s"SELECT a.vec_id AS id_a, b.vec_id AS id_b, $CosD AS c " +
@@ -377,6 +395,11 @@ object SparkEntry {
       (s"SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER (" +
         s"PARTITION BY source ORDER BY $HashB ASC, doc_id ASC) AS rk FROM documents) " +
         "WHERE rk <= 5"),
+    "sample_pack" ->
+      (s"SELECT doc_id, $HashB % 8 AS shard, (cum - n) // 512 AS seq_id, " +
+        s"(cum - n) % 512 AS tok_offset FROM (SELECT doc_id, $TokN AS n, " +
+        s"sum($TokN) OVER (PARTITION BY $HashB % 8 ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM documents)"),
     "text_tokens" ->
       (s"SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($RawToks) END AS BIGINT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[^a-zA-Z\\s]+')) AS BIGINT) AS n_bpeish " +

@@ -228,6 +228,34 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  // ------------------------------------------------- decontamination
+
+  /** Corpus documents contaminated by a benchmark/eval set: any doc sharing at
+    * least one word n-gram with any benchmark document (the GPT-3/Pile-style
+    * n-gram decontamination rule). Returns distinct contaminated ids.
+    *
+    * Scale shape: the benchmark side (eval suites — MBs, not TBs) collapses to
+    * a distinct 64-bit shingle-hash set that is BROADCAST, so the 100 TB
+    * corpus side is a narrow scan → explode → broadcast semi-join → distinct
+    * on ids; the only exchange carries doc ids, never text or shingles. */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchSh = benchmark
+      .select(explode(wordShingles(col(textCol), n)).as("s"))
+      .select(xxhash64(col("s")).as("sh_h")).distinct()
+    corpus
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("s"))
+      .select(col(idCol), xxhash64(col("s")).as("sh_h"))
+      .join(broadcast(benchSh), Seq("sh_h"), "left_semi")
+      .select(idCol).distinct()
+  }
+
+  /** Benchmark decontamination: corpus minus [[contaminatedIds]]. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    corpus.join(contaminatedIds(corpus, benchmark, n, idCol, textCol),
+      Seq(idCol), "left_anti")
+
   // ------------------------------------------------- cluster + survivors
 
   /** Connected components over a near-dup pair graph via min-label

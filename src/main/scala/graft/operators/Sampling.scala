@@ -68,6 +68,37 @@ object Sampling {
     df.withColumn("split", assignment)
   }
 
+  /** Sequence packing for training-data export: concatenate documents in a
+    * deterministic order and assign each one its position in fixed
+    * token-budget training sequences ("pack and split" — a document crossing
+    * a budget boundary continues into the next sequence, the standard
+    * LM-pretraining packing rule).
+    *
+    * Documents are sharded by id hash (so packing is embarrassingly parallel
+    * and reproducible under any input partitioning), ordered by id within the
+    * shard, and positioned by an exclusive prefix sum of their token counts:
+    * `seq_id = floor(prefix / budget)`, `tok_offset = prefix % budget`.
+    * Adds `shard`, `seq_id`, `tok_offset`.
+    *
+    * Scale shape: one exchange on `shard` (pick numShards ≈ cluster cores),
+    * then a per-partition running sum (Spark's window frame is streaming for
+    * running totals — no buffering). No global sort, no driver state. */
+  def packSequences(df: DataFrame, idCol: String, tokenCount: Column,
+      budget: Long, numShards: Int, seed: Long = 42): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(hashBucket(col(idCol), seed), lit(numShards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", shard)
+      .withColumn("__n", tokenCount.cast("long"))
+      .withColumn("__prefix", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("__prefix") / budget))
+      .withColumn("tok_offset", pmod(col("__prefix"), lit(budget)))
+      .drop("__n", "__prefix")
+  }
+
   /** At most `n` rows per key, chosen deterministically by id-hash order
     * (tie-break by id) — the "cap any single source" operator. The only
     * shuffle is the window partition on the key; Spark's WindowGroupLimit

@@ -212,6 +212,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(buckets.forall(b => b >= 0 && b < Sampling.Buckets))
   }
 
+  test("decontamination drops exactly the docs sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma something else entirely"), // shares "alpha beta gamma"
+      (2L, "no overlap with the held out set at all"),
+      (3L, "delta gamma beta alpha"), // same words, REVERSED order → no shared trigram
+      (4L, "x y beta gamma delta z")  // shares "beta gamma delta"
+    ).toDF("doc_id", "text")
+    val bad = Dedup.contaminatedIds(corpus, bench, 3).as[Long].collect().toSet
+    assert(bad == Set(1L, 4L))
+    val kept = Dedup.decontaminate(corpus, bench, 3).select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+    // self-decontamination removes everything (every doc shares with itself)
+    assert(Dedup.decontaminate(corpus, corpus, 3).count() == 0)
+  }
+
+  test("sequence packing: contiguous budget positions, stable shard assignment") {
+    import graft.operators.Sampling
+    val packed = Sampling.packSequences(docs, "doc_id",
+        TextAnalysis.tokenCount($"text"), budget = 512L, numShards = 4)
+      .select($"shard", $"doc_id", TextAnalysis.tokenCount($"text").cast("long").as("n"),
+        $"seq_id", $"tok_offset")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(packed.length == docs.count())
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // exclusive prefix sum: each doc starts where the previous one ended
+      var prefix = 0L
+      ordered.foreach { case (_, _, n, seqId, off) =>
+        assert(seqId == prefix / 512 && off == prefix % 512)
+        prefix += n
+      }
+    }
+    // every shard in range; assignment deterministic across reruns
+    assert(packed.forall { case (s, _, _, _, _) => s >= 0 && s < 4 })
+    val again = Sampling.packSequences(docs, "doc_id",
+        TextAnalysis.tokenCount($"text"), 512L, 4)
+      .select($"doc_id", $"shard", $"seq_id", $"tok_offset")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(again == packed.map { case (s, id, _, q, o) => (id, s, q, o) }.toSet)
+  }
+
   test("connected components match a driver-side union-find; survivors keep cluster minima") {
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
     val edgeList = pairs.select($"id_a", $"id_b").as[(Long, Long)].collect()
