@@ -54,6 +54,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!scan.contains("text"), s"text column not pruned from scan:\n$scan")
   }
 
+  test("decontamination broadcasts the benchmark shingle set (semi-join, corpus never shuffled by shingle)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = executedPlan(graft.operators.Dedup.contaminatedIds(
+      docs.filter($"doc_id" % 50 =!= 0), docs.filter($"doc_id" % 50 === 0), 3))
+    assert(plan.contains("BroadcastExchange"), s"benchmark side not broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected a broadcast semi-join:\n$plan")
+    // corpus-side shingles must never be hash-shuffled: the admissible
+    // exchanges are the benchmark-side shingle distinct (pre-broadcast, tiny)
+    // and the contaminated-id distinct — never a shuffle join of the corpus
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus side shuffled for the join:\n$plan")
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).length == 1,
+      s"expected exactly one corpus-side exchange (on doc ids):\n$plan")
+  }
+
+  test("sequence packing shuffles once (on the shard) and keeps a streaming window frame") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = executedPlan(graft.operators.Sampling.packSequences(
+      docs, "doc_id", graft.operators.TextAnalysis.tokenCount(col("text")), 512L, 8))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one shuffle (on shard):\n$plan")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      s"no window operator:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"packing must never collapse to a single partition:\n$plan")
+  }
+
   test("the shipped reference spec corpus loads, validates and compiles") {
     val specs = SpecLoader.loadValidated(
       getClass.getResource("/aggregation-specifications.yaml").getPath)
