@@ -1,0 +1,105 @@
+package graft
+
+import graft.functions.FunctionCatalog
+import graft.model.{AggregationSpec, Metric, MetricEnvelope, RollupSpec}
+import graft.operators.Sampling
+import graft.plan.RuleCompiler
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck property tests (SURVEY.md §5.3): window-index alignment for
+  * arbitrary timestamps and sizes, aggregate functions vs naive folds,
+  * rollup/direct composition, and sampling-hash range/determinism. Each
+  * property executes a real Spark job per case, so case counts are kept
+  * deliberately small.
+  */
+object PropertySpec extends Properties("graft") {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  // integer-valued epoch-ms doubles up to year ~2100 (the wire type is a
+  // float64 of milliseconds, SURVEY §1.1)
+  private val genTsMs: Gen[Double] =
+    Gen.choose(0L, 4102444800000L).map(_.toDouble)
+  private val genValue: Gen[Double] =
+    Gen.choose(-1000000L, 1000000L).map(_ / 100.0)
+  private val genPoints: Gen[List[(Double, Double)]] =
+    Gen.nonEmptyListOf(Gen.zip(genValue, genTsMs))
+
+  property("window assignment is epoch-aligned: start == floor(ts/1000·size)·size ∀ ts, size") =
+    forAll(Gen.nonEmptyListOf(genTsMs), Gen.choose(1L, 172800L)) { (tss, size) =>
+      val got = tss.toDF("ts_ms")
+        .select((col("ts_ms") / 1000).cast("timestamp").as("event_ts"), col("ts_ms"))
+        .select(window(col("event_ts"), s"$size seconds").getField("start")
+          .cast("long").as("w"), col("ts_ms"))
+        .as[(Long, Double)].collect()
+      got.forall { case (w, ts) =>
+        w == math.floor(ts / (1000.0 * size)).toLong * size
+      }
+    }
+
+  property("sum/count/avg/min/max match naive folds over any window") =
+    forAll(genPoints) { pts =>
+      val df = pts.toDF("value", "ts_ms")
+      val Seq(s, c, a, mn, mx) = Seq("sum", "count", "avg", "min", "max").map { f =>
+        df.select(FunctionCatalog.aggregate(f, col("value"), col("ts_ms")))
+          .as[Double].head()
+      }
+      val vs = pts.map(_._1)
+      def close(x: Double, y: Double) = math.abs(x - y) <= 1e-6 * math.max(1.0, math.abs(y))
+      close(s, vs.sum) && c == vs.size.toDouble && close(a, vs.sum / vs.size) &&
+        mn == vs.min && mx == vs.max
+    }
+
+  property("delta/rate match the event-time-sorted (ts, value) first/last model") =
+    forAll(genPoints) { pts =>
+      val df = pts.toDF("value", "ts_ms")
+      val d = df.select(FunctionCatalog.aggregate("delta", col("value"), col("ts_ms")))
+        .as[Double].head()
+      val r = df.select(FunctionCatalog.aggregate("rate", col("value"), col("ts_ms")))
+        .as[Double].head()
+      // the engine's deterministic order: lexicographic (ts, value)
+      val sorted = pts.map { case (v, t) => (t, v) }.sorted
+      val span = sorted.last._1 - sorted.head._1
+      val expD = sorted.last._2 - sorted.head._2
+      val expR = if (span == 0) 0.0 else expD / (span / 1000.0)
+      d == expD && (r == expR || math.abs(r - expR) <= 1e-9 * math.abs(expR))
+    }
+
+  // rollup(sum of per-group sums) == direct sum: compose through the full
+  // RuleCompiler path with a grouped stage and a sum rollup over no dims
+  property("sum-rollup of per-group sums equals the ungrouped direct sum") =
+    forAll(Gen.nonEmptyListOf(
+      Gen.zip(genValue, genTsMs, Gen.oneOf("a", "b", "c")))) { pts =>
+      val envs = pts.map { case (v, ts, g) =>
+        MetricEnvelope(Metric("m", Map("g" -> g), ts, v, Map.empty),
+          Map("tenantId" -> "t"), 0L)
+      }
+      val df = envs.toDF()
+      def spec(roll: Option[RollupSpec], dims: Seq[String]) = AggregationSpec(
+        name = "p", function = "sum", filteredMetricName = "m",
+        groupedDimensions = dims, aggregatedMetricName = "out", rollup = roll)
+      val viaRollup = RuleCompiler.compileGrouped(
+        spec(Some(RollupSpec("sum", Seq.empty)), Seq("g")), 86400L)(df)
+        .select(col("w.start").cast("long"), col("agg_value"))
+        .as[(Long, Double)].collect().toMap
+      val direct = RuleCompiler.compileGrouped(spec(None, Seq.empty), 86400L)(df)
+        .select(col("w.start").cast("long"), col("agg_value"))
+        .as[(Long, Double)].collect().toMap
+      viaRollup.keySet == direct.keySet && viaRollup.forall { case (k, v) =>
+        math.abs(v - direct(k)) <= 1e-6 * math.max(1.0, math.abs(direct(k)))
+      }
+    }
+
+  property("sampling hash stays in [0, Buckets) and is seed-deterministic ∀ id") =
+    forAll(Gen.nonEmptyListOf(Gen.long), Gen.long) { (ids, seed) =>
+      val df = ids.toDF("id")
+      val b1 = df.select(Sampling.hashBucket(col("id"), seed)).as[Long].collect()
+      val b2 = df.select(Sampling.hashBucket(col("id"), seed)).as[Long].collect()
+      b1.forall(b => b >= 0 && b < Sampling.Buckets) && b1.sameElements(b2)
+    }
+}
