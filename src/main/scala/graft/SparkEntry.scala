@@ -121,6 +121,21 @@ object SparkEntry {
   private val langStops: Seq[(String, Seq[String])] =
     TextAnalysis.stopwords.toSeq.sortBy(_._1)
 
+  /** DuckDB mirror of [[graft.functions.RollingHashes]]: per-doc byte list
+    * (testdata text is pure ASCII, so bytes == chars) and the per-position
+    * Rabin–Karp hash recomputed O(n·w) with HUGEINT mod-2⁶⁴ arithmetic —
+    * bit-equal to the JVM's overflowing-long fold. Yields CTEs `b(doc_id, n,
+    * bytes)` and `rh(doc_id, n, hashes)`. */
+  private def rollingHashCte(window: Int): String =
+    "WITH b AS (SELECT doc_id, length(text) AS n, " +
+      "[CAST(CAST(('0x' || substr(h, 2*i+1, 2)) AS INT) AS HUGEINT) " +
+      "for i in range(len(h)//2)] AS bytes " +
+      "FROM (SELECT doc_id, hex(encode(text)) AS h, text FROM documents)), " +
+      "rh AS (SELECT doc_id, n, CASE WHEN len(bytes) = 0 THEN [CAST(0 AS HUGEINT)] " +
+      s"ELSE [list_reduce(bytes[i+1 : i+least($window, len(bytes))], " +
+      "(acc, x) -> (acc * 1000003 + x) % 18446744073709551616) " +
+      s"for i in range(greatest(len(bytes) - $window, 0) + 1)] END AS hashes FROM b)"
+
   /** Mirror of Sampling.hashBucket(doc_id, 42); pmod spelled out since
     * DuckDB's % keeps the dividend's sign. Seed 42 → both shifted residue
     * offsets are 43. */
@@ -400,6 +415,24 @@ object SparkEntry {
         s"(cum - n) % 512 AS tok_offset FROM (SELECT doc_id, $TokN AS n, " +
         s"sum($TokN) OVER (PARTITION BY $HashB % 8 ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS cum FROM documents)"),
+    // rolling fingerprints: window 32, maskBits 4 → keep hashes ≡ 0 mod 16
+    "text_rollhash" ->
+      (s"${rollingHashCte(32)} SELECT doc_id, " +
+        "CAST(len(list_filter(hashes, x -> x % 16 = 0)) AS BIGINT) AS n_cutpoints FROM rh"),
+    // CDC chunking: window 16, maskBits 5 → cut AFTER byte i+16 when
+    // hashes[i] ≡ 0 mod 32; chunk lens from consecutive (0 ∪ cuts ∪ n) bounds,
+    // clamped to n and dropped when empty — mirrors TextAnalysis.chunkByContent
+    "text_chunks" ->
+      (s"${rollingHashCte(16)}, bd AS (SELECT doc_id, n, " +
+        "list_concat(list_concat([CAST(0 AS BIGINT)], " +
+        "[CAST(i + 16 AS BIGINT) for i in range(len(hashes)) if hashes[i+1] % 32 = 0]), " +
+        "[CAST(n AS BIGINT)]) AS bounds FROM rh), " +
+        "ch AS (SELECT doc_id, [least(bounds[i+2], n) - bounds[i+1] " +
+        "for i in range(len(bounds)-1) " +
+        "if bounds[i+2] > bounds[i+1] AND bounds[i+1] < n] AS chunk_lens FROM bd) " +
+        "SELECT doc_id, CAST(len(chunk_lens) AS BIGINT) AS n_chunks, " +
+        "CAST(COALESCE(list_sum(chunk_lens), 0) AS BIGINT) AS total_len " +
+        "FROM ch WHERE len(chunk_lens) > 0"),
     "text_tokens" ->
       (s"SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($RawToks) END AS BIGINT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[^a-zA-Z\\s]+')) AS BIGINT) AS n_bpeish " +

@@ -60,8 +60,60 @@ case class RollingHashes(child: Expression, window: Int)
     copy(child = newChild)
 }
 
+/** The full k-slot MinHash signature of a shingle set in ONE map-side pass —
+  * sig[i] = min over shingles s of xxhash64(xxhash64(s), i), bit-identical to
+  * the explode → groupBy(id) → k min-aggregates formulation (Spark's
+  * `xxhash64(a, b)` folds with seed 42: H(b, H(a, 42))), but with no explode,
+  * no exchange of per-shingle rows, and no join back to the document: at
+  * 100 TB the signature is computed where the document is read and only the
+  * fixed k·8-byte array ever moves.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"MinHashSignature requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val shingles = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = shingles.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      // xxhash64(s) — string child folded over seed 42
+      val base = XXH64.hashUTF8String(shingles.getUTF8String(j), 42L)
+      // xxhash64(h, i) = hashInt(i, hashLong(h, 42)) — i is an INT literal in
+      // the aggregate formulation, so the per-slot mix must be hashInt
+      val inner = XXH64.hashLong(base, 42L)
+      var i = 0
+      while (i < k) {
+        val v = XXH64.hashInt(i, inner)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Array of 64-bit Rabin–Karp hashes, one per `window`-byte sliding span. */
   def rollingHashes(text: Column, window: Int): Column =
     GraftBridge.column(RollingHashes(GraftBridge.expression(text), window))
+
+  /** One-pass k-slot MinHash signature of an array<string> shingle column. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles), k))
 }

@@ -108,14 +108,12 @@ object Dedup {
 
   // ------------------------------------------------------- MinHash + LSH
 
-  /** k seeded 64-bit min-hashes of the shingle set. Shingles are hashed to
-    * longs once, then re-mixed with each seed (xxhash64 over (hash, seed)), so
-    * the whole signature is one codegen'd expression — no UDAF, no explode. */
-  def minhashSignature(shingles: Column, k: Int): Column = {
-    val hashes = transform(shingles, t => xxhash64(t))
-    transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(hashes, h => xxhash64(h, s))))
-  }
+  /** k seeded 64-bit min-hashes of the shingle set: sig[i] = min over
+    * shingles s of xxhash64(xxhash64(s), i), computed by the native one-pass
+    * [[graft.functions.MinHashSignature]] expression — no UDAF, no explode,
+    * no shuffle; the signature is born map-side where the document is read. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    graft.functions.HashExpressions.minhashSignature(shingles, k)
 
   /** MinHash-LSH candidate pairs verified with exact Jaccard.
     *
@@ -130,17 +128,13 @@ object Dedup {
     val rows = k / bands
     val base = docs.select(col(idCol).as("id"),
       wordShingles(col(textCol), n).as("shingles"))
-    // signature via explode + k codegen'd min-aggregates (same values as the
-    // scalar minhashSignature, which pays per-element interpreted-lambda cost)
-    val hashed = base.select(col("id"), explode(col("shingles")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
-    val sigCols = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    // the native one-pass signature is computed map-side in the scan stage —
+    // no explode, no exchange of per-shingle rows, no join back to the doc.
     // persist: the signature relation feeds both sides of the band self-join
-    // and the verification join — without it the whole signature pipeline
-    // (explode + k min-aggregates) re-executes once per reference
-    val sigs = hashed.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-      .join(base, "id")
+    // and the verification join — without it the scan + signature pass
+    // re-executes once per reference
+    val sigs = base
+      .select(col("id"), col("shingles"), minhashSignature(col("shingles"), k).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),

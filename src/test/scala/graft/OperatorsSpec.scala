@@ -46,6 +46,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("native MinHash signature is bit-identical to the explode + min-aggregate formulation") {
+    val k = 16
+    val base = docs.select($"doc_id".as("id"),
+      Dedup.wordShingles($"text", 3).as("shingles"))
+    val native = base.select($"id", Dedup.minhashSignature($"shingles", k).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaAgg = {
+      val hashed = base.select($"id", explode($"shingles").as("s"))
+        .select($"id", xxhash64($"s").as("h"))
+      val sigCols = (0 until k).map(i => min(xxhash64($"h", lit(i))).as(s"m$i"))
+      hashed.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+        .select($"id", array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+        .as[(Long, Seq[Long])].collect().toMap
+    }
+    assert(native == viaAgg)
+  }
+
   test("SimHash: near-identical docs collide, hamming is symmetric-bounded") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
     val exact = Dedup.ngramJaccardPairs(docs, 3, 0.9)
