@@ -282,6 +282,8 @@ object SparkEntry {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"), sum(length(col("chunk"))).as("total_len"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langIdByJoin(docs(s, dir))),
+    // corpus statistics: top-20 bigrams by document frequency
+    "text_topngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir), 2, 20)),
     "sample_bernoulli" -> ((s, dir) =>
       Sampling.sampleByHash(docs(s, dir), "doc_id", 0.25).select("doc_id")),
     "sample_split" -> ((s, dir) =>
@@ -400,6 +402,15 @@ object SparkEntry {
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint " +
         "FROM documents"),
     "text_langid" -> LangIdSql,
+    "text_topngrams" ->
+      ("WITH t AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+1], ' ') " +
+        "for i in generate_series(1, greatest(len(toks)-1, 1))]) AS sh " +
+        "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)) " +
+        "SELECT ngram, df, rank FROM (SELECT ngram, df, " +
+        "CAST(row_number() OVER (ORDER BY df DESC, ngram ASC) AS BIGINT) AS rank " +
+        "FROM (SELECT ngram, count(*) AS df FROM " +
+        "(SELECT doc_id, unnest(sh) AS ngram FROM t) GROUP BY 1 HAVING count(*) >= 2)) " +
+        "WHERE rank <= 20"),
     "sample_bernoulli" ->
       (s"SELECT doc_id FROM documents WHERE $HashB < ${(0.25 * Sampling.Buckets).toLong}"),
     "sample_split" ->

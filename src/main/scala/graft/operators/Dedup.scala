@@ -267,25 +267,31 @@ object Dedup {
     var labels = edges.select(col("src").as("id"))
       .distinct().withColumn("component", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the handle actually persisted (labels may be a projection over it —
+    // unpersist must hit the cached plan, not the projection)
+    var cached = labels
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // each node adopts the min of its own and its neighbors' labels
+      // each node adopts the min of its own and its neighbors' labels; the
+      // previous label rides along so the convergence probe needs no second
+      // join (at scale that join was another full shuffle of the labels)
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("n_min"))
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("n_min"), col("component")))
             .as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize EVERY partition before dropping the prior
-                   // generation (the convergence probe below short-circuits)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
+      // one action: materializes EVERY partition of `next` (so the prior
+      // generation can be dropped) AND counts label changes
+      val changed = next
+        .agg(count(when(col("component") =!= col("old"), lit(1)))).head().getLong(0)
+      cached.unpersist()
+      cached = next
+      labels = next.drop("old")
       converged = changed == 0
       iter += 1
     }

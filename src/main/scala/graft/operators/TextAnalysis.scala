@@ -165,6 +165,28 @@ object TextAnalysis {
     docs.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
   }
 
+  /** Top-k word n-grams by DOCUMENT frequency (each doc counts a shingle
+    * once) — the corpus-statistics pass behind boilerplate detection,
+    * stopword mining and hot-shingle capping (see Dedup.ngramJaccardPairs'
+    * maxDocFreq). Deterministic tie-break: count desc, then n-gram asc.
+    *
+    * Scale shape: explode → partial count (map-side combine) → one exchange
+    * on the n-gram → global count → global top-k. The final rank is a
+    * single-partition window over only the rows that survive a `df >=
+    * minDocFreq` pre-filter; pick minDocFreq so survivors are ≪ corpus
+    * (boilerplate by definition repeats — df=1 shingles are never wanted). */
+  def topNgrams(docs: DataFrame, n: Int, k: Int, minDocFreq: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(graft.functions.TextExpressions.wordNGrams(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFreq)
+    val w = Window.orderBy(col("df").desc, col("ngram").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** All signals over a `documents`-shaped table (doc_id, text, ...). */
   def analyze(docs: DataFrame): DataFrame =
     docs.select(

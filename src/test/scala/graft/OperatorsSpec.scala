@@ -294,6 +294,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(survivors == docs.select($"doc_id").as[Long].collect().toSet -- dropped)
   }
 
+  test("topNgrams ranks by document frequency with deterministic tie-break") {
+    val d = Seq(
+      (1L, "a b c"),    // bigrams: "a b", "b c"
+      (2L, "a b a b"),  // distinct per doc: "a b", "b a" — df counts docs, not occurrences
+      (3L, "b c d"),    // "b c", "c d"
+      (4L, "z z")       // "z z" (df 1 — filtered by minDocFreq=2)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgrams(d, 2, 10)
+      .select("ngram", "df", "rank").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a b", 2L, 1L), ("b c", 2L, 2L)))
+  }
+
   test("BPE-ish token count splits letter runs from symbol runs") {
     val d = Seq("don't stop", "a1b c", "", "   ").toDF("text")
     val counts = d.select(TextAnalysis.bpeishTokenCount($"text")).as[Int].collect().toSeq
