@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{AggregationSpec, RollupSpec}
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Sessions, Similarity, TextAnalysis}
 import graft.plan.RuleCompiler
 import graft.sources.{EnvelopeJson, EventsAdapter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -230,6 +230,13 @@ object SparkEntry {
           roll = Some(RollupSpec("sum", Seq.empty, Some(DAY)))), HOUR)(envs(s, dir))
         .select(col("w.start").cast("long").as("window_start"), col("tenant_id"),
           safeRound2(col("agg_value")).as("value"))),
+    // D1 — graft extension: gap-based sessionization (session_window) per
+    // (tenant, user); 1 h inactivity gap
+    "d1_sessionize" -> ((s, dir) =>
+      Sessions.sessionize(envs(s, dir), 3600L)
+        .select(col("session_start_us"), col("session_end_us"), col("tenant_id"),
+          col("key").as("user_id"), col("n_events"),
+          safeRound2(col("sum_value")).as("sum_value"))),
     // P1/P2 — envelope projection; output timestamp = window start (ms)
     "p1_envelope" -> ((s, dir) =>
       RuleCompiler.compile(spec("avg", "purchase"), DAY)(envs(s, dir))
@@ -284,6 +291,7 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextAnalysis.langIdByJoin(docs(s, dir))),
     // corpus statistics: top-20 bigrams by document frequency
     "text_topngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir), 2, 20)),
+    "text_pii" -> ((s, dir) => TextAnalysis.piiCounts(docs(s, dir))),
     "sample_bernoulli" -> ((s, dir) =>
       Sampling.sampleByHash(docs(s, dir), "doc_id", 0.25).select("doc_id")),
     "sample_split" -> ((s, dir) =>
@@ -352,6 +360,34 @@ object SparkEntry {
         s"SELECT ${wstart(HOUR)} AS hw, $Tenant AS tenant_id, user_id, " +
         "AVG(value) AS uavg FROM events WHERE event_type = 'purchase' " +
         "GROUP BY 1, 2, 3) GROUP BY 1, 2"),
+    "d1_sessionize" ->
+      // gaps-and-islands mirror of session_window: a new session starts when
+      // the gap to the previous event EXCEEDS 1 h (Spark merges sessions that
+      // touch: next_start <= prev_end); event_id tie-breaks equal timestamps
+      // so LAG and the running sum see the same order
+      // the µs base replicates Spark's ms-double → timestamp cast bit-for-bit:
+      // (((us/1e6)*1000)/1000)*1e6 truncated toward zero — the double
+      // round-trip loses ~1 µs exactly where the JVM loses it
+      (s"WITH e AS (SELECT $Tenant AS tenant_id, CAST(user_id AS VARCHAR) AS ukey, " +
+        s"CAST(trunc((($TsMs) / 1000) * 1000000) AS BIGINT) AS us, value, event_id FROM events), " +
+        "m AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL " +
+        "OR us - LAG(us) OVER w > 3600000000 THEN 1 ELSE 0 END AS new_s " +
+        "FROM e WINDOW w AS (PARTITION BY tenant_id, ukey ORDER BY us, event_id)), " +
+        "s AS (SELECT *, SUM(new_s) OVER (PARTITION BY tenant_id, ukey " +
+        "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT MIN(us) AS session_start_us, MAX(us) + 3600000000 AS session_end_us, " +
+        "tenant_id, ukey AS user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+        s"${sqlRound2("SUM(value)")} AS sum_value " +
+        "FROM s GROUP BY tenant_id, ukey, sid"),
+    "text_pii" ->
+      (s"SELECT doc_id, " +
+        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips, " +
+        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones, " +
+        s"md5(regexp_replace(regexp_replace(regexp_replace(text, " +
+        s"'${TextAnalysis.EmailRe}', '<EMAIL>', 'g'), " +
+        s"'${TextAnalysis.Ipv4Re}', '<IP>', 'g'), " +
+        s"'${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5 FROM documents"),
     "p1_envelope" ->
       (s"SELECT 'agg_purchase_avg' AS name, CAST(user_id AS VARCHAR) AS user_id, " +
         s"CAST(${wstart(DAY)} * 1000 AS DOUBLE) AS ts_ms, ${sqlRound2("AVG(value)")} AS value " +

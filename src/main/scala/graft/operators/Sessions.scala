@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sessionization — a graft extension beyond the reference's tumbling windows
+  * (aggregation/aggregation_rule.go:51 knows only fixed windows): events of
+  * the same (tenant, key) closer than `gapSec` merge into one session via
+  * Spark's native `session_window`, which is streaming-capable (watermark +
+  * append mode) with state merged incrementally per key.
+  *
+  * Window semantics (and the gaps-and-islands SQL oracle mirrors this
+  * exactly): an event at t extends its session to [start, t + gap); the next
+  * event merges iff its session overlaps OR TOUCHES the previous one
+  * (Spark merges on next_start <= prev_end), i.e. a NEW session starts only
+  * when ts − prev_ts > gap, with a boundary event at exactly prev_ts + gap
+  * still merging. Session start = first event's timestamp, end = last
+  * event's timestamp + gap.
+  *
+  * Scale shape: one exchange on (tenant, key); Spark sorts within partitions
+  * and merges adjacent windows — no per-event state beyond the open session,
+  * and in streaming the state store holds one entry per open session.
+  */
+object Sessions {
+
+  /** Per-(tenant, dimKey) sessions over MetricEnvelope rows: micro-second
+    * session bounds, event count and value sum. */
+  def sessionize(envs: DataFrame, gapSec: Long, dimKey: String = "user_id"): DataFrame = {
+    require(gapSec >= 1, s"gapSec must be >= 1, got $gapSec")
+    envs.select(
+        col("meta").getItem("tenantId").as("tenant_id"),
+        col("metric.dimensions").getItem(dimKey).as("key"),
+        (col("metric.timestamp") / 1000).cast("timestamp").as("event_ts"),
+        col("metric.value").as("value"))
+      .filter(col("key").isNotNull)
+      .groupBy(session_window(col("event_ts"), s"$gapSec seconds").as("sw"),
+        col("tenant_id"), col("key"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("tenant_id"), col("key"), col("n_events"), col("sum_value"))
+  }
+}

@@ -165,6 +165,33 @@ object TextAnalysis {
     docs.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
   }
 
+  // PII patterns — deliberately simple constructs (char classes, bounded
+  // quantifiers, \b) that mean the same thing in Java regex (Spark) and RE2
+  // (DuckDB), so the oracle mirrors redaction 1:1
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PhoneRe = "\\+?\\d[\\d\\- ]{7,}\\d"
+
+  /** PII redaction (C4-style pre-training scrub): emails, IPv4 addresses and
+    * phone-shaped digit runs replaced with typed placeholder tokens. Order
+    * matters — emails first (their local parts contain digits), then IPs
+    * (dotted quads would otherwise match the phone pattern), then phones. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-document PII hit counts (emails, IPv4s, phone-shaped runs). */
+  def piiCounts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      md5(redactPii(col(textCol)).cast("binary")).as("redacted_md5"))
+
   /** Top-k word n-grams by DOCUMENT frequency (each doc counts a shingle
     * once) — the corpus-statistics pass behind boilerplate detection,
     * stopword mining and hot-shingle capping (see Dedup.ngramJaccardPairs'

@@ -294,6 +294,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(survivors == docs.select($"doc_id").as[Long].collect().toSet -- dropped)
   }
 
+  test("sessionization merges touching sessions, splits strictly beyond the gap") {
+    import graft.model.{Metric, MetricEnvelope}
+    import graft.operators.Sessions
+    def env(tsSec: Long, v: Double) = MetricEnvelope(
+      Metric("m", Map("user_id" -> "u1"), tsSec * 1000.0, v, Map.empty),
+      Map("tenantId" -> "t0"), 0L)
+    // gap 600 s: events at 0, 300, 899 chain (diffs 300, 599); 1499 still
+    // merges (diff exactly 600 = gap — touching sessions merge); 2100 splits
+    // (diff 601 > gap); lone event at 10000
+    val envs = Seq(env(0, 1), env(300, 2), env(899, 3), env(1499, 4),
+      env(2100, 6), env(10000, 5)).toDF()
+    val got = Sessions.sessionize(envs, 600L)
+      .select($"session_start_us", $"session_end_us", $"n_events", $"sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      (0L, 1499000000L + 600000000L, 4L, 10.0),
+      (2100000000L, 2100000000L + 600000000L, 1L, 6.0),
+      (10000000000L, 10000000000L + 600000000L, 1L, 5.0)))
+    // events with a missing key are excluded, not grouped under null
+    val nokey = MetricEnvelope(Metric("m", Map.empty, 0.0, 1.0, Map.empty),
+      Map("tenantId" -> "t0"), 0L)
+    assert(Sessions.sessionize(Seq(nokey).toDF(), 600L).count() == 0)
+  }
+
+  test("PII redaction replaces emails, IPs and phone runs with typed tokens") {
+    val d = Seq(
+      (1L, "mail bob.smith+x@example.co.uk now"),
+      (2L, "server at 10.0.255.1 rebooted"),
+      (3L, "call +1 555-867-5309 today"),
+      (4L, "clean text with digits 42 and 7")
+    ).toDF("doc_id", "text")
+    val red = d.select($"doc_id", TextAnalysis.redactPii($"text").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(red(1L) == "mail <EMAIL> now")
+    assert(red(2L) == "server at <IP> rebooted")
+    assert(red(3L) == "call <PHONE> today")
+    assert(red(4L) == "clean text with digits 42 and 7")
+    val counts = TextAnalysis.piiCounts(d)
+      .select($"doc_id", $"n_emails", $"n_ips", $"n_phones")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(counts == Set((1L, 1L, 0L, 0L), (2L, 0L, 1L, 0L), (3L, 0L, 0L, 1L), (4L, 0L, 0L, 0L)))
+  }
+
   test("topNgrams ranks by document frequency with deterministic tie-break") {
     val d = Seq(
       (1L, "a b c"),    // bigrams: "a b", "b c"
