@@ -25,14 +25,27 @@ object Sessions {
 
   /** Per-(tenant, dimKey) sessions over MetricEnvelope rows: micro-second
     * session bounds, event count and value sum. */
-  def sessionize(envs: DataFrame, gapSec: Long, dimKey: String = "user_id"): DataFrame = {
-    require(gapSec >= 1, s"gapSec must be >= 1, got $gapSec")
+  def sessionize(envs: DataFrame, gapSec: Long, dimKey: String = "user_id"): DataFrame =
+    aggregate(prepare(envs, dimKey), gapSec)
+
+  /** Streaming sessionization: identical plan with a watermark inserted
+    * before the stateful aggregation — append mode emits each session once,
+    * when the watermark passes its end; state holds only OPEN sessions. */
+  def sessionizeStreaming(envs: DataFrame, gapSec: Long, lagSec: Long,
+      dimKey: String = "user_id"): DataFrame =
+    aggregate(prepare(envs, dimKey).withWatermark("event_ts", s"$lagSec seconds"), gapSec)
+
+  private def prepare(envs: DataFrame, dimKey: String): DataFrame =
     envs.select(
         col("meta").getItem("tenantId").as("tenant_id"),
         col("metric.dimensions").getItem(dimKey).as("key"),
         (col("metric.timestamp") / 1000).cast("timestamp").as("event_ts"),
         col("metric.value").as("value"))
       .filter(col("key").isNotNull)
+
+  private def aggregate(prepared: DataFrame, gapSec: Long): DataFrame = {
+    require(gapSec >= 1, s"gapSec must be >= 1, got $gapSec")
+    prepared
       .groupBy(session_window(col("event_ts"), s"$gapSec seconds").as("sw"),
         col("tenant_id"), col("key"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))

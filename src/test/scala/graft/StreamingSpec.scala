@@ -100,6 +100,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization: sessions close when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[MetricEnvelope]
+    val base = 1000000000L
+    def e(tsSec: Long, u: String, v: Double) = env("m", Map("user_id" -> u),
+      tsSec * 1000.0, v)
+    val withWm = graft.operators.Sessions
+      .sessionizeStreaming(input.toDF(), gapSec = 60L, lagSec = 5L)
+      .select((col("session_start_us") / 1000000L).cast("long").as("s"), col("key"),
+        col("n_events"), col("sum_value"))
+    val q = withWm.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // u1: two events 30 s apart (one session); u2: one event
+      input.addData(Seq(e(base, "u1", 1.0), e(base + 30, "u1", 2.0), e(base, "u2", 5.0)))
+      q.processAllAvailable()
+      // advance event time far past gap + lateness → all sessions close
+      input.addData(Seq(e(base + 1000, "u3", 9.0)))
+      q.processAllAvailable()
+      val rows = spark.table("sess_stream")
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(rows == Set((base, "u1", 2L, 3.0), (base, "u2", 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("observability listener counts input rows and flags stalled queries") {
     import graft.streaming.Observability
     implicit val sqlCtx = spark.sqlContext
