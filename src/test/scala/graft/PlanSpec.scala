@@ -83,6 +83,15 @@ class PlanSpec extends AnyFunSuite {
       s"packing must never collapse to a single partition:\n$plan")
   }
 
+  test("sessionization shuffles once on (session, tenant, key)") {
+    val plan = executedPlan(graft.operators.Sessions.sessionize(
+      graft.sources.EventsAdapter.envelopes(spark, "/root/testdata/sf0.001"), 3600L))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one shuffle:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"sessionization must never collapse to a single partition:\n$plan")
+  }
+
   test("the shipped reference spec corpus loads, validates and compiles") {
     val specs = SpecLoader.loadValidated(
       getClass.getResource("/aggregation-specifications.yaml").getPath)

@@ -95,6 +95,26 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("sessionization equals the naive sorted islands fold") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 100000L), genValue)), Gen.choose(1L, 1000L)) { (pts, gap) =>
+      val envs = pts.map { case (tsSec, v) =>
+        MetricEnvelope(Metric("m", Map("user_id" -> "u"), tsSec * 1000.0, v, Map.empty),
+          Map("tenantId" -> "t"), 0L)
+      }
+      val got = graft.operators.Sessions.sessionize(envs.toDF(), gap)
+        .select(col("session_start_us"), col("n_events"))
+        .as[(Long, Long)].collect().toMap
+      // naive: sort, split where diff > gap (touching sessions merge)
+      val sorted = pts.map(_._1).sorted
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, t) =>
+        if (t - acc.head.head > gap) List(t) :: acc
+        else (t :: acc.head) :: acc.tail
+      }
+      val expected = sessions.map(s => (s.min * 1000000L, s.size.toLong)).toMap
+      got == expected
+    }
+
   property("sampling hash stays in [0, Buckets) and is seed-deterministic ∀ id") =
     forAll(Gen.nonEmptyListOf(Gen.long), Gen.long) { (ids, seed) =>
       val df = ids.toDF("id")
