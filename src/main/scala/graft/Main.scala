@@ -24,6 +24,8 @@ object Main {
       .appName("monasca-aggregator-spark")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        config.stateStoreProviderClass)
       .getOrCreate()
 
     val obs = Observability.attach(spark, config.windowSize)

@@ -16,7 +16,21 @@ case class EngineConfig(
     consumerTopic: String = "metrics",
     producerTopic: String = "metrics",
     kafkaBootstrapServers: String = "localhost:9092",
-    checkpointRoot: String = "file:///tmp/graft-checkpoints")
+    checkpointRoot: String = "file:///tmp/graft-checkpoints",
+    // "rocksdb" (default — streaming state spills to local disk, so group
+    // cardinality is bounded by storage, not executor heap; the 100 TB
+    // setting) or "hdfs" (Spark's in-memory default, fine for small state)
+    stateStore: String = "rocksdb") {
+  require(stateStore == "rocksdb" || stateStore == "hdfs",
+    s"stateStore must be 'rocksdb' or 'hdfs', got '$stateStore'")
+
+  def stateStoreProviderClass: String = stateStore match {
+    case "rocksdb" =>
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    case _ =>
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+  }
+}
 
 object EngineConfig {
 
@@ -41,6 +55,7 @@ object EngineConfig {
       consumerTopic = str("consumerTopic", "metrics"),
       producerTopic = str("producerTopic", "metrics"),
       kafkaBootstrapServers = kafka.getOrElse("bootstrap.servers", "localhost:9092"),
-      checkpointRoot = str("checkpointRoot", "file:///tmp/graft-checkpoints"))
+      checkpointRoot = str("checkpointRoot", "file:///tmp/graft-checkpoints"),
+      stateStore = str("stateStore", "rocksdb"))
   }
 }

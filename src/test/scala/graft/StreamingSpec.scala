@@ -127,6 +127,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed aggregation runs on the RocksDB state store (EngineConfig default)") {
+    val conf = graft.spec.EngineConfig()
+    assert(conf.stateStore == "rocksdb")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, conf.stateStoreProviderClass)
+    try {
+      val base = 2000000000L
+      val rows = runStream(agg2, 10L, 2L, Seq(
+        Seq(env("metric2", Map("hostname" -> "h", "service" -> "s"), base * 1000.0, 4.0),
+          env("metric2", Map("hostname" -> "h", "service" -> "s"), (base + 1) * 1000.0, 6.0)),
+        Seq(env("metric2", Map("hostname" -> "h", "service" -> "s"), (base + 30) * 1000.0, 1.0))),
+        "rocksdb_stream")
+      assert(rows == Seq((Map("hostname" -> "h", "service" -> "s"), 5.0, base * 1000.0)))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("observability listener counts input rows and flags stalled queries") {
     import graft.streaming.Observability
     implicit val sqlCtx = spark.sqlContext
