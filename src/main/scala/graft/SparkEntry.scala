@@ -90,11 +90,18 @@ object SparkEntry {
     s"(CASE WHEN max($TsMs) = min($TsMs) THEN 0.0 " +
       s"ELSE $DeltaAgg / ((max($TsMs) - min($TsMs)) / 1000) END)"
 
-  /** Distinct word-trigram shingle list (mirror of Dedup.wordShingles(_, 3)). */
-  private val ShinglesCte =
-    "WITH t AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') " +
-      "for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh " +
-      "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents))"
+  /** Distinct word n-gram shingle CTE (the single mirror of
+    * Dedup.wordShingles / WordNGrams — never duplicate this inline).
+    * `minToks > 0` drops docs with fewer tokens (empty text trims to a
+    * single-element [''], so it is dropped by any minToks >= 2, matching
+    * tokenCount == 0 on the Spark side). */
+  private def shinglesCte(n: Int, minToks: Int = 0): String =
+    s"WITH t AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+${n - 1}], ' ') " +
+      s"for i in generate_series(1, greatest(len(toks)-${n - 1}, 1))]) AS sh " +
+      "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)" +
+      (if (minToks > 0) s" WHERE len(toks) >= $minToks" else "") + ")"
+
+  private val ShinglesCte = shinglesCte(3)
 
   private val JaccardPairsSql =
     s"$ShinglesCte SELECT id_a, id_b, jaccard FROM (" +
@@ -380,14 +387,18 @@ object SparkEntry {
         s"${sqlRound2("SUM(value)")} AS sum_value " +
         "FROM s GROUP BY tenant_id, ukey, sid"),
     "text_pii" ->
+      // counts are per redaction STAGE (IPs on email-redacted text, phones on
+      // email+IP-redacted) — exactly the replacements redactPii performs
       (s"SELECT doc_id, " +
         s"CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails, " +
-        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips, " +
-        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones, " +
-        s"md5(regexp_replace(regexp_replace(regexp_replace(text, " +
-        s"'${TextAnalysis.EmailRe}', '<EMAIL>', 'g'), " +
-        s"'${TextAnalysis.Ipv4Re}', '<IP>', 'g'), " +
-        s"'${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5 FROM documents"),
+        s"CAST(len(regexp_extract_all(no_email, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips, " +
+        s"CAST(len(regexp_extract_all(no_ip, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones, " +
+        s"md5(regexp_replace(no_ip, '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5 " +
+        "FROM (SELECT doc_id, text, no_email, " +
+        s"regexp_replace(no_email, '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS no_ip " +
+        "FROM (SELECT doc_id, text, " +
+        s"regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g') AS no_email " +
+        "FROM documents))"),
     "p1_envelope" ->
       (s"SELECT 'agg_purchase_avg' AS name, CAST(user_id AS VARCHAR) AS user_id, " +
         s"CAST(${wstart(DAY)} * 1000 AS DOUBLE) AS ts_ms, ${sqlRound2("AVG(value)")} AS value " +
@@ -439,9 +450,7 @@ object SparkEntry {
         "FROM documents"),
     "text_langid" -> LangIdSql,
     "text_topngrams" ->
-      ("WITH t AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+1], ' ') " +
-        "for i in generate_series(1, greatest(len(toks)-1, 1))]) AS sh " +
-        "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)) " +
+      (s"${shinglesCte(2, minToks = 2)} " +
         "SELECT ngram, df, rank FROM (SELECT ngram, df, " +
         "CAST(row_number() OVER (ORDER BY df DESC, ngram ASC) AS BIGINT) AS rank " +
         "FROM (SELECT ngram, count(*) AS df FROM " +

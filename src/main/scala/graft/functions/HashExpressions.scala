@@ -63,10 +63,15 @@ case class RollingHashes(child: Expression, window: Int)
 /** The full k-slot MinHash signature of a shingle set in ONE map-side pass —
   * sig[i] = min over shingles s of xxhash64(xxhash64(s), i), bit-identical to
   * the explode → groupBy(id) → k min-aggregates formulation (Spark's
-  * `xxhash64(a, b)` folds with seed 42: H(b, H(a, 42))), but with no explode,
-  * no exchange of per-shingle rows, and no join back to the document: at
-  * 100 TB the signature is computed where the document is read and only the
-  * fixed k·8-byte array ever moves.
+  * `xxhash64(a, b)` folds with seed 42: H(b, H(a, 42)), and a null element
+  * leaves the seed untouched — mirrored here), but with no explode, no
+  * exchange of per-shingle rows, and no join back to the document: at 100 TB
+  * the signature is computed where the document is read and only the fixed
+  * k·8-byte array ever moves.
+  *
+  * An EMPTY array yields NULL — the same "this document has no signature row"
+  * outcome as the explode formulation (explode emits nothing), and a null
+  * band hash never equi-joins, so empty docs can never flood an LSH bucket.
   */
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
@@ -74,6 +79,8 @@ case class MinHashSignature(child: Expression, k: Int)
   require(k >= 1, s"k must be >= 1, got $k")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -85,11 +92,14 @@ case class MinHashSignature(child: Expression, k: Int)
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val shingles = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = shingles.numElements()
+    if (n == 0) return null
     val sig = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      // xxhash64(s) — string child folded over seed 42
-      val base = XXH64.hashUTF8String(shingles.getUTF8String(j), 42L)
+      val s = shingles.getUTF8String(j)
+      // xxhash64(s) — string child folded over seed 42; a NULL element leaves
+      // the seed unchanged (Spark hash semantics), it does not drop the row
+      val base = if (s == null) 42L else XXH64.hashUTF8String(s, 42L)
       // xxhash64(h, i) = hashInt(i, hashLong(h, 42)) — i is an INT literal in
       // the aggregate formulation, so the per-slot mix must be hashInt
       val inner = XXH64.hashLong(base, 42L)

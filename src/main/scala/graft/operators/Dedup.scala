@@ -299,7 +299,13 @@ object Dedup {
       System.err.println(s"[graft] connectedComponents: not converged after " +
         s"$maxIter rounds — labels may split clusters with diameter > $maxIter")
     edges.unpersist()
-    labels
+    // hand the caller the handle that is actually persisted (labels is a
+    // projection over `cached` once iterations ran — unpersist on it would be
+    // a no-op and the last generation's cache entry would be unreleasable)
+    val result = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    if (cached ne result) cached.unpersist()
+    result
   }
 
   /** Survivors of near-dup clustering: every document except non-minimal

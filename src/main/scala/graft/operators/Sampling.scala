@@ -87,16 +87,26 @@ object Sampling {
       budget: Long, numShards: Int, seed: Long = 42): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    // the three output columns are API; refuse to silently clobber a caller's
+    // same-named column (a pre-sharded corpus losing its `shard` would be a
+    // silent data bug). Temp columns probe for collision-free names instead.
+    Seq("shard", "seq_id", "tok_offset").foreach { c =>
+      require(!df.columns.contains(c),
+        s"packSequences adds a '$c' column but the input already has one")
+    }
+    def temp(base: String) = Iterator.from(0).map(i => s"__graft_pack_$base$i")
+      .find(c => !df.columns.contains(c)).get
+    val (nCol, prefixCol) = (temp("n"), temp("prefix"))
     import org.apache.spark.sql.expressions.Window
     val shard = pmod(hashBucket(col(idCol), seed), lit(numShards.toLong))
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("shard", shard)
-      .withColumn("__n", tokenCount.cast("long"))
-      .withColumn("__prefix", coalesce(sum(col("__n")).over(w), lit(0L)))
-      .withColumn("seq_id", floor(col("__prefix") / budget))
-      .withColumn("tok_offset", pmod(col("__prefix"), lit(budget)))
-      .drop("__n", "__prefix")
+      .withColumn(nCol, tokenCount.cast("long"))
+      .withColumn(prefixCol, coalesce(sum(col(nCol)).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col(prefixCol) / budget))
+      .withColumn("tok_offset", pmod(col(prefixCol), lit(budget)))
+      .drop(nCol, prefixCol)
   }
 
   /** At most `n` rows per key, chosen deterministically by id-hash order

@@ -183,14 +183,21 @@ object TextAnalysis {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
-  /** Per-document PII hit counts (emails, IPv4s, phone-shaped runs). */
+  /** Per-document PII hit counts. Each count is taken on the text AFTER the
+    * earlier redaction stages (emails on raw, IPs on email-redacted, phones
+    * on email+IP-redacted) so the counts are exactly the replacements
+    * [[redactPii]] performs — a digit-run inside an email must not also be
+    * reported as a phone. */
   def piiCounts(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    val noEmail = regexp_replace(col(textCol), EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
     docs.select(col(idCol),
       size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
-      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(noEmail, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(noIp, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
       md5(redactPii(col(textCol)).cast("binary")).as("redacted_md5"))
+  }
 
   /** Top-k word n-grams by DOCUMENT frequency (each doc counts a shingle
     * once) — the corpus-statistics pass behind boilerplate detection,
@@ -206,9 +213,16 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = docs
+      // docs with < n tokens yield a TRUNCATED shingle under WordNGrams'
+      // short-text rule (fine for Jaccard, wrong for corpus stats) — drop them
+      .filter(tokenCount(col(textCol)) >= n)
       .select(explode(graft.functions.TextExpressions.wordNGrams(col(textCol), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocFreq)
+    // the empty-partition window is safe here: Catalyst rewrites the
+    // rank<=k filter into TakeOrderedAndProject — each partition keeps its
+    // local top-k and only k · numPartitions rows ever merge (PlanSpec
+    // guards this), no matter how weak the df pre-filter is
     val w = Window.orderBy(col("df").desc, col("ngram").asc)
     counts.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -61,6 +61,21 @@ class OperatorsSpec extends AnyFunSuite {
         .as[(Long, Seq[Long])].collect().toMap
     }
     assert(native == viaAgg)
+    // empty shingle array: NULL signature (the explode form emits no row),
+    // so empty docs can never flood an LSH band bucket
+    val edge = Seq(Tuple1(Seq.empty[String]), Tuple1(Seq(null.asInstanceOf[String])))
+      .toDF("shingles")
+      .select(Dedup.minhashSignature($"shingles", 4).as("sig"))
+      .collect()
+    assert(edge(0).isNullAt(0))
+    // a null ELEMENT contributes with the seed left unchanged, exactly like
+    // xxhash64(null) in the aggregate formulation
+    val nullElemExpected = Seq(Tuple1(1))
+      .toDF("x")
+      .select(array((0 until 4).map(i =>
+        xxhash64(xxhash64(lit(null).cast("string")), lit(i))): _*).as("sig"))
+      .as[Seq[Long]].head()
+    assert(edge(1).getSeq[Long](0) == nullElemExpected)
   }
 
   test("SimHash: near-identical docs collide, hamming is symmetric-bounded") {
@@ -269,6 +284,11 @@ class OperatorsSpec extends AnyFunSuite {
       .select($"doc_id", $"shard", $"seq_id", $"tok_offset")
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(again == packed.map { case (s, id, _, q, o) => (id, s, q, o) }.toSet)
+    // refuses to clobber an existing output-named column
+    intercept[IllegalArgumentException] {
+      Sampling.packSequences(docs.withColumn("shard", lit(1)), "doc_id",
+        TextAnalysis.tokenCount($"text"), 512L, 4)
+    }
   }
 
   test("connected components match a driver-side union-find; survivors keep cluster minima") {
@@ -335,6 +355,13 @@ class OperatorsSpec extends AnyFunSuite {
       .select($"doc_id", $"n_emails", $"n_ips", $"n_phones")
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(counts == Set((1L, 1L, 0L, 0L), (2L, 0L, 1L, 0L), (3L, 0L, 0L, 1L), (4L, 0L, 0L, 0L)))
+    // counts reflect what redactPii ACTUALLY replaces: the digit run inside
+    // an email local part is consumed by the email stage, never double-counted
+    // as a phone
+    val overlap = Seq((9L, "reach 5558675309111@example.com ok")).toDF("doc_id", "text")
+    val o = TextAnalysis.piiCounts(overlap)
+      .select($"n_emails", $"n_ips", $"n_phones").as[(Long, Long, Long)].head()
+    assert(o == ((1L, 0L, 0L)))
   }
 
   test("topNgrams ranks by document frequency with deterministic tie-break") {
@@ -342,7 +369,9 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, "a b c"),    // bigrams: "a b", "b c"
       (2L, "a b a b"),  // distinct per doc: "a b", "b a" — df counts docs, not occurrences
       (3L, "b c d"),    // "b c", "c d"
-      (4L, "z z")       // "z z" (df 1 — filtered by minDocFreq=2)
+      (4L, "z z"),      // "z z" (df 1 — filtered by minDocFreq=2)
+      (5L, "solo"),     // < n tokens: contributes NO shingle (not a truncated one)
+      (6L, "")          // empty: contributes nothing
     ).toDF("doc_id", "text")
     val got = TextAnalysis.topNgrams(d, 2, 10)
       .select("ngram", "df", "rank").as[(String, Long, Long)].collect().toSeq

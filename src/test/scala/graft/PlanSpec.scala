@@ -83,6 +83,16 @@ class PlanSpec extends AnyFunSuite {
       s"packing must never collapse to a single partition:\n$plan")
   }
 
+  test("topNgrams pushes a partial top-k below the single-partition rank exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = executedPlan(graft.operators.TextAnalysis.topNgrams(docs, 2, 20))
+    // Catalyst rewrites the rank<=k filter into TakeOrderedAndProject (each
+    // partition keeps its local top-k, only k·partitions rows merge) — accept
+    // WindowGroupLimit too, the equivalent pre-limit for windowed ranks
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("WindowGroupLimit"),
+      s"global rank not pre-limited per partition:\n$plan")
+  }
+
   test("sessionization shuffles once on (session, tenant, key)") {
     val plan = executedPlan(graft.operators.Sessions.sessionize(
       graft.sources.EventsAdapter.envelopes(spark, "/root/testdata/sf0.001"), 3600L))
