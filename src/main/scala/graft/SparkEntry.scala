@@ -143,15 +143,16 @@ object SparkEntry {
       "(acc, x) -> (acc * 1000003 + x) % 18446744073709551616) " +
       s"for i in range(greatest(len(bytes) - $window, 0) + 1)] END AS hashes FROM b)"
 
-  /** Mirror of Sampling.hashBucket(doc_id, 42); pmod spelled out since
-    * DuckDB's % keeps the dividend's sign. Seed 42 → both shifted residue
-    * offsets are 43. */
-  private val HashB = {
-    def pm(x: String, m: String) = s"((($x) % $m + $m) % $m)"
-    val t = pm(s"(${pm("doc_id", "1000003")} + 43) * (${pm("doc_id", "999983")} + 43)", "2147483647")
-    val u = pm(s"$t * 48271", "2147483647")
-    pm(pm(s"$u * 48271", "2147483647"), Sampling.Buckets.toString)
+  /** Mirror of Sampling.hashRaw/hashBucket(doc_id, 42); pmod spelled out
+    * since DuckDB's % keeps the dividend's sign. Seed 42 → both shifted
+    * residue offsets are 43. */
+  private def pmSql(x: String, m: String) = s"((($x) % $m + $m) % $m)"
+  private val HashRaw = {
+    val t = pmSql(s"(${pmSql("doc_id", "1000003")} + 43) * (${pmSql("doc_id", "999983")} + 43)",
+      "2147483647")
+    pmSql(s"${pmSql(s"$t * 48271", "2147483647")} * 48271", "2147483647")
   }
+  private val HashB = pmSql(HashRaw, Sampling.Buckets.toString)
 
   private val LangIdSql = {
     val hits = langStops.map { case (l, ws) =>
@@ -467,9 +468,9 @@ object SparkEntry {
         s"PARTITION BY source ORDER BY $HashB ASC, doc_id ASC) AS rk FROM documents) " +
         "WHERE rk <= 5"),
     "sample_pack" ->
-      (s"SELECT doc_id, $HashB % 8 AS shard, (cum - n) // 512 AS seq_id, " +
+      (s"SELECT doc_id, ${pmSql(HashRaw, "8")} AS shard, (cum - n) // 512 AS seq_id, " +
         s"(cum - n) % 512 AS tok_offset FROM (SELECT doc_id, $TokN AS n, " +
-        s"sum($TokN) OVER (PARTITION BY $HashB % 8 ORDER BY doc_id " +
+        s"sum($TokN) OVER (PARTITION BY ${pmSql(HashRaw, "8")} ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS cum FROM documents)"),
     // rolling fingerprints: window 32, maskBits 4 → keep hashes ≡ 0 mod 16
     "text_rollhash" ->

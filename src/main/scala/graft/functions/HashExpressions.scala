@@ -70,8 +70,10 @@ case class RollingHashes(child: Expression, window: Int)
   * k·8-byte array ever moves.
   *
   * An EMPTY array yields NULL — the same "this document has no signature row"
-  * outcome as the explode formulation (explode emits nothing), and a null
-  * band hash never equi-joins, so empty docs can never flood an LSH bucket.
+  * outcome as the explode formulation (explode emits nothing). Callers MUST
+  * filter null signatures before LSH banding: Spark hash expressions are
+  * never null, so a null signature would band to a CONSTANT hash and flood a
+  * bucket (Dedup.minhashLshPairs applies the filter).
   */
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {

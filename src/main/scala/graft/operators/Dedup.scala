@@ -135,6 +135,12 @@ object Dedup {
     // re-executes once per reference
     val sigs = base
       .select(col("id"), col("shingles"), minhashSignature(col("shingles"), k).as("sig"))
+      // docs with no signature (empty shingle set) must be dropped BEFORE
+      // banding: Spark hash expressions are never null, so a null sig would
+      // get a CONSTANT band hash and all such docs would equi-join pairwise —
+      // a quadratic candidate blowup. The explode formulation dropped them
+      // structurally; this filter is its explicit replacement.
+      .filter(col("sig").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),

@@ -33,13 +33,20 @@ object Sampling {
   private val M2 = 999983L
   private val P = 2147483647L // 2^31 − 1
   private val G = 48271L      // MINSTD multiplier
-  def hashBucket(id: Column, seed: Long): Column = {
+
+  /** The full 31-bit mixed value in [0, P) before any bucket reduction —
+    * use this (not [[hashBucket]]) when reducing modulo a caller-chosen m, so
+    * uniformity holds for any m ≪ 2³¹ rather than only m ≪ 9973. */
+  private[operators] def hashRaw(id: Column, seed: Long): Column = {
     val s1 = java.lang.Math.floorMod(seed, M1) + 1
     val s2 = java.lang.Math.floorMod(seed, M2) + 1
     val t = pmod((pmod(id, lit(M1)) + lit(s1)) * (pmod(id, lit(M2)) + lit(s2)), lit(P))
     val u = pmod(t * lit(G), lit(P))
-    pmod(pmod(u * lit(G), lit(P)), lit(Buckets))
+    pmod(u * lit(G), lit(P))
   }
+
+  def hashBucket(id: Column, seed: Long): Column =
+    pmod(hashRaw(id, seed), lit(Buckets))
 
   /** Keep ~rate of rows, chosen by id hash — stable under reruns and data
     * growth (a row's fate never depends on other rows). */
@@ -98,7 +105,11 @@ object Sampling {
       .find(c => !df.columns.contains(c)).get
     val (nCol, prefixCol) = (temp("n"), temp("prefix"))
     import org.apache.spark.sql.expressions.Window
-    val shard = pmod(hashBucket(col(idCol), seed), lit(numShards.toLong))
+    // shard from the full 31-bit hash, NOT the 9973-bucket reduction — with
+    // thousands of shards (numShards ≈ cluster cores) the bucket-reduced
+    // value would cap usable shards at 9973 and skew load up to 2× whenever
+    // numShards does not divide Buckets
+    val shard = pmod(hashRaw(col(idCol), seed), lit(numShards.toLong))
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("shard", shard)

@@ -196,7 +196,9 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(noEmail, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
       size(regexp_extract_all(noIp, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
-      md5(redactPii(col(textCol)).cast("binary")).as("redacted_md5"))
+      // built from the SAME staged intermediates as the counts (not a second
+      // redactPii expansion) so they can never drift apart
+      md5(regexp_replace(noIp, PhoneRe, "<PHONE>").cast("binary")).as("redacted_md5"))
   }
 
   /** Top-k word n-grams by DOCUMENT frequency (each doc counts a shingle

@@ -44,6 +44,15 @@ class OperatorsSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty) // the corpus plants near-duplicates
     assert(lsh == exact)
+    // null-text docs have no signature and must NOT band-join each other
+    // (a null sig would hash to a CONSTANT band bucket if not filtered)
+    val withNulls = docs.unionByName(
+      Seq((20001L, null.asInstanceOf[String]), (20002L, null.asInstanceOf[String]),
+        (20003L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), allowMissingColumns = true)
+    val lsh2 = Dedup.minhashLshPairs(withNulls, 3, 16, 4, 0.5)
+      .filter($"id_a" >= 20000 || $"id_b" >= 20000)
+    assert(lsh2.count() == 0)
   }
 
   test("native MinHash signature is bit-identical to the explode + min-aggregate formulation") {
