@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{AggregationSpec, RollupSpec}
-import graft.operators.{Dedup, Multimodal, Sampling, Sessions, Similarity, TextAnalysis}
+import graft.operators.{Dedup, HeavyHitters, Multimodal, Sampling, Sessions, Similarity, TextAnalysis}
 import graft.plan.RuleCompiler
 import graft.sources.{EnvelopeJson, EventsAdapter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -245,6 +245,10 @@ object SparkEntry {
         .select(col("session_start_us"), col("session_end_us"), col("tenant_id"),
           col("key").as("user_id"), col("n_events"),
           safeRound2(col("sum_value")).as("sum_value"))),
+    // D2 — graft extension: top-5 users by event count per (day, tenant)
+    "d2_heavyhitters" -> ((s, dir) =>
+      HeavyHitters.byWindow(envs(s, dir), DAY, "user_id", 5)
+        .withColumnRenamed("value", "user_id")),
     // P1/P2 — envelope projection; output timestamp = window start (ms)
     "p1_envelope" -> ((s, dir) =>
       RuleCompiler.compile(spec("avg", "purchase"), DAY)(envs(s, dir))
@@ -308,6 +312,11 @@ object SparkEntry {
     "sample_quota" -> ((s, dir) =>
       Sampling.quotaPerKey(docs(s, dir), "source", "doc_id", 5)
         .select("doc_id", "source")),
+    // stratified source rebalance: keep all of src0, half of src1, none of
+    // the unlisted sources
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), "source",
+        Map("src0" -> 1.0, "src1" -> 0.5), "doc_id").select("doc_id", "source")),
     // pack-and-split sequence packing: 512-token budget, 8 hash shards
     "sample_pack" -> ((s, dir) =>
       Sampling.packSequences(docs(s, dir), "doc_id",
@@ -400,6 +409,18 @@ object SparkEntry {
         "FROM (SELECT doc_id, text, " +
         s"regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g') AS no_email " +
         "FROM documents))"),
+    "d2_heavyhitters" ->
+      (s"SELECT window_start, tenant_id, user_id, n, rank FROM (" +
+        "SELECT window_start, tenant_id, user_id, n, " +
+        "CAST(row_number() OVER (PARTITION BY window_start, tenant_id " +
+        "ORDER BY n DESC, user_id ASC) AS BIGINT) AS rank FROM (" +
+        s"SELECT ${wstart(DAY)} AS window_start, $Tenant AS tenant_id, " +
+        "CAST(user_id AS VARCHAR) AS user_id, count(*) AS n " +
+        "FROM events GROUP BY 1, 2, 3)) WHERE rank <= 5"),
+    "sample_stratified" ->
+      (s"SELECT doc_id, source FROM documents WHERE $HashB < " +
+        s"(CASE WHEN source = 'src0' THEN ${Sampling.Buckets} " +
+        s"WHEN source = 'src1' THEN ${(0.5 * Sampling.Buckets).toLong} ELSE 0 END)"),
     "p1_envelope" ->
       (s"SELECT 'agg_purchase_avg' AS name, CAST(user_id AS VARCHAR) AS user_id, " +
         s"CAST(${wstart(DAY)} * 1000 AS DOUBLE) AS ts_ms, ${sqlRound2("AVG(value)")} AS value " +

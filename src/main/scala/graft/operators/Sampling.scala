@@ -120,6 +120,22 @@ object Sampling {
       .drop(nCol, prefixCol)
   }
 
+  /** Stratified sampling: an independent hash-Bernoulli rate per key value
+    * (the "rebalance sources" operator — downsample the over-represented
+    * crawl, keep all of the rare curated set). Keys absent from `rates` keep
+    * `defaultRate`. Same stability guarantees as [[sampleByHash]]; a pure
+    * narrow map — no shuffle, no per-key state. */
+  def stratifiedSample(df: DataFrame, keyCol: String, rates: Map[String, Double],
+      idCol: String, defaultRate: Double = 0.0, seed: Long = 42): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0 && r <= 1, s"rates must be in [0,1], got $r"))
+    val cut = rates.toSeq.sortBy(_._1).foldRight(
+      lit((defaultRate * Buckets).toLong)) { case ((key, r), rest) =>
+      when(col(keyCol) === lit(key), lit((r * Buckets).toLong)).otherwise(rest)
+    }
+    df.filter(hashBucket(col(idCol), seed) < cut)
+  }
+
   /** At most `n` rows per key, chosen deterministically by id-hash order
     * (tie-break by id) — the "cap any single source" operator. The only
     * shuffle is the window partition on the key; Spark's WindowGroupLimit

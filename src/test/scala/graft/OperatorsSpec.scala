@@ -373,6 +373,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(o == ((1L, 0L, 0L)))
   }
 
+  test("heavy hitters: per-window top-k by count with deterministic tie-break") {
+    import graft.model.{Metric, MetricEnvelope}
+    import graft.operators.HeavyHitters
+    def env(tsSec: Long, u: String) = MetricEnvelope(
+      Metric("m", Map("user_id" -> u), tsSec * 1000.0, 1.0, Map.empty),
+      Map("tenantId" -> "t0"), 0L)
+    // window [0, 60): a×3, b×2, c×1; window [60, 120): c×2, d×2 (tie → c first)
+    val envs = (Seq.fill(3)(env(1, "a")) ++ Seq.fill(2)(env(2, "b")) ++ Seq(env(3, "c")) ++
+      Seq.fill(2)(env(61, "c")) ++ Seq.fill(2)(env(62, "d"))).toDF()
+    val got = HeavyHitters.byWindow(envs, 60L, "user_id", 2)
+      .select($"window_start", $"value", $"n", $"rank")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, "a", 3L, 1L), (0L, "b", 2L, 2L),
+      (60L, "c", 2L, 1L), (60L, "d", 2L, 2L)))
+    // rows missing the dimension are excluded, not ranked under null
+    val nodim = MetricEnvelope(Metric("m", Map.empty, 0.0, 1.0, Map.empty),
+      Map("tenantId" -> "t0"), 0L)
+    assert(HeavyHitters.byWindow(Seq(nodim).toDF(), 60L, "user_id", 2).count() == 0)
+  }
+
+  test("stratified sampling: per-key rates, unlisted keys get the default") {
+    import graft.operators.Sampling
+    val bySrc = Sampling.stratifiedSample(docs, "source",
+        Map("src0" -> 1.0, "src1" -> 0.5), "doc_id")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("src0") == totals("src0"))         // rate 1.0 keeps everything
+    assert(bySrc.get("src1").exists(n => n > 0 && n < totals("src1"))) // ~half
+    assert(!bySrc.contains("src2"))                 // default rate 0 drops
+    // stratified with a uniform rate == plain hash sampling (same hash, seed)
+    val uniform = Sampling.stratifiedSample(docs, "source",
+        totals.keys.map(_ -> 0.25).toMap, "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    val plain = Sampling.sampleByHash(docs, "doc_id", 0.25)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(uniform == plain)
+  }
+
   test("topNgrams ranks by document frequency with deterministic tie-break") {
     val d = Seq(
       (1L, "a b c"),    // bigrams: "a b", "b c"

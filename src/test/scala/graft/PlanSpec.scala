@@ -93,6 +93,13 @@ class PlanSpec extends AnyFunSuite {
       s"global rank not pre-limited per partition:\n$plan")
   }
 
+  test("heavy hitters pre-limits the per-window rank below its exchange") {
+    val envs = graft.sources.EventsAdapter.envelopes(spark, "/root/testdata/sf0.001")
+    val plan = executedPlan(graft.operators.HeavyHitters.byWindow(envs, 86400L, "user_id", 5))
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-group rank not pre-limited:\n$plan")
+  }
+
   test("sessionization shuffles once on (session, tenant, key)") {
     val plan = executedPlan(graft.operators.Sessions.sessionize(
       graft.sources.EventsAdapter.envelopes(spark, "/root/testdata/sf0.001"), 3600L))
