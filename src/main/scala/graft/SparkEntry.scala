@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{AggregationSpec, RollupSpec}
-import graft.operators.{Dedup, HeavyHitters, Multimodal, Sampling, Sessions, Similarity, TextAnalysis}
+import graft.operators.{Dedup, GapFill, HeavyHitters, Multimodal, Sampling, Sessions, Similarity, TextAnalysis}
 import graft.plan.RuleCompiler
 import graft.sources.{EnvelopeJson, EventsAdapter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -249,6 +249,13 @@ object SparkEntry {
     "d2_heavyhitters" -> ((s, dir) =>
       HeavyHitters.byWindow(envs(s, dir), DAY, "user_id", 5)
         .withColumnRenamed("value", "user_id")),
+    // D3 — graft extension: dense hourly series (zero-filled gaps) of
+    // per-tenant signup counts
+    "d3_gapfill" -> ((s, dir) =>
+      GapFill.zeroFill(
+        RuleCompiler.compileGrouped(
+          spec("count", "signup", grouped = Seq.empty), HOUR)(envs(s, dir)),
+        HOUR, Seq("tenant_id"))),
     // P1/P2 — envelope projection; output timestamp = window start (ms)
     "p1_envelope" -> ((s, dir) =>
       RuleCompiler.compile(spec("avg", "purchase"), DAY)(envs(s, dir))
@@ -421,6 +428,16 @@ object SparkEntry {
       (s"SELECT doc_id, source FROM documents WHERE $HashB < " +
         s"(CASE WHEN source = 'src0' THEN ${Sampling.Buckets} " +
         s"WHEN source = 'src1' THEN ${(0.5 * Sampling.Buckets).toLong} ELSE 0 END)"),
+    "d3_gapfill" ->
+      (s"WITH a AS (SELECT ${wstart(HOUR)} AS window_start, $Tenant AS tenant_id, " +
+        "CAST(count(*) AS DOUBLE) AS v FROM events WHERE event_type = 'signup' " +
+        "GROUP BY 1, 2), " +
+        "s AS (SELECT tenant_id, min(window_start) AS lo, max(window_start) AS hi " +
+        "FROM a GROUP BY 1), " +
+        "g AS (SELECT tenant_id, unnest(generate_series(lo, hi, 3600)) AS window_start FROM s) " +
+        "SELECT g.window_start, g.tenant_id, COALESCE(a.v, 0.0) AS value " +
+        "FROM g LEFT JOIN a ON g.tenant_id = a.tenant_id " +
+        "AND g.window_start = a.window_start"),
     "p1_envelope" ->
       (s"SELECT 'agg_purchase_avg' AS name, CAST(user_id AS VARCHAR) AS user_id, " +
         s"CAST(${wstart(DAY)} * 1000 AS DOUBLE) AS ts_ms, ${sqlRound2("AVG(value)")} AS value " +

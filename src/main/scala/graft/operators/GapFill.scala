@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Gap filling — a graft extension on the metrics side: windowed aggregates
+  * only produce rows for windows that HAD data, but dashboards, alerting
+  * rules and rate computations need a dense series. Fills every missing
+  * tumbling window between each group's first and last observed window with
+  * either a constant (zero-fill) or the previous value (forward-fill).
+  *
+  * Input is the rule compiler's grouped output shape (`w` window struct,
+  * grouping columns, `agg_value`).
+  *
+  * Scale shape: the span aggregation collapses each group to one (lo, hi)
+  * row; the dense grid is exploded from a `sequence()` per group (rows ∝
+  * windows-per-group, the output's own size) and joined back on
+  * (group, window) — one exchange each side, partial aggregation on the
+  * spans. Forward-fill adds one partitioned window (a running `last`),
+  * never a global sort.
+  */
+object GapFill {
+
+  /** Dense (window_start, groups, value) with missing windows = `fillValue`. */
+  def zeroFill(grouped: DataFrame, windowSizeSec: Long, groupCols: Seq[String],
+      fillValue: Double = 0.0): DataFrame =
+    dense(grouped, windowSizeSec, groupCols)
+      .withColumn("value", coalesce(col("agg_value"), lit(fillValue)))
+      .drop("agg_value")
+
+  /** Dense series with missing windows carrying the last observed value
+    * (the first windows of a group are left null if they precede any data —
+    * cannot happen here since the grid starts at the group's first window). */
+  def forwardFill(grouped: DataFrame, windowSizeSec: Long,
+      groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("window_start").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dense(grouped, windowSizeSec, groupCols)
+      .withColumn("value", last(col("agg_value"), ignoreNulls = true).over(w))
+      .drop("agg_value")
+  }
+
+  /** Left-join the observed aggregates onto each group's complete window
+    * grid; absent windows have null `agg_value`. */
+  private def dense(grouped: DataFrame, windowSizeSec: Long,
+      groupCols: Seq[String]): DataFrame = {
+    require(windowSizeSec >= 1, s"windowSizeSec must be >= 1, got $windowSizeSec")
+    val obs = grouped.select(
+      (groupCols.map(col) :+ col("w.start").cast("long").as("window_start")
+        :+ col("agg_value")): _*)
+    val spans = obs.groupBy(groupCols.map(col): _*)
+      .agg(min(col("window_start")).as("lo"), max(col("window_start")).as("hi"))
+    val grid = spans.select(
+      (groupCols.map(col) :+
+        explode(sequence(col("lo"), col("hi"), lit(windowSizeSec)))
+          .as("window_start")): _*)
+    grid.join(obs, groupCols :+ "window_start", "left")
+  }
+}

@@ -373,6 +373,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(o == ((1L, 0L, 0L)))
   }
 
+  test("gap fill: zero-fill and forward-fill densify sparse window series") {
+    import graft.model.{Metric, MetricEnvelope}
+    import graft.operators.GapFill
+    import graft.plan.RuleCompiler
+    import graft.model.AggregationSpec
+    // events in windows 0 and 180 only (60 s windows) → gaps at 60 and 120
+    def env(tsSec: Long, v: Double) = MetricEnvelope(
+      Metric("m", Map.empty, tsSec * 1000.0, v, Map.empty),
+      Map("tenantId" -> "t0"), 0L)
+    val sp = AggregationSpec(name = "g", function = "sum", filteredMetricName = "m",
+      groupedDimensions = Seq.empty, aggregatedMetricName = "out")
+    val grouped = RuleCompiler.compileGrouped(sp, 60L)(
+      Seq(env(10, 5.0), env(190, 7.0)).toDF())
+    val zf = GapFill.zeroFill(grouped, 60L, Seq("tenant_id"))
+      .select($"window_start", $"value").as[(Long, Double)].collect().toMap
+    assert(zf == Map(0L -> 5.0, 60L -> 0.0, 120L -> 0.0, 180L -> 7.0))
+    val ff = GapFill.forwardFill(grouped, 60L, Seq("tenant_id"))
+      .select($"window_start", $"value").as[(Long, Double)].collect().toMap
+    assert(ff == Map(0L -> 5.0, 60L -> 5.0, 120L -> 5.0, 180L -> 7.0))
+  }
+
   test("heavy hitters: per-window top-k by count with deterministic tie-break") {
     import graft.model.{Metric, MetricEnvelope}
     import graft.operators.HeavyHitters
