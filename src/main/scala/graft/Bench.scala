@@ -29,6 +29,12 @@ object Bench {
       finally spark.catalog.clearCache() // operators persist LSH relations;
                                          // don't let them accumulate across queries
 
+    // throughput probe FIRST: after the 2×47-query sweep the JVM is hot but
+    // cache-churned and the recorded eps under-reads the pipeline by ~10×
+    // (38K vs 136K–1.2M when probed fresh); median of 3 evens out the
+    // remaining run-to-run swing
+    val eps = ingestThroughput(spark)
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       try exec(n, "/root/testdata/sf0.001")
@@ -51,7 +57,6 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
-    val eps = ingestThroughput(spark)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""throughput_eps":$eps,"sf":"$sfDir"}""")
     spark.stop()
@@ -61,8 +66,14 @@ object Bench {
     * (">50K metrics/sec", README.md:62-63): JSON envelopes/sec through the
     * reference hot path — parse → rule match → window-group aggregate
     * (server.go:307-332). JSON strings are pre-materialized and persisted so
-    * only the ingest pipeline is timed. */
+    * only the ingest pipeline is timed. Median of 3 runs (the first doubles
+    * as codegen/JIT warmup; the median is robust to one GC-noisy run). */
   private def ingestThroughput(spark: SparkSession): Double = {
+    val runs = (1 to 3).map(_ => ingestThroughputOnce(spark)).sorted
+    runs(1)
+  }
+
+  private def ingestThroughputOnce(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
     import graft.model.AggregationSpec
     import graft.plan.RuleCompiler

@@ -505,9 +505,12 @@ object SparkEntry {
       (s"SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER (" +
         s"PARTITION BY source ORDER BY $HashB ASC, doc_id ASC) AS rk FROM documents) " +
         "WHERE rk <= 5"),
+    // CASTs: DuckDB's sum() over INT promotes to HUGEINT and // / % on it
+    // return DOUBLE — without them the oracle emits 5.0 where Spark emits 5
     "sample_pack" ->
-      (s"SELECT doc_id, ${pmSql(HashRaw, "8")} AS shard, (cum - n) // 512 AS seq_id, " +
-        s"(cum - n) % 512 AS tok_offset FROM (SELECT doc_id, $TokN AS n, " +
+      (s"SELECT doc_id, ${pmSql(HashRaw, "8")} AS shard, " +
+        "CAST((cum - n) // 512 AS BIGINT) AS seq_id, " +
+        s"CAST((cum - n) % 512 AS BIGINT) AS tok_offset FROM (SELECT doc_id, $TokN AS n, " +
         s"sum($TokN) OVER (PARTITION BY ${pmSql(HashRaw, "8")} ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS cum FROM documents)"),
     // rolling fingerprints: window 32, maskBits 4 → keep hashes ≡ 0 mod 16

@@ -42,8 +42,16 @@ object GapFill {
       .drop("agg_value")
   }
 
+  /** Windows per exploded chunk: bounds the biggest single-row array the grid
+    * generator ever materializes (32 KB of longs), so one sparse group with a
+    * years-long span and 1-second windows can never build a multi-hundred-MB
+    * sequence() or trip Spark's array length cap. */
+  private val ChunkWindows = 4096L
+
   /** Left-join the observed aggregates onto each group's complete window
-    * grid; absent windows have null `agg_value`. */
+    * grid; absent windows have null `agg_value`. The grid is generated in two
+    * explode levels — coarse chunks first, then ≤ [[ChunkWindows]] windows per
+    * chunk — keeping per-row memory O(ChunkWindows) regardless of span. */
   private def dense(grouped: DataFrame, windowSizeSec: Long,
       groupCols: Seq[String]): DataFrame = {
     require(windowSizeSec >= 1, s"windowSizeSec must be >= 1, got $windowSizeSec")
@@ -52,10 +60,15 @@ object GapFill {
         :+ col("agg_value")): _*)
     val spans = obs.groupBy(groupCols.map(col): _*)
       .agg(min(col("window_start")).as("lo"), max(col("window_start")).as("hi"))
-    val grid = spans.select(
+    val chunkSpan = ChunkWindows * windowSizeSec
+    val chunks = spans.select(
+      (groupCols.map(col) :+ col("hi") :+
+        explode(sequence(col("lo"), col("hi"), lit(chunkSpan))).as("chunk_lo")): _*)
+    val grid = chunks.select(
       (groupCols.map(col) :+
-        explode(sequence(col("lo"), col("hi"), lit(windowSizeSec)))
-          .as("window_start")): _*)
+        explode(sequence(col("chunk_lo"),
+          least(col("chunk_lo") + lit(chunkSpan - windowSizeSec), col("hi")),
+          lit(windowSizeSec))).as("window_start")): _*)
     grid.join(obs, groupCols :+ "window_start", "left")
   }
 }

@@ -115,7 +115,10 @@ object Sampling {
     df.withColumn("shard", shard)
       .withColumn(nCol, tokenCount.cast("long"))
       .withColumn(prefixCol, coalesce(sum(col(nCol)).over(w), lit(0L)))
-      .withColumn("seq_id", floor(col(prefixCol) / budget))
+      // integer division: Column `/` on longs is DOUBLE division, exact only
+      // while the prefix stays below 2^53 — a silent mis-bucketing hazard for
+      // a hot shard of a 100 TB corpus; `div` keeps the math in longs
+      .withColumn("seq_id", expr(s"`$prefixCol` div ${budget}L"))
       .withColumn("tok_offset", pmod(col(prefixCol), lit(budget)))
       .drop(nCol, prefixCol)
   }

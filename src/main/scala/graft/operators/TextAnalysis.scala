@@ -207,10 +207,12 @@ object TextAnalysis {
     * maxDocFreq). Deterministic tie-break: count desc, then n-gram asc.
     *
     * Scale shape: explode → partial count (map-side combine) → one exchange
-    * on the n-gram → global count → global top-k. The final rank is a
-    * single-partition window over only the rows that survive a `df >=
-    * minDocFreq` pre-filter; pick minDocFreq so survivors are ≪ corpus
-    * (boilerplate by definition repeats — df=1 shingles are never wanted). */
+    * on the n-gram → global count → orderBy(...).limit(k), which Catalyst
+    * plans as TakeOrderedAndProject: each partition keeps its local top-k and
+    * only k · numPartitions rows ever merge (PlanSpec guards this). The rank
+    * column is then attached by a window over just those k rows — partitioned
+    * by a constant so WindowExec never logs its "No Partition Defined"
+    * warning (the pre-limit makes the single partition safe by construction). */
   def topNgrams(docs: DataFrame, n: Int, k: Int, minDocFreq: Long = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -221,13 +223,9 @@ object TextAnalysis {
       .select(explode(graft.functions.TextExpressions.wordNGrams(col(textCol), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocFreq)
-    // the empty-partition window is safe here: Catalyst rewrites the
-    // rank<=k filter into TakeOrderedAndProject — each partition keeps its
-    // local top-k and only k · numPartitions rows ever merge (PlanSpec
-    // guards this), no matter how weak the df pre-filter is
-    val w = Window.orderBy(col("df").desc, col("ngram").asc)
-    counts.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    val top = counts.orderBy(col("df").desc, col("ngram").asc).limit(k)
+    val w = Window.partitionBy(lit(0)).orderBy(col("df").desc, col("ngram").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
   }
 
   /** All signals over a `documents`-shaped table (doc_id, text, ...). */
