@@ -113,6 +113,82 @@ object SparkEntry {
   private val CosD =
     "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
 
+  /** Unit-vector CTE mirroring Similarity.unitVectors' exact op sequence
+    * (norm from a sequential sum of squares, then per-component divide —
+    * DuckDB's list functions fold left like graft's DotProduct, so the doubles
+    * are bit-identical and downstream sign/argmax decisions agree). */
+  private val UnitVecCte =
+    "u AS (SELECT vec_id, list_transform(dv, x -> x / nrm) AS v FROM " +
+      "(SELECT vec_id, dv, sqrt(list_inner_product(dv, dv)) AS nrm FROM " +
+      "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings)) " +
+      "WHERE nrm > 0)"
+
+  /** Full IVF mirror (nLists=16, nProbe=4, k=5, queries = vec_id < 10):
+    * centroid selection replays the portable-hash ordering, assignment is the
+    * same lexicographic (score, cell) max as Spark's array_max, probing the
+    * same (score desc, cell desc) top-nProbe. */
+  private val IvfTopkSql = {
+    val h = hashRawSql("vec_id")
+    s"WITH $UnitVecCte, " +
+      s"cent AS (SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell, v " +
+      s"FROM u QUALIFY row_number() OVER (ORDER BY $h, vec_id) <= 16), " +
+      "asg AS (SELECT u.vec_id AS neighbor_id, any_value(u.v) AS cu, " +
+      "(max({'s': list_inner_product(c.v, u.v), 'c': c.cell})).c AS cell " +
+      "FROM u, cent c GROUP BY u.vec_id), " +
+      "prb AS (SELECT query_id, qu, cell FROM (" +
+      "SELECT q.vec_id AS query_id, q.v AS qu, c.cell, " +
+      "row_number() OVER (PARTITION BY q.vec_id " +
+      "ORDER BY list_inner_product(c.v, q.v) DESC, c.cell DESC) AS pr " +
+      "FROM u q, cent c WHERE q.vec_id < 10) WHERE pr <= 4) " +
+      "SELECT query_id, neighbor_id, rank, ROUND(cosine, 4) AS cosine FROM (" +
+      "SELECT p.query_id, a.neighbor_id, list_inner_product(p.qu, a.cu) AS cosine, " +
+      "CAST(row_number() OVER (PARTITION BY p.query_id " +
+      "ORDER BY list_inner_product(p.qu, a.cu) DESC, a.neighbor_id ASC) AS BIGINT) AS rank " +
+      "FROM prb p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.neighbor_id) " +
+      "WHERE rank <= 5"
+  }
+
+  /** Full sign-LSH mirror (threshold 0.4, nPlanes=6, tables=8, seed 42): the
+    * hyperplanes are deterministic given the seed, so they are EMBEDDED here
+    * as double literals (shortest round-trip Double.toString — DuckDB parses
+    * back the identical binary double) and the bucket/join/verify pipeline is
+    * replayed exactly. No recall argument needed: both engines compute the
+    * same buckets. Dim 64 is the testdata embeddings' fixed width. */
+  private val LshPairsSql = {
+    def fmtPlane(p: Seq[Double]) =
+      "[" + p.map(java.lang.Double.toString).mkString(", ") + "]"
+    val perTable = (0 until 8).map { t =>
+      val planes = Similarity.hyperplanes(6, 64, 42L + t)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_inner_product(v, ${fmtPlane(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, v, $t AS tbl, ($bucket) AS bucket FROM u"
+    }.mkString(" UNION ALL ")
+    s"WITH $UnitVecCte, bk AS ($perTable), " +
+      "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b " +
+      "FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket " +
+      "AND a.vec_id < b.vec_id) " +
+      "SELECT id_a, id_b, ROUND(cosine, 4) AS cosine FROM (" +
+      "SELECT c.id_a, c.id_b, list_inner_product(ua.v, ub.v) AS cosine " +
+      "FROM cand c JOIN u ua ON ua.vec_id = c.id_a JOIN u ub ON ub.vec_id = c.id_b) " +
+      "WHERE cosine >= 0.4"
+  }
+
+  /** Capped n-gram Jaccard mirror (maxDocFreq=4): shingles in more than 4
+    * docs are dropped and Jaccard is recomputed over the SURVIVING sets —
+    * sizes recounted post-filter, exactly like the operator. */
+  private val JaccardCappedPairsSql =
+    s"$ShinglesCte, e AS (SELECT doc_id, unnest(sh) AS s FROM t), " +
+      "dfq AS (SELECT s, count(*) AS df FROM e GROUP BY 1), " +
+      "surv AS (SELECT e.doc_id, e.s FROM e JOIN dfq USING (s) WHERE df <= 4), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM surv GROUP BY 1) " +
+      "SELECT id_a, id_b, jaccard FROM (" +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(count(*) AS DOUBLE) / (any_value(sa.n) + any_value(sb.n) - count(*)) AS jaccard " +
+      "FROM surv a JOIN surv b ON a.s = b.s AND a.doc_id < b.doc_id " +
+      "JOIN sz sa ON sa.doc_id = a.doc_id JOIN sz sb ON sb.doc_id = b.doc_id " +
+      "GROUP BY a.doc_id, b.doc_id) WHERE jaccard >= 0.5"
+
   private val enStops = TextAnalysis.stopwords("en")
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
   private val LowerToks = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -143,16 +219,70 @@ object SparkEntry {
       "(acc, x) -> (acc * 1000003 + x) % 18446744073709551616) " +
       s"for i in range(greatest(len(bytes) - $window, 0) + 1)] END AS hashes FROM b)"
 
-  /** Mirror of Sampling.hashRaw/hashBucket(doc_id, 42); pmod spelled out
-    * since DuckDB's % keeps the dividend's sign. Seed 42 → both shifted
-    * residue offsets are 43. */
+  /** Mirror of Sampling.hashRaw(id, 42); pmod spelled out since DuckDB's %
+    * keeps the dividend's sign. Seed 42 → both shifted residue offsets are 43.
+    * The id expression must already be BIGINT-typed (products reach ~2⁴⁵). */
   private def pmSql(x: String, m: String) = s"((($x) % $m + $m) % $m)"
-  private val HashRaw = {
-    val t = pmSql(s"(${pmSql("doc_id", "1000003")} + 43) * (${pmSql("doc_id", "999983")} + 43)",
+  private def hashRawSql(id: String): String = {
+    val t = pmSql(s"(${pmSql(id, "1000003")} + 43) * (${pmSql(id, "999983")} + 43)",
       "2147483647")
     pmSql(s"${pmSql(s"$t * 48271", "2147483647")} * 48271", "2147483647")
   }
+  private val HashRaw = hashRawSql("doc_id")
   private val HashB = pmSql(HashRaw, Sampling.Buckets.toString)
+
+  // --- portable PolyHash64 mirror (HUGEINT mod-2⁶⁴ arithmetic) ---
+
+  private val Mod64 = "18446744073709551616" // 2^64
+  /** (z · c) mod 2⁶⁴ with every intermediate < 2⁹⁷ (HUGEINT is signed 128-bit;
+    * a direct product of two 64-bit values would overflow it): split c into
+    * 32-bit halves — z·cLo + ((z·cHi mod 2³²) << 32), all mod 2⁶⁴. */
+  private def mulMod64Sql(z: String, c: Long): String = {
+    val cHi = c >>> 32
+    val cLo = c & 0xffffffffL
+    s"((($z) * $cLo + (((($z) % 4294967296) * $cHi) % 4294967296) * 4294967296) % $Mod64)"
+  }
+
+  /** CTE chain `tok → … → ph(doc_id, h)`: one portable 64-bit token hash per
+    * (doc, whitespace token) — the exact DuckDB replay of
+    * [[graft.functions.PolyHash64]] (byte-polynomial fold then splitmix64,
+    * each mixer step its own CTE so the fold is never duplicated). Testdata
+    * text is ASCII, so the hex(encode(..)) byte list is the UTF-8 byte
+    * sequence the JVM hashes. */
+  private val PolyHashCte = {
+    import graft.functions.PolyHash64.{B, C1, C2}
+    "WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t " +
+      "FROM documents), " +
+      "hx AS (SELECT doc_id, hex(encode(t)) AS x FROM tok), " +
+      "byt AS (SELECT doc_id, [CAST(CAST('0x' || substr(x, 2*i+1, 2) AS INT) AS HUGEINT) " +
+      "for i in range(len(x)//2)] AS bytes FROM hx), " +
+      "f0 AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT), bytes), " +
+      s"(acc, b) -> (acc * $B + b) % $Mod64) AS z FROM byt), " +
+      "m1 AS (SELECT doc_id, xor(z, z >> 30) AS z FROM f0), " +
+      s"m2 AS (SELECT doc_id, ${mulMod64Sql("z", C1)} AS z FROM m1), " +
+      "m3 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM m2), " +
+      s"m4 AS (SELECT doc_id, ${mulMod64Sql("z", C2)} AS z FROM m3), " +
+      "ph AS (SELECT doc_id, xor(z, z >> 31) AS h FROM m4)"
+  }
+
+  /** SimHash pair mirror: 64 per-doc bit sums (±1 per token hash bit), then
+    * hamming = count of bits whose sums disagree in sign — identical to
+    * bit_count(xor) over the assembled signatures, without building a 64-bit
+    * value that would overflow BIGINT at bit 63. Pigeonhole banding on the
+    * Spark side is exact for maxHamming=3, so the oracle is simply ALL pairs
+    * with hamming ≤ 3. */
+  private val SimhashPairsSql = {
+    val bitSums = (0 until 64)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(", ")
+    val hamming = (0 until 64)
+      .map(i => s"(CASE WHEN (a.b$i > 0) <> (b.b$i > 0) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"$PolyHashCte, sig AS (SELECT doc_id, $bitSums FROM ph GROUP BY doc_id) " +
+      "SELECT id_a, id_b, hamming FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      s"CAST($hamming AS BIGINT) AS hamming FROM sig a JOIN sig b ON a.doc_id < b.doc_id) " +
+      "WHERE hamming <= 3"
+  }
 
   private val LangIdSql = {
     val hits = langStops.map { case (l, ws) =>
@@ -267,9 +397,15 @@ object SparkEntry {
     // ----- training-data-pipeline extensions -----
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5)),
+    // the 100 TB-safe path: hot shingles (df > 4) dropped, Jaccard over
+    // survivors — exercises the skew cap the uncapped flagship leaves off
+    "dedup_ngram_capped" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5, maxDocFreq = 4)),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), n = 3, k = 128, bands = 32, threshold = 0.5)),
-    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 3)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
     "dedup_cluster" -> ((s, dir) =>
       Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5))),
     // benchmark decontamination: docs sharing a word trigram with the held-out
@@ -446,6 +582,10 @@ object SparkEntry {
       ("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint, " +
         "MIN(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1"),
     "dedup_ngram" -> JaccardPairsSql,
+    "dedup_ngram_capped" -> JaccardCappedPairsSql,
+    "dedup_simhash" -> SimhashPairsSql,
+    "sim_ivf_topk" -> IvfTopkSql,
+    "sim_lsh_pairs" -> LshPairsSql,
     // transitive closure over the same pair set: component = min reachable id
     "dedup_cluster" ->
       (s"WITH RECURSIVE p AS ($JaccardPairsSql), edges AS (" +

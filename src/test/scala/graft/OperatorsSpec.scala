@@ -176,6 +176,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(scalar == fast)
   }
 
+  test("PolyHash64 matches an independent fold+splitmix64 reference") {
+    // independent reference: BigInt mod-2^64 arithmetic (no shared code with
+    // the expression's overflowing-long fold)
+    val M = BigInt(1) << 64
+    def ref(s: String): Long = {
+      val folded = s.getBytes("UTF-8").foldLeft(BigInt(0))((a, b) =>
+        (a * 1000003 + (b & 0xff)) mod M)
+      def xs(z: BigInt, n: Int) = z ^ (z >> n)
+      def mul(z: BigInt, c: BigInt) = (z * c) mod M
+      val z1 = mul(xs(folded, 30), BigInt("bf58476d1ce4e5b9", 16))
+      val z2 = mul(xs(z1, 27), BigInt("94d049bb133111eb", 16))
+      xs(z2, 31).longValue
+    }
+    val inputs = Seq("", "a", "hello", "the quick brown fox", "τoken-ütf8")
+    val got = inputs.toDF("s")
+      .select(graft.functions.HashExpressions.polyHash64($"s"))
+      .as[Long].collect()
+    assert(got.toSeq == inputs.map(ref))
+  }
+
   test("fast simhash signatures equal the scalar expression") {
     val scalar = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
       .as[(Long, Long)].collect().toMap
