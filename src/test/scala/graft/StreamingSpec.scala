@@ -100,6 +100,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("arrival-order delta/rate golden stream replicates reference first/last semantics") {
+    // one envelope per micro-batch = strict, reproducible arrival order; the
+    // arrival sequence deliberately disagrees with event-time order (the
+    // earliest-timestamped point arrives SECOND), so the reference's
+    // first-processed/last-processed semantics (aggregation/delta_metric.go:
+    // 28-30) produce a different answer than the event-time default
+    val base = 3000000000L
+    val dims = Map("service" -> "0", "hostname" -> "0")
+    val batches = Seq(
+      Seq(env("metric2", dims, (base + 5) * 1000.0, 2.0)), // first arrival
+      Seq(env("metric2", dims, (base + 1) * 1000.0, 6.0)), // earliest event time
+      Seq(env("metric2", dims, (base + 7) * 1000.0, 3.0)), // last arrival
+      Seq(env("metric2", dims, (base + 13) * 1000.0, 9.9))) // next window: closes w1
+    val drows = runStream(
+      agg2.copy(name = "ArrDelta", function = "delta_arrival",
+        aggregatedMetricName = "delta-arrival"), 10L, 2L, batches, "arr_delta")
+    // reference: last-arrived − first-arrived = 3.0 − 2.0 (event-time order
+    // would give 3.0 − 6.0 = −3.0)
+    assert(drows == Seq((dims, 1.0, base * 1000.0)))
+    val rrows = runStream(
+      agg2.copy(name = "ArrRate", function = "rate_arrival",
+        aggregatedMetricName = "rate-arrival"), 10L, 2L, batches, "arr_rate")
+    val expRate = (3.0 - 2.0) / ((((base + 7) * 1000.0) - ((base + 5) * 1000.0)) / 1000.0)
+    assert(rrows == Seq((dims, expRate, base * 1000.0)))
+  }
+
+  test("arrival-order single-point degenerates survive streaming state (kept reference bug)") {
+    // a window that only ever saw one point was never UpdateValue'd in the
+    // reference: delta = 0 − v, rate = v·1000/ts (SURVEY §2.1.1)
+    val base = 3100000000L
+    val dims = Map("service" -> "0", "hostname" -> "0")
+    val tsMs = (base + 5) * 1000.0
+    val batches = Seq(
+      Seq(env("metric2", dims, tsMs, 42.0)),
+      Seq(env("metric2", dims, (base + 13) * 1000.0, 1.0)))
+    val drows = runStream(
+      agg2.copy(name = "ArrDelta1", function = "delta_arrival",
+        aggregatedMetricName = "delta-arrival"), 10L, 2L, batches, "arr_delta1")
+    assert(drows == Seq((dims, -42.0, base * 1000.0)))
+    val rrows = runStream(
+      agg2.copy(name = "ArrRate1", function = "rate_arrival",
+        aggregatedMetricName = "rate-arrival"), 10L, 2L, batches, "arr_rate1")
+    assert(rrows == Seq((dims, (0.0 - 42.0) / ((0.0 - tsMs) / 1000.0), base * 1000.0)))
+  }
+
   test("streaming sessionization: sessions close when the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
