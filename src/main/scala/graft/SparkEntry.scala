@@ -174,6 +174,47 @@ object SparkEntry {
       "WHERE cosine >= 0.4"
   }
 
+  /** Repetition-signals mirror: every fraction is an exact integer ratio with
+    * the same op sequence as the operator, and the top-gram argmax uses the
+    * same lexicographic (count, gram length, gram) struct max. */
+  private val RepetitionSql = {
+    def gramCte(n: Int, cte: String): String =
+      s"$cte AS (SELECT doc_id, len, g, count(*) AS cnt FROM (" +
+        "SELECT doc_id, length(text) AS len, " +
+        s"unnest([array_to_string(toks[i:i+${n - 1}], ' ') " +
+        s"for i in generate_series(1, greatest(len(toks)-${n - 1}, 1))]) AS g " +
+        "FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks " +
+        "FROM d)) GROUP BY 1, 2, 3)"
+    def topCte(src: String, cte: String, outCol: String): String = {
+      val top = s"max({'c': cnt, 'gl': length(g), 'g': g})"
+      s"$cte AS (SELECT doc_id, CASE WHEN len > 0 THEN " +
+        s"CAST(($top).c * ($top).gl AS DOUBLE) / CAST(len AS DOUBLE) " +
+        s"ELSE 0.0 END AS $outCol FROM $src GROUP BY doc_id, len)"
+    }
+    "WITH d AS (SELECT doc_id, " +
+      "regexp_replace(text, '\\. ', '.' || chr(10), 'g') AS text FROM documents), " +
+      "l0 AS (SELECT doc_id, trim(x) AS line FROM (SELECT doc_id, " +
+      "unnest(string_split(text, chr(10))) AS x FROM d) WHERE length(trim(x)) > 0), " +
+      "lc AS (SELECT doc_id, line, count(*) AS cnt FROM l0 GROUP BY 1, 2), " +
+      "la AS (SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct, " +
+      "sum(cnt * length(line)) AS line_chars, " +
+      "sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) AS dup_line_chars " +
+      "FROM lc GROUP BY 1), " +
+      s"${gramCte(2, "g2c")}, ${topCte("g2c", "t2", "top2gram_char_frac")}, " +
+      s"${gramCte(3, "g3c")}, ${topCte("g3c", "t3", "top3gram_char_frac")} " +
+      "SELECT d.doc_id, CAST(COALESCE(n_lines, 0) AS BIGINT) AS n_lines, " +
+      "CASE WHEN COALESCE(n_lines, 0) > 0 THEN " +
+      "1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END " +
+      "AS dup_line_frac, " +
+      "CASE WHEN COALESCE(line_chars, 0) > 0 THEN " +
+      "CAST(dup_line_chars AS DOUBLE) / CAST(line_chars AS DOUBLE) ELSE 0.0 END " +
+      "AS dup_line_char_frac, " +
+      "COALESCE(top2gram_char_frac, 0.0) AS top2gram_char_frac, " +
+      "COALESCE(top3gram_char_frac, 0.0) AS top3gram_char_frac " +
+      "FROM d LEFT JOIN la USING (doc_id) LEFT JOIN t2 USING (doc_id) " +
+      "LEFT JOIN t3 USING (doc_id)"
+  }
+
   /** Capped n-gram Jaccard mirror (maxDocFreq=4): shingles in more than 4
     * docs are dropped and Jaccard is recomputed over the SURVIVING sets —
     * sizes recounted post-filter, exactly like the operator. */
@@ -447,6 +488,12 @@ object SparkEntry {
     // corpus statistics: top-20 bigrams by document frequency
     "text_topngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir), 2, 20)),
     "text_pii" -> ((s, dir) => TextAnalysis.piiCounts(docs(s, dir))),
+    // Gopher-style repetition signals; sentence boundaries become line breaks
+    // so the duplicate-line fractions see multi-line documents
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(
+        docs(s, dir).withColumn("text",
+          regexp_replace(col("text"), "\\. ", ".\n")))),
     "sample_bernoulli" -> ((s, dir) =>
       Sampling.sampleByHash(docs(s, dir), "doc_id", 0.25).select("doc_id")),
     "sample_split" -> ((s, dir) =>
@@ -628,6 +675,7 @@ object SparkEntry {
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint " +
         "FROM documents"),
     "text_langid" -> LangIdSql,
+    "text_repetition" -> RepetitionSql,
     "text_topngrams" ->
       (s"${shinglesCte(2, minToks = 2)} " +
         "SELECT ngram, df, rank FROM (SELECT ngram, df, " +

@@ -8,9 +8,12 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native expression producing the DISTINCT word n-gram shingles of a text
-  * (tokens = `\s+` split of the trimmed text; shingles joined with a single
-  * space; first-occurrence order, matching array_distinct).
+/** Native expression producing the word n-gram shingles of a text (tokens =
+  * `\s+` split of the trimmed text; shingles joined with a single space).
+  * `distinct = true` (the dedup default) keeps first occurrences only,
+  * matching array_distinct; `distinct = false` keeps every positional
+  * occurrence — the multiset repetition statistics (Gopher-style top-n-gram
+  * coverage) need.
   *
   * Why not `transform(sequence(...), i => array_join(slice(tokens, i, n)))`:
   * higher-order functions interpret their lambda per element — for shingling
@@ -21,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CodegenFallback only boxes this expression's eval; the surrounding stage
   * still whole-stage-codegens.
   */
-case class WordNGrams(child: Expression, n: Int)
+case class WordNGrams(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1, s"n must be >= 1, got $n")
@@ -38,6 +41,7 @@ case class WordNGrams(child: Expression, n: Int)
     val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
     val count = math.max(toks.length - n + 1, 1) // short texts yield one (short) shingle
     val seen = new java.util.LinkedHashSet[String](count * 2)
+    val all = if (distinct) null else new Array[Any](count)
     var i = 0
     while (i < count) {
       val sb = new java.lang.StringBuilder()
@@ -48,9 +52,11 @@ case class WordNGrams(child: Expression, n: Int)
         sb.append(toks(j))
         j += 1
       }
-      seen.add(sb.toString)
+      if (distinct) seen.add(sb.toString)
+      else all(i) = UTF8String.fromString(sb.toString)
       i += 1
     }
+    if (!distinct) return new GenericArrayData(all)
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var k = 0
@@ -66,4 +72,8 @@ object TextExpressions {
   /** Distinct word n-gram shingles as a codegen-compatible native expression. */
   def wordNGrams(text: Column, n: Int): Column =
     GraftBridge.column(WordNGrams(GraftBridge.expression(text), n))
+
+  /** Every positional word n-gram occurrence (multiset, in order). */
+  def wordNGramsAll(text: Column, n: Int): Column =
+    GraftBridge.column(WordNGrams(GraftBridge.expression(text), n, distinct = false))
 }

@@ -234,6 +234,65 @@ object TextAnalysis {
     top.withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** Gopher/MassiveText-style repetition signals (Rae et al. 2021, table A1):
+    * the document-level repetitiousness filters of a pretraining pipeline.
+    * Per document:
+    *  - `n_lines`: non-empty trimmed lines (`\n`-split)
+    *  - `dup_line_frac`: 1 − distinct/total lines (fraction of lines that
+    *    repeat an earlier line)
+    *  - `dup_line_char_frac`: characters inside lines whose text occurs more
+    *    than once, over all line characters
+    *  - `top2gram_char_frac` / `top3gram_char_frac`: characters covered by the
+    *    single most frequent word 2-/3-gram (count × gram length / text
+    *    length); ties break toward the longer, then lexicographically larger
+    *    gram — deterministic across engines
+    *
+    * Scale shape: two explode → partial-count → one exchange per signal
+    * family (lines, 2-grams, 3-grams), each keyed (doc_id, gram) with
+    * map-side combine collapsing within-doc repeats, then a per-doc argmax
+    * re-aggregation on the SAME key prefix (no second wide exchange) and
+    * broadcast-free equi-joins back on doc_id. Every fraction is an exact
+    * integer ratio — the DuckDB oracle reproduces it bit-for-bit. */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol))
+    val lineCounts = base.select(col(idCol),
+        explode(filter(transform(split(col(textCol), "\n"), l => trim(l)),
+          l => length(l) > 0)).as("line"))
+      .groupBy(idCol, "line").agg(count(lit(1)).as("cnt"))
+    val lineAgg = lineCounts.groupBy(idCol).agg(
+      sum("cnt").as("n_lines"),
+      count(lit(1)).as("n_distinct"),
+      sum(col("cnt") * length(col("line"))).as("line_chars"),
+      sum(when(col("cnt") > 1, col("cnt") * length(col("line")))
+        .otherwise(0L)).as("dup_line_chars"))
+    def topNgramFrac(n: Int, outCol: String): DataFrame =
+      base.select(col(idCol), length(col(textCol)).as("len"),
+          explode(graft.functions.TextExpressions.wordNGramsAll(col(textCol), n)).as("g"))
+        .groupBy(idCol, "len", "g").agg(count(lit(1)).as("cnt"))
+        .groupBy(idCol, "len")
+        .agg(max(struct(col("cnt").as("c"), length(col("g")).as("gl"),
+          col("g").as("g"))).as("top"))
+        .select(col(idCol),
+          when(col("len") > 0,
+            (col("top.c") * col("top.gl")).cast("double") / col("len").cast("double"))
+            .otherwise(lit(0.0)).as(outCol))
+    base.select(col(idCol))
+      .join(lineAgg, Seq(idCol), "left")
+      .join(topNgramFrac(2, "top2gram_char_frac"), Seq(idCol), "left")
+      .join(topNgramFrac(3, "top3gram_char_frac"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        when(coalesce(col("n_lines"), lit(0L)) > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_lines").cast("double"))
+          .otherwise(lit(0.0)).as("dup_line_frac"),
+        when(coalesce(col("line_chars"), lit(0L)) > 0,
+          col("dup_line_chars").cast("double") / col("line_chars").cast("double"))
+          .otherwise(lit(0.0)).as("dup_line_char_frac"),
+        coalesce(col("top2gram_char_frac"), lit(0.0)).as("top2gram_char_frac"),
+        coalesce(col("top3gram_char_frac"), lit(0.0)).as("top3gram_char_frac"))
+  }
+
   /** All signals over a `documents`-shaped table (doc_id, text, ...). */
   def analyze(docs: DataFrame): DataFrame =
     docs.select(

@@ -176,6 +176,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(scalar == fast)
   }
 
+  test("repetition signals match hand-computed Gopher-style fractions") {
+    // "a b\na b\nc d": 3 lines, 2 distinct → dup_line_frac = 1/3;
+    // dup lines hold 6 of 9 line chars → dup_line_char_frac = 2/3;
+    // 2-grams of [a b a b c d] = [a b, b a, a b, b c, c d] → top "a b" ×2,
+    // len("a b\na b\nc d") = 11 → top2 = 2·3/11
+    val d = Seq(
+      (1L, "a b\na b\nc d"),
+      (2L, "x y z"),     // no repeats: dup fracs 0, top2 = 3/5
+      (3L, ""),          // empty: all zeros
+      (4L, " \n \n ")).toDF("doc_id", "text") // whitespace lines drop
+    val rows = graft.operators.TextAnalysis.repetitionSignals(d)
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // 3-grams are all unique (count 1, length 5) → tie-break picks "b c d", 5/11
+    assert(rows(1L) == ((1L, 3L, 1.0 - 2.0 / 3.0, 6.0 / 9.0, 6.0 / 11.0, 5.0 / 11.0)))
+    assert(rows(2L) == ((2L, 1L, 0.0, 0.0, 3.0 / 5.0, 5.0 / 5.0)))
+    assert(rows(3L) == ((3L, 0L, 0.0, 0.0, 0.0, 0.0)))
+    assert(rows(4L) == ((4L, 0L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("PolyHash64 matches an independent fold+splitmix64 reference") {
     // independent reference: BigInt mod-2^64 arithmetic (no shared code with
     // the expression's overflowing-long fold)

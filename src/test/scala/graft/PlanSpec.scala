@@ -70,6 +70,29 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one corpus-side exchange (on doc ids):\n$plan")
   }
 
+  test("capped n-gram Jaccard broadcasts the hot-shingle set (anti-join, no extra corpus shuffle)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = executedPlan(graft.operators.Dedup.ngramJaccardPairs(
+      docs, 3, 0.5, maxDocFreq = 4))
+    // the df > cap set is tiny by construction (hot shingles only) — it must
+    // reach the corpus as a broadcast anti-join, never a shuffled join
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"hot-shingle filter is not a broadcast anti-join:\n$plan")
+  }
+
+  test("IVF corpus assignment is a narrow map (exchanges only for probe join and top-k)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = executedPlan(graft.operators.Similarity.ivfTopK(
+      emb.filter($"vec_id" < 3), emb, k = 4, nLists = 8, nProbe = 2))
+    // corpus-side cell assignment must be the argmax fold — a revert to the
+    // sorted-array assignment would drop array_max from the plan (the only
+    // array_sort allowed is the tiny query side's probe-prefix ranking)
+    assert(plan.contains("array_max"),
+      s"corpus assignment is not an argmax fold:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query rank not pre-limited:\n$plan")
+  }
+
   test("sequence packing shuffles once (on the shard) and keeps a streaming window frame") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
