@@ -174,10 +174,11 @@ object SparkEntry {
       "WHERE cosine >= 0.4"
   }
 
-  /** Repetition-signals mirror: every fraction is an exact integer ratio with
-    * the same op sequence as the operator, and the top-gram argmax uses the
-    * same lexicographic (count, gram length, gram) struct max. */
-  private val RepetitionSql = {
+  /** Shared CTE chain for the repetition-signals mirror: `d` (sentence
+    * boundaries → line breaks, matching the query-side regexp_replace),
+    * `la` (line multiset sums), `t2`/`t3` (top-gram coverage via the same
+    * lexicographic (count, gram length, gram) struct max as the operator). */
+  private val RepetitionCtes = {
     def gramCte(n: Int, cte: String): String =
       s"$cte AS (SELECT doc_id, len, g, count(*) AS cnt FROM (" +
         "SELECT doc_id, length(text) AS len, " +
@@ -201,19 +202,41 @@ object SparkEntry {
       "sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) AS dup_line_chars " +
       "FROM lc GROUP BY 1), " +
       s"${gramCte(2, "g2c")}, ${topCte("g2c", "t2", "top2gram_char_frac")}, " +
-      s"${gramCte(3, "g3c")}, ${topCte("g3c", "t3", "top3gram_char_frac")} " +
-      "SELECT d.doc_id, CAST(COALESCE(n_lines, 0) AS BIGINT) AS n_lines, " +
-      "CASE WHEN COALESCE(n_lines, 0) > 0 THEN " +
-      "1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END " +
-      "AS dup_line_frac, " +
+      s"${gramCte(3, "g3c")}, ${topCte("g3c", "t3", "top3gram_char_frac")}"
+  }
+
+  private val DupLineFracSql =
+    "CASE WHEN COALESCE(n_lines, 0) > 0 THEN " +
+      "1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END"
+
+  private val RepetitionJoins =
+    "FROM d LEFT JOIN la USING (doc_id) LEFT JOIN t2 USING (doc_id) " +
+      "LEFT JOIN t3 USING (doc_id)"
+
+  /** Repetition-signals mirror: every fraction is an exact integer ratio with
+    * the same op sequence as the operator. */
+  private val RepetitionSql =
+    s"$RepetitionCtes SELECT d.doc_id, CAST(COALESCE(n_lines, 0) AS BIGINT) AS n_lines, " +
+      s"$DupLineFracSql AS dup_line_frac, " +
       "CASE WHEN COALESCE(line_chars, 0) > 0 THEN " +
       "CAST(dup_line_chars AS DOUBLE) / CAST(line_chars AS DOUBLE) ELSE 0.0 END " +
       "AS dup_line_char_frac, " +
       "COALESCE(top2gram_char_frac, 0.0) AS top2gram_char_frac, " +
       "COALESCE(top3gram_char_frac, 0.0) AS top3gram_char_frac " +
-      "FROM d LEFT JOIN la USING (doc_id) LEFT JOIN t2 USING (doc_id) " +
-      "LEFT JOIN t3 USING (doc_id)"
-  }
+      RepetitionJoins
+
+  /** Quality-filter mirror: the same signal CTEs, reduced to the surviving
+    * doc ids under the default Gopher-style thresholds. LAZY because it
+    * interpolates TokN, declared further down — a strict val here captures
+    * null into the SQL string (Scala object vals initialize in declaration
+    * order). */
+  private lazy val QualityFilterSql =
+    s"$RepetitionCtes, tk AS (SELECT doc_id, $TokN AS n FROM d) " +
+      "SELECT d.doc_id " + RepetitionJoins + " JOIN tk USING (doc_id) " +
+      "WHERE n BETWEEN 15 AND 100000 " +
+      s"AND $DupLineFracSql <= 0.3 " +
+      "AND COALESCE(top2gram_char_frac, 0.0) <= 0.2 " +
+      "AND COALESCE(top3gram_char_frac, 0.0) <= 0.18"
 
   /** Capped n-gram Jaccard mirror (maxDocFreq=4): shingles in more than 4
     * docs are dropped and Jaccard is recomputed over the SURVIVING sets —
@@ -494,6 +517,13 @@ object SparkEntry {
       TextAnalysis.repetitionSignals(
         docs(s, dir).withColumn("text",
           regexp_replace(col("text"), "\\. ", ".\n")))),
+    // the end-to-end quality FILTER over the same signals (default thresholds
+    // drop ~9% of sf0.01 docs — a real split, not a no-op)
+    "text_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(
+        docs(s, dir).withColumn("text",
+          regexp_replace(col("text"), "\\. ", ".\n")))
+        .select("doc_id")),
     "sample_bernoulli" -> ((s, dir) =>
       Sampling.sampleByHash(docs(s, dir), "doc_id", 0.25).select("doc_id")),
     "sample_split" -> ((s, dir) =>
@@ -676,6 +706,7 @@ object SparkEntry {
         "FROM documents"),
     "text_langid" -> LangIdSql,
     "text_repetition" -> RepetitionSql,
+    "text_quality_filter" -> QualityFilterSql,
     "text_topngrams" ->
       (s"${shinglesCte(2, minToks = 2)} " +
         "SELECT ngram, df, rank FROM (SELECT ngram, df, " +

@@ -293,6 +293,31 @@ object TextAnalysis {
         coalesce(col("top3gram_char_frac"), lit(0.0)).as("top3gram_char_frac"))
   }
 
+  /** Gopher-style document QUALITY FILTER: keeps documents passing the
+    * repetition and length rules (Rae et al. 2021 §A1.1 subset — token-count
+    * bounds, duplicate-line fraction, top 2-/3-gram character coverage).
+    * Returns the surviving rows with their original columns.
+    *
+    * Scale shape: [[repetitionSignals]]'s aggregations plus one equi-join
+    * back to the input on the id — the filter itself is a narrow predicate.
+    * Thresholds are the published Gopher defaults where our signal exists. */
+  def qualityFilter(docs: DataFrame,
+      minTokens: Long = 15, maxTokens: Long = 100000,
+      maxDupLineFrac: Double = 0.3,
+      maxTop2gramCharFrac: Double = 0.20,
+      maxTop3gramCharFrac: Double = 0.18,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sig = repetitionSignals(docs, idCol, textCol)
+      .select(col(idCol), col("dup_line_frac"),
+        col("top2gram_char_frac"), col("top3gram_char_frac"))
+    docs.join(sig, Seq(idCol))
+      .filter(tokenCount(col(textCol)).cast("long").between(minTokens, maxTokens)
+        && col("dup_line_frac") <= maxDupLineFrac
+        && col("top2gram_char_frac") <= maxTop2gramCharFrac
+        && col("top3gram_char_frac") <= maxTop3gramCharFrac)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** All signals over a `documents`-shaped table (doc_id, text, ...). */
   def analyze(docs: DataFrame): DataFrame =
     docs.select(

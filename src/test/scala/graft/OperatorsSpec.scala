@@ -196,6 +196,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(4L) == ((4L, 0L, 0.0, 0.0, 0.0, 0.0)))
   }
 
+  test("quality filter drops short, line-duplicated and gram-repetitious docs") {
+    val good = (1 to 20).map(i => s"w$i").mkString(" ") // 20 distinct tokens
+    val d = Seq(
+      (1L, good),                                // passes every rule
+      (2L, "too short"),                         // n_tokens < 15
+      (3L, (good + "\n") * 3 + good),            // 4 identical lines → dup_line_frac 0.75
+      (4L, Seq.fill(20)("spam spam").mkString(" "))) // one dominant 2-gram
+      .toDF("doc_id", "text")
+    val kept = graft.operators.TextAnalysis.qualityFilter(d)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+    // thresholds are parameters, not constants: loosening them re-admits docs
+    // (top-gram coverage can exceed 1.0 — overlapping occurrences count their
+    // characters once per occurrence — so "no limit" means a value above 2)
+    val loose = graft.operators.TextAnalysis.qualityFilter(d,
+      minTokens = 1, maxDupLineFrac = 1.0, maxTop2gramCharFrac = 10.0,
+      maxTop3gramCharFrac = 10.0).select("doc_id").as[Long].collect().toSet
+    assert(loose == Set(1L, 2L, 3L, 4L))
+  }
+
   test("PolyHash64 matches an independent fold+splitmix64 reference") {
     // independent reference: BigInt mod-2^64 arithmetic (no shared code with
     // the expression's overflowing-long fold)
