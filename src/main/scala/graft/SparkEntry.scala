@@ -90,14 +90,19 @@ object SparkEntry {
     s"(CASE WHEN max($TsMs) = min($TsMs) THEN 0.0 " +
       s"ELSE $DeltaAgg / ((max($TsMs) - min($TsMs)) / 1000) END)"
 
-  /** Distinct word n-gram shingle CTE (the single mirror of
-    * Dedup.wordShingles / WordNGrams — never duplicate this inline).
-    * `minToks > 0` drops docs with fewer tokens (empty text trims to a
-    * single-element [''], so it is dropped by any minToks >= 2, matching
-    * tokenCount == 0 on the Spark side). */
+  /** The positional word n-gram list comprehension over `toks` — THE single
+    * SQL mirror of WordNGrams' slice loop; every n-gram-consuming oracle
+    * (shingles, repetition grams) builds on this one string. */
+  private def ngramsOfToks(n: Int): String =
+    s"[array_to_string(toks[i:i+${n - 1}], ' ') " +
+      s"for i in generate_series(1, greatest(len(toks)-${n - 1}, 1))]"
+
+  /** Distinct word n-gram shingle CTE (mirror of Dedup.wordShingles —
+    * `ngramsOfToks` + list_distinct). `minToks > 0` drops docs with fewer
+    * tokens (empty text trims to a single-element [''], so it is dropped by
+    * any minToks >= 2, matching tokenCount == 0 on the Spark side). */
   private def shinglesCte(n: Int, minToks: Int = 0): String =
-    s"WITH t AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+${n - 1}], ' ') " +
-      s"for i in generate_series(1, greatest(len(toks)-${n - 1}, 1))]) AS sh " +
+    s"WITH t AS (SELECT doc_id, list_distinct(${ngramsOfToks(n)}) AS sh " +
       "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)" +
       (if (minToks > 0) s" WHERE len(toks) >= $minToks" else "") + ")"
 
@@ -182,8 +187,7 @@ object SparkEntry {
     def gramCte(n: Int, cte: String): String =
       s"$cte AS (SELECT doc_id, len, g, count(*) AS cnt FROM (" +
         "SELECT doc_id, length(text) AS len, " +
-        s"unnest([array_to_string(toks[i:i+${n - 1}], ' ') " +
-        s"for i in generate_series(1, greatest(len(toks)-${n - 1}, 1))]) AS g " +
+        s"unnest(${ngramsOfToks(n)}) AS g " +
         "FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks " +
         "FROM d)) GROUP BY 1, 2, 3)"
     def topCte(src: String, cte: String, outCol: String): String = {

@@ -38,9 +38,19 @@ case class WordNGrams(child: Expression, n: Int, distinct: Boolean = true)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    // EXACTLY TextAnalysis.tokens' semantics — SQL trim strips SPACES only
+    // (not Java trim's full whitespace) and SQL split keeps leading/trailing
+    // empty tokens; DuckDB's trim + string_split_regex behave identically, so
+    // every engine sees the same token list for every input, including texts
+    // with edge newlines/tabs
+    val str = input.asInstanceOf[UTF8String].toString
+    var s = 0
+    var e = str.length
+    while (s < e && str.charAt(s) == ' ') s += 1
+    while (e > s && str.charAt(e - 1) == ' ') e -= 1
+    val toks = WordNGrams.Ws.split(str.substring(s, e), -1)
     val count = math.max(toks.length - n + 1, 1) // short texts yield one (short) shingle
-    val seen = new java.util.LinkedHashSet[String](count * 2)
+    val seen = if (distinct) new java.util.LinkedHashSet[String](count * 2) else null
     val all = if (distinct) null else new Array[Any](count)
     var i = 0
     while (i < count) {
@@ -66,6 +76,10 @@ case class WordNGrams(child: Expression, n: Int, distinct: Boolean = true)
 
   override protected def withNewChildInternal(newChild: Expression): WordNGrams =
     copy(child = newChild)
+}
+
+object WordNGrams {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
 }
 
 object TextExpressions {

@@ -42,16 +42,25 @@ object GapFill {
       .drop("agg_value")
   }
 
-  /** Windows per exploded chunk: bounds the biggest single-row array the grid
-    * generator ever materializes (32 KB of longs), so one sparse group with a
-    * years-long span and 1-second windows can never build a multi-hundred-MB
-    * sequence() or trip Spark's array length cap. */
+  /** Windows per exploded chunk: bounds the inner sequence() arrays at 32 KB
+    * of longs. The coarse chunk list is still one array per group (span /
+    * ChunkWindows elements), so [[MaxWindows]] caps total span. */
   private val ChunkWindows = 4096L
+
+  /** Hard ceiling on a single group's window count (lo→hi span / window
+    * size). 2³⁰ windows ≈ 34 years of 1-second windows, and keeps the coarse
+    * chunk array ≤ 2²⁸ longs (2 MB). A span beyond this is a data bug (e.g.
+    * epoch MILLISECONDS landing in a seconds column inflates the span
+    * 1000×) — fail loudly per offending group instead of OOMing an executor
+    * on a multi-GB array. */
+  private val MaxWindows = 1L << 30
 
   /** Left-join the observed aggregates onto each group's complete window
     * grid; absent windows have null `agg_value`. The grid is generated in two
     * explode levels — coarse chunks first, then ≤ [[ChunkWindows]] windows per
-    * chunk — keeping per-row memory O(ChunkWindows) regardless of span. */
+    * chunk — keeping per-row memory O(span / ChunkWindows) for the chunk list
+    * and O(ChunkWindows) for each grid piece, with [[MaxWindows]] bounding
+    * the span itself. */
   private def dense(grouped: DataFrame, windowSizeSec: Long,
       groupCols: Seq[String]): DataFrame = {
     require(windowSizeSec >= 1, s"windowSizeSec must be >= 1, got $windowSizeSec")
@@ -60,6 +69,12 @@ object GapFill {
         :+ col("agg_value")): _*)
     val spans = obs.groupBy(groupCols.map(col): _*)
       .agg(min(col("window_start")).as("lo"), max(col("window_start")).as("hi"))
+      .withColumn("hi", when(
+        (col("hi") - col("lo")) / lit(windowSizeSec) < lit(MaxWindows), col("hi"))
+        .otherwise(raise_error(concat(
+          lit(s"GapFill: group span exceeds $MaxWindows windows of " +
+            s"$windowSizeSec s (lo="), col("lo"), lit(", hi="), col("hi"),
+          lit(") — timestamp-unit data bug?"))).cast("long")))
     val chunkSpan = ChunkWindows * windowSizeSec
     val chunks = spans.select(
       (groupCols.map(col) :+ col("hi") :+

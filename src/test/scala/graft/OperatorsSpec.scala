@@ -193,7 +193,11 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(1L) == ((1L, 3L, 1.0 - 2.0 / 3.0, 6.0 / 9.0, 6.0 / 11.0, 5.0 / 11.0)))
     assert(rows(2L) == ((2L, 1L, 0.0, 0.0, 3.0 / 5.0, 5.0 / 5.0)))
     assert(rows(3L) == ((3L, 0L, 0.0, 0.0, 0.0, 0.0)))
-    assert(rows(4L) == ((4L, 0L, 0.0, 0.0, 0.0, 0.0)))
+    // " \n \n " space-trims to "\n \n" → two empty tokens (SQL split keeps
+    // edge empties) → the only gram is the joining " " → 1 char of 5 = 0.2;
+    // DuckDB computes the identical value — pinned here so a revert to Java
+    // trim (which gave 0.0) fails this test
+    assert(rows(4L) == ((4L, 0L, 0.0, 0.0, 1.0 / 5.0, 1.0 / 5.0)))
   }
 
   test("quality filter drops short, line-duplicated and gram-repetitious docs") {
@@ -216,24 +220,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(loose == Set(1L, 2L, 3L, 4L))
   }
 
-  test("PolyHash64 matches an independent fold+splitmix64 reference") {
-    // independent reference: BigInt mod-2^64 arithmetic (no shared code with
-    // the expression's overflowing-long fold)
-    val M = BigInt(1) << 64
-    def ref(s: String): Long = {
-      val folded = s.getBytes("UTF-8").foldLeft(BigInt(0))((a, b) =>
-        (a * 1000003 + (b & 0xff)) mod M)
-      def xs(z: BigInt, n: Int) = z ^ (z >> n)
-      def mul(z: BigInt, c: BigInt) = (z * c) mod M
-      val z1 = mul(xs(folded, 30), BigInt("bf58476d1ce4e5b9", 16))
-      val z2 = mul(xs(z1, 27), BigInt("94d049bb133111eb", 16))
-      xs(z2, 31).longValue
-    }
+  test("WordNGrams agrees with tokens() split semantics on edge whitespace") {
+    // SQL trim strips spaces ONLY and SQL split keeps leading/trailing empty
+    // tokens; the native expression must agree for every input or the DuckDB
+    // mirrors (same trim+split) silently diverge on texts with edge newlines
+    import graft.operators.TextAnalysis.tokens
+    val d = Seq("hi.\n", "\nhi.", "a b ", " a b", "\t a \n", "\n", "")
+      .toDF("text")
+    val viaTokens = d.select(
+      transform(sequence(lit(1), greatest(size(tokens($"text")) - 1, lit(1))),
+        i => array_join(slice(tokens($"text"), i, lit(2)), " ")).as("g"))
+      .as[Seq[String]].collect().toSeq
+    val viaNative = d
+      .select(graft.functions.TextExpressions.wordNGramsAll($"text", 2))
+      .as[Seq[String]].collect().toSeq
+    assert(viaNative == viaTokens)
+  }
+
+  test("PolyHash64 matches the independent fold+splitmix64 reference") {
     val inputs = Seq("", "a", "hello", "the quick brown fox", "τoken-ütf8")
     val got = inputs.toDF("s")
       .select(graft.functions.HashExpressions.polyHash64($"s"))
       .as[Long].collect()
-    assert(got.toSeq == inputs.map(ref))
+    assert(got.toSeq == inputs.map(TestRefs.polyHash64))
   }
 
   test("fast simhash signatures equal the scalar expression") {

@@ -126,19 +126,9 @@ object PropertySpec extends Properties("graft") {
   property("PolyHash64 equals the BigInt mod-2^64 reference ∀ unicode string") =
     forAll(Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumStr,
       Gen.listOf(Gen.choose(Char.MinValue, '퟿')).map(_.mkString)))) { ss =>
-      val M = BigInt(1) << 64
-      def ref(s: String): Long = {
-        val folded = s.getBytes("UTF-8").foldLeft(BigInt(0))((a, b) =>
-          (a * 1000003 + (b & 0xff)) mod M)
-        def xs(z: BigInt, n: Int) = z ^ (z >> n)
-        def mul(z: BigInt, c: BigInt) = (z * c) mod M
-        val z1 = mul(xs(folded, 30), BigInt("bf58476d1ce4e5b9", 16))
-        val z2 = mul(xs(z1, 27), BigInt("94d049bb133111eb", 16))
-        xs(z2, 31).longValue
-      }
       val got = ss.toDF("s")
         .select(graft.functions.HashExpressions.polyHash64(col("s")))
         .as[Long].collect().toSeq
-      got == ss.map(ref)
+      got == ss.map(TestRefs.polyHash64)
     }
 }
