@@ -498,6 +498,13 @@ object SparkEntry {
           k = 5, nLists = 16, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
           round(col("cosine"), 4).as("cosine"))),
+    // int8 quantization, flattened to (vector, slot) rows so the driver's
+    // scalar hasher can compare every quantized value and scale exactly
+    "emb_quantize" -> ((s, dir) =>
+      Similarity.quantize(emb(s, dir))
+        .select(col("vec_id"), col("scale"), posexplode(col("qvec")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col").as("q"), col("scale"))),
     "text_stats" -> ((s, dir) => TextAnalysis.analyze(docs(s, dir))),
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -666,6 +673,16 @@ object SparkEntry {
     "dedup_ngram_capped" -> JaccardCappedPairsSql,
     "dedup_simhash" -> SimhashPairsSql,
     "sim_ivf_topk" -> IvfTopkSql,
+    // same double ops as Similarity.quantize: max|x|/127 scale, then
+    // floor(x/scale + 0.5) per slot — exact integers, identical doubles
+    "emb_quantize" ->
+      ("SELECT vec_id, CAST(i AS BIGINT) AS pos, " +
+        "CAST(CASE WHEN scale > 0 THEN floor(dv[i + 1] / scale + 0.5) " +
+        "ELSE 0 END AS BIGINT) AS q, scale " +
+        "FROM (SELECT vec_id, dv, " +
+        "list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale " +
+        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings)), " +
+        "LATERAL (SELECT unnest(generate_series(0, len(dv) - 1)) AS i)"),
     "sim_lsh_pairs" -> LshPairsSql,
     // transitive closure over the same pair set: component = min reachable id
     "dedup_cluster" ->

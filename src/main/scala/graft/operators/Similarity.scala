@@ -105,6 +105,32 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|x| / 127, slot
+    * q_i = floor(x_i/scale + 0.5) ∈ [−127, 127] (round-half-up spelled as
+    * floor so every engine computes the identical integer — no banker's-
+    * rounding ambiguity). Zero vectors quantize to all-zero with scale 0.
+    * A narrow map — 4× smaller embedding storage and int-arithmetic
+    * candidate scoring for 100 TB ANN corpora; exactness is bounded by
+    * |dequantize − x| ≤ scale/2 per slot (pinned by OperatorsSpec).
+    * Output: (idCol, scale, qvec array<long>). */
+  def quantize(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = toDoubleVec(col(vecCol))
+    emb.select(col(idCol), v.as("_v"))
+      .select(col(idCol), (array_max(transform(col("_v"), x => abs(x))) / lit(127.0)).as("scale"),
+        col("_v"))
+      .select(col(idCol), col("scale"),
+        when(col("scale") > 0,
+          transform(col("_v"), x => floor(x / col("scale") + lit(0.5)).cast("long")))
+          .otherwise(transform(col("_v"), _ => lit(0L))).as("qvec"))
+  }
+
+  /** Inverse of [[quantize]]: q_i · scale, an `array<double>` usable by every
+    * operator above (dot products, LSH, IVF) at reduced precision. */
+  def dequantize(quantized: DataFrame, idCol: String = "vec_id"): DataFrame =
+    quantized.select(col(idCol),
+      transform(col("qvec"), q => q.cast("double") * col("scale")).as("embedding"))
+
   /** Deterministic pseudo-random unit hyperplanes (seeded), built at
     * plan-construction time and shipped as a literal — reproducible across
     * runs and executors (and embeddable verbatim in the DuckDB oracle SQL,

@@ -220,6 +220,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(loose == Set(1L, 2L, 3L, 4L))
   }
 
+  test("int8 quantization round-trips within scale/2 per slot; zero vectors survive") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .unionByName(Seq((9999L, Array.fill(4)(0f))).toDF("vec_id", "embedding"))
+    val q = graft.operators.Similarity.quantize(emb)
+    // every slot is an integer in [-127, 127]
+    val bounds = q.select(explode($"qvec").as("q")).agg(min($"q"), max($"q"))
+      .as[(Long, Long)].head()
+    assert(bounds._1 >= -127 && bounds._2 <= 127)
+    // |dequantized − original| ≤ scale/2 per slot
+    val err = graft.operators.Similarity.dequantize(q)
+      .withColumnRenamed("embedding", "deq")
+      .join(emb, "vec_id")
+      .join(q.select($"vec_id", $"scale"), "vec_id")
+      .select(max(expr(
+        "aggregate(zip_with(deq, cast(embedding as array<double>), (a, b) -> abs(a - b)), " +
+          "0d, (acc, x) -> greatest(acc, x)) - scale / 2")))
+      .as[Double].head()
+    assert(err <= 1e-12, s"round-trip error exceeds scale/2 by $err")
+    // the all-zero vector quantizes to zeros with scale 0
+    val z = q.filter($"vec_id" === 9999L).select($"scale", $"qvec")
+      .as[(Double, Seq[Long])].head()
+    assert(z._1 == 0.0 && z._2 == Seq(0L, 0L, 0L, 0L))
+  }
+
   test("WordNGrams agrees with tokens() split semantics on edge whitespace") {
     // SQL trim strips spaces ONLY and SQL split keeps leading/trailing empty
     // tokens; the native expression must agree for every input or the DuckDB
