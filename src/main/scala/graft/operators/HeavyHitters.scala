@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Windowed heavy hitters — a graft extension on the metrics side: the top-k
   * values of a dimension by event count per (tumbling window, tenant). The
@@ -34,5 +35,74 @@ object HeavyHitters {
       .filter(col("rank") <= k)
       .select(col("w.start").cast("long").as("window_start"),
         col("tenant_id"), col("value"), col("n"), col("rank"))
+  }
+
+  /** One emitted heavy-hitter row (same shape as [[byWindow]]'s output). */
+  case class HeavyHitter(window_start: Long, tenant_id: String, value: String,
+      n: Long, rank: Long)
+
+  /** STREAMING top-k per (window, tenant) via `flatMapGroupsWithState` —
+    * custom bounded state where Spark's built-in streaming ops can't express
+    * the semantics: a rank needs the window CLOSED, so counts accumulate in
+    * state and the top-k is emitted exactly once, when the event-time timeout
+    * fires (watermark past the window end).
+    *
+    * State per (window, tenant) is a count map capped at `maxTracked`
+    * entries using the space-saving rule (Metwally et al. 2005: a new value
+    * past the cap replaces the current minimum and inherits its count + 1).
+    * Top-k is EXACT while a group's distinct-value cardinality stays ≤
+    * maxTracked, and a bounded-error approximation beyond — state is O(k)
+    * per open window regardless of stream cardinality, which is what makes
+    * this runnable forever at 100 TB/day. Late rows are dropped by the
+    * watermark before reaching the state function. */
+  def byWindowStreaming(envs: DataFrame, windowSizeSec: Long, dimKey: String,
+      k: Int, lagSec: Long, maxTracked: Int = 4096): Dataset[HeavyHitter] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxTracked >= k, s"maxTracked=$maxTracked must be >= k=$k")
+    val spark = envs.sparkSession
+    import spark.implicits._
+    val prepared = envs.select(
+        col("meta").getItem("tenantId").as("tenant_id"),
+        col("metric.dimensions").getItem(dimKey).as("value"),
+        (col("metric.timestamp") / 1000).cast("timestamp").as("event_ts"))
+      .filter(col("value").isNotNull)
+      .withWatermark("event_ts", s"$lagSec seconds")
+      .withColumn("window_start",
+        (floor(col("event_ts").cast("double") / windowSizeSec) * windowSizeSec)
+          .cast("long"))
+      // event_ts rides along: the watermarked attribute must be present in
+      // flatMapGroupsWithState's input for event-time timeouts to resolve
+      .select("window_start", "tenant_id", "value", "event_ts")
+      .as[(Long, String, String, java.sql.Timestamp)]
+    prepared.groupByKey { case (w, t, _, _) => (w, t) }
+      .flatMapGroupsWithState[Map[String, Long], HeavyHitter](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((w, t), rows, state) =>
+          if (state.hasTimedOut) {
+            val top = state.get.toSeq.sortBy { case (v, n) => (-n, v) }.take(k)
+            state.remove()
+            top.zipWithIndex.iterator.map { case ((v, n), i) =>
+              HeavyHitter(w, t, v, n, i + 1L)
+            }
+          } else {
+            var counts = state.getOption.getOrElse(Map.empty[String, Long])
+            rows.foreach { case (_, _, v, _) =>
+              counts.get(v) match {
+                case Some(n) => counts = counts.updated(v, n + 1)
+                case None if counts.size < maxTracked =>
+                  counts = counts.updated(v, 1L)
+                case None => // space-saving: evict the minimum, inherit its count
+                  val (mv, mn) = counts.minBy { case (value, n) => (n, value) }
+                  counts = counts - mv + (v -> (mn + 1))
+              }
+            }
+            state.update(counts)
+            // fire when the watermark passes the window end; the max() guard
+            // keeps the timestamp legal if this window was already near-late
+            state.setTimeoutTimestamp(math.max((w + windowSizeSec) * 1000,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
   }
 }

@@ -145,6 +145,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(rrows == Seq((dims, (0.0 - 42.0) / ((0.0 - tsMs) / 1000.0), base * 1000.0)))
   }
 
+  test("streaming heavy hitters: top-k emitted once when the watermark closes the window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 3200000000L
+    def ev(user: String, sec: Long) = env("metric2",
+      Map("user_id" -> user, "service" -> "0", "hostname" -> "0"),
+      (base + sec) * 1000.0, 1.0)
+    val input = MemoryStream[MetricEnvelope]
+    val out = graft.operators.HeavyHitters.byWindowStreaming(
+      input.toDF(), windowSizeSec = 10L, dimKey = "user_id", k = 2, lagSec = 2L)
+    val q = out.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("append").start()
+    try {
+      // window [base, base+10): a×3, b×2, c×1
+      input.addData(Seq(ev("a", 1), ev("b", 2), ev("a", 3)))
+      q.processAllAvailable()
+      input.addData(Seq(ev("c", 4), ev("a", 5), ev("b", 6)))
+      q.processAllAvailable()
+      assert(spark.table("hh_stream").count() == 0) // window still open
+      // advance the watermark past window end + lag → exactly-once emission
+      input.addData(Seq(ev("z", 20)))
+      q.processAllAvailable()
+      val rows = spark.table("hh_stream")
+        .as[(Long, String, String, Long, Long)].collect().toSet
+      assert(rows == Set(
+        (base, "tenant-a", "a", 3L, 1L),
+        (base, "tenant-a", "b", 2L, 2L)))
+      // advancing further must not re-emit window 1 (state removed on
+      // timeout); the z-probe's own later window emitting is expected
+      input.addData(Seq(ev("z", 40)))
+      q.processAllAvailable()
+      assert(spark.table("hh_stream")
+        .filter($"window_start" === base).count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming sessionization: sessions close when the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
