@@ -519,6 +519,13 @@ object SparkEntry {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"), sum(length(col("chunk"))).as("total_len"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langIdByJoin(docs(s, dir))),
+    // token-budget chunking: 64-token windows, 16-token overlap; md5 keeps
+    // the compared payload small while pinning every chunk boundary
+    "text_chunk_tokens" -> ((s, dir) =>
+      TextAnalysis.chunkByTokens(docs(s, dir), 64, 16)
+        .select(col("doc_id"), col("chunk_id"),
+          md5(col("chunk_text")).as("chunk_md5"),
+          length(col("chunk_text")).cast("long").as("chunk_len"))),
     // corpus statistics: top-20 bigrams by document frequency
     "text_topngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir), 2, 20)),
     "text_pii" -> ((s, dir) => TextAnalysis.piiCounts(docs(s, dir))),
@@ -771,6 +778,17 @@ object SparkEntry {
         "SELECT doc_id, CAST(len(chunk_lens) AS BIGINT) AS n_chunks, " +
         "CAST(COALESCE(list_sum(chunk_lens), 0) AS BIGINT) AS total_len " +
         "FROM ch WHERE len(chunk_lens) > 0"),
+    // chunk math: stride 48, nc = max(ceil((n-16)/48), 1), chunk i covers
+    // 1-based token slots [i·48+1, i·48+64] — all integer arithmetic
+    "text_chunk_tokens" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks " +
+        s"FROM documents WHERE $TokN > 0), " +
+        "c AS (SELECT doc_id, toks, greatest((len(toks) - 16 + 47) // 48, 1) AS nc FROM t), " +
+        "e AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS chunk_id FROM c) " +
+        "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
+        "md5(array_to_string(toks[chunk_id*48 + 1 : chunk_id*48 + 64], ' ')) AS chunk_md5, " +
+        "CAST(length(array_to_string(toks[chunk_id*48 + 1 : chunk_id*48 + 64], ' ')) AS BIGINT) " +
+        "AS chunk_len FROM e"),
     "text_tokens" ->
       (s"SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($RawToks) END AS BIGINT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[^a-zA-Z\\s]+')) AS BIGINT) AS n_bpeish " +

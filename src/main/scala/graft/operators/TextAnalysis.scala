@@ -293,6 +293,37 @@ object TextAnalysis {
         coalesce(col("top3gram_char_frac"), lit(0.0)).as("top3gram_char_frac"))
   }
 
+  /** Token-window chunking with overlap — the RAG/pretraining document
+    * splitter (fixed `chunkSize`-token windows advancing by `chunkSize −
+    * overlap`, so consecutive chunks share exactly `overlap` tokens). The
+    * byte-level content-defined chunker above cuts where the CONTENT says so;
+    * this one cuts where the TOKEN BUDGET says so. Empty documents produce no
+    * chunks. Output: (idCol, chunk_id, chunk_text).
+    *
+    * Scale shape: a narrow map (tokenize + per-row sequence explode) — rows
+    * out ∝ chunks, no shuffle, no state; all integer arithmetic, so the
+    * DuckDB oracle reproduces every chunk boundary exactly. */
+  def chunkByTokens(docs: DataFrame, chunkSize: Int, overlap: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    docs.filter(tokenCount(col(textCol)) > 0)
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      // ceil((n − overlap) / stride) chunks, at least 1 (integer ceil spelled
+      // as (x + stride − 1) div stride so both engines compute it identically;
+      // `div` not `/` — Column division on longs is DOUBLE division)
+      .withColumn("_nc", greatest(
+        expr(s"(_n - $overlap + ${stride - 1}) div ${stride}L"), lit(1L)))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("_nc") - 1)))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("_toks"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
   /** Gopher-style document QUALITY FILTER: keeps documents passing the
     * repetition and length rules (Rae et al. 2021 §A1.1 subset — token-count
     * bounds, duplicate-line fraction, top 2-/3-gram character coverage).

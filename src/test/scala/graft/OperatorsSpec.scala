@@ -220,6 +220,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(loose == Set(1L, 2L, 3L, 4L))
   }
 
+  test("token chunking: fixed windows advancing by chunkSize − overlap") {
+    // 10 tokens, size 4, overlap 1 → stride 3, ceil(9/3)=3 chunks, each
+    // consecutive pair sharing exactly one token; empty docs emit nothing;
+    // short docs emit one (short) chunk
+    val d = Seq((1L, (1 to 10).map("t" + _).mkString(" ")), (2L, ""), (3L, "a"))
+      .toDF("doc_id", "text")
+    val rows = graft.operators.TextAnalysis.chunkByTokens(d, 4, 1)
+      .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(rows == Seq(
+      (1L, 0L, "t1 t2 t3 t4"),
+      (1L, 1L, "t4 t5 t6 t7"),
+      (1L, 2L, "t7 t8 t9 t10"),
+      (3L, 0L, "a")))
+  }
+
   test("int8 quantization round-trips within scale/2 per slot; zero vectors survive") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
