@@ -447,6 +447,9 @@ object SparkEntry {
     "d2_heavyhitters" -> ((s, dir) =>
       HeavyHitters.byWindow(envs(s, dir), DAY, "user_id", 5)
         .withColumnRenamed("value", "user_id")),
+    // D4 — graft extension: exact distinct active users per (day, tenant)
+    "d4_distinct" -> ((s, dir) =>
+      HeavyHitters.distinctByWindow(envs(s, dir), DAY, "user_id")),
     // D3 — graft extension: dense hourly series (zero-filled gaps) of
     // per-tenant signup counts
     "d3_gapfill" -> ((s, dir) =>
@@ -659,6 +662,10 @@ object SparkEntry {
       (s"SELECT doc_id, source FROM documents WHERE $HashB < " +
         s"(CASE WHEN source = 'src0' THEN ${Sampling.Buckets} " +
         s"WHEN source = 'src1' THEN ${(0.5 * Sampling.Buckets).toLong} ELSE 0 END)"),
+    "d4_distinct" ->
+      (s"SELECT ${wstart(DAY)} AS window_start, $Tenant AS tenant_id, " +
+        "count(DISTINCT CAST(user_id AS VARCHAR)) AS n_distinct " +
+        "FROM events GROUP BY 1, 2"),
     "d3_gapfill" ->
       (s"WITH a AS (SELECT ${wstart(HOUR)} AS window_start, $Tenant AS tenant_id, " +
         "CAST(count(*) AS DOUBLE) AS v FROM events WHERE event_type = 'signup' " +

@@ -37,6 +37,37 @@ object HeavyHitters {
         col("tenant_id"), col("value"), col("n"), col("rank"))
   }
 
+  /** Exact distinct dimension-value count per (window, tenant) — "how many
+    * active users this hour". Spark plans the distinct aggregate as two
+    * partial hash aggregations (dedup on (window, tenant, value), then
+    * count), both map-side combined — the exchange carries distinct triples,
+    * not events. For stream-cardinality scale use [[approxDistinctByWindow]]:
+    * HyperLogLog++ state is O(1) per group instead of O(distinct values). */
+  def distinctByWindow(envs: DataFrame, windowSizeSec: Long, dimKey: String): DataFrame =
+    prepared(envs, dimKey)
+      .groupBy(window(col("event_ts"), s"$windowSizeSec seconds").as("w"), col("tenant_id"))
+      .agg(count_distinct(col("value")).as("n_distinct"))
+      .select(col("w.start").cast("long").as("window_start"),
+        col("tenant_id"), col("n_distinct"))
+
+  /** HyperLogLog++ variant (relative error `rsd`, default 5%): constant-size
+    * sketch per (window, tenant) regardless of cardinality — the 100 TB scale
+    * path; the exact variant is the correctness baseline. */
+  def approxDistinctByWindow(envs: DataFrame, windowSizeSec: Long, dimKey: String,
+      rsd: Double = 0.05): DataFrame =
+    prepared(envs, dimKey)
+      .groupBy(window(col("event_ts"), s"$windowSizeSec seconds").as("w"), col("tenant_id"))
+      .agg(approx_count_distinct(col("value"), rsd).as("n_distinct"))
+      .select(col("w.start").cast("long").as("window_start"),
+        col("tenant_id"), col("n_distinct"))
+
+  private def prepared(envs: DataFrame, dimKey: String): DataFrame =
+    envs.select(
+        col("meta").getItem("tenantId").as("tenant_id"),
+        col("metric.dimensions").getItem(dimKey).as("value"),
+        (col("metric.timestamp") / 1000).cast("timestamp").as("event_ts"))
+      .filter(col("value").isNotNull)
+
   /** One emitted heavy-hitter row (same shape as [[byWindow]]'s output). */
   case class HeavyHitter(window_start: Long, tenant_id: String, value: String,
       n: Long, rank: Long)

@@ -524,6 +524,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(HeavyHitters.byWindow(Seq(nodim).toDF(), 60L, "user_id", 2).count() == 0)
   }
 
+  test("window cardinality: exact counts distincts; HLL within its error bound") {
+    import graft.model.{Metric, MetricEnvelope}
+    import graft.operators.HeavyHitters
+    def env(tsSec: Long, u: String) = MetricEnvelope(
+      Metric("m", Map("user_id" -> u), tsSec * 1000.0, 1.0, Map.empty),
+      Map("tenantId" -> "t0"), 0L)
+    // window [0, 60): 200 distinct users, each seen twice
+    val envs = (1 to 200).flatMap(i => Seq(env(1, s"u$i"), env(2, s"u$i"))).toDF()
+    val exact = HeavyHitters.distinctByWindow(envs, 60L, "user_id")
+      .select($"n_distinct").as[Long].head()
+    assert(exact == 200L)
+    val approx = HeavyHitters.approxDistinctByWindow(envs, 60L, "user_id", rsd = 0.05)
+      .select($"n_distinct").as[Long].head()
+    assert(math.abs(approx - 200L) <= 200 * 0.15, s"HLL estimate $approx too far from 200")
+  }
+
   test("stratified sampling: per-key rates, unlisted keys get the default") {
     import graft.operators.Sampling
     val bySrc = Sampling.stratifiedSample(docs, "source",
