@@ -93,6 +93,21 @@ class PlanSpec extends AnyFunSuite {
       s"per-query rank not pre-limited:\n$plan")
   }
 
+  test("distinct-count is two map-side-combined levels; chunking and quantization stay narrow") {
+    val plan = executedPlan(
+      SparkEntry.queries("d4_distinct")(spark, "/root/testdata/sf0.001"))
+    // dedup level + count level, each partial-before-exchange: exactly two
+    // exchanges, and the scan side combines before either
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2,
+      s"distinct aggregate should shuffle exactly twice:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side partial count:\n$plan")
+    // token chunking and quantization are pure scan→project→explode pipelines
+    Seq("text_chunk_tokens", "emb_quantize").foreach { q =>
+      val p = executedPlan(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+    }
+  }
+
   test("sequence packing shuffles once (on the shard) and keeps a streaming window frame") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
