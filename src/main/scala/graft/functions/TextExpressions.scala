@@ -39,10 +39,11 @@ case class WordNGrams(child: Expression, n: Int, distinct: Boolean = true)
 
   override def nullSafeEval(input: Any): Any = {
     // EXACTLY TextAnalysis.tokens' semantics — SQL trim strips SPACES only
-    // (not Java trim's full whitespace) and SQL split keeps leading/trailing
-    // empty tokens; DuckDB's trim + string_split_regex behave identically, so
-    // every engine sees the same token list for every input, including texts
-    // with edge newlines/tabs
+    // (not Java trim's full whitespace), SQL split keeps leading/trailing
+    // empty tokens, and the delimiter class is the explicit [\t\n\f\r ]
+    // (TextAnalysis.WsClass — RE2's \s, NOT Java's which adds U+000B);
+    // DuckDB's trim + string_split_regex('\s+') behave identically, so every
+    // engine sees the same token list for every input
     val str = input.asInstanceOf[UTF8String].toString
     var s = 0
     var e = str.length
@@ -79,7 +80,8 @@ case class WordNGrams(child: Expression, n: Int, distinct: Boolean = true)
 }
 
 object WordNGrams {
-  private val Ws = java.util.regex.Pattern.compile("\\s+")
+  private val Ws =
+    java.util.regex.Pattern.compile(graft.operators.TextAnalysis.WsClass + "+")
 }
 
 object TextExpressions {

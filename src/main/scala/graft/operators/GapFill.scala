@@ -49,7 +49,7 @@ object GapFill {
 
   /** Hard ceiling on a single group's window count (lo→hi span / window
     * size). 2³⁰ windows ≈ 34 years of 1-second windows, and keeps the coarse
-    * chunk array ≤ 2²⁸ longs (2 MB). A span beyond this is a data bug (e.g.
+    * chunk array ≤ 2³⁰/4096 = 2¹⁸ longs (2 MB). A span beyond this is a data bug (e.g.
     * epoch MILLISECONDS landing in a seconds column inflates the span
     * 1000×) — fail loudly per offending group instead of OOMing an executor
     * on a multi-GB array. */

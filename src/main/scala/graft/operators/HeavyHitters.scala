@@ -21,11 +21,7 @@ object HeavyHitters {
   def byWindow(envs: DataFrame, windowSizeSec: Long, dimKey: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val counts = envs.select(
-        col("meta").getItem("tenantId").as("tenant_id"),
-        col("metric.dimensions").getItem(dimKey).as("value"),
-        (col("metric.timestamp") / 1000).cast("timestamp").as("event_ts"))
-      .filter(col("value").isNotNull)
+    val counts = prepared(envs, dimKey)
       .groupBy(window(col("event_ts"), s"$windowSizeSec seconds").as("w"),
         col("tenant_id"), col("value"))
       .agg(count(lit(1)).as("n"))
@@ -82,9 +78,12 @@ object HeavyHitters {
     * entries using the space-saving rule (Metwally et al. 2005: a new value
     * past the cap replaces the current minimum and inherits its count + 1).
     * Top-k is EXACT while a group's distinct-value cardinality stays ≤
-    * maxTracked, and a bounded-error approximation beyond — state is O(k)
-    * per open window regardless of stream cardinality, which is what makes
-    * this runnable forever at 100 TB/day. Late rows are dropped by the
+    * maxTracked, and a bounded-error approximation beyond — state is
+    * O(maxTracked) per open window REGARDLESS of stream cardinality, which
+    * is what makes this runnable forever at 100 TB/day (pick maxTracked a
+    * small multiple of k; the error bound is total_count/maxTracked). The
+    * per-batch fold is O(rows) with an amortized-O(1) eviction (a tracked
+    * min-count bucket, not a per-row map scan). Late rows are dropped by the
     * watermark before reaching the state function. */
   def byWindowStreaming(envs: DataFrame, windowSizeSec: Long, dimKey: String,
       k: Int, lagSec: Long, maxTracked: Int = 4096): Dataset[HeavyHitter] = {
@@ -92,11 +91,7 @@ object HeavyHitters {
     require(maxTracked >= k, s"maxTracked=$maxTracked must be >= k=$k")
     val spark = envs.sparkSession
     import spark.implicits._
-    val prepared = envs.select(
-        col("meta").getItem("tenantId").as("tenant_id"),
-        col("metric.dimensions").getItem(dimKey).as("value"),
-        (col("metric.timestamp") / 1000).cast("timestamp").as("event_ts"))
-      .filter(col("value").isNotNull)
+    val input = prepared(envs, dimKey)
       .withWatermark("event_ts", s"$lagSec seconds")
       .withColumn("window_start",
         (floor(col("event_ts").cast("double") / windowSizeSec) * windowSizeSec)
@@ -105,7 +100,7 @@ object HeavyHitters {
       // flatMapGroupsWithState's input for event-time timeouts to resolve
       .select("window_start", "tenant_id", "value", "event_ts")
       .as[(Long, String, String, java.sql.Timestamp)]
-    prepared.groupByKey { case (w, t, _, _) => (w, t) }
+    input.groupByKey { case (w, t, _, _) => (w, t) }
       .flatMapGroupsWithState[Map[String, Long], HeavyHitter](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case ((w, t), rows, state) =>
@@ -116,18 +111,42 @@ object HeavyHitters {
               HeavyHitter(w, t, v, n, i + 1L)
             }
           } else {
-            var counts = state.getOption.getOrElse(Map.empty[String, Long])
+            val counts = scala.collection.mutable.HashMap.empty[String, Long]
+            state.getOption.foreach(counts ++= _)
+            // min-count bucket: the values whose count == minCount, kept
+            // incrementally so eviction is amortized O(1) — a naive per-row
+            // minBy over the map would make the hot path O(rows·maxTracked)
+            var minCount = 0L
+            var minBucket = scala.collection.mutable.TreeSet.empty[String]
+            def rebuildMin(): Unit = if (counts.nonEmpty) {
+              minCount = counts.valuesIterator.min
+              minBucket = scala.collection.mutable.TreeSet.empty[String]
+              counts.foreach { case (v, n) => if (n == minCount) minBucket += v }
+            }
+            rebuildMin()
             rows.foreach { case (_, _, v, _) =>
               counts.get(v) match {
-                case Some(n) => counts = counts.updated(v, n + 1)
+                case Some(n) =>
+                  counts(v) = n + 1
+                  if (n == minCount) {
+                    minBucket -= v
+                    if (minBucket.isEmpty) rebuildMin() // amortized: a full
+                    // generation of increments/evictions passes between scans
+                  }
                 case None if counts.size < maxTracked =>
-                  counts = counts.updated(v, 1L)
-                case None => // space-saving: evict the minimum, inherit its count
-                  val (mv, mn) = counts.minBy { case (value, n) => (n, value) }
-                  counts = counts - mv + (v -> (mn + 1))
+                  counts(v) = 1L
+                  if (counts.size == 1 || 1L < minCount) { minCount = 1L
+                    minBucket = scala.collection.mutable.TreeSet(v) }
+                  else if (1L == minCount) minBucket += v
+                case None => // space-saving: evict a minimum, inherit count+1
+                  val mv = minBucket.head // deterministic: smallest value
+                  counts -= mv
+                  minBucket -= mv
+                  counts(v) = minCount + 1
+                  if (minBucket.isEmpty) rebuildMin()
               }
             }
-            state.update(counts)
+            state.update(counts.toMap)
             // fire when the watermark passes the window end; the max() guard
             // keeps the timestamp legal if this window was already near-late
             state.setTimeoutTimestamp(math.max((w + windowSizeSec) * 1000,

@@ -13,9 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** The whitespace class used by EVERY tokenizing regex in this engine:
+    * spelled out as [\t\n\f\r ] rather than \s because Java's \s includes
+    * U+000B (vertical tab) while RE2's (DuckDB, Go) does not — an explicit
+    * class means both engines tokenize identically for every input. */
+  private[graft] val WsClass = "[\\t\\n\\f\\r ]"
+
   /** Whitespace tokens of trimmed text (deterministic, single definition used
-    * by every operator below — and mirrored by the DuckDB oracles). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+    * by every operator below — and mirrored by the DuckDB oracles' `\s+`,
+    * which in RE2 is exactly [[WsClass]]). */
+  def tokens(text: Column): Column = split(trim(text), s"$WsClass+")
 
   /** Token count: whitespace tokenization. */
   def tokenCount(text: Column): Column =
@@ -26,7 +33,8 @@ object TextAnalysis {
     * stand-in for a real tokenizer's count (splits "don't" into 3, "a1b"
     * into 3). Pure regexp_extract_all, mirrored 1:1 by the DuckDB oracle. */
   def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[a-zA-Z]+|[^a-zA-Z\\s]+"), lit(0)))
+    size(regexp_extract_all(text,
+      lit("[a-zA-Z]+|[^a-zA-Z\\t\\n\\f\\r ]+"), lit(0)))
 
   /** Per-language stopword lists — also the single source for the DuckDB
     * oracle SQL in SparkEntry (never duplicate these). */
@@ -119,7 +127,7 @@ object TextAnalysis {
   /** Document fingerprint: md5 of the normalized (lowercased, trimmed,
     * whitespace-collapsed) text — the exact-dedup key. */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+    md5(regexp_replace(lower(trim(text)), s"$WsClass+", " ").cast("binary"))
 
   /** Byte-level rolling fingerprints (Rabin–Karp, see
     * [[graft.functions.RollingHashes]]): sampled down to the hashes that hit a
@@ -309,7 +317,10 @@ object TextAnalysis {
     require(overlap >= 0 && overlap < chunkSize,
       s"overlap must be in [0, chunkSize), got $overlap")
     val stride = chunkSize - overlap
-    docs.filter(tokenCount(col(textCol)) > 0)
+    // length(trim) > 0 ⟺ tokenCount > 0 (split never yields an empty array)
+    // but avoids tokenizing each row twice — the filter and the projection
+    // don't share subexpressions across exec nodes
+    docs.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), tokens(col(textCol)).as("_toks"))
       .withColumn("_n", size(col("_toks")).cast("long"))
       // ceil((n − overlap) / stride) chunks, at least 1 (integer ceil spelled

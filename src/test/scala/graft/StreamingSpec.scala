@@ -181,6 +181,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: space-saving cap keeps frequent values under eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 3300000000L
+    def ev(user: String, sec: Long) = env("metric2",
+      Map("user_id" -> user, "service" -> "0", "hostname" -> "0"),
+      (base + sec) * 1000.0, 1.0)
+    val input = MemoryStream[MetricEnvelope]
+    // maxTracked=3 forces evictions: "hot" (×5) must survive a parade of
+    // 10 one-off values (each eviction inherits minCount+1 — the space-saving
+    // overestimate — but never displaces the genuinely frequent entry)
+    val out = graft.operators.HeavyHitters.byWindowStreaming(
+      input.toDF(), windowSizeSec = 10L, dimKey = "user_id", k = 1,
+      lagSec = 2L, maxTracked = 3)
+    val q = out.writeStream.format("memory").queryName("hh_cap")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq.fill(5)(ev("hot", 1)) ++ (1 to 10).map(i => ev(s"one$i", 2)))
+      q.processAllAvailable()
+      input.addData(Seq(ev("z", 20))) // close window 1
+      q.processAllAvailable()
+      val top = spark.table("hh_cap").filter($"window_start" === base)
+        .select($"value", $"n", $"rank").as[(String, Long, Long)].collect().toSeq
+      assert(top == Seq(("hot", 5L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming sessionization: sessions close when the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
