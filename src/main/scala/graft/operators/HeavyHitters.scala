@@ -57,6 +57,20 @@ object HeavyHitters {
       .select(col("w.start").cast("long").as("window_start"),
         col("tenant_id"), col("n_distinct"))
 
+  /** STREAMING windowed cardinality: the HLL sketch merges incrementally in
+    * append mode (one sketch per open (window, tenant) in the state store,
+    * emitted when the watermark closes the window). Exact `count_distinct`
+    * is NOT streamable — Spark rejects distinct aggregates in streaming —
+    * which is precisely why the sketch variant exists. */
+  def approxDistinctByWindowStreaming(envs: DataFrame, windowSizeSec: Long,
+      dimKey: String, lagSec: Long, rsd: Double = 0.05): DataFrame =
+    prepared(envs, dimKey)
+      .withWatermark("event_ts", s"$lagSec seconds")
+      .groupBy(window(col("event_ts"), s"$windowSizeSec seconds").as("w"), col("tenant_id"))
+      .agg(approx_count_distinct(col("value"), rsd).as("n_distinct"))
+      .select(col("w.start").cast("long").as("window_start"),
+        col("tenant_id"), col("n_distinct"))
+
   private def prepared(envs: DataFrame, dimKey: String): DataFrame =
     envs.select(
         col("meta").getItem("tenantId").as("tenant_id"),

@@ -208,6 +208,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed cardinality: HLL sketch emitted on window close") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 3400000000L
+    def ev(user: String, sec: Long) = env("metric2",
+      Map("user_id" -> user, "service" -> "0", "hostname" -> "0"),
+      (base + sec) * 1000.0, 1.0)
+    val input = MemoryStream[MetricEnvelope]
+    val out = graft.operators.HeavyHitters.approxDistinctByWindowStreaming(
+      input.toDF(), windowSizeSec = 10L, dimKey = "user_id", lagSec = 2L)
+    val q = out.writeStream.format("memory").queryName("hh_card")
+      .outputMode("append").start()
+    try {
+      // 40 distinct users, each twice, split across two batches
+      input.addData((1 to 40).map(i => ev(s"u$i", 1)))
+      q.processAllAvailable()
+      input.addData((1 to 40).map(i => ev(s"u$i", 5)))
+      q.processAllAvailable()
+      assert(spark.table("hh_card").isEmpty) // window still open
+      input.addData(Seq(ev("z", 20)))
+      q.processAllAvailable()
+      val n = spark.table("hh_card").filter($"window_start" === base)
+        .select($"n_distinct").as[Long].head()
+      // HLL at rsd=0.05: generous 3σ-ish bound around 40
+      assert(math.abs(n - 40L) <= 6, s"HLL estimate $n too far from 40")
+    } finally q.stop()
+  }
+
   test("streaming sessionization: sessions close when the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
