@@ -486,6 +486,11 @@ object SparkEntry {
       Dedup.decontaminate(d.filter(col("doc_id") % 50 =!= 0),
         d.filter(col("doc_id") % 50 === 0), 3).select("doc_id")
     }),
+    // leakage audit: near-dup pairs straddling the 80/10/10 split — the
+    // documents that would leak eval text into training
+    "audit_split_leakage" -> ((s, dir) =>
+      Dedup.splitLeakage(docs(s, dir),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), 3, 0.5)),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(emb(s, dir), 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
@@ -709,6 +714,14 @@ object SparkEntry {
     // dataset's minimum true-pair similarity (J ≥ 0.9) and exact verification,
     // so its output equals the exact-Jaccard pair set.
     "dedup_minhash" -> JaccardPairsSql,
+    "audit_split_leakage" ->
+      (s"WITH p AS ($JaccardPairsSql), " +
+        s"s AS (SELECT doc_id, CASE WHEN $HashB < ${(0.8 * Sampling.Buckets).toLong} THEN 'train' " +
+        s"WHEN $HashB < ${((0.8 + 0.1) * Sampling.Buckets).toLong} THEN 'val' ELSE 'test' END AS split " +
+        "FROM documents) " +
+        "SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b, p.jaccard " +
+        "FROM p JOIN s sa ON sa.doc_id = p.id_a JOIN s sb ON sb.doc_id = p.id_b " +
+        "WHERE sa.split <> sb.split"),
     "dedup_decontam" ->
       (s"$ShinglesCte, bench AS (SELECT DISTINCT unnest(sh) AS s FROM t " +
         "WHERE doc_id % 50 = 0), bad AS (SELECT DISTINCT c.doc_id FROM " +

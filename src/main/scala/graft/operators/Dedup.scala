@@ -328,6 +328,31 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  // ------------------------------------------------- split-leakage audit
+
+  /** Train/val/test LEAKAGE audit: near-duplicate pairs whose members landed
+    * in DIFFERENT splits — the documents that let eval data leak into
+    * training. Composes a near-dup pair source (n-gram Jaccard here; swap in
+    * [[minhashLshPairs]] at corpus scale) with [[Sampling.split]]'s
+    * deterministic assignment. Returns (id_a, id_b, split_a, split_b,
+    * jaccard), cross-split pairs only.
+    *
+    * Scale shape: the pair relation is tiny relative to the corpus (near-dup
+    * pairs only), so the two split-assignment joins are on ids — and the
+    * assignment itself is a pure hash, computable map-side with no extra
+    * scan of the text. */
+  def splitLeakage(docs: DataFrame, splits: Seq[(String, Double)], n: Int,
+      threshold: Double, maxDocFreq: Long = 0, seed: Long = 42,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val assigned = Sampling.split(docs.select(col(idCol)), idCol, splits, seed)
+    val pairs = ngramJaccardPairs(docs, n, threshold, maxDocFreq, idCol, textCol)
+    pairs
+      .join(assigned.select(col(idCol).as("id_a"), col("split").as("split_a")), "id_a")
+      .join(assigned.select(col(idCol).as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold (brute-force over

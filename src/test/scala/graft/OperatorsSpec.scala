@@ -524,6 +524,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(HeavyHitters.byWindow(Seq(nodim).toDF(), 60L, "user_id", 2).count() == 0)
   }
 
+  test("split leakage audit reports only cross-split near-dup pairs") {
+    import graft.operators.{Dedup, Sampling}
+    // identical docs → J = 1.0 pairs; whether each pair leaks depends only on
+    // the hash split assignment, which we recompute independently here
+    val d = (1L to 40L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.5, "test" -> 0.5)
+    val leaks = Dedup.splitLeakage(d, splits, 3, 0.5)
+      .as[(Long, Long, String, String, Double)].collect()
+    val assign = Sampling.split(d, "doc_id", splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val expected = (for {
+      a <- 1L to 40L; b <- (a + 1) to 40L
+      if assign(a) != assign(b)
+    } yield (a, b)).toSet
+    assert(leaks.map(l => (l._1, l._2)).toSet == expected)
+    assert(leaks.forall(l => l._5 == 1.0 && l._3 != l._4))
+    assert(expected.nonEmpty) // the hash split actually separates some pairs
+  }
+
   test("window cardinality: exact counts distincts; HLL within its error bound") {
     import graft.model.{Metric, MetricEnvelope}
     import graft.operators.HeavyHitters
