@@ -297,7 +297,17 @@ object SparkEntry {
     pmSql(s"${pmSql(s"$t * 48271", "2147483647")} * 48271", "2147483647")
   }
   private val HashRaw = hashRawSql("doc_id")
-  private val HashB = pmSql(HashRaw, Sampling.Buckets.toString)
+  private def hashBSql(id: String) = pmSql(hashRawSql(id), Sampling.Buckets.toString)
+  private val HashB = hashBSql("doc_id")
+
+  /** THE mirror of Sampling.splitAssignment for the 80/10/10 split — used by
+    * both the sample_split and audit_split_leakage oracles (one definition,
+    * same rule as the stopword lists: never duplicate). Cuts computed with
+    * the same double arithmetic as the Scala scanLeft. */
+  private def splitCaseSql(id: String): String =
+    s"CASE WHEN ${hashBSql(id)} < ${(0.8 * Sampling.Buckets).toLong} THEN 'train' " +
+      s"WHEN ${hashBSql(id)} < ${((0.8 + 0.1) * Sampling.Buckets).toLong} THEN 'val' " +
+      "ELSE 'test' END"
 
   // --- portable PolyHash64 mirror (HUGEINT mod-2⁶⁴ arithmetic) ---
 
@@ -715,13 +725,11 @@ object SparkEntry {
     // so its output equals the exact-Jaccard pair set.
     "dedup_minhash" -> JaccardPairsSql,
     "audit_split_leakage" ->
-      (s"WITH p AS ($JaccardPairsSql), " +
-        s"s AS (SELECT doc_id, CASE WHEN $HashB < ${(0.8 * Sampling.Buckets).toLong} THEN 'train' " +
-        s"WHEN $HashB < ${((0.8 + 0.1) * Sampling.Buckets).toLong} THEN 'val' ELSE 'test' END AS split " +
-        "FROM documents) " +
-        "SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b, p.jaccard " +
-        "FROM p JOIN s sa ON sa.doc_id = p.id_a JOIN s sb ON sb.doc_id = p.id_b " +
-        "WHERE sa.split <> sb.split"),
+      (s"WITH p AS ($JaccardPairsSql) " +
+        "SELECT id_a, id_b, split_a, split_b, jaccard FROM (" +
+        s"SELECT id_a, id_b, ${splitCaseSql("id_a")} AS split_a, " +
+        s"${splitCaseSql("id_b")} AS split_b, jaccard FROM p) " +
+        "WHERE split_a <> split_b"),
     "dedup_decontam" ->
       (s"$ShinglesCte, bench AS (SELECT DISTINCT unnest(sh) AS s FROM t " +
         "WHERE doc_id % 50 = 0), bad AS (SELECT DISTINCT c.doc_id FROM " +
@@ -765,9 +773,7 @@ object SparkEntry {
     "sample_bernoulli" ->
       (s"SELECT doc_id FROM documents WHERE $HashB < ${(0.25 * Sampling.Buckets).toLong}"),
     "sample_split" ->
-      (s"SELECT doc_id, CASE WHEN $HashB < ${(0.8 * Sampling.Buckets).toLong} THEN 'train' " +
-        s"WHEN $HashB < ${((0.8 + 0.1) * Sampling.Buckets).toLong} THEN 'val' " +
-        "ELSE 'test' END AS split FROM documents"),
+      (s"SELECT doc_id, ${splitCaseSql("doc_id")} AS split FROM documents"),
     "sample_quota" ->
       (s"SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER (" +
         s"PARTITION BY source ORDER BY $HashB ASC, doc_id ASC) AS rk FROM documents) " +

@@ -337,21 +337,17 @@ object Dedup {
     * deterministic assignment. Returns (id_a, id_b, split_a, split_b,
     * jaccard), cross-split pairs only.
     *
-    * Scale shape: the pair relation is tiny relative to the corpus (near-dup
-    * pairs only), so the two split-assignment joins are on ids — and the
-    * assignment itself is a pure hash, computable map-side with no extra
-    * scan of the text. */
+    * Scale shape: split assignment is a pure id hash, so it is attached to
+    * the (tiny) pair relation as a narrow column expression — no join
+    * against a corpus-sized assignment table, no second scan of anything. */
   def splitLeakage(docs: DataFrame, splits: Seq[(String, Double)], n: Int,
       threshold: Double, maxDocFreq: Long = 0, seed: Long = 42,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val assigned = Sampling.split(docs.select(col(idCol)), idCol, splits, seed)
-    val pairs = ngramJaccardPairs(docs, n, threshold, maxDocFreq, idCol, textCol)
-    pairs
-      .join(assigned.select(col(idCol).as("id_a"), col("split").as("split_a")), "id_a")
-      .join(assigned.select(col(idCol).as("id_b"), col("split").as("split_b")), "id_b")
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    ngramJaccardPairs(docs, n, threshold, maxDocFreq, idCol, textCol)
+      .withColumn("split_a", Sampling.splitAssignment(col("id_a"), splits, seed))
+      .withColumn("split_b", Sampling.splitAssignment(col("id_b"), splits, seed))
       .filter(col("split_a") =!= col("split_b"))
       .select("id_a", "id_b", "split_a", "split_b", "jaccard")
-  }
 
   // ------------------------------------------------- embedding near-dup
 

@@ -96,9 +96,10 @@ object HeavyHitters {
     * O(maxTracked) per open window REGARDLESS of stream cardinality, which
     * is what makes this runnable forever at 100 TB/day (pick maxTracked a
     * small multiple of k; the error bound is total_count/maxTracked). The
-    * per-batch fold is O(rows) with an amortized-O(1) eviction (a tracked
-    * min-count bucket, not a per-row map scan). Late rows are dropped by the
-    * watermark before reaching the state function. */
+    * per-batch fold is worst-case O(rows · log maxTracked): eviction uses a
+    * count-indexed bucket map built lazily on the first overflow, not a
+    * per-row map scan. Late rows are dropped by the watermark before
+    * reaching the state function. */
   def byWindowStreaming(envs: DataFrame, windowSizeSec: Long, dimKey: String,
       k: Int, lagSec: Long, maxTracked: Int = 4096): Dataset[HeavyHitter] = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -125,39 +126,39 @@ object HeavyHitters {
               HeavyHitter(w, t, v, n, i + 1L)
             }
           } else {
-            val counts = scala.collection.mutable.HashMap.empty[String, Long]
+            import scala.collection.mutable
+            val counts = mutable.HashMap.empty[String, Long]
             state.getOption.foreach(counts ++= _)
-            // min-count bucket: the values whose count == minCount, kept
-            // incrementally so eviction is amortized O(1) — a naive per-row
-            // minBy over the map would make the hot path O(rows·maxTracked)
-            var minCount = 0L
-            var minBucket = scala.collection.mutable.TreeSet.empty[String]
-            def rebuildMin(): Unit = if (counts.nonEmpty) {
-              minCount = counts.valuesIterator.min
-              minBucket = scala.collection.mutable.TreeSet.empty[String]
-              counts.foreach { case (v, n) => if (n == minCount) minBucket += v }
-            }
-            rebuildMin()
+            // count → values index for eviction: built LAZILY on the first
+            // overflow (a batch that never overflows pays nothing beyond the
+            // state copy) and kept in sync afterwards, so every operation is
+            // worst-case O(log maxTracked) — no per-row min scan (naive minBy
+            // is O(maxTracked) per overflow row) and no rebuild degeneracy
+            // when a unique minimum takes consecutive hits
+            var buckets: mutable.TreeMap[Long, mutable.TreeSet[String]] = null
+            def bInsert(v: String, n: Long): Unit = if (buckets != null)
+              buckets.getOrElseUpdate(n, mutable.TreeSet.empty) += v
+            def bRemove(v: String, n: Long): Unit = if (buckets != null)
+              buckets.get(n).foreach { s => s -= v; if (s.isEmpty) buckets -= n }
             rows.foreach { case (_, _, v, _) =>
               counts.get(v) match {
                 case Some(n) =>
                   counts(v) = n + 1
-                  if (n == minCount) {
-                    minBucket -= v
-                    if (minBucket.isEmpty) rebuildMin() // amortized: a full
-                    // generation of increments/evictions passes between scans
-                  }
+                  bRemove(v, n); bInsert(v, n + 1)
                 case None if counts.size < maxTracked =>
                   counts(v) = 1L
-                  if (counts.size == 1 || 1L < minCount) { minCount = 1L
-                    minBucket = scala.collection.mutable.TreeSet(v) }
-                  else if (1L == minCount) minBucket += v
+                  bInsert(v, 1L)
                 case None => // space-saving: evict a minimum, inherit count+1
-                  val mv = minBucket.head // deterministic: smallest value
+                  if (buckets == null) {
+                    buckets = mutable.TreeMap.empty
+                    counts.foreach { case (cv, cn) => bInsert(cv, cn) }
+                  }
+                  val (mn, minSet) = buckets.head
+                  val mv = minSet.head // deterministic: smallest value
                   counts -= mv
-                  minBucket -= mv
-                  counts(v) = minCount + 1
-                  if (minBucket.isEmpty) rebuildMin()
+                  bRemove(mv, mn)
+                  counts(v) = mn + 1
+                  bInsert(v, mn + 1)
               }
             }
             state.update(counts.toMap)

@@ -55,25 +55,31 @@ object Sampling {
     df.filter(hashBucket(col(idCol), seed) < (rate * Buckets).toLong)
   }
 
-  /** Reproducible split into named fractions (e.g. train 0.9 / val 0.05 /
-    * test 0.05): adds a `split` column. Fractions must sum to ≤ 1; any hash
-    * remainder falls into the LAST split. */
-  def split(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
-      seed: Long = 42): DataFrame = {
+  /** The split-assignment COLUMN for an id — a pure hash, usable as a narrow
+    * map wherever an id column exists (no join against an assignment table
+    * needed; [[graft.operators.Dedup.splitLeakage]] relies on this). */
+  def splitAssignment(id: Column, splits: Seq[(String, Double)],
+      seed: Long = 42): Column = {
     require(splits.nonEmpty, "at least one split required")
     require(splits.forall(_._2 >= 0),
       s"split fractions must be non-negative, got ${splits.map(_._2)}")
     require(splits.map(_._2).sum <= 1.0 + 1e-9,
       s"split fractions must sum to <= 1, got ${splits.map(_._2).sum}")
-    val h = hashBucket(col(idCol), seed)
+    val h = hashBucket(id, seed)
     val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(c => (c * Buckets).toLong)
-    val assignment = splits.init.zip(cuts.init).foldRight(
+    splits.init.zip(cuts.init).foldRight(
       lit(splits.last._1)) { case (((name, _), cut), rest) =>
       when(h < cut, lit(name)).otherwise(rest)
     }
-    df.withColumn("split", assignment)
   }
+
+  /** Reproducible split into named fractions (e.g. train 0.9 / val 0.05 /
+    * test 0.05): adds a `split` column. Fractions must sum to ≤ 1; any hash
+    * remainder falls into the LAST split. */
+  def split(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+      seed: Long = 42): DataFrame =
+    df.withColumn("split", splitAssignment(col(idCol), splits, seed))
 
   /** Sequence packing for training-data export: concatenate documents in a
     * deterministic order and assign each one its position in fixed

@@ -189,22 +189,28 @@ class StreamingSpec extends AnyFunSuite {
       Map("user_id" -> user, "service" -> "0", "hostname" -> "0"),
       (base + sec) * 1000.0, 1.0)
     val input = MemoryStream[MetricEnvelope]
-    // maxTracked=3 forces evictions: "hot" (×5) must survive a parade of
-    // 10 one-off values (each eviction inherits minCount+1 — the space-saving
-    // overestimate — but never displaces the genuinely frequent entry)
+    // maxTracked=3 forces evictions: "hot" (×20) must survive a parade of 10
+    // one-off values. Intra-group fold order is NOT an API guarantee, so the
+    // assertions stick to order-independent space-saving properties: the
+    // truly frequent value wins rank 1, its estimate never undercounts
+    // (count inheritance only ever adds), and the overestimate is bounded by
+    // what 10 churned singletons can bequeath
     val out = graft.operators.HeavyHitters.byWindowStreaming(
       input.toDF(), windowSizeSec = 10L, dimKey = "user_id", k = 1,
       lagSec = 2L, maxTracked = 3)
     val q = out.writeStream.format("memory").queryName("hh_cap")
       .outputMode("append").start()
     try {
-      input.addData(Seq.fill(5)(ev("hot", 1)) ++ (1 to 10).map(i => ev(s"one$i", 2)))
+      input.addData(Seq.fill(20)(ev("hot", 1)) ++ (1 to 10).map(i => ev(s"one$i", 2)))
       q.processAllAvailable()
       input.addData(Seq(ev("z", 20))) // close window 1
       q.processAllAvailable()
       val top = spark.table("hh_cap").filter($"window_start" === base)
         .select($"value", $"n", $"rank").as[(String, Long, Long)].collect().toSeq
-      assert(top == Seq(("hot", 5L, 1L)))
+      assert(top.length == 1 && top.head._1 == "hot" && top.head._3 == 1L,
+        s"expected hot at rank 1, got $top")
+      assert(top.head._2 >= 20L && top.head._2 <= 31L,
+        s"estimate ${top.head._2} outside space-saving bounds [20, 31]")
     } finally q.stop()
   }
 
