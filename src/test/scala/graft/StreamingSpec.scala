@@ -383,6 +383,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming heavy hitters: flatMapGroupsWithState state survives checkpoint restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hh-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-hh-out").toString
+    val input = MemoryStream[MetricEnvelope]
+    val base = 5100000000L
+    def ev(user: String, sec: Long) = env("metric2",
+      Map("user_id" -> user, "service" -> "0", "hostname" -> "0"),
+      (base + sec) * 1000.0, 1.0)
+    def start() = graft.operators.HeavyHitters.byWindowStreaming(
+        input.toDF(), windowSizeSec = 10L, dimKey = "user_id", k = 2, lagSec = 2L)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // pre-restart counts: a×2, b×1 — kept only in the custom state store
+    val q1 = start()
+    try {
+      input.addData(Seq(ev("a", 1), ev("b", 2), ev("a", 3)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart; add one more b and close the window — the emitted top-k must
+    // reflect PRE-restart counts merged with post-restart ones
+    val q2 = start()
+    try {
+      input.addData(Seq(ev("b", 4), ev("a", 5)))
+      q2.processAllAvailable()
+      input.addData(Seq(ev("z", 20)))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(outDir)
+        .filter($"window_start" === base)
+        .select($"value", $"n", $"rank").as[(String, Long, Long)]
+        .collect().toSet
+      assert(rows == Set(("a", 3L, 1L), ("b", 2L, 2L)),
+        s"state lost or duplicated across restart: $rows")
+    } finally q2.stop()
+  }
+
   test("streaming rollup: chained stateful aggregation in append mode") {
     val sp = AggregationSpec(name = "Aggregation3", function = "avg",
       filteredMetricName = "m", groupedDimensions = Seq("hostname", "service"),
