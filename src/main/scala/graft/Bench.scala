@@ -33,12 +33,16 @@ object Bench {
     // cache-churned and the recorded eps under-reads the pipeline by ~10×
     // (38K vs 136K–1.2M when probed fresh); median of 3 evens out the
     // remaining run-to-run swing
-    val eps = ingestThroughput(spark)
+    val (eps, epsRuns) = ingestThroughput(spark)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
+      // a query that fails at warmup would otherwise hide until the timed
+      // run — surface the message immediately
       try exec(n, "/root/testdata/sf0.001")
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup of $n failed: ${e.getMessage}")
+      }
     }
 
     // best of two timed runs per query — evens out GC/compilation noise;
@@ -58,7 +62,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""throughput_eps":$eps,"sf":"$sfDir"}""")
+      s""""throughput_eps":$eps,""" +
+      s""""throughput_eps_runs":${epsRuns.mkString("[", ",", "]")},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -67,10 +73,12 @@ object Bench {
     * reference hot path — parse → rule match → window-group aggregate
     * (server.go:307-332). JSON strings are pre-materialized and persisted so
     * only the ingest pipeline is timed. Median of 3 runs (the first doubles
-    * as codegen/JIT warmup; the median is robust to one GC-noisy run). */
-  private def ingestThroughput(spark: SparkSession): Double = {
-    val runs = (1 to 3).map(_ => ingestThroughputOnce(spark)).sorted
-    runs(1)
+    * as codegen/JIT warmup; the median is robust to one GC-noisy run).
+    * Returns (median, all runs in execution order) so the recorded number's
+    * spread is auditable in the bench JSON. */
+  private def ingestThroughput(spark: SparkSession): (Double, Seq[Double]) = {
+    val runs = (1 to 3).map(_ => ingestThroughputOnce(spark))
+    (runs.sorted.apply(1), runs)
   }
 
   private def ingestThroughputOnce(spark: SparkSession): Double = {

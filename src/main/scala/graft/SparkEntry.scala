@@ -115,6 +115,27 @@ object SparkEntry {
       "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard " +
       "FROM t a JOIN t b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5"
 
+  /** Dense per-tenant hourly signup grid: `a` = observed hourly counts, `g` =
+    * every hour between each tenant's first and last observed window — the
+    * shared skeleton of the zero-fill and forward-fill oracles. */
+  private val DenseGridCtes =
+    s"WITH a AS (SELECT ${wstart(HOUR)} AS window_start, $Tenant AS tenant_id, " +
+      "CAST(count(*) AS DOUBLE) AS v FROM events WHERE event_type = 'signup' " +
+      "GROUP BY 1, 2), " +
+      "s AS (SELECT tenant_id, min(window_start) AS lo, max(window_start) AS hi " +
+      "FROM a GROUP BY 1), " +
+      "g AS (SELECT tenant_id, unnest(generate_series(lo, hi, 3600)) AS window_start FROM s)"
+
+  /** Transitive closure over the n-gram Jaccard pair set → `comp(id,
+    * component)` with component = min reachable id — THE single mirror of
+    * Dedup.connectedComponents, shared by the cluster and survivors oracles. */
+  private val ClusterComponentsCte =
+    s"WITH RECURSIVE p AS ($JaccardPairsSql), edges AS (" +
+      "SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p" +
+      "), reach(a, b) AS (SELECT src, dst FROM edges " +
+      "UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src), " +
+      "comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)"
+
   private val CosD =
     "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
 
@@ -432,6 +453,7 @@ object SparkEntry {
     "a8_stddev_1d" -> groupedQ("stddev", DAY, round2 = true),
     "a9_p50_1d" -> groupedQ("p50", DAY, round2 = true),
     "a10_p95_1d" -> groupedQ("p95", DAY, round2 = true),
+    "a11_p99_1d" -> groupedQ("p99", DAY, round2 = true),
     // R1 — rollup: per-user avg re-aggregated to a per-tenant sum
     "r1_rollup_1d" -> ((s, dir) =>
       RuleCompiler.compileGrouped(
@@ -467,6 +489,12 @@ object SparkEntry {
         RuleCompiler.compileGrouped(
           spec("count", "signup", grouped = Seq.empty), HOUR)(envs(s, dir)),
         HOUR, Seq("tenant_id"))),
+    // D3b — forward fill: gaps carry the last observed value
+    "d3b_forwardfill" -> ((s, dir) =>
+      GapFill.forwardFill(
+        RuleCompiler.compileGrouped(
+          spec("count", "signup", grouped = Seq.empty), HOUR)(envs(s, dir)),
+        HOUR, Seq("tenant_id"))),
     // P1/P2 — envelope projection; output timestamp = window start (ms)
     "p1_envelope" -> ((s, dir) =>
       RuleCompiler.compile(spec("avg", "purchase"), DAY)(envs(s, dir))
@@ -489,6 +517,12 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
     "dedup_cluster" -> ((s, dir) =>
       Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5))),
+    // the kept rows themselves, for both dedup families
+    "dedup_exact_survivors" -> ((s, dir) =>
+      Dedup.exactSurvivors(docs(s, dir)).select("doc_id")),
+    "dedup_neardup_survivors" -> ((s, dir) =>
+      Dedup.nearDupSurvivors(docs(s, dir),
+        Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5)).select("doc_id")),
     // benchmark decontamination: docs sharing a word trigram with the held-out
     // "benchmark" slice (doc_id % 50 == 0) are dropped from the corpus
     "dedup_decontam" -> ((s, dir) => {
@@ -622,6 +656,7 @@ object SparkEntry {
     "a8_stddev_1d" -> groupedSql(sqlRound2("COALESCE(stddev_samp(value), 0.0)"), DAY, "purchase"),
     "a9_p50_1d" -> groupedSql(sqlRound2("quantile_cont(value, 0.5)"), DAY, "purchase"),
     "a10_p95_1d" -> groupedSql(sqlRound2("quantile_cont(value, 0.95)"), DAY, "purchase"),
+    "a11_p99_1d" -> groupedSql(sqlRound2("quantile_cont(value, 0.99)"), DAY, "purchase"),
     "r1_rollup_1d" ->
       (s"SELECT window_start, tenant_id, ${sqlRound2("SUM(uavg)")} AS value FROM (" +
         s"SELECT ${wstart(DAY)} AS window_start, $Tenant AS tenant_id, user_id, " +
@@ -682,15 +717,19 @@ object SparkEntry {
         "count(DISTINCT CAST(user_id AS VARCHAR)) AS n_distinct " +
         "FROM events GROUP BY 1, 2"),
     "d3_gapfill" ->
-      (s"WITH a AS (SELECT ${wstart(HOUR)} AS window_start, $Tenant AS tenant_id, " +
-        "CAST(count(*) AS DOUBLE) AS v FROM events WHERE event_type = 'signup' " +
-        "GROUP BY 1, 2), " +
-        "s AS (SELECT tenant_id, min(window_start) AS lo, max(window_start) AS hi " +
-        "FROM a GROUP BY 1), " +
-        "g AS (SELECT tenant_id, unnest(generate_series(lo, hi, 3600)) AS window_start FROM s) " +
-        "SELECT g.window_start, g.tenant_id, COALESCE(a.v, 0.0) AS value " +
+      (s"$DenseGridCtes SELECT g.window_start, g.tenant_id, " +
+        "COALESCE(a.v, 0.0) AS value " +
         "FROM g LEFT JOIN a ON g.tenant_id = a.tenant_id " +
         "AND g.window_start = a.window_start"),
+    // forward fill: gaps carry the last observed value; the grid starts at
+    // each group's first observed window so the running last is never null
+    "d3b_forwardfill" ->
+      (s"$DenseGridCtes SELECT window_start, tenant_id, value FROM (" +
+        "SELECT g.window_start, g.tenant_id, " +
+        "last_value(a.v IGNORE NULLS) OVER (PARTITION BY g.tenant_id " +
+        "ORDER BY g.window_start ROWS UNBOUNDED PRECEDING) AS value " +
+        "FROM g LEFT JOIN a ON g.tenant_id = a.tenant_id " +
+        "AND g.window_start = a.window_start)"),
     "p1_envelope" ->
       (s"SELECT 'agg_purchase_avg' AS name, CAST(user_id AS VARCHAR) AS user_id, " +
         s"CAST(${wstart(DAY)} * 1000 AS DOUBLE) AS ts_ms, ${sqlRound2("AVG(value)")} AS value " +
@@ -715,11 +754,14 @@ object SparkEntry {
     "sim_lsh_pairs" -> LshPairsSql,
     // transitive closure over the same pair set: component = min reachable id
     "dedup_cluster" ->
-      (s"WITH RECURSIVE p AS ($JaccardPairsSql), edges AS (" +
-        "SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p" +
-        "), reach(a, b) AS (SELECT src, dst FROM edges " +
-        "UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src) " +
-        "SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a"),
+      s"$ClusterComponentsCte SELECT id, component FROM comp",
+    // survivors = corpus minus non-minimal cluster members
+    "dedup_neardup_survivors" ->
+      (s"$ClusterComponentsCte SELECT doc_id FROM documents " +
+        "WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)"),
+    "dedup_exact_survivors" ->
+      ("SELECT doc_id FROM documents WHERE doc_id IN (SELECT MIN(doc_id) " +
+        "FROM documents GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))"),
     // MinHash-LSH with k=128, b=32, r=4 has recall ≈ 1 − 1.5e-15 at the
     // dataset's minimum true-pair similarity (J ≥ 0.9) and exact verification,
     // so its output equals the exact-Jaccard pair set.

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.functions._
 
 /** The seven aggregate functions of the rule DSL, mapped onto Spark's built-in
@@ -43,10 +43,12 @@ object FunctionCatalog {
       case "max"   => max(value)
       case "delta" =>
         // last-by-event-time minus first-by-event-time; 0 for 1-point
-        // windows. Implemented as min/max over a (ts, value) struct, NOT
-        // max_by/min_by: the struct's lexicographic order breaks equal-ts
-        // ties by value, making the result deterministic across partition
-        // merges (max_by tie-breaking is partial-merge-order dependent)
+        // windows. Native ValueAtTimeBound aggregate: deterministic
+        // lexicographic (ts, value) bound (equal-ts ties break by value, so
+        // results don't depend on partition merge order) held in two
+        // primitive double buffer slots — hash-aggregable, unlike
+        // max(struct)/max_by which carry a struct buffer and force the rule
+        // pipeline into Sort+SortAggregate on both exchange sides
         lastByTime(value, tsMs) - firstByTime(value, tsMs)
       case "rate"  =>
         // delta per second: delta / ((lastTs - firstTs)/1000)
@@ -69,8 +71,10 @@ object FunctionCatalog {
     }
 
   private def lastByTime(value: Column, tsMs: Column): Column =
-    max(struct(tsMs.as("t"), value.as("v"))).getField("v")
+    GraftBridge.column(ValueAtTimeBound(GraftBridge.expression(value),
+      GraftBridge.expression(tsMs), latest = true).toAggregateExpression())
 
   private def firstByTime(value: Column, tsMs: Column): Column =
-    min(struct(tsMs.as("t"), value.as("v"))).getField("v")
+    GraftBridge.column(ValueAtTimeBound(GraftBridge.expression(value),
+      GraftBridge.expression(tsMs), latest = false).toAggregateExpression())
 }

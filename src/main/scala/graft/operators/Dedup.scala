@@ -304,9 +304,18 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    if (!converged)
-      System.err.println(s"[graft] connectedComponents: not converged after " +
-        s"$maxIter rounds — labels may split clusters with diameter > $maxIter")
+    if (!converged) {
+      // a stderr warning here would be a SILENT wrong answer: labels that
+      // split real clusters make the survivors pipeline keep documents it
+      // should drop. Fail loudly; callers with genuinely deep graphs raise
+      // maxIter (rounds are cheap — the pair graph is tiny vs the corpus)
+      edges.unpersist()
+      cached.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter rounds — a " +
+          s"cluster has diameter > $maxIter; raise maxIter (labels would " +
+          "silently split real clusters)")
+    }
     edges.unpersist()
     // hand the caller the handle that is actually persisted (labels is a
     // projection over `cached` once iterations ran — unpersist on it would be

@@ -432,6 +432,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(survivors == docs.select($"doc_id").as[Long].collect().toSet -- dropped)
   }
 
+  test("connected components fail loudly when a cluster is deeper than maxIter") {
+    // a path graph 0-1-2-...-8 has diameter 8: min-label propagation moves
+    // the 0 label one hop per round, so maxIter=3 cannot converge — the
+    // operator must throw, not return silently split clusters
+    val path = (0L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, maxIter = 3)
+    }
+    assert(e.getMessage.contains("not converged"))
+    // the same graph converges once maxIter covers the diameter
+    val ok = Dedup.connectedComponents(path, maxIter = 9)
+      .as[(Long, Long)].collect().toMap
+    assert(ok == (0L to 8L).map(_ -> 0L).toMap)
+  }
+
   test("sessionization merges touching sessions, splits strictly beyond the gap") {
     import graft.model.{Metric, MetricEnvelope}
     import graft.operators.Sessions
