@@ -273,15 +273,23 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // every generation is localCheckpoint'd (eager): the label frontier feeds
+    // the NEXT round's plan twice (join left side + neighborMin), so without
+    // lineage truncation the logical plan doubles per round — 2^maxIter nodes
+    // by the time it throws, and Catalyst analysis alone OOMs the driver on
+    // deep graphs. Checkpointing keeps the per-round plan O(1); superseded
+    // generations' blocks are released by the ContextCleaner once the previous
+    // frontier goes out of scope.
     var labels = edges.select(col("src").as("id"))
       .distinct().withColumn("component", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // the handle actually persisted (labels may be a projection over it —
-    // unpersist must hit the cached plan, not the projection)
-    var cached = labels
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
+    // `<=` grants one probe round beyond maxIter: a graph of diameter exactly
+    // maxIter finishes its labels on round maxIter but can only OBSERVE
+    // changed==0 on the following round — without the extra probe it would
+    // throw despite having converged
+    while (iter <= maxIter && !converged) {
       // each node adopts the min of its own and its neighbors' labels; the
       // previous label rides along so the convergence probe needs no second
       // join (at scale that join was another full shuffle of the labels)
@@ -293,37 +301,27 @@ object Dedup {
         .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("n_min"), col("component")))
             .as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // one action: materializes EVERY partition of `next` (so the prior
-      // generation can be dropped) AND counts label changes
+        .localCheckpoint(true) // eager — materializes every partition now
       val changed = next
         .agg(count(when(col("component") =!= col("old"), lit(1)))).head().getLong(0)
-      cached.unpersist()
-      cached = next
       labels = next.drop("old")
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
     if (!converged) {
       // a stderr warning here would be a SILENT wrong answer: labels that
       // split real clusters make the survivors pipeline keep documents it
       // should drop. Fail loudly; callers with genuinely deep graphs raise
-      // maxIter (rounds are cheap — the pair graph is tiny vs the corpus)
-      edges.unpersist()
-      cached.unpersist()
+      // maxIter (rounds really are cheap now — O(1) plan per round, and the
+      // pair graph is tiny vs the corpus)
       throw new IllegalStateException(
-        s"connectedComponents: not converged after $maxIter rounds — a " +
+        s"connectedComponents: not converged after ${maxIter + 1} rounds — a " +
           s"cluster has diameter > $maxIter; raise maxIter (labels would " +
           "silently split real clusters)")
     }
-    edges.unpersist()
-    // hand the caller the handle that is actually persisted (labels is a
-    // projection over `cached` once iterations ran — unpersist on it would be
-    // a no-op and the last generation's cache entry would be unreleasable)
-    val result = labels.persist(StorageLevel.MEMORY_AND_DISK)
-    result.count()
-    if (cached ne result) cached.unpersist()
-    result
+    // already materialized + checkpoint-backed; .drop is a narrow projection
+    labels
   }
 
   /** Survivors of near-dup clustering: every document except non-minimal
