@@ -62,7 +62,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      """"query_repeat_policy":"min-of-2 timed runs per query, after a sf0.001 warmup pass",""" +
       s""""throughput_eps":$eps,""" +
+      """"throughput_policy":"median-of-3, probed before the query sweep",""" +
       s""""throughput_eps_runs":${epsRuns.mkString("[", ",", "]")},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * aggregation/{sum,counting,avg,min,max,delta,rate}_metric.go.
   *
   * Semantic decisions (SURVEY.md §2.1):
-  *  - delta/rate use deterministic EVENT-TIME order (min_by/max_by on the event
-  *    timestamp), not the reference's arrival order
+  *  - delta/rate use deterministic EVENT-TIME order — the native
+  *    hash-aggregable [[ValueAtTimeBound]] first/last-by-(ts, value) aggregate
+  *    (min_by/max_by were REJECTED: struct buffer → SortAggregate; see
+  *    TimeBoundValue.scala) — not the reference's arrival order
   *    (aggregation/delta_metric.go:28-30 overwrites unconditionally).
   *  - single-point windows: delta = 0 (max_by == min_by) and rate = 0, instead
   *    of the reference's degenerate `0 - v` / `v·1000/ts`

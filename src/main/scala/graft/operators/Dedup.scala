@@ -68,7 +68,15 @@ object Dedup {
     * and the groupBy on (a,b); hot (ubiquitous) shingles are the classic skew
     * source — `maxDocFreq` drops shingles appearing in more than that many
     * docs (they contribute candidates, not discrimination), bounding both
-    * skew and candidate count. */
+    * skew and candidate count.
+    *
+    * Cache lifecycle (also [[minhashLshPairs]], [[simhashPairs]]): with
+    * `maxDocFreq > 0` an intermediate relation is persisted and FEEDS the
+    * returned lazy plan, so it cannot be unpersisted here; its blocks are
+    * released by the ContextCleaner only after the returned plan is dropped.
+    * Callers looping over many corpora should materialize each result
+    * (write / checkpoint) and release the reference between iterations
+    * rather than holding all the returned plans alive. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       maxDocFreq: Long = 0, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
@@ -121,7 +129,10 @@ object Dedup {
     * signature slots matches — the standard S-curve: P(candidate) =
     * 1−(1−J^rows)^bands. Candidates come from an equi-join on
     * (band, hash(band slice)); verification re-computes exact Jaccard only on
-    * the candidate set. At 100 TB the pair space is never enumerated. */
+    * the candidate set. At 100 TB the pair space is never enumerated.
+    *
+    * Cache lifecycle: the signature relation stays persisted for the life of
+    * the returned plan — see the note on [[ngramJaccardPairs]]. */
   def minhashLshPairs(docs: DataFrame, n: Int, k: Int, bands: Int,
       threshold: Double, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
@@ -205,7 +216,10 @@ object Dedup {
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, using the
     * pigeonhole banding trick: split the 64 bits into (maxHamming+1) blocks —
     * any pair within distance shares at least one exact block → equi-join on
-    * (block idx, block bits), verify with bit_count(xor). */
+    * (block idx, block bits), verify with bit_count(xor).
+    *
+    * Cache lifecycle: the signature relation stays persisted for the life of
+    * the returned plan — see the note on [[ngramJaccardPairs]]. */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val blocks = maxHamming + 1
@@ -266,23 +280,44 @@ object Dedup {
     * from it. Converges in O(cluster diameter) rounds — near-dup clusters are
     * shallow (duplicates of a common source), so a handful of iterations
     * suffices; each round is one join + one aggregation on the (small) pair
-    * graph, never on the corpus. Returns (id, component). */
+    * graph, never on the corpus. Returns (id, component).
+    *
+    * `maxIter` bounds the cluster DIAMETER the result is trusted for, not the
+    * round count: maxIter+1 propagation rounds run, because a graph of
+    * diameter exactly maxIter finishes its labels on round maxIter but can
+    * only OBSERVE convergence (no label changed) on the round after. Throws
+    * `IllegalStateException` if still unconverged — partial labels would
+    * silently split real clusters.
+    *
+    * Fault tolerance of the per-round lineage truncation: when the context
+    * has a checkpoint dir (`SparkContext.setCheckpointDir` /
+    * `spark.checkpoint.dir`), each generation is a RELIABLE `checkpoint` —
+    * blocks are on the checkpoint filesystem and survive executor loss (set
+    * one on preemptible / dynamic-allocation clusters). Otherwise it falls
+    * back to `localCheckpoint`: blocks live only in executor storage with NO
+    * recomputation path, so losing an executor mid-loop fails the job.
+    * Superseded generations' blocks are released by the ContextCleaner as
+    * each frontier goes out of scope (GC-driven, not deterministic); the
+    * returned labels' blocks likewise live until the caller drops the plan. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    // lineage truncation per generation — reliable when possible (see scaladoc)
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // every generation is localCheckpoint'd (eager): the label frontier feeds
+    // every generation is checkpointed (eager): the label frontier feeds
     // the NEXT round's plan twice (join left side + neighborMin), so without
     // lineage truncation the logical plan doubles per round — 2^maxIter nodes
     // by the time it throws, and Catalyst analysis alone OOMs the driver on
     // deep graphs. Checkpointing keeps the per-round plan O(1); superseded
     // generations' blocks are released by the ContextCleaner once the previous
     // frontier goes out of scope.
-    var labels = edges.select(col("src").as("id"))
-      .distinct().withColumn("component", col("id"))
-      .localCheckpoint(true)
+    var labels = materialize(edges.select(col("src").as("id"))
+      .distinct().withColumn("component", col("id")))
     var iter = 0
     var converged = false
     // `<=` grants one probe round beyond maxIter: a graph of diameter exactly
@@ -297,11 +332,11 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("n_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("component").as("old"),
-          least(col("component"), coalesce(col("n_min"), col("component")))
-            .as("component"))
-        .localCheckpoint(true) // eager — materializes every partition now
+      val next = materialize( // eager — materializes every partition now
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"), col("component").as("old"),
+            least(col("component"), coalesce(col("n_min"), col("component")))
+              .as("component")))
       val changed = next
         .agg(count(when(col("component") =!= col("old"), lit(1)))).head().getLong(0)
       labels = next.drop("old")

@@ -18,6 +18,15 @@ class FunctionCatalogSpec extends AnyFunSuite {
       .agg(FunctionCatalog.aggregate(fn, col("value"), col("ts_ms")).as("v"))
       .as[Double].head()
 
+  /** Nullable variant: rows may carry SQL NULL in either slot; returns None
+    * when the aggregate itself evaluates to NULL. */
+  private def aggOpt(fn: String, rows: Seq[(Option[Double], Option[Double])]): Option[Double] = {
+    val r = rows.toDF("value", "ts_ms").coalesce(1)
+      .agg(FunctionCatalog.aggregate(fn, col("value"), col("ts_ms")).as("v"))
+      .head()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
   private val window = Seq((2.0, 1000.0), (6.0, 2000.0), (1.0, 3000.0))
 
   test("sum")   { assert(agg("sum", window) == 9.0) }
@@ -56,6 +65,27 @@ class FunctionCatalogSpec extends AnyFunSuite {
 
   test("zero-span multi-point window: rate = 0") {
     assert(agg("rate", Seq((1.0, 1000.0), (9.0, 1000.0))) == 0.0)
+  }
+
+  test("delta/rate skip null values and null timestamps at the would-be bound") {
+    // ValueAtTimeBound semantics (functions/TimeBoundValue.scala:60-64): a row
+    // with a null value OR a null ts carries no ordering information and is
+    // skipped, exactly like the null-skipping of the min/max built-ins. Here
+    // the null-value row sits at the LATEST ts (3000) and a 9.0 row has a null
+    // ts — neither may become the bound: last = 6.0 (ts 2000), first = 2.0.
+    val rows = Seq((Some(2.0), Some(1000.0)), (Some(6.0), Some(2000.0)),
+      (Option.empty[Double], Some(3000.0)), (Some(9.0), Option.empty[Double]))
+    assert(aggOpt("delta", rows).contains(4.0))
+    // rate's SPAN is min/max over non-null timestamps (ts 3000 counts even
+    // though its value is null — the built-ins it composes skip only their own
+    // null input): (6.0 − 2.0) / ((3000 − 1000)/1000)
+    assert(aggOpt("rate", rows).contains(2.0))
+    // one valid pair left after null-skipping → single-point semantics (§2.1.1)
+    assert(aggOpt("delta",
+      Seq((Some(5.0), Some(1000.0)), (Option.empty[Double], Some(2000.0)))).contains(0.0))
+    // no valid (value, ts) pair at all → NULL, like min/max on an all-null column
+    assert(aggOpt("delta",
+      Seq((Option.empty[Double], Some(1000.0)), (Some(3.0), Option.empty[Double]))).isEmpty)
   }
 
   test("extension aggregates: stddev and interpolated percentiles") {

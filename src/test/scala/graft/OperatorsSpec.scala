@@ -445,6 +445,40 @@ class OperatorsSpec extends AnyFunSuite {
     val ok = Dedup.connectedComponents(path, maxIter = 9)
       .as[(Long, Long)].collect().toMap
     assert(ok == (0L to 8L).map(_ -> 0L).toMap)
+    // boundary: diameter EXACTLY maxIter must also converge — labels finish on
+    // round maxIter and the extra probe round (the `<=` loop bound) observes
+    // changed == 0; without that probe this exact case would falsely throw
+    val boundary = Dedup.connectedComponents(path, maxIter = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(boundary == (0L to 8L).map(_ -> 0L).toMap)
+  }
+
+  test("connected components use reliable checkpoints when a checkpoint dir is set") {
+    // with spark.checkpoint.dir configured the per-round lineage truncation
+    // must go through the fault-tolerant checkpoint path (blocks on the
+    // checkpoint fs, recoverable after executor loss) instead of
+    // localCheckpoint's executor-only storage
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty) // suite invariant: default is local mode
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    sc.setCheckpointDir(dir.getAbsolutePath)
+    try {
+      val path = (0L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(path, maxIter = 9)
+        .as[(Long, Long)].collect().toMap
+      assert(got == (0L to 8L).map(_ -> 0L).toMap)
+      // the reliable path really ran: RDD checkpoint data landed in the dir
+      def rddFiles(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(rddFiles)
+        else Seq(f).filter(_.getName.startsWith("part-"))
+      assert(rddFiles(dir).nonEmpty, "no checkpoint blocks written to the checkpoint dir")
+    } finally {
+      sc.setCheckpointDir(null) // restore the suite-wide localCheckpoint default
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
   }
 
   test("sessionization merges touching sessions, splits strictly beyond the gap") {

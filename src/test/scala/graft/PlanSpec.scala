@@ -31,6 +31,22 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one shuffle:\n$plan")
   }
 
+  test("delta/rate plan as pure HashAggregate — never Sort + SortAggregate") {
+    // THE round-4 fix: delta/rate ride the hash-aggregable ValueAtTimeBound
+    // primitive (two primitive double buffer slots). A revert to
+    // max(struct)/max_by would put a struct in the aggregation buffer, which
+    // HashAggregateExec rejects — the whole rule pipeline would degrade to
+    // Sort + SortAggregate on both exchange sides (the 3-round bench outlier
+    // this guard exists to keep dead). See functions/TimeBoundValue.scala.
+    Seq("a6_delta_1d", "a7_rate_1d").foreach { q =>
+      val plan = executedPlan(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
+      assert(plan.contains("HashAggregate"), s"$q lost hash aggregation:\n$plan")
+      assert(!plan.contains("SortAggregate"),
+        s"$q degraded to sort-based aggregation:\n$plan")
+      assert(!plan.contains("Sort ["), s"$q plans a sort it never needed:\n$plan")
+    }
+  }
+
   test("rollup adds one more exchange with its own partial aggregate") {
     val plan = executedPlan(
       SparkEntry.queries("r1_rollup_1d")(spark, "/root/testdata/sf0.001"))
