@@ -530,6 +530,21 @@ object SparkEntry {
       Dedup.decontaminate(d.filter(col("doc_id") % 50 =!= 0),
         d.filter(col("doc_id") % 50 === 0), 3).select("doc_id")
     }),
+    // corpus-level line dedup (C4/RefinedWeb boilerplate scrub): lines in > 3
+    // distinct docs are removed everywhere. The testdata corpus is one line
+    // per doc with no cross-doc repeats, so the query wraps each body in
+    // deterministic boilerplate — a per-source banner (df = docs/source,
+    // hot) and a global footer (df = all docs, hot) that must be dropped,
+    // plus a doc_id%200 badge line (df ≤ 3 at sf0.01, kept) — exercising
+    // both sides of the cap and order-preserving rebuild
+    "dedup_lines" -> ((s, dir) =>
+      Dedup.dedupLines(
+        docs(s, dir).withColumn("text", concat_ws("\n",
+          concat(lit("BANNER "), col("source")),
+          col("text"),
+          concat(lit("badge "), (col("doc_id") % 200).cast("string")),
+          lit("ALL RIGHTS RESERVED"))),
+        maxDocFreq = 3)),
     // leakage audit: near-dup pairs straddling the 80/10/10 split — the
     // documents that would leak eval text into training
     "audit_split_leakage" -> ((s, dir) =>
@@ -778,6 +793,30 @@ object SparkEntry {
         "(SELECT doc_id, unnest(sh) AS s FROM t WHERE doc_id % 50 <> 0) c " +
         "JOIN bench USING (s)) SELECT doc_id FROM documents " +
         "WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)"),
+    // line dedup mirror: df per trimmed non-empty line (the operator counts
+    // df on the 64-bit line hash — collision odds are immaterial), lines in
+    // > 3 docs dropped, survivors rejoined in original position order; the
+    // boilerplate construction matches the query side exactly
+    "dedup_lines" ->
+      ("WITH d AS (SELECT doc_id, 'BANNER ' || source || chr(10) || text || " +
+        "chr(10) || 'badge ' || CAST(doc_id % 200 AS VARCHAR) || chr(10) || " +
+        "'ALL RIGHTS RESERVED' AS text FROM documents), " +
+        "ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d), " +
+        "ex AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS pos, arr FROM ls), " +
+        "lines AS (SELECT doc_id, pos, trim(arr[pos]) AS line FROM ex " +
+        "WHERE length(trim(arr[pos])) > 0), " +
+        "hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df " +
+        "FROM lines GROUP BY 1) WHERE df > 3), " +
+        "kept AS (SELECT doc_id, pos, line FROM lines " +
+        "WHERE line NOT IN (SELECT line FROM hot)), " +
+        "reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean, " +
+        "count(*) AS n_kept FROM kept GROUP BY 1), " +
+        "tot AS (SELECT doc_id, count(*) AS n_all FROM lines GROUP BY 1) " +
+        "SELECT d.doc_id, COALESCE(reb.text_clean, '') AS text_clean, " +
+        "CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_lines_kept, " +
+        "CAST(COALESCE(tot.n_all, 0) - COALESCE(reb.n_kept, 0) AS BIGINT) " +
+        "AS n_lines_dropped " +
+        "FROM d LEFT JOIN reb USING (doc_id) LEFT JOIN tot USING (doc_id)"),
     "dedup_embedding" ->
       (s"SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM (" +
         s"SELECT a.vec_id AS id_a, b.vec_id AS id_b, $CosD AS c " +

@@ -267,6 +267,55 @@ object Dedup {
       .select(idCol).distinct()
   }
 
+  // ------------------------------------------------- corpus line dedup
+
+  /** Corpus-level exact LINE dedup — the C4 / RefinedWeb boilerplate scrub:
+    * a trimmed non-empty line occurring in more than `maxDocFreq` DISTINCT
+    * documents is boilerplate (nav bars, cookie banners, license footers) and
+    * is removed from every document; each document's surviving lines are
+    * rejoined with "\n" in their original order. Returns one row per input
+    * document: (idCol, text_clean, n_lines_kept, n_lines_dropped) — documents
+    * with nothing left (or no non-empty lines to begin with) keep an empty
+    * `text_clean`.
+    *
+    * Scale shape: document frequency is counted on the 64-bit line hash, so
+    * the counting exchanges carry (hash, id) pairs, never line text; the hot
+    * set (df > cap) is boilerplate-only — small by nature — and reaches the
+    * corpus as a BROADCAST anti-join (same pattern as [[ngramJaccardPairs]]'
+    * hot-shingle cap). The only corpus-sized exchange is the per-document
+    * rebuild groupBy, which is inherent to emitting the cleaned text (the
+    * output IS the corpus). */
+  def dedupLines(docs: DataFrame, maxDocFreq: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "raw")))
+      .select(col(idCol), col("pos"), trim(col("raw")).as("line"))
+      .filter(length(col("line")) > 0)
+      .withColumn("lh", xxhash64(col("line")))
+    // df = distinct documents containing the line (within-doc repeats count
+    // once): two-level aggregate on the hash, both levels map-side combined
+    val hot = lines.select(col("lh"), col(idCol)).distinct()
+      .groupBy("lh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("lh")
+    val kept = lines.join(broadcast(hot), Seq("lh"), "left_anti")
+    val rebuilt = kept.groupBy(idCol).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        s => s.getField("line")), "\n").as("text_clean"),
+      count(lit(1)).as("n_lines_kept"))
+    val totals = lines.groupBy(idCol).agg(count(lit(1)).as("n_lines_total"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (coalesce(col("n_lines_total"), lit(0L)) -
+          coalesce(col("n_lines_kept"), lit(0L))).as("n_lines_dropped"))
+  }
+
   /** Benchmark decontamination: corpus minus [[contaminatedIds]]. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =

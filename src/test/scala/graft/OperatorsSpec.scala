@@ -34,6 +34,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fps(0) != fps(2))
   }
 
+  test("line dedup removes corpus-hot lines, preserves order, keeps empty docs") {
+    val d = Seq(
+      (1L, "alpha one\nCOOKIE NOTICE\nbeta two"),
+      (2L, "COOKIE NOTICE\ngamma three"),
+      (3L, "delta four\n COOKIE NOTICE \nepsilon five\ndelta four"),
+      (4L, "COOKIE NOTICE"),
+      (5L, "  \n\n"), // whitespace-only: no lines at all
+      (6L, "zeta six\neta seven")).toDF("doc_id", "text")
+    // COOKIE NOTICE is in 4 distinct docs (trim-normalized; doc 3's padded
+    // copy counts, doc 3's repeated 'delta four' counts ONCE) — hot at cap 3
+    val out = Dedup.dedupLines(d, maxDocFreq = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(out(0) == ((1L, "alpha one\nbeta two", 2L, 1L)))
+    assert(out(1) == ((2L, "gamma three", 1L, 1L)))
+    // order preserved around the removed line; within-doc repeat survives
+    assert(out(2) == ((3L, "delta four\nepsilon five\ndelta four", 3L, 1L)))
+    assert(out(3) == ((4L, "", 0L, 1L))) // nothing left — row still present
+    assert(out(4) == ((5L, "", 0L, 0L)))
+    assert(out(5) == ((6L, "zeta six\neta seven", 2L, 0L)))
+    // at cap 4 nothing is hot: every doc keeps all its non-empty lines
+    assert(Dedup.dedupLines(d, maxDocFreq = 4)
+      .filter($"n_lines_dropped" > 0).count() == 0)
+  }
+
   test("MinHash-LSH pairs equal exact trigram-Jaccard pairs on the testdata corpus") {
     // at k=128, b=32, r=4 the miss probability at the corpus's minimum
     // true-pair similarity (J≥0.9) is ~1e-15, and candidates are verified

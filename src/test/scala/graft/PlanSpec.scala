@@ -96,6 +96,17 @@ class PlanSpec extends AnyFunSuite {
       s"hot-shingle filter is not a broadcast anti-join:\n$plan")
   }
 
+  test("line dedup broadcasts the hot-line set (anti-join; counting never shuffles line text)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = executedPlan(graft.operators.Dedup.dedupLines(
+      docs.withColumn("text", org.apache.spark.sql.functions.regexp_replace(
+        $"text", "\\. ", ".\n")), maxDocFreq = 3))
+    // the df > cap set is boilerplate-only (small) — it must reach the corpus
+    // lines as a broadcast anti-join, never a shuffled join
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"hot-line filter is not a broadcast anti-join:\n$plan")
+  }
+
   test("IVF corpus assignment is a narrow map (exchanges only for probe join and top-k)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plan = executedPlan(graft.operators.Similarity.ivfTopK(
