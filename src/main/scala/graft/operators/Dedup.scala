@@ -278,12 +278,14 @@ object Dedup {
     * with nothing left (or no non-empty lines to begin with) keep an empty
     * `text_clean`.
     *
-    * Scale shape: document frequency is counted on the 64-bit line hash, so
-    * the counting exchanges carry (hash, id) pairs, never line text; the hot
-    * set (df > cap) is boilerplate-only — small by nature — and reaches the
-    * corpus as a BROADCAST anti-join (same pattern as [[ngramJaccardPairs]]'
-    * hot-shingle cap). The only corpus-sized exchange is the per-document
-    * rebuild groupBy, which is inherent to emitting the cleaned text (the
+    * Scale shape: two passes over the exploded lines. Pass 1 counts document
+    * frequency on the 64-bit line hash — its exchanges carry (hash, id)
+    * pairs, never line text. The hot set (df > cap) is boilerplate-only —
+    * small by nature — and comes back to the lines as a BROADCAST join (same
+    * pattern as [[ngramJaccardPairs]]' hot-shingle cap) that merely FLAGS hot
+    * lines, so pass 2 is a single per-document groupBy computing the rebuilt
+    * text, the kept count and the total count together. That groupBy is the
+    * only corpus-sized exchange — inherent to emitting cleaned text (the
     * output IS the corpus). */
   def dedupLines(docs: DataFrame, maxDocFreq: Long,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -298,16 +300,18 @@ object Dedup {
     val hot = lines.select(col("lh"), col(idCol)).distinct()
       .groupBy("lh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
-      .select("lh")
-    val kept = lines.join(broadcast(hot), Seq("lh"), "left_anti")
-    val rebuilt = kept.groupBy(idCol).agg(
+      .select(col("lh"), lit(true).as("is_hot"))
+    // hot lines become NULL structs, which collect_list skips — one aggregate
+    // yields rebuilt text, kept count and total count in the same pass
+    val flagged = lines.join(broadcast(hot), Seq("lh"), "left")
+    val rebuilt = flagged.groupBy(idCol).agg(
       array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("line")))),
+        array_sort(collect_list(
+          when(col("is_hot").isNull, struct(col("pos"), col("line"))))),
         s => s.getField("line")), "\n").as("text_clean"),
-      count(lit(1)).as("n_lines_kept"))
-    val totals = lines.groupBy(idCol).agg(count(lit(1)).as("n_lines_total"))
+      count(when(col("is_hot").isNull, lit(1))).as("n_lines_kept"),
+      count(lit(1)).as("n_lines_total"))
     docs.select(col(idCol))
-      .join(totals, Seq(idCol), "left")
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("text_clean"), lit("")).as("text_clean"),

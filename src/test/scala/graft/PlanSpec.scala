@@ -96,15 +96,23 @@ class PlanSpec extends AnyFunSuite {
       s"hot-shingle filter is not a broadcast anti-join:\n$plan")
   }
 
-  test("line dedup broadcasts the hot-line set (anti-join; counting never shuffles line text)") {
+  test("line dedup broadcasts the hot-line set; rebuild is one doc-keyed exchange") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = executedPlan(graft.operators.Dedup.dedupLines(
       docs.withColumn("text", org.apache.spark.sql.functions.regexp_replace(
         $"text", "\\. ", ".\n")), maxDocFreq = 3))
     // the df > cap set is boilerplate-only (small) — it must reach the corpus
-    // lines as a broadcast anti-join, never a shuffled join
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
-      s"hot-line filter is not a broadcast anti-join:\n$plan")
+    // lines as a broadcast flag join, never a shuffled join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot-line set is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin hashpartitioning(lh") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"corpus lines shuffled for the hot-line join:\n$plan")
+    // the rebuild is ONE corpus groupBy: text, kept count and total count
+    // come from the same aggregate (a second doc-keyed pass would re-explode
+    // the whole corpus)
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).length <= 2,
+      s"more doc-keyed exchanges than rebuild + join:\n$plan")
   }
 
   test("IVF corpus assignment is a narrow map (exchanges only for probe join and top-k)") {
