@@ -123,6 +123,28 @@ object PropertySpec extends Properties("graft") {
       b1.forall(b => b >= 0 && b < Sampling.Buckets) && b1.sameElements(b2)
     }
 
+  property("line dedup equals the naive df model ∀ corpus and cap") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.listOf(
+        Gen.oneOf("aa", "bb", "cc", "dd dd", " aa ", "", "  "))),
+      Gen.choose(1L, 4L)) { (docLines, cap) =>
+      val corpus = docLines.zipWithIndex.map { case (ls, i) => (i.toLong, ls.mkString("\n")) }
+      val got = graft.operators.Dedup.dedupLines(corpus.toDF("doc_id", "text"), cap)
+        .as[(Long, String, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      // naive model: trim lines, drop empties, df = docs containing the line
+      val norm: Map[Long, Seq[String]] = corpus.map { case (id, text) =>
+        id -> text.split("\n", -1).toSeq.map(_.trim).filter(_.nonEmpty)
+      }.toMap
+      val hot = norm.values.flatMap(_.distinct).groupBy(identity)
+        .collect { case (l, occ) if occ.size > cap => l }.toSet
+      val expected = norm.map { case (id, lines) =>
+        val kept = lines.filterNot(hot)
+        id -> ((kept.mkString("\n"), kept.size.toLong, (lines.size - kept.size).toLong))
+      }
+      got == expected
+    }
+
   property("PolyHash64 equals the BigInt mod-2^64 reference ∀ unicode string") =
     forAll(Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumStr,
       Gen.listOf(Gen.choose(Char.MinValue, '퟿')).map(_.mkString)))) { ss =>
