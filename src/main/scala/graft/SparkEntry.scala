@@ -803,8 +803,10 @@ object SparkEntry {
         "'ALL RIGHTS RESERVED' AS text FROM documents), " +
         "ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d), " +
         "ex AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS pos, arr FROM ls), " +
-        "lines AS (SELECT doc_id, pos, trim(arr[pos]) AS line FROM ex " +
-        "WHERE length(trim(arr[pos])) > 0), " +
+        // the engine-wide whitespace-class trim (CRLF corpora normalize like LF)
+        "l0 AS (SELECT doc_id, pos, regexp_replace(arr[pos], " +
+        "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') AS line FROM ex), " +
+        "lines AS (SELECT doc_id, pos, line FROM l0 WHERE length(line) > 0), " +
         "hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df " +
         "FROM lines GROUP BY 1) WHERE df > 3), " +
         "kept AS (SELECT doc_id, pos, line FROM lines " +

@@ -276,23 +276,33 @@ object Dedup {
     * rejoined with "\n" in their original order. Returns one row per input
     * document: (idCol, text_clean, n_lines_kept, n_lines_dropped) — documents
     * with nothing left (or no non-empty lines to begin with) keep an empty
-    * `text_clean`.
+    * `text_clean`. Lines are trimmed with the engine-wide whitespace class
+    * (TextAnalysis.WsClass — tabs, CR, FF, space), so CRLF corpora normalize
+    * to the same line keys as LF corpora and \r/\t-only lines count as empty.
     *
     * Scale shape: two passes over the exploded lines. Pass 1 counts document
     * frequency on the 64-bit line hash — its exchanges carry (hash, id)
-    * pairs, never line text. The hot set (df > cap) is boilerplate-only —
-    * small by nature — and comes back to the lines as a BROADCAST join (same
-    * pattern as [[ngramJaccardPairs]]' hot-shingle cap) that merely FLAGS hot
-    * lines, so pass 2 is a single per-document groupBy computing the rebuilt
-    * text, the kept count and the total count together. That groupBy is the
-    * only corpus-sized exchange — inherent to emitting cleaned text (the
-    * output IS the corpus). */
+    * pairs, never line text. With `broadcastHot` (default) the hot set
+    * (df > cap) comes back to the lines as a BROADCAST join (same pattern as
+    * [[ngramJaccardPairs]]' hot-shingle cap) that merely FLAGS hot lines, so
+    * pass 2 is a single per-document groupBy computing the rebuilt text, the
+    * kept count and the total count together. That groupBy is the only
+    * corpus-sized exchange — inherent to emitting cleaned text (the output
+    * IS the corpus).
+    *
+    * `broadcastHot = false` is the escape hatch for web-scale corpora with a
+    * LOW cap: at billions of documents, lines in more than a handful of docs
+    * include common sentences and templated fragments, not just boilerplate —
+    * a hot set that can exceed driver memory / the broadcast size limit. The
+    * flag falls back to a shuffled equi-join on the line hash. */
   def dedupLines(docs: DataFrame, maxDocFreq: Long,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastHot: Boolean = true): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val wsTrim = s"^${TextAnalysis.WsClass}+|${TextAnalysis.WsClass}+$$"
     val lines = docs
       .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "raw")))
-      .select(col(idCol), col("pos"), trim(col("raw")).as("line"))
+      .select(col(idCol), col("pos"), regexp_replace(col("raw"), wsTrim, "").as("line"))
       .filter(length(col("line")) > 0)
       .withColumn("lh", xxhash64(col("line")))
     // df = distinct documents containing the line (within-doc repeats count
@@ -303,7 +313,8 @@ object Dedup {
       .select(col("lh"), lit(true).as("is_hot"))
     // hot lines become NULL structs, which collect_list skips — one aggregate
     // yields rebuilt text, kept count and total count in the same pass
-    val flagged = lines.join(broadcast(hot), Seq("lh"), "left")
+    val flagged = lines.join(
+      if (broadcastHot) broadcast(hot) else hot, Seq("lh"), "left")
     val rebuilt = flagged.groupBy(idCol).agg(
       array_join(transform(
         array_sort(collect_list(
@@ -349,9 +360,12 @@ object Dedup {
     * one on preemptible / dynamic-allocation clusters). Otherwise it falls
     * back to `localCheckpoint`: blocks live only in executor storage with NO
     * recomputation path, so losing an executor mid-loop fails the job.
-    * Superseded generations' blocks are released by the ContextCleaner as
-    * each frontier goes out of scope (GC-driven, not deterministic); the
-    * returned labels' blocks likewise live until the caller drops the plan. */
+    * Superseded localCheckpoint generations' blocks are released by the
+    * ContextCleaner as each frontier goes out of scope (GC-driven, not
+    * deterministic) and the returned labels' blocks live until the caller
+    * drops the plan; reliable checkpoint FILES are only cleaner-deleted under
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default false —
+    * otherwise they persist on the checkpoint fs for the app's lifetime). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
     // lineage truncation per generation — reliable when possible (see scaladoc)

@@ -89,7 +89,12 @@ object HeavyHitters {
     * 3.28 ms for `Map[String, Long]` — 5.8× (graft.StateEncodingBench), which
     * at thousands of open (window, tenant) groups is seconds per micro-batch.
     * Entry order is arbitrary: the fold rebuilds a hash map and emission
-    * sorts explicitly. */
+    * sorts explicitly.
+    *
+    * Upgrade note: this replaced a `Map[String, Long]` state schema. A
+    * streaming checkpoint written by the map-state version fails Spark's
+    * state-schema compatibility check on restart — restarting an existing
+    * query across this change requires a fresh checkpoint location. */
   case class PackedCounts(values: Array[String], counts: Array[Long])
 
   /** STREAMING top-k per (window, tenant) via `flatMapGroupsWithState` —

@@ -37,13 +37,15 @@ class OperatorsSpec extends AnyFunSuite {
   test("line dedup removes corpus-hot lines, preserves order, keeps empty docs") {
     val d = Seq(
       (1L, "alpha one\nCOOKIE NOTICE\nbeta two"),
-      (2L, "COOKIE NOTICE\ngamma three"),
-      (3L, "delta four\n COOKIE NOTICE \nepsilon five\ndelta four"),
+      // CRLF line endings + a \r-only blank: normalize like the LF docs
+      (2L, "COOKIE NOTICE\r\ngamma three\r\n\r"),
+      (3L, "delta four\n\tCOOKIE NOTICE \nepsilon five\ndelta four"),
       (4L, "COOKIE NOTICE"),
       (5L, "  \n\n"), // whitespace-only: no lines at all
       (6L, "zeta six\neta seven")).toDF("doc_id", "text")
-    // COOKIE NOTICE is in 4 distinct docs (trim-normalized; doc 3's padded
-    // copy counts, doc 3's repeated 'delta four' counts ONCE) — hot at cap 3
+    // COOKIE NOTICE is in 4 distinct docs (whitespace-class-normalized: doc
+    // 2's CRLF copy and doc 3's tab/space-padded copy count, doc 3's
+    // repeated 'delta four' counts ONCE) — hot at cap 3
     val out = Dedup.dedupLines(d, maxDocFreq = 3)
       .as[(Long, String, Long, Long)].collect().sortBy(_._1)
     assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))

@@ -126,15 +126,18 @@ object PropertySpec extends Properties("graft") {
   property("line dedup equals the naive df model ∀ corpus and cap") =
     forAll(
       Gen.nonEmptyListOf(Gen.listOf(
-        Gen.oneOf("aa", "bb", "cc", "dd dd", " aa ", "", "  "))),
+        Gen.oneOf("aa", "bb", "cc", "dd dd", " aa ", "\taa", "bb\r", "", "  ", "\r"))),
       Gen.choose(1L, 4L)) { (docLines, cap) =>
       val corpus = docLines.zipWithIndex.map { case (ls, i) => (i.toLong, ls.mkString("\n")) }
       val got = graft.operators.Dedup.dedupLines(corpus.toDF("doc_id", "text"), cap)
         .as[(Long, String, Long, Long)].collect()
         .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
-      // naive model: trim lines, drop empties, df = docs containing the line
+      // naive model: trim by the engine whitespace class (NOT String.trim —
+      // the operator normalizes CRLF/tab padding), drop empties, df = docs
+      // containing the line
+      val wsTrim = "^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$"
       val norm: Map[Long, Seq[String]] = corpus.map { case (id, text) =>
-        id -> text.split("\n", -1).toSeq.map(_.trim).filter(_.nonEmpty)
+        id -> text.split("\n", -1).toSeq.map(_.replaceAll(wsTrim, "")).filter(_.nonEmpty)
       }.toMap
       val hot = norm.values.flatMap(_.distinct).groupBy(identity)
         .collect { case (l, occ) if occ.size > cap => l }.toSet
