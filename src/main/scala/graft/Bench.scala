@@ -31,9 +31,11 @@ object Bench {
 
     // throughput probe FIRST: after the 2×47-query sweep the JVM is hot but
     // cache-churned and the recorded eps under-reads the pipeline by ~10×
-    // (38K vs 136K–1.2M when probed fresh); median of 3 evens out the
-    // remaining run-to-run swing
-    val (eps, epsRuns) = ingestThroughput(spark)
+    // (38K vs 136K–1.2M when probed fresh); median of 5 evens out the
+    // run-to-run swing on a contended box (r06's median-of-3 spread was
+    // 4.6× on identical code), and the min is recorded alongside as the
+    // contention-floor bound
+    val (eps, epsMin, epsRuns) = ingestThroughput(spark)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
@@ -64,7 +66,8 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       """"query_repeat_policy":"min-of-2 timed runs per query, after a sf0.001 warmup pass",""" +
       s""""throughput_eps":$eps,""" +
-      """"throughput_policy":"median-of-3, probed before the query sweep",""" +
+      s""""throughput_eps_min":$epsMin,""" +
+      """"throughput_policy":"median-of-5 (min recorded), probed before the query sweep",""" +
       s""""throughput_eps_runs":${epsRuns.mkString("[", ",", "]")},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
@@ -74,13 +77,14 @@ object Bench {
     * (">50K metrics/sec", README.md:62-63): JSON envelopes/sec through the
     * reference hot path — parse → rule match → window-group aggregate
     * (server.go:307-332). JSON strings are pre-materialized and persisted so
-    * only the ingest pipeline is timed. Median of 3 runs (the first doubles
-    * as codegen/JIT warmup; the median is robust to one GC-noisy run).
-    * Returns (median, all runs in execution order) so the recorded number's
-    * spread is auditable in the bench JSON. */
-  private def ingestThroughput(spark: SparkSession): (Double, Seq[Double]) = {
-    val runs = (1 to 3).map(_ => ingestThroughputOnce(spark))
-    (runs.sorted.apply(1), runs)
+    * only the ingest pipeline is timed. Median of 5 runs (the first doubles
+    * as codegen/JIT warmup; the median is robust to GC/contention-noisy
+    * runs — r06's median-of-3 still spanned 4.6× on identical code).
+    * Returns (median, min, all runs in execution order) so both the number
+    * of record and its contention floor are auditable in the bench JSON. */
+  private def ingestThroughput(spark: SparkSession): (Double, Double, Seq[Double]) = {
+    val runs = (1 to 5).map(_ => ingestThroughputOnce(spark))
+    (runs.sorted.apply(2), runs.min, runs)
   }
 
   private def ingestThroughputOnce(spark: SparkSession): Double = {

@@ -539,12 +539,28 @@ object SparkEntry {
     // both sides of the cap and order-preserving rebuild
     "dedup_lines" -> ((s, dir) =>
       Dedup.dedupLines(
+        // source/text coalesced on BOTH sides: concat_ws skips NULL pieces
+        // while the oracle's '||' would propagate them — a NULL testdata row
+        // must not make the two sides diverge
         docs(s, dir).withColumn("text", concat_ws("\n",
-          concat(lit("BANNER "), col("source")),
-          col("text"),
+          concat(lit("BANNER "), coalesce(col("source"), lit(""))),
+          coalesce(col("text"), lit("")),
           concat(lit("badge "), (col("doc_id") % 200).cast("string")),
           lit("ALL RIGHTS RESERVED"))),
         maxDocFreq = 3)),
+    // same scrub with keepEmptyLines=true: blank boilerplate separators
+    // survive the rebuild verbatim (paragraph structure) while staying
+    // invisible to the hot rule and both counts
+    "dedup_lines_keepempty" -> ((s, dir) =>
+      Dedup.dedupLines(
+        docs(s, dir).withColumn("text", concat_ws("\n",
+          concat(lit("BANNER "), coalesce(col("source"), lit(""))),
+          lit(""),
+          coalesce(col("text"), lit("")),
+          concat(lit("badge "), (col("doc_id") % 200).cast("string")),
+          lit(""),
+          lit("ALL RIGHTS RESERVED"))),
+        maxDocFreq = 3, keepEmptyLines = true)),
     // leakage audit: near-dup pairs straddling the 80/10/10 split — the
     // documents that would leak eval text into training
     "audit_split_leakage" -> ((s, dir) =>
@@ -798,7 +814,8 @@ object SparkEntry {
     // > 3 docs dropped, survivors rejoined in original position order; the
     // boilerplate construction matches the query side exactly
     "dedup_lines" ->
-      ("WITH d AS (SELECT doc_id, 'BANNER ' || source || chr(10) || text || " +
+      ("WITH d AS (SELECT doc_id, 'BANNER ' || COALESCE(source, '') || chr(10) || " +
+        "COALESCE(text, '') || " +
         "chr(10) || 'badge ' || CAST(doc_id % 200 AS VARCHAR) || chr(10) || " +
         "'ALL RIGHTS RESERVED' AS text FROM documents), " +
         "ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d), " +
@@ -814,6 +831,31 @@ object SparkEntry {
         "reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean, " +
         "count(*) AS n_kept FROM kept GROUP BY 1), " +
         "tot AS (SELECT doc_id, count(*) AS n_all FROM lines GROUP BY 1) " +
+        "SELECT d.doc_id, COALESCE(reb.text_clean, '') AS text_clean, " +
+        "CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_lines_kept, " +
+        "CAST(COALESCE(tot.n_all, 0) - COALESCE(reb.n_kept, 0) AS BIGINT) " +
+        "AS n_lines_dropped " +
+        "FROM d LEFT JOIN reb USING (doc_id) LEFT JOIN tot USING (doc_id)"),
+    // keepEmptyLines mirror: blank lines bypass the hot filter and the
+    // counts (both sides range kept/total over non-empty lines only) but
+    // survive into text_clean at their original positions
+    "dedup_lines_keepempty" ->
+      ("WITH d AS (SELECT doc_id, 'BANNER ' || COALESCE(source, '') || chr(10) || " +
+        "chr(10) || COALESCE(text, '') || " +
+        "chr(10) || 'badge ' || CAST(doc_id % 200 AS VARCHAR) || chr(10) || chr(10) || " +
+        "'ALL RIGHTS RESERVED' AS text FROM documents), " +
+        "ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d), " +
+        "ex AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS pos, arr FROM ls), " +
+        "l0 AS (SELECT doc_id, pos, regexp_replace(arr[pos], " +
+        "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') AS line FROM ex), " +
+        "hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df " +
+        "FROM l0 WHERE length(line) > 0 GROUP BY 1) WHERE df > 3), " +
+        "kept AS (SELECT doc_id, pos, line FROM l0 " +
+        "WHERE length(line) = 0 OR line NOT IN (SELECT line FROM hot)), " +
+        "reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean, " +
+        "count(*) FILTER (WHERE length(line) > 0) AS n_kept FROM kept GROUP BY 1), " +
+        "tot AS (SELECT doc_id, count(*) AS n_all FROM l0 " +
+        "WHERE length(line) > 0 GROUP BY 1) " +
         "SELECT d.doc_id, COALESCE(reb.text_clean, '') AS text_clean, " +
         "CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_lines_kept, " +
         "CAST(COALESCE(tot.n_all, 0) - COALESCE(reb.n_kept, 0) AS BIGINT) " +

@@ -280,6 +280,20 @@ object Dedup {
     * (TextAnalysis.WsClass — tabs, CR, FF, space), so CRLF corpora normalize
     * to the same line keys as LF corpora and \r/\t-only lines count as empty.
     *
+    * Blank-line contract: empty (whitespace-only) lines are never
+    * boilerplate-eligible and never counted — `n_lines_kept` /
+    * `n_lines_dropped` range over NON-EMPTY lines only. By default blank
+    * lines also do not survive the rebuild ("a\n\nb" → "a\nb"); pass
+    * `keepEmptyLines = true` to preserve them verbatim at their original
+    * positions (paragraph structure for downstream splitters) without
+    * affecting which lines are hot or either count.
+    *
+    * Document frequency is keyed on the 64-bit xxhash64 of the trimmed line,
+    * not the text: two distinct lines that collide pool into one df and drop
+    * together. At 2^-64 per pair this is immaterial even at web scale, but it
+    * is the operator's contract (the DuckDB oracle, which keys on text, would
+    * surface a collision as a mismatch rather than an over-drop).
+    *
     * Scale shape: two passes over the exploded lines. Pass 1 counts document
     * frequency on the 64-bit line hash — its exchanges carry (hash, id)
     * pairs, never line text. With `broadcastHot` (default) the hot set
@@ -294,34 +308,43 @@ object Dedup {
     * LOW cap: at billions of documents, lines in more than a handful of docs
     * include common sentences and templated fragments, not just boilerplate —
     * a hot set that can exceed driver memory / the broadcast size limit. The
-    * flag falls back to a shuffled equi-join on the line hash. */
+    * flag falls back to a SHUFFLED HASH join on the line hash (hinted, so a
+    * size misestimate can't silently re-broadcast it): the hot set partitions
+    * by `lh` and each partition's hash table stays small, while the corpus
+    * lines stream past without the sort a merge join would force on them. */
   def dedupLines(docs: DataFrame, maxDocFreq: Long,
       idCol: String = "doc_id", textCol: String = "text",
-      broadcastHot: Boolean = true): DataFrame = {
+      broadcastHot: Boolean = true, keepEmptyLines: Boolean = false): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
     val wsTrim = s"^${TextAnalysis.WsClass}+|${TextAnalysis.WsClass}+$$"
-    val lines = docs
+    val allLines = docs
       .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "raw")))
       .select(col(idCol), col("pos"), regexp_replace(col("raw"), wsTrim, "").as("line"))
-      .filter(length(col("line")) > 0)
+    val lines = (if (keepEmptyLines) allLines
+                 else allLines.filter(length(col("line")) > 0))
       .withColumn("lh", xxhash64(col("line")))
     // df = distinct documents containing the line (within-doc repeats count
-    // once): two-level aggregate on the hash, both levels map-side combined
-    val hot = lines.select(col("lh"), col(idCol)).distinct()
+    // once): two-level aggregate on the hash, both levels map-side combined.
+    // Empty lines are excluded here even when kept — "" is never boilerplate
+    // (its constant hash would otherwise go hot and scrub blank structure)
+    val hot = lines.filter(length(col("line")) > 0)
+      .select(col("lh"), col(idCol)).distinct()
       .groupBy("lh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select(col("lh"), lit(true).as("is_hot"))
     // hot lines become NULL structs, which collect_list skips — one aggregate
     // yields rebuilt text, kept count and total count in the same pass
     val flagged = lines.join(
-      if (broadcastHot) broadcast(hot) else hot, Seq("lh"), "left")
+      if (broadcastHot) broadcast(hot) else hot.hint("shuffle_hash"),
+      Seq("lh"), "left")
+    val nonEmpty = length(col("line")) > 0
     val rebuilt = flagged.groupBy(idCol).agg(
       array_join(transform(
         array_sort(collect_list(
           when(col("is_hot").isNull, struct(col("pos"), col("line"))))),
         s => s.getField("line")), "\n").as("text_clean"),
-      count(when(col("is_hot").isNull, lit(1))).as("n_lines_kept"),
-      count(lit(1)).as("n_lines_total"))
+      count(when(col("is_hot").isNull && nonEmpty, lit(1))).as("n_lines_kept"),
+      count(when(nonEmpty, lit(1))).as("n_lines_total"))
     docs.select(col(idCol))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),

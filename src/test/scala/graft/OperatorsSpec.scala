@@ -61,6 +61,51 @@ class OperatorsSpec extends AnyFunSuite {
       .filter($"n_lines_dropped" > 0).count() == 0)
   }
 
+  test("line dedup broadcastHot=false escape hatch matches the broadcast path") {
+    // the web-scale fallback (shuffled hash join on the line hash) must be a
+    // pure plan change: identical output on the boilerplate fixture, cap 1
+    // (maximally hot) through cap 4 (nothing hot)
+    val d = Seq(
+      (1L, "alpha one\nCOOKIE NOTICE\nbeta two"),
+      (2L, "COOKIE NOTICE\r\ngamma three\r\n\r"),
+      (3L, "delta four\n\tCOOKIE NOTICE \nepsilon five\ndelta four"),
+      (4L, "COOKIE NOTICE"),
+      (5L, "  \n\n"),
+      (6L, "zeta six\neta seven")).toDF("doc_id", "text")
+    (1L to 4L).foreach { cap =>
+      val bc = Dedup.dedupLines(d, cap)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+      val sh = Dedup.dedupLines(d, cap, broadcastHot = false)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(sh == bc, s"escape hatch diverged at cap $cap")
+    }
+  }
+
+  test("line dedup keepEmptyLines preserves blank structure without affecting counts") {
+    val d = Seq(
+      (1L, "alpha one\n\nCOOKIE NOTICE\nbeta two"),
+      (2L, "COOKIE NOTICE\r\n\r\ngamma three"),
+      (3L, "delta four\n \nCOOKIE NOTICE\nepsilon five"),
+      (4L, "COOKIE NOTICE\n\nCOOKIE NOTICE"), // only blanks survive
+      (5L, "  \n\n")).toDF("doc_id", "text") // whitespace-only: 3 blank lines
+    val out = Dedup.dedupLines(d, maxDocFreq = 3, keepEmptyLines = true)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // COOKIE NOTICE is in 4 docs — hot; blank lines stay at their positions
+    assert(out(0) == ((1L, "alpha one\n\nbeta two", 2L, 1L)))
+    assert(out(1) == ((2L, "\ngamma three", 1L, 1L)))
+    assert(out(2) == ((3L, "delta four\n\nepsilon five", 2L, 1L)))
+    assert(out(3) == ((4L, "", 0L, 2L))) // one interior blank remains... as ""
+    assert(out(4) == ((5L, "\n\n", 0L, 0L))) // blanks verbatim, counts zero
+    // counts are identical to the default mode — blanks are invisible to them
+    val plain = Dedup.dedupLines(d, maxDocFreq = 3)
+      .select($"doc_id", $"n_lines_kept", $"n_lines_dropped")
+      .as[(Long, Long, Long)].collect().toSet
+    val kept = Dedup.dedupLines(d, maxDocFreq = 3, keepEmptyLines = true)
+      .select($"doc_id", $"n_lines_kept", $"n_lines_dropped")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(kept == plain)
+  }
+
   test("MinHash-LSH pairs equal exact trigram-Jaccard pairs on the testdata corpus") {
     // at k=128, b=32, r=4 the miss probability at the corpus's minimum
     // true-pair similarity (J≥0.9) is ~1e-15, and candidates are verified
@@ -500,7 +545,12 @@ class OperatorsSpec extends AnyFunSuite {
         else Seq(f).filter(_.getName.startsWith("part-"))
       assert(rddFiles(dir).nonEmpty, "no checkpoint blocks written to the checkpoint dir")
     } finally {
-      sc.setCheckpointDir(null) // restore the suite-wide localCheckpoint default
+      // restore the suite-wide localCheckpoint default. Relies on
+      // SparkContext.setCheckpointDir wrapping the argument in
+      // Option(directory) — None for null — which is unofficial but the only
+      // way to CLEAR the dir on a live context; if a supported reset API
+      // appears, use it here (later suites assume the localCheckpoint path)
+      sc.setCheckpointDir(null)
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
       }

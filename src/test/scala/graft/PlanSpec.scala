@@ -102,17 +102,40 @@ class PlanSpec extends AnyFunSuite {
       docs.withColumn("text", org.apache.spark.sql.functions.regexp_replace(
         $"text", "\\. ", ".\n")), maxDocFreq = 3))
     // the df > cap set is boilerplate-only (small) — it must reach the corpus
-    // lines as a broadcast flag join, never a shuffled join
-    assert(plan.contains("BroadcastHashJoin"),
-      s"hot-line set is not broadcast:\n$plan")
-    assert(!plan.contains("SortMergeJoin hashpartitioning(lh") &&
-      !plan.contains("ShuffledHashJoin"),
+    // lines as a broadcast flag join KEYED ON THE LINE HASH (the final doc_id
+    // join may legitimately broadcast too, so anchor the assertion on lh),
+    // never a shuffled join
+    assert("BroadcastHashJoin \\[lh".r.findFirstIn(plan).isDefined,
+      s"hot-line set is not broadcast on the line hash:\n$plan")
+    assert(!plan.contains("SortMergeJoin [lh") &&
+      !plan.contains("ShuffledHashJoin [lh"),
       s"corpus lines shuffled for the hot-line join:\n$plan")
     // the rebuild is ONE corpus groupBy: text, kept count and total count
     // come from the same aggregate (a second doc-keyed pass would re-explode
     // the whole corpus)
     assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).length <= 2,
       s"more doc-keyed exchanges than rebuild + join:\n$plan")
+    // the df count is two map-side-combined levels on (hash, id) then hash —
+    // its exchanges carry (lh, doc_id) pairs, NEVER line text: exactly the
+    // distinct-partial exchange and the count exchange lead with lh
+    assert(plan.contains("partial_count"),
+      s"df count lost its map-side partial:\n$plan")
+    assert("Exchange hashpartitioning\\(lh".r.findAllIn(plan).length == 2,
+      s"df count is not two lh-keyed map-side-combined levels:\n$plan")
+  }
+
+  test("line dedup broadcastHot=false plans a shuffled hash join on the line hash, no broadcast") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = executedPlan(graft.operators.Dedup.dedupLines(
+      docs.withColumn("text", org.apache.spark.sql.functions.regexp_replace(
+        $"text", "\\. ", ".\n")), maxDocFreq = 3, broadcastHot = false))
+    // the escape hatch exists because the hot set may exceed broadcast limits:
+    // a size misestimate must not silently re-broadcast it (the hint pins SHJ —
+    // hot side partitions by lh, corpus lines stream past unsorted)
+    assert(plan.contains("ShuffledHashJoin [lh"),
+      s"escape hatch is not a shuffled hash join on the line hash:\n$plan")
+    assert(!"BroadcastHashJoin \\[lh".r.findFirstIn(plan).isDefined,
+      s"escape hatch still broadcasts the hot-line set:\n$plan")
   }
 
   test("IVF corpus assignment is a narrow map (exchanges only for probe join and top-k)") {

@@ -126,7 +126,10 @@ object PropertySpec extends Properties("graft") {
   property("line dedup equals the naive df model ∀ corpus and cap") =
     forAll(
       Gen.nonEmptyListOf(Gen.listOf(
-        Gen.oneOf("aa", "bb", "cc", "dd dd", " aa ", "\taa", "bb\r", "", "  ", "\r"))),
+        // interleaves CRLF endings (bb\r, \r\n), \t/\f-only and empty lines:
+        // the WsClass normalization must agree with the model on all of them
+        Gen.oneOf("aa", "bb", "cc", "dd dd", " aa ", "\taa", "bb\r", "", "  ",
+          "\r", "\t", " \t ", "\r\n", "ee"))),
       Gen.choose(1L, 4L)) { (docLines, cap) =>
       val corpus = docLines.zipWithIndex.map { case (ls, i) => (i.toLong, ls.mkString("\n")) }
       val got = graft.operators.Dedup.dedupLines(corpus.toDF("doc_id", "text"), cap)
@@ -144,6 +147,34 @@ object PropertySpec extends Properties("graft") {
       val expected = norm.map { case (id, lines) =>
         val kept = lines.filterNot(hot)
         id -> ((kept.mkString("\n"), kept.size.toLong, (lines.size - kept.size).toLong))
+      }
+      got == expected
+    }
+
+  property("line dedup (keepEmptyLines) equals the naive model ∀ blank/CRLF-heavy corpus") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.listOf(
+        Gen.oneOf("aa", "bb", "dd dd", " aa ", "\taa", "bb\r", "", "  ",
+          "\r", "\t", " \t ", "\r\n", "ee"))),
+      Gen.choose(1L, 4L)) { (docLines, cap) =>
+      val corpus = docLines.zipWithIndex.map { case (ls, i) => (i.toLong, ls.mkString("\n")) }
+      val got = graft.operators.Dedup
+        .dedupLines(corpus.toDF("doc_id", "text"), cap, keepEmptyLines = true)
+        .as[(Long, String, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      // naive model: trim by the whitespace class, keep empties in the
+      // rebuild, hot/counts range over non-empty lines only
+      val wsTrim = "^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$"
+      val norm: Map[Long, Seq[String]] = corpus.map { case (id, text) =>
+        id -> text.split("\n", -1).toSeq.map(_.replaceAll(wsTrim, ""))
+      }.toMap
+      val hot = norm.values.flatMap(_.filter(_.nonEmpty).distinct).groupBy(identity)
+        .collect { case (l, occ) if occ.size > cap => l }.toSet
+      val expected = norm.map { case (id, lines) =>
+        val kept = lines.filterNot(hot) // empties are never hot
+        val keptNE = kept.count(_.nonEmpty).toLong
+        id -> ((kept.mkString("\n"), keptNE,
+          lines.count(_.nonEmpty).toLong - keptNE))
       }
       got == expected
     }
