@@ -174,6 +174,21 @@ object SparkEntry {
       "WHERE rank <= 5"
   }
 
+  /** SemDeDup mirror (nLists=8, threshold 0.4): reuses the IVF centroid
+    * selection + argmax assignment verbatim, then within-cell pairs only. */
+  private val SemanticPairsSql = {
+    val h = hashRawSql("vec_id")
+    s"WITH $UnitVecCte, " +
+      s"cent AS (SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell, v " +
+      s"FROM u QUALIFY row_number() OVER (ORDER BY $h, vec_id) <= 8), " +
+      "asg AS (SELECT u.vec_id AS id, any_value(u.v) AS v, " +
+      "(max({'s': list_inner_product(c.v, u.v), 'c': c.cell})).c AS cell " +
+      "FROM u, cent c GROUP BY u.vec_id) " +
+      "SELECT id_a, id_b, CAST(cell AS BIGINT) AS cell, ROUND(c, 4) AS cosine FROM (" +
+      "SELECT a.id AS id_a, b.id AS id_b, a.cell, list_inner_product(a.v, b.v) AS c " +
+      "FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id) WHERE c >= 0.4"
+  }
+
   /** Full sign-LSH mirror (threshold 0.4, nPlanes=6, tables=8, seed 42): the
     * hyperplanes are deterministic given the seed, so they are EMBEDDED here
     * as double literals (shortest round-trip Double.toString — DuckDB parses
@@ -569,6 +584,13 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(emb(s, dir), 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
+    // SemDeDup: same 0.4 cosine bar as dedup_embedding but pairs only form
+    // within one of 8 IVF cells — the cluster-bucketed scale path (its output
+    // is the subset of dedup_embedding's pairs that share a cell)
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticPairs(emb(s, dir), threshold = 0.4, nLists = 8)
+        .select(col("id_a"), col("id_b"), col("cell").cast("long").as("cell"),
+          round(col("cosine"), 4).as("cosine"))),
     "sim_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir).filter(col("vec_id") < 10), emb(s, dir), 5)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
@@ -865,6 +887,7 @@ object SparkEntry {
       (s"SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM (" +
         s"SELECT a.vec_id AS id_a, b.vec_id AS id_b, $CosD AS c " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) WHERE c >= 0.4"),
+    "dedup_semantic" -> SemanticPairsSql,
     "sim_topk" ->
       ("SELECT query_id, neighbor_id, rank, ROUND(c, 4) AS cosine FROM (" +
         "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, " +

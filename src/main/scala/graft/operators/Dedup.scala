@@ -497,4 +497,47 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are clustered into `nLists` Voronoi cells
+    * around deterministically sampled centroids — the same assignment as
+    * [[Similarity.ivfTopK]] — and cosine is computed only WITHIN a cell.
+    * This is the published recipe for embedding-level dedup at corpus scale:
+    * the O(n²) pair space becomes an equi-join on cell id (≈ n²/nLists pairs
+    * when cells are balanced), and near-duplicates co-locate because vectors
+    * close to each other are close to the same centroid. Returns
+    * (id_a, id_b, cell, cosine).
+    *
+    * Recall contract: a pair whose members straddle a cell boundary is missed
+    * by design (the paper's trade-off — raise nLists for cheaper, smaller
+    * cells; lower it toward 1 for exact [[embeddingPairs]] behavior). Compose
+    * with [[connectedComponents]] / [[nearDupSurvivors]] to keep one
+    * representative per semantic cluster.
+    *
+    * Scale shape: centroids broadcast as literals (one nLists-row driver
+    * collect, shared with IVF); cell assignment is a narrow argmax map; the
+    * self-join shuffles the corpus ONCE on cell id. Skewed cells (a corpus
+    * of one topic) are the operator's pressure point — AQE skew-join splits
+    * oversized cells, and raising nLists shrinks them directly. */
+  def semanticPairs(emb: DataFrame, threshold: Double, nLists: Int,
+      seed: Long = 42, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nLists >= 1, s"nLists must be >= 1, got $nLists")
+    // persisted: feeds the centroid sample and both sides of the cell join
+    val v = Similarity.unitVectors(emb, idCol, vecCol, "id", "v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val centroids = Similarity.sampleCentroids(v, "id", "v", nLists, seed)
+    if (centroids.isEmpty)
+      return v.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0).as("cell"), lit(0.0).as("cosine")).limit(0)
+    val assigned = v.withColumn("cell",
+      array_max(Similarity.cellScores(col("v"), centroids)).getField("c"))
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", graft.functions.VectorExpressions.dot(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cell", "cosine")
+  }
 }

@@ -58,6 +58,24 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Deterministic centroid sample from a unit-vector relation: the first
+    * `nLists` vectors by portable id hash (not xxhash64 — the selection stays
+    * replayable by external engines; the DuckDB oracles mirror it in plain
+    * SQL). The one driver-side step of the IVF/SemDeDup family — nLists rows,
+    * collected once, shipped back as literals. */
+  private[operators] def sampleCentroids(unit: DataFrame, idCol: String,
+      vecCol: String, nLists: Int, seed: Long): Seq[Seq[Double]] =
+    unit.orderBy(Sampling.hashRaw(col(idCol), seed), col(idCol))
+      .limit(nLists).select(col(vecCol)).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+
+  /** (score, cell) struct per centroid — argmax/sort over this array drives
+    * cell assignment and probe selection. */
+  private[operators] def cellScores(v: Column, centroids: Seq[Seq[Double]]): Column =
+    array(centroids.zipWithIndex.map {
+      case (p, i) => struct(dot(v, typedLit(p)).as("s"), lit(i).as("c"))
+    }: _*)
+
   /** IVF (inverted-file) ANN: the corpus is partitioned into `nLists` Voronoi
     * cells around centroids sampled deterministically from the corpus itself;
     * each query probes only its `nProbe` nearest cells. With nProbe == nLists
@@ -73,27 +91,18 @@ object Similarity {
     require(nProbe >= 1 && nProbe <= nLists)
     val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "cu")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // deterministic centroid sample: first nLists corpus vectors by id hash.
-    // The portable modular hash (not xxhash64) keeps the selection replayable
-    // by external engines — the DuckDB oracle mirrors it in plain SQL.
-    val centroids: Seq[Seq[Double]] = c
-      .orderBy(Sampling.hashRaw(col("neighbor_id"), seed), col("neighbor_id"))
-      .limit(nLists).select(col("cu")).collect()
-      .map(_.getSeq[Double](0).toSeq).toSeq
-    def cellScores(v: Column): Column = array(centroids.zipWithIndex.map {
-      case (p, i) => struct(dot(v, typedLit(p)).as("s"), lit(i).as("c"))
-    }: _*)
+    val centroids = sampleCentroids(c, "neighbor_id", "cu", nLists, seed)
     // corpus-side assignment is a single argmax fold (array_max on (s, c)
     // structs — ties take the larger cell), NOT a full nLists-struct sort:
     // at 100 TB the assignment map runs once per corpus row and the sort's
     // allocation + O(L log L) compares were pure waste
     val assigned = c.withColumn("cell",
-      array_max(cellScores(col("cu"))).getField("c"))
+      array_max(cellScores(col("cu"), centroids)).getField("c"))
     // query side keeps the descending (s, c) sort: it needs the nProbe-prefix,
     // and queries are the small side by contract
     val q = unitVectors(queries, idCol, vecCol, "query_id", "qu")
       .withColumn("cell", explode(slice(
-        transform(reverse(array_sort(cellScores(col("qu")))),
+        transform(reverse(array_sort(cellScores(col("qu"), centroids))),
           x => x.getField("c")), 1, nProbe)))
     val scored = q.join(assigned, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))

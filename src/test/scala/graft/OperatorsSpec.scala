@@ -210,6 +210,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh.subsetOf(brute)) // exact verification → no false positives
   }
 
+  test("semantic (SemDeDup) pairs: subset of brute force; nLists=1 is exactly brute force") {
+    val brute = Dedup.embeddingPairs(emb, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty) // the corpus plants near-duplicates
+    // cell-bucketed pairs carry exact cosines — only boundary-straddling
+    // pairs may be missed, never invented
+    val sem = Dedup.semanticPairs(emb, 0.4, nLists = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sem.subsetOf(brute))
+    // one cell = no boundaries: SemDeDup degrades to exact brute force
+    val one = Dedup.semanticPairs(emb, 0.4, nLists = 1)
+    assert(one.select("id_a", "id_b").as[(Long, Long)].collect().toSet == brute)
+    assert(one.select("cell").distinct().as[Int].collect().toSeq == Seq(0))
+  }
+
   test("token counting handles empty/whitespace/multi-space text") {
     val d = Seq("", "   ", "one", "a  b\tc", " x y ").toDF("text")
     val counts = d.select(TextAnalysis.tokenCount($"text")).as[Int].collect().toSeq

@@ -138,6 +138,23 @@ class PlanSpec extends AnyFunSuite {
       s"escape hatch still broadcasts the hot-line set:\n$plan")
   }
 
+  test("semantic dedup assigns cells with the argmax fold and joins on cell, never all-pairs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = executedPlan(graft.operators.Dedup.semanticPairs(emb, 0.4, nLists = 8))
+    // assignment must stay the narrow argmax map shared with IVF — a revert
+    // to a sorted-array assignment would drop array_max from the plan
+    assert(plan.contains("array_max"),
+      s"cell assignment is not an argmax fold:\n$plan")
+    // the whole point of SemDeDup: pairs form through a cell equi-join, the
+    // quadratic pair space is never enumerated
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell".r
+      .findFirstIn(plan).isDefined,
+      s"pair join is not keyed on the cell id:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup degenerated to an all-pairs join:\n$plan")
+  }
+
   test("IVF corpus assignment is a narrow map (exchanges only for probe join and top-k)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plan = executedPlan(graft.operators.Similarity.ivfTopK(
