@@ -333,11 +333,21 @@ object Dedup {
       .filter(col("df") > maxDocFreq)
       .select(col("lh"), lit(true).as("is_hot"))
     // hot lines become NULL structs, which collect_list skips — one aggregate
-    // yields rebuilt text, kept count and total count in the same pass
-    val flagged = lines.join(
+    // yields rebuilt text, kept count and total count in the same pass.
+    // Blank lines BYPASS the hot join (they can never match the hot set, and
+    // they all share the one constant hash xxhash64("") — in shuffle_hash
+    // mode that key would funnel every blank line in the corpus into a
+    // single straggler partition): only non-empty lines probe the join, and
+    // kept blanks union back in front of the rebuild as a narrow concat
+    val nonEmpty = length(col("line")) > 0
+    val flaggedNonEmpty = lines.filter(nonEmpty).join(
       if (broadcastHot) broadcast(hot) else hot.hint("shuffle_hash"),
       Seq("lh"), "left")
-    val nonEmpty = length(col("line")) > 0
+    val flagged =
+      if (keepEmptyLines)
+        flaggedNonEmpty.unionByName(
+          lines.filter(!nonEmpty).withColumn("is_hot", lit(null).cast("boolean")))
+      else flaggedNonEmpty
     val rebuilt = flagged.groupBy(idCol).agg(
       array_join(transform(
         array_sort(collect_list(

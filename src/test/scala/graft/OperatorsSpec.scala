@@ -72,12 +72,12 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "COOKIE NOTICE"),
       (5L, "  \n\n"),
       (6L, "zeta six\neta seven")).toDF("doc_id", "text")
-    (1L to 4L).foreach { cap =>
-      val bc = Dedup.dedupLines(d, cap)
+    for (cap <- 1L to 4L; keepEmpty <- Seq(false, true)) {
+      val bc = Dedup.dedupLines(d, cap, keepEmptyLines = keepEmpty)
         .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
-      val sh = Dedup.dedupLines(d, cap, broadcastHot = false)
+      val sh = Dedup.dedupLines(d, cap, broadcastHot = false, keepEmptyLines = keepEmpty)
         .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
-      assert(sh == bc, s"escape hatch diverged at cap $cap")
+      assert(sh == bc, s"escape hatch diverged at cap $cap, keepEmptyLines=$keepEmpty")
     }
   }
 
