@@ -32,6 +32,23 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** URL-blocklist config for the text_urls / text_domain_filter queries:
+    * doc_id%5==0 is hit by the EXACT rule, %5==1 by the SUBDOMAIN-suffix
+    * rule, and example.org is a deliberate non-match against the fixture's
+    * *.example.com URLs. Single source for both engines' predicates. */
+  private val UrlBlocklist = Seq("ads.tracker0.net", "tracker1.net", "example.org")
+
+  /** The testdata corpus has no URLs, so the URL queries append two
+    * deterministic ones per doc — a per-source www domain and a rotating
+    * tracker domain (text/source coalesced; see dedup_lines on NULL rows). */
+  private def urlDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text", concat(
+      coalesce(col("text"), lit("")),
+      lit(" Visit https://www."), coalesce(col("source"), lit("")),
+      lit(".example.com/a/"), (col("doc_id") % 7).cast("string"),
+      lit(" or http://ads.tracker"), (col("doc_id") % 5).cast("string"),
+      lit(".net/x")))
+
   private def spec(fn: String, metricName: String,
       grouped: Seq[String] = Seq("user_id"),
       filtered: Map[String, String] = Map.empty,
@@ -187,6 +204,39 @@ object SparkEntry {
       "SELECT id_a, id_b, CAST(cell AS BIGINT) AS cell, ROUND(c, 4) AS cosine FROM (" +
       "SELECT a.id AS id_a, b.id AS id_b, a.cell, list_inner_product(a.v, b.v) AS c " +
       "FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id) WHERE c >= 0.4"
+  }
+
+  /** URL-fixture CTE + regex/blocklist fragments shared by the two URL
+    * oracles — the regexes are spelled with the explicit whitespace class so
+    * Java (Spark) and RE2 (DuckDB) tokenize URLs identically. */
+  private val UrlDocsCteSql =
+    "d AS (SELECT doc_id, COALESCE(text, '') || ' Visit https://www.' || " +
+      "COALESCE(source, '') || '.example.com/a/' || CAST(doc_id % 7 AS VARCHAR) || " +
+      "' or http://ads.tracker' || CAST(doc_id % 5 AS VARCHAR) || '.net/x' AS text " +
+      "FROM documents)"
+  private val UrlReSql = "https?://[^\\t\\n\\f\\r ]+"
+  private val DomainReSql = "^https?://([^/\\t\\n\\f\\r :?#]+)"
+  private val UrlBlockCondSql = UrlBlocklist
+    .map(b => s"dom = '$b' OR ends_with(dom, '.$b')").mkString(" OR ")
+
+  /** Transitive closure over the semantic pair set — the same recursive-CTE
+    * mirror of Dedup.connectedComponents as [[ClusterComponentsCte]], but fed
+    * by the SemDeDup within-cell pairs (threshold 0.4, nLists=8). */
+  private val SemanticComponentsCte = {
+    val h = hashRawSql("vec_id")
+    s"WITH RECURSIVE $UnitVecCte, " +
+      s"cent AS (SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell, v " +
+      s"FROM u QUALIFY row_number() OVER (ORDER BY $h, vec_id) <= 8), " +
+      "asg AS (SELECT u.vec_id AS id, any_value(u.v) AS v, " +
+      "(max({'s': list_inner_product(c.v, u.v), 'c': c.cell})).c AS cell " +
+      "FROM u, cent c GROUP BY u.vec_id), " +
+      "p AS (SELECT a.id AS id_a, b.id AS id_b FROM asg a JOIN asg b " +
+      "ON a.cell = b.cell AND a.id < b.id " +
+      "WHERE list_inner_product(a.v, b.v) >= 0.4), " +
+      "edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
+      "reach(a, b) AS (SELECT src, dst FROM edges " +
+      "UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src), " +
+      "comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)"
   }
 
   /** Full sign-LSH mirror (threshold 0.4, nPlanes=6, tables=8, seed 42): the
@@ -591,6 +641,12 @@ object SparkEntry {
       Dedup.semanticPairs(emb(s, dir), threshold = 0.4, nLists = 8)
         .select(col("id_a"), col("id_b"), col("cell").cast("long").as("cell"),
           round(col("cosine"), 4).as("cosine"))),
+    // one representative per semantic cluster (SemDeDup's keep step):
+    // pairs → connected components → drop non-minimal members
+    "dedup_semantic_survivors" -> ((s, dir) =>
+      Dedup.nearDupSurvivors(emb(s, dir),
+        Dedup.semanticPairs(emb(s, dir), threshold = 0.4, nLists = 8),
+        idCol = "vec_id").select("vec_id")),
     "sim_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir).filter(col("vec_id") < 10), emb(s, dir), 5)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
@@ -634,6 +690,19 @@ object SparkEntry {
     // corpus statistics: top-20 bigrams by document frequency
     "text_topngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir), 2, 20)),
     "text_pii" -> ((s, dir) => TextAnalysis.piiCounts(docs(s, dir))),
+    // URL extraction over the synthetic-URL fixture: one row per URL with
+    // its position and lower-cased domain
+    "text_urls" -> ((s, dir) =>
+      urlDocs(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.urls(col("text"))).as(Seq("pos", "url")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("url"),
+          TextAnalysis.urlDomain(col("url")).as("domain"))),
+    // C4/RefinedWeb-style URL-blocklist filter: drops doc_id%5 ∈ {0,1}
+    // (exact + subdomain-suffix matches; example.org never matches)
+    "text_domain_filter" -> ((s, dir) =>
+      TextAnalysis.dropBlockedDomains(urlDocs(s, dir), UrlBlocklist)
+        .select("doc_id")),
     // Gopher-style repetition signals; sentence boundaries become line breaks
     // so the duplicate-line fractions see multi-line documents
     "text_repetition" -> ((s, dir) =>
@@ -888,6 +957,20 @@ object SparkEntry {
         s"SELECT a.vec_id AS id_a, b.vec_id AS id_b, $CosD AS c " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) WHERE c >= 0.4"),
     "dedup_semantic" -> SemanticPairsSql,
+    "dedup_semantic_survivors" ->
+      (s"$SemanticComponentsCte SELECT vec_id FROM embeddings " +
+        "WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> component)"),
+    "text_urls" ->
+      (s"WITH $UrlDocsCteSql, ex AS (SELECT doc_id, " +
+        s"regexp_extract_all(text, '$UrlReSql') AS us FROM d) " +
+        "SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos, us[pos] AS url, " +
+        s"lower(regexp_extract(us[pos], '$DomainReSql', 1)) AS domain " +
+        "FROM (SELECT doc_id, unnest(generate_series(1, len(us))) AS pos, us FROM ex)"),
+    "text_domain_filter" ->
+      (s"WITH $UrlDocsCteSql SELECT doc_id FROM d WHERE len(list_filter(" +
+        s"list_transform(regexp_extract_all(text, '$UrlReSql'), " +
+        s"u -> lower(regexp_extract(u, '$DomainReSql', 1))), " +
+        s"dom -> ($UrlBlockCondSql))) = 0"),
     "sim_topk" ->
       ("SELECT query_id, neighbor_id, rank, ROUND(c, 4) AS cosine FROM (" +
         "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, " +

@@ -360,6 +360,41 @@ object TextAnalysis {
       .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 
+  // ------------------------------------------------- URL / domain filtering
+
+  /** All http(s) URLs in the text, in order of appearance. A URL token is
+    * the scheme plus a maximal run of non-whitespace — the C4/RefinedWeb
+    * convention (trailing punctuation stays part of the token by design;
+    * both engines agree because the pattern avoids Java-vs-RE2 \s
+    * divergence by construction: [^\s] complements are identical once the
+    * text has no vertical tabs inside URLs, and the oracle uses the same
+    * complement class). */
+  def urls(text: Column): Column =
+    regexp_extract_all(text, lit(s"https?://[^\\t\\n\\f\\r ]+"), lit(0))
+
+  /** Lower-cased host of a URL (empty string when no host parses). */
+  def urlDomain(url: Column): Column =
+    lower(regexp_extract(url, "^https?://([^/\\t\\n\\f\\r :?#]+)", 1))
+
+  /** True when any URL in the text has a blocklisted domain — exact match or
+    * any-subdomain match (`ads.x.net` hits a blocked `x.net`). The blocklist
+    * is config-sized by contract, so it folds into the codegen'd predicate
+    * as literals: a narrow filter over the scan, no join, no broadcast, no
+    * shuffle at any scale. */
+  def anyBlockedDomain(text: Column, blocklist: Seq[String]): Column = {
+    require(blocklist.nonEmpty, "anyBlockedDomain: empty blocklist")
+    exists(urls(text), u => {
+      val d = urlDomain(u)
+      blocklist.map(b => d === b || d.endsWith("." + b)).reduce(_ || _)
+    })
+  }
+
+  /** C4/RefinedWeb-style URL-blocklist document filter: keep documents with
+    * no blocklisted (sub)domain. */
+  def dropBlockedDomains(docs: DataFrame, blocklist: Seq[String],
+      textCol: String = "text"): DataFrame =
+    docs.filter(!anyBlockedDomain(col(textCol), blocklist))
+
   /** All signals over a `documents`-shaped table (doc_id, text, ...). */
   def analyze(docs: DataFrame): DataFrame =
     docs.select(

@@ -225,6 +225,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(one.select("cell").distinct().as[Int].collect().toSeq == Seq(0))
   }
 
+  test("URL extraction keeps order + case; blocklist drops exact and subdomain matches") {
+    val d = Seq(
+      (1L, "pre https://Www.Ex.COM/a?q=1 mid http://sub.bad.net/x post"),
+      (2L, "no urls here"),
+      (3L, "ftp://ignored then http://bad.net"),
+      (4L, "https://good.org/ok and https://notbad.net/y")).toDF("doc_id", "text")
+    val ex = d.select($"doc_id",
+        posexplode(TextAnalysis.urls($"text")).as(Seq("pos", "url")))
+      .withColumn("domain", TextAnalysis.urlDomain($"url"))
+      .as[(Long, Int, String, String)].collect().toSeq
+    assert(ex == Seq(
+      (1L, 0, "https://Www.Ex.COM/a?q=1", "www.ex.com"),
+      (1L, 1, "http://sub.bad.net/x", "sub.bad.net"),
+      (3L, 0, "http://bad.net", "bad.net"),
+      (4L, 0, "https://good.org/ok", "good.org"),
+      (4L, 1, "https://notbad.net/y", "notbad.net")))
+    // bad.net blocks doc 3 (exact) and doc 1 (subdomain sub.bad.net) but NOT
+    // doc 4's notbad.net (suffix rule requires a dot boundary)
+    val kept = TextAnalysis.dropBlockedDomains(d, Seq("bad.net"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L))
+  }
+
   test("token counting handles empty/whitespace/multi-space text") {
     val d = Seq("", "   ", "one", "a  b\tc", " x y ").toDF("text")
     val counts = d.select(TextAnalysis.tokenCount($"text")).as[Int].collect().toSeq

@@ -179,6 +179,21 @@ object PropertySpec extends Properties("graft") {
       got == expected
     }
 
+  property("semantic pairs ⊆ brute-force pairs ∀ corpus/nLists/threshold; nLists=1 ⇒ equality") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.listOfN(4, Gen.choose(-1.0, 1.0).map(_.toFloat))),
+      Gen.choose(1, 3), Gen.choose(0.0, 0.9)) { (vecs, nLists, thr) =>
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      val brute = graft.operators.Dedup.embeddingPairs(df, thr)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val sem = graft.operators.Dedup.semanticPairs(df, thr, nLists)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // cell bucketing may only MISS boundary-straddling pairs, never invent
+      // them — and with a single cell there is no boundary to straddle
+      sem.subsetOf(brute) && (nLists != 1 || sem == brute)
+    }
+
   property("PolyHash64 equals the BigInt mod-2^64 reference ∀ unicode string") =
     forAll(Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumStr,
       Gen.listOf(Gen.choose(Char.MinValue, '퟿')).map(_.mkString)))) { ss =>
