@@ -176,11 +176,13 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2,
       s"distinct aggregate should shuffle exactly twice:\n$plan")
     assert(plan.contains("partial_count"), s"no map-side partial count:\n$plan")
-    // token chunking and quantization are pure scan→project→explode pipelines
-    Seq("text_chunk_tokens", "emb_quantize").foreach { q =>
-      val p = executedPlan(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
-      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
-    }
+    // token chunking, quantization, URL extraction and the domain-blocklist
+    // filter are pure scan→project(→explode)/filter pipelines
+    Seq("text_chunk_tokens", "emb_quantize", "text_urls", "text_domain_filter")
+      .foreach { q =>
+        val p = executedPlan(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
+        assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+      }
   }
 
   test("sequence packing shuffles once (on the shard) and keeps a streaming window frame") {
