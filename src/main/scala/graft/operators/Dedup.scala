@@ -528,7 +528,10 @@ object Dedup {
     * collect, shared with IVF); cell assignment is a narrow argmax map; the
     * self-join shuffles the corpus ONCE on cell id. Skewed cells (a corpus
     * of one topic) are the operator's pressure point — AQE skew-join splits
-    * oversized cells, and raising nLists shrinks them directly. */
+    * oversized cells, and raising nLists shrinks them directly. The
+    * unit-vector relation is persisted and feeds the returned lazy plan
+    * (same cache lifecycle as [[ngramJaccardPairs]] — released by the
+    * ContextCleaner after the caller drops the plan). */
   def semanticPairs(emb: DataFrame, threshold: Double, nLists: Int,
       seed: Long = 42, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
