@@ -626,6 +626,13 @@ object SparkEntry {
           lit(""),
           lit("ALL RIGHTS RESERVED"))),
         maxDocFreq = 3, keepEmptyLines = true)),
+    // graded contamination: per-doc fraction of distinct trigrams shared
+    // with the benchmark slice (the overlap-ratio upgrade of dedup_decontam)
+    "dedup_decontam_scores" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationScores(d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0), 3)
+    }),
     // leakage audit: near-dup pairs straddling the 80/10/10 split — the
     // documents that would leak eval text into training
     "audit_split_leakage" -> ((s, dir) =>
@@ -960,6 +967,20 @@ object SparkEntry {
     "dedup_semantic_survivors" ->
       (s"$SemanticComponentsCte SELECT vec_id FROM embeddings " +
         "WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> component)"),
+    // overlap-ratio mirror: membership on shingle TEXT (operator keys on the
+    // 64-bit hash — same collision note as dedup_lines)
+    "dedup_decontam_scores" ->
+      (s"$ShinglesCte, bench AS (SELECT DISTINCT unnest(sh) AS s FROM t " +
+        "WHERE doc_id % 50 = 0), " +
+        "c AS (SELECT doc_id, unnest(sh) AS s FROM t WHERE doc_id % 50 <> 0), " +
+        "sc AS (SELECT c.doc_id, count(*) AS n_sh, count(b.s) AS n_hit " +
+        "FROM c LEFT JOIN bench b USING (s) GROUP BY c.doc_id) " +
+        "SELECT d.doc_id, CAST(COALESCE(sc.n_sh, 0) AS BIGINT) AS n_shingles, " +
+        "CAST(COALESCE(sc.n_hit, 0) AS BIGINT) AS n_shared, " +
+        "CASE WHEN COALESCE(sc.n_sh, 0) > 0 " +
+        "THEN CAST(COALESCE(sc.n_hit, 0) AS DOUBLE) / sc.n_sh ELSE 0.0 END AS overlap " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d " +
+        "LEFT JOIN sc USING (doc_id)"),
     "text_urls" ->
       (s"WITH $UrlDocsCteSql, ex AS (SELECT doc_id, " +
         s"regexp_extract_all(text, '$UrlReSql') AS us FROM d) " +

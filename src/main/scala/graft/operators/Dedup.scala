@@ -370,6 +370,45 @@ object Dedup {
     corpus.join(contaminatedIds(corpus, benchmark, n, idCol, textCol),
       Seq(idCol), "left_anti")
 
+  /** GPT-3/PaLM-style contamination SCORES: for each corpus document, the
+    * fraction of its distinct word n-gram shingles that also occur anywhere
+    * in the benchmark — decontamination by n-gram overlap RATIO (cf. Brown
+    * et al. 2020, appendix C) rather than [[contaminatedIds]]' any-hit rule,
+    * so the caller picks a threshold per benchmark. Returns (idCol,
+    * n_shingles, n_shared, overlap). Texts shorter than n tokens follow the
+    * engine-wide one-short-shingle convention ([[wordShingles]]); only
+    * NULL-text documents have zero shingles and score 0.0 over 0.
+    *
+    * Scale shape: identical to [[contaminatedIds]] — the benchmark shingle
+    * set is broadcast (benchmarks are small by definition), membership is a
+    * broadcast left-join flag on the 64-bit shingle hash (hash keying as in
+    * [[dedupLines]]: a cross-shingle collision would count one extra shared
+    * shingle), and the only corpus-sized exchanges are keyed by document id
+    * (the count aggregate and the empty-doc restore join) — the corpus is
+    * never shuffled by shingle. */
+  def contaminationScores(corpus: DataFrame, benchmark: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchSh = benchmark
+      .select(explode(wordShingles(col(textCol), n)).as("s"))
+      .select(xxhash64(col("s")).as("sh_h")).distinct()
+      .withColumn("hit", lit(true))
+    val scored = corpus
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("s"))
+      .select(col(idCol), xxhash64(col("s")).as("sh_h"))
+      .join(broadcast(benchSh), Seq("sh_h"), "left")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_shared"))
+    corpus.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)).as("overlap"))
+  }
+
   // ------------------------------------------------- cluster + survivors
 
   /** Connected components over a near-dup pair graph via min-label

@@ -488,6 +488,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.decontaminate(corpus, corpus, 3).count() == 0)
   }
 
+  test("contamination scores are exact distinct-shingle overlap fractions") {
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text") // {a b c, b c d}
+    val corpus = Seq(
+      (1L, "a b c x"),      // {a b c, b c x}        → 1/2 shared
+      (2L, "a b c d e"),    // {a b c, b c d, c d e} → 2/3
+      (3L, "nothing in common here"), // 0/2
+      (4L, "z z"),          // < n tokens → ONE short shingle (engine-wide
+                            // WordNGrams convention), unshared
+      (5L, "a b c a b c")   // {a b c, b c a, c a b} distinct → 1/3 (repeat counts once)
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationScores(corpus, bench, 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 0.5),
+      (2L, 3L, 2L, 2.0 / 3.0),
+      (3L, 2L, 0L, 0.0),
+      (4L, 1L, 0L, 0.0),
+      (5L, 3L, 1L, 1.0 / 3.0)))
+    // the any-hit rule is the overlap > 0 special case
+    val anyHit = Dedup.contaminatedIds(corpus, bench, 3).as[Long].collect().toSet
+    assert(anyHit == got.filter(_._4 > 0).map(_._1).toSet)
+  }
+
   test("sequence packing: contiguous budget positions, stable shard assignment") {
     import graft.operators.Sampling
     val packed = Sampling.packSequences(docs, "doc_id",

@@ -84,6 +84,19 @@ class PlanSpec extends AnyFunSuite {
       s"corpus side shuffled for the join:\n$plan")
     assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).length == 1,
       s"expected exactly one corpus-side exchange (on doc ids):\n$plan")
+    // the graded-overlap variant shares the shape: benchmark shingles
+    // broadcast as a membership flag, corpus exchanges keyed by doc id only
+    val sp = executedPlan(graft.operators.Dedup.contaminationScores(
+      docs.filter($"doc_id" % 50 =!= 0), docs.filter($"doc_id" % 50 === 0), 3))
+    assert("BroadcastHashJoin \\[sh_h".r.findFirstIn(sp).isDefined,
+      s"benchmark shingle set not broadcast on the shingle hash:\n$sp")
+    // the single admissible shingle-keyed exchange is the benchmark-side
+    // distinct (tiny, pre-broadcast) — a second would mean the corpus
+    // shuffled by shingle
+    assert("Exchange hashpartitioning\\(sh_h".r.findAllIn(sp).length == 1,
+      s"corpus shuffled by shingle for the overlap count:\n$sp")
+    assert(!sp.contains("SortMergeJoin [sh_h") && !sp.contains("ShuffledHashJoin [sh_h"),
+      s"shingle membership degraded to a shuffled join:\n$sp")
   }
 
   test("capped n-gram Jaccard broadcasts the hot-shingle set (anti-join, no extra corpus shuffle)") {
