@@ -697,6 +697,14 @@ object SparkEntry {
     // corpus statistics: top-20 bigrams by document frequency
     "text_topngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir), 2, 20)),
     "text_pii" -> ((s, dir) => TextAnalysis.piiCounts(docs(s, dir))),
+    // CCNet-style LM scoring: bigram LM self-fit on the corpus (minCount=5),
+    // each doc scored by mean add-one-smoothed negative log-likelihood
+    "text_lm_nll" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.lmScores(d, d, minCount = 5)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("mean_nll"), 4).as("mean_nll"))
+    }),
     // URL extraction over the synthetic-URL fixture: one row per URL with
     // its position and lower-cased domain
     "text_urls" -> ((s, dir) =>
@@ -967,6 +975,29 @@ object SparkEntry {
     "dedup_semantic_survivors" ->
       (s"$SemanticComponentsCte SELECT vec_id FROM embeddings " +
         "WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> component)"),
+    // bigram LM mirror: same counts, same add-one smoothing, same V; the
+    // only float divergence is ln()'s last ulp + summation order, absorbed
+    // by ROUND(_, 4) on both engines
+    "text_lm_nll" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "bi AS (SELECT doc_id, [tk[i] || ' ' || tk[i+1] for i in " +
+        "generate_series(1, len(tk) - 1)] AS bs FROM toks WHERE len(tk) >= 2), " +
+        "refuni AS (SELECT w, count(*) AS cw FROM (SELECT unnest(tk) AS w FROM toks) " +
+        "GROUP BY w HAVING count(*) >= 5), " +
+        "refbig AS (SELECT b, count(*) AS cb FROM (SELECT unnest(bs) AS b FROM bi) " +
+        "GROUP BY b HAVING count(*) >= 5), " +
+        "v AS (SELECT CAST(count(*) AS DOUBLE) AS vsize FROM refuni), " +
+        "db AS (SELECT doc_id, unnest(bs) AS b FROM bi), " +
+        "sc AS (SELECT doc_id, count(*) AS nb, " +
+        "avg(-ln(CAST(COALESCE(cb, 0) + 1 AS DOUBLE) / " +
+        "(CAST(COALESCE(cw, 0) AS DOUBLE) + vsize + 1.0))) AS nll " +
+        "FROM db LEFT JOIN refbig USING (b) " +
+        "LEFT JOIN refuni ON split_part(db.b, ' ', 1) = refuni.w " +
+        "CROSS JOIN v GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams, " +
+        "ROUND(COALESCE(nll, 0.0), 4) AS mean_nll " +
+        "FROM documents d LEFT JOIN sc USING (doc_id)"),
     // overlap-ratio mirror: membership on shingle TEXT (operator keys on the
     // 64-bit hash — same collision note as dedup_lines)
     "dedup_decontam_scores" ->

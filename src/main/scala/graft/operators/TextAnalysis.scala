@@ -360,6 +360,71 @@ object TextAnalysis {
       .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 
+  // ------------------------------------------------- n-gram LM scoring
+
+  /** ALL bigram occurrences of the lower-cased whitespace tokens, in order
+    * WITH multiplicity (unlike [[graft.operators.Dedup.wordShingles]], which
+    * is distinct — an LM needs counts). Texts with fewer than 2 tokens
+    * (including NULL/empty) yield an empty array. */
+  def allBigrams(text: Column): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) >= 2,
+      transform(slice(toks, lit(1), size(toks) - 1),
+        (t, i) => concat(t, lit(" "), element_at(toks, i + lit(2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** CCNet-style n-gram LM quality scoring: fit a bigram language model on
+    * `reference` (all unigram/bigram counts with count >= minCount survive;
+    * rarer ones collapse into the smoothing mass) and score every document
+    * in `docs` by its mean negative log-likelihood per bigram,
+    * add-one-smoothed over the retained vocabulary:
+    * nll(w1 w2) = -ln((C(w1 w2)+1) / (C(w1) + V + 1)), with C(.) = 0 for
+    * unretained entries and V = retained-vocabulary size. Lower mean_nll =
+    * more reference-like text — threshold it for CCNet-flavored perplexity
+    * filtering (fit the reference LM on a trusted corpus). Returns
+    * (idCol, n_bigrams, mean_nll); documents with no bigrams score 0.0
+    * over 0.
+    *
+    * Scale shape: the LM tables are count aggregates (map-side combined,
+    * keyed by token/bigram), then membership joins back to the corpus
+    * bigrams. `minCount` is the size knob: high values keep the LM
+    * broadcast-small (Catalyst picks broadcast from stats — deliberately
+    * unhinted, because unlike a benchmark set an LM table has no smallness
+    * guarantee; at web scale with a low cap the joins degrade gracefully to
+    * shuffled equi-joins on the bigram/token key). The scalar V rides a
+    * 1-row broadcast cross join, so the plan stays fully lazy. */
+  def lmScores(docs: DataFrame, reference: DataFrame, minCount: Long = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val uni = reference
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+      .filter(col("cw") >= minCount)
+    val big = reference
+      .select(explode(allBigrams(col(textCol))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+    val vsize = uni.agg(count(lit(1)).cast("double").as("vsize"))
+    val nll = -log(
+      (coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(col("cw"), lit(0L)).cast("double") + col("vsize") + lit(1.0)))
+    val scored = docs
+      .select(col(idCol), explode(allBigrams(col(textCol))).as("b"))
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .join(big, Seq("b"), "left")
+      .join(uni, col("w1") === col("w"), "left")
+      .crossJoin(broadcast(vsize))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_bigrams"),
+        avg(nll).as("mean_nll"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("mean_nll"), lit(0.0)).as("mean_nll"))
+  }
+
   // ------------------------------------------------- URL / domain filtering
 
   /** All http(s) URLs in the text, in order of appearance. A URL token is

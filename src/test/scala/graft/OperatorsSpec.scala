@@ -225,6 +225,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(one.select("cell").distinct().as[Int].collect().toSeq == Seq(0))
   }
 
+  test("bigram LM scores are exact add-one-smoothed mean NLLs") {
+    val d = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    // minCount=2 retains unigrams {a:3, b:3} (V=2) and bigram {"a b": 3};
+    // c, x and the bigrams "b a"/"b c" fall into the smoothing mass
+    val got = TextAnalysis.lmScores(d, d, minCount = 2)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val nllAB = -math.log(4.0 / 6.0)  // (C("a b")+1) / (C(a)+V+1)
+    val nllOovAfterB = -math.log(1.0 / 6.0) // unretained bigram, retained w1=b
+    assert(got(0)._1 == 1L && got(0)._2 == 3L)
+    assert(math.abs(got(0)._3 - (2 * nllAB + nllOovAfterB) / 3) < 1e-12)
+    assert(got(1)._1 == 2L && got(1)._2 == 2L)
+    assert(math.abs(got(1)._3 - (nllAB + nllOovAfterB) / 2) < 1e-12)
+    assert(got(2) == ((3L, 0L, 0.0))) // single token: no bigrams, row kept
+    // a doc made of reference-like text scores strictly lower than one made
+    // of never-seen tokens (the filtering signal)
+    val probe = Seq((10L, "a b a b a b"), (11L, "q r s t u v")).toDF("doc_id", "text")
+    val p = TextAnalysis.lmScores(probe, d, minCount = 2)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(p(0)._3 < p(1)._3)
+  }
+
   test("URL extraction keeps order + case; blocklist drops exact and subdomain matches") {
     val d = Seq(
       (1L, "pre https://Www.Ex.COM/a?q=1 mid http://sub.bad.net/x post"),
