@@ -134,6 +134,25 @@ object Sampling {
     * crawl, keep all of the rare curated set). Keys absent from `rates` keep
     * `defaultRate`. Same stability guarantees as [[sampleByHash]]; a pure
     * narrow map — no shuffle, no per-key state. */
+  /** Temperature-based source-mixing rates (the mT5/multilingual-LM recipe):
+    * target sampling probability p_s ∝ n_s^alpha over the given per-source
+    * sizes, realized as per-row Bernoulli rates r_s = targetTotal·p_s / n_s
+    * (capped at 1 — a source cannot be up-sampled by a Bernoulli filter;
+    * callers wanting true up-sampling replicate separately). alpha = 1
+    * reproduces the natural distribution, alpha → 0 equalizes sources.
+    * Pure driver-side math over a CONFIG-SIZED map (sources, not rows) —
+    * feed the result to [[stratifiedSample]]. */
+  def temperatureRates(sourceCounts: Map[String, Long], alpha: Double,
+      targetTotal: Long): Map[String, Double] = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    require(sourceCounts.nonEmpty, "at least one source required")
+    require(sourceCounts.values.forall(_ > 0), "source counts must be positive")
+    val weights = sourceCounts.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
+    val z = weights.values.sum
+    weights.map { case (s, w) =>
+      s -> math.min(1.0, targetTotal * (w / z) / sourceCounts(s)) }
+  }
+
   def stratifiedSample(df: DataFrame, keyCol: String, rates: Map[String, Double],
       idCol: String, defaultRate: Double = 0.0, seed: Long = 42): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>

@@ -786,6 +786,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(uniform == plain)
   }
 
+  test("temperature mixing rates follow n^alpha with the Bernoulli cap") {
+    import graft.operators.Sampling
+    val counts = Map("big" -> 9000L, "mid" -> 900L, "small" -> 100L)
+    // alpha=1: natural distribution — every source keeps the same fraction
+    val nat = Sampling.temperatureRates(counts, alpha = 1.0, targetTotal = 1000L)
+    assert(nat.values.forall(r => math.abs(r - 0.1) < 1e-12))
+    // alpha=0: equal target share per source; small sources cap at 1.0
+    // (cannot up-sample by Bernoulli), big ones downsample hard
+    val eq = Sampling.temperatureRates(counts, alpha = 0.0, targetTotal = 900L)
+    assert(math.abs(eq("big") - 300.0 / 9000) < 1e-12)
+    assert(math.abs(eq("mid") - 300.0 / 900) < 1e-12)
+    assert(eq("small") == 1.0)
+    // alpha in between strictly boosts the small source's relative share
+    val t = Sampling.temperatureRates(counts, alpha = 0.3, targetTotal = 1000L)
+    assert(t("small") / t("big") > 1.0)
+    // rates feed stratifiedSample directly: expected kept ≈ sum(r_s · n_s)
+    val totals = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val rates = Sampling.temperatureRates(totals, alpha = 0.5,
+      targetTotal = totals.values.sum / 4)
+    val kept = Sampling.stratifiedSample(docs, "source", rates, "doc_id").count()
+    val expected = rates.map { case (s, r) => r * totals(s) }.sum
+    assert(math.abs(kept - expected) / expected < 0.25) // hash-Bernoulli noise
+  }
+
   test("topNgrams ranks by document frequency with deterministic tie-break") {
     val d = Seq(
       (1L, "a b c"),    // bigrams: "a b", "b c"
