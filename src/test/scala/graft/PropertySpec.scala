@@ -179,6 +179,35 @@ object PropertySpec extends Properties("graft") {
       got == expected
     }
 
+  property("contamination scores equal the naive distinct-shingle overlap ∀ corpus/benchmark") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.listOf(Gen.oneOf("a", "b", "c", "d"))),
+      Gen.nonEmptyListOf(Gen.listOf(Gen.oneOf("a", "b", "c", "d")))) { (corpusToks, benchToks) =>
+      // model of Dedup.wordShingles: distinct n-grams with the engine-wide
+      // one-short-shingle convention for texts shorter than n tokens
+      def shingles(text: String, n: Int): Seq[String] = {
+        val toks = text.trim.split("[\\t\\n\\f\\r ]+", -1).toSeq
+        val count = math.max(toks.length - n + 1, 1)
+        (0 until count)
+          .map(i => toks.slice(i, math.min(i + n, toks.length)).mkString(" "))
+          .distinct
+      }
+      val corpus = corpusToks.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      val bench = benchToks.zipWithIndex.map { case (ts, i) => (1000L + i, ts.mkString(" ")) }
+      val got = graft.operators.Dedup.contaminationScores(
+          corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"), 2)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      val benchSet = bench.flatMap(b => shingles(b._2, 2)).toSet
+      val expected = corpus.map { case (id, text) =>
+        val sh = shingles(text, 2)
+        val shared = sh.count(benchSet).toLong
+        id -> ((sh.size.toLong, shared,
+          if (sh.nonEmpty) shared.toDouble / sh.size else 0.0))
+      }.toMap
+      got == expected
+    }
+
   property("semantic pairs ⊆ brute-force pairs ∀ corpus/nLists/threshold; nLists=1 ⇒ equality") =
     forAll(
       Gen.nonEmptyListOf(Gen.listOfN(4, Gen.choose(-1.0, 1.0).map(_.toFloat))),
