@@ -397,10 +397,15 @@ object TextAnalysis {
   def lmScores(docs: DataFrame, reference: DataFrame, minCount: Long = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    // persisted: the unigram table feeds BOTH the w1 join and the vsize
+    // scalar — without it the full reference aggregation runs twice (same
+    // cache lifecycle as Dedup.ngramJaccardPairs: blocks released by the
+    // ContextCleaner after the caller drops the returned plan)
     val uni = reference
       .select(explode(tokens(lower(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
       .filter(col("cw") >= minCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val big = reference
       .select(explode(allBigrams(col(textCol))).as("b"))
       .groupBy("b").agg(count(lit(1)).as("cb"))
