@@ -191,20 +191,28 @@ object SparkEntry {
       "WHERE rank <= 5"
   }
 
-  /** SemDeDup mirror (nLists=8, threshold 0.4): reuses the IVF centroid
-    * selection + argmax assignment verbatim, then within-cell pairs only. */
-  private val SemanticPairsSql = {
+  /** Shared SemDeDup SQL fragments (nLists=8, threshold 0.4): centroid
+    * selection + argmax assignment reuse the IVF mirror verbatim; the
+    * within-cell pair subquery is consumed by BOTH the pairs oracle and the
+    * survivors closure — never duplicate these (a parameter change must
+    * reach both queries together). */
+  private val SemanticCellAsgSql = {
     val h = hashRawSql("vec_id")
-    s"WITH $UnitVecCte, " +
-      s"cent AS (SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell, v " +
+    s"cent AS (SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell, v " +
       s"FROM u QUALIFY row_number() OVER (ORDER BY $h, vec_id) <= 8), " +
       "asg AS (SELECT u.vec_id AS id, any_value(u.v) AS v, " +
       "(max({'s': list_inner_product(c.v, u.v), 'c': c.cell})).c AS cell " +
-      "FROM u, cent c GROUP BY u.vec_id) " +
-      "SELECT id_a, id_b, CAST(cell AS BIGINT) AS cell, ROUND(c, 4) AS cosine FROM (" +
-      "SELECT a.id AS id_a, b.id AS id_b, a.cell, list_inner_product(a.v, b.v) AS c " +
-      "FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id) WHERE c >= 0.4"
+      "FROM u, cent c GROUP BY u.vec_id)"
   }
+  private val SemanticPairsCoreSql =
+    "SELECT a.id AS id_a, b.id AS id_b, a.cell, list_inner_product(a.v, b.v) AS c " +
+      "FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id"
+
+  /** SemDeDup mirror: within-cell pairs with exact cosine. */
+  private val SemanticPairsSql =
+    s"WITH $UnitVecCte, $SemanticCellAsgSql " +
+      "SELECT id_a, id_b, CAST(cell AS BIGINT) AS cell, ROUND(c, 4) AS cosine " +
+      s"FROM ($SemanticPairsCoreSql) WHERE c >= 0.4"
 
   /** URL-fixture CTE + regex/blocklist fragments shared by the two URL
     * oracles — the regexes are spelled with the explicit whitespace class so
@@ -214,30 +222,21 @@ object SparkEntry {
       "COALESCE(source, '') || '.example.com/a/' || CAST(doc_id % 7 AS VARCHAR) || " +
       "' or http://ads.tracker' || CAST(doc_id % 5 AS VARCHAR) || '.net/x' AS text " +
       "FROM documents)"
-  private val UrlReSql = "https?://[^\\t\\n\\f\\r ]+"
-  private val DomainReSql = "^https?://([^/\\t\\n\\f\\r :?#]+)"
+  private val UrlReSql = TextAnalysis.UrlRe
+  private val DomainReSql = TextAnalysis.UrlDomainRe
   private val UrlBlockCondSql = UrlBlocklist
     .map(b => s"dom = '$b' OR ends_with(dom, '.$b')").mkString(" OR ")
 
   /** Transitive closure over the semantic pair set — the same recursive-CTE
     * mirror of Dedup.connectedComponents as [[ClusterComponentsCte]], but fed
-    * by the SemDeDup within-cell pairs (threshold 0.4, nLists=8). */
-  private val SemanticComponentsCte = {
-    val h = hashRawSql("vec_id")
-    s"WITH RECURSIVE $UnitVecCte, " +
-      s"cent AS (SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell, v " +
-      s"FROM u QUALIFY row_number() OVER (ORDER BY $h, vec_id) <= 8), " +
-      "asg AS (SELECT u.vec_id AS id, any_value(u.v) AS v, " +
-      "(max({'s': list_inner_product(c.v, u.v), 'c': c.cell})).c AS cell " +
-      "FROM u, cent c GROUP BY u.vec_id), " +
-      "p AS (SELECT a.id AS id_a, b.id AS id_b FROM asg a JOIN asg b " +
-      "ON a.cell = b.cell AND a.id < b.id " +
-      "WHERE list_inner_product(a.v, b.v) >= 0.4), " +
+    * by the shared [[SemanticPairsCoreSql]] within-cell pairs. */
+  private val SemanticComponentsCte =
+    s"WITH RECURSIVE $UnitVecCte, $SemanticCellAsgSql, " +
+      s"p AS (SELECT id_a, id_b FROM ($SemanticPairsCoreSql) WHERE c >= 0.4), " +
       "edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
       "reach(a, b) AS (SELECT src, dst FROM edges " +
       "UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src), " +
       "comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)"
-  }
 
   /** Full sign-LSH mirror (threshold 0.4, nPlanes=6, tables=8, seed 42): the
     * hyperplanes are deterministic given the seed, so they are EMBEDDED here
@@ -979,12 +978,13 @@ object SparkEntry {
     // only float divergence is ln()'s last ulp + summation order, absorbed
     // by ROUND(_, 4) on both engines
     "text_lm_nll" ->
-      ("WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk " +
+      ("WITH toks AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), " +
+        "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '\\s+') AS tk " +
         "FROM documents WHERE text IS NOT NULL), " +
         "bi AS (SELECT doc_id, [tk[i] || ' ' || tk[i+1] for i in " +
         "generate_series(1, len(tk) - 1)] AS bs FROM toks WHERE len(tk) >= 2), " +
         "refuni AS (SELECT w, count(*) AS cw FROM (SELECT unnest(tk) AS w FROM toks) " +
-        "GROUP BY w HAVING count(*) >= 5), " +
+        "WHERE w <> '' GROUP BY w HAVING count(*) >= 5), " +
         "refbig AS (SELECT b, count(*) AS cb FROM (SELECT unnest(bs) AS b FROM bi) " +
         "GROUP BY b HAVING count(*) >= 5), " +
         "v AS (SELECT CAST(count(*) AS DOUBLE) AS vsize FROM refuni), " +

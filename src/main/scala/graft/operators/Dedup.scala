@@ -255,17 +255,24 @@ object Dedup {
     * a distinct 64-bit shingle-hash set that is BROADCAST, so the 100 TB
     * corpus side is a narrow scan → explode → broadcast semi-join → distinct
     * on ids; the only exchange carries doc ids, never text or shingles. */
-  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, n: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val benchSh = benchmark
+  /** The distinct 64-bit shingle-hash set of a benchmark — THE single
+    * benchmark-side construction for both decontamination operators (a
+    * normalization added here reaches the any-hit rule and the overlap
+    * scores together, preserving the any-hit == overlap>0 invariant). */
+  private def benchShingleHashes(benchmark: DataFrame, n: Int,
+      textCol: String): DataFrame =
+    benchmark
       .select(explode(wordShingles(col(textCol), n)).as("s"))
       .select(xxhash64(col("s")).as("sh_h")).distinct()
+
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     corpus
       .select(col(idCol), explode(wordShingles(col(textCol), n)).as("s"))
       .select(col(idCol), xxhash64(col("s")).as("sh_h"))
-      .join(broadcast(benchSh), Seq("sh_h"), "left_semi")
+      .join(broadcast(benchShingleHashes(benchmark, n, textCol)),
+        Seq("sh_h"), "left_semi")
       .select(idCol).distinct()
-  }
 
   // ------------------------------------------------- corpus line dedup
 
@@ -388,9 +395,7 @@ object Dedup {
     * never shuffled by shingle. */
   def contaminationScores(corpus: DataFrame, benchmark: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val benchSh = benchmark
-      .select(explode(wordShingles(col(textCol), n)).as("s"))
-      .select(xxhash64(col("s")).as("sh_h")).distinct()
+    val benchSh = benchShingleHashes(benchmark, n, textCol)
       .withColumn("hit", lit(true))
     val scored = corpus
       .select(col(idCol), explode(wordShingles(col(textCol), n)).as("s"))

@@ -129,11 +129,6 @@ object Sampling {
       .drop(nCol, prefixCol)
   }
 
-  /** Stratified sampling: an independent hash-Bernoulli rate per key value
-    * (the "rebalance sources" operator — downsample the over-represented
-    * crawl, keep all of the rare curated set). Keys absent from `rates` keep
-    * `defaultRate`. Same stability guarantees as [[sampleByHash]]; a pure
-    * narrow map — no shuffle, no per-key state. */
   /** Temperature-based source-mixing rates (the mT5/multilingual-LM recipe):
     * target sampling probability p_s ∝ n_s^alpha over the given per-source
     * sizes, realized as per-row Bernoulli rates r_s = targetTotal·p_s / n_s
@@ -153,6 +148,11 @@ object Sampling {
       s -> math.min(1.0, targetTotal * (w / z) / sourceCounts(s)) }
   }
 
+  /** Stratified sampling: an independent hash-Bernoulli rate per key value
+    * (the "rebalance sources" operator — downsample the over-represented
+    * crawl, keep all of the rare curated set). Keys absent from `rates` keep
+    * `defaultRate`. Same stability guarantees as [[sampleByHash]]; a pure
+    * narrow map — no shuffle, no per-key state. */
   def stratifiedSample(df: DataFrame, keyCol: String, rates: Map[String, Double],
       idCol: String, defaultRate: Double = 0.0, seed: Long = 42): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>

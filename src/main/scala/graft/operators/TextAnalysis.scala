@@ -16,8 +16,11 @@ object TextAnalysis {
   /** The whitespace class used by EVERY tokenizing regex in this engine:
     * spelled out as [\t\n\f\r ] rather than \s because Java's \s includes
     * U+000B (vertical tab) while RE2's (DuckDB, Go) does not — an explicit
-    * class means both engines tokenize identically for every input. */
-  private[graft] val WsClass = "[\\t\\n\\f\\r ]"
+    * class means both engines tokenize identically for every input.
+    * `WsChars` is the raw character set for building complement classes
+    * (e.g. the URL regexes below) from the same single source. */
+  private[graft] val WsChars = "\\t\\n\\f\\r "
+  private[graft] val WsClass = s"[$WsChars]"
 
   /** Whitespace tokens of trimmed text (deterministic, single definition used
     * by every operator below — and mirrored by the DuckDB oracles' `\s+`,
@@ -364,10 +367,13 @@ object TextAnalysis {
 
   /** ALL bigram occurrences of the lower-cased whitespace tokens, in order
     * WITH multiplicity (unlike [[graft.operators.Dedup.wordShingles]], which
-    * is distinct — an LM needs counts). Texts with fewer than 2 tokens
+    * is distinct — an LM needs counts). The text is trimmed with the full
+    * whitespace CLASS first (plain `trim` strips spaces only, so a trailing
+    * newline — near-universal in web text — would otherwise mint a phantom
+    * "" token and a spurious final bigram). Texts with fewer than 2 tokens
     * (including NULL/empty) yield an empty array. */
   def allBigrams(text: Column): Column = {
-    val toks = tokens(lower(text))
+    val toks = tokens(regexp_replace(lower(text), s"^$WsClass+|$WsClass+$$", ""))
     when(size(toks) >= 2,
       transform(slice(toks, lit(1), size(toks) - 1),
         (t, i) => concat(t, lit(" "), element_at(toks, i + lit(2)))))
@@ -401,8 +407,13 @@ object TextAnalysis {
     // scalar — without it the full reference aggregation runs twice (same
     // cache lifecycle as Dedup.ngramJaccardPairs: blocks released by the
     // ContextCleaner after the caller drops the returned plan)
+    // ws-class trim + empty-token filter mirror allBigrams: without them a
+    // corpus of newline-terminated docs retains "" as a vocabulary unigram
+    // (V inflated) even though no bigram can ever have "" as its context
     val uni = reference
-      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .select(explode(tokens(regexp_replace(lower(col(textCol)),
+        s"^$WsClass+|$WsClass+$$", ""))).as("w"))
+      .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cw"))
       .filter(col("cw") >= minCount)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -432,19 +443,22 @@ object TextAnalysis {
 
   // ------------------------------------------------- URL / domain filtering
 
+  /** URL regexes, built from [[WsChars]] and shared verbatim with the
+    * DuckDB oracle SQL in SparkEntry — never respell these. */
+  private[graft] val UrlRe = s"https?://[^$WsChars]+"
+  private[graft] val UrlDomainRe = s"^https?://([^/$WsChars:?#]+)"
+
   /** All http(s) URLs in the text, in order of appearance. A URL token is
     * the scheme plus a maximal run of non-whitespace — the C4/RefinedWeb
     * convention (trailing punctuation stays part of the token by design;
-    * both engines agree because the pattern avoids Java-vs-RE2 \s
-    * divergence by construction: [^\s] complements are identical once the
-    * text has no vertical tabs inside URLs, and the oracle uses the same
-    * complement class). */
+    * both engines agree because the pattern uses the explicit [[WsChars]]
+    * complement instead of \s, avoiding Java-vs-RE2 divergence). */
   def urls(text: Column): Column =
-    regexp_extract_all(text, lit(s"https?://[^\\t\\n\\f\\r ]+"), lit(0))
+    regexp_extract_all(text, lit(UrlRe), lit(0))
 
   /** Lower-cased host of a URL (empty string when no host parses). */
   def urlDomain(url: Column): Column =
-    lower(regexp_extract(url, "^https?://([^/\\t\\n\\f\\r :?#]+)", 1))
+    lower(regexp_extract(url, UrlDomainRe, 1))
 
   /** True when any URL in the text has a blocklisted domain — exact match or
     * any-subdomain match (`ads.x.net` hits a blocked `x.net`). The blocklist
@@ -460,10 +474,13 @@ object TextAnalysis {
   }
 
   /** C4/RefinedWeb-style URL-blocklist document filter: keep documents with
-    * no blocklisted (sub)domain. */
+    * no blocklisted (sub)domain. NULL-text documents have no URLs and are
+    * KEPT (the predicate is three-valued — without the coalesce, NULL text
+    * would silently drop the row, violating the engine-wide convention that
+    * only positive matches filter). */
   def dropBlockedDomains(docs: DataFrame, blocklist: Seq[String],
       textCol: String = "text"): DataFrame =
-    docs.filter(!anyBlockedDomain(col(textCol), blocklist))
+    docs.filter(!coalesce(anyBlockedDomain(col(textCol), blocklist), lit(false)))
 
   /** All signals over a `documents`-shaped table (doc_id, text, ...). */
   def analyze(docs: DataFrame): DataFrame =

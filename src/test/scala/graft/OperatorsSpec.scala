@@ -238,6 +238,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1)._1 == 2L && got(1)._2 == 2L)
     assert(math.abs(got(1)._3 - (nllAB + nllOovAfterB) / 2) < 1e-12)
     assert(got(2) == ((3L, 0L, 0.0))) // single token: no bigrams, row kept
+    // ws-class trim: a trailing newline must not mint a phantom "" token —
+    // scores are identical to the clean corpus (fit AND scoring sides)
+    val dNl = Seq((1L, "a b a b\n"), (2L, "\ta b c"), (3L, "x\r\n"))
+      .toDF("doc_id", "text")
+    val gotNl = TextAnalysis.lmScores(dNl, dNl, minCount = 2)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(gotNl.map(t => (t._1, t._2)).toSeq == got.map(t => (t._1, t._2)).toSeq)
+    gotNl.zip(got).foreach { case (a, b) => assert(math.abs(a._3 - b._3) < 1e-12) }
     // a doc made of reference-like text scores strictly lower than one made
     // of never-seen tokens (the filtering signal)
     val probe = Seq((10L, "a b a b a b"), (11L, "q r s t u v")).toDF("doc_id", "text")
@@ -263,10 +271,13 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, 0, "https://good.org/ok", "good.org"),
       (4L, 1, "https://notbad.net/y", "notbad.net")))
     // bad.net blocks doc 3 (exact) and doc 1 (subdomain sub.bad.net) but NOT
-    // doc 4's notbad.net (suffix rule requires a dot boundary)
-    val kept = TextAnalysis.dropBlockedDomains(d, Seq("bad.net"))
+    // doc 4's notbad.net (suffix rule requires a dot boundary); a NULL-text
+    // doc has no URLs and must be KEPT (three-valued-logic regression)
+    val withNull = d.unionByName(
+      Seq((5L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val kept = TextAnalysis.dropBlockedDomains(withNull, Seq("bad.net"))
       .select("doc_id").as[Long].collect().sorted.toSeq
-    assert(kept == Seq(2L, 4L))
+    assert(kept == Seq(2L, 4L, 5L))
   }
 
   test("token counting handles empty/whitespace/multi-space text") {
