@@ -223,6 +223,10 @@ class OperatorsSpec extends AnyFunSuite {
     val one = Dedup.semanticPairs(emb, 0.4, nLists = 1)
     assert(one.select("id_a", "id_b").as[(Long, Long)].collect().toSet == brute)
     assert(one.select("cell").distinct().as[Int].collect().toSeq == Seq(0))
+    // empty corpus (no centroids to sample): empty result, correct schema
+    val none = Dedup.semanticPairs(emb.filter($"vec_id" < 0), 0.4, nLists = 8)
+    assert(none.columns.toSeq == Seq("id_a", "id_b", "cell", "cosine"))
+    assert(none.count() == 0)
   }
 
   test("bigram LM scores are exact add-one-smoothed mean NLLs") {
