@@ -978,8 +978,10 @@ object SparkEntry {
     // only float divergence is ln()'s last ulp + summation order, absorbed
     // by ROUND(_, 4) on both engines
     "text_lm_nll" ->
-      ("WITH toks AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), " +
-        "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '\\s+') AS tk " +
+      // trim(x, chars) is the native SET-trim in BOTH engines — the literal
+      // contains the real control characters (JSON-escaped in transit)
+      ("WITH toks AS (SELECT doc_id, string_split_regex(" +
+        s"trim(lower(text), '${TextAnalysis.WsCharsRaw}'), '\\s+') AS tk " +
         "FROM documents WHERE text IS NOT NULL), " +
         "bi AS (SELECT doc_id, [tk[i] || ' ' || tk[i+1] for i in " +
         "generate_series(1, len(tk) - 1)] AS bs FROM toks WHERE len(tk) >= 2), " +

@@ -18,8 +18,11 @@ object TextAnalysis {
     * U+000B (vertical tab) while RE2's (DuckDB, Go) does not — an explicit
     * class means both engines tokenize identically for every input.
     * `WsChars` is the raw character set for building complement classes
-    * (e.g. the URL regexes below) from the same single source. */
+    * (e.g. the URL regexes below) from the same single source; `WsCharsRaw`
+    * is the same set as actual characters, for the native set-trim
+    * (`trim(col, chars)`) where a regex would rescan the whole string. */
   private[graft] val WsChars = "\\t\\n\\f\\r "
+  private[graft] val WsCharsRaw = "\t\n\f\r "
   private[graft] val WsClass = s"[$WsChars]"
 
   /** Whitespace tokens of trimmed text (deterministic, single definition used
@@ -370,10 +373,18 @@ object TextAnalysis {
     * is distinct — an LM needs counts). The text is trimmed with the full
     * whitespace CLASS first (plain `trim` strips spaces only, so a trailing
     * newline — near-universal in web text — would otherwise mint a phantom
-    * "" token and a spurious final bigram). Texts with fewer than 2 tokens
-    * (including NULL/empty) yield an empty array. */
+    * "" token and a spurious final bigram; the native SET-trim does it
+    * without the whole-string regex rescan an anchored pattern costs).
+    * Texts with fewer than 2 tokens (including NULL/empty) yield an empty
+    * array. */
+  /** LM tokenization: set-trim then the engine-wide [[WsClass]]+ split —
+    * same token boundaries as [[tokens]], minus tokens()' interior
+    * space-trim pass, which the set-trim already covers. */
+  private def lmToks(text: Column): Column =
+    split(trim(lower(text), WsCharsRaw), s"$WsClass+")
+
   def allBigrams(text: Column): Column = {
-    val toks = tokens(regexp_replace(lower(text), s"^$WsClass+|$WsClass+$$", ""))
+    val toks = lmToks(text)
     when(size(toks) >= 2,
       transform(slice(toks, lit(1), size(toks) - 1),
         (t, i) => concat(t, lit(" "), element_at(toks, i + lit(2)))))
@@ -411,8 +422,7 @@ object TextAnalysis {
     // corpus of newline-terminated docs retains "" as a vocabulary unigram
     // (V inflated) even though no bigram can ever have "" as its context
     val uni = reference
-      .select(explode(tokens(regexp_replace(lower(col(textCol)),
-        s"^$WsClass+|$WsClass+$$", ""))).as("w"))
+      .select(explode(lmToks(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cw"))
       .filter(col("cw") >= minCount)
