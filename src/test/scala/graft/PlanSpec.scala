@@ -151,6 +151,18 @@ class PlanSpec extends AnyFunSuite {
       s"escape hatch still broadcasts the hot-line set:\n$plan")
   }
 
+  test("LM scoring joins stay keyed; the only nested-loop join is the 1-row vsize scalar") {
+    val plan = executedPlan(
+      SparkEntry.queries("text_lm_nll")(spark, "/root/testdata/sf0.001"))
+    // losing a join condition (e.g. the w1 == w vocabulary key) would turn a
+    // corpus-sized join cartesian; the single admissible nested-loop join is
+    // the broadcast cross join carrying the one-row vocabulary-size scalar
+    assert(!plan.contains("CartesianProduct"),
+      s"LM scoring degenerated to a cartesian join:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 1,
+      s"expected exactly one nested-loop join (the 1-row vsize scalar):\n$plan")
+  }
+
   test("semantic dedup assigns cells with the argmax fold and joins on cell, never all-pairs") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plan = executedPlan(graft.operators.Dedup.semanticPairs(emb, 0.4, nLists = 8))
