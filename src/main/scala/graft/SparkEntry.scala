@@ -49,6 +49,46 @@ object SparkEntry {
       lit(" or http://ads.tracker"), (col("doc_id") % 5).cast("string"),
       lit(".net/x")))
 
+  /** C4-cleaning fixture: the testdata text is punctuation-free word soup,
+    * so the query builds a deterministic multi-line "web page" around it —
+    * a body sentence (first 8 space-separated pieces + '.'), a
+    * please-enable-JavaScript line (always dropped), a one-word "Menu" line
+    * (always dropped), a per-source sentence, a code line with '{' on
+    * doc_id%37 (kills keep_doc), a lorem-ipsum line on doc_id%41 (kept as a
+    * line, kills keep_doc) and a badge line ending in '!' — exercising every
+    * line rule and every document rule in both directions. */
+  private def c4Docs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text", concat_ws("\n",
+      concat(array_join(slice(split(coalesce(col("text"), lit("")), " "), 1, 8), " "),
+        lit(".")),
+      lit("Please enable JavaScript to view the comments."),
+      lit("Menu"),
+      concat(lit("Source "), coalesce(col("source"), lit("")),
+        lit(" delivers honest daily articles.")),
+      when(col("doc_id") % 37 === 0, lit("if (config) { render(); }"))
+        .otherwise(lit("A perfectly ordinary closing sentence appears right here.")),
+      when(col("doc_id") % 41 === 0,
+        lit("Lorem ipsum dolor sit amet, consectetur adipiscing elit."))
+        .otherwise(lit("Here is another honest sentence for the cleaner.")),
+      concat(lit("Badge "), (col("doc_id") % 5).cast("string"),
+        lit(" reporting in today!"))))
+
+  /** Duplicated-span fixture: random word soup almost never repeats a
+    * 5-gram across documents, so the query appends shared boilerplate tails
+    * — an 11-token newsletter pitch on doc_id%4 and an 11-token copyright
+    * notice on doc_id%10<2 (docs on both get adjacent spans whose bridging
+    * shingles are duplicated too) — giving every df regime: unique body,
+    * hot tails, and partial interval overlap. */
+  private def spanDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text", concat(
+      coalesce(col("text"), lit("")),
+      when(col("doc_id") % 4 === 0,
+        lit(" subscribe to our newsletter for weekly updates and exclusive offers today"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 10 < 2,
+        lit(" all rights reserved copyright twenty twenty six by the site owners"))
+        .otherwise(lit(""))))
+
   private def spec(fn: String, metricName: String,
       grouped: Seq[String] = Seq("user_id"),
       filtered: Map[String, String] = Map.empty,
@@ -717,6 +757,20 @@ object SparkEntry {
     "text_domain_filter" -> ((s, dir) =>
       TextAnalysis.dropBlockedDomains(urlDocs(s, dir), UrlBlocklist)
         .select("doc_id")),
+    // C4 line+doc cleaning over the synthetic multi-line page fixture: the
+    // JS and Menu lines always drop, keep_doc flips on the {-code and
+    // lorem-ipsum docs and on pages with < 5 surviving lines
+    "text_c4_clean" -> ((s, dir) =>
+      TextAnalysis.c4Clean(c4Docs(s, dir), minWordsPerLine = 3, minKeptLines = 5)),
+    // per-doc top-5 keywords by smoothed tf-idf (corpus df over all docs)
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(docs(s, dir), 5)
+        .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"),
+          round(col("tfidf"), 4).as("tfidf"))),
+    // exact-substring duplication signal: fraction of tokens covered by
+    // cross-doc duplicated 5-gram spans (boilerplate-tail fixture)
+    "text_dup_spans" -> ((s, dir) =>
+      TextAnalysis.dupSpanStats(spanDocs(s, dir), 5)),
     // Gopher-style repetition signals; sentence boundaries become line breaks
     // so the duplicate-line fractions see multi-line documents
     "text_repetition" -> ((s, dir) =>
@@ -1025,6 +1079,76 @@ object SparkEntry {
         s"list_transform(regexp_extract_all(text, '$UrlReSql'), " +
         s"u -> lower(regexp_extract(u, '$DomainReSql', 1))), " +
         s"dom -> ($UrlBlockCondSql))) = 0"),
+    // C4 cleaning mirror: the page construction matches c4Docs exactly;
+    // line rules as list_filter lambdas, doc rules on the original text
+    "text_c4_clean" ->
+      ("WITH d AS (SELECT doc_id, " +
+        "array_to_string(string_split(COALESCE(text, ''), ' ')[1:8], ' ') || '.' || chr(10) || " +
+        "'Please enable JavaScript to view the comments.' || chr(10) || " +
+        "'Menu' || chr(10) || " +
+        "'Source ' || COALESCE(source, '') || ' delivers honest daily articles.' || chr(10) || " +
+        "CASE WHEN doc_id % 37 = 0 THEN 'if (config) { render(); }' " +
+        "ELSE 'A perfectly ordinary closing sentence appears right here.' END || chr(10) || " +
+        "CASE WHEN doc_id % 41 = 0 THEN 'Lorem ipsum dolor sit amet, consectetur adipiscing elit.' " +
+        "ELSE 'Here is another honest sentence for the cleaner.' END || chr(10) || " +
+        "'Badge ' || CAST(doc_id % 5 AS VARCHAR) || ' reporting in today!' AS text " +
+        "FROM documents), " +
+        "l AS (SELECT doc_id, text AS txt, list_filter(list_transform(" +
+        s"string_split(text, chr(10)), x -> trim(x, '${TextAnalysis.WsCharsRaw}')), " +
+        "x -> length(x) > 0) AS lines FROM d), " +
+        "k AS (SELECT doc_id, txt, lines, list_filter(lines, x -> " +
+        "regexp_matches(x, '[.!?\"]$') AND len(string_split_regex(x, '\\s+')) >= 3 AND " +
+        "NOT contains(lower(x), 'javascript')) AS kept FROM l) " +
+        "SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean, " +
+        "CAST(len(kept) AS BIGINT) AS n_lines_kept, " +
+        "CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_dropped, " +
+        "(NOT contains(txt, '{') AND NOT contains(lower(txt), 'lorem ipsum') " +
+        "AND len(kept) >= 5) AS keep_doc FROM k"),
+    // tf-idf mirror: same LM tokenization, same smoothed idf, same
+    // (score desc, token asc) tie-break; ROUND absorbs ln()'s last ulp
+    "text_tfidf" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(" +
+        s"trim(lower(text), '${TextAnalysis.WsCharsRaw}'), '\\s+')) AS tok " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2), " +
+        "dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents), " +
+        "sc AS (SELECT doc_id, tok, tf, df, " +
+        "CAST(tf AS DOUBLE) * (ln((n_docs + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0) AS tfidf " +
+        "FROM tf JOIN dfx USING (tok) CROSS JOIN n) " +
+        "SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, CAST(tf AS BIGINT) AS tf, " +
+        "CAST(df AS BIGINT) AS df, ROUND(tfidf, 4) AS tfidf FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank " +
+        "FROM sc) WHERE rank <= 5"),
+    // duplicated-span mirror: membership on shingle TEXT (the operator keys
+    // on the 64-bit hash — same collision note as dedup_lines); interval
+    // union via the identical lead() recurrence
+    "text_dup_spans" ->
+      ("WITH d AS (SELECT doc_id, COALESCE(text, '') || " +
+        "CASE WHEN doc_id % 4 = 0 THEN " +
+        "' subscribe to our newsletter for weekly updates and exclusive offers today' " +
+        "ELSE '' END || CASE WHEN doc_id % 10 < 2 THEN " +
+        "' all rights reserved copyright twenty twenty six by the site owners' " +
+        "ELSE '' END AS text FROM documents), " +
+        "t AS (SELECT doc_id, string_split_regex(" +
+        s"trim(lower(text), '${TextAnalysis.WsCharsRaw}'), '\\s+') AS tk " +
+        s"FROM d WHERE length(trim(text, '${TextAnalysis.WsCharsRaw}')) > 0), " +
+        "p AS (SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+4], ' ') AS s FROM " +
+        "(SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 4)) AS i " +
+        "FROM t WHERE len(tk) >= 5)), " +
+        "hot AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df FROM p GROUP BY 1) " +
+        "WHERE df >= 2), " +
+        "dp AS (SELECT doc_id, least(5, COALESCE(" +
+        "lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 5)) AS covered " +
+        "FROM p WHERE s IN (SELECT s FROM hot)), " +
+        "cv AS (SELECT doc_id, count(*) AS nds, sum(covered) AS dt FROM dp GROUP BY 1), " +
+        "nn AS (SELECT doc_id, len(tk) AS n FROM t) " +
+        "SELECT doc.doc_id, CAST(COALESCE(nn.n, 0) AS BIGINT) AS n_tokens, " +
+        "CAST(COALESCE(cv.nds, 0) AS BIGINT) AS n_dup_shingles, " +
+        "CAST(COALESCE(cv.dt, 0) AS BIGINT) AS dup_tokens, " +
+        "CASE WHEN COALESCE(nn.n, 0) > 0 " +
+        "THEN CAST(COALESCE(cv.dt, 0) AS DOUBLE) / nn.n ELSE 0.0 END AS dup_token_frac " +
+        "FROM documents doc LEFT JOIN nn USING (doc_id) LEFT JOIN cv USING (doc_id)"),
     "sim_topk" ->
       ("SELECT query_id, neighbor_id, rank, ROUND(c, 4) AS cosine FROM (" +
         "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, " +

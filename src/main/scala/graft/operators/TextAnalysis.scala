@@ -492,6 +492,167 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame =
     docs.filter(!coalesce(anyBlockedDomain(col(textCol), blocklist), lit(false)))
 
+  // ------------------------------------------------- C4 cleaning
+
+  /** C4-style line + document cleaning (Raffel et al. 2020 §2.2 — the
+    * classic web-corpus scrub), expressed as a PURE NARROW MAP: every rule
+    * is a higher-order array function over one document's line list, so at
+    * 100 TB this runs as a codegen'd projection over the parquet scan — no
+    * shuffle, no join, no aggregation, full column pruning (only the id and
+    * text columns are read).
+    *
+    * Line rules (a trimmed non-empty line survives iff ALL hold):
+    *  - ends in terminal punctuation — `.` `!` `?` or a closing `"`
+    *  - has at least `minWordsPerLine` whitespace words
+    *  - does not contain "javascript" (case-insensitive) — the
+    *    please-enable-JS boilerplate rule
+    *
+    * Document rules (`keep_doc`, computed on the ORIGINAL text so a dropped
+    * line still disqualifies its document, exactly as in C4):
+    *  - text contains no `{` (code marker) and no "lorem ipsum"
+    *    (case-insensitive placeholder marker)
+    *  - at least `minKeptLines` lines survive (C4's "at least 5 sentences"
+    *    rule at line granularity — our sentence unit is the line)
+    *
+    * Returns one row per input document:
+    * (idCol, text_clean, n_lines_kept, n_lines_dropped, keep_doc).
+    * Lines are trimmed with the engine-wide whitespace class
+    * ([[WsCharsRaw]]); blank lines are neither counted nor kept and NULL
+    * text cleans to the empty string (same contract as
+    * [[graft.operators.Dedup.dedupLines]]). */
+  def c4Clean(docs: DataFrame, minWordsPerLine: Int = 3, minKeptLines: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minWordsPerLine >= 1, s"minWordsPerLine must be >= 1, got $minWordsPerLine")
+    require(minKeptLines >= 0, s"minKeptLines must be >= 0, got $minKeptLines")
+    val txt = coalesce(col(textCol), lit(""))
+    val lines = filter(
+      transform(split(txt, "\n"), l => trim(l, WsCharsRaw)),
+      l => length(l) > 0)
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(split(l, s"$WsClass+")) >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    docs.select(col(idCol),
+      array_join(kept, "\n").as("text_clean"),
+      size(kept).cast("long").as("n_lines_kept"),
+      (size(lines) - size(kept)).cast("long").as("n_lines_dropped"),
+      (!txt.contains("{") &&
+        !lower(txt).contains("lorem ipsum") &&
+        size(kept) >= minKeptLines).as("keep_doc"))
+  }
+
+  // ------------------------------------------------- tf-idf keywords
+
+  /** Per-document top-`k` keywords by smoothed tf-idf:
+    * score = tf · (ln((N+1)/(df+1)) + 1), the scikit-learn-style smoothing
+    * that keeps every idf positive and never divides by zero. Tokens are the
+    * LM tokenization (lower-cased, set-trimmed, [[WsClass]]-split); `tf`
+    * counts occurrences within the document, `df` counts DISTINCT documents
+    * containing the token, N counts all corpus rows (NULL-text rows
+    * included — they simply contribute no tokens). Deterministic tie-break:
+    * score desc, then token asc. Output: (idCol, rank, tok, tf, df, tfidf).
+    *
+    * Scale shape: explode → (doc, token) count with map-side combine — that
+    * relation IS both tf and (re-aggregated by token, map-side combined
+    * again) df, so it is persisted for its two consumers; tf⋈df is an
+    * unhinted equi-join on the token (a vocabulary table has no smallness
+    * guarantee — Catalyst broadcasts it when stats allow, and at web scale
+    * it degrades gracefully to a shuffled equi-join); N rides a 1-row
+    * broadcast cross join (same pattern as [[lmScores]]' V). The final
+    * top-k is a rank window partitioned by document — one exchange on the
+    * id, each partition's heap bounded by its own vocabulary.
+    *
+    * The returned plan reads the persisted (doc, token) counts; blocks are
+    * released by the ContextCleaner once the caller drops the plan (same
+    * cache lifecycle as [[lmScores]]). */
+  def tfidfTopK(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(lmToks(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfTbl = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(dfTbl, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf").cast("double") *
+        (log((col("n_docs") + lit(1.0)) / (col("df").cast("double") + lit(1.0))) + lit(1.0)))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("tok").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("tok"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  // ------------------------------------------------- duplicated-span signal
+
+  /** Exact-substring duplication signal (the measurement half of Lee et
+    * al. 2021's "Deduplicating Training Data Makes Language Models Better"
+    * suffix-array dedup, re-expressed relationally): the fraction of each
+    * document's tokens covered by at least one `k`-token shingle that also
+    * occurs in ANOTHER document. A high `dup_token_frac` marks the
+    * boilerplate-heavy / templated documents whose spans the suffix-array
+    * method would cut. Within-document repeats do NOT count — duplication
+    * means cross-document here (df ≥ 2 distinct docs, same rule as
+    * [[graft.operators.Dedup.dedupLines]]'s df).
+    *
+    * Tokens are the LM tokenization (lower-cased, set-trimmed,
+    * [[WsClass]]-split). Output, one row per input document:
+    * (idCol, n_tokens, n_dup_shingles, dup_tokens, dup_token_frac), where
+    * `dup_tokens` is the size of the UNION of the duplicated shingles'
+    * [pos, pos+k) token intervals and the fraction is the exact integer
+    * ratio dup_tokens / n_tokens (0.0 when the document has no tokens).
+    * Documents with fewer than `k` tokens have no shingles and score 0.
+    *
+    * Scale shape: positional shingles are hashed map-side (the exchanges
+    * carry (id, pos, hash64) — never shingle text; collisions pool two
+    * spans at 2⁻⁶⁴, same contract note as dedupLines). df is a two-level
+    * map-side-combined count on the hash; the duplicated set comes back to
+    * the positions as a left-semi equi-join on the hash, and interval-union
+    * coverage is a per-document `lead` window (one exchange on the id) —
+    * min(k, next_pos − pos) summed over sorted starts, the classic
+    * fixed-length-interval union. */
+  def dupSpanStats(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toksOf = lmToks(col(textCol))
+    val base = docs
+      .filter(length(trim(col(textCol), WsCharsRaw)) > 0)
+      .select(col(idCol), toksOf.as("toks"))
+      .select(col(idCol), col("toks"), size(col("toks")).as("n"))
+    val pos = base.filter(col("n") >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), col("n") - k),
+          i => xxhash64(array_join(slice(col("toks"), i + lit(1), lit(k)), " "))))
+        .as(Seq("pos", "sh")))
+    val dupShingles = pos.select(col("sh"), col(idCol)).distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select("sh")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val cov = pos.join(dupShingles, Seq("sh"), "left_semi")
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .withColumn("covered",
+        least(lit(k), coalesce(col("nxt") - col("pos"), lit(k))))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_dup_shingles"),
+        sum(col("covered")).cast("long").as("dup_tokens"))
+    docs.select(col(idCol))
+      .join(base.select(col(idCol), col("n")), Seq(idCol), "left")
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n"), lit(0)).cast("long").as("n_tokens"),
+        coalesce(col("n_dup_shingles"), lit(0L)).as("n_dup_shingles"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(coalesce(col("n"), lit(0)) > 0,
+          coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n").cast("double"))
+          .otherwise(lit(0.0)).as("dup_token_frac"))
+  }
+
   /** All signals over a `documents`-shaped table (doc_id, text, ...). */
   def analyze(docs: DataFrame): DataFrame =
     docs.select(

@@ -839,6 +839,77 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(("a b", 2L, 1L), ("b c", 2L, 2L)))
   }
 
+  test("C4 clean: line rules, doc rules, blank lines, NULL text") {
+    val d = Seq(
+      // 8 non-empty lines: JS line, Menu (1 word, no punct) and the 2-word
+      // trailer drop; the 5 full sentences (incl. ! ? and closing-quote
+      // terminals) survive → keep_doc
+      (1L, "First solid sentence stands here.\nPlease enable JavaScript now.\n" +
+        "Menu\nSecond solid sentence stands here.\nThird solid sentence stands here!\n" +
+        "Fourth solid sentence right here?\nFifth \"quoted\" line ends \"well.\"\n" +
+        "\n  \nshort one."),
+      // every line passes the LINE rules (the brace line ends in '.'), but
+      // the document carries '{' → keep_doc false with zero dropped lines
+      (2L, "Brace here { is code.\nOne good sentence sits here.\n" +
+        "Two good sentences sit here.\nThree good sentences sit here.\n" +
+        "Four good sentences sit here.\nFive good sentences sit here."),
+      // "Lorem Ipsum" kills the doc case-insensitively, lines all pass
+      (3L, "We sprinkle Lorem Ipsum dolor text.\nOne good sentence sits here.\n" +
+        "Two good sentences sit here.\nThree good sentences sit here.\n" +
+        "Four good sentences sit here."),
+      (4L, null.asInstanceOf[String]),
+      // no terminal punctuation anywhere → everything drops, keep_doc false
+      (5L, "no terminal punctuation line\nanother unpunctuated line")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(d, minWordsPerLine = 3, minKeptLines = 5)
+      .as[(Long, String, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out(0)._2 == "First solid sentence stands here.\n" +
+      "Second solid sentence stands here.\nThird solid sentence stands here!\n" +
+      "Fourth solid sentence right here?\nFifth \"quoted\" line ends \"well.\"")
+    assert(out(0)._3 == 5L && out(0)._4 == 3L && out(0)._5)
+    assert(out(1)._3 == 6L && out(1)._4 == 0L && !out(1)._5)
+    assert(out(2)._3 == 5L && out(2)._4 == 0L && !out(2)._5)
+    assert(out(3) == ((4L, "", 0L, 0L, false)))
+    assert(out(4) == ((5L, "", 0L, 2L, false)))
+  }
+
+  test("tf-idf top-k: rare tokens outrank common ones, ties break by token") {
+    val d = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana banana banana")).toDF("doc_id", "text")
+    // N=3; df: apple 1, banana 3, cherry 1
+    // idf(apple)=idf(cherry)=ln(4/2)+1, idf(banana)=ln(4/4)+1=1
+    val out = TextAnalysis.tfidfTopK(d, 2)
+      .as[(Long, Long, String, Long, Long, Double)].collect().groupBy(_._1)
+    val d1 = out(1L).sortBy(_._2)
+    assert(d1.map(_._3).toSeq == Seq("apple", "banana")) // 2(ln2+1) > 1
+    assert(math.abs(d1(0)._6 - 2 * (math.log(2) + 1)) < 1e-12)
+    val d2 = out(2L).sortBy(_._2)
+    assert(d2.map(_._3).toSeq == Seq("cherry", "banana")) // ln2+1 > 1
+    val d3 = out(3L)
+    assert(d3.length == 1 && d3(0)._3 == "banana")
+    assert(d3(0)._4 == 3L && d3(0)._5 == 3L && math.abs(d3(0)._6 - 3.0) < 1e-12)
+  }
+
+  test("duplicated-span stats: interval union over overlapping cross-doc spans") {
+    val d = Seq(
+      // docs 1/2 share the 6-token run "v w x y z q" → two overlapping
+      // 5-shingles each; union covers 6 tokens, not 10
+      (1L, "v w x y z q a b"),
+      (2L, "c v w x y z q"),
+      // within-doc repetition only ("k k k k k" twice in ONE doc): df=1,
+      // nothing is cross-doc duplicated
+      (3L, "k k k k k k"),
+      (4L, "m n o")).toDF("doc_id", "text")
+    val out = TextAnalysis.dupSpanStats(d, 5)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 8L, 2L, 6L, 6.0 / 8)))
+    assert(out(1) == ((2L, 7L, 2L, 6L, 6.0 / 7)))
+    assert(out(2) == ((3L, 6L, 0L, 0L, 0.0)))
+    assert(out(3) == ((4L, 3L, 0L, 0L, 0.0)))
+  }
+
   test("BPE-ish token count splits letter runs from symbol runs") {
     val d = Seq("don't stop", "a1b c", "", "   ").toDF("text")
     val counts = d.select(TextAnalysis.bpeishTokenCount($"text")).as[Int].collect().toSeq

@@ -210,6 +210,36 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("C4 clean never shuffles; tf-idf and dup-span joins stay keyed") {
+    // C4 cleaning is all higher-order array functions over one row — any
+    // Exchange means a regression away from the narrow-map design
+    val c4 = executedPlan(
+      SparkEntry.queries("text_c4_clean")(spark, "/root/testdata/sf0.001"))
+    assert(!c4.contains("Exchange"), s"C4 clean must not shuffle:\n$c4")
+    // tf-idf: the one admissible nested-loop join is the 1-row corpus-size
+    // scalar (same pattern as LM scoring's vsize); the per-doc rank must
+    // pre-limit below its exchange
+    val tf = executedPlan(
+      SparkEntry.queries("text_tfidf")(spark, "/root/testdata/sf0.001"))
+    assert(!tf.contains("CartesianProduct"),
+      s"tf-idf degenerated to a cartesian join:\n$tf")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(tf).length == 1,
+      s"expected exactly one nested-loop join (the 1-row n_docs scalar):\n$tf")
+    assert(tf.contains("WindowGroupLimit"),
+      s"per-doc rank not pre-limited:\n$tf")
+    // dup spans: the duplicated-shingle set has no smallness guarantee (it is
+    // every cross-doc repeated shingle), so membership is a KEYED semi-join
+    // on the shingle hash with a map-side-combined df count below it
+    val ds = executedPlan(
+      SparkEntry.queries("text_dup_spans")(spark, "/root/testdata/sf0.001"))
+    assert(ds.contains("LeftSemi"),
+      s"duplicated-shingle membership is not a semi-join:\n$ds")
+    assert(!ds.contains("CartesianProduct") && !ds.contains("BroadcastNestedLoopJoin"),
+      s"dup-span membership degenerated to an unkeyed join:\n$ds")
+    assert(ds.contains("partial_count"),
+      s"df count lost its map-side partial:\n$ds")
+  }
+
   test("sequence packing shuffles once (on the shard) and keeps a streaming window frame") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

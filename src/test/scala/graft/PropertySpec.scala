@@ -208,6 +208,36 @@ object PropertySpec extends Properties("graft") {
       got == expected
     }
 
+  property("duplicated-span stats equal the naive interval-union model ∀ corpus") =
+    forAll(Gen.nonEmptyListOf(Gen.listOf(Gen.oneOf("a", "b", "c")))) { corpusToks =>
+      val k = 3
+      val corpus = corpusToks.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      val got = graft.operators.TextAnalysis.dupSpanStats(corpus.toDF("doc_id", "text"), k)
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+      // naive model: LM tokenization, cross-doc df on the shingle STRING
+      // (the operator keys on the 64-bit hash — collisions immaterial here),
+      // coverage = union of the duplicated [pos, pos+k) intervals
+      val toks: Map[Long, Seq[String]] = corpus.map { case (id, text) =>
+        val t = text.toLowerCase.replaceAll("^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$", "")
+        id -> (if (t.isEmpty) Seq.empty else t.split("[\\t\\n\\f\\r ]+", -1).toSeq)
+      }.toMap
+      val shinglesOf: Map[Long, Seq[(Int, String)]] = toks.map { case (id, ts) =>
+        id -> (0 to ts.length - k).map(i => i -> ts.slice(i, i + k).mkString(" "))
+      }
+      val dupSet = shinglesOf.toSeq.flatMap { case (id, sh) => sh.map(_._2).distinct.map(id -> _) }
+        .groupBy(_._2).collect { case (s, occ) if occ.size >= 2 => s }.toSet
+      val expected = corpus.map { case (id, _) =>
+        val n = toks(id).length
+        val dupPos = shinglesOf(id).collect { case (p, s) if dupSet(s) => p }
+        val covered = dupPos.zipAll(dupPos.drop(1).map(Some(_)), -1, None)
+          .map { case (p, nx) => math.min(k, nx.map(_ - p).getOrElse(k)) }.sum.toLong
+        id -> ((n.toLong, dupPos.size.toLong, covered,
+          if (n > 0) covered.toDouble / n else 0.0))
+      }.toMap
+      got == expected
+    }
+
   property("semantic pairs ⊆ brute-force pairs ∀ corpus/nLists/threshold; nLists=1 ⇒ equality") =
     forAll(
       Gen.nonEmptyListOf(Gen.listOfN(4, Gen.choose(-1.0, 1.0).map(_.toFloat))),
