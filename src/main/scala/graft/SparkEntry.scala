@@ -771,6 +771,18 @@ object SparkEntry {
     // cross-doc duplicated 5-gram spans (boilerplate-tail fixture)
     "text_dup_spans" -> ((s, dir) =>
       TextAnalysis.dupSpanStats(spanDocs(s, dir), 5)),
+    // the CUT half over the same fixture: duplicated spans removed, text
+    // rebuilt from the surviving tokens (canonical lower-cased rejoin)
+    "text_dedup_spans" -> ((s, dir) =>
+      TextAnalysis.removeDupSpans(spanDocs(s, dir), 5)),
+    // cluster-aware leakage-safe split: every near-dup cluster is assigned
+    // atomically (the prevention counterpart of audit_split_leakage, same
+    // pair source); unpaired docs reproduce sample_split exactly
+    "sample_split_safe" -> ((s, dir) =>
+      Dedup.leakageSafeSplit(docs(s, dir),
+        Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")),
     // Gopher-style repetition signals; sentence boundaries become line breaks
     // so the duplicate-line fractions see multi-line documents
     "text_repetition" -> ((s, dir) =>
@@ -1149,6 +1161,44 @@ object SparkEntry {
         "CASE WHEN COALESCE(nn.n, 0) > 0 " +
         "THEN CAST(COALESCE(cv.dt, 0) AS DOUBLE) / nn.n ELSE 0.0 END AS dup_token_frac " +
         "FROM documents doc LEFT JOIN nn USING (doc_id) LEFT JOIN cv USING (doc_id)"),
+    // span-removal mirror: same duplicated positions, covered token indices
+    // via the correlated fixed-length-interval probe, survivors re-agg'd in
+    // position order
+    "text_dedup_spans" ->
+      ("WITH d AS (SELECT doc_id, COALESCE(text, '') || " +
+        "CASE WHEN doc_id % 4 = 0 THEN " +
+        "' subscribe to our newsletter for weekly updates and exclusive offers today' " +
+        "ELSE '' END || CASE WHEN doc_id % 10 < 2 THEN " +
+        "' all rights reserved copyright twenty twenty six by the site owners' " +
+        "ELSE '' END AS text FROM documents), " +
+        "t AS (SELECT doc_id, string_split_regex(" +
+        s"trim(lower(text), '${TextAnalysis.WsCharsRaw}'), '\\s+') AS tk " +
+        s"FROM d WHERE length(trim(text, '${TextAnalysis.WsCharsRaw}')) > 0), " +
+        "p AS (SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+4], ' ') AS s FROM " +
+        "(SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 4)) AS i " +
+        "FROM t WHERE len(tk) >= 5)), " +
+        "hot AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df FROM p GROUP BY 1) " +
+        "WHERE df >= 2), " +
+        "dp AS (SELECT doc_id, pos FROM p WHERE s IN (SELECT s FROM hot)), " +
+        "tok AS (SELECT doc_id, j - 1 AS j, tk[j] AS w FROM " +
+        "(SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS j FROM t)), " +
+        "kept AS (SELECT doc_id, j, w FROM tok k1 WHERE NOT EXISTS (" +
+        "SELECT 1 FROM dp WHERE dp.doc_id = k1.doc_id " +
+        "AND k1.j BETWEEN dp.pos AND dp.pos + 4)), " +
+        "reb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY j) AS text_clean, " +
+        "count(*) AS nk FROM kept GROUP BY 1), " +
+        "nn AS (SELECT doc_id, len(tk) AS n FROM t) " +
+        "SELECT doc.doc_id, COALESCE(reb.text_clean, '') AS text_clean, " +
+        "CAST(COALESCE(nn.n, 0) AS BIGINT) AS n_tokens, " +
+        "CAST(COALESCE(reb.nk, 0) AS BIGINT) AS n_tokens_kept, " +
+        "CAST(COALESCE(nn.n, 0) - COALESCE(reb.nk, 0) AS BIGINT) AS n_tokens_dropped " +
+        "FROM documents doc LEFT JOIN nn USING (doc_id) LEFT JOIN reb USING (doc_id)"),
+    // leakage-safe split mirror: the recursive-CTE component closure feeds
+    // the SAME split-case hash, keyed on COALESCE(component, doc_id)
+    "sample_split_safe" ->
+      (s"$ClusterComponentsCte SELECT d.doc_id, " +
+        s"${splitCaseSql("COALESCE(comp.component, d.doc_id)")} AS split " +
+        "FROM documents d LEFT JOIN comp ON d.doc_id = comp.id"),
     "sim_topk" ->
       ("SELECT query_id, neighbor_id, rank, ROUND(c, 4) AS cosine FROM (" +
         "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, " +

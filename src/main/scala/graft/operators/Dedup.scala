@@ -535,6 +535,31 @@ object Dedup {
       .filter(col("split_a") =!= col("split_b"))
       .select("id_a", "id_b", "split_a", "split_b", "jaccard")
 
+  /** Leakage-SAFE split — the prevention counterpart of [[splitLeakage]]:
+    * every near-dup CLUSTER is assigned to one split atomically, so
+    * cross-split near-duplicate pairs cannot exist by construction. The
+    * split key is the cluster's component label (min member id) from
+    * [[connectedComponents]] over `pairs`; unpaired documents (the vast
+    * majority) key on their own id, which reproduces [[Sampling.split]]'s
+    * assignment for them exactly. Adds a `split` column.
+    *
+    * Scale shape: the pair graph is tiny relative to the corpus (it only
+    * contains near-duplicates), so the component labels arrive as one
+    * equi-join on the id — Catalyst broadcasts them when stats allow — and
+    * the assignment itself stays [[Sampling.splitAssignment]]'s narrow hash
+    * expression: no corpus-sized assignment table, no extra shuffle beyond
+    * the label join. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+      splits: Seq[(String, Double)], seed: Long = 42,
+      idCol: String = "doc_id"): DataFrame = {
+    val comp = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component"))
+    docs.join(comp, Seq(idCol), "left")
+      .withColumn("split", Sampling.splitAssignment(
+        coalesce(col("component"), col(idCol)), splits, seed))
+      .drop("component")
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold (brute-force over

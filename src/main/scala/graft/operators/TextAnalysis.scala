@@ -588,6 +588,35 @@ object TextAnalysis {
 
   // ------------------------------------------------- duplicated-span signal
 
+  /** Shared machinery of [[dupSpanStats]] / [[removeDupSpans]]: `base` =
+    * (idCol, toks, n) for documents with any token; `pos` = (idCol, pos, sh)
+    * positional k-shingles, hashed map-side (exchanges carry the 64-bit
+    * hash, never shingle text). */
+  private def spanPositions(docs: DataFrame, k: Int, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val base = docs
+      .filter(length(trim(col(textCol), WsCharsRaw)) > 0)
+      .select(col(idCol), lmToks(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"), size(col("toks")).as("n"))
+    val pos = base.filter(col("n") >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), col("n") - k),
+          i => xxhash64(array_join(slice(col("toks"), i + lit(1), lit(k)), " "))))
+        .as(Seq("pos", "sh")))
+    (base, pos)
+  }
+
+  /** Positions whose shingle occurs in >= 2 DISTINCT documents: df is a
+    * two-level map-side-combined count on the hash, membership a keyed
+    * left-semi join (the duplicated set has no smallness guarantee). */
+  private def dupPositions(pos: DataFrame, idCol: String): DataFrame = {
+    val dupShingles = pos.select(col("sh"), col(idCol)).distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select("sh")
+    pos.join(dupShingles, Seq("sh"), "left_semi")
+  }
+
   /** Exact-substring duplication signal (the measurement half of Lee et
     * al. 2021's "Deduplicating Training Data Makes Language Models Better"
     * suffix-array dedup, re-expressed relationally): the fraction of each
@@ -618,22 +647,9 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val toksOf = lmToks(col(textCol))
-    val base = docs
-      .filter(length(trim(col(textCol), WsCharsRaw)) > 0)
-      .select(col(idCol), toksOf.as("toks"))
-      .select(col(idCol), col("toks"), size(col("toks")).as("n"))
-    val pos = base.filter(col("n") >= k)
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), col("n") - k),
-          i => xxhash64(array_join(slice(col("toks"), i + lit(1), lit(k)), " "))))
-        .as(Seq("pos", "sh")))
-    val dupShingles = pos.select(col("sh"), col(idCol)).distinct()
-      .groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2)
-      .select("sh")
+    val (base, pos) = spanPositions(docs, k, idCol, textCol)
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val cov = pos.join(dupShingles, Seq("sh"), "left_semi")
+    val cov = dupPositions(pos, idCol)
       .withColumn("nxt", lead(col("pos"), 1).over(w))
       .withColumn("covered",
         least(lit(k), coalesce(col("nxt") - col("pos"), lit(k))))
@@ -651,6 +667,65 @@ object TextAnalysis {
           coalesce(col("dup_tokens"), lit(0L)).cast("double") /
             col("n").cast("double"))
           .otherwise(lit(0.0)).as("dup_token_frac"))
+  }
+
+  /** The CUT half of exact-substring dedup (Lee et al. 2021): remove every
+    * token covered by a cross-document duplicated `k`-token shingle and
+    * rebuild the document from the survivors. The companion of
+    * [[dupSpanStats]] (which only measures the coverage) — together they are
+    * the relational re-expression of the suffix-array method: what it would
+    * cut, we cut.
+    *
+    * Output, one row per input document: (idCol, text_clean, n_tokens,
+    * n_tokens_kept, n_tokens_dropped). `text_clean` is the space-rejoined
+    * LM tokenization of the survivors — lower-cased, whitespace-normalized
+    * (the same canonical form every dedup operator here keys on), NOT the
+    * original byte text. Documents with no tokens rebuild to "".
+    *
+    * Scale shape: [[spanPositions]]' hashed shingles + the df semi-join of
+    * [[dupSpanStats]], then ONE doc-keyed aggregate collecting the
+    * duplicated starts, a join back to the token arrays, and a narrow
+    * rebuild. The rebuild first merges the fixed-length [pos, pos+k)
+    * intervals into disjoint spans with a single array fold (duplicated
+    * regions are contiguous runs in practice, so merged spans are few),
+    * then keeps tokens by an exists() probe per token — O(tokens × merged
+    * spans) per document, bounded by O(n²/k) only for pathological
+    * alternating-coverage docs. */
+  def removeDupSpans(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (base, pos) = spanPositions(docs, k, idCol, textCol)
+    val starts = dupPositions(pos, idCol)
+      .groupBy(idCol).agg(sort_array(collect_list(col("pos"))).as("starts"))
+    // fixed-length intervals sorted by start: the running span extends while
+    // the next start falls inside it (s <= last.e), so last.e becomes s + k
+    // — no max() needed, e is monotone in s
+    val merged = aggregate(
+      coalesce(col("starts"), array().cast("array<int>")),
+      array().cast("array<struct<b:int,e:int>>"),
+      (acc, s) => when(size(acc) > 0 && s <= element_at(acc, -1).getField("e"),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(element_at(acc, -1).getField("b").as("b"),
+            (s + lit(k)).as("e")))))
+        .otherwise(concat(acc, array(struct(s.as("b"), (s + lit(k)).as("e"))))))
+    val kept = filter(col("toks"), (t, j) =>
+      !exists(col("merged"), iv =>
+        j >= iv.getField("b") && j < iv.getField("e")))
+    val rebuilt = base.join(starts, Seq(idCol), "left")
+      .withColumn("merged", merged)
+      .select(col(idCol), col("n"), kept.as("kept"))
+      .select(col(idCol),
+        array_join(col("kept"), " ").as("text_clean"),
+        col("n").cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_tokens_kept"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        (coalesce(col("n_tokens"), lit(0L)) -
+          coalesce(col("n_tokens_kept"), lit(0L))).as("n_tokens_dropped"))
   }
 
   /** All signals over a `documents`-shaped table (doc_id, text, ...). */

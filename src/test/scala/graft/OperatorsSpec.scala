@@ -910,6 +910,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3) == ((4L, 3L, 0L, 0L, 0.0)))
   }
 
+  test("span removal cuts duplicated spans, keeps gaps, merges disjoint intervals") {
+    val d = Seq(
+      // overlapping dup shingles [0,5) ∪ [1,6) merge to [0,6): only "a b" survives
+      (1L, "v w x y z q a b"),
+      (2L, "c v w x y z q"),
+      // two DISJOINT shared spans with a 2-token gap: the gap must survive
+      (3L, "s1a s1b s1c s1d s1e gap1 gap2 s2a s2b s2c s2d s2e"),
+      (4L, "x1 s1a s1b s1c s1d s1e y1 y2 y3 s2a s2b s2c s2d s2e"),
+      (5L, "m n o")).toDF("doc_id", "text")
+    val out = TextAnalysis.removeDupSpans(d, 5)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "a b", 8L, 2L, 6L)))
+    assert(out(1) == ((2L, "c", 7L, 1L, 6L)))
+    assert(out(2) == ((3L, "gap1 gap2", 12L, 2L, 10L)))
+    assert(out(3) == ((4L, "x1 y1 y2 y3", 14L, 4L, 10L)))
+    assert(out(4) == ((5L, "m n o", 3L, 3L, 0L)))
+  }
+
+  test("leakage-safe split assigns clusters atomically, unpaired docs as plain split") {
+    import graft.operators.Sampling
+    // 1↔2 and 2↔3 near-dup (transitive cluster {1,2,3} keyed on min id 1);
+    // 10 and 11 unpaired
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "alpha beta gamma delta eta"),
+      (10L, "completely different text one two"),
+      (11L, "another unrelated document three four")).toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val pairs = Dedup.ngramJaccardPairs(d, 3, 0.5)
+    val got = Dedup.leakageSafeSplit(d, pairs, splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // the cluster's split is the MIN member's plain assignment, shared by all
+    val plain = Sampling.split(d, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got(1L) == plain(1L) && got(2L) == plain(1L) && got(3L) == plain(1L))
+    assert(got(10L) == plain(10L) && got(11L) == plain(11L))
+    // and by construction no cross-split near-dup pair remains
+    val leaks = pairs
+      .join(Dedup.leakageSafeSplit(d, pairs, splits)
+        .select(col("doc_id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+      .join(Dedup.leakageSafeSplit(d, pairs, splits)
+        .select(col("doc_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b")).count()
+    assert(leaks == 0L)
+  }
+
   test("BPE-ish token count splits letter runs from symbol runs") {
     val d = Seq("don't stop", "a1b c", "", "   ").toDF("text")
     val counts = d.select(TextAnalysis.bpeishTokenCount($"text")).as[Int].collect().toSeq

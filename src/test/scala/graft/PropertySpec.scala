@@ -235,7 +235,22 @@ object PropertySpec extends Properties("graft") {
         id -> ((n.toLong, dupPos.size.toLong, covered,
           if (n > 0) covered.toDouble / n else 0.0))
       }.toMap
-      got == expected
+      // the CUT operator against the same model: survivors are the tokens
+      // outside every duplicated [pos, pos+k) interval, in order
+      val gotCut = graft.operators.TextAnalysis
+        .removeDupSpans(corpus.toDF("doc_id", "text"), k)
+        .as[(Long, String, Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+      val expectedCut = corpus.map { case (id, _) =>
+        val ts = toks(id)
+        val dupPos = shinglesOf(id).collect { case (p, s) if dupSet(s) => p }
+        val kept = ts.zipWithIndex.collect {
+          case (t, j) if !dupPos.exists(p => p <= j && j < p + k) => t
+        }
+        id -> ((kept.mkString(" "), ts.length.toLong, kept.length.toLong,
+          (ts.length - kept.length).toLong))
+      }.toMap
+      got == expected && gotCut == expectedCut
     }
 
   property("semantic pairs ⊆ brute-force pairs ∀ corpus/nLists/threshold; nLists=1 ⇒ equality") =
