@@ -665,6 +665,14 @@ object SparkEntry {
           lit(""),
           lit("ALL RIGHTS RESERVED"))),
         maxDocFreq = 3, keepEmptyLines = true)),
+    // incremental ingestion dedup: "today's crawl" (all docs) minus the
+    // fingerprints already in the accumulated corpus (doc_id%4 != 3) — the
+    // genuinely new quarter survives
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalNew(d, d.filter(col("doc_id") % 4 =!= 3))
+        .select("doc_id")
+    }),
     // graded contamination: per-doc fraction of distinct trigrams shared
     // with the benchmark slice (the overlap-ratio upgrade of dedup_decontam)
     "dedup_decontam_scores" -> ((s, dir) => {
@@ -980,6 +988,13 @@ object SparkEntry {
         "(SELECT doc_id, unnest(sh) AS s FROM t WHERE doc_id % 50 <> 0) c " +
         "JOIN bench USING (s)) SELECT doc_id FROM documents " +
         "WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)"),
+    // incremental mirror: NOT EXISTS reproduces anti-join NULL semantics
+    // exactly (a NULL fingerprint matches nothing and survives)
+    "dedup_incremental" ->
+      ("WITH fp AS (SELECT doc_id, " +
+        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f FROM documents) " +
+        "SELECT b.doc_id FROM fp b WHERE NOT EXISTS (" +
+        "SELECT 1 FROM fp s WHERE s.doc_id % 4 <> 3 AND s.f = b.f)"),
     // line dedup mirror: df per trimmed non-empty line (the operator counts
     // df on the 64-bit line hash — collision odds are immaterial), lines in
     // > 3 docs dropped, survivors rejoined in original position order; the

@@ -48,6 +48,25 @@ object Dedup {
   def exactSurvivors(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.join(exact(docs, idCol, textCol).select(col("keep_id").as(idCol)), idCol)
 
+  /** Incremental ingestion dedup: the rows of `batch` (today's crawl) whose
+    * normalized-text [[TextAnalysis.fingerprint]] does not occur in `seen`
+    * (the accumulated corpus) — the new documents worth keeping. The join
+    * key is the 128-bit md5, so the seen side exchanges ~32 bytes/row and
+    * the anti-join stays a keyed equi-join at any corpus ratio (Catalyst
+    * broadcasts the seen set only when stats allow — at web scale it is the
+    * BIG side and shuffles both relations by fingerprint). NULL-text rows
+    * have a NULL fingerprint, match nothing, and are therefore kept —
+    * consistent with the engine-wide only-positive-matches-filter rule. */
+  def incrementalNew(batch: DataFrame, seen: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val fpCol = Iterator.from(0).map(i => s"__graft_fp$i")
+      .find(c => !batch.columns.contains(c)).get
+    batch.withColumn(fpCol, TextAnalysis.fingerprint(col(textCol)))
+      .join(seen.select(TextAnalysis.fingerprint(col(textCol)).as(fpCol)).distinct(),
+        Seq(fpCol), "left_anti")
+      .drop(fpCol)
+  }
+
   /** Streaming exact dedup: first-seen row per normalized-text fingerprint
     * within the watermark horizon (`dropDuplicatesWithinWatermark` keeps
     * per-key state only until the watermark passes — bounded state, unlike a

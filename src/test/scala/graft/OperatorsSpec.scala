@@ -27,6 +27,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(survivors.count() == docs.count())
   }
 
+  test("incremental dedup keeps only fingerprints unseen in the accumulated corpus") {
+    val seen = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "  ALPHA   beta "), // normalizes to a seen fingerprint → dropped
+      (11L, "epsilon zeta"), // genuinely new → kept
+      (12L, null.asInstanceOf[String]) // NULL fingerprint matches nothing → kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNew(batch, seen)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(11L, 12L))
+  }
+
   test("whitespace-variant texts share a fingerprint") {
     val d = Seq((1L, "Hello  World"), (2L, "  hello world "), (3L, "other")).toDF("doc_id", "text")
     val fps = d.select(TextAnalysis.fingerprint($"text")).as[String].collect()
