@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{AggregationSpec, RollupSpec}
-import graft.operators.{Dedup, GapFill, HeavyHitters, Multimodal, Sampling, Sessions, Similarity, TextAnalysis}
+import graft.operators.{Anomaly, Dedup, GapFill, HeavyHitters, Multimodal, Sampling, Sessions, Similarity, TextAnalysis}
 import graft.plan.RuleCompiler
 import graft.sources.{EnvelopeJson, EventsAdapter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -304,6 +304,21 @@ object SparkEntry {
       "WHERE cosine >= 0.4"
   }
 
+  /** Random-projection mirror (k=8, dim=64, seed 42): the same seeded
+    * hyperplanes as the query side, embedded as round-trip double literals;
+    * list_inner_product folds left like graft's DotProduct so the projected
+    * doubles are bit-identical before the shared 4-decimal round. */
+  private val EmbProjectSql = {
+    def fmtPlane(p: Seq[Double]) =
+      "[" + p.map(java.lang.Double.toString).mkString(", ") + "]"
+    val planes = Similarity.hyperplanes(8, 64, 42L)
+    val rows = planes.zipWithIndex.map { case (p, i) =>
+      s"SELECT vec_id, $i AS pos, list_inner_product(dv, ${fmtPlane(p)}) AS proj FROM dvt"
+    }.mkString(" UNION ALL ")
+    "WITH dvt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings) " +
+      s"SELECT vec_id, CAST(pos AS BIGINT) AS pos, ROUND(proj, 4) AS proj FROM ($rows)"
+  }
+
   /** Shared CTE chain for the repetition-signals mirror: `d` (sentence
     * boundaries → line breaks, matching the query-side regexp_replace),
     * `la` (line multiset sums), `t2`/`t3` (top-gram coverage via the same
@@ -412,12 +427,15 @@ object SparkEntry {
       "(acc, x) -> (acc * 1000003 + x) % 18446744073709551616) " +
       s"for i in range(greatest(len(bytes) - $window, 0) + 1)] END AS hashes FROM b)"
 
-  /** Mirror of Sampling.hashRaw(id, 42); pmod spelled out since DuckDB's %
-    * keeps the dividend's sign. Seed 42 → both shifted residue offsets are 43.
-    * The id expression must already be BIGINT-typed (products reach ~2⁴⁵). */
+  /** Mirror of Sampling.hashRaw(id, seed); pmod spelled out since DuckDB's %
+    * keeps the dividend's sign. The residue offsets replay hashRaw's
+    * floorMod(seed, prime) + 1 (seed 42 → both offsets 43). The id
+    * expression must already be BIGINT-typed (products reach ~2⁴⁵). */
   private def pmSql(x: String, m: String) = s"((($x) % $m + $m) % $m)"
-  private def hashRawSql(id: String): String = {
-    val t = pmSql(s"(${pmSql(id, "1000003")} + 43) * (${pmSql(id, "999983")} + 43)",
+  private def hashRawSql(id: String, seed: Long = 42): String = {
+    val s1 = java.lang.Math.floorMod(seed, 1000003L) + 1
+    val s2 = java.lang.Math.floorMod(seed, 999983L) + 1
+    val t = pmSql(s"(${pmSql(id, "1000003")} + $s1) * (${pmSql(id, "999983")} + $s2)",
       "2147483647")
     pmSql(s"${pmSql(s"$t * 48271", "2147483647")} * 48271", "2147483647")
   }
@@ -822,6 +840,41 @@ object SparkEntry {
       Sampling.packSequences(docs(s, dir), "doc_id",
           TextAnalysis.tokenCount(col("text")), 512L, 8)
         .select("doc_id", "shard", "seq_id", "tok_offset")),
+    // deterministic training-export shuffle: 8 shards, hash-ordered
+    // positions — the reproducible global permutation without a global sort
+    "sample_shuffle" -> ((s, dir) =>
+      Sampling.shuffleOrder(docs(s, dir).select("doc_id"), "doc_id", 8)
+        .select("doc_id", "shard", "pos")),
+    // source-priority corpus-merge dedup: groups of 4 consecutive docs get
+    // the group base doc's text (synthesized duplicate groups — testdata
+    // texts are all distinct) with their own source labels; the curated-list
+    // copy must win over plain lowest-doc_id order
+    "dedup_priority" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.filter(col("doc_id") % 4 === 0)
+        .select(expr("doc_id div 4").as("g"), col("text").as("gtext"))
+      val fixture = d.withColumn("g", expr("doc_id div 4"))
+        .join(base, "g")
+        .select(col("doc_id"), col("gtext").as("text"), col("source"))
+      Dedup.prioritySurvivors(fixture, Seq("src7", "src2", "src13"))
+        .select("doc_id", "source")
+    }),
+    // JL random projection: 64 → 8 dims with the sign-LSH hyperplane
+    // generator, full precision (one exploded row per reduced dim)
+    "emb_project" -> ((s, dir) =>
+      Similarity.randomProjection(emb(s, dir), k = 8, dim = 64)
+        .select(col("vec_id"), col("pos"), round(col("proj"), 4).as("proj"))),
+    // z-score threshold alarms over the dense hourly signup series — the
+    // batch analog of the reference ecosystem's downstream alarm engine
+    "a12_anomaly" -> ((s, dir) => {
+      val series = GapFill.zeroFill(
+        RuleCompiler.compileGrouped(
+          spec("count", "signup", grouped = Seq.empty), HOUR)(envs(s, dir)),
+        HOUR, Seq("tenant_id"))
+      Anomaly.zscoreFlags(series, Seq("tenant_id"), "value", threshold = 2.0)
+        .select(col("window_start"), col("tenant_id"), col("value"),
+          safeRound2(col("zscore")).as("zscore"), col("is_anomaly"))
+    }),
     "mm_meta" -> ((s, dir) =>
       Multimodal.metadata(Multimodal.synthesizeFromDocs(docs(s, dir)))
         .select(col("doc_id"), col("mime"), col("width").cast("long").as("width"),
@@ -1260,6 +1313,40 @@ object SparkEntry {
         s"CAST((cum - n) % 512 AS BIGINT) AS tok_offset FROM (SELECT doc_id, $TokN AS n, " +
         s"sum($TokN) OVER (PARTITION BY ${pmSql(HashRaw, "8")} ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS cum FROM documents)"),
+    // export shuffle: shard = hash(id, seed 42) mod 8, pos = rank within the
+    // shard by the independent seed-43 hash (id tie-break), 0-based
+    "sample_shuffle" ->
+      ("SELECT doc_id, shard, CAST(row_number() OVER (" +
+        "PARTITION BY shard ORDER BY h2 ASC, doc_id ASC) - 1 AS BIGINT) AS pos " +
+        s"FROM (SELECT doc_id, ${pmSql(HashRaw, "8")} AS shard, " +
+        s"${hashRawSql("doc_id", 43)} AS h2 FROM documents)"),
+    // priority survivors: same synthesized duplicate groups as the query,
+    // winner = argmin (rank, doc_id) per text fingerprint
+    "dedup_priority" ->
+      ("WITH base AS (SELECT doc_id // 4 AS g, text AS gtext FROM documents " +
+        "WHERE doc_id % 4 = 0), " +
+        "fx AS (SELECT d.doc_id, b.gtext AS text, d.source FROM documents d " +
+        "JOIN base b ON d.doc_id // 4 = b.g), " +
+        "r AS (SELECT doc_id, source, " +
+        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f, " +
+        "CASE source WHEN 'src7' THEN 1 WHEN 'src2' THEN 2 WHEN 'src13' THEN 3 " +
+        "ELSE 4 END AS rank FROM fx) " +
+        "SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER (" +
+        "PARTITION BY f ORDER BY rank ASC, doc_id ASC) AS rn FROM r) WHERE rn = 1"),
+    "emb_project" -> EmbProjectSql,
+    // z-score alarms over the dense signup series: group stats via window
+    // aggregates on the same grid as the gap-fill oracle
+    "a12_anomaly" ->
+      (s"$DenseGridCtes, ser AS (SELECT g.window_start, g.tenant_id, " +
+        "COALESCE(a.v, 0.0) AS value FROM g LEFT JOIN a " +
+        "ON g.tenant_id = a.tenant_id AND g.window_start = a.window_start), " +
+        "z AS (SELECT window_start, tenant_id, value, " +
+        "avg(value) OVER (PARTITION BY tenant_id) AS m, " +
+        "stddev_samp(value) OVER (PARTITION BY tenant_id) AS sd FROM ser) " +
+        "SELECT window_start, tenant_id, value, " +
+        s"${sqlRound2("CASE WHEN sd > 0 THEN (value - m) / sd ELSE 0.0 END")} AS zscore, " +
+        "(CASE WHEN sd > 0 THEN abs((value - m) / sd) ELSE 0.0 END) > 2.0 AS is_anomaly " +
+        "FROM z"),
     // rolling fingerprints: window 32, maskBits 4 → keep hashes ≡ 0 mod 16
     "text_rollhash" ->
       (s"${rollingHashCte(32)} SELECT doc_id, " +

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Anomaly flagging over windowed-aggregate series — a graft extension on
+  * the metrics side, the batch analog of the reference ecosystem's
+  * threshold-alarm engine (the reference aggregator feeds exactly such an
+  * alarm evaluator downstream; see /root/reference/README.md:9-14 for the
+  * pipeline position). Each (group, window) value is scored against its own
+  * group's distribution over the whole series; rows whose |z-score| exceeds
+  * the threshold are flagged.
+  *
+  * Scale shape: this runs on the AGGREGATED series (one row per group ×
+  * window — already orders of magnitude smaller than the raw events), so the
+  * unbounded window aggregate is cheap: one exchange on the group key, then
+  * two streaming passes per partition (stats, then score). Never point this
+  * at raw events — aggregate first, flag second.
+  */
+object Anomaly {
+
+  /** Adds `zscore` (value's deviation from the group mean in sample standard
+    * deviations; 0.0 for constant or single-row groups, where the deviation
+    * is undefined) and `is_anomaly` (|zscore| > threshold) to each row of a
+    * grouped series. Group stats are computed over ALL of the group's rows —
+    * for a "recent history" baseline, filter the series to the reference
+    * period first and join the flags back. */
+  def zscoreFlags(series: DataFrame, groupCols: Seq[String], valueCol: String,
+      threshold: Double): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    val sd = stddev_samp(col(valueCol)).over(w)
+    val z = when(sd > 0, (col(valueCol) - avg(col(valueCol)).over(w)) / sd)
+      .otherwise(lit(0.0))
+    series.withColumn("zscore", z)
+      .withColumn("is_anomaly", abs(col("zscore")) > threshold)
+  }
+}

@@ -48,6 +48,39 @@ object Dedup {
   def exactSurvivors(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.join(exact(docs, idCol, textCol).select(col("keep_id").as(idCol)), idCol)
 
+  /** Source-priority exact dedup: among rows sharing a normalized-text
+    * fingerprint, keep the copy from the most-trusted source — `priority`
+    * lists sources best-first, unlisted sources rank after every listed one,
+    * and rank ties break to the lowest id. This is the corpus-merge
+    * operator: union N crawls and curated sets, keep the curated copy of
+    * every duplicated document (plain [[exactSurvivors]] would keep
+    * whichever copy happens to carry the lowest id).
+    *
+    * Same scale shape as [[exact]]: the winner rides a (rank, id) struct MIN
+    * — map-side combined, so the fingerprint-keyed exchange carries ~40
+    * bytes/row — and the survivors rejoin on the id equi-key. The priority
+    * list is config-sized and folds into the plan as a literal array lookup
+    * (no join against a rank table). */
+  def prioritySurvivors(docs: DataFrame, priority: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    require(priority.nonEmpty, "at least one priority source required")
+    require(priority.distinct.size == priority.size,
+      s"priority sources must be distinct, got $priority")
+    // array_position is 1-based and yields 0 for absent / null sources —
+    // both fall to the after-everything rank
+    val pos = array_position(
+      lit(priority.toArray), coalesce(col(sourceCol), lit("")))
+    val rank = when(pos > 0, pos).otherwise(lit(priority.size + 1L))
+    val keep = docs
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"),
+        struct(rank.as("rank"), col(idCol).cast("long").as("id")).as("cand"))
+      .groupBy("fingerprint")
+      .agg(min(col("cand")).as("best"))
+      .select(col("best.id").as(idCol))
+    docs.join(keep, Seq(idCol))
+  }
+
   /** Incremental ingestion dedup: the rows of `batch` (today's crawl) whose
     * normalized-text [[TextAnalysis.fingerprint]] does not occur in `seen`
     * (the accumulated corpus) — the new documents worth keeping. The join

@@ -129,6 +129,40 @@ object Sampling {
       .drop(nCol, prefixCol)
   }
 
+  /** Deterministic corpus shuffle for training export: every row gets a
+    * `shard` (portable id hash — even load by construction) and a dense
+    * 0-based `pos` within the shard, ordered by an INDEPENDENT second hash
+    * (id tie-break, so rows colliding on the order hash still get a total
+    * order). Reading shards in any order and each shard by `pos` replays
+    * one fixed pseudo-random permutation of the corpus — the reproducible
+    * "global shuffle" step before [[packSequences]] (which deliberately
+    * keeps id order; compose as shuffle → re-id by (shard, pos) → pack when
+    * a shuffled packing is wanted). Different seeds give independent
+    * permutations; the same seed gives the same permutation on every run
+    * and engine.
+    *
+    * Scale shape: NO global sort — one exchange on `shard` (pick numShards
+    * ≈ cluster cores so each shard's local sort fits an executor), then a
+    * per-shard sort + streaming row_number. The window never buffers the
+    * partition (running frame), so memory is the sort spill, not the data. */
+  def shuffleOrder(df: DataFrame, idCol: String, numShards: Int,
+      seed: Long = 42): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    Seq("shard", "pos").foreach { c =>
+      require(!df.columns.contains(c),
+        s"shuffleOrder adds a '$c' column but the input already has one")
+    }
+    import org.apache.spark.sql.expressions.Window
+    // full 31-bit hash for the shard (see packSequences: the 9973-bucket
+    // reduction would cap and skew shard counts); seed+1 keeps the order
+    // hash independent of the shard hash — with the SAME hash, each shard
+    // would read out in residue-class order, not a shuffle
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(hashRaw(col(idCol), seed + 1).asc, col(idCol).asc)
+    df.withColumn("shard", pmod(hashRaw(col(idCol), seed), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+  }
+
   /** Temperature-based source-mixing rates (the mT5/multilingual-LM recipe):
     * target sampling probability p_s ∝ n_s^alpha over the given per-source
     * sizes, realized as per-row Bernoulli rates r_s = targetTotal·p_s / n_s

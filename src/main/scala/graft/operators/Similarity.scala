@@ -140,6 +140,33 @@ object Similarity {
     quantized.select(col(idCol),
       transform(col("qvec"), q => q.cast("double") * col("scale")).as("embedding"))
 
+  /** Johnson–Lindenstrauss-style dimensionality reduction: project each
+    * embedding onto `k` seeded pseudo-random Gaussian directions (the same
+    * generator as [[lshBucketedPairs]]'s hyperplanes, kept full-precision
+    * instead of sign-collapsed). A pure narrow map — no shuffle, no fitted
+    * model to ship — that shrinks the vector payload (e.g. 64 → 8 dims)
+    * before clustering or ANN over 100 TB of embeddings; inner products are
+    * preserved in expectation (scale by 1/k for an unbiased estimate), and
+    * the projection is reproducible on every engine (seeded generator +
+    * left-fold dot product). `dim` ≤ 0 derives the input dimensionality with
+    * a one-row action (pass it explicitly for streaming inputs).
+    * Output: (idCol, pos, proj) — one exploded row per reduced dimension,
+    * `pos` 0-based. */
+  def randomProjection(emb: DataFrame, k: Int, dim: Int = 0, seed: Long = 42,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val resolvedDim =
+      if (dim > 0) dim
+      else emb.select(size(toDoubleVec(col(vecCol))).as("d")).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(0)
+    val planes = hyperplanes(k, resolvedDim, seed)
+    val dv = toDoubleVec(col(vecCol))
+    val projected = array(planes.map(p => dot(dv, typedLit(p))): _*)
+    emb.select(col(idCol), posexplode(projected))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("col").as("proj"))
+  }
+
   /** Deterministic pseudo-random unit hyperplanes (seeded), built at
     * plan-construction time and shipped as a literal — reproducible across
     * runs and executors (and embeddable verbatim in the DuckDB oracle SQL,

@@ -590,6 +590,104 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffle order: dense per-shard positions, one fixed permutation per seed") {
+    import graft.operators.Sampling
+    val out = Sampling.shuffleOrder(docs.select($"doc_id"), "doc_id", numShards = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == docs.count())
+    assert(out.forall { case (_, s, _) => s >= 0 && s < 4 })
+    // positions are dense 0..n-1 within each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // deterministic under a different input partitioning
+    val again = Sampling
+      .shuffleOrder(docs.select($"doc_id").repartition(13), "doc_id", 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == out.toSet)
+    // a different seed produces a genuinely different permutation
+    val other = Sampling.shuffleOrder(docs.select($"doc_id"), "doc_id", 4, seed = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(other != out.toSet)
+    // the order hash must be independent of the shard hash: with the SAME
+    // hash each shard would read out in residue-class (≈ id) order
+    val inIdOrder = out.groupBy(_._2).forall { case (_, rows) =>
+      rows.sortBy(_._3).map(_._1).toSeq == rows.map(_._1).sorted.toSeq
+    }
+    assert(!inIdOrder)
+    // refuses to clobber an existing output-named column
+    intercept[IllegalArgumentException] {
+      Sampling.shuffleOrder(
+        docs.select($"doc_id").withColumn("pos", lit(1)), "doc_id", 4)
+    }
+  }
+
+  test("priority survivors keep the most-trusted copy per duplicate group") {
+    val d = Seq(
+      (1L, "alpha beta", "crawl"),
+      (2L, "  Alpha   BETA ", "wiki"), // same fingerprint, curated → wins
+      (3L, "alpha beta", "books"),
+      (10L, "gamma", "crawl"), // no listed source in the group → lowest id
+      (11L, "gamma", "crawl2"),
+      (20L, "unique", "crawl")).toDF("doc_id", "text", "source")
+    val got = Dedup.prioritySurvivors(d, Seq("wiki", "books"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(2L, 10L, 20L))
+    // listed beats unlisted regardless of id; unlisted ties break to min id
+    val got2 = Dedup.prioritySurvivors(d, Seq("books"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got2 == Set(3L, 10L, 20L))
+    intercept[IllegalArgumentException] {
+      Dedup.prioritySurvivors(d, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.prioritySurvivors(d, Seq("wiki", "wiki"))
+    }
+  }
+
+  test("random projection: k dims per vector, exact dots vs driver-side planes") {
+    val out = Similarity.randomProjection(emb, k = 4, dim = 64)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == emb.count() * 4)
+    // replay one vector's projections on the driver: same planes, same
+    // left-to-right multiply-add order → identical doubles
+    val v = emb.filter($"vec_id" === 0).select($"embedding")
+      .as[Seq[Float]].head()
+    val planes = Similarity.hyperplanes(4, 64, 42L)
+    val expected = planes.map(_.zip(v).map { case (a, b) => a * b.toDouble }
+      .foldLeft(0.0)(_ + _))
+    val got0 = out.filter(_._1 == 0L).sortBy(_._2).map(_._3).toSeq
+    expected.zip(got0).foreach { case (e, g) =>
+      assert(math.abs(e - g) < 1e-12, s"expected $e got $g")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.randomProjection(emb, k = 0)
+    }
+  }
+
+  test("z-score flags: hand-computed scores; constant and singleton groups score 0") {
+    import graft.operators.Anomaly
+    val series = Seq(
+      ("t0", 0L, 1.0), ("t0", 1L, 2.0), ("t0", 2L, 3.0), ("t0", 3L, 10.0),
+      ("t1", 0L, 5.0), ("t1", 1L, 5.0), // constant → sd = 0 → z = 0
+      ("t2", 0L, 7.0) // singleton → sd undefined → z = 0
+    ).toDF("tenant_id", "window_start", "value")
+    val got = Anomaly.zscoreFlags(series, Seq("tenant_id"), "value", threshold = 1.4)
+      .select($"tenant_id", $"window_start", $"zscore", $"is_anomaly")
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // t0: mean 4, sample sd = sqrt((9+4+1+36)/3); z(10) ≈ 1.47 > 1.4
+    val sd = math.sqrt(50.0 / 3)
+    assert(math.abs(got(("t0", 3L))._1 - 6.0 / sd) < 1e-12)
+    assert(got(("t0", 3L))._2)
+    assert(!got(("t0", 2L))._2) // |z| ≈ 0.24
+    assert(got(("t1", 0L)) == ((0.0, false)))
+    assert(got(("t2", 0L)) == ((0.0, false)))
+    intercept[IllegalArgumentException] {
+      Anomaly.zscoreFlags(series, Seq.empty, "value", 2.0)
+    }
+  }
+
   test("connected components match a driver-side union-find; survivors keep cluster minima") {
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
     val edgeList = pairs.select($"id_a", $"id_b").as[(Long, Long)].collect()

@@ -253,6 +253,19 @@ class PlanSpec extends AnyFunSuite {
       s"packing must never collapse to a single partition:\n$plan")
   }
 
+  test("shuffle order shuffles once (on the shard) — never a global sort") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = executedPlan(graft.operators.Sampling.shuffleOrder(
+      docs.select($"doc_id"), "doc_id", 8))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one shuffle (on shard):\n$plan")
+    // the per-shard sort must stay inside the shard partition — a
+    // rangepartitioning exchange would mean Catalyst planned a global sort
+    assert(!plan.contains("Exchange rangepartitioning") &&
+      !plan.contains("Exchange SinglePartition"),
+      s"shuffle order must never sort or collapse globally:\n$plan")
+  }
+
   test("topNgrams pushes a partial top-k below the single-partition rank exchange") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = executedPlan(graft.operators.TextAnalysis.topNgrams(docs, 2, 20))
