@@ -304,6 +304,44 @@ object SparkEntry {
       "WHERE cosine >= 0.4"
   }
 
+  /** Deterministic-k-means mirror (nLists=8, rounds=2, seed 42): centroid
+    * sampling and argmax assignment reuse the IVF idioms; each Lloyd round's
+    * component mean is the HUGEINT replay of kmeansCentroids' fixed-point
+    * sum — floor(x·2⁴⁰ + 0.5) integers summed exactly, converted to DOUBLE
+    * once per (cell, pos), then the same left-fold normalization — so every
+    * refined centroid double is bit-identical to the Spark side. Labels
+    * compact order-preservingly on the Spark side each round; the mirror
+    * keeps original labels (argmax ties agree — compaction preserves order)
+    * and maps to dense ranks of the FINAL centroid list at the end. */
+  private val KmeansAssignSql = {
+    val S = Similarity.FixedPointScale
+    val h = hashRawSql("vec_id")
+    def lloydRound(i: Int, prev: String): String =
+      s"asg$i AS (SELECT u.vec_id, any_value(u.v) AS v, " +
+        "(max({'s': list_inner_product(c.v, u.v), 'c': c.cell})).c AS cell " +
+        s"FROM u, $prev c GROUP BY u.vec_id), " +
+        s"fx$i AS (SELECT cell, i - 1 AS pos, " +
+        s"sum(CAST(floor(v[i] * $S + 0.5) AS HUGEINT)) AS s, count(*) AS n " +
+        s"FROM asg$i, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) " +
+        "GROUP BY cell, pos), " +
+        s"cm$i AS (SELECT cell, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / $S " +
+        s"ORDER BY pos) AS v FROM fx$i GROUP BY cell), " +
+        s"cent$i AS (SELECT cell, list_transform(v, x -> x / nrm) AS v FROM (" +
+        s"SELECT cell, v, sqrt(list_inner_product(v, v)) AS nrm FROM cm$i) " +
+        "WHERE nrm > 0)"
+    s"WITH $UnitVecCte, " +
+      s"cent0 AS (SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell, v " +
+      s"FROM u QUALIFY row_number() OVER (ORDER BY $h, vec_id) <= 8), " +
+      lloydRound(1, "cent0") + ", " + lloydRound(2, "cent1") + ", " +
+      "fin AS (SELECT u.vec_id, " +
+      "max({'s': list_inner_product(c.v, u.v), 'c': c.cell}) AS m " +
+      "FROM u, cent2 c GROUP BY u.vec_id), " +
+      "lbl AS (SELECT cell, row_number() OVER (ORDER BY cell) - 1 AS dense " +
+      "FROM cent2) " +
+      "SELECT f.vec_id, CAST(l.dense AS BIGINT) AS cell, " +
+      "ROUND((f.m).s, 4) AS score FROM fin f JOIN lbl l ON (f.m).c = l.cell"
+  }
+
   /** Random-projection mirror (k=8, dim=64, seed 42): the same seeded
     * hyperplanes as the query side, embedded as round-trip double literals;
     * list_inner_product folds left like graft's DotProduct so the projected
@@ -864,6 +902,14 @@ object SparkEntry {
     "emb_project" -> ((s, dir) =>
       Similarity.randomProjection(emb(s, dir), k = 8, dim = 64)
         .select(col("vec_id"), col("pos"), round(col("proj"), 4).as("proj"))),
+    // deterministic spherical k-means (8 cells, 2 Lloyd rounds of exact
+    // fixed-point component means) + final assignment — bit-reproducible
+    // refined centroids, replayed round-for-round by the HUGEINT oracle
+    "sim_kmeans" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.kmeansAssign(e, Similarity.kmeansCentroids(e, 8, rounds = 2))
+        .select(col("vec_id"), col("cell"), round(col("score"), 4).as("score"))
+    }),
     // z-score threshold alarms over the dense hourly signup series — the
     // batch analog of the reference ecosystem's downstream alarm engine
     "a12_anomaly" -> ((s, dir) => {
@@ -1334,6 +1380,7 @@ object SparkEntry {
         "SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER (" +
         "PARTITION BY f ORDER BY rank ASC, doc_id ASC) AS rn FROM r) WHERE rn = 1"),
     "emb_project" -> EmbProjectSql,
+    "sim_kmeans" -> KmeansAssignSql,
     // z-score alarms over the dense signup series: group stats via window
     // aggregates on the same grid as the gap-fill oracle
     "a12_anomaly" ->

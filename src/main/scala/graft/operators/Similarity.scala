@@ -114,6 +114,85 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Fixed-point scale (2⁴⁰) for [[kmeansCentroids]]' exact component sums:
+    * unit-vector components land in [−1, 1], so the scaled integers stay
+    * ≤ 2⁴⁰ and a decimal(38) sum is overflow-safe past 10²⁷ rows per cell. */
+  private[graft] val FixedPointScale = 1099511627776L
+
+  /** Deterministic spherical k-means refinement (Lloyd rounds): start from
+    * the [[sampleCentroids]] hash-sample, then `rounds` times (1) assign
+    * every unit vector to its argmax-inner-product centroid and (2) recompute
+    * each cell's centroid as the NORMALIZED component mean. Upgrades the
+    * IVF/SemDeDup cell structure from "sampled rows" to fitted centroids —
+    * feed the result anywhere a centroid list is consumed.
+    *
+    * The recompute is EXACT fixed-point arithmetic: components are scaled by
+    * [[FixedPointScale]] and floor(x·S + 0.5)-rounded to integers, summed as
+    * decimals (exact, order-independent, overflow-safe), and converted back
+    * to doubles once per (cell, pos). A double-sum mean would depend on
+    * shuffle arrival order; the fixed-point sum makes the refined centroids
+    * a pure function of (data, seed, rounds) — identical on every run,
+    * partitioning, cluster size, and engine (the DuckDB oracle replays the
+    * rounds in HUGEINT SQL, bit-for-bit).
+    *
+    * Scale shape per round: one narrow argmax assignment pass, one
+    * (cell, pos)-keyed exchange that partial-aggregates down to
+    * nLists × dim rows, and a KB-sized collect back to plan literals — the
+    * same driver-side footprint as [[sampleCentroids]]. Cells that lose all
+    * members (or whose mean cancels to the zero vector) drop out and the
+    * labels compact order-preservingly — standard k-means degeneracy, the
+    * list can only shrink. */
+  def kmeansCentroids(emb: DataFrame, nLists: Int, rounds: Int,
+      seed: Long = 42, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    require(nLists >= 1, s"nLists must be >= 1, got $nLists")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val unit = unitVectors(emb, idCol, vecCol, "id", "v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents = sampleCentroids(unit, "id", "v", nLists, seed)
+      for (_ <- 0 until rounds if cents.nonEmpty) {
+        val sums = unit
+          .withColumn("cell", array_max(cellScores(col("v"), cents)).getField("c"))
+          .select(col("cell"), posexplode(col("v")))
+          .select(col("cell"), col("pos"),
+            floor(col("col") * lit(FixedPointScale) + lit(0.5))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("fx"))
+          .groupBy("cell", "pos")
+          .agg(sum(col("fx")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        cents = sums.groupBy(_.getInt(0)).toSeq.sortBy(_._1).flatMap {
+          case (_, rows) =>
+            val arr = new Array[Double](rows.length)
+            rows.foreach { r =>
+              // exact integer → nearest double, then the same double ops as
+              // the SQL mirror: (s / n) / S
+              arr(r.getInt(1)) =
+                r.getDecimal(2).doubleValue() / r.getLong(3).toDouble /
+                  FixedPointScale.toDouble
+            }
+            // left-fold norm — the same op order as DotProduct /
+            // list_inner_product, so normalization matches bit-for-bit
+            val nrm = math.sqrt(arr.foldLeft(0.0)((acc, x) => acc + x * x))
+            if (nrm > 0) Some(arr.map(_ / nrm).toSeq) else None
+        }
+      }
+      cents
+    } finally { unit.unpersist(); () }
+  }
+
+  /** Cell assignment of every vector against a centroid list (e.g.
+    * [[kmeansCentroids]]' output): (idCol, cell, score) — the same narrow
+    * argmax fold as [[ivfTopK]]'s corpus side. */
+  def kmeansAssign(emb: DataFrame, centroids: Seq[Seq[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "at least one centroid required")
+    val unit = unitVectors(emb, idCol, vecCol, idCol, "v")
+    val best = array_max(cellScores(col("v"), centroids))
+    unit.select(col(idCol), best.getField("c").cast("long").as("cell"),
+      best.getField("s").as("score"))
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|x| / 127, slot
     * q_i = floor(x_i/scale + 0.5) ∈ [−127, 127] (round-half-up spelled as
     * floor so every engine computes the identical integer — no banker's-

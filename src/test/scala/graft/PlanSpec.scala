@@ -266,6 +266,14 @@ class PlanSpec extends AnyFunSuite {
       s"shuffle order must never sort or collapse globally:\n$plan")
   }
 
+  test("k-means assignment is a narrow map — centroid literals, no exchange") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.operators.Similarity.kmeansCentroids(emb, 4, rounds = 0)
+    val plan = executedPlan(graft.operators.Similarity.kmeansAssign(emb, cents))
+    assert(!plan.contains("Exchange"),
+      s"assignment must stay scan-local (argmax over plan literals):\n$plan")
+  }
+
   test("topNgrams pushes a partial top-k below the single-partition rank exchange") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = executedPlan(graft.operators.TextAnalysis.topNgrams(docs, 2, 20))
