@@ -67,6 +67,9 @@ object Dedup {
     require(priority.nonEmpty, "at least one priority source required")
     require(priority.distinct.size == priority.size,
       s"priority sources must be distinct, got $priority")
+    // NULL sources coalesce to "" below (ranking after every listed source,
+    // like SQL CASE semantics); a literal "" entry would capture them
+    require(priority.forall(_.nonEmpty), "priority sources must be non-empty strings")
     // array_position is 1-based and yields 0 for absent / null sources —
     // both fall to the after-everything rank
     val pos = array_position(

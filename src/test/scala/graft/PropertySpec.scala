@@ -268,6 +268,39 @@ object PropertySpec extends Properties("graft") {
       sem.subsetOf(brute) && (nLists != 1 || sem == brute)
     }
 
+  property("export shuffle is a bijection onto dense per-shard positions ∀ ids/shards/seed") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-1000000L, 1000000L)).map(_.distinct),
+        Gen.choose(1, 7), Gen.choose(0L, 1000L)) { (ids, shards, seed) =>
+      val out = Sampling.shuffleOrder(ids.toDF("doc_id"), "doc_id", shards, seed)
+        .as[(Long, Long, Long)].collect()
+      out.length == ids.size && out.map(_._1).toSet == ids.toSet &&
+        out.groupBy(_._2).forall { case (s, rows) =>
+          s >= 0 && s < shards &&
+            rows.map(_._3).sorted.toSeq == (0L until rows.length)
+        }
+    }
+
+  property("priority survivors equal the naive argmin-(rank, id) model ∀ corpus/priority") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(0L, 60L),
+        Gen.oneOf("a b", "a  B ", "c", "d e f", " C ", "b"),
+        Gen.oneOf("s1", "s2", "s3", "s4"))).map(_.distinctBy(_._1)),
+      Gen.oneOf(Seq("s2"), Seq("s3", "s1"), Seq("s4", "s2", "s1"),
+        Seq("s1", "s2", "s3", "s4"))) { (rows, prio) =>
+      def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+      def rank(src: String) = prio.indexOf(src) match {
+        case -1 => prio.size + 1
+        case i  => i + 1
+      }
+      val expected = rows.groupBy(r => norm(r._2)).values
+        .map(g => g.minBy(r => (rank(r._3), r._1))._1).toSet
+      val got = graft.operators.Dedup
+        .prioritySurvivors(rows.toDF("doc_id", "text", "source"), prio)
+        .select("doc_id").as[Long].collect().toSet
+      got == expected
+    }
+
   property("PolyHash64 equals the BigInt mod-2^64 reference ∀ unicode string") =
     forAll(Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumStr,
       Gen.listOf(Gen.choose(Char.MinValue, '퟿')).map(_.mkString)))) { ss =>
