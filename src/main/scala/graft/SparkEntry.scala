@@ -917,9 +917,14 @@ object SparkEntry {
         RuleCompiler.compileGrouped(
           spec("count", "signup", grouped = Seq.empty), HOUR)(envs(s, dir)),
         HOUR, Seq("tenant_id"))
+      // the FLAG is re-derived from the rounding-stabilized zscore (not the
+      // operator's raw-double flag): a |z| landing within cross-engine float
+      // noise of the threshold would otherwise flip between Spark and DuckDB
+      // — the exact boundary class safeRound2 exists to kill
       Anomaly.zscoreFlags(series, Seq("tenant_id"), "value", threshold = 2.0)
         .select(col("window_start"), col("tenant_id"), col("value"),
-          safeRound2(col("zscore")).as("zscore"), col("is_anomaly"))
+          safeRound2(col("zscore")).as("zscore"),
+          (abs(safeRound2(col("zscore"))) > 2.0).as("is_anomaly"))
     }),
     "mm_meta" -> ((s, dir) =>
       Multimodal.metadata(Multimodal.synthesizeFromDocs(docs(s, dir)))
@@ -1392,8 +1397,9 @@ object SparkEntry {
         "stddev_samp(value) OVER (PARTITION BY tenant_id) AS sd FROM ser) " +
         "SELECT window_start, tenant_id, value, " +
         s"${sqlRound2("CASE WHEN sd > 0 THEN (value - m) / sd ELSE 0.0 END")} AS zscore, " +
-        "(CASE WHEN sd > 0 THEN abs((value - m) / sd) ELSE 0.0 END) > 2.0 AS is_anomaly " +
-        "FROM z"),
+        // flag from the SAME rounded zscore as the Spark side (boundary-stable)
+        s"(abs(${sqlRound2("CASE WHEN sd > 0 THEN (value - m) / sd ELSE 0.0 END")}) > 2.0) " +
+        "AS is_anomaly FROM z"),
     // rolling fingerprints: window 32, maskBits 4 → keep hashes ≡ 0 mod 16
     "text_rollhash" ->
       (s"${rollingHashCte(32)} SELECT doc_id, " +

@@ -29,6 +29,12 @@ object Anomaly {
       threshold: Double): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column required")
     require(threshold > 0, s"threshold must be > 0, got $threshold")
+    // the two output columns are API; refuse to silently clobber a caller's
+    // same-named column (same rule as packSequences/shuffleOrder)
+    Seq("zscore", "is_anomaly").foreach { c =>
+      require(!series.columns.contains(c),
+        s"zscoreFlags adds a '$c' column but the input already has one")
+    }
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCols.map(col): _*)
     val sd = stddev_samp(col(valueCol)).over(w)

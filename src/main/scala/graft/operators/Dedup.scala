@@ -75,9 +75,11 @@ object Dedup {
     val pos = array_position(
       lit(priority.toArray), coalesce(col(sourceCol), lit("")))
     val rank = when(pos > 0, pos).otherwise(lit(priority.size + 1L))
+    // no cast on the id: struct MIN orders any orderable id type, and a
+    // cast would null out string/UUID ids (empty result, no error)
     val keep = docs
       .select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"),
-        struct(rank.as("rank"), col(idCol).cast("long").as("id")).as("cand"))
+        struct(rank.as("rank"), col(idCol).as("id")).as("cand"))
       .groupBy("fingerprint")
       .agg(min(col("cand")).as("best"))
       .select(col("best.id").as(idCol))

@@ -234,9 +234,12 @@ object Similarity {
   def randomProjection(emb: DataFrame, k: Int, dim: Int = 0, seed: Long = 42,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // derive dim from the first NON-NULL vector (a leading null row would
+    // otherwise NPE here — same rule as lshBucketedPairs' derivation)
     val resolvedDim =
       if (dim > 0) dim
-      else emb.select(size(toDoubleVec(col(vecCol))).as("d")).head(1)
+      else emb.filter(col(vecCol).isNotNull)
+        .select(size(toDoubleVec(col(vecCol))).as("d")).head(1)
         .headOption.map(_.getInt(0)).getOrElse(0)
     val planes = hyperplanes(k, resolvedDim, seed)
     val dv = toDoubleVec(col(vecCol))

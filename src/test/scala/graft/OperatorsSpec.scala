@@ -671,10 +671,12 @@ class OperatorsSpec extends AnyFunSuite {
     // driver replay with the SAME op order everywhere: left-fold dots,
     // floor(x·S + 0.5) fixed-point sums, (s/n)/S, left-fold normalization
     val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
-      .collect().sortBy(_._1).map { case (id, v) =>
+      .collect().sortBy(_._1).flatMap { case (id, v) =>
         val dv = v.map(_.toDouble)
         val n = math.sqrt(dv.foldLeft(0.0)((a, x) => a + x * x))
-        (id, dv.map(_ / n).toSeq)
+        // mirror unitVectors' nrm > 0 filter — a zero vector must vanish
+        // from the replay exactly as it does from the operator
+        if (n > 0) Some((id, dv.map(_ / n).toSeq)) else None
       }.toSeq
     def hr(id: Long, seed: Long): Long = { // Sampling.hashRaw replay
       val (s1, s2) = (seed % 1000003 + 1, seed % 999983 + 1)
