@@ -80,8 +80,54 @@ case class WordNGrams(child: Expression, n: Int, distinct: Boolean = true)
 }
 
 object WordNGrams {
-  private val Ws =
+  private[functions] val Ws =
     java.util.regex.Pattern.compile(graft.operators.TextAnalysis.WsClass + "+")
+}
+
+/** ALL bigram occurrences ("w1 w2", in order, WITH multiplicity) of the
+  * LM tokenization: lower-case, trim the full [[graft.operators.TextAnalysis
+  * .WsClass]] character SET from both ends, split on the class — exactly
+  * `TextAnalysis.lmToks`' Column semantics (lower via UTF8String.toLowerCase,
+  * the same primitive Spark's `lower` uses). Texts with fewer than 2 tokens
+  * (including NULL/empty/whitespace-only) yield an empty array.
+  *
+  * Exists for the same reason as [[WordNGrams]]: the Column formulation
+  * (`transform(slice(toks, ...), (t, i) => concat(t, " ", element_at(...)))`)
+  * interprets its lambda per bigram — O(tokens) closure calls and boxed
+  * array indexing per document, in the hottest path of the CCNet LM scorer
+  * (three corpus-wide explodes). One eval per row, one tight loop. */
+case class LmBigrams(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"LmBigrams requires a string argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val str = input.asInstanceOf[UTF8String].toLowerCase.toString
+    def isWs(c: Char) =
+      c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == ' '
+    var s = 0
+    var e = str.length
+    while (s < e && isWs(str.charAt(s))) s += 1
+    while (e > s && isWs(str.charAt(e - 1))) e -= 1
+    val toks = WordNGrams.Ws.split(str.substring(s, e), -1)
+    if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - 1)
+    var i = 0
+    while (i < toks.length - 1) {
+      out(i) = UTF8String.fromString(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LmBigrams =
+    copy(child = newChild)
 }
 
 object TextExpressions {
@@ -92,4 +138,8 @@ object TextExpressions {
   /** Every positional word n-gram occurrence (multiset, in order). */
   def wordNGramsAll(text: Column, n: Int): Column =
     GraftBridge.column(WordNGrams(GraftBridge.expression(text), n, distinct = false))
+
+  /** Every LM-tokenized bigram occurrence (multiset, in order). */
+  def lmBigrams(text: Column): Column =
+    GraftBridge.column(LmBigrams(GraftBridge.expression(text)))
 }

@@ -383,13 +383,13 @@ object TextAnalysis {
   private def lmToks(text: Column): Column =
     split(trim(lower(text), WsCharsRaw), s"$WsClass+")
 
-  def allBigrams(text: Column): Column = {
-    val toks = lmToks(text)
-    when(size(toks) >= 2,
-      transform(slice(toks, lit(1), size(toks) - 1),
-        (t, i) => concat(t, lit(" "), element_at(toks, i + lit(2)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Native one-pass expression ([[graft.functions.LmBigrams]]): the
+    * Column formulation (transform + element_at over lmToks) interpreted
+    * its lambda per bigram — three corpus explodes deep in the LM scorer's
+    * hot path made that the dominant cost (11.8 s → measured via
+    * QueryTimeBench before the swap). */
+  def allBigrams(text: Column): Column =
+    graft.functions.TextExpressions.lmBigrams(text)
 
   /** CCNet-style n-gram LM quality scoring: fit a bigram language model on
     * `reference` (all unigram/bigram counts with count >= minCount survive;
