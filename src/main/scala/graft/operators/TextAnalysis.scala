@@ -368,26 +368,23 @@ object TextAnalysis {
 
   // ------------------------------------------------- n-gram LM scoring
 
-  /** ALL bigram occurrences of the lower-cased whitespace tokens, in order
-    * WITH multiplicity (unlike [[graft.operators.Dedup.wordShingles]], which
-    * is distinct — an LM needs counts). The text is trimmed with the full
-    * whitespace CLASS first (plain `trim` strips spaces only, so a trailing
-    * newline — near-universal in web text — would otherwise mint a phantom
-    * "" token and a spurious final bigram; the native SET-trim does it
-    * without the whole-string regex rescan an anchored pattern costs).
-    * Texts with fewer than 2 tokens (including NULL/empty) yield an empty
-    * array. */
-  /** LM tokenization: set-trim then the engine-wide [[WsClass]]+ split —
-    * same token boundaries as [[tokens]], minus tokens()' interior
-    * space-trim pass, which the set-trim already covers. */
+  /** LM tokenization: lower-case, set-trim, then the engine-wide
+    * [[WsClass]]+ split — same token boundaries as [[tokens]], minus
+    * tokens()' interior space-trim pass, which the set-trim already covers.
+    * (The full whitespace-CLASS trim matters: plain `trim` strips spaces
+    * only, so a trailing newline — near-universal in web text — would mint
+    * a phantom "" token and a spurious final bigram.) */
   private def lmToks(text: Column): Column =
     split(trim(lower(text), WsCharsRaw), s"$WsClass+")
 
-  /** Native one-pass expression ([[graft.functions.LmBigrams]]): the
-    * Column formulation (transform + element_at over lmToks) interpreted
-    * its lambda per bigram — three corpus explodes deep in the LM scorer's
-    * hot path made that the dominant cost (11.8 s → measured via
-    * QueryTimeBench before the swap). */
+  /** ALL bigram occurrences of the [[lmToks]] tokens, in order WITH
+    * multiplicity (unlike [[graft.operators.Dedup.wordShingles]], which is
+    * distinct — an LM needs counts); fewer than 2 tokens (incl. NULL/empty)
+    * yield an empty array. Native one-pass expression
+    * ([[graft.functions.LmBigrams]]): the Column formulation (transform +
+    * element_at over lmToks) interpreted its lambda per bigram — three
+    * corpus explodes deep in the LM scorer's hot path made that the
+    * dominant cost (11.8 s → 2.9 s at sf0.1, QueryTimeBench). */
   def allBigrams(text: Column): Column =
     graft.functions.TextExpressions.lmBigrams(text)
 
