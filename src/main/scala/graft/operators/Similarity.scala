@@ -244,7 +244,10 @@ object Similarity {
     val planes = hyperplanes(k, resolvedDim, seed)
     val dv = toDoubleVec(col(vecCol))
     val projected = array(planes.map(p => dot(dv, typedLit(p))): _*)
-    emb.select(col(idCol), posexplode(projected))
+    // null vectors contribute no rows (not k null projections) — the same
+    // skip rule as unitVectors
+    emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol), posexplode(projected))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         col("col").as("proj"))
   }

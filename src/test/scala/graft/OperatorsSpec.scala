@@ -719,6 +719,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("priority survivors work with string ids; projection derives dim past null rows") {
+    // string/UUID ids must survive the (rank, id) struct MIN — a numeric
+    // cast would null them out and silently return an empty result
+    val d = Seq(
+      ("u-b", "alpha beta", "wiki"),
+      ("u-a", "alpha beta", "crawl"),
+      ("u-c", "other", "crawl")).toDF("doc_id", "text", "source")
+    val got = Dedup.prioritySurvivors(d, Seq("wiki"))
+      .select($"doc_id").as[String].collect().toSet
+    assert(got == Set("u-b", "u-c"))
+    // dim derivation must skip a leading null embedding instead of NPE-ing
+    val withNull = Seq(
+      (0L, null.asInstanceOf[Seq[Float]]),
+      (1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val proj = Similarity.randomProjection(withNull, k = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(proj.map(_._1).toSet == Set(1L)) // null vector contributes no rows
+    assert(proj.length == 2)
+    // z-score flag columns refuse to clobber an existing column
+    intercept[IllegalArgumentException] {
+      graft.operators.Anomaly.zscoreFlags(
+        Seq(("t0", 1.0)).toDF("tenant_id", "zscore"), Seq("tenant_id"),
+        "zscore", 2.0)
+    }
+  }
+
   test("z-score flags: hand-computed scores; constant and singleton groups score 0") {
     import graft.operators.Anomaly
     val series = Seq(
