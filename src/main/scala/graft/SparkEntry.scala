@@ -313,7 +313,7 @@ object SparkEntry {
     * compact order-preservingly on the Spark side each round; the mirror
     * keeps original labels (argmax ties agree — compaction preserves order)
     * and maps to dense ranks of the FINAL centroid list at the end. */
-  private val KmeansAssignSql = {
+  private val KmeansCentCtes = {
     val S = Similarity.FixedPointScale
     val h = hashRawSql("vec_id")
     def lloydRound(i: Int, prev: String): String =
@@ -329,10 +329,14 @@ object SparkEntry {
         s"cent$i AS (SELECT cell, list_transform(v, x -> x / nrm) AS v FROM (" +
         s"SELECT cell, v, sqrt(list_inner_product(v, v)) AS nrm FROM cm$i) " +
         "WHERE nrm > 0)"
-    s"WITH $UnitVecCte, " +
+    s"$UnitVecCte, " +
       s"cent0 AS (SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell, v " +
       s"FROM u QUALIFY row_number() OVER (ORDER BY $h, vec_id) <= 8), " +
-      lloydRound(1, "cent0") + ", " + lloydRound(2, "cent1") + ", " +
+      lloydRound(1, "cent0") + ", " + lloydRound(2, "cent1")
+  }
+
+  private val KmeansAssignSql =
+    s"WITH $KmeansCentCtes, " +
       "fin AS (SELECT u.vec_id, " +
       "max({'s': list_inner_product(c.v, u.v), 'c': c.cell}) AS m " +
       "FROM u, cent2 c GROUP BY u.vec_id), " +
@@ -340,7 +344,27 @@ object SparkEntry {
       "FROM cent2) " +
       "SELECT f.vec_id, CAST(l.dense AS BIGINT) AS cell, " +
       "ROUND((f.m).s, 4) AS score FROM fin f JOIN lbl l ON (f.m).c = l.cell"
-  }
+
+  /** IVF probe against the Lloyd-refined cent2 cells (k=5, nProbe=3,
+    * queries = vec_id < 10) — the IvfTopkSql probe verbatim with fitted
+    * centroids; the output carries no cell label, so the mirror's original
+    * labels and Spark's order-preservingly compacted ones join identically. */
+  private val IvfKmeansSql =
+    s"WITH $KmeansCentCtes, " +
+      "asgf AS (SELECT u.vec_id AS neighbor_id, any_value(u.v) AS cu, " +
+      "(max({'s': list_inner_product(c.v, u.v), 'c': c.cell})).c AS cell " +
+      "FROM u, cent2 c GROUP BY u.vec_id), " +
+      "prb AS (SELECT query_id, qu, cell FROM (" +
+      "SELECT q.vec_id AS query_id, q.v AS qu, c.cell, " +
+      "row_number() OVER (PARTITION BY q.vec_id " +
+      "ORDER BY list_inner_product(c.v, q.v) DESC, c.cell DESC) AS pr " +
+      "FROM u q, cent2 c WHERE q.vec_id < 10) WHERE pr <= 3) " +
+      "SELECT query_id, neighbor_id, rank, ROUND(cosine, 4) AS cosine FROM (" +
+      "SELECT p.query_id, a.neighbor_id, list_inner_product(p.qu, a.cu) AS cosine, " +
+      "CAST(row_number() OVER (PARTITION BY p.query_id " +
+      "ORDER BY list_inner_product(p.qu, a.cu) DESC, a.neighbor_id ASC) AS BIGINT) AS rank " +
+      "FROM prb p JOIN asgf a ON p.cell = a.cell AND p.query_id <> a.neighbor_id) " +
+      "WHERE rank <= 5"
 
   /** Random-projection mirror (k=8, dim=64, seed 42): the same seeded
     * hyperplanes as the query side, embedded as round-trip double literals;
@@ -910,6 +934,15 @@ object SparkEntry {
       Similarity.kmeansAssign(e, Similarity.kmeansCentroids(e, 8, rounds = 2))
         .select(col("vec_id"), col("cell"), round(col("score"), 4).as("score"))
     }),
+    // IVF ANN over the SAME fitted cells — the kmeans→IVF composition
+    "sim_ivf_kmeans" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopKWith(e.filter(col("vec_id") < 10), e, k = 5,
+          Similarity.kmeansCentroids(e, 8, rounds = 2), nProbe = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("cosine"), 4).as("cosine"))
+    }),
     // z-score threshold alarms over the dense hourly signup series — the
     // batch analog of the reference ecosystem's downstream alarm engine
     "a12_anomaly" -> ((s, dir) => {
@@ -1386,6 +1419,7 @@ object SparkEntry {
         "PARTITION BY f ORDER BY rank ASC, doc_id ASC) AS rn FROM r) WHERE rn = 1"),
     "emb_project" -> EmbProjectSql,
     "sim_kmeans" -> KmeansAssignSql,
+    "sim_ivf_kmeans" -> IvfKmeansSql,
     // z-score alarms over the dense signup series: group stats via window
     // aggregates on the same grid as the gap-fill oracle
     "a12_anomaly" ->

@@ -92,6 +92,27 @@ object Similarity {
     val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "cu")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val centroids = sampleCentroids(c, "neighbor_id", "cu", nLists, seed)
+    ivfProbe(queries, c, k, centroids, nProbe, idCol, vecCol)
+  }
+
+  /** [[ivfTopK]] against a caller-supplied centroid list — the fitted-cells
+    * composition: `ivfTopKWith(q, corpus, k, kmeansCentroids(corpus, L, r),
+    * nProbe)` upgrades the hash-sampled Voronoi structure to Lloyd-refined
+    * cells with the identical probe plan. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: Seq[Seq[Double]], nProbe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "at least one centroid required")
+    require(nProbe >= 1 && nProbe <= centroids.size,
+      s"nProbe must be in [1, ${centroids.size}], got $nProbe")
+    val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "cu")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ivfProbe(queries, c, k, centroids, nProbe, idCol, vecCol)
+  }
+
+  private def ivfProbe(queries: DataFrame, c: DataFrame, k: Int,
+      centroids: Seq[Seq[Double]], nProbe: Int, idCol: String,
+      vecCol: String): DataFrame = {
     // corpus-side assignment is a single argmax fold (array_max on (s, c)
     // structs — ties take the larger cell), NOT a full nLists-struct sort:
     // at 100 TB the assignment map runs once per corpus row and the sort's

@@ -212,6 +212,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(partial.groupBy(_._1).forall { case (_, rs) =>
       rs.length <= 3 && rs.map(_._3).sorted.sameElements(1 to rs.length)
     })
+    // fitted cells, exhaustive probe: still exactly brute force — the probe
+    // is recall-lossy only when nProbe < nLists, never from the centroids
+    val cents = Similarity.kmeansCentroids(emb, nLists = 8, rounds = 2)
+    val fitted = Similarity.ivfTopKWith(queries, emb, 3, cents, nProbe = cents.size)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(fitted == brute)
   }
 
   test("LSH-bucketed similarity pairs are a verified subset of brute force") {
