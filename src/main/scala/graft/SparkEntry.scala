@@ -470,6 +470,11 @@ object SparkEntry {
   private val AlphaRatioSql =
     "(CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
       "CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / length(text) END)"
+  /** THE mirror of TextAnalysis.qualityScore — shared by the text_stats
+    * projection and the quantile-cutoff oracle (never respell). */
+  private val QualitySql =
+    s"((CASE WHEN $TokN BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.2 + " +
+      s"$StopRatioSql * 0.4 + $AlphaRatioSql * 0.4)"
 
   private val langStops: Seq[(String, Seq[String])] =
     TextAnalysis.stopwords.toSeq.sortBy(_._1)
@@ -883,6 +888,11 @@ object SparkEntry {
       TextAnalysis.qualityFilter(
         docs(s, dir).withColumn("text",
           regexp_replace(col("text"), "\\. ", ".\n")))
+        .select("doc_id")),
+    // corpus-learned quality cutoff: drop the worst quartile, threshold
+    // measured on a deterministic half-corpus hash-sample
+    "text_quality_cutoff" -> ((s, dir) =>
+      TextAnalysis.qualityQuantileFilter(docs(s, dir), q = 0.25, sampleRate = 0.5)
         .select("doc_id")),
     "sample_bernoulli" -> ((s, dir) =>
       Sampling.sampleByHash(docs(s, dir), "doc_id", 0.25).select("doc_id")),
@@ -1367,11 +1377,18 @@ object SparkEntry {
         s"$StopRatioSql AS stopword_ratio, $AlphaRatioSql AS alpha_ratio, " +
         s"(CASE WHEN $TokN = 0 THEN 0.0 ELSE " +
         s"1.0 - CAST(len(list_distinct($RawToks)) AS DOUBLE) / len($RawToks) END) AS repetition_ratio, " +
-        s"(CASE WHEN $TokN BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.2 + " +
-        s"$StopRatioSql * 0.4 + $AlphaRatioSql * 0.4 AS quality, " +
+        s"$QualitySql AS quality, " +
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint " +
         "FROM documents"),
     "text_langid" -> LangIdSql,
+    // quantile cutoff: exact interpolated percentile over the same
+    // hash-sample (quantile_cont == Spark percentile — the a9–a11 parity),
+    // then the shared quality expression against the scalar
+    "text_quality_cutoff" ->
+      (s"WITH cut AS (SELECT quantile_cont(qu, 0.25) AS c FROM (" +
+        s"SELECT $QualitySql AS qu FROM documents " +
+        s"WHERE ${hashBSql("doc_id")} < ${(0.5 * Sampling.Buckets).toLong})) " +
+        s"SELECT doc_id FROM documents, cut WHERE $QualitySql >= c"),
     "text_repetition" -> RepetitionSql,
     "text_quality_filter" -> QualityFilterSql,
     "text_topngrams" ->

@@ -366,6 +366,35 @@ object TextAnalysis {
       .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Corpus-learned quality cutoff: keep documents whose [[qualityScore]]
+    * is >= the `q`-quantile of the score over a DETERMINISTIC hash-sample
+    * of the corpus — "drop the worst quartile" with the threshold measured
+    * from the data, not hand-set.
+    *
+    * The exact interpolated percentile is computed on the SAMPLE only: a
+    * corpus-global exact percentile buffers every value in one aggregation
+    * state (a scale-killer at 100 TB), while the sample keeps the estimator
+    * bounded by `sampleRate` AND bit-reproducible — portable-hash row
+    * selection plus ANSI percentile_cont interpolation, the same
+    * cross-engine parity the windowed p50/p95/p99 aggregates rely on. The
+    * per-row score is a pure function of the text (identical doubles on
+    * every engine), so the >= comparison against the 1-row broadcast cutoff
+    * has no boundary ambiguity. One sample-aggregation pass + one narrow
+    * filter pass; fully lazy. */
+  def qualityQuantileFilter(docs: DataFrame, q: Double,
+      sampleRate: Double = 0.1, seed: Long = 42,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(q > 0 && q < 1, s"q must be in (0, 1), got $q")
+    require(sampleRate > 0 && sampleRate <= 1,
+      s"sampleRate must be in (0, 1], got $sampleRate")
+    val cutoff = Sampling.sampleByHash(docs, idCol, sampleRate, seed)
+      .select(qualityScore(col(textCol)).as("__graft_q"))
+      .agg(percentile(col("__graft_q"), lit(q)).as("__graft_cut"))
+    docs.crossJoin(broadcast(cutoff))
+      .filter(qualityScore(col(textCol)) >= col("__graft_cut"))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
   // ------------------------------------------------- n-gram LM scoring
 
   /** LM tokenization: lower-case, set-trim, then the engine-wide

@@ -596,6 +596,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality quantile filter keeps the top of the sample-learned distribution") {
+    import graft.operators.Sampling
+    val kept = TextAnalysis.qualityQuantileFilter(docs, q = 0.25, sampleRate = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    // the cutoff is the exact sample percentile: replay it on the driver
+    val scores = docs
+      .select($"doc_id", TextAnalysis.qualityScore($"text").as("qu"))
+      .as[(Long, Double)].collect().toMap
+    val sampleIds = Sampling.sampleByHash(docs, "doc_id", 0.5)
+      .select($"doc_id").as[Long].collect()
+    val sorted = sampleIds.map(scores).sorted
+    val rank = 0.25 * (sorted.length - 1)
+    val (lo, hi) = (sorted(rank.toInt), sorted(math.ceil(rank).toInt))
+    val cut = lo + (rank - rank.toInt) * (hi - lo)
+    assert(kept == scores.filter(_._2 >= cut).keySet)
+    assert(kept.nonEmpty && kept.size < scores.size) // a real split
+    intercept[IllegalArgumentException] {
+      TextAnalysis.qualityQuantileFilter(docs, q = 1.0)
+    }
+  }
+
   test("shuffle order: dense per-shard positions, one fixed permutation per seed") {
     import graft.operators.Sampling
     val out = Sampling.shuffleOrder(docs.select($"doc_id"), "doc_id", numShards = 4)
