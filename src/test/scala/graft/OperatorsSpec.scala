@@ -692,54 +692,17 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("k-means refinement equals a naive exact fixed-point model, bit-for-bit") {
-    val S = Similarity.FixedPointScale
+  test("k-means refinement equals the exact fixed-point reference, bit-for-bit") {
     val got = Similarity.kmeansCentroids(emb, nLists = 4, rounds = 2)
-    // driver replay with the SAME op order everywhere: left-fold dots,
-    // floor(x·S + 0.5) fixed-point sums, (s/n)/S, left-fold normalization
-    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
-      .collect().sortBy(_._1).flatMap { case (id, v) =>
-        val dv = v.map(_.toDouble)
-        val n = math.sqrt(dv.foldLeft(0.0)((a, x) => a + x * x))
-        // mirror unitVectors' nrm > 0 filter — a zero vector must vanish
-        // from the replay exactly as it does from the operator
-        if (n > 0) Some((id, dv.map(_ / n).toSeq)) else None
-      }.toSeq
-    def hr(id: Long, seed: Long): Long = { // Sampling.hashRaw replay
-      val (s1, s2) = (seed % 1000003 + 1, seed % 999983 + 1)
-      val t = Math.floorMod(
-        (Math.floorMod(id, 1000003) + s1) * (Math.floorMod(id, 999983) + s2),
-        2147483647L)
-      Math.floorMod(Math.floorMod(t * 48271, 2147483647L) * 48271, 2147483647L)
-    }
-    def dot(a: Seq[Double], b: Seq[Double]): Double =
-      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
-    var cents = vecs.sortBy { case (id, _) => (hr(id, 42), id) }
-      .take(4).map(_._2)
-    for (_ <- 0 until 2) {
-      val assign = vecs.map { case (_, v) =>
-        (cents.zipWithIndex.map { case (c, i) => (dot(v, c), i) }.max._2, v)
-      }
-      cents = assign.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
-        case (_, members) =>
-          val dim = members.head._2.length
-          val sums = Array.fill(dim)(BigInt(0))
-          members.foreach { case (_, v) =>
-            v.zipWithIndex.foreach { case (x, i) =>
-              sums(i) += BigInt(math.floor(x * S.toDouble + 0.5).toLong)
-            }
-          }
-          val n = members.length.toDouble
-          val arr = sums.map(s => s.toDouble / n / S.toDouble)
-          val nrm = math.sqrt(arr.foldLeft(0.0)((a, x) => a + x * x))
-          if (nrm > 0) Some(arr.map(_ / nrm).toSeq) else None
-      }
-    }
-    assert(got == cents) // EXACT — that is the operator's whole point
+    val raw = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toSeq
+    // TestRefs replays the whole pipeline driver-side with the same op
+    // order everywhere (left-fold dots/norms, BigInt fixed-point sums)
+    assert(got == TestRefs.kmeansCentroids(raw, nLists = 4, rounds = 2))
     // assignment against the refined centroids is total and in-range
     val asg = Similarity.kmeansAssign(emb, got)
       .as[(Long, Long, Double)].collect()
-    assert(asg.length == vecs.length)
+    assert(asg.length == raw.length)
     assert(asg.forall { case (_, c, _) => c >= 0 && c < got.length })
     intercept[IllegalArgumentException] {
       Similarity.kmeansCentroids(emb, nLists = 0, rounds = 1)

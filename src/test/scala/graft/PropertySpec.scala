@@ -301,6 +301,16 @@ object PropertySpec extends Properties("graft") {
       got == expected
     }
 
+  property("k-means centroids equal the exact fixed-point reference ∀ corpus/nLists/rounds") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.listOfN(4, Gen.choose(-1.0, 1.0).map(_.toFloat))),
+      Gen.choose(1, 3), Gen.choose(0, 2)) { (vecs, nLists, rounds) =>
+      val raw = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v: Seq[Float]) }
+      val got = graft.operators.Similarity.kmeansCentroids(
+        raw.toDF("vec_id", "embedding"), nLists, rounds)
+      got == TestRefs.kmeansCentroids(raw, nLists, rounds)
+    }
+
   property("PolyHash64 equals the BigInt mod-2^64 reference ∀ unicode string") =
     forAll(Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumStr,
       Gen.listOf(Gen.choose(Char.MinValue, '퟿')).map(_.mkString)))) { ss =>
