@@ -912,6 +912,12 @@ object SparkEntry {
       Sampling.packSequences(docs(s, dir), "doc_id",
           TextAnalysis.tokenCount(col("text")), 512L, 8)
         .select("doc_id", "shard", "seq_id", "tok_offset")),
+    // the terminal export step: packed sequences materialized as text
+    "sample_pack_seqs" -> ((s, dir) =>
+      Sampling.materializeSequences(
+        Sampling.packSequences(docs(s, dir), "doc_id",
+          TextAnalysis.tokenCount(col("text")), 512L, 8))
+        .select("shard", "seq_id", "n_docs", "seq_text")),
     // deterministic training-export shuffle: 8 shards, hash-ordered
     // positions — the reproducible global permutation without a global sort
     "sample_shuffle" -> ((s, dir) =>
@@ -1414,6 +1420,19 @@ object SparkEntry {
         s"CAST((cum - n) % 512 AS BIGINT) AS tok_offset FROM (SELECT doc_id, $TokN AS n, " +
         s"sum($TokN) OVER (PARTITION BY ${pmSql(HashRaw, "8")} ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS cum FROM documents)"),
+    // packed-sequence materialization: same prefix-sum positions as
+    // sample_pack, then ORDER BY (tok_offset, doc_id) string_agg per
+    // (shard, seq_id) — the array_sort(collect_list(struct)) mirror
+    "sample_pack_seqs" ->
+      ("SELECT shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "string_agg(text, chr(10) ORDER BY tok_offset, doc_id) AS seq_text " +
+        "FROM (SELECT doc_id, text, shard, " +
+        "CAST((cum - n) // 512 AS BIGINT) AS seq_id, " +
+        "CAST((cum - n) % 512 AS BIGINT) AS tok_offset FROM (" +
+        s"SELECT doc_id, text, ${pmSql(HashRaw, "8")} AS shard, $TokN AS n, " +
+        s"sum($TokN) OVER (PARTITION BY ${pmSql(HashRaw, "8")} ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM documents)) " +
+        "GROUP BY shard, seq_id"),
     // export shuffle: shard = hash(id, seed 42) mod 8, pos = rank within the
     // shard by the independent seed-43 hash (id tie-break), 0-based
     "sample_shuffle" ->

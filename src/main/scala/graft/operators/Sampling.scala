@@ -129,6 +129,31 @@ object Sampling {
       .drop(nCol, prefixCol)
   }
 
+  /** Materialize the packed training sequences: concatenate each (shard,
+    * seq_id)'s documents in position order, joined with `sep` (e.g. an EOD
+    * marker) — the terminal export step after [[packSequences]]. Output:
+    * (shard, seq_id, n_docs, seq_text).
+    *
+    * Scale shape: ONE exchange keyed on (shard, seq_id); the per-group
+    * collected state is bounded by the token budget (a sequence holds at
+    * most budget tokens' worth of documents), so group size is a config
+    * constant regardless of corpus size. Ordering inside the sequence is
+    * (tok_offset, idCol) — zero-token documents share an offset and need
+    * the id tie-break for a deterministic layout. A document crossing the
+    * budget boundary is emitted whole in its STARTING sequence
+    * (pack-and-split: `tok_offset` tells the trainer where to cut). */
+  def materializeSequences(packed: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sep: String = "\n"): DataFrame =
+    packed.groupBy("shard", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("tok_offset"), col(idCol), col(textCol)))),
+            s => s.getField(textCol)),
+          sep).as("seq_text"))
+
   /** Deterministic corpus shuffle for training export: every row gets a
     * `shard` (portable id hash — even load by construction) and a dense
     * 0-based `pos` within the shard, ordered by an INDEPENDENT second hash

@@ -758,6 +758,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("materialized sequences carry every document once, in offset order") {
+    import graft.operators.Sampling
+    val packed = Sampling.packSequences(docs, "doc_id",
+      TextAnalysis.tokenCount($"text"), budget = 512L, numShards = 4)
+    val seqs = Sampling.materializeSequences(packed)
+      .as[(Long, Long, Long, String)].collect()
+    assert(seqs.map(_._3).sum == docs.count()) // every doc in exactly one row
+    // each sequence is its documents' texts in (tok_offset, doc_id) order
+    val byKey = packed.select($"shard", $"seq_id", $"tok_offset", $"doc_id", $"text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(r => (r._1, r._2))
+    seqs.foreach { case (shard, seqId, nDocs, text) =>
+      val members = byKey((shard, seqId)).sortBy(r => (r._3, r._4))
+      assert(members.length == nDocs)
+      assert(text == members.map(_._5).mkString("\n"))
+    }
+  }
+
   test("connected components match a driver-side union-find; survivors keep cluster minima") {
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
     val edgeList = pairs.select($"id_a", $"id_b").as[(Long, Long)].collect()
