@@ -274,6 +274,35 @@ class PlanSpec extends AnyFunSuite {
       s"assignment must stay scan-local (argmax over plan literals):\n$plan")
   }
 
+  test("quality quantile cutoff rides a 1-row broadcast; the filter pass stays narrow") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = executedPlan(graft.operators.TextAnalysis
+      .qualityQuantileFilter(docs, q = 0.25, sampleRate = 0.5))
+    // the scalar cutoff must join as a broadcast nested-loop (1 row), and
+    // the only exchange feeds the sample aggregation — a hash exchange on
+    // the corpus side would mean the filter pass lost its narrowness
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"cutoff scalar not broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus side must not shuffle for a scalar threshold:\n$plan")
+  }
+
+  test("sequence materialization reuses packing's shard partitioning — ONE shuffle total") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = executedPlan(graft.operators.Sampling.materializeSequences(
+      graft.operators.Sampling.packSequences(
+        docs, "doc_id", graft.operators.TextAnalysis.tokenCount(col("text")), 512L, 8)))
+    // the (shard, seq_id) aggregation is co-partitioned with the window's
+    // hashpartitioning(shard), so Catalyst plans NO second exchange — the
+    // whole pack → materialize pipeline is one shuffle; a regression here
+    // doubles the exchanged volume of the export path
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one shuffle (shard partitioning reused by the agg):\n$plan")
+    assert(plan.contains("partial_collect_list"),
+      s"sequence aggregation lost its map-side partial:\n$plan")
+  }
+
   test("topNgrams pushes a partial top-k below the single-partition rank exchange") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = executedPlan(graft.operators.TextAnalysis.topNgrams(docs, 2, 20))
