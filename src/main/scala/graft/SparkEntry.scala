@@ -1387,14 +1387,23 @@ object SparkEntry {
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint " +
         "FROM documents"),
     "text_langid" -> LangIdSql,
-    // quantile cutoff: exact interpolated percentile over the same
-    // hash-sample (quantile_cont == Spark percentile — the a9–a11 parity),
-    // then the shared quality expression against the scalar
+    // quantile cutoff: the interpolation replays Spark Percentile's exact
+    // expression — (higher − pos)·lo + (pos − lower)·hi with the
+    // higher == lower short-circuit — rather than quantile_cont, whose
+    // algebraically-equal lo + d·(hi − lo) can differ by an ulp when
+    // lo == hi (quality scores tie constantly); the empty-sample COALESCE
+    // mirrors the operator's keep-everything NULL guard
     "text_quality_cutoff" ->
-      (s"WITH cut AS (SELECT quantile_cont(qu, 0.25) AS c FROM (" +
-        s"SELECT $QualitySql AS qu FROM documents " +
-        s"WHERE ${hashBSql("doc_id")} < ${(0.5 * Sampling.Buckets).toLong})) " +
-        s"SELECT doc_id FROM documents, cut WHERE $QualitySql >= c"),
+      (s"WITH smp AS (SELECT $QualitySql AS qu FROM documents " +
+        s"WHERE ${hashBSql("doc_id")} < ${(0.5 * Sampling.Buckets).toLong}), " +
+        "o AS (SELECT qu, row_number() OVER (ORDER BY qu) - 1 AS rn FROM smp), " +
+        "p AS (SELECT 0.25 * CAST(count(*) - 1 AS DOUBLE) AS pos FROM o), " +
+        "cut AS (SELECT CASE WHEN ceil(pos) = floor(pos) THEN lo.qu " +
+        "ELSE (ceil(pos) - pos) * lo.qu + (pos - floor(pos)) * hi.qu END AS c " +
+        "FROM p, o lo, o hi WHERE lo.rn = CAST(floor(pos) AS BIGINT) " +
+        "AND hi.rn = CAST(ceil(pos) AS BIGINT)) " +
+        s"SELECT doc_id FROM documents WHERE $QualitySql >= " +
+        "COALESCE((SELECT c FROM cut), CAST('-infinity' AS DOUBLE))"),
     "text_repetition" -> RepetitionSql,
     "text_quality_filter" -> QualityFilterSql,
     "text_topngrams" ->

@@ -107,6 +107,17 @@ case class LmBigrams(child: Expression)
       s"LmBigrams requires a string argument, got ${other.simpleString}")
   }
 
+  // NULL text yields an EMPTY ARRAY, not NULL — the contract the Column
+  // formulation this replaced had (when().otherwise(array())), which a
+  // size(allBigrams(..)) caller would observe as 0 vs NULL. UnaryExpression
+  // 's default eval would short-circuit NULL past nullSafeEval.
+  override def nullable: Boolean = false
+  private val EmptyResult = new GenericArrayData(Array.empty[Any])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) EmptyResult else nullSafeEval(v)
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val str = input.asInstanceOf[UTF8String].toLowerCase.toString
     def isWs(c: Char) =

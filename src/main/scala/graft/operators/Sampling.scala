@@ -134,14 +134,18 @@ object Sampling {
     * marker) — the terminal export step after [[packSequences]]. Output:
     * (shard, seq_id, n_docs, seq_text).
     *
-    * Scale shape: ONE exchange keyed on (shard, seq_id); the per-group
-    * collected state is bounded by the token budget (a sequence holds at
-    * most budget tokens' worth of documents), so group size is a config
-    * constant regardless of corpus size. Ordering inside the sequence is
-    * (tok_offset, idCol) — zero-token documents share an offset and need
-    * the id tie-break for a deterministic layout. A document crossing the
-    * budget boundary is emitted whole in its STARTING sequence
-    * (pack-and-split: `tok_offset` tells the trainer where to cut). */
+    * Scale shape: ONE exchange keyed on (shard, seq_id) — Catalyst reuses
+    * [[packSequences]]' hashpartitioning(shard) for the aggregation
+    * (PlanSpec-pinned), so the whole pack → materialize path shuffles once.
+    * The per-group collected state is bounded by the token budget ONLY
+    * under the preconditions: every document has ≥ 1 token (zero-token
+    * documents don't advance the prefix sum, so arbitrarily many of them
+    * share one (seq_id, tok_offset) — filter empties out FIRST; they carry
+    * no trainable text) and no single document exceeds the budget (an
+    * over-budget document is kept whole in its starting sequence —
+    * pack-and-split — so the group bound is max(budget, largest doc)).
+    * Ordering inside the sequence is (tok_offset, idCol); the id tie-break
+    * keeps the layout deterministic even when offsets collide. */
   def materializeSequences(packed: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", sep: String = "\n"): DataFrame =
     packed.groupBy("shard", "seq_id")

@@ -105,9 +105,11 @@ object Similarity {
     require(centroids.nonEmpty, "at least one centroid required")
     require(nProbe >= 1 && nProbe <= centroids.size,
       s"nProbe must be in [1, ${centroids.size}], got $nProbe")
-    val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "cu")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    ivfProbe(queries, c, k, centroids, nProbe, idCol, vecCol)
+    // NO persist here: with caller-supplied centroids the corpus unit
+    // vectors feed exactly one consumer (the probe join) — ivfTopK persists
+    // because ITS corpus side also drives the centroid-sample collect
+    ivfProbe(queries, unitVectors(corpus, idCol, vecCol, "neighbor_id", "cu"),
+      k, centroids, nProbe, idCol, vecCol)
   }
 
   private def ivfProbe(queries: DataFrame, c: DataFrame, k: Int,

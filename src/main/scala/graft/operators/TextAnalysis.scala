@@ -387,11 +387,20 @@ object TextAnalysis {
     require(q > 0 && q < 1, s"q must be in (0, 1), got $q")
     require(sampleRate > 0 && sampleRate <= 1,
       s"sampleRate must be in (0, 1], got $sampleRate")
+    // the hash sample keeps buckets below floor(rate·Buckets): a rate under
+    // 1/Buckets floors to ZERO buckets and the sample is ALWAYS empty — a
+    // config error, rejected loudly (the filter would otherwise compare
+    // against a NULL percentile and silently drop the whole corpus)
+    require((sampleRate * Sampling.Buckets).toLong >= 1,
+      s"sampleRate $sampleRate floors to zero of ${Sampling.Buckets} hash buckets")
     val cutoff = Sampling.sampleByHash(docs, idCol, sampleRate, seed)
       .select(qualityScore(col(textCol)).as("__graft_q"))
       .agg(percentile(col("__graft_q"), lit(q)).as("__graft_cut"))
+    // a data-dependent empty sample (ids that miss every sampled bucket)
+    // yields a NULL cutoff — keep everything rather than silently drop all
     docs.crossJoin(broadcast(cutoff))
-      .filter(qualityScore(col(textCol)) >= col("__graft_cut"))
+      .filter(qualityScore(col(textCol)) >=
+        coalesce(col("__graft_cut"), lit(Double.NegativeInfinity)))
       .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 

@@ -609,7 +609,11 @@ class OperatorsSpec extends AnyFunSuite {
     val sorted = sampleIds.map(scores).sorted
     val rank = 0.25 * (sorted.length - 1)
     val (lo, hi) = (sorted(rank.toInt), sorted(math.ceil(rank).toInt))
-    val cut = lo + (rank - rank.toInt) * (hi - lo)
+    // Spark Percentile's exact expression — NOT lo + d·(hi−lo), which can
+    // differ by an ulp when lo == hi (ties are common in quality scores)
+    val cut =
+      if (math.ceil(rank) == math.floor(rank)) lo
+      else (math.ceil(rank) - rank) * lo + (rank - math.floor(rank)) * hi
     assert(kept == scores.filter(_._2 >= cut).keySet)
     assert(kept.nonEmpty && kept.size < scores.size) // a real split
     intercept[IllegalArgumentException] {
