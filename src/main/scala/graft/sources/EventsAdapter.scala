@@ -35,9 +35,14 @@ object EventsAdapter {
         map_concat(baseDims, map(lit("vip"), lit("1"))))
       .otherwise(baseDims)
     // epoch micros regardless of how the parquet reader surfaced `ts`
-    // (int64 nanos under the legacy conf, or a proper timestamp)
+    // (int64 nanos under the legacy conf, TIMESTAMP_NTZ for micros parquet
+    // written without a UTC flag — the testdata generator's wall clocks ARE
+    // UTC instants, pinned explicitly so a non-UTC session tz can't shift
+    // them — or a proper timestamp)
     val tsUs = events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(to_utc_timestamp(col("ts"), "UTC"))
       case _ => unix_micros(col("ts"))
     }
     events.select(
