@@ -89,6 +89,29 @@ object SparkEntry {
         lit(" all rights reserved copyright twenty twenty six by the site owners"))
         .otherwise(lit(""))))
 
+  /** Pipeline-composition fixture: a deterministic multi-line "web page" per
+    * document — two unique body sentences (tokens 1-24 and 25-44 of the
+    * corpus text, each closed with '.'), a please-enable-JavaScript line and
+    * a one-word "Menu" line (both dropped by the C4 stage), a per-source
+    * closing note (hot in the line-dedup stage), a code line with '{' on
+    * doc_id%37 (kills the C4 keep_doc rule), a global rights footer and a
+    * rotating badge line (both hot) — so every chained stage has work to do
+    * in both directions. */
+  private def pipeDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text", concat_ws("\n",
+      concat(array_join(slice(split(coalesce(col("text"), lit("")), " "), 1, 24), " "),
+        lit(".")),
+      lit("Please enable JavaScript to view the comments."),
+      lit("Menu"),
+      concat(array_join(slice(split(coalesce(col("text"), lit("")), " "), 25, 20), " "),
+        lit(".")),
+      when(col("doc_id") % 37 === 0, lit("if (config) { render(); }"))
+        .otherwise(concat(lit("Closing note from "), coalesce(col("source"), lit("")),
+          lit(" desk."))),
+      lit("All rights reserved by the site owners."),
+      concat(lit("Badge "), (col("doc_id") % 5).cast("string"),
+        lit(" reporting in today!"))))
+
   private def spec(fn: String, metricName: String,
       grouped: Seq[String] = Seq("user_id"),
       filtered: Map[String, String] = Map.empty,
@@ -381,23 +404,33 @@ object SparkEntry {
       s"SELECT vec_id, CAST(pos AS BIGINT) AS pos, ROUND(proj, 4) AS proj FROM ($rows)"
   }
 
+  /** Per-doc n-gram count CTE over `src`(doc_id, text) — the repetition
+    * mirror's gram stage, parameterized so the pipeline-composition oracle
+    * reuses the exact fragment (one definition, same rule as the stopword
+    * lists: never duplicate). */
+  private def gramCteOver(n: Int, cte: String, src: String): String =
+    s"$cte AS (SELECT doc_id, len, g, count(*) AS cnt FROM (" +
+      "SELECT doc_id, length(text) AS len, " +
+      s"unnest(${ngramsOfToks(n)}) AS g " +
+      "FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks " +
+      s"FROM $src)) GROUP BY 1, 2, 3)"
+
+  /** Top-gram char-coverage CTE over a [[gramCteOver]] output — the same
+    * lexicographic (count, gram length, gram) struct max as the operator. */
+  private def topCteOver(src: String, cte: String, outCol: String): String = {
+    val top = s"max({'c': cnt, 'gl': length(g), 'g': g})"
+    s"$cte AS (SELECT doc_id, CASE WHEN len > 0 THEN " +
+      s"CAST(($top).c * ($top).gl AS DOUBLE) / CAST(len AS DOUBLE) " +
+      s"ELSE 0.0 END AS $outCol FROM $src GROUP BY doc_id, len)"
+  }
+
   /** Shared CTE chain for the repetition-signals mirror: `d` (sentence
     * boundaries → line breaks, matching the query-side regexp_replace),
-    * `la` (line multiset sums), `t2`/`t3` (top-gram coverage via the same
-    * lexicographic (count, gram length, gram) struct max as the operator). */
+    * `la` (line multiset sums), `t2`/`t3` (top-gram coverage). */
   private val RepetitionCtes = {
-    def gramCte(n: Int, cte: String): String =
-      s"$cte AS (SELECT doc_id, len, g, count(*) AS cnt FROM (" +
-        "SELECT doc_id, length(text) AS len, " +
-        s"unnest(${ngramsOfToks(n)}) AS g " +
-        "FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks " +
-        "FROM d)) GROUP BY 1, 2, 3)"
-    def topCte(src: String, cte: String, outCol: String): String = {
-      val top = s"max({'c': cnt, 'gl': length(g), 'g': g})"
-      s"$cte AS (SELECT doc_id, CASE WHEN len > 0 THEN " +
-        s"CAST(($top).c * ($top).gl AS DOUBLE) / CAST(len AS DOUBLE) " +
-        s"ELSE 0.0 END AS $outCol FROM $src GROUP BY doc_id, len)"
-    }
+    def gramCte(n: Int, cte: String): String = gramCteOver(n, cte, "d")
+    def topCte(src: String, cte: String, outCol: String): String =
+      topCteOver(src, cte, outCol)
     "WITH d AS (SELECT doc_id, " +
       "regexp_replace(text, '\\. ', '.' || chr(10), 'g') AS text FROM documents), " +
       "l0 AS (SELECT doc_id, trim(x) AS line FROM (SELECT doc_id, " +
@@ -443,6 +476,106 @@ object SparkEntry {
       s"AND $DupLineFracSql <= 0.3 " +
       "AND COALESCE(top2gram_char_frac, 0.0) <= 0.2 " +
       "AND COALESCE(top3gram_char_frac, 0.0) <= 0.18"
+
+  /** End-to-end pipeline mirror: the per-stage oracles composed as ONE
+    * recursive CTE chain over the [[pipeDocs]] page fixture — C4 clean
+    * (text_c4_clean's line/doc rules), line dedup (dedup_lines' df>3 scrub),
+    * quality filter (the repetition-signal thresholds via the shared
+    * [[gramCteOver]]/[[topCteOver]] fragments), decontamination
+    * (dedup_decontam's any-hit rule on the doc_id%50 bench slice), n-gram
+    * Jaccard pairs + recursive component closure feeding the leakage-safe
+    * split case, then the export tail (shuffle → re-id → pack → materialize)
+    * with the same prefix-sum/window arithmetic as the sample_* mirrors.
+    * LAZY for the same declaration-order reason as [[QualityFilterSql]]. */
+  private lazy val PipelineE2eSql = {
+    val ws = TextAnalysis.WsCharsRaw
+    val fixture =
+      // the body-slice pieces COALESCE once more: DuckDB's array_to_string
+      // over an EMPTY slice (docs shorter than the slice start) is NULL, and
+      // one NULL would blank the whole '||' page while Spark's concat_ws
+      // builds it fine — the cross-engine NULL class dedup_lines documents
+      "pg AS (SELECT doc_id, " +
+        "COALESCE(array_to_string(string_split(COALESCE(text, ''), ' ')[1:24], ' '), '')" +
+        " || '.' || chr(10) || " +
+        "'Please enable JavaScript to view the comments.' || chr(10) || " +
+        "'Menu' || chr(10) || " +
+        "COALESCE(array_to_string(string_split(COALESCE(text, ''), ' ')[25:44], ' '), '')" +
+        " || '.' || chr(10) || " +
+        "CASE WHEN doc_id % 37 = 0 THEN 'if (config) { render(); }' " +
+        "ELSE 'Closing note from ' || COALESCE(source, '') || ' desk.' END || chr(10) || " +
+        "'All rights reserved by the site owners.' || chr(10) || " +
+        "'Badge ' || CAST(doc_id % 5 AS VARCHAR) || ' reporting in today!' AS text " +
+        "FROM documents)"
+    val c4 =
+      "c4l AS (SELECT doc_id, text AS txt, list_filter(list_transform(" +
+        s"string_split(text, chr(10)), x -> trim(x, '$ws')), " +
+        "x -> length(x) > 0) AS lines FROM pg), " +
+        "c4k AS (SELECT doc_id, txt, list_filter(lines, x -> " +
+        "regexp_matches(x, '[.!?\"]$') AND len(string_split_regex(x, '\\s+')) >= 3 AND " +
+        "NOT contains(lower(x), 'javascript')) AS kept FROM c4l), " +
+        "cc AS (SELECT doc_id, array_to_string(kept, chr(10)) AS text FROM c4k " +
+        "WHERE NOT contains(txt, '{') AND NOT contains(lower(txt), 'lorem ipsum') " +
+        "AND len(kept) >= 4)"
+    val lineDedup =
+      "ldx AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS pos, arr " +
+        "FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM cc)), " +
+        "ldnz AS (SELECT doc_id, pos, line FROM (SELECT doc_id, pos, " +
+        "regexp_replace(arr[pos], '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') AS line " +
+        "FROM ldx) WHERE length(line) > 0), " +
+        "ldhot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df " +
+        "FROM ldnz GROUP BY 1) WHERE df > 3), " +
+        "ld AS (SELECT cc.doc_id, COALESCE(reb.text, '') AS text FROM cc LEFT JOIN (" +
+        "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM ldnz " +
+        "WHERE line NOT IN (SELECT line FROM ldhot) GROUP BY 1) reb USING (doc_id))"
+    val quality =
+      "ql0 AS (SELECT doc_id, trim(x) AS line FROM (SELECT doc_id, " +
+        "unnest(string_split(text, chr(10))) AS x FROM ld) WHERE length(trim(x)) > 0), " +
+        "qla AS (SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct FROM (" +
+        "SELECT doc_id, line, count(*) AS cnt FROM ql0 GROUP BY 1, 2) GROUP BY 1), " +
+        s"${gramCteOver(2, "qg2", "ld")}, ${topCteOver("qg2", "qt2", "t2")}, " +
+        s"${gramCteOver(3, "qg3", "ld")}, ${topCteOver("qg3", "qt3", "t3")}, " +
+        "qf AS (SELECT ld.doc_id, ld.text FROM ld LEFT JOIN qla USING (doc_id) " +
+        "LEFT JOIN qt2 USING (doc_id) LEFT JOIN qt3 USING (doc_id) " +
+        s"WHERE $TokN BETWEEN 15 AND 100000 AND $DupLineFracSql <= 0.3 " +
+        "AND COALESCE(t2, 0.0) <= 0.2 AND COALESCE(t3, 0.0) <= 0.18)"
+    val decontam =
+      s"dsh AS (SELECT doc_id, list_distinct(${ngramsOfToks(3)}) AS sh " +
+        "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM qf)), " +
+        "bench AS (SELECT DISTINCT unnest(sh) AS s FROM dsh WHERE doc_id % 50 = 0), " +
+        "bad AS (SELECT DISTINCT c.doc_id FROM (SELECT doc_id, unnest(sh) AS s " +
+        "FROM dsh WHERE doc_id % 50 <> 0) c JOIN bench USING (s)), " +
+        "dc AS (SELECT doc_id, text FROM qf WHERE doc_id % 50 <> 0 " +
+        "AND doc_id NOT IN (SELECT doc_id FROM bad))"
+    val split =
+      "psh AS (SELECT dsh.doc_id, dsh.sh FROM dsh JOIN dc USING (doc_id)), " +
+        "pp AS (SELECT id_a, id_b FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard " +
+        "FROM psh a JOIN psh b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pp UNION SELECT id_b, id_a FROM pp), " +
+        "reach(a, b) AS (SELECT src, dst FROM edges " +
+        "UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src), " +
+        "comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a), " +
+        "tr AS (SELECT dc.doc_id, dc.text FROM dc LEFT JOIN comp ON dc.doc_id = comp.id " +
+        s"WHERE ${splitCaseSql("COALESCE(comp.component, dc.doc_id)")} = 'train')"
+    val export =
+      "sh2 AS (SELECT doc_id, text, shard, row_number() OVER (" +
+        "PARTITION BY shard ORDER BY h2 ASC, doc_id ASC) - 1 AS pos FROM (" +
+        s"SELECT doc_id, text, ${pmSql(hashRawSql("doc_id"), "8")} AS shard, " +
+        s"${hashRawSql("doc_id", 43)} AS h2 FROM tr)), " +
+        "sn AS (SELECT shard * 4294967296 + pos AS nid, text FROM sh2), " +
+        s"pk AS (SELECT nid, text, ${pmSql(hashRawSql("nid"), "4")} AS shard, $TokN AS n, " +
+        s"sum($TokN) OVER (PARTITION BY ${pmSql(hashRawSql("nid"), "4")} ORDER BY nid " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM sn)"
+    "WITH RECURSIVE " +
+      Seq(fixture, c4, lineDedup, quality, decontam, split, export).mkString(", ") +
+      " SELECT CAST(shard AS BIGINT) AS shard, seq_id, " +
+      "CAST(count(*) AS BIGINT) AS n_docs, " +
+      "string_agg(text, chr(10) ORDER BY tok_offset, nid) AS seq_text " +
+      "FROM (SELECT nid, text, shard, CAST((cum - n) // 256 AS BIGINT) AS seq_id, " +
+      "CAST((cum - n) % 256 AS BIGINT) AS tok_offset FROM pk) " +
+      "GROUP BY shard, seq_id"
+  }
 
   /** Capped n-gram Jaccard mirror (maxDocFreq=4): shingles in more than 4
     * docs are dropped and Jaccard is recomputed over the SURVIVING sets —
@@ -981,7 +1114,38 @@ object SparkEntry {
           col("height").cast("long").as("height"), col("pixels").cast("long").as("pixels"))),
     "mm_frames" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.synthesizeFromDocs(docs(s, dir)), 64, 16)
-        .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"))))
+        .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"))),
+
+    // end-to-end pipeline composition — the real training-data shape, every
+    // stage an already-oracled operator, chained through the (doc_id, text)
+    // column contract: C4 clean → corpus line dedup → Gopher quality filter
+    // → benchmark decontamination (doc_id%50 slice as the held-out bench) →
+    // near-dup pairs + leakage-safe split (train slice) → deterministic
+    // shuffle (re-id by shard·2³²+pos, the documented shuffle→pack
+    // composition) → sequence packing → materialized training sequences
+    "pipeline_e2e" -> ((s, dir) => {
+      val cleaned = TextAnalysis.c4Clean(pipeDocs(s, dir),
+          minWordsPerLine = 3, minKeptLines = 4)
+        .filter(col("keep_doc"))
+        .select(col("doc_id"), col("text_clean").as("text"))
+      val lineDeduped = Dedup.dedupLines(cleaned, maxDocFreq = 3)
+        .select(col("doc_id"), col("text_clean").as("text"))
+      val quality = TextAnalysis.qualityFilter(lineDeduped).select("doc_id", "text")
+      val decontaminated = Dedup.decontaminate(
+        quality.filter(col("doc_id") % 50 =!= 0),
+        quality.filter(col("doc_id") % 50 === 0), 3)
+      val train = Dedup.leakageSafeSplit(decontaminated,
+          Dedup.ngramJaccardPairs(decontaminated, 3, 0.5),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .filter(col("split") === "train").select("doc_id", "text")
+      val renumbered = Sampling.shuffleOrder(train, "doc_id", 8)
+        .select((col("shard") * lit(4294967296L) + col("pos")).as("nid"), col("text"))
+      Sampling.materializeSequences(
+          Sampling.packSequences(renumbered, "nid",
+            TextAnalysis.tokenCount(col("text")), 256L, 4),
+          idCol = "nid")
+        .select(col("shard"), col("seq_id"), col("n_docs"), col("seq_text"))
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "s2_json_roundtrip" ->
@@ -1519,5 +1683,6 @@ object SparkEntry {
         "CAST((n_chars % 64 + 1) * (n_chars % 48 + 1) AS BIGINT) AS pixels FROM documents"),
     "mm_frames" ->
       ("SELECT doc_id, CAST(greatest((octet_length(encode(text)) - 64) // 16, 0) + 1 AS BIGINT) " +
-        "AS n_frames FROM documents"))
+        "AS n_frames FROM documents"),
+    "pipeline_e2e" -> PipelineE2eSql)
 }

@@ -303,6 +303,27 @@ class PlanSpec extends AnyFunSuite {
       s"sequence aggregation lost its map-side partial:\n$plan")
   }
 
+  test("pipeline_e2e composes every stage's pinned shape — no cartesian, no shuffle above packing") {
+    val df = SparkEntry.queries("pipeline_e2e")(spark, "/root/testdata/sf0.001")
+    val plan = executedPlan(df)
+    // composing the stages must not flip any keyed join into an all-pairs
+    // product (the failure mode where a stats change un-broadcasts a dim)
+    assert(!plan.contains("CartesianProduct"),
+      s"pipeline composition planned a cartesian product:\n$plan")
+    // the topmost Window is packSequences' prefix sum on hashpartitioning
+    // (shard); materializeSequences' aggregate must reuse that partitioning —
+    // any Exchange printed ABOVE it means the export tail gained a shuffle
+    val firstWindow = plan.indexOf("Window ")
+    assert(firstWindow >= 0, s"pack window missing from plan:\n$plan")
+    assert(!plan.substring(0, firstWindow).contains("Exchange hashpartitioning"),
+      s"materialize no longer reuses packing's shard partitioning:\n$plan")
+    // hot-line / bench-shingle broadcast sides survive the composition
+    assert(plan.contains("BroadcastExchange"),
+      s"expected broadcast joins inside the composed pipeline:\n$plan")
+    // and rows actually flow end-to-end on the smallest fixture
+    assert(df.count() > 0, "pipeline produced no sequences at sf0.001")
+  }
+
   test("topNgrams pushes a partial top-k below the single-partition rank exchange") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = executedPlan(graft.operators.TextAnalysis.topNgrams(docs, 2, 20))
