@@ -566,7 +566,9 @@ object SparkEntry {
         "sn AS (SELECT shard * 4294967296 + pos AS nid, text FROM sh2), " +
         s"pk AS (SELECT nid, text, ${pmSql(hashRawSql("nid"), "4")} AS shard, $TokN AS n, " +
         s"sum($TokN) OVER (PARTITION BY ${pmSql(hashRawSql("nid"), "4")} ORDER BY nid " +
-        "ROWS UNBOUNDED PRECEDING) AS cum FROM sn)"
+        // dropEmpty mirror — provably a no-op here (quality guarantees ≥ 15
+        // tokens) but kept so the fragment stays an exact packSequences mirror
+        s"ROWS UNBOUNDED PRECEDING) AS cum FROM sn WHERE $TokN > 0)"
     "WITH RECURSIVE " +
       Seq(fixture, c4, lineDedup, quality, decontam, split, export).mkString(", ") +
       " SELECT CAST(shard AS BIGINT) AS shard, seq_id, " +
@@ -1586,13 +1588,15 @@ object SparkEntry {
         s"PARTITION BY source ORDER BY $HashB ASC, doc_id ASC) AS rk FROM documents) " +
         "WHERE rk <= 5"),
     // CASTs: DuckDB's sum() over INT promotes to HUGEINT and // / % on it
-    // return DOUBLE — without them the oracle emits 5.0 where Spark emits 5
+    // return DOUBLE — without them the oracle emits 5.0 where Spark emits 5.
+    // The WHERE mirrors packSequences' default dropEmpty (no-op on this
+    // corpus, which has no zero-token docs — kept exact anyway)
     "sample_pack" ->
       (s"SELECT doc_id, ${pmSql(HashRaw, "8")} AS shard, " +
         "CAST((cum - n) // 512 AS BIGINT) AS seq_id, " +
         s"CAST((cum - n) % 512 AS BIGINT) AS tok_offset FROM (SELECT doc_id, $TokN AS n, " +
         s"sum($TokN) OVER (PARTITION BY ${pmSql(HashRaw, "8")} ORDER BY doc_id " +
-        "ROWS UNBOUNDED PRECEDING) AS cum FROM documents)"),
+        s"ROWS UNBOUNDED PRECEDING) AS cum FROM documents WHERE $TokN > 0)"),
     // packed-sequence materialization: same prefix-sum positions as
     // sample_pack, then ORDER BY (tok_offset, doc_id) string_agg per
     // (shard, seq_id) — the array_sort(collect_list(struct)) mirror
@@ -1604,7 +1608,7 @@ object SparkEntry {
         "CAST((cum - n) % 512 AS BIGINT) AS tok_offset FROM (" +
         s"SELECT doc_id, text, ${pmSql(HashRaw, "8")} AS shard, $TokN AS n, " +
         s"sum($TokN) OVER (PARTITION BY ${pmSql(HashRaw, "8")} ORDER BY doc_id " +
-        "ROWS UNBOUNDED PRECEDING) AS cum FROM documents)) " +
+        s"ROWS UNBOUNDED PRECEDING) AS cum FROM documents WHERE $TokN > 0)) " +
         "GROUP BY shard, seq_id"),
     // export shuffle: shard = hash(id, seed 42) mod 8, pos = rank within the
     // shard by the independent seed-43 hash (id tie-break), 0-based

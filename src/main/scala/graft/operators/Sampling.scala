@@ -95,9 +95,19 @@ object Sampling {
     *
     * Scale shape: one exchange on `shard` (pick numShards ≈ cluster cores),
     * then a per-partition running sum (Spark's window frame is streaming for
-    * running totals — no buffering). No global sort, no driver state. */
+    * running totals — no buffering). No global sort, no driver state.
+    *
+    * `dropEmpty` (default true) filters documents whose `tokenCount` is not
+    * positive (zero, negative, or NULL) BEFORE sharding: they carry no
+    * trainable text, and because they never advance the prefix sum,
+    * arbitrarily many of them would share one (seq_id, tok_offset) slot —
+    * the unbounded-group hazard [[materializeSequences]]' state bound
+    * depends on. With the default on, that precondition holds by
+    * construction; pass false only when the caller has already enforced a
+    * positive-token contract and wants the filter elided. */
   def packSequences(df: DataFrame, idCol: String, tokenCount: Column,
-      budget: Long, numShards: Int, seed: Long = 42): DataFrame = {
+      budget: Long, numShards: Int, seed: Long = 42,
+      dropEmpty: Boolean = true): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     // the three output columns are API; refuse to silently clobber a caller's
@@ -111,6 +121,7 @@ object Sampling {
       .find(c => !df.columns.contains(c)).get
     val (nCol, prefixCol) = (temp("n"), temp("prefix"))
     import org.apache.spark.sql.expressions.Window
+    val base = if (dropEmpty) df.filter(tokenCount.cast("long") > 0) else df
     // shard from the full 31-bit hash, NOT the 9973-bucket reduction — with
     // thousands of shards (numShards ≈ cluster cores) the bucket-reduced
     // value would cap usable shards at 9973 and skew load up to 2× whenever
@@ -118,7 +129,7 @@ object Sampling {
     val shard = pmod(hashRaw(col(idCol), seed), lit(numShards.toLong))
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("shard", shard)
+    base.withColumn("shard", shard)
       .withColumn(nCol, tokenCount.cast("long"))
       .withColumn(prefixCol, coalesce(sum(col(nCol)).over(w), lit(0L)))
       // integer division: Column `/` on longs is DOUBLE division, exact only
@@ -137,13 +148,14 @@ object Sampling {
     * Scale shape: ONE exchange keyed on (shard, seq_id) — Catalyst reuses
     * [[packSequences]]' hashpartitioning(shard) for the aggregation
     * (PlanSpec-pinned), so the whole pack → materialize path shuffles once.
-    * The per-group collected state is bounded by the token budget ONLY
-    * under the preconditions: every document has ≥ 1 token (zero-token
-    * documents don't advance the prefix sum, so arbitrarily many of them
-    * share one (seq_id, tok_offset) — filter empties out FIRST; they carry
-    * no trainable text) and no single document exceeds the budget (an
-    * over-budget document is kept whole in its starting sequence —
-    * pack-and-split — so the group bound is max(budget, largest doc)).
+    * The per-group collected state is bounded by max(budget, largest doc):
+    * every document has ≥ 1 token — ENFORCED by [[packSequences]]' default
+    * `dropEmpty` (zero-token documents don't advance the prefix sum, so
+    * arbitrarily many of them would share one (seq_id, tok_offset) slot;
+    * a caller packing with `dropEmpty = false` takes that bound back on
+    * themselves) — and an over-budget document is kept whole in its
+    * starting sequence (pack-and-split), so the group holds at most one
+    * budget's worth of full documents plus the one that crossed in.
     * Ordering inside the sequence is (tok_offset, idCol); the id tie-break
     * keeps the layout deterministic even when offsets collide. */
   def materializeSequences(packed: DataFrame, idCol: String = "doc_id",

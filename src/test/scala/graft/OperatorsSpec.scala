@@ -780,6 +780,41 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences drops zero-token docs by default; over-budget docs pack-and-split whole") {
+    import graft.operators.Sampling
+    // one shard keeps the prefix arithmetic readable; budget 4 is crossed by
+    // doc 4 (10 tokens) — the max(budget, largest-doc) group-bound case
+    val df = Seq(
+      (1L, "a b c"),
+      (2L, ""),
+      (3L, " \t "),
+      (4L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (5L, "x y")).toDF("doc_id", "text")
+    val packed = Sampling.packSequences(df, "doc_id",
+        TextAnalysis.tokenCount($"text"), budget = 4L, numShards = 1)
+      .select($"doc_id", $"seq_id", $"tok_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // empties dropped; doc 4 starts at offset 3 of seq 0 and is kept WHOLE
+    // there (pack-and-split), so doc 5's prefix lands in seq 3
+    assert(packed.toSeq == Seq((1L, 0L, 0L), (4L, 0L, 3L), (5L, 3L, 1L)))
+    // dropEmpty = false keeps zero-token docs: they share the next doc's
+    // (seq_id, tok_offset) slot — the caller owns the group bound again
+    val kept = Sampling.packSequences(df, "doc_id",
+        TextAnalysis.tokenCount($"text"), 4L, 1, dropEmpty = false)
+      .select($"doc_id", $"seq_id", $"tok_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(kept.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 3L), (3L, 0L, 3L),
+      (4L, 0L, 3L), (5L, 3L, 1L)))
+    // materialization conserves every surviving token and keeps the
+    // over-budget doc in its starting sequence
+    val seqs = Sampling.materializeSequences(Sampling.packSequences(df, "doc_id",
+        TextAnalysis.tokenCount($"text"), 4L, 1), sep = " ")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._2)
+    assert(seqs.map(_._3).sum == 3)
+    assert(seqs.flatMap(_._4.split(" ")).length == 15)
+    assert(seqs.head._4 == "a b c t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")
+  }
+
   test("connected components match a driver-side union-find; survivors keep cluster minima") {
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
     val edgeList = pairs.select($"id_a", $"id_b").as[(Long, Long)].collect()
