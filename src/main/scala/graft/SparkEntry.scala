@@ -148,6 +148,13 @@ object SparkEntry {
 
   // --------------------------------------------------- oracle SQL helpers
 
+  /** The engine-wide whitespace character SET, as the raw characters embedded
+    * in a DuckDB single-quoted literal: every oracle `trim` must be the
+    * set-trim `trim(x, '$SqlWs')` — DuckDB's one-arg `trim` strips spaces
+    * only, exactly like Spark's, and both engines must move together on the
+    * unified [\t\n\f\r ] contract (whitespace-only text ⇒ 0 tokens). */
+  private val SqlWs = TextAnalysis.WsCharsRaw
+
   private val TsUs = "epoch_us(CAST(ts AS TIMESTAMP))"
   /** Bit-exact mirror of Spark's (cast(ts as double) * 1000). */
   private val TsMs = s"(($TsUs / 1000000.0) * 1000)"
@@ -183,7 +190,7 @@ object SparkEntry {
     * any minToks >= 2, matching tokenCount == 0 on the Spark side). */
   private def shinglesCte(n: Int, minToks: Int = 0): String =
     s"WITH t AS (SELECT doc_id, list_distinct(${ngramsOfToks(n)}) AS sh " +
-      "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)" +
+      s"FROM (SELECT doc_id, string_split_regex(trim(text, '$SqlWs'), '\\s+') AS toks FROM documents)" +
       (if (minToks > 0) s" WHERE len(toks) >= $minToks" else "") + ")"
 
   private val ShinglesCte = shinglesCte(3)
@@ -412,7 +419,7 @@ object SparkEntry {
     s"$cte AS (SELECT doc_id, len, g, count(*) AS cnt FROM (" +
       "SELECT doc_id, length(text) AS len, " +
       s"unnest(${ngramsOfToks(n)}) AS g " +
-      "FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks " +
+      s"FROM (SELECT doc_id, text, string_split_regex(trim(text, '$SqlWs'), '\\s+') AS toks " +
       s"FROM $src)) GROUP BY 1, 2, 3)"
 
   /** Top-gram char-coverage CTE over a [[gramCteOver]] output — the same
@@ -433,8 +440,8 @@ object SparkEntry {
       topCteOver(src, cte, outCol)
     "WITH d AS (SELECT doc_id, " +
       "regexp_replace(text, '\\. ', '.' || chr(10), 'g') AS text FROM documents), " +
-      "l0 AS (SELECT doc_id, trim(x) AS line FROM (SELECT doc_id, " +
-      "unnest(string_split(text, chr(10))) AS x FROM d) WHERE length(trim(x)) > 0), " +
+      s"l0 AS (SELECT doc_id, trim(x, '$SqlWs') AS line FROM (SELECT doc_id, " +
+      s"unnest(string_split(text, chr(10))) AS x FROM d) WHERE length(trim(x, '$SqlWs')) > 0), " +
       "lc AS (SELECT doc_id, line, count(*) AS cnt FROM l0 GROUP BY 1, 2), " +
       "la AS (SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct, " +
       "sum(cnt * length(line)) AS line_chars, " +
@@ -528,8 +535,8 @@ object SparkEntry {
         "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM ldnz " +
         "WHERE line NOT IN (SELECT line FROM ldhot) GROUP BY 1) reb USING (doc_id))"
     val quality =
-      "ql0 AS (SELECT doc_id, trim(x) AS line FROM (SELECT doc_id, " +
-        "unnest(string_split(text, chr(10))) AS x FROM ld) WHERE length(trim(x)) > 0), " +
+      s"ql0 AS (SELECT doc_id, trim(x, '$SqlWs') AS line FROM (SELECT doc_id, " +
+        s"unnest(string_split(text, chr(10))) AS x FROM ld) WHERE length(trim(x, '$SqlWs')) > 0), " +
         "qla AS (SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct FROM (" +
         "SELECT doc_id, line, count(*) AS cnt FROM ql0 GROUP BY 1, 2) GROUP BY 1), " +
         s"${gramCteOver(2, "qg2", "ld")}, ${topCteOver("qg2", "qt2", "t2")}, " +
@@ -540,7 +547,7 @@ object SparkEntry {
         "AND COALESCE(t2, 0.0) <= 0.2 AND COALESCE(t3, 0.0) <= 0.18)"
     val decontam =
       s"dsh AS (SELECT doc_id, list_distinct(${ngramsOfToks(3)}) AS sh " +
-        "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM qf)), " +
+        s"FROM (SELECT doc_id, string_split_regex(trim(text, '$SqlWs'), '\\s+') AS toks FROM qf)), " +
         "bench AS (SELECT DISTINCT unnest(sh) AS s FROM dsh WHERE doc_id % 50 = 0), " +
         "bad AS (SELECT DISTINCT c.doc_id FROM (SELECT doc_id, unnest(sh) AS s " +
         "FROM dsh WHERE doc_id % 50 <> 0) c JOIN bench USING (s)), " +
@@ -596,9 +603,9 @@ object SparkEntry {
 
   private val enStops = TextAnalysis.stopwords("en")
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
-  private val LowerToks = "string_split_regex(trim(lower(text)), '\\s+')"
-  private val RawToks = "string_split_regex(trim(text), '\\s+')"
-  private val TokN = s"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($RawToks) END)"
+  private val LowerToks = s"string_split_regex(trim(lower(text), '$SqlWs'), '\\s+')"
+  private val RawToks = s"string_split_regex(trim(text, '$SqlWs'), '\\s+')"
+  private val TokN = s"(CASE WHEN length(trim(text, '$SqlWs')) = 0 THEN 0 ELSE len($RawToks) END)"
   private val StopRatioSql =
     s"(CASE WHEN $TokN = 0 THEN 0.0 ELSE " +
       s"CAST(len(list_filter($LowerToks, x -> x IN (${sqlList(enStops)}))) AS DOUBLE) / len($RawToks) END)"
@@ -674,7 +681,7 @@ object SparkEntry {
     * sequence the JVM hashes. */
   private val PolyHashCte = {
     import graft.functions.PolyHash64.{B, C1, C2}
-    "WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t " +
+    s"WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text, '$SqlWs'), '\\s+')) AS t " +
       "FROM documents), " +
       "hx AS (SELECT doc_id, hex(encode(t)) AS x FROM tok), " +
       "byt AS (SELECT doc_id, [CAST(CAST('0x' || substr(x, 2*i+1, 2) AS INT) AS HUGEINT) " +
@@ -1264,7 +1271,7 @@ object SparkEntry {
         s"CAST(${wstart(DAY)} * 1000 AS DOUBLE) AS ts_ms, ${sqlRound2("AVG(value)")} AS value " +
         "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3"),
     "dedup_exact" ->
-      ("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint, " +
+      (s"SELECT md5(regexp_replace(lower(trim(text, '$SqlWs')), '\\s+', ' ', 'g')) AS fingerprint, " +
         "MIN(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1"),
     "dedup_ngram" -> JaccardPairsSql,
     "dedup_ngram_capped" -> JaccardCappedPairsSql,
@@ -1290,7 +1297,7 @@ object SparkEntry {
         "WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)"),
     "dedup_exact_survivors" ->
       ("SELECT doc_id FROM documents WHERE doc_id IN (SELECT MIN(doc_id) " +
-        "FROM documents GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))"),
+        s"FROM documents GROUP BY md5(regexp_replace(lower(trim(text, '$SqlWs')), '\\s+', ' ', 'g')))"),
     // MinHash-LSH with k=128, b=32, r=4 has recall ≈ 1 − 1.5e-15 at the
     // dataset's minimum true-pair similarity (J ≥ 0.9) and exact verification,
     // so its output equals the exact-Jaccard pair set.
@@ -1311,7 +1318,7 @@ object SparkEntry {
     // exactly (a NULL fingerprint matches nothing and survives)
     "dedup_incremental" ->
       ("WITH fp AS (SELECT doc_id, " +
-        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f FROM documents) " +
+        s"md5(regexp_replace(lower(trim(text, '$SqlWs')), '\\s+', ' ', 'g')) AS f FROM documents) " +
         "SELECT b.doc_id FROM fp b WHERE NOT EXISTS (" +
         "SELECT 1 FROM fp s WHERE s.doc_id % 4 <> 3 AND s.f = b.f)"),
     // line dedup mirror: df per trimmed non-empty line (the operator counts
@@ -1550,7 +1557,7 @@ object SparkEntry {
         s"(CASE WHEN $TokN = 0 THEN 0.0 ELSE " +
         s"1.0 - CAST(len(list_distinct($RawToks)) AS DOUBLE) / len($RawToks) END) AS repetition_ratio, " +
         s"$QualitySql AS quality, " +
-        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint " +
+        s"md5(regexp_replace(lower(trim(text, '$SqlWs')), '\\s+', ' ', 'g')) AS fingerprint " +
         "FROM documents"),
     "text_langid" -> LangIdSql,
     // quantile cutoff: the interpolation replays Spark Percentile's exact
@@ -1625,7 +1632,7 @@ object SparkEntry {
         "fx AS (SELECT d.doc_id, b.gtext AS text, d.source FROM documents d " +
         "JOIN base b ON d.doc_id // 4 = b.g), " +
         "r AS (SELECT doc_id, source, " +
-        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f, " +
+        s"md5(regexp_replace(lower(trim(text, '$SqlWs')), '\\s+', ' ', 'g')) AS f, " +
         "CASE source WHEN 'src7' THEN 1 WHEN 'src2' THEN 2 WHEN 'src13' THEN 3 " +
         "ELSE 4 END AS rank FROM fx) " +
         "SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER (" +
@@ -1668,7 +1675,7 @@ object SparkEntry {
     // chunk math: stride 48, nc = max(ceil((n-16)/48), 1), chunk i covers
     // 1-based token slots [i·48+1, i·48+64] — all integer arithmetic
     "text_chunk_tokens" ->
-      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks " +
+      (s"WITH t AS (SELECT doc_id, string_split_regex(trim(text, '$SqlWs'), '\\s+') AS toks " +
         s"FROM documents WHERE $TokN > 0), " +
         "c AS (SELECT doc_id, toks, greatest((len(toks) - 16 + 47) // 48, 1) AS nc FROM t), " +
         "e AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS chunk_id FROM c) " +
@@ -1677,7 +1684,7 @@ object SparkEntry {
         "CAST(length(array_to_string(toks[chunk_id*48 + 1 : chunk_id*48 + 64], ' ')) AS BIGINT) " +
         "AS chunk_len FROM e"),
     "text_tokens" ->
-      (s"SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($RawToks) END AS BIGINT) AS n_ws, " +
+      (s"SELECT doc_id, CAST(CASE WHEN length(trim(text, '$SqlWs')) = 0 THEN 0 ELSE len($RawToks) END AS BIGINT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[^a-zA-Z\\s]+')) AS BIGINT) AS n_bpeish " +
         "FROM documents"),
     "mm_meta" ->

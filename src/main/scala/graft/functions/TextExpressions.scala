@@ -38,17 +38,16 @@ case class WordNGrams(child: Expression, n: Int, distinct: Boolean = true)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    // EXACTLY TextAnalysis.tokens' semantics — SQL trim strips SPACES only
-    // (not Java trim's full whitespace), SQL split keeps leading/trailing
-    // empty tokens, and the delimiter class is the explicit [\t\n\f\r ]
-    // (TextAnalysis.WsClass — RE2's \s, NOT Java's which adds U+000B);
-    // DuckDB's trim + string_split_regex('\s+') behave identically, so every
-    // engine sees the same token list for every input
+    // EXACTLY TextAnalysis.tokens' semantics — the SET-trim over the explicit
+    // [\t\n\f\r ] class (TextAnalysis.WsCharsRaw; RE2's \s, NOT Java's which
+    // adds U+000B), then split on the same class, keeping interior empties
+    // like SQL split; DuckDB's trim(x, chars) + string_split_regex('\s+')
+    // behave identically, so every engine sees the same token list
     val str = input.asInstanceOf[UTF8String].toString
     var s = 0
     var e = str.length
-    while (s < e && str.charAt(s) == ' ') s += 1
-    while (e > s && str.charAt(e - 1) == ' ') e -= 1
+    while (s < e && WordNGrams.isWs(str.charAt(s))) s += 1
+    while (e > s && WordNGrams.isWs(str.charAt(e - 1))) e -= 1
     val toks = WordNGrams.Ws.split(str.substring(s, e), -1)
     val count = math.max(toks.length - n + 1, 1) // short texts yield one (short) shingle
     val seen = if (distinct) new java.util.LinkedHashSet[String](count * 2) else null
@@ -82,6 +81,8 @@ case class WordNGrams(child: Expression, n: Int, distinct: Boolean = true)
 object WordNGrams {
   private[functions] val Ws =
     java.util.regex.Pattern.compile(graft.operators.TextAnalysis.WsClass + "+")
+  private[functions] def isWs(c: Char): Boolean =
+    c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == ' '
 }
 
 /** ALL bigram occurrences ("w1 w2", in order, WITH multiplicity) of the
@@ -120,12 +121,10 @@ case class LmBigrams(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val str = input.asInstanceOf[UTF8String].toLowerCase.toString
-    def isWs(c: Char) =
-      c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == ' '
     var s = 0
     var e = str.length
-    while (s < e && isWs(str.charAt(s))) s += 1
-    while (e > s && isWs(str.charAt(e - 1))) e -= 1
+    while (s < e && WordNGrams.isWs(str.charAt(s))) s += 1
+    while (e > s && WordNGrams.isWs(str.charAt(e - 1))) e -= 1
     val toks = WordNGrams.Ws.split(str.substring(s, e), -1)
     if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](toks.length - 1)

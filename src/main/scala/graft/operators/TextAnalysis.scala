@@ -27,12 +27,17 @@ object TextAnalysis {
 
   /** Whitespace tokens of trimmed text (deterministic, single definition used
     * by every operator below — and mirrored by the DuckDB oracles' `\s+`,
-    * which in RE2 is exactly [[WsClass]]). */
-  def tokens(text: Column): Column = split(trim(text), s"$WsClass+")
+    * which in RE2 is exactly [[WsClass]]). The trim must be the SET-trim
+    * (`trim(col, chars)`): Spark's one-arg `trim` strips spaces only, so a
+    * doc wrapped in tabs/newlines would mint phantom "" edge tokens. */
+  def tokens(text: Column): Column =
+    split(trim(text, WsCharsRaw), s"$WsClass+")
 
-  /** Token count: whitespace tokenization. */
+  /** Token count: whitespace tokenization. Whitespace-ONLY text (any mix of
+    * [[WsCharsRaw]]) counts 0 — the guard below and [[tokens]] must share the
+    * same set-trim or `" \t "` would count 2 phantom tokens. */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+    when(length(trim(text, WsCharsRaw)) === 0, lit(0)).otherwise(size(tokens(text)))
 
   /** BPE-ish subword proxy: tokens are maximal runs of letters OR maximal
     * runs of non-letter-non-space characters — a cheap deterministic
@@ -133,7 +138,7 @@ object TextAnalysis {
   /** Document fingerprint: md5 of the normalized (lowercased, trimmed,
     * whitespace-collapsed) text — the exact-dedup key. */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), s"$WsClass+", " ").cast("binary"))
+    md5(regexp_replace(lower(trim(text, WsCharsRaw)), s"$WsClass+", " ").cast("binary"))
 
   /** Byte-level rolling fingerprints (Rabin–Karp, see
     * [[graft.functions.RollingHashes]]): sampled down to the hashes that hit a
@@ -271,7 +276,7 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     val base = docs.select(col(idCol), col(textCol))
     val lineCounts = base.select(col(idCol),
-        explode(filter(transform(split(col(textCol), "\n"), l => trim(l)),
+        explode(filter(transform(split(col(textCol), "\n"), l => trim(l, WsCharsRaw)),
           l => length(l) > 0)).as("line"))
       .groupBy(idCol, "line").agg(count(lit(1)).as("cnt"))
     val lineAgg = lineCounts.groupBy(idCol).agg(
@@ -326,7 +331,7 @@ object TextAnalysis {
     // length(trim) > 0 ⟺ tokenCount > 0 (split never yields an empty array)
     // but avoids tokenizing each row twice — the filter and the projection
     // don't share subexpressions across exec nodes
-    docs.filter(length(trim(col(textCol))) > 0)
+    docs.filter(length(trim(col(textCol), WsCharsRaw)) > 0)
       .select(col(idCol), tokens(col(textCol)).as("_toks"))
       .withColumn("_n", size(col("_toks")).cast("long"))
       // ceil((n − overlap) / stride) chunks, at least 1 (integer ceil spelled

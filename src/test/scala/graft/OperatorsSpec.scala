@@ -357,11 +357,11 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(1L) == ((1L, 3L, 1.0 - 2.0 / 3.0, 6.0 / 9.0, 6.0 / 11.0, 5.0 / 11.0)))
     assert(rows(2L) == ((2L, 1L, 0.0, 0.0, 3.0 / 5.0, 5.0 / 5.0)))
     assert(rows(3L) == ((3L, 0L, 0.0, 0.0, 0.0, 0.0)))
-    // " \n \n " space-trims to "\n \n" → two empty tokens (SQL split keeps
-    // edge empties) → the only gram is the joining " " → 1 char of 5 = 0.2;
-    // DuckDB computes the identical value — pinned here so a revert to Java
-    // trim (which gave 0.0) fails this test
-    assert(rows(4L) == ((4L, 0L, 0.0, 0.0, 1.0 / 5.0, 1.0 / 5.0)))
+    // " \n \n " set-trims the whole [\t\n\f\r ] class to "" → zero tokens,
+    // zero grams, all fractions 0.0; the DuckDB mirror set-trims identically.
+    // Pinned so a revert to space-only trim (which minted phantom "" edge
+    // tokens and scored 0.2 here) fails this test
+    assert(rows(4L) == ((4L, 0L, 0.0, 0.0, 0.0, 0.0)))
   }
 
   test("quality filter drops short, line-duplicated and gram-repetitious docs") {
@@ -425,9 +425,9 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("WordNGrams agrees with tokens() split semantics on edge whitespace") {
-    // SQL trim strips spaces ONLY and SQL split keeps leading/trailing empty
-    // tokens; the native expression must agree for every input or the DuckDB
-    // mirrors (same trim+split) silently diverge on texts with edge newlines
+    // tokens() SET-trims the [\t\n\f\r ] class from both ends then splits on
+    // the same class; the native expression must agree for every input or the
+    // DuckDB mirrors (same set-trim+split) silently diverge on edge newlines
     import graft.operators.TextAnalysis.tokens
     val d = Seq("hi.\n", "\nhi.", "a b ", " a b", "\t a \n", "\n", "")
       .toDF("text")
