@@ -112,6 +112,16 @@ object SparkEntry {
       concat(lit("Badge "), (col("doc_id") % 5).cast("string"),
         lit(" reporting in today!"))))
 
+  /** The pipeline_e2e near-dup pair stage. maxDocFreq caps the shingle
+    * document-frequency BEFORE the pair self-join: a shingle shared by d docs
+    * contributes O(d²) join rows, so one hot shingle (boilerplate, stop-word
+    * run) makes its bucket quadratic at 100×. The capped path anti-joins hot
+    * shingles away (broadcast) and recounts set sizes, keeping every join
+    * bucket ≤ maxDocFreq wide. Named (not inlined in the query) so PlanSpec
+    * pins the anti-join on THIS function — the one the composition executes. */
+  private[graft] def pipelinePairs(decontaminated: DataFrame): DataFrame =
+    Dedup.ngramJaccardPairs(decontaminated, 3, 0.5, maxDocFreq = 4)
+
   private def spec(fn: String, metricName: String,
       grouped: Seq[String] = Seq("user_id"),
       filtered: Map[String, String] = Map.empty,
@@ -554,11 +564,20 @@ object SparkEntry {
         "dc AS (SELECT doc_id, text FROM qf WHERE doc_id % 50 <> 0 " +
         "AND doc_id NOT IN (SELECT doc_id FROM bad))"
     val split =
+      // df-capped pair mirror (maxDocFreq=4, same shape as
+      // JaccardCappedPairsSql): drop shingles in > 4 surviving docs, recount
+      // set sizes post-filter, Jaccard over the surviving sets only
       "psh AS (SELECT dsh.doc_id, dsh.sh FROM dsh JOIN dc USING (doc_id)), " +
+        "pe AS (SELECT doc_id, unnest(sh) AS s FROM psh), " +
+        "pdf AS (SELECT s, count(*) AS df FROM pe GROUP BY 1), " +
+        "psur AS (SELECT pe.doc_id, pe.s FROM pe JOIN pdf USING (s) WHERE df <= 4), " +
+        "psz AS (SELECT doc_id, count(*) AS n FROM psur GROUP BY 1), " +
         "pp AS (SELECT id_a, id_b FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
-        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard " +
-        "FROM psh a JOIN psh b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5), " +
+        "CAST(count(*) AS DOUBLE) / " +
+        "(any_value(sa.n) + any_value(sb.n) - count(*)) AS jaccard " +
+        "FROM psur a JOIN psur b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "JOIN psz sa ON sa.doc_id = a.doc_id JOIN psz sb ON sb.doc_id = b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id) WHERE jaccard >= 0.5), " +
         "edges AS (SELECT id_a AS src, id_b AS dst FROM pp UNION SELECT id_b, id_a FROM pp), " +
         "reach(a, b) AS (SELECT src, dst FROM edges " +
         "UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src), " +
@@ -757,12 +776,13 @@ object SparkEntry {
         .select(col("w.start").cast("long").as("window_start"), col("tenant_id"),
           col("dim_vip").as("vip"), col("dim_user_id").as("user_id"),
           col("agg_value").as("value"))),
-    // F5 — multi-rule fan-out over one source (union of two compiled rules)
+    // F5 — multi-rule fan-out over one source, via the shared-scan config
+    // compiler (one job, name-isin pre-filter pushed into every branch)
     "f5_multi_rule" -> ((s, dir) => {
-      val e = envs(s, dir)
-      val a = RuleCompiler.compile(spec("count", "click", grouped = Seq.empty), HOUR)(e)
-      val b = RuleCompiler.compile(spec("sum", "purchase", grouped = Seq.empty), DAY)(e)
-      a.unionByName(b).select(col("metric.name").as("name"),
+      RuleCompiler.compileAll(Seq(
+          (spec("count", "click", grouped = Seq.empty), HOUR),
+          (spec("sum", "purchase", grouped = Seq.empty), DAY)))(envs(s, dir))
+        .select(col("metric.name").as("name"),
         col("meta").getItem("tenantId").as("tenant_id"),
         col("metric.timestamp").as("ts_ms"),
         safeRound2(col("metric.value")).as("value"))
@@ -1060,6 +1080,20 @@ object SparkEntry {
         Sampling.packSequences(docs(s, dir), "doc_id",
           TextAnalysis.tokenCount(col("text")), 512L, 8))
         .select("shard", "seq_id", "n_docs", "seq_text")),
+    // trainer-facing token-id export: 256-token corpus-learned vocab (rank by
+    // count desc, token asc), OOV id 9999; the array<long> result is
+    // posexploded to (shard, seq_id, pos, token_id) rows so the oracle
+    // compares every id at every position exactly
+    "sample_pack_ids" -> ((s, dir) => {
+      val vocab = TextAnalysis.learnVocab(docs(s, dir), 256)
+      Sampling.materializeTokenIds(
+          Sampling.packSequences(docs(s, dir), "doc_id",
+            TextAnalysis.tokenCount(col("text")), 512L, 8),
+          vocab, oovId = 9999L)
+        .select(col("shard"), col("seq_id"), posexplode(col("token_ids")))
+        .select(col("shard"), col("seq_id"), col("pos").cast("long").as("pos"),
+          col("col").as("token_id"))
+    }),
     // deterministic training-export shuffle: 8 shards, hash-ordered
     // positions — the reproducible global permutation without a global sort
     "sample_shuffle" -> ((s, dir) =>
@@ -1132,6 +1166,11 @@ object SparkEntry {
     // near-dup pairs + leakage-safe split (train slice) → deterministic
     // shuffle (re-id by shard·2³²+pos, the documented shuffle→pack
     // composition) → sequence packing → materialized training sequences
+    //
+    // The pair stage lives in [[pipelinePairs]] so its 100 TB-critical shape
+    // (df-capped shingle join) is pinned by PlanSpec on the exact function
+    // this composition calls — connectedComponents' eager checkpoints sever
+    // the pair plan from the final query plan, so it can't be pinned there.
     "pipeline_e2e" -> ((s, dir) => {
       val cleaned = TextAnalysis.c4Clean(pipeDocs(s, dir),
           minWordsPerLine = 3, minKeptLines = 4)
@@ -1144,7 +1183,7 @@ object SparkEntry {
         quality.filter(col("doc_id") % 50 =!= 0),
         quality.filter(col("doc_id") % 50 === 0), 3)
       val train = Dedup.leakageSafeSplit(decontaminated,
-          Dedup.ngramJaccardPairs(decontaminated, 3, 0.5),
+          pipelinePairs(decontaminated),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .filter(col("split") === "train").select("doc_id", "text")
       val renumbered = Sampling.shuffleOrder(train, "doc_id", 8)
@@ -1617,6 +1656,30 @@ object SparkEntry {
         s"sum($TokN) OVER (PARTITION BY ${pmSql(HashRaw, "8")} ORDER BY doc_id " +
         s"ROWS UNBOUNDED PRECEDING) AS cum FROM documents WHERE $TokN > 0)) " +
         "GROUP BY shard, seq_id"),
+    // token-id export mirror: vocab = top-256 tokens by (count DESC, token
+    // ASC) with 0-based rank ids; same pack CTE as sample_pack_seqs; each
+    // packed doc's tokens enumerated in order (LATERAL index, like the
+    // emb_quantize slot mirror), vocab-joined with OOV 9999; pos = rank by
+    // (tok_offset, doc_id, token index) within the (shard, seq_id) group —
+    // exactly the array_sort(struct)-flatten order on the Spark side
+    "sample_pack_ids" ->
+      (s"WITH vocab AS (SELECT t, CAST(row_number() OVER (ORDER BY cnt DESC, t ASC) - 1 AS BIGINT) AS tid " +
+        s"FROM (SELECT t, count(*) AS cnt FROM (SELECT unnest($RawToks) AS t FROM documents) " +
+        "WHERE t <> '' GROUP BY t) ORDER BY cnt DESC, t ASC LIMIT 256), " +
+        "pk AS (SELECT doc_id, text, shard, " +
+        "CAST((cum - n) // 512 AS BIGINT) AS seq_id, " +
+        "CAST((cum - n) % 512 AS BIGINT) AS tok_offset FROM (" +
+        s"SELECT doc_id, text, ${pmSql(HashRaw, "8")} AS shard, $TokN AS n, " +
+        s"sum($TokN) OVER (PARTITION BY ${pmSql(HashRaw, "8")} ORDER BY doc_id " +
+        s"ROWS UNBOUNDED PRECEDING) AS cum FROM documents WHERE $TokN > 0)), " +
+        "dt AS (SELECT doc_id, shard, seq_id, tok_offset, i - 1 AS ti, toks[i] AS t FROM " +
+        s"(SELECT doc_id, shard, seq_id, tok_offset, $RawToks AS toks FROM pk), " +
+        "LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)) " +
+        "SELECT shard, seq_id, " +
+        "CAST(row_number() OVER (PARTITION BY shard, seq_id " +
+        "ORDER BY tok_offset, doc_id, ti) - 1 AS BIGINT) AS pos, " +
+        "CAST(COALESCE(tid, 9999) AS BIGINT) AS token_id " +
+        "FROM dt LEFT JOIN vocab USING (t)"),
     // export shuffle: shard = hash(id, seed 42) mod 8, pos = rank within the
     // shard by the independent seed-43 hash (id tie-break), 0-based
     "sample_shuffle" ->

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native expression producing the word n-gram shingles of a text (tokens =
@@ -140,6 +140,67 @@ case class LmBigrams(child: Expression)
     copy(child = newChild)
 }
 
+/** Token-id encoding of a text: [[WordNGrams]]' exact tokenization (set-trim
+  * over [\t\n\f\r ], split on the same class), each token looked up in an
+  * in-memory vocabulary (token → id), unknowns mapped to `oovId`. NULL,
+  * empty and whitespace-only text yield an EMPTY array (0 ids — agreeing
+  * with `TextAnalysis.tokenCount`'s 0, NOT with `tokens()`'s [""]), so
+  * token-count conservation holds exactly: len(result) == tokenCount(text).
+  *
+  * The vocabulary ships inside the serialized expression — right for the
+  * config-sized vocabs of the export path (a 256–64K-entry map is KBs–MBs of
+  * plan); a corpus-learned multi-GB vocab would ride an explicit broadcast
+  * variable + join instead. It is indexed ONCE per deserialized instance
+  * (i.e. once per executor task-set, not per row) into a HashMap, so the
+  * per-token cost is one O(1) probe — the same reason this is a native
+  * expression and not a per-element higher-order-function lambda or a
+  * linear-scan literal-map lookup. */
+case class TokenIds(child: Expression, vocab: Map[String, Long], oovId: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"TokenIds requires a string argument, got ${other.simpleString}")
+  }
+
+  @transient private lazy val table: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (k, v) => m.put(k, java.lang.Long.valueOf(v)) }
+    m
+  }
+
+  override def nullable: Boolean = false
+  private val EmptyResult = new GenericArrayData(Array.empty[Any])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) EmptyResult else nullSafeEval(v)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val str = input.asInstanceOf[UTF8String].toString
+    var s = 0
+    var e = str.length
+    while (s < e && WordNGrams.isWs(str.charAt(s))) s += 1
+    while (e > s && WordNGrams.isWs(str.charAt(e - 1))) e -= 1
+    if (e == s) return EmptyResult
+    val toks = WordNGrams.Ws.split(str.substring(s, e), -1)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val id = table.get(toks(i))
+      out(i) = if (id == null) java.lang.Long.valueOf(oovId) else id
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenIds =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Distinct word n-gram shingles as a codegen-compatible native expression. */
   def wordNGrams(text: Column, n: Int): Column =
@@ -152,4 +213,9 @@ object TextExpressions {
   /** Every LM-tokenized bigram occurrence (multiset, in order). */
   def lmBigrams(text: Column): Column =
     GraftBridge.column(LmBigrams(GraftBridge.expression(text)))
+
+  /** Vocabulary-mapped token ids (OOV → `oovId`); empty/whitespace-only/NULL
+    * text → empty array. See [[TokenIds]]. */
+  def tokenIds(text: Column, vocab: Map[String, Long], oovId: Long): Column =
+    GraftBridge.column(TokenIds(GraftBridge.expression(text), vocab, oovId))
 }

@@ -170,6 +170,40 @@ object Sampling {
             s => s.getField(textCol)),
           sep).as("seq_text"))
 
+  /** Materialize the packed sequences as TRAINER-FACING TOKEN IDS: the
+    * vocab-mapped variant of [[materializeSequences]]. Each document's text
+    * is encoded map-side by the native [[graft.functions.TokenIds]]
+    * expression (the engine tokenization, one O(1) hash probe per token,
+    * OOV → `oovId`), then each (shard, seq_id)'s id arrays are concatenated
+    * in (tok_offset, id) position order. Output: (shard, seq_id, n_docs,
+    * token_ids array<long>).
+    *
+    * Scale shape: identical to [[materializeSequences]] — the encoding rides
+    * the existing scan (narrow), and the ONE exchange keyed on (shard,
+    * seq_id) reuses [[packSequences]]' hashpartitioning(shard). The vocab
+    * travels with the serialized expression (config-sized: 256–64K entries);
+    * see [[graft.functions.TokenIds]] for the broadcast-variable escalation
+    * path. Token conservation: len(token_ids) per group equals the group's
+    * summed tokenCount — the empty-text encoding (0 ids) agrees with
+    * tokenCount = 0, and [[packSequences]]' default `dropEmpty` keeps such
+    * rows out anyway. */
+  def materializeTokenIds(packed: DataFrame, vocab: Map[String, Long],
+      oovId: Long, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tids = Iterator.from(0).map(i => s"__graft_tids$i")
+      .find(c => !packed.columns.contains(c)).get
+    packed
+      .withColumn(tids,
+        graft.functions.TextExpressions.tokenIds(col(textCol), vocab, oovId))
+      .groupBy("shard", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        flatten(
+          transform(
+            array_sort(collect_list(
+              struct(col("tok_offset"), col(idCol), col(tids)))),
+            s => s.getField(tids))).as("token_ids"))
+  }
+
   /** Deterministic corpus shuffle for training export: every row gets a
     * `shard` (portable id hash — even load by construction) and a dense
     * 0-based `pos` within the shard, ordered by an INDEPENDENT second hash

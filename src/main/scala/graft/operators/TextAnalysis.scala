@@ -39,6 +39,25 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     when(length(trim(text, WsCharsRaw)) === 0, lit(0)).otherwise(size(tokens(text)))
 
+  /** Corpus-learned vocabulary for the token-id export: the `size`
+    * most-frequent whitespace tokens, id = 0-based rank in the TOTAL order
+    * (count DESC, token ASC) — the tie-break makes the cut at the boundary
+    * deterministic on every run and engine. Driver-side collect is bounded by
+    * `size` (config-scale, like the k-means centroid pulls) — the frequency
+    * aggregation itself is a distributed map-side-combined groupBy. */
+  def learnVocab(docs: DataFrame, size: Int, textCol: String = "text"): Map[String, Long] = {
+    require(size >= 1, s"vocab size must be >= 1, got $size")
+    docs.select(explode(tokens(col(textCol))).as("t"))
+      .filter(length(col("t")) > 0) // empty text tokenizes to [""] — never a vocab entry
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t").asc)
+      .limit(size)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => r.getString(0) -> i.toLong }
+      .toMap
+  }
+
   /** BPE-ish subword proxy: tokens are maximal runs of letters OR maximal
     * runs of non-letter-non-space characters — a cheap deterministic
     * stand-in for a real tokenizer's count (splits "don't" into 3, "a1b"

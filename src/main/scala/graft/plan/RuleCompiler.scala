@@ -178,4 +178,30 @@ object RuleCompiler {
     val grouped = aggregate(spec, windowSizeSec)(prepare(spec)(df))
     if (spec.rollup.isDefined) rollup(spec, windowSizeSec)(grouped) else grouped
   }
+
+  /** A WHOLE RULE CONFIG as one job: every rule's compiled plan unioned over
+    * a shared source with a single `metric.name IN (...)` pre-filter — the
+    * batch analog of the reference's per-message loop over every configured
+    * rule (server.go:316-320), but submitted as ONE query.
+    *
+    * Why this beats compiling rules as separate queries at config scale:
+    *  - one job, one driver round of analysis/optimization/scheduling and one
+    *    output sink instead of N query submissions (the per-query fixed cost
+    *    dominates small rules — see RuleFanoutBench's separate-vs-union gap);
+    *  - the `isin` pre-filter is pushed into EVERY branch's scan alongside
+    *    that branch's own name-equality, so the N union branches read
+    *    DISJOINT name slices: with parquet row-group stats the union's total
+    *    I/O approximates ONE filtered pass of the source, not N full scans;
+    *  - rules' shuffles stay independent (each branch keeps its own
+    *    window/tenant/dims partitioning) — no artificial barrier between
+    *    rules, and a straggler rule does not gate the others' stages.
+    * Catalyst plans the union in one pass; analysis is still O(total plan
+    * size), so the slope that remains is ~linear in rules but with the
+    * per-QUERY constant removed (measured: RuleFanoutBench, SCALE.md). */
+  def compileAll(specs: Seq[(AggregationSpec, Long)]): DataFrame => DataFrame = { df =>
+    require(specs.nonEmpty, "at least one rule required")
+    val names = specs.map(_._1.filteredMetricName).distinct
+    val pre = df.filter(col("metric.name").isin(names: _*))
+    specs.map { case (s, w) => compile(s, w)(pre) }.reduce(_ unionByName _)
+  }
 }

@@ -36,13 +36,21 @@ object EventsAdapter {
       .otherwise(baseDims)
     // epoch micros regardless of how the parquet reader surfaced `ts`
     // (int64 nanos under the legacy conf, TIMESTAMP_NTZ for micros parquet
-    // written without a UTC flag — the testdata generator's wall clocks ARE
-    // UTC instants, pinned explicitly so a non-UTC session tz can't shift
-    // them — or a proper timestamp)
+    // written without a UTC flag, or a proper timestamp)
     val tsUs = events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
       case org.apache.spark.sql.types.TimestampNTZType =>
-        unix_micros(to_utc_timestamp(col("ts"), "UTC"))
+        // NTZ is a zoneless wall clock; the testdata generator's wall clocks
+        // ARE UTC instants. Spark's implicit NTZ→TIMESTAMP cast interprets
+        // the wall clock in the SESSION time zone (epoch = wall − off(S));
+        // re-shifting by that same zone (from_utc_timestamp adds off(S))
+        // cancels the session dependence exactly, so the wall clock is read
+        // as UTC under ANY session tz — not just the entry points' UTC pin.
+        // (Within a DST transition hour of a non-UTC session the two offset
+        // lookups can disagree by the DST delta; the UTC-pinned entry points
+        // never hit that, and UTC itself has no transitions.)
+        unix_micros(from_utc_timestamp(col("ts"),
+          events.sparkSession.conf.get("spark.sql.session.timeZone")))
       case _ => unix_micros(col("ts"))
     }
     events.select(

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness must stay self-auditing: the baseline harvester has to
+  * recover per-query times from the driver's TRUNCATED tail captures (every
+  * BENCH_r1..r9 artifact stored only ~2000 chars of stdout with escaped
+  * quotes), or the 3× contention-rerun heuristic silently never fires. */
+class BenchSpec extends AnyFunSuite {
+
+  test("previousRoundTimes harvests query times from a truncated escaped tail") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec").toFile
+    // mimics the driver wrapper: JSON file whose `tail` value is the escaped
+    // LAST chunk of stdout, starting mid-entry like the real artifacts
+    val wrapper =
+      """{
+        |  "n": 9,
+        |  "rc": 0,
+        |  "cpus": 32,
+        |  "sf": 0.1,
+        |  "tail": "ivors\":2.667569319,\"dedup_ngram\":1.501970966,\"a1_sum_1d\":0.25,\"w1_count_1h\":0.5,\"text_stats\":1.25,\"sim_topk\":0.125,\"pipeline_e2e\":20.25\"",
+        |  "parsed": null
+        |}""".stripMargin
+    java.nio.file.Files.write(new java.io.File(dir, "BENCH_r09.json").toPath,
+      wrapper.getBytes("UTF-8"))
+    val times = Bench.previousRoundTimes(dir.getAbsolutePath)
+    assert(times("dedup_ngram") == 1.501970966)
+    assert(times("pipeline_e2e") == 20.25)
+    // wrapper keys are harvested too but can never shadow a query name —
+    // lookups at the use site go through real query names only
+    assert(times.size >= 7)
+  }
+
+  test("previousRoundTimes returns empty when no artifact has enough entries") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec2").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "BENCH_r01.json").toPath,
+      """{"n": 1, "rc": 0}""".getBytes("UTF-8"))
+    assert(Bench.previousRoundTimes(dir.getAbsolutePath).isEmpty)
+  }
+
+  test("sig3 renders bench-scale values in at most 4 chars, without exponents") {
+    assert(Bench.sig3(20.25) == "20.3" || Bench.sig3(20.25) == "20.2")
+    assert(Bench.sig3(0.0601234) == "0.06")
+    assert(Bench.sig3(123.456) == "123")
+    assert(Bench.sig3(-1.0) == "-1")
+    assert(Bench.sig3(9.996) == "10.00" || Bench.sig3(9.996).length <= 5)
+    Seq(0.001, 0.06, 1.23, 9.49, 20.25, 99.9, 123.4, 999.0).foreach { v =>
+      assert(Bench.sig3(v).length <= 5 && !Bench.sig3(v).toLowerCase.contains("e"))
+    }
+  }
+
+  test("the compact line of record fits a 2000-char tail capture for every query") {
+    // worst case: every timing at sig3's widest sub-1000s rendering
+    // ("9.99" = 4 chars; the rounding edge "10.00" = 5 never applies to all
+    // queries at once); the budget is ESCAPED chars — the capture stores
+    // the line inside a JSON string, so each quote costs two
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val line = names.map(n => "\"" + n + "\":" + "9.99").mkString(
+      """{"metric":"total","value":1230,"la":[31.9,28.4],"queries":{""",
+      ",",
+      """}}""")
+    val escaped = line.length + line.count(c => c == '"' || c == '\\')
+    assert(escaped < 2000,
+      s"compact bench line is $escaped escaped chars — would truncate in the tail capture")
+  }
+}

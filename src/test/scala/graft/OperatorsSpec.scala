@@ -815,6 +815,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(seqs.head._4 == "a b c t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")
   }
 
+  test("events NTZ timestamps read as the same UTC instants under any session tz") {
+    // the testdata events.parquet carries TIMESTAMP_NTZ wall clocks that ARE
+    // UTC instants; EventsAdapter must yield identical epochs whether the
+    // session tz is UTC (the pinned default) or not — the implicit NTZ cast
+    // alone would shift every instant by the session offset
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    def epochs(): Seq[Double] = graft.sources.EventsAdapter
+      .envelopes(spark, "/root/testdata/sf0.001")
+      .select($"metric.timestamp").as[Double].collect().sorted.toSeq
+    val utc = epochs()
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try assert(epochs() == utc, "session tz shifted the event instants")
+    finally spark.conf.set("spark.sql.session.timeZone", tz)
+  }
+
+  test("token-id export: conserves tokens, maps via vocab rank, OOV id for the rest") {
+    import graft.operators.Sampling
+    val df = Seq(
+      (1L, "a b c a"),
+      (2L, "\ta zz\n"),   // edge whitespace: set-trim, no phantom tokens
+      (3L, " \t "),       // whitespace-only: dropped by packSequences
+      (4L, "b b a")).toDF("doc_id", "text")
+    // corpus counts: a×4, b×3, c×1, zz×1 → vocab(2) = {a→0, b→1}
+    val vocab = TextAnalysis.learnVocab(df, 2)
+    assert(vocab == Map("a" -> 0L, "b" -> 1L))
+    val out = Sampling.materializeTokenIds(
+        Sampling.packSequences(df, "doc_id",
+          TextAnalysis.tokenCount($"text"), budget = 4L, numShards = 1),
+        vocab, oovId = 99L)
+      .as[(Long, Long, Long, Seq[Long])].collect().sortBy(_._2)
+    // every surviving token present exactly once, in (tok_offset, id) order
+    assert(out.flatMap(_._4).length == 9) // 4 + 2 + 3 tokens, doc 3 dropped
+    val all = out.flatMap(_._4).toSeq
+    assert(all.count(_ == 0L) == 4 && all.count(_ == 1L) == 3 &&
+      all.count(_ == 99L) == 2) // c and zz are OOV
+    // doc order within the single shard is by id: 1 then 2 then 4
+    assert(out.head._4.startsWith(Seq(0L, 1L)), s"got ${out.head._4}")
+    // vocab rank ties: count DESC then token ASC — deterministic cut
+    assert(TextAnalysis.learnVocab(df, 3)("c") == 2L) // c before zz at cnt 1
+  }
+
   test("connected components match a driver-side union-find; survivors keep cluster minima") {
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
     val edgeList = pairs.select($"id_a", $"id_b").as[(Long, Long)].collect()

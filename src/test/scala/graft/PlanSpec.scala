@@ -324,6 +324,55 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0, "pipeline produced no sequences at sf0.001")
   }
 
+  test("pipeline_e2e's pair stage is the df-capped join: broadcast anti-join on sh_h") {
+    // connectedComponents eagerly checkpoints, severing the pair plan from
+    // pipeline_e2e's final executedPlan — so pin the pair stage's OWN plan,
+    // on the exact function the composition calls (SparkEntry.pipelinePairs).
+    // The hot-shingle anti-join on the 64-bit shingle hash is the guard that
+    // keeps every pair join bucket ≤ maxDocFreq wide; an uncapped pair stage
+    // goes quadratic on one hot shingle at 100×.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = executedPlan(SparkEntry.pipelinePairs(docs))
+    assert("""\[sh_h#\d+L?\], \[sh_h#\d+L?\], LeftAnti""".r.findFirstIn(plan).isDefined,
+      s"pair stage lost its hot-shingle df cap (anti-join on sh_h):\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"hot-shingle set must reach the corpus as a broadcast:\n$plan")
+  }
+
+  test("priority survivors exchange fingerprints + ~40-byte structs, never text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = executedPlan(graft.operators.Dedup.prioritySurvivors(
+      docs, Seq("src7", "src2")))
+    // the winner is a map-side-combined struct MIN keyed on the fingerprint;
+    // the corpus text must never ride that exchange — what crosses the wire
+    // is the partial aggregate's output, so pin text OUT of the partial line
+    assert(plan.contains("partial_min"), s"struct MIN lost its map-side partial:\n$plan")
+    val partialLine = plan.split("\n").find(_.contains("partial_min")).get
+    assert(!partialLine.contains("text#"),
+      s"corpus text rides the fingerprint exchange:\n$partialLine")
+    assert("Exchange hashpartitioning\\(fingerprint#\\d+".r.findFirstIn(plan).isDefined,
+      s"winner aggregation not keyed on fingerprint:\n$plan")
+  }
+
+  test("incremental dedup: anti-join stays keyed on the fingerprint, no product") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    val plan = executedPlan(graft.operators.Dedup.incrementalNew(
+      docs.filter(col("doc_id") % 4 === 3), docs.filter(col("doc_id") % 4 =!= 3)))
+    // the NOT-IN must be a keyed equi-anti-join on the md5 fingerprint (any
+    // degradation to a nested-loop/cartesian product is corpus² at 100 TB)
+    assert("\\[__graft_fp\\d+#\\d+\\], \\[__graft_fp\\d+#\\d+\\], LeftAnti".r
+        .findFirstIn(plan).isDefined,
+      s"anti-join no longer keyed on the fingerprint:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup planned a product join:\n$plan")
+    // the seen-side distinct exchanges fingerprints only — never text
+    val aggLines = plan.split("\n").filter(l =>
+      l.contains("HashAggregate") && l.contains("__graft_fp"))
+    assert(aggLines.nonEmpty && aggLines.forall(!_.contains("text#")),
+      s"seen-side distinct carries text through its exchange:\n${aggLines.mkString("\n")}")
+  }
+
   test("topNgrams pushes a partial top-k below the single-partition rank exchange") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = executedPlan(graft.operators.TextAnalysis.topNgrams(docs, 2, 20))

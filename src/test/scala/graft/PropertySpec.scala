@@ -280,6 +280,64 @@ object PropertySpec extends Properties("graft") {
         }
     }
 
+  // texts deliberately include empty, whitespace-only (space/tab/newline/FF
+  // mixes) and edge-whitespace-wrapped docs — the corpus class the round-9
+  // dropEmpty bug shipped on because no generator covered it
+  private val exportTextGen = Gen.oneOf("", " ", " \t ", "\n\r", "\f", "a",
+    "a b", "\ta zz\n", "w1 w2 w3 w4 w5", "x y", "b\fc", " a b c ")
+
+  // the engine tokenization model: set-trim the [\t\n\f\r ] class, split on
+  // the same class (NOT String.trim, which also eats U+000B and NULs)
+  private def modelTokens(t: String): Int = {
+    val tr = t.replaceAll("^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$", "")
+    if (tr.isEmpty) 0 else tr.split("[\\t\\n\\f\\r ]+", -1).length
+  }
+
+  property("pack positions are the exclusive token prefix sum — gapless per shard ∀ corpus/budget/shards/seed") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(-10000L, 10000L), exportTextGen))
+        .map(_.distinctBy(_._1)),
+      Gen.choose(1L, 7L), Gen.choose(1, 4), Gen.choose(0L, 100L)) { (rows, budget, shards, seed) =>
+      val out = Sampling.packSequences(rows.toDF("doc_id", "text"), "doc_id",
+          graft.operators.TextAnalysis.tokenCount(col("text")), budget, shards, seed)
+        .select("doc_id", "shard", "seq_id", "tok_offset")
+        .as[(Long, Long, Long, Long)].collect()
+      val counts = rows.map(r => r._1 -> modelTokens(r._2).toLong).toMap
+      val surviving = rows.filter(r => counts(r._1) > 0)
+      // exactly the positive-token docs are packed (empties NEVER packed) …
+      out.length == surviving.size && out.map(_._1).toSet == surviving.map(_._1).toSet &&
+        // … and within each shard, ordered by id, seq_id·budget + tok_offset
+        // IS the exclusive prefix sum of the surviving token counts — no gap,
+        // no overlap, first doc at 0
+        out.groupBy(_._2).forall { case (_, g) =>
+          val sorted = g.sortBy(_._1).toSeq
+          val prefixes = sorted.map(r => r._3 * budget + r._4)
+          prefixes == sorted.map(r => counts(r._1)).scanLeft(0L)(_ + _).init
+        }
+    }
+
+  property("materialization conserves the surviving token total (text AND token ids) ∀ corpus/budget/shards/seed") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(-10000L, 10000L), exportTextGen))
+        .map(_.distinctBy(_._1)),
+      Gen.choose(1L, 7L), Gen.choose(1, 4), Gen.choose(0L, 100L)) { (rows, budget, shards, seed) =>
+      val packed = Sampling.packSequences(rows.toDF("doc_id", "text"), "doc_id",
+        graft.operators.TextAnalysis.tokenCount(col("text")), budget, shards, seed)
+      val total = rows.map(r => modelTokens(r._2).toLong).sum
+      val nSurviving = rows.count(r => modelTokens(r._2) > 0)
+      // token-id path: one id per input token, every surviving doc counted once
+      val idSeqs = Sampling.materializeTokenIds(packed, Map("a" -> 0L, "b" -> 1L), 77L)
+        .as[(Long, Long, Long, Seq[Long])].collect()
+      // text path: re-tokenizing the whitespace-joined sequences finds the
+      // same total (sep " " adds no tokens, edge whitespace collapses)
+      val txtSeqs = Sampling.materializeSequences(packed, sep = " ")
+        .as[(Long, Long, Long, String)].collect()
+      idSeqs.map(_._4.length.toLong).sum == total &&
+        idSeqs.map(_._3).sum == nSurviving &&
+        txtSeqs.map(s => modelTokens(s._4).toLong).sum == total &&
+        txtSeqs.map(_._3).sum == nSurviving
+    }
+
   property("priority survivors equal the naive argmin-(rank, id) model ∀ corpus/priority") =
     forAll(
       Gen.nonEmptyListOf(Gen.zip(

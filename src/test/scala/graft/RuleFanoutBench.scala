@@ -37,22 +37,44 @@ object RuleFanoutBench {
         if (i % 3 == 0) 3600L else 86400L)
     }
 
-    def run(n: Int): Double = {
+    // three shapes per N:
+    //  separate — one query submission PER RULE (the naive config loop)
+    //  union    — per-rule plans unioned into one job, no shared pre-filter
+    //  shared   — RuleCompiler.compileAll: one job + name-isin pre-filter
+    def runSeparate(n: Int): Double = {
+      val t0 = System.nanoTime()
+      specs(n).foreach { case (sp, w) =>
+        RuleCompiler.compile(sp, w)(envs).write.format("noop").mode("overwrite").save()
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def runUnion(n: Int): Double = {
       val union = specs(n).map { case (sp, w) => RuleCompiler.compile(sp, w)(envs) }
         .reduce(_ unionByName _)
       val t0 = System.nanoTime()
       union.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def runShared(n: Int): Double = {
+      val all = RuleCompiler.compileAll(specs(n))(envs)
+      val t0 = System.nanoTime()
+      all.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
 
-    run(100) // warmup: codegen + JIT + parquet reader init for the widest job
+    runShared(100) // warmup: codegen + JIT + parquet reader init for the widest job
     val counts = Seq(1, 25, 50, 100)
-    val times = counts.map(n => n -> run(n))
-    times.foreach { case (n, t) => println(f"rules=$n%3d  total=$t%6.2f s") }
-    val (n1, t1) = times.head
-    val (nN, tN) = times.last
-    println(f"marginal per-rule cost ≈ ${(tN - t1) / (nN - n1) * 1000}%.1f ms/rule " +
-      f"(slope $n1→$nN rules, sf0.01, local[32])")
+    val times = counts.map(n =>
+      (n, runSeparate(n), runUnion(n), runShared(n)))
+    println(f"${"rules"}%5s  ${"separate"}%9s  ${"union"}%9s  ${"shared"}%9s")
+    times.foreach { case (n, s, u, h) =>
+      println(f"$n%5d  $s%8.2fs  $u%8.2fs  $h%8.2fs") }
+    def slope(f: ((Int, Double, Double, Double)) => Double): Double = {
+      val (n1, nN) = (times.head._1, times.last._1)
+      (f(times.last) - f(times.head)) / (nN - n1) * 1000
+    }
+    println(f"marginal ms/rule (1→100, sf0.01, local[32]): " +
+      f"separate ${slope(_._2)}%.1f  union ${slope(_._3)}%.1f  shared ${slope(_._4)}%.1f")
     spark.stop()
   }
 }
