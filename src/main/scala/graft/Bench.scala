@@ -111,9 +111,12 @@ object Bench {
       s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir",""" +
       s""""throughput_eps_min":${epsMin.round},"throughput_eps":${eps.round}}""")
     // line 2, LAST: the complete compact line of record (see scaladoc).
-    // `la` = [loadavg_before, loadavg_after]; eps/sf survive at the very end
-    // of the verbose line above, inside the same tail capture
-    println(s"""{"metric":"total","value":${sig3(total)},""" +
+    // `t` = total seconds, `la` = [loadavg_before, loadavg_after]; eps/sf
+    // survive at the very end of the verbose line above, inside the same
+    // tail capture. Keys are terse on purpose — every wrapper byte competes
+    // with a query timing for the ~2000-char capture (BenchSpec pins the
+    // worst-case escaped length)
+    println(s"""{"t":${sig3(total)},""" +
       s""""la":[${f"$loadBefore%.1f"},${f"$loadAfter%.1f"}],"queries":$qsCompact}""")
     spark.stop()
   }

@@ -1080,6 +1080,12 @@ object SparkEntry {
         Sampling.packSequences(docs(s, dir), "doc_id",
           TextAnalysis.tokenCount(col("text")), 512L, 8))
         .select("shard", "seq_id", "n_docs", "seq_text")),
+    // temperature up-sampling realized as copies: src0 ×2.5 (2 copies + a
+    // hash-gated third), src1 ×0.5 (Bernoulli keep), everything else ×1
+    "sample_upsample" -> ((s, dir) =>
+      Sampling.upsample(docs(s, dir), "source",
+          Map("src0" -> 2.5, "src1" -> 0.5), "doc_id")
+        .select("doc_id", "source", "copy")),
     // trainer-facing token-id export: 256-token corpus-learned vocab (rank by
     // count desc, token asc), OOV id 9999; the array<long> result is
     // posexploded to (shard, seq_id, pos, token_id) rows so the oracle
@@ -1656,6 +1662,18 @@ object SparkEntry {
         s"sum($TokN) OVER (PARTITION BY ${pmSql(HashRaw, "8")} ORDER BY doc_id " +
         s"ROWS UNBOUNDED PRECEDING) AS cum FROM documents WHERE $TokN > 0)) " +
         "GROUP BY shard, seq_id"),
+    // upsample mirror: copies = floor(rate) + (hash < frac(rate)·Buckets);
+    // LATERAL generate_series enumerates the copies, zero-copy rows drop
+    "sample_upsample" ->
+      (s"SELECT doc_id, source, CAST(copy AS BIGINT) AS copy FROM (" +
+        "SELECT doc_id, source, " +
+        "(CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END) + " +
+        s"(CASE WHEN $HashB < (CASE source " +
+        s"WHEN 'src0' THEN ${(0.5 * Sampling.Buckets).toLong} " +
+        s"WHEN 'src1' THEN ${(0.5 * Sampling.Buckets).toLong} ELSE 0 END) " +
+        "THEN 1 ELSE 0 END) AS copies FROM documents), " +
+        "LATERAL (SELECT unnest(generate_series(0, copies - 1)) AS copy) " +
+        "WHERE copies > 0"),
     // token-id export mirror: vocab = top-256 tokens by (count DESC, token
     // ASC) with 0-based rank ids; same pack CTE as sample_pack_seqs; each
     // packed doc's tokens enumerated in order (LATERAL index, like the

@@ -144,31 +144,50 @@ object Dedup {
       // cheaper compares; collision odds over the distinct-shingle space are
       // ~|S|²/2^65 — immaterial for co-occurrence counting
       .select(col("id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
-    val filtered =
-      if (maxDocFreq > 0) {
-        val hot = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDocFreq).select("sh_h")
-        // persisted: feeds the size recount AND both sides of the pair join —
-        // without it the explode/hash/anti-join pipeline re-executes per use
-        val surviving = sh.join(broadcast(hot), Seq("sh_h"), "left_anti")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        // Jaccard is then defined over SURVIVING shingles: the set sizes must
-        // be recomputed post-filter, or dropped shingles would deflate every
-        // similarity (they can never appear in the intersection)
-        val sizes = surviving.groupBy("id").agg(count(lit(1)).as("n_post"))
-        surviving.drop("n_sh")
-          .join(sizes, "id").withColumnRenamed("n_post", "n_sh")
-      } else sh
-    val a = filtered.select(col("id").as("id_a"), col("n_sh").as("na"), col("sh_h"))
-    val b = filtered.select(col("id").as("id_b"), col("n_sh").as("nb"), col("sh_h"))
-    a.join(b, Seq("sh_h"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "na", "nb")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    if (maxDocFreq > 0) {
+      // persist the EXPLODED relation, not a downstream derivative: the df
+      // aggregation (hot set) and the anti-joined survivors both consume it,
+      // and without the cache the operator's whole UPSTREAM plan executes
+      // once per consumer — ruinous when the input is itself a deep pipeline
+      // (the composed training pipeline re-ran its nine stages per use)
+      val shP = sh.drop("n_sh").persist(StorageLevel.MEMORY_AND_DISK)
+      val hot = shP.groupBy("sh_h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq).select("sh_h")
+      // survivors re-derive from the cache with one broadcast anti-join —
+      // cheap per consumer, so they need no persist of their own
+      val surviving = shP.join(broadcast(hot), Seq("sh_h"), "left_anti")
+      // Jaccard is then defined over SURVIVING shingles: the set sizes must
+      // be recomputed post-filter, or dropped shingles would deflate every
+      // similarity (they can never appear in the intersection). The sizes
+      // attach to the PAIR relation (tiny — co-occurring candidates only),
+      // NOT to the exploded shingle relation: joining sizes back per shingle
+      // row was one more corpus-scale shuffle of the widest relation in the
+      // operator
+      val sizes = surviving.groupBy("id").agg(count(lit(1)).as("n_post"))
+      val a = surviving.select(col("id").as("id_a"), col("sh_h"))
+      val b = surviving.select(col("id").as("id_b"), col("sh_h"))
+      a.join(b, Seq("sh_h"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("id").as("id_a"), col("n_post").as("na")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("n_post").as("nb")), "id_b")
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    } else {
+      val a = sh.select(col("id").as("id_a"), col("n_sh").as("na"), col("sh_h"))
+      val b = sh.select(col("id").as("id_b"), col("n_sh").as("nb"), col("sh_h"))
+      a.join(b, Seq("sh_h"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
   }
 
   // ------------------------------------------------------- MinHash + LSH

@@ -273,6 +273,38 @@ object Sampling {
     df.filter(hashBucket(col(idCol), seed) < cut)
   }
 
+  /** Deterministic source UP-sampling — the replication counterpart of
+    * [[temperatureRates]] + [[stratifiedSample]] (a Bernoulli filter can only
+    * down-sample; temperature mixing over under-represented sources needs
+    * rates > 1, i.e. copies). A row whose key has rate r gets floor(r)
+    * copies, plus one more exactly when its id hash lands under frac(r) —
+    * E[copies] = r, decided purely by (id, seed): stable under reruns and
+    * data growth, and r < 1 degenerates to [[stratifiedSample]]'s Bernoulli
+    * keep. Adds a 0-based `copy` column so downstream identity stays unique
+    * as (id, copy) — feed `id·K + copy` (or a struct) to the export path.
+    *
+    * Scale shape: a narrow per-row sequence explode — no shuffle, no join;
+    * output volume is the mixing target by construction. Keys absent from
+    * `rates` keep `defaultRate` (1.0 = pass-through). */
+  def upsample(df: DataFrame, keyCol: String, rates: Map[String, Double],
+      idCol: String, defaultRate: Double = 1.0, seed: Long = 42): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0, s"rates must be >= 0, got $r"))
+    require(!df.columns.contains("copy"),
+      "upsample adds a 'copy' column but the input already has one")
+    def byKey(f: Double => Long): Column =
+      rates.toSeq.sortBy(_._1).foldRight(lit(f(defaultRate))) {
+        case ((k, r), rest) => when(col(keyCol) === lit(k), lit(f(r))).otherwise(rest)
+      }
+    val base = byKey(r => math.floor(r).toLong)
+    val cut = byKey(r => ((r - math.floor(r)) * Buckets).toLong)
+    val copies = base + when(hashBucket(col(idCol), seed) < cut, lit(1L)).otherwise(lit(0L))
+    // rows with 0 copies drop structurally: explode of an empty array
+    df.withColumn("copy", explode(
+      when(copies > 0, sequence(lit(0L), copies - 1))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** At most `n` rows per key, chosen deterministically by id-hash order
     * (tie-break by id) — the "cap any single source" operator. The only
     * shuffle is the window partition on the key; Spark's WindowGroupLimit

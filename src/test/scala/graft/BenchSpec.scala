@@ -56,7 +56,7 @@ class BenchSpec extends AnyFunSuite {
     // the line inside a JSON string, so each quote costs two
     val names = SparkEntry.queries.keys.toSeq.sorted
     val line = names.map(n => "\"" + n + "\":" + "9.99").mkString(
-      """{"metric":"total","value":1230,"la":[31.9,28.4],"queries":{""",
+      """{"t":1230,"la":[31.9,28.4],"queries":{""",
       ",",
       """}}""")
     val escaped = line.length + line.count(c => c == '"' || c == '\\')

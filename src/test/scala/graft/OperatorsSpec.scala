@@ -830,6 +830,33 @@ class OperatorsSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.session.timeZone", tz)
   }
 
+  test("upsample: floor(rate) copies + hash-gated extra; rate<1 degenerates to Bernoulli keep") {
+    import graft.operators.Sampling
+    val out = Sampling.upsample(docs, "source",
+        Map("src0" -> 2.5, "src1" -> 0.5), "doc_id")
+      .select($"doc_id", $"source", $"copy").as[(Long, String, Long)].collect()
+    val byDoc = out.groupBy(_._1)
+    val src = docs.select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val hash = docs.select($"doc_id", Sampling.hashBucket($"doc_id", 42))
+      .as[(Long, Long)].collect().toMap
+    val halfCut = (0.5 * Sampling.Buckets).toLong
+    src.foreach { case (id, s) =>
+      val (base, cut) = s match {
+        case "src0" => (2L, halfCut)
+        case "src1" => (0L, halfCut)
+        case _      => (1L, 0L)
+      }
+      val expect = base + (if (hash(id) < cut) 1L else 0L)
+      val copies = byDoc.get(id).map(_.map(_._3).sorted.toSeq).getOrElse(Seq.empty)
+      assert(copies == (0L until expect), s"doc $id (source $s): got $copies, want 0..${expect - 1}")
+    }
+    // rerun-stable: the same call reproduces the identical multiset
+    val again = Sampling.upsample(docs, "source",
+        Map("src0" -> 2.5, "src1" -> 0.5), "doc_id")
+      .select($"doc_id", $"source", $"copy").as[(Long, String, Long)].collect()
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+  }
+
   test("token-id export: conserves tokens, maps via vocab rank, OOV id for the rest") {
     import graft.operators.Sampling
     val df = Seq(

@@ -303,6 +303,27 @@ class PlanSpec extends AnyFunSuite {
       s"sequence aggregation lost its map-side partial:\n$plan")
   }
 
+  test("token-id materialization reuses packing's shard partitioning — ONE shuffle, encode map-side") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = executedPlan(graft.operators.Sampling.materializeTokenIds(
+      graft.operators.Sampling.packSequences(
+        docs, "doc_id", graft.operators.TextAnalysis.tokenCount(col("text")), 512L, 8),
+      Map("the" -> 0L, "a" -> 1L), oovId = 99L))
+    // same contract as the text materialization: the (shard, seq_id) agg is
+    // co-partitioned with the pack window's hashpartitioning(shard), so the
+    // whole pack → encode → materialize path is ONE shuffle (the encoding is
+    // a narrow projection between the pack window and the aggregation — it
+    // adds no exchange; a second Exchange here would double the export
+    // path's shuffled volume)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one shuffle (shard partitioning reused by the agg):\n$plan")
+    assert(plan.contains("partial_collect_list"),
+      s"sequence aggregation lost its map-side partial:\n$plan")
+    assert(plan.toLowerCase.contains("tokenids"),
+      s"native TokenIds encoding missing from the plan:\n$plan")
+  }
+
   test("pipeline_e2e composes every stage's pinned shape — no cartesian, no shuffle above packing") {
     val df = SparkEntry.queries("pipeline_e2e")(spark, "/root/testdata/sf0.001")
     val plan = executedPlan(df)
