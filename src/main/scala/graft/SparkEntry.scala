@@ -1184,10 +1184,19 @@ object SparkEntry {
         .select(col("doc_id"), col("text_clean").as("text"))
       val lineDeduped = Dedup.dedupLines(cleaned, maxDocFreq = 3)
         .select(col("doc_id"), col("text_clean").as("text"))
+      // persist the two multiply-consumed intermediates: `quality` feeds the
+      // corpus AND bench slices of decontamination (each a full re-execution
+      // of C4 clean → line dedup → quality filter without the cache), and
+      // `decontaminated` feeds the pair stage, the split join and the train
+      // projection. Both are post-filter SURVIVOR sets — tiny relative to
+      // the input corpus — so the cache is rows-that-survived, never the raw
+      // corpus; Bench/Verify clear the catalog cache between queries
       val quality = TextAnalysis.qualityFilter(lineDeduped).select("doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val decontaminated = Dedup.decontaminate(
-        quality.filter(col("doc_id") % 50 =!= 0),
-        quality.filter(col("doc_id") % 50 === 0), 3)
+          quality.filter(col("doc_id") % 50 =!= 0),
+          quality.filter(col("doc_id") % 50 === 0), 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val train = Dedup.leakageSafeSplit(decontaminated,
           pipelinePairs(decontaminated),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
