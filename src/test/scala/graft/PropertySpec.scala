@@ -338,6 +338,28 @@ object PropertySpec extends Properties("graft") {
         txtSeqs.map(_._3).sum == nSurviving
     }
 
+  property("upsample copies equal the floor+hash-gate model ∀ ids/rates/seed") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(-100000L, 100000L),
+        Gen.oneOf("s1", "s2", "s3"))).map(_.distinctBy(_._1)),
+      Gen.mapOf(Gen.zip(Gen.oneOf("s1", "s2"),
+        Gen.oneOf(0.0, 0.25, 0.5, 1.0, 1.5, 2.5, 3.0))),
+      Gen.choose(0L, 500L)) { (rows, rates, seed) =>
+      val out = Sampling.upsample(rows.toDF("doc_id", "source"), "source",
+          rates, "doc_id", defaultRate = 1.0, seed)
+        .as[(Long, String, Long)].collect()
+      val hashes = rows.map(_._1).toDF("doc_id")
+        .select(col("doc_id"), Sampling.hashBucket(col("doc_id"), seed))
+        .as[(Long, Long)].collect().toMap
+      val expected = rows.flatMap { case (id, src) =>
+        val r = rates.getOrElse(src, 1.0)
+        val n = math.floor(r).toLong +
+          (if (hashes(id) < ((r - math.floor(r)) * Sampling.Buckets).toLong) 1L else 0L)
+        (0L until n).map(c => (id, src, c))
+      }
+      out.sorted.toSeq == expected.sorted
+    }
+
   property("priority survivors equal the naive argmin-(rank, id) model ∀ corpus/priority") =
     forAll(
       Gen.nonEmptyListOf(Gen.zip(
