@@ -920,6 +920,16 @@ object SparkEntry {
       Dedup.incrementalNew(d, d.filter(col("doc_id") % 4 =!= 3))
         .select("doc_id")
     }),
+    // fuzzy incremental: the "new crawl" quarter (doc_id%4 == 3) minus docs
+    // NEAR-duplicating (LSH candidates, exact-Jaccard-verified ≥ 0.5) the
+    // accumulated corpus — re-crawls that changed a word still dedup
+    "dedup_incremental_fuzzy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalNewFuzzy(d.filter(col("doc_id") % 4 === 3),
+          d.filter(col("doc_id") % 4 =!= 3),
+          n = 3, k = 128, bands = 32, threshold = 0.5)
+        .select("doc_id")
+    }),
     // graded contamination: per-doc fraction of distinct trigrams shared
     // with the benchmark slice (the overlap-ratio upgrade of dedup_decontam)
     "dedup_decontam_scores" -> ((s, dir) => {
@@ -1375,6 +1385,17 @@ object SparkEntry {
         s"md5(regexp_replace(lower(trim(text, '$SqlWs')), '\\s+', ' ', 'g')) AS f FROM documents) " +
         "SELECT b.doc_id FROM fp b WHERE NOT EXISTS (" +
         "SELECT 1 FROM fp s WHERE s.doc_id % 4 <> 3 AND s.f = b.f)"),
+    // fuzzy incremental mirror: EXACT cross-corpus Jaccard over the same
+    // trigram shingle sets — valid as the LSH oracle by the dedup_minhash
+    // recall argument (k=128, b=32, r=4 ⇒ recall ≈ 1−1.5e-15 at the corpus's
+    // minimum true-pair similarity, and verification is exact either way).
+    // NULL-text rows: NULL shingle list ⇒ NULL Jaccard ⇒ no match ⇒ kept,
+    // exactly the Spark side's no-signature path
+    "dedup_incremental_fuzzy" ->
+      (s"$ShinglesCte SELECT b.doc_id FROM t b WHERE b.doc_id % 4 = 3 " +
+        "AND NOT EXISTS (SELECT 1 FROM t s WHERE s.doc_id % 4 <> 3 AND " +
+        "CAST(len(list_intersect(b.sh, s.sh)) AS DOUBLE) / " +
+        "(len(b.sh) + len(s.sh) - len(list_intersect(b.sh, s.sh))) >= 0.5)"),
     // line dedup mirror: df per trimmed non-empty line (the operator counts
     // df on the 64-bit line hash — collision odds are immaterial), lines in
     // > 3 docs dropped, survivors rejoined in original position order; the

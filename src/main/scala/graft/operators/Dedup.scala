@@ -105,6 +105,63 @@ object Dedup {
       .drop(fpCol)
   }
 
+  /** Fuzzy incremental dedup: the batch rows with no NEAR-duplicate
+    * (exact n-gram Jaccard ≥ `threshold`) anywhere in `seen` — the MinHash-LSH
+    * counterpart of [[incrementalNew]], for deduplicating a new crawl
+    * snapshot against the accumulated corpus when byte-identity is too
+    * strict (re-crawls differ by boilerplate, timestamps, typo fixes).
+    *
+    * Shape at 100 TB (batch ≪ seen is the normal regime): both sides reduce
+    * map-side to fixed 1 KB MinHash signatures (native one-pass
+    * [[graft.functions.MinHashSignature]] — no explode, no per-shingle
+    * exchange), candidates come from the banded equi-join on
+    * (band, bandHash) — the ONLY corpus-scale shuffle, keyed, never a pair
+    * enumeration — and exact-Jaccard verification runs on the candidate set
+    * alone. The final keep-filter is an anti-join of the batch against the
+    * verified-duplicate id set, which is candidate-sized (≤ batch), so
+    * Catalyst broadcasts it. NULL-text batch docs have no signature, collide
+    * with nothing, and are KEPT — consistent with the engine-wide
+    * only-positive-matches-filter rule and [[incrementalNew]]'s
+    * NULL-fingerprint behavior. Empty/whitespace-only text shingles to the
+    * single empty shingle ([[graft.functions.WordNGrams]] semantics), so such
+    * batch docs are exact duplicates (J = 1) of any empty seen doc — run this
+    * AFTER quality filtering, or the shared empty-shingle band bucket grows
+    * quadratic in the empty-doc count. Recall is the LSH S-curve
+    * 1−(1−J^rows)^bands; k=128/bands=32 puts it at ~1−1.5e-15 for J ≥ 0.9. */
+  def incrementalNewFuzzy(batch: DataFrame, seen: DataFrame, n: Int, k: Int,
+      bands: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rows = k / bands
+    // (id, shingles, band, bandHash) per side — sides banded identically so
+    // a shared shingle set lands in the same (band, bh) bucket on both
+    def banded(df: DataFrame, side: String): DataFrame = {
+      val bandStructs = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bh"))
+      }
+      df.select(col(idCol).as(s"id_$side"),
+          wordShingles(col(textCol), n).as(s"sh_$side"))
+        .withColumn("sig", minhashSignature(col(s"sh_$side"), k))
+        // no signature (empty shingle set) drops before banding — a null sig
+        // would band to a constant hash and cross-join all such docs
+        .filter(col("sig").isNotNull)
+        .select(col(s"id_$side"), col(s"sh_$side"),
+          explode(array(bandStructs: _*)).as("bb"))
+        .select(col(s"id_$side"), col(s"sh_$side"), col("bb.band"), col("bb.bh"))
+    }
+    val dupIds = banded(batch, "a").join(banded(seen, "b"), Seq("band", "bh"))
+      .select("id_a", "sh_a", "sh_b")
+      // a batch doc near-dups `seen` if ANY candidate verifies — dedup on the
+      // batch id only after the cheap band-key match, then verify exactly
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as(idCol)).distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Streaming exact dedup: first-seen row per normalized-text fingerprint
     * within the watermark horizon (`dropDuplicatesWithinWatermark` keeps
     * per-key state only until the watermark passes — bounded state, unlike a

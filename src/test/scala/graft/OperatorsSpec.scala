@@ -39,6 +39,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(11L, 12L))
   }
 
+  test("fuzzy incremental dedup drops near-duplicates of the accumulated corpus, keeps novel docs") {
+    val base = "the quick brown fox jumps over the lazy dog while the bright " +
+      "summer sun shines warmly across the quiet green valley and the river runs calmly home"
+    val seen = Seq(
+      (1L, base),
+      (2L, "completely different reference material about distributed query engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // one word changed out of 27 → trigram Jaccard ≈ 0.79 vs doc 1 (3 of 25
+      // shingles replaced), comfortably above both the 0.5 threshold and the
+      // LSH S-curve knee (P[no band collision] ≈ 1.4e-7 at k=128/b=32) → dropped
+      (10L, base.replace("lazy dog", "lazy cat")),
+      (11L, base), // exact re-crawl → dropped
+      (12L, "an entirely novel document with no overlap whatsoever in any shingle"), // kept
+      (13L, null.asInstanceOf[String]) // NULL text: no signature → kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNewFuzzy(batch, seen, n = 3, k = 128, bands = 32,
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(12L, 13L))
+  }
+
   test("whitespace-variant texts share a fingerprint") {
     val d = Seq((1L, "Hello  World"), (2L, "  hello world "), (3L, "other")).toDF("doc_id", "text")
     val fps = d.select(TextAnalysis.fingerprint($"text")).as[String].collect()

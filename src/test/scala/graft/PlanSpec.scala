@@ -394,6 +394,26 @@ class PlanSpec extends AnyFunSuite {
       s"seen-side distinct carries text through its exchange:\n${aggLines.mkString("\n")}")
   }
 
+  test("fuzzy incremental dedup: band join stays keyed, keep-filter is a broadcast anti-join") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = executedPlan(graft.operators.Dedup.incrementalNewFuzzy(
+      docs.filter(col("doc_id") % 4 === 3), docs.filter(col("doc_id") % 4 =!= 3),
+      n = 3, k = 128, bands = 32, threshold = 0.5))
+    // candidate generation must be the (band, bh) equi-join — the only
+    // corpus-scale exchange in the operator; a degradation to a product join
+    // is batch×corpus at 100 TB
+    assert("\\[band#\\d+, bh#\\d+L?\\], \\[band#\\d+, bh#\\d+L?\\]".r
+        .findFirstIn(plan).isDefined,
+      s"candidate join no longer keyed on (band, bh):\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy incremental planned a product join:\n$plan")
+    // the verified-duplicate id set is candidate-sized — the batch keep-filter
+    // must consume it as a broadcast anti-join, not shuffle the batch again
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"keep-filter is not a broadcast anti-join:\n$plan")
+  }
+
   test("topNgrams pushes a partial top-k below the single-partition rank exchange") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = executedPlan(graft.operators.TextAnalysis.topNgrams(docs, 2, 20))
