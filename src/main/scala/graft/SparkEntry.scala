@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{AggregationSpec, RollupSpec}
-import graft.operators.{Anomaly, Dedup, GapFill, HeavyHitters, Multimodal, Sampling, Sessions, Similarity, TextAnalysis}
+import graft.operators.{Anomaly, Dedup, GapFill, HeavyHitters, Multimodal, Relational, Sampling, Sessions, Similarity, TextAnalysis}
 import graft.plan.RuleCompiler
 import graft.sources.{EnvelopeJson, EventsAdapter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -881,6 +881,13 @@ object SparkEntry {
       Dedup.decontaminate(d.filter(col("doc_id") % 50 =!= 0),
         d.filter(col("doc_id") % 50 === 0), 3).select("doc_id")
     }),
+    // the same decontamination through the Bloom-pre-filter scale path
+    // (benchmark too big to broadcast): EXACT same survivors, same oracle
+    "dedup_decontam_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminateBloom(d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0), 3).select("doc_id")
+    }),
     // corpus-level line dedup (C4/RefinedWeb boilerplate scrub): lines in > 3
     // distinct docs are removed everywhere. The testdata corpus is one line
     // per doc with no cross-doc repeats, so the query wraps each body in
@@ -977,6 +984,17 @@ object SparkEntry {
         .select(col("vec_id"), col("scale"), posexplode(col("qvec")))
         .select(col("vec_id"), col("pos").cast("long").as("pos"),
           col("col").as("q"), col("scale"))),
+    // compressed-domain search (faiss SQ8-style): exact top-k over the
+    // int8-quantized-then-dequantized corpus — the 4×-smaller memory
+    // footprint ANN path, exercised end to end (quantize ∘ dequantize ∘
+    // brute-force compose; recall loss is the quantization error only)
+    "sim_topk_q8" -> ((s, dir) => {
+      val dq = Similarity.dequantize(Similarity.quantize(emb(s, dir)))
+      Similarity.bruteForceTopK(dq.filter(col("vec_id") < 10), dq, 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("cosine"), 4).as("cosine"))
+    }),
     "text_stats" -> ((s, dir) => TextAnalysis.analyze(docs(s, dir))),
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1000,6 +1018,22 @@ object SparkEntry {
           length(col("chunk_text")).cast("long").as("chunk_len"))),
     // corpus statistics: top-20 bigrams by document frequency
     "text_topngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir), 2, 20)),
+    // Unicode ingest normalization (NFC + control/zero-width scrub): the
+    // ASCII corpus is decorated with a combining-acute café, an ANGSTROM
+    // SIGN (NFC → Å), a ZWSP, a BOM and a BEL so both transformations do
+    // real work on every row (same decorate-the-fixture pattern as
+    // dedup_lines / text_urls)
+    "text_normalize" -> ((s, dir) => {
+      val decorated = docs(s, dir).withColumn("text", concat(
+        lit("Cafe\u0301 \u212B "), // e + COMBINING ACUTE; ANGSTROM SIGN
+        coalesce(col("text"), lit("")),
+        lit(" \u200Bzero\uFEFFwidth \u0007bell"))) // ZWSP, BOM, BEL
+      val norm = graft.functions.TextExpressions.normalizeText(col("text"))
+      decorated.select(col("doc_id"),
+        md5(norm).as("norm_md5"),
+        length(norm).cast("long").as("n_norm"),
+        length(col("text")).cast("long").as("n_raw"))
+    }),
     "text_pii" -> ((s, dir) => TextAnalysis.piiCounts(docs(s, dir))),
     // CCNet-style LM scoring: bigram LM self-fit on the corpus (minCount=5),
     // each doc scored by mean add-one-smoothed negative log-likelihood
@@ -1066,6 +1100,11 @@ object SparkEntry {
     "text_quality_cutoff" -> ((s, dir) =>
       TextAnalysis.qualityQuantileFilter(docs(s, dir), q = 0.25, sampleRate = 0.5)
         .select("doc_id")),
+    // stratified: each source learns its OWN 25th-percentile cutoff, so one
+    // clean source can't crowd out a noisier-but-wanted one
+    "text_quality_cutoff_by" -> ((s, dir) =>
+      TextAnalysis.qualityQuantileFilterBy(docs(s, dir), q = 0.25,
+        groupCol = "source", sampleRate = 0.5).select("doc_id")),
     "sample_bernoulli" -> ((s, dir) =>
       Sampling.sampleByHash(docs(s, dir), "doc_id", 0.25).select("doc_id")),
     "sample_split" -> ((s, dir) =>
@@ -1218,9 +1257,114 @@ object SparkEntry {
             TextAnalysis.tokenCount(col("text")), 256L, 4),
           idCol = "nid")
         .select(col("shard"), col("seq_id"), col("n_docs"), col("seq_text"))
+    }),
+
+    // ----- relational extensions: as-of + binned range joins -----
+    // For each purchase, the user's latest click at/before it (backward
+    // inclusive as-of; ties on click time resolve to the max click event_id;
+    // purchases with no prior click keep NULL asof_* columns)
+    "join_asof" -> ((s, dir) => {
+      val ev = EventsAdapter.rawEvents(s, dir)
+      Relational.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("value")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us").as("c_ts"),
+            col("event_id").as("c_eid"), col("value").as("c_value")),
+        key = "user_id", leftTime = "ts_us", rightTime = "c_ts",
+        payload = Seq("c_value"), rightTieBreak = "c_eid")
+    }),
+    // same, with a 6 h staleness tolerance: clicks older than that are
+    // reported as no-match (NULL), exercising the tolerance branch
+    "join_asof_tol" -> ((s, dir) => {
+      val ev = EventsAdapter.rawEvents(s, dir)
+      Relational.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("value")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us").as("c_ts"),
+            col("event_id").as("c_eid"), col("value").as("c_value")),
+        key = "user_id", leftTime = "ts_us", rightTime = "c_ts",
+        payload = Seq("c_value"), rightTieBreak = "c_eid",
+        toleranceUs = 6L * 3600 * 1000000)
+    }),
+    // purchases attributed to the user's view windows [view, view+30 min]
+    // (inclusive) via the binned range join — never a cartesian; count +
+    // revenue per view anchor
+    "join_range" -> ((s, dir) => {
+      val ev = EventsAdapter.rawEvents(s, dir)
+      Relational.rangeJoinBinned(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts_us"), col("value")),
+          ev.filter(col("event_type") === "view")
+            .select(col("event_id").as("anchor_id"), col("user_id"),
+              col("ts_us").as("w_start"),
+              (col("ts_us") + lit(43200000000L)).as("w_end")),
+          pointTime = "ts_us", startCol = "w_start", endCol = "w_end",
+          // 6 h bins under 12 h intervals: each interval explodes to 2–3
+          // bin rows, each point hashes to exactly one
+          binWidth = 21600000000L, keys = Seq("user_id"))
+        .groupBy("anchor_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          safeRound2(sum("value")).as("sum_value"))
     }))
 
+  /** As-of mirror: rank the qualifying clicks per purchase and keep rank 1 —
+    * ties broken by c_eid DESC, exactly the operator's max-tie-break. A
+    * purchase with no qualifying click survives the LEFT JOIN as one
+    * null-extended row (rn = 1, NULL asof_*) — the left-outer contract. */
+  private def asofOracleSql(toleranceUs: Long): String = {
+    val tol = if (toleranceUs < 0) ""
+      else s"AND c.c_ts >= p.ts_us - $toleranceUs "
+    s"WITH p AS (SELECT event_id, user_id, $TsUs AS ts_us, value " +
+      "FROM events WHERE event_type = 'purchase'), " +
+      s"c AS (SELECT user_id, $TsUs AS c_ts, event_id AS c_eid, " +
+      "value AS c_value FROM events WHERE event_type = 'click'), " +
+      "j AS (SELECT p.event_id, p.user_id, p.ts_us, p.value, c.c_ts, c.c_value, " +
+      "row_number() OVER (PARTITION BY p.event_id " +
+      "ORDER BY c.c_ts DESC NULLS LAST, c.c_eid DESC) AS rn " +
+      s"FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.c_ts <= p.ts_us $tol) " +
+      "SELECT event_id, user_id, ts_us, value, c_ts AS asof_c_ts, " +
+      "c_value AS asof_c_value FROM j WHERE rn = 1"
+  }
+
+  /** Decontamination mirror, shared by the exact-broadcast and the
+    * Bloom-pre-filter operators (identical output by construction). */
+  private lazy val DecontamSql =
+    s"$ShinglesCte, bench AS (SELECT DISTINCT unnest(sh) AS s FROM t " +
+      "WHERE doc_id % 50 = 0), bad AS (SELECT DISTINCT c.doc_id FROM " +
+      "(SELECT doc_id, unnest(sh) AS s FROM t WHERE doc_id % 50 <> 0) c " +
+      "JOIN bench USING (s)) SELECT doc_id FROM documents " +
+      "WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)"
+
   def oracleSql: Map[String, String] = Map(
+    // normalization mirror: utf8proc NFC == java.text.Normalizer NFC for
+    // the fixture's chars; the scrub class is the same code-point set as
+    // NormalizeText.strip (x00 unrepresentable in a VARCHAR on either side)
+    "text_normalize" ->
+      ("SELECT doc_id, md5(norm) AS norm_md5, " +
+        "CAST(length(norm) AS BIGINT) AS n_norm, " +
+        "CAST(length(raw) AS BIGINT) AS n_raw FROM (" +
+        "SELECT doc_id, regexp_replace(nfc_normalize(raw), " +
+        "'[\\x01-\\x08\\x0B\\x0E-\\x1F\\x{7F}-\\x{9F}\\x{200B}-\\x{200D}\\x{FEFF}]', " +
+        "'', 'g') AS norm, raw FROM (" +
+        "SELECT doc_id, 'Cafe' || chr(769) || ' ' || chr(8491) || ' ' || " +
+        "coalesce(text, '') || ' ' || chr(8203) || 'zero' || chr(65279) || " +
+        "'width ' || chr(7) || 'bell' AS raw FROM documents))"),
+    "join_asof" -> asofOracleSql(toleranceUs = -1L),
+    "join_asof_tol" -> asofOracleSql(toleranceUs = 6L * 3600 * 1000000),
+    // range-join mirror: plain inequality join (DuckDB plans an IEJoin;
+    // the Spark side's binning must not change the match set)
+    "join_range" ->
+      (s"WITH v AS (SELECT event_id AS anchor_id, user_id, $TsUs AS w_start " +
+        "FROM events WHERE event_type = 'view'), " +
+        s"b AS (SELECT user_id, $TsUs AS ts_us, value " +
+        "FROM events WHERE event_type = 'purchase') " +
+        "SELECT v.anchor_id, CAST(count(*) AS BIGINT) AS n_purchases, " +
+        s"${sqlRound2("SUM(b.value)")} AS sum_value " +
+        "FROM v JOIN b ON b.user_id = v.user_id " +
+        "AND b.ts_us >= v.w_start AND b.ts_us <= v.w_start + 43200000000 " +
+        "GROUP BY 1"),
     "s2_json_roundtrip" ->
       "SELECT event_type AS name, count(*) AS n FROM events GROUP BY 1",
     "f1_name_filter" ->
@@ -1351,6 +1495,22 @@ object SparkEntry {
         "list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale " +
         "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings)), " +
         "LATERAL (SELECT unnest(generate_series(0, len(dv) - 1)) AS i)"),
+    // quantize→dequantize replayed inline (same floor-half-up integers as
+    // the emb_quantize mirror), then the sim_topk probe over the
+    // reconstructed vectors
+    "sim_topk_q8" ->
+      ("WITH dq AS (SELECT vec_id, CASE WHEN scale > 0 THEN " +
+        "list_transform(dv, x -> CAST(floor(x / scale + 0.5) AS BIGINT) * scale) " +
+        "ELSE list_transform(dv, x -> 0.0) END AS v FROM (" +
+        "SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale " +
+        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings))) " +
+        "SELECT query_id, neighbor_id, rank, ROUND(c, 4) AS cosine FROM (" +
+        "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "list_cosine_similarity(q.v, b.v) AS c, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(q.v, b.v) DESC, b.vec_id ASC) AS rank " +
+        "FROM dq q, dq b WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id) " +
+        "WHERE rank <= 5"),
     "sim_lsh_pairs" -> LshPairsSql,
     // transitive closure over the same pair set: component = min reachable id
     "dedup_cluster" ->
@@ -1372,12 +1532,11 @@ object SparkEntry {
         s"SELECT id_a, id_b, ${splitCaseSql("id_a")} AS split_a, " +
         s"${splitCaseSql("id_b")} AS split_b, jaccard FROM p) " +
         "WHERE split_a <> split_b"),
-    "dedup_decontam" ->
-      (s"$ShinglesCte, bench AS (SELECT DISTINCT unnest(sh) AS s FROM t " +
-        "WHERE doc_id % 50 = 0), bad AS (SELECT DISTINCT c.doc_id FROM " +
-        "(SELECT doc_id, unnest(sh) AS s FROM t WHERE doc_id % 50 <> 0) c " +
-        "JOIN bench USING (s)) SELECT doc_id FROM documents " +
-        "WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)"),
+    "dedup_decontam" -> DecontamSql,
+    // the Bloom path is a pre-filter, not a semantic change: the confirm
+    // semi-join makes the survivors EXACTLY the non-contaminated set, so the
+    // oracle is the same query
+    "dedup_decontam_bloom" -> DecontamSql,
     // incremental mirror: NOT EXISTS reproduces anti-join NULL semantics
     // exactly (a NULL fingerprint matches nothing and survives)
     "dedup_incremental" ->
@@ -1652,6 +1811,25 @@ object SparkEntry {
         "AND hi.rn = CAST(ceil(pos) AS BIGINT)) " +
         s"SELECT doc_id FROM documents WHERE $QualitySql >= " +
         "COALESCE((SELECT c FROM cut), CAST('-infinity' AS DOUBLE))"),
+    // grouped mirror: Spark `percentile`'s rank interpolation replayed per
+    // source partition; docs LEFT JOIN cutoffs (a NULL source never matches
+    // → kept, exactly the operator's conservative default)
+    "text_quality_cutoff_by" ->
+      (s"WITH smp AS (SELECT source, $QualitySql AS qu FROM documents " +
+        s"WHERE ${hashBSql("doc_id")} < ${(0.5 * Sampling.Buckets).toLong}), " +
+        "o AS (SELECT source, qu, row_number() OVER (PARTITION BY source " +
+        "ORDER BY qu) - 1 AS rn FROM smp), " +
+        "p AS (SELECT source, 0.25 * CAST(count(*) - 1 AS DOUBLE) AS pos " +
+        "FROM o GROUP BY source), " +
+        "cut AS (SELECT p.source, CASE WHEN ceil(pos) = floor(pos) THEN lo.qu " +
+        "ELSE (ceil(pos) - pos) * lo.qu + (pos - floor(pos)) * hi.qu END AS c " +
+        "FROM p JOIN o lo ON lo.source IS NOT DISTINCT FROM p.source " +
+        "AND lo.rn = CAST(floor(pos) AS BIGINT) " +
+        "JOIN o hi ON hi.source IS NOT DISTINCT FROM p.source " +
+        "AND hi.rn = CAST(ceil(pos) AS BIGINT)) " +
+        s"SELECT doc_id FROM documents d LEFT JOIN cut ON d.source = cut.source " +
+        s"WHERE $QualitySql >= " +
+        "COALESCE(cut.c, CAST('-infinity' AS DOUBLE))"),
     "text_repetition" -> RepetitionSql,
     "text_quality_filter" -> QualityFilterSql,
     "text_topngrams" ->

@@ -201,6 +201,48 @@ case class TokenIds(child: Expression, vocab: Map[String, Long], oovId: Long)
     copy(child = newChild)
 }
 
+/** Unicode text normalization for corpus ingest: NFC canonical composition
+  * (combining sequences compose, compatibility singletons like U+212B
+  * ANGSTROM SIGN map to their canonical letter) followed by a scrub of the
+  * characters that poison downstream tokenization — C0/C1 control chars
+  * EXCEPT the engine whitespace class (\t \n \f \r stay, they are token
+  * separators by the unified WsClass contract), DEL, and the zero-width
+  * set (ZWSP/ZWNJ/ZWJ U+200B–U+200D, BOM/ZWNBSP U+FEFF). One pass per row;
+  * mirrored in DuckDB as nfc_normalize + one RE2 character-class replace.
+  */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"NormalizeText requires a string argument, got ${other.simpleString}")
+  }
+
+  private def strip(c: Char): Boolean =
+    (c < 0x20 && c != '\t' && c != '\n' && c != '\f' && c != '\r') ||
+      (c >= 0x7f && c <= 0x9f) ||
+      (c >= 0x200b && c <= 0x200d) || c == 0xfeff
+
+  override def nullSafeEval(input: Any): Any = {
+    val nfc = java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var i = 0
+    while (i < nfc.length) {
+      val c = nfc.charAt(i)
+      if (!strip(c)) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Distinct word n-gram shingles as a codegen-compatible native expression. */
   def wordNGrams(text: Column, n: Int): Column =
@@ -218,4 +260,8 @@ object TextExpressions {
     * text → empty array. See [[TokenIds]]. */
   def tokenIds(text: Column, vocab: Map[String, Long], oovId: Long): Column =
     GraftBridge.column(TokenIds(GraftBridge.expression(text), vocab, oovId))
+
+  /** NFC normalization + control/zero-width scrub. See [[NormalizeText]]. */
+  def normalizeText(text: Column): Column =
+    GraftBridge.column(NormalizeText(GraftBridge.expression(text)))
 }

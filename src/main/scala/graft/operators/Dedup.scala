@@ -510,6 +510,67 @@ object Dedup {
     corpus.join(contaminatedIds(corpus, benchmark, n, idCol, textCol),
       Seq(idCol), "left_anti")
 
+  /** [[contaminatedIds]] for benchmarks too big to broadcast as an exact
+    * hash set: the EXACT same result, reached through a Bloom-filter
+    * pre-filter. The benchmark's distinct shingle hashes aggregate into one
+    * Bloom filter (Spark's `util.sketch` — the structure behind its own
+    * runtime-filter rewrite) that is shipped as a literal and applied
+    * map-side with the codegen'd `might_contain` Catalyst expression; only
+    * the ~fpp fraction of corpus shingles that pass (plus every true hit —
+    * Bloom filters have NO false negatives) reach the confirming semi-join,
+    * which is HINTED shuffled-hash on the 64-bit shingle hash.
+    *
+    * Scale arithmetic: an exact distinct-hash broadcast is 8 B + overhead
+    * per shingle — at 10⁹ benchmark shingles, tens of GB, unbroadcastable.
+    * The Bloom at fpp 1% is ~1.2 GB (9.6 bits/item) regardless of hash
+    * width, and the corpus side's shuffle shrinks from ALL shingles to
+    * ~1% of them + true contamination, so the confirm join's exchanges are
+    * ~100× smaller than [[contaminatedIds]]' would be if its broadcast were
+    * naively flipped to a shuffle. fpp trades filter size against confirm
+    * traffic; correctness never depends on it.
+    *
+    * `expectedItems <= 0` (default) sizes the filter from an exact count of
+    * the benchmark's distinct shingles — one extra small job, the same
+    * bounded driver action as [[Similarity]]'s centroid collect. */
+  def contaminatedIdsBloom(corpus: DataFrame, benchmark: DataFrame, n: Int,
+      fpp: Double = 0.01, expectedItems: Long = -1L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bench = benchShingleHashes(benchmark, n, textCol)
+    // cache ONLY for the two eager driver actions (count + bloom aggregate),
+    // then release before returning: a persist left registered would let the
+    // CacheManager substitute this fragment into UNRELATED queries sharing
+    // the benchShingleHashes(sub)plan — an InMemoryRelation with unknown
+    // stats that demotes their broadcast joins to SMJ (observed in PlanSpec)
+    bench.persist(StorageLevel.MEMORY_AND_DISK)
+    val bytes = try {
+      val n0 = if (expectedItems > 0) expectedItems else math.max(bench.count(), 1L)
+      val bloom = bench.stat.bloomFilter("sh_h", n0, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    } finally bench.unpersist(blocking = false)
+    val mightContain = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bytes, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.GraftBridge.expression(col("sh_h"))))
+    corpus
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("s"))
+      .select(col(idCol), xxhash64(col("s")).as("sh_h"))
+      .where(mightContain)
+      .join(bench.hint("shuffle_hash"), Seq("sh_h"), "left_semi")
+      .select(idCol).distinct()
+  }
+
+  /** [[decontaminate]] with the Bloom-pre-filtered contamination scan —
+    * bit-identical output, built for benchmark sets beyond broadcast size. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int,
+      fpp: Double = 0.01, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    corpus.join(
+      contaminatedIdsBloom(corpus, benchmark, n, fpp, idCol = idCol, textCol = textCol),
+      Seq(idCol), "left_anti")
+
   /** GPT-3/PaLM-style contamination SCORES: for each corpus document, the
     * fraction of its distinct word n-gram shingles that also occur anywhere
     * in the benchmark — decontamination by n-gram overlap RATIO (cf. Brown

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Time-relational operators Spark lacks as built-ins: the as-of join
+  * (pandas `merge_asof`, DuckDB `ASOF JOIN`, kdb `aj`) and the binned range
+  * join (Databricks' range-join hint, absent from OSS Spark). Both are
+  * declared against the DataFrame API so Catalyst keeps pushdown/pruning;
+  * neither ever degenerates into a cartesian product.
+  *
+  * Not part of the reference surface (monasca-aggregator has no joins at
+  * all — `aggregation/aggregation_rule.go` only filters and groups one
+  * stream); these are graft extensions for the training-data/event-analytics
+  * side of the engine.
+  */
+object Relational {
+
+  /** Backward inclusive as-of join: for each left row, attach the payload of
+    * the LATEST right row with the same `key` whose `rightTime` <=
+    * `leftTime` (and, if `toleranceUs >= 0`, within `leftTime - toleranceUs`).
+    * Left rows with no qualifying right row keep NULL payloads (left-outer
+    * semantics). Ties on (key, rightTime) resolve to the largest
+    * `rightTieBreak`, making the result fully deterministic.
+    *
+    * Spark-first shape: this is NOT implemented as a join. Both sides are
+    * tagged and UNIONed, shuffled ONCE on the key, sorted by (time, side,
+    * tie-break) and the latest right payload is carried forward with
+    * `last(_, ignoreNulls = true)` over an unbounded-preceding running
+    * window — then the right carrier rows are dropped. Cost is one exchange
+    * per side + one sort: exactly a sort-merge join's shuffle without its
+    * per-key pairwise matching, so a key whose right side has millions of
+    * rows streams linearly instead of quadratically. At 100 TB the only
+    * skew hazard is a single hot KEY exceeding one task's sort spill —
+    * the classic mitigation (split the key by time range, as-of join each
+    * range against the previous range's last row) composes from this same
+    * primitive.
+    *
+    * Time columns must be numeric (pass `unix_micros(ts)` for timestamps —
+    * a timestamp→long SQL cast would silently truncate to seconds).
+    * Payload columns are emitted as `prefix + name`; `rightTime` is always
+    * available as `prefix + rightTime` for staleness checks downstream.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String],
+      rightTieBreak: String, toleranceUs: Long = -1L,
+      prefix: String = "asof_"): DataFrame = {
+    require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    val leftFields = left.schema.fields
+
+    // the right payload travels as ONE struct column so a single
+    // last(ignoreNulls) carries every field (plus the match time) together
+    val pCols = payload.filterNot(_ == rightTime)
+    val pStruct = struct(col(rightTime).cast(LongType).as("__rt") +:
+      pCols.map(col): _*)
+    // the payload slot's concrete type, so the left side can carry a
+    // null literal of the SAME struct type and the union resolves by position
+    val pType = right.select(pStruct.as("__p")).schema.fields.head.dataType
+
+    val rSide = right.select(
+      Seq(col(key).as("__k"), col(rightTime).cast(LongType).as("__t"),
+        lit(0).as("__side"), col(rightTieBreak).cast(LongType).as("__tb"),
+        pStruct.as("__p")) ++
+        leftFields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    val lSide = left.select(
+      Seq(col(key).as("__k"), col(leftTime).cast(LongType).as("__t"),
+        lit(1).as("__side"), lit(Long.MaxValue).as("__tb"),
+        lit(null).cast(pType).as("__p")) ++
+        leftFields.map(f => col(f.name)): _*)
+
+    // right rows sort BEFORE left rows at equal time (inclusive backward);
+    // among right ties the largest tie-break is seen last and wins
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc_nulls_first, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = last(col("__p"), ignoreNulls = true).over(w)
+
+    val matched =
+      if (toleranceUs < 0) carried
+      else when(carried.getField("__rt") >= col("__t") - lit(toleranceUs), carried)
+
+    lSide.union(rSide)
+      .withColumn("__m", matched)
+      .where(col("__side") === 1)
+      .select(leftFields.map(f => col(f.name)) ++
+        ((s"$prefix$rightTime", col("__m").getField("__rt")) +:
+          pCols.map(p => (s"$prefix$p", col("__m").getField(p))))
+          .map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Range (interval) join via time-binning: each `intervals` row
+    * [startCol, endCol] (inclusive bounds, long values) matches every
+    * `points` row whose `pointTime` falls inside it and whose `keys` match.
+    * OSS Spark plans a bare `p.ts BETWEEN i.s AND i.e` predicate as a
+    * broadcast-nested-loop (or cartesian) join — quadratic per key. This
+    * operator makes it an EQUI-join: intervals explode to the `binWidth`-
+    * sized bins they cover, points compute their single containing bin, and
+    * the join keys on (keys…, bin) with the range predicate left as a cheap
+    * post-filter. Each qualifying (point, interval) pair meets in EXACTLY
+    * one bin — the point's — so no dedup pass is needed.
+    *
+    * Scale shape: shuffle on (keys, bin) distributes uniformly as long as
+    * `binWidth` is on the order of the typical interval length (an interval
+    * explodes to ~len/binWidth + 1 rows; a bin holds ~binWidth worth of
+    * points). Pathological inputs — one giant interval covering everything —
+    * degrade to interval-row replication, never to a cartesian product.
+    * Column sets must be disjoint apart from `keys` (rename upstream).
+    */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame,
+      pointTime: String, startCol: String, endCol: String,
+      binWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(floor(col(startCol) / binWidth).cast(LongType),
+        floor(col(endCol) / binWidth).cast(LongType))))
+    val pt = points.withColumn("__bin",
+      floor(col(pointTime) / binWidth).cast(LongType))
+    pt.join(iv, keys :+ "__bin")
+      .where(col(pointTime) >= col(startCol) && col(pointTime) <= col(endCol))
+      .drop("__bin")
+  }
+}

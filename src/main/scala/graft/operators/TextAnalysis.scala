@@ -428,6 +428,36 @@ object TextAnalysis {
       .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Per-GROUP corpus-learned quality cutoff — [[qualityQuantileFilter]]
+    * stratified by `groupCol` (source, domain, language …): each group keeps
+    * its own top (1−q) quality mass, so a high-quality source is not allowed
+    * to crowd out a noisier-but-wanted one (the failure mode of one global
+    * cutoff over a mixed corpus). Same sampled exact-percentile estimator
+    * per group, same NULL-cutoff-keeps-rows guard. Rows whose `groupCol` is
+    * NULL never match the cutoff join (SQL null equality) and are KEPT —
+    * the conservative default for unattributed documents.
+    *
+    * Scale shape: the sample aggregates to ONE row per group (domain counts
+    * are ≤ millions — broadcastable by construction), the cutoff table
+    * comes back as a broadcast join on the group key, and the corpus makes
+    * the same single narrow pass as the global variant. */
+  def qualityQuantileFilterBy(docs: DataFrame, q: Double, groupCol: String,
+      sampleRate: Double = 0.1, seed: Long = 42,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(q > 0 && q < 1, s"q must be in (0, 1), got $q")
+    require(sampleRate > 0 && sampleRate <= 1,
+      s"sampleRate must be in (0, 1], got $sampleRate")
+    require((sampleRate * Sampling.Buckets).toLong >= 1,
+      s"sampleRate $sampleRate floors to zero of ${Sampling.Buckets} hash buckets")
+    val cutoffs = Sampling.sampleByHash(docs, idCol, sampleRate, seed)
+      .groupBy(col(groupCol))
+      .agg(percentile(qualityScore(col(textCol)), lit(q)).as("__graft_cut"))
+    docs.join(broadcast(cutoffs), Seq(groupCol), "left")
+      .filter(qualityScore(col(textCol)) >=
+        coalesce(col("__graft_cut"), lit(Double.NegativeInfinity)))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
   // ------------------------------------------------- n-gram LM scoring
 
   /** LM tokenization: lower-case, set-trim, then the engine-wide

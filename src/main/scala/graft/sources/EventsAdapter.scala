@@ -26,18 +26,21 @@ object EventsAdapter {
     toEnvelopes(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
-  def toEnvelopes(events: DataFrame): DataFrame = {
-    val baseDims = map(
-      lit("event_id"), col("event_id").cast("string"),
-      lit("user_id"), col("user_id").cast("string"),
-      lit("k"), get_json_object(col("props"), "$.k"))
-    val dims = when(col("user_id") % 10 === 0,
-        map_concat(baseDims, map(lit("vip"), lit("1"))))
-      .otherwise(baseDims)
-    // epoch micros regardless of how the parquet reader surfaced `ts`
-    // (int64 nanos under the legacy conf, TIMESTAMP_NTZ for micros parquet
-    // written without a UTC flag, or a proper timestamp)
-    val tsUs = events.schema("ts").dataType match {
+  /** The raw events table with `ts` already normalized to epoch-micros
+    * (`ts_us` BIGINT) — the input surface for the relational extension
+    * queries (as-of / range joins), sharing envelopes()' reader conf and
+    * timestamp semantics so every consumer agrees on the instant. */
+  def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    events.withColumn("ts_us", tsMicros(events)).drop("ts")
+  }
+
+  /** Epoch micros regardless of how the parquet reader surfaced `ts`
+    * (int64 nanos under the legacy conf, TIMESTAMP_NTZ for micros parquet
+    * written without a UTC flag, or a proper timestamp). */
+  private def tsMicros(events: DataFrame): org.apache.spark.sql.Column =
+    events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
       case org.apache.spark.sql.types.TimestampNTZType =>
         // NTZ is a zoneless wall clock; the testdata generator's wall clocks
@@ -53,6 +56,16 @@ object EventsAdapter {
           events.sparkSession.conf.get("spark.sql.session.timeZone")))
       case _ => unix_micros(col("ts"))
     }
+
+  def toEnvelopes(events: DataFrame): DataFrame = {
+    val baseDims = map(
+      lit("event_id"), col("event_id").cast("string"),
+      lit("user_id"), col("user_id").cast("string"),
+      lit("k"), get_json_object(col("props"), "$.k"))
+    val dims = when(col("user_id") % 10 === 0,
+        map_concat(baseDims, map(lit("vip"), lit("1"))))
+      .otherwise(baseDims)
+    val tsUs = tsMicros(events)
     events.select(
       struct(
         col("event_type").as("name"),

@@ -49,20 +49,35 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("ms renders the compact-line integer milliseconds, keeping the -1 marker") {
+    assert(Bench.ms(0.2104) == "210")
+    assert(Bench.ms(1.2345) == "1235" && Bench.ms(20.25) == "20250")
+    assert(Bench.ms(-1.0) == "-1")
+  }
+
+  test("compactQueries groups ≥3-member families and round-trips exactly") {
+    val in = Seq("text_stats" -> 0.21, "text_langid" -> 1.2, "text_pii" -> 0.05,
+      "a1_sum_1d" -> 0.1, "a2_count_1d" -> 0.2, "w1_count_1h" -> -1.0)
+    val s = Bench.compactQueries(in)
+    // text_* folds (3 members); a*/w* families are <3 and stay flat
+    assert(s.contains(""""text":{"langid":1200,"pii":50,"stats":210}"""), s)
+    assert(s.contains(""""a1_sum_1d":100""") && s.contains(""""w1_count_1h":-1"""), s)
+    // valid JSON shape: balanced braces, no trailing commas
+    assert(s.count(_ == '{') == s.count(_ == '}') && !s.contains(",}"), s)
+  }
+
   test("the compact line of record fits a 2000-char tail capture for every query") {
-    // worst case: every timing at sig3's widest sub-1000s rendering
-    // ("9.99" = 4 chars; the rounding edge "10.00" = 5 never applies to all
-    // queries at once). The budget is RAW chars: every BENCH_r*.json tail is
-    // exactly 2000 characters AFTER json.load (the driver truncates raw
-    // stdout, then JSON-encodes), and ~80 chars of sbt epilogue
-    // ("[success] Total time: ...") land in the capture AFTER the line —
-    // reserve 120 for them
+    // worst case: every timing at 4-char ms ("9999" = 9.999 s; only a
+    // handful of queries have ever exceeded 10 s, and the 60-char slack
+    // below covers each of them costing one extra char). The budget is RAW
+    // chars: every BENCH_r*.json tail is exactly 2000 characters AFTER
+    // json.load (the driver truncates raw stdout, then JSON-encodes), and
+    // ~80 chars of sbt epilogue ("[success] Total time: ...") land in the
+    // capture AFTER the line — reserve 120 for them, plus 60 for outliers
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val line = names.map(n => "\"" + n + "\":" + "9.99").mkString(
-      """{"t":1230,"la":[31.9,28.4],"queries":{""",
-      ",",
-      """}}""")
-    assert(line.length + 120 < 2000,
+    val body = Bench.compactQueries(names.map(_ -> 9.999))
+    val line = s"""{"t":1230,"la":[31.9,28.4],"q_ms":$body}"""
+    assert(line.length + 120 + 60 < 2000,
       s"compact bench line is ${line.length} raw chars — with the ~80-char sbt " +
         "epilogue it would truncate in the 2000-char tail capture")
   }

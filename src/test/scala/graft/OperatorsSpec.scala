@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -1385,5 +1385,124 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.getAs[Int]("n_frames") == 3) // offsets 0,16,32 (48+64>100 excluded → floor((100-64)/16)=2 → 3 frames)
     val frames = out.getSeq[Array[Byte]](out.fieldIndex("frames"))
     assert(frames.forall(_.length == 64))
+  }
+
+  test("NFC normalize: composes, maps singletons, scrubs controls, keeps ws class") {
+    import graft.functions.TextExpressions.normalizeText
+    val rows = Seq(
+      (1L, "Cafe\u0301"), // e + combining acute -> composed \u00E9
+      (2L, "\u212B"), // ANGSTROM SIGN -> A-ring U+00C5
+      (3L, "a\u200Bb\u200Cc\u200Dd\uFEFFe"), // zero-width set scrubbed
+      (4L, "x\u0007y\u0001 \u009Czw"), // BEL, SOH, C1 ST scrubbed
+      (5L, "a\tb\nc\fd\re"), // engine ws class SURVIVES
+      (6L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val got = rows.select($"id", normalizeText($"t").as("n"))
+      .as[(Long, Option[String])].collect().sortBy(_._1).toMap
+    assert(got(1L) == Some("Caf\u00E9"))
+    assert(got(2L) == Some("\u00C5"))
+    assert(got(3L) == Some("abcde"))
+    assert(got(4L) == Some("xy zw"))
+    assert(got(5L) == Some("a\tb\nc\fd\re"))
+    assert(got(6L).isEmpty)
+  }
+
+  test("bloom decontamination is exact: identical survivors to the broadcast path") {
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val exact = Dedup.decontaminate(corpus, bench, 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // even at an absurd fpp the confirm join must cancel every false positive
+    Seq(0.01, 0.5).foreach { fpp =>
+      val got = Dedup.decontaminateBloom(corpus, bench, 3, fpp = fpp)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == exact, s"bloom path diverged at fpp=$fpp")
+    }
+  }
+
+  test("stratified quality cutoff: each group learns its own percentile; null group kept") {
+    // stopword share rises with i within each source, so scores are 8
+    // DISTINCT ascending values per group; srcB scores sit strictly below
+    // srcA's (symbol soup tanks its alpha ratio) — a GLOBAL q=0.5 cutoff
+    // would keep all of A and drop most of B; the stratified filter keeps
+    // the top half of EACH (8 distinct values, q=0.5 interpolates between
+    // ranks 3 and 4 → exactly 4 survive per group)
+    val a = (0 until 8).map(i =>
+      (i.toLong, ("the " * (i + 1)) + "alpha beta gamma delta", "srcA"))
+    val b = (0 until 8).map(i =>
+      ((100 + i).toLong, ("of " * (i + 1)) + "#1! #2! #3! #4! #5! #6!", "srcB"))
+    val corpus = (a ++ b :+ ((999L, "orphan text here", null.asInstanceOf[String])))
+      .toDF("doc_id", "text", "source")
+    val kept = TextAnalysis.qualityQuantileFilterBy(corpus, q = 0.5,
+        groupCol = "source", sampleRate = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    val keptA = kept.count(_ < 100)
+    val keptB = kept.count(k => k >= 100 && k < 999)
+    assert(keptA == 4, s"srcA kept $keptA of 8")
+    assert(keptB == 4, s"srcB kept $keptB of 8")
+    assert(kept.contains(999L), "null-source row must be kept")
+    // cross-check against Spark's own per-group percentile on the full corpus
+    val cuts = corpus.groupBy($"source")
+      .agg(percentile(TextAnalysis.qualityScore($"text"), lit(0.5)).as("c"))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    val expected = corpus
+      .select($"doc_id", $"source", TextAnalysis.qualityScore($"text").as("q"))
+      .collect().filter { r =>
+        val src = Option(r.getString(1))
+        src.isEmpty || r.getDouble(2) >= cuts(src)
+      }.map(_.getLong(0)).toSet
+    assert(kept == expected)
+  }
+
+  test("as-of join: backward inclusive, max tie-break, left-outer, tolerance") {
+    val left = Seq(
+      (1L, "u1", 100L), // exact-time right row qualifies (inclusive)
+      (2L, "u1", 250L), // latest of {100, 200{a,b}} → 200, tie → max eid 21
+      (3L, "u2", 50L), // no right row at/before → NULLs
+      (4L, "u3", 500L) // key with no right rows at all → NULLs
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", 100L, 10L, 1.0),
+      ("u1", 200L, 20L, 2.0), // tie on ts with eid 21
+      ("u1", 200L, 21L, 3.0),
+      ("u1", 300L, 30L, 4.0), // after every left row with this key
+      ("u2", 60L, 40L, 5.0) // after u2's only left row
+    ).toDF("k", "rt", "eid", "v")
+    val out = Relational.asofJoin(left, right, "k", "t", "rt",
+        payload = Seq("v"), rightTieBreak = "eid")
+      .select("id", "asof_rt", "asof_v").as[(Long, Option[Long], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, Some(100L), Some(1.0)),
+      (2L, Some(200L), Some(3.0)), // max-eid tie winner's payload
+      (3L, None, None),
+      (4L, None, None)))
+
+    // tolerance: the 200-unit-stale match at t=250 survives a 150 window
+    // but not a 40 window
+    val tol = Relational.asofJoin(left, right, "k", "t", "rt",
+        payload = Seq("v"), rightTieBreak = "eid", toleranceUs = 40L)
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().sortBy(_._1)
+    assert(tol.toSeq == Seq(
+      (1L, Some(1.0)), (2L, None), (3L, None), (4L, None)))
+  }
+
+  test("range join binned: inclusive bounds, multi-bin intervals, overlaps") {
+    val points = Seq(
+      ("u1", 100L, 1L), ("u1", 150L, 2L), ("u1", 249L, 3L),
+      ("u1", 250L, 4L), // == end bound: inclusive
+      ("u1", 251L, 5L), // just past
+      ("u2", 100L, 6L) // right time, other key
+    ).toDF("k", "t", "pid")
+    val intervals = Seq(
+      ("u1", 100L, 250L, 100L), // spans bins 1..2 at binWidth=128
+      ("u1", 140L, 160L, 101L), // overlaps the first → point 2 matches both
+      ("u2", 0L, 50L, 102L) // u2's points all outside
+    ).toDF("k", "s", "e", "iid")
+    val out = Relational.rangeJoinBinned(points, intervals, "t", "s", "e",
+        binWidth = 128L, keys = Seq("k"))
+      .select("iid", "pid").as[(Long, Long)].collect().sorted
+    assert(out.toSeq == Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L), (101L, 2L)))
   }
 }

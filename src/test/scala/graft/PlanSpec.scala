@@ -465,4 +465,36 @@ class PlanSpec extends AnyFunSuite {
   test("flagship entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("bloom decontam: map-side might_contain below a SHUFFLED confirm join") {
+    // the scale contract: the benchmark set is NEVER broadcast — the Bloom
+    // literal prunes map-side (codegen'd might_contain) and the exact
+    // confirm is a shuffled hash semi-join on the 64-bit shingle hash
+    val plan = executedPlan(
+      SparkEntry.queries("dedup_decontam_bloom")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("might_contain"), s"bloom pre-filter missing:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftSemi"),
+      s"confirm join is not a shuffled semi-join:\n$plan")
+  }
+
+  test("as-of join plans with NO join node: one union-wide shuffle + sort") {
+    // the as-of is union + running window, never a join — a regression to a
+    // real join (worst case a per-key quadratic SMJ or a BNLJ on the range
+    // predicate) is THE scale hazard this pin guards
+    val plan = executedPlan(
+      SparkEntry.queries("join_asof")(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one shuffle (the union-wide key partition):\n$plan")
+    assert(plan.contains("Window"), s"running-window carrier missing:\n$plan")
+  }
+
+  test("range join binned is an EQUI-join on (key, bin) — never nested-loop") {
+    val plan = executedPlan(
+      SparkEntry.queries("join_range")(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a product:\n$plan")
+    assert(plan.contains("__bin"), s"bin key missing from the join:\n$plan")
+  }
 }

@@ -381,6 +381,47 @@ object PropertySpec extends Properties("graft") {
       got == expected
     }
 
+  property("as-of join equals the naive argmax-(rt, eid) model ∀ rows/tolerance") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 60L)))
+        .map(_.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }),
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 60L)))
+        .map(_.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong, i * 1.5) }),
+      Gen.oneOf(-1L, 5L, 20L, 100L)) { (lefts, rights, tol) =>
+      val expected = lefts.map { case (id, k, t) =>
+        val cand = rights.filter { case (rk, rt, _, _) =>
+          rk == k && rt <= t && (tol < 0 || rt >= t - tol) }
+        id -> (if (cand.isEmpty) None
+               else Some(cand.maxBy { case (_, rt, eid, _) => (rt, eid) }._4))
+      }.toMap
+      val got = graft.operators.Relational.asofJoin(
+          lefts.toDF("id", "k", "t"), rights.toDF("k", "rt", "eid", "v"),
+          "k", "t", "rt", payload = Seq("v"), rightTieBreak = "eid",
+          toleranceUs = tol)
+        .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+      got == expected
+    }
+
+  property("range join binned equals the naive filter model ∀ points/intervals/binWidth") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 99L)))
+        .map(_.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }),
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 99L),
+          Gen.choose(0L, 40L)))
+        .map(_.zipWithIndex.map { case ((k, s, len), i) => (k, s, s + len, i.toLong) }),
+      Gen.choose(1L, 50L)) { (pts, ivs, binW) =>
+      val expected = (for {
+        (pk, t, pid) <- pts
+        (ik, s, e, iid) <- ivs
+        if ik == pk && t >= s && t <= e
+      } yield (iid, pid)).toSet
+      val got = graft.operators.Relational.rangeJoinBinned(
+          pts.toDF("k", "t", "pid"), ivs.toDF("k", "s", "e", "iid"),
+          "t", "s", "e", binWidth = binW, keys = Seq("k"))
+        .select("iid", "pid").as[(Long, Long)].collect().toSet
+      got == expected
+    }
+
   property("k-means centroids equal the exact fixed-point reference ∀ corpus/nLists/rounds") =
     forAll(
       Gen.nonEmptyListOf(Gen.listOfN(4, Gen.choose(-1.0, 1.0).map(_.toFloat))),
