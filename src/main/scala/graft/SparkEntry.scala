@@ -959,6 +959,15 @@ object SparkEntry {
       Dedup.semanticPairs(emb(s, dir), threshold = 0.4, nLists = 8)
         .select(col("id_a"), col("id_b"), col("cell").cast("long").as("cell"),
           round(col("cosine"), 4).as("cosine"))),
+    // embedding-space decontamination: corpus vectors semantically close
+    // (same SemDeDup cell, cosine ≥ 0.25) to the held-out bench slice are
+    // dropped — catches paraphrases n-gram decontam can't see
+    "dedup_decontam_sem" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Dedup.semanticDecontaminate(e.filter(col("vec_id") % 50 =!= 0),
+        e.filter(col("vec_id") % 50 === 0), threshold = 0.25, nLists = 8)
+        .select("vec_id")
+    }),
     // one representative per semantic cluster (SemDeDup's keep step):
     // pairs → connected components → drop non-minimal members
     "dedup_semantic_survivors" -> ((s, dir) =>
@@ -1288,6 +1297,20 @@ object SparkEntry {
         payload = Seq("c_value"), rightTieBreak = "c_eid",
         toleranceUs = 6L * 3600 * 1000000)
     }),
+    // forward direction: the user's NEXT click at/after each purchase
+    // (ties → smallest click event_id)
+    "join_asof_fwd" -> ((s, dir) => {
+      val ev = EventsAdapter.rawEvents(s, dir)
+      Relational.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("value")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us").as("c_ts"),
+            col("event_id").as("c_eid"), col("value").as("c_value")),
+        key = "user_id", leftTime = "ts_us", rightTime = "c_ts",
+        payload = Seq("c_value"), rightTieBreak = "c_eid",
+        direction = "forward")
+    }),
     // purchases attributed to the user's view windows [view, view+30 min]
     // (inclusive) via the binned range join — never a cartesian; count +
     // revenue per view anchor
@@ -1310,20 +1333,27 @@ object SparkEntry {
     }))
 
   /** As-of mirror: rank the qualifying clicks per purchase and keep rank 1 —
-    * ties broken by c_eid DESC, exactly the operator's max-tie-break. A
-    * purchase with no qualifying click survives the LEFT JOIN as one
-    * null-extended row (rn = 1, NULL asof_*) — the left-outer contract. */
-  private def asofOracleSql(toleranceUs: Long): String = {
+    * backward ties broken by c_eid DESC (the operator's max-tie-break),
+    * forward by (c_ts, c_eid) ASC (its min-tie-break). A purchase with no
+    * qualifying click survives the LEFT JOIN as one null-extended row
+    * (rn = 1, NULL asof_*) — the left-outer contract. */
+  private def asofOracleSql(toleranceUs: Long,
+      direction: String = "backward"): String = {
+    val back = direction == "backward"
     val tol = if (toleranceUs < 0) ""
-      else s"AND c.c_ts >= p.ts_us - $toleranceUs "
+      else if (back) s"AND c.c_ts >= p.ts_us - $toleranceUs "
+      else s"AND c.c_ts <= p.ts_us + $toleranceUs "
+    val cond = if (back) "c.c_ts <= p.ts_us" else "c.c_ts >= p.ts_us"
+    val order = if (back) "c.c_ts DESC NULLS LAST, c.c_eid DESC"
+      else "c.c_ts ASC NULLS LAST, c.c_eid ASC"
     s"WITH p AS (SELECT event_id, user_id, $TsUs AS ts_us, value " +
       "FROM events WHERE event_type = 'purchase'), " +
       s"c AS (SELECT user_id, $TsUs AS c_ts, event_id AS c_eid, " +
       "value AS c_value FROM events WHERE event_type = 'click'), " +
       "j AS (SELECT p.event_id, p.user_id, p.ts_us, p.value, c.c_ts, c.c_value, " +
       "row_number() OVER (PARTITION BY p.event_id " +
-      "ORDER BY c.c_ts DESC NULLS LAST, c.c_eid DESC) AS rn " +
-      s"FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.c_ts <= p.ts_us $tol) " +
+      s"ORDER BY $order) AS rn " +
+      s"FROM p LEFT JOIN c ON c.user_id = p.user_id AND $cond $tol) " +
       "SELECT event_id, user_id, ts_us, value, c_ts AS asof_c_ts, " +
       "c_value AS asof_c_value FROM j WHERE rn = 1"
   }
@@ -1353,6 +1383,7 @@ object SparkEntry {
         "'width ' || chr(7) || 'bell' AS raw FROM documents))"),
     "join_asof" -> asofOracleSql(toleranceUs = -1L),
     "join_asof_tol" -> asofOracleSql(toleranceUs = 6L * 3600 * 1000000),
+    "join_asof_fwd" -> asofOracleSql(toleranceUs = -1L, direction = "forward"),
     // range-join mirror: plain inequality join (DuckDB plans an IEJoin;
     // the Spark side's binning must not change the match set)
     "join_range" ->
@@ -1612,6 +1643,16 @@ object SparkEntry {
         s"SELECT a.vec_id AS id_a, b.vec_id AS id_b, $CosD AS c " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) WHERE c >= 0.4"),
     "dedup_semantic" -> SemanticPairsSql,
+    // cross-set variant of the same cell machinery: the union's centroid
+    // sample/argmax IS the shared u/cent/asg (corpus+bench partition the
+    // table); contaminated = same-cell cross pair with cosine ≥ 0.4
+    "dedup_decontam_sem" ->
+      (s"WITH $UnitVecCte, $SemanticCellAsgSql, " +
+        "bad AS (SELECT DISTINCT a.id FROM asg a JOIN asg b ON a.cell = b.cell " +
+        "AND a.id % 50 <> 0 AND b.id % 50 = 0 " +
+        "WHERE list_inner_product(a.v, b.v) >= 0.25) " +
+        "SELECT vec_id FROM embeddings WHERE vec_id % 50 <> 0 " +
+        "AND vec_id NOT IN (SELECT id FROM bad)"),
     "dedup_semantic_survivors" ->
       (s"$SemanticComponentsCte SELECT vec_id FROM embeddings " +
         "WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> component)"),

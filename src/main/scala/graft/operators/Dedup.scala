@@ -795,6 +795,56 @@ object Dedup {
     * unit-vector relation is persisted and feeds the returned lazy plan
     * (same cache lifecycle as [[ngramJaccardPairs]] — released by the
     * ContextCleaner after the caller drops the plan). */
+  /** SEMANTIC decontamination — the embedding-space upgrade of
+    * [[contaminatedIds]]: a corpus vector whose cosine to ANY benchmark
+    * vector reaches `threshold` is contaminated (catches paraphrases and
+    * translations that share no n-gram with the benchmark). Candidate
+    * pruning is the SemDeDup cell trick ([[semanticPairs]]): both sides are
+    * assigned to the argmax-cosine cell of a deterministic `nLists`-centroid
+    * sample taken over the UNION (so the cell geometry is one shared
+    * partition of the sphere, not two incompatible ones), and only
+    * same-cell cross pairs are scored. The cell restriction IS the
+    * operator's contract — the DuckDB mirror replays the identical
+    * centroid sample and argmax, so both engines prune identically.
+    * Zero vectors have no unit direction, get no cell and are never
+    * contaminated. Returns the contaminated corpus ids as (idCol).
+    *
+    * Scale shape: one narrow assignment pass per side (centroid list is a
+    * driver-bounded literal, exactly [[semanticPairs]]' collect), then an
+    * equi-join on cell where the benchmark side is small — Catalyst
+    * broadcasts it; the corpus is never joined all-pairs. */
+  def semanticContaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double, nLists: Int, seed: Long = 42,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nLists >= 1, s"nLists must be >= 1, got $nLists")
+    val cu = Similarity.unitVectors(corpus, idCol, vecCol, "id", "v")
+      .withColumn("side", lit(0))
+    val bu = Similarity.unitVectors(benchmark, idCol, vecCol, "id", "v")
+      .withColumn("side", lit(1))
+    val all = cu.unionByName(bu).persist(StorageLevel.MEMORY_AND_DISK)
+    val centroids = Similarity.sampleCentroids(
+      all.select(col("id"), col("v")), "id", "v", nLists, seed)
+    if (centroids.isEmpty)
+      return corpus.select(col(idCol)).limit(0)
+    val assigned = all.withColumn("cell",
+      array_max(Similarity.cellScores(col("v"), centroids)).getField("c"))
+    val c = assigned.filter(col("side") === 0)
+      .select(col("cell"), col("id"), col("v").as("vc"))
+    val b = assigned.filter(col("side") === 1)
+      .select(col("cell"), col("v").as("vb"))
+    c.join(b, Seq("cell"))
+      .filter(graft.functions.VectorExpressions.dot(col("vc"), col("vb")) >= threshold)
+      .select(col("id").as(idCol)).distinct()
+  }
+
+  /** Corpus minus [[semanticContaminatedIds]]. */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double, nLists: Int, seed: Long = 42,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.join(
+      semanticContaminatedIds(corpus, benchmark, threshold, nLists, seed, idCol, vecCol),
+      Seq(idCol), "left_anti")
+
   def semanticPairs(emb: DataFrame, threshold: Double, nLists: Int,
       seed: Long = 42, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

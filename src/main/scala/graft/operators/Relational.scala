@@ -18,12 +18,15 @@ import org.apache.spark.sql.types.{LongType, StructType}
   */
 object Relational {
 
-  /** Backward inclusive as-of join: for each left row, attach the payload of
-    * the LATEST right row with the same `key` whose `rightTime` <=
-    * `leftTime` (and, if `toleranceUs >= 0`, within `leftTime - toleranceUs`).
-    * Left rows with no qualifying right row keep NULL payloads (left-outer
-    * semantics). Ties on (key, rightTime) resolve to the largest
-    * `rightTieBreak`, making the result fully deterministic.
+  /** Inclusive as-of join: for each left row, attach the payload of the
+    * LATEST right row with the same `key` whose `rightTime` <= `leftTime`
+    * (and, if `toleranceUs >= 0`, within `leftTime - toleranceUs`);
+    * `direction = "forward"` flips both inequalities (EARLIEST right row at
+    * or after `leftTime`, within `leftTime + toleranceUs`). Left rows with
+    * no qualifying right row keep NULL payloads (left-outer semantics).
+    * Ties on (key, rightTime) resolve to the largest `rightTieBreak`
+    * backward and the smallest forward, making the result fully
+    * deterministic.
     *
     * Spark-first shape: this is NOT implemented as a join. Both sides are
     * tagged and UNIONed, shuffled ONCE on the key, sorted by (time, side,
@@ -46,26 +49,39 @@ object Relational {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payload: Seq[String],
       rightTieBreak: String, toleranceUs: Long = -1L,
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_", direction: String = "backward"): DataFrame = {
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    // forward = the backward algorithm on time-negated axes: the LATEST
+    // preceding row of (-t) is the EARLIEST following row of t, and the
+    // negated tie-break makes forward ties resolve to the SMALLEST id
+    // (the deterministic mirror of backward's largest)
+    val sign = if (direction == "backward") 1L else -1L
     val leftFields = left.schema.fields
 
     // the right payload travels as ONE struct column so a single
-    // last(ignoreNulls) carries every field (plus the match time) together
+    // last(ignoreNulls) carries every field (plus the match time — original
+    // in __rt for output, sign-adjusted in __srt for the tolerance check)
     val pCols = payload.filterNot(_ == rightTime)
-    val pStruct = struct(col(rightTime).cast(LongType).as("__rt") +:
-      pCols.map(col): _*)
+    val pStruct = struct(
+      col(rightTime).cast(LongType).as("__rt") +:
+        (col(rightTime).cast(LongType) * lit(sign)).as("__srt") +:
+        pCols.map(col): _*)
     // the payload slot's concrete type, so the left side can carry a
     // null literal of the SAME struct type and the union resolves by position
     val pType = right.select(pStruct.as("__p")).schema.fields.head.dataType
 
     val rSide = right.select(
-      Seq(col(key).as("__k"), col(rightTime).cast(LongType).as("__t"),
-        lit(0).as("__side"), col(rightTieBreak).cast(LongType).as("__tb"),
+      Seq(col(key).as("__k"),
+        (col(rightTime).cast(LongType) * lit(sign)).as("__t"),
+        lit(0).as("__side"),
+        (col(rightTieBreak).cast(LongType) * lit(sign)).as("__tb"),
         pStruct.as("__p")) ++
         leftFields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
     val lSide = left.select(
-      Seq(col(key).as("__k"), col(leftTime).cast(LongType).as("__t"),
+      Seq(col(key).as("__k"),
+        (col(leftTime).cast(LongType) * lit(sign)).as("__t"),
         lit(1).as("__side"), lit(Long.MaxValue).as("__tb"),
         lit(null).cast(pType).as("__p")) ++
         leftFields.map(f => col(f.name)): _*)
@@ -79,7 +95,7 @@ object Relational {
 
     val matched =
       if (toleranceUs < 0) carried
-      else when(carried.getField("__rt") >= col("__t") - lit(toleranceUs), carried)
+      else when(carried.getField("__srt") >= col("__t") - lit(toleranceUs), carried)
 
     lSide.union(rSide)
       .withColumn("__m", matched)

@@ -1420,6 +1420,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic decontam: self-bench drops every nonzero vector; empty/impossible bench keep all") {
+    val nonzero = emb.filter(
+      graft.functions.VectorExpressions.dot(
+        graft.operators.Similarity.toDoubleVec(col("embedding")),
+        graft.operators.Similarity.toDoubleVec(col("embedding"))) > 0).count()
+    // bench == corpus: every nonzero vector shares its own cell and has
+    // cosine 1.0 with itself → contaminated; only zero vectors survive
+    val self = Dedup.semanticDecontaminate(emb, emb, threshold = 0.999, nLists = 8)
+    assert(self.count() == emb.count() - nonzero)
+    // an empty benchmark contaminates nothing
+    val none = Dedup.semanticDecontaminate(emb, emb.limit(0), 0.4, nLists = 8)
+    assert(none.count() == emb.count())
+    // an unreachable threshold contaminates nothing (cosine ≤ 1)
+    val high = Dedup.semanticDecontaminate(emb, emb, threshold = 1.0001, nLists = 8)
+    assert(high.count() == emb.count())
+  }
+
   test("stratified quality cutoff: each group learns its own percentile; null group kept") {
     // stopword share rises with i within each source, so scores are 8
     // DISTINCT ascending values per group; srcB scores sit strictly below
@@ -1485,6 +1502,19 @@ class OperatorsSpec extends AnyFunSuite {
       .select("id", "asof_v").as[(Long, Option[Double])].collect().sortBy(_._1)
     assert(tol.toSeq == Seq(
       (1L, Some(1.0)), (2L, None), (3L, None), (4L, None)))
+
+    // forward: earliest right row AT/after each left time; ties at the same
+    // rt resolve to the SMALLEST eid (id 1 hits the t=100 row inclusively,
+    // id 2 reaches the 300 row, id 3 takes u2's later row, id 4 none)
+    val fwd = Relational.asofJoin(left, right, "k", "t", "rt",
+        payload = Seq("v"), rightTieBreak = "eid", direction = "forward")
+      .select("id", "asof_rt", "asof_v").as[(Long, Option[Long], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(fwd.toSeq == Seq(
+      (1L, Some(100L), Some(1.0)),
+      (2L, Some(300L), Some(4.0)),
+      (3L, Some(60L), Some(5.0)),
+      (4L, None, None)))
   }
 
   test("range join binned: inclusive bounds, multi-bin intervals, overlaps") {

@@ -477,6 +477,17 @@ class PlanSpec extends AnyFunSuite {
       s"confirm join is not a shuffled semi-join:\n$plan")
   }
 
+  test("stratified quality cutoff: per-group cutoffs broadcast, corpus never reshuffled") {
+    val plan = executedPlan(
+      SparkEntry.queries("text_quality_cutoff_by")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cutoff table must come back as a broadcast join:\n$plan")
+    // the corpus side makes ONE narrow pass: the only hashpartitioning
+    // exchange belongs to the sample's per-group percentile aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1,
+      s"corpus reshuffled for the stratified filter:\n$plan")
+  }
+
   test("as-of join plans with NO join node: one union-wide shuffle + sort") {
     // the as-of is union + running window, never a join — a regression to a
     // real join (worst case a per-key quadratic SMJ or a BNLJ on the range

@@ -381,23 +381,27 @@ object PropertySpec extends Properties("graft") {
       got == expected
     }
 
-  property("as-of join equals the naive argmax-(rt, eid) model ∀ rows/tolerance") =
+  property("as-of join equals the naive nearest-(rt, eid) model ∀ rows/tolerance/direction") =
     forAll(
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 60L)))
         .map(_.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }),
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 60L)))
         .map(_.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong, i * 1.5) }),
-      Gen.oneOf(-1L, 5L, 20L, 100L)) { (lefts, rights, tol) =>
+      Gen.oneOf(-1L, 5L, 20L, 100L),
+      Gen.oneOf("backward", "forward")) { (lefts, rights, tol, dir) =>
       val expected = lefts.map { case (id, k, t) =>
         val cand = rights.filter { case (rk, rt, _, _) =>
-          rk == k && rt <= t && (tol < 0 || rt >= t - tol) }
+          rk == k && (if (dir == "backward") rt <= t && (tol < 0 || rt >= t - tol)
+                      else rt >= t && (tol < 0 || rt <= t + tol)) }
         id -> (if (cand.isEmpty) None
-               else Some(cand.maxBy { case (_, rt, eid, _) => (rt, eid) }._4))
+               else if (dir == "backward")
+                 Some(cand.maxBy { case (_, rt, eid, _) => (rt, eid) }._4)
+               else Some(cand.minBy { case (_, rt, eid, _) => (rt, eid) }._4))
       }.toMap
       val got = graft.operators.Relational.asofJoin(
           lefts.toDF("id", "k", "t"), rights.toDF("k", "rt", "eid", "v"),
           "k", "t", "rt", payload = Seq("v"), rightTieBreak = "eid",
-          toleranceUs = tol)
+          toleranceUs = tol, direction = dir)
         .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
       got == expected
     }
