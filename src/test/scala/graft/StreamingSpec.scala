@@ -3,6 +3,7 @@ package graft
 import graft.model.{AggregationSpec, Metric, MetricEnvelope, RollupSpec}
 import graft.streaming.StreamRunner
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Streaming end-to-end through MemoryStream: append-mode emission on
@@ -441,5 +442,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(first.length == 1)
     assert(first.head._2 == 8.0) // avg(2,4)=3 + avg(5)=5
     assert(first.head._1 == Map("service" -> "s"))
+  }
+
+  test("stream-stream interval join: clicks in the hour before each purchase, keyed state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[MetricEnvelope]
+    val ev = input.toDF().select(
+      col("metric.name").as("name"),
+      (col("metric.timestamp") / 1000).cast("timestamp").as("ts"),
+      col("metric.dimensions").getItem("user_id").as("user"),
+      col("metric.value").as("value"))
+    val purchases = ev.filter(col("name") === "purchase")
+      .select(col("user"), col("ts").as("p_ts"), col("value").as("p_value"))
+    val clicks = ev.filter(col("name") === "click")
+      .select(col("user").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+    val joined = graft.streaming.StreamJoins.intervalJoin(
+      purchases, clicks, "user", "c_user", "p_ts", "c_ts",
+      lookbackSec = 3600L, watermarkSec = 60L)
+    val q = joined.writeStream.format("memory").queryName("sj_interval")
+      .outputMode("append").start()
+    try {
+      val base = 1000000000L
+      def e(name: String, user: String, tSec: Long, v: Double) =
+        env(name, Map("user_id" -> user), (base + tSec) * 1000.0, v)
+      input.addData(Seq(
+        e("click", "u1", -1800, 1.0), // 30 min before → matches
+        e("click", "u1", 0, 2.0), // same instant → inclusive match
+        e("click", "u1", 600, 3.0), // AFTER the purchase → no match
+        e("click", "u2", -60, 4.0), // right time, other user → no match
+        e("click", "u1", -7200, 5.0), // 2 h before → outside lookback
+        e("purchase", "u1", 0, 100.0)))
+      q.processAllAvailable()
+      val got = spark.table("sj_interval")
+        .select($"p_value", $"c_value").as[(Double, Double)].collect().toSet
+      assert(got == Set((100.0, 1.0), (100.0, 2.0)))
+    } finally q.stop()
   }
 }
