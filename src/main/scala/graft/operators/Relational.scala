@@ -137,4 +137,38 @@ object Relational {
       .where(col(pointTime) >= col(startCol) && col(pointTime) <= col(endCol))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join via the same binning: each `left` interval
+    * [`lStart`, `lEnd`] matches every `right` interval [`rStart`, `rEnd`]
+    * with equal `keys` that overlaps it — inclusive bounds, i.e.
+    * `lStart <= rEnd AND rStart <= lEnd`. The interval×interval analogue of
+    * [[rangeJoinBinned]] (timeline alignment: video segments × transcript
+    * spans, sessions × incident windows), which OSS Spark would likewise
+    * plan as a nested-loop join.
+    *
+    * Both sides explode to the bins they cover; overlapping pairs share at
+    * least one bin, and possibly many — the dedup is FREE, not a distinct
+    * pass: a pair is kept only in the overlap region's FIRST bin,
+    * `floor(max(lStart, rStart) / binWidth)`. That value equals
+    * `max(floor(lStart/w), floor(rStart/w))` (floor and max commute), a bin
+    * both sides cover, so every qualifying pair survives in exactly one bin.
+    *
+    * Scale shape matches [[rangeJoinBinned]]: shuffle on (keys, bin), each
+    * interval replicated ~len/binWidth + 1 times, worst case replication —
+    * never a cartesian. Bounds must satisfy start <= end on both sides;
+    * column sets disjoint apart from `keys`.
+    */
+  def overlapJoinBinned(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    def binned(df: DataFrame, s: String, e: String) = df.withColumn("__bin",
+      explode(sequence(floor(col(s) / binWidth).cast(LongType),
+        floor(col(e) / binWidth).cast(LongType))))
+    binned(left, lStart, lEnd).join(binned(right, rStart, rEnd), keys :+ "__bin")
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__bin") ===
+          floor(greatest(col(lStart), col(rStart)) / binWidth).cast(LongType))
+      .drop("__bin")
+  }
 }

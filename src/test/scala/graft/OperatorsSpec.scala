@@ -1535,4 +1535,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       (100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L), (101L, 2L)))
   }
+
+  test("overlap join binned: touching endpoints, multi-bin pairs meet once") {
+    val lefts = Seq(
+      ("u1", 100L, 300L, 1L), // spans bins 0..2 at binWidth=128
+      ("u1", 400L, 450L, 2L),
+      ("u2", 100L, 300L, 3L) // other key
+    ).toDF("k", "ls", "le", "lid")
+    val rights = Seq(
+      ("u1", 0L, 100L, 10L), // touches lid=1's start exactly: inclusive
+      ("u1", 150L, 290L, 11L), // nested in lid=1, shares bins 1 and 2
+      ("u1", 301L, 399L, 12L), // in the gap: matches neither
+      ("u1", 290L, 420L, 13L), // bridges lid=1 and lid=2
+      ("u2", 50L, 150L, 14L) // u2 only — same span would also hit lid=1
+    ).toDF("k", "rs", "re", "rid")
+    val out = Relational.overlapJoinBinned(lefts, rights,
+        "ls", "le", "rs", "re", binWidth = 128L, keys = Seq("k"))
+      .select("lid", "rid").as[(Long, Long)].collect().sorted
+    assert(out.toSeq == Seq(
+      (1L, 10L), (1L, 11L), (1L, 13L), (2L, 13L), (3L, 14L)))
+  }
+
+  test("weighted sample: ineligible rows excluded, deterministic, scale-invariant") {
+    val rows = Seq((1L, Option(10L)), (2L, Option(0L)), (3L, Option.empty[Long]),
+      (4L, Option(5L)), (5L, Option(1L)), (6L, Option(-7L)), (7L, Option(2L)))
+      .toDF("id", "w")
+    val out = Sampling.weightedSample(rows, "id", "w", 3)
+      .select("id").as[Long].collect().toSet
+    assert(out.size == 3, s"expected 3 selected, got $out")
+    assert(!out.contains(2L) && !out.contains(3L) && !out.contains(6L),
+      s"zero/null/negative-weight rows must never be selected: $out")
+    val again = Sampling.weightedSample(rows, "id", "w", 3)
+      .select("id").as[Long].collect().toSet
+    assert(out == again, "selection must be deterministic across runs")
+    // k >= eligible rows: all of them, exactly once
+    val all = Sampling.weightedSample(rows, "id", "w", 10)
+      .select("id").as[Long].collect().toSeq
+    assert(all.sorted == Seq(1L, 4L, 5L, 7L))
+    // constant weights are scale-invariant: u^(1/c) is monotone in u for
+    // any c > 0, so every constant selects the same (uniform) top-k
+    val ids = (1L to 20L).map(i => (i, 1L)).toDF("id", "w")
+    val ids9 = (1L to 20L).map(i => (i, 9000L)).toDF("id", "w")
+    val u1 = Sampling.weightedSample(ids, "id", "w", 5)
+      .select("id").as[Long].collect().toSet
+    val u9 = Sampling.weightedSample(ids9, "id", "w", 5)
+      .select("id").as[Long].collect().toSet
+    assert(u1 == u9, s"constant-weight selections diverged: $u1 vs $u9")
+  }
 }

@@ -508,4 +508,22 @@ class PlanSpec extends AnyFunSuite {
       s"range join degenerated to a product:\n$plan")
     assert(plan.contains("__bin"), s"bin key missing from the join:\n$plan")
   }
+
+  test("overlap join binned is an EQUI-join on (key, bin) — never nested-loop") {
+    val plan = executedPlan(
+      SparkEntry.queries("join_overlap")(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"overlap join degenerated to a product:\n$plan")
+    assert(plan.contains("__bin"), s"bin key missing from the join:\n$plan")
+  }
+
+  test("weighted sample plans as TakeOrdered top-k — no global sort exchange") {
+    val plan = executedPlan(
+      SparkEntry.queries("sample_weighted")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected a TakeOrderedAndProject top-k:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"weighted sample must not globally sort the corpus:\n$plan")
+  }
 }

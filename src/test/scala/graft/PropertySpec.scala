@@ -426,6 +426,44 @@ object PropertySpec extends Properties("graft") {
       got == expected
     }
 
+  property("overlap join binned equals the naive filter model ∀ intervals/binWidth") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 99L),
+          Gen.choose(0L, 40L)))
+        .map(_.zipWithIndex.map { case ((k, s, len), i) => (k, s, s + len, i.toLong) }),
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 99L),
+          Gen.choose(0L, 40L)))
+        .map(_.zipWithIndex.map { case ((k, s, len), i) => (k, s, s + len, i.toLong) }),
+      Gen.choose(1L, 50L)) { (ls, rs, binW) =>
+      // a pair must appear EXACTLY once — collect as a multiset, not a set
+      val expected = (for {
+        (lk, lsS, lsE, lid) <- ls
+        (rk, rsS, rsE, rid) <- rs
+        if lk == rk && lsS <= rsE && rsS <= lsE
+      } yield (lid, rid)).sorted
+      val got = graft.operators.Relational.overlapJoinBinned(
+          ls.toDF("k", "ls", "le", "lid"), rs.toDF("k", "rs", "re", "rid"),
+          "ls", "le", "rs", "re", binWidth = binW, keys = Seq("k"))
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+      got == expected
+    }
+
+  property("weighted sample equals the naive A-ES top-k model ∀ weights/k/seed") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.choose(-3L, 60L))
+        .map(_.zipWithIndex.map { case (w, i) => (i.toLong, w) }),
+      Gen.choose(1, 8), Gen.choose(0L, 5L)) { (rows, k, seed) =>
+      val expected = rows.filter(_._2 > 0).map { case (id, w) =>
+        val u = (TestRefs.hashRaw(id, seed) + 1).toDouble / 2147483647.0
+        (id, w, math.pow(u, 1.0 / w))
+      }.sortBy { case (id, _, key) => (-key, id) }
+        .take(k).map(t => (t._1, t._2)).toSet
+      val got = graft.operators.Sampling.weightedSample(
+          rows.toDF("id", "w"), "id", "w", k, seed)
+        .select("id", "w").as[(Long, Long)].collect().toSet
+      got == expected
+    }
+
   property("k-means centroids equal the exact fixed-point reference ∀ corpus/nLists/rounds") =
     forAll(
       Gen.nonEmptyListOf(Gen.listOfN(4, Gen.choose(-1.0, 1.0).map(_.toFloat))),
