@@ -1144,6 +1144,14 @@ object SparkEntry {
       Sampling.upsample(docs(s, dir), "source",
           Map("src0" -> 2.5, "src1" -> 0.5), "doc_id")
         .select("doc_id", "source", "copy")),
+    // weighted sampling without replacement: 100 docs ∝ token mass
+    // (Efraimidis–Spirakis hash-keys, no global sort — TakeOrdered top-k)
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(
+          docs(s, dir).select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", 100)
+        .select("doc_id", "source", "n_tokens")),
     // trainer-facing token-id export: 256-token corpus-learned vocab (rank by
     // count desc, token asc), OOV id 9999; the array<long> result is
     // posexploded to (shard, seq_id, pos, token_id) rows so the oracle
@@ -1330,6 +1338,26 @@ object SparkEntry {
         .groupBy("anchor_id")
         .agg(count(lit(1)).as("n_purchases"),
           safeRound2(sum("value")).as("sum_value"))
+    }),
+    // interval×interval: view windows [ts, ts+12h] overlapped with click
+    // windows [ts, ts+6h] per user, via the binned overlap join (pairs meet
+    // exactly once in the overlap's first bin — no dedup pass)
+    "join_overlap" -> ((s, dir) => {
+      val ev = EventsAdapter.rawEvents(s, dir)
+      Relational.overlapJoinBinned(
+          ev.filter(col("event_type") === "view")
+            .select(col("event_id").as("anchor_id"), col("user_id"),
+              col("ts_us").as("v_start"),
+              (col("ts_us") + lit(43200000000L)).as("v_end")),
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts_us").as("c_start"),
+              (col("ts_us") + lit(21600000000L)).as("c_end"),
+              col("value").as("c_value")),
+          "v_start", "v_end", "c_start", "c_end",
+          binWidth = 21600000000L, keys = Seq("user_id"))
+        .groupBy("anchor_id")
+        .agg(count(lit(1)).as("n_overlaps"),
+          safeRound2(sum("c_value")).as("sum_value"))
     }))
 
   /** As-of mirror: rank the qualifying clicks per purchase and keep rank 1 —
@@ -1395,6 +1423,18 @@ object SparkEntry {
         s"${sqlRound2("SUM(b.value)")} AS sum_value " +
         "FROM v JOIN b ON b.user_id = v.user_id " +
         "AND b.ts_us >= v.w_start AND b.ts_us <= v.w_start + 43200000000 " +
+        "GROUP BY 1"),
+    // overlap-join mirror: plain interval-overlap inequality join — the
+    // Spark side's bin-and-first-bin-keep must not change the pair set
+    "join_overlap" ->
+      (s"WITH v AS (SELECT event_id AS anchor_id, user_id, $TsUs AS v_start, " +
+        s"$TsUs + 43200000000 AS v_end FROM events WHERE event_type = 'view'), " +
+        s"c AS (SELECT user_id, $TsUs AS c_start, $TsUs + 21600000000 AS c_end, " +
+        "value FROM events WHERE event_type = 'click') " +
+        "SELECT v.anchor_id, CAST(count(*) AS BIGINT) AS n_overlaps, " +
+        s"${sqlRound2("SUM(c.value)")} AS sum_value " +
+        "FROM v JOIN c ON c.user_id = v.user_id " +
+        "AND v.v_start <= c.c_end AND c.c_start <= v.v_end " +
         "GROUP BY 1"),
     "s2_json_roundtrip" ->
       "SELECT event_type AS name, count(*) AS n FROM events GROUP BY 1",
@@ -1923,6 +1963,16 @@ object SparkEntry {
         "THEN 1 ELSE 0 END) AS copies FROM documents), " +
         "LATERAL (SELECT unnest(generate_series(0, copies - 1)) AS copy) " +
         "WHERE copies > 0"),
+    // A-ES weighted-sample mirror: identical integer hash → u ∈ (0,1] →
+    // POW(u, 1/w) keys, top-100 by (key DESC, doc_id ASC). The selection
+    // depends on floats only through pow(): IEEE-identical operands on both
+    // engines, and the kept/dropped boundary keys are far beyond ulp apart
+    "sample_weighted" ->
+      ("SELECT doc_id, source, n_tokens FROM (" +
+        s"SELECT doc_id, source, CAST($TokN AS BIGINT) AS n_tokens, " +
+        s"POW(($HashRaw + 1) / 2147483647.0, 1.0 / $TokN) AS wkey " +
+        s"FROM documents WHERE $TokN > 0) " +
+        "ORDER BY wkey DESC, doc_id ASC LIMIT 100"),
     // token-id export mirror: vocab = top-256 tokens by (count DESC, token
     // ASC) with 0-based rank ids; same pack CTE as sample_pack_seqs; each
     // packed doc's tokens enumerated in order (LATERAL index, like the

@@ -321,4 +321,33 @@ object Sampling {
       .filter(col(rk) <= n)
       .drop(rk)
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * each row draws u = (hashRaw(id)+1)/P ∈ (0,1] and scores u^(1/weight);
+    * the k LARGEST scores are a weight-proportional sample without
+    * replacement — the training-mix primitive "sample documents by token
+    * mass" that plain Bernoulli/stratified rates can't express per-row.
+    * Rows with NULL or non-positive weight are ineligible. Deterministic:
+    * the only randomness is the id hash, so the selection is stable under
+    * reruns, partitioning and row order; ties (two ids hashing equal)
+    * break to the smallest id. Scale-invariant in the weights (u^(1/cw)
+    * is monotone in u^(1/w)), so any constant weight degenerates to
+    * uniform top-k by hash.
+    *
+    * Scale shape: the score is a narrow map; `orderBy(...).limit(k)` plans
+    * as TakeOrderedAndProject — each partition keeps its local top-k and
+    * the driver merges k·partitions rows. No global sort, no shuffle of
+    * the corpus; k is config-scale. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+      seed: Long = 42): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (hashRaw(col(idCol), seed) + lit(1L)).cast("double") / lit(P.toDouble)
+    val wk = Iterator.from(0).map(i => s"__graft_ws_key$i")
+      .find(c => !df.columns.contains(c)).get
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn(wk, pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col(wk).desc, col(idCol).asc)
+      .limit(k)
+      .drop(wk)
+  }
 }
