@@ -1319,6 +1319,20 @@ object SparkEntry {
         payload = Seq("c_value"), rightTieBreak = "c_eid",
         direction = "forward")
     }),
+    // nearest direction with a 6 h tolerance: whichever click (before or
+    // after the purchase) is closer in time, ties to the backward side
+    "join_asof_near" -> ((s, dir) => {
+      val ev = EventsAdapter.rawEvents(s, dir)
+      Relational.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("value")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us").as("c_ts"),
+            col("event_id").as("c_eid"), col("value").as("c_value")),
+        key = "user_id", leftTime = "ts_us", rightTime = "c_ts",
+        payload = Seq("c_value"), rightTieBreak = "c_eid",
+        toleranceUs = 6L * 3600 * 1000000, direction = "nearest")
+    }),
     // purchases attributed to the user's view windows [view, view+30 min]
     // (inclusive) via the binned range join — never a cartesian; count +
     // revenue per view anchor
@@ -1368,11 +1382,25 @@ object SparkEntry {
   private def asofOracleSql(toleranceUs: Long,
       direction: String = "backward"): String = {
     val back = direction == "backward"
-    val tol = if (toleranceUs < 0) ""
+    // nearest: both directions qualify (within the symmetric tolerance) and
+    // the rank is (|Δt|, backward-preferred, then the DIRECTIONAL tie-break:
+    // largest c_eid among backward ties, smallest among forward)
+    val tol =
+      if (direction == "nearest")
+        (if (toleranceUs < 0) ""
+         else s"AND abs(c.c_ts - p.ts_us) <= $toleranceUs ")
+      else if (toleranceUs < 0) ""
       else if (back) s"AND c.c_ts >= p.ts_us - $toleranceUs "
       else s"AND c.c_ts <= p.ts_us + $toleranceUs "
-    val cond = if (back) "c.c_ts <= p.ts_us" else "c.c_ts >= p.ts_us"
-    val order = if (back) "c.c_ts DESC NULLS LAST, c.c_eid DESC"
+    val cond =
+      if (direction == "nearest") "TRUE"
+      else if (back) "c.c_ts <= p.ts_us" else "c.c_ts >= p.ts_us"
+    val order =
+      if (direction == "nearest")
+        "abs(c.c_ts - p.ts_us) ASC NULLS LAST, " +
+          "(CASE WHEN c.c_ts <= p.ts_us THEN 0 ELSE 1 END) ASC, " +
+          "(CASE WHEN c.c_ts <= p.ts_us THEN -c.c_eid ELSE c.c_eid END) ASC"
+      else if (back) "c.c_ts DESC NULLS LAST, c.c_eid DESC"
       else "c.c_ts ASC NULLS LAST, c.c_eid ASC"
     s"WITH p AS (SELECT event_id, user_id, $TsUs AS ts_us, value " +
       "FROM events WHERE event_type = 'purchase'), " +
@@ -1412,6 +1440,8 @@ object SparkEntry {
     "join_asof" -> asofOracleSql(toleranceUs = -1L),
     "join_asof_tol" -> asofOracleSql(toleranceUs = 6L * 3600 * 1000000),
     "join_asof_fwd" -> asofOracleSql(toleranceUs = -1L, direction = "forward"),
+    "join_asof_near" ->
+      asofOracleSql(toleranceUs = 6L * 3600 * 1000000, direction = "nearest"),
     // range-join mirror: plain inequality join (DuckDB plans an IEJoin;
     // the Spark side's binning must not change the match set)
     "join_range" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructType}
@@ -22,7 +22,9 @@ object Relational {
     * LATEST right row with the same `key` whose `rightTime` <= `leftTime`
     * (and, if `toleranceUs >= 0`, within `leftTime - toleranceUs`);
     * `direction = "forward"` flips both inequalities (EARLIEST right row at
-    * or after `leftTime`, within `leftTime + toleranceUs`). Left rows with
+    * or after `leftTime`, within `leftTime + toleranceUs`), and
+    * `direction = "nearest"` takes the closer of the two (see
+    * [[asofNearest]]). Left rows with
     * no qualifying right row keep NULL payloads (left-outer semantics).
     * Ties on (key, rightTime) resolve to the largest `rightTieBreak`
     * backward and the smallest forward, making the result fully
@@ -51,8 +53,11 @@ object Relational {
       rightTieBreak: String, toleranceUs: Long = -1L,
       prefix: String = "asof_", direction: String = "backward"): DataFrame = {
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    if (direction == "nearest")
+      return asofNearest(left, right, key, leftTime, rightTime, payload,
+        rightTieBreak, toleranceUs, prefix)
     // forward = the backward algorithm on time-negated axes: the LATEST
     // preceding row of (-t) is the EARLIEST following row of t, and the
     // negated tie-break makes forward ties resolve to the SMALLEST id
@@ -100,6 +105,74 @@ object Relational {
     lSide.union(rSide)
       .withColumn("__m", matched)
       .where(col("__side") === 1)
+      .select(leftFields.map(f => col(f.name)) ++
+        ((s"$prefix$rightTime", col("__m").getField("__rt")) +:
+          pCols.map(p => (s"$prefix$p", col("__m").getField(p))))
+          .map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** `direction = "nearest"`: each left row takes whichever of its backward
+    * and forward as-of matches is CLOSER in time (tie → backward, pandas
+    * `merge_asof(direction='nearest')`); `toleranceUs` bounds both sides.
+    * Within each direction the tie-breaks are the directional contracts
+    * (backward: latest time, largest tie-break; forward: earliest, smallest).
+    *
+    * Same no-join-node shape, still ONE exchange: both sides union once and
+    * the two directional carriers are two running `last(ignoreNulls)`
+    * windows over the same hash partitioning with opposite sort orders
+    * (forward = backward on the time-reversed axis, so BOTH frames are
+    * incremental unbounded-PRECEDING scans — never the O(n²)
+    * unbounded-following frame). Catalyst plans exchange → sort → window →
+    * sort → window. */
+  private def asofNearest(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String],
+      rightTieBreak: String, toleranceUs: Long, prefix: String): DataFrame = {
+    val leftFields = left.schema.fields
+    val pCols = payload.filterNot(_ == rightTime)
+    val pStruct = struct(
+      col(rightTime).cast(LongType).as("__rt") +: pCols.map(col): _*)
+    val pType = right.select(pStruct.as("__p")).schema.fields.head.dataType
+
+    val rSide = right.select(
+      Seq(col(key).as("__k"), col(rightTime).cast(LongType).as("__t"),
+        lit(0).as("__side"),
+        col(rightTieBreak).cast(LongType).as("__tb"),
+        (-col(rightTieBreak).cast(LongType)).as("__tbf"),
+        pStruct.as("__p")) ++
+        leftFields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    val lSide = left.select(
+      Seq(col(key).as("__k"), col(leftTime).cast(LongType).as("__t"),
+        lit(1).as("__side"), lit(Long.MaxValue).as("__tb"),
+        lit(Long.MaxValue).as("__tbf"), lit(null).cast(pType).as("__p")) ++
+        leftFields.map(f => col(f.name)): _*)
+
+    // backward: rights sort before lefts at equal time (inclusive); last
+    // right seen among time-ties has the largest __tb and wins
+    val wb = Window.partitionBy("__k")
+      .orderBy(col("__t").asc_nulls_first, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward = backward on the reversed time axis: walk times descending,
+    // rights still before lefts at equal time (inclusive); __tbf = −tb so
+    // the last right seen among time-ties is the SMALLEST tb
+    val wf = Window.partitionBy("__k")
+      .orderBy(col("__t").desc_nulls_first, col("__side").asc, col("__tbf").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    def gated(c: Column, dist: Column) =
+      if (toleranceUs < 0) c else when(dist <= lit(toleranceUs), c)
+    val unioned = lSide.union(rSide)
+      .withColumn("__cb", last(col("__p"), ignoreNulls = true).over(wb))
+      .withColumn("__cf", last(col("__p"), ignoreNulls = true).over(wf))
+      .withColumn("__b", gated(col("__cb"), col("__t") - col("__cb").getField("__rt")))
+      .withColumn("__f", gated(col("__cf"), col("__cf").getField("__rt") - col("__t")))
+    val chosen = when(col("__b").isNull, col("__f"))
+      .when(col("__f").isNull, col("__b"))
+      .otherwise(when(col("__t") - col("__b").getField("__rt") <=
+          col("__f").getField("__rt") - col("__t"),
+        col("__b")).otherwise(col("__f")))
+
+    unioned.where(col("__side") === 1)
+      .withColumn("__m", chosen)
       .select(leftFields.map(f => col(f.name)) ++
         ((s"$prefix$rightTime", col("__m").getField("__rt")) +:
           pCols.map(p => (s"$prefix$p", col("__m").getField(p))))

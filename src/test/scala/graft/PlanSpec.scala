@@ -500,6 +500,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"running-window carrier missing:\n$plan")
   }
 
+  test("nearest as-of: still no join node, ONE shuffle, both frames preceding") {
+    // the two directional carriers must share the single key exchange (two
+    // sorts are fine) and both run as incremental unbounded-PRECEDING
+    // frames — an unboundedfollowing frame recomputes per row (O(n²)/key)
+    val plan = executedPlan(
+      SparkEntry.queries("join_asof_near")(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("Join"), s"nearest as-of must not plan a join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one shuffle shared by both carriers:\n$plan")
+    assert(!plan.toLowerCase.contains("unboundedfollowing"),
+      s"forward carrier must run on the reversed axis, not an " +
+        s"unbounded-following frame:\n$plan")
+  }
+
   test("range join binned is an EQUI-join on (key, bin) — never nested-loop") {
     val plan = executedPlan(
       SparkEntry.queries("join_range")(spark, "/root/testdata/sf0.001"))

@@ -388,15 +388,23 @@ object PropertySpec extends Properties("graft") {
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 60L)))
         .map(_.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong, i * 1.5) }),
       Gen.oneOf(-1L, 5L, 20L, 100L),
-      Gen.oneOf("backward", "forward")) { (lefts, rights, tol, dir) =>
+      Gen.oneOf("backward", "forward", "nearest")) { (lefts, rights, tol, dir) =>
       val expected = lefts.map { case (id, k, t) =>
-        val cand = rights.filter { case (rk, rt, _, _) =>
-          rk == k && (if (dir == "backward") rt <= t && (tol < 0 || rt >= t - tol)
-                      else rt >= t && (tol < 0 || rt <= t + tol)) }
-        id -> (if (cand.isEmpty) None
-               else if (dir == "backward")
-                 Some(cand.maxBy { case (_, rt, eid, _) => (rt, eid) }._4)
-               else Some(cand.minBy { case (_, rt, eid, _) => (rt, eid) }._4))
+        val backC = rights.filter { case (rk, rt, _, _) =>
+          rk == k && rt <= t && (tol < 0 || rt >= t - tol) }
+        val fwdC = rights.filter { case (rk, rt, _, _) =>
+          rk == k && rt >= t && (tol < 0 || rt <= t + tol) }
+        val b = backC.maxByOption { case (_, rt, eid, _) => (rt, eid) }
+        val f = fwdC.minByOption { case (_, rt, eid, _) => (rt, eid) }
+        id -> (dir match {
+          case "backward" => b.map(_._4)
+          case "forward"  => f.map(_._4)
+          case "nearest"  => (b, f) match {
+            case (Some(bb), Some(ff)) =>
+              Some(if (t - bb._2 <= ff._2 - t) bb._4 else ff._4)
+            case _ => b.orElse(f).map(_._4)
+          }
+        })
       }.toMap
       val got = graft.operators.Relational.asofJoin(
           lefts.toDF("id", "k", "t"), rights.toDF("k", "rt", "eid", "v"),
