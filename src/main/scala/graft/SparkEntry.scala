@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{AggregationSpec, RollupSpec}
-import graft.operators.{Anomaly, Dedup, GapFill, HeavyHitters, Multimodal, Relational, Sampling, Sessions, Similarity, TextAnalysis}
+import graft.operators.{Anomaly, Dedup, GapFill, HeavyHitters, Multimodal, Profiling, Relational, Sampling, Sessions, Similarity, TextAnalysis}
 import graft.plan.RuleCompiler
 import graft.sources.{EnvelopeJson, EventsAdapter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -833,6 +833,11 @@ object SparkEntry {
     // D4 — graft extension: exact distinct active users per (day, tenant)
     "d4_distinct" -> ((s, dir) =>
       HeavyHitters.distinctByWindow(envs(s, dir), DAY, "user_id")),
+    // D5 — graft extension: key-skew profile (the pre-shuffle diagnostic —
+    // top-5 hottest sources with their share of the whole corpus)
+    "d5_keyskew" -> ((s, dir) =>
+      Profiling.keySkew(docs(s, dir), "source", 5)
+        .select("source", "cnt", "share", "rank")),
     // D3 — graft extension: dense hourly series (zero-filled gaps) of
     // per-tenant signup counts
     "d3_gapfill" -> ((s, dir) =>
@@ -1166,6 +1171,22 @@ object SparkEntry {
         .select(col("shard"), col("seq_id"), col("pos").cast("long").as("pos"),
           col("col").as("token_id"))
     }),
+    // document-ATOMIC (no-split) greedy packing: 512-token budget, 8 hash
+    // shards — a doc that would cross the budget starts a new sequence, an
+    // over-budget doc sits alone. The overflow-reset recurrence is replayed
+    // exactly by the oracle's per-shard recursive CTE
+    "sample_pack_whole" -> ((s, dir) =>
+      Sampling.packSequencesWhole(docs(s, dir), "doc_id",
+          TextAnalysis.tokenCount(col("text")), 512L, 8)
+        .select("doc_id", "shard", "seq_id", "tok_offset")),
+    // per-sequence fill accounting over the whole-doc packing: the padding
+    // waste a fixed-length trainer pays for keeping documents intact
+    "sample_pack_fill" -> ((s, dir) =>
+      Sampling.packFill(
+          Sampling.packSequencesWhole(docs(s, dir), "doc_id",
+            TextAnalysis.tokenCount(col("text")), 512L, 8),
+          TextAnalysis.tokenCount(col("text")), 512L)
+        .select("shard", "seq_id", "n_docs", "n_tokens", "pad")),
     // deterministic training-export shuffle: 8 shards, hash-ordered
     // positions — the reproducible global permutation without a global sort
     "sample_shuffle" -> ((s, dir) =>
@@ -1561,6 +1582,16 @@ object SparkEntry {
       (s"SELECT ${wstart(DAY)} AS window_start, $Tenant AS tenant_id, " +
         "count(DISTINCT CAST(user_id AS VARCHAR)) AS n_distinct " +
         "FROM events GROUP BY 1, 2"),
+    // key-skew mirror: share = cnt / total with both sides cast to DOUBLE
+    // before the divide (Spark divides two casted doubles; DuckDB's
+    // HUGEINT/HUGEINT would round differently)
+    "d5_keyskew" ->
+      ("WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source), " +
+        "t AS (SELECT sum(cnt) AS total FROM c) " +
+        "SELECT source, CAST(cnt AS BIGINT) AS cnt, " +
+        "CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share, " +
+        "CAST(row_number() OVER (ORDER BY cnt DESC, source ASC) AS BIGINT) AS rank " +
+        "FROM c, t QUALIFY rank <= 5"),
     "d3_gapfill" ->
       (s"$DenseGridCtes SELECT g.window_start, g.tenant_id, " +
         "COALESCE(a.v, 0.0) AS value " +
@@ -2027,6 +2058,42 @@ object SparkEntry {
         "ORDER BY tok_offset, doc_id, ti) - 1 AS BIGINT) AS pos, " +
         "CAST(COALESCE(tid, 9999) AS BIGINT) AS token_id " +
         "FROM dt LEFT JOIN vocab USING (t)"),
+    // whole-doc greedy packing mirror: the overflow-reset recurrence replayed
+    // per shard by a linear recursive CTE — each step advances every shard's
+    // scan one document (rn join), carrying (seq_id, fill) exactly like the
+    // engine's per-partition state; base case places the first doc at
+    // (0, 0) even when over-budget, matching the fill == 0 admission rule
+    "sample_pack_whole" ->
+      ("WITH RECURSIVE d AS (SELECT doc_id, shard, n, " +
+        "row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM (" +
+        s"SELECT doc_id, ${pmSql(HashRaw, "8")} AS shard, $TokN AS n " +
+        s"FROM documents WHERE $TokN > 0)), " +
+        "pk(shard, rn, doc_id, seq_id, tok_offset, fill) AS (" +
+        "SELECT shard, rn, doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), " +
+        "CAST(n AS BIGINT) FROM d WHERE rn = 1 " +
+        "UNION ALL SELECT d.shard, d.rn, d.doc_id, " +
+        "CASE WHEN pk.fill + d.n > 512 THEN pk.seq_id + 1 ELSE pk.seq_id END, " +
+        "CASE WHEN pk.fill + d.n > 512 THEN CAST(0 AS BIGINT) ELSE pk.fill END, " +
+        "CASE WHEN pk.fill + d.n > 512 THEN CAST(d.n AS BIGINT) ELSE pk.fill + d.n END " +
+        "FROM pk JOIN d ON d.shard = pk.shard AND d.rn = pk.rn + 1) " +
+        "SELECT doc_id, shard, seq_id, tok_offset FROM pk"),
+    // fill accounting: group the same recursive packing by sequence; pad is
+    // the unused budget (0 only for a lone over-budget doc's sequence)
+    "sample_pack_fill" ->
+      ("WITH RECURSIVE d AS (SELECT doc_id, shard, n, " +
+        "row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM (" +
+        s"SELECT doc_id, ${pmSql(HashRaw, "8")} AS shard, $TokN AS n " +
+        s"FROM documents WHERE $TokN > 0)), " +
+        "pk(shard, rn, seq_id, fill) AS (" +
+        "SELECT shard, rn, CAST(0 AS BIGINT), CAST(n AS BIGINT) FROM d WHERE rn = 1 " +
+        "UNION ALL SELECT d.shard, d.rn, " +
+        "CASE WHEN pk.fill + d.n > 512 THEN pk.seq_id + 1 ELSE pk.seq_id END, " +
+        "CASE WHEN pk.fill + d.n > 512 THEN CAST(d.n AS BIGINT) ELSE pk.fill + d.n END " +
+        "FROM pk JOIN d ON d.shard = pk.shard AND d.rn = pk.rn + 1) " +
+        "SELECT shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n) AS BIGINT) AS n_tokens, " +
+        "CAST(greatest(512 - sum(n), 0) AS BIGINT) AS pad " +
+        "FROM pk JOIN d USING (shard, rn) GROUP BY shard, seq_id"),
     // export shuffle: shard = hash(id, seed 42) mod 8, pos = rank within the
     // shard by the independent seed-43 hash (id tie-break), 0-based
     "sample_shuffle" ->

@@ -140,6 +140,89 @@ object Sampling {
       .drop(nCol, prefixCol)
   }
 
+  /** Document-ATOMIC greedy packing — the no-split packing rule used when a
+    * document must not cross a sequence boundary (instruction-tuning /
+    * SFT-style corpora, where splitting a sample mid-text corrupts it):
+    * documents are placed in deterministic (shard, id) order; one that would
+    * overflow the `budget` starts a new sequence at offset 0 instead of
+    * continuing into it; a single over-budget document occupies a sequence
+    * alone. Unlike [[packSequences]]' pack-and-split prefix sum, this
+    * recurrence RESETS at every overflow, which no window frame can express
+    * — the state (current seq, current fill) is carried by a streaming
+    * per-partition scan with O(1) state.
+    *
+    * Output: input columns + `shard`, `seq_id`, `tok_offset` — the same
+    * contract as [[packSequences]], so [[materializeSequences]] /
+    * [[materializeTokenIds]] compose unchanged (their per-group state bound
+    * IMPROVES here: a group holds at most one budget's worth, no crossing
+    * document).
+    *
+    * Scale shape: one exchange on `shard` (hash of the full 31-bit portable
+    * id hash — even load by construction), a per-partition external sort by
+    * (shard, id) (spills, never buffers the partition on the heap), then the
+    * single-pass scan. No global sort, no driver state, no per-group
+    * buffering. `dropEmpty` as in [[packSequences]]: zero-token documents
+    * never consume budget, so unboundedly many would pile into one slot. */
+  def packSequencesWhole(df: DataFrame, idCol: String, tokenCount: Column,
+      budget: Long, numShards: Int, seed: Long = 42,
+      dropEmpty: Boolean = true): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    Seq("shard", "seq_id", "tok_offset").foreach { c =>
+      require(!df.columns.contains(c),
+        s"packSequencesWhole adds a '$c' column but the input already has one")
+    }
+    val nCol = Iterator.from(0).map(i => s"__graft_packw_n$i")
+      .find(c => !df.columns.contains(c)).get
+    val base = if (dropEmpty) df.filter(tokenCount.cast("long") > 0) else df
+    val parted = base
+      .withColumn("shard", pmod(hashRaw(col(idCol), seed), lit(numShards.toLong)))
+      .withColumn(nCol, tokenCount.cast("long"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      parted.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("seq_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("tok_offset",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val shardIdx = parted.schema.fieldIndex("shard")
+    val nIdx = parted.schema.fieldIndex(nCol)
+    // a partition serves every shard hashing to it; state resets on the
+    // shard change the sort groups by — still O(1), still one streaming pass
+    val packed = parted.mapPartitions { it =>
+      var curShard = Long.MinValue
+      var seq = 0L
+      var fill = 0L
+      it.map { r =>
+        val sh = r.getLong(shardIdx)
+        val n = r.getLong(nIdx)
+        if (sh != curShard) { curShard = sh; seq = 0L; fill = 0L }
+        // fill == 0 admits an over-budget document at offset 0 (it then
+        // overfills, so the NEXT document always rolls to a fresh sequence)
+        if (fill > 0 && fill + n > budget) { seq += 1L; fill = 0L }
+        val off = fill
+        fill += n
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ seq :+ off)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    packed.drop(nCol)
+  }
+
+  /** Per-sequence fill accounting for a packed corpus (either packing rule):
+    * (shard, seq_id, n_docs, n_tokens, pad) where `pad` is the unused budget
+    * a fixed-length trainer would pad — max(budget − n_tokens, 0), zero for
+    * the over-filled sequences pack-and-split produces. The padding-waste
+    * signal that motivates choosing [[packSequences]] (zero pad, documents
+    * split) over [[packSequencesWhole]] (documents intact, nonzero pad).
+    * One exchange keyed (shard, seq_id) — reuses the pack's shard
+    * partitioning exactly like [[materializeSequences]]. */
+  def packFill(packed: DataFrame, tokenCount: Column, budget: Long): DataFrame =
+    packed.groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount.cast("long")).as("n_tokens"))
+      .withColumn("pad", greatest(lit(budget) - col("n_tokens"), lit(0L)))
+
   /** Materialize the packed training sequences: concatenate each (shard,
     * seq_id)'s documents in position order, joined with `sep` (e.g. an EOD
     * marker) — the terminal export step after [[packSequences]]. Output:

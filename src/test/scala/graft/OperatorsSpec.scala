@@ -1582,4 +1582,100 @@ class OperatorsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(u1 == u9, s"constant-weight selections diverged: $u1 vs $u9")
   }
+
+  test("keySkew: hand-computed shares, deterministic tie-break, topN cap") {
+    import graft.operators.Profiling
+    val rows = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
+      Seq("d")).zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("id", "k")
+    val got = Profiling.keySkew(rows, "k", 3)
+      .select($"k", $"cnt", $"share", $"rank")
+      .as[(String, Long, Double, Long)].collect().sortBy(_._4)
+    // ties (b, c at 3) break by key asc; d (cnt 1) is cut by topN; shares
+    // are fractions of ALL 12 rows, not of the top-3
+    assert(got.toSeq == Seq(
+      ("a", 5L, 5.0 / 12, 1L), ("b", 3L, 3.0 / 12, 2L), ("c", 3L, 3.0 / 12, 3L)))
+    intercept[IllegalArgumentException] { Profiling.keySkew(rows, "k", 0) }
+    intercept[IllegalArgumentException] {
+      Profiling.keySkew(rows.withColumn("share", lit(1.0)), "k", 3)
+    }
+  }
+
+  test("packSequencesWhole: docs never cross the budget, overflow starts a fresh sequence") {
+    // one shard keeps the greedy scan readable; budget 4. Doc order 1..6:
+    //   1 (3 tok)  → seq 0, off 0, fill 3
+    //   2 (2 tok)  → 3+2 > 4 → seq 1, off 0, fill 2
+    //   4 (10 tok, over-budget) → 2+10 > 4 → seq 2, off 0 ALONE, fill 10
+    //   5 (1 tok)  → 10+1 > 4 → seq 3, off 0, fill 1
+    //   6 (2 tok)  → 1+2 ≤ 4 → seq 3, off 1, fill 3
+    // empties (2 tok doc is id 2; ids 3a/3b empty+ws-only) are dropped first
+    val df = Seq(
+      (1L, "a b c"),
+      (2L, "x y"),
+      (3L, ""),
+      (4L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (5L, "z"),
+      (6L, "p q"),
+      (7L, " \t \n ")).toDF("doc_id", "text")
+    val packed = Sampling.packSequencesWhole(df, "doc_id",
+        TextAnalysis.tokenCount($"text"), budget = 4L, numShards = 1)
+      .select($"doc_id", $"seq_id", $"tok_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(packed.toSeq == Seq(
+      (1L, 0L, 0L), (2L, 1L, 0L), (4L, 2L, 0L), (5L, 3L, 0L), (6L, 3L, 1L)))
+    // invariants at any shard count: per-sequence token sums never exceed
+    // the budget unless the sequence is one over-budget doc alone, offsets
+    // are the gapless prefix sums of their sequence, seq ids are dense
+    val multi = Sampling.packSequencesWhole(docs, "doc_id",
+        TextAnalysis.tokenCount($"text"), budget = 64L, numShards = 4)
+      .select($"shard", $"seq_id", $"tok_offset", $"doc_id",
+        TextAnalysis.tokenCount($"text").cast("long").as("n"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    multi.groupBy(r => (r._1, r._2)).foreach { case ((sh, sq), rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._4))
+      val total = sorted.map(_._5).sum
+      assert(total <= 64L || sorted.length == 1,
+        s"seq ($sh,$sq) holds $total tokens across ${sorted.length} docs")
+      var off = 0L
+      sorted.foreach { r =>
+        assert(r._3 == off, s"gap in seq ($sh,$sq): expected $off got ${r._3}")
+        off += r._5
+      }
+    }
+    multi.groupBy(_._1).foreach { case (sh, rows) =>
+      val ids = rows.map(_._2).distinct.sorted.toSeq
+      assert(ids == (0L until ids.length.toLong).toSeq,
+        s"shard $sh seq ids not dense: $ids")
+    }
+    // same contract guards as packSequences: output columns must be free
+    intercept[IllegalArgumentException] {
+      Sampling.packSequencesWhole(df.withColumn("seq_id", lit(1)), "doc_id",
+        TextAnalysis.tokenCount($"text"), 4L, 1)
+    }
+  }
+
+  test("packFill: per-sequence token totals and padding waste") {
+    val df = Seq(
+      (1L, "a b c"),
+      (2L, "x y"),
+      (4L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (5L, "z"),
+      (6L, "p q")).toDF("doc_id", "text")
+    val packed = Sampling.packSequencesWhole(df, "doc_id",
+      TextAnalysis.tokenCount($"text"), budget = 4L, numShards = 1)
+    val fill = Sampling.packFill(packed, TextAnalysis.tokenCount($"text"), 4L)
+      .select($"seq_id", $"n_docs", $"n_tokens", $"pad")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(fill.toSeq == Seq(
+      (0L, 1L, 3L, 1L),   // doc 1
+      (1L, 1L, 2L, 2L),   // doc 2
+      (2L, 1L, 10L, 0L),  // over-budget doc 4: pad clamps to 0
+      (3L, 2L, 3L, 1L)))  // docs 5+6
+    // composes with materializeSequences unchanged: whole-packed sequences
+    // concatenate intact documents only
+    val seqs = Sampling.materializeSequences(packed)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._2)
+    assert(seqs.map(_._4).toSeq ==
+      Seq("a b c", "x y", "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", "z\np q"))
+  }
 }

@@ -540,4 +540,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"),
       s"weighted sample must not globally sort the corpus:\n$plan")
   }
+
+  test("whole-doc packing: ONE exchange on the shard, per-partition sort, no global sort") {
+    val plan = executedPlan(
+      SparkEntry.queries("sample_pack_whole")(spark, "/root/testdata/sf0.001"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one shuffle (on shard):\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"whole-doc packing must never globally sort:\n$plan")
+    // the greedy scan must ride a WITHIN-partition sort under the exchange
+    // (SortExec prints `Sort [keys], global, limit` — global must be false)
+    assert("Sort \\[shard[^\\]]*\\], false".r.findFirstIn(plan).isDefined,
+      s"expected a partition-local (shard, id) sort:\n$plan")
+  }
+
+  test("key-skew profile: TakeOrdered top-N, total rides a 1-row broadcast") {
+    val plan = executedPlan(
+      SparkEntry.queries("d5_keyskew")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected a TakeOrderedAndProject top-N (not a global sort):\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"key skew must never globally sort the counts:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"key counting must combine map-side:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast, never shuffle the survivors:\n$plan")
+  }
 }

@@ -316,6 +316,35 @@ object PropertySpec extends Properties("graft") {
         }
     }
 
+  property("whole-doc packing replays the greedy overflow-reset model ∀ corpus/budget/shards/seed") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(-10000L, 10000L), exportTextGen))
+        .map(_.distinctBy(_._1)),
+      Gen.choose(1L, 7L), Gen.choose(1, 4), Gen.choose(0L, 100L)) { (rows, budget, shards, seed) =>
+      val out = Sampling.packSequencesWhole(rows.toDF("doc_id", "text"), "doc_id",
+          graft.operators.TextAnalysis.tokenCount(col("text")), budget, shards, seed)
+        .select("doc_id", "shard", "seq_id", "tok_offset")
+        .as[(Long, Long, Long, Long)].collect()
+      val counts = rows.map(r => r._1 -> modelTokens(r._2).toLong).toMap
+      val surviving = rows.filter(r => counts(r._1) > 0)
+      // empties never packed, every surviving doc placed exactly once …
+      out.length == surviving.size && out.map(_._1).toSet == surviving.map(_._1).toSet &&
+        // … and each shard's (seq_id, tok_offset) assignment IS the greedy
+        // scan: place in id order, roll to a fresh sequence on overflow,
+        // admit an over-budget doc only at fill 0
+        out.groupBy(_._2).forall { case (_, g) =>
+          val sorted = g.sortBy(_._1).toSeq
+          var seq = 0L; var fill = 0L
+          sorted.forall { r =>
+            val n = counts(r._1)
+            if (fill > 0 && fill + n > budget) { seq += 1L; fill = 0L }
+            val ok = r._3 == seq && r._4 == fill
+            fill += n
+            ok
+          }
+        }
+    }
+
   property("materialization conserves the surviving token total (text AND token ids) ∀ corpus/budget/shards/seed") =
     forAll(
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(-10000L, 10000L), exportTextGen))
