@@ -95,7 +95,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qsCompact = compactQueries(results)
+    // top-50 slowest individually + per-family sums: the line stays inside
+    // the tail capture no matter how large the registry grows (BenchSpec
+    // models the worst case at registry size + 10 with ≥200 chars headroom)
+    val qsCompact = compactQueries(results, topN = 50)
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
     val loadAfter = systemLoadAvg()
     // line 1: verbose record for the log. Field ORDER matters: the capture
@@ -138,24 +141,39 @@ object Bench {
   private[graft] def ms(v: Double): String =
     if (v < 0) "-1" else math.round(v * 1000).toString
 
-  /** The compact per-query map, PREFIX-GROUPED: query families sharing the
-    * segment before the first '_' with ≥3 members fold into one nested
-    * object — `"text":{"stats":210,…}` reads back as `text_stats` = 0.210 s.
-    * Families smaller than 3 stay flat. At 89 queries the repeated family
-    * prefixes are ~250 chars — the difference between the line surviving
-    * the ~2000-char tail capture whole and losing its head like rounds
-    * 1–9 did. The FLAT full-precision seconds map is always on the verbose
-    * line and in BENCH_FULL_local.json. */
-  private[graft] def compactQueries(results: Seq[(String, Double)]): String =
+  /** The compact per-query map, PREFIX-GROUPED and TOP-N-CAPPED: query
+    * families sharing the segment before the first '_' with ≥3 members fold
+    * into one nested object — `"text":{"stats":210,…}` reads back as
+    * `text_stats` = 0.210 s; families smaller than 3 stay flat.
+    *
+    * Only the `topN` SLOWEST queries (plus EVERY failure, which must never
+    * hide inside a sum) keep an individual timing; a family's remaining
+    * members fold into one `"+<count>":<summed ms>` entry (flat families:
+    * `"<fam>+<count>"`). The registry passed 99 queries in round 10 and the
+    * all-individual line overflowed the ~2000-char tail capture's modeled
+    * worst case — capping makes the line's size O(topN + families), immune
+    * to registry growth. The FLAT full-precision seconds map is always on
+    * the verbose line and in BENCH_FULL_local.json. */
+  private[graft] def compactQueries(results: Seq[(String, Double)],
+      topN: Int = Int.MaxValue): String = {
+    val keep: Set[String] =
+      results.collect { case (k, v) if v < 0 => k }.toSet ++
+        results.filter(_._2 >= 0).sortBy(-_._2).take(topN).map(_._1)
+    def restEntry(rest: Seq[(String, Double)], key: String): Seq[String] =
+      if (rest.isEmpty) Nil
+      else Seq("\"" + key + "+" + rest.size + "\":" + ms(rest.map(_._2).sum))
     results.groupBy { case (k, _) => k.takeWhile(_ != '_') }
       .toSeq.sortBy(_._1)
       .map { case (fam, members) =>
+        val (kept, rest) = members.partition(m => keep(m._1))
         if (members.size >= 3 && members.forall(_._1.startsWith(fam + "_")))
-          "\"" + fam + "\":" + members.sortBy(_._1).map { case (k, v) =>
-            "\"" + k.drop(fam.length + 1) + "\":" + ms(v) }.mkString("{", ",", "}")
-        else members.sortBy(_._1).map { case (k, v) =>
-          "\"" + k + "\":" + ms(v) }.mkString(",")
+          "\"" + fam + "\":" + (kept.sortBy(_._1).map { case (k, v) =>
+            "\"" + k.drop(fam.length + 1) + "\":" + ms(v) } ++
+            restEntry(rest, "")).mkString("{", ",", "}")
+        else (kept.sortBy(_._1).map { case (k, v) =>
+          "\"" + k + "\":" + ms(v) } ++ restEntry(rest, fam)).mkString(",")
       }.mkString("{", ",", "}")
+  }
 
   /** Adaptive-precision seconds, at most 4 chars below 1000 s: the compact
     * line's 82 timings must fit, WITH their escaped quotes, inside a

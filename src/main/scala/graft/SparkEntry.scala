@@ -838,6 +838,12 @@ object SparkEntry {
     "d5_keyskew" -> ((s, dir) =>
       Profiling.keySkew(docs(s, dir), "source", 5)
         .select("source", "cnt", "share", "rank")),
+    // D6 — graft extension: salted two-stage count (the skew mitigation
+    // d5_keyskew's measurement feeds; result is exactly groupBy-count for
+    // ANY salt assignment, which is why a plain GROUP BY oracles it)
+    "d6_saltedcount" -> ((s, dir) =>
+      Profiling.saltedCount(docs(s, dir), "source", 8)
+        .select("source", "cnt")),
     // D3 — graft extension: dense hourly series (zero-filled gaps) of
     // per-tenant signup counts
     "d3_gapfill" -> ((s, dir) =>
@@ -1005,6 +1011,16 @@ object SparkEntry {
     "sim_topk_q8" -> ((s, dir) => {
       val dq = Similarity.dequantize(Similarity.quantize(emb(s, dir)))
       Similarity.bruteForceTopK(dq.filter(col("vec_id") < 10), dq, 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("cosine"), 4).as("cosine"))
+    }),
+    // TRUE compressed-domain search: integer dot products over the int8
+    // slots (scales cancel for cosine) — no dequantize anywhere in the plan;
+    // the 4×-memory AND integer-arithmetic SQ8 path
+    "sim_topk_q8i" -> ((s, dir) => {
+      val qz = Similarity.quantize(emb(s, dir))
+      Similarity.quantizedTopK(qz.filter(col("vec_id") < 10), qz, 5)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"),
           round(col("cosine"), 4).as("cosine"))
@@ -1590,8 +1606,16 @@ object SparkEntry {
         "t AS (SELECT sum(cnt) AS total FROM c) " +
         "SELECT source, CAST(cnt AS BIGINT) AS cnt, " +
         "CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share, " +
-        "CAST(row_number() OVER (ORDER BY cnt DESC, source ASC) AS BIGINT) AS rank " +
+        // NULLS LAST explicit on the mirror AND asc_nulls_last on the
+        // engine (Profiling.keySkew): Spark's bare asc is NULLS FIRST,
+        // DuckDB's bare ASC is NULLS LAST — a NULL key at the top-N
+        // boundary would otherwise diverge
+        "CAST(row_number() OVER (ORDER BY cnt DESC, source ASC NULLS LAST) AS BIGINT) AS rank " +
         "FROM c, t QUALIFY rank <= 5"),
+    // the salted two-stage count is count() for ANY salt assignment — the
+    // oracle is the plain GROUP BY (the salt never reaches the result)
+    "d6_saltedcount" ->
+      "SELECT source, count(*) AS cnt FROM documents GROUP BY source",
     "d3_gapfill" ->
       (s"$DenseGridCtes SELECT g.window_start, g.tenant_id, " +
         "COALESCE(a.v, 0.0) AS value " +
@@ -1642,6 +1666,25 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
         "list_cosine_similarity(q.v, b.v) DESC, b.vec_id ASC) AS rank " +
         "FROM dq q, dq b WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id) " +
+        "WHERE rank <= 5"),
+    // compressed-domain mirror: the same int8 slots as emb_quantize, scored
+    // by integer dot products — idot/(√idot_aa·√idot_bb); every intermediate
+    // is an exact integer < 2^53, so DuckDB's double list_dot_product replay
+    // is bit-identical to the engine's long-arithmetic LongDotProduct
+    "sim_topk_q8i" ->
+      ("WITH qz AS (SELECT vec_id, CASE WHEN scale > 0 THEN " +
+        "list_transform(dv, x -> CAST(CAST(floor(x / scale + 0.5) AS BIGINT) AS DOUBLE)) " +
+        "ELSE list_transform(dv, x -> 0.0) END AS v FROM (" +
+        "SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale " +
+        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings))), " +
+        "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm " +
+        "FROM qz WHERE list_dot_product(v, v) > 0) " +
+        "SELECT query_id, neighbor_id, rank, ROUND(c, 4) AS cosine FROM (" +
+        "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS c, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_dot_product(q.v, b.v) / (q.nrm * b.nrm) DESC, b.vec_id ASC) AS rank " +
+        "FROM n q, n b WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id) " +
         "WHERE rank <= 5"),
     "sim_lsh_pairs" -> LshPairsSql,
     // transitive closure over the same pair set: component = min reachable id

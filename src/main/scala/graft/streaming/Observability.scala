@@ -71,6 +71,64 @@ class Observability(maxSilenceMs: Long) extends StreamingQueryListener {
     }
     b.result().distinct
   }
+
+  /** Prometheus text exposition (format 0.0.4) of [[snapshot]] — the same
+    * two counters the reference serves on /metrics (server.go:42-49,
+    * 370-375), namespaced `graft_` and labeled per query. Label values are
+    * escaped per the exposition spec (backslash, quote, newline). */
+  def prometheusText: String = {
+    def esc(s: String): String =
+      s.flatMap {
+        case '\\' => "\\\\"
+        case '"'  => "\\\""
+        case '\n' => "\\n"
+        case c    => c.toString
+      }
+    val snap = snapshot.toSeq.sortBy(_._1)
+    val sb = new StringBuilder
+    sb ++= "# HELP graft_in_messages_total Messages consumed per query\n"
+    sb ++= "# TYPE graft_in_messages_total counter\n"
+    snap.foreach { case (n, (in, _)) =>
+      sb ++= s"""graft_in_messages_total{query="${esc(n)}"} $in""" += '\n'
+    }
+    sb ++= "# HELP graft_out_messages_total Aggregated metrics produced per query\n"
+    sb ++= "# TYPE graft_out_messages_total counter\n"
+    snap.foreach { case (n, (_, out)) =>
+      sb ++= s"""graft_out_messages_total{query="${esc(n)}"} $out""" += '\n'
+    }
+    sb.result()
+  }
+
+  @volatile private var httpServer: Option[com.sun.net.httpserver.HttpServer] = None
+
+  /** Serve [[prometheusText]] on `http://host:port/metrics` — ops-plane
+    * parity with the reference's promhttp endpoint (server.go:370-375).
+    * Port 0 picks a free port; the bound port is returned. JDK-built-in
+    * httpserver: zero extra dependencies, a scrape is one short-lived
+    * connection — plenty for a per-driver metrics endpoint. */
+  def serveMetrics(port: Int = 0): Int = synchronized {
+    require(httpServer.isEmpty, "metrics endpoint already serving")
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(port), 0)
+    srv.createContext("/metrics", (exchange: com.sun.net.httpserver.HttpExchange) => {
+      val body = prometheusText.getBytes("UTF-8")
+      exchange.getResponseHeaders.set("Content-Type",
+        "text/plain; version=0.0.4; charset=utf-8")
+      exchange.sendResponseHeaders(200, body.length)
+      val os = exchange.getResponseBody
+      try os.write(body) finally os.close()
+    })
+    srv.setExecutor(null) // current-thread dispatch: scrape traffic is tiny
+    srv.start()
+    httpServer = Some(srv)
+    srv.getAddress.getPort
+  }
+
+  /** Stop the /metrics endpoint (no-op when not serving). */
+  def stopMetrics(): Unit = synchronized {
+    httpServer.foreach(_.stop(0))
+    httpServer = None
+  }
 }
 
 object Observability {

@@ -66,19 +66,56 @@ class BenchSpec extends AnyFunSuite {
     assert(s.count(_ == '{') == s.count(_ == '}') && !s.contains(",}"), s)
   }
 
-  test("the compact line of record fits a 2000-char tail capture for every query") {
+  test("compactQueries caps at topN slowest, folding the rest into family sums") {
+    val in = Seq("text_stats" -> 0.2, "text_langid" -> 1.2, "text_pii" -> 0.05,
+      "text_norm" -> 0.01, "a1_sum_1d" -> 0.1, "a2_count_1d" -> 9.0,
+      "w1_count_1h" -> -1.0)
+    val s = Bench.compactQueries(in, topN = 2)
+    // top-2 slowest = a2 (9.0), text_langid (1.2); the failure ALWAYS shows
+    assert(s.contains(""""langid":1200"""), s)
+    assert(s.contains(""""a2_count_1d":9000"""), s)
+    assert(s.contains(""""w1_count_1h":-1"""), s)
+    // the three unlisted text_* queries fold into one "+3" sum (260 ms)
+    assert(s.contains(""""+3":260"""), s)
+    // flat-family rest entry carries the family prefix
+    assert(!s.contains("a1_sum_1d") && s.contains(""""a1+1":100"""), s)
+    assert(s.count(_ == '{') == s.count(_ == '}') && !s.contains(",}"), s)
+    // default topN keeps every entry individually (legacy behavior)
+    assert(Bench.compactQueries(in).contains(""""stats":200"""))
+  }
+
+  test("the compact line of record fits a 2000-char tail capture with headroom " +
+      "at registry size + 10") {
     // worst case: every timing at 4-char ms ("9999" = 9.999 s; only a
     // handful of queries have ever exceeded 10 s, and the 60-char slack
     // below covers each of them costing one extra char). The budget is RAW
     // chars: every BENCH_r*.json tail is exactly 2000 characters AFTER
     // json.load (the driver truncates raw stdout, then JSON-encodes), and
     // ~80 chars of sbt epilogue ("[success] Total time: ...") land in the
-    // capture AFTER the line — reserve 120 for them, plus 60 for outliers
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val body = Bench.compactQueries(names.map(_ -> 9.999))
+    // capture AFTER the line — reserve 120 for them, plus 60 for outliers,
+    // plus 200 modeled headroom so the guard trips BEFORE the capture does.
+    // The registry is modeled 10 queries larger than today: the top-50 cap
+    // makes line growth O(families), so +10 future queries must still fit
+    val names = SparkEntry.queries.keys.toSeq.sorted ++
+      (1 to 10).map(i => s"future_extension_q$i")
+    val body = Bench.compactQueries(names.map(_ -> 9.999), topN = 50)
     val line = s"""{"t":1230,"la":[31.9,28.4],"q_ms":$body}"""
-    assert(line.length + 120 + 60 < 2000,
-      s"compact bench line is ${line.length} raw chars — with the ~80-char sbt " +
-        "epilogue it would truncate in the 2000-char tail capture")
+    assert(line.length + 120 + 60 + 200 < 2000,
+      s"compact bench line is ${line.length} raw chars at registry+10 — with " +
+        "the ~80-char sbt epilogue it would truncate in the 2000-char tail capture")
+  }
+
+  test("Verify.fullBenchTimes harvests the full-precision local record first") {
+    val dir = java.nio.file.Files.createTempDirectory("verifyspec").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "BENCH_FULL_local.json").toPath,
+      ("{\"metric\":\"total\",\"value\":260.5,\"unit\":\"sec\",\"queries\":{" +
+        "\"a1_sum_1d\":0.25,\"pipeline_e2e\":36.9,\"text_stats\":1.25," +
+        "\"sim_topk\":2.7,\"dedup_ngram\":1.5,\"w1_count_1h\":0.5}," +
+        "\"sf\":\"/root/testdata/sf0.1\"}").getBytes("UTF-8"))
+    val t = Verify.fullBenchTimes(dir.getAbsolutePath)
+    assert(t("pipeline_e2e") == 36.9 && t("a1_sum_1d") == 0.25)
+    // an absent record falls back (empty dir -> previousRoundTimes -> empty)
+    val empty = java.nio.file.Files.createTempDirectory("verifyspec2").toFile
+    assert(Verify.fullBenchTimes(empty.getAbsolutePath).isEmpty)
   }
 }

@@ -567,4 +567,70 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastExchange"),
       s"the 1-row total must broadcast, never shuffle the survivors:\n$plan")
   }
+
+  test("salted count: first exchange keys on (key, salt), second on the key alone") {
+    val plan = executedPlan(
+      SparkEntry.queries("d6_saltedcount")(spark, "/root/testdata/sf0.001"))
+    // stage 1 must spread a hot key over saltFactor reducers: the first
+    // shuffle's partitioning carries BOTH the key and the salt
+    assert("hashpartitioning\\(source[^)]*__graft_salt".r.findFirstIn(plan).isDefined,
+      s"first exchange must key on (source, salt):\n$plan")
+    // stage 2 collapses the sub-counts: a second exchange on the key alone
+    assert("hashpartitioning\\(source#\\d+, \\d+\\)".r.findFirstIn(plan).isDefined,
+      s"second exchange must key on source alone:\n$plan")
+    // both stages combine map-side
+    assert(plan.contains("partial_count"),
+      s"salted sub-counts must combine map-side:\n$plan")
+  }
+
+  test("brute-force corpus side reads from the cache — the input chain can " +
+      "never be re-evaluated per pair") {
+    // round-10 regression: without the cache boundary CollapseProject
+    // inlined sim_topk_q8's quantize∘dequantize chain (three interpreted
+    // higher-order transforms) into the per-PAIR score — 43× slower than
+    // the identical search over raw embeddings
+    try {
+      val plan = executedPlan(
+        SparkEntry.queries("sim_topk_q8")(spark, "/root/testdata/sf0.001"))
+      assert(plan.contains("InMemoryTableScan"),
+        s"corpus unit vectors must be persisted:\n$plan")
+      // the pair-scoring stage sits ABOVE the cache: no higher-order
+      // transform may appear after the InMemoryTableScan boundary
+      val above = plan.substring(0, plan.indexOf("InMemoryTableScan"))
+      assert(!above.contains("transform("),
+        s"quantization chain leaked above the cache boundary:\n$plan")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("compressed-domain top-k: integer dot scoring over the cached int8 " +
+      "corpus, queries broadcast, no dequantize anywhere") {
+    try {
+      val df = SparkEntry.queries("sim_topk_q8i")(spark, "/root/testdata/sf0.001")
+      val plan = executedPlan(df)
+      assert(plan.contains("InMemoryTableScan"),
+        s"int8 corpus must be persisted:\n$plan")
+      assert(plan.contains("BroadcastExchange") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"query side must broadcast:\n$plan")
+      assert(plan.contains("longdotproduct"),
+        s"pair scoring must be the codegen'd integer dot:\n$plan")
+      // the whole point of SQ8: nothing above the cache dequantizes
+      val above = plan.substring(0, plan.indexOf("InMemoryTableScan"))
+      assert(!above.contains("transform("),
+        s"a per-pair array transform crept into the scoring stage:\n$plan")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("compressed-domain top-k agrees with the dequantized brute force") {
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val a = SparkEntry.queries("sim_topk_q8")(spark, dir)
+        .collect().map(_.toSeq).toSet
+      val b = SparkEntry.queries("sim_topk_q8i")(spark, dir)
+        .collect().map(_.toSeq).toSet
+      // mathematically the same score (scales cancel); on this data the
+      // double round-off never reorders a rank
+      assert(a == b, s"q8 (dequantized) and q8i (integer) neighbor sets differ")
+    } finally spark.catalog.clearCache()
+  }
 }

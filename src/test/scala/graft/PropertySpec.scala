@@ -519,4 +519,20 @@ object PropertySpec extends Properties("graft") {
         .as[Long].collect().toSeq
       got == ss.map(TestRefs.polyHash64)
     }
+
+  property("salted count equals groupBy-count ∀ keys/saltFactor") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 5)),
+      Gen.choose(1, 16)) { (keys, saltFactor) =>
+      // skewed by construction (small key domain); include a NULL key group
+      val df = keys.zipWithIndex
+        .map { case (k, i) => (if (k == 0) null else s"k$k", i) }
+        .toDF("key", "i").select(org.apache.spark.sql.functions.col("key"))
+      val got = graft.operators.Profiling.saltedCount(df, "key", saltFactor)
+        .as[(Option[String], Long)].collect().toMap
+      val want = df.groupBy(col("key"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"))
+        .as[(Option[String], Long)].collect().toMap
+      got == want
+    }
 }

@@ -325,6 +325,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally { scala.util.Try(q.stop()); spark.streams.removeListener(obs) }
   }
 
+  test("prometheus bridge serves the reference's two counters over HTTP") {
+    import graft.streaming.Observability
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val obs = Observability.attach(spark, windowSizeSec = 1)
+    val input = MemoryStream[MetricEnvelope]
+    val out = StreamRunner.buildStreaming(agg2, 10L, 2L)(input.toDF())
+    val q = out.writeStream.format("memory").queryName("prom_q")
+      .outputMode("append").start()
+    val port = obs.serveMetrics()
+    try {
+      val base = 4000000000L
+      input.addData(Seq(
+        env("metric2", Map("service" -> "0", "hostname" -> "0"), base * 1000.0, 2.0)))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      while (obs.snapshot.get("prom_q").forall(_._1 == 0) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      // scrape like Prometheus would: plain GET on /metrics
+      val body = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port/metrics")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        try {
+          assert(conn.getResponseCode == 200)
+          assert(conn.getContentType.startsWith("text/plain"))
+          new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        } finally conn.disconnect()
+      }
+      assert(body.contains("# TYPE graft_in_messages_total counter"), body)
+      assert(body.contains("# TYPE graft_out_messages_total counter"), body)
+      val in = """graft_in_messages_total\{query="prom_q"\} (\d+)""".r
+      val got = in.findFirstMatchIn(body).map(_.group(1).toLong)
+      assert(got.exists(_ >= 1), s"expected a nonzero in-counter for prom_q:\n$body")
+      assert(body.contains("""graft_out_messages_total{query="prom_q"}"""), body)
+    } finally {
+      scala.util.Try(q.stop()); obs.stopMetrics()
+      spark.streams.removeListener(obs)
+    }
+  }
+
   test("streaming rollup into coarser windows (re-windowed chained aggregation)") {
     val sp = AggregationSpec(name = "ReWindow", function = "avg",
       filteredMetricName = "m", groupedDimensions = Seq("hostname"),
