@@ -1296,10 +1296,18 @@ object SparkEntry {
       // corpus; Bench/Verify clear the catalog cache between queries
       val quality = TextAnalysis.qualityFilter(lineDeduped).select("doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // decontaminated is CHECKPOINTED (lineage truncated), not just
+      // persisted: five downstream consumers (pair stage, CC edges, split
+      // join, train projection, renumber) each carry the full upstream
+      // logical plan into Catalyst again when only the data is cached —
+      // measured ~7 s of pure driver analysis time per composed run at
+      // sf0.1. Eager localCheckpoint stores the survivor SET (167 docs at
+      // test scale; always post-filter, corpus-fraction-sized) and gives
+      // every consumer an O(1) leaf plan
       val decontaminated = Dedup.decontaminate(
           quality.filter(col("doc_id") % 50 =!= 0),
           quality.filter(col("doc_id") % 50 === 0), 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val train = Dedup.leakageSafeSplit(decontaminated,
           pipelinePairs(decontaminated),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))

@@ -643,10 +643,17 @@ object Dedup {
     def materialize(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // edges is CHECKPOINTED, not merely persisted: a persist caches the data
+    // but keeps the logical plan, so every round's neighborMin join would
+    // carry the ENTIRE upstream pair-pipeline plan into analysis/optimization
+    // again — measured 3.5-3.9 s of pure driver time PER ROUND on a ~300-row
+    // graph when the pairs came from the composed pipeline_e2e chain. The
+    // eager checkpoint truncates the lineage once; rounds then analyze an
+    // O(1) plan on both sides
+    val edges = materialize(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
     // every generation is checkpointed (eager): the label frontier feeds
     // the NEXT round's plan twice (join left side + neighborMin), so without
     // lineage truncation the logical plan doubles per round — 2^maxIter nodes
@@ -681,7 +688,8 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
+    // (checkpoint blocks/files release via the ContextCleaner once `edges`
+    // goes out of scope — same lifecycle as the label generations)
     if (!converged) {
       // a stderr warning here would be a SILENT wrong answer: labels that
       // split real clusters make the survivors pipeline keep documents it

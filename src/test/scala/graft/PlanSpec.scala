@@ -338,9 +338,21 @@ class PlanSpec extends AnyFunSuite {
     assert(firstWindow >= 0, s"pack window missing from plan:\n$plan")
     assert(!plan.substring(0, firstWindow).contains("Exchange hashpartitioning"),
       s"materialize no longer reuses packing's shard partitioning:\n$plan")
-    // hot-line / bench-shingle broadcast sides survive the composition
-    assert(plan.contains("BroadcastExchange"),
-      s"expected broadcast joins inside the composed pipeline:\n$plan")
+    // the decontaminated survivor set is checkpointed (lineage truncated so
+    // the five downstream consumers stop re-analyzing the whole upstream
+    // plan): everything below it — including the hot-line / bench-shingle
+    // broadcasts, pinned by their own stage tests — is severed behind
+    // ExistingRDD leaves, and what remains above must stay keyed
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed survivor-set boundary in the plan:\n$plan")
+    // the split's component-label join is an equi-join on the id — never a
+    // nested-loop (comp is checkpoint-backed, so no stats: Catalyst must
+    // still pick a keyed join from the equi-condition)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"label join degenerated to a nested loop:\n$plan")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[doc_id".r
+      .findFirstIn(plan).isDefined,
+      s"expected a keyed label join on doc_id:\n$plan")
     // and rows actually flow end-to-end on the smallest fixture
     assert(df.count() > 0, "pipeline produced no sequences at sf0.001")
   }
