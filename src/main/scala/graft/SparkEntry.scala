@@ -271,6 +271,36 @@ object SparkEntry {
       "WHERE rank <= 5"
   }
 
+  /** PQ-ADC mirror (m=8, ksub=16, dsub=8, k=5, queries vec_id < 10): the
+    * codebook is the hash-ordered sample (cent, as IVF), entry (j,i) = the
+    * j-th 8-dim slice of sampled vector i. Encoding replays Spark's
+    * lexicographic (−dist², −i) argmax per (vector, subspace); the ADC
+    * score joins exploded codes to the per-query LUT and sums — double
+    * addition order differs from Spark's static unrolled sum only in the
+    * last ulps, absorbed by ROUND. */
+  private val PqTopkSql = {
+    val h = hashRawSql("vec_id")
+    s"WITH $UnitVecCte, " +
+      s"cent AS (SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS i, v " +
+      s"FROM u QUALIFY row_number() OVER (ORDER BY $h, vec_id) <= 16), " +
+      "js AS (SELECT unnest(generate_series(0, 7)) AS j), " +
+      "enc AS (SELECT vec_id, j, " +
+      "-((max({'s': -list_inner_product(d, d), 'c': -i})).c) AS code FROM (" +
+      "SELECT u.vec_id, js.j, c.i, list_transform(generate_series(1, 8), " +
+      "k -> u.v[js.j * 8 + k] - c.v[js.j * 8 + k]) AS d FROM u, js, cent c) " +
+      "GROUP BY vec_id, j), " +
+      "lut AS (SELECT q.vec_id AS query_id, js.j, c.i, " +
+      "list_inner_product(q.v[js.j * 8 + 1 : js.j * 8 + 8], " +
+      "c.v[js.j * 8 + 1 : js.j * 8 + 8]) AS ip " +
+      "FROM u q, js, cent c WHERE q.vec_id < 10) " +
+      "SELECT query_id, neighbor_id, rank, ROUND(adc, 4) AS adc FROM (" +
+      "SELECT query_id, neighbor_id, adc, CAST(row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS BIGINT) AS rank " +
+      "FROM (SELECT l.query_id, e.vec_id AS neighbor_id, sum(l.ip) AS adc " +
+      "FROM enc e JOIN lut l ON l.j = e.j AND l.i = e.code " +
+      "WHERE l.query_id <> e.vec_id GROUP BY 1, 2)) WHERE rank <= 5"
+  }
+
   /** Shared SemDeDup SQL fragments (nLists=8, threshold 0.4): centroid
     * selection + argmax assignment reuse the IVF mirror verbatim; the
     * within-cell pair subquery is consumed by BOTH the pairs oracle and the
@@ -1025,6 +1055,15 @@ object SparkEntry {
           col("rank").cast("long").as("rank"),
           round(col("cosine"), 4).as("cosine"))
     }),
+    // product-quantization ADC search (m=8 subspaces × ksub=16 sampled
+    // codebook entries): candidates are scored by m table lookups — the
+    // 64×-compression step beyond SQ8's 4× for billion-vector corpora
+    "sim_topk_pq" -> ((s, dir) =>
+      Similarity.pqTopK(emb(s, dir).filter(col("vec_id") < 10), emb(s, dir),
+          k = 5, m = 8, ksub = 16)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("adc"), 4).as("adc"))),
     "text_stats" -> ((s, dir) => TextAnalysis.analyze(docs(s, dir))),
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1096,6 +1135,11 @@ object SparkEntry {
       TextAnalysis.tfidfTopK(docs(s, dir), 5)
         .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"),
           round(col("tfidf"), 4).as("tfidf"))),
+    // Okapi BM25 over a fixed 4-term query (mixed-df terms); rounding
+    // absorbs the order-dependent double sum's last ulps
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(docs(s, dir), Seq("hash", "join", "shuffle", "broadcast"))
+        .select(col("doc_id"), col("n_hits"), round(col("score"), 4).as("score"))),
     // exact-substring duplication signal: fraction of tokens covered by
     // cross-doc duplicated 5-gram spans (boilerplate-tail fixture)
     "text_dup_spans" -> ((s, dir) =>
@@ -1649,6 +1693,7 @@ object SparkEntry {
     "dedup_ngram_capped" -> JaccardCappedPairsSql,
     "dedup_simhash" -> SimhashPairsSql,
     "sim_ivf_topk" -> IvfTopkSql,
+    "sim_topk_pq" -> PqTopkSql,
     // same double ops as Similarity.quantize: max|x|/127 scale, then
     // floor(x/scale + 0.5) per slot — exact integers, identical doubles
     "emb_quantize" ->
@@ -1900,6 +1945,26 @@ object SparkEntry {
         "CAST(df AS BIGINT) AS df, ROUND(tfidf, 4) AS tfidf FROM (" +
         "SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank " +
         "FROM sc) WHERE rank <= 5"),
+    // BM25 mirror: same LM tokenization, Lucene idf = ln(1+(N-df+.5)/(df+.5)),
+    // dl = whitespace token count, N/avgdl over ALL docs (NULL text counts
+    // toward both); ROUND absorbs the order-dependent sum's last ulps
+    "text_bm25" ->
+      ("WITH dl AS (SELECT doc_id, CASE WHEN text IS NULL OR " +
+        s"len(trim(text, '${TextAnalysis.WsCharsRaw}')) = 0 THEN 0.0 ELSE " +
+        s"CAST(len(string_split_regex(trim(text, '${TextAnalysis.WsCharsRaw}'), '\\s+')) AS DOUBLE) END AS dl " +
+        "FROM documents), " +
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl), " +
+        "toks AS (SELECT doc_id, unnest(string_split_regex(" +
+        s"trim(lower(text), '${TextAnalysis.WsCharsRaw}'), '\\s+')) AS tok " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks " +
+        "WHERE tok IN ('hash', 'join', 'shuffle', 'broadcast') GROUP BY 1, 2), " +
+        "dfx AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, " +
+        "ROUND(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+        "CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score " +
+        "FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats " +
+        "GROUP BY doc_id"),
     // duplicated-span mirror: membership on shingle TEXT (the operator keys
     // on the 64-bit hash — same collision note as dedup_lines); interval
     // union via the identical lead() recurrence

@@ -675,6 +675,64 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("tok"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Okapi BM25 relevance of every matching document for a bag-of-words
+    * query (Robertson & Walker; the Lucene-flavored formulation):
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   idf(t)   = ln(1 + (N − df + 0.5) / (df + 0.5))
+    *
+    * with the [[lmToks]] tokenization (lower-cased, set-trimmed,
+    * whitespace-split — the same definition every text operator and DuckDB
+    * mirror shares), dl = [[tokenCount]] (lowercasing never changes the
+    * count), df = distinct documents containing the term, N = ALL corpus
+    * rows (NULL-text rows contribute no tokens but do count toward N and
+    * avgdl, matching Lucene's docCount semantics). Documents matching no
+    * query term produce no row. Output: (idCol, n_hits, score), n_hits =
+    * distinct query terms present.
+    *
+    * Scale shape — the retrieval-scoring primitive for corpus curation
+    * (quality classifiers seeded from exemplar queries, dedup-by-retrieval,
+    * eval-set mining): the query-term filter is an `isin` over a literal
+    * set applied DIRECTLY under the explode, so only matching (doc, term)
+    * rows ever reach an exchange, and the document length rides ALONG the
+    * exploded rows (computed once per doc pre-explode) — the corpus-wide
+    * (doc, dl) relation is never joined back. One map-side-combined groupBy
+    * on (doc, term) whose volume is hits, not corpus tokens; df
+    * re-aggregates that relation (persisted for its two consumers); the
+    * corpus-count/avgdl pair is a 1-row partial aggregate on a broadcast;
+    * the per-document sum is one more exchange on the id over the hit
+    * relation. The corpus itself is scanned once, narrowly. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val terms = queryTerms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    // coalesce: tokenCount(NULL) is NULL and avg() would silently skip the
+    // row — NULL-text documents must count as dl=0 (scaladoc contract)
+    val dlExpr = coalesce(tokenCount(col(textCol)).cast("double"), lit(0.0))
+    val stats = docs
+      .select(dlExpr.as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col(idCol), dlExpr.as("dl"),
+        explode(lmToks(col(textCol))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfTbl = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(dfTbl, Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", idf * tfNorm)
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_hits"),
+        sum(col("term_score")).as("score"))
+  }
+
   // ------------------------------------------------- duplicated-span signal
 
   /** Shared machinery of [[dupSpanStats]] / [[removeDupSpans]]: `base` =

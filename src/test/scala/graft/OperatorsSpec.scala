@@ -1219,6 +1219,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d3(0)._4 == 3L && d3(0)._5 == 3L && math.abs(d3(0)._6 - 3.0) < 1e-12)
   }
 
+  test("PQ: a sampled centroid encodes to itself; ADC is exact on codebook members") {
+    import graft.operators.Similarity
+    // 4 orthogonal-ish unit vectors, d=4, m=2 (dsub=2), ksub=4: every corpus
+    // vector IS a codebook entry, so each subvector encodes to the sampled
+    // vector's own slice and ADC(q, x) == <q, x> exactly
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 0f)), (3L, Seq(0f, 0f, 0f, 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(df, m = 2, ksub = 4)
+    assert(books.size == 2 && books.forall(_.size == 4) &&
+      books.forall(_.forall(_.size == 2)))
+    val enc = Similarity.pqEncode(df, books).as[(Long, Seq[Long])]
+      .collect().toMap
+    assert(enc.size == 4 && enc.values.forall(_.size == 2))
+    // reconstruction from the codes must reproduce each vector exactly
+    vecs.foreach { case (id, v) =>
+      val rec = enc(id).zipWithIndex.flatMap { case (code, j) =>
+        books(j)(code.toInt) }
+      assert(rec == v.map(_.toDouble), s"vec $id reconstructed as $rec")
+    }
+    // ADC against query [1,0,0,0]: exact dots → neighbor ranking is exact
+    // (self excluded; all other dots are 0, ties break by neighbor_id)
+    val out = Similarity.pqTopK(df.filter($"vec_id" === 0), df, k = 3,
+        m = 2, ksub = 4)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L))
+    assert(out.forall(r => math.abs(r._4) < 1e-12))
+  }
+
+  test("BM25: hand-computed Lucene-formula scores; NULL text counts toward N/avgdl") {
+    val d = Seq(
+      (1L, "Hash join hash"),   // lm tokens [hash, join, hash], dl=3
+      (2L, "shuffle time"),     // dl=2
+      (3L, "nothing here at all"), // dl=4, no query term → NO row
+      (4L, null.asInstanceOf[String])) // dl=0, still in N and avgdl
+      .toDF("doc_id", "text")
+    // N=4, avgdl=(3+2+4+0)/4=2.25; df(hash)=df(shuffle)=1
+    // idf = ln(1 + (4-1+0.5)/1.5) = ln(10/3)
+    val idf = math.log(1 + 3.5 / 1.5)
+    val out = TextAnalysis.bm25(d, Seq("hash", "Shuffle", "shuffle "))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out.forall(_._2 == 1L))
+    // doc1: tf(hash)=2 → 2·2.2/(2 + 1.2·(0.25 + 0.75·3/2.25)) = 4.4/3.5
+    assert(math.abs(out(0)._3 - idf * 4.4 / 3.5) < 1e-12)
+    // doc2: tf(shuffle)=1 → 2.2/(1 + 1.2·(0.25 + 0.75·2/2.25)) = 2.2/2.1
+    assert(math.abs(out(1)._3 - idf * 2.2 / 2.1) < 1e-12)
+  }
+
   test("duplicated-span stats: interval union over overlapping cross-doc spans") {
     val d = Seq(
       // docs 1/2 share the 6-token run "v w x y z q" → two overlapping

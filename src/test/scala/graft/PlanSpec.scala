@@ -580,6 +580,27 @@ class PlanSpec extends AnyFunSuite {
       s"the 1-row total must broadcast, never shuffle the survivors:\n$plan")
   }
 
+  test("BM25: query-term filter sits under the hit aggregation; dl rides the " +
+      "explode — no corpus-wide length join") {
+    try {
+      val plan = executedPlan(
+        SparkEntry.queries("text_bm25")(spark, "/root/testdata/sf0.001"))
+      // the isin prune runs below any exchange: only hit rows shuffle
+      val lastExchange = plan.lastIndexOf("Exchange hashpartitioning")
+      assert(lastExchange >= 0 && plan.indexOf(" IN (hash,", lastExchange) > 0,
+        s"query-term isin filter must sit below the exchanges:\n$plan")
+      // the hit relation is persisted for its tf/df consumers
+      assert(plan.contains("InMemoryTableScan"),
+        s"hit relation must be cached:\n$plan")
+      // stats ride a 1-row broadcast; no corpus-scale sort-merge join
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastExchange"),
+        s"n_docs/avgdl must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"no corpus-wide join may appear in the BM25 plan:\n$plan")
+    } finally spark.catalog.clearCache()
+  }
+
   test("salted count: first exchange keys on (key, salt), second on the key alone") {
     val plan = executedPlan(
       SparkEntry.queries("d6_saltedcount")(spark, "/root/testdata/sf0.001"))
@@ -630,6 +651,28 @@ class PlanSpec extends AnyFunSuite {
       val above = plan.substring(0, plan.indexOf("InMemoryTableScan"))
       assert(!above.contains("transform("),
         s"a per-pair array transform crept into the scoring stage:\n$plan")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("PQ-ADC: per-pair scoring is table lookups only — no vector " +
+      "arithmetic above the cached code relation") {
+    try {
+      val plan = executedPlan(
+        SparkEntry.queries("sim_topk_pq")(spark, "/root/testdata/sf0.001"))
+      assert(plan.contains("InMemoryTableScan"),
+        s"PQ codes must be persisted:\n$plan")
+      assert(plan.contains("BroadcastExchange") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"query/LUT side must broadcast:\n$plan")
+      // everything above the cache boundary must be element_at adds — any
+      // dot product or array lambda there means ADC degenerated to per-pair
+      // vector math
+      val above = plan.substring(0, plan.indexOf("InMemoryTableScan"))
+      assert(above.contains("element_at"),
+        s"ADC lookups missing from the pair stage:\n$plan")
+      assert(!above.contains("dotproduct") && !above.contains("zip_with") &&
+        !above.contains("transform("),
+        s"vector arithmetic leaked into the per-pair ADC stage:\n$plan")
     } finally spark.catalog.clearCache()
   }
 
