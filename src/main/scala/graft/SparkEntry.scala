@@ -1055,6 +1055,15 @@ object SparkEntry {
           col("rank").cast("long").as("rank"),
           round(col("cosine"), 4).as("cosine"))
     }),
+    // hard-negative mining: per query, top-5 most-similar vectors with a
+    // DIFFERENT label (null-safe inequality) — contrastive training fuel
+    "sim_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(emb(s, dir).filter(col("vec_id") < 10),
+          emb(s, dir), 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("neg_label").cast("long").as("neg_label"),
+          col("rank").cast("long").as("rank"),
+          round(col("cosine"), 4).as("cosine"))),
     // product-quantization ADC search (m=8 subspaces × ksub=16 sampled
     // codebook entries): candidates are scored by m table lookups — the
     // 64×-compression step beyond SQ8's 4× for billion-vector corpora
@@ -1217,6 +1226,12 @@ object SparkEntry {
             TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
           "doc_id", "n_tokens", 100)
         .select("doc_id", "source", "n_tokens")),
+    // DSIR-style importance resampling: expected-100-row Bernoulli sample
+    // weighted by n_chars, integer-exact hash gate (no exp/ln anywhere —
+    // the weight column is caller-supplied, so the gate stays replayable)
+    "sample_importance" -> ((s, dir) =>
+      Sampling.importanceResample(docs(s, dir), col("n_chars"), 100)
+        .select("doc_id", "source", "n_chars")),
     // trainer-facing token-id export: 256-token corpus-learned vocab (rank by
     // count desc, token asc), OOV id 9999; the array<long> result is
     // posexploded to (shard, seq_id, pos, token_id) rows so the oracle
@@ -1694,6 +1709,21 @@ object SparkEntry {
     "dedup_simhash" -> SimhashPairsSql,
     "sim_ivf_topk" -> IvfTopkSql,
     "sim_topk_pq" -> PqTopkSql,
+    // hard-negative mirror: the sim_topk probe plus the null-safe label
+    // inequality (IS DISTINCT FROM ≡ Spark's !(a <=> b))
+    "sim_hard_negatives" ->
+      ("WITH ul AS (SELECT e.vec_id, list_transform(dv, x -> x / nrm) AS v, label FROM " +
+        "(SELECT vec_id, dv, sqrt(list_inner_product(dv, dv)) AS nrm, label FROM " +
+        "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv, label FROM embeddings)) e " +
+        "WHERE nrm > 0) " +
+        "SELECT query_id, neighbor_id, neg_label, rank, ROUND(c, 4) AS cosine FROM (" +
+        "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "CAST(b.label AS BIGINT) AS neg_label, " +
+        "list_inner_product(q.v, b.v) AS c, " +
+        "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_inner_product(q.v, b.v) DESC, b.vec_id ASC) AS BIGINT) AS rank " +
+        "FROM ul q, ul b WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id " +
+        "AND q.label IS DISTINCT FROM b.label) WHERE rank <= 5"),
     // same double ops as Similarity.quantize: max|x|/127 scale, then
     // floor(x/scale + 0.5) per slot — exact integers, identical doubles
     "emb_quantize" ->
@@ -2150,6 +2180,17 @@ object SparkEntry {
         s"POW(($HashRaw + 1) / 2147483647.0, 1.0 / $TokN) AS wkey " +
         s"FROM documents WHERE $TokN > 0) " +
         "ORDER BY wkey DESC, doc_id ASC LIMIT 100"),
+    // importance-resample mirror: W is an exact integer-valued double, the
+    // gate replays ((100·w)/W)·9973 floor-for-floor (same IEEE ops, same
+    // association), and the bucket comparison is integer-exact
+    "sample_importance" ->
+      ("WITH t AS (SELECT sum(CAST(greatest(coalesce(n_chars, 0), 0) AS DOUBLE)) AS wsum " +
+        "FROM documents) " +
+        "SELECT doc_id, source, n_chars FROM documents, t " +
+        "WHERE CAST(greatest(coalesce(n_chars, 0), 0) AS DOUBLE) > 0 " +
+        s"AND $HashB < CAST(floor(least(1.0, " +
+        "(100.0 * CAST(greatest(coalesce(n_chars, 0), 0) AS DOUBLE)) / wsum) " +
+        "* 9973.0) AS BIGINT)"),
     // token-id export mirror: vocab = top-256 tokens by (count DESC, token
     // ASC) with 0-based rank ids; same pack CTE as sample_pack_seqs; each
     // packed doc's tokens enumerated in order (LATERAL index, like the

@@ -55,6 +55,34 @@ object Sampling {
     df.filter(hashBucket(col(idCol), seed) < (rate * Buckets).toLong)
   }
 
+  /** Deterministic importance RESAMPLING (the DSIR-family shape, Xie et
+    * al. 2023: select pretraining data by importance weight): keep row i
+    * with probability ≈ min(1, nTarget·wᵢ/W), W = Σ max(wᵢ, 0) — an
+    * expected-`nTarget`-row Bernoulli sample biased by any caller-supplied
+    * weight column (quality score, exp(LM-score/T), domain factor…).
+    * Non-positive/NULL weights are never kept. The keep decision is
+    * `hashBucket(id) < floor(p·Buckets)` — the same integer-exact portable
+    * gate as [[sampleByHash]], so the sample is identical on every engine,
+    * rerun, and cluster size (the DuckDB oracle replays it row-for-row;
+    * complementary to [[weightedSample]], which is exact-k without
+    * replacement via a top-k).
+    *
+    * Scale shape: W is one map-side-combined 1-row aggregate riding a
+    * broadcast; the gate itself is a narrow filter — the corpus is scanned
+    * once and never shuffled. */
+  def importanceResample(df: DataFrame, weight: Column, nTarget: Long,
+      idCol: String = "doc_id", seed: Long = 42): DataFrame = {
+    require(nTarget >= 0, s"nTarget must be >= 0, got $nTarget")
+    val w = greatest(coalesce(weight.cast("double"), lit(0.0)), lit(0.0))
+    val tot = df.agg(sum(w).as("__graft_wsum"))
+    df.crossJoin(broadcast(tot))
+      .filter(w > 0 &&
+        hashBucket(col(idCol), seed) <
+          floor(least(lit(1.0), lit(nTarget.toDouble) * w / col("__graft_wsum")) *
+            lit(Buckets.toDouble)).cast("long"))
+      .drop("__graft_wsum")
+  }
+
   /** The split-assignment COLUMN for an id — a pure hash, usable as a narrow
     * map wherever an id column exists (no join against an assignment table
     * needed; [[graft.operators.Dedup.splitLeakage]] relies on this). */

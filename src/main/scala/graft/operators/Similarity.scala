@@ -41,12 +41,23 @@ object Similarity {
     * the round-10 `sim_topk_q8` scale-killer). Filtering on `_n` inlines
     * only one scalar chain per row. */
   private[operators] def unitVectors(emb: DataFrame, idCol: String, vecCol: String,
-      outId: String, outVec: String): DataFrame = {
+      outId: String, outVec: String): DataFrame =
+    unitVectorsWith(emb, idCol, vecCol, outId, outVec, Nil)
+
+  /** [[unitVectors]] carrying extra pass-through columns (each aliased
+    * `"col" -> "outName"`) — same scalar-norm filter construction. */
+  private[operators] def unitVectorsWith(emb: DataFrame, idCol: String,
+      vecCol: String, outId: String, outVec: String,
+      carry: Seq[(String, String)]): DataFrame = {
     val v = toDoubleVec(col(vecCol))
-    emb.select(col(idCol).as(outId), v.as("_v"))
-      .select(col(outId), sqrt(dot(col("_v"), col("_v"))).as("_n"), col("_v"))
+    val carried = carry.map { case (c, out) => col(c).as(out) }
+    val carriedOut = carry.map { case (_, out) => col(out) }
+    emb.select(col(idCol).as(outId) +: v.as("_v") +: carried: _*)
+      .select(col(outId) +: sqrt(dot(col("_v"), col("_v"))).as("_n") +:
+        col("_v") +: carriedOut: _*)
       .filter(col("_n") > 0)
-      .select(col(outId), transform(col("_v"), x => x / col("_n")).as(outVec))
+      .select(col(outId) +: transform(col("_v"), x => x / col("_n")).as(outVec) +:
+        carriedOut: _*)
   }
 
   /** Exact top-k neighbors for each query vector, brute force.
@@ -304,6 +315,40 @@ object Similarity {
   def dequantize(quantized: DataFrame, idCol: String = "vec_id"): DataFrame =
     quantized.select(col(idCol),
       transform(col("qvec"), q => q.cast("double") * col("scale")).as("embedding"))
+
+  /** Hard-negative mining for contrastive / embedding-model training data:
+    * for each query vector, the `k` most cosine-similar corpus vectors
+    * whose `labelCol` DIFFERS from the query's — the semantically-close-
+    * but-wrong examples a contrastive loss learns most from (the standard
+    * in-batch-negatives upgrade: mine them offline, corpus-wide).
+    *
+    * Same physical shape as [[bruteForceTopK]] (tiny query side broadcast,
+    * corpus unit vectors persisted, WindowGroupLimit partial top-k); the
+    * label inequality rides the join condition so positives never reach
+    * the window. For web-scale corpora compose the same condition over
+    * [[ivfTopK]]'s probe join (mine within nProbe cells) — this exact
+    * variant is the recall-exact baseline.
+    * Output: (query_id, neighbor_id, neg_label, rank, cosine). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      labelCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = unitVectorsWith(queries, idCol, vecCol, "query_id", "qu",
+      Seq(labelCol -> "q_label"))
+    val c = unitVectorsWith(corpus, idCol, vecCol, "neighbor_id", "cu",
+      Seq(labelCol -> "neg_label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          !(col("q_label") <=> col("neg_label")))
+      .withColumn("cosine", dot(col("qu"), col("cu")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "neg_label", "rank", "cosine")
+  }
 
   // ------------------------------------------------- product quantization
 

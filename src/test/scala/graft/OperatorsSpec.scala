@@ -1219,6 +1219,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d3(0)._4 == 3L && d3(0)._5 == 3L && math.abs(d3(0)._6 - 3.0) < 1e-12)
   }
 
+  test("hard negatives: same-label neighbors are excluded even when nearest") {
+    import graft.operators.Similarity
+    // query 0 (label A): vec 1 is IDENTICAL (cos 1) but shares the label —
+    // must be skipped; vec 2 (label B) is close, vec 3 (label B) far
+    val df = Seq(
+      (0L, Seq(1f, 0f), "A"), (1L, Seq(1f, 0f), "A"),
+      (2L, Seq(0.9f, 0.1f), "B"), (3L, Seq(0f, 1f), "B"))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(df.filter($"vec_id" === 0), df, 2)
+      .as[(Long, Long, String, Int, Double)].collect().sortBy(_._4)
+    assert(out.map(_._2).toSeq == Seq(2L, 3L))
+    assert(out.forall(_._3 == "B"))
+  }
+
   test("PQ: a sampled centroid encodes to itself; ADC is exact on codebook members") {
     import graft.operators.Similarity
     // 4 orthogonal-ish unit vectors, d=4, m=2 (dsub=2), ksub=4: every corpus

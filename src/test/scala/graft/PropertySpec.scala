@@ -535,4 +535,25 @@ object PropertySpec extends Properties("graft") {
         .as[(Option[String], Long)].collect().toMap
       got == want
     }
+
+  property("importance resample equals the naive hash-gate model ∀ weights/nTarget/seed") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 100000L),
+        Gen.oneOf(Gen.const[Option[Long]](None), Gen.choose(-5L, 2000L).map(Some(_))))),
+      Gen.choose(0L, 50L), Gen.long) { (rows, nTarget, seed) =>
+      val dedup = rows.toMap.toSeq
+      val df = dedup.map { case (id, w) => (id, w.map(Long.box).orNull) }
+        .toDF("doc_id", "w")
+      val got = graft.operators.Sampling
+        .importanceResample(df, col("w"), nTarget, seed = seed)
+        .select("doc_id").as[Long].collect().toSet
+      val wsum = dedup.map(_._2.map(w => math.max(w, 0L)).getOrElse(0L))
+        .map(_.toDouble).sum
+      val want = dedup.filter { case (id, w) =>
+        val wd = math.max(w.getOrElse(0L), 0L).toDouble
+        wd > 0 && TestRefs.hashRaw(id, seed) % graft.operators.Sampling.Buckets <
+          math.floor(math.min(1.0, nTarget.toDouble * wd / wsum) *
+            graft.operators.Sampling.Buckets.toDouble).toLong
+      }.map(_._1).toSet
+      got == want
+    }
 }
