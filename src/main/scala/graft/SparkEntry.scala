@@ -301,6 +301,41 @@ object SparkEntry {
       "WHERE l.query_id <> e.vec_id GROUP BY 1, 2)) WHERE rank <= 5"
   }
 
+  /** IVF-PQ mirror (nLists=ksub=16 share ONE hash sample, nProbe=4, m=8,
+    * dsub=8, k=5): IvfTopkSql's cell assignment + probe ranking composed
+    * with PqTopkSql's encoding + LUT join, restricted to probed cells. */
+  private val IvfPqTopkSql = {
+    val h = hashRawSql("vec_id")
+    s"WITH $UnitVecCte, " +
+      s"cent AS (SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS i, v " +
+      s"FROM u QUALIFY row_number() OVER (ORDER BY $h, vec_id) <= 16), " +
+      "js AS (SELECT unnest(generate_series(0, 7)) AS j), " +
+      "asg AS (SELECT u.vec_id, (max({'s': list_inner_product(c.v, u.v), " +
+      "'c': c.i})).c AS cell FROM u, cent c GROUP BY u.vec_id), " +
+      "enc AS (SELECT vec_id, j, " +
+      "-((max({'s': -list_inner_product(d, d), 'c': -i})).c) AS code FROM (" +
+      "SELECT u.vec_id, js.j, c.i, list_transform(generate_series(1, 8), " +
+      "k -> u.v[js.j * 8 + k] - c.v[js.j * 8 + k]) AS d FROM u, js, cent c) " +
+      "GROUP BY vec_id, j), " +
+      "prb AS (SELECT query_id, cell FROM (" +
+      "SELECT q.vec_id AS query_id, c.i AS cell, " +
+      "row_number() OVER (PARTITION BY q.vec_id " +
+      "ORDER BY list_inner_product(c.v, q.v) DESC, c.i DESC) AS pr " +
+      "FROM u q, cent c WHERE q.vec_id < 10) WHERE pr <= 4), " +
+      "lut AS (SELECT q.vec_id AS query_id, js.j, c.i, " +
+      "list_inner_product(q.v[js.j * 8 + 1 : js.j * 8 + 8], " +
+      "c.v[js.j * 8 + 1 : js.j * 8 + 8]) AS ip " +
+      "FROM u q, js, cent c WHERE q.vec_id < 10) " +
+      "SELECT query_id, neighbor_id, rank, ROUND(adc, 4) AS adc FROM (" +
+      "SELECT query_id, neighbor_id, adc, CAST(row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS BIGINT) AS rank " +
+      "FROM (SELECT p.query_id, a.vec_id AS neighbor_id, sum(l.ip) AS adc " +
+      "FROM prb p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.vec_id " +
+      "JOIN enc e ON e.vec_id = a.vec_id " +
+      "JOIN lut l ON l.query_id = p.query_id AND l.j = e.j AND l.i = e.code " +
+      "GROUP BY 1, 2)) WHERE rank <= 5"
+  }
+
   /** Shared SemDeDup SQL fragments (nLists=8, threshold 0.4): centroid
     * selection + argmax assignment reuse the IVF mirror verbatim; the
     * within-cell pair subquery is consumed by BOTH the pairs oracle and the
@@ -1073,6 +1108,14 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"),
           round(col("adc"), 4).as("adc"))),
+    // IVF-PQ: cells prune to nProbe/nLists of the corpus, PQ-ADC scores the
+    // rest — the canonical billion-scale ANN composition end to end
+    "sim_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(emb(s, dir).filter(col("vec_id") < 10), emb(s, dir),
+          k = 5, nLists = 16, nProbe = 4, m = 8, ksub = 16)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("adc"), 4).as("adc"))),
     "text_stats" -> ((s, dir) => TextAnalysis.analyze(docs(s, dir))),
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1709,6 +1752,7 @@ object SparkEntry {
     "dedup_simhash" -> SimhashPairsSql,
     "sim_ivf_topk" -> IvfTopkSql,
     "sim_topk_pq" -> PqTopkSql,
+    "sim_ivfpq_topk" -> IvfPqTopkSql,
     // hard-negative mirror: the sim_topk probe plus the null-safe label
     // inequality (IS DISTINCT FROM ≡ Spark's !(a <=> b))
     "sim_hard_negatives" ->

@@ -383,19 +383,41 @@ object Similarity {
     * corpora fit executor memory. Output: (outId, codes array<long>). */
   def pqEncode(emb: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
       idCol: String = "vec_id", vecCol: String = "embedding",
-      outId: String = "vec_id"): DataFrame = {
-    val unit = unitVectors(emb, idCol, vecCol, outId, "v")
+      outId: String = "vec_id"): DataFrame =
+    unitVectors(emb, idCol, vecCol, outId, "v")
+      .select(col(outId), pqCodes(col("v"), codebooks).as("codes"))
+
+  /** The [[pqEncode]] code array for a unit-vector column: per subspace,
+    * argmin-L2 codebook entry (ties → smaller index via the (−dist², −i)
+    * struct max). */
+  private def pqCodes(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
     val dsub = codebooks.head.head.size
-    val codes = array(codebooks.zipWithIndex.map { case (book, j) =>
-      val sub = slice(col("v"), j * dsub + 1, dsub)
+    array(codebooks.zipWithIndex.map { case (book, j) =>
+      val sub = slice(v, j * dsub + 1, dsub)
       val best = array_max(array(book.zipWithIndex.map { case (c, i) =>
         val diff = zip_with(sub, typedLit(c), (a, b) => a - b)
         struct((-dot(diff, diff)).as("s"), lit(-i).as("c"))
       }: _*))
       (-best.getField("c")).cast("long")
     }: _*)
-    unit.select(col(outId), codes.as("codes"))
   }
+
+  /** Per-query ADC lookup table: flattened m·ksub subspace inner products
+    * (index j·ksub + i). */
+  private def pqLut(qv: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val dsub = codebooks.head.head.size
+    array(codebooks.zipWithIndex.flatMap { case (book, j) =>
+      val sub = slice(qv, j * dsub + 1, dsub)
+      book.map(cent => dot(sub, typedLit(cent)))
+    }: _*)
+  }
+
+  /** The statically-unrolled ADC sum: m `element_at` lookups added in
+    * subspace order — no interpreted lambda in the pair loop. */
+  private def pqAdc(lut: Column, codes: Column, m: Int, nsub: Int): Column =
+    (0 until m).map { j =>
+      element_at(lut, (lit(j * nsub) + element_at(codes, j + 1)).cast("int") + lit(1))
+    }.reduce(_ + _)
 
   /** PQ top-k with ADC (asymmetric distance computation) scoring — the
     * compressed-domain search over [[pqEncode]]d codes: each query
@@ -413,22 +435,65 @@ object Similarity {
       vecCol: String = "embedding", seed: Long = 42): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val books = pqCodebooks(corpus, m, ksub, idCol, vecCol, seed)
-    val dsub = books.head.head.size
     val nsub = books.head.size // actual codebook width (≤ ksub on tiny corpora)
     val c = pqEncode(corpus, books, idCol, vecCol, "neighbor_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val lut = array(books.zipWithIndex.flatMap { case (book, j) =>
-      val sub = slice(col("qv"), j * dsub + 1, dsub)
-      book.map(cent => dot(sub, typedLit(cent)))
-    }: _*)
     val q = unitVectors(queries, idCol, vecCol, "query_id", "qv")
-      .select(col("query_id"), lut.as("lut"))
-    val adc = (0 until books.size).map { j =>
-      element_at(col("lut"),
-        (lit(j * nsub) + element_at(col("codes"), j + 1)).cast("int") + lit(1))
-    }.reduce(_ + _)
+      .select(col("query_id"), pqLut(col("qv"), books).as("lut"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", adc)
+      .withColumn("adc", pqAdc(col("lut"), col("codes"), books.size, nsub))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc")
+  }
+
+  /** IVF-PQ — the canonical billion-scale composition (faiss IndexIVFPQ,
+    * Jégou et al. 2011): the IVF cell structure prunes candidates to
+    * `nProbe` of `nLists` cells, and PQ-ADC scores what remains — so a
+    * query touches ~nProbe/nLists of an m-byte-per-vector corpus with m
+    * table lookups per candidate. Cells AND codebooks derive from the SAME
+    * deterministic hash sample machinery ([[sampleCentroids]]); codes here
+    * quantize the raw unit vector (not the faiss residual — the
+    * cross-engine-replayable baseline; residual encoding would change only
+    * [[pqCodes]]' input).
+    *
+    * Scale shape: ONE persisted corpus relation of (id, cell, codes) — the
+    * m-byte index, built in a single narrow pass over the unit vectors
+    * (which are persisted only to share the centroid-sample collect, as in
+    * [[ivfTopK]]); the probe is an equi-join on cell; the ADC sum is the
+    * unrolled lookup add. Output: (query_id, neighbor_id, rank, adc). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1 && nProbe <= nLists,
+      s"nProbe must be in [1, $nLists], got $nProbe")
+    val cu = unitVectors(corpus, idCol, vecCol, "neighbor_id", "cu")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val centroids = sampleCentroids(cu, "neighbor_id", "cu", nLists, seed)
+    val sample = sampleCentroids(cu, "neighbor_id", "cu", ksub, seed)
+    val d = sample.head.size
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val dsub = d / m
+    val books = (0 until m).map(j => sample.map(_.slice(j * dsub, (j + 1) * dsub)))
+    val nsub = books.head.size
+    val index = cu.select(col("neighbor_id"),
+        array_max(cellScores(col("cu"), centroids)).getField("c").as("cell"),
+        pqCodes(col("cu"), books).as("codes"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = unitVectors(queries, idCol, vecCol, "query_id", "qv")
+      .withColumn("lut", pqLut(col("qv"), books))
+      .withColumn("cell", explode(slice(
+        transform(reverse(array_sort(cellScores(col("qv"), centroids))),
+          x => x.getField("c")), 1, nProbe)))
+      .select("query_id", "cell", "lut")
+    val scored = q.join(index, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", pqAdc(col("lut"), col("codes"), m, nsub))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id").asc)

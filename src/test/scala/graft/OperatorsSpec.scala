@@ -1263,6 +1263,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.forall(r => math.abs(r._4) < 1e-12))
   }
 
+  test("IVF-PQ with exhaustive probe equals flat PQ (same codebooks, same ADC)") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    try {
+      val q = emb.filter($"vec_id" < 5)
+      val flat = Similarity.pqTopK(q, emb, k = 4, m = 8, ksub = 16)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val ivf = Similarity.ivfPqTopK(q, emb, k = 4, nLists = 16, nProbe = 16,
+          m = 8, ksub = 16)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(ivf == flat, "exhaustive-probe IVF-PQ must equal flat PQ")
+    } finally spark.catalog.clearCache()
+  }
+
   test("BM25: hand-computed Lucene-formula scores; NULL text counts toward N/avgdl") {
     val d = Seq(
       (1L, "Hash join hash"),   // lm tokens [hash, join, hash], dl=3

@@ -676,6 +676,32 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("IVF-PQ: probe is an equi-join on the cell over the cached index; " +
+      "pair stage is lookups only") {
+    try {
+      val plan = executedPlan(
+        SparkEntry.queries("sim_ivfpq_topk")(spark, "/root/testdata/sf0.001"))
+      assert(plan.contains("InMemoryTableScan"),
+        s"the (id, cell, codes) index must be persisted:\n$plan")
+      // candidate pruning must be a keyed join on the cell — never a
+      // product over the corpus
+      assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cell".r
+        .findFirstIn(plan).isDefined,
+        s"probe must be an equi-join on cell:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"IVF-PQ planned a cartesian product:\n$plan")
+      // the per-PAIR score projection (the line computing `adc`) must be
+      // pure table lookups — the query-side LUT/cell lines may (and do)
+      // contain dot products, computed once per query, so the textual
+      // boundary check used for flat PQ doesn't apply here
+      val adcLines = plan.linesIterator.filter(_.contains(" AS adc")).toSeq
+      assert(adcLines.exists(_.contains("element_at")),
+        s"ADC lookup projection missing:\n$plan")
+      assert(!adcLines.exists(l => l.contains("dotproduct") || l.contains("zip_with")),
+        s"vector arithmetic leaked into the ADC pair projection:\n${adcLines.mkString("\n")}")
+    } finally spark.catalog.clearCache()
+  }
+
   test("compressed-domain top-k agrees with the dequantized brute force") {
     try {
       val dir = "/root/testdata/sf0.001"
