@@ -1020,6 +1020,16 @@ object SparkEntry {
       Dedup.contaminationScores(d.filter(col("doc_id") % 50 =!= 0),
         d.filter(col("doc_id") % 50 === 0), 3)
     }),
+    // per-benchmark-ITEM report: which eval item leaked into which doc, by
+    // asymmetric containment |doc ∩ bench| / |bench| (Jaccard dilutes a
+    // short eval question inside a long document; containment doesn't)
+    "dedup_decontam_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationReport(d.filter(col("doc_id") % 50 =!= 0),
+          d.filter(col("doc_id") % 50 === 0), 3, minContainment = 0.05)
+        .select(col("doc_id"), col("bench_id"), col("n_shared"),
+          col("bench_shingles"), col("containment"))
+    }),
     // leakage audit: near-dup pairs straddling the 80/10/10 split — the
     // documents that would leak eval text into training
     "audit_split_leakage" -> ((s, dir) =>
@@ -1967,6 +1977,21 @@ object SparkEntry {
         "THEN CAST(COALESCE(sc.n_hit, 0) AS DOUBLE) / sc.n_sh ELSE 0.0 END AS overlap " +
         "FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d " +
         "LEFT JOIN sc USING (doc_id)"),
+    // containment-report mirror: per-bench-item distinct shingles, hit
+    // counts per (doc, bench) pair, integer-ratio containment (exact
+    // doubles on both engines — no rounding needed for the threshold)
+    "dedup_decontam_report" ->
+      (s"$ShinglesCte, b AS (SELECT doc_id AS bench_id, unnest(sh) AS s " +
+        "FROM t WHERE doc_id % 50 = 0), " +
+        "bn AS (SELECT bench_id, count(*) AS bench_shingles FROM b GROUP BY 1), " +
+        "c AS (SELECT doc_id, unnest(sh) AS s FROM t WHERE doc_id % 50 <> 0) " +
+        "SELECT doc_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared, " +
+        "CAST(bench_shingles AS BIGINT) AS bench_shingles, containment FROM (" +
+        "SELECT c.doc_id, b.bench_id, count(*) AS n_shared, " +
+        "any_value(bn.bench_shingles) AS bench_shingles, " +
+        "CAST(count(*) AS DOUBLE) / any_value(bn.bench_shingles) AS containment " +
+        "FROM c JOIN b USING (s) JOIN bn ON b.bench_id = bn.bench_id " +
+        "GROUP BY 1, 2) WHERE containment >= 0.05"),
     "text_urls" ->
       (s"WITH $UrlDocsCteSql, ex AS (SELECT doc_id, " +
         s"regexp_extract_all(text, '$UrlReSql') AS us FROM d) " +

@@ -608,6 +608,43 @@ object Dedup {
           .otherwise(lit(0.0)).as("overlap"))
   }
 
+  /** Per-benchmark-item contamination report — WHICH eval item leaked into
+    * WHICH document: for every (corpus doc, benchmark doc) pair sharing
+    * shingles, the CONTAINMENT of the benchmark item in the document,
+    * |shingles(doc) ∩ shingles(bench)| / |shingles(bench)|. Containment
+    * (not Jaccard) is the right asymmetric score here: a 10-line eval
+    * question embedded in a 10-page document has tiny Jaccard but
+    * containment ≈ 1. Pairs below `minContainment` are dropped.
+    *
+    * Scale shape: the benchmark side is broadcast (eval suites are small by
+    * contract — the same bound [[decontaminate]] relies on; its per-item
+    * shingle counts ride along in the broadcast), the corpus explodes to
+    * distinct (doc, shingle-hash) rows once, and the only exchange is the
+    * map-side-combined count per surviving (doc, bench) pair — volume is
+    * shared-shingle hits, not corpus shingles.
+    * Output: (idCol, bench_id, n_shared, bench_shingles, containment). */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame, n: Int,
+      minContainment: Double, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minContainment >= 0 && minContainment <= 1,
+      s"minContainment must be in [0,1], got $minContainment")
+    val bench = benchmark
+      .select(col(idCol).as("bench_id"), explode(wordShingles(col(textCol), n)).as("s"))
+      .select(col("bench_id"), xxhash64(col("s")).as("sh_h"))
+    val benchSized = bench.join(
+      bench.groupBy("bench_id").agg(count(lit(1)).as("bench_shingles")),
+      Seq("bench_id"))
+    corpus
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("s"))
+      .select(col(idCol), xxhash64(col("s")).as("sh_h"))
+      .join(broadcast(benchSized), Seq("sh_h"))
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"), max(col("bench_shingles")).as("bench_shingles"))
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("bench_shingles").cast("double"))
+      .filter(col("containment") >= minContainment)
+  }
+
   // ------------------------------------------------- cluster + survivors
 
   /** Connected components over a near-dup pair graph via min-label

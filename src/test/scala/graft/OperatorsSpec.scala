@@ -1219,6 +1219,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d3(0)._4 == 3L && d3(0)._5 == 3L && math.abs(d3(0)._6 - 3.0) < 1e-12)
   }
 
+  test("contamination report: asymmetric containment finds a short bench item " +
+      "inside a long document") {
+    import graft.operators.Dedup
+    // bench 100 = "q1 q2 q3 q4" → 2 distinct 3-shingles, fully embedded in
+    // doc 1's much longer text (Jaccard there is 2/9 but containment is 1);
+    // doc 2 shares 1 of bench 101's 2 shingles (containment 0.5); doc 3
+    // shares nothing
+    val corpus = Seq(
+      (1L, "a b c d e f g q1 q2 q3 q4 h i j"),
+      (2L, "x y z r1 r2 r3 w"),
+      (3L, "m n o p")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "q1 q2 q3 q4"),
+      (101L, "r1 r2 r3 r4")).toDF("doc_id", "text")
+    val out = Dedup.contaminationReport(corpus, bench, 3, minContainment = 0.4)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 100L, 2L, 2L, 1.0), (2L, 101L, 1L, 2L, 0.5)))
+    // threshold drops the partial pair
+    val strict = Dedup.contaminationReport(corpus, bench, 3, minContainment = 0.9)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(strict.map(r => (r._1, r._2)).toSet == Set((1L, 100L)))
+  }
+
   test("hard negatives: same-label neighbors are excluded even when nearest") {
     import graft.operators.Similarity
     // query 0 (label A): vec 1 is IDENTICAL (cos 1) but shares the label —
