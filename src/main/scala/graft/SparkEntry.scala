@@ -1279,6 +1279,12 @@ object SparkEntry {
             TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
           "doc_id", "n_tokens", 100)
         .select("doc_id", "source", "n_tokens")),
+    // cluster-balanced diversity sample: ≤ 20 vectors per IVF cell, chosen
+    // by the portable hash — caps each semantic region instead of
+    // mirroring corpus density
+    "sample_cell_balanced" -> ((s, dir) =>
+      Sampling.cellBalancedSample(emb(s, dir), nLists = 8, perCell = 20)
+        .select(col("vec_id"), col("cell"))),
     // DSIR-style importance resampling: expected-100-row Bernoulli sample
     // weighted by n_chars, integer-exact hash gate (no exp/ln anywhere —
     // the weight column is caller-supplied, so the gate stays replayable)
@@ -2249,6 +2255,20 @@ object SparkEntry {
         s"POW(($HashRaw + 1) / 2147483647.0, 1.0 / $TokN) AS wkey " +
         s"FROM documents WHERE $TokN > 0) " +
         "ORDER BY wkey DESC, doc_id ASC LIMIT 100"),
+    // cell-balanced mirror: the IVF assignment replay (hash-sampled
+    // centroids, lexicographic (score, cell) argmax) + a per-cell portable-
+    // hash rank cap
+    "sample_cell_balanced" -> {
+      val h = hashRawSql("vec_id")
+      s"WITH $UnitVecCte, " +
+        s"cent AS (SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell, v " +
+        s"FROM u QUALIFY row_number() OVER (ORDER BY $h, vec_id) <= 8), " +
+        "asg AS (SELECT u.vec_id, " +
+        "(max({'s': list_inner_product(c.v, u.v), 'c': c.cell})).c AS cell " +
+        "FROM u, cent c GROUP BY u.vec_id) " +
+        "SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM asg " +
+        s"QUALIFY row_number() OVER (PARTITION BY cell ORDER BY $h, vec_id) <= 20"
+    },
     // importance-resample mirror: W is an exact integer-valued double, the
     // gate replays ((100·w)/W)·9973 floor-for-floor (same IEEE ops, same
     // association), and the bucket comparison is integer-exact

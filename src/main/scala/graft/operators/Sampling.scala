@@ -55,6 +55,34 @@ object Sampling {
     df.filter(hashBucket(col(idCol), seed) < (rate * Buckets).toLong)
   }
 
+  /** Cluster-balanced diversity sample: assign every embedding to one of
+    * `nLists` Voronoi cells (the [[graft.operators.Similarity]] IVF cell
+    * structure — deterministically sampled centroids, argmax-cosine
+    * assignment) and keep at most `perCell` vectors per cell, chosen by the
+    * portable id hash. The selection counterpart of SemDeDup pruning:
+    * instead of deleting near-duplicates, CAP each semantic region so the
+    * sample covers the embedding space instead of mirroring its density —
+    * the "diverse subset" step of data-curation pipelines.
+    *
+    * Scale shape: centroids broadcast as literals, assignment is a narrow
+    * argmax map, and the per-cell cap is ONE exchange on the cell whose
+    * rank window Spark executes as a partial top-k below the shuffle
+    * (WindowGroupLimit — each map task forwards at most perCell rows per
+    * cell). Output: (idCol, cell) for the kept vectors. */
+  def cellBalancedSample(emb: DataFrame, nLists: Int, perCell: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42): DataFrame = {
+    require(nLists >= 1, s"nLists must be >= 1, got $nLists")
+    require(perCell >= 1, s"perCell must be >= 1, got $perCell")
+    val asg = graft.operators.Similarity.cellAssignments(
+      emb, nLists, idCol, vecCol, seed)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+      .orderBy(hashRaw(col(idCol), seed).asc, col(idCol).asc)
+    asg.withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= perCell)
+      .select(col(idCol), col("cell"))
+  }
+
   /** Deterministic importance RESAMPLING (the DSIR-family shape, Xie et
     * al. 2023: select pretraining data by importance weight): keep row i
     * with probability ≈ min(1, nTarget·wᵢ/W), W = Σ max(wᵢ, 0) — an

@@ -316,6 +316,22 @@ object Similarity {
     quantized.select(col(idCol),
       transform(col("qvec"), q => q.cast("double") * col("scale")).as("embedding"))
 
+  /** IVF cell assignment against deterministically sampled centroids —
+    * (idCol, cell) for every non-zero vector. The standalone form of the
+    * corpus-side step [[ivfTopK]] / SemDeDup / [[graft.operators.Sampling
+    * .cellBalancedSample]] share: unit vectors persisted for the sample
+    * collect + assignment pass, centroids broadcast as literals, assignment
+    * a narrow argmax fold. */
+  def cellAssignments(emb: DataFrame, nLists: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", seed: Long = 42): DataFrame = {
+    require(nLists >= 1, s"nLists must be >= 1, got $nLists")
+    val u = unitVectors(emb, idCol, vecCol, idCol, "v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val centroids = sampleCentroids(u, idCol, "v", nLists, seed)
+    u.select(col(idCol),
+      array_max(cellScores(col("v"), centroids)).getField("c").cast("long").as("cell"))
+  }
+
   /** Hard-negative mining for contrastive / embedding-model training data:
     * for each query vector, the `k` most cosine-similar corpus vectors
     * whose `labelCol` DIFFERS from the query's — the semantically-close-

@@ -1219,6 +1219,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d3(0)._4 == 3L && d3(0)._5 == 3L && math.abs(d3(0)._6 - 3.0) < 1e-12)
   }
 
+  test("cell-balanced sample caps every cell and is rerun-deterministic") {
+    import graft.operators.Sampling
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    try {
+      val a = Sampling.cellBalancedSample(emb, nLists = 4, perCell = 7)
+        .as[(Long, Long)].collect()
+      assert(a.groupBy(_._2).values.forall(_.length <= 7))
+      assert(a.map(_._2).toSet.subsetOf((0L until 4L).toSet))
+      val b = Sampling.cellBalancedSample(emb, nLists = 4, perCell = 7)
+        .as[(Long, Long)].collect()
+      assert(a.toSet == b.toSet, "sample must be identical across reruns")
+    } finally spark.catalog.clearCache()
+  }
+
   test("contamination report: asymmetric containment finds a short bench item " +
       "inside a long document") {
     import graft.operators.Dedup

@@ -580,6 +580,21 @@ class PlanSpec extends AnyFunSuite {
       s"the 1-row total must broadcast, never shuffle the survivors:\n$plan")
   }
 
+  test("cell-balanced sample: narrow argmax assignment, per-cell cap pushed " +
+      "below the one exchange") {
+    try {
+      val plan = executedPlan(
+        SparkEntry.queries("sample_cell_balanced")(spark, "/root/testdata/sf0.001"))
+      assert(plan.contains("WindowGroupLimit"),
+        s"per-cell cap must run as a partial top-k below the shuffle:\n$plan")
+      assert(!plan.contains("rangepartitioning"),
+        s"cell cap must never globally sort:\n$plan")
+      // exactly one data exchange (the cell hash partitioning)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected ONE exchange, found $exchanges:\n$plan")
+    } finally spark.catalog.clearCache()
+  }
+
   test("BM25: query-term filter sits under the hit aggregation; dl rides the " +
       "explode — no corpus-wide length join") {
     try {
