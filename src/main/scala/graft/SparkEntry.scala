@@ -409,6 +409,29 @@ object SparkEntry {
       "WHERE cosine >= 0.4"
   }
 
+  /** Cross-table LSH join mirror: even vec_ids vs odd vec_ids through the
+    * same replayed hyperplane buckets as LshPairsSql, candidates deduped
+    * before the exact-cosine verify. */
+  private val LshJoinSql = {
+    def fmtPlane(p: Seq[Double]) =
+      "[" + p.map(java.lang.Double.toString).mkString(", ") + "]"
+    val perTable = (0 until 8).map { t =>
+      val planes = Similarity.hyperplanes(6, 64, 42L + t)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_inner_product(v, ${fmtPlane(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, v, $t AS tbl, ($bucket) AS bucket FROM u"
+    }.mkString(" UNION ALL ")
+    s"WITH $UnitVecCte, bk AS ($perTable), " +
+      "cand AS (SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id " +
+      "FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket " +
+      "WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1) " +
+      "SELECT left_id, right_id, ROUND(cosine, 4) AS cosine FROM (" +
+      "SELECT c.left_id, c.right_id, list_inner_product(ua.v, ub.v) AS cosine " +
+      "FROM cand c JOIN u ua ON ua.vec_id = c.left_id JOIN u ub ON ub.vec_id = c.right_id) " +
+      "WHERE cosine >= 0.4"
+  }
+
   /** Deterministic-k-means mirror (nLists=8, rounds=2, seed 42): centroid
     * sampling and argmax assignment reuse the IVF idioms; each Lloyd round's
     * component mean is the HUGEINT replay of kmeansCentroids' fixed-point
@@ -1067,6 +1090,14 @@ object SparkEntry {
     "sim_lsh_pairs" -> ((s, dir) =>
       Similarity.lshBucketedPairs(emb(s, dir), threshold = 0.4, nPlanes = 6, tables = 8)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
+    // cross-TABLE LSH join (fuzzy entity matching): even-id vectors matched
+    // against odd-id vectors through shared hyperplane buckets
+    "sim_lsh_join" -> ((s, dir) =>
+      Similarity.lshJoin(emb(s, dir).filter(col("vec_id") % 2 === 0),
+          emb(s, dir).filter(col("vec_id") % 2 === 1),
+          threshold = 0.4, nPlanes = 6, tables = 8)
+        .select(col("left_id"), col("right_id"),
+          round(col("cosine"), 4).as("cosine"))),
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir).filter(col("vec_id") < 10), emb(s, dir),
           k = 5, nLists = 16, nProbe = 4)
@@ -1830,6 +1861,7 @@ object SparkEntry {
         "FROM n q, n b WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id) " +
         "WHERE rank <= 5"),
     "sim_lsh_pairs" -> LshPairsSql,
+    "sim_lsh_join" -> LshJoinSql,
     // transitive closure over the same pair set: component = min reachable id
     "dedup_cluster" ->
       s"$ClusterComponentsCte SELECT id, component FROM comp",

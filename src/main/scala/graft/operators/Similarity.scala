@@ -605,4 +605,46 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Cross-TABLE semantic join by LSH buckets — fuzzy entity matching /
+    * RAG-corpus alignment between two different relations: both sides are
+    * bucketed with the SAME seeded hyperplanes, candidates meet in an
+    * equi-join on (table, bucket), and the exact cosine verifies each
+    * candidate against `threshold`. The two-relation generalization of
+    * [[lshBucketedPairs]] (which is the self-join special case): no
+    * cross-product ever forms — candidate volume is the bucket-collision
+    * count, recall is the standard 1−(1−(1−θ/π)^nPlanes)^tables hyperplane
+    * bound. A pair colliding in several tables is deduplicated BEFORE the
+    * cosine verify.
+    *
+    * Scale shape: each side explodes to `tables` rows, shuffles once on
+    * (tbl, bucket); the verify is one codegen'd dot per surviving
+    * candidate. Left side is persisted only when `dim` must be derived.
+    * Output: (left_id, right_id, cosine). */
+  def lshJoin(left: DataFrame, right: DataFrame, threshold: Double,
+      nPlanes: Int = 12, tables: Int = 4, seed: Long = 42, dim: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val l = unitVectors(left, idCol, vecCol, "left_id", "vl")
+    val r = unitVectors(right, idCol, vecCol, "right_id", "vr")
+    val resolvedDim =
+      if (dim > 0) dim
+      else l.select(size(col("vl")).as("d")).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(0)
+    if (resolvedDim == 0)
+      return l.select(col("left_id"), col("left_id").as("right_id"),
+        lit(0.0).as("cosine")).limit(0)
+    def banded(v: DataFrame, vec: String) = {
+      val bucketStructs = (0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          lshBucket(col(vec), hyperplanes(nPlanes, resolvedDim, seed + t)).as("bucket"))
+      }
+      v.select(col("*"), explode(array(bucketStructs: _*)).as("bb"))
+        .select(v.columns.map(col) :+ col("bb.tbl") :+ col("bb.bucket"): _*)
+    }
+    banded(l, "vl").join(banded(r, "vr"), Seq("tbl", "bucket"))
+      .dropDuplicates("left_id", "right_id")
+      .withColumn("cosine", dot(col("vl"), col("vr")))
+      .filter(col("cosine") >= threshold)
+      .select("left_id", "right_id", "cosine")
+  }
 }

@@ -1219,6 +1219,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d3(0)._4 == 3L && d3(0)._5 == 3L && math.abs(d3(0)._6 - 3.0) < 1e-12)
   }
 
+  test("cross-table LSH join returns a subset of the exact cross pairs with " +
+      "exact cosines, and never a within-side pair") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val left = emb.filter($"vec_id" % 2 === 0)
+    val right = emb.filter($"vec_id" % 2 === 1)
+    val got = Similarity.lshJoin(left, right, threshold = 0.3,
+        nPlanes = 4, tables = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(got.forall { case (l, r, _) => l % 2 == 0 && r % 2 == 1 })
+    assert(got.map(p => (p._1, p._2)).distinct.length == got.length)
+    // exact verify: every returned cosine equals the brute-force cosine
+    val exact = Similarity.bruteForceTopK(left, emb, k = 1000)
+      .as[(Long, Long, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    try got.foreach { case (l, r, c) =>
+      assert(c >= 0.3 && math.abs(exact((l, r)) - c) < 1e-9)
+    } finally spark.catalog.clearCache()
+  }
+
   test("cell-balanced sample caps every cell and is rerun-deterministic") {
     import graft.operators.Sampling
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -580,6 +580,18 @@ class PlanSpec extends AnyFunSuite {
       s"the 1-row total must broadcast, never shuffle the survivors:\n$plan")
   }
 
+  test("cross-table LSH join: candidates meet in an equi-join on (tbl, bucket) " +
+      "— never a product") {
+    val plan = executedPlan(
+      SparkEntry.queries("sim_lsh_join")(spark, "/root/testdata/sf0.001"))
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[tbl".r
+      .findFirstIn(plan).isDefined,
+      s"bucket join must be keyed on (tbl, bucket):\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cross-table LSH join planned a product:\n$plan")
+  }
+
   test("cell-balanced sample: narrow argmax assignment, per-cell cap pushed " +
       "below the one exchange") {
     try {
