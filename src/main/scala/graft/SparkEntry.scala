@@ -939,6 +939,22 @@ object SparkEntry {
         RuleCompiler.compileGrouped(
           spec("count", "signup", grouped = Seq.empty), HOUR)(envs(s, dir)),
         HOUR, Seq("tenant_id"))),
+    // D7 — graft extension: 7-day trailing spend per user per day — the
+    // rolling-feature primitive (RANGE frame over pre-aggregated buckets)
+    "d7_trailing" -> ((s, dir) =>
+      GapFill.trailingAggregate(
+          EventsAdapter.rawEvents(s, dir).filter(col("event_type") === "purchase"),
+          "ts_us", "value", Seq("user_id"),
+          bucketUs = 86400000000L, lookbackBuckets = 7)
+        .select(col("user_id"), col("bucket_start"), col("n_events"),
+          col("trail_n"), safeRound2(col("trail_sum")).as("trail_sum"))),
+    // D8 — graft extension: view → click → purchase funnel within 7 days
+    // per step (per-user step times + steps reached)
+    "d8_funnel" -> ((s, dir) =>
+      Sessions.funnel(EventsAdapter.rawEvents(s, dir),
+          Seq("view", "click", "purchase"), horizonUs = 604800000000L)
+        .select(col("user_id"), col("step_1_us"), col("step_2_us"),
+          col("step_3_us"), col("n_steps"))),
     // D3b — forward fill: gaps carry the last observed value
     "d3b_forwardfill" -> ((s, dir) =>
       GapFill.forwardFill(
@@ -1773,6 +1789,38 @@ object SparkEntry {
     // oracle is the plain GROUP BY (the salt never reaches the result)
     "d6_saltedcount" ->
       "SELECT source, count(*) AS cnt FROM documents GROUP BY source",
+    // funnel mirror: per-step earliest-qualifying-event mins through LEFT
+    // joins — NULLs propagate exactly like the operator's when() guard
+    "d8_funnel" ->
+      (s"WITH s1 AS (SELECT user_id, min($TsUs) AS step_1_us FROM events " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "s2 AS (SELECT s1.user_id, s1.step_1_us, " +
+        s"min(CASE WHEN $TsUs >= s1.step_1_us AND $TsUs <= s1.step_1_us + 604800000000 " +
+        s"THEN $TsUs END) AS step_2_us " +
+        "FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id " +
+        "AND e.event_type = 'click' GROUP BY 1, 2), " +
+        "s3 AS (SELECT s2.user_id, s2.step_1_us, s2.step_2_us, " +
+        s"min(CASE WHEN $TsUs >= s2.step_2_us AND $TsUs <= s2.step_2_us + 604800000000 " +
+        s"THEN $TsUs END) AS step_3_us " +
+        "FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id " +
+        "AND e.event_type = 'purchase' GROUP BY 1, 2, 3) " +
+        "SELECT user_id, step_1_us, step_2_us, step_3_us, " +
+        "CAST((CASE WHEN step_1_us IS NOT NULL THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN step_2_us IS NOT NULL THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN step_3_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_steps " +
+        "FROM s3"),
+    // trailing-window mirror: integer-exact day buckets, RANGE frame of
+    // 6 preceding buckets; safeRound2 absorbs the window-sum order delta
+    "d7_trailing" ->
+      ("WITH b AS (SELECT user_id, " +
+        s"(($TsUs // 86400000000) * 86400000000) AS bucket_start, " +
+        "count(*) AS n_events, SUM(value) AS bsum " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) " +
+        "SELECT user_id, bucket_start, CAST(n_events AS BIGINT) AS n_events, " +
+        "CAST(SUM(n_events) OVER w AS BIGINT) AS trail_n, " +
+        s"${sqlRound2("SUM(bsum) OVER w")} AS trail_sum " +
+        "FROM b WINDOW w AS (PARTITION BY user_id ORDER BY bucket_start " +
+        "RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW)"),
     "d3_gapfill" ->
       (s"$DenseGridCtes SELECT g.window_start, g.tenant_id, " +
         "COALESCE(a.v, 0.0) AS value " +

@@ -86,4 +86,44 @@ object GapFill {
           lit(windowSizeSec))).as("window_start")): _*)
     grid.join(obs, groupCols :+ "window_start", "left")
   }
+
+  /** Trailing event-time window aggregate — the rolling-feature primitive
+    * (e.g. "7-day trailing spend per user, per day"): rows are bucketed to
+    * `bucketUs`-wide tumbling buckets on `timeUsCol` (epoch micros), partial
+    * sums collapse each (keys, bucket) once, and a RANGE-framed window adds
+    * the last `lookbackBuckets` buckets — so the frame scans pre-aggregated
+    * bucket rows, never raw events. Buckets with no observation produce no
+    * row (compose with [[zeroFill]] for a dense series — same contract as
+    * the grouped compiler output this module serves).
+    *
+    * Scale shape: two exchanges, BOTH over pre-combined bucket rows, never
+    * raw events — the bucket aggregation combines map-side before its
+    * (keys, bucket) exchange, and the window's (keys) exchange then moves
+    * only one row per observed bucket. (A single-exchange formulation —
+    * repartition(keys) before aggregating — would ship every raw event
+    * through the shuffle instead; at 100 TB the two tiny exchanges win.)
+    * No global sort, no self-join. Output: keys + (bucket_start, n_events,
+    * trail_sum, trail_n). */
+  def trailingAggregate(df: DataFrame, timeUsCol: String, valueCol: String,
+      keys: Seq[String], bucketUs: Long, lookbackBuckets: Int): DataFrame = {
+    require(bucketUs >= 1, s"bucketUs must be >= 1, got $bucketUs")
+    require(lookbackBuckets >= 1,
+      s"lookbackBuckets must be >= 1, got $lookbackBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = df
+      // integer div: Spark's `/` on longs is double division (same trap the
+      // bench envelope generator documents) — `div` keeps the bucket exact
+      .withColumn("bucket_start",
+        expr(s"(CAST($timeUsCol AS BIGINT) div $bucketUs) * $bucketUs"))
+      .groupBy((keys.map(col) :+ col("bucket_start")): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("double")).as("__graft_bsum"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("bucket_start").asc)
+      .rangeBetween(-(lookbackBuckets.toLong - 1) * bucketUs, 0)
+    bucketed
+      .withColumn("trail_sum", sum(col("__graft_bsum")).over(w))
+      .withColumn("trail_n", sum(col("n_events")).over(w))
+      .drop("__graft_bsum")
+  }
 }

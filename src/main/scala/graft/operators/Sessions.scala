@@ -54,4 +54,45 @@ object Sessions {
         unix_micros(col("sw.end")).as("session_end_us"),
         col("tenant_id"), col("key"), col("n_events"), col("sum_value"))
   }
+
+  /** Funnel analysis — ordered step progression per user: step 1's time is
+    * the user's earliest `steps(0)` event; step k's time is the earliest
+    * `steps(k−1)` event AT OR AFTER step k−1's time and within `horizonUs`
+    * of it. Output: one row per user that reached step 1, with
+    * `step_1_us … step_n_us` (NULL once the funnel breaks) and `n_steps`
+    * reached — the per-user row an aggregation turns into the classic
+    * funnel-conversion report.
+    *
+    * Scale shape: step 1 is one map-side-combined min per user; each later
+    * step is ONE keyed equi-join on the user between the (tiny) frontier
+    * relation and that step's pre-filtered events, followed by another
+    * combined min — steps·2 exchanges over per-type slices, never a window
+    * over the full event log and never a product. Deterministic by
+    * construction: only `min(ts)` decides, so same-timestamp ties are
+    * irrelevant. */
+  def funnel(events: DataFrame, steps: Seq[String], horizonUs: Long,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      timeUsCol: String = "ts_us"): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(horizonUs >= 1, s"horizonUs must be >= 1, got $horizonUs")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(timeUsCol).cast("long")).as("step_1_us"))
+    val funneled = steps.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (step, i)) =>
+        val prev = s"step_${i}_us"
+        val cur = s"step_${i + 1}_us"
+        val stepEvents = events.filter(col(typeCol) === step)
+          .select(col(userCol), col(timeUsCol).cast("long").as("__graft_ts"))
+        acc.join(stepEvents, Seq(userCol), "left")
+          .withColumn("__graft_hit",
+            when(col("__graft_ts") >= col(prev) &&
+              col("__graft_ts") <= col(prev) + lit(horizonUs), col("__graft_ts")))
+          .groupBy((userCol +: (1 to i).map(j => s"step_${j}_us")).map(col): _*)
+          .agg(min(col("__graft_hit")).as(cur))
+    }
+    funneled.withColumn("n_steps",
+      (1 to steps.size).map(i => when(col(s"step_${i}_us").isNotNull, 1L)
+        .otherwise(0L)).reduce(_ + _))
+  }
 }

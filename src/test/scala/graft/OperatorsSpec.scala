@@ -1219,6 +1219,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d3(0)._4 == 3L && d3(0)._5 == 3L && math.abs(d3(0)._6 - 3.0) < 1e-12)
   }
 
+  test("funnel: steps must be ordered and within horizon; breaks propagate") {
+    import graft.operators.Sessions
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      // user 2: click BEFORE the view — funnel breaks at step 2
+      (2L, "click", 50L), (2L, "view", 100L), (2L, "purchase", 200L),
+      // user 3: click beyond the horizon of the view
+      (3L, "view", 100L), (3L, "click", 5000L),
+      // user 4: no view at all — not in the output
+      (4L, "click", 10L), (4L, "purchase", 20L),
+      // user 5: same-timestamp view+click (>= admits it), then nothing
+      (5L, "view", 100L), (5L, "click", 100L))
+      .toDF("user_id", "event_type", "ts_us")
+    val out = Sessions.funnel(ev, Seq("view", "click", "purchase"),
+        horizonUs = 1000L)
+      .as[(Long, Long, Option[Long], Option[Long], Long)]
+      .collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 5L))
+    assert(out(0) == ((1L, 100L, Some(200L), Some(300L), 3L)))
+    // user 2: the pre-view click doesn't count, no later click exists,
+    // and the purchase can't count either (step 2 broke)
+    assert(out(1) == ((2L, 100L, None, None, 1L)))
+    assert(out(2) == ((3L, 100L, None, None, 1L)))
+    assert(out(3) == ((5L, 100L, Some(100L), None, 2L)))
+  }
+
   test("cross-table LSH join returns a subset of the exact cross pairs with " +
       "exact cosines, and never a within-side pair") {
     import graft.operators.Similarity

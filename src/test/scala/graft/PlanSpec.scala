@@ -580,6 +580,22 @@ class PlanSpec extends AnyFunSuite {
       s"the 1-row total must broadcast, never shuffle the survivors:\n$plan")
   }
 
+  test("trailing aggregate: partial combine below the bucket exchange; the " +
+      "RANGE frame runs over bucket rows, never raw events") {
+    val plan = executedPlan(
+      SparkEntry.queries("d7_trailing")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"bucket aggregation must combine map-side:\n$plan")
+    assert(plan.contains("Window"), s"trailing frame missing:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"trailing aggregate must never globally sort:\n$plan")
+    // the window sits ABOVE the aggregate: its input is bucket rows
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window must consume the pre-aggregated buckets:\n$plan")
+  }
+
   test("cross-table LSH join: candidates meet in an equi-join on (tbl, bucket) " +
       "— never a product") {
     val plan = executedPlan(
