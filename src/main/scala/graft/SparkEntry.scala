@@ -1244,6 +1244,12 @@ object SparkEntry {
       TextAnalysis.tfidfTopK(docs(s, dir), 5)
         .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"),
           round(col("tfidf"), 4).as("tfidf"))),
+    // token-distribution quality signals: Shannon entropy + type-token
+    // ratio (low entropy = repetitive/template text)
+    "text_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          round(col("ttr"), 4).as("ttr"), round(col("entropy"), 4).as("entropy"))),
     // Okapi BM25 over a fixed 4-term query (mixed-df terms); rounding
     // absorbs the order-dependent double sum's last ulps
     "text_bm25" -> ((s, dir) =>
@@ -2130,6 +2136,19 @@ object SparkEntry {
         "CAST(df AS BIGINT) AS df, ROUND(tfidf, 4) AS tfidf FROM (" +
         "SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank " +
         "FROM sc) WHERE rank <= 5"),
+    // entropy mirror: H = ln N − (Σ tf·ln tf)/N, ttr = types/tokens;
+    // ROUND absorbs ln-sum order deltas, the ratios are exact
+    "text_entropy" ->
+      ("WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(string_split_regex(" +
+        s"trim(lower(text), '${TextAnalysis.WsCharsRaw}'), '\\s+')) AS tok " +
+        "FROM documents WHERE text IS NOT NULL) WHERE tok <> '' GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(n_types AS BIGINT) AS n_types, " +
+        "ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS ttr, " +
+        "ROUND(ln(CAST(n_tokens AS DOUBLE)) - s / CAST(n_tokens AS DOUBLE), 4) AS entropy " +
+        "FROM (SELECT doc_id, sum(tf) AS n_tokens, count(*) AS n_types, " +
+        "sum(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))) AS s FROM tf GROUP BY 1)"),
     // BM25 mirror: same LM tokenization, Lucene idf = ln(1+(N-df+.5)/(df+.5)),
     // dl = whitespace token count, N/avgdl over ALL docs (NULL text counts
     // toward both); ROUND absorbs the order-dependent sum's last ulps

@@ -675,6 +675,31 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("tok"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Per-document token-distribution quality signals: Shannon entropy of
+    * the token frequency distribution (H = ln N − (Σ tf·ln tf)/N — low
+    * entropy ⇒ repetitive/template text, the complement of the Gopher
+    * repetition fractions) and type-token ratio (distinct/total — lexical
+    * diversity). [[lmToks]] tokenization. Documents with no tokens produce
+    * no row. Output: (idCol, n_tokens, n_types, ttr, entropy).
+    *
+    * Scale shape: one map-side-combined (doc, token) count, one more
+    * combined per-doc aggregate — the same two-level distinct-count shape
+    * the planner already pins for text_stats; both exchanges move counts,
+    * never text. */
+  def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(lmToks(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+      .groupBy(idCol).agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("tf").cast("double") * log(col("tf").cast("double"))).as("__graft_s"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+        (log(col("n_tokens").cast("double")) -
+          col("__graft_s") / col("n_tokens").cast("double")).as("entropy"))
+
   /** Okapi BM25 relevance of every matching document for a bag-of-words
     * query (Robertson & Walker; the Lucene-flavored formulation):
     *

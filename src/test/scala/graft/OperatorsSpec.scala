@@ -1219,6 +1219,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d3(0)._4 == 3L && d3(0)._5 == 3L && math.abs(d3(0)._6 - 3.0) < 1e-12)
   }
 
+  test("token entropy: uniform text maxes H at ln(types); repetition drops it") {
+    import graft.operators.TextAnalysis
+    val d = Seq(
+      (1L, "a b c d"),      // 4 distinct → H = ln 4, ttr 1
+      (2L, "a a a a"),      // 1 type → H = 0, ttr 0.25
+      (3L, "a a b b"),      // uniform 2 → H = ln 2
+      (4L, "")).toDF("doc_id", "text") // no tokens → no row
+    val out = TextAnalysis.tokenEntropy(d)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0)._2 == 4 && out(0)._3 == 4 && out(0)._4 == 1.0 &&
+      math.abs(out(0)._5 - math.log(4)) < 1e-12)
+    assert(out(1)._4 == 0.25 && math.abs(out(1)._5) < 1e-12)
+    assert(math.abs(out(2)._5 - math.log(2)) < 1e-12)
+  }
+
   test("funnel: steps must be ordered and within horizon; breaks propagate") {
     import graft.operators.Sessions
     val ev = Seq(
