@@ -19,9 +19,13 @@ object TestRefs {
     xs(z2, 31).longValue
   }
 
-  /** Reference for [[graft.operators.Sampling]]'s portable hash. */
+  /** Reference for [[graft.operators.Sampling]]'s portable hash. floorMod
+    * on the seed fold, NOT `%`: a negative seed's signed remainder would
+    * diverge from the engine (and from the DuckDB mirror's floorMod) — the
+    * round-11 flaky-property root cause. */
   def hashRaw(id: Long, seed: Long): Long = {
-    val (s1, s2) = (seed % 1000003 + 1, seed % 999983 + 1)
+    val (s1, s2) = (Math.floorMod(seed, 1000003L) + 1,
+      Math.floorMod(seed, 999983L) + 1)
     val t = Math.floorMod(
       (Math.floorMod(id, 1000003) + s1) * (Math.floorMod(id, 999983) + s2),
       2147483647L)
