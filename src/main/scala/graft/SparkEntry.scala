@@ -336,6 +336,52 @@ object SparkEntry {
       "GROUP BY 1, 2)) WHERE rank <= 5"
   }
 
+  /** Residual IVF-PQ mirror: cells as IvfPqTopkSql; residual r = v −
+    * cent[cell]; residual codebook = ksub hash-sample of the RESIDUALS
+    * under seed 42+7919; enc = per-subspace argmin over residual slices;
+    * score = ⟨q, cent[cell]⟩ + Σ_j lut_r. */
+  private val IvfPqResTopkSql = {
+    val h = hashRawSql("vec_id")
+    val hr = hashRawSql("vec_id", 42L + 7919L)
+    s"WITH $UnitVecCte, " +
+      s"cent AS (SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS i, v " +
+      s"FROM u QUALIFY row_number() OVER (ORDER BY $h, vec_id) <= 16), " +
+      "js AS (SELECT unnest(generate_series(0, 7)) AS j), " +
+      "asg AS (SELECT u.vec_id, (max({'s': list_inner_product(c.v, u.v), " +
+      "'c': c.i})).c AS cell FROM u, cent c GROUP BY u.vec_id), " +
+      "res AS (SELECT a.vec_id, a.cell, list_transform(generate_series(1, 64), " +
+      "k -> u.v[k] - c.v[k]) AS r FROM asg a JOIN u ON u.vec_id = a.vec_id " +
+      "JOIN cent c ON c.i = a.cell), " +
+      s"rs AS (SELECT row_number() OVER (ORDER BY $hr, vec_id) - 1 AS i, r " +
+      s"FROM res QUALIFY row_number() OVER (ORDER BY $hr, vec_id) <= 16), " +
+      "enc AS (SELECT vec_id, j, " +
+      "-((max({'s': -list_inner_product(d, d), 'c': -i})).c) AS code FROM (" +
+      "SELECT res.vec_id, js.j, rs.i, list_transform(generate_series(1, 8), " +
+      "k -> res.r[js.j * 8 + k] - rs.r[js.j * 8 + k]) AS d FROM res, js, rs) " +
+      "GROUP BY vec_id, j), " +
+      "lutr AS (SELECT q.vec_id AS query_id, js.j, rs.i, " +
+      "list_inner_product(q.v[js.j * 8 + 1 : js.j * 8 + 8], " +
+      "rs.r[js.j * 8 + 1 : js.j * 8 + 8]) AS ip " +
+      "FROM u q, js, rs WHERE q.vec_id < 10), " +
+      "cd AS (SELECT q.vec_id AS query_id, c.i AS cell, " +
+      "list_inner_product(q.v, c.v) AS cdot FROM u q, cent c WHERE q.vec_id < 10), " +
+      "prb AS (SELECT query_id, cell FROM (" +
+      "SELECT q.vec_id AS query_id, c.i AS cell, " +
+      "row_number() OVER (PARTITION BY q.vec_id " +
+      "ORDER BY list_inner_product(c.v, q.v) DESC, c.i DESC) AS pr " +
+      "FROM u q, cent c WHERE q.vec_id < 10) WHERE pr <= 4) " +
+      "SELECT query_id, neighbor_id, rank, ROUND(adc, 4) AS adc FROM (" +
+      "SELECT query_id, neighbor_id, adc, CAST(row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS BIGINT) AS rank " +
+      "FROM (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+      "any_value(d.cdot) + sum(l.ip) AS adc " +
+      "FROM prb p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.vec_id " +
+      "JOIN cd d ON d.query_id = p.query_id AND d.cell = p.cell " +
+      "JOIN enc e ON e.vec_id = a.vec_id " +
+      "JOIN lutr l ON l.query_id = p.query_id AND l.j = e.j AND l.i = e.code " +
+      "GROUP BY 1, 2)) WHERE rank <= 5"
+  }
+
   /** Shared SemDeDup SQL fragments (nLists=8, threshold 0.4): centroid
     * selection + argmax assignment reuse the IVF mirror verbatim; the
     * within-cell pair subquery is consumed by BOTH the pairs oracle and the
@@ -1173,6 +1219,15 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"),
           round(col("adc"), 4).as("adc"))),
+    // residual IVF-PQ (full faiss semantics): codes quantize x − centroid,
+    // ADC adds the ⟨q, centroid⟩ cell term — codebook resolution spent on
+    // within-cell displacement
+    "sim_ivfpq_res" -> ((s, dir) =>
+      Similarity.ivfPqTopKResidual(emb(s, dir).filter(col("vec_id") < 10),
+          emb(s, dir), k = 5, nLists = 16, nProbe = 4, m = 8, ksub = 16)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("adc"), 4).as("adc"))),
     "text_stats" -> ((s, dir) => TextAnalysis.analyze(docs(s, dir))),
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1854,6 +1909,7 @@ object SparkEntry {
     "sim_ivf_topk" -> IvfTopkSql,
     "sim_topk_pq" -> PqTopkSql,
     "sim_ivfpq_topk" -> IvfPqTopkSql,
+    "sim_ivfpq_res" -> IvfPqResTopkSql,
     // hard-negative mirror: the sim_topk probe plus the null-safe label
     // inequality (IS DISTINCT FROM ≡ Spark's !(a <=> b))
     "sim_hard_negatives" ->

@@ -518,6 +518,64 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "adc")
   }
 
+  /** RESIDUAL IVF-PQ — the full faiss IndexIVFPQ semantics: codes quantize
+    * the residual r = x − centroid(cell) instead of the raw vector, so the
+    * codebook spends its 2^bits resolution on the (much smaller) within-cell
+    * displacement rather than re-describing the cell position. ADC becomes
+    * ⟨q, centroid(cell)⟩ + Σ_j lut_r[j, code_j] — the cell term is ONE
+    * lookup into a per-query array of centroid dots, the residual term the
+    * same m unrolled lookups as [[ivfPqTopK]]; still no per-pair vector
+    * arithmetic. The residual codebook is a deterministic hash sample OF
+    * THE RESIDUALS under a shifted seed (the unshifted sample would pick
+    * the centroid rows themselves, whose residuals are identically zero).
+    * Output: (query_id, neighbor_id, rank, adc). */
+  def ivfPqTopKResidual(queries: DataFrame, corpus: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1 && nProbe <= nLists,
+      s"nProbe must be in [1, $nLists], got $nProbe")
+    val cu = unitVectors(corpus, idCol, vecCol, "neighbor_id", "cu")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val centroids = sampleCentroids(cu, "neighbor_id", "cu", nLists, seed)
+    val cent2d = typedLit(centroids)
+    val resRel = cu
+      .withColumn("cell",
+        array_max(cellScores(col("cu"), centroids)).getField("c"))
+      .withColumn("res", zip_with(col("cu"),
+        element_at(cent2d, col("cell") + 1), (a, b) => a - b))
+      .select(col("neighbor_id"), col("cell"), col("res"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sample = sampleCentroids(resRel, "neighbor_id", "res", ksub, seed + 7919)
+    val d = sample.head.size
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val dsub = d / m
+    val books = (0 until m).map(j => sample.map(_.slice(j * dsub, (j + 1) * dsub)))
+    val nsub = books.head.size
+    val index = resRel.select(col("neighbor_id"), col("cell"),
+        pqCodes(col("res"), books).as("codes"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = unitVectors(queries, idCol, vecCol, "query_id", "qv")
+      .withColumn("lut", pqLut(col("qv"), books))
+      .withColumn("cell_dots",
+        array(centroids.map(c => dot(col("qv"), typedLit(c))): _*))
+      .withColumn("cell", explode(slice(
+        transform(reverse(array_sort(cellScores(col("qv"), centroids))),
+          x => x.getField("c")), 1, nProbe)))
+      .select("query_id", "cell", "lut", "cell_dots")
+    val scored = q.join(index, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", element_at(col("cell_dots"), col("cell") + 1) +
+        pqAdc(col("lut"), col("codes"), m, nsub))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc")
+  }
+
   /** Johnson–Lindenstrauss-style dimensionality reduction: project each
     * embedding onto `k` seeded pseudo-random Gaussian directions (the same
     * generator as [[lshBucketedPairs]]'s hyperplanes, kept full-precision

@@ -1363,6 +1363,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.forall(r => math.abs(r._4) < 1e-12))
   }
 
+  test("residual IVF-PQ with exhaustive probe + full-corpus codebook is EXACT: " +
+      "adc == cosine, ranking == brute force") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 40)
+    val q = emb.filter($"vec_id" < 5)
+    try {
+      // ksub = corpus size → every residual is its own codebook entry →
+      // reconstruction exact → adc = ⟨q, cent⟩ + ⟨q, r⟩ = ⟨q, x⟩ exactly
+      val res = Similarity.ivfPqTopKResidual(q, emb, k = 4, nLists = 8,
+          nProbe = 8, m = 8, ksub = 40)
+        .as[(Long, Long, Int, Double)].collect()
+      val exact = Similarity.bruteForceTopK(q, emb, 4)
+        .as[(Long, Long, Int, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(res.length == exact.size)
+      res.foreach { case (qid, nid, rank, adc) =>
+        val (erank, ecos) = exact((qid, nid))
+        assert(rank == erank && math.abs(adc - ecos) < 1e-9,
+          s"($qid,$nid): adc=$adc rank=$rank vs exact cos=$ecos rank=$erank")
+      }
+    } finally spark.catalog.clearCache()
+  }
+
   test("IVF-PQ with exhaustive probe equals flat PQ (same codebooks, same ADC)") {
     import graft.operators.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
