@@ -556,4 +556,27 @@ object PropertySpec extends Properties("graft") {
       }.map(_._1).toSet
       got == want
     }
+
+  property("funnel equals the naive per-user fold ∀ events/horizon") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 6L),
+        Gen.oneOf("view", "click", "purchase", "other"),
+        Gen.choose(0L, 50L))),
+      Gen.choose(1L, 30L)) { (events, horizon) =>
+      val df = events.toDF("user_id", "event_type", "ts_us")
+      val got = graft.operators.Sessions
+        .funnel(df, Seq("view", "click", "purchase"), horizon)
+        .as[(Long, Long, Option[Long], Option[Long], Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val want = events.groupBy(_._1).flatMap { case (u, evs) =>
+        def minAtOrAfter(tpe: String, lo: Long): Option[Long] =
+          evs.filter(e => e._2 == tpe && e._3 >= lo && e._3 <= lo + horizon)
+            .map(_._3).minOption
+        evs.filter(_._2 == "view").map(_._3).minOption.map { s1 =>
+          val s2 = minAtOrAfter("click", s1)
+          val s3 = s2.flatMap(t => minAtOrAfter("purchase", t))
+          u -> ((s1, s2, s3, 1L + s2.size + s3.size))
+        }
+      }.toMap
+      got == want
+    }
 }
