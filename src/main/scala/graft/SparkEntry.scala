@@ -1871,10 +1871,14 @@ object SparkEntry {
         "(CASE WHEN step_3_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_steps " +
         "FROM s3"),
     // trailing-window mirror: integer-exact day buckets, RANGE frame of
-    // 6 preceding buckets; safeRound2 absorbs the window-sum order delta
+    // 6 preceding buckets; safeRound2 absorbs the window-sum order delta.
+    // The bucket is FLOOR division spelled out (`//` truncates toward zero
+    // in DuckDB, exactly like Spark's `div`) — same adjustment as
+    // GapFill.trailingAggregate, a no-op for the positive-epoch testdata
     "d7_trailing" ->
       ("WITH b AS (SELECT user_id, " +
-        s"(($TsUs // 86400000000) * 86400000000) AS bucket_start, " +
+        s"((($TsUs // 86400000000) + (CASE WHEN $TsUs % 86400000000 < 0 " +
+        "THEN -1 ELSE 0 END)) * 86400000000) AS bucket_start, " +
         "count(*) AS n_events, SUM(value) AS bsum " +
         "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) " +
         "SELECT user_id, bucket_start, CAST(n_events AS BIGINT) AS n_events, " +
@@ -2424,11 +2428,14 @@ object SparkEntry {
         "SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM asg " +
         s"QUALIFY row_number() OVER (PARTITION BY cell ORDER BY $h, vec_id) <= 20"
     },
-    // importance-resample mirror: W is an exact integer-valued double, the
-    // gate replays ((100·w)/W)·9973 floor-for-floor (same IEEE ops, same
-    // association), and the bucket comparison is integer-exact
+    // importance-resample mirror: W is accumulated in fixed point —
+    // floor(w·2²⁰) summed as exact DECIMAL(38,0), order-independent on any
+    // engine — then divided back; the gate replays ((100·w)/W)·9973
+    // floor-for-floor (same IEEE ops), and the bucket compare is integer
     "sample_importance" ->
-      ("WITH t AS (SELECT sum(CAST(greatest(coalesce(n_chars, 0), 0) AS DOUBLE)) AS wsum " +
+      ("WITH t AS (SELECT CAST(sum(CAST(floor(" +
+        "CAST(greatest(coalesce(n_chars, 0), 0) AS DOUBLE) * 1048576.0" +
+        ") AS DECIMAL(38,0))) AS DOUBLE) / 1048576.0 AS wsum " +
         "FROM documents) " +
         "SELECT doc_id, source, n_chars FROM documents, t " +
         "WHERE CAST(greatest(coalesce(n_chars, 0), 0) AS DOUBLE) > 0 " +

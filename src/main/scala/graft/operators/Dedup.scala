@@ -725,8 +725,13 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    // (checkpoint blocks/files release via the ContextCleaner once `edges`
-    // goes out of scope — same lifecycle as the label generations)
+    // (lifecycle: with NO checkpoint dir set, `materialize` falls back to
+    // persist and blocks release via the ContextCleaner once `edges`/label
+    // generations go out of scope. With a checkpoint dir, reliable
+    // checkpoint(true) FILES are only auto-removed when
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true — default
+    // false — so long-running drivers calling this repeatedly should set
+    // that config or clean the checkpoint dir between calls)
     if (!converged) {
       // a stderr warning here would be a SILENT wrong answer: labels that
       // split real clusters make the survivors pipeline keep documents it

@@ -111,10 +111,18 @@ object GapFill {
       s"lookbackBuckets must be >= 1, got $lookbackBuckets")
     import org.apache.spark.sql.expressions.Window
     val bucketed = df
-      // integer div: Spark's `/` on longs is double division (same trap the
-      // bench envelope generator documents) — `div` keeps the bucket exact
+      // FLOOR division, spelled out: both Spark's `div` and DuckDB's integer
+      // `//` TRUNCATE toward zero (verified: DuckDB -7 // 2 = -3), which
+      // would drop a pre-1970 timestamp (e.g. -1µs) into bucket 0 instead of
+      // the preceding bucket. The explicit `% < 0` adjustment gives true
+      // floorDiv semantics on both engines (the d7 mirror carries the same
+      // adjustment); for ts >= 0 it is a no-op, so positive-epoch results
+      // are unchanged. (Plain `/` on longs is double division — the same
+      // trap the bench envelope generator documents — hence `div`.)
       .withColumn("bucket_start",
-        expr(s"(CAST($timeUsCol AS BIGINT) div $bucketUs) * $bucketUs"))
+        expr(s"((CAST($timeUsCol AS BIGINT) div $bucketUs) + " +
+          s"(CASE WHEN CAST($timeUsCol AS BIGINT) % $bucketUs < 0 " +
+          s"THEN -1 ELSE 0 END)) * $bucketUs"))
       .groupBy((keys.map(col) :+ col("bucket_start")): _*)
       .agg(count(lit(1)).as("n_events"),
         sum(col(valueCol).cast("double")).as("__graft_bsum"))

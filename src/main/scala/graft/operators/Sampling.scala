@@ -29,6 +29,9 @@ object Sampling {
     * 9973, 1000003) are at the random level ~1/Buckets, and different seeds
     * produce statistically independent samples. */
   val Buckets = 9973L
+  /** Fixed-point scale (2²⁰) for order-independent weight-mass accumulation
+    * in [[importanceResample]] — mirrored verbatim by its DuckDB oracle. */
+  val FixedPointScale = 1048576.0
   private val M1 = 1000003L
   private val M2 = 999983L
   private val P = 2147483647L // 2^31 − 1
@@ -95,6 +98,17 @@ object Sampling {
     * complementary to [[weightedSample]], which is exact-k without
     * replacement via a top-k).
     *
+    * W itself must also be order-independent or the determinism claim is
+    * hollow: a double `sum(w)` associates in partition order, so a
+    * fractional weight landing p·Buckets exactly on an integer could flip
+    * membership between runs/cluster sizes. W is therefore accumulated in
+    * FIXED POINT — `floor(w·2²⁰)` summed as exact DECIMAL(38,0) (the same
+    * trick as kmeansCentroids' fixed-point sums), then divided back — which
+    * is exactly associative for any weights, not just integer-valued ones.
+    * Weights' fractional part is quantized to 2⁻²⁰ (≈1e-6); per-row weights
+    * above 2³³ lose fixed-point bits — far outside any quality/LM-score
+    * weighting's range.
+    *
     * Scale shape: W is one map-side-combined 1-row aggregate riding a
     * broadcast; the gate itself is a narrow filter — the corpus is scanned
     * once and never shuffled. */
@@ -102,7 +116,11 @@ object Sampling {
       idCol: String = "doc_id", seed: Long = 42): DataFrame = {
     require(nTarget >= 0, s"nTarget must be >= 0, got $nTarget")
     val w = greatest(coalesce(weight.cast("double"), lit(0.0)), lit(0.0))
-    val tot = df.agg(sum(w).as("__graft_wsum"))
+    // floor(double)→long in Spark, then exact decimal sum; the final
+    // cast-to-double + divide are single IEEE ops the oracle replays
+    val tot = df.agg(
+      (sum(floor(w * lit(FixedPointScale)).cast("decimal(38,0)"))
+        .cast("double") / lit(FixedPointScale)).as("__graft_wsum"))
     df.crossJoin(broadcast(tot))
       .filter(w > 0 &&
         hashBucket(col(idCol), seed) <

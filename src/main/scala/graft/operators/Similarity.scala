@@ -682,15 +682,23 @@ object Similarity {
   def lshJoin(left: DataFrame, right: DataFrame, threshold: Double,
       nPlanes: Int = 12, tables: Int = 4, seed: Long = 42, dim: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val l = unitVectors(left, idCol, vecCol, "left_id", "vl")
+    val l0 = unitVectors(left, idCol, vecCol, "left_id", "vl")
     val r = unitVectors(right, idCol, vecCol, "right_id", "vr")
+    // the dim probe is an ACTION on the left unit-vector chain; without the
+    // persist the O(d²) normalize chain would be evaluated once for the
+    // probe and AGAIN in the join — the computed-input re-evaluation class
+    // the sim_topk_q8 fix targets. Persisted only when dim must be derived
+    // (with explicit dim the chain feeds exactly one consumer).
+    val l = if (dim > 0) l0 else l0.persist(StorageLevel.MEMORY_AND_DISK)
     val resolvedDim =
       if (dim > 0) dim
       else l.select(size(col("vl")).as("d")).head(1)
         .headOption.map(_.getInt(0)).getOrElse(0)
-    if (resolvedDim == 0)
-      return l.select(col("left_id"), col("left_id").as("right_id"),
+    if (resolvedDim == 0) {
+      if (dim <= 0) l.unpersist()
+      return l0.select(col("left_id"), col("left_id").as("right_id"),
         lit(0.0).as("cosine")).limit(0)
+    }
     def banded(v: DataFrame, vec: String) = {
       val bucketStructs = (0 until tables).map { t =>
         struct(lit(t).as("tbl"),
