@@ -1,6 +1,7 @@
 package graft
 
 import graft.model.{AggregationSpec, RollupSpec}
+import graft.functions.SubwordExpressions
 import graft.operators.{Anomaly, Dedup, GapFill, HeavyHitters, Multimodal, Profiling, Relational, Sampling, Sessions, Similarity, TextAnalysis}
 import graft.plan.RuleCompiler
 import graft.sources.{EnvelopeJson, EventsAdapter}
@@ -759,6 +760,40 @@ object SparkEntry {
   private val LowerToks = s"string_split_regex(trim(lower(text), '$SqlWs'), '\\s+')"
   private val RawToks = s"string_split_regex(trim(text, '$SqlWs'), '\\s+')"
   private val TokN = s"(CASE WHEN length(trim(text, '$SqlWs')) = 0 THEN 0 ELSE len($RawToks) END)"
+
+  /** Shared CTE prefix for the subword-tokenization mirrors: word instances
+    * with per-doc index (wd), substring frequencies → the 256-piece vocab in
+    * (count DESC, piece ASC) rank order (bvocab — exactly
+    * TextAnalysis.learnSubwordVocab), and the greedy longest-match walk
+    * replayed as a recursive CTE (enc): each step consumes the LONGEST vocab
+    * piece matching at the cursor (correlated top-1 over the vocab by piece
+    * length — unique, since equal-length matches at one position are the
+    * same string), falling back to the single codepoint with OOV id 99999.
+    * DuckDB's substring/length count codepoints, as does the Scala
+    * expression — the walk replays character-for-character. */
+  private val BpeCtes =
+    s"wd AS (SELECT doc_id, i AS wi, toks[i] AS w " +
+      s"FROM (SELECT doc_id, $RawToks AS toks FROM documents), " +
+      "LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) " +
+      "WHERE toks[i] <> ''), " +
+      "sub AS (SELECT substring(w, p, n) AS piece FROM wd, " +
+      "LATERAL (SELECT unnest(generate_series(1, length(w))) AS p), " +
+      "LATERAL (SELECT unnest(generate_series(1, least(4, length(w) - p + 1))) AS n)), " +
+      "bvocab AS (SELECT piece, CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) - 1 AS BIGINT) AS tid " +
+      "FROM (SELECT piece, count(*) AS cnt FROM sub GROUP BY piece) " +
+      "ORDER BY cnt DESC, piece ASC LIMIT 256), " +
+      "enc AS (WITH RECURSIVE st(doc_id, wi, w, pos, spos, piece, tid) AS (" +
+      "SELECT doc_id, wi, w, 1, CAST(0 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) FROM wd " +
+      "UNION ALL SELECT e.doc_id, e.wi, e.w, e.pos + length(b.piece), " +
+      "CAST(e.pos AS BIGINT), b.piece, b.tid FROM st e, " +
+      "LATERAL (SELECT coalesce(mv.piece, substring(e.w, e.pos, 1)) AS piece, " +
+      "coalesce(mv.tid, 99999) AS tid FROM (SELECT 1 AS one) o LEFT JOIN (" +
+      "SELECT v.piece, v.tid FROM bvocab v " +
+      "WHERE length(v.piece) <= length(e.w) - e.pos + 1 " +
+      "AND v.piece = substring(e.w, e.pos, length(v.piece)) " +
+      "ORDER BY length(v.piece) DESC LIMIT 1) mv ON true) b " +
+      "WHERE e.pos <= length(e.w)) " +
+      "SELECT doc_id, wi, spos, piece, tid FROM st WHERE piece IS NOT NULL)"
   private val StopRatioSql =
     s"(CASE WHEN $TokN = 0 THEN 0.0 ELSE " +
       s"CAST(len(list_filter($LowerToks, x -> x IN (${sqlList(enStops)}))) AS DOUBLE) / len($RawToks) END)"
@@ -1310,6 +1345,27 @@ object SparkEntry {
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(docs(s, dir), Seq("hash", "join", "shuffle", "broadcast"))
         .select(col("doc_id"), col("n_hits"), round(col("score"), 4).as("score"))),
+    // REAL subword tokenization (WordPiece-style greedy longest-match over
+    // a corpus-learned 256-piece substring vocab, pieces ≤ 4 codepoints,
+    // OOV 99999) — every (doc, position, token_id) compared exactly against
+    // the mirror's recursive-CTE replay of the same greedy walk
+    "text_bpe" -> ((s, dir) => {
+      val vocab = TextAnalysis.learnSubwordVocab(docs(s, dir), 256, 4)
+      docs(s, dir).select(col("doc_id"),
+          posexplode(SubwordExpressions.subwordIds(col("text"), vocab, 99999L, 4)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("token_id"))
+    }),
+    // the packing/budget path driven by REAL subword counts instead of the
+    // whitespace proxy — same pack-and-split recurrence as sample_pack,
+    // n = greedy-encoded piece count per document
+    "sample_pack_bpe" -> ((s, dir) => {
+      val vocab = TextAnalysis.learnSubwordVocab(docs(s, dir), 256, 4)
+      Sampling.packSequences(docs(s, dir), "doc_id",
+          size(SubwordExpressions.subwordIds(col("text"), vocab, 99999L, 4))
+            .cast("long"), 512L, 8)
+        .select("doc_id", "shard", "seq_id", "tok_offset")
+    }),
     // exact-substring duplication signal: fraction of tokens covered by
     // cross-doc duplicated 5-gram spans (boilerplate-tail fixture)
     "text_dup_spans" -> ((s, dir) =>
@@ -2392,6 +2448,24 @@ object SparkEntry {
         s"sum($TokN) OVER (PARTITION BY ${pmSql(HashRaw, "8")} ORDER BY doc_id " +
         s"ROWS UNBOUNDED PRECEDING) AS cum FROM documents WHERE $TokN > 0)) " +
         "GROUP BY shard, seq_id"),
+    // subword-tokenization mirror: the greedy longest-match walk replayed by
+    // the shared recursive CTE (BpeCtes); flat position = rank by (word
+    // index, piece start) within the doc — the expression's emission order
+    "text_bpe" ->
+      (s"WITH $BpeCtes SELECT doc_id, " +
+        "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, spos) - 1 AS BIGINT) AS pos, " +
+        "tid AS token_id FROM enc"),
+    // pack-and-split recurrence on REAL subword counts: per-doc piece count
+    // from the same encoding CTE, then the sample_pack prefix-sum positions
+    "sample_pack_bpe" ->
+      (s"WITH $BpeCtes, bn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n " +
+        "FROM enc GROUP BY doc_id) " +
+        "SELECT doc_id, shard, CAST((cum - n) // 512 AS BIGINT) AS seq_id, " +
+        "CAST((cum - n) % 512 AS BIGINT) AS tok_offset FROM (" +
+        s"SELECT doc_id, ${pmSql(HashRaw, "8")} AS shard, n, " +
+        s"sum(n) OVER (PARTITION BY ${pmSql(HashRaw, "8")} ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum " +
+        "FROM documents JOIN bn USING (doc_id) WHERE n > 0)"),
     // upsample mirror: copies = floor(rate) + (hash < frac(rate)·Buckets);
     // LATERAL generate_series enumerates the copies, zero-copy rows drop
     "sample_upsample" ->

@@ -58,6 +58,39 @@ object TextAnalysis {
       .toMap
   }
 
+  /** Corpus-learned SUBWORD vocabulary: the `size` most frequent codepoint
+    * substrings (lengths 1..maxPieceLen, counted per word occurrence) of the
+    * corpus's words, id = 0-based rank in the TOTAL order (count DESC, piece
+    * ASC). This is SentencePiece's seed-vocabulary construction (Kudo &
+    * Richardson 2018: most frequent substrings) feeding the WordPiece-style
+    * greedy longest-match encoder in
+    * [[graft.functions.SubwordExpressions.subwordIds]].
+    *
+    * Scale shape: the substring explode is a narrow map (maxPieceLen
+    * strings per word codepoint), the frequency count is a map-side
+    * combined groupBy — the ONE exchange moves (piece, partial-count) rows,
+    * never text — and the driver collect is bounded by `size` (config
+    * scale, the learnVocab pattern). At extreme corpus sizes learn on a
+    * [[graft.operators.Sampling.sampleByHash]] subset: substring
+    * frequencies concentrate, so the top-`size` ranking stabilizes long
+    * before the full corpus is counted. */
+  def learnSubwordVocab(docs: DataFrame, size: Int, maxPieceLen: Int,
+      textCol: String = "text"): Map[String, Long] = {
+    require(size >= 1, s"vocab size must be >= 1, got $size")
+    docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(explode(
+        graft.functions.SubwordExpressions.charNGrams(col("w"), maxPieceLen))
+        .as("p"))
+      .groupBy("p").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("p").asc)
+      .limit(size)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => r.getString(0) -> i.toLong }
+      .toMap
+  }
+
   /** BPE-ish subword proxy: tokens are maximal runs of letters OR maximal
     * runs of non-letter-non-space characters — a cheap deterministic
     * stand-in for a real tokenizer's count (splits "don't" into 3, "a1b"

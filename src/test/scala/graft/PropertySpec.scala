@@ -557,6 +557,116 @@ object PropertySpec extends Properties("graft") {
       got == want
     }
 
+  // ---- subword (WordPiece-style greedy longest-match) encoding ----
+  // generators deliberately include empty/whitespace-only/edge-wrapped text,
+  // a non-BMP codepoint (😀 = one codepoint, two UTF-16 units — pins the
+  // codepoint-not-code-unit contract the DuckDB mirror depends on), and
+  // repetitive strings where greedy vs non-greedy segmentations diverge.
+  // No characters in U+E000..U+FFFF, so Java's UTF-16 tie-break order used
+  // by the models below coincides with Spark/DuckDB's UTF-8 byte order.
+  private val subwordTextGen = Gen.oneOf("", " ", "abc", "abcd efgh", "aaaa",
+    "ab", "\ta zz\n", "x😀y z", "ababab", " a b c ", "wxyz wxyz",
+    "abcde")
+  private val subwordPieceGen = Gen.oneOf("a", "ab", "abc", "abcd", "b", "zz",
+    "😀", "xy", "w", "wx", "cd", "e")
+
+  property("subword encode equals the naive greedy codepoint model; concat conserves every word ∀ text/vocab/maxLen") =
+    forAll(Gen.nonEmptyListOf(subwordTextGen), Gen.listOf(subwordPieceGen),
+      Gen.choose(1, 4)) { (texts, rawPieces, maxLen) =>
+      val vocab = rawPieces.distinct
+        .filter(p => p.codePointCount(0, p.length) <= maxLen)
+        .zipWithIndex.map { case (p, i) => p -> i.toLong }.toMap
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = df.select(col("doc_id"),
+          graft.functions.SubwordExpressions
+            .subwordIds(col("text"), vocab, 99999L, maxLen).as("ids"),
+          graft.functions.SubwordExpressions
+            .subwordPieces(col("text"), vocab, maxLen).as("pieces"))
+        .as[(Long, Seq[Long], Seq[String])].collect()
+      got.length == texts.length && got.forall { case (i, ids, pieces) =>
+        val tr = texts(i.toInt)
+          .replaceAll("^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$", "")
+        val words =
+          if (tr.isEmpty) Array.empty[String]
+          else tr.split("[\\t\\n\\f\\r ]+", -1)
+        val want = words.toSeq.flatMap { w =>
+          val cps = w.codePoints().toArray
+          val out = scala.collection.mutable.Buffer[(Long, String)]()
+          var p = 0
+          while (p < cps.length) {
+            (math.min(maxLen, cps.length - p) to 1 by -1).iterator
+              .map(n => new String(cps, p, n)).find(vocab.contains) match {
+              case Some(piece) =>
+                out += ((vocab(piece), piece))
+                p += piece.codePointCount(0, piece.length)
+              case None =>
+                out += ((99999L, new String(cps, p, 1))); p += 1
+            }
+          }
+          out.toSeq
+        }
+        ids == want.map(_._1) && pieces == want.map(_._2) &&
+          pieces.mkString == words.mkString // no codepoint dropped, ever
+      }
+    }
+
+  property("learnSubwordVocab equals the naive substring-frequency ranking ∀ corpus/size/maxLen") =
+    forAll(Gen.nonEmptyListOf(subwordTextGen), Gen.choose(1, 30),
+      Gen.choose(1, 4)) { (texts, k, maxLen) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.TextAnalysis.learnSubwordVocab(df, k, maxLen)
+      val counts = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      texts.foreach { t =>
+        val tr = t.replaceAll("^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$", "")
+        val words =
+          if (tr.isEmpty) Array.empty[String]
+          else tr.split("[\\t\\n\\f\\r ]+", -1)
+        words.filter(_.nonEmpty).foreach { w =>
+          val cps = w.codePoints().toArray
+          var p = 0
+          while (p < cps.length) {
+            var n = 1
+            while (n <= math.min(maxLen, cps.length - p)) {
+              counts(new String(cps, p, n)) += 1L
+              n += 1
+            }
+            p += 1
+          }
+        }
+      }
+      val want = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(k)
+        .zipWithIndex.map { case ((p, _), i) => p -> i.toLong }.toMap
+      got == want
+    }
+
+  // fractional (dyadic, hence exactly-representable) weights pin the
+  // fixed-point W accumulation: floor(w·2²⁰) summed exactly, then /2²⁰ —
+  // the naive model replays it with BigInt, so any association-order
+  // dependence in the engine's W would fail this property
+  property("importance resample fixed-point W equals the naive model for fractional weights ∀ weights/nTarget/seed") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 100000L),
+        Gen.choose(0L, 16000L))),
+      Gen.choose(0L, 50L), Gen.long) { (rows, nTarget, seed) =>
+      val dedup = rows.toMap.toSeq
+      val df = dedup.map { case (id, k) => (id, k / 8.0) }.toDF("doc_id", "w")
+      val got = graft.operators.Sampling
+        .importanceResample(df, col("w"), nTarget, seed = seed)
+        .select("doc_id").as[Long].collect().toSet
+      val wsum = dedup
+        .map { case (_, k) => math.floor(k / 8.0 * 1048576.0).toLong }
+        .foldLeft(BigInt(0))(_ + _).toDouble / 1048576.0
+      val want = dedup.filter { case (id, k) =>
+        val wd = k / 8.0
+        wd > 0 && TestRefs.hashRaw(id, seed) % graft.operators.Sampling.Buckets <
+          math.floor(math.min(1.0, nTarget.toDouble * wd / wsum) *
+            graft.operators.Sampling.Buckets.toDouble).toLong
+      }.map(_._1).toSet
+      got == want
+    }
+
   property("funnel equals the naive per-user fold ∀ events/horizon") =
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 6L),
         Gen.oneOf("view", "click", "purchase", "other"),
