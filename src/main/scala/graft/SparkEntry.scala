@@ -302,6 +302,58 @@ object SparkEntry {
       "WHERE l.query_id <> e.vec_id GROUP BY 1, 2)) WHERE rank <= 5"
   }
 
+  /** Lloyd-refined-PQ mirror (m=8, ksub=16, rounds=2, k=5): PqTopkSql's
+    * hash-sampled codebooks as round 0, then each Lloyd round replayed
+    * exactly — argmin-L2 re-encode against the previous books, fixed-point
+    * HUGEINT component sums (floor(x·2⁴⁰ + 0.5)), one (s/n)/S double mean
+    * per component, empty cells KEEPING their previous entry via the
+    * coalesce left join — then the standard enc/LUT/ADC search over the
+    * refined books. Every refined centroid double is bit-identical to
+    * Similarity.pqCodebooksKmeans' output. */
+  private val PqKmeansTopkSql = {
+    val h = hashRawSql("vec_id")
+    val S = Similarity.FixedPointScale
+    def lloydRound(r: Int): String = {
+      val prev = s"cb${r - 1}"
+      s"enc$r AS (SELECT vec_id, j, " +
+        "-((max({'s': -list_inner_product(d, d), 'c': -i})).c) AS code FROM (" +
+        "SELECT u.vec_id, b.j, b.i, list_transform(generate_series(1, 8), " +
+        s"k -> u.v[b.j * 8 + k] - b.sv[k]) AS d FROM u, $prev b) " +
+        "GROUP BY vec_id, j), " +
+        s"fx$r AS (SELECT e.j, e.code AS i, k - 1 AS p, " +
+        s"sum(CAST(floor(u.v[e.j * 8 + k] * $S + 0.5) AS HUGEINT)) AS s, " +
+        "count(*) AS n " +
+        s"FROM enc$r e JOIN u USING (vec_id), " +
+        "LATERAL (SELECT unnest(generate_series(1, 8)) AS k) " +
+        "GROUP BY e.j, e.code, p), " +
+        s"cm$r AS (SELECT j, i, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / $S " +
+        s"ORDER BY p) AS sv FROM fx$r GROUP BY j, i), " +
+        s"cb$r AS (SELECT b.j, b.i, coalesce(m.sv, b.sv) AS sv " +
+        s"FROM $prev b LEFT JOIN cm$r m ON m.j = b.j AND m.i = b.i)"
+    }
+    s"WITH $UnitVecCte, " +
+      s"cent AS (SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS i, v " +
+      s"FROM u QUALIFY row_number() OVER (ORDER BY $h, vec_id) <= 16), " +
+      "js AS (SELECT unnest(generate_series(0, 7)) AS j), " +
+      "cb0 AS (SELECT js.j, c.i, c.v[js.j * 8 + 1 : js.j * 8 + 8] AS sv " +
+      "FROM cent c, js), " +
+      lloydRound(1) + ", " + lloydRound(2) + ", " +
+      "encf AS (SELECT vec_id, j, " +
+      "-((max({'s': -list_inner_product(d, d), 'c': -i})).c) AS code FROM (" +
+      "SELECT u.vec_id, b.j, b.i, list_transform(generate_series(1, 8), " +
+      "k -> u.v[b.j * 8 + k] - b.sv[k]) AS d FROM u, cb2 b) " +
+      "GROUP BY vec_id, j), " +
+      "lut AS (SELECT q.vec_id AS query_id, b.j, b.i, " +
+      "list_inner_product(q.v[b.j * 8 + 1 : b.j * 8 + 8], b.sv) AS ip " +
+      "FROM u q, cb2 b WHERE q.vec_id < 10) " +
+      "SELECT query_id, neighbor_id, rank, ROUND(adc, 4) AS adc FROM (" +
+      "SELECT query_id, neighbor_id, adc, CAST(row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS BIGINT) AS rank " +
+      "FROM (SELECT l.query_id, e.vec_id AS neighbor_id, sum(l.ip) AS adc " +
+      "FROM encf e JOIN lut l ON l.j = e.j AND l.i = e.code " +
+      "WHERE l.query_id <> e.vec_id GROUP BY 1, 2)) WHERE rank <= 5"
+  }
+
   /** IVF-PQ mirror (nLists=ksub=16 share ONE hash sample, nProbe=4, m=8,
     * dsub=8, k=5): IvfTopkSql's cell assignment + probe ranking composed
     * with PqTopkSql's encoding + LUT join, restricted to probed cells. */
@@ -1246,6 +1298,16 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"),
           round(col("adc"), 4).as("adc"))),
+    // Lloyd-refined PQ (faiss's per-subspace k-means training): same ADC
+    // search as sim_topk_pq over codebooks refined by 2 exact fixed-point
+    // Lloyd rounds — the oracle replays the training round-for-round
+    "sim_topk_pq_kmeans" -> ((s, dir) =>
+      Similarity.pqTopKWith(emb(s, dir).filter(col("vec_id") < 10),
+          emb(s, dir), k = 5,
+          Similarity.pqCodebooksKmeans(emb(s, dir), 8, 16, rounds = 2))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("adc"), 4).as("adc"))),
     // IVF-PQ: cells prune to nProbe/nLists of the corpus, PQ-ADC scores the
     // rest — the canonical billion-scale ANN composition end to end
     "sim_ivfpq_topk" -> ((s, dir) =>
@@ -1549,6 +1611,17 @@ object SparkEntry {
     "mm_frames" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.synthesizeFromDocs(docs(s, dir)), 64, 16)
         .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"))),
+    // REAL codec round-trip: deterministic RGB pattern → actual PNG bytes
+    // (javax.imageio encode) → actual PNG decode → exact channel sums. The
+    // oracle computes the same sums ANALYTICALLY from the pattern formulas —
+    // a hash match proves encode, decode and extraction are all lossless
+    "mm_decode" -> ((s, dir) =>
+      Multimodal.decodeImages(s,
+          Multimodal.synthesizeImages(s, docs(s, dir)).toDF())
+        .toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))),
 
     // end-to-end pipeline composition — the real training-data shape, every
     // stage an already-oracled operator, chained through the (doc_id, text)
@@ -1968,6 +2041,7 @@ object SparkEntry {
     "dedup_simhash" -> SimhashPairsSql,
     "sim_ivf_topk" -> IvfTopkSql,
     "sim_topk_pq" -> PqTopkSql,
+    "sim_topk_pq_kmeans" -> PqKmeansTopkSql,
     "sim_ivfpq_topk" -> IvfPqTopkSql,
     "sim_ivfpq_res" -> IvfPqResTopkSql,
     // hard-negative mirror: the sim_topk probe plus the null-safe label
@@ -2654,5 +2728,19 @@ object SparkEntry {
     "mm_frames" ->
       ("SELECT doc_id, CAST(greatest((octet_length(encode(text)) - 64) // 16, 0) + 1 AS BIGINT) " +
         "AS n_frames FROM documents"),
+    // codec-path mirror: the per-doc pattern (Multimodal.patternDims/
+    // patternRgb) replayed analytically over a generate_series pixel grid —
+    // DuckDB needs no image codec because PNG is lossless, so the decoded
+    // pixels ARE the pattern; integer sums keep the compare exact
+    "mm_decode" ->
+      ("SELECT doc_id, width, height, " +
+        "CAST(sum((doc_id * 7 + x * 3 + y * 5) % 256) AS BIGINT) AS sum_r, " +
+        "CAST(sum((doc_id + x * 11 + y) % 256) AS BIGINT) AS sum_g, " +
+        "CAST(sum((doc_id * 3 + x + y * 13) % 256) AS BIGINT) AS sum_b " +
+        "FROM (SELECT doc_id, CAST(doc_id % 16 + 8 AS BIGINT) AS width, " +
+        "CAST(doc_id % 12 + 8 AS BIGINT) AS height FROM documents), " +
+        "LATERAL (SELECT unnest(generate_series(0, width - 1)) AS x), " +
+        "LATERAL (SELECT unnest(generate_series(0, height - 1)) AS y) " +
+        "GROUP BY doc_id, width, height"),
     "pipeline_e2e" -> PipelineE2eSql)
 }

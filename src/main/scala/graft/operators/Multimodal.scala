@@ -19,16 +19,31 @@ case class MediaFeatures(
     checksum: Long,
     histogram: Array[Float])
 
+/** Real decoded-pixel features: dimensions as the DECODER reports them plus
+  * exact per-channel integer sums (integer-exact → engine-portable; a mean
+  * would drag IEEE division into the compare). */
+case class ImageFeatures(
+    doc_id: Long,
+    mime: String,
+    width: Int,
+    height: Int,
+    sum_r: Long,
+    sum_g: Long,
+    sum_b: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus decode / feature-extract / frame-sample stages.
   *
   * The Spark-side plumbing — schema, partition-parallel batched iteration
   * (`mapPartitions` on a typed Dataset, the Scala analog of Python's
   * `mapInPandas`), column pruning of the heavy binary column until the decode
-  * stage — is real and tested. The DECODE ITSELF IS A STUB: this container has
-  * no image/audio codecs, so [[decodeStub]] computes a deterministic fake
-  * feature vector (byte histogram) where a real deployment would call its
-  * codec. Swap `decodeStub` for a real decoder without touching the pipeline.
+  * stage — is real and tested. IMAGE decode/resize are REAL as of round 12:
+  * [[decodeImages]]/[[resizeImages]] run `javax.imageio` (base-JVM PNG/JPEG/
+  * GIF/BMP codecs, headless-safe) over genuine encoded streams, verified
+  * end-to-end by the mm_decode oracle. [[decodeStub]]/[[resizeStub]] remain
+  * for OPAQUE mimes (audio/video, whose codecs the JVM lacks): deterministic
+  * byte-level stand-ins around the same pipeline shape — swap in a codec
+  * without touching the plumbing.
   */
 object Multimodal {
 
@@ -96,6 +111,130 @@ object Multimodal {
             }
           }
           rec.copy(media = out, width = targetW, height = targetH)
+        }
+      }
+  }
+
+  /** Deterministic per-doc pixel pattern shared by [[synthesizeImages]] (the
+    * encoder side) and the mm_decode DuckDB oracle (which replays these
+    * integer formulas analytically over a generate_series grid — no image
+    * library needed on the oracle side). Kept tiny and integer-only so the
+    * expected channel sums are closed-form. */
+  private[graft] def patternDims(docId: Long): (Int, Int) =
+    ((docId % 16 + 8).toInt, (docId % 12 + 8).toInt)
+  private[graft] def patternRgb(docId: Long, x: Int, y: Int): (Int, Int, Int) =
+    (((docId * 7 + x * 3 + y * 5) % 256).toInt,
+      ((docId + x * 11 + y) % 256).toInt,
+      ((docId * 3 + x + y * 13) % 256).toInt)
+
+  /** REAL encoded images from the documents table: each doc_id gets a
+    * deterministic RGB pattern rendered into a BufferedImage and encoded as
+    * an actual PNG by `javax.imageio` (base-JVM codec, headless-safe). The
+    * bytes are a genuine compressed image stream — [[decodeImages]] must run
+    * a real decoder to get the pixels back. Partition-parallel narrow map;
+    * only doc_id is read from the input. */
+  def synthesizeImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { docId =>
+        val (w, h) = patternDims(docId)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (r, g, b) = patternRgb(docId, x, y)
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRecord(docId, bos.toByteArray, "image/png", w, h)
+      }
+    }
+  }
+
+  /** REAL image decode + feature extraction (closes the round-11 stub gap):
+    * `javax.imageio.ImageIO.read` decodes PNG/JPEG/GIF/BMP bytes to pixels;
+    * features are the decoder-reported dimensions and exact per-channel
+    * integer sums. Rows whose bytes the JVM cannot decode (unsupported mime,
+    * truncated stream) yield a (-1, -1, 0, 0, 0) sentinel row rather than
+    * failing the stage — at 100 TB a corrupt image must never kill the job
+    * (same drop-don't-throw stance as the JSON corrupt-record path).
+    *
+    * Pipeline shape unchanged from the stub it replaces: typed-Dataset
+    * `mapPartitions` (the Scala analog of `mapInPandas`), binary column
+    * pruned until this stage, partition-parallel, zero shuffles. PNG is
+    * lossless, so decoding [[synthesizeImages]]' output recovers the pattern
+    * pixels EXACTLY — which is what lets a SQL oracle verify a codec path
+    * end-to-end without having a codec. */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "media", "mime", "width", "height").as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { rec =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.media))
+            catch { case _: java.io.IOException => null }
+          if (img == null)
+            ImageFeatures(rec.doc_id, rec.mime, -1, -1, 0L, 0L, 0L)
+          else {
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            ImageFeatures(rec.doc_id, rec.mime,
+              img.getWidth, img.getHeight, sr, sg, sb)
+          }
+        }
+      }
+  }
+
+  /** REAL bilinear resize (replaces the byte-subsampling stub for decodable
+    * images): decode, Java2D `drawImage` with the BILINEAR interpolation
+    * hint onto a targetW×targetH canvas, re-encode as PNG. Undecodable rows
+    * pass through unchanged (same survive-don't-throw stance as
+    * [[decodeImages]]); metadata is updated alongside the payload, as a real
+    * resize must. Partition-parallel narrow map — the heavy binary column
+    * stays pruned until this stage. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    require(targetW >= 1 && targetH >= 1,
+      s"target dims must be >= 1, got ${targetW}x$targetH")
+    import spark.implicits._
+    media.select("doc_id", "media", "mime", "width", "height").as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { rec =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.media))
+            catch { case _: java.io.IOException => null }
+          if (img == null) rec
+          else {
+            val out = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g2 = out.createGraphics()
+            try {
+              g2.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g2.drawImage(img, 0, 0, targetW, targetH, null)
+            } finally g2.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            rec.copy(media = bos.toByteArray, width = targetW, height = targetH)
+          }
         }
       }
   }

@@ -390,6 +390,76 @@ object Similarity {
     (0 until m).map(j => sample.map(_.slice(j * dsub, (j + 1) * dsub)))
   }
 
+  /** LLOYD-REFINED PQ codebooks — faiss trains per-subspace k-means where
+    * [[pqCodebooks]] stops at the hash sample; this runs `rounds` Lloyd
+    * iterations over every subspace AT ONCE and keeps the whole thing a pure
+    * function of (data, seed, rounds), so the DuckDB oracle replays each
+    * round bit-for-bit (the [[kmeansCentroids]] playbook, minus its
+    * spherical normalization — subspace centroids are plain L2 means, as in
+    * faiss):
+    *
+    *  - assignment = the SAME argmin-L2 (−dist², −index) struct-max as
+    *    [[pqEncode]] — training and encoding can never disagree on ties;
+    *  - update = fixed-point component mean: floor(x·2⁴⁰ + 0.5) summed as
+    *    exact DECIMAL (order-independent), one double division per
+    *    component — never an IEEE partition-order sum;
+    *  - a cell that loses all members KEEPS its previous centroid
+    *    (deterministic, codebook width never shrinks — unlike spherical
+    *    k-means' compaction, a PQ codebook must keep its 2^bits slots).
+    *
+    * Scale shape per round: ONE distributed pass — encode (narrow map over
+    * literal codebooks), posexplode to (subspace, cell, component) partial
+    * sums that map-side-combine down to m·ksub·dsub rows (= d·ksub, KBs),
+    * and a bounded collect of exactly those rows back into plan literals. */
+  def pqCodebooksKmeans(corpus: DataFrame, m: Int, ksub: Int, rounds: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && ksub >= 1, s"bad PQ params m=$m ksub=$ksub")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val unit = unitVectors(corpus, idCol, vecCol, "id", "v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sample = sampleCentroids(unit, "id", "v", ksub, seed)
+      require(sample.nonEmpty, "PQ needs a non-empty corpus")
+      val d = sample.head.size
+      require(d % m == 0, s"dim $d not divisible into $m subspaces")
+      val dsub = d / m
+      var books: Seq[Seq[Seq[Double]]] =
+        (0 until m).map(j => sample.map(_.slice(j * dsub, (j + 1) * dsub)))
+      for (_ <- 0 until rounds) {
+        val sums = unit
+          .select(col("v"), pqCodes(col("v"), books).as("codes"))
+          .select(posexplode(col("v")), col("codes"))
+          // pos is a 0-based int; `div` keeps the subspace index integral
+          .select(expr("CAST(pos div " + dsub + " AS INT)").as("j"),
+            pmod(col("pos"), lit(dsub)).as("spos"), col("codes"), col("col"))
+          .select(col("j"), element_at(col("codes"), col("j") + 1).as("cell"),
+            col("spos"),
+            floor(col("col") * lit(FixedPointScale.toDouble) + lit(0.5))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("fx"))
+          .groupBy("j", "cell", "spos")
+          .agg(sum(col("fx")).as("s"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1).toInt, r.getInt(2)) ->
+            (r.getDecimal(3), r.getLong(4)))
+          .toMap
+        books = books.zipWithIndex.map { case (book, j) =>
+          book.zipWithIndex.map { case (prev, i) =>
+            if (sums.contains((j, i, 0))) {
+              (0 until dsub).map { p =>
+                val (s, n) = sums((j, i, p))
+                // exact integer → nearest double, then the same two double
+                // divisions as the SQL mirror: (s / n) / S
+                s.doubleValue() / n.toDouble / FixedPointScale.toDouble
+              }
+            } else prev // empty cell: keep the slot (faiss semantics)
+          }
+        }
+      }
+      books
+    } finally { unit.unpersist(); () }
+  }
+
   /** PQ encoding: vector → `m` int8-range codes, code j = argmin-L2 codebook
     * entry for subvector j (ties → smaller centroid index, spelled as an
     * array_max over (−dist², −i) structs so every engine picks the same
@@ -448,9 +518,17 @@ object Similarity {
     * inner product, exact to quantization error. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 8,
       ksub: Int = 16, idCol: String = "vec_id",
-      vecCol: String = "embedding", seed: Long = 42): DataFrame = {
+      vecCol: String = "embedding", seed: Long = 42): DataFrame =
+    pqTopKWith(queries, corpus, k,
+      pqCodebooks(corpus, m, ksub, idCol, vecCol, seed), idCol, vecCol)
+
+  /** [[pqTopK]] with CALLER-SUPPLIED codebooks — the composition point for
+    * [[pqCodebooksKmeans]] (Lloyd-refined books) or externally-trained
+    * ones; the search plan is identical, only the literals change. */
+  def pqTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+      books: Seq[Seq[Seq[Double]]], idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val books = pqCodebooks(corpus, m, ksub, idCol, vecCol, seed)
     val nsub = books.head.size // actual codebook width (≤ ksub on tiny corpora)
     val c = pqEncode(corpus, books, idCol, vecCol, "neighbor_id")
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -1574,6 +1574,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats.count() == docs.count())
   }
 
+  test("multimodal: real PNG round-trip — decode recovers the exact pattern pixels") {
+    val media = Multimodal.synthesizeImages(spark, docs.limit(20)).toDF()
+    // the payloads are genuine PNG streams (magic bytes), not raw buffers
+    val first = media.orderBy($"doc_id").head()
+    val bytes = first.getAs[Array[Byte]]("media")
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+    val feats = Multimodal.decodeImages(spark, media).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      val (w, h) = Multimodal.patternDims(f.doc_id)
+      assert(f.width == w && f.height == h)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.patternRgb(f.doc_id, x, y)
+        sr += r; sg += g; sb += b
+      }
+      assert(f.sum_r == sr && f.sum_g == sg && f.sum_b == sb)
+    }
+  }
+
+  test("multimodal: real bilinear resize — dims update, solid color is exact, corrupt bytes survive") {
+    // a solid-color image resizes to the SAME solid color under any
+    // interpolation — the one bilinear output that is implementation-exact
+    val img = new java.awt.image.BufferedImage(20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 20) img.setRGB(x, y, 0x336699)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(
+      (1L, bos.toByteArray, "image/png", 20, 10),
+      (2L, Array[Byte](1, 2, 3), "application/octet-stream", 0, 0)) // undecodable
+      .toDF("doc_id", "media", "mime", "width", "height")
+    val out = Multimodal.resizeImages(spark, media, 7, 5).collect().sortBy(_.doc_id)
+    assert(out(0).width == 7 && out(0).height == 5)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(0).media))
+    assert(back.getWidth == 7 && back.getHeight == 5)
+    for (y <- 0 until 5; x <- 0 until 7)
+      assert((back.getRGB(x, y) & 0xffffff) == 0x336699)
+    // corrupt row passes through untouched rather than failing the stage …
+    assert(out(1).media.toSeq == Seq[Byte](1, 2, 3) && out(1).width == 0)
+    // … and decodeImages flags it with the sentinel row
+    val sentinel = Multimodal.decodeImages(spark, media)
+      .filter($"doc_id" === 2L).head()
+    assert(sentinel.width == -1 && sentinel.height == -1 && sentinel.sum_r == 0L)
+  }
+
   test("multimodal: metadata projection prunes the binary column from the scan") {
     val media = Multimodal.synthesizeFromDocs(docs)
     val meta = Multimodal.metadata(media)

@@ -520,4 +520,122 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Set((100.0, 1.0), (100.0, 2.0)))
     } finally q.stop()
   }
+
+  // ---- streaming dedup (round-12: the ingest story) ----
+
+  private def docTs(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
+  test("streaming exact dedup: first fingerprint arrival survives, in-horizon duplicates drop") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = graft.streaming.StreamingDedup.exactDedupStream(
+      input.toDF().toDF("doc_id", "text", "event_ts"), lagSec = 100L)
+    val q = out.writeStream.format("memory").queryName("sd_exact")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (1L, "alpha beta", docTs(10)),
+        (2L, "gamma delta", docTs(11))))
+      q.processAllAvailable()
+      input.addData(Seq(
+        (3L, "alpha beta", docTs(12)),  // exact dup of doc 1 -> dropped
+        (4L, "epsilon zeta", docTs(13))))
+      q.processAllAvailable()
+      val kept = spark.table("sd_exact").select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 4L), s"got $kept")
+    } finally q.stop()
+  }
+
+  test("streaming near-dup alerts: identical text alerts, distinct text and replays do not") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val out = graft.streaming.StreamingDedup.nearDupAlerts(
+      input.toDF().toDF("doc_id", "text", "event_ts"),
+      n = 3, k = 16, bands = 4, threshold = 0.5,
+      lagSec = 5L, ttlSec = 100000L)
+    val q = out.writeStream.format("memory").queryName("sd_alerts")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (1L, base, docTs(10)),
+        (2L, "completely different words about spark plans here", docTs(11))))
+      q.processAllAvailable()
+      input.addData(Seq(
+        (3L, base, docTs(12)),              // identical -> est 1.0 alert vs 1
+        (1L, base, docTs(13)),              // replay of doc 1 -> NO alert
+        (4L, "yet another unrelated text on query optimizers", docTs(14))))
+      q.processAllAvailable()
+      val alerts = spark.table("sd_alerts")
+        .select($"doc_id", $"prior_id", $"est_jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(alerts.map(a => (a._1, a._2)) == Set((3L, 1L)), s"got $alerts")
+      assert(alerts.forall(_._3 == 1.0))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup alerts: state survives checkpoint restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sd-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sd-out").toString
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    def start() = graft.streaming.StreamingDedup.nearDupAlerts(
+        input.toDF().toDF("doc_id", "text", "event_ts"),
+        n = 3, k = 16, bands = 4, threshold = 0.5,
+        lagSec = 5L, ttlSec = 100000L)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(Seq((1L, base, docTs(10))))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(Seq((2L, base, docTs(20)))) // near-dup of PRE-restart doc
+      q2.processAllAvailable()
+      val alerts = spark.read.parquet(outDir)
+        .select($"doc_id", $"prior_id").as[(Long, Long)].collect().toSet
+      assert(alerts == Set((2L, 1L)), s"state lost across restart: $alerts")
+    } finally q2.stop()
+  }
+
+  test("streaming incremental dedup sink: unbounded horizon via the seen store, restart-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-inc-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-inc-out").toString
+    val seenDir = java.nio.file.Files.createTempDirectory("graft-inc-seen")
+      .resolve("store").toString // non-existent leaf: first batch bootstraps
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def start() = graft.streaming.StreamingDedup.incrementalDedupSink(
+      input.toDF().toDF("doc_id", "text", "event_ts"),
+      seenDir, outDir, ckpt).start()
+    val q1 = start()
+    try {
+      input.addData(Seq(
+        (1L, "doc one", docTs(1)),
+        (2L, "doc two", docTs(2)),
+        (3L, "doc one", docTs(3)))) // in-batch dup: smaller id wins
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start() // restart: horizon must survive via the parquet store
+    try {
+      input.addData(Seq(
+        (4L, "doc one", docTs(10)),   // dup of batch-1 doc -> dropped
+        (5L, "doc three", docTs(11))))
+      q2.processAllAvailable()
+      val kept = spark.read.parquet(outDir)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 5L), s"got $kept")
+      // the seen store accumulated exactly the survivor texts
+      val seen = spark.read.parquet(seenDir).select($"text").as[String].collect().toSet
+      assert(seen == Set("doc one", "doc two", "doc three"))
+    } finally q2.stop()
+  }
 }
