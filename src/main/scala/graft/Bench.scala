@@ -55,7 +55,9 @@ object Bench {
 
     val previous = previousRoundTimes()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_TIER=core|extended|all (default all) — same pressure
+    // valve as Verify; the artifact of record keeps the full sweep
+    val names = SparkEntry.queries.keys.toSeq.filter(SparkEntry.tierFilter()).sorted
     names.foreach { n =>
       // a query that fails at warmup would otherwise hide until the timed
       // run — surface the message immediately

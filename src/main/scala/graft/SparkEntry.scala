@@ -2,7 +2,7 @@ package graft
 
 import graft.model.{AggregationSpec, RollupSpec}
 import graft.functions.SubwordExpressions
-import graft.operators.{Anomaly, Dedup, GapFill, HeavyHitters, Multimodal, Profiling, Relational, Sampling, Sessions, Similarity, TextAnalysis}
+import graft.operators.{Anomaly, Dedup, GapFill, HeavyHitters, Multimodal, Profiling, Relational, Sampling, Sessions, Similarity, Sketches, TextAnalysis}
 import graft.plan.RuleCompiler
 import graft.sources.{EnvelopeJson, EventsAdapter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -935,6 +935,32 @@ object SparkEntry {
       "ph AS (SELECT doc_id, xor(z, z >> 31) AS h FROM m4)"
   }
 
+  /** Parametric PolyHash64 mirror: CTE steps hashing string expression
+    * `strExpr` of relation `src` (carrying columns `keep`) into relation
+    * `out(keep..., h)` with h the UNSIGNED HUGEINT in [0, 2⁶⁴) — compose
+    * with [[signedSql]] when the consumer orders by the JVM's signed long.
+    * Same fold/mixer chain as [[PolyHashCte]] (which predates this helper
+    * and stays verbatim so its dependent oracles are untouched). */
+  private def polyHashSteps(keep: String, strExpr: String, src: String,
+      out: String): String = {
+    import graft.functions.PolyHash64.{B, C1, C2}
+    s"hx_$out AS (SELECT $keep, hex(encode($strExpr)) AS x FROM $src), " +
+      s"byt_$out AS (SELECT $keep, [CAST(CAST('0x' || substr(x, 2*i+1, 2) AS INT) AS HUGEINT) " +
+      s"for i in range(len(x)//2)] AS bytes FROM hx_$out), " +
+      s"f0_$out AS (SELECT $keep, list_reduce(list_prepend(CAST(0 AS HUGEINT), bytes), " +
+      s"(acc, b) -> (acc * $B + b) % $Mod64) AS z FROM byt_$out), " +
+      s"m1_$out AS (SELECT $keep, xor(z, z >> 30) AS z FROM f0_$out), " +
+      s"m2_$out AS (SELECT $keep, ${mulMod64Sql("z", C1)} AS z FROM m1_$out), " +
+      s"m3_$out AS (SELECT $keep, xor(z, z >> 27) AS z FROM m2_$out), " +
+      s"m4_$out AS (SELECT $keep, ${mulMod64Sql("z", C2)} AS z FROM m3_$out), " +
+      s"$out AS (SELECT $keep, xor(z, z >> 31) AS h FROM m4_$out)"
+  }
+
+  /** Map the unsigned mod-2⁶⁴ hash back to the JVM's signed long domain so
+    * ORDER BY agrees with Spark's signed comparison. */
+  private def signedSql(h: String): String =
+    s"CAST(CASE WHEN $h >= 9223372036854775808 THEN $h - $Mod64 ELSE $h END AS BIGINT)"
+
   /** SimHash pair mirror: 64 per-doc bit sums (±1 per token hash bit), then
     * hamming = count of bits whose sums disagree in sign — identical to
     * bit_count(xor) over the assembled signatures, without building a 64-bit
@@ -1065,6 +1091,23 @@ object SparkEntry {
     "d6_saltedcount" -> ((s, dir) =>
       Profiling.saltedCount(docs(s, dir), "source", 8)
         .select("source", "cnt")),
+    // SK1 — graft extension: KMV (bottom-k) distinct-count estimate of
+    // active users per event type. k=64 < the sf0.01 cardinality, so the
+    // gate exercises the ESTIMATOR branch there (and the exact m<k branch
+    // at sf0.001, where each type has 15 users)
+    "sketch_kmv_distinct" -> ((s, dir) =>
+      Sketches.kmvDistinct(
+        EventsAdapter.rawEvents(s, dir).select(col("event_type"), col("user_id")),
+        Seq("event_type"), col("user_id"), 64)),
+    // SK2 — graft extension: cross-source textual-overlap (Jaccard)
+    // estimate from per-source KMV sketches over 3-gram shingle hashes —
+    // the source-level contamination/redundancy profile, corpus touched
+    // exactly once
+    "sketch_kmv_overlap" -> ((s, dir) =>
+      Sketches.kmvOverlap(
+        docs(s, dir).select(col("source"),
+          explode(Dedup.wordShingles(col("text"), 3)).as("sh")),
+        "source", graft.functions.HashExpressions.polyHash64(col("sh")), 128)),
     // D3 — graft extension: dense hourly series (zero-filled gaps) of
     // per-tenant signup counts
     "d3_gapfill" -> ((s, dir) =>
@@ -1691,6 +1734,21 @@ object SparkEntry {
         key = "user_id", leftTime = "ts_us", rightTime = "c_ts",
         payload = Seq("c_value"), rightTieBreak = "c_eid")
     }),
+    // SKEW-SAFE as-of: the same backward as-of computed per (user, hour
+    // chunk) with cross-chunk carriers — shares join_asof's oracle, so the
+    // gate proves row-for-row equality with the unsalted algorithm
+    "join_asof_split" -> ((s, dir) => {
+      val ev = EventsAdapter.rawEvents(s, dir)
+      Relational.asofJoinTimeSplit(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("value")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us").as("c_ts"),
+            col("event_id").as("c_eid"), col("value").as("c_value")),
+        key = "user_id", leftTime = "ts_us", rightTime = "c_ts",
+        payload = Seq("c_value"), rightTieBreak = "c_eid",
+        chunkUs = 3600000000L)
+    }),
     // same, with a 6 h staleness tolerance: clicks older than that are
     // reported as no-match (NULL), exercising the tolerance branch
     "join_asof_tol" -> ((s, dir) => {
@@ -1823,6 +1881,52 @@ object SparkEntry {
       "JOIN bench USING (s)) SELECT doc_id FROM documents " +
       "WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)"
 
+  /** Registry tiers (round-11 verdict task #8): the gate grew ~12
+    * queries/round, so the sweep is split into a CORE tier — full reference
+    * parity (every SURVEY §2 row with a batch oracle) plus at least one
+    * representative per extension family — and an EXTENDED tier (every
+    * remaining variant/composition). `graft.Verify` and `graft.Bench` honor
+    * `SPARK_GRAFT_TIER=core|extended|all` (default `all`: at current size
+    * the full sweep is ~90 s verify + ~2 min bench, inside the driver
+    * budget — the tier switch is the pressure valve for when it isn't, and
+    * the fast local iteration loop today). `TierSpec` pins the invariants:
+    * tiers partition the registry and every family keeps a core
+    * representative. */
+  val coreTier: Set[String] = Set(
+    // reference parity (SURVEY §2, oracle-checkable rows)
+    "s2_json_roundtrip", "f1_name_filter", "f2_dim_filter", "f3_dim_reject",
+    "f4_group_presence", "f5_multi_rule", "w1_count_1h",
+    "a1_sum_1d", "a2_count_1d", "a3_avg_1d", "a4_min_1d", "a5_max_1d",
+    "a6_delta_1d", "a7_rate_1d", "a8_stddev_1d", "a9_p50_1d", "a10_p95_1d",
+    "a11_p99_1d", "a12_anomaly",
+    "p1_envelope", "r1_rollup_1d", "r2_rollup_rewindow",
+    // one representative per extension family
+    "dedup_exact", "dedup_minhash", "dedup_decontam", "dedup_semantic",
+    "dedup_incremental",
+    "sim_topk", "sim_ivfpq_topk", "sim_kmeans",
+    "emb_quantize",
+    "sample_pack", "sample_split", "sample_importance",
+    "text_stats", "text_bpe", "text_c4_clean",
+    "join_asof", "join_range",
+    "sketch_kmv_distinct",
+    "mm_decode",
+    "d1_sessionize", "d7_trailing",
+    "audit_split_leakage",
+    "pipeline_e2e")
+
+  def extendedTier: Set[String] = queries.keySet -- coreTier
+
+  /** The tier selected by `SPARK_GRAFT_TIER` (core|extended|all; unset =
+    * all) — the single filter point Verify and Bench share. */
+  def tierFilter(): String => Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_TIER", "all") match {
+      case "core"     => coreTier.contains
+      case "extended" => extendedTier.contains
+      case "all"      => _ => true
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_TIER must be core|extended|all, got '$other'")
+    }
+
   def oracleSql: Map[String, String] = Map(
     // normalization mirror: utf8proc NFC == java.text.Normalizer NFC for
     // the fixture's chars; the scrub class is the same code-point set as
@@ -1838,6 +1942,9 @@ object SparkEntry {
         "coalesce(text, '') || ' ' || chr(8203) || 'zero' || chr(65279) || " +
         "'width ' || chr(7) || 'bell' AS raw FROM documents))"),
     "join_asof" -> asofOracleSql(toleranceUs = -1L),
+    // the time-split variant must be row-for-row identical to the unsalted
+    // as-of — SAME oracle, so the gate checks exactly that
+    "join_asof_split" -> asofOracleSql(toleranceUs = -1L),
     "join_asof_tol" -> asofOracleSql(toleranceUs = 6L * 3600 * 1000000),
     "join_asof_fwd" -> asofOracleSql(toleranceUs = -1L, direction = "forward"),
     "join_asof_near" ->
@@ -1979,6 +2086,45 @@ object SparkEntry {
     // oracle is the plain GROUP BY (the salt never reaches the result)
     "d6_saltedcount" ->
       "SELECT source, count(*) AS cnt FROM documents GROUP BY source",
+    // KMV distinct mirror: k smallest distinct portable hashes per type,
+    // then the identical all-integer estimator ((k−1)·P // (h_k+1); exact
+    // count when fewer than k distinct hashes exist)
+    "sketch_kmv_distinct" ->
+      (s"WITH h AS (SELECT event_type, ${hashRawSql("user_id")} AS h FROM events), " +
+        "d AS (SELECT DISTINCT event_type, h FROM h), " +
+        "r AS (SELECT event_type, h, row_number() OVER (" +
+        "PARTITION BY event_type ORDER BY h) AS rk FROM d), " +
+        "s AS (SELECT event_type, count(*) AS m, max(h) AS hk FROM r " +
+        "WHERE rk <= 64 GROUP BY 1) " +
+        "SELECT event_type, CAST(CASE WHEN m < 64 THEN m " +
+        "ELSE (CAST(63 AS BIGINT) * 2147483647) // (hk + 1) END AS BIGINT) " +
+        "AS est_distinct FROM s"),
+    // KMV overlap mirror: per-source bottom-128 over signed shingle hashes,
+    // the pair's union bottom-128, and n_both/n_union_k — row_number over
+    // the DISTINCT hash set == the Spark side's dense_rank over raw rows
+    "sketch_kmv_overlap" ->
+      (s"WITH t AS (SELECT source, unnest(list_distinct(${ngramsOfToks(3)})) AS sh " +
+        s"FROM (SELECT source, string_split_regex(trim(text, '$SqlWs'), '\\s+') AS toks " +
+        "FROM documents)), " +
+        "dsh AS (SELECT DISTINCT source, sh FROM t), " +
+        polyHashSteps("source", "sh", "dsh", "ph_ov") + ", " +
+        s"hs AS (SELECT source, ${signedSql("h")} AS h FROM ph_ov), " +
+        "dd AS (SELECT DISTINCT source, h FROM hs), " +
+        "sk AS (SELECT source, h FROM (SELECT source, h, row_number() OVER (" +
+        "PARTITION BY source ORDER BY h) AS rk FROM dd) WHERE rk <= 128), " +
+        "pr AS (SELECT a.source AS g_a, b.source AS g_b FROM " +
+        "(SELECT DISTINCT source FROM sk) a JOIN (SELECT DISTINCT source FROM sk) b " +
+        "ON a.source < b.source), " +
+        "mem AS (SELECT p.g_a, p.g_b, s.h, " +
+        "max(CASE WHEN s.source = p.g_a THEN 1 ELSE 0 END) AS ina, " +
+        "max(CASE WHEN s.source = p.g_b THEN 1 ELSE 0 END) AS inb " +
+        "FROM pr p JOIN sk s ON s.source IN (p.g_a, p.g_b) GROUP BY 1, 2, 3), " +
+        "top AS (SELECT * FROM (SELECT g_a, g_b, h, ina, inb, row_number() OVER (" +
+        "PARTITION BY g_a, g_b ORDER BY h) AS rk FROM mem) WHERE rk <= 128) " +
+        "SELECT g_a, g_b, CAST(count(*) AS BIGINT) AS n_union_k, " +
+        "CAST(sum(ina * inb) AS BIGINT) AS n_both, " +
+        "CAST(sum(ina * inb) AS DOUBLE) / count(*) AS jaccard_est " +
+        "FROM top GROUP BY 1, 2"),
     // funnel mirror: per-step earliest-qualifying-event mins through LEFT
     // joins — NULLs propagate exactly like the operator's when() guard
     "d8_funnel" ->

@@ -48,8 +48,9 @@ object Verify {
     val names = {
       // local-iteration filter (unset on the driver): run only these queries
       val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+      val tier = SparkEntry.tierFilter() // SPARK_GRAFT_TIER=core|extended|all
       SparkEntry.queries.keys.toSeq
-        .filter(n => only.forall(_.contains(n))).sorted
+        .filter(n => only.forall(_.contains(n)) && tier(n)).sorted
     }
     val known = fullBenchTimes()
     val defaultCost =

@@ -58,6 +58,25 @@ object Relational {
     if (direction == "nearest")
       return asofNearest(left, right, key, leftTime, rightTime, payload,
         rightTieBreak, toleranceUs, prefix)
+    val (lSide, rSide, pCols) = asofSides(left, right, key, leftTime,
+      rightTime, payload, rightTieBreak, direction)
+
+    // right rows sort BEFORE left rows at equal time (inclusive backward);
+    // among right ties the largest tie-break is seen last and wins
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc_nulls_first, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    asofFinish(lSide.union(rSide), w, toleranceUs, prefix, rightTime, pCols,
+      left.schema)
+  }
+
+  /** The tagged-union sides of the as-of algorithm, shared by [[asofJoin]]
+    * and [[asofJoinTimeSplit]]. `__side`: 0 = right carrier, 1 = left
+    * (probe); the split variant injects synthetic `-1` rows that must sort
+    * before both. */
+  private def asofSides(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String],
+      rightTieBreak: String, direction: String): (DataFrame, DataFrame, Seq[String]) = {
     // forward = the backward algorithm on time-negated axes: the LATEST
     // preceding row of (-t) is the EARLIEST following row of t, and the
     // negated tie-break makes forward ties resolve to the SMALLEST id
@@ -90,25 +109,108 @@ object Relational {
         lit(1).as("__side"), lit(Long.MaxValue).as("__tb"),
         lit(null).cast(pType).as("__p")) ++
         leftFields.map(f => col(f.name)): _*)
+    (lSide, rSide, pCols)
+  }
 
-    // right rows sort BEFORE left rows at equal time (inclusive backward);
-    // among right ties the largest tie-break is seen last and wins
-    val w = Window.partitionBy("__k")
-      .orderBy(col("__t").asc_nulls_first, col("__side").asc, col("__tb").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  /** Shared tail: running-last carry over `w`, tolerance gate, and the
+    * left-rows-only projection back to the caller's schema. */
+  private def asofFinish(unioned: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec,
+      toleranceUs: Long, prefix: String, rightTime: String,
+      pCols: Seq[String], leftSchema: StructType): DataFrame = {
     val carried = last(col("__p"), ignoreNulls = true).over(w)
-
     val matched =
       if (toleranceUs < 0) carried
       else when(carried.getField("__srt") >= col("__t") - lit(toleranceUs), carried)
-
-    lSide.union(rSide)
+    unioned
       .withColumn("__m", matched)
       .where(col("__side") === 1)
-      .select(leftFields.map(f => col(f.name)) ++
+      .select(leftSchema.fields.map(f => col(f.name)) ++
         ((s"$prefix$rightTime", col("__m").getField("__rt")) +:
           pCols.map(p => (s"$prefix$p", col("__m").getField(p))))
           .map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** SKEW-SAFE as-of join — the time-split mitigation [[asofJoin]]'s
+    * scaladoc prescribes, implemented (round-11 verdict task #7): the
+    * single-key sort hazard (one task sorting a hot key's millions of rows)
+    * is removed by splitting every key's timeline into `chunkUs`-wide
+    * chunks and running the SAME tagged-union running-last algorithm per
+    * (key, chunk) — with each chunk seeded by a synthetic carrier row
+    * holding the latest right payload from all EARLIER chunks, so a match
+    * across a chunk boundary (or many empty chunks back) is still found.
+    * Result is row-for-row IDENTICAL to [[asofJoin]] (property-tested ∀
+    * data/chunk size, and the driver query shares the unsalted oracle).
+    *
+    * How the carry-in is built without touching the big relation twice at
+    * full width: per-(key, chunk) LAST right payload is a map-side-combined
+    * aggregate (the exchange moves one summary row per (key, chunk), not
+    * events), the carry-in is a running last-ignoring-nulls over the
+    * summary rows ordered by chunk EXCLUDING the current one, and the
+    * surviving carriers re-enter the union as `__side = -1` rows at the
+    * chunk start instant (they sort before every real row in the chunk;
+    * inclusive-boundary ties stay exact because the carrier holds the
+    * ORIGINAL match time for the tolerance gate).
+    *
+    * Cost vs [[asofJoin]]: the same one full-width exchange (now keyed
+    * (key, chunk)) plus two summary-sized ones — the hot key's sort
+    * becomes ~rows/chunks per task. Pick chunkUs so a hot key's densest
+    * chunk fits a task's sort buffer (e.g. hour chunks for a key logging
+    * 1e9 events/day → ~4e7 rows/task). `direction` backward|forward
+    * (nearest composes from the two directional runs the way
+    * [[asofNearest]] does). */
+  def asofJoinTimeSplit(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String],
+      rightTieBreak: String, chunkUs: Long, toleranceUs: Long = -1L,
+      prefix: String = "asof_", direction: String = "backward"): DataFrame = {
+    require(payload.nonEmpty, "asofJoinTimeSplit needs at least one payload column")
+    require(chunkUs >= 1, s"chunkUs must be >= 1, got $chunkUs")
+    require(Set("backward", "forward").contains(direction),
+      s"direction must be backward|forward, got $direction")
+    val (lSide, rSide, pCols) = asofSides(left, right, key, leftTime,
+      rightTime, payload, rightTieBreak, direction)
+    // floor division (sign-adjusted __t is negative for forward joins —
+    // truncation would misalign chunk boundaries around zero)
+    val chunk = expr(s"(__t div ${chunkUs}L) + " +
+      s"(CASE WHEN __t % ${chunkUs}L < 0 THEN -1 ELSE 0 END)")
+    val unioned = lSide.union(rSide).withColumn("__c", chunk)
+    // last right payload per (key, chunk): max_by on (__t, __tb) = exactly
+    // the running-last winner among the chunk's right rows. The struct
+    // payload forces a SortAggregate, but the PARTIAL side still combines
+    // map-side (plan-pinned partial_max_by): each input partition sorts
+    // locally and collapses to one row per (key, chunk) BEFORE any
+    // exchange — the summaries' network cost is (key, chunk)-sized, never
+    // event-sized, and no extra full-width shuffle exists.
+    // NOTE the aggregation runs over BOTH sides (left rows contribute a
+    // NULL ordering, which max_by ignores): a left-only (key, chunk) must
+    // still produce a summary row, or its carrier — and every match
+    // reaching it from earlier chunks — would silently vanish
+    val chunkLast = unioned
+      .groupBy(col("__k"), col("__c"))
+      .agg(max_by(struct(col("__t"), col("__tb"), col("__p")),
+        when(col("__side") === 0, struct(col("__t"), col("__tb"))))
+        .as("__last"))
+    // carry-in for each (key, chunk): the latest right payload of any
+    // EARLIER chunk (rowsBetween excludes the current — in-chunk rows are
+    // already present). One row per (key, chunk): skew-immune by size.
+    val wc = Window.partitionBy("__k").orderBy(col("__c").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carriers = chunkLast
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wc))
+      .where(col("__carry").isNotNull)
+      .select(
+        Seq(col("__k"), (col("__c") * lit(chunkUs)).as("__t"),
+          lit(-1).as("__side"), col("__carry").getField("__tb").as("__tb"),
+          col("__carry").getField("__p").as("__p")) ++
+          left.schema.fields.map(f => lit(null).cast(f.dataType).as(f.name)) :+
+          col("__c"): _*)
+    // per-(key, chunk) window: the carrier (__side -1, __t = chunk start)
+    // sorts before every real row of its chunk, so the running last sees
+    // exactly the history the unsalted window would have seen
+    val w = Window.partitionBy("__k", "__c")
+      .orderBy(col("__t").asc_nulls_first, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    asofFinish(unioned.union(carriers), w, toleranceUs, prefix, rightTime,
+      pCols, left.schema)
   }
 
   /** `direction = "nearest"`: each left row takes whichever of its backward

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality / resemblance sketches for corpus profiling at
+  * 100 TB: KMV (k-minimum-values, a.k.a. bottom-k) distinct-count estimation
+  * and cross-source set-resemblance (Jaccard) estimation.
+  *
+  * Why KMV and not HyperLogLog: Spark's `approx_count_distinct` (HLL++) is
+  * register-layout-dependent — no external engine can replay it, so it can
+  * never sit behind the project's exact-equality oracle gate. KMV's sketch is
+  * just "the k smallest distinct values of a deterministic hash": given the
+  * same portable hash the sketch — and therefore the ESTIMATE — is
+  * bit-reproducible on any engine (the DuckDB oracle replays it exactly),
+  * while keeping the same mergeability story as HLL (union of two sketches =
+  * k smallest of the union of their value sets; estimators in Bar-Yossef et
+  * al. 2002 "Counting distinct elements in a data stream" and Beyer et al.
+  * 2007 "On synopses for distinct-value estimation under multiset
+  * operations").
+  *
+  * Scale shape: the ONLY corpus-wide stage is the per-group bottom-k, which
+  * plans as a partial WindowGroupLimit BELOW the group exchange — each input
+  * partition forwards only rows carrying its k smallest distinct hashes, so
+  * the shuffle moves ≈ k·partitions rows per group, never the distinct value
+  * set (the trap an exact `groupBy(group, h)` pre-dedup would re-create).
+  * Everything after the sketch is sketch-sized (k rows per group).
+  */
+object Sketches {
+
+  /** Exclusive upper bound of [[Sampling.hashRaw]]'s range (the Mersenne
+    * prime 2³¹−1) — the denominator domain of the KMV estimator below. */
+  val HashDomain = 2147483647L
+
+  /** The KMV sketch relation: for each group, the k smallest DISTINCT values
+    * of `hash` (one row per kept value, columns `groupCols :+ "__h"`).
+    *
+    * `hash` must be a deterministic per-item hash; ORDER is taken in the
+    * column's own type (signed for a 64-bit hash — fine for resemblance,
+    * where only a consistent total order matters; use [[Sampling.hashRaw]]'s
+    * [0, 2³¹−1) domain when the magnitude feeds an estimator).
+    *
+    * dense_rank (not row_number) so duplicate hash rows never displace a
+    * distinct value from the bottom-k; the trailing distinct() collapses
+    * those duplicates on the already-k-bounded survivors. */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], hash: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(groupCols.nonEmpty, "kmvSketch needs at least one group column")
+    val g = groupCols.map(col)
+    val rk = dense_rank().over(
+      Window.partitionBy(g: _*).orderBy(col("__h").asc))
+    df.select(g :+ hash.as("__h"): _*)
+      .withColumn("__rk", rk)
+      .where(col("__rk") <= k)
+      .select(g :+ col("__h"): _*)
+      .distinct()
+  }
+
+  /** Distinct-count estimate per group from a k-sized KMV sketch over
+    * [[Sampling.hashRaw]] of `id` — `(group, est_distinct)`.
+    *
+    * Estimator, all-integer so every engine computes the identical value:
+    * with m = |sketch| and h_k = max(sketch),
+    *   m < k  → est = m                       (the sketch IS the value set)
+    *   m = k  → est = (k−1)·P div (h_k + 1)   (bottom-k estimator with
+    *            U_(k) ≈ (h_k+1)/P; relative standard error ≈ 1/√(k−2))
+    * Hash collisions of distinct ids merge in the sketch — part of the
+    * estimator's error budget, identical on every replay. */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], idCol: Column,
+      k: Int, seed: Long = 42): DataFrame = {
+    val sk = kmvSketch(df, groupCols, Sampling.hashRaw(idCol, seed), k)
+    sk.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__m"), max(col("__h")).as("__hk"))
+      .select(groupCols.map(col) :+
+        when(col("__m") < k, col("__m"))
+          .otherwise(expr(s"(${(k - 1).toLong} * ${HashDomain}L) div (__hk + 1L)"))
+          .cast("long").as("est_distinct"): _*)
+  }
+
+  /** Cross-group resemblance: for every unordered pair of groups, the
+    * union-sketch Jaccard estimate over a shared deterministic item hash —
+    * `(g_a, g_b, n_union_k, n_both, jaccard_est)`.
+    *
+    * Method (Beyer et al. 2007 §5 / classic minwise resemblance): take the k
+    * smallest distinct hashes of the pair's UNION (computable from the two
+    * per-group sketches alone — the union's bottom-k is a subset of the
+    * sketches' union), count how many of those k live in BOTH groups;
+    * jaccard_est = n_both / n_union_k is unbiased for |A∩B| / |A∪B|.
+    *
+    * The corpus is touched once (the per-group sketch); the pair stage runs
+    * on k·groups rows — with g groups it materializes g·(g−1)/2 pairs, so it
+    * targets the source/shard-profiling regime (tens to thousands of groups),
+    * not pairwise-document similarity (that is [[Dedup]]'s job). */
+  def kmvOverlap(df: DataFrame, groupCol: String, hash: Column,
+      k: Int): DataFrame = {
+    val sk = kmvSketch(df, Seq(groupCol), hash, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcs = sk.select(col(groupCol)).distinct()
+    // tiny (groups²/2 rows); both joins below broadcast it
+    val pairs = srcs.select(col(groupCol).as("g_a"))
+      .crossJoin(srcs.select(col(groupCol).as("g_b")))
+      .where(col("g_a") < col("g_b"))
+    val aRows = pairs.join(sk.withColumnRenamed(groupCol, "g_a"), Seq("g_a"))
+      .select(col("g_a"), col("g_b"), col("__h"), lit(0).as("__side"))
+    val bRows = pairs.join(sk.withColumnRenamed(groupCol, "g_b"), Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("__h"), lit(1).as("__side"))
+    // membership of each union hash in each side, then the union's bottom-k
+    val mem = aRows.unionByName(bRows)
+      .groupBy(col("g_a"), col("g_b"), col("__h"))
+      .agg(max(when(col("__side") === 0, 1).otherwise(0)).as("__ina"),
+        max(when(col("__side") === 1, 1).otherwise(0)).as("__inb"))
+    val rk = dense_rank().over(
+      Window.partitionBy(col("g_a"), col("g_b")).orderBy(col("__h").asc))
+    val out = mem.withColumn("__rk", rk).where(col("__rk") <= k)
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_union_k"),
+        sum(col("__ina") * col("__inb")).as("n_both"))
+      .select(col("g_a"), col("g_b"), col("n_union_k"), col("n_both"),
+        (col("n_both").cast("double") / col("n_union_k").cast("double"))
+          .as("jaccard_est"))
+    out
+  }
+}

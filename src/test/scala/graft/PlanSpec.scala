@@ -512,6 +512,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"running-window carrier missing:\n$plan")
   }
 
+  test("time-split as-of: (key, chunk) window partitions, summaries partial-agg, no join") {
+    // the skew fix only works if (a) the FULL-width exchange is keyed
+    // (key, chunk) — a key-only partition would re-create the hot-key sort
+    // this variant exists to remove — (b) the carry-in summaries are a
+    // partial (map-side combined) aggregate, so the extra exchanges move
+    // one row per (key, chunk), never events, and (c) nothing degenerated
+    // into a join node
+    val plan = executedPlan(
+      SparkEntry.queries("join_asof_split")(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("Join"), s"split as-of must not plan a join:\n$plan")
+    assert(plan.contains("hashpartitioning(__k"),
+      s"expected (key, chunk)-keyed exchanges:\n$plan")
+    assert("hashpartitioning\\(__k[^,)]*, __c".r.findAllIn(plan).nonEmpty,
+      s"the window exchange must include the chunk in its key:\n$plan")
+    assert(plan.contains("partial_max_by"),
+      s"chunk summaries must map-side combine (partial_max_by) before " +
+        s"their exchange:\n$plan")
+  }
   test("nearest as-of: still no join node, ONE shuffle, both frames preceding") {
     // the two directional carriers must share the single key exchange (two
     // sorts are fine) and both run as incremental unbounded-PRECEDING

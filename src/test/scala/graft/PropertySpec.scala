@@ -443,6 +443,32 @@ object PropertySpec extends Properties("graft") {
       got == expected
     }
 
+  property("time-split as-of equals the unsalted as-of row-for-row ∀ rows/tolerance/direction/chunk") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 60L)))
+        .map(_.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }),
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 60L)))
+        .map(_.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong, i * 1.5) }),
+      Gen.oneOf(-1L, 5L, 20L, 100L),
+      Gen.oneOf("backward", "forward"),
+      // chunk 1 = every row its own chunk (all matches cross boundaries),
+      // chunk 7 = boundaries misaligned with the data grid, 1000 = one chunk
+      Gen.oneOf(1L, 7L, 13L, 1000L)) { (lefts, rights, tol, dir, chunk) =>
+      def run(f: => org.apache.spark.sql.DataFrame) =
+        f.select("id", "asof_rt", "asof_v")
+          .as[(Long, Option[Long], Option[Double])].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = run(graft.operators.Relational.asofJoin(
+        lefts.toDF("id", "k", "t"), rights.toDF("k", "rt", "eid", "v"),
+        "k", "t", "rt", payload = Seq("v"), rightTieBreak = "eid",
+        toleranceUs = tol, direction = dir))
+      val got = run(graft.operators.Relational.asofJoinTimeSplit(
+        lefts.toDF("id", "k", "t"), rights.toDF("k", "rt", "eid", "v"),
+        "k", "t", "rt", payload = Seq("v"), rightTieBreak = "eid",
+        chunkUs = chunk, toleranceUs = tol, direction = dir))
+      got == want
+    }
+
   property("range join binned equals the naive filter model ∀ points/intervals/binWidth") =
     forAll(
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 99L)))
