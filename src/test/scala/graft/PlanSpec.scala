@@ -614,6 +614,21 @@ class PlanSpec extends AnyFunSuite {
       s"window must consume the pre-aggregated buckets:\n$plan")
   }
 
+  test("KMV sketch: partial WindowGroupLimit below ONE exchange — the shuffle " +
+      "moves bottom-k candidates, never the distinct value set") {
+    val plan = executedPlan(
+      SparkEntry.queries("sketch_kmv_distinct")(spark, "/root/testdata/sf0.001"))
+    // tree order: Final WGL above the Exchange, Partial WGL below it — so
+    // the Partial node must appear AFTER the Exchange in the plan string
+    assert("Exchange[\\s\\S]*?WindowGroupLimit[^\\n]*Partial".r
+      .findFirstIn(plan).isDefined,
+      s"bottom-k must run map-side (Partial WindowGroupLimit) before the " +
+        s"group exchange:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"the sketch needs exactly ONE exchange (distinct + estimator reuse " +
+        s"the group partitioning):\n$plan")
+  }
+
   test("cross-table LSH join: candidates meet in an equi-join on (tbl, bucket) " +
       "— never a product") {
     val plan = executedPlan(

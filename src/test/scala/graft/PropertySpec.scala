@@ -469,6 +469,32 @@ object PropertySpec extends Properties("graft") {
       got == want
     }
 
+  property("KMV distinct estimate equals the naive bottom-k model ∀ ids/k/seed") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 300L))),
+      Gen.oneOf(2, 4, 16, 64),
+      Gen.choose(Long.MinValue, Long.MaxValue)) { (rows, k, seed) =>
+      // the model replays hashRaw's arithmetic independently, so the
+      // property also re-verifies the column expression — not just the
+      // bottom-k/estimator plumbing
+      def pm(x: Long, m: Long) = ((x % m) + m) % m
+      def hraw(id: Long): Long = {
+        val s1 = java.lang.Math.floorMod(seed, 1000003L) + 1
+        val s2 = java.lang.Math.floorMod(seed, 999983L) + 1
+        val t = pm((pm(id, 1000003L) + s1) * (pm(id, 999983L) + s2), 2147483647L)
+        pm(pm(t * 48271L, 2147483647L) * 48271L, 2147483647L)
+      }
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val hs = rs.map(r => hraw(r._2)).distinct.sorted
+        g -> (if (hs.size < k) hs.size.toLong
+              else (k - 1).toLong * 2147483647L / (hs(k - 1) + 1))
+      }
+      val got = graft.operators.Sketches.kmvDistinct(
+          rows.toDF("g", "id"), Seq("g"), col("id"), k, seed)
+        .as[(Long, Long)].collect().toMap
+      got == want
+    }
+
   property("range join binned equals the naive filter model ∀ points/intervals/binWidth") =
     forAll(
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 99L)))
