@@ -961,6 +961,45 @@ object SparkEntry {
   private def signedSql(h: String): String =
     s"CAST(CASE WHEN $h >= 9223372036854775808 THEN $h - $Mod64 ELSE $h END AS BIGINT)"
 
+  /** Mirror of [[graft.operators.Graph.pageRank]] over
+    * [[graft.operators.Graph.transitionEdges]] of the events table: the
+    * power iteration unrolled into one CTE per round. All operands are
+    * non-negative, so DuckDB's `//` (floor) equals Spark's `div` (trunc);
+    * DuckDB's sum() promotion to HUGEINT is folded back per round by the
+    * CAST to BIGINT — the same value Spark's exact long sums hold.
+    *
+    * Every round CTE is MATERIALIZED: each references its predecessor
+    * twice (contribution join + dangling-mass subquery), so DuckDB's
+    * default CTE inlining would re-expand the whole chain 2^iters times —
+    * the mirror of the Spark side's per-round localCheckpoint. */
+  private def pageRankOracleSql(iters: Int, scale: Long, dampNum: Long,
+      dampDen: Long): String = {
+    val base = (dampDen - dampNum) * scale / dampDen
+    val head = s"WITH ev AS (SELECT user_id, $TsUs AS t, event_id, " +
+      "CAST(json_extract_string(props, '$.k') AS BIGINT) AS node FROM events " +
+      "WHERE json_extract_string(props, '$.k') IS NOT NULL), " +
+      "tr AS (SELECT node AS src, lead(node) OVER (" +
+      "PARTITION BY user_id ORDER BY t, event_id) AS dst FROM ev), " +
+      "edges AS MATERIALIZED (SELECT src, dst, count(*) AS w FROM tr WHERE dst IS NOT NULL " +
+      "GROUP BY 1, 2), " +
+      "nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM edges " +
+      "UNION ALL SELECT dst AS node FROM edges)), " +
+      "outw AS MATERIALIZED (SELECT src, sum(w) AS outw FROM edges GROUP BY 1), " +
+      "eo AS MATERIALIZED (SELECT e.src, e.dst, e.w, o.outw " +
+      "FROM edges e JOIN outw o USING (src)), " +
+      s"r0 AS MATERIALIZED (SELECT node, CAST($scale AS BIGINT) AS r FROM nodes)"
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"r$i AS MATERIALIZED (SELECT n.node, CAST($base + ($dampNum * (COALESCE(c.c, 0) + " +
+        s"(SELECT COALESCE(sum(r), 0) FROM $p WHERE node NOT IN " +
+        s"(SELECT src FROM outw)) // (SELECT count(*) FROM nodes))) // $dampDen " +
+        "AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS node, " +
+        s"sum((r.r * e.w) // e.outw) AS c FROM eo e JOIN $p r ON e.src = r.node " +
+        "GROUP BY 1) c ON n.node = c.node)"
+    }.mkString(", ")
+    s"$head, $iterCtes SELECT node, r AS rank_fp FROM r$iters"
+  }
+
   /** SimHash pair mirror: 64 per-doc bit sums (±1 per token hash bit), then
     * hamming = count of bits whose sums disagree in sign — identical to
     * bit_count(xor) over the assembled signatures, without building a 64-bit
@@ -1091,6 +1130,19 @@ object SparkEntry {
     "d6_saltedcount" -> ((s, dir) =>
       Profiling.saltedCount(docs(s, dir), "source", 8)
         .select("source", "cnt")),
+    // G2 — graft extension: fixed-point weighted PageRank over the
+    // interaction-transition graph (per-user consecutive props.k
+    // transitions) — 10 power iterations, all-integer, bit-identical to
+    // the oracle's unrolled 10-CTE replay
+    "graph_pagerank" -> ((s, dir) => {
+      val ev = EventsAdapter.rawEvents(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("node"))
+        .where(col("node").isNotNull)
+      graft.operators.Graph.pageRank(
+        graft.operators.Graph.transitionEdges(
+          ev, "user_id", Seq("ts_us", "event_id"), "node"), iters = 10)
+    }),
     // SK1 — graft extension: KMV (bottom-k) distinct-count estimate of
     // active users per event type. k=64 < the sf0.01 cardinality, so the
     // gate exercises the ESTIMATOR branch there (and the exact m<k branch
@@ -1908,7 +1960,7 @@ object SparkEntry {
     "sample_pack", "sample_split", "sample_importance",
     "text_stats", "text_bpe", "text_c4_clean",
     "join_asof", "join_range",
-    "sketch_kmv_distinct",
+    "sketch_kmv_distinct", "graph_pagerank",
     "mm_decode",
     "d1_sessionize", "d7_trailing",
     "audit_split_leakage",
@@ -2086,6 +2138,10 @@ object SparkEntry {
     // oracle is the plain GROUP BY (the salt never reaches the result)
     "d6_saltedcount" ->
       "SELECT source, count(*) AS cnt FROM documents GROUP BY source",
+    // PageRank mirror: same edge extraction (lead over (t, event_id)),
+    // then the 10 power iterations UNROLLED as CTEs with the identical
+    // all-integer arithmetic — floor division everywhere, both engines
+    "graph_pagerank" -> pageRankOracleSql(10, 1L << 20, 85, 100),
     // KMV distinct mirror: k smallest distinct portable hashes per type,
     // then the identical all-integer estimator ((k−1)·P // (h_k+1); exact
     // count when fewer than k distinct hashes exist)

@@ -469,6 +469,32 @@ object PropertySpec extends Properties("graft") {
       got == want
     }
 
+  property("fixed-point PageRank equals the naive power-iteration model ∀ graphs/iters") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 4L),
+        Gen.choose(1L, 5L))),
+      Gen.oneOf(1, 2, 3)) { (rawEdges, iters) =>
+      // pre-aggregate parallel edges (pageRank's input contract)
+      val edges = rawEdges.groupBy(e => (e._1, e._2))
+        .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
+      val scale = 1L << 20
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+      val base = (100L - 85L) * scale / 100L
+      var r = nodes.map(_ -> scale).toMap
+      for (_ <- 1 to iters) {
+        val dang = nodes.filterNot(out.contains).map(r).sum
+        val contrib = edges.groupBy(_._2).map { case (d, es) =>
+          d -> es.map { case (s, _, w) => r(s) * w / out(s) }.sum }
+        r = nodes.map(v => v ->
+          (base + 85L * (contrib.getOrElse(v, 0L) + dang / nodes.size) / 100L)).toMap
+      }
+      val got = graft.operators.Graph.pageRank(
+          edges.toDF("src", "dst", "w"), iters)
+        .as[(Long, Long)].collect().toMap
+      got == r
+    }
+
   property("KMV distinct estimate equals the naive bottom-k model ∀ ids/k/seed") =
     forAll(
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 300L))),
