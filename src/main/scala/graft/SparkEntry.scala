@@ -2,7 +2,7 @@ package graft
 
 import graft.model.{AggregationSpec, RollupSpec}
 import graft.functions.SubwordExpressions
-import graft.operators.{Anomaly, Dedup, GapFill, HeavyHitters, Multimodal, Profiling, Relational, Sampling, Sessions, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Anomaly, Dedup, GapFill, HeavyHitters, Layout, Multimodal, Profiling, Relational, Sampling, Sessions, Similarity, Sketches, TextAnalysis}
 import graft.plan.RuleCompiler
 import graft.sources.{EnvelopeJson, EventsAdapter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -961,6 +961,21 @@ object SparkEntry {
   private def signedSql(h: String): String =
     s"CAST(CASE WHEN $h >= 9223372036854775808 THEN $h - $Mod64 ELSE $h END AS BIGINT)"
 
+  /** Mirror of [[graft.operators.Layout.spread31]] /
+    * [[graft.operators.Layout.zValue]]: the same mask-shift chain in BIGINT
+    * bit operators. Each fold step duplicates its accumulator textually
+    * (2⁵ copies of the innermost term) — DuckDB CSE collapses them. */
+  private def spreadSql(v: String): String =
+    Seq(("16", "281470681808895"), ("8", "71777214294589695"),
+      ("4", "1085102592571150095"), ("2", "3689348814741910323"),
+      ("1", "6148914691236517205"))
+      .foldLeft(s"(($v) & 2147483647)") { case (acc, (sh, mask)) =>
+        s"((($acc) | (($acc) << $sh)) & $mask)"
+      }
+
+  private def zorderSql(x: String, y: String): String =
+    s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
+
   /** Mirror of [[graft.operators.Graph.pageRank]] over
     * [[graft.operators.Graph.transitionEdges]] of the events table: the
     * power iteration unrolled into one CTE per round. All operands are
@@ -1130,6 +1145,13 @@ object SparkEntry {
     "d6_saltedcount" -> ((s, dir) =>
       Profiling.saltedCount(docs(s, dir), "source", 8)
         .select("source", "cnt")),
+    // L1 — graft extension: the Z-order (Morton) clustering key over
+    // (user, day) — the write-layout primitive that makes parquet zone
+    // maps selective on both dimensions (LayoutSpec measures the actual
+    // file-pruning win; this query pins the key's bit arithmetic)
+    "layout_zorder" -> ((s, dir) =>
+      EventsAdapter.rawEvents(s, dir).select(col("event_id"),
+        Layout.zValue(col("user_id"), expr("ts_us div 86400000000L")).as("z"))),
     // G2 — graft extension: fixed-point weighted PageRank over the
     // interaction-transition graph (per-user consecutive props.k
     // transitions) — 10 power iterations, all-integer, bit-identical to
@@ -1960,7 +1982,7 @@ object SparkEntry {
     "sample_pack", "sample_split", "sample_importance",
     "text_stats", "text_bpe", "text_c4_clean",
     "join_asof", "join_range",
-    "sketch_kmv_distinct", "graph_pagerank",
+    "sketch_kmv_distinct", "graph_pagerank", "layout_zorder",
     "mm_decode",
     "d1_sessionize", "d7_trailing",
     "audit_split_leakage",
@@ -2138,6 +2160,11 @@ object SparkEntry {
     // oracle is the plain GROUP BY (the salt never reaches the result)
     "d6_saltedcount" ->
       "SELECT source, count(*) AS cnt FROM documents GROUP BY source",
+    // Z-order mirror: the identical mask-shift Morton spread in BIGINT
+    // bit arithmetic (31-bit inputs keep every intermediate positive)
+    "layout_zorder" ->
+      (s"SELECT event_id, ${zorderSql("user_id", s"($TsUs // 86400000000)")} AS z " +
+        "FROM events"),
     // PageRank mirror: same edge extraction (lead over (t, event_id)),
     // then the 10 power iterations UNROLLED as CTEs with the identical
     // all-integer arithmetic — floor division everywhere, both engines
