@@ -1173,6 +1173,12 @@ object SparkEntry {
       Sketches.kmvDistinct(
         EventsAdapter.rawEvents(s, dir).select(col("event_type"), col("user_id")),
         Seq("event_type"), col("user_id"), 64)),
+    // SK3 — graft extension: mergeable fixed-bin histogram quantiles per
+    // event type (64 bins × 10.0 over [0, 640)) — the corpus-scale
+    // alternative to exact percentile's per-group value buffering
+    "sketch_hist_quantile" -> ((s, dir) =>
+      Sketches.histQuantiles(EventsAdapter.rawEvents(s, dir),
+        Seq("event_type"), "value", 0.0, 10.0, 64, Seq(0.5, 0.95, 0.99))),
     // SK2 — graft extension: cross-source textual-overlap (Jaccard)
     // estimate from per-source KMV sketches over 3-gram shingle hashes —
     // the source-level contamination/redundancy profile, corpus touched
@@ -2182,6 +2188,21 @@ object SparkEntry {
         "SELECT event_type, CAST(CASE WHEN m < 64 THEN m " +
         "ELSE (CAST(63 AS BIGINT) * 2147483647) // (hk + 1) END AS BIGINT) " +
         "AS est_distinct FROM s"),
+    // histogram-quantile mirror: identical bin clamp, cumulative bin
+    // counts, and ceil(q·n) rank threshold; the SELECTed edge expression
+    // (lo + bin·width) matches the Spark op sequence IEEE-for-IEEE
+    "sketch_hist_quantile" ->
+      ("WITH b AS (SELECT event_type, CAST(least(greatest(floor((value - 0.0) / 10.0), " +
+        "0), 63) AS BIGINT) AS bin FROM events), " +
+        "c AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, bin, CAST(sum(cnt) OVER (PARTITION BY event_type " +
+        "ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, " +
+        "CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM c) " +
+        "SELECT event_type, " +
+        "min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN 0.0 + bin * 10.0 END) AS p50, " +
+        "min(CASE WHEN cum >= CAST(ceil(0.95 * n) AS BIGINT) THEN 0.0 + bin * 10.0 END) AS p95, " +
+        "min(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT) THEN 0.0 + bin * 10.0 END) AS p99 " +
+        "FROM w GROUP BY 1"),
     // KMV overlap mirror: per-source bottom-128 over signed shingle hashes,
     // the pair's union bottom-128, and n_both/n_union_k — row_number over
     // the DISTINCT hash set == the Spark side's dense_rank over raw rows

@@ -93,6 +93,54 @@ object Sketches {
     * on k·groups rows — with g groups it materializes g·(g−1)/2 pairs, so it
     * targets the source/shard-profiling regime (tens to thousands of groups),
     * not pairwise-document similarity (that is [[Dedup]]'s job). */
+  /** Mergeable fixed-bin histogram quantiles — the corpus-scale path for
+    * per-group p50/p95/p99 when exact `percentile` (which buffers every
+    * value per group) stops being affordable. The bin layout (lo, width,
+    * bins) is FIXED up front, so per-partition histograms merge by plain
+    * addition — map-side combine collapses each input partition to ≤ bins
+    * rows per group before the one group exchange, and a second tiny
+    * exchange never exceeds bins rows per group.
+    *
+    * Returned quantile = the LOWER EDGE of the first bin whose cumulative
+    * count reaches ceil(q·n): deterministic, engine-portable (the DuckDB
+    * oracle replays it bit-for-bit), and within one bin width of the exact
+    * quantile by construction — the sketch's stated resolution, not an
+    * estimate with a tail. Values below `lo` clamp into bin 0 and values
+    * beyond the last edge into bin `bins−1` (their edges then under/
+    * over-state accordingly — size the layout from a profile first).
+    *
+    * Why not t-digest/KLL: their merge results depend on buffer order, so
+    * no external engine can replay them; the fixed layout trades adaptive
+    * resolution for bit-reproducibility and associativity. */
+  def histQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double, width: Double, bins: Int, qs: Seq[Double]): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(width > 0, s"width must be > 0, got $width")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1], got $qs")
+    val g = groupCols.map(col)
+    val bin = least(greatest(floor((col(valueCol) - lit(lo)) / lit(width)), lit(0)),
+      lit((bins - 1).toLong)).cast("long")
+    val counts = df.select(g :+ bin.as("__bin"): _*)
+      .groupBy(g :+ col("__bin"): _*).agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__bin").asc)
+    val cum = counts
+      .withColumn("__cum", sum(col("__cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val edge = lit(lo) + col("__bin").cast("double") * lit(width)
+    cum.groupBy(g: _*).agg(
+      min(when(col("__cum") >= ceil(lit(qs.head) * col("__n")), edge))
+        .as(qName(qs.head)),
+      qs.tail.map(q =>
+        min(when(col("__cum") >= ceil(lit(q) * col("__n")), edge))
+          .as(qName(q))): _*)
+  }
+
+  private def qName(q: Double): String =
+    "p" + (q * 100).round.toString
+
   def kmvOverlap(df: DataFrame, groupCol: String, hash: Column,
       k: Int): DataFrame = {
     val sk = kmvSketch(df, Seq(groupCol), hash, k)

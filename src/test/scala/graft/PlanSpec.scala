@@ -629,6 +629,17 @@ class PlanSpec extends AnyFunSuite {
         s"the group partitioning):\n$plan")
   }
 
+  test("histogram quantiles: partial bin counts below the first exchange; " +
+      "everything after is bins-sized (two exchanges total)") {
+    val plan = executedPlan(
+      SparkEntry.queries("sketch_hist_quantile")(spark, "/root/testdata/sf0.001"))
+    assert("Exchange[\\s\\S]*?partial_count".r.findFirstIn(plan).isDefined,
+      s"bin counts must map-side combine below their exchange:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 2,
+      s"exactly two exchanges (bin counts, then the group window — the " +
+        s"final quantile agg must reuse the group partitioning):\n$plan")
+  }
+
   test("cross-table LSH join: candidates meet in an equi-join on (tbl, bucket) " +
       "— never a product") {
     val plan = executedPlan(

@@ -495,6 +495,38 @@ object PropertySpec extends Properties("graft") {
       got == r
     }
 
+  property("histogram quantiles equal the naive bin model and bracket the exact rank ∀ values/q") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L),
+        Gen.choose(-50L, 700L).map(_ / 1.0))),
+      Gen.oneOf(0.5, 0.9, 0.95, 1.0)) { (rows, q) =>
+      val (lo, width, bins) = (0.0, 10.0, 64)
+      def binOf(v: Double) =
+        math.min(math.max(math.floor((v - lo) / width), 0), bins - 1.0).toLong
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val cnt = rs.groupBy(r => binOf(r._2)).view.mapValues(_.size.toLong)
+        val n = rs.size.toLong
+        val target = math.ceil(q * n).toLong
+        var cum = 0L
+        val edge = cnt.toSeq.sortBy(_._1).collectFirst {
+          case (b, c) if { cum += c; cum >= target } => lo + b * width
+        }.get
+        g -> edge
+      }
+      val got = graft.operators.Sketches.histQuantiles(
+          rows.toDF("g", "v"), Seq("g"), "v", lo, width, bins, Seq(q))
+        .as[(Long, Double)].collect().toMap
+      // the model edge must also bracket the exact rank-ceil(q·n) value
+      // when that value lies inside the layout (clamped bins excepted)
+      val brackets = rows.groupBy(_._1).forall { case (g, rs) =>
+        val exact = rs.map(_._2).sorted.apply(
+          math.ceil(q * rs.size).toInt - 1)
+        exact < lo || exact >= lo + bins * width ||
+          (want(g) <= exact && exact < want(g) + width)
+      }
+      got == want && brackets
+    }
+
   property("KMV distinct estimate equals the naive bottom-k model ∀ ids/k/seed") =
     forAll(
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 300L))),
