@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Mergeable cardinality / resemblance sketches for corpus profiling at
   * 100 TB: KMV (k-minimum-values, a.k.a. bottom-k) distinct-count estimation
@@ -140,6 +141,96 @@ object Sketches {
 
   private def qName(q: Double): String =
     "p" + (q * 100).round.toString
+
+  /** KMV state: the ≤ k smallest distinct 64-bit hashes, kept sorted in
+    * UNSIGNED order (array state encodes ~6× cheaper per state-store
+    * round-trip than a collection — same measurement as
+    * [[HeavyHitters.PackedCounts]]). */
+  case class KmvHashes(hashes: Array[Long])
+
+  /** One emitted per-(window, tenant) distinct estimate. */
+  case class KmvEstimate(window_start: Long, tenant_id: String,
+      est_distinct: Long)
+
+  /** The 64-bit-domain KMV estimator over an unsigned-sorted bottom-k array:
+    * exact below k, else (k−1)·2⁶⁴ / (h_k+1) with h_k read as unsigned
+    * (BigInt only at emission — once per closed group, never per row). */
+  def kmvEstimate64(sortedUnsigned: Array[Long], k: Int): Long =
+    if (sortedUnsigned.length < k) sortedUnsigned.length.toLong
+    else {
+      val hk = BigInt(java.lang.Long.toUnsignedString(sortedUnsigned.last))
+      ((BigInt(k - 1) << 64) / (hk + 1)).toLong
+    }
+
+  /** STREAMING distinct-count estimate per (event-time window, tenant) —
+    * the KMV counterpart of [[HeavyHitters.byWindowStreaming]], and the
+    * bounded-state replacement for streaming `dropDuplicates`+count when
+    * per-window cardinality is unbounded: state is O(k) longs per open
+    * window REGARDLESS of stream cardinality, merged per batch in
+    * O(rows·log k).
+    *
+    * The estimate is emitted exactly once, when the watermark passes the
+    * window end (+lag): an estimate over a half-open window would repeat
+    * with a different value per batch, which Append mode can't retract.
+    * The hash is the portable [[graft.functions.PolyHash64]] over the dim
+    * value, estimator = [[kmvEstimate64]] (64-bit unsigned domain — the
+    * string-keyed twin of [[kmvDistinct]]'s 31-bit numeric-id domain), so a
+    * batch replay over the same envelope rows reproduces the emission
+    * bit-for-bit (golden-tested in StreamingSpec). */
+  def kmvDistinctStreaming(envs: DataFrame, windowSizeSec: Long,
+      dimKey: String, k: Int, lagSec: Long): Dataset[KmvEstimate] = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = envs.sparkSession
+    import spark.implicits._
+    val input = envs.select(
+        col("meta").getItem("tenantId").as("tenant_id"),
+        col("metric.dimensions").getItem(dimKey).as("value"),
+        (col("metric.timestamp") / 1000).cast("timestamp").as("event_ts"))
+      .filter(col("value").isNotNull)
+      .withWatermark("event_ts", s"$lagSec seconds")
+      .withColumn("window_start",
+        (floor(col("event_ts").cast("double") / windowSizeSec) * windowSizeSec)
+          .cast("long"))
+      // the hash runs as a codegen'd column BEFORE the state function —
+      // rows reach the state store as (keys, one long); event_ts rides
+      // along for the event-time timeout to resolve
+      .select(col("window_start"), col("tenant_id"),
+        graft.functions.HashExpressions.polyHash64(col("value")).as("h"),
+        col("event_ts"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
+    input.groupByKey { case (w, t, _, _) => (w, t) }
+      .flatMapGroupsWithState[KmvHashes, KmvEstimate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((w, t), rows, state) =>
+          if (state.hasTimedOut) {
+            val hs = state.get.hashes
+            state.remove()
+            Iterator.single(KmvEstimate(w, t, kmvEstimate64(hs, k)))
+          } else {
+            val cmp = new java.util.Comparator[java.lang.Long] {
+              def compare(a: java.lang.Long, b: java.lang.Long): Int =
+                java.lang.Long.compareUnsigned(a, b)
+            }
+            val set = new java.util.TreeSet[java.lang.Long](cmp)
+            state.getOption.foreach(_.hashes.foreach(h => set.add(h)))
+            rows.foreach { case (_, _, h, _) =>
+              if (set.size < k) set.add(h)
+              else if (java.lang.Long.compareUnsigned(h, set.last) < 0) {
+                set.add(h)
+                if (set.size > k) set.pollLast()
+              }
+            }
+            val out = new Array[Long](set.size)
+            val it = set.iterator
+            var i = 0
+            while (it.hasNext) { out(i) = it.next(); i += 1 }
+            state.update(KmvHashes(out))
+            state.setTimeoutTimestamp(math.max((w + windowSizeSec) * 1000,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
 
   def kmvOverlap(df: DataFrame, groupCol: String, hash: Column,
       k: Int): DataFrame = {

@@ -638,4 +638,70 @@ class StreamingSpec extends AnyFunSuite {
       assert(seen == Set("doc one", "doc two", "doc three"))
     } finally q2.stop()
   }
+
+  test("streaming KMV distinct: exact below k, emitted once at window close") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 3400000000L
+    def ev(user: String, sec: Long) = env("metric2",
+      Map("user_id" -> user, "service" -> "0", "hostname" -> "0"),
+      (base + sec) * 1000.0, 1.0)
+    val input = MemoryStream[MetricEnvelope]
+    val out = graft.operators.Sketches.kmvDistinctStreaming(
+      input.toDF(), windowSizeSec = 10L, dimKey = "user_id", k = 8, lagSec = 2L)
+    val q = out.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(ev("a", 1), ev("b", 2), ev("a", 3)))
+      q.processAllAvailable()
+      input.addData(Seq(ev("c", 4), ev("b", 5)))
+      q.processAllAvailable()
+      assert(spark.table("kmv_stream").count() == 0) // window still open
+      input.addData(Seq(ev("z", 20))) // watermark past end + lag
+      q.processAllAvailable()
+      val rows = spark.table("kmv_stream")
+        .as[(Long, String, Long)].collect().toSet
+      assert(rows == Set((base, "tenant-a", 3L)),
+        s"3 distinct users across batches must estimate exactly 3: $rows")
+      input.addData(Seq(ev("z", 40))) // must not re-emit (state removed)
+      q.processAllAvailable()
+      assert(spark.table("kmv_stream").filter($"window_start" === base).count() == 1)
+    } finally q.stop()
+  }
+
+  test("streaming KMV distinct: above k the emission replays the batch estimator bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 3500000000L
+    def ev(user: String, sec: Long) = env("metric2",
+      Map("user_id" -> user, "service" -> "0", "hostname" -> "0"),
+      (base + sec) * 1000.0, 1.0)
+    val users = Seq("u1", "u2", "u3", "u4", "u5", "u6", "u7")
+    // model replay: the same PolyHash64 fold + unsigned bottom-k + estimator
+    def ph(s: String): Long = graft.functions.PolyHash64.mix(
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) =>
+        h * graft.functions.PolyHash64.B + (b & 0xffL)))
+    val expected = graft.operators.Sketches.kmvEstimate64(
+      users.map(ph).distinct
+        .sortBy(h => BigInt(java.lang.Long.toUnsignedString(h))).take(2).toArray, 2)
+    val input = MemoryStream[MetricEnvelope]
+    val out = graft.operators.Sketches.kmvDistinctStreaming(
+      input.toDF(), windowSizeSec = 10L, dimKey = "user_id", k = 2, lagSec = 2L)
+    val q = out.writeStream.format("memory").queryName("kmv_stream2")
+      .outputMode("append").start()
+    try {
+      // split across batches so the bottom-k actually merges through state
+      input.addData(users.take(3).zipWithIndex.map { case (u, i) => ev(u, i + 1L) })
+      q.processAllAvailable()
+      input.addData(users.drop(3).zipWithIndex.map { case (u, i) => ev(u, i + 5L) })
+      q.processAllAvailable()
+      input.addData(Seq(ev("z", 25)))
+      q.processAllAvailable()
+      val rows = spark.table("kmv_stream2")
+        .filter($"window_start" === base)
+        .as[(Long, String, Long)].collect().toSet
+      assert(rows == Set((base, "tenant-a", expected)),
+        s"streaming emission must equal the model estimate $expected: $rows")
+    } finally q.stop()
+  }
 }
