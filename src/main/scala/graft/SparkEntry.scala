@@ -976,6 +976,14 @@ object SparkEntry {
   private def zorderSql(x: String, y: String): String =
     s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
 
+  /** Mirror of [[graft.operators.Layout.zValueN]]: the per-bit interleave
+    * spelled out term by term (n·bitsEach OR-terms). */
+  private def zorderNSql(dims: Seq[String], bitsEach: Int): String =
+    dims.zipWithIndex.flatMap { case (d, i) =>
+      (0 until bitsEach).map(j =>
+        s"(((($d) >> $j) & 1) << ${j * dims.size + i})")
+    }.mkString("(", " | ", ")")
+
   /** Mirror of [[graft.operators.Graph.pageRank]] over
     * [[graft.operators.Graph.transitionEdges]] of the events table: the
     * power iteration unrolled into one CTE per round. All operands are
@@ -1152,6 +1160,12 @@ object SparkEntry {
     "layout_zorder" -> ((s, dir) =>
       EventsAdapter.rawEvents(s, dir).select(col("event_id"),
         Layout.zValue(col("user_id"), expr("ts_us div 86400000000L")).as("z"))),
+    // L2 — graft extension: the 3-dimensional Z key (user × day × hour) —
+    // the general per-bit interleave for clustering on 3+ dimensions
+    "layout_zorder3" -> ((s, dir) =>
+      EventsAdapter.rawEvents(s, dir).select(col("event_id"),
+        Layout.zValueN(Seq(col("user_id"), expr("ts_us div 86400000000L"),
+          expr("(ts_us div 3600000000L) % 24L")), 20).as("z"))),
     // G2 — graft extension: fixed-point weighted PageRank over the
     // interaction-transition graph (per-user consecutive props.k
     // transitions) — 10 power iterations, all-integer, bit-identical to
@@ -2170,6 +2184,10 @@ object SparkEntry {
     // bit arithmetic (31-bit inputs keep every intermediate positive)
     "layout_zorder" ->
       (s"SELECT event_id, ${zorderSql("user_id", s"($TsUs // 86400000000)")} AS z " +
+        "FROM events"),
+    "layout_zorder3" ->
+      (s"SELECT event_id, ${zorderNSql(Seq("user_id",
+        s"($TsUs // 86400000000)", s"(($TsUs // 3600000000) % 24)"), 20)} AS z " +
         "FROM events"),
     // PageRank mirror: same edge extraction (lead over (t, event_id)),
     // then the 10 power iterations UNROLLED as CTEs with the identical

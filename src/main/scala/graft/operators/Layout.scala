@@ -44,6 +44,26 @@ object Layout {
   def zValue(x: Column, y: Column): Column =
     spread31(x.cast("long")).bitwiseOR(shiftleft(spread31(y.cast("long")), 1))
 
+  /** N-dimensional Z value: bit j of dimension i lands at position
+    * j·n + i, interleaving `bitsEach` low bits of every dimension
+    * (n·bitsEach ≤ 62 keeps the result positive). The 2-dim case is
+    * bit-identical to [[zValue]] at bitsEach=31 (property-pinned) — prefer
+    * [[zValue]] there (5 mask steps vs 62 bit extracts); this general form
+    * covers 3+ clustering dimensions (e.g. user × day × hour). The per-bit
+    * extracts are all native expressions: still whole-stage codegen, still
+    * replayable in plain SQL bit arithmetic. */
+  def zValueN(dims: Seq[Column], bitsEach: Int): Column = {
+    require(dims.size >= 2, s"need >= 2 dimensions, got ${dims.size}")
+    require(bitsEach >= 1 && dims.size * bitsEach <= 62,
+      s"${dims.size} dims × $bitsEach bits must fit 62 bits")
+    dims.zipWithIndex.map { case (c, i) =>
+      val cl = c.cast("long")
+      (0 until bitsEach).map { j =>
+        shiftleft(shiftright(cl, j).bitwiseAND(lit(1L)), j * dims.size + i)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Cluster `df` for writing: range-partition into `numFiles` output
     * partitions by the z-value of the two dimensions and sort within each —
     * one shuffle at WRITE time, after which every output file's min/max

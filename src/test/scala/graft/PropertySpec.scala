@@ -469,6 +469,17 @@ object PropertySpec extends Properties("graft") {
       got == want
     }
 
+  property("zValueN at 2 dims × 31 bits is bit-identical to the mask-spread zValue ∀ x/y") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 0x7fffffffL), Gen.choose(0L, 0x7fffffffL)))) { xs =>
+      val rows = xs.toDF("x", "y")
+      val both = rows.select(
+        graft.operators.Layout.zValue(col("x"), col("y")).as("a"),
+        graft.operators.Layout.zValueN(Seq(col("x"), col("y")), 31).as("b"))
+        .as[(Long, Long)].collect()
+      both.forall { case (a, b) => a == b }
+    }
+
   property("fixed-point PageRank equals the naive power-iteration model ∀ graphs/iters") =
     forAll(
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 4L),
