@@ -1153,6 +1153,14 @@ object SparkEntry {
     "d6_saltedcount" -> ((s, dir) =>
       Profiling.saltedCount(docs(s, dir), "source", 8)
         .select("source", "cnt")),
+    // SM — graft extension: token-budget mixture sampling (source weights
+    // → per-source keep rates; src2's 0.9 share exceeds its corpus so its
+    // rate clamps at 1.0, exercising the keep-whole branch)
+    "sample_mixture" -> ((s, dir) =>
+      Sampling.mixtureSample(docs(s, dir), "doc_id", "source",
+          TextAnalysis.tokenCount(col("text")),
+          Seq(("src0", 0.5), ("src1", 0.02), ("src2", 0.9)), 2000L)
+        .select("doc_id", "source")),
     // L1 — graft extension: the Z-order (Morton) clustering key over
     // (user, day) — the write-layout primitive that makes parquet zone
     // maps selective on both dimensions (LayoutSpec measures the actual
@@ -2185,6 +2193,17 @@ object SparkEntry {
     "layout_zorder" ->
       (s"SELECT event_id, ${zorderSql("user_id", s"($TsUs // 86400000000)")} AS z " +
         "FROM events"),
+    // mixture mirror: identical rate arithmetic (targetTokens·wt / toks,
+    // clamped at 1.0) and the shared portable hash gate
+    "sample_mixture" ->
+      (s"WITH tot AS (SELECT source, CAST(sum($TokN) AS DOUBLE) AS toks " +
+        "FROM documents GROUP BY 1), " +
+        "w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.02), " +
+        "('src2', 0.9)) AS t(source, wt)), " +
+        "r AS (SELECT source, least(1.0, (2000.0 * wt) / toks) AS rate " +
+        "FROM tot JOIN w USING (source)) " +
+        "SELECT doc_id, source FROM documents JOIN r USING (source) " +
+        s"WHERE $HashB < CAST(floor(rate * 9973.0) AS BIGINT)"),
     "layout_zorder3" ->
       (s"SELECT event_id, ${zorderNSql(Seq("user_id",
         s"($TsUs // 86400000000)", s"(($TsUs // 3600000000) % 24)"), 20)} AS z " +

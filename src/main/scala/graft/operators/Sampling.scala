@@ -510,4 +510,42 @@ object Sampling {
       .limit(k)
       .drop(wk)
   }
+
+  /** Training-data MIXTURE sampling: down-sample each source to its share
+    * of a target token budget (the Pile/CCNet-style mixing step that turns
+    * "weights per source" into an actual corpus). For each (source, weight)
+    * the kept fraction is
+    *   rate_s = min(1, targetTokens·weight_s / tokens_s)
+    * and rows pass the same portable hash gate as [[sampleByHash]] — so the
+    * mix is deterministic across reruns and engines, membership never
+    * depends on other rows, and a source whose corpus is SMALLER than its
+    * requested share is kept whole (rate clamps at 1; the budget shortfall
+    * is the signal to upsample separately, not to silently over-draw the
+    * others). Sources absent from `weights` are excluded — the mixture
+    * DEFINES the output corpus.
+    *
+    * Scale shape: one map-side-combined per-source token aggregate (rows =
+    * #sources), broadcast back onto the corpus for a narrow hash-gate
+    * filter — the corpus itself is scanned, never shuffled; the gate-side
+    * scan prunes to (id, source, payload) since token counts only feed the
+    * tiny totals branch. */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+      tokens: Column, weights: Seq[(String, Double)], targetTokens: Long,
+      seed: Long = 42): DataFrame = {
+    require(weights.nonEmpty, "mixtureSample needs at least one source weight")
+    require(weights.forall(_._2 > 0), s"weights must be positive: $weights")
+    require(targetTokens >= 1, s"targetTokens must be >= 1, got $targetTokens")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val w = weights.toDF(sourceCol, "__wt")
+    val rates = df.groupBy(sourceCol).agg(sum(tokens).as("__toks"))
+      .join(w, sourceCol)
+      .select(col(sourceCol),
+        least(lit(1.0), (lit(targetTokens.toDouble) * col("__wt")) /
+          col("__toks").cast("double")).as("__rate"))
+    df.join(broadcast(rates), sourceCol)
+      .where(hashBucket(col(idCol), seed) <
+        floor(col("__rate") * lit(Buckets.toDouble)).cast("long"))
+      .drop("__rate")
+  }
 }
