@@ -2,7 +2,7 @@ package graft
 
 import graft.model.{AggregationSpec, RollupSpec}
 import graft.functions.SubwordExpressions
-import graft.operators.{Anomaly, Dedup, GapFill, HeavyHitters, Layout, Multimodal, Profiling, Relational, Sampling, Sessions, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Anomaly, Dedup, FuzzyString, GapFill, HeavyHitters, Layout, Multimodal, Profiling, Relational, Sampling, Sessions, Similarity, Sketches, Snapshot, TextAnalysis}
 import graft.plan.RuleCompiler
 import graft.sources.{EnvelopeJson, EventsAdapter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1210,6 +1210,67 @@ object SparkEntry {
         docs(s, dir).select(col("source"),
           explode(Dedup.wordShingles(col("text"), 3)).as("sh")),
         "source", graft.functions.HashExpressions.polyHash64(col("sh")), 128)),
+    // CDC1 — graft extension: apply a deterministic changeset (updates on
+    // keys %10==3, deletes on %10==7, inserts re-keyed +1e6 from %10==1)
+    // to the orders snapshot via the single-shuffle union+top-1 merge
+    "cdc_merge" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val upd = base.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice", safeRound2(col("o_totalprice") * 1.1))
+        .withColumn("__del", lit(false))
+      val del = base.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("__del", lit(true))
+      val ins = base.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("__del", lit(false))
+      Snapshot.mergeChanges(base, upd.unionByName(del).unionByName(ins),
+          "o_orderkey", "__del")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          safeRound2(col("o_totalprice")).as("o_totalprice"))
+    }),
+    // CDC2 — graft extension: snapshot diff between two derived orders
+    // snapshots (old drops %7==0, new drops %5==0 and bumps price on %3==0)
+    "cdc_diff" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val oldSnap = base.filter(col("o_orderkey") % 7 =!= 0)
+      val newSnap = base.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, safeRound2(col("o_totalprice") * 1.05))
+            .otherwise(col("o_totalprice")))
+      Snapshot.diff(oldSnap, newSnap, "o_orderkey",
+        Seq("o_totalprice", "o_orderstatus"))
+    }),
+    // CDC3 — graft extension: SCD-2 validity intervals of each user's
+    // event-type state (consecutive same-type observations collapse)
+    "cdc_scd2" -> ((s, dir) =>
+      Snapshot.scd2(
+        EventsAdapter.rawEvents(s, dir)
+          .select(col("user_id"), col("ts_us"), col("event_type"), col("event_id")),
+        "user_id", "ts_us", Seq("event_type"), "event_id")),
+    // R3 — graft extension: multi-granularity aggregate (CUBE over
+    // event_type × user band) in ONE pass — Expand + a single exchange
+    // instead of four scans; gid disambiguates super-aggregate NULLs
+    "agg_cube" -> ((s, dir) =>
+      EventsAdapter.rawEvents(s, dir)
+        .select(col("event_type"), (col("user_id") % 3).as("user_band"),
+          col("value"))
+        .cube(col("event_type"), col("user_band"))
+        // exact integer cents: the grand-total row sums the whole table and
+        // double addition is partial-agg-order-dependent — longs are not
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("sum_cents"))),
+    // J7 — graft extension: Levenshtein fuzzy self-join over distinct part
+    // names via SymSpell deletion neighborhoods (bucket-join + banded
+    // confirm, never all-pairs)
+    "join_editdist" -> ((s, dir) =>
+      FuzzyString.editDistancePairs(
+        s.read.parquet(s"$dir/part.parquet").select(col("p_name")).distinct(),
+        "p_name", "p_name", maxDist = 2)
+        .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))),
     // D3 — graft extension: dense hourly series (zero-filled gaps) of
     // per-tenant signup counts
     "d3_gapfill" -> ((s, dir) =>
@@ -2011,6 +2072,7 @@ object SparkEntry {
     "text_stats", "text_bpe", "text_c4_clean",
     "join_asof", "join_range",
     "sketch_kmv_distinct", "graph_pagerank", "layout_zorder",
+    "cdc_merge", "agg_cube",
     "mm_decode",
     "d1_sessionize", "d7_trailing",
     "audit_split_leakage",
@@ -2266,6 +2328,65 @@ object SparkEntry {
         "CAST(sum(ina * inb) AS BIGINT) AS n_both, " +
         "CAST(sum(ina * inb) AS DOUBLE) / count(*) AS jaccard_est " +
         "FROM top GROUP BY 1, 2"),
+    // CDC merge mirror: same changeset derivation, replayed as the
+    // union + precedence-top-1 the Spark side runs (changes win over base,
+    // deletes drop the key)
+    "cdc_merge" ->
+      ("WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), " +
+        s"ch AS (SELECT o_orderkey, o_custkey, o_orderstatus, ${sqlRound2("o_totalprice * 1.1")} AS o_totalprice, " +
+        "FALSE AS del FROM base WHERE o_orderkey % 10 = 3 " +
+        "UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, TRUE FROM base WHERE o_orderkey % 10 = 7 " +
+        "UNION ALL SELECT o_orderkey + 1000000, o_custkey, 'N', o_totalprice, FALSE FROM base WHERE o_orderkey % 10 = 1), " +
+        "u AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0 AS prec, FALSE AS del FROM base " +
+        "UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1, del FROM ch), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY prec DESC) AS rn FROM u) " +
+        s"SELECT o_orderkey, o_custkey, o_orderstatus, ${sqlRound2("o_totalprice")} AS o_totalprice " +
+        "FROM r WHERE rn = 1 AND NOT del"),
+    // snapshot-diff mirror: FULL OUTER JOIN on the key, null-safe compare
+    // (IS NOT DISTINCT FROM ≡ Spark's <=>), unchanged keys dropped
+    "cdc_diff" ->
+      ("WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 7 <> 0), " +
+        s"n AS (SELECT o_orderkey, CASE WHEN o_orderkey % 3 = 0 THEN ${sqlRound2("o_totalprice * 1.05")} " +
+        "ELSE o_totalprice END AS o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 5 <> 0) " +
+        "SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN o.o_orderkey IS NULL THEN 'added' WHEN n.o_orderkey IS NULL THEN 'removed' " +
+        "ELSE 'changed' END AS change, " +
+        "o.o_totalprice AS old_o_totalprice, n.o_totalprice AS new_o_totalprice, " +
+        "o.o_orderstatus AS old_o_orderstatus, n.o_orderstatus AS new_o_orderstatus " +
+        "FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey " +
+        "WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR NOT (" +
+        "o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice " +
+        "AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)"),
+    // SCD-2 mirror: identical version-boundary lag (a boundary row IS its
+    // version's first observation), then lead() over the boundary survivors
+    // — SQL window functions evaluate after WHERE on both engines
+    "cdc_scd2" ->
+      (s"WITH e AS (SELECT user_id, $TsUs AS ts_us, event_type, event_id FROM events), " +
+        "v AS (SELECT user_id, ts_us, event_id, event_type, " +
+        "(lag(ts_us) OVER w IS NULL " +
+        "OR (event_type IS DISTINCT FROM lag(event_type) OVER w)) AS b " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)) " +
+        "SELECT user_id, event_type, ts_us AS valid_from, " +
+        "lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to " +
+        "FROM v WHERE b"),
+    // CUBE mirror: DuckDB GROUPING(a, b) packs bits leftmost-most-significant
+    // exactly like Spark's grouping_id(); integer cents keep the grand-total
+    // sum order-independent
+    "agg_cube" ->
+      ("SELECT event_type, user_id % 3 AS user_band, " +
+        "CAST(GROUPING(event_type, user_band) AS BIGINT) AS gid, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM events GROUP BY CUBE(event_type, user_band)"),
+    // fuzzy-join mirror: DuckDB's levenshtein is the same unit-cost edit
+    // distance; the all-pairs form is the ground truth the deletion-
+    // neighborhood candidates must reproduce exactly
+    "join_editdist" ->
+      ("WITH d AS (SELECT DISTINCT p_name FROM part) " +
+        "SELECT a.p_name AS name_a, b.p_name AS name_b, " +
+        "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist " +
+        "FROM d a JOIN d b ON a.p_name < b.p_name " +
+        "WHERE levenshtein(a.p_name, b.p_name) <= 2"),
     // funnel mirror: per-step earliest-qualifying-event mins through LEFT
     // joins — NULLs propagate exactly like the operator's when() guard
     "d8_funnel" ->

@@ -789,6 +789,67 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("CDC merge: one exchange, no join, partial top-1 below the shuffle") {
+    val plan = executedPlan(
+      SparkEntry.queries("cdc_merge")(spark, "/root/testdata/sf0.001"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"merge must move each row exactly once:\n$plan")
+    assert(!plan.contains("Join"),
+      s"merge must be the union+top-1 shape, not a join:\n$plan")
+    // the row_number()=1 filter must optimize to WindowGroupLimit on BOTH
+    // sides of the exchange — the map-side partial prunes shadowed base
+    // rows before they ever ship
+    assert("WindowGroupLimit".r.findAllIn(plan).length == 2,
+      s"per-key top-1 not pushed below the exchange:\n$plan")
+  }
+
+  test("SCD-2: one exchange feeds both windows; no re-aggregation") {
+    val plan = executedPlan(
+      SparkEntry.queries("cdc_scd2")(spark, "/root/testdata/sf0.001"))
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"boundary-detect and valid_to lead must share one shuffle:\n$plan")
+    assert("Window".r.findAllIn(plan).length == 2 && !plan.contains("Aggregate"),
+      s"expected two pipelined windows over one sort:\n$plan")
+  }
+
+  test("snapshot diff: keyed full-outer join, never a product") {
+    val plan = executedPlan(
+      SparkEntry.queries("cdc_diff")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("FullOuter"), s"diff needs full-outer semantics:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"diff degenerated to a product:\n$plan")
+  }
+
+  test("CUBE aggregates in one pass: Expand + partial agg + one exchange") {
+    val plan = executedPlan(
+      SparkEntry.queries("agg_cube")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("Expand"), s"grouping sets must Expand, not rescan:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"all four granularities must share one shuffle:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"no map-side partial aggregation under the cube:\n$plan")
+  }
+
+  test("edit-distance join: variant equi-join, candidates dedup before the " +
+      "Levenshtein confirm, never all-pairs") {
+    val plan = executedPlan(
+      SparkEntry.queries("join_editdist")(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"deletion-neighborhood join degenerated to all-pairs:\n$plan")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findFirstIn(plan).isDefined, s"expected a keyed variant join:\n$plan")
+    // the banded confirm must ride the join condition (Catalyst pushes it
+    // through the distinct) so the dedup aggregation buffers only TRUE
+    // matches — its state is bounded by the result, not the collisions
+    val joinLine = plan.linesIterator.find(_.contains("Join")).get
+    assert(joinLine.contains("levenshtein"),
+      s"banded confirm not pushed into the join:\n$joinLine")
+    assert(plan.contains("HashAggregate"),
+      s"candidate dedup disappeared:\n$plan")
+  }
+
   test("compressed-domain top-k agrees with the dequantized brute force") {
     try {
       val dir = "/root/testdata/sf0.001"
