@@ -1271,6 +1271,35 @@ object SparkEntry {
         s.read.parquet(s"$dir/part.parquet").select(col("p_name")).distinct(),
         "p_name", "p_name", maxDist = 2)
         .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))),
+    // A13 — robust (median/MAD) anomaly flags over the same zero-filled
+    // hourly series as a12 — outliers can't inflate their own baseline
+    "a13_mad" -> ((s, dir) => {
+      val series = GapFill.zeroFill(
+        RuleCompiler.compileGrouped(
+          spec("count", "signup", grouped = Seq.empty), HOUR)(envs(s, dir)),
+        HOUR, Seq("tenant_id"))
+      // flag re-derived from the rounded score — same boundary-stability
+      // rule as a12_anomaly
+      Anomaly.madFlags(series, Seq("tenant_id"), "value", threshold = 3.5)
+        .select(col("window_start"), col("tenant_id"), col("value"),
+          safeRound2(col("mad_z")).as("mad_z"),
+          (abs(safeRound2(col("mad_z"))) > 3.5).as("is_anomaly"))
+    }),
+    // T-PMI — graft extension: bigram collocations by pointwise mutual
+    // information (positional counts, corpus totals on 1-row broadcasts)
+    "text_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(docs(s, dir), minCount = 5)
+        .select(col("w1"), col("w2"), col("n_pair"),
+          round(col("pmi"), 4).as("pmi"))),
+    // SK4 — graft extension: Count-Min sketch over event user_ids (d=4,
+    // w=32 — deliberately undersized so collisions demonstrably only
+    // OVER-estimate), probed for every distinct user
+    "sketch_cms" -> ((s, dir) => {
+      val ev = EventsAdapter.rawEvents(s, dir)
+      Sketches.cmsEstimate(
+        Sketches.cmsBuild(ev, col("user_id"), d = 4, w = 32),
+        ev.select(col("user_id")).distinct(), "user_id", d = 4, w = 32)
+    }),
     // D3 — graft extension: dense hourly series (zero-filled gaps) of
     // per-tenant signup counts
     "d3_gapfill" -> ((s, dir) =>
@@ -2387,6 +2416,55 @@ object SparkEntry {
         "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist " +
         "FROM d a JOIN d b ON a.p_name < b.p_name " +
         "WHERE levenshtein(a.p_name, b.p_name) <= 2"),
+    // MAD mirror: DuckDB median == quantile_cont(0.5) == Spark's exact
+    // interpolated median; score association pinned op-for-op, flag from
+    // the SAME rounded score (boundary-stable, as a12)
+    "a13_mad" ->
+      (s"$DenseGridCtes, ser AS (SELECT g.window_start, g.tenant_id, " +
+        "COALESCE(a.v, 0.0) AS value FROM g LEFT JOIN a " +
+        "ON g.tenant_id = a.tenant_id AND g.window_start = a.window_start), " +
+        "z AS (SELECT window_start, tenant_id, value, " +
+        "median(value) OVER (PARTITION BY tenant_id) AS m FROM ser), " +
+        "z2 AS (SELECT window_start, tenant_id, value, m, " +
+        "median(abs(value - m)) OVER (PARTITION BY tenant_id) AS mad FROM z) " +
+        "SELECT window_start, tenant_id, value, " +
+        s"${sqlRound2("CASE WHEN mad > 0 THEN (value - m) / (1.4826 * mad) ELSE 0.0 END")} AS mad_z, " +
+        s"(abs(${sqlRound2("CASE WHEN mad > 0 THEN (value - m) / (1.4826 * mad) ELSE 0.0 END")}) > 3.5) " +
+        "AS is_anomaly FROM z2"),
+    // PMI mirror: positional (not distinct) n-gram counts, corpus totals,
+    // and the SAME left-associated double quotient inside ln()
+    "text_pmi" ->
+      (s"WITH dtk AS (SELECT string_split_regex(trim(text, '$SqlWs'), '\\s+') AS toks " +
+        "FROM documents), " +
+        "uni AS (SELECT unnest(toks) AS w FROM dtk), " +
+        "u2 AS (SELECT w FROM uni WHERE w <> ''), " +
+        "wc AS (SELECT w, count(*) AS n_w FROM u2 GROUP BY 1), " +
+        "tw AS (SELECT count(*) AS n_tot_words FROM u2), " +
+        s"bi AS (SELECT unnest(${ngramsOfToks(2)}) AS pair FROM dtk WHERE len(toks) >= 2), " +
+        "pc AS (SELECT pair, count(*) AS n_pair FROM bi GROUP BY 1 HAVING count(*) >= 5), " +
+        "tp AS (SELECT count(*) AS n_tot_pairs FROM bi) " +
+        "SELECT string_split(pair, ' ')[1] AS w1, string_split(pair, ' ')[2] AS w2, " +
+        "CAST(n_pair AS BIGINT) AS n_pair, " +
+        "ROUND(ln((CAST(n_pair AS DOUBLE) * n_tot_words * n_tot_words) / " +
+        "(CAST(n_tot_pairs AS DOUBLE) * c1.n_w * c2.n_w)), 4) AS pmi " +
+        "FROM pc CROSS JOIN tp CROSS JOIN tw " +
+        "JOIN wc c1 ON c1.w = string_split(pair, ' ')[1] " +
+        "JOIN wc c2 ON c2.w = string_split(pair, ' ')[2]"),
+    // Count-Min mirror: the same portable-hash rows (seeds 1..4) rebuilt
+    // cell-for-cell, probed with a LEFT JOIN and min-over-rows
+    "sketch_cms" -> {
+      val unions = (0 until 4).map { i =>
+        s"SELECT $i AS r, ${pmSql(hashRawSql("user_id", i + 1), "32")} AS b FROM events"
+      }.mkString(" UNION ALL ")
+      val probes = (0 until 4).map { i =>
+        s"SELECT user_id, $i AS r, ${pmSql(hashRawSql("user_id", i + 1), "32")} AS b FROM pr"
+      }.mkString(" UNION ALL ")
+      s"WITH cells AS (SELECT r, b, count(*) AS cnt FROM ($unions) GROUP BY 1, 2), " +
+        "pr AS (SELECT DISTINCT user_id FROM events), " +
+        s"pb AS ($probes) " +
+        "SELECT user_id, CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS est " +
+        "FROM pb LEFT JOIN cells USING (r, b) GROUP BY 1"
+    },
     // funnel mirror: per-step earliest-qualifying-event mins through LEFT
     // joins — NULLs propagate exactly like the operator's when() guard
     "d8_funnel" ->

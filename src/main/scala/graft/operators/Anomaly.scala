@@ -43,4 +43,41 @@ object Anomaly {
     series.withColumn("zscore", z)
       .withColumn("is_anomaly", abs(col("zscore")) > threshold)
   }
+
+  /** Robust (median/MAD) variant of [[zscoreFlags]] — the score is the
+    * "modified z": (value − median) / (1.4826 · MAD), where MAD is the
+    * median absolute deviation from the group median and 1.4826 ≈ 1/Φ⁻¹(3/4)
+    * rescales MAD to estimate σ under normality. Unlike mean/stddev, a
+    * single extreme outlier cannot inflate its own baseline and mask itself
+    * (the classic z-score failure on spike detection); the conventional
+    * flag threshold is 3.5 (Iglewicz & Hoaglin 1993). MAD = 0 (over half
+    * the group at the median) scores 0.0 like the degenerate stddev case.
+    *
+    * Scale shape: same contract as [[zscoreFlags]] — run it on the
+    * AGGREGATED series. Both medians ride one exchange on the group key
+    * (two WindowExec passes, same partitioning, Catalyst reuses the
+    * shuffle); exact `median` buffers each group's rows, which is bounded
+    * by the series' windows-per-group, not by raw events. */
+  def madFlags(series: DataFrame, groupCols: Seq[String], valueCol: String,
+      threshold: Double = 3.5): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    Seq("mad_z", "is_anomaly", "__med", "__mad").foreach { c =>
+      require(!series.columns.contains(c),
+        s"madFlags adds/uses a '$c' column but the input already has one")
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    val scored = series
+      .withColumn("__med", median(col(valueCol)).over(w))
+      .withColumn("__mad",
+        median(abs(col(valueCol) - col("__med"))).over(w))
+      .withColumn("mad_z",
+        when(col("__mad") > 0,
+          (col(valueCol) - col("__med")) / (lit(1.4826) * col("__mad")))
+          .otherwise(lit(0.0)))
+    scored
+      .withColumn("is_anomaly", abs(col("mad_z")) > threshold)
+      .drop("__med", "__mad")
+  }
 }

@@ -261,4 +261,47 @@ object Sketches {
           .as("jaccard_est"))
     out
   }
+
+  // ------------------------------------------------- Count-Min sketch
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005): a `d`×`w` counter
+    * matrix where row i counts occurrences hashed by h_i; a point query
+    * reads one cell per row and takes the MIN — always ≥ the true count
+    * (collisions only inflate), within εN with probability 1−δ for
+    * w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉. Same portability rationale as KMV vs HLL:
+    * the rows use [[Sampling.hashRaw]] with seeds 1..d, so the whole matrix
+    * — and therefore every estimate — replays bit-for-bit in the DuckDB
+    * oracle, unlike an engine-private sketch register layout.
+    *
+    * Build shape: a d-way explode (narrow — d is 3..8) then ONE map-side-
+    * combined groupBy on (row, bucket): each input partition collapses to
+    * ≤ d·w partial cells before the exchange, so the shuffle moves
+    * d·w·partitions counters, never rows. The result is d·w cells — config-
+    * sized, mergeable across shards/days by cell-wise addition. */
+  def cmsBuild(df: DataFrame, keyCol: Column, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && d <= 16, s"depth d must be in [1,16], got $d")
+    require(w >= 2, s"width w must be >= 2, got $w")
+    val rows = (0 until d).map(i => struct(lit(i).as("r"),
+      pmod(Sampling.hashRaw(keyCol, i + 1), lit(w.toLong)).as("b")))
+    df.select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes` against a built sketch: min over the d
+    * rows of the probed cell, 0 when every cell is empty. The sketch is
+    * d·w rows — broadcast, so probing any number of keys is one narrow
+    * broadcast join, no shuffle of the probe side. `d`/`w` must match the
+    * build. */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame, keyCol: String,
+      d: Int, w: Int): DataFrame = {
+    val rows = (0 until d).map(i => struct(lit(i).as("r"),
+      pmod(Sampling.hashRaw(col(keyCol), i + 1), lit(w.toLong)).as("b")))
+    probes
+      .select(col(keyCol), explode(array(rows: _*)).as("rb"))
+      .select(col(keyCol), col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(cms), Seq("r", "b"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

@@ -305,6 +305,57 @@ object TextAnalysis {
     top.withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** Pointwise-mutual-information collocations (Church & Hanks 1990): word
+    * pairs that co-occur far more than their unigram frequencies predict —
+    * the phrase-mining signal behind tokenizer merge candidates and
+    * stop-phrase lists. For each adjacent bigram (w1, w2) with count
+    * ≥ `minCount`: PMI = ln( p(w1,w2) / (p(w1)·p(w2)) ), with p from
+    * positional counts (every occurrence, not per-doc presence). Output:
+    * (w1, w2, n_pair, pmi), pmi left unrounded — round at the consumer.
+    *
+    * Scale shape: two explode → partial-count → one-exchange aggregations
+    * (bigrams and unigrams — the exact [[topNgrams]] shape), two corpus
+    * totals on 1-row broadcasts, then the bigram relation joins the
+    * unigram counts twice on the word. The unigram side is vocabulary-
+    * sized — orders of magnitude below the corpus — so AQE broadcasts it
+    * at any realistic vocab; a billion-type vocab degrades to a keyed
+    * shuffle join, never a product. The PMI expression is one association-
+    * pinned double quotient (the DuckDB oracle mirrors it op-for-op). */
+  def pmiCollocations(docs: DataFrame, minCount: Long,
+      textCol: String = "text"): DataFrame = {
+    // POSITIONAL n-grams (wordNGramsAll, not the shingle-dedup wordNGrams):
+    // PMI probabilities are occurrence frequencies, so a bigram repeating
+    // inside one document must count every time
+    import graft.functions.TextExpressions.wordNGramsAll
+    val base = docs.filter(tokenCount(col(textCol)) >= 2)
+    val pairs = base
+      .select(explode(wordNGramsAll(col(textCol), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    // empty text tokenizes to [""] under the short-text rule — never a word
+    val unigrams = docs
+      .select(explode(wordNGramsAll(col(textCol), 1)).as("w"))
+      .filter(col("w") =!= "")
+    val words = unigrams.groupBy("w").agg(count(lit(1)).as("n_w"))
+    val totPairs = base
+      .select(explode(wordNGramsAll(col(textCol), 2)).as("pair"))
+      .agg(count(lit(1)).as("n_tot_pairs"))
+    val totWords = unigrams.agg(count(lit(1)).as("n_tot_words"))
+    val u1 = words.toDF("w1", "n_w1")
+    val u2 = words.toDF("w2", "n_w2")
+    pairs
+      .withColumn("w1", element_at(split(col("pair"), " "), 1))
+      .withColumn("w2", element_at(split(col("pair"), " "), 2))
+      .join(u1, "w1").join(u2, "w2")
+      .join(broadcast(totPairs)).join(broadcast(totWords))
+      // ln( (n_pair/Nb) / ((n_w1/Nu)·(n_w2/Nu)) ), associated EXACTLY as
+      // written here on both engines: (c12·Nu·Nu) / (Nb·c1·c2), left-assoc
+      .withColumn("pmi", log(
+        (col("n_pair").cast("double") * col("n_tot_words") * col("n_tot_words")) /
+          (col("n_tot_pairs").cast("double") * col("n_w1") * col("n_w2"))))
+      .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
+  }
+
   /** Gopher/MassiveText-style repetition signals (Rae et al. 2021, table A1):
     * the document-level repetitiousness filters of a pretraining pipeline.
     * Per document:

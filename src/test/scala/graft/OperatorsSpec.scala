@@ -784,6 +784,54 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("MAD flags: the outlier can't mask itself; ties/constants score 0") {
+    import graft.operators.Anomaly
+    val series = Seq(
+      // t0: 8 quiet points + one huge spike. Sample stddev over the 9 values
+      // is so inflated by the spike that its plain z is only ≈ 2.66 (under a
+      // 3.5 bar), while median/MAD give (100−1)/(1.4826·1) ≈ 66.8 — the
+      // masking failure madFlags exists to fix
+      ("t0", 0L, 1.0), ("t0", 1L, 2.0), ("t0", 2L, 1.0), ("t0", 3L, 2.0),
+      ("t0", 4L, 1.0), ("t0", 5L, 2.0), ("t0", 6L, 1.0), ("t0", 7L, 2.0),
+      ("t0", 8L, 100.0),
+      ("t1", 0L, 5.0), ("t1", 1L, 5.0), // constant → MAD = 0 → score 0
+      ("t2", 0L, 7.0) // singleton → MAD = 0 → score 0
+    ).toDF("tenant_id", "window_start", "value")
+    val z = Anomaly.zscoreFlags(series, Seq("tenant_id"), "value", 3.5)
+      .filter($"tenant_id" === "t0" && $"window_start" === 8L)
+      .select($"is_anomaly").as[Boolean].head()
+    assert(!z, "plain z-score should MISS the spike (masked baseline)")
+    val got = Anomaly.madFlags(series, Seq("tenant_id"), "value", 3.5)
+      .select($"tenant_id", $"window_start", $"mad_z", $"is_anomaly")
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // t0: median 2.0 ((1+2+..+100) sorted mid of 9 values = 2), deviations
+    // {1,0,1,0,1,0,1,0,98} → MAD = 1; spike scores 98/1.4826
+    assert(math.abs(got(("t0", 8L))._1 - 98.0 / 1.4826) < 1e-9)
+    assert(got(("t0", 8L))._2)
+    assert(!got(("t0", 0L))._2)
+    assert(got(("t1", 0L)) == ((0.0, false)))
+    assert(got(("t2", 0L)) == ((0.0, false)))
+  }
+
+  test("PMI: hand-computed collocation scores over a tiny corpus") {
+    import graft.operators.TextAnalysis
+    // corpus: "a b a b" ×2 and "a c" — positional bigrams:
+    //   doc1/doc2 each: (a b), (b a), (a b) → a b ×4, b a ×2; doc3: a c ×1
+    val docs = Seq((1L, "a b a b"), (2L, "a b a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, minCount = 2)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // totals: words = 10 (a×5, b×4, c×1), pairs = 7
+    assert(got.keySet == Set(("a", "b"), ("b", "a"))) // a c is below minCount
+    assert(got(("a", "b"))._1 == 4L && got(("b", "a"))._1 == 2L)
+    val pmiAB = math.log((4.0 * 10 * 10) / (7.0 * 5 * 4))
+    val pmiBA = math.log((2.0 * 10 * 10) / (7.0 * 4 * 5))
+    assert(math.abs(got(("a", "b"))._2 - pmiAB) < 1e-12)
+    assert(math.abs(got(("b", "a"))._2 - pmiBA) < 1e-12)
+  }
+
   test("materialized sequences carry every document once, in offset order") {
     import graft.operators.Sampling
     val packed = Sampling.packSequences(docs, "doc_id",

@@ -850,6 +850,29 @@ class PlanSpec extends AnyFunSuite {
       s"candidate dedup disappeared:\n$plan")
   }
 
+  test("MAD flags: both median windows ride one exchange") {
+    val series = Seq(("t0", 0L, 1.0), ("t0", 1L, 2.0))
+      .toDF("tenant_id", "window_start", "value")
+    val plan = executedPlan(
+      graft.operators.Anomaly.madFlags(series, Seq("tenant_id"), "value", 3.5))
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"median and MAD must share one shuffle:\n$plan")
+    assert("Window".r.findAllIn(plan).length == 2,
+      s"expected two pipelined window passes:\n$plan")
+  }
+
+  test("Count-Min: map-side partial cells below the build exchange; " +
+      "probe joins the broadcast sketch") {
+    val plan = executedPlan(
+      SparkEntry.queries("sketch_cms")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("partial_count"),
+      s"cell counts must combine map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the d·w-cell sketch must broadcast to the probes:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"CMS probe planned a product:\n$plan")
+  }
+
   test("compressed-domain top-k agrees with the dequantized brute force") {
     try {
       val dir = "/root/testdata/sf0.001"

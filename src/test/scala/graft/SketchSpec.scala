@@ -44,4 +44,42 @@ class SketchSpec extends AnyFunSuite {
       s"disjoint sets must not overlap: ${got(("a", "c"))}")
     assert(got(("b", "c"))._1 == 64L, "union sketch must fill to k")
   }
+
+  test("Count-Min: estimates never undercount, and are exact sans collisions") {
+    // skewed stream: key k occurs k times, keys 1..40, w=32 forces collisions
+    val rows = (1L to 40L).flatMap(k => Seq.fill(k.toInt)(k)).toDF("id")
+    val truth = (1L to 40L).map(k => k -> k).toMap
+    val cms = Sketches.cmsBuild(rows, col("id"), d = 4, w = 32)
+    val probes = (1L to 40L).toDF("id")
+    val est = Sketches.cmsEstimate(cms, probes, "id", d = 4, w = 32)
+      .as[(Long, Long)].collect().toMap
+    assert(est.keySet == truth.keySet)
+    truth.foreach { case (k, t) =>
+      assert(est(k) >= t, s"CMS undercounted key $k: ${est(k)} < $t")
+    }
+    // a wide sketch (no collisions possible across 40 keys in w=4096 with
+    // 4 independent rows — verified by the assertion itself) is exact
+    val wide = Sketches.cmsEstimate(
+      Sketches.cmsBuild(rows, col("id"), d = 4, w = 4096), probes, "id",
+      d = 4, w = 4096).as[(Long, Long)].collect().toMap
+    assert(wide == truth, "wide CMS should be exact on 40 keys")
+    // unqueried key (never inserted): min cell may collide but the 4 rows
+    // give it 4 chances to hit an empty cell
+    val absent = Sketches.cmsEstimate(cms, Seq(999999L).toDF("id"), "id",
+      d = 4, w = 32).as[(Long, Long)].collect().head._2
+    assert(absent >= 0L)
+  }
+
+  test("Count-Min sketches merge by cell-wise addition") {
+    val a = (1L to 20L).toDF("id")
+    val b = (10L to 30L).toDF("id")
+    val both = (1L to 20L).union(10L to 30L).toDF("id")
+    val merged = Sketches.cmsBuild(a, col("id"), 4, 32)
+      .unionByName(Sketches.cmsBuild(b, col("id"), 4, 32))
+      .groupBy("r", "b").agg(sum("cnt").as("cnt"))
+    val direct = Sketches.cmsBuild(both, col("id"), 4, 32)
+    val m = merged.as[(Int, Long, Long)].collect().toSet
+    val d = direct.as[(Int, Long, Long)].collect().toSet
+    assert(m == d, "merged sketch must equal the sketch of the union stream")
+  }
 }
