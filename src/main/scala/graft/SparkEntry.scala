@@ -956,6 +956,63 @@ object SparkEntry {
       s"$out AS (SELECT $keep, xor(z, z >> 31) AS h FROM m4_$out)"
   }
 
+  /** Full DuckDB replay of Similarity.pcaFit + pcaProject: fixed-point mean
+    * and upper-triangle covariance sums, then the power iteration UNROLLED
+    * — every reduction is `list_reduce(list_prepend(0.0, …))`, the same
+    * 0.0-seeded index-order fold the Scala driver runs, so the components
+    * (and therefore the projections) match double-for-double with no
+    * convergence assumption: both engines run exactly `iters` rounds. */
+  private def pcaOracleSql(d: Int, k: Int, iters: Int): String = {
+    val S = "CAST(1048576 AS DOUBLE)"
+    val z = "CAST(0 AS DOUBLE)"
+    def fold(terms: String) =
+      s"list_reduce(list_prepend($z, $terms), (a, b) -> a + b)"
+    def gs = s"generate_series(1, $d)"
+    // every chained CTE is MATERIALIZED (the pageRank-oracle rule): DuckDB
+    // inlines plain CTEs at each reference, which across `iters` chained
+    // rounds re-expands the whole predecessor tree exponentially
+    val sb = new StringBuilder
+    sb ++= "WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings " +
+      s"WHERE embedding IS NOT NULL AND len(embedding) = $d), " +
+      "nn AS MATERIALIZED (SELECT count(*) AS n FROM e), " +
+      s"mi AS (SELECT unnest($gs) AS i, x FROM e), " +
+      s"ms AS (SELECT i, sum(CAST(floor(x[i] * $S) AS BIGINT)) AS s FROM mi GROUP BY i), " +
+      s"mu AS MATERIALIZED (SELECT list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * $S) ORDER BY i) AS mu " +
+      "FROM ms CROSS JOIN nn GROUP BY n), " +
+      s"cj AS (SELECT unnest($gs) AS j, x FROM e), " +
+      s"cjk AS (SELECT j, unnest(generate_series(j, $d)) AS k2, x FROM cj), " +
+      "cfp AS (SELECT j, k2, sum(CAST(floor((x[j] - mu[j]) * (x[k2] - mu[k2]) " +
+      s"* $S) AS BIGINT)) AS s FROM cjk CROSS JOIN mu GROUP BY 1, 2), " +
+      "cfull AS (SELECT j, k2, s FROM cfp UNION ALL SELECT k2, j, s FROM cfp WHERE j < k2), " +
+      "mat_1 AS MATERIALIZED (SELECT list(rl ORDER BY j) AS m FROM (" +
+      s"SELECT j, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * $S) ORDER BY k2) AS rl " +
+      "FROM cfull CROSS JOIN nn GROUP BY j, n))"
+    for (c <- 1 to k) {
+      sb ++= s", v_${c}_0 AS MATERIALIZED (SELECT [CAST(1 AS DOUBLE) / sqrt(CAST($d AS DOUBLE)) " +
+        s"for i in $gs] AS v)"
+      for (t <- 1 to iters) {
+        sb ++= s", w_${c}_$t AS MATERIALIZED (SELECT [${fold(s"[m[j][i] * v[i] for i in $gs]")} " +
+          s"for j in $gs] AS w FROM mat_$c, v_${c}_${t - 1})"
+        sb ++= s", v_${c}_$t AS MATERIALIZED (SELECT [w[i] / sqrt(${fold(s"[w[i2] * w[i2] for i2 in $gs]")}) " +
+          s"for i in $gs] AS v FROM w_${c}_$t)"
+      }
+      if (c < k) {
+        sb ++= s", mv_$c AS MATERIALIZED (SELECT [${fold(s"[m[j][i] * v[i] for i in $gs]")} " +
+          s"for j in $gs] AS mv FROM mat_$c, v_${c}_$iters)"
+        sb ++= s", l_$c AS MATERIALIZED (SELECT ${fold(s"[v[i] * mv[i] for i in $gs]")} AS l " +
+          s"FROM v_${c}_$iters, mv_$c)"
+        sb ++= s", mat_${c + 1} AS MATERIALIZED (SELECT [[m[j][i] - l * v[j] * v[i] for i in $gs] " +
+          s"for j in $gs] AS m FROM mat_$c, v_${c}_$iters, l_$c)"
+      }
+    }
+    val projs = (1 to k).map { c =>
+      s"ROUND(${fold(s"[(x[i] - mu[i]) * pv$c.v[i] for i in $gs]")}, 4) AS p$c"
+    }.mkString(", ")
+    val joins = (1 to k).map(c => s"CROSS JOIN v_${c}_$iters pv$c").mkString(" ")
+    sb ++= s" SELECT vec_id, $projs FROM e CROSS JOIN mu $joins"
+    sb.toString
+  }
+
   /** Map the unsigned mod-2⁶⁴ hash back to the JVM's signed long domain so
     * ORDER BY agrees with Spark's signed comparison. */
   private def signedSql(h: String): String =
@@ -1299,6 +1356,17 @@ object SparkEntry {
       Sketches.cmsEstimate(
         Sketches.cmsBuild(ev, col("user_id"), d = 4, w = 32),
         ev.select(col("user_id")).distinct(), "user_id", d = 4, w = 32)
+    }),
+    // E-PCA — graft extension: deterministic PCA (fixed-point covariance +
+    // driver power iteration, 2 components × 30 fixed rounds) projecting
+    // every embedding — the SemDeDup/OPQ whitening step, bit-replayed by
+    // the oracle including the full iteration
+    "emb_pca" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (mu, comps) = Similarity.pcaFit(e, "embedding", k = 2, iters = 30)
+      Similarity.pcaProject(e, "vec_id", "embedding", mu, comps)
+        .select(col("vec_id"), round(col("p1"), 4).as("p1"),
+          round(col("p2"), 4).as("p2"))
     }),
     // D3 — graft extension: dense hourly series (zero-filled gaps) of
     // per-tenant signup counts
@@ -2465,6 +2533,7 @@ object SparkEntry {
         "SELECT user_id, CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS est " +
         "FROM pb LEFT JOIN cells USING (r, b) GROUP BY 1"
     },
+    "emb_pca" -> pcaOracleSql(64, 2, 30),
     // funnel mirror: per-step earliest-qualifying-event mins through LEFT
     // joins — NULLs propagate exactly like the operator's when() guard
     "d8_funnel" ->

