@@ -1357,6 +1357,19 @@ object SparkEntry {
         Sketches.cmsBuild(ev, col("user_id"), d = 4, w = 32),
         ev.select(col("user_id")).distinct(), "user_id", d = 4, w = 32)
     }),
+    // J8 — canonical entity groups: connected components over the fuzzy
+    // edit-distance pairs (names within distance 2 merge; canonical = the
+    // lexicographic minimum of the cluster)
+    "join_editdist_cluster" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        FuzzyString.editDistancePairs(
+          s.read.parquet(s"$dir/part.parquet").select(col("p_name")).distinct(),
+          "p_name", "p_name", maxDist = 2))
+        .select(col("id").as("name"), col("component").as("canonical"))),
+    // T-QN — cross-source quality calibration: percent_rank of the quality
+    // score within each source (exact integer ratio — engine-stable)
+    "text_quality_qnorm" -> ((s, dir) =>
+      TextAnalysis.qualityQuantileNormalize(docs(s, dir), "source")),
     // E-PCA — graft extension: deterministic PCA (fixed-point covariance +
     // driver power iteration, 2 components × 30 fixed rounds) projecting
     // every embedding — the SemDeDup/OPQ whitening step, bit-replayed by
@@ -2534,6 +2547,22 @@ object SparkEntry {
         "FROM pb LEFT JOIN cells USING (r, b) GROUP BY 1"
     },
     "emb_pca" -> pcaOracleSql(64, 2, 30),
+    // fuzzy-cluster mirror: recursive closure over the levenshtein pair
+    // set (the dedup_cluster pattern on string ids)
+    "join_editdist_cluster" ->
+      ("WITH RECURSIVE d AS (SELECT DISTINCT p_name FROM part), " +
+        "p AS (SELECT a.p_name AS name_a, b.p_name AS name_b FROM d a JOIN d b " +
+        "ON a.p_name < b.p_name WHERE levenshtein(a.p_name, b.p_name) <= 2), " +
+        "edges AS (SELECT name_a AS src, name_b AS dst FROM p " +
+        "UNION SELECT name_b, name_a FROM p), " +
+        "reach(a, b) AS (SELECT src, dst FROM edges " +
+        "UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src), " +
+        "comp AS (SELECT a AS name, least(a, min(b)) AS canonical FROM reach GROUP BY a) " +
+        "SELECT name, canonical FROM comp"),
+    // qnorm mirror: identical percent_rank over the shared QualitySql score
+    "text_quality_qnorm" ->
+      (s"SELECT doc_id, source, percent_rank() OVER (" +
+        s"PARTITION BY source ORDER BY $QualitySql) AS qnorm FROM documents"),
     // funnel mirror: per-step earliest-qualifying-event mins through LEFT
     // joins — NULLs propagate exactly like the operator's when() guard
     "d8_funnel" ->

@@ -356,6 +356,27 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
   }
 
+  /** Cross-source quality calibration: percent_rank of [[qualityScore]]
+    * WITHIN each `groupCol` maps every source's score distribution onto
+    * [0, 1], so one threshold compares across sources whose raw score
+    * scales differ (the classic mixing problem: a web crawl's p80 and a
+    * books corpus's p80 are different raw scores but the same keep-rate).
+    * The normalized value is an exact integer ratio (rank−1)/(n−1) —
+    * deterministic on every engine, no rounding needed.
+    *
+    * Scale shape: one exchange on the source + a per-source sort; the rank
+    * never leaves its partition. Sources are few and large — if one source
+    * dwarfs a task, pre-aggregate to (score, count) per source first and
+    * rank the distinct scores (same result by tie semantics). */
+  def qualityQuantileNormalize(docs: DataFrame, groupCol: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(qualityScore(col(textCol)).asc)
+    docs.select(col(idCol), col(groupCol),
+      percent_rank().over(w).as("qnorm"))
+  }
+
   /** Gopher/MassiveText-style repetition signals (Rae et al. 2021, table A1):
     * the document-level repetitiousness filters of a pretraining pipeline.
     * Per document:

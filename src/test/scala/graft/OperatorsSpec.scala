@@ -832,6 +832,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(got(("b", "a"))._2 - pmiBA) < 1e-12)
   }
 
+  test("quantile normalization: exact (rank−1)/(n−1) within source, ties equal") {
+    import graft.operators.TextAnalysis
+    // src a: 3 docs with strictly increasing quality (longer → more stop/alpha
+    // structure is irrelevant — equal texts tie exactly)
+    val d = Seq(
+      (1L, "a", "zz qq xx vv ww"),                   // low quality (no stopwords)
+      (2L, "a", "the cat and the dog are good"),     // high
+      (3L, "a", "zz qq xx vv ww"),                   // TIE with doc 1
+      (4L, "b", "anything at all here now")          // singleton group
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.qualityQuantileNormalize(d, "source")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) == 0.0 && got(3L) == 0.0, "tied scores share percent_rank 0")
+    assert(got(2L) == 1.0, "top doc normalizes to 1.0")
+    assert(got(4L) == 0.0, "singleton group is 0 by convention")
+  }
+
   test("PCA: dominant axis found, components orthonormal, partitioning-proof") {
     import graft.operators.Similarity
     // synthetic: variance 100× larger along a known diagonal direction

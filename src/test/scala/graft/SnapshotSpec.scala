@@ -115,6 +115,20 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("edit-distance clusters merge transitively to one canonical name") {
+    import graft.operators.Dedup
+    // chain: consecutive names at distance 1; the endpoints are distance 3
+    // apart — only TRANSITIVE closure puts them in one cluster
+    val names = Seq("aaaa", "aaab", "aabb", "abbb", "zzzz")
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "s")
+      .select(org.apache.spark.sql.functions.col("s").as("p_name")).distinct()
+    val clusters = Dedup.connectedComponents(
+        graft.operators.FuzzyString.editDistancePairs(names, "p_name", "p_name", 2))
+      .as[(String, String)].collect().toMap
+    assert(clusters.keySet == Set("aaaa", "aaab", "aabb", "abbb")) // zzzz: no edges
+    assert(clusters.values.toSet == Set("aaaa"), s"one canonical: $clusters")
+  }
+
   private def lev(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1)(i => i)
     for (j <- 1 to b.length) {
