@@ -95,6 +95,16 @@ object RecallBench {
     measure("pq_kmeans m=16 ksub=16 rounds=2")(
       Similarity.pqTopKWith(queries, emb, k,
         Similarity.pqCodebooksKmeans(emb, 16, 16, rounds = 2)))
+    // dimensionality-reduction axis: exact search in PCA-reduced space —
+    // how much recall does a 2×/4×/8× cheaper vector buy?
+    for (r <- Seq(8, 16, 32)) {
+      val (mu, comps) = Similarity.pcaFit(emb, "embedding", k = r, iters = 30)
+      val red = Similarity.pcaProject(emb, "vec_id", "embedding", mu, comps)
+        .select(col("vec_id"),
+          array((1 to r).map(i => col(s"p$i").cast("float")): _*).as("embedding"))
+      measure(s"pca r=$r brute force")(
+        Similarity.bruteForceTopK(red.filter(col("vec_id") < nQueries), red, k))
+    }
     spark.stop()
   }
 }
