@@ -704,4 +704,38 @@ class StreamingSpec extends AnyFunSuite {
         s"streaming emission must equal the model estimate $expected: $rows")
     } finally q.stop()
   }
+
+  test("streaming CDC apply: foreachBatch merges each micro-batch into the snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the streaming ingest story for Snapshot.mergeChanges: each micro-batch
+    // is a changeset (possibly uncompacted — ver resolves), applied to the
+    // current snapshot generation and written as the next one. Generations
+    // are immutable parquet dirs — the restart/exactly-once story is the
+    // batch id gating the generation swap (idempotent re-apply).
+    val input = MemoryStream[(Long, String, Boolean, Long)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").write.parquet(s"$dir/gen0")
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val apply: (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, _) => {
+      val cur = spark.read.parquet(s"$dir/gen${gen.get}")
+      graft.operators.Snapshot.mergeChanges(
+          cur, batch.toDF("k", "s", "del", "ver"), "k", "del", Some("ver"))
+        .write.parquet(s"$dir/gen${gen.incrementAndGet()}")
+    }
+    val q = input.toDF().writeStream.foreachBatch(apply).start()
+    try {
+      // batch 1: update key 2 (two versions — the later must win), insert 3
+      input.addData((2L, "b1", false, 1L), (2L, "b2", false, 2L), (3L, "c", false, 1L))
+      q.processAllAvailable()
+      // batch 2: delete key 1, update key 3
+      input.addData((1L, "", true, 3L), (3L, "c2", false, 3L))
+      q.processAllAvailable()
+      val fin = spark.read.parquet(s"$dir/gen${gen.get}")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(fin == Seq((2L, "b2"), (3L, "c2")),
+        s"final snapshot wrong: $fin (generations=${gen.get})")
+      assert(gen.get == 2, s"one generation per micro-batch: ${gen.get}")
+    } finally q.stop()
+  }
 }
