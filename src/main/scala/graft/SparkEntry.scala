@@ -1357,6 +1357,15 @@ object SparkEntry {
         Sketches.cmsBuild(ev, col("user_id"), d = 4, w = 32),
         ev.select(col("user_id")).distinct(), "user_id", d = 4, w = 32)
     }),
+    // D9 — graft extension: exponentially-decayed event counts per type
+    // (7-day half-life, whole-half-life quantization → pure long sums,
+    // exact on every engine; ref = max event time)
+    "d9_decayed" -> ((s, dir) => {
+      val ev = EventsAdapter.rawEvents(s, dir)
+      val ref = ev.agg(max(col("ts_us"))).first().getLong(0)
+      Profiling.decayedCount(ev, Seq("event_type"), "ts_us", ref,
+        halfLifeUs = 604800000000L)
+    }),
     // J8 — canonical entity groups: connected components over the fuzzy
     // edit-distance pairs (names within distance 2 merge; canonical = the
     // lexicographic minimum of the cluster)
@@ -2563,6 +2572,17 @@ object SparkEntry {
     "text_quality_qnorm" ->
       (s"SELECT doc_id, source, percent_rank() OVER (" +
         s"PARTITION BY source ORDER BY $QualitySql) AS qnorm FROM documents"),
+    // decayed-count mirror: same whole-half-life buckets (// floors like
+    // div on the non-negative ages), same 2^(30−b) long contributions
+    "d9_decayed" ->
+      (s"WITH r AS (SELECT max($TsUs) AS ref FROM events), " +
+        s"bb AS (SELECT event_type, (ref - $TsUs) // 604800000000 AS b " +
+        "FROM events CROSS JOIN r), " +
+        "s AS (SELECT event_type, sum(CASE WHEN b BETWEEN 0 AND 30 THEN " +
+        "(CAST(1 AS BIGINT) << CAST(30 - b AS INT)) ELSE CAST(0 AS BIGINT) END) AS fp " +
+        "FROM bb GROUP BY 1) " +
+        "SELECT event_type, CAST(fp AS BIGINT) AS decayed_fp, " +
+        "CAST(fp AS DOUBLE) / CAST(1073741824 AS DOUBLE) AS decayed FROM s"),
     // funnel mirror: per-step earliest-qualifying-event mins through LEFT
     // joins — NULLs propagate exactly like the operator's when() guard
     "d8_funnel" ->

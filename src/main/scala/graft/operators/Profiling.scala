@@ -86,4 +86,42 @@ object Profiling {
       .groupBy(col(keyCol))
       .agg(sum(col("__graft_subcount")).as("cnt"))
   }
+
+  /** Exponentially-decayed count per group — the recency-weighted
+    * frequency a sampler or mixture planner wants ("how active is this
+    * source NOW"): each row weighs 2^-b where b = full half-lives between
+    * the row and `refUs`. EXACT by construction: the weight is quantized
+    * to whole half-lives, so each row contributes the integer
+    * 2^(shift − b) (0 beyond `shift` half-lives — a < 2⁻³⁰ tail truncated
+    * identically on every engine) and the per-group sum is pure long
+    * arithmetic — no float-summation order anywhere. `decayed` =
+    * sum / 2^shift is then an exactly-representable double (sum < 2⁵³ for
+    * corpora under ~8 × 10⁶ rows per group at shift 30 — raise the clamp
+    * awareness, not the shift, beyond that).
+    *
+    * Scale shape: ONE map-side-combined groupBy on the group key; the
+    * shuffle moves one partial long per (group, partition). `refUs` must
+    * be a fixed instant (pass max-event-time from a 1-row aggregate or a
+    * pipeline-run timestamp) so reruns reproduce bit-for-bit. */
+  def decayedCount(df: DataFrame, groupCols: Seq[String], tsUsCol: String,
+      refUs: Long, halfLifeUs: Long, shift: Int = 30): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(halfLifeUs >= 1, s"halfLifeUs must be >= 1, got $halfLifeUs")
+    require(shift >= 1 && shift <= 40, s"shift must be in [1,40], got $shift")
+    // integer div (not double `/` + floor): exact at half-life boundaries,
+    // mirrored by DuckDB's `//` — the d7_trailing bucketing rule. The
+    // explicit ts <= ref guard is LOAD-BEARING: for a FUTURE row the age is
+    // negative, where Spark's `div` truncates toward zero (-50 div 100 = 0
+    // → would contribute a full weight) while DuckDB's `//` floors (→ -1,
+    // excluded) — the guard makes both engines drop future rows, and on
+    // the non-negative remainder div == floor so the engines agree
+    val bExpr = s"((${refUs}L - $tsUsCol) div ${halfLifeUs}L)"
+    val contrib = expr(s"CASE WHEN $tsUsCol <= ${refUs}L " +
+      s"AND $bExpr BETWEEN 0 AND $shift " +
+      s"THEN shiftleft(1L, CAST($shift - $bExpr AS INT)) ELSE 0L END")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sum(contrib).as("decayed_fp"))
+      .withColumn("decayed",
+        col("decayed_fp").cast("double") / lit(math.pow(2.0, shift)))
+  }
 }

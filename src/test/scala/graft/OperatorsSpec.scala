@@ -832,6 +832,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(got(("b", "a"))._2 - pmiBA) < 1e-12)
   }
 
+  test("decayed count: naive-model equality, half-life boundary, tail clamp") {
+    import graft.operators.Profiling
+    val ref = 1000000L; val hl = 100L
+    val ts = Seq(
+      ("a", ref),           // b=0 → 2^30
+      ("a", ref - 99L),     // b=0
+      ("a", ref - 100L),    // exact boundary → b=1 → 2^29
+      ("a", ref - 150L),    // b=1
+      ("a", ref - 100L * 31), // b=31 → beyond shift → 0
+      ("b", ref + 50L)      // future (b<0) → 0
+    ).toDF("g", "ts_us")
+    val got = Profiling.decayedCount(ts, Seq("g"), "ts_us", ref, hl)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val expA = (1L << 30) * 2 + (1L << 29) * 2
+    assert(got("a") == ((expA, expA.toDouble / (1L << 30))))
+    assert(got("b") == ((0L, 0.0)))
+  }
+
   test("quantile normalization: exact (rank−1)/(n−1) within source, ties equal") {
     import graft.operators.TextAnalysis
     // src a: 3 docs with strictly increasing quality (longer → more stop/alpha
