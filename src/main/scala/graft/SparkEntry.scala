@@ -1357,6 +1357,16 @@ object SparkEntry {
         Sketches.cmsBuild(ev, col("user_id"), d = 4, w = 32),
         ev.select(col("user_id")).distinct(), "user_id", d = 4, w = 32)
     }),
+    // T-BM25k — batch retrieval join: top-5 BM25 docs per benchmark query
+    // (queries = first 3 tokens of every doc_id % 100 == 0 document)
+    "text_bm25_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val queries = d.filter(col("doc_id") % 100 === 0 && col("text").isNotNull)
+        .select(col("doc_id").as("query_id"),
+          explode(slice(split(trim(lower(col("text")), TextAnalysis.WsCharsRaw),
+            s"${TextAnalysis.WsClass}+"), 1, 3)).as("term"))
+      TextAnalysis.bm25Multi(d, queries, topK = 5)
+    }),
     // D9 — graft extension: exponentially-decayed event counts per type
     // (7-day half-life, whole-half-life quantization → pure long sums,
     // exact on every engine; ref = max event time)
@@ -2572,6 +2582,35 @@ object SparkEntry {
     "text_quality_qnorm" ->
       (s"SELECT doc_id, source, percent_rank() OVER (" +
         s"PARTITION BY source ORDER BY $QualitySql) AS qnorm FROM documents"),
+    // multi-query BM25 mirror: shared postings over the distinct query-term
+    // set, per-(query, doc) round-4 scores, rank on the ROUNDED score (the
+    // operator's libm/sum-order defense) with doc-id tie-break
+    "text_bm25_topk" ->
+      ("WITH dl AS (SELECT doc_id, CASE WHEN text IS NULL OR " +
+        s"len(trim(text, '${TextAnalysis.WsCharsRaw}')) = 0 THEN 0.0 ELSE " +
+        s"CAST(len(string_split_regex(trim(text, '${TextAnalysis.WsCharsRaw}'), '\\s+')) AS DOUBLE) END AS dl " +
+        "FROM documents), " +
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl), " +
+        "toks AS (SELECT doc_id, unnest(string_split_regex(" +
+        s"trim(lower(text), '${TextAnalysis.WsCharsRaw}'), '\\s+')) AS tok " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "q AS (SELECT DISTINCT query_id, term FROM (SELECT doc_id AS query_id, " +
+        s"unnest(tk[1:3]) AS term FROM (SELECT doc_id, string_split_regex(" +
+        s"trim(lower(text), '${TextAnalysis.WsCharsRaw}'), '\\s+') AS tk " +
+        "FROM documents WHERE doc_id % 100 = 0 AND text IS NOT NULL)) " +
+        "WHERE len(term) > 0), " +
+        "terms AS (SELECT DISTINCT term FROM q), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks " +
+        "JOIN terms ON tok = term GROUP BY 1, 2), " +
+        "dfx AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), " +
+        "sc AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hits, " +
+        "ROUND(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+        "CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score " +
+        "FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats " +
+        "JOIN q ON q.term = tf.tok GROUP BY 1, 2) " +
+        "SELECT query_id, doc_id, n_hits, score, rank FROM (" +
+        "SELECT *, CAST(row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank FROM sc) WHERE rank <= 5"),
     // decayed-count mirror: same whole-half-life buckets (// floors like
     // div on the non-negative ages), same 2^(30−b) long contributions
     "d9_decayed" ->

@@ -863,6 +863,62 @@ object TextAnalysis {
         sum(col("term_score")).as("score"))
   }
 
+  /** Batch retrieval join — [[bm25]] generalized from one literal term list
+    * to a QUERY TABLE `(queryIdCol, termCol)`: BM25-scored top-`topK`
+    * documents per query, the bulk indexing/retrieval step of a RAG or
+    * eval-harness pipeline ("for every benchmark question, the k most
+    * relevant corpus docs").
+    *
+    * Scale shape: the corpus is tokenized ONCE for all queries — the
+    * (doc, term) postings build exactly like single-query [[bm25]] (term
+    * filter as a broadcast semi-join on the distinct query-term set, dl
+    * riding the exploded rows, N/avgdl on a 1-row broadcast), then postings
+    * join the query-term table (broadcast — query sets are config-scale)
+    * and collapse to (query, doc) scores. Top-k per query is a
+    * WindowGroupLimit partial top-k below the final exchange. Ranking uses
+    * the ROUND-4 score (ties broken by doc id): BM25's idf is libm `ln`
+    * and the term sum is order-dependent — ranking raw doubles would let a
+    * 1-ulp cross-engine wiggle flip a boundary rank.
+    */
+  def bm25Multi(docs: DataFrame, queries: DataFrame, topK: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      queryIdCol: String = "query_id", termCol: String = "term",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val qt = queries
+      .select(col(queryIdCol), lower(trim(col(termCol))).as("tok"))
+      .filter(length(col("tok")) > 0).distinct()
+    val terms = qt.select("tok").distinct()
+    val dlExpr = coalesce(tokenCount(col(textCol)).cast("double"), lit(0.0))
+    val stats = docs
+      .select(dlExpr.as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col(idCol), dlExpr.as("dl"),
+        explode(lmToks(col(textCol))).as("tok"))
+      .join(broadcast(terms), Seq("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfTbl = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf.join(dfTbl, Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", idf * tfNorm)
+      .join(broadcast(qt), Seq("tok"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_hits"),
+        round(sum(col("term_score")), 4).as("score"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   // ------------------------------------------------- duplicated-span signal
 
   /** Shared machinery of [[dupSpanStats]] / [[removeDupSpans]]: `base` =

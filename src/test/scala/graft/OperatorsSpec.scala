@@ -832,6 +832,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(got(("b", "a"))._2 - pmiBA) < 1e-12)
   }
 
+  test("bm25Multi with one query reproduces single-query bm25 scores") {
+    import graft.operators.TextAnalysis
+    val terms = Seq("hash", "join", "shuffle", "broadcast")
+    val q = terms.map(t => (0L, t)).toDF("query_id", "term")
+    try {
+      val multi = TextAnalysis.bm25Multi(docs, q, topK = 1000000)
+        .select($"doc_id", $"n_hits", $"score")
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val single = TextAnalysis.bm25(docs, terms)
+        .select($"doc_id", $"n_hits", round($"score", 4).as("score"))
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(multi == single,
+        s"multi(${multi.size}) != single(${single.size})")
+      assert(multi.nonEmpty)
+    } finally spark.catalog.clearCache()
+  }
+
   test("decayed count: naive-model equality, half-life boundary, tail clamp") {
     import graft.operators.Profiling
     val ref = 1000000L; val hl = 100L

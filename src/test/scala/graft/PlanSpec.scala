@@ -882,6 +882,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"projection must not join:\n$plan")
   }
 
+  test("multi-query BM25: shared postings cached, query terms broadcast, " +
+      "per-query top-k as WindowGroupLimit") {
+    try {
+      val plan = executedPlan(
+        SparkEntry.queries("text_bm25_topk")(spark, "/root/testdata/sf0.001"))
+      assert(plan.contains("InMemoryTableScan"),
+        s"postings must be persisted (built once for all queries):\n$plan")
+      assert(plan.contains("BroadcastExchange"),
+        s"query-term table must broadcast:\n$plan")
+      assert(plan.contains("WindowGroupLimit"),
+        s"per-query top-k must prune below the rank window:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"retrieval join planned a product:\n$plan")
+    } finally spark.catalog.clearCache()
+  }
+
   test("compressed-domain top-k agrees with the dequantized brute force") {
     try {
       val dir = "/root/testdata/sf0.001"
