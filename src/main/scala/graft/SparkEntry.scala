@@ -1357,6 +1357,16 @@ object SparkEntry {
         Sketches.cmsBuild(ev, col("user_id"), d = 4, w = 32),
         ev.select(col("user_id")).distinct(), "user_id", d = 4, w = 32)
     }),
+    // D10 — drift monitor: PSI between two pseudo-snapshots (even vs odd
+    // doc ids) over 100-char document-length buckets
+    "drift_psi" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bucket = least(expr("n_chars div 100"), lit(19L))
+      Profiling.psiDrift(
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+          bucket)
+        .withColumn("psi_contrib", round(col("psi_contrib"), 4))
+    }),
     // T-BM25k — batch retrieval join: top-5 BM25 docs per benchmark query
     // (queries = first 3 tokens of every doc_id % 100 == 0 document)
     "text_bm25_topk" -> ((s, dir) => {
@@ -2582,6 +2592,27 @@ object SparkEntry {
     "text_quality_qnorm" ->
       (s"SELECT doc_id, source, percent_rank() OVER (" +
         s"PARTITION BY source ORDER BY $QualitySql) AS qnorm FROM documents"),
+    // PSI mirror: same Laplace-smoothed shares ((n+1)/(tot+k)) over the
+    // full-outer bucket join, association-pinned (q−p)·ln(q/p)
+    "drift_psi" ->
+      (s"WITH o AS (SELECT bucket, count(*) AS n_old FROM (" +
+        "SELECT least(n_chars // 100, 19) AS bucket " +
+        "FROM documents WHERE doc_id % 2 = 0) GROUP BY 1), " +
+        "nn AS (SELECT bucket, count(*) AS n_new FROM (" +
+        "SELECT least(n_chars // 100, 19) AS bucket " +
+        "FROM documents WHERE doc_id % 2 = 1) GROUP BY 1), " +
+        "j AS (SELECT COALESCE(o.bucket, nn.bucket) AS bucket, " +
+        "COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new " +
+        "FROM o FULL OUTER JOIN nn ON o.bucket = nn.bucket), " +
+        "t AS (SELECT bucket, n_old, n_new, sum(n_old) OVER () AS tot_old, " +
+        "sum(n_new) OVER () AS tot_new, count(*) OVER () AS k FROM j) " +
+        "SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_old AS BIGINT) AS n_old, " +
+        "CAST(n_new AS BIGINT) AS n_new, " +
+        "ROUND((CAST(n_new + 1 AS DOUBLE) / CAST(tot_new + k AS DOUBLE) - " +
+        "CAST(n_old + 1 AS DOUBLE) / CAST(tot_old + k AS DOUBLE)) * " +
+        "ln((CAST(n_new + 1 AS DOUBLE) / CAST(tot_new + k AS DOUBLE)) / " +
+        "(CAST(n_old + 1 AS DOUBLE) / CAST(tot_old + k AS DOUBLE))), 4) AS psi_contrib " +
+        "FROM t"),
     // multi-query BM25 mirror: shared postings over the distinct query-term
     // set, per-(query, doc) round-4 scores, rank on the ROUNDED score (the
     // operator's libm/sum-order defense) with doc-id tie-break

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -85,6 +85,47 @@ object Profiling {
       .agg(count(lit(1)).as("__graft_subcount"))
       .groupBy(col(keyCol))
       .agg(sum(col("__graft_subcount")).as("cnt"))
+  }
+
+  /** Population-stability-index drift report between two snapshots of the
+    * same population — the standard "did the distribution move" monitor a
+    * refresh pipeline runs on its quality/length/score features before
+    * accepting a new crawl. Rows of both inputs are bucketed by the caller-
+    * supplied `bucket` expression; output is one row per observed bucket:
+    * (bucket, n_old, n_new, psi_contrib) with
+    * contrib = (q − p) · ln(q / p) over LAPLACE-SMOOTHED shares
+    * p = (n_old+1)/(tot_old+k), q = (n_new+1)/(tot_new+k) — smoothing
+    * makes empty buckets well-defined deterministically (no epsilon
+    * config). Σ contrib is the PSI; the usual alarm bars are 0.1 (drift)
+    * and 0.25 (major drift). Consumers should round contrib (libm ln).
+    *
+    * Scale shape: each snapshot collapses to bucket counts under ONE
+    * map-side-combined exchange; everything after (full-outer bucket join,
+    * whole-relation window totals) runs on the bucket relation — tens of
+    * rows. The single-partition window is safe by construction (bucket
+    * cardinality is config-scale); totals are exact long sums. */
+  def psiDrift(oldDf: DataFrame, newDf: DataFrame, bucket: Column): DataFrame = {
+    val o = oldDf.select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_old"))
+    val n = newDf.select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+    val j = o.join(n, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    // non-foldable constant partition key (the topNgrams rule): the window
+    // spans the whole bucket relation, which is bounded by construction
+    val w = Window.partitionBy(pmod(col("n_old"), lit(1)))
+    val withTot = j
+      .withColumn("__tot_old", sum(col("n_old")).over(w))
+      .withColumn("__tot_new", sum(col("n_new")).over(w))
+      .withColumn("__k", count(lit(1)).over(w))
+    val p = (col("n_old") + 1).cast("double") /
+      (col("__tot_old") + col("__k")).cast("double")
+    val q = (col("n_new") + 1).cast("double") /
+      (col("__tot_new") + col("__k")).cast("double")
+    withTot
+      .withColumn("psi_contrib", (q - p) * log(q / p))
+      .select("bucket", "n_old", "n_new", "psi_contrib")
   }
 
   /** Exponentially-decayed count per group — the recency-weighted

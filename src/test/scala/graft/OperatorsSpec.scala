@@ -832,6 +832,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(got(("b", "a"))._2 - pmiBA) < 1e-12)
   }
 
+  test("PSI drift: identical snapshots score 0; a shift scores positive") {
+    import graft.operators.Profiling
+    val a = (1L to 100L).map(i => i % 4).toDF("b")
+    val same = Profiling.psiDrift(a, a, $"b")
+      .select($"psi_contrib").as[Double].collect()
+    assert(same.forall(_ == 0.0), s"identical snapshots must be 0: ${same.toSeq}")
+    // shifted: bucket 0 doubles at the expense of bucket 3
+    val shifted = (1L to 100L).map(i => if (i % 4 == 3) 0L else i % 4).toDF("b")
+    val psi = Profiling.psiDrift(a, shifted, $"b")
+      .select($"psi_contrib").as[Double].collect().sum
+    assert(psi > 0.1, s"a 25%-mass move must alarm: $psi")
+    // bucket 3 is EMPTY on the shifted side — Laplace smoothing keeps the
+    // contribution finite and the row present
+    val b3 = Profiling.psiDrift(a, shifted, $"b")
+      .filter($"bucket" === 3L).as[(Long, Long, Long, Double)].collect()
+    assert(b3.length == 1 && b3.head._3 == 0L && !b3.head._4.isNaN &&
+      !b3.head._4.isInfinite, s"empty-bucket row malformed: ${b3.toSeq}")
+  }
+
   test("bm25Multi with one query reproduces single-query bm25 scores") {
     import graft.operators.TextAnalysis
     val terms = Seq("hash", "join", "shuffle", "broadcast")
