@@ -2211,7 +2211,7 @@ object SparkEntry {
     "text_stats", "text_bpe", "text_c4_clean",
     "join_asof", "join_range",
     "sketch_kmv_distinct", "graph_pagerank", "layout_zorder",
-    "cdc_merge", "agg_cube",
+    "cdc_merge", "agg_cube", "drift_psi",
     "mm_decode",
     "d1_sessionize", "d7_trailing",
     "audit_split_leakage",
