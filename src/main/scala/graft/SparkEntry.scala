@@ -1357,6 +1357,17 @@ object SparkEntry {
         Sketches.cmsBuild(ev, col("user_id"), d = 4, w = 32),
         ev.select(col("user_id")).distinct(), "user_id", d = 4, w = 32)
     }),
+    // T-CODE — The-Stack-style code-file signals over a newline-decorated
+    // fixture (testdata text is single-line prose; the decoration adds an
+    // indented line and a doc_id-length prefix line so every signal does
+    // real work — the text_normalize decorate-the-fixture pattern)
+    "text_code_stats" -> ((s, dir) => {
+      val decorated = docs(s, dir).withColumn("text",
+        concat_ws("\n", coalesce(col("text"), lit("")), lit("  indented"),
+          coalesce(col("text"), lit(""))
+            .substr(lit(1), (col("doc_id") % 40).cast("int"))))
+      TextAnalysis.codeStats(decorated)
+    }),
     // D10 — drift monitor: PSI between two pseudo-snapshots (even vs odd
     // doc ids) over 100-char document-length buckets
     "drift_psi" -> ((s, dir) => {
@@ -2592,6 +2603,19 @@ object SparkEntry {
     "text_quality_qnorm" ->
       (s"SELECT doc_id, source, percent_rank() OVER (" +
         s"PARTITION BY source ORDER BY $QualitySql) AS qnorm FROM documents"),
+    // code-stats mirror: same decoration, newline split with empties kept,
+    // exact integer ratios throughout (no rounding anywhere)
+    "text_code_stats" ->
+      ("WITH d AS (SELECT doc_id, COALESCE(text, '') || chr(10) || '  indented' || chr(10) || " +
+        "substr(COALESCE(text, ''), 1, CAST(doc_id % 40 AS INT)) AS t FROM documents), " +
+        "l AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM d) " +
+        "SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, " +
+        "CAST(list_max([len(x) for x in lines]) AS BIGINT) AS max_line_len, " +
+        "CAST(list_sum([len(x) for x in lines]) AS DOUBLE) / CAST(len(lines) AS DOUBLE) AS avg_line_len, " +
+        "CASE WHEN len(t) > 0 THEN CAST(len(regexp_replace(t, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE) / " +
+        "CAST(len(t) AS DOUBLE) ELSE 0.0 END AS alnum_frac, " +
+        "CAST(len(list_filter(lines, x -> starts_with(x, ' ') OR starts_with(x, chr(9)))) AS DOUBLE) / " +
+        "CAST(len(lines) AS DOUBLE) AS indent_frac FROM l"),
     // PSI mirror: same Laplace-smoothed shares ((n+1)/(tot+k)) over the
     // full-outer bucket join, association-pinned (q−p)·ln(q/p)
     "drift_psi" ->

@@ -356,6 +356,38 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
   }
 
+  /** The-Stack/StarCoder-style code-file statistics (Kocetkov et al. 2022
+    * §3.1 filters files on line-length and alphanumeric signals): per doc —
+    * `n_lines` (newline-split, empties counted: line structure, not
+    * content), `max_line_len`, `avg_line_len` (exact chars/lines ratio),
+    * `alnum_frac` ([a-zA-Z0-9] chars over all chars), `indent_frac`
+    * (lines starting with space/tab over all lines). The standard code-
+    * corpus gates are max_line_len ≤ 1000, avg ≤ 100, alnum_frac ≥ 0.25 —
+    * left to the caller, these are the signals. Every output is an exact
+    * integer or integer ratio: deterministic on any engine, no rounding.
+    *
+    * Scale shape: one narrow codegen'd map — the line split and regexp
+    * scrub run per row, nothing shuffles, nothing explodes. */
+  def codeStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n", -1)
+    val nLines = size(lines).cast("long")
+    val lens = transform(lines, l => length(l).cast("long"))
+    val maxLen = array_max(lens)
+    val sumLen = aggregate(lens, lit(0L), (acc, x) => acc + x)
+    val nAlnum = length(regexp_replace(t, "[^a-zA-Z0-9]", "")).cast("long")
+    val nIndented = size(filter(lines,
+      l => l.startsWith(" ") || l.startsWith("\t"))).cast("long")
+    docs.select(col(idCol),
+      nLines.as("n_lines"),
+      maxLen.as("max_line_len"),
+      (sumLen.cast("double") / nLines.cast("double")).as("avg_line_len"),
+      when(length(t) > 0, nAlnum.cast("double") / length(t).cast("double"))
+        .otherwise(lit(0.0)).as("alnum_frac"),
+      (nIndented.cast("double") / nLines.cast("double")).as("indent_frac"))
+  }
+
   /** Cross-source quality calibration: percent_rank of [[qualityScore]]
     * WITHIN each `groupCol` maps every source's score distribution onto
     * [0, 1], so one threshold compares across sources whose raw score

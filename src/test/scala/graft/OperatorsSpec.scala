@@ -832,6 +832,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(got(("b", "a"))._2 - pmiBA) < 1e-12)
   }
 
+  test("code stats: hand-computed signals on a known snippet") {
+    import graft.operators.TextAnalysis
+    val d = Seq(
+      (1L, "def f(x):\n    return x1\n\n\tpass"),
+      (2L, ""), // empty doc: one empty line, all fractions defined
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.codeStats(d)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // doc 1: lines = ["def f(x):", "    return x1", "", "\tpass"],
+    // lens 9/13/0/5 → n=4, max=13, avg=27/4; alnum over the FULL text incl
+    // the 3 newlines: deffx(5)+returnx1(8)+pass(4) = 17 of 30; indented 2/4
+    assert(got(1L) == ((4L, 13L, 27.0 / 4, 17.0 / 30, 0.5)))
+    assert(got(2L) == ((1L, 0L, 0.0, 0.0, 0.0)))
+    assert(got(3L) == ((1L, 0L, 0.0, 0.0, 0.0))) // NULL coalesces to ""
+  }
+
   test("PSI drift: identical snapshots score 0; a shift scores positive") {
     import graft.operators.Profiling
     val a = (1L to 100L).map(i => i % 4).toDF("b")
