@@ -1357,6 +1357,9 @@ object SparkEntry {
         Sketches.cmsBuild(ev, col("user_id"), d = 4, w = 32),
         ev.select(col("user_id")).distinct(), "user_id", d = 4, w = 32)
     }),
+    // T-OOV — per-doc out-of-vocabulary profile vs the top-16 learned
+    // token vocab (16 < the corpus's 31 types, so OOV is non-trivial)
+    "text_oov" -> ((s, dir) => TextAnalysis.oovStats(docs(s, dir), 16)),
     // T-CODE — The-Stack-style code-file signals over a newline-decorated
     // fixture (testdata text is single-line prose; the decoration adds an
     // indented line and a doc_id-length prefix line so every signal does
@@ -2603,6 +2606,18 @@ object SparkEntry {
     "text_quality_qnorm" ->
       (s"SELECT doc_id, source, percent_rank() OVER (" +
         s"PARTITION BY source ORDER BY $QualitySql) AS qnorm FROM documents"),
+    // OOV mirror: identical (cnt DESC, token ASC) top-16 vocab cut,
+    // exact per-doc counts and integer-ratio fraction
+    "text_oov" ->
+      (s"WITH vocab AS (SELECT t FROM (SELECT t, count(*) AS cnt FROM (" +
+        s"SELECT unnest($RawToks) AS t FROM documents) WHERE t <> '' GROUP BY t) " +
+        "ORDER BY cnt DESC, t ASC LIMIT 16), " +
+        s"tk AS (SELECT doc_id, t FROM (SELECT doc_id, unnest($RawToks) AS t " +
+        "FROM documents) WHERE t <> '') " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov, " +
+        "CAST(sum(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE) AS oov_frac FROM tk GROUP BY 1"),
     // code-stats mirror: same decoration, newline split with empties kept,
     // exact integer ratios throughout (no rounding anywhere)
     "text_code_stats" ->

@@ -388,6 +388,34 @@ object TextAnalysis {
       (nIndented.cast("double") / nLines.cast("double")).as("indent_frac"))
   }
 
+  /** Out-of-vocabulary profile per document against a corpus-learned
+    * top-`vocabSize` token vocabulary ([[learnVocab]]'s deterministic
+    * (count DESC, token ASC) cut): (idCol, n_tokens, n_oov, oov_frac).
+    * The tokenizer-coverage signal — a doc whose tokens fall outside the
+    * vocab inflates its sequence budget and degrades training signal; the
+    * corpus-level aggregate of `n_oov` is the "does my vocab fit this
+    * source" gate run before committing a tokenizer.
+    *
+    * Scale shape: vocab rides as an `isin` literal set (config-scale,
+    * codegen'd hash lookup); the per-doc aggregation is one map-side-
+    * combined exchange on the id. A production-size subword vocab (tens
+    * of thousands+) should broadcast-join instead of isin — same result,
+    * noted here so the literal list is never scaled blindly. Empty
+    * documents have no tokens and produce no row (0/0 is undefined). */
+  def oovStats(docs: DataFrame, vocabSize: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextExpressions.wordNGramsAll
+    val vocab = learnVocab(docs, vocabSize, textCol).keys.toSeq
+    docs.select(col(idCol),
+        explode(wordNGramsAll(col(textCol), 1)).as("t"))
+      .filter(col("t") =!= "")
+      .withColumn("__oov", (!col("t").isin(vocab: _*)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__oov")).as("n_oov"))
+      .withColumn("oov_frac",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Cross-source quality calibration: percent_rank of [[qualityScore]]
     * WITHIN each `groupCol` maps every source's score distribution onto
     * [0, 1], so one threshold compares across sources whose raw score
