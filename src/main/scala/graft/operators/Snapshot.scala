@@ -25,7 +25,9 @@ object Snapshot {
     * at most one row per key (the usual CDC log-compaction contract); with
     * multiple rows per key the survivor among them is the one with the
     * largest `orderCol` value, so passing a version/sequence column makes
-    * the uncompacted case deterministic too.
+    * the uncompacted case deterministic too — PROVIDED (key, orderCol) is
+    * unique within the changeset (a log offset is; two change rows tying
+    * on both key and version have no defined winner on any engine).
     *
     * Spark-first shape: NOT a join. Base rows are tagged precedence 0 and
     * change rows precedence 1, UNIONed, and one hash exchange on the key
