@@ -956,6 +956,37 @@ object SparkEntry {
       s"$out AS (SELECT $keep, xor(z, z >> 31) AS h FROM m4_$out)"
   }
 
+  /** Full DuckDB replay of Sketches.hllDistinct: polyHash the stringified
+    * id, bucket on the low p bits, rho from `length(bin(w))` (both engines
+    * print minimal binary), register max, then the identical all-integer
+    * estimator — 2^K-scaled harmonic sum in HUGEINT, alpha as the shared
+    * ⌊α·10⁶⌋, linear counting through the SAME [[Sketches.hllLnLut]] table
+    * inlined as VALUES. */
+  private def hllOracleSql(p: Int): String = {
+    val m = 1 << p
+    val K = 65 - p
+    val num = (BigInt(graft.operators.Sketches.hllAlphaScaled(m)) * m * m *
+      (BigInt(1) << K)).toString
+    val lutVals = graft.operators.Sketches.hllLnLut(m)
+      .map { case (v, l) => s"($v, $l)" }.mkString(", ")
+    s"WITH src0 AS (SELECT event_type, CAST(user_id AS VARCHAR) AS sval FROM events), " +
+      polyHashSteps("event_type", "sval", "src0", "ph") + ", " +
+      s"b AS (SELECT event_type, CAST(h % $m AS BIGINT) AS bkt, " +
+      s"CAST(h // $m AS BIGINT) AS w FROM ph), " +
+      s"r AS (SELECT event_type, bkt, max(CASE WHEN w = 0 THEN $K " +
+      s"ELSE $K - length(bin(w)) END) AS reg FROM b GROUP BY 1, 2), " +
+      s"st AS (SELECT event_type, count(*) AS cnt, " +
+      s"sum(CAST(CAST(1 AS BIGINT) << ($K - reg) AS HUGEINT)) AS s1 FROM r GROUP BY 1), " +
+      s"es AS (SELECT event_type, $m - cnt AS v, " +
+      s"CAST((CAST($m - cnt AS HUGEINT) * ${1L << K} + s1) AS HUGEINT) AS sp FROM st), " +
+      s"raw AS (SELECT event_type, v, " +
+      s"CAST(CAST('$num' AS HUGEINT) // (sp * 1000000) AS BIGINT) AS e FROM es), " +
+      s"lut(lv, lnfp) AS (VALUES $lutVals) " +
+      s"SELECT event_type, CAST(CASE WHEN e * 2 <= ${5L * m} AND v > 0 " +
+      s"THEN ($m * l.lnfp) // ${1L << 20} ELSE e END AS BIGINT) AS est_distinct " +
+      "FROM raw LEFT JOIN lut l ON l.lv = raw.v"
+  }
+
   /** Full DuckDB replay of Similarity.pcaFit + pcaProject: fixed-point mean
     * and upper-triangle covariance sums, then the power iteration UNROLLED
     * — every reduction is `list_reduce(list_prepend(0.0, …))`, the same
@@ -1244,6 +1275,19 @@ object SparkEntry {
         graft.operators.Graph.transitionEdges(
           ev, "user_id", Seq("ts_us", "event_id"), "node"), iters = 10)
     }),
+    // G3 — graft extension: per-node triangle counts over the same
+    // interaction-transition graph via the degree-oriented wedge join —
+    // the local-clustering signal (link-farm / mirror-family detector)
+    // beside PageRank's global authority signal
+    "graph_triangles" -> ((s, dir) => {
+      val ev = EventsAdapter.rawEvents(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("node"))
+        .where(col("node").isNotNull)
+      graft.operators.Graph.triangleCounts(
+        graft.operators.Graph.transitionEdges(
+          ev, "user_id", Seq("ts_us", "event_id"), "node"))
+    }),
     // SK1 — graft extension: KMV (bottom-k) distinct-count estimate of
     // active users per event type. k=64 < the sf0.01 cardinality, so the
     // gate exercises the ESTIMATOR branch there (and the exact m<k branch
@@ -1252,6 +1296,15 @@ object SparkEntry {
       Sketches.kmvDistinct(
         EventsAdapter.rawEvents(s, dir).select(col("event_type"), col("user_id")),
         Seq("event_type"), col("user_id"), 64)),
+    // SK5 — graft extension: PORTABLE HyperLogLog distinct users per event
+    // type — the same question sketch_kmv_distinct answers, through the
+    // industry-standard register sketch: low-p-bit bucketing of the
+    // portable hash, max leading-zero registers, all-integer harmonic sum;
+    // both registers and estimate replay bit-for-bit in the oracle
+    "sketch_hll_distinct" -> ((s, dir) =>
+      Sketches.hllDistinct(
+        EventsAdapter.rawEvents(s, dir).select(col("event_type"), col("user_id")),
+        Seq("event_type"), col("user_id"), p = 8)),
     // SK3 — graft extension: mergeable fixed-bin histogram quantiles per
     // event type (64 bins × 10.0 over [0, 640)) — the corpus-scale
     // alternative to exact percentile's per-group value buffering
@@ -1464,6 +1517,12 @@ object SparkEntry {
     // ----- training-data-pipeline extensions -----
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5)),
+    // the EXACT-output skew-safe path: prefix-filtered candidate generation
+    // (SSJoin/All-Pairs) under the (df, shingle) global order — provably the
+    // SAME pair set as the uncapped flagship (the oracle is the brute-force
+    // spec), with the inverted index built over document prefixes only
+    "dedup_prefix" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(docs(s, dir), 3, 1, 2)),
     // the 100 TB-safe path: hot shingles (df > 4) dropped, Jaccard over
     // survivors — exercises the skew cap the uncapped flagship leaves off
     "dedup_ngram_capped" -> ((s, dir) =>
@@ -2427,6 +2486,31 @@ object SparkEntry {
     // then the 10 power iterations UNROLLED as CTEs with the identical
     // all-integer arithmetic — floor division everywhere, both engines
     "graph_pagerank" -> pageRankOracleSql(10, 1L << 20, 85, 100),
+    // triangle mirror: same edge extraction, then the identical
+    // degree-(deg, node)-oriented wedge join + closure probe — row-value
+    // comparisons replay Spark's struct comparisons field-for-field
+    "graph_triangles" ->
+      (s"WITH ev AS (SELECT user_id, $TsUs AS t, event_id, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS node FROM events " +
+        "WHERE json_extract_string(props, '$.k') IS NOT NULL), " +
+        "tr AS (SELECT node AS src, lead(node) OVER (" +
+        "PARTITION BY user_id ORDER BY t, event_id) AS dst FROM ev), " +
+        "edges AS (SELECT DISTINCT src, dst FROM tr WHERE dst IS NOT NULL), " +
+        "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b " +
+        "FROM edges WHERE src <> dst), " +
+        "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (" +
+        "SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1), " +
+        "o AS MATERIALIZED (SELECT " +
+        "CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS u, " +
+        "CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS v, " +
+        "CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN db.deg ELSE da.deg END AS dv " +
+        "FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b), " +
+        "wd AS (SELECT o1.u, o1.v, o2.v AS w FROM o o1 JOIN o o2 " +
+        "ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v)), " +
+        "t AS (SELECT wd.u, wd.v, wd.w FROM wd JOIN o " +
+        "ON o.u = wd.v AND o.v = wd.w) " +
+        "SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (" +
+        "SELECT unnest([u, v, w]) AS node FROM t) GROUP BY 1"),
     // KMV distinct mirror: k smallest distinct portable hashes per type,
     // then the identical all-integer estimator ((k−1)·P // (h_k+1); exact
     // count when fewer than k distinct hashes exist)
@@ -2440,6 +2524,9 @@ object SparkEntry {
         "SELECT event_type, CAST(CASE WHEN m < 64 THEN m " +
         "ELSE (CAST(63 AS BIGINT) * 2147483647) // (hk + 1) END AS BIGINT) " +
         "AS est_distinct FROM s"),
+    // portable-HLL mirror: registers + the all-integer estimator, LUT and
+    // alpha generated from the same Scala source of truth as the engine
+    "sketch_hll_distinct" -> hllOracleSql(8),
     // histogram-quantile mirror: identical bin clamp, cumulative bin
     // counts, and ceil(q·n) rank threshold; the SELECTed edge expression
     // (lo + bin·width) matches the Spark op sequence IEEE-for-IEEE
@@ -2750,6 +2837,9 @@ object SparkEntry {
       (s"SELECT md5(regexp_replace(lower(trim(text, '$SqlWs')), '\\s+', ' ', 'g')) AS fingerprint, " +
         "MIN(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1"),
     "dedup_ngram" -> JaccardPairsSql,
+    // prefix filtering is LOSSLESS, so its mirror IS the brute-force pair
+    // spec — the oracle equality proves the candidate pruning drops nothing
+    "dedup_prefix" -> JaccardPairsSql,
     "dedup_ngram_capped" -> JaccardCappedPairsSql,
     "dedup_simhash" -> SimhashPairsSql,
     "sim_ivf_topk" -> IvfTopkSql,

@@ -247,6 +247,77 @@ object Dedup {
     }
   }
 
+  /** Exact Jaccard pairs via PREFIX FILTERING (SSJoin / All-Pairs / PPJoin
+    * candidate generation: Chaudhuri et al. 2006, Bayardo et al. 2007, Xiao
+    * et al. 2008) — same output contract as [[ngramJaccardPairs]] with
+    * `maxDocFreq = 0` (every pair with J ≥ threshold, NO approximation),
+    * but the inverted index is built over each document's PREFIX only.
+    *
+    * Under a global total order on shingles — here (df ASC, shingle ASC),
+    * rarest first, which is also the order that minimizes candidates — a
+    * pair with J ≥ t = num/den must share at least one shingle inside both
+    * documents' first |d| − ⌈t·|d|⌉ + 1 shingles, so indexing only those
+    * prefixes loses nothing. Hot shingles land at the END of the order and
+    * mostly fall OUTSIDE prefixes: the ubiquitous-shingle skew that forces
+    * [[ngramJaccardPairs]] to choose between quadratic hot-key fan-out
+    * (maxDocFreq=0) and changed semantics (maxDocFreq>0) shrinks to the few
+    * docs rare-dominated enough to carry a hot shingle in-prefix — the
+    * 100 TB path that stays EXACT. A (t·|a| ≤ |b| ≤ |a|/t)-length filter
+    * prunes candidates further before verification.
+    *
+    * The threshold is a RATIONAL num/den so prefix lengths and the length
+    * filter are integer-exact on every engine — a double ⌈t·|d|⌉ can round
+    * across the ceiling boundary and silently shorten a prefix, which is
+    * the difference between "exact" and "usually exact". Determinism: the
+    * order (df, shingle-string) is total (strings are distinct per doc), so
+    * prefixes — and therefore candidates — are identical on any
+    * partitioning; candidates join on the compact 64-bit shingle hash, and
+    * a hash collision can only ADD a candidate (discarded by exact
+    * verification), never drop one.
+    *
+    * Cache lifecycle: same note as [[ngramJaccardPairs]] — the shingle-set
+    * relation feeds the explode and both verification sides. */
+  def prefixJaccardPairs(docs: DataFrame, n: Int, tNum: Int, tDen: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(tNum > 0 && tNum <= tDen,
+      s"threshold must satisfy 0 < num/den <= 1, got $tNum/$tDen")
+    val base = docs.select(col(idCol).as("id"),
+        wordShingles(col(textCol), n).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = base.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy(xxhash64(col("s")).as("sh_h"))
+      .agg(count(lit(1)).as("df"))
+    // rank within doc under the global (df, shingle) order; the prefix keeps
+    // rank ≤ n_sh − ⌈t·n_sh⌉ + 1, all-integer
+    val ranked = ex.select(col("id"), col("n_sh"), col("s"),
+        xxhash64(col("s")).as("sh_h"))
+      .join(dfreq, Seq("sh_h"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("df").asc, col("s").asc)))
+    val pre = ranked
+      .where(col("__rk") <=
+        col("n_sh") - expr(s"($tNum * n_sh + ${tDen - 1}) div $tDen") + 1)
+      .select(col("sh_h"), col("id"), col("n_sh"))
+    val cand = pre.select(col("sh_h"), col("id").as("id_a"), col("n_sh").as("na"))
+      .join(pre.select(col("sh_h"), col("id").as("id_b"), col("n_sh").as("nb")),
+        Seq("sh_h"))
+      .where(col("id_a") < col("id_b") &&
+        col("nb") * tDen >= col("na") * tNum &&
+        col("na") * tDen >= col("nb") * tNum)
+      .select("id_a", "id_b").dropDuplicates()
+    val t = tNum.toDouble / tDen
+    cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= t)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ------------------------------------------------------- MinHash + LSH
 
   /** k seeded 64-bit min-hashes of the shingle set: sig[i] = min over

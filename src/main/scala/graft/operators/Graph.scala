@@ -91,4 +91,67 @@ object Graph {
     nodes.unpersist(); outw.unpersist(); eo.unpersist()
     r.select(col("node"), col("r").as("rank_fp"))
   }
+
+  /** Per-node triangle counts over the undirected simple graph induced by
+    * `edges(src, dst, …)` — self-loops dropped, direction and multiplicity
+    * collapsed. Returns `(node, triangles)` for every node on ≥ 1 triangle.
+    * Triangles measure local clustering: spam link-farms and template/mirror
+    * site families show up as dense triangle neighborhoods in a crawl's
+    * host graph, which is why this rides next to [[pageRank]] in the
+    * source-quality toolbox.
+    *
+    * Spark-first shape — the degree-oriented wedge join (the MapReduce
+    * formulation of Suri & Vassilvitskii 2011, "Counting triangles and the
+    * curse of the last reducer"): orient every undirected edge from its
+    * lower endpoint to its higher endpoint under the total order
+    * (degree, node); enumerate wedges (u→v, u→w) with v before w in that
+    * same order by self-joining the oriented relation on u; a wedge closes
+    * into a triangle iff the oriented edge v→w exists — exactly one closure
+    * probe per triangle, because orientation makes each triangle's
+    * lowest-order corner the unique wedge apex.
+    *
+    * Why orientation matters at 100 TB: the naive wedge count is
+    * Σ deg(v)² — a power-law hub with 10⁷ neighbors contributes 10¹⁴
+    * wedges to one reducer (the "curse of the last reducer"). Orientation
+    * caps every out-degree at O(√m), so the wedge relation is O(m^{3/2})
+    * worst case and hub-dominated rows disappear: the hot node becomes a
+    * high-IN-degree endpoint, and the join keys on the wedge apex. All
+    * three shuffles (degree agg, wedge join, closure join) are keyed
+    * equi-joins — no cartesian anywhere. The head-degree rides the
+    * oriented relation so the wedge stage needs no second degree join. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient by (deg, node): ties in degree break on the node id, so the
+    // order is total and every engine orients identically
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("b")).otherwise(col("a")).as("v"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("db")).otherwise(col("da")).as("dv"))
+      // feeds three consumers (two wedge sides + the closure probe); persist
+      // so the degree joins above run once, not three times
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.select(col("u"), col("v"), col("dv"))
+      .join(oriented.select(col("u"), col("v").as("w"), col("dv").as("dw")),
+        Seq("u"))
+      .where(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+      .select(col("u"), col("v"), col("w"))
+    val tris = wedges.join(
+      oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+    val out = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    out
+  }
 }

@@ -262,6 +262,95 @@ object Sketches {
     out
   }
 
+  // ------------------------------------------- portable HyperLogLog
+
+  /** Registers-per-group of a PORTABLE HyperLogLog sketch (Flajolet et al.
+    * 2007): bucket = low `p` bits of the portable 64-bit
+    * [[graft.functions.PolyHash64]], rho = leading-zero count of the
+    * remaining 64−p bits + 1, register = max rho per bucket. Unlike Spark's
+    * built-in `approx_count_distinct` (HLL++, engine-private register
+    * layout and bias tables — unreplayable by construction, see the KMV
+    * note above), every piece here is plain integer arithmetic over a
+    * published hash, so the DuckDB oracle replays registers AND estimate
+    * bit-for-bit. Rows: ≤ m = 2^p per group, one map-side-combined
+    * exchange (partial max below the shuffle — the same shape as any
+    * grouped agg); registers MERGE across shards/days by per-bucket max,
+    * which is exactly re-running this aggregate over a union.
+    *
+    * rho via `length(bin(w))`: both engines print a long's minimal binary
+    * form, so (65−p) − bitlen(w) == Long.numberOfLeadingZeros arithmetic
+    * without a custom expression; w == 0 (all remaining bits zero) takes
+    * the maximal rho = 65−p. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], hash: Column,
+      p: Int): DataFrame = {
+    require(p >= 4 && p <= 14, s"precision p must be in [4,14], got $p")
+    val m = 1L << p
+    val maxRho = 65 - p
+    val g = groupCols.map(col)
+    df.select(g :+ hash.as("__h"): _*)
+      .select(g :+ col("__h").bitwiseAND(lit(m - 1)).as("__b") :+
+        expr(s"shiftrightunsigned(__h, $p)").as("__w"): _*)
+      .select(g :+ col("__b") :+
+        when(col("__w") === 0L, lit(maxRho))
+          .otherwise(lit(maxRho) - length(bin(col("__w"))))
+          .cast("int").as("__rho"): _*)
+      .groupBy(g :+ col("__b"): _*)
+      .agg(max(col("__rho")).as("reg"))
+  }
+
+  /** alpha_m correction constant, scaled by 10⁶ and floored — an exact
+    * integer both engines multiply with (never a runtime double). */
+  def hllAlphaScaled(m: Int): Long = {
+    require(m >= 128, s"the alpha_m closed form here assumes m >= 128, got $m")
+    math.floor(1e6 * 0.7213 / (1 + 1.079 / m)).toLong
+  }
+
+  /** The linear-counting lookup table (V zero registers → round(ln(m/V)·2²⁰))
+    * — ONE Scala source of truth for the engine's broadcast relation and the
+    * oracle's VALUES list, so the two can never drift on libm behavior. */
+  def hllLnLut(m: Int): Seq[(Long, Long)] =
+    (1 to m).map(v => (v.toLong, math.round(math.log(m.toDouble / v) * (1L << 20))))
+
+  /** Distinct-count estimate per group from a portable HLL over
+    * [[graft.functions.PolyHash64]] of `idCol` (cast to string) —
+    * `(group, est_distinct)`, standard error ≈ 1.04/√m.
+    *
+    * Estimator, integer-exact end to end: with K = 65−p (max rho) and
+    * S′ = Σ_j 2^{K−M_j} over all m registers (absent buckets at M=0),
+    *   raw = (⌊α_m·10⁶⌋ · m² · 2^K) div (10⁶ · S′)     — DECIMAL(38,0) sums
+    *   est = (m · lut(V)) div 2²⁰  when raw ≤ 5m/2 and V > 0   (linear
+    *         counting through the shared [[hllLnLut]]),  else raw.
+    * The 2^K scaling makes every register's harmonic term an exact integer,
+    * so the sum is associative — identical on any partitioning and in the
+    * oracle's HUGEINT replay — where the textbook Σ 2^{−M_j} double sum is
+    * neither. No 32-bit large-range correction: 64-bit hashes don't
+    * saturate. Per group the post-sketch math touches ≤ m rows; the LUT is
+    * an m-row broadcast. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], idCol: Column,
+      p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val K = 65 - p
+    val g = groupCols.map(col)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val regs = hllRegisters(df, groupCols,
+      graft.functions.HashExpressions.polyHash64(idCol.cast("string")), p)
+    val num = BigInt(hllAlphaScaled(m)) * m * m * (BigInt(1) << K)
+    val stats = regs.groupBy(g: _*)
+      .agg(count(lit(1)).as("__cnt"),
+        sum(expr(s"cast(shiftleft(1L, $K - reg) as decimal(38,0))")).as("__s1"))
+      .withColumn("__v", lit(m.toLong) - col("__cnt"))
+      .withColumn("__sp",
+        expr(s"cast($m - __cnt as decimal(38,0)) * cast(${1L << K} as decimal(38,0)) + __s1"))
+      .withColumn("__raw", expr(s"cast('$num' as decimal(38,0)) div (__sp * 1000000)"))
+    val lut = hllLnLut(m).toDF("__lv", "__lnfp")
+    stats.join(broadcast(lut), col("__v") === col("__lv"), "left")
+      .select(g :+
+        when(col("__raw") * 2 <= lit(5L * m) && col("__v") > 0,
+          expr(s"($m * __lnfp) div ${1L << 20}"))
+          .otherwise(col("__raw")).as("est_distinct"): _*)
+  }
+
   // ------------------------------------------------- Count-Min sketch
 
   /** Count-Min sketch (Cormode & Muthukrishnan 2005): a `d`×`w` counter

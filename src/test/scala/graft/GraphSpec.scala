@@ -37,4 +37,35 @@ class GraphSpec extends AnyFunSuite {
     val r = ranks(Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)))
     assert(r(2L) > r(3L), s"9:1 weighted split must favor node 2: $r")
   }
+
+  private def tris(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(edges.map { case (s, d) => (s, d, 1L) }
+        .toDF("src", "dst", "w"))
+      .as[(Long, Long)].collect().toMap
+
+  test("triangles: K4 gives every node 3; direction/multiplicity/loops collapse") {
+    // K4 has C(3,2)=3 triangles through each vertex; feed it as a messy
+    // directed multigraph — reversed duplicates, a parallel edge, a loop
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b)
+    val r = tris(k4 ++ Seq((1L, 1L), (2L, 3L), (2L, 3L)))
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4 must count 3 per node: $r")
+  }
+
+  test("triangles: a triangle with a pendant and a hub counts only the cycle") {
+    // 1-2-3 triangle, 4 pendant off 3, star hub 9 → {5,6,7} (no closures)
+    val r = tris(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (9L, 5L), (9L, 6L), (9L, 7L)))
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"only the 1-2-3 cycle closes: $r")
+  }
+
+  test("triangles: two triangles sharing an edge double-count the shared pair") {
+    // {1,2,3} and {2,3,4}: nodes 2,3 sit on both
+    val r = tris(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (3L, 4L)))
+    assert(r == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L),
+      s"shared-edge wheel must give 2,3 two triangles each: $r")
+  }
 }

@@ -161,6 +161,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh2.count() == 0)
   }
 
+  test("prefix-filtered Jaccard pairs equal brute force, from strictly fewer candidates") {
+    // the losslessness theorem, checked on real data: prefix filtering must
+    // produce the IDENTICAL pair set (values included) at t = 1/2 ...
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = Dedup.prefixJaccardPairs(docs, 3, 1, 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(pref == exact)
+    // ... and at a high threshold, where prefixes are shortest
+    val exact9 = Dedup.ngramJaccardPairs(docs, 3, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val pref9 = Dedup.prefixJaccardPairs(docs, 3, 9, 10)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pref9 == exact9)
+    // the point of the operator: the indexed relation is a strict subset of
+    // the full inverted index (prefixes only), so the candidate join fans
+    // out less than the brute-force join on the same corpus
+    val full = docs.select($"doc_id".as("id"),
+        explode(Dedup.wordShingles($"text", 3)).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("c"))
+      .agg(sum($"c" * ($"c" - 1) / 2)).as[Double].head()
+    val ex = docs.select($"doc_id".as("id"),
+      size(Dedup.wordShingles($"text", 3)).as("n_sh"),
+      explode(Dedup.wordShingles($"text", 3)).as("s"))
+    val dfreq = ex.groupBy($"s").agg(count(lit(1)).as("df"))
+    val preLen = ex.join(dfreq, Seq("s"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"id")
+          .orderBy($"df".asc, $"s".asc)))
+      .where($"rk" <= $"n_sh" - expr("(1 * n_sh + 1) div 2") + 1)
+      .groupBy("s").agg(count(lit(1)).as("c"))
+      .agg(sum($"c" * ($"c" - 1) / 2)).as[Double].head()
+    assert(preLen < full,
+      s"prefix index must fan out fewer candidate pairs: $preLen vs $full")
+  }
+
   test("native MinHash signature is bit-identical to the explode + min-aggregate formulation") {
     val k = 16
     val base = docs.select($"doc_id".as("id"),

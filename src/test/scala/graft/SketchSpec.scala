@@ -45,6 +45,42 @@ class SketchSpec extends AnyFunSuite {
     assert(got(("b", "c"))._1 == 64L, "union sketch must fill to k")
   }
 
+  test("HLL estimate lands within the m=256 error envelope; small sets take linear counting") {
+    // sf0.01: 150 distinct users per event type — far below 2.5m = 640, so
+    // every group takes the LINEAR-COUNTING branch, whose error at V≈m·e^(-n/m)
+    // is a couple percent; grant ±10% for hash non-uniformity
+    val est = Sketches.hllDistinct(
+        graft.sources.EventsAdapter.rawEvents(spark, "/root/testdata/sf0.01")
+          .select(col("event_type"), col("user_id")),
+        Seq("event_type"), col("user_id"), p = 8)
+      .as[(String, Long)].collect().toMap
+    assert(est.size == 5)
+    est.foreach { case (t, e) =>
+      assert(math.abs(e - 150.0) / 150.0 <= 0.10,
+        s"linear-counting estimate for $t out of envelope: $e vs true 150")
+    }
+    // a large set exercises the RAW branch (V = 0 long before n = 2.5m):
+    // standard error 1.04/√256 = 6.5%, 4σ envelope ±26%
+    val big = (1L to 20000L).map(i => ("g", i)).toDF("g", "id")
+    val bigEst = Sketches.hllDistinct(big, Seq("g"), col("id"), p = 8)
+      .as[(String, Long)].collect().head._2
+    assert(math.abs(bigEst - 20000.0) / 20000.0 <= 0.26,
+      s"raw-branch estimate out of envelope: $bigEst vs true 20000")
+  }
+
+  test("HLL registers merge by per-bucket max: union sketch == merged shard sketches") {
+    val h = graft.functions.HashExpressions.polyHash64(col("id").cast("string"))
+    val shard1 = (1L to 700L).map(i => ("g", i)).toDF("g", "id")
+    val shard2 = (500L to 1200L).map(i => ("g", i)).toDF("g", "id")
+    val merged = Sketches.hllRegisters(shard1, Seq("g"), h, p = 8)
+      .unionByName(Sketches.hllRegisters(shard2, Seq("g"), h, p = 8))
+      .groupBy("g", "__b").agg(max("reg").as("reg"))
+      .as[(String, Long, Int)].collect().toSet
+    val whole = Sketches.hllRegisters(shard1.unionByName(shard2), Seq("g"), h, p = 8)
+      .as[(String, Long, Int)].collect().toSet
+    assert(merged == whole, "max-merged shard registers must equal the union's registers")
+  }
+
   test("Count-Min: estimates never undercount, and are exact sans collisions") {
     // skewed stream: key k occurs k times, keys 1..40, w=32 forces collisions
     val rows = (1L to 40L).flatMap(k => Seq.fill(k.toInt)(k)).toDF("id")
