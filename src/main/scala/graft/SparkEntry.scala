@@ -2040,6 +2040,13 @@ object SparkEntry {
         .select(col("doc_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("sum_r"), col("sum_g"), col("sum_b"))),
+    // MM5 — graft extension: perceptual average-hash through the REAL PNG
+    // decode path — the oracle recomputes the 64-bit signature analytically
+    // from the pattern's closed form, so a single flipped bit anywhere in
+    // codec, grayscale, blocking, or thresholding fails the gate
+    "mm_phash" -> ((s, dir) =>
+      Multimodal.imageAHash(s,
+        Multimodal.synthesizeImages(s, docs(s, dir)).toDF()).toDF()),
 
     // end-to-end pipeline composition — the real training-data shape, every
     // stage an already-oracled operator, chained through the (doc_id, text)
@@ -3545,5 +3552,27 @@ object SparkEntry {
         "LATERAL (SELECT unnest(generate_series(0, width - 1)) AS x), " +
         "LATERAL (SELECT unnest(generate_series(0, height - 1)) AS y) " +
         "GROUP BY doc_id, width, height"),
+    // aHash mirror: the pattern's pixels over a generate_series grid,
+    // ITU-601 luma ×1000, ⌊·8/dim⌋ blocking, exact cross-product compare,
+    // bit sum in HUGEINT folded back to the signed 64-bit signature
+    "mm_phash" ->
+      ("WITH px AS (SELECT doc_id, width, height, x, y, " +
+        "((doc_id * 7 + x * 3 + y * 5) % 256) * 299 + " +
+        "((doc_id + x * 11 + y) % 256) * 587 + " +
+        "((doc_id * 3 + x + y * 13) % 256) * 114 AS gray, " +
+        "(x * 8) // width AS bi, (y * 8) // height AS bj " +
+        "FROM (SELECT doc_id, CAST(doc_id % 16 + 8 AS BIGINT) AS width, " +
+        "CAST(doc_id % 12 + 8 AS BIGINT) AS height FROM documents), " +
+        "LATERAL (SELECT unnest(generate_series(0, width - 1)) AS x), " +
+        "LATERAL (SELECT unnest(generate_series(0, height - 1)) AS y)), " +
+        "blk AS (SELECT doc_id, bj, bi, sum(gray) AS bs, count(*) AS bn " +
+        "FROM px GROUP BY 1, 2, 3), " +
+        "tot AS (SELECT doc_id, sum(gray) AS ts, count(*) AS n FROM px GROUP BY 1), " +
+        "sg AS (SELECT b.doc_id, sum(CASE WHEN b.bs * t.n > t.ts * b.bn " +
+        "THEN CAST(1 AS HUGEINT) << CAST(b.bj * 8 + b.bi AS INT) " +
+        "ELSE CAST(0 AS HUGEINT) END) AS sig " +
+        "FROM blk b JOIN tot t USING (doc_id) GROUP BY 1) " +
+        "SELECT doc_id, CAST(CASE WHEN sig >= 9223372036854775808 " +
+        "THEN sig - 18446744073709551616 ELSE sig END AS BIGINT) AS phash FROM sg"),
     "pipeline_e2e" -> PipelineE2eSql)
 }

@@ -426,12 +426,26 @@ object Dedup {
     * the returned plan — see the note on [[ngramJaccardPairs]]. */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = simhashSignatures(docs, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    hammingPairs(sigs, maxHamming)
+  }
+
+  /** All pairs of 64-bit signatures within `maxHamming` bits — the pigeonhole
+    * banded join shared by SimHash text near-dup and perceptual image-hash
+    * near-dup ([[Multimodal.imageAHash]]). `sigs` must carry `(id, sig)`.
+    *
+    * Split the 64 bits into maxHamming+1 equal blocks: a pair within the
+    * radius must agree EXACTLY on at least one block (pigeonhole), so
+    * candidates come from an equi-join on (block index, block bits) and only
+    * candidates pay the popcount verify — the pair space is never
+    * enumerated. At 100 TB the only corpus-scale exchange is the banded
+    * self-join on compact (int, long) keys. */
+  def hammingPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val blocks = maxHamming + 1
     require(64 % blocks == 0, s"maxHamming+1=$blocks must divide 64")
     val width = 64 / blocks
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sigs = simhashSignatures(docs, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val blockStructs = (0 until blocks).map { b =>
       struct(lit(b).as("blk"),
         shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask)).as("bits"))

@@ -239,6 +239,67 @@ object Multimodal {
       }
   }
 
+  /** 64-bit perceptual average-hash (aHash) from REAL decoded pixels — the
+    * image counterpart of [[Dedup.simhash]] for near-duplicate detection:
+    * re-encodes, slight crops/scales, and format conversions of the same
+    * picture land within a few bits, so `Dedup.hammingPairs` over this
+    * column is image near-dup at corpus scale (one banded self-join, never
+    * the pair space).
+    *
+    * All-integer so the hash is bit-identical on any JVM and replayable by
+    * the SQL oracle from [[patternRgb]]'s closed form: gray = 299·R + 587·G
+    * + 114·B (ITU-R 601 luma ×1000, undivided); the image is cut into the
+    * 8×8 grid of blocks block(i,j) ∋ pixels with ⌊x·8/w⌋ = i, ⌊y·8/h⌋ = j;
+    * bit j·8+i is set iff the block's mean gray exceeds the global mean,
+    * compared as the exact cross-product blockSum·N > totalSum·blockN —
+    * never a lossy division. Exact up to ~48 Mpixel images (the
+    * cross-product's i64 budget: 4000·(wh)² < 2⁶³); undecodable rows get
+    * the −1 sentinel, same survive-don't-throw stance as [[decodeImages]].
+    * Narrow partition-parallel map; only (doc_id, phash) ever shuffles. */
+  def imageAHash(spark: SparkSession, media: DataFrame): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    media.select("doc_id", "media", "mime", "width", "height").as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { rec =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.media))
+            catch { case _: java.io.IOException => null }
+          if (img == null) (rec.doc_id, -1L)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val blockSum = new Array[Long](64)
+            val blockN = new Array[Long](64)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              val j = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val i = x * 8 / w
+                val rgb = img.getRGB(x, y)
+                val gray = ((rgb >> 16) & 0xff) * 299L +
+                  ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
+                blockSum(j * 8 + i) += gray
+                blockN(j * 8 + i) += 1
+                total += gray
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            var sig = 0L
+            var b = 0
+            while (b < 64) {
+              if (blockSum(b) * n > total * blockN(b)) sig |= (1L << b)
+              b += 1
+            }
+            (rec.doc_id, sig)
+          }
+        }
+      }.toDF("doc_id", "phash").as[(Long, Long)]
+  }
+
   /** Frame sampling: every `stride`-th byte-window stands in for a video
     * frame. Pure column code (slice on a byte array) — shows the
     * array-of-frames shape a real frame sampler would emit. */

@@ -1831,6 +1831,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sentinel.width == -1 && sentinel.height == -1 && sentinel.sum_r == 0L)
   }
 
+  test("multimodal: perceptual aHash — re-encoded near-copy within radius, pairs found, distinct apart") {
+    // render doc 3's pattern, plus a copy with ONE pixel nudged: a perceptual
+    // hash must land them within a few bits (here: identical or 1 off), while
+    // a different pattern lands far away
+    def render(docId: Long, tweak: Boolean, invert: Boolean): Array[Byte] = {
+      val (w, h) = Multimodal.patternDims(docId)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r0, g0, b0) = Multimodal.patternRgb(docId, x, y)
+        val (r, g, b) = if (invert) (255 - r0, 255 - g0, 255 - b0) else (r0, g0, b0)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      if (tweak) img.setRGB(0, 0, 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, render(3L, false, false), "image/png", 0, 0),
+      (2L, render(3L, true, false), "image/png", 0, 0),
+      (3L, render(3L, false, true), "image/png", 0, 0), // photographic negative
+      (4L, Array[Byte](9, 9, 9), "application/octet-stream", 0, 0))
+      .toDF("doc_id", "media", "mime", "width", "height")
+    val hashes = Multimodal.imageAHash(spark, media).collect().toMap
+    assert(hashes(4L) == -1L, "undecodable row must take the sentinel")
+    val nearBits = java.lang.Long.bitCount(hashes(1L) ^ hashes(2L))
+    val farBits = java.lang.Long.bitCount(hashes(1L) ^ hashes(3L))
+    // inverting the image flips every block-vs-global comparison, so the
+    // negative's hash is (up to ties) the complement — maximally far
+    assert(nearBits <= 3, s"one-pixel tweak must stay within 3 bits, got $nearBits")
+    assert(farBits > 32, s"the negative must land far away, got $farBits")
+    // the banded hamming join finds exactly the near pair
+    val pairs = graft.operators.Dedup.hammingPairs(
+        Multimodal.imageAHash(spark, media.filter($"doc_id" =!= 4L))
+          .toDF("id", "sig"), maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L)), s"pairs: $pairs")
+  }
+
   test("multimodal: metadata projection prunes the binary column from the scan") {
     val media = Multimodal.synthesizeFromDocs(docs)
     val meta = Multimodal.metadata(media)
