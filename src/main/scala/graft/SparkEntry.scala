@@ -956,6 +956,29 @@ object SparkEntry {
       s"$out AS (SELECT $keep, xor(z, z >> 31) AS h FROM m4_$out)"
   }
 
+  /** Full DuckDB replay of Graph.labelPropagation: same symmetrized weighted
+    * edge relation, every synchronous round unrolled as a MATERIALIZED CTE
+    * with the identical lexicographic min({-wsum, label}) vote. */
+  private def labelPropOracleSql(iters: Int): String = {
+    val head = s"WITH ev AS (SELECT user_id, $TsUs AS t, event_id, " +
+      "CAST(json_extract_string(props, '$.k') AS BIGINT) AS node FROM events " +
+      "WHERE json_extract_string(props, '$.k') IS NOT NULL), " +
+      "tr AS (SELECT node AS src, lead(node) OVER (" +
+      "PARTITION BY user_id ORDER BY t, event_id) AS dst FROM ev), " +
+      "edges AS (SELECT src, dst, count(*) AS w FROM tr WHERE dst IS NOT NULL " +
+      "GROUP BY 1, 2), " +
+      "sym AS MATERIALIZED (SELECT src, dst, sum(w) AS w FROM (" +
+      "SELECT src, dst, w FROM edges UNION ALL SELECT dst, src, w FROM edges) " +
+      "WHERE src <> dst GROUP BY 1, 2), " +
+      "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym)"
+    val iterCtes = (1 to iters).map { i =>
+      s"l$i AS MATERIALIZED (SELECT node, (min({'nw': -wsum, 'l': label})).l " +
+        "AS label FROM (SELECT e.dst AS node, l.label, sum(e.w) AS wsum " +
+        s"FROM sym e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2) GROUP BY node)"
+    }.mkString(", ")
+    s"$head, $iterCtes SELECT node, label AS community FROM l$iters"
+  }
+
   /** Full DuckDB replay of Sketches.hllDistinct: polyHash the stringified
     * id, bucket on the low p bits, rho from `length(bin(w))` (both engines
     * print minimal binary), register max, then the identical all-integer
@@ -1274,6 +1297,19 @@ object SparkEntry {
       graft.operators.Graph.pageRank(
         graft.operators.Graph.transitionEdges(
           ev, "user_id", Seq("ts_us", "event_id"), "node"), iters = 10)
+    }),
+    // G4 — graft extension: deterministic synchronous label-propagation
+    // communities (5 rounds, weight-majority with min-label tie-break) —
+    // the mid-resolution grouping between connected components and
+    // per-node signals; oracle replays every round
+    "graph_labelprop" -> ((s, dir) => {
+      val ev = EventsAdapter.rawEvents(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("node"))
+        .where(col("node").isNotNull)
+      graft.operators.Graph.labelPropagation(
+        graft.operators.Graph.transitionEdges(
+          ev, "user_id", Seq("ts_us", "event_id"), "node"), iters = 5)
     }),
     // G3 — graft extension: per-node triangle counts over the same
     // interaction-transition graph via the degree-oriented wedge join —
@@ -2493,6 +2529,8 @@ object SparkEntry {
     // then the 10 power iterations UNROLLED as CTEs with the identical
     // all-integer arithmetic — floor division everywhere, both engines
     "graph_pagerank" -> pageRankOracleSql(10, 1L << 20, 85, 100),
+    // label-propagation mirror: 5 unrolled synchronous rounds
+    "graph_labelprop" -> labelPropOracleSql(5),
     // triangle mirror: same edge extraction, then the identical
     // degree-(deg, node)-oriented wedge join + closure probe — row-value
     // comparisons replay Spark's struct comparisons field-for-field

@@ -92,6 +92,52 @@ object Graph {
     r.select(col("node"), col("r").as("rank_fp"))
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007) over
+    * the undirected weighted graph induced by `edges(src, dst, w)` —
+    * `(node, community)` after exactly `iters` rounds. Communities are the
+    * mid-resolution grouping between [[Dedup.connectedComponents]] (too
+    * coarse: one bridge merges everything) and per-node signals: domain
+    * families, template clusters, topic pockets in a crawl graph.
+    *
+    * Made DETERMINISTIC — classic LPA is famously order-dependent — by (a)
+    * synchronous rounds (every node updates from the PREVIOUS round's
+    * labels, no in-round drift), and (b) a total tie-break: the new label
+    * is the neighbor label with the largest incident weight sum, ties to
+    * the SMALLEST label, taken as one lexicographic `min(struct(-w, l))` —
+    * exact long arithmetic, so any partitioning, any engine, any cluster
+    * size produces the identical labeling (the DuckDB oracle replays all
+    * rounds). Self-loops are dropped (a self-vote would freeze every node).
+    *
+    * Scale shape, same discipline as [[pageRank]]: the symmetrized edge
+    * relation is aggregated, repartitioned by `src`, and persisted ONCE;
+    * each round shuffles only the node-sized label relation into that join
+    * and the (node, label)-sized partial aggregate out — map-side combine
+    * collapses the per-partition (dst, label) weight sums below both
+    * exchanges. Labels are eagerly localCheckpointed so lineage and
+    * Catalyst analysis stay O(1) across rounds. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val sym = edges.select(col("src"), col("dst"), col("w"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .where(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      lab = sym.join(lab.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(sum("w").as("__wsum"))
+        .groupBy("node")
+        .agg(min(struct((-col("__wsum")).as("nw"), col("label").as("l"))).as("__m"))
+        .select(col("node"), col("__m.l").as("label"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist()
+    lab.select(col("node"), col("label").as("community"))
+  }
+
   /** Per-node triangle counts over the undirected simple graph induced by
     * `edges(src, dst, …)` — self-loops dropped, direction and multiplicity
     * collapsed. Returns `(node, triangles)` for every node on ≥ 1 triangle.

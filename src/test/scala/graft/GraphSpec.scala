@@ -62,6 +62,23 @@ class GraphSpec extends AnyFunSuite {
       s"only the 1-2-3 cycle closes: $r")
   }
 
+  test("label propagation splits weakly-bridged cliques where CC would merge them") {
+    // two strong triangles joined by a w=1 bridge: LPA keeps them separate
+    // communities (min member as label), connected components would not
+    val edges = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (3L, 1L, 10L),
+      (4L, 5L, 10L), (5L, 6L, 10L), (6L, 4L, 10L),
+      (3L, 4L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.labelPropagation(edges, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L),
+      s"bridged triangles must keep two communities: $got")
+    // deterministic under repartitioning: the tie-break is a total order
+    val got2 = Graph.labelPropagation(edges.repartition(7), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == got)
+  }
+
   test("triangles: two triangles sharing an edge double-count the shared pair") {
     // {1,2,3} and {2,3,4}: nodes 2,3 sit on both
     val r = tris(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (3L, 4L)))
