@@ -1690,6 +1690,14 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb(s, dir).filter(col("vec_id") < 10), emb(s, dir), 5)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
           round(col("cosine"), 4).as("cosine"))),
+    // SIM-B1 — graft extension: 1-bit binary-sign candidates (popcount
+    // hamming over packed sign words) + exact-cosine rerank of the top 32
+    // — the 512×-compression end of the quantization ladder
+    "sim_topk_b1" -> ((s, dir) =>
+      Similarity.binaryTopK(emb(s, dir).filter(col("vec_id") < 10), emb(s, dir),
+          k = 5, rerank = 32)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          round(col("cosine"), 4).as("cosine"))),
     "sim_lsh_pairs" -> ((s, dir) =>
       Similarity.lshBucketedPairs(emb(s, dir), threshold = 0.4, nPlanes = 6, tables = 8)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
@@ -3274,6 +3282,28 @@ object SparkEntry {
       (s"$ClusterComponentsCte SELECT d.doc_id, " +
         s"${splitCaseSql("COALESCE(comp.component, d.doc_id)")} AS split " +
         "FROM documents d LEFT JOIN comp ON d.doc_id = comp.id"),
+    // binary-sign mirror: identical sign-bit packing (HUGEINT bit sum folded
+    // to the signed 64-bit word), popcount-XOR hamming, top-32 candidates by
+    // (hamming, neighbor_id), exact-cosine rerank — candidate sets agree
+    // across engines because sign bits never touch IEEE division
+    "sim_topk_b1" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "wmask AS (SELECT vec_id, v, list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "[CASE WHEN v[i] > 0 THEN CAST(1 AS HUGEINT) << CAST(i - 1 AS INT) " +
+        "ELSE CAST(0 AS HUGEINT) END for i in generate_series(1, 64)]), " +
+        "(a, b) -> a + b) AS s FROM e), " +
+        "wrd AS (SELECT vec_id, v, CAST(CASE WHEN s >= 9223372036854775808 " +
+        "THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS w FROM wmask), " +
+        "cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "q.v AS qv, c.v AS cv FROM wrd q JOIN wrd c ON q.vec_id < 10 " +
+        "AND c.vec_id <> q.vec_id QUALIFY row_number() OVER (" +
+        "PARTITION BY q.vec_id ORDER BY bit_count(xor(q.w, c.w)) ASC, " +
+        "c.vec_id ASC) <= 32) " +
+        "SELECT query_id, neighbor_id, rank, ROUND(c, 4) AS cosine FROM (" +
+        "SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS c, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY " +
+        "list_cosine_similarity(qv, cv) DESC, neighbor_id ASC) AS rank " +
+        "FROM cand) WHERE rank <= 5"),
     "sim_topk" ->
       ("SELECT query_id, neighbor_id, rank, ROUND(c, 4) AS cosine FROM (" +
         "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, " +

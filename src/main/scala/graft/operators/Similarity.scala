@@ -310,6 +310,66 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** 1-bit binary-sign ANN with exact rerank — the memory-extreme end of
+    * the quantization ladder ([[quantize]] 8 bits/dim → PQ sub-byte → THIS
+    * 1 bit/dim, 512× smaller than float64): candidates are scored by
+    * HAMMING distance between sign bitmaps (for unit vectors, popcount of
+    * sign disagreement is a monotone proxy for angular distance — Charikar
+    * 2002's hyperplane-LSH identity with the coordinate axes as planes),
+    * then the top `rerank` per query are re-scored with the EXACT cosine
+    * and the top `k` of those returned. `rerank ≥ |corpus|` degrades
+    * gracefully to exact brute force (the spec pins that equality).
+    *
+    * Signs come from the RAW component sign (x/‖x‖ > 0 ⟺ x > 0), so the
+    * bitmap — and therefore the candidate set — is impervious to IEEE
+    * division differences across engines; the rerank tie-break
+    * (cosine desc, neighbor_id asc) is total. Bit packing and the per-word
+    * popcount-XOR are UNROLLED at plan-build time (the dim is probed once
+    * from the persisted corpus relation) — codegen'd bit ops, no lambdas
+    * in the pair loop.
+    *
+    * Scale shape: corpus bitmaps live beside the persisted unit vectors;
+    * the hamming pass moves only (query_id, neighbor_id, hamming) into the
+    * partial-top-`rerank` window (WindowGroupLimit pushes below the
+    * exchange), and only the candidate ids — never vectors — shuffle into
+    * the rerank joins (corpus side keyed on the persisted relation, query
+    * side broadcast). */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame, k: Int, rerank: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
+    val q = unitVectors(queries, idCol, vecCol, "query_id", "qu")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val c = unitVectors(corpus, idCol, vecCol, "neighbor_id", "cu")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val d = c.select(size(col("cu"))).head.getInt(0)
+    val nw = (d + 63) / 64
+    def signWords(vec: String): Column = array((0 until nw).map { w =>
+      (w * 64 until math.min(d, w * 64 + 64)).map { i =>
+        when(element_at(col(vec), i + 1) > 0, lit(1L << (i % 64))).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
+    val qw = q.select(col("query_id"), signWords("qu").as("qwords"))
+    val cw = c.select(col("neighbor_id"), signWords("cu").as("cwords"))
+    val ham = (0 until nw).map(w =>
+        bit_count(element_at(col("qwords"), w + 1)
+          .bitwiseXOR(element_at(col("cwords"), w + 1))))
+      .reduce(_ + _)
+    import org.apache.spark.sql.expressions.Window
+    val cand = cw.join(broadcast(qw), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", ham)
+      .select("query_id", "neighbor_id", "hamming")
+      .withColumn("__hr", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("hamming").asc, col("neighbor_id").asc)))
+      .filter(col("__hr") <= rerank)
+      .select("query_id", "neighbor_id")
+    cand.join(c, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", dot(col("qu"), col("cu")))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Inverse of [[quantize]]: q_i · scale, an `array<double>` usable by every
     * operator above (dot products, LSH, IVF) at reduced precision. */
   def dequantize(quantized: DataFrame, idCol: String = "vec_id"): DataFrame =

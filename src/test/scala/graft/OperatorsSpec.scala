@@ -240,6 +240,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exact.intersect(sim).size >= exact.size / 2)
   }
 
+  test("binary-sign search with a full rerank budget equals exact brute force") {
+    import graft.operators.Similarity
+    val q = emb.filter($"vec_id" < 10)
+    val n = emb.count().toInt
+    // rerank >= |corpus| keeps every candidate: the hamming stage is then
+    // pure reordering and the exact-cosine rerank must reproduce brute force
+    val b = Similarity.binaryTopK(q, emb, 5, n)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val e = Similarity.bruteForceTopK(q, emb, 5)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(b == e, "full-budget binary rerank must equal exact top-k")
+    // at a 32-candidate budget the result is still k rows per query and
+    // every returned cosine is a true pair score (sanity, not recall)
+    val small = Similarity.binaryTopK(q, emb, 5, 32)
+    assert(small.groupBy("query_id").count().as[(Long, Long)].collect()
+      .forall(_._2 == 5))
+  }
+
   test("brute-force top-k matches a driver-side naive computation") {
     val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .collect().toMap.view.mapValues(_.map(_.toDouble)).toMap

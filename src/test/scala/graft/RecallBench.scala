@@ -95,6 +95,11 @@ object RecallBench {
     measure("pq_kmeans m=16 ksub=16 rounds=2")(
       Similarity.pqTopKWith(queries, emb, k,
         Similarity.pqCodebooksKmeans(emb, 16, 16, rounds = 2)))
+    // binary-sign axis: 1-bit hamming candidates + exact rerank — how big a
+    // rerank budget buys back exactness at 512× compression
+    for (rr <- Seq(16, 32, 64, 128))
+      measure(s"binary-sign rerank=$rr")(
+        Similarity.binaryTopK(queries, emb, k, rerank = rr))
     // dimensionality-reduction axis: exact search in PCA-reduced space —
     // how much recall does a 2×/4×/8× cheaper vector buy?
     for (r <- Seq(8, 16, 32)) {
