@@ -910,4 +910,62 @@ class PlanSpec extends AnyFunSuite {
       assert(a == b, s"q8 (dequantized) and q8i (integer) neighbor sets differ")
     } finally spark.catalog.clearCache()
   }
+
+  test("triangle counting: every join is keyed — no product anywhere; the " +
+      "oriented relation is cached, not rebuilt per consumer") {
+    try {
+      val plan = executedPlan(
+        SparkEntry.queries("graph_triangles")(spark, "/root/testdata/sf0.001"))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"wedge/closure stages must be equi-joins:\n$plan")
+      assert(plan.contains("InMemoryTableScan"),
+        s"the oriented relation feeds three consumers and must be cached:\n$plan")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("prefix-filtered Jaccard: keyed candidate join over the prefix index, " +
+      "no product, shingle sets cached for the verify joins") {
+    try {
+      val plan = executedPlan(
+        SparkEntry.queries("dedup_prefix")(spark, "/root/testdata/sf0.001"))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"candidate generation must stay an equi-join:\n$plan")
+      assert(plan.contains("InMemoryTableScan"),
+        s"the shingle-set relation feeds three consumers and must be cached:\n$plan")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("portable HLL: registers build with partial max below the exchange; " +
+      "the linear-counting LUT joins as a broadcast") {
+    val plan = executedPlan(
+      SparkEntry.queries("sketch_hll_distinct")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("partial_max"),
+      s"register max must combine map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the m-row LUT must broadcast:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"register build degraded to sort aggregation:\n$plan")
+  }
+
+  test("binary-sign top-k: hamming candidates prune below the exchange " +
+      "(WindowGroupLimit); vectors never ride the hamming shuffle") {
+    try {
+      val df = SparkEntry.queries("sim_topk_b1")(spark, "/root/testdata/sf0.001")
+      val plan = executedPlan(df)
+      assert(plan.contains("WindowGroupLimit"),
+        s"candidate top-rerank must prune partially below the shuffle:\n$plan")
+      assert(plan.contains("InMemoryTableScan"),
+        s"corpus unit vectors must be persisted:\n$plan")
+      // the hamming-stage exchange must move (query_id, neighbor_id,
+      // hamming) — the unit-vector arrays join back AFTER candidate pruning
+      val hamEx = plan.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning(query_id"))
+        .mkString("\n")
+      assert(hamEx.nonEmpty, s"missing the candidate window exchange:\n$plan")
+      assert(!hamEx.contains("qu#") && !hamEx.contains("cu#"),
+        s"unit vectors leaked into the hamming exchange:\n$hamEx")
+    } finally spark.catalog.clearCache()
+  }
 }
