@@ -956,6 +956,32 @@ object SparkEntry {
       s"$out AS (SELECT $keep, xor(z, z >> 31) AS h FROM m4_$out)"
   }
 
+  /** The analytic aHash CTE chain: given a relation exposing pattern ids as
+    * `pid`, yields `ah(pid, phash)` — Multimodal.patternDims/patternRgb
+    * pixels over a generate_series grid, ITU-601 luma ×1000, ⌊·8/dim⌋
+    * blocking, exact cross-product block-vs-global compare, HUGEINT bit sum
+    * folded to the signed 64-bit signature (the DuckDB twin of
+    * Multimodal.imageAHash ∘ synthesizeImages, no codec needed). */
+  private def aHashCtes(pidSrc: String): String =
+    s"px AS (SELECT pid, width, height, x, y, " +
+      "((pid * 7 + x * 3 + y * 5) % 256) * 299 + " +
+      "((pid + x * 11 + y) % 256) * 587 + " +
+      "((pid * 3 + x + y * 13) % 256) * 114 AS gray, " +
+      "(x * 8) // width AS bi, (y * 8) // height AS bj " +
+      s"FROM (SELECT pid, CAST(pid % 16 + 8 AS BIGINT) AS width, " +
+      s"CAST(pid % 12 + 8 AS BIGINT) AS height FROM $pidSrc), " +
+      "LATERAL (SELECT unnest(generate_series(0, width - 1)) AS x), " +
+      "LATERAL (SELECT unnest(generate_series(0, height - 1)) AS y)), " +
+      "blk AS (SELECT pid, bj, bi, sum(gray) AS bs, count(*) AS bn " +
+      "FROM px GROUP BY 1, 2, 3), " +
+      "tot AS (SELECT pid, sum(gray) AS ts, count(*) AS n FROM px GROUP BY 1), " +
+      "sg AS (SELECT b.pid, sum(CASE WHEN b.bs * t.n > t.ts * b.bn " +
+      "THEN CAST(1 AS HUGEINT) << CAST(b.bj * 8 + b.bi AS INT) " +
+      "ELSE CAST(0 AS HUGEINT) END) AS sig " +
+      "FROM blk b JOIN tot t USING (pid) GROUP BY 1), " +
+      "ah AS (SELECT pid, CAST(CASE WHEN sig >= 9223372036854775808 " +
+      "THEN sig - 18446744073709551616 ELSE sig END AS BIGINT) AS phash FROM sg)"
+
   /** Full DuckDB replay of Graph.labelPropagation: same symmetrized weighted
     * edge relation, every synchronous round unrolled as a MATERIALIZED CTE
     * with the identical lexicographic min({-wsum, label}) vote. */
@@ -2091,6 +2117,22 @@ object SparkEntry {
     "mm_phash" -> ((s, dir) =>
       Multimodal.imageAHash(s,
         Multimodal.synthesizeImages(s, docs(s, dir)).toDF()).toDF()),
+    // MM6 — graft extension: image exact-dedup end to end — duplicates are
+    // PLANTED (doc_id % 7 == 3 renders its predecessor's pattern), each
+    // distinct pattern is encoded as a real PNG exactly once, hashed through
+    // the real decode path, and doc ids group-compact per signature with the
+    // min-keeper/count contract of Dedup.exact
+    "mm_dedup" -> ((s, dir) => {
+      val pats = docs(s, dir).select(col("doc_id"),
+        (col("doc_id") - when(col("doc_id") % 7 === 3, 1).otherwise(0)).as("pid"))
+      val hashes = Multimodal.imageAHash(s,
+          Multimodal.synthesizeImages(s,
+            pats.select(col("pid").as("doc_id")).distinct()).toDF())
+        .toDF("pid", "phash")
+      pats.join(hashes, "pid")
+        .groupBy("phash")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+    }),
 
     // end-to-end pipeline composition — the real training-data shape, every
     // stage an already-oracled operator, chained through the (doc_id, text)
@@ -3624,23 +3666,16 @@ object SparkEntry {
     // ITU-601 luma ×1000, ⌊·8/dim⌋ blocking, exact cross-product compare,
     // bit sum in HUGEINT folded back to the signed 64-bit signature
     "mm_phash" ->
-      ("WITH px AS (SELECT doc_id, width, height, x, y, " +
-        "((doc_id * 7 + x * 3 + y * 5) % 256) * 299 + " +
-        "((doc_id + x * 11 + y) % 256) * 587 + " +
-        "((doc_id * 3 + x + y * 13) % 256) * 114 AS gray, " +
-        "(x * 8) // width AS bi, (y * 8) // height AS bj " +
-        "FROM (SELECT doc_id, CAST(doc_id % 16 + 8 AS BIGINT) AS width, " +
-        "CAST(doc_id % 12 + 8 AS BIGINT) AS height FROM documents), " +
-        "LATERAL (SELECT unnest(generate_series(0, width - 1)) AS x), " +
-        "LATERAL (SELECT unnest(generate_series(0, height - 1)) AS y)), " +
-        "blk AS (SELECT doc_id, bj, bi, sum(gray) AS bs, count(*) AS bn " +
-        "FROM px GROUP BY 1, 2, 3), " +
-        "tot AS (SELECT doc_id, sum(gray) AS ts, count(*) AS n FROM px GROUP BY 1), " +
-        "sg AS (SELECT b.doc_id, sum(CASE WHEN b.bs * t.n > t.ts * b.bn " +
-        "THEN CAST(1 AS HUGEINT) << CAST(b.bj * 8 + b.bi AS INT) " +
-        "ELSE CAST(0 AS HUGEINT) END) AS sig " +
-        "FROM blk b JOIN tot t USING (doc_id) GROUP BY 1) " +
-        "SELECT doc_id, CAST(CASE WHEN sig >= 9223372036854775808 " +
-        "THEN sig - 18446744073709551616 ELSE sig END AS BIGINT) AS phash FROM sg"),
+      (s"WITH ${aHashCtes("(SELECT doc_id AS pid FROM documents)")} " +
+        "SELECT pid AS doc_id, phash FROM ah"),
+    // image exact-dedup mirror: the SAME analytic signature over the
+    // DISTINCT planted-duplicate pattern ids, joined back and grouped —
+    // log-compaction semantics (min keeper, duplicate count) per signature
+    "mm_dedup" ->
+      ("WITH pats AS (SELECT doc_id, doc_id - CASE WHEN doc_id % 7 = 3 " +
+        "THEN 1 ELSE 0 END AS pid FROM documents), " +
+        aHashCtes("(SELECT DISTINCT pid FROM pats)") + " " +
+        "SELECT phash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups " +
+        "FROM pats JOIN ah USING (pid) GROUP BY 1"),
     "pipeline_e2e" -> PipelineE2eSql)
 }
