@@ -1579,6 +1579,14 @@ object SparkEntry {
     // ----- training-data-pipeline extensions -----
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5)),
+    // the WEIGHTED near-dup lens: bag-of-words cosine over integer term
+    // frequencies — exact long dot/norm sums (the q8i portability trick on
+    // sparse text), so the score replays bit-for-bit; empty docs excluded
+    "dedup_cosine" -> ((s, dir) =>
+      Dedup.cosineTfPairs(
+          docs(s, dir).where(TextAnalysis.tokenCount(col("text")) > 0),
+          threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
     // the EXACT-output skew-safe path: prefix-filtered candidate generation
     // (SSJoin/All-Pairs) under the (df, shingle) global order — provably the
     // SAME pair set as the uncapped flagship (the oracle is the brute-force
@@ -2935,6 +2943,20 @@ object SparkEntry {
     // prefix filtering is LOSSLESS, so its mirror IS the brute-force pair
     // spec — the oracle equality proves the candidate pruning drops nothing
     "dedup_prefix" -> JaccardPairsSql,
+    // tf-cosine mirror: integer tf/norm/dot sums (exact on both engines),
+    // one sqrt/multiply/divide at the end — same arithmetic step for step
+    "dedup_cosine" ->
+      (s"WITH tf AS (SELECT doc_id AS id, t, CAST(count(*) AS BIGINT) AS tf FROM (" +
+        s"SELECT doc_id, unnest($RawToks) AS t FROM documents " +
+        s"WHERE length(trim(text, '$SqlWs')) <> 0) GROUP BY 1, 2), " +
+        "nrm AS (SELECT id, sum(tf * tf) AS n2 FROM tf GROUP BY 1), " +
+        "p AS (SELECT a.id AS id_a, b.id AS id_b, sum(a.tf * b.tf) AS idot " +
+        "FROM tf a JOIN tf b ON a.t = b.t AND a.id < b.id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM (" +
+        "SELECT p.id_a, p.id_b, CAST(idot AS DOUBLE) / " +
+        "(sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS c " +
+        "FROM p JOIN nrm na ON na.id = p.id_a JOIN nrm nb ON nb.id = p.id_b) " +
+        "WHERE c >= 0.8"),
     "dedup_ngram_capped" -> JaccardCappedPairsSql,
     "dedup_simhash" -> SimhashPairsSql,
     "sim_ivf_topk" -> IvfTopkSql,

@@ -318,6 +318,56 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Bag-of-words COSINE similarity pairs over integer term frequencies —
+    * the weighted complement of [[ngramJaccardPairs]] (Jaccard sees only
+    * membership; cosine sees repetition, so a page that is one paragraph
+    * pasted 40 times and the single paragraph score ~1.0 here and low
+    * there). Same inverted-index shape: explode to (doc, term, tf), join on
+    * the term, one co-occurrence aggregate, filter.
+    *
+    * Engine-portability is the [[Similarity.quantizedTopK]] trick applied
+    * to sparse text vectors: tf values are exact integers, so the pair dot
+    * product Σ tf_a·tf_b and the squared norms Σ tf² are exact long sums
+    * (associative — any partitioning, any engine), and the final
+    * cos = idot / (√n2_a · √n2_b) touches IEEE only in one correctly-
+    * rounded sqrt/multiply/divide sequence — bit-identical in the DuckDB
+    * replay, unlike a float-weighted (tf-idf) dot whose ADDITION order
+    * would diverge. `maxDocFreq > 0` drops corpus-hot terms (df cap) with
+    * norms recomputed over survivors — the same skew valve, and the same
+    * changed-semantics caveat, as the capped Jaccard variant.
+    *
+    * Scale shape: two keyed exchanges (term join, pair aggregate); the tf
+    * relation is persisted only when the df cap makes it multi-consumer. */
+  def cosineTfPairs(docs: DataFrame, threshold: Double, maxDocFreq: Long = 0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf0 = docs.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), xxhash64(col("term")).as("t_h"))
+      .agg(count(lit(1)).as("tf"))
+    val tf =
+      if (maxDocFreq <= 0) tf0
+      else {
+        val tfP = tf0.persist(StorageLevel.MEMORY_AND_DISK)
+        val hot = tfP.groupBy("t_h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select("t_h")
+        tfP.join(broadcast(hot), Seq("t_h"), "left_anti")
+      }
+    val norms = tf.groupBy("id").agg(sum(col("tf") * col("tf")).as("n2"))
+    val a = tf.select(col("id").as("id_a"), col("t_h"), col("tf").as("tf_a"))
+    val b = tf.select(col("id").as("id_b"), col("t_h"), col("tf").as("tf_b"))
+    a.join(b, Seq("t_h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("tf_a") * col("tf_b")).as("idot"))
+      .join(norms.select(col("id").as("id_a"), col("n2").as("n2_a")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("n2").as("n2_b")), "id_b")
+      .withColumn("cosine",
+        col("idot").cast("double") /
+          (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   // ------------------------------------------------------- MinHash + LSH
 
   /** k seeded 64-bit min-hashes of the shingle set: sig[i] = min over

@@ -198,6 +198,33 @@ class OperatorsSpec extends AnyFunSuite {
       s"prefix index must fan out fewer candidate pairs: $preLen vs $full")
   }
 
+  test("tf-cosine pairs: repetition-aware where Jaccard is blind, exact under repartitioning") {
+    val d = Seq(
+      (1L, "alpha alpha alpha beta"),
+      (2L, "alpha beta"), // same token SET as doc 1 — Jaccard 1.0
+      (3L, "alpha beta " * 40), // doc 2 pasted 40× — cosine must say ~identical
+      (4L, "gamma delta")).toDF("doc_id", "text")
+    val got = Dedup.cosineTfPairs(d, threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // hand-computed: (3·1 + 1·1) / (√10 · √2)
+    assert(math.abs(got((1L, 2L)) - 4.0 / math.sqrt(20.0)) < 1e-12)
+    assert(math.abs(got((2L, 3L)) - 1.0) < 1e-12,
+      s"paste-40× of the same text must score 1.0: ${got((2L, 3L))}")
+    assert(!got.contains((1L, 4L)), "disjoint vocab pairs never co-occur")
+    // integer sums are associative: identical values under any partitioning
+    val got2 = Dedup.cosineTfPairs(d.repartition(7), threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got2 == got)
+    // df cap drops the hot term from scoring entirely
+    val capped = Dedup.cosineTfPairs(d, threshold = 0.0, maxDocFreq = 2)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(!capped.contains((1L, 2L)) || capped((1L, 2L)) != got((1L, 2L)),
+      s"df>2 terms (alpha, beta live in 3 docs) must leave the index: $capped")
+  }
+
   test("native MinHash signature is bit-identical to the explode + min-aggregate formulation") {
     val k = 16
     val base = docs.select($"doc_id".as("id"),
