@@ -232,6 +232,93 @@ object Sketches {
       }
   }
 
+  /** HLL register state: one byte per bucket (m = 2^p), 0 = "no value hashed
+    * here yet" — 256 bytes/window at p=8, the cheapest bounded-cardinality
+    * state in the file. */
+  case class HllRegs(regs: Array[Byte])
+
+  case class HllEstimate(window_start: Long, tenant_id: String,
+      est_distinct: Long)
+
+  /** The [[hllDistinct]] estimator over a raw register array — the SAME
+    * integer math ([[hllAlphaScaled]], 2^K scaling, [[hllLnLut]] linear
+    * counting), factored so the streaming emission below is bit-identical
+    * to a batch replay over the same rows (golden-tested). */
+  def hllEstimateFromRegisters(regs: Array[Byte], p: Int): Long = {
+    val m = 1 << p
+    val K = 65 - p
+    var cnt = 0
+    var s1 = BigInt(0)
+    var i = 0
+    while (i < m) {
+      val r = regs(i).toInt
+      if (r > 0) { cnt += 1; s1 += BigInt(1) << (K - r) }
+      i += 1
+    }
+    val v = m - cnt
+    val sp = (BigInt(v) << K) + s1
+    val raw = (BigInt(hllAlphaScaled(m)) * m * m * (BigInt(1) << K) /
+      (sp * 1000000L)).toLong
+    if (raw * 2 <= 5L * m && v > 0) (m.toLong * hllLnLut(m)(v - 1)._2) / (1L << 20)
+    else raw
+  }
+
+  /** STREAMING distinct-count estimate per (event-time window, tenant) via
+    * portable HLL — the register-state sibling of [[kmvDistinctStreaming]]:
+    * state is a FLAT m-byte array regardless of stream cardinality, merged
+    * per batch in O(rows) byte-max updates (no tree, no sort), and the
+    * estimate — emitted exactly once when the watermark passes the window
+    * end (+lag) — replays bit-for-bit as the batch [[hllDistinct]] over the
+    * same envelope rows. The hash runs as a codegen'd [[graft.functions
+    * .PolyHash64]] column BEFORE the state function, so rows reach the
+    * state store as (keys, one long). */
+  def hllDistinctStreaming(envs: DataFrame, windowSizeSec: Long,
+      dimKey: String, p: Int, lagSec: Long): Dataset[HllEstimate] = {
+    require(p >= 4 && p <= 14, s"precision p must be in [4,14], got $p")
+    val spark = envs.sparkSession
+    import spark.implicits._
+    val m = 1 << p
+    val K = 65 - p
+    val input = envs.select(
+        col("meta").getItem("tenantId").as("tenant_id"),
+        col("metric.dimensions").getItem(dimKey).as("value"),
+        (col("metric.timestamp") / 1000).cast("timestamp").as("event_ts"))
+      .filter(col("value").isNotNull)
+      .withWatermark("event_ts", s"$lagSec seconds")
+      .withColumn("window_start",
+        (floor(col("event_ts").cast("double") / windowSizeSec) * windowSizeSec)
+          .cast("long"))
+      .select(col("window_start"), col("tenant_id"),
+        graft.functions.HashExpressions.polyHash64(col("value")).as("h"),
+        col("event_ts"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
+    input.groupByKey { case (w, t, _, _) => (w, t) }
+      .flatMapGroupsWithState[HllRegs, HllEstimate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((w, t), rows, state) =>
+          if (state.hasTimedOut) {
+            val regs = state.get.regs
+            state.remove()
+            Iterator.single(HllEstimate(w, t, hllEstimateFromRegisters(regs, p)))
+          } else {
+            val regs = state.getOption.map(_.regs.clone())
+              .getOrElse(new Array[Byte](m))
+            rows.foreach { case (_, _, h, _) =>
+              val b = (h & (m - 1)).toInt
+              val wbits = h >>> p
+              val rho =
+                if (wbits == 0L) K
+                else K - (64 - java.lang.Long.numberOfLeadingZeros(wbits))
+              if (rho > regs(b)) regs(b) = rho.toByte
+            }
+            state.update(HllRegs(regs))
+            state.setTimeoutTimestamp(math.max((w + windowSizeSec) * 1000,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   def kmvOverlap(df: DataFrame, groupCol: String, hash: Column,
       k: Int): DataFrame = {
     val sk = kmvSketch(df, Seq(groupCol), hash, k)

@@ -705,6 +705,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL distinct: emission equals the batch estimator over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 3600000000L
+    def ev(user: String, sec: Long) = env("metric3",
+      Map("user_id" -> user, "service" -> "0", "hostname" -> "0"),
+      (base + sec) * 1000.0, 1.0)
+    val users = Seq("u1", "u2", "u3", "u4", "u5", "u6", "u7", "u2", "u3")
+    // the BATCH operator over a static frame of the same values is the model
+    val expected = graft.operators.Sketches.hllDistinct(
+        users.map(u => ("g", u)).toDF("g", "uid"),
+        Seq("g"), org.apache.spark.sql.functions.col("uid"), p = 8)
+      .as[(String, Long)].head()._2
+    val input = MemoryStream[MetricEnvelope]
+    val out = graft.operators.Sketches.hllDistinctStreaming(
+      input.toDF(), windowSizeSec = 10L, dimKey = "user_id", p = 8, lagSec = 2L)
+    val q = out.writeStream.format("memory").queryName("hll_stream")
+      .outputMode("append").start()
+    try {
+      // split across batches so registers merge through the state store
+      input.addData(users.take(4).zipWithIndex.map { case (u, i) => ev(u, i + 1L) })
+      q.processAllAvailable()
+      assert(spark.table("hll_stream").count() == 0) // window still open
+      input.addData(users.drop(4).zipWithIndex.map { case (u, i) => ev(u, i + 5L) })
+      q.processAllAvailable()
+      input.addData(Seq(ev("z", 25))) // watermark past end + lag
+      q.processAllAvailable()
+      val rows = spark.table("hll_stream")
+        .filter($"window_start" === base)
+        .as[(Long, String, Long)].collect().toSet
+      assert(rows == Set((base, "tenant-a", expected)),
+        s"streaming emission must equal the batch estimate $expected: $rows")
+      // 7 distinct values, linear-counting branch: the estimate is near-exact
+      assert(math.abs(expected - 7L) <= 1, s"tiny-set estimate off: $expected")
+      input.addData(Seq(ev("z", 45))) // must not re-emit (state removed)
+      q.processAllAvailable()
+      assert(spark.table("hll_stream").filter($"window_start" === base).count() == 1)
+    } finally q.stop()
+  }
+
   test("streaming CDC apply: foreachBatch merges each micro-batch into the snapshot") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
