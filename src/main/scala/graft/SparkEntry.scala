@@ -1496,6 +1496,20 @@ object SparkEntry {
           bucket)
         .withColumn("psi_contrib", round(col("psi_contrib"), 4))
     }),
+    // DR2 — graft extension: column-profile diff between the cdc_diff
+    // snapshot generations (row/null/distinct counts, min/max) — the
+    // schema-level drift companion to drift_psi's distributional lens
+    "profile_diff" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val oldSnap = base.filter(col("o_orderkey") % 7 =!= 0)
+      val newSnap = base.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, safeRound2(col("o_totalprice") * 1.05))
+            .otherwise(col("o_totalprice")))
+      Profiling.profileDiff(oldSnap, newSnap,
+        Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    }),
     // T-BM25k — batch retrieval join: top-5 BM25 docs per benchmark query
     // (queries = first 3 tokens of every doc_id % 100 == 0 document)
     "text_bm25_topk" -> ((s, dir) => {
@@ -1562,6 +1576,12 @@ object SparkEntry {
           Seq("view", "click", "purchase"), horizonUs = 604800000000L)
         .select(col("user_id"), col("step_1_us"), col("step_2_us"),
           col("step_3_us"), col("n_steps"))),
+    // D10 — graft extension: the cohort-retention triangle (users grouped
+    // by first active day, counted per age) — one corpus exchange, then
+    // user-bucket-sized relations only
+    "d10_retention" -> ((s, dir) =>
+      Sessions.retention(EventsAdapter.rawEvents(s, dir),
+        bucketUs = 86400000000L)),
     // D3b — forward fill: gaps carry the last observed value
     "d3b_forwardfill" -> ((s, dir) =>
       GapFill.forwardFill(
@@ -1579,13 +1599,15 @@ object SparkEntry {
     // ----- training-data-pipeline extensions -----
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5)),
-    // the WEIGHTED near-dup lens: bag-of-words cosine over integer term
+    // the WEIGHTED near-dup lens: bag-of-trigrams cosine over integer term
     // frequencies — exact long dot/norm sums (the q8i portability trick on
-    // sparse text), so the score replays bit-for-bit; empty docs excluded
+    // sparse text), so the score replays bit-for-bit; trigram terms, same
+    // granularity posture as the Jaccard family (unigrams are the measured
+    // quadratic trap on a natural-language-sized vocabulary — see scaladoc)
     "dedup_cosine" -> ((s, dir) =>
       Dedup.cosineTfPairs(
           docs(s, dir).where(TextAnalysis.tokenCount(col("text")) > 0),
-          threshold = 0.8)
+          threshold = 0.8, n = 3)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
     // the EXACT-output skew-safe path: prefix-filtered candidate generation
     // (SSJoin/All-Pairs) under the (df, shingle) global order — provably the
@@ -2884,6 +2906,42 @@ object SparkEntry {
         "CAST(fp AS DOUBLE) / CAST(1073741824 AS DOUBLE) AS decayed FROM s"),
     // funnel mirror: per-step earliest-qualifying-event mins through LEFT
     // joins — NULLs propagate exactly like the operator's when() guard
+    // profile-diff mirror: one UNION-ALL profile block per column per side,
+    // full-outer joined on the column name; min/max as DOUBLE on both sides
+    "profile_diff" -> {
+      def prof(src: String, pfx: String): String =
+        Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>
+          s"SELECT '$c' AS column, CAST(count(*) AS BIGINT) AS ${pfx}_n_rows, " +
+            s"CAST(count(*) - count($c) AS BIGINT) AS ${pfx}_n_nulls, " +
+            s"CAST(count(DISTINCT $c) AS BIGINT) AS ${pfx}_n_distinct, " +
+            s"CAST(min($c) AS DOUBLE) AS ${pfx}_min, " +
+            s"CAST(max($c) AS DOUBLE) AS ${pfx}_max FROM $src"
+        }.mkString(" UNION ALL ")
+      "WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders), " +
+        "o AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0), " +
+        s"n AS (SELECT o_orderkey, o_custkey, CASE WHEN o_orderkey % 3 = 0 " +
+        s"THEN ${sqlRound2("o_totalprice * 1.05")} ELSE o_totalprice END AS o_totalprice " +
+        "FROM base WHERE o_orderkey % 5 <> 0), " +
+        s"po AS (${prof("o", "old")}), pn AS (${prof("n", "new")}) " +
+        "SELECT po.column, old_n_rows, old_n_nulls, old_n_distinct, old_min, old_max, " +
+        "new_n_rows, new_n_nulls, new_n_distinct, new_min, new_max " +
+        "FROM po FULL OUTER JOIN pn ON po.column = pn.column"
+    },
+    // retention mirror: distinct (user, day), min-day cohort, (cohort, age)
+    // counts, cohort-size join — both engines' integer division truncates
+    // toward zero identically (ts >= 0 in this fixture)
+    "d10_retention" ->
+      (s"WITH ud AS (SELECT DISTINCT user_id AS k, $TsUs // 86400000000 AS d " +
+        "FROM events), " +
+        "ch AS (SELECT k, min(d) AS c FROM ud GROUP BY 1), " +
+        "act AS (SELECT c AS cohort_bucket, d - c AS age, " +
+        "CAST(count(*) AS BIGINT) AS n_active FROM ud JOIN ch USING (k) " +
+        "GROUP BY 1, 2), " +
+        "sz AS (SELECT c AS cohort_bucket, CAST(count(*) AS BIGINT) AS n_cohort " +
+        "FROM ch GROUP BY 1) " +
+        "SELECT a.cohort_bucket, a.age, a.n_active, s.n_cohort, " +
+        "CAST(a.n_active AS DOUBLE) / s.n_cohort AS retention " +
+        "FROM act a JOIN sz s USING (cohort_bucket)"),
     "d8_funnel" ->
       (s"WITH s1 AS (SELECT user_id, min($TsUs) AS step_1_us FROM events " +
         "WHERE event_type = 'view' GROUP BY 1), " +
@@ -2947,8 +3005,9 @@ object SparkEntry {
     // one sqrt/multiply/divide at the end — same arithmetic step for step
     "dedup_cosine" ->
       (s"WITH tf AS (SELECT doc_id AS id, t, CAST(count(*) AS BIGINT) AS tf FROM (" +
-        s"SELECT doc_id, unnest($RawToks) AS t FROM documents " +
-        s"WHERE length(trim(text, '$SqlWs')) <> 0) GROUP BY 1, 2), " +
+        s"SELECT doc_id, unnest(${ngramsOfToks(3)}) AS t FROM (" +
+        s"SELECT doc_id, $RawToks AS toks FROM documents " +
+        s"WHERE length(trim(text, '$SqlWs')) <> 0)) GROUP BY 1, 2), " +
         "nrm AS (SELECT id, sum(tf * tf) AS n2 FROM tf GROUP BY 1), " +
         "p AS (SELECT a.id AS id_a, b.id AS id_b, sum(a.tf * b.tf) AS idot " +
         "FROM tf a JOIN tf b ON a.t = b.t AND a.id < b.id GROUP BY 1, 2) " +

@@ -336,12 +336,28 @@ object Dedup {
     * norms recomputed over survivors — the same skew valve, and the same
     * changed-semantics caveat, as the capped Jaccard variant.
     *
+    * `n` picks the term granularity: 1 = whitespace tokens, n > 1 =
+    * POSITIONAL word n-grams WITH multiplicity (not [[wordShingles]]'
+    * distinct sets — cosine's whole point is counting repeats). Unigrams
+    * are the worst case for the join fan-out (natural language reuses a
+    * small vocabulary everywhere: every term is corpus-hot, and the term
+    * join degenerates quadratic — measured 112 s vs 2 s at sf0.1 on this
+    * fixture's 31-token vocabulary); n-grams spread the mass over a
+    * vocabulary that grows with n, which is why n = 3 is the registered
+    * default posture just as in the Jaccard family.
+    *
     * Scale shape: two keyed exchanges (term join, pair aggregate); the tf
     * relation is persisted only when the df cap makes it multi-consumer. */
   def cosineTfPairs(docs: DataFrame, threshold: Double, maxDocFreq: Long = 0,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tf0 = docs.select(col(idCol).as("id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      n: Int = 1, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val terms =
+      if (n == 1) toks
+      else transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n))))
+    val tf0 = docs.select(col(idCol).as("id"), explode(terms).as("term"))
       .groupBy(col("id"), xxhash64(col("term")).as("t_h"))
       .agg(count(lit(1)).as("tf"))
     val tf =

@@ -165,4 +165,49 @@ object Profiling {
       .withColumn("decayed",
         col("decayed_fp").cast("double") / lit(math.pow(2.0, shift)))
   }
+
+  /** Per-column profile of NUMERIC columns in ONE pass over `df` — a row
+    * per column: `(column, n_rows, n_nulls, n_distinct, vmin, vmax)` with
+    * min/max cast to double (exact for longs < 2⁵³ and doubles; the
+    * uniform type is what lets all columns share one output schema).
+    *
+    * Scale note: all metrics ride a single aggregate over one scan; the
+    * exact multi-column `count(DISTINCT …)` plans as an Expand (one
+    * duplicated shuffle lane per column), which is the right cost for the
+    * ≤ tens of columns a table profile covers — for very wide tables swap
+    * the distinct lanes for [[Sketches.hllDistinct]] registers per column
+    * (approximate, one lane total). */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("double").as(s"__mn_$c"),
+        max(col(c)).cast("double").as(s"__mx_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val structs = cols.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("vmin"), col(s"__mx_$c").as("vmax"))
+    }
+    row.select(explode(array(structs: _*)).as("p")).select("p.*")
+  }
+
+  /** Column-profile DIFF between two snapshot generations — the schema-
+    * level companion of [[psiDrift]] (PSI sees distribution shift inside a
+    * feature; this sees the blunt breaks that precede it: a column going
+    * nullable, cardinality collapsing, a range exploding). One profile
+    * pass per side, then a full-outer join on the column name — the
+    * comparison relation is columns-sized, never data-sized. */
+  def profileDiff(oldDf: DataFrame, newDf: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, pfx: String): DataFrame =
+      columnProfile(df, cols).select(col("column"),
+        col("n_rows").as(s"${pfx}_n_rows"), col("n_nulls").as(s"${pfx}_n_nulls"),
+        col("n_distinct").as(s"${pfx}_n_distinct"),
+        col("vmin").as(s"${pfx}_min"), col("vmax").as(s"${pfx}_max"))
+    side(oldDf, "old").join(side(newDf, "new"), Seq("column"), "full_outer")
+  }
 }

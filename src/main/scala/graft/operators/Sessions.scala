@@ -95,4 +95,36 @@ object Sessions {
       (1 to steps.size).map(i => when(col(s"step_${i}_us").isNotNull, 1L)
         .otherwise(0L)).reduce(_ + _))
   }
+
+  /** Cohort retention: users grouped by their FIRST active time bucket
+    * (cohort), counted per (cohort, age) where age = bucket − cohort —
+    * `(cohort_bucket, age, n_active, n_cohort, retention)`, the classic
+    * retention triangle. `retention` = n_active / n_cohort from two exact
+    * longs (one IEEE division — engine-stable); age 0 is the cohort itself
+    * (retention 1.0). Buckets use the same truncating `div` contract as the
+    * trailing aggregates — document/guard ts ≥ 0 (`d7_trailing` note).
+    *
+    * Scale shape: ONE corpus-touching exchange — the distinct (user,
+    * bucket) aggregate (map-side combined); the cohort min re-groups the
+    * already user-bucket-sized relation, rides a keyed join back, and the
+    * (cohort, age) count plus the broadcast-sized cohort-size join are all
+    * post-distinct relations. Nothing downstream of the first aggregate
+    * ever sees raw events. */
+  def retention(events: DataFrame, bucketUs: Long, userCol: String = "user_id",
+      timeUsCol: String = "ts_us"): DataFrame = {
+    require(bucketUs >= 1, s"bucketUs must be >= 1, got $bucketUs")
+    val ud = events.select(col(userCol).as("k"),
+        expr(s"CAST($timeUsCol AS BIGINT) div $bucketUs").as("d"))
+      .distinct()
+    val cohort = ud.groupBy("k").agg(min("d").as("c"))
+    val active = ud.join(cohort, "k")
+      .groupBy(col("c").as("cohort_bucket"), (col("d") - col("c")).as("age"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cohort.groupBy(col("c").as("cohort_bucket"))
+      .agg(count(lit(1)).as("n_cohort"))
+    active.join(sizes, "cohort_bucket")
+      .select(col("cohort_bucket"), col("age"), col("n_active"), col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort").cast("double"))
+          .as("retention"))
+  }
 }

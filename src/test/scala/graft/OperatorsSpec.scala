@@ -198,6 +198,44 @@ class OperatorsSpec extends AnyFunSuite {
       s"prefix index must fan out fewer candidate pairs: $preLen vs $full")
   }
 
+  test("column-profile diff reports nulls, cardinality, and range per column") {
+    val o = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(20.0)))
+      .toDF("k", "v")
+    val n = Seq((1L, Some(10.0)), (2L, None), (4L, Some(99.5)))
+      .toDF("k", "v")
+    val got = graft.operators.Profiling.profileDiff(o, n, Seq("k", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = got("k")
+    assert(k.getLong(k.fieldIndex("old_n_rows")) == 3 &&
+      k.getLong(k.fieldIndex("new_n_distinct")) == 3 &&
+      k.getDouble(k.fieldIndex("new_max")) == 4.0)
+    val v = got("v")
+    assert(v.getLong(v.fieldIndex("old_n_nulls")) == 0 &&
+      v.getLong(v.fieldIndex("new_n_nulls")) == 1, "the minted null must surface")
+    assert(v.getLong(v.fieldIndex("old_n_distinct")) == 2 &&
+      v.getDouble(v.fieldIndex("new_max")) == 99.5)
+  }
+
+  test("cohort retention triangle matches a hand-computed fixture") {
+    val day = 86400000000L
+    val ev = Seq( // (user, day): A {0,1,3}, B {0,2}, C {1}; dup row collapses
+      (1L, 0L), (1L, 1L), (1L, 3L), (1L, 3L),
+      (2L, 0L), (2L, 2L),
+      (3L, 1L))
+      .map { case (u, d) => (u, d * day + 12345L) }
+      .toDF("user_id", "ts_us")
+    val got = graft.operators.Sessions.retention(ev, day)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      (0L, 0L) -> ((2L, 2L, 1.0)), // cohort day0 = {A, B}
+      (0L, 1L) -> ((1L, 2L, 0.5)), // A returns day1
+      (0L, 2L) -> ((1L, 2L, 0.5)), // B returns day2
+      (0L, 3L) -> ((1L, 2L, 0.5)), // A returns day3 (dup row counts once)
+      (1L, 0L) -> ((1L, 1L, 1.0))), // cohort day1 = {C}
+      s"retention triangle mismatch: $got")
+  }
+
   test("tf-cosine pairs: repetition-aware where Jaccard is blind, exact under repartitioning") {
     val d = Seq(
       (1L, "alpha alpha alpha beta"),
@@ -217,6 +255,14 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(got2 == got)
+    // trigram-term mode: positional n-grams WITH multiplicity
+    val d3 = Seq((1L, "a b c b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got3 = Dedup.cosineTfPairs(d3, threshold = 0.0, n = 3)
+      .as[(Long, Long, Double)].head()
+    // doc1 grams {a b c, b c b, c b c, b c d}, doc2 {a b c, b c d}:
+    // idot = 2, n2 = 4 and 2 → 2/√8
+    assert(got3._1 == 1L && got3._2 == 2L &&
+      math.abs(got3._3 - 2.0 / math.sqrt(8.0)) < 1e-12, s"trigram cosine: $got3")
     // df cap drops the hot term from scoring entirely
     val capped = Dedup.cosineTfPairs(d, threshold = 0.0, maxDocFreq = 2)
       .as[(Long, Long, Double)].collect()
