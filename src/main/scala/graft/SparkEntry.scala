@@ -1005,6 +1005,24 @@ object SparkEntry {
     s"$head, $iterCtes SELECT node, label AS community FROM l$iters"
   }
 
+  /** Full DuckDB replay of Sketches.amsF2 over events.user_id: the same
+    * seeded parity signs, counter sums, floor-divided means-of-squares, and
+    * odd-count median pick — exact integers at every step. */
+  private def amsF2OracleSql(d1: Int, d2: Int): String = {
+    val zs = (0 until d1 * d2).map(i =>
+      s"sum(CAST((h // ${1L << i}) % 2 AS BIGINT) * 2 - 1) AS z$i").mkString(", ")
+    val ms = (0 until d2).map { g =>
+      val sq = (0 until d1).map(j => s"z${g * d1 + j} * z${g * d1 + j}")
+        .mkString(" + ")
+      s"($sq) // $d1 AS m$g"
+    }.mkString(", ")
+    val arr = (0 until d2).map(g => s"m$g").mkString(", ")
+    s"WITH s0 AS (SELECT CAST(user_id AS VARCHAR) AS sval FROM events), " +
+      polyHashSteps("sval", "sval", "s0", "phf2") + ", " +
+      s"z AS (SELECT $zs FROM phf2), m AS (SELECT $ms FROM z) " +
+      s"SELECT CAST(list_sort([$arr])[${(d2 + 1) / 2}] AS BIGINT) AS est_f2 FROM m"
+  }
+
   /** Full DuckDB replay of Sketches.hllDistinct: polyHash the stringified
     * id, bucket on the low p bits, rho from `length(bin(w))` (both engines
     * print minimal binary), register max, then the identical all-integer
@@ -1367,6 +1385,12 @@ object SparkEntry {
       Sketches.hllDistinct(
         EventsAdapter.rawEvents(s, dir).select(col("event_type"), col("user_id")),
         Seq("event_type"), col("user_id"), p = 8)),
+    // SK6 — graft extension: AMS F2 (self-join-size) estimate over the
+    // user_id key — the join-fan-out planning probe (F2 = the row count an
+    // equi-self-join produces); 40 portable ±1 counters, medians-of-means,
+    // all-integer so the estimate replays bit-for-bit
+    "sketch_ams_f2" -> ((s, dir) =>
+      Sketches.amsF2(EventsAdapter.rawEvents(s, dir), col("user_id"))),
     // SK3 — graft extension: mergeable fixed-bin histogram quantiles per
     // event type (64 bins × 10.0 over [0, 640)) — the corpus-scale
     // alternative to exact percentile's per-group value buffering
@@ -2652,6 +2676,9 @@ object SparkEntry {
     // portable-HLL mirror: registers + the all-integer estimator, LUT and
     // alpha generated from the same Scala source of truth as the engine
     "sketch_hll_distinct" -> hllOracleSql(8),
+    // AMS mirror: the same 40 polyHash sign bits, counter sums, squares,
+    // floor-divided means, and odd-count median — integer end to end
+    "sketch_ams_f2" -> amsF2OracleSql(8, 5),
     // histogram-quantile mirror: identical bin clamp, cumulative bin
     // counts, and ceil(q·n) rank threshold; the SELECTed edge expression
     // (lo + bin·width) matches the Spark op sequence IEEE-for-IEEE

@@ -81,6 +81,19 @@ class SketchSpec extends AnyFunSuite {
     assert(merged == whole, "max-merged shard registers must equal the union's registers")
   }
 
+  test("AMS F2 estimate brackets the exact self-join size; invariant to partitioning") {
+    val ev = graft.sources.EventsAdapter.rawEvents(spark, "/root/testdata/sf0.01")
+      .select(col("user_id"))
+    val exact = ev.groupBy("user_id").count()
+      .agg(sum(col("count") * col("count"))).as[Long].head()
+    val est = Sketches.amsF2(ev, col("user_id")).as[Long].head()
+    assert(est >= (exact * 0.4).toLong && est <= (exact * 1.6).toLong,
+      s"F2 estimate $est outside the medians-of-means envelope of exact $exact")
+    // counter sums are exact associative longs: any partitioning, same value
+    val est2 = Sketches.amsF2(ev.repartition(13), col("user_id")).as[Long].head()
+    assert(est2 == est, s"estimate must be partition-invariant: $est2 vs $est")
+  }
+
   test("Count-Min: estimates never undercount, and are exact sans collisions") {
     // skewed stream: key k occurs k times, keys 1..40, w=32 forces collisions
     val rows = (1L to 40L).flatMap(k => Seq.fill(k.toInt)(k)).toDF("id")
