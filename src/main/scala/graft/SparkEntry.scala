@@ -2431,7 +2431,7 @@ object SparkEntry {
     "text_stats", "text_bpe", "text_c4_clean",
     "join_asof", "join_range",
     "sketch_kmv_distinct", "graph_pagerank", "layout_zorder",
-    "cdc_merge", "agg_cube", "drift_psi",
+    "cdc_merge", "agg_cube", "drift_psi", "profile_diff",
     "mm_decode",
     "d1_sessionize", "d7_trailing",
     "audit_split_leakage",
