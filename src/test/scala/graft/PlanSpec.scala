@@ -911,6 +911,37 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("AMS F2: one map-side-combined global aggregate — no keyed shuffle at all") {
+    val plan = executedPlan(
+      SparkEntry.queries("sketch_ams_f2")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("partial_sum"),
+      s"counter sums must combine map-side:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"a global 40-counter aggregate needs only the single-partition combine:\n$plan")
+  }
+
+  test("retention: keyed aggregates and joins only, nothing re-reads raw " +
+      "events after the first distinct") {
+    val plan = executedPlan(
+      SparkEntry.queries("d10_retention")(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"retention must stay keyed:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      s"aggregates must combine map-side:\n$plan")
+  }
+
+  test("profile diff: the multi-column distinct profile plans as one Expand " +
+      "pass per side, never a product") {
+    val plan = executedPlan(
+      SparkEntry.queries("profile_diff")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("Expand"),
+      s"exact multi-distinct must ride the Expand lanes:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the diff join is keyed on the column name:\n$plan")
+  }
+
   test("triangle counting: every join is keyed — no product anywhere; the " +
       "oriented relation is cached, not rebuilt per consumer") {
     try {
