@@ -1342,6 +1342,18 @@ object SparkEntry {
         graft.operators.Graph.transitionEdges(
           ev, "user_id", Seq("ts_us", "event_id"), "node"), iters = 10)
     }),
+    // G5 — graft extension: deterministic negative-edge sampling over the
+    // transition graph (3 slots per node via the seeded permutation,
+    // true edges anti-joined) — contrastive link-prediction training data
+    "graph_negatives" -> ((s, dir) => {
+      val ev = EventsAdapter.rawEvents(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("node"))
+        .where(col("node").isNotNull)
+      graft.operators.Graph.negativeEdges(
+        graft.operators.Graph.transitionEdges(
+          ev, "user_id", Seq("ts_us", "event_id"), "node"), k = 3)
+    }),
     // G4 — graft extension: deterministic synchronous label-propagation
     // communities (5 rounds, weight-majority with min-label tie-break) —
     // the mid-resolution grouping between connected components and
@@ -2635,6 +2647,33 @@ object SparkEntry {
     "graph_pagerank" -> pageRankOracleSql(10, 1L << 20, 85, 100),
     // label-propagation mirror: 5 unrolled synchronous rounds
     "graph_labelprop" -> labelPropOracleSql(5),
+    // negative-sampling mirror: same two-hash permutation (shard %8, order
+    // by the independent seed-43 hash), +slot stride mod shard size,
+    // self/true-edge filters as an ANTI JOIN
+    "graph_negatives" ->
+      (s"WITH ev AS (SELECT user_id, $TsUs AS t, event_id, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS node FROM events " +
+        "WHERE json_extract_string(props, '$.k') IS NOT NULL), " +
+        "tr AS (SELECT node AS src, lead(node) OVER (" +
+        "PARTITION BY user_id ORDER BY t, event_id) AS dst FROM ev), " +
+        "edges AS (SELECT DISTINCT src, dst FROM tr WHERE dst IS NOT NULL), " +
+        "und AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges " +
+        "UNION ALL SELECT dst, src FROM edges)), " +
+        "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges " +
+        "UNION ALL SELECT dst FROM edges)), " +
+        "ord AS (SELECT node, shard, row_number() OVER (" +
+        "PARTITION BY shard ORDER BY h2 ASC, node ASC) - 1 AS pos FROM (" +
+        s"SELECT node, ${pmSql(hashRawSql("node"), "8")} AS shard, " +
+        s"${hashRawSql("node", 43)} AS h2 FROM nodes)), " +
+        "sz AS (SELECT shard, count(*) AS sz FROM ord GROUP BY 1), " +
+        "cand AS (SELECT o.node AS src, o.shard, s.step, " +
+        "(o.pos + s.step) % z.sz AS tpos FROM ord o JOIN sz z USING (shard), " +
+        "LATERAL (SELECT unnest(generate_series(1, 3)) AS step) s), " +
+        "neg AS (SELECT c.src, t.node AS neg_dst, c.step AS slot FROM cand c " +
+        "JOIN ord t ON t.shard = c.shard AND t.pos = c.tpos " +
+        "WHERE t.node <> c.src) " +
+        "SELECT n.src, n.neg_dst, CAST(n.slot AS BIGINT) AS slot FROM neg n " +
+        "ANTI JOIN und e ON e.src = n.src AND e.dst = n.neg_dst"),
     // triangle mirror: same edge extraction, then the identical
     // degree-(deg, node)-oriented wedge join + closure probe — row-value
     // comparisons replay Spark's struct comparisons field-for-field

@@ -138,6 +138,53 @@ object Graph {
     lab.select(col("node"), col("label").as("community"))
   }
 
+  /** Deterministic NEGATIVE-edge sampling — the training-data counterpart
+    * of the graph itself: link-prediction / contrastive retrieval models
+    * train on (edge, non-edge) pairs, and at corpus scale the non-edges
+    * must be drawn reproducibly, evenly, and WITHOUT materializing the
+    * quadratic complement. For each node u and slot i ∈ [1, k], the
+    * candidate is the node sitting `i` positions after u in a seeded
+    * pseudo-random permutation ([[Sampling.shuffleOrder]] — shard by one
+    * portable hash, order by an independent second one), true edges and
+    * self-pairs anti-joined away. Same seed ⇒ same negatives on any
+    * engine, run, or partitioning; different seeds ⇒ independent draws.
+    *
+    * Yield note: a node emits UP TO k negatives — a slot dies when its
+    * candidate happens to be a true neighbor or the node itself (rare on
+    * sparse graphs: P ≈ deg/|V| per slot). Callers needing exactly k
+    * oversample (k′ = k + slack) and rank — the standard trade against a
+    * retry loop, which a declarative plan can't express cheaply.
+    *
+    * Scale shape: everything is node-relation-sized — one exchange for the
+    * permutation (per-shard running row_number, no global sort), a
+    * broadcast of the shard-count relation, one keyed self-join on
+    * (shard, pos), and the anti-join on the (src, dst) edge key. The k-way
+    * explode multiplies the NODE relation, never the edges. */
+  def negativeEdges(edges: DataFrame, k: Int, numShards: Int = 8,
+      seed: Long = 42): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+    val ord = Sampling.shuffleOrder(nodes, "node", numShards, seed)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = ord.groupBy("shard").agg(count(lit(1)).as("__sz"))
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    ord.join(broadcast(sizes), "shard")
+      .select(col("node").as("src"), col("shard"), col("pos"), col("__sz"),
+        explode(array((1 to k).map(lit): _*)).as("slot"))
+      .select(col("src"), col("shard"), col("slot"),
+        pmod(col("pos") + col("slot"), col("__sz")).as("__tpos"))
+      .join(ord.select(col("shard"), col("pos").as("__tpos"),
+        col("node").as("neg_dst")), Seq("shard", "__tpos"))
+      .where(col("src") =!= col("neg_dst"))
+      .join(und.withColumnRenamed("dst", "neg_dst"),
+        Seq("src", "neg_dst"), "left_anti")
+      .select(col("src"), col("neg_dst"), col("slot").cast("long").as("slot"))
+  }
+
   /** Per-node triangle counts over the undirected simple graph induced by
     * `edges(src, dst, …)` — self-loops dropped, direction and multiplicity
     * collapsed. Returns `(node, triangles)` for every node on ≥ 1 triangle.

@@ -79,6 +79,23 @@ class GraphSpec extends AnyFunSuite {
     assert(got2 == got)
   }
 
+  test("negative sampling: no true edges, no self-pairs, deterministic, near-full yield") {
+    val edges = (1L to 40L).map(i => (i, i % 40 + 1, 1L)) // a 40-cycle
+      .toDF("src", "dst", "w")
+    val neg = Graph.negativeEdges(edges, k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val trueEdges = (1L to 40L).flatMap(i =>
+      Seq((i, i % 40 + 1), (i % 40 + 1, i))).toSet
+    assert(neg.forall { case (s, d, _) => s != d && !trueEdges.contains((s, d)) },
+      "negatives must avoid self-pairs and true edges")
+    assert(neg.forall(_._3 >= 1L) && neg.forall(_._3 <= 3L))
+    // sparse graph: nearly every (node, slot) survives the anti-join
+    assert(neg.size >= 40 * 3 - 12, s"yield too low: ${neg.size} of 120")
+    val neg2 = Graph.negativeEdges(edges.repartition(5), k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(neg2 == neg, "the draw must be partition-invariant")
+  }
+
   test("triangles: two triangles sharing an edge double-count the shared pair") {
     // {1,2,3} and {2,3,4}: nodes 2,3 sit on both
     val r = tris(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (3L, 4L)))
