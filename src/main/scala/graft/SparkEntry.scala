@@ -1532,6 +1532,19 @@ object SparkEntry {
           bucket)
         .withColumn("psi_contrib", round(col("psi_contrib"), 4))
     }),
+    // D11 — graft extension: per-tenant daily-volume OLS trend (exact
+    // integer sums, one fixed IEEE sequence at the end) — the direction-
+    // and-rate reading of any per-bucket aggregate
+    "d11_trend" -> ((s, dir) => {
+      val daily = EventsAdapter.rawEvents(s, dir)
+        .groupBy(expr("'t' || cast(user_id % 3 as string)").as("tenant_id"),
+          expr("(CAST(ts_us AS BIGINT) div 86400000000L)").as("day"))
+        .agg(count(lit(1)).as("y"))
+      Profiling.trend(daily, Seq("tenant_id"), col("day"), col("y"))
+        .select(col("tenant_id"), col("n_points"),
+          round(col("slope"), 4).as("slope"),
+          round(col("intercept"), 4).as("intercept"))
+    }),
     // DR2 — graft extension: column-profile diff between the cdc_diff
     // snapshot generations (row/null/distinct counts, min/max) — the
     // schema-level drift companion to drift_psi's distributional lens
@@ -1950,6 +1963,11 @@ object SparkEntry {
       TextAnalysis.tfidfTopK(docs(s, dir), 5)
         .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"),
           round(col("tfidf"), 4).as("tfidf"))),
+    // T-AUG — graft extension: deterministic word-dropout augmentation
+    // (10% positional-hash dropout) — a reproducible, re-derivable
+    // augmented corpus, computed as a pure narrow map (no explode/shuffle)
+    "text_augment" -> ((s, dir) =>
+      TextAnalysis.wordDropout(docs(s, dir), dropPct = 10)),
     // token-distribution quality signals: Shannon entropy + type-token
     // ratio (low entropy = repetitive/template text)
     "text_entropy" -> ((s, dir) =>
@@ -2972,6 +2990,33 @@ object SparkEntry {
         "CAST(fp AS DOUBLE) / CAST(1073741824 AS DOUBLE) AS decayed FROM s"),
     // funnel mirror: per-step earliest-qualifying-event mins through LEFT
     // joins — NULLs propagate exactly like the operator's when() guard
+    // dropout mirror: the same positional hash gate inside a filtered list
+    // comprehension (engine index is 0-based — hence i − 1)
+    "text_augment" ->
+      (s"WITH t AS (SELECT doc_id, $RawToks AS toks FROM documents), " +
+        "k AS (SELECT doc_id, toks, [toks[i] for i in " +
+        "generate_series(1, len(toks)) if " +
+        s"(${hashRawSql("(doc_id * 1000003 + (i - 1))")}) % 100 >= 10] AS kept " +
+        "FROM t) " +
+        "SELECT doc_id, array_to_string(kept, ' ') AS text_aug, " +
+        "CAST(len(kept) AS BIGINT) AS n_kept, " +
+        "CAST(len(toks) - len(kept) AS BIGINT) AS n_dropped FROM k"),
+    // trend mirror: the same five exact sums and the same IEEE sequence
+    // (slope once, intercept from it)
+    "d11_trend" ->
+      (s"WITH daily AS (SELECT $Tenant AS tenant_id, " +
+        s"$TsUs // 86400000000 AS day, CAST(count(*) AS BIGINT) AS y " +
+        "FROM events GROUP BY 1, 2), " +
+        "st AS (SELECT tenant_id, CAST(count(*) AS BIGINT) AS n_points, " +
+        "sum(day) AS sx, sum(y) AS sy, sum(day * y) AS sxy, " +
+        "sum(day * day) AS sxx FROM daily GROUP BY 1) " +
+        "SELECT tenant_id, n_points, ROUND(slope, 4) AS slope, " +
+        "ROUND(CASE WHEN slope IS NULL THEN NULL ELSE " +
+        "(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n_points END, 4) " +
+        "AS intercept FROM (SELECT *, " +
+        "CASE WHEN n_points * sxx - sx * sx <> 0 THEN " +
+        "CAST(n_points * sxy - sx * sy AS DOUBLE) / " +
+        "CAST(n_points * sxx - sx * sx AS DOUBLE) END AS slope FROM st)"),
     // profile-diff mirror: one UNION-ALL profile block per column per side,
     // full-outer joined on the column name; min/max as DOUBLE on both sides
     "profile_diff" -> {

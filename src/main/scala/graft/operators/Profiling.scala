@@ -166,6 +166,45 @@ object Profiling {
         col("decayed_fp").cast("double") / lit(math.pow(2.0, shift)))
   }
 
+  /** Per-group ordinary-least-squares trend: fit y = slope·x + intercept
+    * over each group's (x, y) points — `(group…, n_points, slope,
+    * intercept)` — the "is this tenant's volume growing?" / "is this
+    * source's quality drifting?" primitive that turns any per-bucket
+    * aggregate into a direction and a rate.
+    *
+    * Numerically it is the closed form over five EXACT integer sums
+    * (n, Σx, Σy, Σxy, Σx²) — associative longs, so any partitioning and
+    * any engine reach identical sums — followed by one fixed IEEE
+    * sequence: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept =
+    * (Σy − slope·Σx) / n. Inputs must be integral (cast upstream — for
+    * fractional y, pre-scale to fixed point); a group with a single point
+    * or zero x-variance yields NULL slope/intercept rather than ±Inf.
+    * Overflow budget: n·Σxy must stay under 2⁶³ — with day-index x and
+    * count y this holds to ~10¹² rows per group. One map-side-combined
+    * exchange; output is group-sized. */
+  def trend(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column): DataFrame = {
+    val g = groupCols.map(col)
+    df.select(g :+ xCol.cast("long").as("__x") :+ yCol.cast("long").as("__y"): _*)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_points"), sum("__x").as("__sx"),
+        sum("__y").as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .withColumn("__den",
+        col("n_points") * col("__sxx") - col("__sx") * col("__sx"))
+      .select(g :+ col("n_points") :+
+        when(col("__den") =!= 0,
+          (col("n_points") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") / col("__den").cast("double")).as("slope") :+
+        when(col("__den") =!= 0,
+          (col("__sy").cast("double") -
+            ((col("n_points") * col("__sxy") - col("__sx") * col("__sy"))
+              .cast("double") / col("__den").cast("double")) *
+              col("__sx").cast("double")) / col("n_points").cast("double"))
+          .as("intercept"): _*)
+  }
+
   /** Per-column profile of NUMERIC columns in ONE pass over `df` — a row
     * per column: `(column, n_rows, n_nulls, n_distinct, vmin, vmax)` with
     * min/max cast to double (exact for longs < 2⁵³ and doubles; the

@@ -1145,4 +1145,34 @@ object TextAnalysis {
       repetitionRatio(col("text")).as("repetition_ratio"),
       qualityScore(col("text")).as("quality"),
       fingerprint(col("text")).as("fingerprint"))
+
+  /** Deterministic word-dropout augmentation — the consistency-training /
+    * regularization transform (drop each token independently with
+    * probability `dropPct`%), made REPRODUCIBLE: token i of document d is
+    * kept iff `hashRaw(d·1000003 + i) mod 100 ≥ dropPct`, so the same
+    * (seed, dropPct) regenerates the identical augmented corpus on any
+    * engine, rerun, or partitioning — an augmentation you can cite in a
+    * data card and re-derive, not a one-shot RNG artifact. Different seeds
+    * give independent augmentation epochs.
+    *
+    * Returns `(idCol, text_aug, n_kept, n_dropped)`. Pure narrow column
+    * code — the positional keep/drop rides Spark's index-aware array
+    * `filter`, so there is NO explode, NO re-aggregation, NO shuffle;
+    * at 100 TB this is a map over the scan, the cheapest possible shape. */
+  def wordDropout(docs: DataFrame, dropPct: Int, seed: Long = 42,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(dropPct >= 0 && dropPct < 100,
+      s"dropPct must be in [0, 100), got $dropPct")
+    val toks = tokens(col(textCol))
+    docs.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), col("__toks"),
+        filter(col("__toks"), (_, i) =>
+          pmod(Sampling.hashRaw(
+            col(idCol) * lit(1000003L) + i.cast("long"), seed), lit(100))
+            >= dropPct).as("__kept"))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as("text_aug"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_dropped"))
+  }
 }

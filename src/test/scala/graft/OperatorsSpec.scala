@@ -198,6 +198,48 @@ class OperatorsSpec extends AnyFunSuite {
       s"prefix index must fan out fewer candidate pairs: $preLen vs $full")
   }
 
+  test("word dropout: deterministic, rate-plausible, order-preserving, seed-independent") {
+    import graft.operators.TextAnalysis
+    val d = docs.limit(200)
+    val a1 = TextAnalysis.wordDropout(d, 10)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val a2 = TextAnalysis.wordDropout(d.repartition(9), 10)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(a1.toSeq == a2.toSeq, "same seed must regenerate the same corpus")
+    val kept = a1.map(_._3).sum.toDouble
+    val total = a1.map(r => r._3 + r._4).sum.toDouble
+    assert(math.abs(kept / total - 0.9) < 0.02,
+      s"10% dropout must keep ~90%: ${kept / total}")
+    // kept tokens preserve original order (subsequence check on one doc)
+    val doc = d.filter($"doc_id" === a1.head._1)
+      .select($"text").as[String].head()
+    val orig = doc.trim.split("\\s+").toSeq
+    val aug = a1.head._2.split(" ").toSeq.filter(_.nonEmpty)
+    def isSubseq(sub: Seq[String], sup: Seq[String]): Boolean = {
+      var i = 0
+      sup.foreach { t => if (i < sub.length && sub(i) == t) i += 1 }
+      i == sub.length
+    }
+    assert(isSubseq(aug, orig), "augmented text must be an ordered subsequence")
+    // a different seed draws a different epoch
+    val b = TextAnalysis.wordDropout(d, 10, seed = 7)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(b.map(_._2).toSeq != a1.map(_._2).toSeq)
+  }
+
+  test("OLS trend recovers an exact line; degenerate groups yield NULL") {
+    val pts = (0L to 10L).map(x => ("up", x, 3 * x + 7)) ++
+      Seq(("flat", 5L, 9L), ("flat", 6L, 9L), ("one", 4L, 2L))
+    val got = graft.operators.Profiling.trend(
+        pts.toDF("g", "x", "y"), Seq("g"), col("x"), col("y"))
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("up") == ((11L, Some(3.0), Some(7.0))),
+      s"perfect line must fit exactly: ${got("up")}")
+    assert(got("flat") == ((2L, Some(0.0), Some(9.0))))
+    assert(got("one") == ((1L, None, None)), "single point has no slope")
+  }
+
   test("column-profile diff reports nulls, cardinality, and range per column") {
     val o = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(20.0)))
       .toDF("k", "v")
