@@ -1532,6 +1532,19 @@ object SparkEntry {
           bucket)
         .withColumn("psi_contrib", round(col("psi_contrib"), 4))
     }),
+    // D12 — graft extension: pairwise association rules over (user, day)
+    // event-type baskets — support/confidence/lift from exact counts
+    "d12_assoc" -> ((s, dir) => {
+      val ev = EventsAdapter.rawEvents(s, dir)
+        .select(col("user_id"),
+          expr("(CAST(ts_us AS BIGINT) div 86400000000L)").as("day"),
+          col("event_type"))
+      Sessions.associationRules(ev, Seq("user_id", "day"), "event_type")
+        .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+          round(col("support"), 4).as("support"),
+          round(col("confidence_ab"), 4).as("confidence_ab"),
+          round(col("lift"), 4).as("lift"))
+    }),
     // D11 — graft extension: per-tenant daily-volume OLS trend (exact
     // integer sums, one fixed IEEE sequence at the end) — the direction-
     // and-rate reading of any per-bucket aggregate
@@ -3001,6 +3014,24 @@ object SparkEntry {
         "SELECT doc_id, array_to_string(kept, ' ') AS text_aug, " +
         "CAST(len(kept) AS BIGINT) AS n_kept, " +
         "CAST(len(toks) - len(kept) AS BIGINT) AS n_dropped FROM k"),
+    // association mirror: same distinct baskets, pair join, and
+    // single-division stats over exact counts
+    "d12_assoc" ->
+      (s"WITH bk AS (SELECT DISTINCT user_id, $TsUs // 86400000000 AS day, " +
+        "event_type AS item FROM events), " +
+        "nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (" +
+        "SELECT DISTINCT user_id, day FROM bk)), " +
+        "ic AS (SELECT item, CAST(count(*) AS BIGINT) AS ni FROM bk GROUP BY 1), " +
+        "pr AS (SELECT a.item AS item_a, b.item AS item_b, " +
+        "CAST(count(*) AS BIGINT) AS n_ab FROM bk a JOIN bk b " +
+        "ON a.user_id = b.user_id AND a.day = b.day AND a.item < b.item " +
+        "GROUP BY 1, 2) " +
+        "SELECT item_a, item_b, n_ab, ia.ni AS n_a, ib.ni AS n_b, " +
+        "ROUND(CAST(n_ab AS DOUBLE) / CAST(nb.n AS DOUBLE), 4) AS support, " +
+        "ROUND(CAST(n_ab AS DOUBLE) / CAST(ia.ni AS DOUBLE), 4) AS confidence_ab, " +
+        "ROUND(CAST(n_ab * nb.n AS DOUBLE) / CAST(ia.ni * ib.ni AS DOUBLE), 4) AS lift " +
+        "FROM pr JOIN ic ia ON ia.item = pr.item_a " +
+        "JOIN ic ib ON ib.item = pr.item_b CROSS JOIN nb"),
     // trend mirror: the same five exact sums and the same IEEE sequence
     // (slope once, intercept from it)
     "d11_trend" ->

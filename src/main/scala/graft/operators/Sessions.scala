@@ -96,6 +96,47 @@ object Sessions {
         .otherwise(0L)).reduce(_ + _))
   }
 
+  /** Pairwise association rules over baskets (market-basket analysis,
+    * the support/confidence/lift of Agrawal et al. 1993 restricted to
+    * 2-itemsets — the size that stays tractable declaratively): a basket
+    * is the DISTINCT item set of one `basketCols` group, and for every
+    * co-occurring unordered item pair the output carries
+    * `(item_a, item_b, n_ab, n_a, n_b, support, confidence_ab, lift)` —
+    * support = n_ab/N, confidence(a→b) = n_ab/n_a, lift = n_ab·N/(n_a·n_b),
+    * each ONE IEEE division/multiply over exact integer counts (engine-
+    * portable). `minPairCount` prunes the noise tail before the stats
+    * joins.
+    *
+    * Scale shape: the corpus collapses to the distinct (basket, item)
+    * relation in one map-side-combined exchange; the pair join is keyed on
+    * the basket and fans out C(items-per-basket, 2) — bounded by the
+    * per-basket item cap, NOT corpus size (items-per-basket is small by
+    * construction: event types, categories, tags); the basket total N is a
+    * 1-row broadcast and the per-item counts join on the item key. */
+  def associationRules(df: DataFrame, basketCols: Seq[String],
+      itemCol: String, minPairCount: Long = 1): DataFrame = {
+    require(basketCols.nonEmpty, "associationRules needs basket key columns")
+    val b = basketCols.map(col)
+    val baskets = df.select(b :+ col(itemCol).as("item"): _*).distinct()
+    val nb = baskets.select(b: _*).distinct()
+      .agg(count(lit(1)).as("__nb"))
+    val itemCounts = baskets.groupBy("item").agg(count(lit(1)).as("__ni"))
+    val pairs = baskets.toDF(basketCols :+ "item_a": _*)
+      .join(baskets.toDF(basketCols :+ "item_b": _*), basketCols)
+      .where(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairCount)
+    pairs
+      .join(itemCounts.select(col("item").as("item_a"), col("__ni").as("n_a")), "item_a")
+      .join(itemCounts.select(col("item").as("item_b"), col("__ni").as("n_b")), "item_b")
+      .crossJoin(broadcast(nb))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") / col("__nb").cast("double")).as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence_ab"),
+        ((col("n_ab") * col("__nb")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
   /** Cohort retention: users grouped by their FIRST active time bucket
     * (cohort), counted per (cohort, age) where age = bucket − cohort —
     * `(cohort_bucket, age, n_active, n_cohort, retention)`, the classic

@@ -227,6 +227,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(b.map(_._2).toSeq != a1.map(_._2).toSeq)
   }
 
+  test("association rules match hand-computed support/confidence/lift") {
+    val rows = Seq( // baskets: b1={x,y} (dup row collapses), b2={x,y}, b3={x}, b4={y,z}
+      (1L, "x"), (1L, "y"), (1L, "x"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"),
+      (4L, "y"), (4L, "z")).toDF("basket", "item")
+    val got = graft.operators.Sessions.associationRules(rows, Seq("basket"), "item")
+      .as[(String, String, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val xy = got(("x", "y"))
+    assert(xy._3 == 2 && xy._4 == 3 && xy._5 == 3)
+    assert(xy._6 == 0.5 && math.abs(xy._7 - 2.0 / 3) < 1e-12 &&
+      math.abs(xy._8 - 8.0 / 9) < 1e-12, s"xy stats: $xy")
+    val yz = got(("y", "z"))
+    assert(yz._3 == 1 && math.abs(yz._8 - 4.0 / 3) < 1e-12, s"yz stats: $yz")
+    assert(!got.contains(("x", "z")), "never-co-occurring pairs don't appear")
+  }
+
   test("OLS trend recovers an exact line; degenerate groups yield NULL") {
     val pts = (0L to 10L).map(x => ("up", x, 3 * x + 7)) ++
       Seq(("flat", 5L, 9L), ("flat", 6L, 9L), ("one", 4L, 2L))
