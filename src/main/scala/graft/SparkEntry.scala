@@ -1532,6 +1532,25 @@ object SparkEntry {
           bucket)
         .withColumn("psi_contrib", round(col("psi_contrib"), 4))
     }),
+    // A14 — graft extension: exact weighted median of value per event type
+    // (weights = user_id%5+1; integer cross-product threshold — engine-
+    // portable row pick)
+    "a14_wmedian" -> ((s, dir) =>
+      Profiling.weightedQuantile(
+        EventsAdapter.rawEvents(s, dir)
+          .select(col("event_type"), col("value"),
+            (col("user_id") % 5 + 1).as("w")),
+        Seq("event_type"), col("value"), col("w"), 1, 2)),
+    // AGG2 — graft extension: pivoted per-tenant event-type counts (the
+    // transpose convenience over the same one-exchange grouped aggregate)
+    "agg_pivot" -> ((s, dir) =>
+      EventsAdapter.rawEvents(s, dir)
+        .select(expr("'t' || cast(user_id % 3 as string)").as("tenant_id"),
+          col("event_type"))
+        .groupBy("tenant_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)),
     // D12 — graft extension: pairwise association rules over (user, day)
     // event-type baskets — support/confidence/lift from exact counts
     "d12_assoc" -> ((s, dir) => {
@@ -3014,6 +3033,23 @@ object SparkEntry {
         "SELECT doc_id, array_to_string(kept, ' ') AS text_aug, " +
         "CAST(len(kept) AS BIGINT) AS n_kept, " +
         "CAST(len(toks) - len(kept) AS BIGINT) AS n_dropped FROM k"),
+    // weighted-median mirror: same running-frame cumulative weight and
+    // integer cross-product threshold
+    "a14_wmedian" ->
+      ("WITH b AS (SELECT event_type, value AS v, " +
+        "CAST(user_id % 5 + 1 AS BIGINT) AS w FROM events), " +
+        "c AS (SELECT event_type, v, sum(w) OVER (PARTITION BY event_type " +
+        "ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "sum(w) OVER (PARTITION BY event_type) AS tot FROM b) " +
+        "SELECT event_type, min(CASE WHEN cum * 2 >= tot * 1 THEN v END) AS wq " +
+        "FROM c GROUP BY 1"),
+    // pivot mirror: CASE-sum columns over the same grouped aggregate
+    "agg_pivot" ->
+      (s"SELECT $Tenant AS tenant_id, " +
+        Seq("click", "error", "purchase", "signup", "view").map(t =>
+          s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS \"$t\"")
+          .mkString(", ") +
+        " FROM events GROUP BY 1"),
     // association mirror: same distinct baskets, pair join, and
     // single-division stats over exact counts
     "d12_assoc" ->

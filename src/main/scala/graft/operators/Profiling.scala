@@ -166,6 +166,37 @@ object Profiling {
         col("decayed_fp").cast("double") / lit(math.pow(2.0, shift)))
   }
 
+  /** Exact WEIGHTED quantile per group: the smallest value whose cumulative
+    * weight reaches q = `qNum/qDen` of the group's total weight —
+    * `(group…, wq)`. The threshold compare is the integer cross-product
+    * `cumw·qDen ≥ W·qNum` (weights must be integral; pre-scale fixed-point
+    * for fractional weights), so the picked ROW — and therefore the value —
+    * is identical on every engine and partitioning; ties in the value
+    * order break on the value itself (cumulative weight is then order-
+    * independent). q = 1/2 is the weighted median — the right center for
+    * anything where rows carry unequal mass (bytes per file, tokens per
+    * doc, spend per order).
+    *
+    * Scale shape: one exchange on the group, a per-group sort feeding two
+    * running-frame windows (no full-partition buffering), then the min
+    * aggregate — the same discipline as the fixed-bin quantile sketch, but
+    * exact, for groups whose rows fit a sort spill. */
+  def weightedQuantile(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      weightCol: Column, qNum: Int, qDen: Int): DataFrame = {
+    require(qNum > 0 && qNum <= qDen, s"need 0 < qNum <= qDen, got $qNum/$qDen")
+    val g = groupCols.map(col)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(g: _*).orderBy(col("__v").asc)
+    df.select(g :+ valueCol.as("__v") :+ weightCol.cast("long").as("__w"): _*)
+      .withColumn("__cum", sum(col("__w")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("__w")).over(
+        Window.partitionBy(g: _*)))
+      .groupBy(g: _*)
+      .agg(min(when(col("__cum") * qDen >= col("__tot") * qNum, col("__v")))
+        .as("wq"))
+  }
+
   /** Per-group ordinary-least-squares trend: fit y = slope·x + intercept
     * over each group's (x, y) points — `(group…, n_points, slope,
     * intercept)` — the "is this tenant's volume growing?" / "is this

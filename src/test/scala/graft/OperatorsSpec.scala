@@ -227,6 +227,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(b.map(_._2).toSeq != a1.map(_._2).toSeq)
   }
 
+  test("weighted quantile picks the exact mass-crossing value") {
+    // g1: values 1..4 with weights 1,1,6,1 → total 9, half-mass 4.5 crossed
+    // at value 3 (cum 8); unweighted median would be 2.5-ish
+    val rows = Seq(("g1", 1.0, 1L), ("g1", 2.0, 1L), ("g1", 3.0, 6L),
+      ("g1", 4.0, 1L), ("g2", 10.0, 2L), ("g2", 20.0, 1L))
+      .toDF("g", "v", "w")
+    val got = graft.operators.Profiling.weightedQuantile(
+        rows, Seq("g"), col("v"), col("w"), 1, 2)
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("g1" -> 3.0, "g2" -> 10.0), s"weighted medians: $got")
+    // q = 9/10 lands on the top value of g1 (cum 9 ≥ 8.1)
+    val p90 = graft.operators.Profiling.weightedQuantile(
+        rows, Seq("g"), col("v"), col("w"), 9, 10)
+      .as[(String, Double)].collect().toMap
+    assert(p90("g1") == 4.0, s"p90: $p90")
+  }
+
   test("association rules match hand-computed support/confidence/lift") {
     val rows = Seq( // baskets: b1={x,y} (dup row collapses), b2={x,y}, b3={x}, b4={y,z}
       (1L, "x"), (1L, "y"), (1L, "x"),
