@@ -1680,6 +1680,12 @@ object SparkEntry {
     // ----- training-data-pipeline extensions -----
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5)),
+    // the AUDIT lens: for every near-dup pair, the 3 rarest shared
+    // shingles — human-reviewable evidence for WHY two documents matched
+    "dedup_evidence" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.pairEvidence(d, Dedup.ngramJaccardPairs(d, 3, 0.5), n = 3, k = 3)
+    }),
     // the WEIGHTED near-dup lens: bag-of-trigrams cosine over integer term
     // frequencies — exact long dot/norm sums (the q8i portability trick on
     // sparse text), so the score replays bit-for-bit; trigram terms, same
@@ -3179,6 +3185,23 @@ object SparkEntry {
     // prefix filtering is LOSSLESS, so its mirror IS the brute-force pair
     // spec — the oracle equality proves the candidate pruning drops nothing
     "dedup_prefix" -> JaccardPairsSql,
+    // evidence mirror: the brute-force pair set, shared shingles via the
+    // exploded distinct-shingle relation, (df, shingle) rank, top 3
+    "dedup_evidence" ->
+      (s"$ShinglesCte, " +
+        "p AS (SELECT id_a, id_b FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard " +
+        "FROM t a JOIN t b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5), " +
+        "e AS (SELECT doc_id AS id, unnest(sh) AS shingle FROM t), " +
+        "dfq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY 1), " +
+        "sh2 AS (SELECT p.id_a, p.id_b, a.shingle FROM p " +
+        "JOIN e a ON a.id = p.id_a JOIN e b ON b.id = p.id_b " +
+        "AND b.shingle = a.shingle) " +
+        "SELECT id_a, id_b, shingle, df, CAST(rank AS BIGINT) AS rank FROM (" +
+        "SELECT s.id_a, s.id_b, s.shingle, dfq.df, row_number() OVER (" +
+        "PARTITION BY s.id_a, s.id_b ORDER BY dfq.df ASC, s.shingle ASC) AS rank " +
+        "FROM sh2 s JOIN dfq USING (shingle)) WHERE rank <= 3"),
     // tf-cosine mirror: integer tf/norm/dot sums (exact on both engines),
     // one sqrt/multiply/divide at the end — same arithmetic step for step
     "dedup_cosine" ->

@@ -384,6 +384,41 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Near-dup EVIDENCE: for each pair in `pairs`, the `k` globally-rarest
+    * SHARED shingles — `(id_a, id_b, shingle, df, rank)`, ranked by
+    * (document frequency asc, shingle asc). This is the audit/debug lens a
+    * production dedup needs next to the pair list itself: "these two pages
+    * matched because they share THESE rare phrases" is reviewable by a
+    * human and routable to an allowlist, where a bare Jaccard score is
+    * not. Rarest-first is the discriminative order — a shared df=2 shingle
+    * is evidence, a shared boilerplate shingle is noise.
+    *
+    * Scale shape: everything is keyed on ids or the shingle — the exploded
+    * shingle relation is persisted once for its three consumers (df
+    * aggregate + both pair-side joins), the per-pair candidate set is
+    * bounded by the documents' shingle counts, and the top-k runs as a
+    * WindowGroupLimit partial below the pair exchange. `pairs` is any
+    * (id_a, id_b) relation — compose with [[ngramJaccardPairs]],
+    * [[prefixJaccardPairs]], or [[minhashLshPairs]]. */
+  def pairEvidence(docs: DataFrame, pairs: DataFrame, n: Int, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sh = docs.select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), n)).as("shingle"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val shared = pairs.select("id_a", "id_b")
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+    import org.apache.spark.sql.expressions.Window
+    shared.join(dfreq, Seq("shingle"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("id_a", "id_b").orderBy(col("df").asc, col("shingle").asc)))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), col("shingle"), col("df"),
+        col("rank").cast("long").as("rank"))
+  }
+
   // ------------------------------------------------------- MinHash + LSH
 
   /** k seeded 64-bit min-hashes of the shingle set: sig[i] = min over

@@ -227,6 +227,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(b.map(_._2).toSeq != a1.map(_._2).toSeq)
   }
 
+  test("pair evidence: rarest shared shingles, df-ascending, present in both docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+    val ev = Dedup.pairEvidence(docs, pairs, n = 3, k = 3)
+    val rows = ev.as[(Long, Long, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r._1, r._2)).values.foreach { rs =>
+      val sorted = rs.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1L to sorted.length.toLong),
+        s"ranks must be dense from 1: ${sorted.toSeq}")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq,
+        s"evidence must be rarest-first: ${sorted.toSeq}")
+    }
+    // every evidence shingle must actually occur in BOTH documents
+    val sh = docs.select($"doc_id",
+      explode(Dedup.wordShingles($"text", 3)).as("shingle"))
+    val missingA = ev.join(sh.toDF("id_a", "shingle"), Seq("id_a", "shingle"),
+      "left_anti")
+    val missingB = ev.join(sh.toDF("id_b", "shingle"), Seq("id_b", "shingle"),
+      "left_anti")
+    assert(missingA.count() == 0 && missingB.count() == 0,
+      "evidence shingles must be genuinely shared")
+  }
+
   test("weighted quantile picks the exact mass-crossing value") {
     // g1: values 1..4 with weights 1,1,6,1 → total 9, half-mass 4.5 crossed
     // at value 3 (cum 8); unweighted median would be 2.5-ish
