@@ -1833,6 +1833,12 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb(s, dir).filter(col("vec_id") < 10), emb(s, dir), 5)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
           round(col("cosine"), 4).as("cosine"))),
+    // SIM-MAP — graft extension: per-label centroid cosine map (corpus
+    // cartography: which classes/sources overlap semantically) — exact
+    // fixed-point component sums, fully distributed, group-sized output
+    "emb_class_sim" -> ((s, dir) =>
+      Similarity.groupCentroidSim(emb(s, dir), "label")
+        .select(col("g_a"), col("g_b"), round(col("cosine"), 4).as("cosine"))),
     // SIM-B1 — graft extension: 1-bit binary-sign candidates (popcount
     // hamming over packed sign words) + exact-cosine rerank of the top 32
     // — the 512×-compression end of the quantization ladder
@@ -3606,6 +3612,28 @@ object SparkEntry {
       (s"$ClusterComponentsCte SELECT d.doc_id, " +
         s"${splitCaseSql("COALESCE(comp.component, d.doc_id)")} AS split " +
         "FROM documents d LEFT JOIN comp ON d.doc_id = comp.id"),
+    // centroid-map mirror: same unit chain, fixed-point HUGEINT component
+    // sums, (s/n)/S mean sequence, 0.0-seeded norm fold, pair inner product
+    "emb_class_sim" ->
+      ("WITH u AS (SELECT vec_id, label, list_transform(dv, x -> x / nrm) AS v " +
+        "FROM (SELECT vec_id, label, dv, sqrt(list_inner_product(dv, dv)) AS nrm " +
+        "FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dv " +
+        "FROM embeddings)) WHERE nrm > 0), " +
+        "px AS (SELECT label AS g, i AS pos, " +
+        "CAST(floor(v[i] * 1099511627776 + 0.5) AS HUGEINT) AS fx FROM u, " +
+        "LATERAL (SELECT unnest(generate_series(1, 64)) AS i)), " +
+        "sm AS (SELECT g, pos, sum(fx) AS s, CAST(count(*) AS BIGINT) AS n " +
+        "FROM px GROUP BY 1, 2), " +
+        "ct AS (SELECT g, list(CAST(s AS DOUBLE) / n / 1099511627776.0 " +
+        "ORDER BY pos) AS mean FROM sm GROUP BY 1), " +
+        "cn AS (SELECT g, list_transform(mean, x -> x / sqrt(" +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), [m * m for m in mean]), " +
+        "(p, q) -> p + q))) AS v FROM ct WHERE " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), [m * m for m in mean]), " +
+        "(p, q) -> p + q) > 0) " +
+        "SELECT a.g AS g_a, b.g AS g_b, " +
+        "ROUND(list_inner_product(a.v, b.v), 4) AS cosine " +
+        "FROM cn a JOIN cn b ON a.g < b.g"),
     // binary-sign mirror: identical sign-bit packing (HUGEINT bit sum folded
     // to the signed 64-bit word), popcount-XOR hamming, top-32 candidates by
     // (hamming, neighbor_id), exact-cosine rerank — candidate sets agree

@@ -370,6 +370,53 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Group-centroid similarity map — corpus cartography: the pairwise
+    * cosine between each group's mean unit vector (`(g_a, g_b, cosine)`),
+    * the "which sources/classes/shards overlap semantically" overview that
+    * drives mixing weights and contamination suspicion before any
+    * pair-level work. High centroid cosine between two sources ⇒ route
+    * them into the cross-table LSH join; near-orthogonal ⇒ don't pay for
+    * it.
+    *
+    * Determinism discipline (the [[kmeansCentroids]] recipe, kept fully
+    * distributed — no driver collect): per-(group, component) FIXED-POINT
+    * sums in DECIMAL(38,0) (exact, associative — identical on any
+    * partitioning), one double division sequence per component, a 0.0-
+    * seeded left-fold norm matching DuckDB's list_reduce order, and the
+    * codegen'd dot for the pair score. Zero-norm centroids (exact
+    * cancellation) are dropped like zero vectors everywhere else.
+    *
+    * Scale shape: the corpus is touched once (posexplode → map-side-
+    * combined (group, pos) sums — d rows per group reach the exchange);
+    * everything after is groups·d-sized, and the pair join is over the
+    * group-sized centroid relation. */
+  def groupCentroidSim(emb: DataFrame, groupCol: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val S = FixedPointScale
+    val unit = unitVectorsWith(emb, idCol, vecCol, "id", "v",
+      Seq(groupCol -> "g"))
+    val sums = unit.select(col("g"), posexplode(col("v")))
+      .select(col("g"), col("pos"),
+        floor(col("col") * lit(S) + lit(0.5))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("fx"))
+      .groupBy("g", "pos")
+      .agg(sum(col("fx")).as("s"), count(lit(1)).as("n"))
+    val cent = sums
+      .select(col("g"), struct(col("pos"),
+        (col("s").cast("double") / col("n").cast("double") / lit(S.toDouble))
+          .as("m")).as("pm"))
+      .groupBy("g").agg(array_sort(collect_list(col("pm"))).as("pms"))
+      .select(col("g"), transform(col("pms"), p => p.getField("m")).as("mean"))
+      .withColumn("__nrm",
+        sqrt(aggregate(col("mean"), lit(0.0), (a, x) => a + x * x)))
+      .filter(col("__nrm") > 0)
+      .select(col("g"), transform(col("mean"), x => x / col("__nrm")).as("cv"))
+    cent.select(col("g").as("g_a"), col("cv").as("va"))
+      .join(cent.select(col("g").as("g_b"), col("cv").as("vb")),
+        col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"), dot(col("va"), col("vb")).as("cosine"))
+  }
+
   /** Inverse of [[quantize]]: q_i · scale, an `array<double>` usable by every
     * operator above (dot products, LSH, IVF) at reduced precision. */
   def dequantize(quantized: DataFrame, idCol: String = "vec_id"): DataFrame =

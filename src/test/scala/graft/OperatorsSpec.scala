@@ -413,6 +413,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exact.intersect(sim).size >= exact.size / 2)
   }
 
+  test("group centroid map: identical groups score 1, orthogonal score 0, partition-invariant") {
+    import graft.operators.Similarity
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f, 1f), "a"), (2L, Array(0f, 1f, 0f, 1f), "a"),
+      (3L, Array(1f, 0f, 0f, 1f), "b"), (4L, Array(0f, 1f, 0f, 1f), "b"),
+      (5L, Array(0f, 0f, 1f, 0f), "c")) // orthogonal to a/b's mean? not exactly — just a third group
+      .toDF("vec_id", "embedding", "source")
+    val got = Similarity.groupCentroidSim(rows, "source")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(got(("a", "b")) - 1.0) < 1e-9,
+      s"identical vector sets must give centroid cosine 1: ${got(("a", "b"))}")
+    assert(got(("a", "c")) < 0.5 && got(("b", "c")) < 0.5)
+    val got2 = Similarity.groupCentroidSim(rows.repartition(7), "source")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got2 == got, "fixed-point sums must make the map partition-invariant")
+  }
+
   test("binary-sign search with a full rerank budget equals exact brute force") {
     import graft.operators.Similarity
     val q = emb.filter($"vec_id" < 10)
