@@ -1551,6 +1551,14 @@ object SparkEntry {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .count()
         .na.fill(0L)),
+    // SPLIT-T — graft extension: temporal holdout with a 1-day embargo at
+    // the exact 4/5 mass point of the daily distribution — train on the
+    // past, test on the future, buffer labeled (never silently dropped)
+    "sample_split_time" -> ((s, dir) =>
+      Sampling.timeSplit(
+          EventsAdapter.rawEvents(s, dir).select(col("event_id"), col("ts_us")),
+          "ts_us", 86400000000L, 4, 5, embargoBuckets = 1)
+        .select(col("event_id"), col("split"))),
     // D12 — graft extension: pairwise association rules over (user, day)
     // event-type baskets — support/confidence/lift from exact counts
     "d12_assoc" -> ((s, dir) => {
@@ -3045,6 +3053,17 @@ object SparkEntry {
         "SELECT doc_id, array_to_string(kept, ' ') AS text_aug, " +
         "CAST(len(kept) AS BIGINT) AS n_kept, " +
         "CAST(len(toks) - len(kept) AS BIGINT) AS n_dropped FROM k"),
+    // temporal-split mirror: same bucket counts, the same integer-exact
+    // mass-point pick, the same three-zone case
+    "sample_split_time" ->
+      (s"WITH b AS (SELECT event_id, $TsUs // 86400000000 AS d FROM events), " +
+        "cc AS (SELECT d, count(*) AS w FROM b GROUP BY 1), " +
+        "cw AS (SELECT d, sum(w) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "sum(w) OVER () AS tot FROM cc), " +
+        "ct AS (SELECT min(CASE WHEN cum * 5 >= tot * 4 THEN d END) AS cut FROM cw) " +
+        "SELECT event_id, CASE WHEN d <= cut - 1 THEN 'train' " +
+        "WHEN d <= cut THEN 'embargo' ELSE 'test' END AS split " +
+        "FROM b CROSS JOIN ct"),
     // weighted-median mirror: same running-frame cumulative weight and
     // integer cross-product threshold
     "a14_wmedian" ->

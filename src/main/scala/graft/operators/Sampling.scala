@@ -364,6 +364,43 @@ object Sampling {
             s => s.getField(tids))).as("token_ids"))
   }
 
+  /** Leakage-safe TEMPORAL holdout with an embargo gap — the time-series
+    * counterpart of the hash split: train on the past, test on the future,
+    * and DROP a buffer zone between them so nothing with look-ahead
+    * correlation (trailing features, sessions straddling the boundary)
+    * leaks across (the embargo of combinatorial-purged CV, de Prado 2018).
+    * Returns the input plus a `split` column: `train` for buckets ≤ c −
+    * embargo, `embargo` for (c − embargo, c], `test` after c — callers
+    * filter the embargo zone out; keeping it labeled beats silently
+    * dropping rows.
+    *
+    * The cutoff bucket c is derived FROM THE DATA as the exact
+    * `fracNum/fracDen` mass point of the bucketed row distribution
+    * ([[Profiling.weightedQuantile]] over per-bucket counts — integer
+    * cross-product threshold, so every engine picks the same bucket).
+    * Scale shape: one map-side-combined bucket count (bucket-sized), a
+    * window over that TINY relation, a 1-row broadcast back onto the
+    * corpus — the corpus itself is scanned once and never shuffled. */
+  def timeSplit(df: DataFrame, tsUsCol: String, bucketUs: Long,
+      fracNum: Int, fracDen: Int, embargoBuckets: Long): DataFrame = {
+    require(bucketUs >= 1, s"bucketUs must be >= 1, got $bucketUs")
+    require(embargoBuckets >= 0,
+      s"embargoBuckets must be >= 0, got $embargoBuckets")
+    val bucket = expr(s"CAST($tsUsCol AS BIGINT) div $bucketUs")
+    val counts = df.select(bucket.as("__d"))
+      .groupBy("__d").agg(count(lit(1)).as("__w"))
+      .withColumn("__g", lit(1))
+    val cut = Profiling.weightedQuantile(counts, Seq("__g"), col("__d"),
+        col("__w"), fracNum, fracDen)
+      .select(col("wq").as("__cut"))
+    df.crossJoin(broadcast(cut))
+      .withColumn("split",
+        when(bucket <= col("__cut") - embargoBuckets, "train")
+          .when(bucket <= col("__cut"), "embargo")
+          .otherwise("test"))
+      .drop("__cut")
+  }
+
   /** Deterministic corpus shuffle for training export: every row gets a
     * `shard` (portable id hash — even load by construction) and a dense
     * 0-based `pos` within the shard, ordered by an INDEPENDENT second hash

@@ -250,6 +250,22 @@ class OperatorsSpec extends AnyFunSuite {
       "evidence shingles must be genuinely shared")
   }
 
+  test("temporal split: past trains, future tests, the embargo zone is labeled") {
+    val day = 86400000000L
+    // 10 days × 10 rows: the 4/5 mass point is day 7 (cum 80 ≥ 80)
+    val rows = (0 until 100).map(i => (i.toLong, (i / 10).toLong * day + 5L))
+      .toDF("event_id", "ts_us")
+    val got = graft.operators.Sampling.timeSplit(
+        rows, "ts_us", day, 4, 5, embargoBuckets = 1)
+      .select($"event_id", $"split").as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(got("train") == (0L until 70L).toSet, s"train: ${got("train").size}")
+    assert(got("embargo") == (70L until 80L).toSet, "day 7 is the buffer")
+    assert(got("test") == (80L until 100L).toSet)
+    // temporal ordering invariant: max train ts < min test ts strictly
+    assert(got("train").max < got("test").min)
+  }
+
   test("weighted quantile picks the exact mass-crossing value") {
     // g1: values 1..4 with weights 1,1,6,1 → total 9, half-mass 4.5 crossed
     // at value 3 (cum 8); unweighted median would be 2.5-ish
