@@ -2,7 +2,7 @@ package graft
 
 import graft.model.{AggregationSpec, RollupSpec}
 import graft.functions.SubwordExpressions
-import graft.operators.{Anomaly, Dedup, FuzzyString, GapFill, HeavyHitters, Layout, Multimodal, Profiling, Relational, Sampling, Sessions, Similarity, Sketches, Snapshot, TextAnalysis}
+import graft.operators.{Anomaly, Dedup, Eval, FuzzyString, GapFill, HeavyHitters, Layout, Multimodal, Profiling, Relational, Sampling, Sessions, Similarity, Sketches, Snapshot, TextAnalysis}
 import graft.plan.RuleCompiler
 import graft.sources.{EnvelopeJson, EventsAdapter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -904,6 +904,39 @@ object SparkEntry {
   // --- portable PolyHash64 mirror (HUGEINT mod-2⁶⁴ arithmetic) ---
 
   private val Mod64 = "18446744073709551616" // 2^64
+
+  /** Shared CTE chain of the `text_bm25_topk` / `eval_retrieval` mirrors:
+    * the full multi-query BM25 pipeline (doc lengths, corpus stats, postings
+    * restricted to the query-term set, round-4 scores) ending in `rk` =
+    * (query_id, doc_id, n_hits, score, rank) with rank UNFILTERED — each
+    * consumer applies its own `rank <= k`. Also exposes `q` (query terms),
+    * `toks` (lowered doc tokens) and `terms` for the relevance ground
+    * truth. */
+  private lazy val Bm25TopkCtes: String =
+    "dl AS (SELECT doc_id, CASE WHEN text IS NULL OR " +
+      s"len(trim(text, '${TextAnalysis.WsCharsRaw}')) = 0 THEN 0.0 ELSE " +
+      s"CAST(len(string_split_regex(trim(text, '${TextAnalysis.WsCharsRaw}'), '\\s+')) AS DOUBLE) END AS dl " +
+      "FROM documents), " +
+      "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl), " +
+      "toks AS (SELECT doc_id, unnest(string_split_regex(" +
+      s"trim(lower(text), '${TextAnalysis.WsCharsRaw}'), '\\s+')) AS tok " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "q AS (SELECT DISTINCT query_id, term FROM (SELECT doc_id AS query_id, " +
+      s"unnest(tk[1:3]) AS term FROM (SELECT doc_id, string_split_regex(" +
+      s"trim(lower(text), '${TextAnalysis.WsCharsRaw}'), '\\s+') AS tk " +
+      "FROM documents WHERE doc_id % 100 = 0 AND text IS NOT NULL)) " +
+      "WHERE len(term) > 0), " +
+      "terms AS (SELECT DISTINCT term FROM q), " +
+      "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks " +
+      "JOIN terms ON tok = term GROUP BY 1, 2), " +
+      "dfx AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), " +
+      "sc AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hits, " +
+      "ROUND(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+      "CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score " +
+      "FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats " +
+      "JOIN q ON q.term = tf.tok GROUP BY 1, 2), " +
+      "rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank FROM sc)"
   /** (z · c) mod 2⁶⁴ with every intermediate < 2⁹⁷ (HUGEINT is signed 128-bit;
     * a direct product of two 64-bit values would overflow it): split c into
     * 32-bit halves — z·cLo + ((z·cHi mod 2³²) << 32), all mod 2⁶⁴. */
@@ -954,6 +987,45 @@ object SparkEntry {
       s"m3_$out AS (SELECT $keep, xor(z, z >> 27) AS z FROM m2_$out), " +
       s"m4_$out AS (SELECT $keep, ${mulMod64Sql("z", C2)} AS z FROM m3_$out), " +
       s"$out AS (SELECT $keep, xor(z, z >> 31) AS h FROM m4_$out)"
+  }
+
+  /** Full DuckDB replay of [[Dedup.minhashBandingEval]]: portable per-slot
+    * signature (hashRaw chains over the signed PolyHash64 shingle hash —
+    * the slots themselves replay, unlike the production xxhash64
+    * signature), UNION-ALL banding, the band equi-join, the all-pairs
+    * Jaccard ground truth (the oracle is the brute-force spec), and the
+    * full-outer count roll-up. */
+  private def bandingEvalOracleSql(k: Int, bands: Int): String = {
+    val rows = k / bands
+    val minCols = (0 until k)
+      .map(i => s"min(${hashRawSql("hh", i + 1)}) AS s$i").mkString(", ")
+    val bd = (0 until bands).map { b =>
+      val vs = (0 until rows)
+        .map(j => s"s${b * rows + j} AS v${j + 1}").mkString(", ")
+      s"SELECT doc_id, $b AS band, $vs FROM sig"
+    }.mkString(" UNION ALL ")
+    val on = (1 to rows).map(j => s"a.v$j = b.v$j").mkString(" AND ")
+    s"$ShinglesCte, e AS (SELECT doc_id, unnest(sh) AS s FROM t), " +
+      polyHashSteps("doc_id", "s", "e", "ph") + ", " +
+      s"hs AS (SELECT doc_id, ${signedSql("h")} AS hh FROM ph), " +
+      s"sig AS (SELECT doc_id, $minCols FROM hs GROUP BY doc_id), " +
+      s"bd AS ($bd), " +
+      "c AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+      s"FROM bd a JOIN bd b ON a.band = b.band AND $on AND a.doc_id < b.doc_id), " +
+      "tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM t a JOIN t b " +
+      "ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5), " +
+      "m AS (SELECT CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_c, " +
+      "CASE WHEN tr.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_t " +
+      "FROM c FULL JOIN tr ON c.id_a = tr.id_a AND c.id_b = tr.id_b) " +
+      "SELECT CAST(sum(is_t) AS BIGINT) AS n_truth, " +
+      "CAST(sum(is_c) AS BIGINT) AS n_candidates, " +
+      "CAST(sum(is_c * is_t) AS BIGINT) AS tp, " +
+      "CAST(sum(is_c * (1 - is_t)) AS BIGINT) AS fp, " +
+      "CAST(sum((1 - is_c) * is_t) AS BIGINT) AS fn, " +
+      "CAST(sum(is_c * is_t) AS DOUBLE) / CAST(sum(is_c) AS DOUBLE) AS cand_precision, " +
+      "CAST(sum(is_c * is_t) AS DOUBLE) / CAST(sum(is_t) AS DOUBLE) AS cand_recall " +
+      "FROM m"
   }
 
   /** The analytic aHash CTE chain: given a relation exposing pattern ids as
@@ -1108,6 +1180,42 @@ object SparkEntry {
     }.mkString(", ")
     val joins = (1 to k).map(c => s"CROSS JOIN v_${c}_$iters pv$c").mkString(" ")
     sb ++= s" SELECT vec_id, $projs FROM e CROSS JOIN mu $joins"
+    sb.toString
+  }
+
+  /** Full DuckDB replay of [[TextAnalysis.bpeLearnMerges]]: the
+    * word-frequency vocabulary under the shared tokens contract (`^[a-z]+$`
+    * forms only), each symbol chr(31)-wrapped by the same `(.)` regex, then
+    * `rounds` chained (adjacent-pairs → argmax → replace) rounds. Merge
+    * application is a PLAIN `replace()` on both engines because every
+    * symbol carries its own wrappers ([[TextAnalysis.BpeSep]]): replace-all
+    * scans left-to-right non-overlapping — exactly BPE's application order —
+    * and the wrappers stop sub-symbol matches. Every chained CTE is
+    * MATERIALIZED (the pageRank-oracle rule). */
+  private def bpeLearnOracleSql(rounds: Int): String = {
+    val sp = "chr(31)"
+    val sb = new StringBuilder
+    sb ++= "WITH v_0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', " +
+      s"$sp || '\\1' || $sp, 'g') AS sym, freq FROM (" +
+      "SELECT t AS w, CAST(count(*) AS BIGINT) AS freq FROM " +
+      s"(SELECT unnest($RawToks) AS t FROM documents WHERE $TokN > 0) " +
+      s"WHERE regexp_matches(t, '^[a-z]+$$') GROUP BY t))"
+    for (r <- 1 to rounds) {
+      sb ++= s", x_$r AS (SELECT s, freq, " +
+        "unnest(generate_series(1, len(s) - 1)) AS i " +
+        s"FROM (SELECT string_split(substr(sym, 2, length(sym) - 2), " +
+        s"$sp || $sp) AS s, freq FROM v_${r - 1}) WHERE len(s) >= 2)"
+      sb ++= s", b_$r AS MATERIALIZED (SELECT s[i] AS lhs, s[i + 1] AS rhs, " +
+        s"sum(freq) AS cnt, $r AS rank FROM x_$r GROUP BY 1, 2 " +
+        "ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+      sb ++= s", v_$r AS MATERIALIZED (SELECT replace(sym, " +
+        s"$sp || lhs || $sp || $sp || rhs || $sp, " +
+        s"$sp || lhs || rhs || $sp) AS sym, freq FROM v_${r - 1}, b_$r)"
+    }
+    val union = (1 to rounds).map(r => s"SELECT * FROM b_$r")
+      .mkString(" UNION ALL ")
+    sb ++= " SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, " +
+      s"CAST(cnt AS BIGINT) AS pair_count FROM ($union)"
     sb.toString
   }
 
@@ -1609,6 +1717,31 @@ object SparkEntry {
             s"${TextAnalysis.WsClass}+"), 1, 3)).as("term"))
       TextAnalysis.bm25Multi(d, queries, topK = 5)
     }),
+    // ranking-quality evaluation of the BM25 retrieval join: conjunctive
+    // ground truth (a doc is relevant iff it contains EVERY query term) —
+    // hits@5, MRR numerator, exact-ratio precision/recall, fold-pinned nDCG
+    "eval_retrieval" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val queries = d.filter(col("doc_id") % 100 === 0 && col("text").isNotNull)
+        .select(col("doc_id").as("query_id"),
+          explode(slice(split(trim(lower(col("text")), TextAnalysis.WsCharsRaw),
+            s"${TextAnalysis.WsClass}+"), 1, 3)).as("term"))
+      val ranked = TextAnalysis.bm25Multi(d, queries, topK = 5)
+      val qt = queries.select(col("query_id"), lower(trim(col("term"))).as("term"))
+        .filter(length(col("term")) > 0).distinct()
+      val nt = qt.groupBy("query_id").agg(count(lit(1)).as("nt"))
+      val terms = qt.select(col("term").as("tok")).distinct()
+      val dt = d.filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(TextAnalysis.lmToks(col("text"))).as("tok"))
+        .join(broadcast(terms), Seq("tok")).distinct()
+      val relevant = dt.join(broadcast(qt), qt("term") === dt("tok"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("matched"))
+        .join(broadcast(nt), Seq("query_id"))
+        .filter(col("matched") === col("nt"))
+        .select("query_id", "doc_id")
+      Eval.rankingMetrics(ranked, relevant, k = 5)
+    }),
     // D9 — graft extension: exponentially-decayed event counts per type
     // (7-day half-life, whole-half-life quantization → pure long sums,
     // exact on every engine; ref = max event time)
@@ -1716,6 +1849,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5, maxDocFreq = 4)),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), n = 3, k = 128, bands = 32, threshold = 0.5)),
+    // the banding miss-rate MEASURED: candidate pairs of a portable
+    // 64-slot/16-band MinHash vs the exact Jaccard ≥ 0.5 ground truth —
+    // the empirical (k, bands) tuning number for the dedup family
+    "dedup_banding_eval" -> ((s, dir) =>
+      Dedup.minhashBandingEval(docs(s, dir), n = 3, k = 64, bands = 16,
+        threshold = 0.5)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
@@ -2042,6 +2181,11 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("col").as("token_id"))
     }),
+    // BPE merge LEARNING (Sennrich 2016 alg. 1) — the merge table a BPE
+    // tokenizer ships, learned on the distinct-word relation; every round's
+    // argmax and count compared exactly against the mirror's chained replay
+    "text_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeLearnMerges(docs(s, dir), 12)),
     // the packing/budget path driven by REAL subword counts instead of the
     // whitespace proxy — same pack-and-split recurrence as sample_pack,
     // n = greedy-encoded piece count per document
@@ -3004,31 +3148,35 @@ object SparkEntry {
     // set, per-(query, doc) round-4 scores, rank on the ROUNDED score (the
     // operator's libm/sum-order defense) with doc-id tie-break
     "text_bm25_topk" ->
-      ("WITH dl AS (SELECT doc_id, CASE WHEN text IS NULL OR " +
-        s"len(trim(text, '${TextAnalysis.WsCharsRaw}')) = 0 THEN 0.0 ELSE " +
-        s"CAST(len(string_split_regex(trim(text, '${TextAnalysis.WsCharsRaw}'), '\\s+')) AS DOUBLE) END AS dl " +
-        "FROM documents), " +
-        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl), " +
-        "toks AS (SELECT doc_id, unnest(string_split_regex(" +
-        s"trim(lower(text), '${TextAnalysis.WsCharsRaw}'), '\\s+')) AS tok " +
-        "FROM documents WHERE text IS NOT NULL), " +
-        "q AS (SELECT DISTINCT query_id, term FROM (SELECT doc_id AS query_id, " +
-        s"unnest(tk[1:3]) AS term FROM (SELECT doc_id, string_split_regex(" +
-        s"trim(lower(text), '${TextAnalysis.WsCharsRaw}'), '\\s+') AS tk " +
-        "FROM documents WHERE doc_id % 100 = 0 AND text IS NOT NULL)) " +
-        "WHERE len(term) > 0), " +
-        "terms AS (SELECT DISTINCT term FROM q), " +
-        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks " +
-        "JOIN terms ON tok = term GROUP BY 1, 2), " +
-        "dfx AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), " +
-        "sc AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hits, " +
-        "ROUND(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * " +
-        "CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score " +
-        "FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats " +
-        "JOIN q ON q.term = tf.tok GROUP BY 1, 2) " +
-        "SELECT query_id, doc_id, n_hits, score, rank FROM (" +
-        "SELECT *, CAST(row_number() OVER (PARTITION BY query_id " +
-        "ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank FROM sc) WHERE rank <= 5"),
+      (s"WITH $Bm25TopkCtes " +
+        "SELECT query_id, doc_id, n_hits, score, rank FROM rk WHERE rank <= 5"),
+    // ranking-metrics mirror: conjunctive ground truth (doc holds EVERY
+    // query term), integer hit counts, single-division ratios, and the
+    // same rank-ordered 0.0-seeded DCG folds (round-4 absorbs log2 ulps)
+    "eval_retrieval" ->
+      (s"WITH $Bm25TopkCtes, " +
+        "qn AS (SELECT query_id, count(DISTINCT term) AS nt FROM q GROUP BY 1), " +
+        "dt AS (SELECT DISTINCT doc_id, tok FROM toks JOIN terms ON tok = term), " +
+        "rel AS (SELECT query_id, doc_id FROM dt JOIN q ON q.term = dt.tok " +
+        "JOIN qn USING (query_id) GROUP BY query_id, doc_id " +
+        "HAVING count(*) = max(nt)), " +
+        "nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant " +
+        "FROM rel GROUP BY 1), " +
+        "h AS (SELECT query_id, CAST(count(*) AS BIGINT) AS hits, " +
+        "min(rank) AS frr, " +
+        "list(1.0 / log2(CAST(rank AS DOUBLE) + 1.0) ORDER BY rank) AS gains " +
+        "FROM rk JOIN rel USING (query_id, doc_id) WHERE rank <= 5 GROUP BY 1) " +
+        "SELECT nr.query_id, n_relevant, COALESCE(hits, 0) AS hits_at_k, " +
+        "frr AS first_rel_rank, " +
+        "CASE WHEN frr IS NULL THEN 0.0 ELSE 1.0 / CAST(frr AS DOUBLE) END AS rr, " +
+        "CAST(COALESCE(hits, 0) AS DOUBLE) / 5.0 AS precision_at_k, " +
+        "CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_relevant AS DOUBLE) AS recall_at_k, " +
+        "CASE WHEN gains IS NULL THEN 0.0 ELSE ROUND(" +
+        "list_reduce(list_prepend(0.0, gains), (a, b) -> a + b) / " +
+        "list_reduce(list_prepend(0.0, [1.0 / log2(CAST(i AS DOUBLE) + 1.0) " +
+        "for i in generate_series(1, least(n_relevant, 5))]), (a, b) -> a + b)" +
+        ", 4) END AS ndcg_at_k " +
+        "FROM nr LEFT JOIN h USING (query_id)"),
     // decayed-count mirror: same whole-half-life buckets (// floors like
     // div on the non-negative ages), same 2^(30−b) long contributions
     "d9_decayed" ->
@@ -3244,6 +3392,9 @@ object SparkEntry {
         "WHERE c >= 0.8"),
     "dedup_ngram_capped" -> JaccardCappedPairsSql,
     "dedup_simhash" -> SimhashPairsSql,
+    // banding-eval mirror: portable slot replay + brute-force truth +
+    // full-outer count roll-up
+    "dedup_banding_eval" -> bandingEvalOracleSql(64, 16),
     "sim_ivf_topk" -> IvfTopkSql,
     "sim_topk_pq" -> PqTopkSql,
     "sim_topk_pq_kmeans" -> PqKmeansTopkSql,
@@ -3778,6 +3929,9 @@ object SparkEntry {
       (s"WITH $BpeCtes SELECT doc_id, " +
         "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, spos) - 1 AS BIGINT) AS pos, " +
         "tid AS token_id FROM enc"),
+    // merge-learning mirror: `rounds` chained (pairs → argmax → replace)
+    // CTE rounds over the chr(31)-wrapped word vocabulary
+    "text_bpe_merges" -> bpeLearnOracleSql(12),
     // pack-and-split recurrence on REAL subword counts: per-doc piece count
     // from the same encoding CTE, then the sample_pack prefix-sum positions
     "sample_pack_bpe" ->

@@ -518,6 +518,72 @@ object Dedup {
         }.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
   }
 
+  /** Banded-MinHash CANDIDATE evaluation — measures what the banding stage
+    * of [[minhashLshPairs]] actually catches: candidate pairs vs the exact
+    * Jaccard-≥-threshold ground truth, as ONE row of integer counts
+    * (n_truth, n_candidates, tp, fp, fn) plus single-division
+    * cand_precision / cand_recall. The production pipeline's final output
+    * is exact (candidates are Jaccard-verified), so the number that needs
+    * MEASURING is the banding miss rate — recall < 1 here is the
+    * probability statement (1−(1−J^rows)^bands) made empirical on the
+    * caller's own corpus, the "measure, don't guess" knob for picking
+    * (k, bands).
+    *
+    * Portability: unlike the production xxhash64 signature (engine-private
+    * by design — it never faces an oracle because the verified OUTPUT is
+    * compared), slot i here is the portable chain
+    * `Sampling.hashRaw(polyHash64(shingle), seed=i+1)` — 31-bit slots,
+    * slightly weaker than 64-bit, but every value replays in DuckDB so
+    * CANDIDATE GENERATION ITSELF sits behind the correctness gate.
+    *
+    * Scale shape: signature build is explode → ONE map-side-combined
+    * groupBy(id) of k mins (the exchange carries (id, 8k bytes), never
+    * shingles); candidates are a keyed equi-join on (band, band slots) —
+    * never all-pairs; the ground truth reuses [[ngramJaccardPairs]]'s
+    * bucketed inverted-index join. At 100 TB run the eval on a
+    * [[Sampling.sampleByHash]] slice — banding hit rates concentrate fast. */
+  def minhashBandingEval(docs: DataFrame, n: Int, k: Int, bands: Int,
+      threshold: Double, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rows = k / bands
+    val hashed = docs
+      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("s"))
+      .select(col("id"), graft.functions.HashExpressions.polyHash64(col("s")).as("h"))
+    val slotAggs = (0 until k).map(i =>
+      min(Sampling.hashRaw(col("h"), i + 1)).as(s"s$i"))
+    val sigs = hashed.groupBy("id").agg(slotAggs.head, slotAggs.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct((lit(b).as("band") +:
+        (0 until rows).map(j => col(s"s${b * rows + j}").as(s"v$j"))): _*)
+    }
+    val keys = "band" +: (0 until rows).map(j => s"v$j")
+    val banded = sigs
+      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select((col("id") +: keys.map(c => col(s"bb.$c").as(c))): _*)
+    val l = banded.toDF(("id_a" +: keys): _*)
+    val r = banded.toDF(("id_b" +: keys): _*)
+    val cand = l.join(r, keys)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates()
+    val truth = ngramJaccardPairs(docs, n, threshold, idCol = idCol,
+      textCol = textCol).select("id_a", "id_b")
+    val merged = cand.withColumn("is_c", lit(1L))
+      .join(truth.withColumn("is_t", lit(1L)), Seq("id_a", "id_b"), "full_outer")
+      .select(coalesce(col("is_c"), lit(0L)).as("is_c"),
+        coalesce(col("is_t"), lit(0L)).as("is_t"))
+    merged.agg(
+      sum(col("is_t")).as("n_truth"),
+      sum(col("is_c")).as("n_candidates"),
+      sum(col("is_c") * col("is_t")).as("tp"),
+      sum(col("is_c") * (lit(1L) - col("is_t"))).as("fp"),
+      sum((lit(1L) - col("is_c")) * col("is_t")).as("fn"),
+      (sum(col("is_c") * col("is_t")).cast("double") /
+        sum(col("is_c")).cast("double")).as("cand_precision"),
+      (sum(col("is_c") * col("is_t")).cast("double") /
+        sum(col("is_t")).cast("double")).as("cand_recall"))
+  }
+
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, using the
     * pigeonhole banding trick: split the 64 bits into (maxHamming+1) blocks —
     * any pair within distance shares at least one exact block → equi-join on

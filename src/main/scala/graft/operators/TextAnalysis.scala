@@ -631,7 +631,7 @@ object TextAnalysis {
     * (The full whitespace-CLASS trim matters: plain `trim` strips spaces
     * only, so a trailing newline — near-universal in web text — would mint
     * a phantom "" token and a spurious final bigram.) */
-  private def lmToks(text: Column): Column =
+  private[graft] def lmToks(text: Column): Column =
     split(trim(lower(text), WsCharsRaw), s"$WsClass+")
 
   /** ALL bigram occurrences of the [[lmToks]] tokens, in order WITH
@@ -1174,5 +1174,87 @@ object TextAnalysis {
         concat_ws(" ", col("__kept")).as("text_aug"),
         size(col("__kept")).cast("long").as("n_kept"),
         (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_dropped"))
+  }
+
+  // ------------------------------------------------- BPE merge learning
+
+  /** The symbol separator of the BPE-learning representation: each symbol
+    * of a word is individually wrapped, `␟s␟` (U+001F, never in [a-z]+
+    * words), so applying a merge `(l, r)` is a PLAIN string
+    * `replace(word, "␟l␟␟r␟", "␟lr␟")` — standard replace-all scans
+    * left-to-right non-overlapping, which is exactly BPE's merge-application
+    * order, and because every symbol keeps its own wrapper the pattern can
+    * only ever match whole adjacent symbols (`ab␟␟c` can't match inside
+    * `xab␟␟c`: the wrapper chars of `xab` break the pattern). The same
+    * trick makes the DuckDB mirror a pure `replace()` — no per-position
+    * recursion needed to replay merge application. */
+  private[graft] val BpeSep = "\u001f"
+
+  /** Distributed BPE MERGE LEARNING (Sennrich, Haddow & Birch 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units",
+    * Algorithm 1) — the other half of the subword story: [[learnSubwordVocab]]
+    * + `SubwordExpressions.subwordIds` APPLY a vocabulary; this LEARNS the
+    * merge table a BPE tokenizer ships. Standard formulation: merges are
+    * learned on the WORD-FREQUENCY vocabulary (groupBy word), never the raw
+    * corpus — at 100 TB the corpus may be 10¹¹ tokens but the distinct-word
+    * relation is ~10⁷ rows, so every learning round is config-scale work.
+    * Each round: enumerate adjacent symbol pairs per distinct word (narrow
+    * map), sum `freq` per pair (ONE map-side-combined exchange of (pair,
+    * partial) rows), take the global argmax under the TOTAL order
+    * (count DESC, lhs ASC, rhs ASC — deterministic on every engine and
+    * partitioning), collect that ONE row (the bounded-collect pattern of
+    * [[learnVocab]] / k-means), and apply the merge as a narrow `replace`
+    * on the wrapped representation (see [[BpeSep]]).
+    *
+    * Learning is restricted to `^[a-z]+$` word forms (the published setup
+    * lower-cases and splits off punctuation first) — this also pins
+    * symbol = codepoint = UTF-16 char = UTF-8 byte, so Java-regex and RE2
+    * splitting agree exactly and the DuckDB mirror can replay every round.
+    *
+    * Returns one row per learned merge: (rank, lhs, rhs, pair_count) —
+    * stops early if the vocabulary runs out of adjacent pairs. */
+  def bpeLearnMerges(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sep = BpeSep
+    val base = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", s"$sep$$1$sep").as("sym"),
+        col("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var vocab = base
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      // adjacent pairs of the current symbolization, weighted by word freq
+      val best = vocab
+        .select(col("freq"),
+          split(col("sym").substr(lit(2), length(col("sym")) - 2),
+            s"$sep$sep").as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> struct(element_at(s, i) AS lhs, element_at(s, i + 1) AS rhs))"))
+          .as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect().headOption
+      best match {
+        case None => exhausted = true
+        case Some(row) =>
+          val (l, rr, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((r.toLong, l, rr, cnt))
+          vocab = vocab.withColumn("sym",
+            replace(col("sym"), lit(s"$sep$l$sep$sep$rr$sep"),
+              lit(s"$sep$l$rr$sep")))
+      }
+    }
+    base.unpersist()
+    merges.result().toDF("rank", "lhs", "rhs", "pair_count")
   }
 }

@@ -2403,4 +2403,84 @@ class OperatorsSpec extends AnyFunSuite {
     assert(seqs.map(_._4).toSeq ==
       Seq("a b c", "x y", "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", "z\np q"))
   }
+
+  test("BPE merge learning reproduces the hand-computed Sennrich example") {
+    // the classic corpus: low×5 lower×2 newest×6 widest×3. Hand-run:
+    //  r1: (e,s)=9 ties (s,t)=9 → lhs tie-break picks (e,s)
+    //  r2: (es,t)=9   r3: (l,o)=7 ties (o,w)=7 → (l,o)   r4: (lo,w)=7
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docsDf = Seq((1L, corpus)).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeLearnMerges(docsDf, 4)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "e", "s", 9L), (2L, "es", "t", 9L),
+      (3L, "l", "o", 7L), (4L, "lo", "w", 7L)))
+  }
+
+  test("BPE merge application is left-to-right non-overlapping on symbol runs") {
+    // "aaaa": r1 counts (a,a) at 3 ADJACENT positions; applying merges
+    // pairs 1-2 and 3-4 (never the overlapping middle), so r2 sees (aa,aa).
+    // "aaa" merges only its first pair → r2 also counts one (aa,a).
+    val docsDf = Seq((1L, "aaaa"), (2L, "aaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeLearnMerges(docsDf, 2)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got.head == (1L, "a", "a", 5L)) // 3 (aaaa) + 2 (aaa)
+    // r2: pairs are (aa,aa)=1 from doc1 and (aa,a)=1 from doc2 —
+    // tie on count, rhs tie-break picks (aa,a)
+    assert(got(1) == (2L, "aa", "a", 1L))
+  }
+
+  test("banding eval: exact dups always caught, count identities hold, repartition-stable") {
+    val fix = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // J=1 with doc 1 — every slot equal
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four nine ten eleven"), // J < 0.5 with doc 3
+      (5L, "unrelated words entirely here today")).toDF("doc_id", "text")
+    val row = Dedup.minhashBandingEval(fix, n = 3, k = 16, bands = 4, threshold = 0.5)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().head
+    val (nTruth, nCand, tp, fp, fn, prec, rec) = row
+    assert(nTruth == 1L)         // only the exact-dup pair reaches J >= 0.5
+    assert(tp == 1L && fn == 0L) // identical signatures band together always
+    assert(fp == nCand - tp && tp + fn == nTruth)
+    assert(prec == tp.toDouble / nCand && rec == 1.0)
+    val re = Dedup.minhashBandingEval(fix.repartition(7), 3, 16, 4, 0.5)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().head
+    assert(re == row)
+  }
+
+  test("ranking metrics match a hand-computed fixture, including zero-hit queries") {
+    import graft.operators.Eval
+    // q1: relevant {10,20,30}; retrieved ranks: 10@1, 99@2, 20@4 → hits 2
+    // q2: relevant {40}; retriever misses it entirely → all-zero row
+    // q3: relevant {50,60}; nothing retrieved at all → still scored (zeros)
+    val ranked = Seq(
+      (1L, 10L, 1L), (1L, 99L, 2L), (1L, 98L, 3L), (1L, 20L, 4L), (1L, 97L, 5L),
+      (2L, 77L, 1L), (2L, 78L, 2L),
+      // rank 6 row must be ignored at k=5 even though it is relevant
+      (1L, 30L, 6L)).toDF("query_id", "doc_id", "rank")
+    val relevant = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 40L),
+      (3L, 50L), (3L, 60L)).toDF("query_id", "doc_id")
+    val got = Eval.rankingMetrics(ranked, relevant, k = 5)
+      .as[(Long, Long, Long, Option[Long], Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    val dcg = 1.0 / (math.log(2.0) / math.log(2.0)) + 1.0 / (math.log(5.0) / math.log(2.0))
+    val idcg = 1.0 + 1.0 / (math.log(3.0) / math.log(2.0)) + 1.0 / 2.0
+    val ndcg = math.rint(dcg / idcg * 10000) / 10000
+    assert(got(0) == ((1L, 3L, 2L, Some(1L), 1.0, 0.4, 2.0 / 3.0, ndcg)))
+    assert(got(1) == ((2L, 1L, 0L, None, 0.0, 0.0, 0.0, 0.0)))
+    assert(got(2) == ((3L, 2L, 0L, None, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("BPE merge learning stops early when no adjacent pairs remain") {
+    val docsDf = Seq((1L, "a b c a 7 B!")).toDF("doc_id", "text")
+    // only single-letter lowercase word forms → zero pairs in round 1
+    assert(TextAnalysis.bpeLearnMerges(docsDf, 5).count() == 0L)
+    // merges never cross word boundaries: "ab ab" learns (a,b) with count 2
+    val two = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeLearnMerges(two, 5)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(m == Seq((1L, "a", "b", 2L))) // round 2 finds nothing → stops
+  }
 }
