@@ -2657,6 +2657,7 @@ object SparkEntry {
     "text_stats", "text_bpe", "text_c4_clean",
     "join_asof", "join_range",
     "sketch_kmv_distinct", "graph_pagerank", "layout_zorder",
+    "eval_retrieval",
     "cdc_merge", "agg_cube", "drift_psi", "profile_diff",
     "mm_decode",
     "d1_sessionize", "d7_trailing",
