@@ -1192,10 +1192,10 @@ object SparkEntry {
     * scans left-to-right non-overlapping — exactly BPE's application order —
     * and the wrappers stop sub-symbol matches. Every chained CTE is
     * MATERIALIZED (the pageRank-oracle rule). */
-  private def bpeLearnOracleSql(rounds: Int): String = {
+  private def bpeLearnCtes(rounds: Int): String = {
     val sp = "chr(31)"
     val sb = new StringBuilder
-    sb ++= "WITH v_0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', " +
+    sb ++= "v_0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', " +
       s"$sp || '\\1' || $sp, 'g') AS sym, freq FROM (" +
       "SELECT t AS w, CAST(count(*) AS BIGINT) AS freq FROM " +
       s"(SELECT unnest($RawToks) AS t FROM documents WHERE $TokN > 0) " +
@@ -1212,11 +1212,36 @@ object SparkEntry {
         s"$sp || lhs || $sp || $sp || rhs || $sp, " +
         s"$sp || lhs || rhs || $sp) AS sym, freq FROM v_${r - 1}, b_$r)"
     }
+    sb.toString
+  }
+
+  private def bpeLearnOracleSql(rounds: Int): String = {
     val union = (1 to rounds).map(r => s"SELECT * FROM b_$r")
       .mkString(" UNION ALL ")
-    sb ++= " SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, " +
+    s"WITH ${bpeLearnCtes(rounds)} " +
+      "SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, " +
       s"CAST(cnt AS BIGINT) AS pair_count FROM ($union)"
-    sb.toString
+  }
+
+  /** Mirror of [[TextAnalysis.bpeEncodedCounts]] fed by the learned table:
+    * the SAME learning CTE chain, then every document token re-encoded —
+    * lowercase word forms run the merges in rank order (each merge a
+    * scalar-subquery `replace` over the 1-row `b_r`), any other token
+    * counts one piece. */
+  private def bpeApplyOracleSql(rounds: Int): String = {
+    val sp = "chr(31)"
+    val rep = (1 to rounds).foldLeft(
+      s"regexp_replace(w, '(.)', $sp || '\\1' || $sp, 'g')") { (acc, r) =>
+      s"replace($acc, (SELECT $sp || lhs || $sp || $sp || rhs || $sp FROM b_$r), " +
+        s"(SELECT $sp || lhs || rhs || $sp FROM b_$r))"
+    }
+    s"WITH ${bpeLearnCtes(rounds)}, " +
+      s"dw AS (SELECT doc_id, unnest($RawToks) AS w FROM documents WHERE $TokN > 0), " +
+      s"pc AS (SELECT doc_id, CASE WHEN regexp_matches(w, '^[a-z]+$$') " +
+      s"THEN len(string_split(substr($rep, 2, length($rep) - 2), $sp || $sp)) " +
+      "ELSE 1 END AS p FROM dw) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(p) AS BIGINT) AS n_pieces FROM pc GROUP BY doc_id"
   }
 
   /** Map the unsigned mod-2⁶⁴ hash back to the JVM's signed long domain so
@@ -2186,6 +2211,16 @@ object SparkEntry {
     // argmax and count compared exactly against the mirror's chained replay
     "text_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeLearnMerges(docs(s, dir), 12)),
+    // the learned tokenizer APPLIED: per-doc piece counts under the
+    // 12-merge table learned from the corpus itself (12-row driver collect,
+    // then one narrow explode + chained-replace pass)
+    "text_bpe_apply" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextAnalysis.bpeLearnMerges(d, 12)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncodedCounts(d, merges)
+    }),
     // the packing/budget path driven by REAL subword counts instead of the
     // whitespace proxy — same pack-and-split recurrence as sample_pack,
     // n = greedy-encoded piece count per document
@@ -3933,6 +3968,9 @@ object SparkEntry {
     // merge-learning mirror: `rounds` chained (pairs → argmax → replace)
     // CTE rounds over the chr(31)-wrapped word vocabulary
     "text_bpe_merges" -> bpeLearnOracleSql(12),
+    // learned-tokenizer application mirror: learning chain + per-token
+    // rank-order replace chain + piece-count roll-up
+    "text_bpe_apply" -> bpeApplyOracleSql(12),
     // pack-and-split recurrence on REAL subword counts: per-doc piece count
     // from the same encoding CTE, then the sample_pack prefix-sum positions
     "sample_pack_bpe" ->

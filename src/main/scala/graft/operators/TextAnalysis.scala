@@ -1257,4 +1257,39 @@ object TextAnalysis {
     base.unpersist()
     merges.result().toDF("rank", "lhs", "rhs", "pair_count")
   }
+
+  /** APPLY a learned merge table: per-document token and BPE-piece counts
+    * under `merges` (rank order — the order [[bpeLearnMerges]] emits).
+    * Lowercase word forms are ␟-wrapped and run every merge as a chained
+    * narrow `replace` (constant patterns — the merge table is config-scale,
+    * so the whole chain folds into ONE codegen'd projection over the token
+    * explode); any other token counts one piece, the learning-scope
+    * contract of [[bpeLearnMerges]]. Documents with no tokens emit no row.
+    *
+    * This closes the learn → apply → budget loop: `n_pieces` is the
+    * trainer-facing token count under the tokenizer the corpus itself
+    * trained, not a proxy. Scale shape: explode + chained replaces (narrow)
+    * then ONE map-side-combined groupBy(doc) — no joins, the merge table
+    * rides the plan as literals. */
+  def bpeEncodedCounts(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sep = BpeSep
+    val tok = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val wrapped0 = regexp_replace(col("w"), "(.)", s"$sep$$1$sep")
+    val symFinal = merges.foldLeft(wrapped0) { case (acc, (l, r)) =>
+      replace(acc, lit(s"$sep$l$sep$sep$r$sep"), lit(s"$sep$l$r$sep"))
+    }
+    tok
+      .select(col(idCol), col("w").rlike("^[a-z]+$").as("__isw"),
+        symFinal.as("__sym"))
+      .select(col(idCol),
+        when(col("__isw"),
+          size(split(col("__sym").substr(lit(2), length(col("__sym")) - 2),
+            s"$sep$sep")))
+          .otherwise(lit(1)).as("__p"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__p")).as("n_pieces"))
+  }
 }

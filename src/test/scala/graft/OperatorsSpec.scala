@@ -2418,6 +2418,21 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "l", "o", 7L), (4L, "lo", "w", 7L)))
   }
 
+  test("learned BPE merges applied: hand-computed piece counts, non-words count 1") {
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val learnDf = Seq((1L, corpus)).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeLearnMerges(learnDf, 4)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // merges = (e,s)(es,t)(l,o)(lo,w): low→[low]=1, lower→[low,e,r]=3,
+    // newest→[n,e,w,est]=4, widest→[w,i,d,est]=4; "X9"/"Low" aren't ^[a-z]+$ → 1
+    val apply = Seq((7L, "low lower newest widest X9 Low"), (8L, "   "))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncodedCounts(apply, merges)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((7L, 6L, 14L))) // empty doc 8 emits no row
+  }
+
   test("BPE merge application is left-to-right non-overlapping on symbol runs") {
     // "aaaa": r1 counts (a,a) at 3 ADJACENT positions; applying merges
     // pairs 1-2 and 3-4 (never the overlapping middle), so r2 sees (aa,aa).
