@@ -999,4 +999,37 @@ class PlanSpec extends AnyFunSuite {
         s"unit vectors leaked into the hamming exchange:\n$hamEx")
     } finally spark.catalog.clearCache()
   }
+
+  test("learned-BPE apply: merge chain rides ONE projection — no join, " +
+      "one map-side-combined exchange") {
+    val df = graft.operators.TextAnalysis.bpeEncodedCounts(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      Seq(("e", "s"), ("es", "t"), ("l", "o")))
+    val plan = executedPlan(df)
+    assert(!plan.contains("Join"),
+      s"the literal merge table must not become a join:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"piece counts must combine map-side:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one shuffle:\n$plan")
+  }
+
+  test("banding eval: candidates come from keyed equi-joins — no products") {
+    val df = SparkEntry.queries("dedup_banding_eval")(spark, "/root/testdata/sf0.001")
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"banding eval must never form a product:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"signature slot mins must combine map-side:\n$plan")
+  }
+
+  test("ranking metrics: the hit join and metric roll-up never form a product") {
+    val ranked = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val rel = Seq((1L, 10L)).toDF("query_id", "doc_id")
+    val plan = executedPlan(graft.operators.Eval.rankingMetrics(ranked, rel, 5))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"ranking metrics must stay keyed:\n$plan")
+  }
 }
