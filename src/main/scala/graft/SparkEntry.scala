@@ -1874,6 +1874,10 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5, maxDocFreq = 4)),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), n = 3, k = 128, bands = 32, threshold = 0.5)),
+    // the dataset-card header: one (metric, value) summary relation per
+    // corpus release — counts, token/char totals, exact-dup count, mean +
+    // exact-median doc length, in ONE aggregation pass
+    "report_datacard" -> ((s, dir) => Profiling.dataCard(docs(s, dir))),
     // the banding miss-rate MEASURED: candidate pairs of a portable
     // 64-slot/16-band MinHash vs the exact Jaccard ≥ 0.5 ground truth —
     // the empirical (k, bands) tuning number for the dedup family
@@ -3431,6 +3435,27 @@ object SparkEntry {
     // banding-eval mirror: portable slot replay + brute-force truth +
     // full-outer count roll-up
     "dedup_banding_eval" -> bandingEvalOracleSql(64, 16),
+    // data-card mirror: same one-pass stats, stacked to (metric, value)
+    "report_datacard" ->
+      (s"WITH b AS (SELECT COALESCE($TokN, 0) AS tc, " +
+        "COALESCE(length(text), 0) AS len, text IS NULL AS tnull, " +
+        s"md5(regexp_replace(lower(trim(text, '$SqlWs')), '\\s+', ' ', 'g')) AS fp " +
+        "FROM documents), " +
+        "a AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, " +
+        "CAST(sum(CASE WHEN tnull THEN 1 ELSE 0 END) AS DOUBLE) AS n_null_docs, " +
+        "CAST(sum(CASE WHEN tc = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_empty_docs, " +
+        "CAST(sum(tc) AS DOUBLE) AS n_tokens, " +
+        "CAST(sum(len) AS DOUBLE) AS n_chars, " +
+        "CAST(count(fp) - count(DISTINCT fp) AS DOUBLE) AS n_exact_dup_docs, " +
+        "quantile_cont(tc, 0.5) AS p50_doc_tokens FROM b) " +
+        "SELECT 'n_docs' AS metric, n_docs AS value FROM a UNION ALL " +
+        "SELECT 'n_null_docs', n_null_docs FROM a UNION ALL " +
+        "SELECT 'n_empty_docs', n_empty_docs FROM a UNION ALL " +
+        "SELECT 'n_tokens', n_tokens FROM a UNION ALL " +
+        "SELECT 'n_chars', n_chars FROM a UNION ALL " +
+        "SELECT 'n_exact_dup_docs', n_exact_dup_docs FROM a UNION ALL " +
+        "SELECT 'mean_doc_tokens', n_tokens / n_docs FROM a UNION ALL " +
+        "SELECT 'p50_doc_tokens', p50_doc_tokens FROM a"),
     "sim_ivf_topk" -> IvfTopkSql,
     "sim_topk_pq" -> PqTopkSql,
     "sim_topk_pq_kmeans" -> PqKmeansTopkSql,

@@ -280,4 +280,43 @@ object Profiling {
         col("vmin").as(s"${pfx}_min"), col("vmax").as(s"${pfx}_max"))
     side(oldDf, "old").join(side(newDf, "new"), Seq("column"), "full_outer")
   }
+
+  /** DATA CARD of a text corpus — the (metric, value) summary relation a
+    * dataset release ships (Gebru et al. 2021 "Datasheets for Datasets"):
+    * document/empty/null counts, token and character totals, exact-dup
+    * count, mean and exact-median document length. One aggregation pass
+    * over the corpus (the median is the only sort-based member; everything
+    * else combines map-side), one row per metric — values as DOUBLE
+    * (counts are exact well past 2⁵³ corpus rows' worth of tokens… at
+    * which point the card is the least of your problems; the ratios are
+    * single IEEE divisions).
+    *
+    * Deliberately COMPOSES with the rest of the engine rather than
+    * duplicating it: language mix, quality quantiles, dup-cluster depth,
+    * PSI vs a prior release each have their own dedicated operator — the
+    * card is the header, not the whole datasheet. */
+  def dataCard(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tc = coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L))
+    val base = docs.select(tc.as("tc"),
+      coalesce(length(col(textCol)), lit(0)).cast("long").as("len"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"),
+      col(textCol).isNull.as("isnull"))
+    base.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        sum(when(col("isnull"), 1L).otherwise(0L)).cast("double").as("n_null_docs"),
+        sum(when(col("tc") === 0L, 1L).otherwise(0L)).cast("double").as("n_empty_docs"),
+        sum(col("tc")).cast("double").as("n_tokens"),
+        sum(col("len")).cast("double").as("n_chars"),
+        (count(col("fp")) - countDistinct(col("fp"))).cast("double")
+          .as("n_exact_dup_docs"),
+        percentile(col("tc"), lit(0.5)).as("p50_doc_tokens"))
+      .withColumn("mean_doc_tokens", col("n_tokens") / col("n_docs"))
+      .select(expr(
+        "stack(8, " +
+          "'n_docs', n_docs, 'n_null_docs', n_null_docs, " +
+          "'n_empty_docs', n_empty_docs, 'n_tokens', n_tokens, " +
+          "'n_chars', n_chars, 'n_exact_dup_docs', n_exact_dup_docs, " +
+          "'mean_doc_tokens', mean_doc_tokens, 'p50_doc_tokens', p50_doc_tokens" +
+          ") AS (metric, value)"))
+  }
 }

@@ -2446,6 +2446,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1) == (2L, "aa", "a", 1L))
   }
 
+  test("data card matches a hand-computed fixture incl. null/empty/dup docs") {
+    import graft.operators.Profiling
+    val fix = Seq((1L, "a b"), (2L, "a b"), (3L, null), (4L, ""), (5L, "c"))
+      .toDF("doc_id", "text")
+    val got = Profiling.dataCard(fix).as[(String, Double)].collect().toMap
+    assert(got == Map(
+      "n_docs" -> 5.0, "n_null_docs" -> 1.0, "n_empty_docs" -> 2.0,
+      "n_tokens" -> 5.0, "n_chars" -> 7.0, "n_exact_dup_docs" -> 1.0,
+      "mean_doc_tokens" -> 1.0, "p50_doc_tokens" -> 1.0))
+  }
+
   test("banding eval: exact dups always caught, count identities hold, repartition-stable") {
     val fix = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
