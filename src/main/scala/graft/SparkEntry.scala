@@ -1244,6 +1244,33 @@ object SparkEntry {
       "CAST(sum(p) AS BIGINT) AS n_pieces FROM pc GROUP BY doc_id"
   }
 
+  /** The [[graft.operators.Eval.rankingMetrics]] metric block as SQL: given
+    * a ranked CTE (query_id, `docCol`, rank) and a ground-truth CTE
+    * (query_id, `docCol`), emits the per-query metric SELECT — integer hit
+    * counts, single-division ratios, the rank-ordered 0.0-seeded DCG folds
+    * with the round-4 nDCG defense. Shared by every eval_* mirror (one
+    * definition, the stopword-list rule). */
+  private def rankingMetricsSql(ranked: String, truth: String,
+      docCol: String, k: Int): String =
+    s"nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant " +
+      s"FROM $truth GROUP BY 1), " +
+      "h AS (SELECT query_id, CAST(count(*) AS BIGINT) AS hits, " +
+      "min(rank) AS frr, " +
+      "list(1.0 / log2(CAST(rank AS DOUBLE) + 1.0) ORDER BY rank) AS gains " +
+      s"FROM $ranked JOIN $truth USING (query_id, $docCol) " +
+      s"WHERE rank <= $k GROUP BY 1) " +
+      "SELECT nr.query_id, n_relevant, COALESCE(hits, 0) AS hits_at_k, " +
+      "frr AS first_rel_rank, " +
+      "CASE WHEN frr IS NULL THEN 0.0 ELSE 1.0 / CAST(frr AS DOUBLE) END AS rr, " +
+      s"CAST(COALESCE(hits, 0) AS DOUBLE) / $k.0 AS precision_at_k, " +
+      "CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_relevant AS DOUBLE) AS recall_at_k, " +
+      "CASE WHEN gains IS NULL THEN 0.0 ELSE ROUND(" +
+      "list_reduce(list_prepend(0.0, gains), (a, b) -> a + b) / " +
+      "list_reduce(list_prepend(0.0, [1.0 / log2(CAST(i AS DOUBLE) + 1.0) " +
+      s"for i in generate_series(1, least(n_relevant, $k))]), (a, b) -> a + b)" +
+      ", 4) END AS ndcg_at_k " +
+      "FROM nr LEFT JOIN h USING (query_id)"
+
   /** Map the unsigned mod-2⁶⁴ hash back to the JVM's signed long domain so
     * ORDER BY agrees with Spark's signed comparison. */
   private def signedSql(h: String): String =
@@ -1766,6 +1793,22 @@ object SparkEntry {
         .filter(col("matched") === col("nt"))
         .select("query_id", "doc_id")
       Eval.rankingMetrics(ranked, relevant, k = 5)
+    }),
+    // Matryoshka-style truncation eval: does half-dim retrieval still find
+    // the full-dim neighbors? ranked = top-5 by 32-dim truncated cosine,
+    // ground truth = top-5 by the full 64-dim cosine — rankingMetrics
+    // composed with the ANN family (recall@5 here IS truncation recall)
+    "eval_ann_trunc" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val full = Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      def half(df: DataFrame) =
+        df.select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding"))
+      val trunc = Similarity.bruteForceTopK(half(e.filter(col("vec_id") < 10)),
+          half(e), 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+      Eval.rankingMetrics(trunc, full, k = 5, docIdCol = "neighbor_id")
     }),
     // D9 — graft extension: exponentially-decayed event counts per type
     // (7-day half-life, whole-half-life quantization → pure long sums,
@@ -3200,23 +3243,26 @@ object SparkEntry {
         "rel AS (SELECT query_id, doc_id FROM dt JOIN q ON q.term = dt.tok " +
         "JOIN qn USING (query_id) GROUP BY query_id, doc_id " +
         "HAVING count(*) = max(nt)), " +
-        "nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant " +
-        "FROM rel GROUP BY 1), " +
-        "h AS (SELECT query_id, CAST(count(*) AS BIGINT) AS hits, " +
-        "min(rank) AS frr, " +
-        "list(1.0 / log2(CAST(rank AS DOUBLE) + 1.0) ORDER BY rank) AS gains " +
-        "FROM rk JOIN rel USING (query_id, doc_id) WHERE rank <= 5 GROUP BY 1) " +
-        "SELECT nr.query_id, n_relevant, COALESCE(hits, 0) AS hits_at_k, " +
-        "frr AS first_rel_rank, " +
-        "CASE WHEN frr IS NULL THEN 0.0 ELSE 1.0 / CAST(frr AS DOUBLE) END AS rr, " +
-        "CAST(COALESCE(hits, 0) AS DOUBLE) / 5.0 AS precision_at_k, " +
-        "CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_relevant AS DOUBLE) AS recall_at_k, " +
-        "CASE WHEN gains IS NULL THEN 0.0 ELSE ROUND(" +
-        "list_reduce(list_prepend(0.0, gains), (a, b) -> a + b) / " +
-        "list_reduce(list_prepend(0.0, [1.0 / log2(CAST(i AS DOUBLE) + 1.0) " +
-        "for i in generate_series(1, least(n_relevant, 5))]), (a, b) -> a + b)" +
-        ", 4) END AS ndcg_at_k " +
-        "FROM nr LEFT JOIN h USING (query_id)"),
+        rankingMetricsSql("rk", "rel", "doc_id", 5)),
+    // Matryoshka-style ANN eval: the SAME metric block over half-dim
+    // truncated-cosine top-k (ranked) vs full-dim top-k (ground truth)
+    "eval_ann_trunc" ->
+      ("WITH fullr AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, " +
+        "b.vec_id ASC) AS rank " +
+        "FROM embeddings q, embeddings b WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id) " +
+        "WHERE rank <= 5), " +
+        "tr AS (SELECT query_id, neighbor_id, rank FROM (" +
+        "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity((CAST(q.embedding AS DOUBLE[]))[1:32], " +
+        "(CAST(b.embedding AS DOUBLE[]))[1:32]) DESC, " +
+        "b.vec_id ASC) AS BIGINT) AS rank " +
+        "FROM embeddings q, embeddings b WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id) " +
+        "WHERE rank <= 5), " +
+        rankingMetricsSql("tr", "fullr", "neighbor_id", 5)),
     // decayed-count mirror: same whole-half-life buckets (// floors like
     // div on the non-negative ages), same 2^(30−b) long contributions
     "d9_decayed" ->
