@@ -2268,6 +2268,16 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeEncodedCounts(d, merges)
     }),
+    // the NATIVE zero-shuffle apply path behind the SAME oracle — the
+    // sequential-merge scalar expression must reproduce the chained-replace
+    // spec row for row
+    "text_bpe_apply_fast" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextAnalysis.bpeLearnMerges(d, 12)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncodedCountsFast(d, merges)
+    }),
     // the packing/budget path driven by REAL subword counts instead of the
     // whitespace proxy — same pack-and-split recurrence as sample_pack,
     // n = greedy-encoded piece count per document
@@ -4042,6 +4052,8 @@ object SparkEntry {
     // learned-tokenizer application mirror: learning chain + per-token
     // rank-order replace chain + piece-count roll-up
     "text_bpe_apply" -> bpeApplyOracleSql(12),
+    // the native fast path answers to the IDENTICAL mirror
+    "text_bpe_apply_fast" -> bpeApplyOracleSql(12),
     // pack-and-split recurrence on REAL subword counts: per-doc piece count
     // from the same encoding CTE, then the sample_pack prefix-sum positions
     "sample_pack_bpe" ->

@@ -56,6 +56,112 @@ object SubwordExpressions {
     GraftBridge.column(SubwordEncode(
       GraftBridge.expression(text), vocab, oovId = -1L, maxPieceLen,
       emitIds = false))
+
+  /** Total BPE piece count of a TEXT under a rank-ordered merge table —
+    * the native fast path of `TextAnalysis.bpeEncodedCounts`'
+    * chained-replace spec (same contract: `^[a-z]+$` word forms are merge-
+    * encoded, every other token counts one piece). */
+  def bpeCountPieces(text: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(BpeCountPieces(GraftBridge.expression(text), merges))
+}
+
+/** Sequential BPE merge application as ONE scalar expression: per word, the
+  * symbol array starts as codepoints and each merge (in RANK ORDER, each a
+  * left-to-right non-overlapping pass) rewrites it in place — semantically
+  * identical to `TextAnalysis.bpeEncodedCounts`' chained `replace`s (the
+  * oracle-replayable spec), but with none of the wrapped-string rebuilding
+  * and NO explode/groupBy downstream: the per-document count is computed
+  * where the document is read, so the whole operator is a narrow map.
+  *
+  * Zipf makes the real cost tiny: a bounded per-instance word cache
+  * (the standard tokenizer-implementation trick — word frequencies are so
+  * skewed that the hit rate approaches 1) means the merge loop runs about
+  * once per DISTINCT word per partition, not once per occurrence. The
+  * cache is capped (determinism is unaffected — it only memoizes a pure
+  * function). */
+case class BpeCountPieces(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"BpeCountPieces requires a string argument, got ${other.simpleString}")
+  }
+
+  override def nullable: Boolean = false
+
+  @transient private lazy val mergeArr: Array[(String, String)] = merges.toArray
+  @transient private lazy val cache =
+    new java.util.HashMap[String, java.lang.Long](1 << 12)
+  private val CacheCap = 1 << 16
+
+  private def isLowerWord(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 'a' || c > 'z') return false
+      i += 1
+    }
+    s.length > 0
+  }
+
+  private def encodeCount(w: String): Long = {
+    val hit = cache.get(w)
+    if (hit != null) return hit.longValue()
+    val syms = new Array[String](w.length)
+    var i = 0
+    while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    var m = w.length
+    var r = 0
+    while (r < mergeArr.length && m > 1) {
+      val l = mergeArr(r)._1
+      val rr = mergeArr(r)._2
+      var wp = 0
+      i = 0
+      while (i < m) {
+        if (i + 1 < m && syms(i) == l && syms(i + 1) == rr) {
+          syms(wp) = l + rr
+          i += 2
+        } else {
+          syms(wp) = syms(i)
+          i += 1
+        }
+        wp += 1
+      }
+      m = wp
+      r += 1
+    }
+    if (cache.size < CacheCap) cache.put(w, java.lang.Long.valueOf(m.toLong))
+    m.toLong
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return 0L
+    nullSafeEval(v)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val str = input.asInstanceOf[UTF8String].toString
+    var s = 0
+    var e = str.length
+    while (s < e && WordNGrams.isWs(str.charAt(s))) s += 1
+    while (e > s && WordNGrams.isWs(str.charAt(e - 1))) e -= 1
+    if (e == s) return 0L
+    val toks = WordNGrams.Ws.split(str.substring(s, e), -1)
+    var total = 0L
+    var t = 0
+    while (t < toks.length) {
+      total += (if (isLowerWord(toks(t))) encodeCount(toks(t)) else 1L)
+      t += 1
+    }
+    total
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCountPieces =
+    copy(child = newChild)
 }
 
 /** Emits every codepoint substring of length 1..maxLen of the input word,

@@ -1292,4 +1292,20 @@ object TextAnalysis {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"), sum(col("__p")).as("n_pieces"))
   }
+
+  /** The NATIVE fast path of [[bpeEncodedCounts]] — row-identical output
+    * (same oracle), radically better plan: the per-document piece count is
+    * ONE scalar expression ([[graft.functions.SubwordExpressions
+    * .bpeCountPieces]], sequential in-place merge passes + the standard
+    * Zipf word cache), so there is NO token explode, NO re-aggregation,
+    * ZERO shuffles — a pure narrow map over the scan (plan-pinned). This
+    * is the shape that carries a 30k-merge production table; the
+    * chained-replace sibling stays as the oracle-replayable spec. */
+  def bpeEncodedCountsFast(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        graft.functions.SubwordExpressions
+          .bpeCountPieces(col(textCol), merges).as("n_pieces"))
+      .filter(col("n_tokens") > 0)
 }

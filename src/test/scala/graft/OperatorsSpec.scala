@@ -2433,6 +2433,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq((7L, 6L, 14L))) // empty doc 8 emits no row
   }
 
+  test("native BPE apply equals the chained-replace spec under a 40-merge learned table") {
+    val merges = TextAnalysis.bpeLearnMerges(docs, 40)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size == 40)
+    val spec = TextAnalysis.bpeEncodedCounts(docs, merges)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val fast = TextAnalysis.bpeEncodedCountsFast(docs, merges)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fast == spec)
+  }
+
   test("BPE merge application is left-to-right non-overlapping on symbol runs") {
     // "aaaa": r1 counts (a,a) at 3 ADJACENT positions; applying merges
     // pairs 1-2 and 3-4 (never the overlapping middle), so r2 sees (aa,aa).

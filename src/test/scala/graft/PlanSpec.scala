@@ -1014,6 +1014,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one shuffle:\n$plan")
   }
 
+  test("native BPE apply is a pure narrow map — zero exchanges, no explode") {
+    val df = graft.operators.TextAnalysis.bpeEncodedCountsFast(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      Seq(("e", "s"), ("es", "t"), ("l", "o")))
+    val plan = executedPlan(df)
+    assert(!plan.contains("Exchange"),
+      s"the native apply must not shuffle at all:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"the native apply must not explode tokens:\n$plan")
+  }
+
   test("banding eval: candidates come from keyed equi-joins — no products") {
     val df = SparkEntry.queries("dedup_banding_eval")(spark, "/root/testdata/sf0.001")
     val plan = executedPlan(df)
