@@ -1921,6 +1921,11 @@ object SparkEntry {
     // corpus release — counts, token/char totals, exact-dup count, mean +
     // exact-median doc length, in ONE aggregation pass
     "report_datacard" -> ((s, dir) => Profiling.dataCard(docs(s, dir))),
+    // the per-shard integrity record shipped beside an export: row/token
+    // totals + an order-insensitive mod-2⁶⁴ content checksum (re-run it on
+    // the delivered shards; any dropped/duplicated/corrupt doc flips it)
+    "report_manifest" -> ((s, dir) =>
+      Sampling.exportManifest(docs(s, dir), numShards = 8)),
     // the banding miss-rate MEASURED: candidate pairs of a portable
     // 64-slot/16-band MinHash vs the exact Jaccard ≥ 0.5 ground truth —
     // the empirical (k, bands) tuning number for the dedup family
@@ -1932,6 +1937,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
     "dedup_cluster" -> ((s, dir) =>
       Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5))),
+    // duplication DEPTH, not just membership: the cluster-size histogram
+    // ("how many 2-clusters vs 50-doc boilerplate blobs") — the number that
+    // decides whether near-dup removal is a trim or a massacre
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5))
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          (col("cluster_size") * count(lit(1))).as("n_docs"))),
     // the kept rows themselves, for both dedup families
     "dedup_exact_survivors" -> ((s, dir) =>
       Dedup.exactSurvivors(docs(s, dir)).select("doc_id")),
@@ -3512,6 +3526,18 @@ object SparkEntry {
         "SELECT 'n_exact_dup_docs', n_exact_dup_docs FROM a UNION ALL " +
         "SELECT 'mean_doc_tokens', n_tokens / n_docs FROM a UNION ALL " +
         "SELECT 'p50_doc_tokens', p50_doc_tokens FROM a"),
+    // manifest mirror: shuffleOrder's shard hash, HUGEINT checksum sum
+    // folded to the signed domain — NULL fingerprints skipped by both sums
+    "report_manifest" ->
+      (s"WITH f AS (SELECT doc_id, COALESCE($TokN, 0) AS tc, " +
+        s"md5(regexp_replace(lower(trim(text, '$SqlWs')), '\\s+', ' ', 'g')) AS fp " +
+        "FROM documents), " +
+        polyHashSteps("doc_id, tc", "fp", "f", "ph") + " " +
+        s"SELECT ${pmSql(HashRaw, "8")} AS shard, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(tc) AS BIGINT) AS n_tokens, " +
+        s"${signedSql(pmSql("sum(h)", Mod64))} AS checksum " +
+        "FROM ph GROUP BY 1"),
     "sim_ivf_topk" -> IvfTopkSql,
     "sim_topk_pq" -> PqTopkSql,
     "sim_topk_pq_kmeans" -> PqKmeansTopkSql,
@@ -3582,6 +3608,13 @@ object SparkEntry {
     // transitive closure over the same pair set: component = min reachable id
     "dedup_cluster" ->
       s"$ClusterComponentsCte SELECT id, component FROM comp",
+    // duplication-depth histogram: component sizes rolled up twice
+    "dedup_cluster_sizes" ->
+      (s"$ClusterComponentsCte, cs AS (SELECT component, " +
+        "CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY 1) " +
+        "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, " +
+        "CAST(cluster_size * count(*) AS BIGINT) AS n_docs " +
+        "FROM cs GROUP BY 1"),
     // survivors = corpus minus non-minimal cluster members
     "dedup_neardup_survivors" ->
       (s"$ClusterComponentsCte SELECT doc_id FROM documents " +

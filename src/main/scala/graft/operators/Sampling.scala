@@ -435,6 +435,41 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long") - 1)
   }
 
+  /** Export MANIFEST: per shard (the [[shuffleOrder]] shard contract — same
+    * hash, same seed), the row count, token total, and an ORDER-INSENSITIVE
+    * content checksum: Σ polyHash64(fingerprint(text)) mod 2⁶⁴, summed in
+    * DECIMAL(38,0) so the sum is exact and partition-order-free (the
+    * kmeansCentroids fixed-point discipline), folded back to the signed
+    * 64-bit domain. This is the integrity record a dataset release ships
+    * beside its shards: re-run the manifest on the delivered files and any
+    * dropped/duplicated/corrupted document flips the checksum, regardless
+    * of row order. NULL-text rows count in n_docs but not the checksum
+    * (their fingerprint is NULL on every engine).
+    *
+    * Scale shape: one narrow map (hash + fingerprint per row) and ONE
+    * map-side-combined exchange of numShards·partitions partial rows. */
+  def exportManifest(docs: DataFrame, numShards: Int, seed: Long = 42,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val m64 = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64))
+    val h = graft.functions.HashExpressions
+      .polyHash64(TextAnalysis.fingerprint(col(textCol)))
+    val hu = when(h < 0, h.cast("decimal(38,0)") + lit(m64))
+      .otherwise(h.cast("decimal(38,0)"))
+    val half = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(63))
+    docs
+      .select(pmod(hashRaw(col(idCol), seed), lit(numShards.toLong)).as("shard"),
+        coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L))
+          .as("tc"),
+        hu.as("hu"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("n_tokens"),
+        pmod(sum(col("hu")), lit(m64)).as("cu"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        when(col("cu") >= lit(half), col("cu") - lit(m64)).otherwise(col("cu"))
+          .cast("long").as("checksum"))
+  }
+
   /** Temperature-based source-mixing rates (the mT5/multilingual-LM recipe):
     * target sampling probability p_s ∝ n_s^alpha over the given per-source
     * sizes, realized as per-row Bernoulli rates r_s = targetTotal·p_s / n_s

@@ -2457,6 +2457,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1) == (2L, "aa", "a", 1L))
   }
 
+  test("export manifest: repartition-stable, flips on any content corruption") {
+    val base = docs.limit(200)
+    val m1 = Sampling.exportManifest(base, 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val m2 = Sampling.exportManifest(base.repartition(13), 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(m1 == m2 && m1.map(_._2).sum == 200L)
+    // corrupt ONE document's text → exactly that shard's checksum flips
+    val corrupted = base.withColumn("text",
+      when(col("doc_id") === 7L, concat(col("text"), lit("x")))
+        .otherwise(col("text")))
+    val m3 = Sampling.exportManifest(corrupted, 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(m3.map(r => (r._1, r._2)) == m1.map(r => (r._1, r._2)))
+    assert(m1.zip(m3).count { case (a, b) => a._4 != b._4 } == 1)
+  }
+
   test("data card matches a hand-computed fixture incl. null/empty/dup docs") {
     import graft.operators.Profiling
     val fix = Seq((1L, "a b"), (2L, "a b"), (3L, null), (4L, ""), (5L, "c"))
