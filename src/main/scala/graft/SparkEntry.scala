@@ -1850,6 +1850,14 @@ object SparkEntry {
         RuleCompiler.compileGrouped(
           spec("count", "signup", grouped = Seq.empty), HOUR)(envs(s, dir)),
         HOUR, Seq("tenant_id"))),
+    // D13 — lag/rolling feature export over the DENSE grid: lag_1/lag_24
+    // (NULL through the cold start) + 7-window trailing mean — the
+    // forecasting-feature table, engine-exact on integer-valued series
+    "d13_lags" -> ((s, dir) =>
+      GapFill.lagFeatures(
+        RuleCompiler.compileGrouped(
+          spec("count", "signup", grouped = Seq.empty), HOUR)(envs(s, dir)),
+        HOUR, Seq("tenant_id"), lags = Seq(1, 24), rollWidths = Seq(7))),
     // D7 — graft extension: 7-day trailing spend per user per day — the
     // rolling-feature primitive (RANGE frame over pre-aggregated buckets)
     "d7_trailing" -> ((s, dir) =>
@@ -2763,7 +2771,7 @@ object SparkEntry {
     "text_stats", "text_bpe", "text_c4_clean",
     "join_asof", "join_range",
     "sketch_kmv_distinct", "graph_pagerank", "layout_zorder",
-    "eval_retrieval",
+    "eval_retrieval", "report_datacard",
     "cdc_merge", "agg_cube", "drift_psi", "profile_diff",
     "mm_decode",
     "d1_sessionize", "d7_trailing",
@@ -3448,6 +3456,17 @@ object SparkEntry {
         "COALESCE(a.v, 0.0) AS value " +
         "FROM g LEFT JOIN a ON g.tenant_id = a.tenant_id " +
         "AND g.window_start = a.window_start"),
+    // lag/rolling features over the same dense grid: lags stay NULL through
+    // the cold start; the trailing mean's frame sums are integer-exact
+    "d13_lags" ->
+      (s"$DenseGridCtes, dn AS (SELECT g.window_start, g.tenant_id, " +
+        "COALESCE(a.v, 0.0) AS value FROM g LEFT JOIN a " +
+        "ON g.tenant_id = a.tenant_id AND g.window_start = a.window_start) " +
+        "SELECT window_start, tenant_id, value, " +
+        "lag(value, 1) OVER (PARTITION BY tenant_id ORDER BY window_start) AS lag_1, " +
+        "lag(value, 24) OVER (PARTITION BY tenant_id ORDER BY window_start) AS lag_24, " +
+        "avg(value) OVER (PARTITION BY tenant_id ORDER BY window_start " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rollmean_7 FROM dn"),
     // forward fill: gaps carry the last observed value; the grid starts at
     // each group's first observed window so the running last is never null
     "d3b_forwardfill" ->

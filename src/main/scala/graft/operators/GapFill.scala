@@ -134,4 +134,35 @@ object GapFill {
       .withColumn("trail_n", sum(col("n_events")).over(w))
       .drop("__graft_bsum")
   }
+
+  /** Lag/rolling FEATURE EXPORT for forecasting and anomaly models: the
+    * [[zeroFill]] dense grid with `lag_k` columns (one per requested lag,
+    * NULL before the series has k history points — a model must SEE the
+    * cold start, not train on silent zeros) and a `rollmean_n` trailing
+    * mean per rolling width (ROWS frame over the DENSE grid, so n rows IS
+    * n wall-clock windows — on a sparse series a row frame would span
+    * arbitrary time, the classic rolling-feature leak).
+    *
+    * Exactness contract: with integer-valued series (counts — this
+    * engine's windowed aggregates), frame sums are exact in doubles and
+    * the mean is one IEEE division, so every feature is engine- and
+    * partition-invariant. Scale shape: [[zeroFill]]'s grid explode + ONE
+    * exchange on the group key; all lags and frames ride the same sorted
+    * window pass. */
+  def lagFeatures(grouped: DataFrame, windowSizeSec: Long,
+      groupCols: Seq[String], lags: Seq[Int], rollWidths: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"bad lags $lags")
+    require(rollWidths.forall(_ >= 1), s"bad rollWidths $rollWidths")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("window_start").asc)
+    val base = zeroFill(grouped, windowSizeSec, groupCols)
+    val withLags = lags.foldLeft(base) { (df, k) =>
+      df.withColumn(s"lag_$k", lag(col("value"), k).over(w))
+    }
+    rollWidths.foldLeft(withLags) { (df, n) =>
+      df.withColumn(s"rollmean_$n",
+        avg(col("value")).over(w.rowsBetween(-(n.toLong - 1), 0)))
+    }
+  }
 }
