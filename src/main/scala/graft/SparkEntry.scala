@@ -1934,6 +1934,9 @@ object SparkEntry {
     // the delivered shards; any dropped/duplicated/corrupt doc flips it)
     "report_manifest" -> ((s, dir) =>
       Sampling.exportManifest(docs(s, dir), numShards = 8)),
+    // the per-source slice of the same card — what a mixing decision reads
+    "report_datacard_by" -> ((s, dir) =>
+      Profiling.dataCardBy(docs(s, dir), Seq("source"))),
     // the banding miss-rate MEASURED: candidate pairs of a portable
     // 64-slot/16-band MinHash vs the exact Jaccard ≥ 0.5 ground truth —
     // the empirical (k, bands) tuning number for the dedup family
@@ -3545,6 +3548,27 @@ object SparkEntry {
         "SELECT 'n_exact_dup_docs', n_exact_dup_docs FROM a UNION ALL " +
         "SELECT 'mean_doc_tokens', n_tokens / n_docs FROM a UNION ALL " +
         "SELECT 'p50_doc_tokens', p50_doc_tokens FROM a"),
+    // per-source card: the same stats grouped by source
+    "report_datacard_by" ->
+      (s"WITH b AS (SELECT source, COALESCE($TokN, 0) AS tc, " +
+        "COALESCE(length(text), 0) AS len, text IS NULL AS tnull, " +
+        s"md5(regexp_replace(lower(trim(text, '$SqlWs')), '\\s+', ' ', 'g')) AS fp " +
+        "FROM documents), " +
+        "a AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_docs, " +
+        "CAST(sum(CASE WHEN tnull THEN 1 ELSE 0 END) AS DOUBLE) AS n_null_docs, " +
+        "CAST(sum(CASE WHEN tc = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_empty_docs, " +
+        "CAST(sum(tc) AS DOUBLE) AS n_tokens, " +
+        "CAST(sum(len) AS DOUBLE) AS n_chars, " +
+        "CAST(count(fp) - count(DISTINCT fp) AS DOUBLE) AS n_exact_dup_docs, " +
+        "quantile_cont(tc, 0.5) AS p50_doc_tokens FROM b GROUP BY source) " +
+        "SELECT source, 'n_docs' AS metric, n_docs AS value FROM a UNION ALL " +
+        "SELECT source, 'n_null_docs', n_null_docs FROM a UNION ALL " +
+        "SELECT source, 'n_empty_docs', n_empty_docs FROM a UNION ALL " +
+        "SELECT source, 'n_tokens', n_tokens FROM a UNION ALL " +
+        "SELECT source, 'n_chars', n_chars FROM a UNION ALL " +
+        "SELECT source, 'n_exact_dup_docs', n_exact_dup_docs FROM a UNION ALL " +
+        "SELECT source, 'mean_doc_tokens', n_tokens / n_docs FROM a UNION ALL " +
+        "SELECT source, 'p50_doc_tokens', p50_doc_tokens FROM a"),
     // manifest mirror: shuffleOrder's shard hash, HUGEINT checksum sum
     // folded to the signed domain — NULL fingerprints skipped by both sums
     "report_manifest" ->

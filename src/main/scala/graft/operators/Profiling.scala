@@ -295,28 +295,41 @@ object Profiling {
     * duplicating it: language mix, quality quantiles, dup-cluster depth,
     * PSI vs a prior release each have their own dedicated operator — the
     * card is the header, not the whole datasheet. */
-  def dataCard(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def dataCard(docs: DataFrame, textCol: String = "text"): DataFrame =
+    dataCardBy(docs, Seq.empty, textCol)
+
+  /** [[dataCard]] per group (source, language, snapshot — whatever the
+    * release slices by): same one-pass stats keyed by `groupCols`, the
+    * per-source table a mixing decision actually reads. Exact-dup counts
+    * are WITHIN-group by construction (a cross-source duplicate shows in
+    * the whole-corpus card, not here — run both). */
+  def dataCardBy(docs: DataFrame, groupCols: Seq[String],
+      textCol: String = "text"): DataFrame = {
     val tc = coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L))
-    val base = docs.select(tc.as("tc"),
+    val base = docs.select((groupCols.map(col) ++ Seq(tc.as("tc"),
       coalesce(length(col(textCol)), lit(0)).cast("long").as("len"),
       TextAnalysis.fingerprint(col(textCol)).as("fp"),
-      col(textCol).isNull.as("isnull"))
-    base.agg(
-        count(lit(1)).cast("double").as("n_docs"),
-        sum(when(col("isnull"), 1L).otherwise(0L)).cast("double").as("n_null_docs"),
-        sum(when(col("tc") === 0L, 1L).otherwise(0L)).cast("double").as("n_empty_docs"),
-        sum(col("tc")).cast("double").as("n_tokens"),
-        sum(col("len")).cast("double").as("n_chars"),
-        (count(col("fp")) - countDistinct(col("fp"))).cast("double")
-          .as("n_exact_dup_docs"),
-        percentile(col("tc"), lit(0.5)).as("p50_doc_tokens"))
-      .withColumn("mean_doc_tokens", col("n_tokens") / col("n_docs"))
-      .select(expr(
-        "stack(8, " +
-          "'n_docs', n_docs, 'n_null_docs', n_null_docs, " +
-          "'n_empty_docs', n_empty_docs, 'n_tokens', n_tokens, " +
-          "'n_chars', n_chars, 'n_exact_dup_docs', n_exact_dup_docs, " +
-          "'mean_doc_tokens', mean_doc_tokens, 'p50_doc_tokens', p50_doc_tokens" +
-          ") AS (metric, value)"))
+      col(textCol).isNull.as("tnull"))): _*)
+    val aggs = Seq(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(when(col("tnull"), 1L).otherwise(0L)).cast("double").as("n_null_docs"),
+      sum(when(col("tc") === 0L, 1L).otherwise(0L)).cast("double").as("n_empty_docs"),
+      sum(col("tc")).cast("double").as("n_tokens"),
+      sum(col("len")).cast("double").as("n_chars"),
+      (count(col("fp")) - countDistinct(col("fp"))).cast("double")
+        .as("n_exact_dup_docs"),
+      percentile(col("tc"), lit(0.5)).as("p50_doc_tokens"))
+    val agged =
+      (if (groupCols.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+       else base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*))
+        .withColumn("mean_doc_tokens", col("n_tokens") / col("n_docs"))
+    val stacked = expr(
+      "stack(8, " +
+        "'n_docs', n_docs, 'n_null_docs', n_null_docs, " +
+        "'n_empty_docs', n_empty_docs, 'n_tokens', n_tokens, " +
+        "'n_chars', n_chars, 'n_exact_dup_docs', n_exact_dup_docs, " +
+        "'mean_doc_tokens', mean_doc_tokens, 'p50_doc_tokens', p50_doc_tokens" +
+        ") AS (metric, value)")
+    agged.select((groupCols.map(col) :+ stacked): _*)
   }
 }

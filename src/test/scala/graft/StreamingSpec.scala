@@ -778,4 +778,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(gen.get == 2, s"one generation per micro-batch: ${gen.get}")
     } finally q.stop()
   }
+
+  test("streaming export manifest: per-batch manifests merge to the batch manifest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the manifest is MERGEABLE by construction: counts add, and the
+    // checksum is a sum mod 2^64 — so streaming ingest can maintain the
+    // integrity record per micro-batch and cell-wise-combine, landing on
+    // exactly the one-shot batch manifest over the union of all batches
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val (b1, rest) = rows.splitAt(rows.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    val input = MemoryStream[(Long, String)]
+    val m64 = BigInt(1) << 64
+    val acc = scala.collection.mutable.Map[Long, (Long, Long, BigInt)]()
+    val apply: (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, _) =>
+      graft.operators.Sampling.exportManifest(
+          batch.toDF("doc_id", "text"), numShards = 8)
+        .collect().foreach { r =>
+          val (s, d, t, c) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+          val cu = BigInt(c) + (if (c < 0) m64 else BigInt(0))
+          val prev = acc.getOrElse(s, (0L, 0L, BigInt(0)))
+          acc(s) = (prev._1 + d, prev._2 + t, (prev._3 + cu) % m64)
+        }
+    val q = input.toDF().writeStream.foreachBatch(apply).start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    val merged = acc.toSeq.sortBy(_._1).map { case (s, (d, t, cu)) =>
+      val signed = if (cu >= (BigInt(1) << 63)) cu - m64 else cu
+      (s, d, t, signed.toLong)
+    }
+    val oneShot = graft.operators.Sampling.exportManifest(
+        rows.toDF("doc_id", "text"), numShards = 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(merged == oneShot)
+  }
 }
