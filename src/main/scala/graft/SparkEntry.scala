@@ -2313,6 +2313,22 @@ object SparkEntry {
             .cast("long"), 512L, 8)
         .select("doc_id", "shard", "seq_id", "tok_offset")
     }),
+    // HTML → text extraction over a deterministically synthesized page
+    // (script/style payloads, comments, attributes, entities, word-gluing
+    // tags) — step zero of a web-corpus pipeline, pure narrow map
+    "text_html_strip" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><!-- c --><head><script type='t'>var a = '<p>';" +
+          "</script><style>p { color: red }</style></head><body>" +
+          "<h1>Title</h1><p>"),
+        col("text"),
+        lit("</p><br/><td>cell</td><div class=\"x\">&amp;amp; &lt;b&gt; " +
+          "it&#39;s</div></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.stripHtml(html).as("clean"))
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          TextAnalysis.tokenCount(col("clean")).cast("long").as("n_tokens"))
+    }),
     // exact-substring duplication signal: fraction of tokens covered by
     // cross-doc duplicated 5-gram spans (boilerplate-tail fixture)
     "text_dup_spans" -> ((s, dir) =>
@@ -4122,6 +4138,30 @@ object SparkEntry {
       (s"WITH $BpeCtes SELECT doc_id, " +
         "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, spos) - 1 AS BIGINT) AS pos, " +
         "tid AS token_id FROM enc"),
+    // html-strip mirror: the same single-sourced regex chain + ordered
+    // entity decodes over the same synthesized page
+    "text_html_strip" -> {
+      val entityChain = TextAnalysis.HtmlEntities.foldLeft("t") {
+        case (acc, (e, v)) =>
+          s"replace($acc, '$e', '${v.replace("'", "''")}')"
+      }
+      "WITH h AS (SELECT doc_id, '<html><!-- c --><head>" +
+        "<script type=''t''>var a = ''<p>'';</script>" +
+        "<style>p { color: red }</style></head><body><h1>Title</h1><p>' " +
+        "|| text || '</p><br/><td>cell</td><div class=\"x\">&amp;amp; " +
+        "&lt;b&gt; it&#39;s</div></body></html>' AS html FROM documents), " +
+        s"s1 AS (SELECT doc_id, regexp_replace(html, " +
+        s"'${TextAnalysis.HtmlBlockRe}', ' ', 'g') AS t FROM h), " +
+        s"s2 AS (SELECT doc_id, regexp_replace(t, " +
+        s"'${TextAnalysis.HtmlCommentRe}', ' ', 'g') AS t FROM s1), " +
+        s"s3 AS (SELECT doc_id, regexp_replace(t, " +
+        s"'${TextAnalysis.HtmlTagRe}', ' ', 'g') AS t FROM s2), " +
+        s"c AS (SELECT doc_id, trim(regexp_replace($entityChain, " +
+        s"'[$SqlWs]+', ' ', 'g'), ' ') AS clean FROM s3) " +
+        "SELECT doc_id, md5(clean) AS clean_md5, " +
+        "CAST(CASE WHEN length(clean) = 0 THEN 0 " +
+        "ELSE len(string_split(clean, ' ')) END AS BIGINT) AS n_tokens FROM c"
+    },
     // merge-learning mirror: `rounds` chained (pairs → argmax → replace)
     // CTE rounds over the chr(31)-wrapped word vocabulary
     "text_bpe_merges" -> bpeLearnOracleSql(12),

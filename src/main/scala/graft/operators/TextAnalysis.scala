@@ -746,6 +746,42 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame =
     docs.filter(!coalesce(anyBlockedDomain(col(textCol), blocklist), lit(false)))
 
+  // ------------------------------------------------- HTML extraction
+
+  /** The HTML-strip regex chain, single-sourced for both engines (RE2-safe:
+    * no backreferences — script/style close by literal alternation; inline
+    * (?is) flags and lazy quantifiers are common to Java regex and RE2). */
+  private[graft] val HtmlBlockRe =
+    "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>"
+  private[graft] val HtmlCommentRe = "(?s)<!--.*?-->"
+  private[graft] val HtmlTagRe = "(?s)<[^>]*>"
+
+  /** Entity decodes in ORDER — `&amp;` must decode LAST or `&amp;lt;`
+    * double-decodes into a real `<` (the classic entity bug). */
+  private[graft] val HtmlEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** HTML → text extraction, step zero of a web-corpus pipeline: drop
+    * script/style payloads and comments, replace every remaining tag with a
+    * space (so `</td><td>` never glues words), decode the six ubiquitous
+    * entities (order-pinned — see [[HtmlEntities]]), collapse whitespace
+    * runs and trim. A pure narrow codegen'd map — regex + replace chain
+    * over the scan, no shuffle at any scale. NULL html → NULL.
+    *
+    * Deliberately a TEXT EXTRACTOR, not a parser: malformed markup
+    * degrades to extra spaces, never to an error — a broken page must not
+    * kill a 100 TB scan (the Multimodal decode contract). */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(html, HtmlBlockRe, " ")
+    val noComments = regexp_replace(noBlocks, HtmlCommentRe, " ")
+    val noTags = regexp_replace(noComments, HtmlTagRe, " ")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (acc, (e, v)) =>
+      replace(acc, lit(e), lit(v))
+    }
+    trim(regexp_replace(decoded, s"$WsClass+", " "), " ")
+  }
+
   // ------------------------------------------------- C4 cleaning
 
   /** C4-style line + document cleaning (Raffel et al. 2020 §2.2 — the

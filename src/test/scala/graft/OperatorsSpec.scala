@@ -2457,6 +2457,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1) == (2L, "aa", "a", 1L))
   }
 
+  test("html strip: blocks, comments, gluing tags, ordered entity decode") {
+    val cases = Seq(
+      (1L, "<p>a</p><script>var x = '<b>hi</b>';</script><p>b</p>", "a b"),
+      (2L, "<td>left</td><td>right</td>", "left right"), // tags never glue words
+      (3L, "<!-- drop --><STYLE>p{}</STYLE>keep", "keep"), // case-insensitive blocks
+      (4L, "x &amp;lt; y", "x &lt; y"), // &amp; decodes LAST: no double-decode
+      (5L, "it&#39;s &quot;q&quot; &nbsp;z", "it's \"q\" z"),
+      (6L, "a <b c", "a <b c")) // malformed tag (no >) degrades to literal text
+      .toDF("doc_id", "html", "expected")
+    val got = cases.select($"doc_id", $"expected",
+        TextAnalysis.stripHtml($"html").as("clean"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    got.foreach { case (id, exp, clean) =>
+      assert(clean == exp, s"doc $id: got '$clean', want '$exp'")
+    }
+  }
+
   test("export manifest: repartition-stable, flips on any content corruption") {
     val base = docs.limit(200)
     val m1 = Sampling.exportManifest(base, 8)
