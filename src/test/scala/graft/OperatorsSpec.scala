@@ -2433,6 +2433,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq((7L, 6L, 14L))) // empty doc 8 emits no row
   }
 
+  test("BPE compression curve: total pieces decrease monotonically with merges") {
+    val merges = TextAnalysis.bpeLearnMerges(docs, 40)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val totals = Seq(0, 4, 12, 40).map { r =>
+      val t = TextAnalysis.bpeEncodedCountsFast(docs, merges.take(r))
+        .agg(sum($"n_pieces"), sum($"n_tokens"))
+        .as[(Long, Long)].collect().head
+      (r, t._1, t._2)
+    }
+    info(totals.map { case (r, p, t) =>
+      f"R=$r%2d pieces=$p ratio=${p.toDouble / t}%.3f" }.mkString("  "))
+    // each extra merge can only merge more adjacent pairs — strictly fewer
+    // pieces on this corpus (its top-40 merges all fire)
+    assert(totals.map(_._2) == totals.map(_._2).sorted.reverse)
+    assert(totals.map(_._2).distinct.size == totals.size)
+    // R=0 degenerates to per-character symbols for word forms
+    assert(totals.head._2 > totals.head._3) // more pieces than tokens
+  }
+
   test("native BPE apply equals the chained-replace spec under a 40-merge learned table") {
     val merges = TextAnalysis.bpeLearnMerges(docs, 40)
       .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
