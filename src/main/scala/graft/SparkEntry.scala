@@ -1416,6 +1416,14 @@ object SparkEntry {
       RuleCompiler.compileGrouped(spec("count", "click", grouped = Seq.empty), HOUR)(envs(s, dir))
         .select(col("w.start").cast("long").as("window_start"), col("tenant_id"),
           col("agg_value").as("value"))),
+    // W2x — graft extension: SLIDING event-time windows (1 h sliding 15 min;
+    // the reference only tumbles) — each click counts in 4 windows, the
+    // Expand sits below the partial aggregation
+    "w2_sliding" -> ((s, dir) =>
+      RuleCompiler.compileGroupedSliding(
+        spec("count", "click", grouped = Seq.empty), HOUR, 900L)(envs(s, dir))
+        .select(col("w.start").cast("long").as("window_start"), col("tenant_id"),
+          col("agg_value").as("value"))),
     // A1–A7 — the seven aggregate functions (per user per day over purchases)
     "a1_sum_1d" -> groupedQ("sum", DAY, round2 = true),
     "a2_count_1d" -> groupedQ("count", DAY, round2 = false),
@@ -2881,6 +2889,15 @@ object SparkEntry {
     "w1_count_1h" ->
       (s"SELECT ${wstart(HOUR)} AS window_start, $Tenant AS tenant_id, " +
         "CAST(count(*) AS DOUBLE) AS value FROM events WHERE event_type = 'click' GROUP BY 1, 2"),
+    // sliding mirror: each event explodes to its size/slide window starts
+    "w2_sliding" ->
+      (s"WITH e AS (SELECT $Tenant AS tenant_id, " +
+        s"($TsUs // 900000000) * 900 AS whi FROM events " +
+        "WHERE event_type = 'click'), " +
+        "x AS (SELECT tenant_id, " +
+        "unnest(generate_series(whi - 2700, whi, 900)) AS window_start FROM e) " +
+        "SELECT CAST(window_start AS BIGINT) AS window_start, tenant_id, " +
+        "CAST(count(*) AS DOUBLE) AS value FROM x GROUP BY 1, 2"),
     "a1_sum_1d" -> groupedSql(sqlRound2("SUM(value)"), DAY, "purchase"),
     "a2_count_1d" -> groupedSql("CAST(count(*) AS DOUBLE)", DAY, "purchase"),
     "a3_avg_1d" -> groupedSql(sqlRound2("AVG(value)"), DAY, "purchase"),

@@ -179,6 +179,27 @@ object RuleCompiler {
     if (spec.rollup.isDefined) rollup(spec, windowSizeSec)(grouped) else grouped
   }
 
+  /** SLIDING-window variant (graft extension — the reference only tumbles):
+    * each event lands in size/slide overlapping windows, epoch-aligned on
+    * the slide. Spark's `window(col, size, slide)` plans this as a
+    * size/slide-way Expand BELOW the partial aggregation, so the map-side
+    * combine still collapses each partition to one row per (window, keys)
+    * before the ONE exchange — the fan-out never reaches the shuffle on
+    * grouped data. Streaming-capable unchanged (same watermark contract). */
+  def compileGroupedSliding(spec: AggregationSpec, windowSizeSec: Long,
+      slideSec: Long): DataFrame => DataFrame = { df =>
+    require(slideSec >= 1 && windowSizeSec % slideSec == 0,
+      s"window $windowSizeSec must be a multiple of slide $slideSec")
+    val prepared = prepare(spec)(df)
+    val keys = Seq(
+      window(col("event_ts"), s"$windowSizeSec seconds", s"$slideSec seconds")
+        .as(WindowCol),
+      col(TenantCol)) ++ spec.groupedDimensions.map(k => col(dimCol(k)))
+    prepared.groupBy(keys: _*)
+      .agg(FunctionCatalog.aggregate(spec.function, col("value"), col("ts_ms"))
+        .as(ValueCol))
+  }
+
   /** A WHOLE RULE CONFIG as one job: every rule's compiled plan unioned over
     * a shared source with a single `metric.name IN (...)` pre-filter — the
     * batch analog of the reference's per-message loop over every configured

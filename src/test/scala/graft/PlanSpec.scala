@@ -1014,6 +1014,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one shuffle:\n$plan")
   }
 
+  test("sliding windows: the Expand fan-out stays below the partial aggregation") {
+    val plan = executedPlan(
+      SparkEntry.queries("w2_sliding")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("Expand"), s"sliding window lost its Expand:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one shuffle:\n$plan")
+    // top-down print: final agg ← Exchange ← partial agg ← Expand ← scan,
+    // so the Expand must appear BELOW (after) the exchange — the 4× row
+    // fan-out is collapsed by the partial agg before anything shuffles
+    assert(plan.indexOf("Expand") > plan.indexOf("Exchange hashpartitioning"),
+      s"Expand leaked above the exchange:\n$plan")
+  }
+
   test("native BPE apply is a pure narrow map — zero exchanges, no explode") {
     val df = graft.operators.TextAnalysis.bpeEncodedCountsFast(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
