@@ -1700,6 +1700,15 @@ object SparkEntry {
           bucket)
         .withColumn("psi_contrib", round(col("psi_contrib"), 4))
     }),
+    // KS drift — the nonparametric sibling of drift_psi: exact integer
+    // cross-product CDF distance over the same generation split, one IEEE
+    // division at the end
+    "drift_ks" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Profiling.ksDrift(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        least(expr("n_chars div 100"), lit(19L)))
+    }),
     // A14 — graft extension: exact weighted median of value per event type
     // (weights = user_id%5+1; integer cross-product threshold — engine-
     // portable row pick)
@@ -3276,6 +3285,20 @@ object SparkEntry {
         "CAST(len(lines) AS DOUBLE) AS indent_frac FROM l"),
     // PSI mirror: same Laplace-smoothed shares ((n+1)/(tot+k)) over the
     // full-outer bucket join, association-pinned (q−p)·ln(q/p)
+    // KS mirror: distinct-value cumulative counts, integer cross products,
+    // one terminal division
+    "drift_ks" ->
+      ("WITH u AS (SELECT least(n_chars // 100, 19) AS v, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a, " +
+        "CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS b FROM documents), " +
+        "g AS (SELECT v, sum(a) AS na, sum(b) AS nb FROM u GROUP BY v), " +
+        "c AS (SELECT sum(na) OVER (ORDER BY v) AS ca, " +
+        "sum(nb) OVER (ORDER BY v) AS cb FROM g), " +
+        "t AS (SELECT sum(na) AS n, sum(nb) AS m FROM g) " +
+        "SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(m) AS BIGINT) AS m, " +
+        "CAST(max(abs(ca * m - cb * n)) AS BIGINT) AS ks_num, " +
+        "CAST(max(abs(ca * m - cb * n)) AS DOUBLE) / " +
+        "CAST(max(n) * max(m) AS DOUBLE) AS ks FROM c, t"),
     "drift_psi" ->
       (s"WITH o AS (SELECT bucket, count(*) AS n_old FROM (" +
         "SELECT least(n_chars // 100, 19) AS bucket " +

@@ -281,6 +281,39 @@ object Profiling {
     side(oldDf, "old").join(side(newDf, "new"), Seq("column"), "full_outer")
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov drift statistic — the
+    * nonparametric sibling of [[psiDrift]]: D = max over values of
+    * |CDF_old − CDF_new|, computed ENTIRELY in integers (cumulative counts
+    * cross-multiplied: |ca·m − cb·n|, one IEEE division at the end), so the
+    * statistic is bit-identical on every engine and partitioning. Unlike
+    * PSI it needs no binning choice and no smoothing — but it compares the
+    * DISTINCT-VALUE relation, so pre-bucket continuous features (the
+    * psiDrift bucketing) to keep that relation modest: the cumulative
+    * window here is a global sort over distinct values (fine for the
+    * feature domains drift is measured on; NOT for raw 64-bit values).
+    * Integer contract: n·m must fit a long (n, m ≤ ~3·10⁹ paired) — lift
+    * the cross-products to DECIMAL beyond that.
+    *
+    * Returns ONE row: (n, m, ks_num, ks) with ks = ks_num/(n·m). */
+  def ksDrift(oldDf: DataFrame, newDf: DataFrame, value: Column): DataFrame = {
+    val u = oldDf.select(value.cast("long").as("v"),
+        lit(1L).as("a"), lit(0L).as("b"))
+      .unionAll(newDf.select(value.cast("long").as("v"),
+        lit(0L).as("a"), lit(1L).as("b")))
+      .groupBy("v").agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = u.select(sum(col("na")).over(w).as("ca"),
+      sum(col("nb")).over(w).as("cb"))
+    val tot = u.agg(sum(col("na")).as("n"), sum(col("nb")).as("m"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"), max(col("m")).as("m"),
+        max(abs(col("ca") * col("m") - col("cb") * col("n"))).as("ks_num"))
+      .select(col("n"), col("m"), col("ks_num"),
+        (col("ks_num").cast("double") /
+          (col("n") * col("m")).cast("double")).as("ks"))
+  }
+
   /** DATA CARD of a text corpus — the (metric, value) summary relation a
     * dataset release ships (Gebru et al. 2021 "Datasheets for Datasets"):
     * document/empty/null counts, token and character totals, exact-dup

@@ -2476,6 +2476,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1) == (2L, "aa", "a", 1L))
   }
 
+  test("KS drift matches a hand-computed fixture; identical samples give 0") {
+    import graft.operators.Profiling
+    val o = Seq(1L, 1L, 2L, 3L).toDF("x")
+    val n = Seq(2L, 3L, 3L, 4L).toDF("x")
+    // cum old: 2,3,4,4; cum new: 0,1,3,4 → max|ca·4 − cb·4| = 8 → D = 8/16
+    val got = Profiling.ksDrift(o, n, col("x"))
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got == ((4L, 4L, 8L, 0.5)))
+    val same = Profiling.ksDrift(o, o, col("x"))
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(same == ((4L, 4L, 0L, 0.0)))
+  }
+
   test("html strip: blocks, comments, gluing tags, ordered entity decode") {
     val cases = Seq(
       (1L, "<p>a</p><script>var x = '<b>hi</b>';</script><p>b</p>", "a b"),
