@@ -188,9 +188,17 @@ object RuleCompiler {
     * grouped data. Streaming-capable unchanged (same watermark contract). */
   def compileGroupedSliding(spec: AggregationSpec, windowSizeSec: Long,
       slideSec: Long): DataFrame => DataFrame = { df =>
+    aggregateSliding(spec, windowSizeSec, slideSec)(prepare(spec)(df))
+  }
+
+  /** The sliding aggregation stage alone, over an already-prepared frame —
+    * the streaming path inserts its watermark between [[prepare]] and this
+    * (exactly [[graft.streaming.StreamRunner.buildStreaming]]'s seam for
+    * the tumbling case). */
+  def aggregateSliding(spec: AggregationSpec, windowSizeSec: Long,
+      slideSec: Long)(prepared: DataFrame): DataFrame = {
     require(slideSec >= 1 && windowSizeSec % slideSec == 0,
       s"window $windowSizeSec must be a multiple of slide $slideSec")
-    val prepared = prepare(spec)(df)
     val keys = Seq(
       window(col("event_ts"), s"$windowSizeSec seconds", s"$slideSec seconds")
         .as(WindowCol),

@@ -779,6 +779,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding windows: overlapping emissions close on the watermark") {
+    import graft.plan.RuleCompiler
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1000000000L // epoch-aligned seconds (multiple of 10)
+    val spec = agg2.copy(groupedDimensions = Seq.empty)
+    val input = MemoryStream[MetricEnvelope]
+    // 10 s windows sliding by 5 s: an event at base+7 belongs to windows
+    // starting base+0 and base+5
+    val out = RuleCompiler.aggregateSliding(spec, 10L, 5L)(
+      RuleCompiler.prepare(spec)(input.toDF())
+        .withWatermark("event_ts", "2 seconds"))
+    val q = out.writeStream.format("memory").queryName("slide_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        env("metric2", Map.empty, (base + 7) * 1000.0, 3.0),
+        env("metric2", Map.empty, (base + 8) * 1000.0, 5.0)))
+      q.processAllAvailable()
+      // advance event time far past both windows' ends + lag → both close
+      input.addData(Seq(env("metric2", Map.empty, (base + 40) * 1000.0, 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table("slide_sink")
+        .select($"w.start".cast("long"), $"agg_value")
+        .as[(Long, Double)].collect().sortBy(_._1).toSeq
+      // the two events land in BOTH overlapping windows: avg 4.0 each
+      assert(rows == Seq((base, 4.0), (base + 5, 4.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming export manifest: per-batch manifests merge to the batch manifest") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
