@@ -2211,6 +2211,10 @@ object SparkEntry {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"), sum(length(col("chunk"))).as("total_len"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langIdByJoin(docs(s, dir))),
+    // code-switching detector: per-LINE language votes rolled up to
+    // majority language + minority-line fraction per document
+    "text_langid_lines" -> ((s, dir) =>
+      TextAnalysis.langMixByLine(docs(s, dir))),
     // token-budget chunking: 64-token windows, 16-token overlap; md5 keeps
     // the compared payload small while pinning every chunk boundary
     "text_chunk_tokens" -> ((s, dir) =>
@@ -4095,6 +4099,35 @@ object SparkEntry {
         s"md5(regexp_replace(lower(trim(text, '$SqlWs')), '\\s+', ' ', 'g')) AS fingerprint " +
         "FROM documents"),
     "text_langid" -> LangIdSql,
+    // line-mix mirror: per-line stopword votes with the (hits DESC, lang
+    // ASC) argmax, rolled up to majority/minority per document
+    "text_langid_lines" -> {
+      val stopVals = TextAnalysis.stopwords.toSeq.sortBy(_._1)
+        .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }.mkString(", ")
+      s"WITH st(lang, tok) AS (VALUES $stopVals), " +
+        "ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents " +
+        "WHERE text IS NOT NULL), " +
+        "ex AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS ln, arr FROM ls), " +
+        s"tk AS (SELECT doc_id, ln, unnest(string_split_regex(" +
+        s"trim(lower(arr[ln]), '$SqlWs'), '\\s+')) AS tok FROM ex), " +
+        "h AS (SELECT doc_id, ln, lang, count(*) AS hits FROM tk " +
+        "JOIN st USING (tok) GROUP BY 1, 2, 3), " +
+        "lb AS (SELECT doc_id, ln, lang AS llang FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY doc_id, ln " +
+        "ORDER BY hits DESC, lang ASC) AS rk FROM h) WHERE rk = 1), " +
+        "pl AS (SELECT doc_id, llang, count(*) AS nl FROM lb GROUP BY 1, 2), " +
+        "mj AS (SELECT doc_id, llang AS lang_major, nl AS n_major FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY nl DESC, llang ASC) AS rk FROM pl) WHERE rk = 1), " +
+        "ag AS (SELECT doc_id, CAST(sum(nl) AS BIGINT) AS n_classified, " +
+        "CAST(count(*) AS BIGINT) AS n_langs FROM pl GROUP BY 1) " +
+        "SELECT d.doc_id, COALESCE(n_classified, 0) AS n_classified, " +
+        "COALESCE(n_langs, 0) AS n_langs, " +
+        "COALESCE(lang_major, 'und') AS lang_major, " +
+        "COALESCE(CAST(n_classified - n_major AS DOUBLE) / " +
+        "CAST(n_classified AS DOUBLE), 0.0) AS frac_minor " +
+        "FROM documents d LEFT JOIN ag USING (doc_id) LEFT JOIN mj USING (doc_id)"
+    },
     // quantile cutoff: the interpolation replays Spark Percentile's exact
     // expression — (higher − pos)·lo + (pos − lower)·hi with the
     // higher == lower short-circuit — rather than quantile_cont, whose

@@ -187,6 +187,53 @@ object TextAnalysis {
       .select(col("id").as(idCol), coalesce(col("lang_pred"), lit("und")).as("lang_pred"))
   }
 
+  /** CODE-SWITCHING / language-mix detector: language-vote each LINE
+    * (stopword-hit argmax under the (−hits, lang) total order — the
+    * [[langIdByJoin]] contract), then roll up per document: classified-line
+    * count, distinct languages, the majority language, and the fraction of
+    * classified lines voting against it. A multilingual page is fine data —
+    * a page whose lines FLIP language is usually boilerplate chrome around
+    * a body, and per-doc argmax ([[langIdByJoin]]) is blind to that.
+    * Lines with zero stopword hits abstain entirely; docs where every line
+    * abstains report ('und', 0, 0, 0.0).
+    *
+    * Scale shape: stopword table broadcast; the vote is two
+    * map-side-combined aggregations keyed by (doc, line) then (doc, lang) —
+    * exchanges carry counts, never text. frac_minor is one IEEE division
+    * of exact counts. */
+  def langMixByLine(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stopTable = broadcast(
+      stopwords.toSeq.flatMap { case (l, ws) => ws.map(w => (l, w)) }
+        .toDF("lang", "tok"))
+    val lineBest = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("ln", "line")))
+      .select(col("id"), col("ln"), explode(tokens(lower(col("line")))).as("tok"))
+      .join(stopTable, Seq("tok"))
+      .groupBy("id", "ln", "lang").agg(count(lit(1)).as("hits"))
+      .groupBy("id", "ln")
+      .agg(min(struct((-col("hits")).as("nh"), col("lang").as("l"))).as("best"))
+      .select(col("id"), col("best.l").as("llang"))
+    val agg = lineBest.groupBy("id", "llang").agg(count(lit(1)).as("nl"))
+      .groupBy("id").agg(
+        sum(col("nl")).as("n_classified"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("nl")).as("nh"), col("llang").as("l"))).as("bb"))
+      .select(col("id"), col("n_classified"), col("n_langs"),
+        col("bb.l").as("lang_major"),
+        ((col("n_classified") + col("bb.nh")).cast("double") /
+          col("n_classified").cast("double")).as("frac_minor"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_classified"), lit(0L)).as("n_classified"),
+        coalesce(col("n_langs"), lit(0L)).as("n_langs"),
+        coalesce(col("lang_major"), lit("und")).as("lang_major"),
+        coalesce(col("frac_minor"), lit(0.0)).as("frac_minor"))
+  }
+
   /** Document fingerprint: md5 of the normalized (lowercased, trimmed,
     * whitespace-collapsed) text — the exact-dedup key. */
   def fingerprint(text: Column): Column =

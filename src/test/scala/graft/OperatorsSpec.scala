@@ -2476,6 +2476,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1) == (2L, "aa", "a", 1L))
   }
 
+  test("line language mix: code-switched page reports majority + minority fraction") {
+    val fix = Seq(
+      // 3 English lines + 1 Spanish line → majority en, 1/4 minority
+      (1L, "the cat is here\nthe dog is there\nit is the end\nel que no es la"),
+      (2L, "zzz qqq\nxxx"), // no stopword hits anywhere → all lines abstain
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langMixByLine(fix)
+      .as[(Long, Long, Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, "en", 0.25),
+      (2L, 0L, 0L, "und", 0.0),
+      (3L, 0L, 0L, "und", 0.0)))
+  }
+
   test("KS drift matches a hand-computed fixture; identical samples give 0") {
     import graft.operators.Profiling
     val o = Seq(1L, 1L, 2L, 3L).toDF("x")
