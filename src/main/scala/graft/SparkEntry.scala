@@ -1954,6 +1954,12 @@ object SparkEntry {
     // the per-source slice of the same card — what a mixing decision reads
     "report_datacard_by" -> ((s, dir) =>
       Profiling.dataCardBy(docs(s, dir), Seq("source"))),
+    // hard-budget mixing: water-filling allocation across sources — every
+    // source keeps up to the common level, small sources' unused share
+    // spills upward, Σ alloc == budget exactly (rates only hit it in
+    // expectation)
+    "sample_waterfill" -> ((s, dir) =>
+      Sampling.waterfillAlloc(docs(s, dir), "source", budget = 300L)),
     // the banding miss-rate MEASURED: candidate pairs of a portable
     // 64-slot/16-band MinHash vs the exact Jaccard ≥ 0.5 ground truth —
     // the empirical (k, bands) tuning number for the dedup family
@@ -3629,6 +3635,27 @@ object SparkEntry {
         "SELECT source, 'n_exact_dup_docs', n_exact_dup_docs FROM a UNION ALL " +
         "SELECT source, 'mean_doc_tokens', n_tokens / n_docs FROM a UNION ALL " +
         "SELECT source, 'p50_doc_tokens', p50_doc_tokens FROM a"),
+    // water-filling mirror: the same windowed interval solve in integers
+    "sample_waterfill" ->
+      ("WITH c AS (SELECT source AS key, count(*) AS c FROM documents GROUP BY 1), " +
+        "o AS (SELECT key, c, row_number() OVER (ORDER BY c ASC, key ASC) AS i, " +
+        "COALESCE(sum(c) OVER (ORDER BY c ASC, key ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_prev, " +
+        "COALESCE(lag(c) OVER (ORDER BY c ASC, key ASC), 0) AS c_prev FROM c), " +
+        "t AS (SELECT count(*) AS k, sum(c) AS n FROM c), " +
+        "lv AS (SELECT ((300 - p_prev) // (k - i + 1)) AS lvl, " +
+        "300 - (p_prev + ((300 - p_prev) // (k - i + 1)) * (k - i + 1)) AS rem " +
+        "FROM o, t WHERE p_prev <= 300 " +
+        "AND ((300 - p_prev) // (k - i + 1)) < c " +
+        "AND ((300 - p_prev) // (k - i + 1)) >= c_prev), " +
+        "a AS (SELECT key, c, lv.lvl, lv.rem, " +
+        "CASE WHEN lv.lvl IS NOT NULL AND c > lv.lvl THEN 1 ELSE 0 END AS ov " +
+        "FROM o LEFT JOIN lv ON true), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY ov ORDER BY key ASC) AS rn FROM a) " +
+        "SELECT key, CAST(c AS BIGINT) AS n_rows, " +
+        "CAST(CASE WHEN lvl IS NULL THEN c ELSE least(c, lvl) + " +
+        "(CASE WHEN ov = 1 AND rn <= rem THEN 1 ELSE 0 END) END AS BIGINT) AS alloc " +
+        "FROM r"),
     // manifest mirror: shuffleOrder's shard hash, HUGEINT checksum sum
     // folded to the signed domain — NULL fingerprints skipped by both sums
     "report_manifest" ->

@@ -470,6 +470,61 @@ object Sampling {
           .cast("long").as("checksum"))
   }
 
+  /** WATER-FILLING budget allocation — the exact-count companion of
+    * [[mixtureRates]]: given a hard total budget B of rows (or docs — run
+    * it on whatever unit the budget is in), allocate fairly across keys
+    * with SPILL: every key gets up to the common level t, keys smaller
+    * than t keep everything, and their unused share spills to the larger
+    * keys (t = the largest integer with Σ min(c_k, t) ≤ B; the remainder
+    * B − Σ min(c_k, t) goes +1 each to the first keys ABOVE the level in
+    * key order). Σ alloc == min(B, Σ c) EXACTLY — rate-based mixing can
+    * only hit a budget in expectation; release planning needs the equality.
+    *
+    * Everything is integer arithmetic on the KEY-COUNT relation (K rows —
+    * sources/languages/snapshots, config scale), so the allocation is
+    * engine- and partitioning-exact: the level solve is one windowed pass
+    * (per-interval candidate t_i = ⌊(B − P_{i−1})/(K−i+1)⌋, valid in
+    * exactly one count interval), never an iterative loop. The corpus
+    * itself contributes ONE count aggregation; the global windows run on K
+    * rows. Returns (key, n_rows, alloc). Compose with [[quotaPerKey]]-style
+    * rank gates to materialize the selection. */
+  def waterfillAlloc(df: DataFrame, keyCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("c"))
+    val ord = Window.orderBy(col("c").asc, col("key").asc)
+    val o = counts
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("p_prev", coalesce(
+        sum(col("c")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("c_prev", lag(col("c"), 1, 0L).over(ord))
+    val tot = counts.agg(count(lit(1)).cast("long").as("k"),
+      sum(col("c")).as("n"))
+    // the unique interval whose candidate level lands inside it (empty when
+    // budget >= total: everything fits, no level needed)
+    val lvlRow = o.crossJoin(broadcast(tot))
+      .filter(col("p_prev") <= budget)
+      // integer div (operands are non-negative after the p_prev filter, so
+      // truncation IS floor); a double `/` would lose exactness past 2^53
+      .withColumn("lvl", expr(s"(${budget}L - p_prev) div (k - i + 1)"))
+      .filter(col("lvl") < col("c") && col("lvl") >= col("c_prev"))
+      .select(col("lvl"),
+        (lit(budget) - (col("p_prev") + col("lvl") * (col("k") - col("i") + 1)))
+          .as("rem"))
+    o.select(col("key"), col("c"))
+      .join(broadcast(lvlRow), lit(true), "left")
+      .withColumn("over", col("lvl").isNotNull && col("c") > col("lvl"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("over")).orderBy(col("key").asc)).cast("long"))
+      .select(col("key"), col("c").as("n_rows"),
+        when(col("lvl").isNull, col("c"))
+          .otherwise(least(col("c"), col("lvl")) +
+            when(col("over") && col("rn") <= col("rem"), 1L).otherwise(0L))
+          .cast("long").as("alloc"))
+  }
+
   /** Temperature-based source-mixing rates (the mT5/multilingual-LM recipe):
     * target sampling probability p_s ∝ n_s^alpha over the given per-source
     * sizes, realized as per-row Bernoulli rates r_s = targetTotal·p_s / n_s

@@ -2476,6 +2476,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1) == (2L, "aa", "a", 1L))
   }
 
+  test("water-filling allocation: level, spill, remainder, and edge budgets") {
+    def fix(counts: Map[String, Int]) =
+      counts.toSeq.flatMap { case (k, n) => (1 to n).map(i => (k, i)) }
+        .toDF("src", "i")
+    def alloc(counts: Map[String, Int], b: Long) =
+      Sampling.waterfillAlloc(fix(counts), "src", b)
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    // small key keeps everything, its unused share spills to the big keys;
+    // remainder +1 goes to the first unsaturated key in key order
+    assert(alloc(Map("a" -> 2, "b" -> 10, "c" -> 10), 9L) ==
+      Seq(("a", 2L, 2L), ("b", 10L, 4L), ("c", 10L, 3L)))
+    // exact level, no remainder
+    assert(alloc(Map("a" -> 2, "b" -> 3, "c" -> 100), 6L) ==
+      Seq(("a", 2L, 2L), ("b", 3L, 2L), ("c", 100L, 2L)))
+    // budget >= total: everything; budget 0: nothing
+    assert(alloc(Map("a" -> 2, "b" -> 3), 99L) ==
+      Seq(("a", 2L, 2L), ("b", 3L, 3L)))
+    assert(alloc(Map("a" -> 2, "b" -> 3), 0L) ==
+      Seq(("a", 2L, 0L), ("b", 3L, 0L)))
+    // the invariant release planning needs: sum(alloc) == min(budget, total)
+    for (b <- Seq(1L, 5L, 12L, 24L, 25L, 26L)) {
+      val s = alloc(Map("a" -> 7, "b" -> 1, "c" -> 13, "d" -> 4), b)
+      assert(s.map(_._3).sum == math.min(b, 25L), s"budget $b: $s")
+    }
+  }
+
   test("line language mix: code-switched page reports majority + minority fraction") {
     val fix = Seq(
       // 3 English lines + 1 Spanish line → majority en, 1/4 minority
