@@ -1960,6 +1960,10 @@ object SparkEntry {
     // expectation)
     "sample_waterfill" -> ((s, dir) =>
       Sampling.waterfillAlloc(docs(s, dir), "source", budget = 300L)),
+    // the same allocator in TOKEN units — the budget a trainer actually has
+    "sample_waterfill_tokens" -> ((s, dir) =>
+      Sampling.waterfillAlloc(docs(s, dir), "source", budget = 20000L,
+        TextAnalysis.tokenCount(col("text")))),
     // the banding miss-rate MEASURED: candidate pairs of a portable
     // 64-slot/16-band MinHash vs the exact Jaccard ≥ 0.5 ground truth —
     // the empirical (k, bands) tuning number for the dedup family
@@ -3648,6 +3652,28 @@ object SparkEntry {
         "FROM o, t WHERE p_prev <= 300 " +
         "AND ((300 - p_prev) // (k - i + 1)) < c " +
         "AND ((300 - p_prev) // (k - i + 1)) >= c_prev), " +
+        "a AS (SELECT key, c, lv.lvl, lv.rem, " +
+        "CASE WHEN lv.lvl IS NOT NULL AND c > lv.lvl THEN 1 ELSE 0 END AS ov " +
+        "FROM o LEFT JOIN lv ON true), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY ov ORDER BY key ASC) AS rn FROM a) " +
+        "SELECT key, CAST(c AS BIGINT) AS n_rows, " +
+        "CAST(CASE WHEN lvl IS NULL THEN c ELSE least(c, lvl) + " +
+        "(CASE WHEN ov = 1 AND rn <= rem THEN 1 ELSE 0 END) END AS BIGINT) AS alloc " +
+        "FROM r"),
+    // token-unit water-filling: identical solve over token sums (budget
+    // 20000 at sf0.01 sits below the total, so the level actually binds)
+    "sample_waterfill_tokens" ->
+      (s"WITH c AS (SELECT source AS key, sum($TokN) AS c FROM documents GROUP BY 1), " +
+        "o AS (SELECT key, c, row_number() OVER (ORDER BY c ASC, key ASC) AS i, " +
+        "COALESCE(sum(c) OVER (ORDER BY c ASC, key ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_prev, " +
+        "COALESCE(lag(c) OVER (ORDER BY c ASC, key ASC), 0) AS c_prev FROM c), " +
+        "t AS (SELECT count(*) AS k, sum(c) AS n FROM c), " +
+        "lv AS (SELECT ((20000 - p_prev) // (k - i + 1)) AS lvl, " +
+        "20000 - (p_prev + ((20000 - p_prev) // (k - i + 1)) * (k - i + 1)) AS rem " +
+        "FROM o, t WHERE p_prev <= 20000 " +
+        "AND ((20000 - p_prev) // (k - i + 1)) < c " +
+        "AND ((20000 - p_prev) // (k - i + 1)) >= c_prev), " +
         "a AS (SELECT key, c, lv.lvl, lv.rem, " +
         "CASE WHEN lv.lvl IS NOT NULL AND c > lv.lvl THEN 1 ELSE 0 END AS ov " +
         "FROM o LEFT JOIN lv ON true), " +

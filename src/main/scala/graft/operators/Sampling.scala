@@ -488,11 +488,20 @@ object Sampling {
     * itself contributes ONE count aggregation; the global windows run on K
     * rows. Returns (key, n_rows, alloc). Compose with [[quotaPerKey]]-style
     * rank gates to materialize the selection. */
-  def waterfillAlloc(df: DataFrame, keyCol: String, budget: Long): DataFrame = {
+  def waterfillAlloc(df: DataFrame, keyCol: String, budget: Long): DataFrame =
+    waterfillAlloc(df, keyCol, budget, lit(1L))
+
+  /** Weighted [[waterfillAlloc]]: the budget and allocations are in UNITS
+    * of `weight` (tokens, bytes) — c_k = Σ weight per key, the level is a
+    * unit threshold, and the remainder still lands +1 per unsaturated key
+    * (sub-unit exactness is meaningless for indivisible rows anyway).
+    * Weights must be non-negative integers (cast to long). */
+  def waterfillAlloc(df: DataFrame, keyCol: String, budget: Long,
+      weight: Column): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(keyCol).as("key"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(weight.cast("long")).as("c"))
     val ord = Window.orderBy(col("c").asc, col("key").asc)
     val o = counts
       .withColumn("i", row_number().over(ord).cast("long"))
