@@ -2225,6 +2225,14 @@ object SparkEntry {
     // majority language + minority-line fraction per document
     "text_langid_lines" -> ((s, dir) =>
       TextAnalysis.langMixByLine(docs(s, dir))),
+    // WITHIN-doc repeated-line removal over a planted-repeat construction
+    // (every doc carries a nav block twice); corpus df capping never sees
+    // these — df counts documents, not repeats inside one
+    "text_dedup_lines_intra" -> ((s, dir) =>
+      TextAnalysis.dedupLinesWithin(
+        docs(s, dir).withColumn("text",
+          concat(lit("NAV HOME\n"), col("text"),
+            lit("\nNAV HOME\nmid\nNAV HOME"))))),
     // token-budget chunking: 64-token windows, 16-token overlap; md5 keeps
     // the compared payload small while pinning every chunk boundary
     "text_chunk_tokens" -> ((s, dir) =>
@@ -4152,6 +4160,24 @@ object SparkEntry {
         s"md5(regexp_replace(lower(trim(text, '$SqlWs')), '\\s+', ' ', 'g')) AS fingerprint " +
         "FROM documents"),
     "text_langid" -> LangIdSql,
+    // intra-doc line dedup mirror: positional first-occurrence via a
+    // (doc, line) row_number, survivors rejoined in position order
+    "text_dedup_lines_intra" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE " +
+        "'NAV HOME' || chr(10) || text || chr(10) || 'NAV HOME' || chr(10) || " +
+        "'mid' || chr(10) || 'NAV HOME' END AS text FROM documents), " +
+        "ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d), " +
+        "ex AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS pos, arr FROM ls), " +
+        "l0 AS (SELECT doc_id, pos, arr[pos] AS line FROM ex), " +
+        "k AS (SELECT doc_id, pos, line, row_number() OVER (" +
+        "PARTITION BY doc_id, line ORDER BY pos) AS rn FROM l0), " +
+        "s AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t, " +
+        "count(*) AS n_kept FROM k WHERE rn = 1 GROUP BY 1) " +
+        "SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL " +
+        "ELSE COALESCE(s.t, '') END AS text_dedup, " +
+        "CAST(COALESCE(len(string_split(d.text, chr(10))), 0) AS BIGINT) AS n_lines, " +
+        "CAST(COALESCE(len(string_split(d.text, chr(10))) - s.n_kept, 0) AS BIGINT) AS n_removed " +
+        "FROM d LEFT JOIN s USING (doc_id)"),
     // line-mix mirror: per-line stopword votes with the (hits DESC, lang
     // ASC) argmax, rolled up to majority/minority per document
     "text_langid_lines" -> {

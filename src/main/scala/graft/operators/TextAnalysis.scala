@@ -234,6 +234,33 @@ object TextAnalysis {
         coalesce(col("frac_minor"), lit(0.0)).as("frac_minor"))
   }
 
+  /** WITHIN-document repeated-line removal (the intra-doc face of the
+    * corpus line dedup): every line keeps only its FIRST occurrence inside
+    * its own document — the rule that collapses repeated nav/footer blocks
+    * a single page carries multiple times, which corpus-level df capping
+    * never sees (df counts documents, not repeats within one). Repeated
+    * blank lines collapse too (the contract is positional first-occurrence
+    * over raw lines). Pure narrow map: the keep-decision is the index-aware
+    * array `filter` against `array_position` (first index of the value) —
+    * no explode, no shuffle, no state. NULL text passes through as NULL.
+    * Returns (idCol, text_dedup, n_lines, n_removed). */
+  def dedupLinesWithin(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    docs.select(col(idCol), col(textCol).isNull.as("__tnull"),
+        lines.as("__lines"))
+      .select(col(idCol), col("__tnull"), col("__lines"),
+        filter(col("__lines"),
+          (x, i) => array_position(col("__lines"), x) === i.cast("long") + 1L)
+          .as("__kept"))
+      .select(col(idCol),
+        when(col("__tnull"), lit(null).cast("string"))
+          .otherwise(concat_ws("\n", col("__kept"))).as("text_dedup"),
+        coalesce(size(col("__lines")), lit(0)).cast("long").as("n_lines"),
+        (coalesce(size(col("__lines")), lit(0)) -
+          coalesce(size(col("__kept")), lit(0))).cast("long").as("n_removed"))
+  }
+
   /** Document fingerprint: md5 of the normalized (lowercased, trimmed,
     * whitespace-collapsed) text — the exact-dedup key. */
   def fingerprint(text: Column): Column =

@@ -2476,6 +2476,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1) == (2L, "aa", "a", 1L))
   }
 
+  test("intra-doc line dedup: first occurrence wins, order preserved, NULL passes") {
+    val fix = Seq(
+      (1L, "nav\nbody a\nnav\nbody b\nnav"),
+      (2L, "\n\nx\n\n"), // repeated blanks collapse to the first
+      (3L, null.asInstanceOf[String]),
+      (4L, "unique only")).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupLinesWithin(fix)
+      .as[(Long, Option[String], Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Some("nav\nbody a\nbody b"), 5L, 2L),
+      (2L, Some("\nx"), 5L, 3L),
+      (3L, None, 0L, 0L),
+      (4L, Some("unique only"), 1L, 0L)))
+  }
+
   test("water-filling allocation: level, spill, remainder, and edge budgets") {
     def fix(counts: Map[String, Int]) =
       counts.toSeq.flatMap { case (k, n) => (1 to n).map(i => (k, i)) }
