@@ -2171,6 +2171,14 @@ object SparkEntry {
           col("neg_label").cast("long").as("neg_label"),
           col("rank").cast("long").as("rank"),
           round(col("cosine"), 4).as("cosine"))),
+    // the contrastive TRIPLET table: hardest in-label positive × top-3
+    // hard negatives per anchor — what an embedding trainer consumes
+    "train_triplets" -> ((s, dir) =>
+      Similarity.contrastiveTriplets(emb(s, dir).filter(col("vec_id") < 10),
+          emb(s, dir), negK = 3)
+        .select(col("query_id"), col("positive_id"), col("negative_id"),
+          col("neg_rank"), round(col("pos_cosine"), 4).as("pos_cosine"),
+          round(col("neg_cosine"), 4).as("neg_cosine"))),
     // product-quantization ADC search (m=8 subspaces × ksub=16 sampled
     // codebook entries): candidates are scored by m table lookups — the
     // 64×-compression step beyond SQ8's 4× for billion-vector corpora
@@ -3722,6 +3730,30 @@ object SparkEntry {
         "list_inner_product(q.v, b.v) DESC, b.vec_id ASC) AS BIGINT) AS rank " +
         "FROM ul q, ul b WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id " +
         "AND q.label IS DISTINCT FROM b.label) WHERE rank <= 5"),
+    // triplet mirror: the positive leg is the same rank pipeline under
+    // null-safe label EQUALITY, joined to the top-3 negative legs
+    "train_triplets" ->
+      ("WITH ul AS (SELECT e.vec_id, list_transform(dv, x -> x / nrm) AS v, label FROM " +
+        "(SELECT vec_id, dv, sqrt(list_inner_product(dv, dv)) AS nrm, label FROM " +
+        "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv, label FROM embeddings)) e " +
+        "WHERE nrm > 0), " +
+        "pos AS (SELECT query_id, positive_id, pc FROM (" +
+        "SELECT q.vec_id AS query_id, b.vec_id AS positive_id, " +
+        "list_inner_product(q.v, b.v) AS pc, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_inner_product(q.v, b.v) DESC, b.vec_id ASC) AS rk " +
+        "FROM ul q, ul b WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id " +
+        "AND q.label IS NOT DISTINCT FROM b.label) WHERE rk = 1), " +
+        "neg AS (SELECT query_id, negative_id, neg_rank, nc FROM (" +
+        "SELECT q.vec_id AS query_id, b.vec_id AS negative_id, " +
+        "list_inner_product(q.v, b.v) AS nc, " +
+        "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_inner_product(q.v, b.v) DESC, b.vec_id ASC) AS BIGINT) AS neg_rank " +
+        "FROM ul q, ul b WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id " +
+        "AND q.label IS DISTINCT FROM b.label) WHERE neg_rank <= 3) " +
+        "SELECT query_id, positive_id, negative_id, neg_rank, " +
+        "ROUND(pc, 4) AS pos_cosine, ROUND(nc, 4) AS neg_cosine " +
+        "FROM pos JOIN neg USING (query_id)"),
     // same double ops as Similarity.quantize: max|x|/127 scale, then
     // floor(x/scale + 0.5) per slot — exact integers, identical doubles
     "emb_quantize" ->

@@ -473,6 +473,55 @@ object Similarity {
       .select("query_id", "neighbor_id", "neg_label", "rank", "cosine")
   }
 
+  /** CONTRASTIVE TRIPLET MINING — the training-data product built from
+    * [[hardNegatives]] and its dual: for every query, the top in-LABEL
+    * neighbor (the mined positive — the standard "hardest positive within
+    * the class" pick) paired with the top `negK` out-of-label neighbors
+    * (the hard negatives). One row per (anchor, positive, negative):
+    * exactly the triplet table a contrastive/embedding trainer consumes.
+    *
+    * Scale shape: both sides reuse the broadcast-query / persisted-corpus /
+    * WindowGroupLimit pattern of [[hardNegatives]] (the corpus unit-vector
+    * relation is computed once per side); the final composition is a keyed
+    * equi-join on query_id between two query-bounded relations — corpus
+    * size never touches the join. Anchors with no same-label neighbor (or
+    * no out-of-label neighbor) drop: a triplet needs all three legs. */
+  def contrastiveTriplets(queries: DataFrame, corpus: DataFrame, negK: Int,
+      labelCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(negK >= 1, s"negK must be >= 1, got $negK")
+    val q = unitVectorsWith(queries, idCol, vecCol, "query_id", "qu",
+      Seq(labelCol -> "q_label"))
+    val c = unitVectorsWith(corpus, idCol, vecCol, "neighbor_id", "cu",
+      Seq(labelCol -> "c_label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    // the mined positive: top-1 SAME-label neighbor (null-safe equality —
+    // the exact dual of hardNegatives' exclusion)
+    val pos = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          (col("q_label") <=> col("c_label")))
+      .withColumn("cosine", dot(col("qu"), col("cu")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("positive_id"),
+        col("cosine").as("pos_cosine"))
+    val neg = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          !(col("q_label") <=> col("c_label")))
+      .withColumn("cosine", dot(col("qu"), col("cu")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= negK)
+      .select(col("query_id"), col("neighbor_id").as("negative_id"),
+        col("rank").cast("long").as("neg_rank"),
+        col("cosine").as("neg_cosine"))
+    pos.join(neg, Seq("query_id"))
+      .select("query_id", "positive_id", "negative_id", "neg_rank",
+        "pos_cosine", "neg_cosine")
+  }
+
   // ------------------------------------------------- product quantization
 
   /** Product-quantization codebooks (Jégou et al. 2011, the faiss PQ

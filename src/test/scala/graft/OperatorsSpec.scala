@@ -2476,6 +2476,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1) == (2L, "aa", "a", 1L))
   }
 
+  test("contrastive triplets: positive shares the label, negatives never do") {
+    import graft.operators.Similarity
+    val t = Similarity.contrastiveTriplets(emb.filter(col("vec_id") < 10), emb, 3)
+      .join(emb.select(col("vec_id").as("query_id"), col("label").as("ql")), Seq("query_id"))
+      .join(emb.select(col("vec_id").as("positive_id"), col("label").as("pl")), Seq("positive_id"))
+      .join(emb.select(col("vec_id").as("negative_id"), col("label").as("nl")), Seq("negative_id"))
+    assert(t.filter(!(col("ql") <=> col("pl"))).count() == 0L)
+    assert(t.filter(col("ql") <=> col("nl")).count() == 0L)
+    assert(t.filter(col("positive_id") === col("query_id") ||
+      col("negative_id") === col("query_id")).count() == 0L)
+    // structure: one positive replicated across <= negK rows per anchor
+    val shape = t.groupBy("query_id")
+      .agg(countDistinct(col("positive_id")).as("np"),
+        countDistinct(col("negative_id")).as("nn"), count(lit(1)).as("rows"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(shape.forall { case (_, np, nn, rows) => np == 1 && nn == rows && rows <= 3 })
+    // NOTE: no margin assertion — on these label-uncorrelated synthetics the
+    // hardest of many negatives out-scores the best positive by design;
+    // margin is a property of the caller's embeddings, not the miner
+  }
+
   test("intra-doc line dedup: first occurrence wins, order preserved, NULL passes") {
     val fix = Seq(
       (1L, "nav\nbody a\nnav\nbody b\nnav"),
