@@ -2837,7 +2837,7 @@ object SparkEntry {
     "text_stats", "text_bpe", "text_c4_clean",
     "join_asof", "join_range",
     "sketch_kmv_distinct", "graph_pagerank", "layout_zorder",
-    "eval_retrieval", "report_datacard",
+    "eval_retrieval", "report_datacard", "w2_sliding", "train_triplets",
     "cdc_merge", "agg_cube", "drift_psi", "profile_diff",
     "mm_decode",
     "d1_sessionize", "d7_trailing",
