@@ -1271,6 +1271,32 @@ object SparkEntry {
       ", 4) END AS ndcg_at_k " +
       "FROM nr LEFT JOIN h USING (query_id)"
 
+  /** Mirror of [[graft.operators.Sampling.waterfillAlloc]] as a CTE chain
+    * ending in `wf(key, n_rows, alloc)` — the windowed interval solve in
+    * pure integers (`cExpr` = the per-key weight sum, e.g. `count(*)` or a
+    * token sum; budget a literal). One definition for every waterfill
+    * mirror (the stopword-list rule). */
+  private def waterfillCtes(budget: Long, cExpr: String): String =
+    s"c AS (SELECT source AS key, $cExpr AS c FROM documents GROUP BY 1), " +
+      "o AS (SELECT key, c, row_number() OVER (ORDER BY c ASC, key ASC) AS i, " +
+      "COALESCE(sum(c) OVER (ORDER BY c ASC, key ASC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_prev, " +
+      "COALESCE(lag(c) OVER (ORDER BY c ASC, key ASC), 0) AS c_prev FROM c), " +
+      "t AS (SELECT count(*) AS k, sum(c) AS n FROM c), " +
+      s"lv AS (SELECT (($budget - p_prev) // (k - i + 1)) AS lvl, " +
+      s"$budget - (p_prev + (($budget - p_prev) // (k - i + 1)) * (k - i + 1)) AS rem " +
+      s"FROM o, t WHERE p_prev <= $budget " +
+      s"AND (($budget - p_prev) // (k - i + 1)) < c " +
+      s"AND (($budget - p_prev) // (k - i + 1)) >= c_prev), " +
+      "a AS (SELECT key, c, lv.lvl, lv.rem, " +
+      "CASE WHEN lv.lvl IS NOT NULL AND c > lv.lvl THEN 1 ELSE 0 END AS ov " +
+      "FROM o LEFT JOIN lv ON true), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY ov ORDER BY key ASC) AS rn FROM a), " +
+      "wf AS (SELECT key, CAST(c AS BIGINT) AS n_rows, " +
+      "CAST(CASE WHEN lvl IS NULL THEN c ELSE least(c, lvl) + " +
+      "(CASE WHEN ov = 1 AND rn <= rem THEN 1 ELSE 0 END) END AS BIGINT) AS alloc " +
+      "FROM r)"
+
   /** Map the unsigned mod-2⁶⁴ hash back to the JVM's signed long domain so
     * ORDER BY agrees with Spark's signed comparison. */
   private def signedSql(h: String): String =
@@ -1964,6 +1990,15 @@ object SparkEntry {
     "sample_waterfill_tokens" -> ((s, dir) =>
       Sampling.waterfillAlloc(docs(s, dir), "source", budget = 20000L,
         TextAnalysis.tokenCount(col("text")))),
+    // the allocation MATERIALIZED: per-key hash-rank gate capped by alloc —
+    // exactly budget rows come back, per key, deterministically
+    "sample_waterfill_rows" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Sampling.selectByAlloc(d,
+          Sampling.waterfillAlloc(d, "source", budget = 300L),
+          "source", "doc_id")
+        .select("doc_id", "source")
+    }),
     // the banding miss-rate MEASURED: candidate pairs of a portable
     // 64-slot/16-band MinHash vs the exact Jaccard ≥ 0.5 ground truth —
     // the empirical (k, bands) tuning number for the dedup family
@@ -3657,47 +3692,21 @@ object SparkEntry {
         "SELECT source, 'p50_doc_tokens', p50_doc_tokens FROM a"),
     // water-filling mirror: the same windowed interval solve in integers
     "sample_waterfill" ->
-      ("WITH c AS (SELECT source AS key, count(*) AS c FROM documents GROUP BY 1), " +
-        "o AS (SELECT key, c, row_number() OVER (ORDER BY c ASC, key ASC) AS i, " +
-        "COALESCE(sum(c) OVER (ORDER BY c ASC, key ASC " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_prev, " +
-        "COALESCE(lag(c) OVER (ORDER BY c ASC, key ASC), 0) AS c_prev FROM c), " +
-        "t AS (SELECT count(*) AS k, sum(c) AS n FROM c), " +
-        "lv AS (SELECT ((300 - p_prev) // (k - i + 1)) AS lvl, " +
-        "300 - (p_prev + ((300 - p_prev) // (k - i + 1)) * (k - i + 1)) AS rem " +
-        "FROM o, t WHERE p_prev <= 300 " +
-        "AND ((300 - p_prev) // (k - i + 1)) < c " +
-        "AND ((300 - p_prev) // (k - i + 1)) >= c_prev), " +
-        "a AS (SELECT key, c, lv.lvl, lv.rem, " +
-        "CASE WHEN lv.lvl IS NOT NULL AND c > lv.lvl THEN 1 ELSE 0 END AS ov " +
-        "FROM o LEFT JOIN lv ON true), " +
-        "r AS (SELECT *, row_number() OVER (PARTITION BY ov ORDER BY key ASC) AS rn FROM a) " +
-        "SELECT key, CAST(c AS BIGINT) AS n_rows, " +
-        "CAST(CASE WHEN lvl IS NULL THEN c ELSE least(c, lvl) + " +
-        "(CASE WHEN ov = 1 AND rn <= rem THEN 1 ELSE 0 END) END AS BIGINT) AS alloc " +
-        "FROM r"),
+      (s"WITH ${waterfillCtes(300L, "count(*)")} " +
+        "SELECT key, n_rows, alloc FROM wf"),
+    // the materialized selection: the same solve, then the quotaPerKey
+    // hash-rank gate capped by each key's alloc
+    "sample_waterfill_rows" ->
+      (s"WITH ${waterfillCtes(300L, "count(*)")} " +
+        "SELECT doc_id, source FROM (SELECT doc_id, source, " +
+        s"row_number() OVER (PARTITION BY source ORDER BY $HashB ASC, " +
+        "doc_id ASC) AS rk FROM documents) q " +
+        "JOIN wf ON q.source = wf.key WHERE q.rk <= wf.alloc"),
     // token-unit water-filling: identical solve over token sums (budget
     // 20000 at sf0.01 sits below the total, so the level actually binds)
     "sample_waterfill_tokens" ->
-      (s"WITH c AS (SELECT source AS key, sum($TokN) AS c FROM documents GROUP BY 1), " +
-        "o AS (SELECT key, c, row_number() OVER (ORDER BY c ASC, key ASC) AS i, " +
-        "COALESCE(sum(c) OVER (ORDER BY c ASC, key ASC " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_prev, " +
-        "COALESCE(lag(c) OVER (ORDER BY c ASC, key ASC), 0) AS c_prev FROM c), " +
-        "t AS (SELECT count(*) AS k, sum(c) AS n FROM c), " +
-        "lv AS (SELECT ((20000 - p_prev) // (k - i + 1)) AS lvl, " +
-        "20000 - (p_prev + ((20000 - p_prev) // (k - i + 1)) * (k - i + 1)) AS rem " +
-        "FROM o, t WHERE p_prev <= 20000 " +
-        "AND ((20000 - p_prev) // (k - i + 1)) < c " +
-        "AND ((20000 - p_prev) // (k - i + 1)) >= c_prev), " +
-        "a AS (SELECT key, c, lv.lvl, lv.rem, " +
-        "CASE WHEN lv.lvl IS NOT NULL AND c > lv.lvl THEN 1 ELSE 0 END AS ov " +
-        "FROM o LEFT JOIN lv ON true), " +
-        "r AS (SELECT *, row_number() OVER (PARTITION BY ov ORDER BY key ASC) AS rn FROM a) " +
-        "SELECT key, CAST(c AS BIGINT) AS n_rows, " +
-        "CAST(CASE WHEN lvl IS NULL THEN c ELSE least(c, lvl) + " +
-        "(CASE WHEN ov = 1 AND rn <= rem THEN 1 ELSE 0 END) END AS BIGINT) AS alloc " +
-        "FROM r"),
+      (s"WITH ${waterfillCtes(20000L, s"sum($TokN)")} " +
+        "SELECT key, n_rows, alloc FROM wf"),
     // manifest mirror: shuffleOrder's shard hash, HUGEINT checksum sum
     // folded to the signed domain — NULL fingerprints skipped by both sums
     "report_manifest" ->

@@ -534,6 +534,28 @@ object Sampling {
           .cast("long").as("alloc"))
   }
 
+  /** Materialize a PER-KEY allocation (e.g. [[waterfillAlloc]]'s output —
+    * any (key, alloc) relation works) as an exact row selection:
+    * [[quotaPerKey]]'s deterministic hash-rank gate, but with the cap read
+    * per key from `alloc` instead of one global n. Selection is stable
+    * under reruns/partitioning (rank order = (hashBucket(id), id)); each
+    * key emits EXACTLY min(alloc, count) rows. The allocation relation is
+    * key-count sized → broadcast join; the rank is the one
+    * window-per-key pass quotaPerKey already pays. */
+  def selectByAlloc(df: DataFrame, alloc: DataFrame, keyCol: String,
+      idCol: String, seed: Long = 42): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hashBucket(col(idCol), seed).asc, col(idCol).asc)
+    val rk = Iterator.from(0).map(i => s"__graft_alloc_rk$i")
+      .find(c => !df.columns.contains(c)).get
+    df.join(broadcast(alloc.select(col("key").as(keyCol), col("alloc"))),
+        Seq(keyCol))
+      .withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= col("alloc"))
+      .drop(rk, "alloc")
+  }
+
   /** Temperature-based source-mixing rates (the mT5/multilingual-LM recipe):
     * target sampling probability p_s ∝ n_s^alpha over the given per-source
     * sizes, realized as per-row Bernoulli rates r_s = targetTotal·p_s / n_s

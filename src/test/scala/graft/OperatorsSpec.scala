@@ -2536,6 +2536,19 @@ class OperatorsSpec extends AnyFunSuite {
       val s = alloc(Map("a" -> 7, "b" -> 1, "c" -> 13, "d" -> 4), b)
       assert(s.map(_._3).sum == math.min(b, 25L), s"budget $b: $s")
     }
+    // materialization: selectByAlloc emits exactly alloc rows per key,
+    // deterministically (stable under repartition)
+    val data = fix(Map("a" -> 7, "b" -> 1, "c" -> 13, "d" -> 4))
+      .withColumn("doc_id", col("i") + length(col("src")).cast("long") * 1000)
+    val al = Sampling.waterfillAlloc(data, "src", 12L)
+    val sel = Sampling.selectByAlloc(data, al, "src", "doc_id")
+    val perKey = sel.groupBy("src").count()
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(perKey == al.as[(String, Long, Long)].collect().sortBy(_._1)
+      .map(r => (r._1, r._3)).filter(_._2 > 0).toSeq)
+    val sel2 = Sampling.selectByAlloc(data.repartition(9), al, "src", "doc_id")
+    assert(sel2.select("src", "doc_id").as[(String, Long)].collect().sorted.toSeq ==
+      sel.select("src", "doc_id").as[(String, Long)].collect().sorted.toSeq)
   }
 
   test("line language mix: code-switched page reports majority + minority fraction") {
