@@ -2476,6 +2476,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1) == (2L, "aa", "a", 1L))
   }
 
+  test("JSONL source: round-trips the corpus, counts corrupt lines, drops them") {
+    import graft.sources.DocumentsJsonl
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    // write the real corpus as JSONL, then damage it with corrupt lines
+    docs.select(to_json(struct(col("doc_id"), col("text"), col("source"))))
+      .coalesce(1).write.text(s"$dir/clean")
+    val clean = spark.read.text(s"$dir/clean")
+    val damaged = clean.unionAll(Seq(
+      "{truncated", "", "not json at all", "{\"text\": \"no id\"}").toDF("value"))
+    val parsed = DocumentsJsonl.parse(damaged)
+    assert(parsed.filter(col("corrupt")).count() == 4L)
+    val roundTrip = parsed.filter(!col("corrupt"))
+      .select("doc_id", "text", "source")
+      .as[(Long, Option[String], Option[String])].collect().sortBy(_._1).toSeq
+    val orig = docs.select("doc_id", "text", "source")
+      .as[(Long, Option[String], Option[String])].collect().sortBy(_._1).toSeq
+    assert(roundTrip == orig)
+  }
+
   test("contrastive triplets: positive shares the label, negatives never do") {
     import graft.operators.Similarity
     val t = Similarity.contrastiveTriplets(emb.filter(col("vec_id") < 10), emb, 3)
