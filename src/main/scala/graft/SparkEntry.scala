@@ -866,11 +866,11 @@ object SparkEntry {
     * Rabin–Karp hash recomputed O(n·w) with HUGEINT mod-2⁶⁴ arithmetic —
     * bit-equal to the JVM's overflowing-long fold. Yields CTEs `b(doc_id, n,
     * bytes)` and `rh(doc_id, n, hashes)`. */
-  private def rollingHashCte(window: Int): String =
+  private def rollingHashCte(window: Int, src: String = "documents"): String =
     "WITH b AS (SELECT doc_id, length(text) AS n, " +
       "[CAST(CAST(('0x' || substr(h, 2*i+1, 2)) AS INT) AS HUGEINT) " +
       "for i in range(len(h)//2)] AS bytes " +
-      "FROM (SELECT doc_id, hex(encode(text)) AS h, text FROM documents)), " +
+      s"FROM (SELECT doc_id, hex(encode(text)) AS h, text FROM $src)), " +
       "rh AS (SELECT doc_id, n, CASE WHEN len(bytes) = 0 THEN [CAST(0 AS HUGEINT)] " +
       s"ELSE [list_reduce(bytes[i+1 : i+least($window, len(bytes))], " +
       "(acc, x) -> (acc * 1000003 + x) % 18446744073709551616) " +
@@ -2410,6 +2410,27 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.stripHtml(html).as("clean"))
         .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
           TextAnalysis.tokenCount(col("clean")).cast("long").as("n_tokens"))
+    }),
+    // cross-doc dedup at CDC-CHUNK granularity (planted whole-doc copies:
+    // doc%7==3 takes its predecessor's text, so every chunk of a copy is a
+    // dup) — the incremental-crawl signal "how much of this page's content
+    // already exists", at sub-document resolution
+    "dedup_cdc_chunks" -> ((s, dir) => {
+      val d0 = docs(s, dir)
+      val prev = d0.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("prev_text"))
+      val d = d0.join(prev, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 3, coalesce(col("prev_text"), col("text")))
+            .otherwise(col("text")).as("text"))
+      val ch = TextAnalysis.chunkByContent(d, 16, 5)
+        .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("ch"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("ch")
+        .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+      ch.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
     }),
     // exact-substring duplication signal: fraction of tokens covered by
     // cross-doc duplicated 5-gram spans (boilerplate-tail fixture)
@@ -4539,6 +4560,30 @@ object SparkEntry {
         "SELECT doc_id, CAST(len(chunk_lens) AS BIGINT) AS n_chunks, " +
         "CAST(COALESCE(list_sum(chunk_lens), 0) AS BIGINT) AS total_len " +
         "FROM ch WHERE len(chunk_lens) > 0"),
+    // CDC-chunk dedup mirror: the planted-copy relation feeds the SAME
+    // rolling-hash bound math as text_chunks, chunk text reconstructed by
+    // substr over the bounds, first-occurrence attribution by row_number
+    "dedup_cdc_chunks" ->
+      (rollingHashCte(16, "cp").replaceFirst("^WITH ",
+        "WITH cp AS (SELECT a.doc_id, CASE WHEN a.doc_id % 7 = 3 THEN " +
+          "COALESCE(b.text, a.text) ELSE a.text END AS text " +
+          "FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1), ") +
+        ", bd AS (SELECT doc_id, n, " +
+        "list_concat(list_concat([CAST(0 AS BIGINT)], " +
+        "[CAST(i + 16 AS BIGINT) for i in range(len(hashes)) if hashes[i+1] % 32 = 0]), " +
+        "[CAST(n AS BIGINT)]) AS bounds FROM rh), " +
+        "cx AS (SELECT doc_id, unnest(generate_series(1, len(bounds) - 1)) AS i, " +
+        "bounds, n FROM bd), " +
+        "ck AS (SELECT cx.doc_id, cx.i, md5(substr(cp.text, bounds[i] + 1, " +
+        "least(bounds[i + 1], n) - bounds[i])) AS ch " +
+        "FROM cx JOIN cp ON cx.doc_id = cp.doc_id " +
+        "WHERE bounds[i + 1] > bounds[i] AND bounds[i] < n " +
+        "AND least(bounds[i + 1], n) - bounds[i] > 0), " +
+        "r AS (SELECT doc_id, row_number() OVER (PARTITION BY ch " +
+        "ORDER BY doc_id, i) AS rn FROM ck) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, " +
+        "CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks " +
+        "FROM r GROUP BY 1"),
     // chunk math: stride 48, nc = max(ceil((n-16)/48), 1), chunk i covers
     // 1-based token slots [i·48+1, i·48+64] — all integer arithmetic
     "text_chunk_tokens" ->
