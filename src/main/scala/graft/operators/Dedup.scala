@@ -552,7 +552,11 @@ object Dedup {
       .select(col("id"), graft.functions.HashExpressions.polyHash64(col("s")).as("h"))
     val slotAggs = (0 until k).map(i =>
       min(Sampling.hashRaw(col("h"), i + 1)).as(s"s$i"))
+    // persist: the signature aggregate feeds BOTH sides of the band
+    // self-join — without it the shingle explode + k-min aggregation
+    // re-executes per side (the minhashLshPairs persist rationale)
     val sigs = hashed.groupBy("id").agg(slotAggs.head, slotAggs.tail: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until bands).map { b =>
       struct((lit(b).as("band") +:
         (0 until rows).map(j => col(s"s${b * rows + j}").as(s"v$j"))): _*)

@@ -303,10 +303,16 @@ object Profiling {
       .groupBy("v").agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
     val w = Window.orderBy(col("v").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
+    // totals ride the SAME sorted pass as the cumulative counts (n = the
+    // final cumulative value) — computing them from `u` separately would
+    // re-execute the corpus union scan
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = u.select(sum(col("na")).over(w).as("ca"),
-      sum(col("nb")).over(w).as("cb"))
-    val tot = u.agg(sum(col("na")).as("n"), sum(col("nb")).as("m"))
-    cum.crossJoin(broadcast(tot))
+        sum(col("nb")).over(w).as("cb"))
+      .select(col("ca"), col("cb"),
+        max(col("ca")).over(all).as("n"), max(col("cb")).over(all).as("m"))
+    cum
       .agg(max(col("n")).as("n"), max(col("m")).as("m"),
         max(abs(col("ca") * col("m") - col("cb") * col("n"))).as("ks_num"))
       .select(col("n"), col("m"), col("ks_num"),
