@@ -1297,6 +1297,28 @@ object SparkEntry {
       "(CASE WHEN ov = 1 AND rn <= rem THEN 1 ELSE 0 END) END AS BIGINT) AS alloc " +
       "FROM r)"
 
+  /** Mirror of [[Similarity]]'s fixed-point per-label centroid unit
+    * vectors as a CTE chain ending in `outName(g, v)` — parameterized by a
+    * generation WHERE clause so emb_class_sim and drift_centroid share the
+    * one definition. */
+  private def centroidCtes(outName: String, where: String): String =
+    s"u_$outName AS (SELECT vec_id, label, list_transform(dv, x -> x / nrm) AS v " +
+      "FROM (SELECT vec_id, label, dv, sqrt(list_inner_product(dv, dv)) AS nrm " +
+      "FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dv " +
+      s"FROM embeddings $where)) WHERE nrm > 0), " +
+      s"px_$outName AS (SELECT label AS g, i AS pos, " +
+      s"CAST(floor(v[i] * 1099511627776 + 0.5) AS HUGEINT) AS fx FROM u_$outName, " +
+      "LATERAL (SELECT unnest(generate_series(1, 64)) AS i)), " +
+      s"sm_$outName AS (SELECT g, pos, sum(fx) AS s, CAST(count(*) AS BIGINT) AS n " +
+      s"FROM px_$outName GROUP BY 1, 2), " +
+      s"ct_$outName AS (SELECT g, list(CAST(s AS DOUBLE) / n / 1099511627776.0 " +
+      s"ORDER BY pos) AS mean FROM sm_$outName GROUP BY 1), " +
+      s"$outName AS (SELECT g, list_transform(mean, x -> x / sqrt(" +
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), [m * m for m in mean]), " +
+      s"(p, q) -> p + q))) AS v FROM ct_$outName WHERE " +
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), [m * m for m in mean]), " +
+      "(p, q) -> p + q) > 0)"
+
   /** Map the unsigned mod-2⁶⁴ hash back to the JVM's signed long domain so
     * ORDER BY agrees with Spark's signed comparison. */
   private def signedSql(h: String): String =
@@ -1725,6 +1747,15 @@ object SparkEntry {
           d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
           bucket)
         .withColumn("psi_contrib", round(col("psi_contrib"), 4))
+    }),
+    // embedding-space drift: per-label centroid cosine between generations
+    // (full-outer — appearance/disappearance IS drift)
+    "drift_centroid" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.centroidDrift(e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1), "label")
+        .select(col("label"), round(col("cosine"), 4).as("cosine"),
+          col("in_old"), col("in_new"))
     }),
     // KS drift — the nonparametric sibling of drift_psi: exact integer
     // cross-product CDF distance over the same generation split, one IEEE
@@ -4161,25 +4192,20 @@ object SparkEntry {
     // centroid-map mirror: same unit chain, fixed-point HUGEINT component
     // sums, (s/n)/S mean sequence, 0.0-seeded norm fold, pair inner product
     "emb_class_sim" ->
-      ("WITH u AS (SELECT vec_id, label, list_transform(dv, x -> x / nrm) AS v " +
-        "FROM (SELECT vec_id, label, dv, sqrt(list_inner_product(dv, dv)) AS nrm " +
-        "FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dv " +
-        "FROM embeddings)) WHERE nrm > 0), " +
-        "px AS (SELECT label AS g, i AS pos, " +
-        "CAST(floor(v[i] * 1099511627776 + 0.5) AS HUGEINT) AS fx FROM u, " +
-        "LATERAL (SELECT unnest(generate_series(1, 64)) AS i)), " +
-        "sm AS (SELECT g, pos, sum(fx) AS s, CAST(count(*) AS BIGINT) AS n " +
-        "FROM px GROUP BY 1, 2), " +
-        "ct AS (SELECT g, list(CAST(s AS DOUBLE) / n / 1099511627776.0 " +
-        "ORDER BY pos) AS mean FROM sm GROUP BY 1), " +
-        "cn AS (SELECT g, list_transform(mean, x -> x / sqrt(" +
-        "list_reduce(list_prepend(CAST(0 AS DOUBLE), [m * m for m in mean]), " +
-        "(p, q) -> p + q))) AS v FROM ct WHERE " +
-        "list_reduce(list_prepend(CAST(0 AS DOUBLE), [m * m for m in mean]), " +
-        "(p, q) -> p + q) > 0) " +
+      (s"WITH ${centroidCtes("cn", "")} " +
         "SELECT a.g AS g_a, b.g AS g_b, " +
         "ROUND(list_inner_product(a.v, b.v), 4) AS cosine " +
         "FROM cn a JOIN cn b ON a.g < b.g"),
+    // centroid-drift mirror: the same fixed-point centroid chain once per
+    // generation, full-outer on the group so appear/vanish is visible
+    "drift_centroid" ->
+      (s"WITH ${centroidCtes("ca", "WHERE vec_id % 2 = 0")}, " +
+        s"${centroidCtes("cb", "WHERE vec_id % 2 = 1")} " +
+        "SELECT COALESCE(a.g, b.g) AS label, " +
+        "CASE WHEN a.g IS NOT NULL AND b.g IS NOT NULL THEN " +
+        "ROUND(list_inner_product(a.v, b.v), 4) END AS cosine, " +
+        "a.g IS NOT NULL AS in_old, b.g IS NOT NULL AS in_new " +
+        "FROM ca a FULL OUTER JOIN cb b ON a.g = b.g"),
     // binary-sign mirror: identical sign-bit packing (HUGEINT bit sum folded
     // to the signed 64-bit word), popcount-XOR hamming, top-32 candidates by
     // (hamming, neighbor_id), exact-cosine rerank — candidate sets agree

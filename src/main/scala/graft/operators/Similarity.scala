@@ -392,6 +392,18 @@ object Similarity {
     * group-sized centroid relation. */
   def groupCentroidSim(emb: DataFrame, groupCol: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = groupUnitCentroids(emb, groupCol, idCol, vecCol)
+    cent.select(col("g").as("g_a"), col("cv").as("va"))
+      .join(cent.select(col("g").as("g_b"), col("cv").as("vb")),
+        col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"), dot(col("va"), col("vb")).as("cosine"))
+  }
+
+  /** Per-group fixed-point mean UNIT vector — (g, cv); the shared centroid
+    * machinery of [[groupCentroidSim]] and [[centroidDrift]] (DECIMAL
+    * component sums → bit-identical under any partitioning). */
+  private def groupUnitCentroids(emb: DataFrame, groupCol: String,
+      idCol: String, vecCol: String): DataFrame = {
     val S = FixedPointScale
     val unit = unitVectorsWith(emb, idCol, vecCol, "id", "v",
       Seq(groupCol -> "g"))
@@ -401,7 +413,7 @@ object Similarity {
           .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("fx"))
       .groupBy("g", "pos")
       .agg(sum(col("fx")).as("s"), count(lit(1)).as("n"))
-    val cent = sums
+    sums
       .select(col("g"), struct(col("pos"),
         (col("s").cast("double") / col("n").cast("double") / lit(S.toDouble))
           .as("m")).as("pm"))
@@ -411,10 +423,27 @@ object Similarity {
         sqrt(aggregate(col("mean"), lit(0.0), (a, x) => a + x * x)))
       .filter(col("__nrm") > 0)
       .select(col("g"), transform(col("mean"), x => x / col("__nrm")).as("cv"))
-    cent.select(col("g").as("g_a"), col("cv").as("va"))
-      .join(cent.select(col("g").as("g_b"), col("cv").as("vb")),
-        col("g_a") < col("g_b"))
-      .select(col("g_a"), col("g_b"), dot(col("va"), col("vb")).as("cosine"))
+  }
+
+  /** EMBEDDING DRIFT between two snapshot generations, per group: the
+    * cosine between each group's old and new centroid unit vectors — the
+    * embedding-space face of the PSI/KS feature monitors ("did class 7's
+    * meaning move between releases, and did any class appear/vanish").
+    * Same exactness story as [[groupCentroidSim]] (fixed-point DECIMAL
+    * sums, one IEEE chain per component); groups present on only one side
+    * emit a NULL cosine with the membership flags set — appearance/
+    * disappearance is drift too, never silently dropped. */
+  def centroidDrift(oldEmb: DataFrame, newEmb: DataFrame, groupCol: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = groupUnitCentroids(oldEmb, groupCol, idCol, vecCol)
+      .select(col("g"), col("cv").as("va"))
+    val b = groupUnitCentroids(newEmb, groupCol, idCol, vecCol)
+      .select(col("g"), col("cv").as("vb"))
+    a.join(b, Seq("g"), "full_outer")
+      .select(col("g").as(groupCol),
+        when(col("va").isNotNull && col("vb").isNotNull,
+          dot(col("va"), col("vb"))).otherwise(lit(null)).as("cosine"),
+        col("va").isNotNull.as("in_old"), col("vb").isNotNull.as("in_new"))
   }
 
   /** Inverse of [[quantize]]: q_i · scale, an `array<double>` usable by every

@@ -2476,6 +2476,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1) == (2L, "aa", "a", 1L))
   }
 
+  test("centroid drift: identical generations give cosine 1, membership flags track") {
+    import graft.operators.Similarity
+    val same = Similarity.centroidDrift(emb, emb, "label")
+      .as[(Long, Option[Double], Boolean, Boolean)].collect()
+    assert(same.forall { case (_, c, o, n) =>
+      o && n && math.abs(c.get - 1.0) < 1e-12 })
+    // a label present on one side only: NULL cosine, flags expose it
+    val drift = Similarity.centroidDrift(
+        emb.filter(col("label") =!= 3), emb.filter(col("label") =!= 5), "label")
+      .as[(Long, Option[Double], Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(drift(3L) == ((None, false, true)))
+    assert(drift(5L) == ((None, true, false)))
+    assert(drift(1L)._1.isDefined)
+  }
+
   test("JSONL source: round-trips the corpus, counts corrupt lines, drops them") {
     import graft.sources.DocumentsJsonl
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
