@@ -1228,21 +1228,28 @@ object SparkEntry {
     * lowercase word forms run the merges in rank order (each merge a
     * scalar-subquery `replace` over the 1-row `b_r`), any other token
     * counts one piece. */
-  private def bpeApplyOracleSql(rounds: Int): String = {
+  /** Learning + application CTE chain ending in `bn(doc_id, n_tokens, n)` —
+    * per-doc token and learned-BPE piece counts; shared by the apply and
+    * pack-on-learned-counts mirrors. */
+  private def bpeApplyCtes(rounds: Int): String = {
     val sp = "chr(31)"
     val rep = (1 to rounds).foldLeft(
       s"regexp_replace(w, '(.)', $sp || '\\1' || $sp, 'g')") { (acc, r) =>
       s"replace($acc, (SELECT $sp || lhs || $sp || $sp || rhs || $sp FROM b_$r), " +
         s"(SELECT $sp || lhs || rhs || $sp FROM b_$r))"
     }
-    s"WITH ${bpeLearnCtes(rounds)}, " +
+    s"${bpeLearnCtes(rounds)}, " +
       s"dw AS (SELECT doc_id, unnest($RawToks) AS w FROM documents WHERE $TokN > 0), " +
       s"pc AS (SELECT doc_id, CASE WHEN regexp_matches(w, '^[a-z]+$$') " +
       s"THEN len(string_split(substr($rep, 2, length($rep) - 2), $sp || $sp)) " +
-      "ELSE 1 END AS p FROM dw) " +
-      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
-      "CAST(sum(p) AS BIGINT) AS n_pieces FROM pc GROUP BY doc_id"
+      "ELSE 1 END AS p FROM dw), " +
+      "bn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(p) AS BIGINT) AS n FROM pc GROUP BY doc_id)"
   }
+
+  private def bpeApplyOracleSql(rounds: Int): String =
+    s"WITH ${bpeApplyCtes(rounds)} " +
+      "SELECT doc_id, n_tokens, n AS n_pieces FROM bn"
 
   /** The [[graft.operators.Eval.rankingMetrics]] metric block as SQL: given
     * a ranked CTE (query_id, `docCol`, rank) and a ground-truth CTE
@@ -2405,6 +2412,17 @@ object SparkEntry {
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeEncodedCounts(d, merges)
+    }),
+    // the packer driven by the LEARNED tokenizer's counts — learn → apply →
+    // pack, end to end (budget 512 pieces, 8 shards)
+    "sample_pack_learned" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextAnalysis.bpeLearnMerges(d, 12)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Sampling.packSequences(d, "doc_id",
+          SubwordExpressions.bpeCountPieces(col("text"), merges), 512L, 8)
+        .select("doc_id", "shard", "seq_id", "tok_offset")
     }),
     // the NATIVE zero-shuffle apply path behind the SAME oracle — the
     // sequential-merge scalar expression must reproduce the chained-replace
@@ -4410,6 +4428,16 @@ object SparkEntry {
     "text_bpe_apply" -> bpeApplyOracleSql(12),
     // the native fast path answers to the IDENTICAL mirror
     "text_bpe_apply_fast" -> bpeApplyOracleSql(12),
+    // pack-on-learned-counts: the sample_pack recurrence over the learned
+    // per-doc piece counts
+    "sample_pack_learned" ->
+      (s"WITH ${bpeApplyCtes(12)} " +
+        "SELECT doc_id, shard, CAST((cum - n) // 512 AS BIGINT) AS seq_id, " +
+        "CAST((cum - n) % 512 AS BIGINT) AS tok_offset FROM (" +
+        s"SELECT doc_id, ${pmSql(HashRaw, "8")} AS shard, n, " +
+        s"sum(n) OVER (PARTITION BY ${pmSql(HashRaw, "8")} ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum " +
+        "FROM documents JOIN bn USING (doc_id) WHERE n > 0)"),
     // pack-and-split recurrence on REAL subword counts: per-doc piece count
     // from the same encoding CTE, then the sample_pack prefix-sum positions
     "sample_pack_bpe" ->
