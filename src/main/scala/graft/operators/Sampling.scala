@@ -500,8 +500,12 @@ object Sampling {
       weight: Column): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     import org.apache.spark.sql.expressions.Window
+    // persist: the K-row count relation feeds the interval solve, the
+    // totals AND the final alloc projection — without it the corpus
+    // aggregation re-executes per consumer (plan-pinned to one scan)
     val counts = df.groupBy(col(keyCol).as("key"))
       .agg(sum(weight.cast("long")).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ord = Window.orderBy(col("c").asc, col("key").asc)
     val o = counts
       .withColumn("i", row_number().over(ord).cast("long"))

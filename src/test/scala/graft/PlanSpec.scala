@@ -1039,6 +1039,28 @@ class PlanSpec extends AnyFunSuite {
       s"the native apply must not explode tokens:\n$plan")
   }
 
+  test("water-filling: the K-row count relation is cached — every consumer " +
+      "reads the one corpus aggregation, never re-scanning") {
+    try {
+      val df = SparkEntry.queries("sample_waterfill")(spark, "/root/testdata/sf0.001")
+      val plan = executedPlan(df)
+      // the count aggregate is persisted; its three consumers (interval
+      // solve, totals, final alloc projection) must all read the cache
+      assert("InMemoryTableScan".r.findAllIn(plan).length >= 2,
+        s"count relation consumers must share the cache:\n$plan")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("centroid drift: per-generation aggregation, keyed full-outer — no products") {
+    val df = SparkEntry.queries("drift_centroid")(spark, "/root/testdata/sf0.001")
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"centroid drift must never form a product:\n$plan")
+    assert(plan.contains("FullOuter") || plan.contains("full_outer") ||
+      plan.contains("FullOuterJoin") || plan.toLowerCase.contains("fullouter"),
+      s"group membership must ride a full-outer join:\n$plan")
+  }
+
   test("banding eval: candidates come from keyed equi-joins — no products") {
     val df = SparkEntry.queries("dedup_banding_eval")(spark, "/root/testdata/sf0.001")
     val plan = executedPlan(df)
