@@ -1977,6 +1977,17 @@ object SparkEntry {
 
     // ----- training-data-pipeline extensions -----
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    // templated machine-generated pages: digit-masked fingerprints group
+    // "order #1234 shipped..." with "order #9871 shipped..." — the
+    // boilerplate class both exact dedup and shingling underweight
+    "dedup_template" -> ((s, dir) =>
+      TextAnalysis.templateGroups(
+        docs(s, dir).withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(lit("Order "), col("doc_id").cast("string"),
+              lit(" shipped to customer "), (col("doc_id") * 7).cast("string"),
+              lit(" on day "), (col("doc_id") % 28).cast("string")))
+            .otherwise(col("text"))))),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5)),
     // the AUDIT lens: for every near-dup pair, the 3 rarest shared
     // shingles — human-reviewable evidence for WHY two documents matched
@@ -2289,6 +2300,9 @@ object SparkEntry {
           col("rank").cast("long").as("rank"),
           round(col("adc"), 4).as("adc"))),
     "text_stats" -> ((s, dir) => TextAnalysis.analyze(docs(s, dir))),
+    // Flesch reading-ease with deterministic counters (sentence runs,
+    // vowel-group syllables) — the readability face of the quality family
+    "text_flesch" -> ((s, dir) => TextAnalysis.fleschSignals(docs(s, dir))),
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"),
@@ -3677,6 +3691,17 @@ object SparkEntry {
     "dedup_exact" ->
       (s"SELECT md5(regexp_replace(lower(trim(text, '$SqlWs')), '\\s+', ' ', 'g')) AS fingerprint, " +
         "MIN(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1"),
+    // template mirror: digits masked BEFORE whitespace collapse, same
+    // planted notification pages
+    "dedup_template" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN " +
+        "'Order ' || CAST(doc_id AS VARCHAR) || ' shipped to customer ' || " +
+        "CAST(doc_id * 7 AS VARCHAR) || ' on day ' || CAST(doc_id % 28 AS VARCHAR) " +
+        "ELSE text END AS text FROM documents) " +
+        s"SELECT md5(regexp_replace(regexp_replace(lower(trim(text, '$SqlWs')), " +
+        "'[0-9]+', '#', 'g'), '\\s+', ' ', 'g')) AS template_md5, " +
+        "MIN(doc_id) AS keep_id, count(*) AS n_docs FROM d " +
+        "GROUP BY 1 HAVING count(*) > 1"),
     "dedup_ngram" -> JaccardPairsSql,
     // prefix filtering is LOSSLESS, so its mirror IS the brute-force pair
     // spec — the oracle equality proves the candidate pruning drops nothing
@@ -4649,6 +4674,19 @@ object SparkEntry {
         "md5(array_to_string(toks[chunk_id*48 + 1 : chunk_id*48 + 64], ' ')) AS chunk_md5, " +
         "CAST(length(array_to_string(toks[chunk_id*48 + 1 : chunk_id*48 + 64], ' ')) AS BIGINT) " +
         "AS chunk_len FROM e"),
+    // flesch mirror: identical counters (sentence runs, per-token vowel
+    // groups with the min-1 floor) and the identical IEEE op order
+    "text_flesch" ->
+      (s"WITH f AS (SELECT doc_id, CAST($TokN AS BIGINT) AS n_words, " +
+        "greatest(CAST(COALESCE(len(regexp_extract_all(text, '[.!?]+')), 0) AS BIGINT), 1) AS n_sentences, " +
+        s"CAST(CASE WHEN $TokN > 0 THEN list_reduce(list_prepend(0, " +
+        s"[greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1) for t in $LowerToks]), " +
+        "(a, b) -> a + b) ELSE 0 END AS BIGINT) AS n_syllables FROM documents) " +
+        "SELECT doc_id, n_words, n_sentences, n_syllables, " +
+        "CASE WHEN n_words > 0 THEN ROUND(206.835 - " +
+        "1.015 * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) - " +
+        "84.6 * CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 4) " +
+        "END AS flesch FROM f"),
     "text_tokens" ->
       (s"SELECT doc_id, CAST(CASE WHEN length(trim(text, '$SqlWs')) = 0 THEN 0 ELSE len($RawToks) END AS BIGINT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[^a-zA-Z\\s]+')) AS BIGINT) AS n_bpeish " +

@@ -261,6 +261,66 @@ object TextAnalysis {
           coalesce(size(col("__kept")), lit(0))).cast("long").as("n_removed"))
   }
 
+  /** Flesch reading-ease SIGNALS (Flesch 1948 via the standard
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) formula)
+    * with fully deterministic, engine-portable counters: sentences =
+    * maximal runs of [.!?] (min 1 — headline-style text is one sentence),
+    * words = the engine token contract, syllables = vowel GROUPS
+    * ([aeiouy]+ runs per lowercased token, min 1 per alphabetic token —
+    * the classic heuristic; no dictionary, so both engines agree exactly).
+    * Emits the raw integer counters beside the round-4 score: the counters
+    * are the auditable signal, the score the familiar scale. Empty docs
+    * emit NULL score. One narrow codegen'd map — no shuffle. */
+  def fleschSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val nW = tokenCount(col(textCol)).cast("long")
+    val nS = greatest(
+      coalesce(size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))),
+        lit(0)).cast("long"),
+      lit(1L))
+    // per-token vowel groups; a token with none (digits, punctuation)
+    // counts one syllable — keeps the ratio defined on any token mix
+    val nSyl = aggregate(
+      tokens(lower(col(textCol))),
+      lit(0L),
+      (acc, t) => acc +
+        greatest(size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0)))
+          .cast("long"), lit(1L)))
+    docs.select(col(idCol), nW.as("n_words"), nS.as("n_sentences"),
+        nSyl.as("n_syllables"))
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        when(col("n_words") > 0, col("n_syllables")).otherwise(lit(0L))
+          .as("n_syllables"),
+        when(col("n_words") > 0,
+          round(lit(206.835) -
+            lit(1.015) * col("n_words").cast("double") /
+              col("n_sentences").cast("double") -
+            lit(84.6) * col("n_syllables").cast("double") /
+              col("n_words").cast("double"), 4))
+          .otherwise(lit(null)).as("flesch"))
+  }
+
+  /** TEMPLATED-document detection: exact dedup on the DIGIT-MASKED
+    * normalized text — "order #1234 shipped on 2026-01-02" and
+    * "order #9871 shipped on 2026-03-15" share a template fingerprint
+    * while plain exact dedup sees two distinct documents. Machine-generated
+    * notification/listing/log pages are the single biggest boilerplate
+    * class exact and even near-dup shingling underweight (every digit
+    * shingle differs). Returns one row per template with >1 member:
+    * (template_md5, n_docs, keep_id — lowest member id). Same scale shape
+    * as exact dedup: the exchange moves 16-byte hashes, never text. */
+  def templateGroups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(
+        md5(regexp_replace(
+          regexp_replace(lower(trim(col(textCol), WsCharsRaw)),
+            "[0-9]+", "#"),
+          s"$WsClass+", " ").cast("binary")).as("template_md5"),
+        col(idCol))
+      .groupBy("template_md5")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+
   /** Document fingerprint: md5 of the normalized (lowercased, trimmed,
     * whitespace-collapsed) text — the exact-dedup key. */
   def fingerprint(text: Column): Column =

@@ -2476,6 +2476,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1) == (2L, "aa", "a", 1L))
   }
 
+  test("template groups: digit-masked pages group; distinct content does not") {
+    val fix = Seq(
+      (1L, "Order 123 shipped on day 4."),
+      (2L, "order   9981 SHIPPED on day 28."), // case/ws/digits differ — same template
+      (3L, "Order 77 returned on day 3."),     // different words — different template
+      (4L, "completely unrelated text")).toDF("doc_id", "text")
+    val got = TextAnalysis.templateGroups(fix)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._2, r._3)) == Seq((1L, 2L))) // one group: docs 1+2
+  }
+
+  test("flesch signals: hand-computed counters and score") {
+    // "the cat sat. it ran away!" → 6 words, 2 sentences, syllables:
+    // the=1 cat=1 sat.=1 it=1 ran=1 away!=2 (a,a-y? 'away' → a, ay → 2) = 7
+    val fix = Seq((1L, "the cat sat. it ran away!"), (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.fleschSignals(fix)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    val score = math.rint((206.835 - 1.015 * 6.0 / 2.0 - 84.6 * 7.0 / 6.0) * 10000) / 10000
+    assert(got(0) == ((1L, 6L, 2L, 7L, Some(score))))
+    assert(got(1) == ((2L, 0L, 1L, 0L, None)))
+  }
+
   test("centroid drift: identical generations give cosine 1, membership flags track") {
     import graft.operators.Similarity
     val same = Similarity.centroidDrift(emb, emb, "label")
