@@ -2059,6 +2059,22 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
     "dedup_cluster" -> ((s, dir) =>
       Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5))),
+    // the CHAINING audit: per near-dup cluster, member/edge counts and the
+    // weakest edge — a big cluster held together by a 0.51-Jaccard bridge
+    // is a transitive-merge artifact, not a duplicate family
+    "dedup_cluster_diameter" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cc = Dedup.connectedComponents(pairs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = cc.groupBy("component").agg(count(lit(1)).as("n_members"))
+      val edges = pairs
+        .join(cc.withColumnRenamed("id", "id_a"), Seq("id_a"))
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_edges"),
+          round(min(col("jaccard")), 4).as("min_edge_jaccard"))
+      sizes.join(edges, Seq("component"))
+    }),
     // duplication DEPTH, not just membership: the cluster-size histogram
     // ("how many 2-clusters vs 50-doc boilerplate blobs") — the number that
     // decides whether near-dup removal is a trim or a massacre
@@ -3908,6 +3924,17 @@ object SparkEntry {
     // transitive closure over the same pair set: component = min reachable id
     "dedup_cluster" ->
       s"$ClusterComponentsCte SELECT id, component FROM comp",
+    // chaining-audit mirror: the shared recursive closure + the pair
+    // relation it was built from, rolled up per component
+    "dedup_cluster_diameter" ->
+      (s"$ClusterComponentsCte, " +
+        "cs AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members " +
+        "FROM comp GROUP BY 1), " +
+        "ej AS (SELECT c.component, CAST(count(*) AS BIGINT) AS n_edges, " +
+        "ROUND(min(p.jaccard), 4) AS min_edge_jaccard " +
+        "FROM p JOIN comp c ON p.id_a = c.id GROUP BY 1) " +
+        "SELECT component, n_members, n_edges, min_edge_jaccard " +
+        "FROM cs JOIN ej USING (component)"),
     // duplication-depth histogram: component sizes rolled up twice
     "dedup_cluster_sizes" ->
       (s"$ClusterComponentsCte, cs AS (SELECT component, " +
