@@ -810,4 +810,35 @@ object PropertySpec extends Properties("graft") {
       }.toMap
       got == want
     }
+
+  // water-filling vs the naive model: allocate by raising an integer level
+  // one unit at a time (the textbook definition), remainder +1 to the first
+  // unsaturated keys in key order — the closed-form windowed solve must
+  // reproduce it for any count map and budget
+  property("waterfillAlloc equals the unit-step naive model") =
+    forAll(
+      Gen.nonEmptyMap(Gen.zip(
+        Gen.choose(0, 25).map(i => s"k$i"), Gen.choose(1, 40))),
+      Gen.choose(0L, 120L)) { (counts, budget) =>
+      def naive(c: Map[String, Int], b: Long): Map[String, Long] = {
+        val total = c.values.map(_.toLong).sum
+        if (b >= total) return c.map { case (k, v) => k -> v.toLong }
+        var lvl = 0L
+        while (c.values.map(v => math.min(v.toLong, lvl + 1)).sum <= b) lvl += 1
+        val base = c.map { case (k, v) => k -> math.min(v.toLong, lvl) }
+        var rem = b - base.values.sum
+        val bumped = c.keys.toSeq.sorted.foldLeft(base) { (acc, k) =>
+          if (rem > 0 && c(k) > lvl) { rem -= 1; acc.updated(k, acc(k) + 1) }
+          else acc
+        }
+        bumped
+      }
+      val df = counts.toSeq
+        .flatMap { case (k, n) => (1 to n).map(i => (k, i)) }
+        .toDF("src", "i")
+      val got = Sampling.waterfillAlloc(df, "src", budget)
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+      got == naive(counts, budget)
+    }
 }
