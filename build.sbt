@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures the LAST ~2000 chars of `sbt runMain` stdout and
+// json.loads the bench line. Two sbt default behaviors broke that parse in
+// every round 1–12: the forked program's stdout was re-logged with an
+// "[info] " prefix, and sbt appended "[success] Total time: ..." AFTER the
+// final JSON line. Route forked stdout through unchanged and drop the
+// success epilogue so the bench compact line is the true last line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude it
+// from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -2,7 +2,7 @@ package graft
 
 import graft.model.{AggregationSpec, RollupSpec}
 import graft.functions.SubwordExpressions
-import graft.operators.{Anomaly, Dedup, Eval, FuzzyString, GapFill, HeavyHitters, Layout, Multimodal, Profiling, Relational, Sampling, Sessions, Similarity, Sketches, Snapshot, TextAnalysis}
+import graft.operators.{Anomaly, Dedup, Eval, FuzzyString, GapFill, HeavyHitters, Layout, Lineage, Multimodal, Profiling, Relational, Sampling, Sessions, Similarity, Sketches, Snapshot, TextAnalysis}
 import graft.plan.RuleCompiler
 import graft.sources.{EnvelopeJson, EventsAdapter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -206,12 +206,25 @@ object SparkEntry {
 
   private val ShinglesCte = shinglesCte(3)
 
+  /** Exact n-gram Jaccard pairs via the shingle EQUI-JOIN (inverted-index
+    * form), not the n² cross-self-join with per-pair list_intersect: only
+    * pairs sharing ≥ 1 shingle are enumerated (a 0-intersection pair has
+    * J = 0 < 0.5 and never appears either way), |A∩B| = the co-occurrence
+    * count over DISTINCT shingles, |A|/|B| from the size relation — the
+    * same integers, so the DOUBLE division is bit-identical to the list
+    * form. The quadratic original cost 6-8 s per mirror at sf0.01 and this
+    * fragment feeds ~9 of them (cluster family, survivors, split-safe,
+    * leakage audit, minhash/ngram/prefix). */
   private val JaccardPairsSql =
-    s"$ShinglesCte SELECT id_a, id_b, jaccard FROM (" +
+    s"$ShinglesCte, e AS (SELECT doc_id, unnest(sh) AS s FROM t), " +
+      "szj AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1) " +
+      "SELECT id_a, id_b, jaccard FROM (" +
       "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
-      "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard " +
-      "FROM t a JOIN t b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5"
+      "CAST(count(*) AS DOUBLE) / " +
+      "(any_value(sa.n) + any_value(sb.n) - count(*)) AS jaccard " +
+      "FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id " +
+      "JOIN szj sa ON sa.doc_id = a.doc_id JOIN szj sb ON sb.doc_id = b.doc_id " +
+      "GROUP BY a.doc_id, b.doc_id) WHERE jaccard >= 0.5"
 
   /** Dense per-tenant hourly signup grid: `a` = observed hourly counts, `g` =
     * every hour between each tenant's first and last observed window — the
@@ -782,6 +795,11 @@ object SparkEntry {
         // dropEmpty mirror — provably a no-op here (quality guarantees ≥ 15
         // tokens) but kept so the fragment stays an exact packSequences mirror
         s"ROWS UNBOUNDED PRECEDING) AS cum FROM sn WHERE $TokN > 0)"
+    // every named CTE here ends up MATERIALIZED via the registry-wide
+    // [[materializeCtes]] rewrite — this chain is the worst offender it
+    // exists for (dsh feeds bench/bad/psh; qf feeds dsh and dc; ld feeds
+    // ql0/qg2/qg3/qf; cc feeds ldx and ld — inlined, the whole
+    // C4→dedup→quality prefix re-executed ~10×: 488 s → 0.8 s measured)
     "WITH RECURSIVE " +
       Seq(fixture, c4, lineDedup, quality, decontam, split, export).mkString(", ") +
       " SELECT CAST(shard AS BIGINT) AS shard, seq_id, " +
@@ -1012,9 +1030,15 @@ object SparkEntry {
       s"bd AS ($bd), " +
       "c AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
       s"FROM bd a JOIN bd b ON a.band = b.band AND $on AND a.doc_id < b.doc_id), " +
-      "tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM t a JOIN t b " +
-      "ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
-      "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5), " +
+      // ground truth in the shingle equi-join form (see JaccardPairsSql) —
+      // the n² list_intersect original was this mirror's whole cost
+      "szj AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1), " +
+      "tr AS (SELECT id_a, id_b FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(count(*) AS DOUBLE) / " +
+      "(any_value(sa.n) + any_value(sb.n) - count(*)) AS j " +
+      "FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id " +
+      "JOIN szj sa ON sa.doc_id = a.doc_id JOIN szj sb ON sb.doc_id = b.doc_id " +
+      "GROUP BY a.doc_id, b.doc_id) WHERE j >= 0.5), " +
       "m AS (SELECT CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_c, " +
       "CASE WHEN tr.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_t " +
       "FROM c FULL JOIN tr ON c.id_a = tr.id_a AND c.id_b = tr.id_b) " +
@@ -1250,6 +1274,138 @@ object SparkEntry {
   private def bpeApplyOracleSql(rounds: Int): String =
     s"WITH ${bpeApplyCtes(rounds)} " +
       "SELECT doc_id, n_tokens, n AS n_pieces FROM bn"
+
+  // ------------------------------------------- unigram-LM tokenizer mirrors
+
+  private val UnigramMaxWordLen = 16
+  private val UnigramMaxPieceLen = 4
+
+  /** Exact mirror of [[graft.functions.UnigramExpressions.logFp]] over a
+    * keyed relation `src(key, x)` → `$prefix(key, acc)`: e from the binary
+    * bit length (printf('%b') — no IEEE log anywhere), then `fracBits`
+    * unrolled renormalizing shift-square steps in HUGEINT (m ≤ 2^(e+1), so
+    * m² ≤ 2^126 fits; `//` and `<<` on HUGEINT are exact). Each step's
+    * floor-truncation is part of the shared spec, so acc equals the JVM
+    * BigInt computation bit for bit. */
+  private def unigramLogCtes(prefix: String, src: String, fracBits: Int): String = {
+    val head = s"${prefix}0 AS (SELECT key, " +
+      "CAST(1 AS HUGEINT) << (2 * e + 1) AS th, " +
+      "CAST(1 AS HUGEINT) << e AS d0, CAST(1 AS HUGEINT) << (e + 1) AS d1, " +
+      "CAST(x AS HUGEINT) AS m, CAST(e AS BIGINT) AS acc " +
+      s"FROM (SELECT key, x, length(printf('%b', x)) - 1 AS e FROM $src))"
+    val steps = (1 to fracBits).map { i =>
+      s"$prefix$i AS (SELECT key, th, d0, d1, " +
+        "CASE WHEN m * m >= th THEN (m * m) // d1 ELSE (m * m) // d0 END AS m, " +
+        "acc * 2 + CASE WHEN m * m >= th THEN 1 ELSE 0 END AS acc " +
+        s"FROM $prefix${i - 1})"
+    }
+    (head +: steps).mkString(", ") +
+      s", $prefix AS (SELECT key, acc FROM $prefix$fracBits)"
+  }
+
+  /** Piece-cost table from a vocab CTE `vocab(piece, cnt)` →
+    * `$prefix(piece, cost)`: cost = logFp(Σ cnt) − logFp(cnt), the '' key
+    * carrying the total (pieces are never empty). */
+  private def unigramCostCtes(vocabCte: String, prefix: String,
+      fracBits: Int): String =
+    // the total rides as BIGINT: DuckDB's sum() yields HUGEINT, which
+    // printf('%b') can't format (and would silently retype x via the UNION)
+    s"${prefix}in AS (SELECT piece AS key, cnt AS x FROM $vocabCte " +
+      s"UNION ALL SELECT '', CAST(sum(cnt) AS BIGINT) FROM $vocabCte), " +
+      unigramLogCtes(s"${prefix}lg", s"${prefix}in", fracBits) + ", " +
+      s"$prefix AS (SELECT l.key AS piece, t.acc - l.acc AS cost " +
+      s"FROM ${prefix}lg l, (SELECT acc FROM ${prefix}lg WHERE key = '') t " +
+      "WHERE l.key <> '')"
+
+  /** Viterbi DP over the distinct-word relation `uw(w, freq)` under a cost
+    * CTE `pc(piece, cost)` → `${prefix}seg(w, np, path)`: dp state i =
+    * best (cost, np, path) for the length-i prefix, candidates extend
+    * states i−maxPieceLen..i−1 by the matching piece, argmin per word via
+    * row_number ORDER BY (cost, np, path) — DuckDB's elementwise VARCHAR[]
+    * order equals the JVM's pure-ASCII sequence compare, so the unique
+    * optimum agrees. Words surface at their exact length's state. */
+  private def unigramDpCtes(prefix: String, pcCte: String): String = {
+    val dp0 = s"${prefix}0 AS (SELECT w, CAST(0 AS BIGINT) AS cost, " +
+      "0 AS np, CAST([] AS VARCHAR[]) AS path FROM uw)"
+    val dps = (1 to UnigramMaxWordLen).map { i =>
+      val branches = (math.max(0, i - UnigramMaxPieceLen) until i).map { j =>
+        s"SELECT d.w, d.cost + pc.cost AS cost, d.np + 1 AS np, " +
+          s"list_append(d.path, pc.piece) AS path FROM $prefix$j d " +
+          s"JOIN $pcCte pc ON length(d.w) >= $i " +
+          s"AND pc.piece = substring(d.w, ${j + 1}, ${i - j})"
+      }.mkString(" UNION ALL ")
+      s"$prefix$i AS (SELECT w, cost, np, path FROM (" +
+        "SELECT w, cost, np, path, row_number() OVER (" +
+        "PARTITION BY w ORDER BY cost, np, path) AS rn " +
+        s"FROM ($branches)) WHERE rn = 1)"
+    }
+    val seg = (1 to UnigramMaxWordLen).map(i =>
+      s"SELECT w, np, path FROM $prefix$i WHERE length(w) = $i")
+      .mkString(" UNION ALL ")
+    (dp0 +: dps).mkString(", ") + s", ${prefix}seg AS ($seg)"
+  }
+
+  /** One EM round r: costs from vocab `uv{r-1}`, Viterbi-segment every
+    * word, re-count pieces by corpus word frequency, floor unused single
+    * chars at 1 (coverage — the SentencePiece never-prune-singles rule),
+    * prune everything else unused → `uv$r(piece, cnt)`. */
+  private def unigramRoundCtes(r: Int, fracBits: Int): String =
+    unigramCostCtes(s"uv${r - 1}", s"upc$r", fracBits) + ", " +
+      unigramDpCtes(s"udp${r}_", s"upc$r") + ", " +
+      s"uec$r AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (" +
+      s"SELECT u.freq, unnest(s.path) AS piece FROM udp${r}_seg s " +
+      "JOIN uw u USING (w)) GROUP BY 1), " +
+      s"uv$r AS (SELECT piece, cnt FROM uec$r UNION ALL " +
+      s"SELECT piece, CAST(1 AS BIGINT) AS cnt FROM uv${r - 1} " +
+      s"WHERE length(piece) = 1 AND piece NOT IN (SELECT piece FROM uec$r))"
+
+  /** Base CTEs: the distinct-word relation under the shared tokens
+    * contract (the `^[a-z]{1,16}$` learning scope of
+    * [[TextAnalysis.unigramLearn]]), the weighted substring seed scores,
+    * and the seed vocab = top `seedSize` by (score DESC, piece ASC) ∪ all
+    * single characters. */
+  private def unigramBaseCtes(seedSize: Int): String =
+    s"uw AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM " +
+      s"(SELECT unnest($RawToks) AS w FROM documents) " +
+      s"WHERE regexp_matches(w, '^[a-z]{1,$UnigramMaxWordLen}$$') GROUP BY w), " +
+      "usd AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (" +
+      "SELECT substring(w, p, n) AS piece, freq FROM uw, " +
+      "LATERAL (SELECT unnest(generate_series(1, length(w))) AS p), " +
+      s"LATERAL (SELECT unnest(generate_series(1, " +
+      s"least($UnigramMaxPieceLen, length(w) - p + 1))) AS n)) GROUP BY 1), " +
+      "usr AS (SELECT piece, cnt, row_number() OVER (" +
+      "ORDER BY cnt DESC, piece ASC) AS rn FROM usd), " +
+      s"uv0 AS (SELECT piece, cnt FROM usr " +
+      s"WHERE rn <= $seedSize OR length(piece) = 1)"
+
+  /** Full replay of [[TextAnalysis.unigramLearn]] → the final ranked piece
+    * table with counts and quantized costs. */
+  private def unigramPiecesOracleSql(rounds: Int, seedSize: Int,
+      fracBits: Int): String =
+    s"WITH ${unigramBaseCtes(seedSize)}, " +
+      (1 to rounds).map(unigramRoundCtes(_, fracBits)).mkString(", ") + ", " +
+      unigramCostCtes(s"uv$rounds", "upcf", fracBits) +
+      " SELECT CAST(row_number() OVER (ORDER BY v.cnt DESC, v.piece ASC) " +
+      "AS BIGINT) AS rank, v.piece, v.cnt AS count, c.cost AS cost_fp " +
+      s"FROM uv$rounds v JOIN upcf c USING (piece)"
+
+  /** Learning + one more DP under the FINAL costs, applied per document:
+    * `^[a-z]{1,16}$` tokens take their Viterbi piece count, any other token
+    * counts 1 — the [[TextAnalysis.unigramEncodedCounts]] contract. */
+  private def unigramApplyOracleSql(rounds: Int, seedSize: Int,
+      fracBits: Int): String =
+    s"WITH ${unigramBaseCtes(seedSize)}, " +
+      (1 to rounds).map(unigramRoundCtes(_, fracBits)).mkString(", ") + ", " +
+      unigramCostCtes(s"uv$rounds", "upcf", fracBits) + ", " +
+      unigramDpCtes("udpa_", "upcf") + ", " +
+      s"awd AS (SELECT doc_id, toks[i] AS w FROM " +
+      s"(SELECT doc_id, $RawToks AS toks FROM documents), " +
+      "LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) " +
+      "WHERE toks[i] <> '') " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(CASE WHEN regexp_matches(w, " +
+      s"'^[a-z]{1,$UnigramMaxWordLen}$$') THEN s.np ELSE 1 END) AS BIGINT) " +
+      "AS n_pieces FROM awd LEFT JOIN udpa_seg s USING (w) GROUP BY doc_id"
 
   /** The [[graft.operators.Eval.rankingMetrics]] metric block as SQL: given
     * a ranked CTE (query_id, `docCol`, rank) and a ground-truth CTE
@@ -2464,6 +2620,29 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeEncodedCountsFast(d, merges)
     }),
+    // UNIGRAM-LM tokenizer LEARNING (Kudo 2018, SentencePiece family;
+    // Viterbi-EM) — the piece-probability table the other modern tokenizer
+    // family ships: substring seeding, 2 EM rounds of fixed-point Viterbi
+    // segmentation + count re-estimation, single-char coverage floor. The
+    // oracle replays seed, both EM rounds, the shift-square log₂, and the
+    // final cost table exactly
+    "text_unigram_pieces" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = TextAnalysis.unigramLearn(docs(s, dir), rounds = 2, seedSize = 120)
+      val cost = graft.functions.UnigramExpressions.costs(vocab.toMap, 6)
+      vocab.zipWithIndex.map { case ((p, c), i) => (i + 1L, p, c, cost(p)) }
+        .toDF("rank", "piece", "count", "cost_fp")
+    }),
+    // the learned unigram vocab APPLIED: per-doc token and Viterbi piece
+    // counts via the native zero-shuffle expression (the bpe_apply_fast
+    // plan shape); the oracle replays the same DP with the same quantized
+    // costs, so a single mis-segmented word anywhere fails the gate
+    "text_unigram_apply" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = TextAnalysis.unigramLearn(d, rounds = 2, seedSize = 120)
+      val cost = graft.functions.UnigramExpressions.costs(vocab.toMap, 6)
+      TextAnalysis.unigramEncodedCounts(d, cost)
+    }),
     // the packing/budget path driven by REAL subword counts instead of the
     // whitespace proxy — same pack-and-split recurrence as sample_pack,
     // n = greedy-encoded piece count per document
@@ -2510,6 +2689,27 @@ object SparkEntry {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"),
           sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+    }),
+    // PARAGRAPH-level decontamination attribution: hosts are doubled own
+    // text (doc-level overlap dilutes toward ~1/3 even for a full planted
+    // quote — and arbitrarily lower for longer hosts), doc_id % 13 == 5
+    // hosts embed their bucket's benchmark item verbatim mid-document; the
+    // CDC-chunked span report catches the quoted paragraph at overlap ≈ 1
+    // regardless of host length. Oracle replays chunking, shingling and
+    // scoring exactly
+    "report_contam_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+      val host = d.filter(col("doc_id") % 50 =!= 0)
+        .join(bench.select(col("doc_id").as("bid"), col("text").as("btext")),
+          col("doc_id") - col("doc_id") % 50 === col("bid"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 5 && col("btext").isNotNull,
+            concat_ws(" ", col("text"), col("btext"), col("text")))
+            .otherwise(concat_ws(" ", col("text"), col("text"))).as("text"))
+      Dedup.contaminationSpans(host, bench, 3, 16, 5, 0.5)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("bench_id"), col("n_shared"), col("chunk_shingles"), col("overlap"))
     }),
     // exact-substring duplication signal: fraction of tokens covered by
     // cross-doc duplicated 5-gram spans (boilerplate-tail fixture)
@@ -2728,6 +2928,20 @@ object SparkEntry {
         .groupBy("phash")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
     }),
+    // MM7 — graft extension: REAL container round-trip for the audio
+    // modality — deterministic 16-bit PCM → genuine RIFF/WAVE bytes → a
+    // spec-compliant chunk-walking decode → integer-exact features. The
+    // oracle replays the sample formula analytically (PCM is lossless, so
+    // the decoded samples ARE the formula) — a hash match proves header
+    // write, chunk walk, and sample interpretation are all exact
+    "mm_audio" -> ((s, dir) =>
+      Multimodal.decodeAudio(s,
+          Multimodal.synthesizeAudio(s, docs(s, dir)).toDF())
+        .select(col("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits").cast("long").as("bits"),
+          col("n_frames"), col("duration_ms"), col("sum_amp"), col("sum_sq"))),
 
     // end-to-end pipeline composition — the real training-data shape, every
     // stage an already-oracled operator, chained through the (doc_id, text)
@@ -2762,13 +2976,14 @@ object SparkEntry {
       // join, train projection, renumber) each carry the full upstream
       // logical plan into Catalyst again when only the data is cached —
       // measured ~7 s of pure driver analysis time per composed run at
-      // sf0.1. Eager localCheckpoint stores the survivor SET (167 docs at
-      // test scale; always post-filter, corpus-fraction-sized) and gives
-      // every consumer an O(1) leaf plan
-      val decontaminated = Dedup.decontaminate(
+      // sf0.1. The eager materialization stores the survivor SET (167 docs
+      // at test scale; always post-filter, corpus-fraction-sized) and gives
+      // every consumer an O(1) leaf plan; Lineage.materialize upgrades it to
+      // a reliable checkpoint when a checkpoint dir is configured (the
+      // executor-loss contract shared with the iterative graph operators)
+      val decontaminated = Lineage.materialize(Dedup.decontaminate(
           quality.filter(col("doc_id") % 50 =!= 0),
-          quality.filter(col("doc_id") % 50 === 0), 3)
-        .localCheckpoint(true)
+          quality.filter(col("doc_id") % 50 === 0), 3))
       val train = Dedup.leakageSafeSplit(decontaminated,
           pipelinePairs(decontaminated),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -2992,7 +3207,25 @@ object SparkEntry {
         s"SPARK_GRAFT_TIER must be core|extended|all, got '$other'")
     }
 
-  def oracleSql: Map[String, String] = Map(
+  /** Force-materialize every plain CTE in an oracle statement. DuckDB 1.0
+    * INLINES a CTE at each reference, so a chain of multiply-referenced
+    * stages re-executes its whole prefix per reference — measured round 13:
+    * pipeline_e2e 488 s → 0.8 s, text_chunks 38.5 s → 2.7 s from this one
+    * rewrite, and the full-gate DuckDB pass dropped from ~12 min toward the
+    * driver's budget (2 of the 3 prior rounds returned an EMPTY correctness
+    * artifact because that pass timed out). The rewrite is purely
+    * evaluation-strategy: `name AS (SELECT` → `name AS MATERIALIZED
+    * (SELECT`. Recursive CTEs (which DuckDB cannot materialize) are all
+    * declared with a column list — `reach(a, b) AS (` — so the \\w+ head
+    * never matches them; already-materialized CTEs say `AS MATERIALIZED (`
+    * and are left alone. */
+  private[graft] def materializeCtes(sql: String): String =
+    sql.replaceAll("(\\w+) AS \\(SELECT", "$1 AS MATERIALIZED (SELECT")
+
+  def oracleSql: Map[String, String] =
+    oracleSqlRaw.map { case (k, v) => k -> materializeCtes(v) }
+
+  private def oracleSqlRaw: Map[String, String] = Map(
     // normalization mirror: utf8proc NFC == java.text.Normalizer NFC for
     // the fixture's chars; the scrub class is the same code-point set as
     // NormalizeText.strip (x00 unrepresentable in a VARCHAR on either side)
@@ -3726,11 +3959,15 @@ object SparkEntry {
     // exploded distinct-shingle relation, (df, shingle) rank, top 3
     "dedup_evidence" ->
       (s"$ShinglesCte, " +
-        "p AS (SELECT id_a, id_b FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
-        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard " +
-        "FROM t a JOIN t b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5), " +
         "e AS (SELECT doc_id AS id, unnest(sh) AS shingle FROM t), " +
+        "szj AS (SELECT id, count(*) AS n FROM e GROUP BY 1), " +
+        // pair stage in the shingle equi-join form (see JaccardPairsSql)
+        "p AS (SELECT id_a, id_b FROM (SELECT a.id AS id_a, b.id AS id_b, " +
+        "CAST(count(*) AS DOUBLE) / " +
+        "(any_value(sa.n) + any_value(sb.n) - count(*)) AS jaccard " +
+        "FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id " +
+        "JOIN szj sa ON sa.id = a.id JOIN szj sb ON sb.id = b.id " +
+        "GROUP BY a.id, b.id) WHERE jaccard >= 0.5), " +
         "dfq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY 1), " +
         "sh2 AS (SELECT p.id_a, p.id_b, a.shingle FROM p " +
         "JOIN e a ON a.id = p.id_a JOIN e b ON b.id = p.id_b " +
@@ -3977,11 +4214,23 @@ object SparkEntry {
     // minimum true-pair similarity, and verification is exact either way).
     // NULL-text rows: NULL shingle list ⇒ NULL Jaccard ⇒ no match ⇒ kept,
     // exactly the Spark side's no-signature path
+    // rewritten to the shingle equi-join (see JaccardPairsSql scaladoc): a
+    // batch doc matches the seen corpus iff some shared-shingle pair
+    // reaches J >= 0.5 — same integers, same doubles as the correlated
+    // NOT-EXISTS list form it replaces (which cost 11 s at sf0.01); docs
+    // with a NULL shingle list unnest to no rows, match nothing, and
+    // survive, exactly the no-signature path
     "dedup_incremental_fuzzy" ->
-      (s"$ShinglesCte SELECT b.doc_id FROM t b WHERE b.doc_id % 4 = 3 " +
-        "AND NOT EXISTS (SELECT 1 FROM t s WHERE s.doc_id % 4 <> 3 AND " +
-        "CAST(len(list_intersect(b.sh, s.sh)) AS DOUBLE) / " +
-        "(len(b.sh) + len(s.sh) - len(list_intersect(b.sh, s.sh))) >= 0.5)"),
+      (s"$ShinglesCte, e AS (SELECT doc_id, unnest(sh) AS s FROM t), " +
+        "szj AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1), " +
+        "hit AS (SELECT b.doc_id FROM e b " +
+        "JOIN e s ON b.s = s.s AND b.doc_id % 4 = 3 AND s.doc_id % 4 <> 3 " +
+        "JOIN szj nb ON nb.doc_id = b.doc_id JOIN szj ns ON ns.doc_id = s.doc_id " +
+        "GROUP BY b.doc_id, s.doc_id " +
+        "HAVING CAST(count(*) AS DOUBLE) / " +
+        "(any_value(nb.n) + any_value(ns.n) - count(*)) >= 0.5) " +
+        "SELECT b.doc_id FROM t b WHERE b.doc_id % 4 = 3 " +
+        "AND b.doc_id NOT IN (SELECT doc_id FROM hit)"),
     // line dedup mirror: df per trimmed non-empty line (the operator counts
     // df on the 64-bit line hash — collision odds are immaterial), lines in
     // > 3 docs dropped, survivors rejoined in original position order; the
@@ -4478,6 +4727,12 @@ object SparkEntry {
     // learned-tokenizer application mirror: learning chain + per-token
     // rank-order replace chain + piece-count roll-up
     "text_bpe_apply" -> bpeApplyOracleSql(12),
+    // unigram-LM learning mirror: seed → 2 Viterbi-EM rounds → ranked
+    // pieces with shift-square fixed-point costs, all replayed exactly
+    "text_unigram_pieces" -> unigramPiecesOracleSql(2, 120, 6),
+    // the same chain plus a final DP under the learned costs, rolled up
+    // per document with the 1-piece fallback for out-of-scope tokens
+    "text_unigram_apply" -> unigramApplyOracleSql(2, 120, 6),
     // the native fast path answers to the IDENTICAL mirror
     "text_bpe_apply_fast" -> bpeApplyOracleSql(12),
     // pack-on-learned-counts: the sample_pack recurrence over the learned
@@ -4690,6 +4945,47 @@ object SparkEntry {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, " +
         "CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks " +
         "FROM r GROUP BY 1"),
+    // span-attribution mirror: the planted-quote host fixture, the CDC
+    // bound math of dedup_cdc_chunks (window 16, mask 5), chunk text by
+    // substr over the bounds with 0-based kept-chunk reindexing, distinct
+    // trigram shingles on both sides, hit counts per (chunk, bench) pair —
+    // string-equality shingle match (the hash join on the Spark side is
+    // equality of the same strings)
+    "report_contam_spans" ->
+      (rollingHashCte(16, "cp").replaceFirst("^WITH ",
+        "WITH bs AS (SELECT doc_id AS bench_id, text FROM documents " +
+          "WHERE doc_id % 50 = 0), " +
+          "cp AS (SELECT a.doc_id, CASE WHEN a.doc_id % 13 = 5 AND " +
+          "b.text IS NOT NULL THEN concat_ws(' ', a.text, b.text, a.text) " +
+          "ELSE concat_ws(' ', a.text, a.text) END AS text " +
+          "FROM documents a LEFT JOIN bs b ON b.bench_id = a.doc_id - a.doc_id % 50 " +
+          "WHERE a.doc_id % 50 <> 0), ") +
+        ", bd AS (SELECT doc_id, n, " +
+        "list_concat(list_concat([CAST(0 AS BIGINT)], " +
+        "[CAST(i + 16 AS BIGINT) for i in range(len(hashes)) if hashes[i+1] % 32 = 0]), " +
+        "[CAST(n AS BIGINT)]) AS bounds FROM rh), " +
+        "cx AS (SELECT doc_id, unnest(generate_series(1, len(bounds) - 1)) AS i, " +
+        "bounds, n FROM bd), " +
+        "ct AS (SELECT cx.doc_id, CAST(row_number() OVER (PARTITION BY cx.doc_id " +
+        "ORDER BY cx.i) - 1 AS BIGINT) AS chunk_idx, " +
+        "substr(cp.text, bounds[i] + 1, least(bounds[i + 1], n) - bounds[i]) AS chunk " +
+        "FROM cx JOIN cp ON cx.doc_id = cp.doc_id " +
+        "WHERE bounds[i + 1] > bounds[i] AND bounds[i] < n " +
+        "AND least(bounds[i + 1], n) - bounds[i] > 0), " +
+        s"csh AS (SELECT doc_id, chunk_idx, list_distinct(${ngramsOfToks(3)}) AS sh " +
+        s"FROM (SELECT doc_id, chunk_idx, " +
+        s"string_split_regex(trim(chunk, '$SqlWs'), '\\s+') AS toks FROM ct)), " +
+        "ce AS (SELECT doc_id, chunk_idx, len(sh) AS chunk_shingles, " +
+        "unnest(sh) AS s FROM csh), " +
+        s"bsh AS (SELECT bench_id, unnest(list_distinct(${ngramsOfToks(3)})) AS s " +
+        s"FROM (SELECT bench_id, string_split_regex(trim(text, '$SqlWs'), '\\s+') " +
+        "AS toks FROM bs)) " +
+        "SELECT doc_id, chunk_idx, bench_id, " +
+        "CAST(count(*) AS BIGINT) AS n_shared, " +
+        "CAST(any_value(chunk_shingles) AS BIGINT) AS chunk_shingles, " +
+        "CAST(count(*) AS DOUBLE) / any_value(chunk_shingles) AS overlap " +
+        "FROM ce JOIN bsh USING (s) GROUP BY 1, 2, 3 " +
+        "HAVING CAST(count(*) AS DOUBLE) / any_value(chunk_shingles) >= 0.5"),
     // chunk math: stride 48, nc = max(ceil((n-16)/48), 1), chunk i covers
     // 1-based token slots [i·48+1, i·48+64] — all integer arithmetic
     "text_chunk_tokens" ->
@@ -4755,5 +5051,19 @@ object SparkEntry {
         aHashCtes("(SELECT DISTINCT pid FROM pats)") + " " +
         "SELECT phash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups " +
         "FROM pats JOIN ah USING (pid) GROUP BY 1"),
+    // audio-codec mirror: the per-doc PCM parameters (Multimodal.audioParams)
+    // and interleaved sample formula (audioSample) replayed analytically over
+    // a generate_series — DuckDB needs no audio codec because PCM is
+    // lossless; all-BIGINT arithmetic keeps the compare exact
+    "mm_audio" ->
+      ("SELECT doc_id, CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate, " +
+        "CAST(1 + doc_id % 2 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits, " +
+        "CAST(doc_id % 256 + 64 AS BIGINT) AS n_frames, " +
+        "CAST((doc_id % 256 + 64) * 1000 // (8000 + (doc_id % 4) * 4000) AS BIGINT) AS duration_ms, " +
+        "CAST(sum(s) AS BIGINT) AS sum_amp, CAST(sum(s * s) AS BIGINT) AS sum_sq " +
+        "FROM (SELECT doc_id, (doc_id * 31 + 7 * k * k + 13 * k) % 65536 - 32768 AS s " +
+        "FROM documents, LATERAL (SELECT unnest(generate_series(0, " +
+        "(doc_id % 256 + 64) * (1 + doc_id % 2) - 1)) AS k)) " +
+        "GROUP BY doc_id"),
     "pipeline_e2e" -> PipelineE2eSql)
 }

@@ -901,6 +901,57 @@ object Dedup {
       .filter(col("containment") >= minContainment)
   }
 
+  /** PARAGRAPH-level contamination attribution (round-12 verdict task #7):
+    * [[contaminationReport]] scores whole documents, but a doc-level
+    * OVERLAP (shared / doc shingles) dilutes toward 0 as the host document
+    * grows — one quoted eval paragraph inside a long page hides below any
+    * threshold. This operator attributes benchmark overlap to
+    * content-defined CHUNK SPANS instead: the corpus is CDC-chunked
+    * ([[TextAnalysis.chunkByContent]] — the same rolling-hash machinery as
+    * dedup_cdc_chunks, so span boundaries are content-anchored and survive
+    * surrounding edits), each chunk's shingles are scored against the
+    * broadcast benchmark set, and a chunk quoting an eval item scores
+    * overlap ≈ 1 no matter how long its document is.
+    *
+    * Returns (idCol, chunk_idx, bench_id, n_shared, chunk_shingles,
+    * overlap) for chunk×bench pairs with overlap ≥ `minOverlap`, where
+    * overlap = |chunkSh ∩ benchSh| / |chunkSh|.
+    *
+    * Scale shape, same discipline as [[contaminationReport]]: the
+    * benchmark side is broadcast (eval suites are small by contract), the
+    * chunk shingle size is computed NARROWLY (`size(wordShingles)` on the
+    * chunk row — no second aggregation pass over the exploded shingles),
+    * the corpus explodes to (chunk, shingle-hash) rows once, and the only
+    * exchange is the map-side-combined count per surviving (chunk, bench)
+    * pair — volume is shared-shingle hits, not corpus shingles. */
+  def contaminationSpans(corpus: DataFrame, benchmark: DataFrame, n: Int,
+      window: Int, maskBits: Int, minOverlap: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minOverlap >= 0 && minOverlap <= 1,
+      s"minOverlap must be in [0,1], got $minOverlap")
+    val bench = benchmark
+      .select(col(idCol).as("bench_id"),
+        explode(wordShingles(col(textCol), n)).as("s"))
+      .select(col("bench_id"), xxhash64(col("s")).as("sh_h"))
+    val chunks = TextAnalysis
+      .chunkByContent(corpus, window, maskBits, idCol, textCol)
+      .select(col(idCol), col("chunk_idx"),
+        size(wordShingles(col("chunk"), n)).cast("long").as("chunk_shingles"),
+        col("chunk"))
+    chunks
+      .select(col(idCol), col("chunk_idx"), col("chunk_shingles"),
+        explode(wordShingles(col("chunk"), n)).as("s"))
+      .select(col(idCol), col("chunk_idx"), col("chunk_shingles"),
+        xxhash64(col("s")).as("sh_h"))
+      .join(broadcast(bench), Seq("sh_h"))
+      .groupBy(col(idCol), col("chunk_idx"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        max(col("chunk_shingles")).as("chunk_shingles"))
+      .withColumn("overlap",
+        col("n_shared").cast("double") / col("chunk_shingles").cast("double"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   // ------------------------------------------------- cluster + survivors
 
   /** Connected components over a near-dup pair graph via min-label
@@ -932,10 +983,9 @@ object Dedup {
     * otherwise they persist on the checkpoint fs for the app's lifetime). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    // lineage truncation per generation — reliable when possible (see scaladoc)
-    def materialize(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
+    // lineage truncation per generation — reliable when possible (see
+    // scaladoc; shared contract in Lineage.materialize)
+    def materialize(df: DataFrame): DataFrame = Lineage.materialize(df)
     // edges is CHECKPOINTED, not merely persisted: a persist caches the data
     // but keeps the logical plan, so every round's neighborMin join would
     // carry the ENTIRE upstream pair-pipeline plan into analysis/optimization

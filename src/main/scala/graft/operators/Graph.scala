@@ -39,9 +39,13 @@ object Graph {
     * out-degree once, repartitioned by `src` and PERSISTED, so each
     * iteration shuffles only the node-sized rank relation into the join and
     * the node-sized contribution aggregate out of it. Ranks are eagerly
-    * `localCheckpoint`ed per iteration: the lineage (and Catalyst analysis
-    * cost) stays O(1) instead of growing by a join+agg per round. The one
-    * driver-side scalar is N (a single count, any-scale safe). */
+    * materialized per iteration via [[Lineage.materialize]]: the lineage
+    * (and Catalyst analysis cost) stays O(1) instead of growing by a
+    * join+agg per round, and with a checkpoint dir configured each
+    * generation is a RELIABLE checkpoint that survives executor loss (the
+    * contract to rely on for deep iterations on preemptible clusters; the
+    * localCheckpoint fallback is local-mode/test-only). The one driver-side
+    * scalar is N (a single count, any-scale safe). */
   /** Per-key consecutive-transition edges: order each key's rows by
     * `orderCols`, emit one `(node_i → node_{i+1})` edge per adjacent pair,
     * aggregated to `(src, dst, w)` multiplicities — the interaction-log →
@@ -81,12 +85,11 @@ object Graph {
       val contrib = eo.join(r.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("(r * w) div outw").as("__c"))
         .groupBy("node").agg(sum("__c").as("__c"))
-      r = nodes.join(contrib, Seq("node"), "left")
+      r = Lineage.materialize(nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
           (lit(base) + expr(s"($dampNum * (coalesce(__c, 0L) + " +
-            s"(__dang div ${n}L))) div $dampDen")).as("r"))
-        .localCheckpoint(true)
+            s"(__dang div ${n}L))) div $dampDen")).as("r")))
     }
     nodes.unpersist(); outw.unpersist(); eo.unpersist()
     r.select(col("node"), col("r").as("rank_fp"))
@@ -113,8 +116,10 @@ object Graph {
     * each round shuffles only the node-sized label relation into that join
     * and the (node, label)-sized partial aggregate out — map-side combine
     * collapses the per-partition (dst, label) weight sums below both
-    * exchanges. Labels are eagerly localCheckpointed so lineage and
-    * Catalyst analysis stay O(1) across rounds. */
+    * exchanges. Labels are eagerly materialized per round via
+    * [[Lineage.materialize]] so lineage and Catalyst analysis stay O(1)
+    * across rounds, and so a configured checkpoint dir upgrades every
+    * generation to a reliable, executor-loss-surviving checkpoint. */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val sym = edges.select(col("src"), col("dst"), col("w"))
@@ -126,13 +131,13 @@ object Graph {
     var lab = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to iters) {
-      lab = sym.join(lab.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node"), col("label"))
-        .agg(sum("w").as("__wsum"))
-        .groupBy("node")
-        .agg(min(struct((-col("__wsum")).as("nw"), col("label").as("l"))).as("__m"))
-        .select(col("node"), col("__m.l").as("label"))
-        .localCheckpoint(true)
+      lab = Lineage.materialize(
+        sym.join(lab.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node"), col("label"))
+          .agg(sum("w").as("__wsum"))
+          .groupBy("node")
+          .agg(min(struct((-col("__wsum")).as("nw"), col("label").as("l"))).as("__m"))
+          .select(col("node"), col("__m.l").as("label")))
     }
     sym.unpersist()
     lab.select(col("node"), col("label").as("community"))

@@ -300,6 +300,121 @@ object Multimodal {
       }.toDF("doc_id", "phash").as[(Long, Long)]
   }
 
+  /** Deterministic per-doc PCM parameters shared by [[synthesizeAudio]] and
+    * the mm_audio DuckDB oracle (which replays the sample formula
+    * analytically over a generate_series — no audio library needed on the
+    * oracle side). Integer-only so expected features are closed-form. */
+  private[graft] def audioParams(docId: Long): (Int, Int, Int) =
+    ((8000 + (docId % 4) * 4000).toInt, // sample rate: 8/12/16/20 kHz
+      (1 + docId % 2).toInt,            // channels: mono/stereo
+      (docId % 256 + 64).toInt)         // frames per channel
+  /** Interleaved 16-bit sample k ∈ [0, frames·channels): a quadratic
+    * integer scramble spanning the full signed range. */
+  private[graft] def audioSample(docId: Long, k: Int): Int =
+    (((docId * 31 + 7L * k * k + 13L * k) % 65536) - 32768).toInt
+
+  /** REAL encoded audio from the documents table: each doc_id gets a
+    * deterministic 16-bit PCM waveform wrapped in a genuine RIFF/WAVE
+    * container (canonical 44-byte header + little-endian samples, per the
+    * public WAVE format) — [[decodeAudio]] must parse the actual chunk
+    * structure to get the samples back. Partition-parallel narrow map; only
+    * doc_id is read from the input — the audio counterpart of
+    * [[synthesizeImages]]. */
+  def synthesizeAudio(spark: SparkSession, docs: DataFrame): Dataset[(Long, Array[Byte], String)] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { docId =>
+        val (rate, ch, frames) = audioParams(docId)
+        val total = frames * ch
+        val dataLen = total * 2
+        val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1) // PCM
+          .putShort(ch.toShort).putInt(rate)
+          .putInt(rate * ch * 2).putShort((ch * 2).toShort).putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var k = 0
+        while (k < total) { buf.putShort(audioSample(docId, k).toShort); k += 1 }
+        (docId, buf.array(), "audio/wav")
+      }
+    }.toDF("doc_id", "media", "mime").as[(Long, Array[Byte], String)]
+  }
+
+  /** REAL WAV/PCM decode + feature extraction — the audio sibling of
+    * [[decodeImages]], same survive-don't-throw stance: a proper RIFF chunk
+    * walk (not a fixed-offset peek — extra LIST/fact chunks are skipped like
+    * any spec-compliant reader must), 16-bit little-endian PCM samples
+    * interpreted exactly, features all integer-exact so the SQL oracle can
+    * replay them: frame count, duration_ms = frames·1000 div rate, Σ sample
+    * and Σ sample² (the un-divided mean-amplitude / RMS-energy numerators).
+    * Undecodable rows (bad magic, truncated chunk, non-PCM, non-16-bit)
+    * yield a -1-sentinel row rather than failing the stage. Pipeline shape:
+    * typed-Dataset `mapPartitions`, binary column pruned until this stage,
+    * partition-parallel, zero shuffles. */
+  def decodeAudio(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bad = (id: Long) => (id, -1, -1, -1, -1L, -1L, 0L, 0L)
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (docId, bytes) =>
+          try {
+            val buf = java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            def tag(): String = {
+              val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+            }
+            if (tag() != "RIFF") bad(docId)
+            else {
+              buf.getInt // riff payload size — trust chunk walk, not this
+              if (tag() != "WAVE") bad(docId)
+              else {
+                var fmtOk = false
+                var ch = 0; var rate = 0; var bits = 0
+                var sumAmp = 0L; var sumSq = 0L; var total = 0L
+                var sawData = false
+                while (buf.remaining() >= 8) {
+                  val id = tag()
+                  val len = buf.getInt
+                  if (len < 0 || len > buf.remaining()) throw new java.io.EOFException()
+                  val next = buf.position() + len + (len & 1) // chunks are word-aligned
+                  id match {
+                    case "fmt " =>
+                      val fmt = buf.getShort
+                      ch = buf.getShort
+                      rate = buf.getInt
+                      buf.getInt; buf.getShort // byteRate, blockAlign
+                      bits = buf.getShort
+                      fmtOk = fmt == 1 && bits == 16 && ch >= 1 && rate >= 1
+                    case "data" if fmtOk =>
+                      sawData = true
+                      var i = 0
+                      val n = len / 2
+                      while (i < n) {
+                        val s = buf.getShort.toLong
+                        sumAmp += s; sumSq += s * s; i += 1
+                      }
+                      total += n
+                    case _ => ()
+                  }
+                  buf.position(math.min(next, buf.limit()))
+                }
+                if (!fmtOk || !sawData) bad(docId)
+                else {
+                  val frames = total / ch
+                  (docId, rate, ch, bits, frames, frames * 1000L / rate,
+                    sumAmp, sumSq)
+                }
+              }
+            }
+          } catch { case _: RuntimeException | _: java.io.EOFException => bad(docId) }
+        }
+      }.toDF("doc_id", "sample_rate", "channels", "bits", "n_frames",
+        "duration_ms", "sum_amp", "sum_sq")
+  }
+
   /** Frame sampling: every `stride`-th byte-window stands in for a video
     * frame. Pure column code (slice on a byte array) — shows the
     * array-of-frames shape a real frame sampler would emit. */

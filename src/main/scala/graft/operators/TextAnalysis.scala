@@ -1463,6 +1463,93 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum(col("__p")).as("n_pieces"))
   }
 
+  // ------------------------------------------ unigram-LM tokenizer learning
+
+  /** Distributed UNIGRAM-LM tokenizer learning (Kudo 2018, "Subword
+    * Regularization" — the SentencePiece model family; hard/Viterbi EM
+    * variant): the OTHER tokenizer family modern trainers ship beside BPE.
+    * Where [[bpeLearnMerges]] learns a merge table bottom-up, this learns a
+    * PIECE PROBABILITY table top-down: seed with the corpus's most frequent
+    * word substrings, then alternate (E) Viterbi-segment every distinct
+    * word under current piece costs and (M) re-estimate piece counts from
+    * the segmentations — unused pieces fall out (the prune step), single
+    * characters are never pruned (coverage, as SentencePiece guarantees).
+    *
+    * Everything follows the [[bpeLearnMerges]] scale discipline: learning
+    * runs on the DISTINCT-WORD relation (vocabulary-sized, never
+    * corpus-sized — at 100 TB the corpus is ~10¹¹ tokens but distinct
+    * `^[a-z]{1,16}$` forms are ~10⁷); each round is one narrow
+    * Viterbi-segment map ([[graft.functions.UnigramSegment]], the piece
+    * table riding inside the expression) plus ONE map-side-combined
+    * exchange (piece-count groupBy) and a bounded vocab-sized collect. All
+    * arithmetic is fixed-point integer ([[graft.functions
+    * .UnigramExpressions.logFp]]), so any engine replays the rounds
+    * bit-for-bit — the DuckDB oracle unrolls them exactly.
+    *
+    * Returns the final (piece, count) vocabulary, (count DESC, piece ASC)
+    * ordered. Feed [[graft.functions.UnigramExpressions.costs]] +
+    * [[unigramEncodedCounts]] to apply it. */
+  def unigramLearn(docs: DataFrame, rounds: Int, seedSize: Int,
+      maxPieceLen: Int = 4, fracBits: Int = 6,
+      textCol: String = "text"): Seq[(String, Long)] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z]{1,16}$"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed scores: every substring occurrence of length 1..maxPieceLen,
+    // weighted by word frequency — one narrow explode + one combined
+    // exchange; the vocab is the top `seedSize` by (score DESC, piece ASC)
+    // UNION all single characters (coverage floor)
+    val subCounts = words
+      .select(explode(graft.functions.SubwordExpressions
+        .charNGrams(col("w"), maxPieceLen)).as("piece"), col("freq"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = subCounts
+      .orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)
+      .as[(String, Long)].collect()
+    val singles = subCounts.filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect()
+    subCounts.unpersist()
+    var vocab: Map[String, Long] = (top ++ singles).toMap
+    for (_ <- 1 to rounds) {
+      val cost = graft.functions.UnigramExpressions.costs(vocab, fracBits)
+      val counts = words
+        .select(explode(graft.functions.UnigramExpressions
+          .segment(col("w"), cost, maxPieceLen)).as("piece"), col("freq"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+        .as[(String, Long)].collect().toMap
+      // M-step: used pieces keep their Viterbi counts; unused pieces are
+      // PRUNED except single characters, floored at 1 (coverage)
+      vocab = counts ++ vocab.keysIterator
+        .filter(p => p.length == 1 && !counts.contains(p))
+        .map(_ -> 1L).toMap
+    }
+    words.unpersist()
+    vocab.toSeq.sortBy { case (p, c) => (-c, p) }
+  }
+
+  /** APPLY a learned unigram vocabulary: per-document token and piece
+    * counts under Viterbi segmentation — the unigram sibling of
+    * [[bpeEncodedCountsFast]], same plan shape (ONE codegen-stage narrow
+    * map over the scan: the piece-cost table rides inside the native
+    * expression, no explode, no join, zero exchanges) and same contract
+    * (`^[a-z]{1,16}$` word forms are segmented; any other token counts one
+    * piece; documents with no tokens emit no row). */
+  def unigramEncodedCounts(docs: DataFrame, pieceCosts: Map[String, Long],
+      maxPieceLen: Int = 4, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        graft.functions.UnigramExpressions
+          .countPieces(col(textCol), pieceCosts, maxPieceLen).as("n_pieces"))
+      .filter(col("n_tokens") > 0)
+
   /** The NATIVE fast path of [[bpeEncodedCounts]] — row-identical output
     * (same oracle), radically better plan: the per-document piece count is
     * ONE scalar expression ([[graft.functions.SubwordExpressions

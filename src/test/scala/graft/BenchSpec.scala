@@ -84,25 +84,50 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.compactQueries(in).contains(""""stats":200"""))
   }
 
-  test("the compact line of record fits a 2000-char tail capture with headroom " +
+  test("the final line of record fits a 2000-char tail capture with headroom " +
       "at registry size + 10") {
-    // worst case: every timing at 4-char ms ("9999" = 9.999 s; only a
-    // handful of queries have ever exceeded 10 s, and the 60-char slack
-    // below covers each of them costing one extra char). The budget is RAW
-    // chars: every BENCH_r*.json tail is exactly 2000 characters AFTER
-    // json.load (the driver truncates raw stdout, then JSON-encodes), and
-    // ~80 chars of sbt epilogue ("[success] Total time: ...") land in the
-    // capture AFTER the line — reserve 120 for them, plus 60 for outliers,
-    // plus 200 modeled headroom so the guard trips BEFORE the capture does.
-    // The registry is modeled 10 queries larger than today: the top-50 cap
-    // makes line growth O(families), so +10 future queries must still fit
+    // worst case: every timing at its widest sig3 rendering (9.999 s →
+    // "10.00", 5 chars). The budget is RAW chars: every BENCH_r*.json tail
+    // is ~2000 characters of raw stdout. build.sbt suppresses the
+    // "[success]" epilogue and the "[info] " prefix, but reserve 120 chars
+    // anyway (defense against a driver-side wrapper re-adding one), plus
+    // 200 modeled headroom so the guard trips BEFORE the capture does.
+    // The registry is modeled 10 queries larger than today: the top-40 cap
+    // makes line growth O(topN), so +10 future queries must still fit
     val names = SparkEntry.queries.keys.toSeq.sorted ++
       (1 to 10).map(i => s"future_extension_q$i")
-    val body = Bench.compactQueries(names.map(_ -> 9.999), topN = 50)
-    val line = s"""{"t":1230,"la":[31.9,28.4],"q_ms":$body}"""
-    assert(line.length + 120 + 60 + 200 < 2000,
-      s"compact bench line is ${line.length} raw chars at registry+10 — with " +
-        "the ~80-char sbt epilogue it would truncate in the 2000-char tail capture")
+    val qs = Bench.finalQueries(names.map(_ -> 9.999), topN = 40)
+    val line = s"""{"metric":"total","value":1230,"unit":"sec","queries":$qs,""" +
+      s""""loadavg":[31.9,28.4],"throughput_eps":1126599,""" +
+      s""""throughput_eps_min":136382,"sf":"/root/testdata/sf0.1"}"""
+    assert(line.length + 120 + 200 < 2000,
+      s"final bench line is ${line.length} raw chars at registry+10 — it " +
+        "would truncate in the driver's ~2000-char tail capture")
+  }
+
+  test("the final line round-trips through the driver's documented capture: " +
+      "tail 2000 chars -> last line -> json-shaped with metric/value/queries") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(_ -> 1.234) :+ ("zz_failed" -> -1.0)
+    val qs = Bench.finalQueries(results, topN = 40)
+    val finalLine = s"""{"metric":"total","value":230.8,"unit":"sec","queries":$qs,""" +
+      s""""loadavg":[1.5,3.2],"throughput_eps":1126599,""" +
+      s""""throughput_eps_min":136382,"sf":"/root/testdata/sf0.1"}"""
+    // synthetic full stdout: a giant verbose line (overflows any tail),
+    // then the final line — as Bench.main prints them
+    val stdout = ("x" * 8000) + "\n" + finalLine + "\n"
+    val tail = stdout.takeRight(2000)
+    val lastLine = tail.split("\n").filter(_.nonEmpty).last
+    assert(lastLine == finalLine, "the final line must survive the tail whole")
+    assert(lastLine.startsWith("{") && lastLine.endsWith("}"))
+    assert(lastLine.contains("\"metric\":\"total\"") &&
+      lastLine.contains("\"unit\":\"sec\"") && lastLine.contains("\"queries\":{"))
+    // failures never hide inside the _other fold
+    assert(lastLine.contains("\"zz_failed\":-1"))
+    // structurally valid JSON: balanced braces/brackets, no trailing commas
+    assert(lastLine.count(_ == '{') == lastLine.count(_ == '}'))
+    assert(lastLine.count(_ == '[') == lastLine.count(_ == ']'))
+    assert(!lastLine.contains(",}") && !lastLine.contains(",]"))
   }
 
   test("Verify.fullBenchTimes harvests the full-precision local record first") {

@@ -841,4 +841,48 @@ object PropertySpec extends Properties("graft") {
         .map(r => r._1 -> r._3).toMap
       got == naive(counts, budget)
     }
+
+  // ---- unigram-LM tokenizer properties (pure JVM — no Spark job per case)
+
+  private val genLowerWord: Gen[String] =
+    Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose('a', 'd')).map(_.mkString)) // small alphabet
+                                                            // → dense vocab hits
+  private val genVocabPieces: Gen[List[String]] =
+    Gen.listOf(Gen.choose(2, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.choose('a', 'd')).map(_.mkString)))
+
+  property("logFp is exact on powers of two and monotone, logFp(2x)=logFp(x)+2^f") =
+    forAll(Gen.choose(1L, 1L << 40), Gen.choose(1, 10)) { (x, f) =>
+      import graft.functions.UnigramExpressions.logFp
+      logFp(1, f) == 0L &&
+        logFp(2 * x, f) == logFp(x, f) + (1L << f) &&
+        logFp(x + 1, f) >= logFp(x, f)
+    }
+
+  property("unigram Viterbi: piece-length conservation AND global optimality " +
+      "vs brute-force segmentation enumeration") =
+    forAll(genLowerWord, genVocabPieces, Gen.choose(1L, 1000L)) { (w, extra, seed) =>
+      import graft.functions.UnigramExpressions
+      // vocab: all single chars (coverage, as the learner guarantees) plus
+      // arbitrary multi-char pieces; deterministic pseudo-random costs
+      val pieces = (('a' to 'd').map(_.toString) ++ extra).distinct
+      val costs = pieces.map(p =>
+        p -> (java.lang.Math.floorMod(seed * 31 + p.hashCode, 1000L) + 1L)).toMap
+      val table = UnigramExpressions.buildTable(costs)
+      val seg = UnigramExpressions.viterbi(w, table, 4)
+      // conservation: pieces concatenate back to the word exactly
+      val conserve = seg != null && seg.mkString == w
+      // brute force: every segmentation into vocab pieces of len <= 4
+      def enum(s: String): List[List[String]] =
+        if (s.isEmpty) List(Nil)
+        else (1 to math.min(4, s.length)).toList
+          .filter(n => costs.contains(s.take(n)))
+          .flatMap(n => enum(s.drop(n)).map(s.take(n) :: _))
+      implicit val seqOrd: Ordering[List[String]] =
+        Ordering.Implicits.seqOrdering[List, String]
+      val best = enum(w).map(p =>
+        (p.map(costs).sum, p.length, p)).min
+      conserve && (seg.toList == best._3)
+    }
 }
