@@ -852,16 +852,34 @@ object SparkEntry {
       "bvocab AS (SELECT piece, CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) - 1 AS BIGINT) AS tid " +
       "FROM (SELECT piece, count(*) AS cnt FROM sub GROUP BY piece) " +
       "ORDER BY cnt DESC, piece ASC LIMIT 256), " +
+      // the longest vocab match per (distinct word, position) is
+      // PRE-computed with plain length-bucketed left joins, so the
+      // recursive walk below needs only an equi-join on (w, pos) — the
+      // `reach` pattern. The former formulation (a correlated ORDER
+      // BY/LIMIT-1 subquery over bvocab INSIDE the recursion) returned
+      // garbage once bvocab was MATERIALIZED (DuckDB 1.0: ~88% of lookups
+      // came back NULL and the walk degraded to per-codepoint OOV —
+      // caught by the round-13 full gate), and correlated-subquery-over-
+      // materialized-CTE-in-recursion is now a banned construct here
+      "bpm AS (SELECT w, p, " +
+      "COALESCE(b4.piece, b3.piece, b2.piece, b1.piece, substring(w, p, 1)) AS piece, " +
+      "COALESCE(b4.tid, b3.tid, b2.tid, b1.tid, 99999) AS tid " +
+      "FROM (SELECT w, length(w) AS wl, " +
+      "unnest(generate_series(1, length(w))) AS p " +
+      "FROM (SELECT DISTINCT w FROM wd)) dp " +
+      "LEFT JOIN bvocab b4 ON dp.wl - dp.p + 1 >= 4 " +
+      "AND length(b4.piece) = 4 AND b4.piece = substring(dp.w, dp.p, 4) " +
+      "LEFT JOIN bvocab b3 ON dp.wl - dp.p + 1 >= 3 " +
+      "AND length(b3.piece) = 3 AND b3.piece = substring(dp.w, dp.p, 3) " +
+      "LEFT JOIN bvocab b2 ON dp.wl - dp.p + 1 >= 2 " +
+      "AND length(b2.piece) = 2 AND b2.piece = substring(dp.w, dp.p, 2) " +
+      "LEFT JOIN bvocab b1 ON length(b1.piece) = 1 " +
+      "AND b1.piece = substring(dp.w, dp.p, 1)), " +
       "enc AS (WITH RECURSIVE st(doc_id, wi, w, pos, spos, piece, tid) AS (" +
       "SELECT doc_id, wi, w, 1, CAST(0 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) FROM wd " +
-      "UNION ALL SELECT e.doc_id, e.wi, e.w, e.pos + length(b.piece), " +
-      "CAST(e.pos AS BIGINT), b.piece, b.tid FROM st e, " +
-      "LATERAL (SELECT coalesce(mv.piece, substring(e.w, e.pos, 1)) AS piece, " +
-      "coalesce(mv.tid, 99999) AS tid FROM (SELECT 1 AS one) o LEFT JOIN (" +
-      "SELECT v.piece, v.tid FROM bvocab v " +
-      "WHERE length(v.piece) <= length(e.w) - e.pos + 1 " +
-      "AND v.piece = substring(e.w, e.pos, length(v.piece)) " +
-      "ORDER BY length(v.piece) DESC LIMIT 1) mv ON true) b " +
+      "UNION ALL SELECT e.doc_id, e.wi, e.w, e.pos + length(m.piece), " +
+      "CAST(e.pos AS BIGINT), m.piece, m.tid FROM st e " +
+      "JOIN bpm m ON m.w = e.w AND m.p = e.pos " +
       "WHERE e.pos <= length(e.w)) " +
       "SELECT doc_id, wi, spos, piece, tid FROM st WHERE piece IS NOT NULL)"
   private val StopRatioSql =
@@ -1275,6 +1293,48 @@ object SparkEntry {
     s"WITH ${bpeApplyCtes(rounds)} " +
       "SELECT doc_id, n_tokens, n AS n_pieces FROM bn"
 
+  /** Shared CTE chain of the span-decontamination mirrors: the planted-
+    * quote host fixture (`cp` — doubled own text; %13==5 hosts embed their
+    * bucket's benchmark item), CDC chunking (the dedup_cdc_chunks bound
+    * math, window 16 / mask 5), distinct-trigram shingles per chunk and
+    * per benchmark doc, and `hitp(doc_id, chunk_idx, bench_id, n_shared,
+    * chunk_shingles, overlap)` — the unfiltered span scores both the
+    * report and the removal oracle read. */
+  private lazy val ContamSpanCtes: String =
+    rollingHashCte(16, "cp").replaceFirst("^WITH ",
+      "bs AS (SELECT doc_id AS bench_id, text FROM documents " +
+        "WHERE doc_id % 50 = 0), " +
+        "cp AS (SELECT a.doc_id, CASE WHEN a.doc_id % 13 = 5 AND " +
+        "b.text IS NOT NULL THEN concat_ws(' ', a.text, b.text, a.text) " +
+        "ELSE concat_ws(' ', a.text, a.text) END AS text " +
+        "FROM documents a LEFT JOIN bs b ON b.bench_id = a.doc_id - a.doc_id % 50 " +
+        "WHERE a.doc_id % 50 <> 0), ") +
+      ", bd AS (SELECT doc_id, n, " +
+      "list_concat(list_concat([CAST(0 AS BIGINT)], " +
+      "[CAST(i + 16 AS BIGINT) for i in range(len(hashes)) if hashes[i+1] % 32 = 0]), " +
+      "[CAST(n AS BIGINT)]) AS bounds FROM rh), " +
+      "cx AS (SELECT doc_id, unnest(generate_series(1, len(bounds) - 1)) AS i, " +
+      "bounds, n FROM bd), " +
+      "ct AS (SELECT cx.doc_id, CAST(row_number() OVER (PARTITION BY cx.doc_id " +
+      "ORDER BY cx.i) - 1 AS BIGINT) AS chunk_idx, " +
+      "substr(cp.text, bounds[i] + 1, least(bounds[i + 1], n) - bounds[i]) AS chunk " +
+      "FROM cx JOIN cp ON cx.doc_id = cp.doc_id " +
+      "WHERE bounds[i + 1] > bounds[i] AND bounds[i] < n " +
+      "AND least(bounds[i + 1], n) - bounds[i] > 0), " +
+      s"csh AS (SELECT doc_id, chunk_idx, list_distinct(${ngramsOfToks(3)}) AS sh " +
+      s"FROM (SELECT doc_id, chunk_idx, " +
+      s"string_split_regex(trim(chunk, '$SqlWs'), '\\s+') AS toks FROM ct)), " +
+      "ce AS (SELECT doc_id, chunk_idx, len(sh) AS chunk_shingles, " +
+      "unnest(sh) AS s FROM csh), " +
+      s"bsh AS (SELECT bench_id, unnest(list_distinct(${ngramsOfToks(3)})) AS s " +
+      s"FROM (SELECT bench_id, string_split_regex(trim(text, '$SqlWs'), '\\s+') " +
+      "AS toks FROM bs)), " +
+      "hitp AS (SELECT doc_id, chunk_idx, bench_id, " +
+      "CAST(count(*) AS BIGINT) AS n_shared, " +
+      "CAST(any_value(chunk_shingles) AS BIGINT) AS chunk_shingles, " +
+      "CAST(count(*) AS DOUBLE) / any_value(chunk_shingles) AS overlap " +
+      "FROM ce JOIN bsh USING (s) GROUP BY 1, 2, 3)"
+
   // ------------------------------------------- unigram-LM tokenizer mirrors
 
   private val UnigramMaxWordLen = 16
@@ -1389,23 +1449,30 @@ object SparkEntry {
       "AS BIGINT) AS rank, v.piece, v.cnt AS count, c.cost AS cost_fp " +
       s"FROM uv$rounds v JOIN upcf c USING (piece)"
 
-  /** Learning + one more DP under the FINAL costs, applied per document:
-    * `^[a-z]{1,16}$` tokens take their Viterbi piece count, any other token
-    * counts 1 — the [[TextAnalysis.unigramEncodedCounts]] contract. */
-  private def unigramApplyOracleSql(rounds: Int, seedSize: Int,
+  /** Learning + one more DP under the FINAL costs, applied per document —
+    * the full chain ending in `un(doc_id, n_tokens, n)`: `^[a-z]{1,16}$`
+    * tokens take their Viterbi piece count, any other token counts 1 (the
+    * [[TextAnalysis.unigramEncodedCounts]] contract). Shared by the apply
+    * and the pack-on-unigram-counts mirrors. */
+  private def unigramApplyCtes(rounds: Int, seedSize: Int,
       fracBits: Int): String =
-    s"WITH ${unigramBaseCtes(seedSize)}, " +
+    s"${unigramBaseCtes(seedSize)}, " +
       (1 to rounds).map(unigramRoundCtes(_, fracBits)).mkString(", ") + ", " +
       unigramCostCtes(s"uv$rounds", "upcf", fracBits) + ", " +
       unigramDpCtes("udpa_", "upcf") + ", " +
-      s"awd AS (SELECT doc_id, toks[i] AS w FROM " +
+      s"awd AS (SELECT doc_id, i AS wi, toks[i] AS w FROM " +
       s"(SELECT doc_id, $RawToks AS toks FROM documents), " +
       "LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) " +
-      "WHERE toks[i] <> '') " +
-      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "WHERE toks[i] <> ''), " +
+      "un AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
       "CAST(sum(CASE WHEN regexp_matches(w, " +
       s"'^[a-z]{1,$UnigramMaxWordLen}$$') THEN s.np ELSE 1 END) AS BIGINT) " +
-      "AS n_pieces FROM awd LEFT JOIN udpa_seg s USING (w) GROUP BY doc_id"
+      "AS n FROM awd LEFT JOIN udpa_seg s USING (w) GROUP BY doc_id)"
+
+  private def unigramApplyOracleSql(rounds: Int, seedSize: Int,
+      fracBits: Int): String =
+    s"WITH ${unigramApplyCtes(rounds, seedSize, fracBits)} " +
+      "SELECT doc_id, n_tokens, n AS n_pieces FROM un"
 
   /** The [[graft.operators.Eval.rankingMetrics]] metric block as SQL: given
     * a ranked CTE (query_id, `docCol`, rank) and a ground-truth CTE
@@ -2643,6 +2710,48 @@ object SparkEntry {
       val cost = graft.functions.UnigramExpressions.costs(vocab.toMap, 6)
       TextAnalysis.unigramEncodedCounts(d, cost)
     }),
+    // the trainer-facing TOKEN-ID EXPORT under the learned unigram
+    // tokenizer: every document's Viterbi piece sequence as (doc_id, pos,
+    // piece_id) rows — piece ids are the learned vocab's (count DESC,
+    // piece ASC) ranks (0-based), out-of-scope tokens emit the 99999 OOV
+    // id, positions are the dense (token, piece) order. The oracle replays
+    // segmentation AND the rank assignment, so one transposed id anywhere
+    // fails the gate
+    "text_unigram_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = TextAnalysis.unigramLearn(d, rounds = 2, seedSize = 120)
+      val cost = graft.functions.UnigramExpressions.costs(vocab.toMap, 6)
+      val rankOf = vocab.zipWithIndex
+        .map { case ((p, _), i) => p -> i.toLong }.toMap
+      val toks = d.select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("tpos", "w")))
+        .filter(length(col("w")) > 0)
+      val pieces = toks.select(col("doc_id"), col("tpos"),
+          posexplode(
+            when(col("w").rlike("^[a-z]{1,16}$"),
+              graft.functions.UnigramExpressions.segment(col("w"), cost, 4))
+              .otherwise(array(col("w")))).as(Seq("ppos", "piece")),
+          col("w"))
+      pieces.select(col("doc_id"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy(col("tpos"), col("ppos"))) - 1)
+            .cast("long").as("pos"),
+          when(col("w").rlike("^[a-z]{1,16}$"),
+            coalesce(element_at(typedLit(rankOf), col("piece")), lit(99999L)))
+            .otherwise(lit(99999L)).as("piece_id"))
+    }),
+    // the packer driven by the LEARNED unigram tokenizer's counts — learn →
+    // Viterbi apply → pack end to end, the sample_pack_learned loop for the
+    // second tokenizer family (budget 512 pieces, 8 shards)
+    "sample_pack_unigram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = TextAnalysis.unigramLearn(d, rounds = 2, seedSize = 120)
+      val cost = graft.functions.UnigramExpressions.costs(vocab.toMap, 6)
+      Sampling.packSequences(d, "doc_id",
+          graft.functions.UnigramExpressions.countPieces(col("text"), cost, 4),
+          512L, 8)
+        .select("doc_id", "shard", "seq_id", "tok_offset")
+    }),
     // the packing/budget path driven by REAL subword counts instead of the
     // whitespace proxy — same pack-and-split recurrence as sample_pack,
     // n = greedy-encoded piece count per document
@@ -2710,6 +2819,23 @@ object SparkEntry {
       Dedup.contaminationSpans(host, bench, 3, 16, 5, 0.5)
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           col("bench_id"), col("n_shared"), col("chunk_shingles"), col("overlap"))
+    }),
+    // the ACTIONABLE half: cut the contaminated spans out and KEEP the
+    // document — where whole-doc decontamination throws away a long page
+    // for one quoted paragraph, this excises the quoted chunks and rebuilds
+    // the text (chunks partition the text, so the rebuild is exact); every
+    // corpus doc comes back with its kept/removed chunk accounting
+    "dedup_decontam_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+      val host = d.filter(col("doc_id") % 50 =!= 0)
+        .join(bench.select(col("doc_id").as("bid"), col("text").as("btext")),
+          col("doc_id") - col("doc_id") % 50 === col("bid"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 5 && col("btext").isNotNull,
+            concat_ws(" ", col("text"), col("btext"), col("text")))
+            .otherwise(concat_ws(" ", col("text"), col("text"))).as("text"))
+      Dedup.decontaminateSpans(host, bench, 3, 16, 5, 0.5)
     }),
     // exact-substring duplication signal: fraction of tokens covered by
     // cross-doc duplicated 5-gram spans (boilerplate-tail fixture)
@@ -2942,6 +3068,24 @@ object SparkEntry {
           col("channels").cast("long").as("channels"),
           col("bits").cast("long").as("bits"),
           col("n_frames"), col("duration_ms"), col("sum_amp"), col("sum_sq"))),
+    // MM8 — graft extension: audio exact-dedup through the REAL RIFF parse
+    // — duplicates are PLANTED (doc_id % 7 == 3 renders its predecessor's
+    // waveform), each distinct waveform is encoded as a genuine WAV
+    // exactly once, fingerprinted through the chunk-walking decode
+    // (Haitsma–Kalker energy-difference sign bits), and doc ids
+    // group-compact per signature with the min-keeper/count contract —
+    // the mm_dedup pattern for the audio modality
+    "mm_audio_dedup" -> ((s, dir) => {
+      val pats = docs(s, dir).select(col("doc_id"),
+        (col("doc_id") - when(col("doc_id") % 7 === 3, 1).otherwise(0)).as("pid"))
+      val fps = Multimodal.audioFingerprint(s,
+          Multimodal.synthesizeAudio(s,
+            pats.select(col("pid").as("doc_id")).distinct()).toDF())
+        .toDF("pid", "afp")
+      pats.join(fps, "pid")
+        .groupBy("afp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+    }),
 
     // end-to-end pipeline composition — the real training-data shape, every
     // stage an already-oracled operator, chained through the (doc_id, text)
@@ -4745,6 +4889,34 @@ object SparkEntry {
         s"sum(n) OVER (PARTITION BY ${pmSql(HashRaw, "8")} ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS cum " +
         "FROM documents JOIN bn USING (doc_id) WHERE n > 0)"),
+    // token-id export mirror: the full learning chain, piece ids as the
+    // (count DESC, piece ASC) ranks over the final vocab, matching words'
+    // path pieces enumerated in order, out-of-scope tokens as one OOV row,
+    // dense (token, piece) position per document
+    "text_unigram_ids" ->
+      (s"WITH ${unigramApplyCtes(2, 120, 6)}, " +
+        "urk AS (SELECT piece, CAST(row_number() OVER (" +
+        "ORDER BY cnt DESC, piece ASC) - 1 AS BIGINT) AS pid FROM uv2), " +
+        "pm AS (SELECT doc_id, wi, po, COALESCE(pid, 99999) AS piece_id " +
+        "FROM (SELECT a.doc_id, a.wi, po, s.path[po] AS piece " +
+        "FROM awd a JOIN udpa_seg s USING (w), " +
+        "LATERAL (SELECT unnest(generate_series(1, len(s.path))) AS po)) x " +
+        "LEFT JOIN urk USING (piece) " +
+        "UNION ALL SELECT doc_id, wi, 1 AS po, 99999 AS piece_id FROM awd " +
+        s"WHERE NOT regexp_matches(w, '^[a-z]{1,$UnigramMaxWordLen}$$')) " +
+        "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY wi, po) - 1 AS BIGINT) AS pos, " +
+        "CAST(piece_id AS BIGINT) AS piece_id FROM pm"),
+    // the unigram learn→apply→pack mirror: the full Viterbi-EM chain's
+    // per-doc counts feeding the same prefix-sum pack recurrence
+    "sample_pack_unigram" ->
+      (s"WITH ${unigramApplyCtes(2, 120, 6)} " +
+        "SELECT doc_id, shard, CAST((cum - n) // 512 AS BIGINT) AS seq_id, " +
+        "CAST((cum - n) % 512 AS BIGINT) AS tok_offset FROM (" +
+        s"SELECT doc_id, ${pmSql(HashRaw, "8")} AS shard, n, " +
+        s"sum(n) OVER (PARTITION BY ${pmSql(HashRaw, "8")} ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum " +
+        "FROM documents JOIN un USING (doc_id) WHERE n > 0)"),
     // pack-and-split recurrence on REAL subword counts: per-doc piece count
     // from the same encoding CTE, then the sample_pack prefix-sum positions
     "sample_pack_bpe" ->
@@ -4952,40 +5124,27 @@ object SparkEntry {
     // string-equality shingle match (the hash join on the Spark side is
     // equality of the same strings)
     "report_contam_spans" ->
-      (rollingHashCte(16, "cp").replaceFirst("^WITH ",
-        "WITH bs AS (SELECT doc_id AS bench_id, text FROM documents " +
-          "WHERE doc_id % 50 = 0), " +
-          "cp AS (SELECT a.doc_id, CASE WHEN a.doc_id % 13 = 5 AND " +
-          "b.text IS NOT NULL THEN concat_ws(' ', a.text, b.text, a.text) " +
-          "ELSE concat_ws(' ', a.text, a.text) END AS text " +
-          "FROM documents a LEFT JOIN bs b ON b.bench_id = a.doc_id - a.doc_id % 50 " +
-          "WHERE a.doc_id % 50 <> 0), ") +
-        ", bd AS (SELECT doc_id, n, " +
-        "list_concat(list_concat([CAST(0 AS BIGINT)], " +
-        "[CAST(i + 16 AS BIGINT) for i in range(len(hashes)) if hashes[i+1] % 32 = 0]), " +
-        "[CAST(n AS BIGINT)]) AS bounds FROM rh), " +
-        "cx AS (SELECT doc_id, unnest(generate_series(1, len(bounds) - 1)) AS i, " +
-        "bounds, n FROM bd), " +
-        "ct AS (SELECT cx.doc_id, CAST(row_number() OVER (PARTITION BY cx.doc_id " +
-        "ORDER BY cx.i) - 1 AS BIGINT) AS chunk_idx, " +
-        "substr(cp.text, bounds[i] + 1, least(bounds[i + 1], n) - bounds[i]) AS chunk " +
-        "FROM cx JOIN cp ON cx.doc_id = cp.doc_id " +
-        "WHERE bounds[i + 1] > bounds[i] AND bounds[i] < n " +
-        "AND least(bounds[i + 1], n) - bounds[i] > 0), " +
-        s"csh AS (SELECT doc_id, chunk_idx, list_distinct(${ngramsOfToks(3)}) AS sh " +
-        s"FROM (SELECT doc_id, chunk_idx, " +
-        s"string_split_regex(trim(chunk, '$SqlWs'), '\\s+') AS toks FROM ct)), " +
-        "ce AS (SELECT doc_id, chunk_idx, len(sh) AS chunk_shingles, " +
-        "unnest(sh) AS s FROM csh), " +
-        s"bsh AS (SELECT bench_id, unnest(list_distinct(${ngramsOfToks(3)})) AS s " +
-        s"FROM (SELECT bench_id, string_split_regex(trim(text, '$SqlWs'), '\\s+') " +
-        "AS toks FROM bs)) " +
-        "SELECT doc_id, chunk_idx, bench_id, " +
-        "CAST(count(*) AS BIGINT) AS n_shared, " +
-        "CAST(any_value(chunk_shingles) AS BIGINT) AS chunk_shingles, " +
-        "CAST(count(*) AS DOUBLE) / any_value(chunk_shingles) AS overlap " +
-        "FROM ce JOIN bsh USING (s) GROUP BY 1, 2, 3 " +
-        "HAVING CAST(count(*) AS DOUBLE) / any_value(chunk_shingles) >= 0.5"),
+      (s"WITH $ContamSpanCtes " +
+        "SELECT doc_id, chunk_idx, bench_id, n_shared, chunk_shingles, " +
+        "overlap FROM hitp WHERE overlap >= 0.5"),
+    // span-REMOVAL mirror: the same chain, flagged (doc, chunk) pairs
+    // anti-joined away, surviving chunks re-concatenated in index order
+    // (chunks partition the text, so '' is the right separator), all
+    // corpus docs kept with the empty/zero defaults
+    "dedup_decontam_spans" ->
+      (s"WITH $ContamSpanCtes, " +
+        "fl AS (SELECT DISTINCT doc_id, chunk_idx FROM hitp WHERE overlap >= 0.5), " +
+        "keptc AS (SELECT ct.doc_id, ct.chunk_idx, ct.chunk FROM ct " +
+        "LEFT JOIN fl USING (doc_id, chunk_idx) WHERE fl.doc_id IS NULL), " +
+        "reb AS (SELECT doc_id, string_agg(chunk, '' ORDER BY chunk_idx) " +
+        "AS text_clean FROM keptc GROUP BY 1), " +
+        "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM ct GROUP BY 1), " +
+        "rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM fl GROUP BY 1) " +
+        "SELECT cp.doc_id, COALESCE(reb.text_clean, '') AS text_clean, " +
+        "COALESCE(tot.n_chunks, 0) AS n_chunks, " +
+        "COALESCE(rem.n_removed, 0) AS n_removed " +
+        "FROM cp LEFT JOIN reb USING (doc_id) LEFT JOIN tot USING (doc_id) " +
+        "LEFT JOIN rem USING (doc_id)"),
     // chunk math: stride 48, nc = max(ceil((n-16)/48), 1), chunk i covers
     // 1-based token slots [i·48+1, i·48+64] — all integer arithmetic
     "text_chunk_tokens" ->
@@ -5065,5 +5224,31 @@ object SparkEntry {
         "FROM documents, LATERAL (SELECT unnest(generate_series(0, " +
         "(doc_id % 256 + 64) * (1 + doc_id % 2) - 1)) AS k)) " +
         "GROUP BY doc_id"),
+    // audio-fingerprint dedup mirror: the planted-duplicate pattern ids,
+    // per-pid window energies from the analytic PCM formula (sample k →
+    // window k·65 // total, the aHash pigeonhole), energy-difference sign
+    // bits summed in HUGEINT and folded to the signed 64-bit signature,
+    // then the min-keeper/count grouping — the mm_dedup mirror pattern
+    "mm_audio_dedup" ->
+      ("WITH pats AS (SELECT doc_id, doc_id - CASE WHEN doc_id % 7 = 3 " +
+        "THEN 1 ELSE 0 END AS pid FROM documents), " +
+        "ap AS (SELECT pid, (pid % 256 + 64) * (1 + pid % 2) AS total " +
+        "FROM (SELECT DISTINCT pid FROM pats)), " +
+        "ae AS (SELECT pid, (k * 65) // total AS w, s * s AS e2 FROM (" +
+        "SELECT pid, total, k, (pid * 31 + 7 * k * k + 13 * k) % 65536 - 32768 AS s " +
+        "FROM ap, LATERAL (SELECT unnest(generate_series(0, total - 1)) AS k))), " +
+        "aw AS (SELECT pid, w, sum(e2) AS ew FROM ae GROUP BY 1, 2), " +
+        "ag AS (SELECT g.pid, g.wn, COALESCE(aw.ew, 0) AS ew FROM (" +
+        "SELECT pid, unnest(generate_series(0, 64)) AS wn FROM ap) g " +
+        "LEFT JOIN aw ON aw.pid = g.pid AND aw.w = g.wn), " +
+        "sg2 AS (SELECT a.pid, sum(CASE WHEN a.ew > b.ew " +
+        "THEN CAST(1 AS HUGEINT) << CAST(a.wn AS INT) " +
+        "ELSE CAST(0 AS HUGEINT) END) AS sig " +
+        "FROM ag a JOIN ag b ON b.pid = a.pid AND b.wn = a.wn + 1 " +
+        "WHERE a.wn < 64 GROUP BY 1), " +
+        "af AS (SELECT pid, CAST(CASE WHEN sig >= 9223372036854775808 " +
+        "THEN sig - 18446744073709551616 ELSE sig END AS BIGINT) AS afp FROM sg2) " +
+        "SELECT afp, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups " +
+        "FROM pats JOIN af USING (pid) GROUP BY 1"),
     "pipeline_e2e" -> PipelineE2eSql)
 }

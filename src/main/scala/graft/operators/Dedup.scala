@@ -926,19 +926,26 @@ object Dedup {
     * pair — volume is shared-shingle hits, not corpus shingles. */
   def contaminationSpans(corpus: DataFrame, benchmark: DataFrame, n: Int,
       window: Int, maskBits: Int, minOverlap: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    spanScores(
+      TextAnalysis.chunkByContent(corpus, window, maskBits, idCol, textCol),
+      benchmark, n, minOverlap, idCol, textCol)
+
+  /** The scoring half of [[contaminationSpans]] over an already-chunked
+    * relation (idCol, chunk_idx, chunk) — shared with
+    * [[decontaminateSpans]] so the chunking runs once there. */
+  private def spanScores(chunks: DataFrame, benchmark: DataFrame, n: Int,
+      minOverlap: Double, idCol: String, textCol: String): DataFrame = {
     require(minOverlap >= 0 && minOverlap <= 1,
       s"minOverlap must be in [0,1], got $minOverlap")
     val bench = benchmark
       .select(col(idCol).as("bench_id"),
         explode(wordShingles(col(textCol), n)).as("s"))
       .select(col("bench_id"), xxhash64(col("s")).as("sh_h"))
-    val chunks = TextAnalysis
-      .chunkByContent(corpus, window, maskBits, idCol, textCol)
+    chunks
       .select(col(idCol), col("chunk_idx"),
         size(wordShingles(col("chunk"), n)).cast("long").as("chunk_shingles"),
         col("chunk"))
-    chunks
       .select(col(idCol), col("chunk_idx"), col("chunk_shingles"),
         explode(wordShingles(col("chunk"), n)).as("s"))
       .select(col(idCol), col("chunk_idx"), col("chunk_shingles"),
@@ -950,6 +957,51 @@ object Dedup {
       .withColumn("overlap",
         col("n_shared").cast("double") / col("chunk_shingles").cast("double"))
       .filter(col("overlap") >= minOverlap)
+  }
+
+  /** The ACTIONABLE sibling of [[contaminationSpans]] — cut the
+    * contaminated spans OUT and keep the document: where [[decontaminate]]
+    * drops a whole document for one quoted paragraph (wasteful at corpus
+    * scale — the other 99% of a long page is clean training text), this
+    * rebuilds each document from its unflagged CDC chunks. Chunks partition
+    * the text contiguously, so concatenating the kept chunks in chunk order
+    * is exactly the original text with the flagged spans excised.
+    *
+    * Returns every corpus row: (idCol, text_clean, n_chunks, n_removed) —
+    * documents with no text/chunks keep an empty text_clean, fully-flagged
+    * documents come back empty rather than disappearing (the caller
+    * decides whether to drop empties; survivors-vs-report symmetry).
+    *
+    * Scale shape: ONE chunking pass (shared with the scoring via
+    * [[spanScores]]), the flagged set is (doc, chunk)-keyed hit pairs (tiny
+    * — contamination is rare by construction), the rebuild is one
+    * map-side-combinable sort-struct aggregation per doc. */
+  def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame, n: Int,
+      window: Int, maskBits: Int, minOverlap: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunks = TextAnalysis
+      .chunkByContent(corpus, window, maskBits, idCol, textCol)
+    val flagged = spanScores(chunks, benchmark, n, minOverlap, idCol, textCol)
+      .select(col(idCol), col("chunk_idx")).distinct()
+    val rebuilt = chunks
+      .join(flagged.withColumn("__flag", lit(1L)),
+        Seq(idCol, "chunk_idx"), "left")
+      .groupBy(idCol)
+      .agg(
+        // array_sort on (chunk_idx, chunk) structs orders by index; the
+        // join of kept chunks in that order is the excised document
+        concat_ws("", transform(
+          array_sort(collect_list(when(col("__flag").isNull,
+            struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk"))).as("text_clean"),
+        count(lit(1)).as("n_chunks"),
+        count(col("__flag")).as("n_removed"))
+    corpus.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
   // ------------------------------------------------- cluster + survivors

@@ -354,65 +354,117 @@ object Multimodal {
     * yield a -1-sentinel row rather than failing the stage. Pipeline shape:
     * typed-Dataset `mapPartitions`, binary column pruned until this stage,
     * partition-parallel, zero shuffles. */
+  /** Decoded PCM: format fields + the interleaved 16-bit samples. */
+  private[graft] final case class Pcm(rate: Int, channels: Int, bits: Int,
+      samples: Array[Short])
+
+  /** The RIFF/WAVE chunk walk shared by [[decodeAudio]] and
+    * [[audioFingerprint]]: a spec-compliant reader (skips unknown chunks,
+    * honors word alignment, never trusts the RIFF header size), returning
+    * null for anything it can't decode (bad magic, truncated chunk,
+    * non-PCM, non-16-bit). */
+  private[graft] def parsePcm(bytes: Array[Byte]): Pcm =
+    try {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      if (tag() != "RIFF") return null
+      buf.getInt // riff payload size — trust the chunk walk, not this
+      if (tag() != "WAVE") return null
+      var fmtOk = false
+      var ch = 0; var rate = 0; var bits = 0
+      var samples: Array[Short] = null
+      while (buf.remaining() >= 8) {
+        val id = tag()
+        val len = buf.getInt
+        if (len < 0 || len > buf.remaining()) return null
+        val next = buf.position() + len + (len & 1) // chunks are word-aligned
+        id match {
+          case "fmt " =>
+            val fmt = buf.getShort
+            ch = buf.getShort
+            rate = buf.getInt
+            buf.getInt; buf.getShort // byteRate, blockAlign
+            bits = buf.getShort
+            fmtOk = fmt == 1 && bits == 16 && ch >= 1 && rate >= 1
+          case "data" if fmtOk && samples == null =>
+            val n = len / 2
+            samples = new Array[Short](n)
+            var i = 0
+            while (i < n) { samples(i) = buf.getShort; i += 1 }
+          case _ => ()
+        }
+        buf.position(math.min(next, buf.limit()))
+      }
+      if (!fmtOk || samples == null) null else Pcm(rate, ch, bits, samples)
+    } catch { case _: RuntimeException => null }
+
   def decodeAudio(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    val bad = (id: Long) => (id, -1, -1, -1, -1L, -1L, 0L, 0L)
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (docId, bytes) =>
-          try {
-            val buf = java.nio.ByteBuffer.wrap(bytes)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            def tag(): String = {
-              val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+          val pcm = parsePcm(bytes)
+          if (pcm == null) (docId, -1, -1, -1, -1L, -1L, 0L, 0L)
+          else {
+            var sumAmp = 0L; var sumSq = 0L
+            var i = 0
+            while (i < pcm.samples.length) {
+              val s = pcm.samples(i).toLong
+              sumAmp += s; sumSq += s * s; i += 1
             }
-            if (tag() != "RIFF") bad(docId)
-            else {
-              buf.getInt // riff payload size — trust chunk walk, not this
-              if (tag() != "WAVE") bad(docId)
-              else {
-                var fmtOk = false
-                var ch = 0; var rate = 0; var bits = 0
-                var sumAmp = 0L; var sumSq = 0L; var total = 0L
-                var sawData = false
-                while (buf.remaining() >= 8) {
-                  val id = tag()
-                  val len = buf.getInt
-                  if (len < 0 || len > buf.remaining()) throw new java.io.EOFException()
-                  val next = buf.position() + len + (len & 1) // chunks are word-aligned
-                  id match {
-                    case "fmt " =>
-                      val fmt = buf.getShort
-                      ch = buf.getShort
-                      rate = buf.getInt
-                      buf.getInt; buf.getShort // byteRate, blockAlign
-                      bits = buf.getShort
-                      fmtOk = fmt == 1 && bits == 16 && ch >= 1 && rate >= 1
-                    case "data" if fmtOk =>
-                      sawData = true
-                      var i = 0
-                      val n = len / 2
-                      while (i < n) {
-                        val s = buf.getShort.toLong
-                        sumAmp += s; sumSq += s * s; i += 1
-                      }
-                      total += n
-                    case _ => ()
-                  }
-                  buf.position(math.min(next, buf.limit()))
-                }
-                if (!fmtOk || !sawData) bad(docId)
-                else {
-                  val frames = total / ch
-                  (docId, rate, ch, bits, frames, frames * 1000L / rate,
-                    sumAmp, sumSq)
-                }
-              }
-            }
-          } catch { case _: RuntimeException | _: java.io.EOFException => bad(docId) }
+            val frames = pcm.samples.length.toLong / pcm.channels
+            (docId, pcm.rate, pcm.channels, pcm.bits, frames,
+              frames * 1000L / pcm.rate, sumAmp, sumSq)
+          }
         }
       }.toDF("doc_id", "sample_rate", "channels", "bits", "n_frames",
         "duration_ms", "sum_amp", "sum_sq")
+  }
+
+  /** 64-bit audio fingerprint from REAL decoded PCM — the audio sibling of
+    * [[imageAHash]], in the energy-difference-sign family of Haitsma &
+    * Kalker 2002 ("A highly robust audio fingerprinting system", the
+    * band-energy-difference sign bits), time-domain formulation so every
+    * bit is integer-exact and the SQL oracle replays it analytically from
+    * the PCM formula: the interleaved samples are cut into 65 pigeonhole
+    * time windows (sample k → window k·65 div total, the [[imageAHash]]
+    * block mapping), window energy E(w) = Σ s² (exact long), and bit w is
+    * set iff E(w) > E(w+1) — re-encodes, small gain changes and trailing
+    * padding flip few bits, so `Dedup.hammingPairs` over this column is
+    * audio near-dup at corpus scale (one banded equi-join, never the pair
+    * space). Undecodable rows get the −1 sentinel. Narrow
+    * partition-parallel map; only (doc_id, afp) ever shuffles. */
+  def audioFingerprint(spark: SparkSession, media: DataFrame): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (docId, bytes) =>
+          val pcm = parsePcm(bytes)
+          if (pcm == null) (docId, -1L)
+          else {
+            val total = pcm.samples.length
+            val e = new Array[Long](65)
+            var k = 0
+            while (k < total) {
+              val s = pcm.samples(k).toLong
+              // k·65 in LONG: a 12-minute 44.1 kHz clip already overflows
+              // the int product
+              e((k.toLong * 65 / total).toInt) += s * s
+              k += 1
+            }
+            var sig = 0L
+            var w = 0
+            while (w < 64) {
+              if (e(w) > e(w + 1)) sig |= (1L << w)
+              w += 1
+            }
+            (docId, sig)
+          }
+        }
+      }.toDF("doc_id", "afp").as[(Long, Long)]
   }
 
   /** Frame sampling: every `stride`-th byte-window stands in for a video

@@ -1079,4 +1079,39 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"ranking metrics must stay keyed:\n$plan")
   }
+
+  test("native unigram apply is a pure narrow map — zero exchanges, no explode " +
+      "(the bpe_apply_fast contract for the Viterbi family)") {
+    val costs = Map("a" -> 10L, "b" -> 12L, "ab" -> 15L, "c" -> 9L)
+    val df = graft.operators.TextAnalysis.unigramEncodedCounts(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), costs)
+    val plan = executedPlan(df)
+    assert(!plan.contains("Exchange"),
+      s"the native unigram apply must not shuffle at all:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"the native unigram apply must not explode tokens:\n$plan")
+  }
+
+  test("span decontamination: benchmark side broadcast, no products, and the " +
+      "rebuild is one hash aggregation over the chunk relation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.filter($"doc_id" % 50 === 0).select("doc_id", "text")
+    val plan = executedPlan(graft.operators.Dedup.decontaminateSpans(
+      docs.filter($"doc_id" % 50 =!= 0), bench, 3, 16, 5, 0.5))
+    assert(plan.contains("BroadcastExchange"),
+      s"benchmark shingles must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"span scoring must never form a product:\n$plan")
+  }
+
+  test("audio fingerprint: narrow decode — only (doc_id, afp) ever reaches " +
+      "an exchange, and the dedup grouping is the lone shuffle") {
+    val df = SparkEntry.queries("mm_audio_dedup")(spark, "/root/testdata/sf0.001")
+    val plan = executedPlan(df)
+    // the grouping by afp (plus the pid join's exchanges) — but never a
+    // shuffle of the synthesized media bytes themselves
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"audio dedup must stay keyed:\n$plan")
+  }
 }
