@@ -1293,6 +1293,34 @@ object SparkEntry {
     s"WITH ${bpeApplyCtes(rounds)} " +
       "SELECT doc_id, n_tokens, n AS n_pieces FROM bn"
 
+  /** Analytic audio-fingerprint chain over `src(key, pid, nudge)` →
+    * `aaf(key, afp)`: per-key PCM parameters from the pattern id, samples
+    * offset by `nudge` (wrapped in 16-bit two's complement — the
+    * Multimodal.synthesizeAudioPerturbed model; nudge 0 is the plain
+    * waveform), window energies over a generate_series (sample k → window
+    * k·65 // total, the aHash pigeonhole), energy-difference sign bits
+    * summed in HUGEINT and folded to the signed 64-bit signature — the
+    * DuckDB twin of Multimodal.audioFingerprint ∘ synthesizeAudio*, no
+    * codec needed because PCM is lossless. */
+  private def audioFpCtes(src: String): String =
+    s"aap AS (SELECT key, pid, nudge, (pid % 256 + 64) * (1 + pid % 2) AS total " +
+      s"FROM $src), " +
+      "aae AS (SELECT key, (k * 65) // total AS w, s * s AS e2 FROM (" +
+      "SELECT key, total, k, " +
+      "(((pid * 31 + 7 * k * k + 13 * k) % 65536 + nudge) % 65536 + 65536) % 65536 - 32768 AS s " +
+      "FROM aap, LATERAL (SELECT unnest(generate_series(0, total - 1)) AS k))), " +
+      "aaw AS (SELECT key, w, sum(e2) AS ew FROM aae GROUP BY 1, 2), " +
+      "aag AS (SELECT g.key, g.wn, COALESCE(aaw.ew, 0) AS ew FROM (" +
+      "SELECT key, unnest(generate_series(0, 64)) AS wn FROM aap) g " +
+      "LEFT JOIN aaw ON aaw.key = g.key AND aaw.w = g.wn), " +
+      "aas AS (SELECT a.key, sum(CASE WHEN a.ew > b.ew " +
+      "THEN CAST(1 AS HUGEINT) << CAST(a.wn AS INT) " +
+      "ELSE CAST(0 AS HUGEINT) END) AS sig " +
+      "FROM aag a JOIN aag b ON b.key = a.key AND b.wn = a.wn + 1 " +
+      "WHERE a.wn < 64 GROUP BY 1), " +
+      "aaf AS (SELECT key, CAST(CASE WHEN sig >= 9223372036854775808 " +
+      "THEN sig - 18446744073709551616 ELSE sig END AS BIGINT) AS afp FROM aas)"
+
   /** Shared CTE chain of the span-decontamination mirrors: the planted-
     * quote host fixture (`cp` — doubled own text; %13==5 hosts embed their
     * bucket's benchmark item), CDC chunking (the dedup_cdc_chunks bound
@@ -3087,6 +3115,28 @@ object SparkEntry {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
     }),
 
+    // MM9 — graft extension: audio NEAR-dup end to end — doc_id % 11 == 4
+    // renders its predecessor's waveform nudged by +1 per sample (wrapped
+    // 16-bit, the re-encode drift model), fingerprints ride the REAL
+    // encode→RIFF-parse→energy-sign path, and the pair search is
+    // Dedup.hammingPairs' pigeonhole-banded equi-join (exact at
+    // maxHamming=7 < 8 bands; the oracle is the brute-force pair spec)
+    "mm_audio_neardup" -> ((s, dir) => {
+      val pats = docs(s, dir).select(col("doc_id"),
+        (col("doc_id") - when(col("doc_id") % 11 === 4, 1).otherwise(0)).as("pid"),
+        when(col("doc_id") % 11 === 4, 1).otherwise(0).as("nudge"))
+      val fps = Multimodal.audioFingerprint(s,
+          Multimodal.synthesizeAudioPerturbed(s, pats).toDF())
+        .toDF("id", "sig")
+      Dedup.hammingPairs(fps, 7)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+    // length-bucketed batching: the padding-waste killer for variable-length
+    // training — bucket by n div 32, deterministic batches of 8 within each
+    // (bucket, shard) cell; the oracle replays the full assignment
+    "sample_length_buckets" -> ((s, dir) =>
+      Sampling.lengthBucketBatches(docs(s, dir), "doc_id",
+        TextAnalysis.tokenCount(col("text")), bucketWidth = 32, batchSize = 8)),
     // end-to-end pipeline composition — the real training-data shape, every
     // stage an already-oracled operator, chained through the (doc_id, text)
     // column contract: C4 clean → corpus line dedup → Gopher quality filter
@@ -5232,23 +5282,36 @@ object SparkEntry {
     "mm_audio_dedup" ->
       ("WITH pats AS (SELECT doc_id, doc_id - CASE WHEN doc_id % 7 = 3 " +
         "THEN 1 ELSE 0 END AS pid FROM documents), " +
-        "ap AS (SELECT pid, (pid % 256 + 64) * (1 + pid % 2) AS total " +
-        "FROM (SELECT DISTINCT pid FROM pats)), " +
-        "ae AS (SELECT pid, (k * 65) // total AS w, s * s AS e2 FROM (" +
-        "SELECT pid, total, k, (pid * 31 + 7 * k * k + 13 * k) % 65536 - 32768 AS s " +
-        "FROM ap, LATERAL (SELECT unnest(generate_series(0, total - 1)) AS k))), " +
-        "aw AS (SELECT pid, w, sum(e2) AS ew FROM ae GROUP BY 1, 2), " +
-        "ag AS (SELECT g.pid, g.wn, COALESCE(aw.ew, 0) AS ew FROM (" +
-        "SELECT pid, unnest(generate_series(0, 64)) AS wn FROM ap) g " +
-        "LEFT JOIN aw ON aw.pid = g.pid AND aw.w = g.wn), " +
-        "sg2 AS (SELECT a.pid, sum(CASE WHEN a.ew > b.ew " +
-        "THEN CAST(1 AS HUGEINT) << CAST(a.wn AS INT) " +
-        "ELSE CAST(0 AS HUGEINT) END) AS sig " +
-        "FROM ag a JOIN ag b ON b.pid = a.pid AND b.wn = a.wn + 1 " +
-        "WHERE a.wn < 64 GROUP BY 1), " +
-        "af AS (SELECT pid, CAST(CASE WHEN sig >= 9223372036854775808 " +
-        "THEN sig - 18446744073709551616 ELSE sig END AS BIGINT) AS afp FROM sg2) " +
+        audioFpCtes("(SELECT pid AS key, pid, 0 AS nudge FROM " +
+          "(SELECT DISTINCT pid FROM pats))") + " " +
         "SELECT afp, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups " +
-        "FROM pats JOIN af USING (pid) GROUP BY 1"),
+        "FROM pats JOIN (SELECT key AS pid, afp FROM aaf) af USING (pid) GROUP BY 1"),
+    // audio NEAR-dup mirror: the nudged-copy fixture (doc_id % 11 == 4
+    // renders its predecessor's waveform with every sample offset by 1,
+    // wrapped in 16-bit two's complement — the analytic model of a lossy
+    // re-encode's DC drift), both fingerprints replayed analytically, then
+    // the BRUTE-FORCE hamming pair spec (the engine side answers with the
+    // pigeonhole-banded join, exact by construction at maxHamming < bands)
+    "mm_audio_neardup" ->
+      ("WITH pats AS (SELECT doc_id, doc_id - CASE WHEN doc_id % 11 = 4 " +
+        "THEN 1 ELSE 0 END AS pid, CASE WHEN doc_id % 11 = 4 THEN 1 ELSE 0 END " +
+        "AS nudge FROM documents), " +
+        audioFpCtes("(SELECT doc_id AS key, pid, nudge FROM pats)") + " " +
+        "SELECT a.key AS id_a, b.key AS id_b, " +
+        "CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming " +
+        "FROM aaf a JOIN aaf b ON a.key < b.key " +
+        "WHERE bit_count(xor(a.afp, b.afp)) <= 7"),
+    // length-bucketed batching mirror: bucket = n // width, deterministic
+    // row_number within (bucket, shard), batch index and position by
+    // integer division — all replayed exactly
+    "sample_length_buckets" ->
+      (s"WITH lb AS (SELECT doc_id, CAST($TokN AS BIGINT) AS n, " +
+        s"$TokN // 32 AS bucket, ${pmSql(HashRaw, "8")} AS shard " +
+        s"FROM documents WHERE $TokN > 0), " +
+        "r AS (SELECT doc_id, n, bucket, shard, row_number() OVER (" +
+        "PARTITION BY bucket, shard ORDER BY doc_id) - 1 AS rn FROM lb) " +
+        "SELECT doc_id, n, CAST(bucket AS BIGINT) AS bucket, " +
+        "CAST(shard AS BIGINT) AS shard, CAST(rn // 8 AS BIGINT) AS batch_idx, " +
+        "CAST(rn % 8 AS BIGINT) AS pos_in_batch FROM r"),
     "pipeline_e2e" -> PipelineE2eSql)
 }

@@ -320,27 +320,55 @@ object Multimodal {
     * structure to get the samples back. Partition-parallel narrow map; only
     * doc_id is read from the input — the audio counterpart of
     * [[synthesizeImages]]. */
+  /** One genuine RIFF/WAVE byte stream: canonical 44-byte header + the
+    * little-endian samples `sample(k)` for k ∈ [0, frames·ch). */
+  private def wavBytes(rate: Int, ch: Int, frames: Int,
+      sample: Int => Int): Array[Byte] = {
+    val total = frames * ch
+    val dataLen = total * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(ch.toShort).putInt(rate)
+      .putInt(rate * ch * 2).putShort((ch * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var k = 0
+    while (k < total) { buf.putShort(sample(k).toShort); k += 1 }
+    buf.array()
+  }
+
   def synthesizeAudio(spark: SparkSession, docs: DataFrame): Dataset[(Long, Array[Byte], String)] = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       it.map { docId =>
         val (rate, ch, frames) = audioParams(docId)
-        val total = frames * ch
-        val dataLen = total * 2
-        val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-          .put("WAVE".getBytes("US-ASCII"))
-          .put("fmt ".getBytes("US-ASCII")).putInt(16)
-          .putShort(1) // PCM
-          .putShort(ch.toShort).putInt(rate)
-          .putInt(rate * ch * 2).putShort((ch * 2).toShort).putShort(16)
-          .put("data".getBytes("US-ASCII")).putInt(dataLen)
-        var k = 0
-        while (k < total) { buf.putShort(audioSample(docId, k).toShort); k += 1 }
-        (docId, buf.array(), "audio/wav")
+        (docId, wavBytes(rate, ch, frames, audioSample(docId, _)), "audio/wav")
       }
     }.toDF("doc_id", "media", "mime").as[(Long, Array[Byte], String)]
+  }
+
+  /** [[synthesizeAudio]] with a re-encode-style perturbation: each row of
+    * `pats(doc_id, pid, nudge)` renders pattern `pid`'s waveform with every
+    * sample offset by `nudge`, wrapped exactly in 16-bit two's complement —
+    * ((s + nudge + 32768) mod 2¹⁶) − 32768, the integer-exact model of a
+    * small DC/gain drift a lossy re-encode introduces. Fingerprints of the
+    * nudged copy land within a few bits of the original's (window-energy
+    * DIFFERENCES absorb a common offset), which is exactly what
+    * [[audioFingerprint]] + `Dedup.hammingPairs` must catch. */
+  def synthesizeAudioPerturbed(spark: SparkSession, pats: DataFrame): Dataset[(Long, Array[Byte], String)] = {
+    import spark.implicits._
+    pats.select(col("doc_id"), col("pid"), col("nudge").cast("int"))
+      .as[(Long, Long, Int)].mapPartitions { it =>
+        it.map { case (docId, pid, nudge) =>
+          val (rate, ch, frames) = audioParams(pid)
+          val bytes = wavBytes(rate, ch, frames, k =>
+            ((audioSample(pid, k) + nudge + 32768) % 65536 + 65536) % 65536 - 32768)
+          (docId, bytes, "audio/wav")
+        }
+      }.toDF("doc_id", "media", "mime").as[(Long, Array[Byte], String)]
   }
 
   /** REAL WAV/PCM decode + feature extraction — the audio sibling of

@@ -214,6 +214,44 @@ object Sampling {
       .drop(nCol, prefixCol)
   }
 
+  /** LENGTH-BUCKETED BATCHING — the other trainer-facing grouping beside
+    * packing: variable-length fine-tuning / inference batches waste compute
+    * as padding (every sequence pads to the batch max), so trainers group
+    * samples of SIMILAR length and batch within the group (the bucketing
+    * strategy of fairseq/HF `group_by_length`). Each document lands in
+    * length bucket `n div bucketWidth`; within a (bucket, shard) cell,
+    * documents in deterministic id order fill batches of `batchSize`.
+    * Padding waste per batch is then bounded by bucketWidth·(batchSize−1)
+    * tokens instead of maxLen·(batchSize−1).
+    *
+    * Output: (idCol, n, bucket, shard, batch_idx, pos_in_batch) — a full
+    * deterministic batch assignment, replayable by the SQL oracle.
+    *
+    * Scale shape: one narrow projection (token count, bucket, shard from
+    * the portable id hash), ONE exchange on (bucket, shard), and a
+    * per-partition sort for the row_number — no global sort. The shard
+    * dimension exists exactly so a hot bucket (most corpora pile up at
+    * short lengths) spreads over `numShards` reducers instead of one; at
+    * 1000 executors set numShards ≈ cores as with [[packSequences]]. */
+  def lengthBucketBatches(df: DataFrame, idCol: String, tokenCount: Column,
+      bucketWidth: Long, batchSize: Int, numShards: Int = 8,
+      seed: Long = 42): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col(idCol).asc)
+    df.select(col(idCol), tokenCount.cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("bucket", expr(s"n div ${bucketWidth}L"))
+      .withColumn("shard", pmod(hashRaw(col(idCol), seed), lit(numShards.toLong)))
+      .withColumn("__rn", row_number().over(w).cast("long") - 1)
+      .withColumn("batch_idx", expr(s"__rn div ${batchSize}L"))
+      .withColumn("pos_in_batch", pmod(col("__rn"), lit(batchSize.toLong)))
+      .drop("__rn")
+  }
+
   /** Document-ATOMIC greedy packing — the no-split packing rule used when a
     * document must not cross a sequence boundary (instruction-tuning /
     * SFT-style corpora, where splitting a sample mid-text corrupts it):
