@@ -3137,6 +3137,28 @@ object SparkEntry {
     "sample_length_buckets" -> ((s, dir) =>
       Sampling.lengthBucketBatches(docs(s, dir), "doc_id",
         TextAnalysis.tokenCount(col("text")), bucketWidth = 32, batchSize = 8)),
+    // curriculum staging: 4 quality stages from 3 sampled-percentile cutoffs
+    // (broadcast), deterministic shuffled order within (stage, shard) cells —
+    // a complete easiest-first training schedule, no global sort anywhere
+    "sample_curriculum" -> ((s, dir) =>
+      Sampling.curriculumStages(docs(s, dir), "doc_id",
+        TextAnalysis.qualityScore(col("text")), stages = 4, sampleRate = 0.5)),
+    // AGG3 — graft extension: GROUPING SETS sibling of agg_cube — only the
+    // two marginals and the grand total (no (type, band) cells), still ONE
+    // Expand + a single exchange; gid disambiguates the super-aggregates
+    "agg_gsets" -> ((s, dir) =>
+      EventsAdapter.rawEvents(s, dir)
+        .select(col("event_type"), (col("user_id") % 3).as("user_band"),
+          col("value"))
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("user_band")), Seq.empty),
+          col("event_type"), col("user_band"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("sum_cents"))),
+    // tokenizer-fertility audit: BPE-ish pieces per whitespace word, by
+    // voted language — exact long sums, one division per language row
+    "text_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(docs(s, dir))),
     // end-to-end pipeline composition — the real training-data shape, every
     // stage an already-oracled operator, chained through the (doc_id, text)
     // column contract: C4 clean → corpus line dedup → Gopher quality filter
@@ -5313,5 +5335,50 @@ object SparkEntry {
         "SELECT doc_id, n, CAST(bucket AS BIGINT) AS bucket, " +
         "CAST(shard AS BIGINT) AS shard, CAST(rn // 8 AS BIGINT) AS batch_idx, " +
         "CAST(rn % 8 AS BIGINT) AS pos_in_batch FROM r"),
+    // curriculum mirror: the three sampled-percentile cutoffs replay Spark
+    // `percentile`'s rank interpolation (the text_quality_cutoff pattern,
+    // once per q), stage = cutoffs cleared, then the (stage, shard) window
+    // replays the shuffled in-stage order exactly
+    "sample_curriculum" -> {
+      val cuts = Seq(1, 2, 3).map { k =>
+        s"p$k AS (SELECT ${k / 4.0} * CAST(count(*) - 1 AS DOUBLE) AS pos FROM o), " +
+          s"c$k AS (SELECT CASE WHEN ceil(pos) = floor(pos) THEN lo.qu " +
+          "ELSE (ceil(pos) - pos) * lo.qu + (pos - floor(pos)) * hi.qu END AS c " +
+          s"FROM p$k, o lo, o hi WHERE lo.rn = CAST(floor(pos) AS BIGINT) " +
+          "AND hi.rn = CAST(ceil(pos) AS BIGINT))"
+      }.mkString(", ")
+      val stage = Seq(1, 2, 3).map(k =>
+        s"(CASE WHEN $QualitySql >= COALESCE((SELECT c FROM c$k), " +
+          "CAST('infinity' AS DOUBLE)) THEN 1 ELSE 0 END)").mkString(" + ")
+      s"WITH smp AS (SELECT $QualitySql AS qu FROM documents " +
+        s"WHERE $HashB < ${(0.5 * Sampling.Buckets).toLong}), " +
+        "o AS (SELECT qu, row_number() OVER (ORDER BY qu) - 1 AS rn FROM smp), " +
+        s"$cuts, " +
+        s"st AS (SELECT doc_id, $stage AS stage, $HashRaw AS h FROM documents) " +
+        "SELECT doc_id, CAST(stage AS BIGINT) AS stage, " +
+        s"CAST(${pmSql("h", "8")} AS BIGINT) AS shard, " +
+        "CAST(row_number() OVER (PARTITION BY stage, " + pmSql("h", "8") +
+        " ORDER BY h, doc_id) - 1 AS BIGINT) AS pos FROM st"
+    },
+    // grouping-sets mirror: same gid bit order as Spark's grouping_id()
+    // (first grouping column = MSB), same exact-cents sum as agg_cube
+    "agg_gsets" ->
+      ("SELECT event_type, user_id % 3 AS user_band, " +
+        "CAST(GROUPING(event_type, user_band) AS BIGINT) AS gid, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM events GROUP BY GROUPING SETS ((event_type), (user_band), ())"),
+    // fertility mirror: the langid vote CTE joined to exact piece/word
+    // counts; one IEEE division per language row
+    "text_fertility" ->
+      (s"WITH lid AS ($LangIdSql), " +
+        s"tk AS (SELECT doc_id, $TokN AS nw, " +
+        "len(regexp_extract_all(text, '[a-zA-Z]+|[^a-zA-Z\\s]+')) AS np " +
+        "FROM documents) " +
+        "SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(nw) AS BIGINT) AS n_words, CAST(sum(np) AS BIGINT) AS n_pieces, " +
+        "CASE WHEN sum(nw) > 0 THEN CAST(sum(np) AS DOUBLE) / CAST(sum(nw) AS DOUBLE) " +
+        "ELSE 0.0 END AS fertility " +
+        "FROM tk JOIN lid USING (doc_id) GROUP BY 1"),
     "pipeline_e2e" -> PipelineE2eSql)
 }

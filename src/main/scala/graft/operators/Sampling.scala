@@ -252,6 +252,56 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** CURRICULUM STAGING — order a corpus easiest-first for curriculum
+    * training: learn `stages − 1` score cutoffs (exact interpolated
+    * percentiles at k/stages) from a hash sample, broadcast them, and assign
+    * every document stage = number of cutoffs its score clears (stage
+    * `stages−1` = top-quality slice, trained first in a
+    * high-quality-first curriculum; reverse for anti-curriculum). Within a
+    * stage the training order is a deterministic shuffle: the portable id
+    * hash orders rows inside (stage, shard) cells, the same
+    * skew-spreading shard trick as [[lengthBucketBatches]].
+    *
+    * Output: (idCol, stage, shard, pos) — a complete deterministic training
+    * schedule (read stages in the desired order, shards round-robin, pos
+    * ascending), fully replayable by the SQL oracle.
+    *
+    * Scale shape: the cutoff learning aggregates a hash sample to ONE row
+    * (broadcast back, the [[graft.operators.TextAnalysis.qualityQuantileFilter]]
+    * pattern); the assignment is a narrow map; the only exchange keys on
+    * (stage, shard) with an in-partition sort — no global sort of the
+    * corpus, no single-reducer window. A data-dependent empty sample yields
+    * NULL cutoffs → every doc lands in stage 0 (the conservative "nothing
+    * is provably easy" default), never a dropped row. */
+  def curriculumStages(df: DataFrame, idCol: String, score: Column,
+      stages: Int, sampleRate: Double = 0.5, numShards: Int = 8,
+      seed: Long = 42): DataFrame = {
+    require(stages >= 2, s"stages must be >= 2, got $stages")
+    require(sampleRate > 0 && sampleRate <= 1,
+      s"sampleRate must be in (0, 1], got $sampleRate")
+    require((sampleRate * Buckets).toLong >= 1,
+      s"sampleRate $sampleRate floors to zero of $Buckets hash buckets")
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    import org.apache.spark.sql.expressions.Window
+    val cutCols = (1 until stages).map(k =>
+      percentile(col("__q"), lit(k.toDouble / stages)).as(s"__c$k"))
+    val cuts = sampleByHash(df, idCol, sampleRate, seed)
+      .select(score.as("__q"))
+      .agg(cutCols.head, cutCols.tail: _*)
+    val stage = (1 until stages).map(k =>
+        when(score >= coalesce(col(s"__c$k"), lit(Double.PositiveInfinity)),
+          1L).otherwise(0L))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("stage"), col("shard"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    df.crossJoin(broadcast(cuts))
+      .select(col(idCol), stage.as("stage"),
+        hashRaw(col(idCol), seed).as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .drop("__h")
+  }
+
   /** Document-ATOMIC greedy packing — the no-split packing rule used when a
     * document must not cross a sequence boundary (instruction-tuning /
     * SFT-style corpora, where splitting a sample mid-text corrupts it):

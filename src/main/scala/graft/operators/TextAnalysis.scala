@@ -187,6 +187,33 @@ object TextAnalysis {
       .select(col("id").as(idCol), coalesce(col("lang_pred"), lit("und")).as("lang_pred"))
   }
 
+  /** Tokenizer FERTILITY by language — pieces emitted per whitespace word,
+    * the standard "how badly does this tokenizer fragment language X" audit
+    * (fertility ≈ 1 for a tokenizer fluent in the language, ≫ 1 for one
+    * that shatters it — the signal multilingual-vocab sizing decisions run
+    * on). Documents are language-voted by [[langIdByJoin]]; pieces are the
+    * [[bpeishTokenCount]] split, words the whitespace count; per-language
+    * sums are exact longs, fertility one IEEE division at the end.
+    *
+    * Scale shape: the language vote broadcasts the stopword table and
+    * exchanges only (doc, lang) counts; the count projection is a narrow
+    * codegen'd map; the rollup is one map-side-combined aggregation keyed
+    * by language (a handful of groups). Nothing corpus-sized shuffles. */
+  def tokenizerFertility(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val counts = docs.select(col(idCol),
+      tokenCount(col(textCol)).cast("long").as("__nw"),
+      bpeishTokenCount(col(textCol)).cast("long").as("__np"))
+    counts.join(langIdByJoin(docs, idCol, textCol), Seq(idCol))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"), sum("__nw").as("n_words"),
+        sum("__np").as("n_pieces"))
+      .withColumn("fertility",
+        when(col("n_words") > 0,
+          col("n_pieces").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** CODE-SWITCHING / language-mix detector: language-vote each LINE
     * (stopword-hit argmax under the (−hits, lang) total order — the
     * [[langIdByJoin]] contract), then roll up per document: classified-line
