@@ -2,7 +2,7 @@ package graft
 
 import graft.model.{AggregationSpec, RollupSpec}
 import graft.functions.SubwordExpressions
-import graft.operators.{Anomaly, Dedup, Eval, FuzzyString, GapFill, HeavyHitters, Layout, Lineage, Multimodal, Profiling, Relational, Sampling, Sessions, Similarity, Sketches, Snapshot, TextAnalysis}
+import graft.operators.{Anomaly, Dedup, Eval, FuzzyString, GapFill, HeavyHitters, Layout, Lineage, Multimodal, Preference, Profiling, Relational, Sampling, Sessions, Similarity, Sketches, Snapshot, TextAnalysis}
 import graft.plan.RuleCompiler
 import graft.sources.{EnvelopeJson, EventsAdapter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1320,6 +1320,43 @@ object SparkEntry {
       "WHERE a.wn < 64 GROUP BY 1), " +
       "aaf AS (SELECT key, CAST(CASE WHEN sig >= 9223372036854775808 " +
       "THEN sig - 18446744073709551616 ELSE sig END AS BIGINT) AS afp FROM aas)"
+
+  /** Mirror of [[graft.operators.Preference.bradleyTerry]] over the
+    * events-derived comparison fixture: per-user event-type totals, pairs
+    * with distinct totals vote winner/loser, then `iters` MM rounds
+    * replayed with the same fixed-point floor divisions (S² = scale²,
+    * virtual win each way per observed pair, per-round sum normalizer). */
+  private def bradleyTerryOracleSql(iters: Int, scale: Long): String = {
+    val s2 = scale * scale
+    val rounds = (1 to iters).map { k =>
+      val prev = s"p${k - 1}"
+      s"d$k AS (SELECT mt.i AS item, " +
+        s"sum((m * $s2) // greatest(pa.p + pb.p, 1)) AS d " +
+        s"FROM mt JOIN $prev pa ON pa.item = mt.i " +
+        s"JOIN $prev pb ON pb.item = mt.j GROUP BY 1), " +
+        s"r$k AS (SELECT item, (wins * $s2) // d AS praw " +
+        s"FROM wt JOIN d$k USING (item)), " +
+        s"p$k AS (SELECT item, (praw * $scale * (SELECT count(*) FROM wt)) " +
+        s"// (SELECT sum(praw) FROM r$k) AS p FROM r$k)"
+    }.mkString(", ")
+    "WITH tot AS (SELECT user_id, event_type, " +
+      "sum(CAST(floor(value * 100) AS BIGINT)) AS v FROM events GROUP BY 1, 2), " +
+      "cmp AS (SELECT CASE WHEN a.v > b.v THEN a.event_type ELSE b.event_type END AS winner, " +
+      "CASE WHEN a.v > b.v THEN b.event_type ELSE a.event_type END AS loser " +
+      "FROM tot a JOIN tot b ON a.user_id = b.user_id " +
+      "AND a.event_type < b.event_type AND a.v <> b.v), " +
+      "sym AS (SELECT winner AS i, loser AS j FROM cmp " +
+      "UNION ALL SELECT loser AS i, winner AS j FROM cmp), " +
+      "mt AS (SELECT i, j, count(*) + 2 AS m FROM sym GROUP BY 1, 2), " +
+      "w0 AS (SELECT winner AS item, count(*) AS c FROM cmp GROUP BY 1), " +
+      "wt AS (SELECT np.item, COALESCE(w0.c, 0) + np.c AS wins FROM " +
+      "(SELECT i AS item, count(*) AS c FROM mt GROUP BY 1) np " +
+      "LEFT JOIN w0 USING (item)), " +
+      s"p0 AS (SELECT item, CAST($scale AS BIGINT) AS p FROM wt), " +
+      s"$rounds " +
+      s"SELECT item, CAST(p AS BIGINT) AS strength_fp, " +
+      s"CAST(wins AS BIGINT) AS wins FROM p$iters JOIN wt USING (item)"
+  }
 
   /** Shared CTE chain of the span-decontamination mirrors: the planted-
     * quote host fixture (`cp` — doubled own text; %13==5 hosts embed their
@@ -3159,6 +3196,25 @@ object SparkEntry {
     // voted language — exact long sums, one division per language row
     "text_fertility" -> ((s, dir) =>
       TextAnalysis.tokenizerFertility(docs(s, dir))),
+    // Bradley–Terry preference strengths (the reward-model data-plane op):
+    // comparisons synthesized from per-user event-type spend totals (larger
+    // total wins, ties skipped), then 8 fixed-point MM rounds — every floor
+    // division replayed exactly by the oracle's unrolled CTE chain
+    "eval_bradley_terry" -> ((s, dir) => {
+      val totals = EventsAdapter.rawEvents(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+      val b = totals.select(col("user_id"), col("event_type").as("et_b"),
+        col("v").as("vb"))
+      val cmp = totals.select(col("user_id"), col("event_type").as("et_a"),
+          col("v").as("va"))
+        .join(b, Seq("user_id"))
+        .filter(col("et_a") < col("et_b") && col("va") =!= col("vb"))
+        .select(
+          when(col("va") > col("vb"), col("et_a")).otherwise(col("et_b")).as("winner"),
+          when(col("va") > col("vb"), col("et_b")).otherwise(col("et_a")).as("loser"))
+      Preference.bradleyTerry(cmp, iters = 8)
+    }),
     // end-to-end pipeline composition — the real training-data shape, every
     // stage an already-oracled operator, chained through the (doc_id, text)
     // column contract: C4 clean → corpus line dedup → Gopher quality filter
@@ -5380,5 +5436,6 @@ object SparkEntry {
         "CASE WHEN sum(nw) > 0 THEN CAST(sum(np) AS DOUBLE) / CAST(sum(nw) AS DOUBLE) " +
         "ELSE 0.0 END AS fertility " +
         "FROM tk JOIN lid USING (doc_id) GROUP BY 1"),
+    "eval_bradley_terry" -> bradleyTerryOracleSql(8, 1L << 20),
     "pipeline_e2e" -> PipelineE2eSql)
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Pairwise-preference analytics — the data plane of RLHF / reward-model
+  * pipelines, where the raw asset is "annotator preferred response A over
+  * response B" rows and the product is a per-item strength scale.
+  *
+  * First resident: the Bradley–Terry model fit with Hunter's MM algorithm
+  * (Hunter 2004, "MM algorithms for generalized Bradley–Terry models") in
+  * FIXED-POINT INTEGER arithmetic, the same bit-reproducibility discipline
+  * as [[Graph.pageRank]]: long sums are exact and associative where double
+  * sums are not, every division is a floor division of non-negative longs,
+  * so any partitioning, any cluster size, any engine produces the identical
+  * strengths and the DuckDB oracle can replay every round exactly.
+  */
+object Preference {
+
+  /** Bradley–Terry strengths over `comparisons(winner, loser)` — one row
+    * per pairwise judgment. Returns `(item, strength_fp, wins)` after
+    * exactly `iters` MM rounds, strength in units of `1/scale`, normalized
+    * each round so strengths sum to ≈ N·scale (mean 1.0).
+    *
+    * MM update (Hunter 2004, eq. 2), fixed-point form with S² = scale²:
+    *   d(i)  = Σ_j  (m(i,j)·S²) div max(p(i) + p(j), 1)
+    *   p'(i) = (W(i)·S²) div d(i), then normalized by
+    *   p''(i) = (p'(i)·scale·N) div Σ p'
+    * where m(i,j) = comparisons between i and j and W(i) = i's wins.
+    *
+    * Regularization: the plain MLE diverges when an item never wins (p→0)
+    * or the comparison graph is disconnected. Every OBSERVED pair gets one
+    * virtual win each way (m += 2, W(i) += 1 per distinct opponent) — the
+    * standard add-half-style prior, applied only to pairs that actually
+    * met so the comparison graph's structure is preserved (never an
+    * items² blow-up).
+    *
+    * Overflow budget: m(i,j)·S² and W(i)·S² must stay below 2⁶³ — at the
+    * default 2²⁰ scale that is ~2²³ comparisons per pair/item; shrink
+    * `scale` for denser preference sets (precision degrades gracefully).
+    *
+    * Scale shape: comparisons — the only corpus-sized relation — collapse
+    * ONCE into the pair-meeting relation `m` (map-side-combined count,
+    * repartitioned by item and persisted); each MM round shuffles only the
+    * item-sized strength relation into that join and the item-sized
+    * denominator aggregate out. The normalizer is a 1-row broadcast, never
+    * a driver collect; strengths are eagerly materialized per round via
+    * [[Lineage.materialize]] (O(1) lineage; a configured checkpoint dir
+    * makes each generation a reliable, executor-loss-surviving
+    * checkpoint). The one driver-side scalar is N, a single count. */
+  def bradleyTerry(comparisons: DataFrame, iters: Int,
+      scale: Long = 1L << 20): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val s2 = scale * scale
+    val meet = comparisons.select(col("winner").as("i"), col("loser").as("j"))
+      .unionByName(comparisons.select(col("loser").as("i"), col("winner").as("j")))
+      .groupBy("i", "j").agg((count(lit(1)) + lit(2L)).as("m"))
+      .repartition(col("i"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val w0 = comparisons.groupBy(col("winner").as("item"))
+      .agg(count(lit(1)).as("__w0"))
+    val wins = meet.groupBy(col("i").as("item"))
+      .agg(count(lit(1)).as("__nopp"))
+      .join(w0, Seq("item"), "left")
+      .select(col("item"),
+        (coalesce(col("__w0"), lit(0L)) + col("__nopp")).as("wins"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = wins.count()
+    var p = wins.select(col("item"), lit(scale).as("p"))
+    for (_ <- 1 to iters) {
+      val denom = meet
+        .join(p.select(col("item").as("i"), col("p").as("__pi")), Seq("i"))
+        .join(p.select(col("item").as("j"), col("p").as("__pj")), Seq("j"))
+        .select(col("i").as("item"),
+          expr(s"(m * ${s2}L) div greatest(__pi + __pj, 1L)").as("__t"))
+        .groupBy("item").agg(sum("__t").as("__d"))
+      val praw = wins.join(denom, Seq("item"))
+        .select(col("item"), expr(s"(wins * ${s2}L) div __d").as("__praw"))
+      val tot = praw.agg(sum("__praw").as("__tot"))
+      p = Lineage.materialize(praw.crossJoin(broadcast(tot))
+        .select(col("item"),
+          expr(s"(__praw * ${scale}L * ${n}L) div __tot").as("p")))
+    }
+    val out = p.join(wins, Seq("item"))
+      .select(col("item"), col("p").as("strength_fp"), col("wins"))
+    meet.unpersist(); wins.unpersist()
+    out
+  }
+}
