@@ -1234,7 +1234,7 @@ object SparkEntry {
     * scans left-to-right non-overlapping — exactly BPE's application order —
     * and the wrappers stop sub-symbol matches. Every chained CTE is
     * MATERIALIZED (the pageRank-oracle rule). */
-  private def bpeLearnCtes(rounds: Int): String = {
+  private def bpeLearnCtes(rounds: Int, wordpiece: Boolean = false): String = {
     val sp = "chr(31)"
     val sb = new StringBuilder
     sb ++= "v_0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', " +
@@ -1243,13 +1243,28 @@ object SparkEntry {
       s"(SELECT unnest($RawToks) AS t FROM documents WHERE $TokN > 0) " +
       s"WHERE regexp_matches(t, '^[a-z]+$$') GROUP BY t))"
     for (r <- 1 to rounds) {
+      sb ++= s", y_$r AS (SELECT string_split(substr(sym, 2, length(sym) - 2), " +
+        s"$sp || $sp) AS s, freq FROM v_${r - 1})"
       sb ++= s", x_$r AS (SELECT s, freq, " +
         "unnest(generate_series(1, len(s) - 1)) AS i " +
-        s"FROM (SELECT string_split(substr(sym, 2, length(sym) - 2), " +
-        s"$sp || $sp) AS s, freq FROM v_${r - 1}) WHERE len(s) >= 2)"
-      sb ++= s", b_$r AS MATERIALIZED (SELECT s[i] AS lhs, s[i + 1] AS rhs, " +
-        s"sum(freq) AS cnt, $r AS rank FROM x_$r GROUP BY 1, 2 " +
-        "ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+        s"FROM y_$r WHERE len(s) >= 2)"
+      if (wordpiece) {
+        // per-symbol counts over the same symbolization; the winner
+        // maximizes cnt/(ca·cb) — one IEEE division of exact longs
+        sb ++= s", sc_$r AS MATERIALIZED (SELECT t, sum(freq) AS c FROM " +
+          s"(SELECT unnest(s) AS t, freq FROM y_$r) GROUP BY 1)"
+        sb ++= s", b_$r AS MATERIALIZED (SELECT lhs, rhs, cnt, $r AS rank FROM (" +
+          "SELECT p.lhs, p.rhs, p.cnt, CAST(p.cnt AS DOUBLE) / " +
+          "(CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS score " +
+          s"FROM (SELECT s[i] AS lhs, s[i + 1] AS rhs, sum(freq) AS cnt " +
+          s"FROM x_$r GROUP BY 1, 2) p " +
+          s"JOIN sc_$r a ON a.t = p.lhs JOIN sc_$r b ON b.t = p.rhs) " +
+          "ORDER BY score DESC, lhs, rhs LIMIT 1)"
+      } else {
+        sb ++= s", b_$r AS MATERIALIZED (SELECT s[i] AS lhs, s[i + 1] AS rhs, " +
+          s"sum(freq) AS cnt, $r AS rank FROM x_$r GROUP BY 1, 2 " +
+          "ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+      }
       sb ++= s", v_$r AS MATERIALIZED (SELECT replace(sym, " +
         s"$sp || lhs || $sp || $sp || rhs || $sp, " +
         s"$sp || lhs || rhs || $sp) AS sym, freq FROM v_${r - 1}, b_$r)"
@@ -1257,10 +1272,10 @@ object SparkEntry {
     sb.toString
   }
 
-  private def bpeLearnOracleSql(rounds: Int): String = {
+  private def bpeLearnOracleSql(rounds: Int, wordpiece: Boolean = false): String = {
     val union = (1 to rounds).map(r => s"SELECT * FROM b_$r")
       .mkString(" UNION ALL ")
-    s"WITH ${bpeLearnCtes(rounds)} " +
+    s"WITH ${bpeLearnCtes(rounds, wordpiece)} " +
       "SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, " +
       s"CAST(cnt AS BIGINT) AS pair_count FROM ($union)"
   }
@@ -1273,14 +1288,14 @@ object SparkEntry {
   /** Learning + application CTE chain ending in `bn(doc_id, n_tokens, n)` —
     * per-doc token and learned-BPE piece counts; shared by the apply and
     * pack-on-learned-counts mirrors. */
-  private def bpeApplyCtes(rounds: Int): String = {
+  private def bpeApplyCtes(rounds: Int, wordpiece: Boolean = false): String = {
     val sp = "chr(31)"
     val rep = (1 to rounds).foldLeft(
       s"regexp_replace(w, '(.)', $sp || '\\1' || $sp, 'g')") { (acc, r) =>
       s"replace($acc, (SELECT $sp || lhs || $sp || $sp || rhs || $sp FROM b_$r), " +
         s"(SELECT $sp || lhs || rhs || $sp FROM b_$r))"
     }
-    s"${bpeLearnCtes(rounds)}, " +
+    s"${bpeLearnCtes(rounds, wordpiece)}, " +
       s"dw AS (SELECT doc_id, unnest($RawToks) AS w FROM documents WHERE $TokN > 0), " +
       s"pc AS (SELECT doc_id, CASE WHEN regexp_matches(w, '^[a-z]+$$') " +
       s"THEN len(string_split(substr($rep, 2, length($rep) - 2), $sp || $sp)) " +
@@ -1289,8 +1304,8 @@ object SparkEntry {
       "CAST(sum(p) AS BIGINT) AS n FROM pc GROUP BY doc_id)"
   }
 
-  private def bpeApplyOracleSql(rounds: Int): String =
-    s"WITH ${bpeApplyCtes(rounds)} " +
+  private def bpeApplyOracleSql(rounds: Int, wordpiece: Boolean = false): String =
+    s"WITH ${bpeApplyCtes(rounds, wordpiece)} " +
       "SELECT doc_id, n_tokens, n AS n_pieces FROM bn"
 
   /** Analytic audio-fingerprint chain over `src(key, pid, nudge)` →
@@ -2751,6 +2766,20 @@ object SparkEntry {
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeEncodedCountsFast(d, merges)
+    }),
+    // WORDPIECE merge learning (the BERT tokenizer family): same loop as
+    // BPE, winner maximizes count(ab)/(count(a)·count(b)) — rare-but-
+    // cohesive pairs beat merely frequent ones; 10 likelihood-scored rounds
+    "text_wordpiece_merges" -> ((s, dir) =>
+      TextAnalysis.wordpieceLearnMerges(docs(s, dir), 10)),
+    // the learned WordPiece table APPLIED via the same chained-replace
+    // encoder as BPE (10-row driver collect, one narrow pass)
+    "text_wordpiece_apply" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextAnalysis.wordpieceLearnMerges(d, 10)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncodedCounts(d, merges)
     }),
     // UNIGRAM-LM tokenizer LEARNING (Kudo 2018, SentencePiece family;
     // Viterbi-EM) — the piece-probability table the other modern tokenizer
@@ -4996,6 +5025,8 @@ object SparkEntry {
     // merge-learning mirror: `rounds` chained (pairs → argmax → replace)
     // CTE rounds over the chr(31)-wrapped word vocabulary
     "text_bpe_merges" -> bpeLearnOracleSql(12),
+    "text_wordpiece_merges" -> bpeLearnOracleSql(10, wordpiece = true),
+    "text_wordpiece_apply" -> bpeApplyOracleSql(10, wordpiece = true),
     // learned-tokenizer application mirror: learning chain + per-token
     // rank-order replace chain + piece-count roll-up
     "text_bpe_apply" -> bpeApplyOracleSql(12),

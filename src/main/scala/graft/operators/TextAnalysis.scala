@@ -1411,7 +1411,27 @@ object TextAnalysis {
     * Returns one row per learned merge: (rank, lhs, rhs, pair_count) —
     * stops early if the vocabulary runs out of adjacent pairs. */
   def bpeLearnMerges(docs: DataFrame, rounds: Int,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    subwordLearnMerges(docs, rounds, textCol, wordpiece = false)
+
+  /** Distributed WORDPIECE merge learning (Schuster & Nakajima 2012,
+    * "Japanese and Korean voice search"; the BERT tokenizer family): the
+    * SAME bottom-up merge loop as [[bpeLearnMerges]], but the round's
+    * winner maximizes the LIKELIHOOD score count(ab)/(count(a)·count(b))
+    * instead of the raw pair count — WordPiece merges the pair whose fusion
+    * most increases a unigram LM's corpus likelihood, so rare-but-cohesive
+    * pairs win over merely frequent ones. Symbol counts are taken over the
+    * CURRENT symbolization each round (one extra vocabulary-sized
+    * aggregation + two equi-joins on the pair relation — still config-scale
+    * work, never corpus-scale). The score is one IEEE division of exact
+    * long counts (products taken in double to dodge overflow), identical on
+    * every engine; ties break (lhs, rhs) ascending as in BPE. */
+  def wordpieceLearnMerges(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame =
+    subwordLearnMerges(docs, rounds, textCol, wordpiece = true)
+
+  private def subwordLearnMerges(docs: DataFrame, rounds: Int,
+      textCol: String, wordpiece: Boolean): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1427,11 +1447,12 @@ object TextAnalysis {
     var vocab = base
     var exhausted = false
     for (r <- 1 to rounds if !exhausted) {
-      // adjacent pairs of the current symbolization, weighted by word freq
-      val best = vocab
+      val split0 = vocab
         .select(col("freq"),
           split(col("sym").substr(lit(2), length(col("sym")) - 2),
             s"$sep$sep").as("s"))
+      // adjacent pairs of the current symbolization, weighted by word freq
+      val pairs = split0
         .filter(size(col("s")) >= 2)
         .select(col("freq"), explode(expr(
           "transform(sequence(1, size(s) - 1), " +
@@ -1439,7 +1460,25 @@ object TextAnalysis {
           .as("p"))
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+      val scored =
+        if (!wordpiece) pairs
+        else {
+          // per-symbol occurrence counts over the SAME symbolization
+          val syms = split0
+            .select(col("freq"), explode(col("s")).as("t"))
+            .groupBy("t").agg(sum(col("freq")).as("c"))
+          pairs
+            .join(syms.select(col("t").as("lhs"), col("c").as("__ca")), Seq("lhs"))
+            .join(syms.select(col("t").as("rhs"), col("c").as("__cb")), Seq("rhs"))
+            .withColumn("__score", col("cnt").cast("double") /
+              (col("__ca").cast("double") * col("__cb").cast("double")))
+        }
+      val order =
+        if (wordpiece) Seq(col("__score").desc, col("lhs").asc, col("rhs").asc)
+        else Seq(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+      val best = scored.select(col("lhs"), col("rhs"), col("cnt"),
+          (if (wordpiece) col("__score") else lit(0.0)).as("__score"))
+        .orderBy(order: _*)
         .limit(1).collect().headOption
       best match {
         case None => exhausted = true
