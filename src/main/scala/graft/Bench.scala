@@ -46,7 +46,27 @@ object Bench {
       finally spark.catalog.clearCache() // operators persist LSH relations;
                                          // don't let them accumulate across queries
 
+    // quiet-box gate (the repo's own bench rule, now enforced in the
+    // artifact of record itself): r13's driver bench started at loadavg
+    // 4.34 and carried 1.4–1.5× load inflation on two queries plus a
+    // spurious >2× regression flag. Wait — bounded — for the 1-minute
+    // loadavg to drop under the gate before measuring anything; if the box
+    // never goes quiet, proceed (the driver needs SOME artifact) but stamp
+    // the record `contended` so a reader discounts per-query deltas.
+    // SPARK_GRAFT_LOAD_GATE overrides the threshold; <= 0 disables.
+    val loadGate =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble
+    var gateWaitSec = 0
+    while (loadGate > 0 && systemLoadAvg() > loadGate && gateWaitSec < 300) {
+      Thread.sleep(15000)
+      gateWaitSec += 15
+    }
     val loadBefore = systemLoadAvg()
+    val contended = loadGate > 0 && loadBefore > loadGate
+    if (contended)
+      System.err.println(f"[bench] box still contended after ${gateWaitSec}s " +
+        f"(loadavg $loadBefore%.2f > gate $loadGate%.1f) — proceeding, " +
+        "record stamped contended")
 
     // throughput probe FIRST: after the full two-pass query sweep the JVM is
     // hot but cache-churned and the recorded eps under-reads the pipeline by
@@ -54,7 +74,8 @@ object Bench {
     // evens out the run-to-run swing on a contended box (r06's median-of-3
     // spread was 4.6× on identical code), and the min is recorded alongside
     // as the contention-floor bound
-    val (eps, epsMin, epsRuns) = ingestThroughput(spark)
+    val (eps, epsMin, epsRuns, epsReplaced, epsMinRaw) =
+      ingestThroughput(spark)
 
     val previous = previousRoundTimes()
 
@@ -114,6 +135,10 @@ object Bench {
       """"throughput_policy":"median-of-5 after a discarded warmup run (min recorded); while the counted min is >3x below the counted median the slowest counted run is replaced by a fresh one (max 3); runs list is execution order incl. warmup and replacements",""" +
       s""""rerun_queries":${rerun.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""throughput_eps_runs":${epsRuns.mkString("[", ",", "]")},""" +
+      s""""throughput_replaced_runs":$epsReplaced,""" +
+      s""""throughput_eps_min_raw":${epsMinRaw.round},""" +
+      s""""loadavg_gate":$loadGate,"loadavg_wait_sec":$gateWaitSec,""" +
+      s""""contended":$contended,""" +
       s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir",""" +
       s""""throughput_eps_min":${epsMin.round},"throughput_eps":${eps.round}}""")
     // insurance against ANY stdout truncation: the full verbose record also
@@ -123,6 +148,10 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""rerun_queries":${rerun.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""throughput_eps_runs":${epsRuns.mkString("[", ",", "]")},""" +
+        s""""throughput_replaced_runs":$epsReplaced,""" +
+        s""""throughput_eps_min_raw":${epsMinRaw.round},""" +
+        s""""loadavg_gate":$loadGate,"loadavg_wait_sec":$gateWaitSec,""" +
+        s""""contended":$contended,""" +
         s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir",""" +
         s""""throughput_eps_min":${epsMin.round},"throughput_eps":${eps.round}}""")
     catch { case e: Throwable =>
@@ -141,6 +170,7 @@ object Bench {
     println(s"""{"metric":"total","value":${sig3(total)},"unit":"sec",""" +
       s""""queries":${finalQueries(results, topN = 40)},""" +
       s""""loadavg":[${f"$loadBefore%.1f"},${f"$loadAfter%.1f"}],""" +
+      s""""contended":$contended,""" +
       s""""throughput_eps":${eps.round},"throughput_eps_min":${epsMin.round},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
@@ -265,13 +295,19 @@ object Bench {
     * the counted median, the slowest counted run is replaced by a fresh run
     * (up to 3 replacements). A genuine regression is slow in EVERY run and
     * keeps its median — only transient noise gets retried — and the full
-    * run list, replacements included, stays in the bench JSON for audit.
+    * run list, replacements included, stays in the bench JSON for audit,
+    * alongside the replacement COUNT and the pre-replacement min (so a
+    * frequently-triggering guard — the bimodal-regression blind spot — is
+    * visible at a glance in the compact artifact, not only by re-deriving
+    * it from the run list).
     * Returns (median, min, all runs incl. warmup and replacements in
-    * execution order). */
-  private def ingestThroughput(spark: SparkSession): (Double, Double, Seq[Double]) = {
+    * execution order, replacement count, pre-replacement counted min). */
+  private def ingestThroughput(
+      spark: SparkSession): (Double, Double, Seq[Double], Int, Double) = {
     val all = scala.collection.mutable.ListBuffer.empty[Double]
     (1 to 6).foreach(_ => all += ingestThroughputOnce(spark))
     var counted = all.toList.tail
+    val rawMin = counted.min
     def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
     var replacements = 0
     while (counted.min < median(counted) / 3 && replacements < 3) {
@@ -280,7 +316,7 @@ object Bench {
       counted = (counted.sortBy(-_).init :+ fresh) // drop slowest, add fresh
       replacements += 1
     }
-    (median(counted), counted.min, all.toList)
+    (median(counted), counted.min, all.toList, replacements, rawMin)
   }
 
   private def ingestThroughputOnce(spark: SparkSession): Double = {

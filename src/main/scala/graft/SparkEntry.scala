@@ -143,6 +143,15 @@ object SparkEntry {
   private def safeRound2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * lit(100.0) + lit(0.499999)) / lit(100.0)
 
+  /** 4-decimal boundary-stable rounding for every oracle-compared column
+    * derived from a transcendental (ln/log/exp): each engine's libm is a
+    * ≤1-ulp implementation, so the SAME expression can straddle a `.xxxx5`
+    * boundary differently across builds — the r13 `text_pmi` flake class.
+    * Delegates to [[graft.functions.StableRound.round4]]; mirrored by
+    * sqlRound4 below (the two must move together). */
+  private def safeRound4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.StableRound.round4(c)
+
   /** Grouped parity query: purchases per user per tumbling window. */
   private def groupedQ(fn: String, windowSec: Long, round2: Boolean)(
       s: SparkSession, dir: String): DataFrame = {
@@ -174,6 +183,10 @@ object SparkEntry {
   private val PropsK = "json_extract_string(props, '$.k')"
 
   private def sqlRound2(e: String): String = s"(floor(($e) * 100 + 0.499999) / 100)"
+
+  /** DuckDB mirror of safeRound4 — see its doc. */
+  private def sqlRound4(e: String): String =
+    s"(floor(($e) * 10000 + 0.499999) / 10000)"
 
   private def groupedSql(agg: String, w: Long, metricName: String): String =
     s"SELECT ${wstart(w)} AS window_start, $Tenant AS tenant_id, " +
@@ -967,8 +980,8 @@ object SparkEntry {
       "JOIN terms ON tok = term GROUP BY 1, 2), " +
       "dfx AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), " +
       "sc AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hits, " +
-      "ROUND(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * " +
-      "CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score " +
+      "(floor((sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+      "CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)))) * 10000 + 0.499999) / 10000) AS score " +
       "FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats " +
       "JOIN q ON q.term = tf.tok GROUP BY 1, 2), " +
       "rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id " +
@@ -1574,11 +1587,11 @@ object SparkEntry {
       "CASE WHEN frr IS NULL THEN 0.0 ELSE 1.0 / CAST(frr AS DOUBLE) END AS rr, " +
       s"CAST(COALESCE(hits, 0) AS DOUBLE) / $k.0 AS precision_at_k, " +
       "CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_relevant AS DOUBLE) AS recall_at_k, " +
-      "CASE WHEN gains IS NULL THEN 0.0 ELSE ROUND(" +
+      "CASE WHEN gains IS NULL THEN 0.0 ELSE (floor((" +
       "list_reduce(list_prepend(0.0, gains), (a, b) -> a + b) / " +
       "list_reduce(list_prepend(0.0, [1.0 / log2(CAST(i AS DOUBLE) + 1.0) " +
       s"for i in generate_series(1, least(n_relevant, $k))]), (a, b) -> a + b)" +
-      ", 4) END AS ndcg_at_k " +
+      ") * 10000 + 0.499999) / 10000) END AS ndcg_at_k " +
       "FROM nr LEFT JOIN h USING (query_id)"
 
   /** Mirror of [[graft.operators.Sampling.waterfillAlloc]] as a CTE chain
@@ -2024,7 +2037,7 @@ object SparkEntry {
     "text_pmi" -> ((s, dir) =>
       TextAnalysis.pmiCollocations(docs(s, dir), minCount = 5)
         .select(col("w1"), col("w2"), col("n_pair"),
-          round(col("pmi"), 4).as("pmi"))),
+          safeRound4(col("pmi")).as("pmi"))),
     // SK4 — graft extension: Count-Min sketch over event user_ids (d=4,
     // w=32 — deliberately undersized so collisions demonstrably only
     // OVER-estimate), probed for every distinct user
@@ -2056,7 +2069,7 @@ object SparkEntry {
       Profiling.psiDrift(
           d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
           bucket)
-        .withColumn("psi_contrib", round(col("psi_contrib"), 4))
+        .withColumn("psi_contrib", safeRound4(col("psi_contrib")))
     }),
     // embedding-space drift: per-label centroid cosine between generations
     // (full-outer — appearance/disappearance IS drift)
@@ -2679,7 +2692,7 @@ object SparkEntry {
       val d = docs(s, dir)
       TextAnalysis.lmScores(d, d, minCount = 5)
         .select(col("doc_id"), col("n_bigrams"),
-          round(col("mean_nll"), 4).as("mean_nll"))
+          safeRound4(col("mean_nll")).as("mean_nll"))
     }),
     // URL extraction over the synthetic-URL fixture: one row per URL with
     // its position and lower-cased domain
@@ -2703,7 +2716,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(docs(s, dir), 5)
         .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"),
-          round(col("tfidf"), 4).as("tfidf"))),
+          safeRound4(col("tfidf")).as("tfidf"))),
     // T-AUG — graft extension: deterministic word-dropout augmentation
     // (10% positional-hash dropout) — a reproducible, re-derivable
     // augmented corpus, computed as a pure narrow map (no explode/shuffle)
@@ -2714,12 +2727,12 @@ object SparkEntry {
     "text_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(docs(s, dir))
         .select(col("doc_id"), col("n_tokens"), col("n_types"),
-          round(col("ttr"), 4).as("ttr"), round(col("entropy"), 4).as("entropy"))),
+          safeRound4(col("ttr")).as("ttr"), safeRound4(col("entropy")).as("entropy"))),
     // Okapi BM25 over a fixed 4-term query (mixed-df terms); rounding
     // absorbs the order-dependent double sum's last ulps
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(docs(s, dir), Seq("hash", "join", "shuffle", "broadcast"))
-        .select(col("doc_id"), col("n_hits"), round(col("score"), 4).as("score"))),
+        .select(col("doc_id"), col("n_hits"), safeRound4(col("score")).as("score"))),
     // REAL subword tokenization (WordPiece-style greedy longest-match over
     // a corpus-learned 256-piece substring vocab, pieces ≤ 4 codepoints,
     // OOV 99999) — every (doc, position, token_id) compared exactly against
@@ -3526,7 +3539,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlRaw.map { case (k, v) => k -> materializeCtes(v) }
 
-  private def oracleSqlRaw: Map[String, String] = Map(
+  private[graft] def oracleSqlRaw: Map[String, String] = Map(
     // normalization mirror: utf8proc NFC == java.text.Normalizer NFC for
     // the fixture's chars; the scrub class is the same code-point set as
     // NormalizeText.strip (x00 unrepresentable in a VARCHAR on either side)
@@ -3920,8 +3933,8 @@ object SparkEntry {
         "tp AS (SELECT count(*) AS n_tot_pairs FROM bi) " +
         "SELECT string_split(pair, ' ')[1] AS w1, string_split(pair, ' ')[2] AS w2, " +
         "CAST(n_pair AS BIGINT) AS n_pair, " +
-        "ROUND(ln((CAST(n_pair AS DOUBLE) * n_tot_words * n_tot_words) / " +
-        "(CAST(n_tot_pairs AS DOUBLE) * c1.n_w * c2.n_w)), 4) AS pmi " +
+        "(floor((ln((CAST(n_pair AS DOUBLE) * n_tot_words * n_tot_words) / " +
+        "(CAST(n_tot_pairs AS DOUBLE) * c1.n_w * c2.n_w))) * 10000 + 0.499999) / 10000) AS pmi " +
         "FROM pc CROSS JOIN tp CROSS JOIN tw " +
         "JOIN wc c1 ON c1.w = string_split(pair, ' ')[1] " +
         "JOIN wc c2 ON c2.w = string_split(pair, ' ')[2]"),
@@ -4012,10 +4025,10 @@ object SparkEntry {
         "sum(n_new) OVER () AS tot_new, count(*) OVER () AS k FROM j) " +
         "SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_old AS BIGINT) AS n_old, " +
         "CAST(n_new AS BIGINT) AS n_new, " +
-        "ROUND((CAST(n_new + 1 AS DOUBLE) / CAST(tot_new + k AS DOUBLE) - " +
+        "(floor(((CAST(n_new + 1 AS DOUBLE) / CAST(tot_new + k AS DOUBLE) - " +
         "CAST(n_old + 1 AS DOUBLE) / CAST(tot_old + k AS DOUBLE)) * " +
         "ln((CAST(n_new + 1 AS DOUBLE) / CAST(tot_new + k AS DOUBLE)) / " +
-        "(CAST(n_old + 1 AS DOUBLE) / CAST(tot_old + k AS DOUBLE))), 4) AS psi_contrib " +
+        "(CAST(n_old + 1 AS DOUBLE) / CAST(tot_old + k AS DOUBLE)))) * 10000 + 0.499999) / 10000) AS psi_contrib " +
         "FROM t"),
     // multi-query BM25 mirror: shared postings over the distinct query-term
     // set, per-(query, doc) round-4 scores, rank on the ROUNDED score (the
@@ -4626,7 +4639,7 @@ object SparkEntry {
         "LEFT JOIN refuni ON split_part(db.b, ' ', 1) = refuni.w " +
         "CROSS JOIN v GROUP BY doc_id) " +
         "SELECT d.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams, " +
-        "ROUND(COALESCE(nll, 0.0), 4) AS mean_nll " +
+        "(floor((COALESCE(nll, 0.0)) * 10000 + 0.499999) / 10000) AS mean_nll " +
         "FROM documents d LEFT JOIN sc USING (doc_id)"),
     // overlap-ratio mirror: membership on shingle TEXT (operator keys on the
     // 64-bit hash — same collision note as dedup_lines)
@@ -4706,7 +4719,7 @@ object SparkEntry {
         "CAST(tf AS DOUBLE) * (ln((n_docs + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0) AS tfidf " +
         "FROM tf JOIN dfx USING (tok) CROSS JOIN n) " +
         "SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, CAST(tf AS BIGINT) AS tf, " +
-        "CAST(df AS BIGINT) AS df, ROUND(tfidf, 4) AS tfidf FROM (" +
+        "CAST(df AS BIGINT) AS df, (floor((tfidf) * 10000 + 0.499999) / 10000) AS tfidf FROM (" +
         "SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank " +
         "FROM sc) WHERE rank <= 5"),
     // entropy mirror: H = ln N − (Σ tf·ln tf)/N, ttr = types/tokens;
@@ -4718,8 +4731,8 @@ object SparkEntry {
         "FROM documents WHERE text IS NOT NULL) WHERE tok <> '' GROUP BY 1, 2) " +
         "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
         "CAST(n_types AS BIGINT) AS n_types, " +
-        "ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS ttr, " +
-        "ROUND(ln(CAST(n_tokens AS DOUBLE)) - s / CAST(n_tokens AS DOUBLE), 4) AS entropy " +
+        "(floor((CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 10000 + 0.499999) / 10000) AS ttr, " +
+        "(floor((ln(CAST(n_tokens AS DOUBLE)) - s / CAST(n_tokens AS DOUBLE)) * 10000 + 0.499999) / 10000) AS entropy " +
         "FROM (SELECT doc_id, sum(tf) AS n_tokens, count(*) AS n_types, " +
         "sum(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))) AS s FROM tf GROUP BY 1)"),
     // BM25 mirror: same LM tokenization, Lucene idf = ln(1+(N-df+.5)/(df+.5)),
@@ -4738,8 +4751,8 @@ object SparkEntry {
         "WHERE tok IN ('hash', 'join', 'shuffle', 'broadcast') GROUP BY 1, 2), " +
         "dfx AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1) " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, " +
-        "ROUND(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * " +
-        "CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score " +
+        "(floor((sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+        "CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)))) * 10000 + 0.499999) / 10000) AS score " +
         "FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats " +
         "GROUP BY doc_id"),
     // duplicated-span mirror: membership on shingle TEXT (the operator keys

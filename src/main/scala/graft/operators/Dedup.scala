@@ -972,15 +972,18 @@ object Dedup {
     * documents come back empty rather than disappearing (the caller
     * decides whether to drop empties; survivors-vs-report symmetry).
     *
-    * Scale shape: ONE chunking pass (shared with the scoring via
-    * [[spanScores]]), the flagged set is (doc, chunk)-keyed hit pairs (tiny
-    * — contamination is rare by construction), the rebuild is one
+    * Scale shape: ONE chunking pass — the chunk relation is persisted
+    * (MEMORY_AND_DISK) because both the scoring ([[spanScores]]) and the
+    * rebuild join consume it; unpersisted, Catalyst would plan and execute
+    * chunkByContent twice. The flagged set is (doc, chunk)-keyed hit pairs
+    * (tiny — contamination is rare by construction), the rebuild is one
     * map-side-combinable sort-struct aggregation per doc. */
   def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame, n: Int,
       window: Int, maskBits: Int, minOverlap: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val chunks = TextAnalysis
       .chunkByContent(corpus, window, maskBits, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val flagged = spanScores(chunks, benchmark, n, minOverlap, idCol, textCol)
       .select(col(idCol), col("chunk_idx")).distinct()
     val rebuilt = chunks

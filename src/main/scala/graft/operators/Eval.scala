@@ -72,6 +72,7 @@ object Eval {
         (coalesce(col("__hits"), lit(0L)).cast("double") /
           col("n_relevant").cast("double")).as("recall_at_k"),
         when(col("__ranks").isNull, lit(0.0))
-          .otherwise(round(dcg / idcg, 4)).as("ndcg_at_k"))
+          .otherwise(graft.functions.StableRound.round4(dcg / idcg))
+          .as("ndcg_at_k"))
   }
 }

@@ -1169,7 +1169,8 @@ object TextAnalysis {
       .join(broadcast(qt), Seq("tok"))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(count(lit(1)).cast("long").as("n_hits"),
-        round(sum(col("term_score")), 4).as("score"))
+        graft.functions.StableRound.round4(sum(col("term_score")))
+          .as("score"))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("score").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -98,7 +98,7 @@ class BenchSpec extends AnyFunSuite {
       (1 to 10).map(i => s"future_extension_q$i")
     val qs = Bench.finalQueries(names.map(_ -> 9.999), topN = 40)
     val line = s"""{"metric":"total","value":1230,"unit":"sec","queries":$qs,""" +
-      s""""loadavg":[31.9,28.4],"throughput_eps":1126599,""" +
+      s""""loadavg":[31.9,28.4],"contended":false,"throughput_eps":1126599,""" +
       s""""throughput_eps_min":136382,"sf":"/root/testdata/sf0.1"}"""
     assert(line.length + 120 + 200 < 2000,
       s"final bench line is ${line.length} raw chars at registry+10 — it " +
@@ -111,7 +111,7 @@ class BenchSpec extends AnyFunSuite {
     val results = names.map(_ -> 1.234) :+ ("zz_failed" -> -1.0)
     val qs = Bench.finalQueries(results, topN = 40)
     val finalLine = s"""{"metric":"total","value":230.8,"unit":"sec","queries":$qs,""" +
-      s""""loadavg":[1.5,3.2],"throughput_eps":1126599,""" +
+      s""""loadavg":[1.5,3.2],"contended":false,"throughput_eps":1126599,""" +
       s""""throughput_eps_min":136382,"sf":"/root/testdata/sf0.1"}"""
     // synthetic full stdout: a giant verbose line (overflows any tail),
     // then the final line — as Bench.main prints them
