@@ -844,6 +844,56 @@ object SparkEntry {
   private val RawToks = s"string_split_regex(trim(text, '$SqlWs'), '\\s+')"
   private val TokN = s"(CASE WHEN length(trim(text, '$SqlWs')) = 0 THEN 0 ELSE len($RawToks) END)"
 
+  /** DuckDB twin of [[graft.functions.WordForm.normalize]] (NFC + the
+    * control/zero-width scrub — the text_normalize contract), applied to
+    * every token before the subword word-form gate. */
+  private def sqlNorm(e: String): String =
+    s"regexp_replace(nfc_normalize($e), " +
+      "'[\\x01-\\x08\\x0B\\x0E-\\x1F\\x{7F}-\\x{9F}\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g')"
+
+  /** DuckDB twin of [[graft.operators.TextAnalysis.isWordForm]]: 1..maxLen
+    * BMP Unicode letters over an ALREADY-normalized expression (RE2's \p{L}
+    * and Java's agree on the fixture's scripts; astral code points are
+    * excluded on both engines — see isWordForm's scaladoc). maxLen 0 = no
+    * length cap. */
+  private def sqlWordGate(e: String, maxLen: Int = 0): String = {
+    val cap = if (maxLen > 0) s" AND length($e) <= $maxLen" else ""
+    s"(regexp_matches($e, '^\\p{L}+$$') " +
+      s"AND NOT regexp_matches($e, '[\\x{10000}-\\x{10FFFF}]')$cap)"
+  }
+
+  /** Non-Latin decoration block for the subword-learning / fertility
+    * fixtures (the decorate-the-fixture pattern of text_normalize): the
+    * synthetic corpus is pure ASCII, so the multilingual word-form gate
+    * would never fire on it. Four deterministic extra documents — Cyrillic,
+    * German with BOTH composed and decomposed umlauts/acutes (NFC must
+    * unify them), Greek, and whitespace-segmented Chinese stopwords (votes
+    * `zh` in the language id, giving text_fertility its non-Latin row).
+    * Ids start at 900000, beyond any generated doc_id at any SF. Single
+    * source for BOTH engines: the Spark union and the mdocs VALUES CTE are
+    * built from this one Seq. */
+  private val MultiDocRows: Seq[(Long, String)] = Seq(
+    (900003L, "мир мир мир низкий низкий новый слово слово слово слово"),
+    (900007L, "grüße straße straße über über schön café café X9 123"),
+    (900011L, "αθηνα αθηνα θαλασσα θαλασσα μικρος λογος λογος νερο"),
+    (900019L, "的 是 了 在 我 有 和 就 不 人 的 是 了 在 我 有 和 就 不 人"))
+
+  /** documents(doc_id, text) ∪ [[MultiDocRows]] — the corpus every subword
+    * learner/encoder query and the fertility audit run on. */
+  private def docsMulti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(MultiDocRows.toDF("doc_id", "text"))
+  }
+
+  /** DuckDB twin of [[docsMulti]] — prepend to any subword/fertility mirror
+    * whose CTEs read `FROM mdocs`. Decoration texts contain no quotes, so
+    * raw embedding is safe. */
+  private val MdocsCte: String =
+    "mdocs(doc_id, text) AS (SELECT doc_id, text FROM documents UNION ALL " +
+      MultiDocRows.map { case (id, t) => s"SELECT $id, '$t'" }
+        .mkString(" UNION ALL ") + ")"
+
   /** Shared CTE prefix for the subword-tokenization mirrors: word instances
     * with per-doc index (wd), substring frequencies → the 256-piece vocab in
     * (count DESC, piece ASC) rank order (bvocab — exactly
@@ -1089,6 +1139,13 @@ object SparkEntry {
     * blocking, exact cross-product block-vs-global compare, HUGEINT bit sum
     * folded to the signed 64-bit signature (the DuckDB twin of
     * Multimodal.imageAHash ∘ synthesizeImages, no codec needed). */
+  /** DuckDB twin of [[graft.operators.Multimodal.framePatternId]] /
+    * [[graft.operators.Multimodal.frameCount]]: the (doc, frame) → pattern-id
+    * relation for the mm_frames_* mirrors. */
+  private val FramesCte: String =
+    "fr AS (SELECT doc_id, f, (doc_id % 50) * 8 + f AS pid FROM documents, " +
+      "LATERAL (SELECT unnest(generate_series(0, doc_id % 3 + 1)) AS f))"
+
   private def aHashCtes(pidSrc: String): String =
     s"px AS (SELECT pid, width, height, x, y, " +
       "((pid * 7 + x * 3 + y * 5) % 256) * 299 + " +
@@ -1239,8 +1296,10 @@ object SparkEntry {
   }
 
   /** Full DuckDB replay of [[TextAnalysis.bpeLearnMerges]]: the
-    * word-frequency vocabulary under the shared tokens contract (`^[a-z]+$`
-    * forms only), each symbol chr(31)-wrapped by the same `(.)` regex, then
+    * word-frequency vocabulary under the shared word-form contract
+    * (NFC-normalized BMP-letter forms — sqlNorm + sqlWordGate, the
+    * TextAnalysis.isWordForm twin), each symbol chr(31)-wrapped by the same
+    * `(.)` regex, then
     * `rounds` chained (adjacent-pairs → argmax → replace) rounds. Merge
     * application is a PLAIN `replace()` on both engines because every
     * symbol carries its own wrappers ([[TextAnalysis.BpeSep]]): replace-all
@@ -1253,8 +1312,9 @@ object SparkEntry {
     sb ++= "v_0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', " +
       s"$sp || '\\1' || $sp, 'g') AS sym, freq FROM (" +
       "SELECT t AS w, CAST(count(*) AS BIGINT) AS freq FROM " +
-      s"(SELECT unnest($RawToks) AS t FROM documents WHERE $TokN > 0) " +
-      s"WHERE regexp_matches(t, '^[a-z]+$$') GROUP BY t))"
+      s"(SELECT ${sqlNorm("t0")} AS t FROM " +
+      s"(SELECT unnest($RawToks) AS t0 FROM mdocs WHERE $TokN > 0)) " +
+      s"WHERE ${sqlWordGate("t")} GROUP BY t))"
     for (r <- 1 to rounds) {
       sb ++= s", y_$r AS (SELECT string_split(substr(sym, 2, length(sym) - 2), " +
         s"$sp || $sp) AS s, freq FROM v_${r - 1})"
@@ -1288,7 +1348,7 @@ object SparkEntry {
   private def bpeLearnOracleSql(rounds: Int, wordpiece: Boolean = false): String = {
     val union = (1 to rounds).map(r => s"SELECT * FROM b_$r")
       .mkString(" UNION ALL ")
-    s"WITH ${bpeLearnCtes(rounds, wordpiece)} " +
+    s"WITH $MdocsCte, ${bpeLearnCtes(rounds, wordpiece)} " +
       "SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, " +
       s"CAST(cnt AS BIGINT) AS pair_count FROM ($union)"
   }
@@ -1304,13 +1364,14 @@ object SparkEntry {
   private def bpeApplyCtes(rounds: Int, wordpiece: Boolean = false): String = {
     val sp = "chr(31)"
     val rep = (1 to rounds).foldLeft(
-      s"regexp_replace(w, '(.)', $sp || '\\1' || $sp, 'g')") { (acc, r) =>
+      s"regexp_replace(nw, '(.)', $sp || '\\1' || $sp, 'g')") { (acc, r) =>
       s"replace($acc, (SELECT $sp || lhs || $sp || $sp || rhs || $sp FROM b_$r), " +
         s"(SELECT $sp || lhs || rhs || $sp FROM b_$r))"
     }
     s"${bpeLearnCtes(rounds, wordpiece)}, " +
-      s"dw AS (SELECT doc_id, unnest($RawToks) AS w FROM documents WHERE $TokN > 0), " +
-      s"pc AS (SELECT doc_id, CASE WHEN regexp_matches(w, '^[a-z]+$$') " +
+      s"dw AS (SELECT doc_id, w, ${sqlNorm("w")} AS nw FROM " +
+      s"(SELECT doc_id, unnest($RawToks) AS w FROM mdocs WHERE $TokN > 0)), " +
+      s"pc AS (SELECT doc_id, CASE WHEN ${sqlWordGate("nw")} " +
       s"THEN len(string_split(substr($rep, 2, length($rep) - 2), $sp || $sp)) " +
       "ELSE 1 END AS p FROM dw), " +
       "bn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
@@ -1318,7 +1379,7 @@ object SparkEntry {
   }
 
   private def bpeApplyOracleSql(rounds: Int, wordpiece: Boolean = false): String =
-    s"WITH ${bpeApplyCtes(rounds, wordpiece)} " +
+    s"WITH $MdocsCte, ${bpeApplyCtes(rounds, wordpiece)} " +
       "SELECT doc_id, n_tokens, n AS n_pieces FROM bn"
 
   /** Analytic audio-fingerprint chain over `src(key, pid, nudge)` →
@@ -1354,6 +1415,34 @@ object SparkEntry {
     * with distinct totals vote winner/loser, then `iters` MM rounds
     * replayed with the same fixed-point floor divisions (S² = scale²,
     * virtual win each way per observed pair, per-round sum normalizer). */
+  /** Comparisons synthesized from per-user event-type spend totals (larger
+    * total wins, ties skipped) — the preference log shared by
+    * eval_bradley_terry and eval_pair_agreement. */
+  private def btComparisons(s: SparkSession, dir: String): DataFrame = {
+    val totals = EventsAdapter.rawEvents(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+    val b = totals.select(col("user_id"), col("event_type").as("et_b"),
+      col("v").as("vb"))
+    totals.select(col("user_id"), col("event_type").as("et_a"),
+        col("v").as("va"))
+      .join(b, Seq("user_id"))
+      .filter(col("et_a") < col("et_b") && col("va") =!= col("vb"))
+      .select(
+        when(col("va") > col("vb"), col("et_a")).otherwise(col("et_b")).as("winner"),
+        when(col("va") > col("vb"), col("et_b")).otherwise(col("et_a")).as("loser"))
+  }
+
+  /** DuckDB twin of [[btComparisons]] — the tot/cmp CTE prefix shared by
+    * the two preference mirrors. */
+  private val BtCmpCtes: String =
+    "tot AS (SELECT user_id, event_type, " +
+      "sum(CAST(floor(value * 100) AS BIGINT)) AS v FROM events GROUP BY 1, 2), " +
+      "cmp AS (SELECT CASE WHEN a.v > b.v THEN a.event_type ELSE b.event_type END AS winner, " +
+      "CASE WHEN a.v > b.v THEN b.event_type ELSE a.event_type END AS loser " +
+      "FROM tot a JOIN tot b ON a.user_id = b.user_id " +
+      "AND a.event_type < b.event_type AND a.v <> b.v)"
+
   private def bradleyTerryOracleSql(iters: Int, scale: Long): String = {
     val s2 = scale * scale
     val rounds = (1 to iters).map { k =>
@@ -1367,12 +1456,7 @@ object SparkEntry {
         s"p$k AS (SELECT item, (praw * $scale * (SELECT count(*) FROM wt)) " +
         s"// (SELECT sum(praw) FROM r$k) AS p FROM r$k)"
     }.mkString(", ")
-    "WITH tot AS (SELECT user_id, event_type, " +
-      "sum(CAST(floor(value * 100) AS BIGINT)) AS v FROM events GROUP BY 1, 2), " +
-      "cmp AS (SELECT CASE WHEN a.v > b.v THEN a.event_type ELSE b.event_type END AS winner, " +
-      "CASE WHEN a.v > b.v THEN b.event_type ELSE a.event_type END AS loser " +
-      "FROM tot a JOIN tot b ON a.user_id = b.user_id " +
-      "AND a.event_type < b.event_type AND a.v <> b.v), " +
+    s"WITH $BtCmpCtes, " +
       "sym AS (SELECT winner AS i, loser AS j FROM cmp " +
       "UNION ALL SELECT loser AS i, winner AS j FROM cmp), " +
       "mt AS (SELECT i, j, count(*) + 2 AS m FROM sym GROUP BY 1, 2), " +
@@ -1513,14 +1597,15 @@ object SparkEntry {
       s"WHERE length(piece) = 1 AND piece NOT IN (SELECT piece FROM uec$r))"
 
   /** Base CTEs: the distinct-word relation under the shared tokens
-    * contract (the `^[a-z]{1,16}$` learning scope of
+    * contract (the NFC + ≤16-BMP-letter learning scope of
     * [[TextAnalysis.unigramLearn]]), the weighted substring seed scores,
     * and the seed vocab = top `seedSize` by (score DESC, piece ASC) ∪ all
     * single characters. */
   private def unigramBaseCtes(seedSize: Int): String =
     s"uw AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM " +
-      s"(SELECT unnest($RawToks) AS w FROM documents) " +
-      s"WHERE regexp_matches(w, '^[a-z]{1,$UnigramMaxWordLen}$$') GROUP BY w), " +
+      s"(SELECT ${sqlNorm("w0")} AS w FROM " +
+      s"(SELECT unnest($RawToks) AS w0 FROM mdocs)) " +
+      s"WHERE ${sqlWordGate("w", UnigramMaxWordLen)} GROUP BY w), " +
       "usd AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (" +
       "SELECT substring(w, p, n) AS piece, freq FROM uw, " +
       "LATERAL (SELECT unnest(generate_series(1, length(w))) AS p), " +
@@ -1535,7 +1620,7 @@ object SparkEntry {
     * table with counts and quantized costs. */
   private def unigramPiecesOracleSql(rounds: Int, seedSize: Int,
       fracBits: Int): String =
-    s"WITH ${unigramBaseCtes(seedSize)}, " +
+    s"WITH $MdocsCte, ${unigramBaseCtes(seedSize)}, " +
       (1 to rounds).map(unigramRoundCtes(_, fracBits)).mkString(", ") + ", " +
       unigramCostCtes(s"uv$rounds", "upcf", fracBits) +
       " SELECT CAST(row_number() OVER (ORDER BY v.cnt DESC, v.piece ASC) " +
@@ -1543,7 +1628,7 @@ object SparkEntry {
       s"FROM uv$rounds v JOIN upcf c USING (piece)"
 
   /** Learning + one more DP under the FINAL costs, applied per document —
-    * the full chain ending in `un(doc_id, n_tokens, n)`: `^[a-z]{1,16}$`
+    * the full chain ending in `un(doc_id, n_tokens, n)`: word-form
     * tokens take their Viterbi piece count, any other token counts 1 (the
     * [[TextAnalysis.unigramEncodedCounts]] contract). Shared by the apply
     * and the pack-on-unigram-counts mirrors. */
@@ -1553,18 +1638,19 @@ object SparkEntry {
       (1 to rounds).map(unigramRoundCtes(_, fracBits)).mkString(", ") + ", " +
       unigramCostCtes(s"uv$rounds", "upcf", fracBits) + ", " +
       unigramDpCtes("udpa_", "upcf") + ", " +
-      s"awd AS (SELECT doc_id, i AS wi, toks[i] AS w FROM " +
-      s"(SELECT doc_id, $RawToks AS toks FROM documents), " +
+      s"awd AS (SELECT doc_id, i AS wi, toks[i] AS w, " +
+      s"${sqlNorm("toks[i]")} AS nw FROM " +
+      s"(SELECT doc_id, $RawToks AS toks FROM mdocs), " +
       "LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) " +
       "WHERE toks[i] <> ''), " +
       "un AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
-      "CAST(sum(CASE WHEN regexp_matches(w, " +
-      s"'^[a-z]{1,$UnigramMaxWordLen}$$') THEN s.np ELSE 1 END) AS BIGINT) " +
-      "AS n FROM awd LEFT JOIN udpa_seg s USING (w) GROUP BY doc_id)"
+      s"CAST(sum(CASE WHEN ${sqlWordGate("nw", UnigramMaxWordLen)} " +
+      "THEN s.np ELSE 1 END) AS BIGINT) " +
+      "AS n FROM awd LEFT JOIN udpa_seg s ON s.w = awd.nw GROUP BY doc_id)"
 
   private def unigramApplyOracleSql(rounds: Int, seedSize: Int,
       fracBits: Int): String =
-    s"WITH ${unigramApplyCtes(rounds, seedSize, fracBits)} " +
+    s"WITH $MdocsCte, ${unigramApplyCtes(rounds, seedSize, fracBits)} " +
       "SELECT doc_id, n_tokens, n AS n_pieces FROM un"
 
   /** The [[graft.operators.Eval.rankingMetrics]] metric block as SQL: given
@@ -1728,7 +1814,7 @@ object SparkEntry {
       "WHERE hamming <= 3"
   }
 
-  private val LangIdSql = {
+  private def langIdSql(table: String): String = {
     val hits = langStops.map { case (l, ws) =>
       s"len(list_filter($LowerToks, x -> x IN (${sqlList(ws)}))) AS h_$l"
     }.mkString(", ")
@@ -1736,8 +1822,9 @@ object SparkEntry {
     // first-in-order argmax == the Scala fold's strict-greater replacement
     val cases = langStops.map { case (l, _) => s"WHEN h_$l = $gr THEN '$l'" }.mkString(" ")
     s"SELECT doc_id, CASE WHEN $gr = 0 THEN 'und' $cases END AS lang_pred " +
-      s"FROM (SELECT doc_id, $hits FROM documents)"
+      s"FROM (SELECT doc_id, $hits FROM $table)"
   }
+  private val LangIdSql = langIdSql("documents")
 
   // ------------------------------------------------------------- contract
 
@@ -2748,12 +2835,12 @@ object SparkEntry {
     // tokenizer ships, learned on the distinct-word relation; every round's
     // argmax and count compared exactly against the mirror's chained replay
     "text_bpe_merges" -> ((s, dir) =>
-      TextAnalysis.bpeLearnMerges(docs(s, dir), 12)),
+      TextAnalysis.bpeLearnMerges(docsMulti(s, dir), 12)),
     // the learned tokenizer APPLIED: per-doc piece counts under the
     // 12-merge table learned from the corpus itself (12-row driver collect,
     // then one narrow explode + chained-replace pass)
     "text_bpe_apply" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsMulti(s, dir)
       val merges = TextAnalysis.bpeLearnMerges(d, 12)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
@@ -2762,7 +2849,7 @@ object SparkEntry {
     // the packer driven by the LEARNED tokenizer's counts — learn → apply →
     // pack, end to end (budget 512 pieces, 8 shards)
     "sample_pack_learned" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsMulti(s, dir)
       val merges = TextAnalysis.bpeLearnMerges(d, 12)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
@@ -2774,7 +2861,7 @@ object SparkEntry {
     // sequential-merge scalar expression must reproduce the chained-replace
     // spec row for row
     "text_bpe_apply_fast" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsMulti(s, dir)
       val merges = TextAnalysis.bpeLearnMerges(d, 12)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
@@ -2784,11 +2871,11 @@ object SparkEntry {
     // BPE, winner maximizes count(ab)/(count(a)·count(b)) — rare-but-
     // cohesive pairs beat merely frequent ones; 10 likelihood-scored rounds
     "text_wordpiece_merges" -> ((s, dir) =>
-      TextAnalysis.wordpieceLearnMerges(docs(s, dir), 10)),
+      TextAnalysis.wordpieceLearnMerges(docsMulti(s, dir), 10)),
     // the learned WordPiece table APPLIED via the same chained-replace
     // encoder as BPE (10-row driver collect, one narrow pass)
     "text_wordpiece_apply" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsMulti(s, dir)
       val merges = TextAnalysis.wordpieceLearnMerges(d, 10)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
@@ -2802,7 +2889,7 @@ object SparkEntry {
     // final cost table exactly
     "text_unigram_pieces" -> ((s, dir) => {
       import s.implicits._
-      val vocab = TextAnalysis.unigramLearn(docs(s, dir), rounds = 2, seedSize = 120)
+      val vocab = TextAnalysis.unigramLearn(docsMulti(s, dir), rounds = 2, seedSize = 120)
       val cost = graft.functions.UnigramExpressions.costs(vocab.toMap, 6)
       vocab.zipWithIndex.map { case ((p, c), i) => (i + 1L, p, c, cost(p)) }
         .toDF("rank", "piece", "count", "cost_fp")
@@ -2812,7 +2899,7 @@ object SparkEntry {
     // plan shape); the oracle replays the same DP with the same quantized
     // costs, so a single mis-segmented word anywhere fails the gate
     "text_unigram_apply" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsMulti(s, dir)
       val vocab = TextAnalysis.unigramLearn(d, rounds = 2, seedSize = 120)
       val cost = graft.functions.UnigramExpressions.costs(vocab.toMap, 6)
       TextAnalysis.unigramEncodedCounts(d, cost)
@@ -2825,7 +2912,7 @@ object SparkEntry {
     // segmentation AND the rank assignment, so one transposed id anywhere
     // fails the gate
     "text_unigram_ids" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsMulti(s, dir)
       val vocab = TextAnalysis.unigramLearn(d, rounds = 2, seedSize = 120)
       val cost = graft.functions.UnigramExpressions.costs(vocab.toMap, 6)
       val rankOf = vocab.zipWithIndex
@@ -2833,17 +2920,20 @@ object SparkEntry {
       val toks = d.select(col("doc_id"),
           posexplode(TextAnalysis.tokens(col("text"))).as(Seq("tpos", "w")))
         .filter(length(col("w")) > 0)
+        .withColumn("nw", graft.functions.TextExpressions
+          .normalizeText(col("w")))
+      val isw = TextAnalysis.isWordForm(col("nw"), maxLen = 16)
       val pieces = toks.select(col("doc_id"), col("tpos"),
           posexplode(
-            when(col("w").rlike("^[a-z]{1,16}$"),
-              graft.functions.UnigramExpressions.segment(col("w"), cost, 4))
-              .otherwise(array(col("w")))).as(Seq("ppos", "piece")),
-          col("w"))
+            when(isw,
+              graft.functions.UnigramExpressions.segment(col("nw"), cost, 4))
+              .otherwise(array(col("nw")))).as(Seq("ppos", "piece")),
+          col("nw"))
       pieces.select(col("doc_id"),
           (row_number().over(org.apache.spark.sql.expressions.Window
             .partitionBy("doc_id").orderBy(col("tpos"), col("ppos"))) - 1)
             .cast("long").as("pos"),
-          when(col("w").rlike("^[a-z]{1,16}$"),
+          when(isw,
             coalesce(element_at(typedLit(rankOf), col("piece")), lit(99999L)))
             .otherwise(lit(99999L)).as("piece_id"))
     }),
@@ -2851,7 +2941,7 @@ object SparkEntry {
     // Viterbi apply → pack end to end, the sample_pack_learned loop for the
     // second tokenizer family (budget 512 pieces, 8 shards)
     "sample_pack_unigram" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsMulti(s, dir)
       val vocab = TextAnalysis.unigramLearn(d, rounds = 2, seedSize = 120)
       val cost = graft.functions.UnigramExpressions.costs(vocab.toMap, 6)
       Sampling.packSequences(d, "doc_id",
@@ -3124,9 +3214,42 @@ object SparkEntry {
       Multimodal.metadata(Multimodal.synthesizeFromDocs(docs(s, dir)))
         .select(col("doc_id"), col("mime"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"), col("pixels").cast("long").as("pixels"))),
-    "mm_frames" -> ((s, dir) =>
-      Multimodal.frameSample(Multimodal.synthesizeFromDocs(docs(s, dir)), 64, 16)
-        .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"))),
+    // REAL multi-frame containers end to end: 2..4 genuine PNG frames
+    // concatenated per doc (a "video"), a spec-compliant PNG chunk walk to
+    // recover frame boundaries, a real decode per frame, and the per-frame
+    // aHash — the oracle replays dims, channel sums AND the 64-bit frame
+    // signature analytically from the framePatternId closed form
+    "mm_frames_decode" -> ((s, dir) =>
+      Multimodal.decodeFrames(s,
+        Multimodal.synthesizeVideos(s, docs(s, dir)))),
+    // frame-level NEAR-dup across videos: docs congruent mod 50 share frame
+    // patterns (planted, the mm_dedup discipline), per-frame signatures run
+    // the pigeonhole-banded hamming self-join — never the frame-pair space
+    "mm_frames_neardup" -> ((s, dir) => {
+      val sigs = Multimodal.decodeFrames(s,
+          Multimodal.synthesizeVideos(s, docs(s, dir)))
+        .select((col("doc_id") * 8 + col("frame_idx")).as("id"),
+          col("fhash").as("sig"))
+      Dedup.hammingPairs(sigs, 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+    // VIDEO-level exact dedup: the per-video signature is the ordered
+    // frame-hash sequence (frame order matters — a re-cut is not a dup),
+    // group-compacted with the mm_dedup min-keeper/count contract. Docs
+    // congruent mod 150 share class AND frame count → identical videos.
+    // Only (doc_id, frame_idx, fhash) rows ever shuffle; the fold is one
+    // exchange keyed by video, the compaction one keyed by signature
+    "mm_video_dedup" -> ((s, dir) => {
+      val fr = Multimodal.decodeFrames(s,
+        Multimodal.synthesizeVideos(s, docs(s, dir)))
+      fr.groupBy(col("doc_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("frame_idx"), col("fhash")))),
+            x => x.getField("fhash").cast("string")), ",").as("vsig"))
+        .groupBy("vsig")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+    }),
     // REAL codec round-trip: deterministic RGB pattern → actual PNG bytes
     // (javax.imageio encode) → actual PNG decode → exact channel sums. The
     // oracle computes the same sums ANALYTICALLY from the pattern formulas —
@@ -3237,26 +3360,18 @@ object SparkEntry {
     // tokenizer-fertility audit: BPE-ish pieces per whitespace word, by
     // voted language — exact long sums, one division per language row
     "text_fertility" -> ((s, dir) =>
-      TextAnalysis.tokenizerFertility(docs(s, dir))),
+      TextAnalysis.tokenizerFertility(docsMulti(s, dir))),
     // Bradley–Terry preference strengths (the reward-model data-plane op):
     // comparisons synthesized from per-user event-type spend totals (larger
     // total wins, ties skipped), then 8 fixed-point MM rounds — every floor
     // division replayed exactly by the oracle's unrolled CTE chain
-    "eval_bradley_terry" -> ((s, dir) => {
-      val totals = EventsAdapter.rawEvents(s, dir)
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
-      val b = totals.select(col("user_id"), col("event_type").as("et_b"),
-        col("v").as("vb"))
-      val cmp = totals.select(col("user_id"), col("event_type").as("et_a"),
-          col("v").as("va"))
-        .join(b, Seq("user_id"))
-        .filter(col("et_a") < col("et_b") && col("va") =!= col("vb"))
-        .select(
-          when(col("va") > col("vb"), col("et_a")).otherwise(col("et_b")).as("winner"),
-          when(col("va") > col("vb"), col("et_b")).otherwise(col("et_a")).as("loser"))
-      Preference.bradleyTerry(cmp, iters = 8)
-    }),
+    "eval_bradley_terry" -> ((s, dir) =>
+      Preference.bradleyTerry(btComparisons(s, dir), iters = 8)),
+    // judgment-agreement audit over the SAME synthesized preference log:
+    // per compared pair, the two directed counts and the majority share —
+    // the noise screen that runs before any reward-model fit
+    "eval_pair_agreement" -> ((s, dir) =>
+      Preference.pairAgreement(btComparisons(s, dir))),
     // end-to-end pipeline composition — the real training-data shape, every
     // stage an already-oracled operator, chained through the (doc_id, text)
     // column contract: C4 clean → corpus line dedup → Gopher quality filter
@@ -5054,41 +5169,41 @@ object SparkEntry {
     // pack-on-learned-counts: the sample_pack recurrence over the learned
     // per-doc piece counts
     "sample_pack_learned" ->
-      (s"WITH ${bpeApplyCtes(12)} " +
+      (s"WITH $MdocsCte, ${bpeApplyCtes(12)} " +
         "SELECT doc_id, shard, CAST((cum - n) // 512 AS BIGINT) AS seq_id, " +
         "CAST((cum - n) % 512 AS BIGINT) AS tok_offset FROM (" +
         s"SELECT doc_id, ${pmSql(HashRaw, "8")} AS shard, n, " +
         s"sum(n) OVER (PARTITION BY ${pmSql(HashRaw, "8")} ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS cum " +
-        "FROM documents JOIN bn USING (doc_id) WHERE n > 0)"),
+        "FROM mdocs JOIN bn USING (doc_id) WHERE n > 0)"),
     // token-id export mirror: the full learning chain, piece ids as the
     // (count DESC, piece ASC) ranks over the final vocab, matching words'
     // path pieces enumerated in order, out-of-scope tokens as one OOV row,
     // dense (token, piece) position per document
     "text_unigram_ids" ->
-      (s"WITH ${unigramApplyCtes(2, 120, 6)}, " +
+      (s"WITH $MdocsCte, ${unigramApplyCtes(2, 120, 6)}, " +
         "urk AS (SELECT piece, CAST(row_number() OVER (" +
         "ORDER BY cnt DESC, piece ASC) - 1 AS BIGINT) AS pid FROM uv2), " +
         "pm AS (SELECT doc_id, wi, po, COALESCE(pid, 99999) AS piece_id " +
         "FROM (SELECT a.doc_id, a.wi, po, s.path[po] AS piece " +
-        "FROM awd a JOIN udpa_seg s USING (w), " +
+        "FROM awd a JOIN udpa_seg s ON s.w = a.nw, " +
         "LATERAL (SELECT unnest(generate_series(1, len(s.path))) AS po)) x " +
         "LEFT JOIN urk USING (piece) " +
         "UNION ALL SELECT doc_id, wi, 1 AS po, 99999 AS piece_id FROM awd " +
-        s"WHERE NOT regexp_matches(w, '^[a-z]{1,$UnigramMaxWordLen}$$')) " +
+        s"WHERE NOT ${sqlWordGate("nw", UnigramMaxWordLen)}) " +
         "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id " +
         "ORDER BY wi, po) - 1 AS BIGINT) AS pos, " +
         "CAST(piece_id AS BIGINT) AS piece_id FROM pm"),
     // the unigram learn→apply→pack mirror: the full Viterbi-EM chain's
     // per-doc counts feeding the same prefix-sum pack recurrence
     "sample_pack_unigram" ->
-      (s"WITH ${unigramApplyCtes(2, 120, 6)} " +
+      (s"WITH $MdocsCte, ${unigramApplyCtes(2, 120, 6)} " +
         "SELECT doc_id, shard, CAST((cum - n) // 512 AS BIGINT) AS seq_id, " +
         "CAST((cum - n) % 512 AS BIGINT) AS tok_offset FROM (" +
         s"SELECT doc_id, ${pmSql(HashRaw, "8")} AS shard, n, " +
         s"sum(n) OVER (PARTITION BY ${pmSql(HashRaw, "8")} ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS cum " +
-        "FROM documents JOIN un USING (doc_id) WHERE n > 0)"),
+        "FROM mdocs JOIN un USING (doc_id) WHERE n > 0)"),
     // pack-and-split recurrence on REAL subword counts: per-doc piece count
     // from the same encoding CTE, then the sample_pack prefix-sum positions
     "sample_pack_bpe" ->
@@ -5350,9 +5465,45 @@ object SparkEntry {
         "CAST(n_chars % 64 + 1 AS BIGINT) AS width, " +
         "CAST(n_chars % 48 + 1 AS BIGINT) AS height, " +
         "CAST((n_chars % 64 + 1) * (n_chars % 48 + 1) AS BIGINT) AS pixels FROM documents"),
-    "mm_frames" ->
-      ("SELECT doc_id, CAST(greatest((octet_length(encode(text)) - 64) // 16, 0) + 1 AS BIGINT) " +
-        "AS n_frames FROM documents"),
+    // multi-frame mirror: the (doc, frame) → pattern-id relation, channel
+    // sums and the aHash signature replayed analytically per distinct
+    // pattern (PNG is lossless; the decoded frame pixels ARE the pattern)
+    "mm_frames_decode" ->
+      (s"WITH $FramesCte, " +
+        aHashCtes("(SELECT DISTINCT pid FROM fr)") + ", " +
+        "cs AS (SELECT pid, width, height, " +
+        "CAST(sum((pid * 7 + x * 3 + y * 5) % 256) AS BIGINT) AS sum_r, " +
+        "CAST(sum((pid + x * 11 + y) % 256) AS BIGINT) AS sum_g, " +
+        "CAST(sum((pid * 3 + x + y * 13) % 256) AS BIGINT) AS sum_b " +
+        "FROM (SELECT pid, CAST(pid % 16 + 8 AS BIGINT) AS width, " +
+        "CAST(pid % 12 + 8 AS BIGINT) AS height " +
+        "FROM (SELECT DISTINCT pid FROM fr)), " +
+        "LATERAL (SELECT unnest(generate_series(0, width - 1)) AS x), " +
+        "LATERAL (SELECT unnest(generate_series(0, height - 1)) AS y) " +
+        "GROUP BY pid, width, height) " +
+        "SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, width, height, " +
+        "sum_r, sum_g, sum_b, phash AS fhash " +
+        "FROM fr JOIN cs USING (pid) JOIN ah USING (pid)"),
+    // frame near-dup mirror: analytic per-frame signatures, exhaustive
+    // hamming self-join (the oracle may pay the pair space; the engine must
+    // not — its plan is the banded pigeonhole join)
+    "mm_frames_neardup" ->
+      (s"WITH $FramesCte, " +
+        aHashCtes("(SELECT DISTINCT pid FROM fr)") + ", " +
+        "fsig AS (SELECT doc_id * 8 + f AS fid, phash FROM fr JOIN ah USING (pid)) " +
+        "SELECT a.fid AS id_a, b.fid AS id_b, " +
+        "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming " +
+        "FROM fsig a JOIN fsig b ON a.fid < b.fid " +
+        "WHERE bit_count(xor(a.phash, b.phash)) <= 3"),
+    // video dedup mirror: analytic per-frame signatures folded in frame
+    // order into the per-video signature string, then min-keeper/count
+    "mm_video_dedup" ->
+      (s"WITH $FramesCte, " +
+        aHashCtes("(SELECT DISTINCT pid FROM fr)") + ", " +
+        "vs AS (SELECT doc_id, string_agg(CAST(phash AS VARCHAR), ',' " +
+        "ORDER BY f) AS vsig FROM fr JOIN ah USING (pid) GROUP BY doc_id) " +
+        "SELECT vsig, min(doc_id) AS keep_id, " +
+        "CAST(count(*) AS BIGINT) AS n_dups FROM vs GROUP BY 1"),
     // codec-path mirror: the per-doc pattern (Multimodal.patternDims/
     // patternRgb) replayed analytically over a generate_series pixel grid —
     // DuckDB needs no image codec because PNG is lossless, so the decoded
@@ -5471,15 +5622,29 @@ object SparkEntry {
     // fertility mirror: the langid vote CTE joined to exact piece/word
     // counts; one IEEE division per language row
     "text_fertility" ->
-      (s"WITH lid AS ($LangIdSql), " +
+      (s"WITH $MdocsCte, lid AS (${langIdSql("mdocs")}), " +
         s"tk AS (SELECT doc_id, $TokN AS nw, " +
         "len(regexp_extract_all(text, '[a-zA-Z]+|[^a-zA-Z\\s]+')) AS np " +
-        "FROM documents) " +
+        "FROM mdocs) " +
         "SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(nw) AS BIGINT) AS n_words, CAST(sum(np) AS BIGINT) AS n_pieces, " +
         "CASE WHEN sum(nw) > 0 THEN CAST(sum(np) AS DOUBLE) / CAST(sum(nw) AS DOUBLE) " +
         "ELSE 0.0 END AS fertility " +
         "FROM tk JOIN lid USING (doc_id) GROUP BY 1"),
     "eval_bradley_terry" -> bradleyTerryOracleSql(8, 1L << 20),
+    // agreement mirror: ordered-pair counts merged into the unordered pair,
+    // majority share as one IEEE division of exact longs
+    "eval_pair_agreement" ->
+      (s"WITH $BtCmpCtes, " +
+        "cnt AS (SELECT winner, loser, CAST(count(*) AS BIGINT) AS n " +
+        "FROM cmp GROUP BY 1, 2), " +
+        "pa AS (SELECT least(winner, loser) AS item_a, " +
+        "greatest(winner, loser) AS item_b, " +
+        "CAST(sum(CASE WHEN winner < loser THEN n ELSE 0 END) AS BIGINT) AS wins_a, " +
+        "CAST(sum(CASE WHEN winner < loser THEN 0 ELSE n END) AS BIGINT) AS wins_b " +
+        "FROM cnt GROUP BY 1, 2) " +
+        "SELECT item_a, item_b, wins_a, wins_b, wins_a + wins_b AS n_total, " +
+        "CAST(greatest(wins_a, wins_b) AS DOUBLE) / " +
+        "CAST(wins_a + wins_b AS DOUBLE) AS agree_ratio FROM pa"),
     "pipeline_e2e" -> PipelineE2eSql)
 }

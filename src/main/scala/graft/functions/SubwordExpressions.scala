@@ -59,7 +59,7 @@ object SubwordExpressions {
 
   /** Total BPE piece count of a TEXT under a rank-ordered merge table —
     * the native fast path of `TextAnalysis.bpeEncodedCounts`'
-    * chained-replace spec (same contract: `^[a-z]+$` word forms are merge-
+    * chained-replace spec (same contract: [[WordForm]] word forms are merge-
     * encoded, every other token counts one piece). */
   def bpeCountPieces(text: Column, merges: Seq[(String, String)]): Column =
     GraftBridge.column(BpeCountPieces(GraftBridge.expression(text), merges))
@@ -97,19 +97,20 @@ case class BpeCountPieces(child: Expression, merges: Seq[(String, String)])
     new java.util.HashMap[String, java.lang.Long](1 << 12)
   private val CacheCap = 1 << 16
 
-  private def isLowerWord(s: String): Boolean = {
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c < 'a' || c > 'z') return false
-      i += 1
-    }
-    s.length > 0
+  /** Count for one RAW token: normalize, gate on the shared word-form
+    * contract ([[WordForm]]), merge-encode word forms, 1 piece otherwise.
+    * The Zipf cache is keyed on the raw token so normalization itself runs
+    * once per distinct token per partition. */
+  private def countTok(w0: String): Long = {
+    val hit = cache.get(w0)
+    if (hit != null) return hit.longValue()
+    val w = WordForm.normalize(w0)
+    val n = if (WordForm.isLetterWord(w)) encodeCount(w) else 1L
+    if (cache.size < CacheCap) cache.put(w0, java.lang.Long.valueOf(n))
+    n
   }
 
   private def encodeCount(w: String): Long = {
-    val hit = cache.get(w)
-    if (hit != null) return hit.longValue()
     val syms = new Array[String](w.length)
     var i = 0
     while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
@@ -133,7 +134,6 @@ case class BpeCountPieces(child: Expression, merges: Seq[(String, String)])
       m = wp
       r += 1
     }
-    if (cache.size < CacheCap) cache.put(w, java.lang.Long.valueOf(m.toLong))
     m.toLong
   }
 
@@ -154,7 +154,7 @@ case class BpeCountPieces(child: Expression, merges: Seq[(String, String)])
     var total = 0L
     var t = 0
     while (t < toks.length) {
-      total += (if (isLowerWord(toks(t))) encodeCount(toks(t)) else 1L)
+      total += countTok(toks(t))
       t += 1
     }
     total

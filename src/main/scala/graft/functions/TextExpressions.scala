@@ -221,26 +221,60 @@ case class NormalizeText(child: Expression)
       s"NormalizeText requires a string argument, got ${other.simpleString}")
   }
 
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      WordForm.normalize(input.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
+/** JVM-side single source of the subword WORD-FORM contract — shared by
+  * [[NormalizeText]] and the native fast-path expressions
+  * ([[BpeCountPieces]], `UnigramCountPieces`), and the column-level twin of
+  * `TextAnalysis.isWordForm`/`normWord`. A word form is 1..maxLen BMP
+  * Unicode letters of the NFC-normalized, control/zero-width-scrubbed
+  * token; `Character.isLetter(char)` is false on surrogates, so astral
+  * code points are rejected exactly like the regex gates'
+  * `[\x{10000}-\x{10FFFF}]` exclusion — one contract across Java regex,
+  * RE2, and these char loops. */
+object WordForm {
+
   private def strip(c: Char): Boolean =
     (c < 0x20 && c != '\t' && c != '\n' && c != '\f' && c != '\r') ||
       (c >= 0x7f && c <= 0x9f) ||
       (c >= 0x200b && c <= 0x200d) || c == 0xfeff
 
-  override def nullSafeEval(input: Any): Any = {
-    val nfc = java.text.Normalizer.normalize(
-      input.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC)
-    val sb = new java.lang.StringBuilder(nfc.length)
+  /** NFC + control/zero-width scrub — [[NormalizeText]]'s exact semantics. */
+  def normalize(s: String): String = {
+    val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    var clean = true
     var i = 0
+    while (clean && i < nfc.length) {
+      if (strip(nfc.charAt(i))) clean = false
+      i += 1
+    }
+    if (clean) return nfc
+    val sb = new java.lang.StringBuilder(nfc.length)
+    i = 0
     while (i < nfc.length) {
       val c = nfc.charAt(i)
       if (!strip(c)) sb.append(c)
       i += 1
     }
-    UTF8String.fromString(sb.toString)
+    sb.toString
   }
 
-  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
-    copy(child = newChild)
+  /** 1..maxLen BMP letters (call on a [[normalize]]d token). */
+  def isLetterWord(s: String, maxLen: Int = Int.MaxValue): Boolean = {
+    if (s.isEmpty || s.length > maxLen) return false
+    var i = 0
+    while (i < s.length) {
+      if (!Character.isLetter(s.charAt(i))) return false
+      i += 1
+    }
+    true
+  }
 }
 
 object TextExpressions {

@@ -70,7 +70,7 @@ object UnigramExpressions {
       GraftBridge.expression(word), pieceCosts, maxPieceLen))
 
   /** Total unigram piece count of a TEXT — the apply-side counterpart of
-    * `SubwordExpressions.bpeCountPieces`, same contract: `^[a-z]{1,16}$`
+    * `SubwordExpressions.bpeCountPieces`, same contract: [[WordForm]] ≤16
     * word forms are Viterbi-segmented, every other token counts one
     * piece. */
   def countPieces(text: Column, pieceCosts: Map[String, Long],
@@ -198,7 +198,8 @@ case class UnigramSegment(child: Expression, pieceCosts: Map[String, Long],
 
 /** Total unigram piece count of a TEXT under a learned piece-cost table —
   * whitespace-tokenize (the engine's [\t\n\f\r ] contract), Viterbi-count
-  * `^[a-z]{1,16}$` words, one piece for any other token. Zipf word cache as
+  * [[WordForm]] (≤16-letter) words, one piece for any other token — each
+  * token NFC-normalized first. Zipf word cache as
   * in [[BpeCountPieces]]. Narrow, zero-shuffle scan shape. */
 case class UnigramCountPieces(child: Expression, pieceCosts: Map[String, Long],
     maxPieceLen: Int) extends UnaryExpression with CodegenFallback {
@@ -220,23 +221,21 @@ case class UnigramCountPieces(child: Expression, pieceCosts: Map[String, Long],
     new java.util.HashMap[String, java.lang.Long](1 << 12)
   private val CacheCap = 1 << 16
 
-  private def isLowerWord(s: String): Boolean = {
-    if (s.isEmpty || s.length > 16) return false
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c < 'a' || c > 'z') return false
-      i += 1
-    }
-    true
-  }
-
-  private def wordPieces(w: String): Long = {
-    val hit = cache.get(w)
+  /** Count for one RAW token: normalize, gate on the shared word-form
+    * contract ([[WordForm]] ≤16 letters), Viterbi-count word forms, 1 piece
+    * otherwise. Cache keyed on the raw token (normalization runs once per
+    * distinct token per partition). */
+  private def countTok(w0: String): Long = {
+    val hit = cache.get(w0)
     if (hit != null) return hit.longValue()
-    val seg = UnigramExpressions.viterbi(w, table, maxPieceLen)
-    val n = if (seg != null) seg.length.toLong else w.length.toLong
-    if (cache.size < CacheCap) cache.put(w, java.lang.Long.valueOf(n))
+    val w = WordForm.normalize(w0)
+    val n =
+      if (!WordForm.isLetterWord(w, maxLen = 16)) 1L
+      else {
+        val seg = UnigramExpressions.viterbi(w, table, maxPieceLen)
+        if (seg != null) seg.length.toLong else w.length.toLong
+      }
+    if (cache.size < CacheCap) cache.put(w0, java.lang.Long.valueOf(n))
     n
   }
 
@@ -257,7 +256,7 @@ case class UnigramCountPieces(child: Expression, pieceCosts: Map[String, Long],
     var total = 0L
     var t = 0
     while (t < toks.length) {
-      total += (if (isLowerWord(toks(t))) wordPieces(toks(t)) else 1L)
+      total += countTok(toks(t))
       t += 1
     }
     total

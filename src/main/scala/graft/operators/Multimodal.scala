@@ -138,23 +138,30 @@ object Multimodal {
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       it.map { docId =>
         val (w, h) = patternDims(docId)
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val (r, g, b) = patternRgb(docId, x, y)
-            img.setRGB(x, y, (r << 16) | (g << 8) | b)
-            x += 1
-          }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        MediaRecord(docId, bos.toByteArray, "image/png", w, h)
+        MediaRecord(docId, renderPng(docId), "image/png", w, h)
       }
     }
+  }
+
+  /** One deterministic pattern id → one genuine PNG stream — the encode
+    * half shared by [[synthesizeImages]] and [[synthesizeVideos]]. */
+  private def renderPng(pid: Long): Array[Byte] = {
+    val (w, h) = patternDims(pid)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = patternRgb(pid, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** REAL image decode + feature extraction (closes the round-11 stub gap):
@@ -265,39 +272,44 @@ object Multimodal {
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.media))
             catch { case _: java.io.IOException => null }
           if (img == null) (rec.doc_id, -1L)
-          else {
-            val w = img.getWidth
-            val h = img.getHeight
-            val blockSum = new Array[Long](64)
-            val blockN = new Array[Long](64)
-            var total = 0L
-            var y = 0
-            while (y < h) {
-              val j = y * 8 / h
-              var x = 0
-              while (x < w) {
-                val i = x * 8 / w
-                val rgb = img.getRGB(x, y)
-                val gray = ((rgb >> 16) & 0xff) * 299L +
-                  ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
-                blockSum(j * 8 + i) += gray
-                blockN(j * 8 + i) += 1
-                total += gray
-                x += 1
-              }
-              y += 1
-            }
-            val n = w.toLong * h
-            var sig = 0L
-            var b = 0
-            while (b < 64) {
-              if (blockSum(b) * n > total * blockN(b)) sig |= (1L << b)
-              b += 1
-            }
-            (rec.doc_id, sig)
-          }
+          else (rec.doc_id, aHashOf(img))
         }
       }.toDF("doc_id", "phash").as[(Long, Long)]
+  }
+
+  /** The all-integer 8×8 average-hash of one decoded image — the signature
+    * half shared by [[imageAHash]] (whole images) and [[decodeFrames]]
+    * (per-frame). Semantics exactly as documented on [[imageAHash]]. */
+  private def aHashOf(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val blockSum = new Array[Long](64)
+    val blockN = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val j = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val i = x * 8 / w
+        val rgb = img.getRGB(x, y)
+        val gray = ((rgb >> 16) & 0xff) * 299L +
+          ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
+        blockSum(j * 8 + i) += gray
+        blockN(j * 8 + i) += 1
+        total += gray
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (blockSum(b) * n > total * blockN(b)) sig |= (1L << b)
+      b += 1
+    }
+    sig
   }
 
   /** Deterministic per-doc PCM parameters shared by [[synthesizeAudio]] and
@@ -493,6 +505,122 @@ object Multimodal {
           }
         }
       }.toDF("doc_id", "afp").as[(Long, Long)]
+  }
+
+  // ------------------------------------------------- multi-frame containers
+
+  /** Deterministic per-(doc, frame) pattern id shared by [[synthesizeVideos]]
+    * and the mm_frames_* DuckDB oracles: documents congruent mod 50 render
+    * the SAME frame patterns, planting cross-video duplicate frames for the
+    * frame-level near-dup query (the mm_dedup planted-duplicate pattern,
+    * lifted to frames). Frame index < 8, so pid ranges stay disjoint per
+    * class. */
+  private[graft] def framePatternId(docId: Long, f: Int): Long =
+    (docId % 50) * 8 + f
+
+  /** Frames per synthesized video: 2..4, deterministic. */
+  private[graft] def frameCount(docId: Long): Int = (docId % 3 + 2).toInt
+
+  /** REAL multi-frame containers from the documents table: each doc_id
+    * becomes a "video" of [[frameCount]] genuine PNG streams concatenated
+    * back-to-back — every frame an actual javax.imageio-encoded image of
+    * the [[framePatternId]] pattern. [[decodeFrames]] must run a real
+    * chunk walk + a real decoder per frame to get anything back.
+    * Partition-parallel narrow map; only doc_id is read. */
+  def synthesizeVideos(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { docId =>
+        val n = frameCount(docId)
+        val bos = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < n) { bos.write(renderPng(framePatternId(docId, f))); f += 1 }
+        (docId, bos.toByteArray, "video/x-png-seq", n)
+      }
+    }.toDF("doc_id", "media", "mime", "n_frames")
+  }
+
+  /** Walk a concatenated-PNG container into its frame byte slices — a REAL
+    * format walk (the [[parsePcm]] discipline, applied to the PNG spec):
+    * verify the 8-byte PNG signature, then hop chunk to chunk (big-endian
+    * u32 length, 4-byte type, data, CRC) until IEND closes the frame;
+    * repeat until the blob is exhausted. Trailing garbage or a malformed
+    * chunk ends the walk with the frames parsed so far — at 100 TB a
+    * truncated container must never kill the job (the [[decodeImages]]
+    * survive-don't-throw stance). */
+  private[graft] def splitPngFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def hasSig(p: Int): Boolean = {
+      var i = 0
+      while (i < 8) { if (bytes(p + i) != sig(i)) return false; i += 1 }
+      true
+    }
+    def u32(i: Int): Long =
+      ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var p = 0
+    var live = true
+    while (live && p + 8 <= bytes.length && hasSig(p)) {
+      var q = p + 8
+      var closed = false
+      while (live && !closed) {
+        if (q + 8 > bytes.length) live = false
+        else {
+          val len = u32(q)
+          val next = q + 8L + len + 4L // length + type + data + CRC
+          if (next > bytes.length) live = false
+          else {
+            closed = bytes(q + 4) == 'I' && bytes(q + 5) == 'E' &&
+              bytes(q + 6) == 'N' && bytes(q + 7) == 'D'
+            q = next.toInt
+          }
+        }
+      }
+      if (closed) { out += java.util.Arrays.copyOfRange(bytes, p, q); p = q }
+    }
+    out.toSeq
+  }
+
+  /** REAL multi-frame decode — the modality-completing replacement for the
+    * byte-striding stub: container walk ([[splitPngFrames]]) → genuine PNG
+    * decode per frame → decoder-reported dims, exact integer channel sums,
+    * and the [[imageAHash]] signature per frame (`fhash`), ready for
+    * frame-level near-dup via `Dedup.hammingPairs`. A frame the JVM cannot
+    * decode keeps its slot with the −1/0 sentinel row. Codec work belongs
+    * in `mapPartitions`; the heavy binary column dies inside the stage —
+    * only (doc_id, frame_idx, dims, sums, fhash) rows ever leave it. */
+  def decodeFrames(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, bytes) =>
+          splitPngFrames(bytes).iterator.zipWithIndex.map { case (fb, f) =>
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+              catch { case _: java.io.IOException => null }
+            if (img == null) (docId, f.toLong, -1L, -1L, 0L, 0L, 0L, -1L)
+            else {
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff
+                  sg += (rgb >> 8) & 0xff
+                  sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              (docId, f.toLong, img.getWidth.toLong, img.getHeight.toLong,
+                sr, sg, sb, aHashOf(img))
+            }
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "width", "height",
+        "sum_r", "sum_g", "sum_b", "fhash")
   }
 
   /** Frame sampling: every `stride`-th byte-window stands in for a video

@@ -50,17 +50,34 @@ object Preference {
     * makes each generation a reliable, executor-loss-surviving
     * checkpoint). The one driver-side scalar is N, a single count. */
   def bradleyTerry(comparisons: DataFrame, iters: Int,
+      scale: Long = 1L << 20): DataFrame =
+    bradleyTerryWeighted(
+      comparisons.groupBy("winner", "loser").agg(count(lit(1)).as("n")),
+      iters, scale)
+
+  /** [[bradleyTerry]] over PRE-COMPACTED judgments `(winner, loser, n)` —
+    * one row per ordered pair with its comparison count. The fit is a pure
+    * function of these counts, which is what makes the model streamable:
+    * `StreamingPreference.bradleyTerrySink` folds micro-batch deltas into
+    * an accumulated pair-count table and refits from it, landing on the
+    * bit-identical strengths a one-shot fit over all judgments produces
+    * (same fixed-point arithmetic, same inputs — nothing order-dependent
+    * survives the compaction). */
+  def bradleyTerryWeighted(pairCounts: DataFrame, iters: Int,
       scale: Long = 1L << 20): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(scale >= 1, s"scale must be >= 1, got $scale")
     val s2 = scale * scale
-    val meet = comparisons.select(col("winner").as("i"), col("loser").as("j"))
-      .unionByName(comparisons.select(col("loser").as("i"), col("winner").as("j")))
-      .groupBy("i", "j").agg((count(lit(1)) + lit(2L)).as("m"))
+    val comparisons = pairCounts
+    val meet = comparisons.select(col("winner").as("i"), col("loser").as("j"),
+        col("n"))
+      .unionByName(comparisons.select(col("loser").as("i"), col("winner").as("j"),
+        col("n")))
+      .groupBy("i", "j").agg((sum(col("n")) + lit(2L)).as("m"))
       .repartition(col("i"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val w0 = comparisons.groupBy(col("winner").as("item"))
-      .agg(count(lit(1)).as("__w0"))
+      .agg(sum(col("n")).as("__w0"))
     val wins = meet.groupBy(col("i").as("item"))
       .agg(count(lit(1)).as("__nopp"))
       .join(w0, Seq("item"), "left")
@@ -87,5 +104,33 @@ object Preference {
       .select(col("item"), col("p").as("strength_fp"), col("wins"))
     meet.unpersist(); wins.unpersist()
     out
+  }
+
+  /** Judgment AGREEMENT per unordered item pair — the data-quality audit
+    * that belongs BEFORE a [[bradleyTerry]] fit: for every pair that was
+    * actually compared, how lopsided were the judgments? `agree_ratio`
+    * near 1.0 = annotators (or the preference signal) are consistent on
+    * that pair; near 0.5 = coin-flip noise the fit will dilute. Returns
+    * (item_a < item_b, wins_a, wins_b, n_total, agree_ratio).
+    *
+    * Scale shape: the judgment log collapses map-side into ordered-pair
+    * counts (ONE corpus-sized exchange), the two directions merge in a
+    * pair-sized aggregate, and the ratio is a single IEEE division of
+    * exact longs — bit-stable on any engine. Only observed pairs exist
+    * anywhere (never items²). */
+  def pairAgreement(comparisons: DataFrame): DataFrame = {
+    val cnt = comparisons.groupBy("winner", "loser")
+      .agg(count(lit(1)).as("n"))
+    cnt.select(
+        least(col("winner"), col("loser")).as("item_a"),
+        greatest(col("winner"), col("loser")).as("item_b"),
+        when(col("winner") < col("loser"), col("n")).otherwise(lit(0L)).as("__na"),
+        when(col("winner") < col("loser"), lit(0L)).otherwise(col("n")).as("__nb"))
+      .groupBy("item_a", "item_b")
+      .agg(sum("__na").as("wins_a"), sum("__nb").as("wins_b"))
+      .select(col("item_a"), col("item_b"), col("wins_a"), col("wins_b"),
+        (col("wins_a") + col("wins_b")).as("n_total"),
+        (greatest(col("wins_a"), col("wins_b")).cast("double") /
+          (col("wins_a") + col("wins_b")).cast("double")).as("agree_ratio"))
   }
 }

@@ -33,6 +33,31 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     split(trim(text, WsCharsRaw), s"$WsClass+")
 
+  /** The Unicode WORD-FORM gate shared by every subword learner and encoder
+    * (BPE/WordPiece merge learning, unigram-LM learning, all apply paths):
+    * a word form is 1..maxLen Unicode LETTERS (`\p{L}`) from the Basic
+    * Multilingual Plane, taken over the NFC-NORMALIZED token
+    * ([[graft.functions.NormalizeText]] — compose first, then gate, so
+    * decomposed `é` and composed `é` are the same word on every engine).
+    *
+    * Why BMP-only: the gate must mean the same thing in four places — the
+    * Spark regex (Java, UTF-16), the DuckDB mirror (RE2, UTF-8), and the
+    * two native char-loop fast paths — and BMP letters are exactly where
+    * code unit = code point, so per-char symbolization, `length`, and
+    * binary string ordering agree everywhere. Astral-plane letters
+    * (`[\x{10000}-\x{10FFFF}]`) are excluded by BOTH regex engines AND by
+    * `Character.isLetter(char)` (false on surrogates) — one contract, no
+    * divergent edge. Mirrored by `SparkEntry.sqlWordGate`. */
+  private[graft] def isWordForm(w: Column, maxLen: Int = Int.MaxValue): Column = {
+    val base = w.rlike("^\\p{L}+$") && !w.rlike("[\\x{10000}-\\x{10FFFF}]")
+    if (maxLen == Int.MaxValue) base else base && length(w) <= maxLen
+  }
+
+  /** NFC-normalize + scrub a token for the word-form gate — the single
+    * Spark-side normalization every subword path must share. */
+  private[graft] def normWord(w: Column): Column =
+    graft.functions.TextExpressions.normalizeText(w)
+
   /** Token count: whitespace tokenization. Whitespace-ONLY text (any mix of
     * [[WsCharsRaw]]) counts 0 — the guard below and [[tokens]] must share the
     * same set-trim or `" \t "` would count 2 phantom tokens. */
@@ -1404,9 +1429,10 @@ object TextAnalysis {
     * [[learnVocab]] / k-means), and apply the merge as a narrow `replace`
     * on the wrapped representation (see [[BpeSep]]).
     *
-    * Learning is restricted to `^[a-z]+$` word forms (the published setup
-    * lower-cases and splits off punctuation first) — this also pins
-    * symbol = codepoint = UTF-16 char = UTF-8 byte, so Java-regex and RE2
+    * Learning runs over NFC-normalized Unicode word forms — 1..n BMP
+    * letters per [[isWordForm]] (the round-14 multilingual lift: non-Latin
+    * scripts contribute merges instead of segmenting as whole-token OOV).
+    * BMP-only pins symbol = codepoint = UTF-16 char, so Java-regex and RE2
     * splitting agree exactly and the DuckDB mirror can replay every round.
     *
     * Returns one row per learned merge: (rank, lhs, rhs, pair_count) —
@@ -1438,8 +1464,9 @@ object TextAnalysis {
     import spark.implicits._
     val sep = BpeSep
     val base = docs
-      .select(explode(tokens(col(textCol))).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
+      .select(explode(tokens(col(textCol))).as("w0"))
+      .select(normWord(col("w0")).as("w"))
+      .filter(isWordForm(col("w")))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(regexp_replace(col("w"), "(.)", s"$sep$$1$sep").as("sym"),
         col("freq"))
@@ -1512,14 +1539,15 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sep = BpeSep
     val tok = docs
-      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0)
+      .select(col(idCol), explode(tokens(col(textCol))).as("w0"))
+      .filter(length(col("w0")) > 0)
+      .withColumn("w", normWord(col("w0")))
     val wrapped0 = regexp_replace(col("w"), "(.)", s"$sep$$1$sep")
     val symFinal = merges.foldLeft(wrapped0) { case (acc, (l, r)) =>
       replace(acc, lit(s"$sep$l$sep$sep$r$sep"), lit(s"$sep$l$r$sep"))
     }
     tok
-      .select(col(idCol), col("w").rlike("^[a-z]+$").as("__isw"),
+      .select(col(idCol), isWordForm(col("w")).as("__isw"),
         symFinal.as("__sym"))
       .select(col(idCol),
         when(col("__isw"),
@@ -1545,7 +1573,7 @@ object TextAnalysis {
     * Everything follows the [[bpeLearnMerges]] scale discipline: learning
     * runs on the DISTINCT-WORD relation (vocabulary-sized, never
     * corpus-sized — at 100 TB the corpus is ~10¹¹ tokens but distinct
-    * `^[a-z]{1,16}$` forms are ~10⁷); each round is one narrow
+    * [[isWordForm]] (≤16-letter) forms are ~10⁷); each round is one narrow
     * Viterbi-segment map ([[graft.functions.UnigramSegment]], the piece
     * table riding inside the expression) plus ONE map-side-combined
     * exchange (piece-count groupBy) and a bounded vocab-sized collect. All
@@ -1564,8 +1592,9 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val words = docs
-      .select(explode(tokens(col(textCol))).as("w"))
-      .filter(col("w").rlike("^[a-z]{1,16}$"))
+      .select(explode(tokens(col(textCol))).as("w0"))
+      .select(normWord(col("w0")).as("w"))
+      .filter(isWordForm(col("w"), maxLen = 16))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed scores: every substring occurrence of length 1..maxPieceLen,
@@ -1606,8 +1635,9 @@ object TextAnalysis {
     * [[bpeEncodedCountsFast]], same plan shape (ONE codegen-stage narrow
     * map over the scan: the piece-cost table rides inside the native
     * expression, no explode, no join, zero exchanges) and same contract
-    * (`^[a-z]{1,16}$` word forms are segmented; any other token counts one
-    * piece; documents with no tokens emit no row). */
+    * ([[isWordForm]] ≤16-letter word forms are segmented after NFC
+    * normalization; any other token counts one piece; documents with no
+    * tokens emit no row). */
   def unigramEncodedCounts(docs: DataFrame, pieceCosts: Map[String, Long],
       maxPieceLen: Int = 4, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =

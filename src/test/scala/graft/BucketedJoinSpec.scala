@@ -13,7 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class BucketedJoinSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("bucketed snapshot generations diff with zero exchanges, same rows") {
+  test("bucketed snapshot generations diff with zero exchanges, same rows", SlowTest) {
     val base = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
     val oldSnap = base.filter(col("o_orderkey") % 7 =!= 0)

@@ -119,7 +119,7 @@ class FunctionCatalogSpec extends AnyFunSuite {
   private def randomRows(rnd: scala.util.Random, n: Int): Seq[(Double, Double)] =
     Seq.fill(n)((rnd.between(-1e6, 1e6), rnd.between(0L, 10_000_000L).toDouble))
 
-  test("randomized: sum/min/max/count/avg match naive folds") {
+  test("randomized: sum/min/max/count/avg match naive folds", SlowTest) {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 10) {
       val rows = randomRows(rnd, 1 + rnd.nextInt(40))

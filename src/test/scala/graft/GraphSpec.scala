@@ -14,7 +14,7 @@ class GraphSpec extends AnyFunSuite {
     Graph.pageRank(edges.toDF("src", "dst", "w"), iters)
       .as[(Long, Long)].collect().toMap
 
-  test("symmetric cycle: all nodes rank equal, mass conserved to rounding") {
+  test("symmetric cycle: all nodes rank equal, mass conserved to rounding", SlowTest) {
     val r = ranks(Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L)))
     assert(r.values.toSet.size == 1, s"cycle ranks must be equal: $r")
     // each round floors at most dampDen units per node out of the mass
@@ -23,7 +23,7 @@ class GraphSpec extends AnyFunSuite {
       s"mass must be conserved up to rounding: ${r.values.sum} vs ${3 * scale}")
   }
 
-  test("star: the sink ranks strictly above its sources; dangling mass recycles") {
+  test("star: the sink ranks strictly above its sources; dangling mass recycles", SlowTest) {
     // 1,2,3 → 4; node 4 has no out-edge, so its mass re-enters uniformly —
     // a bug dropping dangling mass would drain rank 4 toward base instead
     val r = ranks(Seq((1L, 4L, 1L), (2L, 4L, 1L), (3L, 4L, 1L)))
@@ -33,7 +33,7 @@ class GraphSpec extends AnyFunSuite {
     assert(r(4L) > scale, s"the sink must hold more than its initial mass: $r")
   }
 
-  test("edge weights steer rank: the heavier-in target ranks higher") {
+  test("edge weights steer rank: the heavier-in target ranks higher", SlowTest) {
     val r = ranks(Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)))
     assert(r(2L) > r(3L), s"9:1 weighted split must favor node 2: $r")
   }
@@ -62,7 +62,7 @@ class GraphSpec extends AnyFunSuite {
       s"only the 1-2-3 cycle closes: $r")
   }
 
-  test("label propagation splits weakly-bridged cliques where CC would merge them") {
+  test("label propagation splits weakly-bridged cliques where CC would merge them", SlowTest) {
     // two strong triangles joined by a w=1 bridge: LPA keeps them separate
     // communities (min member as label), connected components would not
     val edges = Seq(

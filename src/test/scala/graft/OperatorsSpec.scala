@@ -16,7 +16,7 @@ class OperatorsSpec extends AnyFunSuite {
   private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
-  test("exact dedup: duplicated corpus collapses to one keeper per text") {
+  test("exact dedup: duplicated corpus collapses to one keeper per text", SlowTest) {
     val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 10000))
     val d = Dedup.exact(doubled)
     assert(d.count() == docs.count()) // one row per distinct text
@@ -95,7 +95,7 @@ class OperatorsSpec extends AnyFunSuite {
       .filter($"n_lines_dropped" > 0).count() == 0)
   }
 
-  test("line dedup broadcastHot=false escape hatch matches the broadcast path") {
+  test("line dedup broadcastHot=false escape hatch matches the broadcast path", SlowTest) {
     // the web-scale fallback (shuffled hash join on the line hash) must be a
     // pure plan change: identical output on the boilerplate fixture, cap 1
     // (maximally hot) through cap 4 (nothing hot)
@@ -140,7 +140,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == plain)
   }
 
-  test("MinHash-LSH pairs equal exact trigram-Jaccard pairs on the testdata corpus") {
+  test("MinHash-LSH pairs equal exact trigram-Jaccard pairs on the testdata corpus", SlowTest) {
     // at k=128, b=32, r=4 the miss probability at the corpus's minimum
     // true-pair similarity (J≥0.9) is ~1e-15, and candidates are verified
     // with exact Jaccard — so LSH output must match the exact join
@@ -161,7 +161,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh2.count() == 0)
   }
 
-  test("prefix-filtered Jaccard pairs equal brute force, from strictly fewer candidates") {
+  test("prefix-filtered Jaccard pairs equal brute force, from strictly fewer candidates", SlowTest) {
     // the losslessness theorem, checked on real data: prefix filtering must
     // produce the IDENTICAL pair set (values included) at t = 1/2 ...
     val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
@@ -227,7 +227,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(b.map(_._2).toSeq != a1.map(_._2).toSeq)
   }
 
-  test("pair evidence: rarest shared shingles, df-ascending, present in both docs") {
+  test("pair evidence: rarest shared shingles, df-ascending, present in both docs", SlowTest) {
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
     val ev = Dedup.pairEvidence(docs, pairs, n = 3, k = 3)
     val rows = ev.as[(Long, Long, String, Long, Long)].collect()
@@ -352,7 +352,7 @@ class OperatorsSpec extends AnyFunSuite {
       s"retention triangle mismatch: $got")
   }
 
-  test("tf-cosine pairs: repetition-aware where Jaccard is blind, exact under repartitioning") {
+  test("tf-cosine pairs: repetition-aware where Jaccard is blind, exact under repartitioning", SlowTest) {
     val d = Seq(
       (1L, "alpha alpha alpha beta"),
       (2L, "alpha beta"), // same token SET as doc 1 — Jaccard 1.0
@@ -419,7 +419,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(edge(1).getSeq[Long](0) == nullElemExpected)
   }
 
-  test("SimHash: near-identical docs collide, hamming is symmetric-bounded") {
+  test("SimHash: near-identical docs collide, hamming is symmetric-bounded", SlowTest) {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
     val exact = Dedup.ngramJaccardPairs(docs, 3, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -448,7 +448,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got2 == got, "fixed-point sums must make the map partition-invariant")
   }
 
-  test("binary-sign search with a full rerank budget equals exact brute force") {
+  test("binary-sign search with a full rerank budget equals exact brute force", SlowTest) {
     import graft.operators.Similarity
     val q = emb.filter($"vec_id" < 10)
     val n = emb.count().toInt
@@ -485,7 +485,7 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF top-k with exhaustive probe equals brute force; partial probe is well-formed") {
+  test("IVF top-k with exhaustive probe equals brute force; partial probe is well-formed", SlowTest) {
     val queries = emb.filter($"vec_id" < 5)
     val brute = Similarity.bruteForceTopK(queries, emb, 3)
       .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)].collect().toSet
@@ -505,7 +505,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fitted == brute)
   }
 
-  test("LSH-bucketed similarity pairs are a verified subset of brute force") {
+  test("LSH-bucketed similarity pairs are a verified subset of brute force", SlowTest) {
     val brute = Dedup.embeddingPairs(emb, 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val lsh = Similarity.lshBucketedPairs(emb, 0.4, nPlanes = 6, tables = 8)
@@ -602,7 +602,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(langs == Seq("en", "es", "und"))
   }
 
-  test("join-based langId agrees with the scalar fold on the corpus") {
+  test("join-based langId agrees with the scalar fold on the corpus", SlowTest) {
     val scalar = docs.select($"doc_id", TextAnalysis.langId($"text").as("lang_pred"))
       .as[(Long, String)].collect().toMap
     val joined = TextAnalysis.langIdByJoin(docs)
@@ -1132,7 +1132,7 @@ class OperatorsSpec extends AnyFunSuite {
       !b3.head._4.isInfinite, s"empty-bucket row malformed: ${b3.toSeq}")
   }
 
-  test("bm25Multi with one query reproduces single-query bm25 scores") {
+  test("bm25Multi with one query reproduces single-query bm25 scores", SlowTest) {
     import graft.operators.TextAnalysis
     val terms = Seq("hash", "join", "shuffle", "broadcast")
     val q = terms.map(t => (0L, t)).toDF("query_id", "term")
@@ -1343,7 +1343,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(TextAnalysis.learnVocab(df, 3)("c") == 2L) // c before zz at cnt 1
   }
 
-  test("connected components match a driver-side union-find; survivors keep cluster minima") {
+  test("connected components match a driver-side union-find; survivors keep cluster minima", SlowTest) {
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
     val edgeList = pairs.select($"id_a", $"id_b").as[(Long, Long)].collect()
     assert(edgeList.nonEmpty)
@@ -1366,7 +1366,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(survivors == docs.select($"doc_id").as[Long].collect().toSet -- dropped)
   }
 
-  test("connected components fail loudly when a cluster is deeper than maxIter") {
+  test("connected components fail loudly when a cluster is deeper than maxIter", SlowTest) {
     // a path graph 0-1-2-...-8 has diameter 8: min-label propagation moves
     // the 0 label one hop per round, so maxIter=3 cannot converge — the
     // operator must throw, not return silently split clusters
@@ -1387,7 +1387,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(boundary == (0L to 8L).map(_ -> 0L).toMap)
   }
 
-  test("connected components use reliable checkpoints when a checkpoint dir is set") {
+  test("connected components use reliable checkpoints when a checkpoint dir is set", SlowTest) {
     // with spark.checkpoint.dir configured the per-round lineage truncation
     // must go through the fault-tolerant checkpoint path (blocks on the
     // checkpoint fs, recoverable after executor loss) instead of
@@ -1701,7 +1701,7 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("cross-table LSH join returns a subset of the exact cross pairs with " +
-      "exact cosines, and never a within-side pair") {
+      "exact cosines, and never a within-side pair", SlowTest) {
     import graft.operators.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val left = emb.filter($"vec_id" % 2 === 0)
@@ -1802,7 +1802,7 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("residual IVF-PQ with exhaustive probe + full-corpus codebook is EXACT: " +
-      "adc == cosine, ranking == brute force") {
+      "adc == cosine, ranking == brute force", SlowTest) {
     import graft.operators.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .filter($"vec_id" < 40)
@@ -1825,7 +1825,7 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
-  test("IVF-PQ with exhaustive probe equals flat PQ (same codebooks, same ADC)") {
+  test("IVF-PQ with exhaustive probe equals flat PQ (same codebooks, same ADC)", SlowTest) {
     import graft.operators.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     try {
@@ -1895,7 +1895,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(4) == ((5L, "m n o", 3L, 3L, 0L)))
   }
 
-  test("leakage-safe split assigns clusters atomically, unpaired docs as plain split") {
+  test("leakage-safe split assigns clusters atomically, unpaired docs as plain split", SlowTest) {
     import graft.operators.Sampling
     // 1↔2 and 2↔3 near-dup (transitive cluster {1,2,3} keyed on min id 1);
     // 10 and 11 unpaired
@@ -1964,7 +1964,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(origChunks.toSet.intersect(editedChunks.toSet).nonEmpty)
   }
 
-  test("streaming exact dedup drops within-watermark duplicates") {
+  test("streaming exact dedup drops within-watermark duplicates", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val input = MemoryStream[(Long, java.sql.Timestamp, String)]
@@ -2032,7 +2032,7 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal: real bilinear resize — dims update, solid color is exact, corrupt bytes survive") {
+  test("multimodal: real bilinear resize — dims update, solid color is exact, corrupt bytes survive", SlowTest) {
     // a solid-color image resizes to the SAME solid color under any
     // interpolation — the one bilinear output that is implementation-exact
     val img = new java.awt.image.BufferedImage(20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -2104,12 +2104,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(meta.count() == docs.count())
   }
 
-  test("multimodal: frame sampling yields ceil((len-frame)/stride)+1 frames") {
-    val media = Seq((1L, Array.fill[Byte](100)(7))).toDF("doc_id", "media")
-    val out = Multimodal.frameSample(media, 64, 16).head()
-    assert(out.getAs[Int]("n_frames") == 3) // offsets 0,16,32 (48+64>100 excluded → floor((100-64)/16)=2 → 3 frames)
-    val frames = out.getSeq[Array[Byte]](out.fieldIndex("frames"))
-    assert(frames.forall(_.length == 64))
+  test("multimodal: PNG container walk recovers every frame; real decode per frame") {
+    val docsDf = Seq.tabulate(6)(i => Tuple1(i.toLong)).toDF("doc_id")
+    val vids = Multimodal.synthesizeVideos(spark, docsDf)
+    val got = Multimodal.decodeFrames(spark, vids)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    // frame counts follow doc_id % 3 + 2
+    val byDoc = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert((0L to 5L).forall(d => byDoc(d) == (d % 3 + 2).toInt))
+    // frames of doc d and d' share patterns iff d ≡ d' (mod 50): docs 0..5
+    // are all distinct classes here, but frame (d, f) must equal the decode
+    // of the standalone image with pid = (d % 50) * 8 + f
+    val imgs = Multimodal.decodeImages(spark,
+        Multimodal.synthesizeImages(spark,
+          got.map(r => Tuple1(r._1 % 50 * 8 + r._2)).distinct
+            .toDF("doc_id")).toDF())
+      .collect().map(r => r.doc_id -> (r.width, r.height, r.sum_r, r.sum_g, r.sum_b)).toMap
+    got.foreach { case (d, f, w, h, sr, sg, sb, _) =>
+      assert(imgs(d % 50 * 8 + f) == ((w.toInt, h.toInt, sr, sg, sb)))
+    }
+  }
+
+  test("multimodal: container walk survives trailing garbage and truncation") {
+    val docsDf = Seq(Tuple1(3L)).toDF("doc_id")
+    val bytes = Multimodal.synthesizeVideos(spark, docsDf)
+      .select("media").as[Array[Byte]].head()
+    val full = Multimodal.splitPngFrames(bytes)
+    assert(full.size == (3 % 3 + 2)) // 2 frames (wait: 3 % 3 + 2 = 2)... doc 3 → 2 frames
+    // trailing garbage after the last IEND: frames still recovered
+    assert(Multimodal.splitPngFrames(bytes ++ Array[Byte](1, 2, 3)).size == full.size)
+    // truncation mid-frame: earlier complete frames survive, no throw
+    val cut = Multimodal.splitPngFrames(bytes.dropRight(5))
+    assert(cut.size == full.size - 1)
+    assert(Multimodal.splitPngFrames(Array[Byte](0, 1, 2)).isEmpty)
   }
 
   test("NFC normalize: composes, maps singletons, scrubs controls, keeps ws class") {
@@ -2132,7 +2160,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(6L).isEmpty)
   }
 
-  test("bloom decontamination is exact: identical survivors to the broadcast path") {
+  test("bloom decontamination is exact: identical survivors to the broadcast path", SlowTest) {
     val corpus = docs.filter(col("doc_id") % 50 =!= 0)
     val bench = docs.filter(col("doc_id") % 50 === 0)
     val exact = Dedup.decontaminate(corpus, bench, 3)
@@ -2145,7 +2173,7 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("semantic decontam: self-bench drops every nonzero vector; empty/impossible bench keep all") {
+  test("semantic decontam: self-bench drops every nonzero vector; empty/impossible bench keep all", SlowTest) {
     val nonzero = emb.filter(
       graft.functions.VectorExpressions.dot(
         graft.operators.Similarity.toDoubleVec(col("embedding")),
@@ -2418,6 +2446,22 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "l", "o", 7L), (4L, "lo", "w", 7L)))
   }
 
+  test("BPE merge learning on a Cyrillic corpus: hand-computed merges") {
+    // мир×5 мирок×2 колесо×6 железо×3. Hand-run:
+    //  r1: (л,е)=9 (both колесо and железо contribute)
+    //  r2: (м,и)=7 ties (и,р)=7 → binary-UTF-8 lhs tie-break: и < м → (и,р)
+    //  r3: (м,ир)=7   r4: колесо's four pairs tie at 6 → lhs и < к < ле < с
+    //  order picks (к,о)
+    val corpus = (Seq.fill(5)("мир") ++ Seq.fill(2)("мирок") ++
+      Seq.fill(6)("колесо") ++ Seq.fill(3)("железо")).mkString(" ")
+    val docsDf = Seq((1L, corpus)).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeLearnMerges(docsDf, 4)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "л", "е", 9L), (2L, "и", "р", 7L),
+      (3L, "м", "ир", 7L), (4L, "к", "о", 6L)))
+  }
+
   test("learned BPE merges applied: hand-computed piece counts, non-words count 1") {
     val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
       Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
@@ -2425,15 +2469,21 @@ class OperatorsSpec extends AnyFunSuite {
     val merges = TextAnalysis.bpeLearnMerges(learnDf, 4)
       .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
     // merges = (e,s)(es,t)(l,o)(lo,w): low→[low]=1, lower→[low,e,r]=3,
-    // newest→[n,e,w,est]=4, widest→[w,i,d,est]=4; "X9"/"Low" aren't ^[a-z]+$ → 1
-    val apply = Seq((7L, "low lower newest widest X9 Low"), (8L, "   "))
+    // newest→[n,e,w,est]=4, widest→[w,i,d,est]=4. Under the Unicode
+    // word-form gate: "X9" (digit) → 1; "Low" IS a word form now but no
+    // lowercase merge fires → [L,o,w]=3; Cyrillic "мир" → [м,и,р]=3;
+    // decomposed "cafe"+COMBINING ACUTE NFC-composes to café (4 letters)
+    // → 4 — pinning normalize-BEFORE-gate ordering
+    val apply = Seq(
+        (7L, "low lower newest widest X9 Low мир café"),
+        (8L, "   "))
       .toDF("doc_id", "text")
     val got = TextAnalysis.bpeEncodedCounts(apply, merges)
       .as[(Long, Long, Long)].collect().toSeq
-    assert(got == Seq((7L, 6L, 14L))) // empty doc 8 emits no row
+    assert(got == Seq((7L, 8L, 23L))) // empty doc 8 emits no row
   }
 
-  test("BPE compression curve: total pieces decrease monotonically with merges") {
+  test("BPE compression curve: total pieces decrease monotonically with merges", SlowTest) {
     val merges = TextAnalysis.bpeLearnMerges(docs, 40)
       .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
     val totals = Seq(0, 4, 12, 40).map { r =>
@@ -2452,7 +2502,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(totals.head._2 > totals.head._3) // more pieces than tokens
   }
 
-  test("native BPE apply equals the chained-replace spec under a 40-merge learned table") {
+  test("native BPE apply equals the chained-replace spec under a 40-merge learned table", SlowTest) {
     val merges = TextAnalysis.bpeLearnMerges(docs, 40)
       .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
     assert(merges.size == 40)
@@ -2533,7 +2583,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(roundTrip == orig)
   }
 
-  test("contrastive triplets: positive shares the label, negatives never do") {
+  test("contrastive triplets: positive shares the label, negatives never do", SlowTest) {
     import graft.operators.Similarity
     val t = Similarity.contrastiveTriplets(emb.filter(col("vec_id") < 10), emb, 3)
       .join(emb.select(col("vec_id").as("query_id"), col("label").as("ql")), Seq("query_id"))
@@ -2569,7 +2619,7 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, Some("unique only"), 1L, 0L)))
   }
 
-  test("water-filling allocation: level, spill, remainder, and edge budgets") {
+  test("water-filling allocation: level, spill, remainder, and edge budgets", SlowTest) {
     def fix(counts: Map[String, Int]) =
       counts.toSeq.flatMap { case (k, n) => (1 to n).map(i => (k, i)) }
         .toDF("src", "i")
@@ -2721,6 +2771,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(0) == ((1L, 3L, 2L, Some(1L), 1.0, 0.4, 2.0 / 3.0, ndcg)))
     assert(got(1) == ((2L, 1L, 0L, None, 0.0, 0.0, 0.0, 0.0)))
     assert(got(2) == ((3L, 2L, 0L, None, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("pair agreement: directed counts merge, majority share exact") {
+    val cmp = (Seq.fill(3)((1L, 2L)) ++ Seq((2L, 1L)) ++
+      Seq.fill(2)((1L, 3L)) ++ Seq((4L, 3L))).toDF("winner", "loser")
+    val got = graft.operators.Preference.pairAgreement(cmp)
+      .as[(Long, Long, Long, Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 2L, 3L, 1L, 4L, 0.75), // 1 beat 2 thrice, lost once
+      (1L, 3L, 2L, 0L, 2L, 1.0),  // unanimous
+      (3L, 4L, 0L, 1L, 1L, 1.0))) // single judgment, 4 won
   }
 
   test("BPE merge learning stops early when no adjacent pairs remain") {

@@ -324,7 +324,7 @@ class PlanSpec extends AnyFunSuite {
       s"native TokenIds encoding missing from the plan:\n$plan")
   }
 
-  test("pipeline_e2e composes every stage's pinned shape — no cartesian, no shuffle above packing") {
+  test("pipeline_e2e composes every stage's pinned shape — no cartesian, no shuffle above packing", SlowTest) {
     val df = SparkEntry.queries("pipeline_e2e")(spark, "/root/testdata/sf0.001")
     val plan = executedPlan(df)
     // composing the stages must not flip any keyed join into an all-pairs
@@ -898,7 +898,7 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
-  test("compressed-domain top-k agrees with the dequantized brute force") {
+  test("compressed-domain top-k agrees with the dequantized brute force", SlowTest) {
     try {
       val dir = "/root/testdata/sf0.001"
       val a = SparkEntry.queries("sim_topk_q8")(spark, dir)
@@ -1113,5 +1113,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"audio dedup must stay keyed:\n$plan")
+  }
+
+  test("frame near-dup: banded equi-join, never the frame-pair product") {
+    val df = SparkEntry.queries("mm_frames_neardup")(spark, "/root/testdata/sf0.001")
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"frame near-dup must stay a (blk, bits)-keyed join:\n$plan")
+  }
+
+  test("video dedup: per-video fold then signature compaction — two keyed " +
+      "exchanges, the binary column never shuffles") {
+    val df = SparkEntry.queries("mm_video_dedup")(spark, "/root/testdata/sf0.001")
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"video dedup must stay keyed:\n$plan")
+    // the heavy media bytes die inside the decode stage: no exchange row
+    // type may carry the media column
+    assert(!"Exchange[^\\n]*media".r.findFirstIn(plan).isDefined,
+      s"media bytes must not reach an exchange:\n$plan")
   }
 }

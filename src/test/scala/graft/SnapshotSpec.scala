@@ -115,7 +115,7 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
-  test("edit-distance clusters merge transitively to one canonical name") {
+  test("edit-distance clusters merge transitively to one canonical name", SlowTest) {
     import graft.operators.Dedup
     // chain: consecutive names at distance 1; the endpoints are distance 3
     // apart — only TRANSITIVE closure puts them in one cluster

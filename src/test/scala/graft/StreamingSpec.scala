@@ -42,7 +42,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("publisher grid: each closed 10s window emits 6 groups of avg 2.0") {
+  test("publisher grid: each closed 10s window emits 6 groups of avg 2.0", SlowTest) {
     val base = 1000000000L // epoch-aligned seconds
     val grid = for {
       tick <- 0 until 10; service <- 0 until 3; host <- 0 until 2
@@ -61,7 +61,7 @@ class StreamingSpec extends AnyFunSuite {
         yield Map("service" -> s.toString, "hostname" -> h.toString)).toSet)
   }
 
-  test("data later than the watermark is dropped (divergence §2.1.4: no resurrection)") {
+  test("data later than the watermark is dropped (divergence §2.1.4: no resurrection)", SlowTest) {
     val base = 2000000000L
     val batches = Seq(
       Seq(env("metric2", Map("service" -> "0", "hostname" -> "0"), base * 1000.0, 2.0)),
@@ -77,7 +77,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(byWindow((base + 100) * 1000.0) == 4.0)
   }
 
-  test("publisher rate stream has the reference grid shape (S4)") {
+  test("publisher rate stream has the reference grid shape (S4)", SlowTest) {
     val out = StreamRunner.publisherStream(spark, rowsPerSecond = 60)
     val q = out.writeStream.format("memory").queryName("pub_src")
       .outputMode("append").start()
@@ -101,7 +101,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("arrival-order delta/rate golden stream replicates reference first/last semantics") {
+  test("arrival-order delta/rate golden stream replicates reference first/last semantics", SlowTest) {
     // one envelope per micro-batch = strict, reproducible arrival order; the
     // arrival sequence deliberately disagrees with event-time order (the
     // earliest-timestamped point arrives SECOND), so the reference's
@@ -127,7 +127,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(rrows == Seq((dims, expRate, base * 1000.0)))
   }
 
-  test("arrival-order single-point degenerates survive streaming state (kept reference bug)") {
+  test("arrival-order single-point degenerates survive streaming state (kept reference bug)", SlowTest) {
     // a window that only ever saw one point was never UpdateValue'd in the
     // reference: delta = 0 − v, rate = v·1000/ts (SURVEY §2.1.1)
     val base = 3100000000L
@@ -146,7 +146,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(rrows == Seq((dims, (0.0 - 42.0) / ((0.0 - tsMs) / 1000.0), base * 1000.0)))
   }
 
-  test("streaming heavy hitters: top-k emitted once when the watermark closes the window") {
+  test("streaming heavy hitters: top-k emitted once when the watermark closes the window", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val base = 3200000000L
@@ -182,7 +182,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming heavy hitters: space-saving cap keeps frequent values under eviction") {
+  test("streaming heavy hitters: space-saving cap keeps frequent values under eviction", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val base = 3300000000L
@@ -215,7 +215,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming windowed cardinality: HLL sketch emitted on window close") {
+  test("streaming windowed cardinality: HLL sketch emitted on window close", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val base = 3400000000L
@@ -243,7 +243,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming sessionization: sessions close when the watermark passes the gap") {
+  test("streaming sessionization: sessions close when the watermark passes the gap", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -270,7 +270,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("windowed aggregation runs on the RocksDB state store (EngineConfig default)") {
+  test("windowed aggregation runs on the RocksDB state store (EngineConfig default)", SlowTest) {
     val conf = graft.spec.EngineConfig()
     assert(conf.stateStore == "rocksdb")
     val key = "spark.sql.streaming.stateStore.providerClass"
@@ -365,7 +365,7 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("streaming rollup into coarser windows (re-windowed chained aggregation)") {
+  test("streaming rollup into coarser windows (re-windowed chained aggregation)", SlowTest) {
     val sp = AggregationSpec(name = "ReWindow", function = "avg",
       filteredMetricName = "m", groupedDimensions = Seq("hostname"),
       aggregatedMetricName = "agg_rw",
@@ -384,7 +384,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(first.head._2 == 12.0) // sum of the three 10s sub-averages (2+4+6)
   }
 
-  test("checkpoint recovery: restart resumes state without duplicate emission (O1)") {
+  test("checkpoint recovery: restart resumes state without duplicate emission (O1)", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
@@ -424,7 +424,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
-  test("streaming heavy hitters: flatMapGroupsWithState state survives checkpoint restart") {
+  test("streaming heavy hitters: flatMapGroupsWithState state survives checkpoint restart", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val ckpt = java.nio.file.Files.createTempDirectory("graft-hh-ckpt").toString
@@ -464,7 +464,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
-  test("streaming rollup: chained stateful aggregation in append mode") {
+  test("streaming rollup: chained stateful aggregation in append mode", SlowTest) {
     val sp = AggregationSpec(name = "Aggregation3", function = "avg",
       filteredMetricName = "m", groupedDimensions = Seq("hostname", "service"),
       aggregatedMetricName = "agg3",
@@ -484,7 +484,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(first.head._1 == Map("service" -> "s"))
   }
 
-  test("stream-stream interval join: clicks in the hour before each purchase, keyed state") {
+  test("stream-stream interval join: clicks in the hour before each purchase, keyed state", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[MetricEnvelope]
@@ -547,7 +547,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming near-dup alerts: identical text alerts, distinct text and replays do not") {
+  test("streaming near-dup alerts: identical text alerts, distinct text and replays do not", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
@@ -576,7 +576,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming near-dup alerts: state survives checkpoint restart") {
+  test("streaming near-dup alerts: state survives checkpoint restart", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sd-ckpt").toString
@@ -605,7 +605,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
-  test("streaming incremental dedup sink: unbounded horizon via the seen store, restart-safe") {
+  test("streaming incremental dedup sink: unbounded horizon via the seen store, restart-safe", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val ckpt = java.nio.file.Files.createTempDirectory("graft-inc-ckpt").toString
@@ -639,7 +639,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
-  test("streaming KMV distinct: exact below k, emitted once at window close") {
+  test("streaming KMV distinct: exact below k, emitted once at window close", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val base = 3400000000L
@@ -669,7 +669,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming KMV distinct: above k the emission replays the batch estimator bit-for-bit") {
+  test("streaming KMV distinct: above k the emission replays the batch estimator bit-for-bit", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val base = 3500000000L
@@ -705,7 +705,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming HLL distinct: emission equals the batch estimator over the same rows") {
+  test("streaming HLL distinct: emission equals the batch estimator over the same rows", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val base = 3600000000L
@@ -779,7 +779,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming sliding windows: overlapping emissions close on the watermark") {
+  test("streaming sliding windows: overlapping emissions close on the watermark", SlowTest) {
     import graft.plan.RuleCompiler
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -809,7 +809,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming export manifest: per-batch manifests merge to the batch manifest") {
+  test("streaming export manifest: per-batch manifests merge to the batch manifest", SlowTest) {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // the manifest is MERGEABLE by construction: counts add, and the
@@ -846,5 +846,40 @@ class StreamingSpec extends AnyFunSuite {
         rows.toDF("doc_id", "text"), numShards = 8)
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(merged == oneShot)
+  }
+
+  test("streaming Bradley–Terry: per-batch fold lands on the one-shot fit", SlowTest) {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // judgments over items 1..5, deliberately including a never-winner (5)
+    // and repeated pairs, split across three micro-batches
+    val all = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (2L, 1L), (1L, 4L), (1L, 5L), (2L, 4L), (3L, 5L), (1L, 2L), (2L, 3L))
+    val (b1, rest) = all.splitAt(4)
+    val (b2, b3) = rest.splitAt(4)
+    val base = java.nio.file.Files.createTempDirectory("graft-bt").toString
+    val input = MemoryStream[(Long, Long)]
+    val q = graft.streaming.StreamingPreference.bradleyTerrySink(
+        input.toDF().toDF("winner", "loser"),
+        s"$base/state", s"$base/out", s"$base/ckpt", iters = 4)
+      .start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$base/out/batch_id=2")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val oneShot = graft.operators.Preference.bradleyTerry(
+        all.toDF("winner", "loser"), iters = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == oneShot, s"streamed=$streamed oneShot=$oneShot")
+    // intermediate batch 0 must equal a one-shot fit over b1 alone
+    val s0 = spark.read.parquet(s"$base/out/batch_id=0")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val o0 = graft.operators.Preference.bradleyTerry(
+        b1.toDF("winner", "loser"), iters = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(s0 == o0, s"batch-0 strengths diverge: $s0 vs $o0")
   }
 }
