@@ -1141,16 +1141,33 @@ object SparkEntry {
     * Multimodal.imageAHash ∘ synthesizeImages, no codec needed). */
   /** DuckDB twin of [[graft.operators.Multimodal.framePatternId]] /
     * [[graft.operators.Multimodal.frameCount]]: the (doc, frame) → pattern-id
-    * relation for the mm_frames_* mirrors. */
-  private val FramesCte: String =
-    "fr AS (SELECT doc_id, f, (doc_id % 50) * 8 + f AS pid FROM documents, " +
-      "LATERAL (SELECT unnest(generate_series(0, doc_id % 3 + 1)) AS f))"
+    * relation for the mm_frames_* mirrors (predecessor-planted duplicates,
+    * affine-scrambled pattern ids). */
+  private val FramesCte: String = {
+    val base = "(doc_id - CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END)"
+    s"fr AS (SELECT doc_id, f, (($base * 8 + f) * 1103515245 + 12345) " +
+      "% 2147483648 AS pid FROM documents, " +
+      s"LATERAL (SELECT unnest(generate_series(0, $base % 3 + 1)) AS f))"
+  }
 
-  private def aHashCtes(pidSrc: String): String =
+  /** Channel formulas: the image (near-planar gradient) and frame
+    * (quadratic texture) pattern families — twins of
+    * [[graft.operators.Multimodal.patternRgb]] / `framePatternRgb`. */
+  private val ImageRgbSql: (String, String, String) =
+    ("(pid * 7 + x * 3 + y * 5) % 256",
+      "(pid + x * 11 + y) % 256",
+      "(pid * 3 + x + y * 13) % 256")
+  private val FrameRgbSql: (String, String, String) =
+    ("(pid * 7 + (3 + pid % 5) * x * x + (5 + pid % 7) * y * y + x * y) % 256",
+      "(pid + (11 + pid % 3) * x * x + y * y + (7 + pid % 11) * x) % 256",
+      "(pid * 3 + x * x + (13 + pid % 13) * y * y + (5 + pid % 2) * x * y) % 256")
+  private def graySql(rgb: (String, String, String)): String =
+    s"(${rgb._1}) * 299 + (${rgb._2}) * 587 + (${rgb._3}) * 114"
+
+  private def aHashCtes(pidSrc: String,
+      rgb: (String, String, String) = ImageRgbSql): String =
     s"px AS (SELECT pid, width, height, x, y, " +
-      "((pid * 7 + x * 3 + y * 5) % 256) * 299 + " +
-      "((pid + x * 11 + y) % 256) * 587 + " +
-      "((pid * 3 + x + y * 13) % 256) * 114 AS gray, " +
+      s"${graySql(rgb)} AS gray, " +
       "(x * 8) // width AS bi, (y * 8) // height AS bj " +
       s"FROM (SELECT pid, CAST(pid % 16 + 8 AS BIGINT) AS width, " +
       s"CAST(pid % 12 + 8 AS BIGINT) AS height FROM $pidSrc), " +
@@ -1415,6 +1432,17 @@ object SparkEntry {
     * with distinct totals vote winner/loser, then `iters` MM rounds
     * replayed with the same fixed-point floor divisions (S² = scale²,
     * virtual win each way per observed pair, per-round sum normalizer). */
+  /** Length-bucketed batch assignment CTEs (lb → r with rn) — the DuckDB
+    * twin of [[graft.operators.Sampling.lengthBucketBatches]] at
+    * bucketWidth 32 / batchSize 8 / 8 shards, shared by the assignment and
+    * padding-efficiency mirrors. */
+  private lazy val LenBucketCtes: String =
+    s"lb AS (SELECT doc_id, CAST($TokN AS BIGINT) AS n, " +
+      s"$TokN // 32 AS bucket, ${pmSql(HashRaw, "8")} AS shard " +
+      s"FROM documents WHERE $TokN > 0), " +
+      "r AS (SELECT doc_id, n, bucket, shard, row_number() OVER (" +
+      "PARTITION BY bucket, shard ORDER BY doc_id) - 1 AS rn FROM lb)"
+
   /** Comparisons synthesized from per-user event-type spend totals (larger
     * total wins, ties skipped) — the preference log shared by
     * eval_bradley_terry and eval_pair_agreement. */
@@ -2380,6 +2408,21 @@ object SparkEntry {
 
     // ----- training-data-pipeline extensions -----
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    // QUALITY-keeper exact dedup: duplicates are PLANTED (doc_id % 9 == 4
+    // becomes a double-spaced copy of its predecessor — same normalized
+    // fingerprint, longer raw text) and the keeper is the LONGEST copy
+    // (score = raw length, the least-truncated-copy curation rule), so the
+    // winner provably differs from dedup_exact's min-id keeper
+    "dedup_exact_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val prev = d.select((col("doc_id") + 1).as("doc_id"),
+        regexp_replace(col("text"), " ", "  ").as("__alt"))
+      val decorated = d.join(prev, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 9 === 4 && col("__alt").isNotNull, col("__alt"))
+            .otherwise(col("text")).as("text"))
+      Dedup.exactBest(decorated, length(col("text")).cast("long"))
+    }),
     // templated machine-generated pages: digit-masked fingerprints group
     // "order #1234 shipped..." with "order #9871 shipped..." — the
     // boilerplate class both exact dedup and shingling underweight
@@ -3222,21 +3265,27 @@ object SparkEntry {
     "mm_frames_decode" -> ((s, dir) =>
       Multimodal.decodeFrames(s,
         Multimodal.synthesizeVideos(s, docs(s, dir)))),
-    // frame-level NEAR-dup across videos: docs congruent mod 50 share frame
-    // patterns (planted, the mm_dedup discipline), per-frame signatures run
-    // the pigeonhole-banded hamming self-join — never the frame-pair space
+    // frame-level NEAR-dup across videos: doc_id % 7 == 3 renders its
+    // predecessor's video (planted, the mm_dedup discipline — bounded
+    // duplicate groups, linear pair count), per-frame signatures run the
+    // pigeonhole-banded hamming self-join — never the frame-pair space
     "mm_frames_neardup" -> ((s, dir) => {
+      // persist: the signature relation feeds BOTH sides of the banded
+      // self-join — unpersisted, the whole synthesize+chunk-walk+decode
+      // chain executes twice (the minhashLshPairs persist rationale);
+      // Bench/Verify clearCache() between queries reclaims it
       val sigs = Multimodal.decodeFrames(s,
           Multimodal.synthesizeVideos(s, docs(s, dir)))
         .select((col("doc_id") * 8 + col("frame_idx")).as("id"),
           col("fhash").as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.hammingPairs(sigs, 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
     }),
     // VIDEO-level exact dedup: the per-video signature is the ordered
     // frame-hash sequence (frame order matters — a re-cut is not a dup),
-    // group-compacted with the mm_dedup min-keeper/count contract. Docs
-    // congruent mod 150 share class AND frame count → identical videos.
+    // group-compacted with the mm_dedup min-keeper/count contract; the
+    // planted predecessor copies share patterns AND frame count.
     // Only (doc_id, frame_idx, fhash) rows ever shuffle; the fold is one
     // exchange keyed by video, the compaction one keyed by signature
     "mm_video_dedup" -> ((s, dir) => {
@@ -3339,6 +3388,12 @@ object SparkEntry {
     "sample_length_buckets" -> ((s, dir) =>
       Sampling.lengthBucketBatches(docs(s, dir), "doc_id",
         TextAnalysis.tokenCount(col("text")), bucketWidth = 32, batchSize = 8)),
+    // padding-efficiency audit over the same batch assignment: per
+    // (bucket, shard) the exact padded-slot count and the real-token share
+    "report_pack_efficiency" -> ((s, dir) =>
+      Sampling.packEfficiency(
+        Sampling.lengthBucketBatches(docs(s, dir), "doc_id",
+          TextAnalysis.tokenCount(col("text")), bucketWidth = 32, batchSize = 8))),
     // curriculum staging: 4 quality stages from 3 sampled-percentile cutoffs
     // (broadcast), deterministic shuffled order within (stage, shard) cells —
     // a complete easiest-first training schedule, no global sort anywhere
@@ -4369,6 +4424,19 @@ object SparkEntry {
     "dedup_exact" ->
       (s"SELECT md5(regexp_replace(lower(trim(text, '$SqlWs')), '\\s+', ' ', 'g')) AS fingerprint, " +
         "MIN(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1"),
+    // quality-keeper mirror: the planted double-spaced predecessor copies,
+    // (−score, id) struct MIN — the labelProp argmin pattern — over the
+    // same normalized fingerprint
+    "dedup_exact_best" ->
+      ("WITH prevd AS (SELECT doc_id + 1 AS doc_id, " +
+        "regexp_replace(text, ' ', '  ', 'g') AS alt FROM documents), " +
+        "dd AS (SELECT d.doc_id, CASE WHEN d.doc_id % 9 = 4 AND alt IS NOT NULL " +
+        "THEN alt ELSE d.text END AS text FROM documents d LEFT JOIN prevd USING (doc_id)), " +
+        s"fp AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS q, " +
+        s"md5(regexp_replace(lower(trim(text, '$SqlWs')), '\\s+', ' ', 'g')) AS fingerprint FROM dd) " +
+        "SELECT fingerprint, (min({'nq': -q, 'id': doc_id})).id AS keep_id, " +
+        "-((min({'nq': -q, 'id': doc_id})).nq) AS keep_score_fp, " +
+        "CAST(count(*) AS BIGINT) AS n_dups FROM fp GROUP BY 1"),
     // template mirror: digits masked BEFORE whitespace collapse, same
     // planted notification pages
     "dedup_template" ->
@@ -5470,11 +5538,11 @@ object SparkEntry {
     // pattern (PNG is lossless; the decoded frame pixels ARE the pattern)
     "mm_frames_decode" ->
       (s"WITH $FramesCte, " +
-        aHashCtes("(SELECT DISTINCT pid FROM fr)") + ", " +
+        aHashCtes("(SELECT DISTINCT pid FROM fr)", FrameRgbSql) + ", " +
         "cs AS (SELECT pid, width, height, " +
-        "CAST(sum((pid * 7 + x * 3 + y * 5) % 256) AS BIGINT) AS sum_r, " +
-        "CAST(sum((pid + x * 11 + y) % 256) AS BIGINT) AS sum_g, " +
-        "CAST(sum((pid * 3 + x + y * 13) % 256) AS BIGINT) AS sum_b " +
+        s"CAST(sum(${FrameRgbSql._1}) AS BIGINT) AS sum_r, " +
+        s"CAST(sum(${FrameRgbSql._2}) AS BIGINT) AS sum_g, " +
+        s"CAST(sum(${FrameRgbSql._3}) AS BIGINT) AS sum_b " +
         "FROM (SELECT pid, CAST(pid % 16 + 8 AS BIGINT) AS width, " +
         "CAST(pid % 12 + 8 AS BIGINT) AS height " +
         "FROM (SELECT DISTINCT pid FROM fr)), " +
@@ -5489,7 +5557,7 @@ object SparkEntry {
     // not — its plan is the banded pigeonhole join)
     "mm_frames_neardup" ->
       (s"WITH $FramesCte, " +
-        aHashCtes("(SELECT DISTINCT pid FROM fr)") + ", " +
+        aHashCtes("(SELECT DISTINCT pid FROM fr)", FrameRgbSql) + ", " +
         "fsig AS (SELECT doc_id * 8 + f AS fid, phash FROM fr JOIN ah USING (pid)) " +
         "SELECT a.fid AS id_a, b.fid AS id_b, " +
         "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming " +
@@ -5499,7 +5567,7 @@ object SparkEntry {
     // order into the per-video signature string, then min-keeper/count
     "mm_video_dedup" ->
       (s"WITH $FramesCte, " +
-        aHashCtes("(SELECT DISTINCT pid FROM fr)") + ", " +
+        aHashCtes("(SELECT DISTINCT pid FROM fr)", FrameRgbSql) + ", " +
         "vs AS (SELECT doc_id, string_agg(CAST(phash AS VARCHAR), ',' " +
         "ORDER BY f) AS vsig FROM fr JOIN ah USING (pid) GROUP BY doc_id) " +
         "SELECT vsig, min(doc_id) AS keep_id, " +
@@ -5578,14 +5646,25 @@ object SparkEntry {
     // row_number within (bucket, shard), batch index and position by
     // integer division — all replayed exactly
     "sample_length_buckets" ->
-      (s"WITH lb AS (SELECT doc_id, CAST($TokN AS BIGINT) AS n, " +
-        s"$TokN // 32 AS bucket, ${pmSql(HashRaw, "8")} AS shard " +
-        s"FROM documents WHERE $TokN > 0), " +
-        "r AS (SELECT doc_id, n, bucket, shard, row_number() OVER (" +
-        "PARTITION BY bucket, shard ORDER BY doc_id) - 1 AS rn FROM lb) " +
+      (s"WITH $LenBucketCtes " +
         "SELECT doc_id, n, CAST(bucket AS BIGINT) AS bucket, " +
         "CAST(shard AS BIGINT) AS shard, CAST(rn // 8 AS BIGINT) AS batch_idx, " +
         "CAST(rn % 8 AS BIGINT) AS pos_in_batch FROM r"),
+    // padding-efficiency mirror: per-batch max/rows/token sums from the
+    // same assignment CTEs, rolled up per (bucket, shard) with the padded
+    // slots exact and one IEEE division
+    "report_pack_efficiency" ->
+      (s"WITH $LenBucketCtes, " +
+        "b AS (SELECT bucket, shard, rn // 8 AS bi, max(n) AS mx, " +
+        "CAST(count(*) AS BIGINT) AS rws, CAST(sum(n) AS BIGINT) AS tok " +
+        "FROM r GROUP BY 1, 2, 3) " +
+        "SELECT CAST(bucket AS BIGINT) AS bucket, CAST(shard AS BIGINT) AS shard, " +
+        "CAST(count(*) AS BIGINT) AS n_batches, CAST(sum(rws) AS BIGINT) AS n_rows, " +
+        "CAST(sum(tok) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(mx * rws - tok) AS BIGINT) AS pad_slots, " +
+        "CAST(sum(tok) AS DOUBLE) / " +
+        "CAST(sum(tok) + sum(mx * rws - tok) AS DOUBLE) AS efficiency " +
+        "FROM b GROUP BY 1, 2"),
     // curriculum mirror: the three sampled-percentile cutoffs replay Spark
     // `percentile`'s rank interpolation (the text_quality_cutoff pattern,
     // once per q), stage = cutoffs cleared, then the (stage, shard) window

@@ -48,6 +48,29 @@ object Dedup {
   def exactSurvivors(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.join(exact(docs, idCol, textCol).select(col("keep_id").as(idCol)), idCol)
 
+  /** QUALITY-keeper exact dedup: among rows sharing a normalized-text
+    * fingerprint keep the HIGHEST-scoring copy, ties to the lowest id —
+    * the curation-grade corpus-merge rule when duplicate copies differ in
+    * extraction quality (the same page crawled by two pipelines, one with
+    * boilerplate left in). [[priorityExact]] ranks by source; this ranks
+    * by a per-row score. `scoreFp` must be an exact INTEGER score (the
+    * caller quantizes a double to fixed point): an IEEE score used
+    * directly could order differently across engines at equal displayed
+    * precision.
+    *
+    * Same scale shape as [[exact]]: the winner rides a (−score, id) struct
+    * MIN — map-side combined, the fingerprint-keyed exchange carries ~48
+    * bytes/row, never the text. */
+  def exactBest(docs: DataFrame, scoreFp: Column, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"),
+        col(idCol), scoreFp.cast("long").as("__q"))
+      .groupBy("fingerprint")
+      .agg(min(struct((-col("__q")).as("nq"), col(idCol).as("id"))).as("__best"),
+        count(lit(1)).as("n_dups"))
+      .select(col("fingerprint"), col("__best.id").as("keep_id"),
+        (-col("__best.nq")).as("keep_score_fp"), col("n_dups"))
+
   /** Source-priority exact dedup: among rows sharing a normalized-text
     * fingerprint, keep the copy from the most-trusted source — `priority`
     * lists sources best-first, unlisted sources rank after every listed one,

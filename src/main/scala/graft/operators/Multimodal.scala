@@ -145,7 +145,11 @@ object Multimodal {
 
   /** One deterministic pattern id → one genuine PNG stream — the encode
     * half shared by [[synthesizeImages]] and [[synthesizeVideos]]. */
-  private def renderPng(pid: Long): Array[Byte] = {
+  private def renderPng(pid: Long): Array[Byte] =
+    renderPng(pid, (x, y) => patternRgb(pid, x, y))
+
+  private def renderPng(pid: Long,
+      rgbOf: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     val (w, h) = patternDims(pid)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -153,7 +157,7 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val (r, g, b) = patternRgb(pid, x, y)
+        val (r, g, b) = rgbOf(x, y)
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
@@ -509,17 +513,48 @@ object Multimodal {
 
   // ------------------------------------------------- multi-frame containers
 
-  /** Deterministic per-(doc, frame) pattern id shared by [[synthesizeVideos]]
-    * and the mm_frames_* DuckDB oracles: documents congruent mod 50 render
-    * the SAME frame patterns, planting cross-video duplicate frames for the
-    * frame-level near-dup query (the mm_dedup planted-duplicate pattern,
-    * lifted to frames). Frame index < 8, so pid ranges stay disjoint per
-    * class. */
-  private[graft] def framePatternId(docId: Long, f: Int): Long =
-    (docId % 50) * 8 + f
+  /** Pattern BASE of a synthesized video — doc_id % 7 == 3 renders its
+    * predecessor's video (the mm_dedup planted-duplicate discipline:
+    * duplicate groups stay BOUNDED — pairs/triples — so near-dup pair
+    * count scales linearly with the corpus, the way real crawl duplication
+    * does; a modulus-class fixture would grow quadratic duplicate groups
+    * and the pair space with them). */
+  private[graft] def videoPatternBase(docId: Long): Long =
+    docId - (if (docId % 7 == 3) 1L else 0L)
 
-  /** Frames per synthesized video: 2..4, deterministic. */
-  private[graft] def frameCount(docId: Long): Int = (docId % 3 + 2).toInt
+  /** Deterministic per-(doc, frame) pattern id shared by [[synthesizeVideos]]
+    * and the mm_frames_* DuckDB oracles. The affine scramble (odd
+    * multiplier → bijective mod 2³¹) decorrelates consecutive pattern ids:
+    * unscrambled, the gradient patterns of neighboring ids produce aHashes
+    * within a few bits of each other and the near-dup query drowns in
+    * incidental collisions (~23k at sf0.01, quadratic beyond). Products
+    * stay < 2⁶² so both engines compute the identical value in int64. */
+  private[graft] def framePatternId(docId: Long, f: Int): Long =
+    ((videoPatternBase(docId) * 8 + f) * 1103515245L + 12345L) % (1L << 31)
+
+  /** Frames per synthesized video: 2..4, deterministic, keyed on the
+    * pattern base so a planted duplicate matches its original in LENGTH
+    * too (a video dup must dup the whole container). */
+  private[graft] def frameCount(docId: Long): Int =
+    (videoPatternBase(docId) % 3 + 2).toInt
+
+  /** Frame pixel pattern — quadratic in (x, y) with PID-DEPENDENT
+    * coefficients, unlike the near-planar [[patternRgb]] gradients. Two
+    * measured failure modes forced this shape: (1) an 8×8 average-hash of
+    * a planar field realizes only the few sign patterns a plane
+    * orientation allows (1500 gradient frames → 334 distinct hashes, ~20k
+    * incidental hamming≤3 pairs at sf0.001, quadratic blowup at scale);
+    * (2) a pid that enters only ADDITIVELY shifts every pixel's gray
+    * equally, which the mean-vs-mean comparison cancels — the hash
+    * degenerates to a function of the dims alone (measured: classes of
+    * ~10 = the pids sharing a dim class). Coefficients keyed on pid give
+    * each pattern its own block-mean landscape, so near-dup pairs are the
+    * PLANTED ones plus a ~0 iid-collision tail. All-Long arithmetic,
+    * replayed analytically by the mm_frames_* mirrors. */
+  private[graft] def framePatternRgb(pid: Long, x: Int, y: Int): (Int, Int, Int) =
+    (((pid * 7 + (3 + pid % 5) * x * x + (5 + pid % 7) * y * y + x.toLong * y) % 256).toInt,
+      ((pid + (11 + pid % 3) * x * x + y.toLong * y + (7 + pid % 11) * x) % 256).toInt,
+      ((pid * 3 + x.toLong * x + (13 + pid % 13) * y * y + (5 + pid % 2) * x * y) % 256).toInt)
 
   /** REAL multi-frame containers from the documents table: each doc_id
     * becomes a "video" of [[frameCount]] genuine PNG streams concatenated
@@ -534,7 +569,11 @@ object Multimodal {
         val n = frameCount(docId)
         val bos = new java.io.ByteArrayOutputStream()
         var f = 0
-        while (f < n) { bos.write(renderPng(framePatternId(docId, f))); f += 1 }
+        while (f < n) {
+          val pid = framePatternId(docId, f)
+          bos.write(renderPng(pid, (x, y) => framePatternRgb(pid, x, y)))
+          f += 1
+        }
         (docId, bos.toByteArray, "video/x-png-seq", n)
       }
     }.toDF("doc_id", "media", "mime", "n_frames")

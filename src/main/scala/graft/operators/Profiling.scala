@@ -104,12 +104,21 @@ object Profiling {
     * whole-relation window totals) runs on the bucket relation — tens of
     * rows. The single-partition window is safe by construction (bucket
     * cardinality is config-scale); totals are exact long sums. */
-  def psiDrift(oldDf: DataFrame, newDf: DataFrame, bucket: Column): DataFrame = {
-    val o = oldDf.select(bucket.as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("n_old"))
-    val n = newDf.select(bucket.as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("n_new"))
-    val j = o.join(n, Seq("bucket"), "full_outer")
+  def psiDrift(oldDf: DataFrame, newDf: DataFrame, bucket: Column): DataFrame =
+    psiDriftFromCounts(
+      oldDf.select(bucket.as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_old")),
+      newDf.select(bucket.as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_new")))
+
+  /** [[psiDrift]] over PRE-COMPACTED bucket counts `old(bucket, n_old)` /
+    * `new(bucket, n_new)` — the report is a pure function of the two count
+    * tables, which is what makes the monitor streamable:
+    * `StreamingDrift.psiSink` folds micro-batch bucket deltas into an
+    * accumulated count store and recomputes from it, landing on the
+    * bit-identical report a one-shot [[psiDrift]] over all rows produces. */
+  def psiDriftFromCounts(oldCounts: DataFrame, newCounts: DataFrame): DataFrame = {
+    val j = oldCounts.join(newCounts, Seq("bucket"), "full_outer")
       .select(col("bucket"), coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
     // non-foldable constant partition key (the topNgrams rule): the window

@@ -252,6 +252,33 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** PADDING-EFFICIENCY REPORT over a [[lengthBucketBatches]] assignment —
+    * the audit a trainer reads before committing to a bucket width: every
+    * batch pads to its max sequence length, so a batch's padded slots are
+    * max(n)·rows − Σn. Rolled up per (bucket, shard): batch count, rows,
+    * real tokens, padded slots, and the efficiency share
+    * real/(real+padded). Efficiency near 1.0 = the bucket width matches
+    * the length distribution; a low-efficiency bucket is the signal to
+    * narrow widths there.
+    *
+    * Scale shape: two map-side-combined aggregations — (bucket, shard,
+    * batch_idx) then (bucket, shard). The second regroups a strict prefix
+    * of the first's key, so Catalyst plans it WITHOUT a second exchange;
+    * all counts are exact longs, one IEEE division per output row. */
+  def packEfficiency(batches: DataFrame): DataFrame = {
+    val perBatch = batches.groupBy("bucket", "shard", "batch_idx")
+      .agg(max("n").as("__mx"), count(lit(1)).as("__rows"),
+        sum("n").as("__tok"))
+    perBatch.groupBy("bucket", "shard")
+      .agg(count(lit(1)).as("n_batches"),
+        sum("__rows").as("n_rows"),
+        sum("__tok").as("n_tokens"),
+        sum(col("__mx") * col("__rows") - col("__tok")).as("pad_slots"))
+      .withColumn("efficiency",
+        col("n_tokens").cast("double") /
+          (col("n_tokens") + col("pad_slots")).cast("double"))
+  }
+
   /** CURRICULUM STAGING — order a corpus easiest-first for curriculum
     * training: learn `stages − 1` score cutoffs (exact interpolated
     * percentiles at k/stages) from a hash sample, broadcast them, and assign

@@ -18,14 +18,10 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * over every judgment seen so far. Same optimizer for both planes, the
   * `StreamingDedup.incrementalDedupSink` store discipline.
   *
-  * State store layout (the Snapshot generation pattern): the accumulated
-  * pair counts for batch N land under `stateDir/gen=N` with OVERWRITE, and
-  * the fold for batch N reads the LARGEST generation < N. A replayed
-  * micro-batch (failure before the checkpoint commit) therefore re-reads
-  * the same prior and rewrites its own generation idempotently —
-  * exactly-once state, no compare-and-swap needed. Generations older than
-  * N−1 are pruned after the write. Strengths for batch N land under
-  * `outDir/batch_id=N`, also OVERWRITE-idempotent.
+  * State store: the [[GenStore]] generation-addressed count table
+  * (gen=N OVERWRITE, prior = largest gen < N → replay-idempotent,
+  * exactly-once). Strengths for batch N land under `outDir/batch_id=N`,
+  * also OVERWRITE-idempotent.
   *
   * Scale shape: per batch, the batch's judgments compact map-side before
   * touching the store; the store itself is pair-count-sized (distinct
@@ -46,28 +42,8 @@ object StreamingPreference {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val delta = batch.groupBy("winner", "loser")
           .agg(count(lit(1)).cast("long").as("n"))
-        val root = new org.apache.hadoop.fs.Path(stateDir)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val gens =
-          if (fs.exists(root))
-            fs.listStatus(root).toSeq.map(_.getPath.getName)
-              .filter(_.startsWith("gen="))
-              .map(_.stripPrefix("gen=").toLong)
-          else Seq.empty[Long]
-        val prior = gens.filter(_ < batchId).sorted.lastOption
-        val acc = prior match {
-          case Some(g) =>
-            spark.read.parquet(s"$stateDir/gen=$g").unionByName(delta)
-              .groupBy("winner", "loser").agg(sum("n").as("n"))
-          case None => delta
-        }
-        acc.write.mode("overwrite").parquet(s"$stateDir/gen=$batchId")
-        // prune anything older than the prior generation (kept for replay)
-        gens.filter(g => g < batchId && !prior.contains(g)).foreach { g =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/gen=$g"), true)
-          ()
-        }
-        val counts = spark.read.parquet(s"$stateDir/gen=$batchId")
+        val counts = GenStore.fold(spark, stateDir, batchId, delta,
+          Seq("winner", "loser"), "n")
         Preference.bradleyTerryWeighted(counts, iters, scale)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }

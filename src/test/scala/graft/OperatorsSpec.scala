@@ -2110,19 +2110,24 @@ class OperatorsSpec extends AnyFunSuite {
     val got = Multimodal.decodeFrames(spark, vids)
       .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
       .collect().sortBy(r => (r._1, r._2)).toSeq
-    // frame counts follow doc_id % 3 + 2
+    // frame counts follow the pattern-base formula; doc 3 is the planted
+    // duplicate of doc 2 (same count, same patterns)
     val byDoc = got.groupBy(_._1).view.mapValues(_.size).toMap
-    assert((0L to 5L).forall(d => byDoc(d) == (d % 3 + 2).toInt))
-    // frames of doc d and d' share patterns iff d ≡ d' (mod 50): docs 0..5
-    // are all distinct classes here, but frame (d, f) must equal the decode
-    // of the standalone image with pid = (d % 50) * 8 + f
-    val imgs = Multimodal.decodeImages(spark,
-        Multimodal.synthesizeImages(spark,
-          got.map(r => Tuple1(r._1 % 50 * 8 + r._2)).distinct
-            .toDF("doc_id")).toDF())
-      .collect().map(r => r.doc_id -> (r.width, r.height, r.sum_r, r.sum_g, r.sum_b)).toMap
+    assert((0L to 5L).forall(d => byDoc(d) == Multimodal.frameCount(d)))
+    assert(got.filter(_._1 == 3L).map(r => (r._2, r._8)) ==
+      got.filter(_._1 == 2L).map(r => (r._2, r._8)))
+    // frame (d, f): decoded dims and channel sums must equal the pattern
+    // formulas computed directly (PNG is lossless)
     got.foreach { case (d, f, w, h, sr, sg, sb, _) =>
-      assert(imgs(d % 50 * 8 + f) == ((w.toInt, h.toInt, sr, sg, sb)))
+      val pid = Multimodal.framePatternId(d, f.toInt)
+      val (ew, eh) = Multimodal.patternDims(pid)
+      assert((w, h) == ((ew.toLong, eh.toLong)))
+      var (xr, xg, xb) = (0L, 0L, 0L)
+      for (y <- 0 until eh; x <- 0 until ew) {
+        val (r, g, b) = Multimodal.framePatternRgb(pid, x, y)
+        xr += r; xg += g; xb += b
+      }
+      assert((sr, sg, sb) == ((xr, xg, xb)), s"doc $d frame $f channel sums")
     }
   }
 
@@ -2131,7 +2136,7 @@ class OperatorsSpec extends AnyFunSuite {
     val bytes = Multimodal.synthesizeVideos(spark, docsDf)
       .select("media").as[Array[Byte]].head()
     val full = Multimodal.splitPngFrames(bytes)
-    assert(full.size == (3 % 3 + 2)) // 2 frames (wait: 3 % 3 + 2 = 2)... doc 3 → 2 frames
+    assert(full.size == Multimodal.frameCount(3L))
     // trailing garbage after the last IEND: frames still recovered
     assert(Multimodal.splitPngFrames(bytes ++ Array[Byte](1, 2, 3)).size == full.size)
     // truncation mid-frame: earlier complete frames survive, no throw
@@ -2771,6 +2776,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(0) == ((1L, 3L, 2L, Some(1L), 1.0, 0.4, 2.0 / 3.0, ndcg)))
     assert(got(1) == ((2L, 1L, 0L, None, 0.0, 0.0, 0.0, 0.0)))
     assert(got(2) == ((3L, 2L, 0L, None, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("quality-keeper dedup: highest score wins, ties break to lowest id") {
+    // docs 1/2/3 share a fingerprint (case + whitespace normalize away):
+    // scores 5, 9, 9 → keeper is 2 (max score, tie with 3 → lower id);
+    // doc 4 is alone
+    val d = Seq((1L, "a b", 5L), (2L, "A  B", 9L), (3L, "a   b", 9L),
+      (4L, "c", 1L)).toDF("doc_id", "text", "q")
+    val got = graft.operators.Dedup.exactBest(d, col("q"))
+      .select("keep_id", "keep_score_fp", "n_dups")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((2L, 9L, 3L), (4L, 1L, 1L)))
   }
 
   test("pair agreement: directed counts merge, majority share exact") {

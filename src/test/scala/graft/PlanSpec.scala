@@ -1115,6 +1115,17 @@ class PlanSpec extends AnyFunSuite {
       s"audio dedup must stay keyed:\n$plan")
   }
 
+  test("pack efficiency: both aggregates reuse the batching window's " +
+      "(bucket, shard) exchange — one shuffle total") {
+    val df = SparkEntry.queries("report_pack_efficiency")(spark, "/root/testdata/sf0.001")
+    val plan = executedPlan(df)
+    // HashPartitioning(bucket, shard) satisfies ClusteredDistribution for
+    // BOTH downstream groupings ((b,s,batch) and (b,s)), so the window's
+    // exchange is the only one in the plan
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"pack efficiency must not re-shuffle after the batching window:\n$plan")
+  }
+
   test("frame near-dup: banded equi-join, never the frame-pair product") {
     val df = SparkEntry.queries("mm_frames_neardup")(spark, "/root/testdata/sf0.001")
     val plan = executedPlan(df)

@@ -882,4 +882,39 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(s0 == o0, s"batch-0 strengths diverge: $s0 vs $o0")
   }
+
+  test("streaming PSI drift: per-batch fold lands on the one-shot report") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-psi").toString
+    // baseline: lengths centered low; stream: drifting upward across batches
+    val baseline = Seq.tabulate(40)(i => (i.toLong, (i % 5) * 100L + 10))
+    baseline.toDF("doc_id", "n_chars").write.parquet(s"$base/baseline")
+    val all = Seq.tabulate(60)(i => (1000L + i, (i % 8) * 100L + 10))
+    val (b1, rest) = all.splitAt(20)
+    val (b2, b3) = rest.splitAt(20)
+    import org.apache.spark.sql.functions.{least, expr, lit}
+    val bucket = least(expr("n_chars div 100"), lit(19L))
+    val input = MemoryStream[(Long, Long)]
+    val q = graft.streaming.StreamingDrift.psiSink(
+        input.toDF().toDF("doc_id", "n_chars"), bucket,
+        s"$base/baseline", s"$base/state", s"$base/out", s"$base/ckpt")
+      .start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"bucket", $"n_old", $"n_new",
+        org.apache.spark.sql.functions.round($"psi_contrib", 9).as("c"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val streamed = norm(spark.read.parquet(s"$base/out/batch_id=2"))
+    val oneShot = norm(graft.operators.Profiling.psiDrift(
+      spark.read.parquet(s"$base/baseline"), all.toDF("doc_id", "n_chars"),
+      bucket))
+    assert(streamed == oneShot, s"streamed=$streamed oneShot=$oneShot")
+    // drift direction sanity: buckets 5..7 exist only in the stream side
+    assert(streamed.count(r => r._1 >= 5 && r._2 == 0 && r._3 > 0) == 3)
+  }
 }
