@@ -15,8 +15,15 @@ import org.apache.spark.sql.functions._
   * the same prior and rewrites its own generation idempotently —
   * exactly-once state with no compare-and-swap. Generations older than the
   * prior are pruned after the write. The store is count-table-sized
-  * (distinct keys), never log-sized. */
-private[streaming] object GenStore {
+  * (distinct keys), never log-sized.
+  *
+  * The generation addressing keys on the streaming query's batchId, so a
+  * store is bound to ONE checkpoint lineage: restart with the SAME
+  * checkpointLocation (batchIds continue — StreamingSpec pins this) and
+  * pair a fresh checkpoint with a fresh stateDir. A new checkpoint over an
+  * old store would restart batchIds at 0 and shadow the accumulated
+  * generations rather than fold into them. */
+private[graft] object GenStore {
 
   /** Fold `delta(keys..., cntCol)` into the store for `batchId` and return
     * the accumulated relation (read back from the just-written

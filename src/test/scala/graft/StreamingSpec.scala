@@ -883,6 +883,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(s0 == o0, s"batch-0 strengths diverge: $s0 vs $o0")
   }
 
+  test("GenStore: a replayed batch folds idempotently; restart resumes the count table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gen").toString
+    def d(rows: (String, Long)*) = rows.toSeq.toDF("k", "n")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long)].collect().toMap
+    assert(m(graft.streaming.GenStore.fold(spark, dir, 0,
+      d("a" -> 2L, "b" -> 1L), Seq("k"), "n")) == Map("a" -> 2L, "b" -> 1L))
+    // replay of batch 0 (failure before checkpoint commit): same prior
+    // (none), same result — never a double count
+    assert(m(graft.streaming.GenStore.fold(spark, dir, 0,
+      d("a" -> 2L, "b" -> 1L), Seq("k"), "n")) == Map("a" -> 2L, "b" -> 1L))
+    assert(m(graft.streaming.GenStore.fold(spark, dir, 1,
+      d("a" -> 1L, "c" -> 5L), Seq("k"), "n")) ==
+      Map("a" -> 3L, "b" -> 1L, "c" -> 5L))
+    // replay of batch 1 reads gen=0, not its own partial write
+    assert(m(graft.streaming.GenStore.fold(spark, dir, 1,
+      d("a" -> 1L, "c" -> 5L), Seq("k"), "n")) ==
+      Map("a" -> 3L, "b" -> 1L, "c" -> 5L))
+    // a later batch prunes generations older than its prior
+    graft.streaming.GenStore.fold(spark, dir, 2, d("a" -> 1L), Seq("k"), "n")
+    val gens = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(gens == Set("gen=1", "gen=2"), s"pruning left: $gens")
+  }
+
+  test("streaming Bradley–Terry: checkpoint restart resumes the pair store", SlowTest) {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (2L, 1L), (1L, 2L))
+    val (b1, b2) = all.splitAt(3)
+    val base = java.nio.file.Files.createTempDirectory("graft-btr").toString
+    val input = MemoryStream[(Long, Long)]
+    // same checkpoint across restarts — the batchId lineage the gen store
+    // keys on lives there (the O1 restart-test pattern)
+    def start() = graft.streaming.StreamingPreference.bradleyTerrySink(
+        input.toDF().toDF("winner", "loser"),
+        s"$base/state", s"$base/out", s"$base/ckpt", iters = 3)
+      .start()
+    val q1 = start()
+    try { input.addData(b1); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { input.addData(b2); q2.processAllAvailable() } finally q2.stop()
+    // the post-restart batch continues the pair store: its strengths are
+    // the one-shot fit over BOTH batches' judgments
+    val restarted = spark.read.parquet(s"$base/out/batch_id=1")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val oneShot = graft.operators.Preference.bradleyTerry(
+        all.toDF("winner", "loser"), iters = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(restarted == oneShot, s"restarted=$restarted oneShot=$oneShot")
+  }
+
   test("streaming PSI drift: per-batch fold lands on the one-shot report") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
