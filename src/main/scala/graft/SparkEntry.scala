@@ -1326,12 +1326,13 @@ object SparkEntry {
   private def bpeLearnCtes(rounds: Int, wordpiece: Boolean = false): String = {
     val sp = "chr(31)"
     val sb = new StringBuilder
-    sb ++= "v_0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', " +
-      s"$sp || '\\1' || $sp, 'g') AS sym, freq FROM (" +
+    sb ++= "bw AS MATERIALIZED (" +
       "SELECT t AS w, CAST(count(*) AS BIGINT) AS freq FROM " +
       s"(SELECT ${sqlNorm("t0")} AS t FROM " +
       s"(SELECT unnest($RawToks) AS t0 FROM mdocs WHERE $TokN > 0)) " +
-      s"WHERE ${sqlWordGate("t")} GROUP BY t))"
+      s"WHERE ${sqlWordGate("t")} GROUP BY t)"
+    sb ++= ", v_0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', " +
+      s"$sp || '\\1' || $sp, 'g') AS sym, freq FROM bw)"
     for (r <- 1 to rounds) {
       sb ++= s", y_$r AS (SELECT string_split(substr(sym, 2, length(sym) - 2), " +
         s"$sp || $sp) AS s, freq FROM v_${r - 1})"
@@ -2979,6 +2980,18 @@ object SparkEntry {
           when(isw,
             coalesce(element_at(typedLit(rankOf), col("piece")), lit(99999L)))
             .otherwise(lit(99999L)).as("piece_id"))
+    }),
+    // the trainer-facing TOKEN-ID EXPORT under the learned BPE tokenizer —
+    // the text_unigram_ids twin for the first tokenizer family: merge ids
+    // by rank, then the learn corpus' characters in code-point order,
+    // 99999 OOV for everything else; the oracle replays the merge replay,
+    // the char vocabulary AND the id assignment
+    "text_bpe_ids" -> ((s, dir) => {
+      val d = docsMulti(s, dir)
+      val merges = TextAnalysis.bpeLearnMerges(d, 12)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeTokenIds(d, merges)
     }),
     // the packer driven by the LEARNED unigram tokenizer's counts — learn →
     // Viterbi apply → pack end to end, the sample_pack_learned loop for the
@@ -5262,6 +5275,41 @@ object SparkEntry {
         "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id " +
         "ORDER BY wi, po) - 1 AS BIGINT) AS pos, " +
         "CAST(piece_id AS BIGINT) AS piece_id FROM pm"),
+    // BPE token-id export mirror: the learning chain, merge ids via
+    // min-rank over the concatenated pair strings, char ids by code-point
+    // rank over the learn relation's characters, per-token chained-replace
+    // pieces enumerated in order, OOV rows for non-word-forms
+    "text_bpe_ids" -> {
+      val sp = "chr(31)"
+      val rep = (1 to 12).foldLeft(
+        s"regexp_replace(nw, '(.)', $sp || '\\1' || $sp, 'g')") { (acc, r) =>
+        s"replace($acc, (SELECT $sp || lhs || $sp || $sp || rhs || $sp FROM b_$r), " +
+          s"(SELECT $sp || lhs || rhs || $sp FROM b_$r))"
+      }
+      val munion = (1 to 12)
+        .map(r => s"SELECT lhs || rhs AS piece, rank FROM b_$r")
+        .mkString(" UNION ALL ")
+      s"WITH $MdocsCte, ${bpeLearnCtes(12)}, " +
+        "bchars AS (SELECT DISTINCT substring(w, p, 1) AS piece FROM bw, " +
+        "LATERAL (SELECT unnest(generate_series(1, length(w))) AS p)), " +
+        s"bmid AS (SELECT piece, CAST(min(rank) - 1 AS BIGINT) AS pid FROM ($munion) GROUP BY piece), " +
+        "bcid AS (SELECT piece, CAST(12 + row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS pid FROM bchars), " +
+        "vocabid AS (SELECT piece, pid FROM bmid UNION ALL SELECT piece, pid FROM bcid), " +
+        s"bdw AS (SELECT doc_id, i AS wi, ${sqlNorm("toks[i]")} AS nw FROM " +
+        s"(SELECT doc_id, $RawToks AS toks FROM mdocs), " +
+        "LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) " +
+        "WHERE toks[i] <> ''), " +
+        s"bps AS (SELECT doc_id, wi, CASE WHEN ${sqlWordGate("nw")} " +
+        s"THEN string_split(substr($rep, 2, length($rep) - 2), $sp || $sp) " +
+        "ELSE [nw] END AS ps FROM bdw), " +
+        "pm AS (SELECT doc_id, wi, po, COALESCE(v.pid, 99999) AS piece_id " +
+        "FROM (SELECT doc_id, wi, po, ps[po] AS piece FROM bps, " +
+        "LATERAL (SELECT unnest(generate_series(1, len(ps))) AS po)) x " +
+        "LEFT JOIN vocabid v USING (piece)) " +
+        "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY wi, po) - 1 AS BIGINT) AS pos, " +
+        "CAST(piece_id AS BIGINT) AS piece_id FROM pm"
+    },
     // the unigram learn→apply→pack mirror: the full Viterbi-EM chain's
     // per-doc counts feeding the same prefix-sum pack recurrence
     "sample_pack_unigram" ->

@@ -1672,4 +1672,70 @@ object TextAnalysis {
         graft.functions.SubwordExpressions
           .bpeCountPieces(col(textCol), merges).as("n_pieces"))
       .filter(col("n_tokens") > 0)
+
+  /** Trainer-facing TOKEN-ID export under a learned BPE merge table — the
+    * BPE twin of the unigram ids export: every document's piece sequence
+    * as (doc_id, pos, piece_id) rows. Vocabulary ids: merge of rank r
+    * (1-based) → id r−1; the learn corpus' single characters follow in
+    * binary code-point order (identical in UTF-8 and UTF-16 on the BMP,
+    * where the word-form gate confines us), ids R..R+C−1; any other piece
+    * and every non-word-form token emit the 99999 OOV id. Two merges whose
+    * concatenations collide on the same string resolve to the LOWEST id
+    * (first-rank-wins — both engines build the map the same way).
+    *
+    * Scale shape: the merge table and char vocab ride inside literal
+    * expressions (driver-collected, vocabulary-sized — the same bound as
+    * the merge collect the encoder already needs); the export is one
+    * narrow chained-replace map + posexplode, and the dense position is a
+    * per-doc window — the text_unigram_ids plan, keyed and bounded. */
+  def bpeTokenIds(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sep = BpeSep
+    val chars = docs
+      .select(explode(tokens(col(textCol))).as("w0"))
+      .groupBy("w0").agg(count(lit(1)).as("freq"))
+      .select(normWord(col("w0")).as("w"))
+      .filter(isWordForm(col("w")))
+      // Spark's split keeps the trailing empty match (limit −1 semantics,
+      // unlike Java's String.split) — drop it or "" squats on an id
+      .select(explode(split(col("w"), "(?!^)")).as("c"))
+      .filter(length(col("c")) > 0)
+      .distinct().as[String].collect().sorted.toSeq
+    val rankOf: Map[String, Long] = {
+      val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+      merges.zipWithIndex.foreach { case ((l, r), i) =>
+        val p = l + r
+        if (!m.contains(p)) m += p -> i.toLong
+      }
+      chars.zipWithIndex.foreach { case (c, i) =>
+        m += c -> (merges.size + i).toLong // chars (len 1) never collide
+      }
+      m.toMap
+    }
+    val tok = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("tpos", "w0")))
+      .filter(length(col("w0")) > 0)
+      .withColumn("nw", normWord(col("w0")))
+    val isw = isWordForm(col("nw"))
+    val wrapped0 = regexp_replace(col("nw"), "(.)", s"$sep$$1$sep")
+    val symFinal = merges.foldLeft(wrapped0) { case (acc, (l, r)) =>
+      replace(acc, lit(s"$sep$l$sep$sep$r$sep"), lit(s"$sep$l$r$sep"))
+    }
+    // normalize() strips the 0x1F separator from every token, so the
+    // unwrap/split below can never be confused by payload bytes
+    val pieces = split(symFinal.substr(lit(2), length(symFinal) - 2), s"$sep$sep")
+    tok
+      .select(col(idCol), col("tpos"), isw.as("__isw"),
+        posexplode(when(isw, pieces).otherwise(array(col("nw"))))
+          .as(Seq("ppos", "piece")))
+      .select(col(idCol),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(idCol).orderBy(col("tpos"), col("ppos"))) - 1)
+          .cast("long").as("pos"),
+        when(col("__isw"),
+          coalesce(element_at(typedLit(rankOf), col("piece")), lit(99999L)))
+          .otherwise(lit(99999L)).as("piece_id"))
+  }
 }

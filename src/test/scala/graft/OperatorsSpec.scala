@@ -2802,6 +2802,20 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, 4L, 0L, 1L, 1L, 1.0))) // single judgment, 4 won
   }
 
+  test("BPE token-id export: merge ids by rank, char ids by order, OOV 99999") {
+    // learn "ab"×2: one merge (a,b); vocab ids: ab→0, then chars a→1, b→2
+    val learn = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeLearnMerges(learn, 4)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq(("a", "b")))
+    val apply = Seq((7L, "ab b X9 a"), (8L, "  ")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenIds(apply, merges)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // NOTE ids come from the APPLY corpus' chars: sorted a→1, b→2, x? no —
+    // "X9" is not a word form, so chars are {a, b}; doc 8 emits nothing
+    assert(got == Seq((7L, 0L, 0L), (7L, 1L, 2L), (7L, 2L, 99999L), (7L, 3L, 1L)))
+  }
+
   test("BPE merge learning stops early when no adjacent pairs remain") {
     val docsDf = Seq((1L, "a b c a 7 B!")).toDF("doc_id", "text")
     // only single-letter lowercase word forms → zero pairs in round 1
