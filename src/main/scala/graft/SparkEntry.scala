@@ -1363,6 +1363,43 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Token-id export mirror shared by the BPE and WordPiece families:
+    * the learning chain, merge ids via min-rank over concatenated pair
+    * strings, char ids by code-point rank over the learned word relation,
+    * per-token chained-replace pieces enumerated in order, 99999 OOV rows
+    * for non-word-forms. */
+  private def subwordIdsOracleSql(rounds: Int, wordpiece: Boolean = false): String = {
+    val sp = "chr(31)"
+    val rep = (1 to rounds).foldLeft(
+      s"regexp_replace(nw, '(.)', $sp || '\\1' || $sp, 'g')") { (acc, r) =>
+      s"replace($acc, (SELECT $sp || lhs || $sp || $sp || rhs || $sp FROM b_$r), " +
+        s"(SELECT $sp || lhs || rhs || $sp FROM b_$r))"
+    }
+    val munion = (1 to rounds)
+      .map(r => s"SELECT lhs || rhs AS piece, rank FROM b_$r")
+      .mkString(" UNION ALL ")
+    s"WITH $MdocsCte, ${bpeLearnCtes(rounds, wordpiece)}, " +
+      "bchars AS (SELECT DISTINCT substring(w, p, 1) AS piece FROM bw, " +
+      "LATERAL (SELECT unnest(generate_series(1, length(w))) AS p)), " +
+      s"bmid AS (SELECT piece, CAST(min(rank) - 1 AS BIGINT) AS pid FROM ($munion) GROUP BY piece), " +
+      s"bcid AS (SELECT piece, CAST($rounds + row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS pid FROM bchars), " +
+      "vocabid AS (SELECT piece, pid FROM bmid UNION ALL SELECT piece, pid FROM bcid), " +
+      s"bdw AS (SELECT doc_id, i AS wi, ${sqlNorm("toks[i]")} AS nw FROM " +
+      s"(SELECT doc_id, $RawToks AS toks FROM mdocs), " +
+      "LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) " +
+      "WHERE toks[i] <> ''), " +
+      s"bps AS (SELECT doc_id, wi, CASE WHEN ${sqlWordGate("nw")} " +
+      s"THEN string_split(substr($rep, 2, length($rep) - 2), $sp || $sp) " +
+      "ELSE [nw] END AS ps FROM bdw), " +
+      "pm AS (SELECT doc_id, wi, po, COALESCE(v.pid, 99999) AS piece_id " +
+      "FROM (SELECT doc_id, wi, po, ps[po] AS piece FROM bps, " +
+      "LATERAL (SELECT unnest(generate_series(1, len(ps))) AS po)) x " +
+      "LEFT JOIN vocabid v USING (piece)) " +
+      "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id " +
+      "ORDER BY wi, po) - 1 AS BIGINT) AS pos, " +
+      "CAST(piece_id AS BIGINT) AS piece_id FROM pm"
+  }
+
   private def bpeLearnOracleSql(rounds: Int, wordpiece: Boolean = false): String = {
     val union = (1 to rounds).map(r => s"SELECT * FROM b_$r")
       .mkString(" UNION ALL ")
@@ -2986,6 +3023,26 @@ object SparkEntry {
     // by rank, then the learn corpus' characters in code-point order,
     // 99999 OOV for everything else; the oracle replays the merge replay,
     // the char vocabulary AND the id assignment
+    // the packer on the WordPiece table — learn → apply → pack for the
+    // third tokenizer family (budget 512 pieces, 8 shards)
+    "sample_pack_wordpiece" -> ((s, dir) => {
+      val d = docsMulti(s, dir)
+      val merges = TextAnalysis.wordpieceLearnMerges(d, 10)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Sampling.packSequences(d, "doc_id",
+          SubwordExpressions.bpeCountPieces(col("text"), merges), 512L, 8)
+        .select("doc_id", "shard", "seq_id", "tok_offset")
+    }),
+    // the WordPiece twin of text_bpe_ids — same encoder, the
+    // likelihood-scored 10-merge table, same id contract
+    "text_wordpiece_ids" -> ((s, dir) => {
+      val d = docsMulti(s, dir)
+      val merges = TextAnalysis.wordpieceLearnMerges(d, 10)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeTokenIds(d, merges)
+    }),
     "text_bpe_ids" -> ((s, dir) => {
       val d = docsMulti(s, dir)
       val merges = TextAnalysis.bpeLearnMerges(d, 12)
@@ -5279,37 +5336,18 @@ object SparkEntry {
     // min-rank over the concatenated pair strings, char ids by code-point
     // rank over the learn relation's characters, per-token chained-replace
     // pieces enumerated in order, OOV rows for non-word-forms
-    "text_bpe_ids" -> {
-      val sp = "chr(31)"
-      val rep = (1 to 12).foldLeft(
-        s"regexp_replace(nw, '(.)', $sp || '\\1' || $sp, 'g')") { (acc, r) =>
-        s"replace($acc, (SELECT $sp || lhs || $sp || $sp || rhs || $sp FROM b_$r), " +
-          s"(SELECT $sp || lhs || rhs || $sp FROM b_$r))"
-      }
-      val munion = (1 to 12)
-        .map(r => s"SELECT lhs || rhs AS piece, rank FROM b_$r")
-        .mkString(" UNION ALL ")
-      s"WITH $MdocsCte, ${bpeLearnCtes(12)}, " +
-        "bchars AS (SELECT DISTINCT substring(w, p, 1) AS piece FROM bw, " +
-        "LATERAL (SELECT unnest(generate_series(1, length(w))) AS p)), " +
-        s"bmid AS (SELECT piece, CAST(min(rank) - 1 AS BIGINT) AS pid FROM ($munion) GROUP BY piece), " +
-        "bcid AS (SELECT piece, CAST(12 + row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS pid FROM bchars), " +
-        "vocabid AS (SELECT piece, pid FROM bmid UNION ALL SELECT piece, pid FROM bcid), " +
-        s"bdw AS (SELECT doc_id, i AS wi, ${sqlNorm("toks[i]")} AS nw FROM " +
-        s"(SELECT doc_id, $RawToks AS toks FROM mdocs), " +
-        "LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) " +
-        "WHERE toks[i] <> ''), " +
-        s"bps AS (SELECT doc_id, wi, CASE WHEN ${sqlWordGate("nw")} " +
-        s"THEN string_split(substr($rep, 2, length($rep) - 2), $sp || $sp) " +
-        "ELSE [nw] END AS ps FROM bdw), " +
-        "pm AS (SELECT doc_id, wi, po, COALESCE(v.pid, 99999) AS piece_id " +
-        "FROM (SELECT doc_id, wi, po, ps[po] AS piece FROM bps, " +
-        "LATERAL (SELECT unnest(generate_series(1, len(ps))) AS po)) x " +
-        "LEFT JOIN vocabid v USING (piece)) " +
-        "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id " +
-        "ORDER BY wi, po) - 1 AS BIGINT) AS pos, " +
-        "CAST(piece_id AS BIGINT) AS piece_id FROM pm"
-    },
+    // wordpiece pack mirror: the 10-round likelihood-scored chain's
+    // per-doc counts feeding the same prefix-sum pack recurrence
+    "sample_pack_wordpiece" ->
+      (s"WITH $MdocsCte, ${bpeApplyCtes(10, wordpiece = true)} " +
+        "SELECT doc_id, shard, CAST((cum - n) // 512 AS BIGINT) AS seq_id, " +
+        "CAST((cum - n) % 512 AS BIGINT) AS tok_offset FROM (" +
+        s"SELECT doc_id, ${pmSql(HashRaw, "8")} AS shard, n, " +
+        s"sum(n) OVER (PARTITION BY ${pmSql(HashRaw, "8")} ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum " +
+        "FROM mdocs JOIN bn USING (doc_id) WHERE n > 0)"),
+    "text_bpe_ids" -> subwordIdsOracleSql(12),
+    "text_wordpiece_ids" -> subwordIdsOracleSql(10, wordpiece = true),
     // the unigram learn→apply→pack mirror: the full Viterbi-EM chain's
     // per-doc counts feeding the same prefix-sum pack recurrence
     "sample_pack_unigram" ->
