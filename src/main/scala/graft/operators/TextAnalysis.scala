@@ -1714,28 +1714,40 @@ object TextAnalysis {
       }
       m.toMap
     }
+    // encode each DISTINCT word form once (the Zipf amortization the fast
+    // counters get from their cache, done relationally): the chained
+    // replace runs on the vocabulary-sized relation, and the corpus-sized
+    // token stream picks its piece-ID ARRAY up through one word-keyed
+    // join (vocab-sized build side — Catalyst broadcasts it at any
+    // realistic vocabulary). normalize() strips the 0x1F separator from
+    // every token, so the unwrap/split can never see payload bytes.
+    val wrapped0 = regexp_replace(col("w"), "(.)", s"$sep$$1$sep")
+    val symFinal = merges.foldLeft(wrapped0) { case (acc, (l, r)) =>
+      replace(acc, lit(s"$sep$l$sep$sep$r$sep"), lit(s"$sep$l$r$sep"))
+    }
+    val pieces = split(symFinal.substr(lit(2), length(symFinal) - 2), s"$sep$sep")
+    val idOf = (p: Column) =>
+      coalesce(element_at(typedLit(rankOf), p), lit(99999L))
+    val wordIds = docs
+      .select(explode(tokens(col(textCol))).as("w0"))
+      .groupBy("w0").agg(count(lit(1)).as("freq"))
+      .select(normWord(col("w0")).as("w"))
+      .filter(isWordForm(col("w")))
+      .distinct()
+      .select(col("w").as("__w"), transform(pieces, idOf).as("__ids"))
     val tok = docs
       .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("tpos", "w0")))
       .filter(length(col("w0")) > 0)
       .withColumn("nw", normWord(col("w0")))
-    val isw = isWordForm(col("nw"))
-    val wrapped0 = regexp_replace(col("nw"), "(.)", s"$sep$$1$sep")
-    val symFinal = merges.foldLeft(wrapped0) { case (acc, (l, r)) =>
-      replace(acc, lit(s"$sep$l$sep$sep$r$sep"), lit(s"$sep$l$r$sep"))
-    }
-    // normalize() strips the 0x1F separator from every token, so the
-    // unwrap/split below can never be confused by payload bytes
-    val pieces = split(symFinal.substr(lit(2), length(symFinal) - 2), s"$sep$sep")
     tok
-      .select(col(idCol), col("tpos"), isw.as("__isw"),
-        posexplode(when(isw, pieces).otherwise(array(col("nw"))))
-          .as(Seq("ppos", "piece")))
+      .join(wordIds, tok("nw") === wordIds("__w"), "left")
+      .select(col(idCol), col("tpos"),
+        posexplode(coalesce(col("__ids"), array(lit(99999L))))
+          .as(Seq("ppos", "piece_id")))
       .select(col(idCol),
         (row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(idCol).orderBy(col("tpos"), col("ppos"))) - 1)
           .cast("long").as("pos"),
-        when(col("__isw"),
-          coalesce(element_at(typedLit(rankOf), col("piece")), lit(99999L)))
-          .otherwise(lit(99999L)).as("piece_id"))
+        col("piece_id"))
   }
 }
