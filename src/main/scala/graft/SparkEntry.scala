@@ -2962,6 +2962,15 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeEncodedCounts(d, merges)
     }),
+    // the NATIVE zero-shuffle WordPiece apply behind the SAME oracle —
+    // the bpe_apply_fast contract for the likelihood-scored table
+    "text_wordpiece_apply_fast" -> ((s, dir) => {
+      val d = docsMulti(s, dir)
+      val merges = TextAnalysis.wordpieceLearnMerges(d, 10)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncodedCountsFast(d, merges)
+    }),
     // UNIGRAM-LM tokenizer LEARNING (Kudo 2018, SentencePiece family;
     // Viterbi-EM) — the piece-probability table the other modern tokenizer
     // family ships: substring seeding, 2 EM rounds of fixed-point Viterbi
@@ -5346,6 +5355,7 @@ object SparkEntry {
         s"sum(n) OVER (PARTITION BY ${pmSql(HashRaw, "8")} ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS cum " +
         "FROM mdocs JOIN bn USING (doc_id) WHERE n > 0)"),
+    "text_wordpiece_apply_fast" -> bpeApplyOracleSql(10, wordpiece = true),
     "text_bpe_ids" -> subwordIdsOracleSql(12),
     "text_wordpiece_ids" -> subwordIdsOracleSql(10, wordpiece = true),
     // the unigram learn→apply→pack mirror: the full Viterbi-EM chain's
