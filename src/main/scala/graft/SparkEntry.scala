@@ -1145,8 +1145,12 @@ object SparkEntry {
     * affine-scrambled pattern ids). */
   private val FramesCte: String = {
     val base = "(doc_id - CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END)"
-    s"fr AS (SELECT doc_id, f, (($base * 8 + f) * 1103515245 + 12345) " +
-      "% 2147483648 AS pid FROM documents, " +
+    // both pre-scramble mods mirror framePatternId exactly: they keep the
+    // int64 product bound for any doc_id (and are the identity at every
+    // generated SF, so pattern ids are unchanged)
+    s"fr AS (SELECT doc_id, f, (((($base % 2147483648) * 8 + f) " +
+      "% 2147483648) * 1103515245 + 12345) % 2147483648 AS pid " +
+      "FROM documents, " +
       s"LATERAL (SELECT unnest(generate_series(0, $base % 3 + 1)) AS f))"
   }
 
@@ -1482,8 +1486,10 @@ object SparkEntry {
       "PARTITION BY bucket, shard ORDER BY doc_id) - 1 AS rn FROM lb)"
 
   /** Comparisons synthesized from per-user event-type spend totals (larger
-    * total wins, ties skipped) — the preference log shared by
-    * eval_bradley_terry and eval_pair_agreement. */
+    * total wins, ties skipped), the judging user carried as `rater` — the
+    * preference log shared by eval_bradley_terry, eval_pair_agreement and
+    * eval_rater_agreement (the first two group on winner/loser only, so
+    * the extra column costs them nothing). */
   private def btComparisons(s: SparkSession, dir: String): DataFrame = {
     val totals = EventsAdapter.rawEvents(s, dir)
       .groupBy(col("user_id"), col("event_type"))
@@ -1495,16 +1501,18 @@ object SparkEntry {
       .join(b, Seq("user_id"))
       .filter(col("et_a") < col("et_b") && col("va") =!= col("vb"))
       .select(
+        col("user_id").as("rater"),
         when(col("va") > col("vb"), col("et_a")).otherwise(col("et_b")).as("winner"),
         when(col("va") > col("vb"), col("et_b")).otherwise(col("et_a")).as("loser"))
   }
 
   /** DuckDB twin of [[btComparisons]] — the tot/cmp CTE prefix shared by
-    * the two preference mirrors. */
+    * the three preference mirrors. */
   private val BtCmpCtes: String =
     "tot AS (SELECT user_id, event_type, " +
       "sum(CAST(floor(value * 100) AS BIGINT)) AS v FROM events GROUP BY 1, 2), " +
-      "cmp AS (SELECT CASE WHEN a.v > b.v THEN a.event_type ELSE b.event_type END AS winner, " +
+      "cmp AS (SELECT a.user_id AS rater, " +
+      "CASE WHEN a.v > b.v THEN a.event_type ELSE b.event_type END AS winner, " +
       "CASE WHEN a.v > b.v THEN b.event_type ELSE a.event_type END AS loser " +
       "FROM tot a JOIN tot b ON a.user_id = b.user_id " +
       "AND a.event_type < b.event_type AND a.v <> b.v)"
@@ -3412,6 +3420,32 @@ object SparkEntry {
         .groupBy("phash")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
     }),
+    // MM6b — graft extension: the decode plane through a LOSSY codec (real
+    // javax.imageio JPEG encode → real JPEG decode). Lossy pixels aren't
+    // analytically replayable, so the gate pins the PLANTED duplicate
+    // structure instead: each distinct quadratic pattern is encoded ONCE,
+    // the planted copy (doc_id % 7 == 3 → predecessor's pattern) shares the
+    // stream, and doc ids group-compact on the DECODED content key
+    // (dims + exact channel sums). Decoder-reported dims surface in the
+    // output — they survive the lossy round-trip exactly, so the oracle
+    // checks them per group; a failed decode collapses groups onto the
+    // sentinel and fails the gate
+    "mm_decode_jpeg" -> ((s, dir) => {
+      val pats = docs(s, dir).select(col("doc_id"),
+        (col("doc_id") - when(col("doc_id") % 7 === 3, 1).otherwise(0)).as("pid"))
+      val feats = Multimodal.decodeImages(s,
+          Multimodal.synthesizeImagesJpeg(s,
+            pats.select(col("pid").as("doc_id")).distinct()).toDF())
+        .toDF()
+        .select(col("doc_id").as("pid"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+      pats.join(feats, "pid")
+        .groupBy("width", "height", "sum_r", "sum_g", "sum_b")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .select(col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("keep_id"), col("n_dups"))
+    }),
     // MM7 — graft extension: REAL container round-trip for the audio
     // modality — deterministic 16-bit PCM → genuine RIFF/WAVE bytes → a
     // spec-compliant chunk-walking decode → integer-exact features. The
@@ -3506,6 +3540,12 @@ object SparkEntry {
     // the noise screen that runs before any reward-model fit
     "eval_pair_agreement" -> ((s, dir) =>
       Preference.pairAgreement(btComparisons(s, dir))),
+    // per-rater majority-agreement screen (the Cohen's-kappa-style rater
+    // audit before a Bradley–Terry fit trusts the log): every judgment on a
+    // strictly-majority-decided pair either sides with the majority or not;
+    // tied pairs adjudicate nothing and leave both counts
+    "eval_rater_agreement" -> ((s, dir) =>
+      Preference.raterAgreement(btComparisons(s, dir))),
     // end-to-end pipeline composition — the real training-data shape, every
     // stage an already-oracled operator, chained through the (doc_id, text)
     // column contract: C4 clean → corpus line dedup → Gopher quality filter
@@ -5697,6 +5737,18 @@ object SparkEntry {
         aHashCtes("(SELECT DISTINCT pid FROM pats)") + " " +
         "SELECT phash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups " +
         "FROM pats JOIN ah USING (pid) GROUP BY 1"),
+    // lossy-codec mirror: no pixel values needed — the planted group
+    // structure IS the expected answer (per pattern id: its analytic dims,
+    // min doc_id, group size). The engine side only matches if the real
+    // JPEG round-trip kept planted copies identical and distinct quadratic
+    // patterns distinct on the decoded-content key
+    "mm_decode_jpeg" ->
+      ("WITH pats AS (SELECT doc_id, doc_id - CASE WHEN doc_id % 7 = 3 " +
+        "THEN 1 ELSE 0 END AS pid FROM documents) " +
+        "SELECT CAST(pid % 16 + 8 AS BIGINT) AS width, " +
+        "CAST(pid % 12 + 8 AS BIGINT) AS height, " +
+        "min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups " +
+        "FROM pats GROUP BY pid"),
     // audio-codec mirror: the per-doc PCM parameters (Multimodal.audioParams)
     // and interleaved sample formula (audioSample) replayed analytically over
     // a generate_series — DuckDB needs no audio codec because PCM is
@@ -5821,5 +5873,31 @@ object SparkEntry {
         "SELECT item_a, item_b, wins_a, wins_b, wins_a + wins_b AS n_total, " +
         "CAST(greatest(wins_a, wins_b) AS DOUBLE) / " +
         "CAST(wins_a + wins_b AS DOUBLE) AS agree_ratio FROM pa"),
+    // rater-agreement mirror: per-rater ordered-pair counts → unordered
+    // direction counts; the pair majority re-aggregates that compaction
+    // (strictly decided pairs only), the verdict joins back and rolls up
+    // per rater — one IEEE division of exact longs, NULL when a rater
+    // judged no adjudicated pair
+    "eval_rater_agreement" ->
+      (s"WITH $BtCmpCtes, " +
+        "rcnt AS (SELECT rater, winner, loser, CAST(count(*) AS BIGINT) AS n " +
+        "FROM cmp GROUP BY 1, 2, 3), " +
+        "un AS (SELECT rater, least(winner, loser) AS item_a, " +
+        "greatest(winner, loser) AS item_b, " +
+        "CASE WHEN winner < loser THEN n ELSE 0 END AS na, " +
+        "CASE WHEN winner < loser THEN 0 ELSE n END AS nb FROM rcnt), " +
+        "maj AS (SELECT item_a, item_b, sum(na) > sum(nb) AS maj_a " +
+        "FROM un GROUP BY 1, 2 HAVING sum(na) <> sum(nb)) " +
+        "SELECT rater, CAST(sum(na + nb) AS BIGINT) AS n_judged, " +
+        "CAST(sum(CASE WHEN maj_a IS NOT NULL THEN na + nb ELSE 0 END) AS BIGINT) " +
+        "AS n_adjudicated, " +
+        "CAST(sum(CASE WHEN maj_a THEN na WHEN NOT maj_a THEN nb ELSE 0 END) " +
+        "AS BIGINT) AS n_agree, " +
+        "CASE WHEN sum(CASE WHEN maj_a IS NOT NULL THEN na + nb ELSE 0 END) > 0 " +
+        "THEN CAST(sum(CASE WHEN maj_a THEN na WHEN NOT maj_a THEN nb ELSE 0 END) " +
+        "AS DOUBLE) / " +
+        "CAST(sum(CASE WHEN maj_a IS NOT NULL THEN na + nb ELSE 0 END) AS DOUBLE) " +
+        "END AS agree_ratio " +
+        "FROM un LEFT JOIN maj USING (item_a, item_b) GROUP BY 1"),
     "pipeline_e2e" -> PipelineE2eSql)
 }

@@ -1000,7 +1000,15 @@ object Dedup {
     * rebuild join consume it; unpersisted, Catalyst would plan and execute
     * chunkByContent twice. The flagged set is (doc, chunk)-keyed hit pairs
     * (tiny — contamination is rare by construction), the rebuild is one
-    * map-side-combinable sort-struct aggregation per doc. */
+    * map-side-combinable sort-struct aggregation per doc. The rebuilt
+    * relation is EAGERLY materialized ([[Lineage.materialize]] — reliable
+    * checkpoint when a checkpoint dir is set, localCheckpoint otherwise) so
+    * the chunk cache can be released before returning: without that, every
+    * call in a long-lived session would leak a cached corpus-chunk relation
+    * (the bradleyTerry persist/unpersist discipline). The materialization
+    * is one corpus-sized write the caller's downstream reads instead of
+    * re-running the chunking — the cost the cache was buying, made
+    * explicit and bounded. */
   def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame, n: Int,
       window: Int, maskBits: Int, minOverlap: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -1009,7 +1017,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val flagged = spanScores(chunks, benchmark, n, minOverlap, idCol, textCol)
       .select(col(idCol), col("chunk_idx")).distinct()
-    val rebuilt = chunks
+    val rebuilt = Lineage.materialize(chunks
       .join(flagged.withColumn("__flag", lit(1L)),
         Seq(idCol, "chunk_idx"), "left")
       .groupBy(idCol)
@@ -1021,7 +1029,8 @@ object Dedup {
             struct(col("chunk_idx"), col("chunk"))))),
           s => s.getField("chunk"))).as("text_clean"),
         count(lit(1)).as("n_chunks"),
-        count(col("__flag")).as("n_removed"))
+        count(col("__flag")).as("n_removed")))
+    chunks.unpersist()
     corpus.select(col(idCol))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),

@@ -149,6 +149,12 @@ object Multimodal {
     renderPng(pid, (x, y) => patternRgb(pid, x, y))
 
   private def renderPng(pid: Long,
+      rgbOf: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    renderImage(pid, "png", rgbOf)
+
+  /** The format-parameterized encode core behind [[renderPng]] and the JPEG
+    * synthesizer — one pixel loop, any codec `javax.imageio` writes. */
+  private def renderImage(pid: Long, format: String,
       rgbOf: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     val (w, h) = patternDims(pid)
     val img = new java.awt.image.BufferedImage(
@@ -164,8 +170,29 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, format, bos)
     bos.toByteArray
+  }
+
+  /** REAL encoded JPEGs — the codec-agnostic proof of the decode plane: the
+    * same plumbing as [[synthesizeImages]] (narrow map, only doc_id read,
+    * genuine `javax.imageio` streams) through a LOSSY codec. Because JPEG
+    * decode is not bit-analytic, correctness is pinned the mm_dedup way
+    * instead: the pattern is the QUADRATIC [[framePatternRgb]] (pid-keyed
+    * coefficients — near-planar gradients would quantize to colliding
+    * content), planted duplicate groups share one encoded stream, and the
+    * gate checks the planted group structure (decoded content keyed), which
+    * no analytic oracle needs pixel values for. */
+  def synthesizeImagesJpeg(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { docId =>
+        val (w, h) = patternDims(docId)
+        MediaRecord(docId,
+          renderImage(docId, "jpg", (x, y) => framePatternRgb(docId, x, y)),
+          "image/jpeg", w, h)
+      }
+    }
   }
 
   /** REAL image decode + feature extraction (closes the round-11 stub gap):
@@ -527,10 +554,16 @@ object Multimodal {
     * multiplier → bijective mod 2³¹) decorrelates consecutive pattern ids:
     * unscrambled, the gradient patterns of neighboring ids produce aHashes
     * within a few bits of each other and the near-dup query drowns in
-    * incidental collisions (~23k at sf0.01, quadratic beyond). Products
-    * stay < 2⁶² so both engines compute the identical value in int64. */
+    * incidental collisions (~23k at sf0.01, quadratic beyond). The base is
+    * reduced mod 2³¹ BEFORE the scramble so the int64 product bound holds
+    * for ANY doc_id (unreduced, doc_id ≳ 5·10⁸ overflows: Scala would wrap
+    * to a negative pid while DuckDB raises — divergent failures at large
+    * scale factors); at every generated SF the reduction is the identity,
+    * so pattern ids are unchanged. Both mods stay inside 2³¹, keeping every
+    * product < 2⁶² on both engines. */
   private[graft] def framePatternId(docId: Long, f: Int): Long =
-    ((videoPatternBase(docId) * 8 + f) * 1103515245L + 12345L) % (1L << 31)
+    ((((videoPatternBase(docId) % (1L << 31)) * 8 + f) % (1L << 31)) *
+      1103515245L + 12345L) % (1L << 31)
 
   /** Frames per synthesized video: 2..4, deterministic, keyed on the
     * pattern base so a planted duplicate matches its original in LENGTH
@@ -662,20 +695,4 @@ object Multimodal {
         "sum_r", "sum_g", "sum_b", "fhash")
   }
 
-  /** Frame sampling: every `stride`-th byte-window stands in for a video
-    * frame. Pure column code (slice on a byte array) — shows the
-    * array-of-frames shape a real frame sampler would emit. */
-  def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
-    // floor division (Spark's `/` on ints is fractional); negative intermediate
-    // values are clamped to 0, matching integer floor-div semantics
-    val lastIdx = greatest(
-      floor((length(col("media")) - frameBytes).cast("double") / stride).cast("int"),
-      lit(0))
-    media.select(col("doc_id"),
-      transform(
-        sequence(lit(0), lastIdx),
-        i => col("media").substr((i * stride + 1).cast("int"), lit(frameBytes)))
-        .as("frames"))
-      .withColumn("n_frames", size(col("frames")))
-  }
 }

@@ -133,4 +133,61 @@ object Preference {
         (greatest(col("wins_a"), col("wins_b")).cast("double") /
           (col("wins_a") + col("wins_b")).cast("double")).as("agree_ratio"))
   }
+
+  /** Per-RATER agreement against the pair majority — the annotator-quality
+    * screen a preference pipeline runs before trusting a rater (the
+    * rater-level follow-on to [[pairAgreement]]'s pair-level audit, in the
+    * Cohen's-kappa family of majority-agreement rates): for every judgment a
+    * rater cast on a pair where the OVERALL vote has a strict majority
+    * direction, did the rater side with the majority? Returns
+    * (rater, n_judged, n_adjudicated, n_agree, agree_ratio) where
+    * `n_judged` counts all of the rater's judgments, `n_adjudicated` only
+    * those on majority-decided pairs (exactly-tied pairs carry no signal —
+    * they are excluded from numerator AND denominator, so the ratio is
+    * well-defined over adjudicated judgments only), and agree_ratio =
+    * n_agree / n_adjudicated (one IEEE division of exact longs; NULL when
+    * the rater judged no adjudicated pair).
+    *
+    * Scale shape: the judgment log collapses map-side into
+    * (rater, winner, loser) counts — the ONE corpus-sized exchange; the
+    * overall pair majority re-aggregates THAT relation (rater-pair-sized,
+    * never re-reading the log), the verdict joins back on the unordered
+    * pair key, and the per-rater rollup is a rater-sized aggregate. Only
+    * observed pairs exist anywhere (never items²). */
+  def raterAgreement(comparisons: DataFrame,
+      raterCol: String = "rater"): DataFrame = {
+    // one corpus-sized exchange: per-rater ordered-pair counts — EAGERLY
+    // materialized (rater-pair-sized, tiny next to the log) because both
+    // the majority aggregate and the verdict join consume it; a persist
+    // would either leak in a long-lived session or re-run the corpus
+    // exchange twice (the decontaminateSpans lesson)
+    val rcnt = Lineage.materialize(
+      comparisons.groupBy(col(raterCol), col("winner"), col("loser"))
+        .agg(count(lit(1)).as("n")))
+    val unord = rcnt.select(col(raterCol),
+      least(col("winner"), col("loser")).as("item_a"),
+      greatest(col("winner"), col("loser")).as("item_b"),
+      when(col("winner") < col("loser"), col("n")).otherwise(lit(0L)).as("__na"),
+      when(col("winner") < col("loser"), lit(0L)).otherwise(col("n")).as("__nb"))
+    // overall majority per unordered pair, from the compacted relation
+    val maj = unord.groupBy("item_a", "item_b")
+      .agg(sum("__na").as("__wa"), sum("__nb").as("__wb"))
+      .filter(col("__wa") =!= col("__wb")) // ties adjudicate nothing
+      .select(col("item_a"), col("item_b"),
+        (col("__wa") > col("__wb")).as("__maj_a"))
+    val out = unord
+      .join(maj, Seq("item_a", "item_b"), "left")
+      .groupBy(col(raterCol).as("rater"))
+      .agg(
+        sum(col("__na") + col("__nb")).as("n_judged"),
+        sum(when(col("__maj_a").isNotNull, col("__na") + col("__nb"))
+          .otherwise(lit(0L))).as("n_adjudicated"),
+        sum(when(col("__maj_a") === true, col("__na"))
+          .when(col("__maj_a") === false, col("__nb"))
+          .otherwise(lit(0L))).as("n_agree"))
+      .withColumn("agree_ratio",
+        when(col("n_adjudicated") > 0,
+          col("n_agree").cast("double") / col("n_adjudicated").cast("double")))
+    out
+  }
 }

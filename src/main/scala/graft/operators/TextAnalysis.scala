@@ -1448,17 +1448,22 @@ object TextAnalysis {
     * instead of the raw pair count — WordPiece merges the pair whose fusion
     * most increases a unigram LM's corpus likelihood, so rare-but-cohesive
     * pairs win over merely frequent ones. Symbol counts are taken over the
-    * CURRENT symbolization each round (one extra vocabulary-sized
-    * aggregation + two equi-joins on the pair relation — still config-scale
-    * work, never corpus-scale). The score is one IEEE division of exact
-    * long counts (products taken in double to dodge overflow), identical on
-    * every engine; ties break (lhs, rhs) ascending as in BPE. */
+    * CURRENT symbolization each round, re-aggregated from the SAME single
+    * pair-counting pass (every symbol position appears exactly once as a
+    * pair lhs — the last position pairs with NULL), then BROADCAST into the
+    * pair relation: one vocab-sized pass and one exchange per round, the
+    * rest alphabet-scale (the round-15 restructure; the former second
+    * explode + two shuffle joins measured ~2× the BPE round cost). The
+    * score is one IEEE division of exact long counts (products taken in
+    * double to dodge overflow), identical on every engine; ties break
+    * (lhs, rhs) ascending as in BPE. */
   def wordpieceLearnMerges(docs: DataFrame, rounds: Int,
       textCol: String = "text"): DataFrame =
     subwordLearnMerges(docs, rounds, textCol, wordpiece = true)
 
-  private def subwordLearnMerges(docs: DataFrame, rounds: Int,
-      textCol: String, wordpiece: Boolean): DataFrame = {
+  private[graft] def subwordLearnMerges(docs: DataFrame, rounds: Int,
+      textCol: String, wordpiece: Boolean,
+      persistRounds: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1479,31 +1484,62 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var vocab = base
+    // the previous round's PERSISTED symbolization, released once the next
+    // round's is cached (below) — never the shared `base`. Per-round
+    // persistence is OFF by default: the round-15 A/B (TokenizerLearnBench,
+    // sf0.1, R=10) measured it 1.2–1.6× SLOWER than re-running the replace
+    // chain over the persisted `base` (caching a vocab-sized string relation
+    // every round costs more than the narrow chain recompute); the flag
+    // stays for very deep R, where the O(R²) chain recompute eventually
+    // crosses over.
+    var prevRound: Option[DataFrame] = None
     var exhausted = false
     for (r <- 1 to rounds if !exhausted) {
-      val split0 = vocab
+      val cur =
+        if (r == 1 || !persistRounds) vocab // round 1 reads `base`, persisted above
+        else vocab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val split0 = cur
         .select(col("freq"),
           split(col("sym").substr(lit(2), length(col("sym")) - 2),
             s"$sep$sep").as("s"))
-      // adjacent pairs of the current symbolization, weighted by word freq
-      val pairs = split0
-        .filter(size(col("s")) >= 2)
+      // ONE vocab-sized pass per round covers BOTH counts the round needs:
+      // position i of a word's symbolization emits (s[i], s[i+1]) — the
+      // adjacent pair — and the LAST position emits (s[n], NULL), so pair
+      // counts are the NOT-NULL rows and per-symbol occurrence counts are
+      // the lhs re-aggregation of everything (each position counted exactly
+      // once). The round-14 shape ran a second explode+exchange for the
+      // symbol counts (the verdict's 2×-per-round re-execution) and two
+      // SHUFFLE joins of the pair relation; this pass leaves one exchange,
+      // and the rest runs on the tiny aggregate.
+      val cnt0 = split0
         .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(s) - 1), " +
-            "i -> struct(element_at(s, i) AS lhs, element_at(s, i + 1) AS rhs))"))
+          "transform(sequence(1, size(s)), " +
+            "i -> struct(element_at(s, i) AS lhs, " +
+            "CASE WHEN i < size(s) THEN element_at(s, i + 1) END AS rhs))"))
           .as("p"))
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum(col("freq")).as("cnt"))
+      // alphabet²-bounded (a few KB) — cached only where it has TWO readers
+      // (wordpiece: pairs + symbol re-agg); released end of round
+      val cnt =
+        if (wordpiece)
+          cnt0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else cnt0
+      val pairs = cnt.filter(col("rhs").isNotNull)
       val scored =
         if (!wordpiece) pairs
         else {
-          // per-symbol occurrence counts over the SAME symbolization
-          val syms = split0
-            .select(col("freq"), explode(col("s")).as("t"))
-            .groupBy("t").agg(sum(col("freq")).as("c"))
+          // per-symbol occurrence counts: re-aggregate the SAME pass's
+          // output (every position appears exactly once as an lhs), then
+          // BROADCAST — the symbol relation is alphabet-sized (chars +
+          // merges so far), never vocab-sized, so neither join shuffles
+          // the pair relation
+          val syms = cnt.groupBy(col("lhs").as("t")).agg(sum("cnt").as("c"))
           pairs
-            .join(syms.select(col("t").as("lhs"), col("c").as("__ca")), Seq("lhs"))
-            .join(syms.select(col("t").as("rhs"), col("c").as("__cb")), Seq("rhs"))
+            .join(syms.select(col("t").as("lhs"), col("c").as("__ca")),
+              Seq("lhs"))
+            .join(syms.select(col("t").as("rhs"), col("c").as("__cb")),
+              Seq("rhs"))
             .withColumn("__score", col("cnt").cast("double") /
               (col("__ca").cast("double") * col("__cb").cast("double")))
         }
@@ -1514,16 +1550,22 @@ object TextAnalysis {
           (if (wordpiece) col("__score") else lit(0.0)).as("__score"))
         .orderBy(order: _*)
         .limit(1).collect().headOption
+      if (wordpiece) cnt.unpersist()
       best match {
         case None => exhausted = true
         case Some(row) =>
-          val (l, rr, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
-          merges += ((r.toLong, l, rr, cnt))
-          vocab = vocab.withColumn("sym",
+          val (l, rr, cnt0) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((r.toLong, l, rr, cnt0))
+          vocab = cur.withColumn("sym",
             replace(col("sym"), lit(s"$sep$l$sep$sep$rr$sep"),
               lit(s"$sep$l$rr$sep")))
       }
+      // `cur` is now fully consumed by this round's action; the NEXT round's
+      // vocab still reads it, so release the round BEFORE it instead
+      prevRound.foreach(_.unpersist())
+      prevRound = if (r == 1 || !persistRounds) None else Some(cur)
     }
+    prevRound.foreach(_.unpersist())
     base.unpersist()
     merges.result().toDF("rank", "lhs", "rhs", "pair_count")
   }
@@ -1676,12 +1718,21 @@ object TextAnalysis {
   /** Trainer-facing TOKEN-ID export under a learned BPE merge table — the
     * BPE twin of the unigram ids export: every document's piece sequence
     * as (doc_id, pos, piece_id) rows. Vocabulary ids: merge of rank r
-    * (1-based) → id r−1; the learn corpus' single characters follow in
-    * binary code-point order (identical in UTF-8 and UTF-16 on the BMP,
-    * where the word-form gate confines us), ids R..R+C−1; any other piece
-    * and every non-word-form token emit the 99999 OOV id. Two merges whose
+    * (1-based) → id r−1; the character vocabulary follows in binary
+    * code-point order (identical in UTF-8 and UTF-16 on the BMP, where the
+    * word-form gate confines us), ids R..R+C−1; any other piece and every
+    * non-word-form token emit the 99999 OOV id. Two merges whose
     * concatenations collide on the same string resolve to the LOWEST id
     * (first-rank-wins — both engines build the map the same way).
+    *
+    * CONTRACT: the character vocabulary is derived from `docs` ITSELF, so
+    * `docs` must be the corpus the merge table was learned on (or a
+    * superset-free equal in character inventory) — exporting a foreign
+    * corpus under a learned table would silently shift every char id by
+    * however many characters differ. The id space is guarded by
+    * construction: merges.size + chars.size must stay below the 99999 OOV
+    * sentinel (throws otherwise), so no real piece can ever collide with
+    * OOV.
     *
     * Scale shape: the merge table and char vocab ride inside literal
     * expressions (driver-collected, vocabulary-sized — the same bound as
@@ -1703,6 +1754,9 @@ object TextAnalysis {
       .select(explode(split(col("w"), "(?!^)")).as("c"))
       .filter(length(col("c")) > 0)
       .distinct().as[String].collect().sorted.toSeq
+    require(merges.size + chars.size < 99999,
+      s"vocabulary ids (${merges.size} merges + ${chars.size} chars) would " +
+        "reach the 99999 OOV sentinel — raise the sentinel or shrink the vocab")
     val rankOf: Map[String, Long] = {
       val m = scala.collection.mutable.LinkedHashMap[String, Long]()
       merges.zipWithIndex.foreach { case ((l, r), i) =>

@@ -1096,12 +1096,26 @@ class PlanSpec extends AnyFunSuite {
       "rebuild is one hash aggregation over the chunk relation") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bench = docs.filter($"doc_id" % 50 === 0).select("doc_id", "text")
+    // the scoring subtree, pinned through the public sibling that shares
+    // spanScores — decontaminateSpans now EAGERLY materializes its rebuild
+    // (the round-15 cache-release fix), so its returned plan is the survivor
+    // join over a LogicalRDD and the scoring exchanges execute inside the
+    // call rather than appearing in the returned plan
+    val scoring = executedPlan(graft.operators.Dedup.contaminationSpans(
+      docs.filter($"doc_id" % 50 =!= 0), bench, 3, 16, 5, 0.5))
+    assert(scoring.contains("BroadcastExchange"),
+      s"benchmark shingles must broadcast:\n$scoring")
+    assert(!scoring.contains("CartesianProduct"),
+      s"span scoring must never form a product:\n$scoring")
+    // end-to-end: the eager operator's returned plan stays keyed too, and
+    // the chunk cache it used internally is RELEASED (no leaked relation —
+    // the round-15 advice fix)
     val plan = executedPlan(graft.operators.Dedup.decontaminateSpans(
       docs.filter($"doc_id" % 50 =!= 0), bench, 3, 16, 5, 0.5))
-    assert(plan.contains("BroadcastExchange"),
-      s"benchmark shingles must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"),
-      s"span scoring must never form a product:\n$plan")
+      s"span rebuild must never form a product:\n$plan")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "decontaminateSpans must not leak a cached chunk relation")
   }
 
   test("audio fingerprint: narrow decode — only (doc_id, afp) ever reaches " +
