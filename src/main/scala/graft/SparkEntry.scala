@@ -894,6 +894,36 @@ object SparkEntry {
       MultiDocRows.map { case (id, t) => s"SELECT $id, '$t'" }
         .mkString(" UNION ALL ") + ")"
 
+  /** Astral-plane decoration block for the BMP-exclusion audit
+    * (text_astral_oov): the synthetic corpus and [[MultiDocRows]] are
+    * BMP-only, so the astral counters would read zero everywhere. Three
+    * deterministic extra documents carry the cases the audit must tell
+    * apart, all Unicode 3.1-era code points so Java and RE2 `\p{L}`
+    * classifications agree: Deseret + CJK Extension B + Gothic +
+    * mathematical-bold words (astral LETTERS — the recoverable OOV mass),
+    * a mixed BMP+astral-letter word (also recoverable), emoji runs (astral
+    * NON-letters — never admissible by any letter gate), and plain BMP
+    * word forms interleaved as controls. Ids start at 910000 (beyond
+    * [[MultiDocRows]]' 900000 block). Single source for BOTH engines. */
+  private val AstralDocRows: Seq[(Long, String)] = Seq(
+    (910001L, "𐐷𐐷𐐷 hello 𠀀𠀀 world 𐌰𐌰𐌰 мир"),
+    (910007L, "😀 😀😀 mixé𝐀 𝐀𝐁𝐂 plain x9 123"),
+    (910013L, "𝕬𝖅 café 𐐷hello straße 😀ok"))
+
+  /** [[docsMulti]] ∪ [[AstralDocRows]] — the corpus the astral-exclusion
+    * audit runs on. */
+  private def docsAstral(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docsMulti(s, dir).unionByName(AstralDocRows.toDF("doc_id", "text"))
+  }
+
+  /** DuckDB twin of [[docsAstral]]. */
+  private val AdocsCte: String =
+    s"$MdocsCte, adocs(doc_id, text) AS (SELECT doc_id, text FROM mdocs " +
+      "UNION ALL " +
+      AstralDocRows.map { case (id, t) => s"SELECT $id, '$t'" }
+        .mkString(" UNION ALL ") + ")"
+
   /** Shared CTE prefix for the subword-tokenization mirrors: word instances
     * with per-doc index (wd), substring frequencies → the 256-piece vocab in
     * (count DESC, piece ASC) rank order (bvocab — exactly
@@ -1327,16 +1357,24 @@ object SparkEntry {
     * scans left-to-right non-overlapping — exactly BPE's application order —
     * and the wrappers stop sub-symbol matches. Every chained CTE is
     * MATERIALIZED (the pageRank-oracle rule). */
-  private def bpeLearnCtes(rounds: Int, wordpiece: Boolean = false): String = {
+  /** The shared learn-chain prefix: word-form frequencies (bw) and the
+    * ␟-wrapped start symbolization (v_0) — the twin of
+    * TextAnalysis.subwordBase, used by the serial AND batched mirrors. */
+  private def bpeBaseCtes: String = {
     val sp = "chr(31)"
-    val sb = new StringBuilder
-    sb ++= "bw AS MATERIALIZED (" +
+    "bw AS MATERIALIZED (" +
       "SELECT t AS w, CAST(count(*) AS BIGINT) AS freq FROM " +
       s"(SELECT ${sqlNorm("t0")} AS t FROM " +
       s"(SELECT unnest($RawToks) AS t0 FROM mdocs WHERE $TokN > 0)) " +
-      s"WHERE ${sqlWordGate("t")} GROUP BY t)"
-    sb ++= ", v_0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', " +
+      s"WHERE ${sqlWordGate("t")} GROUP BY t)" +
+      ", v_0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', " +
       s"$sp || '\\1' || $sp, 'g') AS sym, freq FROM bw)"
+  }
+
+  private def bpeLearnCtes(rounds: Int, wordpiece: Boolean = false): String = {
+    val sp = "chr(31)"
+    val sb = new StringBuilder
+    sb ++= bpeBaseCtes
     for (r <- 1 to rounds) {
       sb ++= s", y_$r AS (SELECT string_split(substr(sym, 2, length(sym) - 2), " +
         s"$sp || $sp) AS s, freq FROM v_${r - 1})"
@@ -1409,6 +1447,53 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     s"WITH $MdocsCte, ${bpeLearnCtes(rounds, wordpiece)} " +
       "SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, " +
+      s"CAST(cnt AS BIGINT) AS pair_count FROM ($union)"
+  }
+
+  /** Full DuckDB replay of [[graft.operators.TextAnalysis
+    * .bpeLearnMergesBatched]]: the serial chain's pair counting per round,
+    * then the ORDER-FREE dominance filter (a pair is accepted iff no
+    * higher-ranked pair shares a symbol — one join + grouping, never a
+    * sequential scan), the ≤ k cap, and all accepted merges applied as a
+    * chained `replace` (accepted pairs are symbol-disjoint so the replaces
+    * commute; missing ar slots no-op via a chr(1) sentinel, which the
+    * normalization scrub guarantees never occurs in a symbolization). */
+  private def bpeBatchedLearnOracleSql(rounds: Int, k: Int): String = {
+    val sp = "chr(31)"
+    val sb = new StringBuilder
+    sb ++= bpeBaseCtes
+    for (t <- 1 to rounds) {
+      sb ++= s", y_$t AS (SELECT string_split(substr(sym, 2, length(sym) - 2), " +
+        s"$sp || $sp) AS s, freq FROM v_${t - 1})"
+      sb ++= s", x_$t AS (SELECT s, freq, " +
+        "unnest(generate_series(1, len(s) - 1)) AS i " +
+        s"FROM y_$t WHERE len(s) >= 2)"
+      sb ++= s", r_$t AS MATERIALIZED (SELECT lhs, rhs, cnt, " +
+        "row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS rn FROM (" +
+        s"SELECT s[i] AS lhs, s[i + 1] AS rhs, sum(freq) AS cnt " +
+        s"FROM x_$t GROUP BY 1, 2))"
+      sb ++= s", c_$t AS (SELECT q.rn AS rn FROM r_$t q JOIN r_$t h " +
+        "ON h.rn < q.rn AND (h.lhs = q.lhs OR h.lhs = q.rhs " +
+        "OR h.rhs = q.lhs OR h.rhs = q.rhs) GROUP BY q.rn)"
+      sb ++= s", a_$t AS MATERIALIZED (SELECT * FROM (" +
+        "SELECT r.lhs AS lhs, r.rhs AS rhs, r.cnt AS cnt, " +
+        "row_number() OVER (ORDER BY r.rn) AS ar " +
+        s"FROM r_$t r LEFT JOIN c_$t c ON c.rn = r.rn WHERE c.rn IS NULL) " +
+        s"WHERE ar <= $k)"
+      val rep = (1 to k).foldLeft("sym") { (acc, j) =>
+        s"replace($acc, COALESCE((SELECT $sp || lhs || $sp || $sp || rhs || $sp " +
+          s"FROM a_$t WHERE ar = $j), chr(1)), " +
+          s"COALESCE((SELECT $sp || lhs || rhs || $sp FROM a_$t WHERE ar = $j), " +
+          "chr(1)))"
+      }
+      sb ++= s", v_$t AS MATERIALIZED (SELECT $rep AS sym, freq FROM v_${t - 1})"
+    }
+    val union = (1 to rounds)
+      .map(t => s"SELECT $t AS batch, ar, lhs, rhs, cnt FROM a_$t")
+      .mkString(" UNION ALL ")
+    s"WITH $MdocsCte, ${sb.toString} " +
+      "SELECT CAST(batch AS BIGINT) AS batch, " +
+      "CAST(ar AS BIGINT) AS rank_in_batch, lhs, rhs, " +
       s"CAST(cnt AS BIGINT) AS pair_count FROM ($union)"
   }
 
@@ -2925,6 +3010,13 @@ object SparkEntry {
     // argmax and count compared exactly against the mirror's chained replay
     "text_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeLearnMerges(docsMulti(s, dir), 12)),
+    // the batched (multi-merge-per-round) learner — the R/k job-count lever
+    // of the production recipe: 3 rounds × up to 4 dominance-filtered
+    // non-conflicting merges; the oracle replays ranking, dominance filter,
+    // cap and the commuting batched application exactly
+    "text_bpe_merges_batched" -> ((s, dir) =>
+      TextAnalysis.bpeLearnMergesBatched(docsMulti(s, dir),
+        batchRounds = 3, batchK = 4)),
     // the learned tokenizer APPLIED: per-doc piece counts under the
     // 12-merge table learned from the corpus itself (12-row driver collect,
     // then one narrow explode + chained-replace pass)
@@ -3529,6 +3621,12 @@ object SparkEntry {
     // voted language — exact long sums, one division per language row
     "text_fertility" -> ((s, dir) =>
       TextAnalysis.tokenizerFertility(docsMulti(s, dir))),
+    // the BMP-exclusion audit (what the word-form gate's astral cutoff
+    // costs, measured): exact token-mass counters over the astral-decorated
+    // corpus — letter-vs-astral classification must agree between Java and
+    // RE2 for every fixture code point or the hash gate fails
+    "text_astral_oov" -> ((s, dir) =>
+      TextAnalysis.astralOovAudit(docsAstral(s, dir))),
     // Bradley–Terry preference strengths (the reward-model data-plane op):
     // comparisons synthesized from per-user event-type spend totals (larger
     // total wins, ties skipped), then 8 fixed-point MM rounds — every floor
@@ -5340,6 +5438,7 @@ object SparkEntry {
     // merge-learning mirror: `rounds` chained (pairs → argmax → replace)
     // CTE rounds over the chr(31)-wrapped word vocabulary
     "text_bpe_merges" -> bpeLearnOracleSql(12),
+    "text_bpe_merges_batched" -> bpeBatchedLearnOracleSql(3, 4),
     "text_wordpiece_merges" -> bpeLearnOracleSql(10, wordpiece = true),
     "text_wordpiece_apply" -> bpeApplyOracleSql(10, wordpiece = true),
     // learned-tokenizer application mirror: learning chain + per-token
@@ -5858,6 +5957,27 @@ object SparkEntry {
         "CASE WHEN sum(nw) > 0 THEN CAST(sum(np) AS DOUBLE) / CAST(sum(nw) AS DOUBLE) " +
         "ELSE 0.0 END AS fertility " +
         "FROM tk JOIN lid USING (doc_id) GROUP BY 1"),
+    // astral-audit mirror: the same normalized-token relation, RE2's
+    // letter class and astral range in place of Java's; counts are exact
+    // longs, the share one IEEE division
+    "text_astral_oov" ->
+      (s"WITH $AdocsCte, " +
+        s"tok AS (SELECT unnest($RawToks) AS w0 FROM adocs), " +
+        s"nt AS (SELECT ${sqlNorm("w0")} AS w FROM tok WHERE w0 <> '') " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_tokens, " +
+        s"CAST(sum(CASE WHEN ${sqlWordGate("w")} THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_word_forms, " +
+        "CAST(sum(CASE WHEN regexp_matches(w, '^\\p{L}+$') THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_letter_tokens, " +
+        "CAST(sum(CASE WHEN regexp_matches(w, '[\\x{10000}-\\x{10FFFF}]') " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_astral_any, " +
+        "CAST(sum(CASE WHEN regexp_matches(w, '^\\p{L}+$') AND " +
+        "regexp_matches(w, '[\\x{10000}-\\x{10FFFF}]') THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_astral_oov, " +
+        "CAST(sum(CASE WHEN regexp_matches(w, '^\\p{L}+$') AND " +
+        "regexp_matches(w, '[\\x{10000}-\\x{10FFFF}]') THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / CAST(count(*) AS DOUBLE) AS astral_oov_share " +
+        "FROM nt"),
     "eval_bradley_terry" -> bradleyTerryOracleSql(8, 1L << 20),
     // agreement mirror: ordered-pair counts merged into the unordered pair,
     // majority share as one IEEE division of exact longs

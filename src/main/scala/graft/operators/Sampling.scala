@@ -564,14 +564,29 @@ object Sampling {
     * Scale shape: one narrow map (hash + fingerprint per row) and ONE
     * map-side-combined exchange of numShards·partitions partial rows. */
   def exportManifest(docs: DataFrame, numShards: Int, seed: Long = 42,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    manifestFinish(manifestPartial(docs, numShards, seed, idCol, textCol))
+
+  /** 2⁶⁴ as an exact decimal — the modulus of the manifest checksum's
+    * unsigned accumulator (and of the streaming fold over it). */
+  private[graft] val ManifestM64: java.math.BigDecimal =
+    new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64))
+
+  /** The MERGEABLE half of [[exportManifest]]: per-shard
+    * (n_docs, n_tokens, cu) where `cu` is the unsigned mod-2⁶⁴ checksum
+    * accumulator in DECIMAL(38,0). All three columns are commutative
+    * monoids (two plain sums, one wrap-around sum), which is what lets
+    * `StreamingManifest.manifestSink` fold micro-batch partials in a
+    * [[graft.streaming.GenStore]] and land on the bit-identical one-shot
+    * manifest. */
+  private[graft] def manifestPartial(docs: DataFrame, numShards: Int,
+      seed: Long = 42, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
-    val m64 = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64))
     val h = graft.functions.HashExpressions
       .polyHash64(TextAnalysis.fingerprint(col(textCol)))
-    val hu = when(h < 0, h.cast("decimal(38,0)") + lit(m64))
+    val hu = when(h < 0, h.cast("decimal(38,0)") + lit(ManifestM64))
       .otherwise(h.cast("decimal(38,0)"))
-    val half = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(63))
     docs
       .select(pmod(hashRaw(col(idCol), seed), lit(numShards.toLong)).as("shard"),
         coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L))
@@ -579,10 +594,17 @@ object Sampling {
         hu.as("hu"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("n_tokens"),
-        pmod(sum(col("hu")), lit(m64)).as("cu"))
-      .select(col("shard"), col("n_docs"), col("n_tokens"),
-        when(col("cu") >= lit(half), col("cu") - lit(m64)).otherwise(col("cu"))
-          .cast("long").as("checksum"))
+        pmod(sum(col("hu")), lit(ManifestM64)).as("cu"))
+  }
+
+  /** The FINISHING half of [[exportManifest]]: fold the unsigned mod-2⁶⁴
+    * accumulator back to the signed 64-bit checksum domain. */
+  private[graft] def manifestFinish(partial: DataFrame): DataFrame = {
+    val half = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(63))
+    partial.select(col("shard"), col("n_docs"), col("n_tokens"),
+      when(col("cu") >= lit(half), col("cu") - lit(ManifestM64))
+        .otherwise(col("cu"))
+        .cast("long").as("checksum"))
   }
 
   /** WATER-FILLING budget allocation — the exact-count companion of

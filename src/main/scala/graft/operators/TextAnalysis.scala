@@ -58,6 +58,51 @@ object TextAnalysis {
   private[graft] def normWord(w: Column): Column =
     graft.functions.TextExpressions.normalizeText(w)
 
+  /** ASTRAL-EXCLUSION AUDIT for the BMP word-form gate — [[isWordForm]]
+    * deliberately stops at the Basic Multilingual Plane (see its scaladoc:
+    * code unit = code point on every engine), which means astral-letter
+    * words (CJK Extensions B+, Deseret, mathematical alphanumerics, …)
+    * segment as whole-token OOV and contribute nothing to subword merges.
+    * This audit MEASURES that exclusion instead of leaving it silent: one
+    * row of exact token-mass counts over the corpus —
+    *
+    *   - `n_tokens`        all non-empty whitespace tokens
+    *   - `n_word_forms`    tokens the BMP gate admits (today's learn mass)
+    *   - `n_letter_tokens` pure-letter tokens INCLUDING astral letters
+    *     (what a surrogate-aware gate would admit)
+    *   - `n_astral_any`    tokens containing any astral code point (adds
+    *     the emoji/symbol mass, which no letter gate would ever admit)
+    *   - `n_astral_oov`    pure-letter tokens blocked ONLY by the BMP
+    *     restriction — exactly the mass a gate extension would recover
+    *   - `astral_oov_share` = n_astral_oov / n_tokens
+    *
+    * Run it before trusting a learned tokenizer on a new corpus: a share
+    * near 0 says the BMP contract is free there; a large share says this
+    * corpus needs the astral extension first. All counts are exact longs
+    * over the SAME normalization ([[normWord]]) the learners use; the one
+    * division is a single IEEE op — bit-stable on any engine.
+    *
+    * Scale shape: one narrow token explode + ONE map-side-combined
+    * aggregation to a single row; the regexes run per token instance but
+    * carry no joins, windows or second passes. */
+  def astralOovAudit(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = normWord(col("w0"))
+    val letters = w.rlike("^\\p{L}+$")
+    val astral = w.rlike("[\\x{10000}-\\x{10FFFF}]")
+    docs.select(explode(tokens(col(textCol))).as("w0"))
+      .filter(length(col("w0")) > 0)
+      .select(
+        isWordForm(w).cast("long").as("__wf"),
+        letters.cast("long").as("__lt"),
+        astral.cast("long").as("__aa"),
+        (letters && astral).cast("long").as("__ao"))
+      .agg(count(lit(1)).as("n_tokens"), sum("__wf").as("n_word_forms"),
+        sum("__lt").as("n_letter_tokens"), sum("__aa").as("n_astral_any"),
+        sum("__ao").as("n_astral_oov"))
+      .withColumn("astral_oov_share",
+        col("n_astral_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Token count: whitespace tokenization. Whitespace-ONLY text (any mix of
     * [[WsCharsRaw]]) counts 0 — the guard below and [[tokens]] must share the
     * same set-trim or `" \t "` would count 2 phantom tokens. */
@@ -1461,19 +1506,18 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame =
     subwordLearnMerges(docs, rounds, textCol, wordpiece = true)
 
-  private[graft] def subwordLearnMerges(docs: DataFrame, rounds: Int,
-      textCol: String, wordpiece: Boolean,
-      persistRounds: Boolean = false): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** The persisted (sym, freq) start state shared by the serial and
+    * batched merge learners: word-form frequencies under the Unicode
+    * contract, each character ␟-wrapped. The CALLER unpersists.
+    *
+    * Groups by the RAW token first: NFC + the word-form regexes then run
+    * on the vocabulary-sized distinct relation (~10⁴–10⁷ rows), not per
+    * token instance (~10¹¹ at 100 TB) — measured 2× on the learn queries.
+    * Grouping raw-then-normalized is algebraically identical to
+    * normalizing first (freqs of raw forms that normalize together sum). */
+  private def subwordBase(docs: DataFrame, textCol: String): DataFrame = {
     val sep = BpeSep
-    // group by the RAW token first: NFC + the word-form regexes then run
-    // on the vocabulary-sized distinct relation (~10⁴–10⁷ rows), not per
-    // token instance (~10¹¹ at 100 TB) — measured 2× on the learn queries.
-    // Grouping raw-then-normalized is algebraically identical to
-    // normalizing first (freqs of raw forms that normalize together sum).
-    val base = docs
+    docs
       .select(explode(tokens(col(textCol))).as("w0"))
       .groupBy("w0").agg(count(lit(1)).as("freq"))
       .select(normWord(col("w0")).as("w"), col("freq"))
@@ -1482,6 +1526,16 @@ object TextAnalysis {
       .select(regexp_replace(col("w"), "(.)", s"$sep$$1$sep").as("sym"),
         col("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private[graft] def subwordLearnMerges(docs: DataFrame, rounds: Int,
+      textCol: String, wordpiece: Boolean,
+      persistRounds: Boolean = false): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sep = BpeSep
+    val base = subwordBase(docs, textCol)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var vocab = base
     // the previous round's PERSISTED symbolization, released once the next
@@ -1568,6 +1622,95 @@ object TextAnalysis {
     prevRound.foreach(_.unpersist())
     base.unpersist()
     merges.result().toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** BATCHED BPE merge learning — the job-count lever of the 100 TB recipe
+    * (SCALE.md §Round-15), built instead of only documented: one merge per
+    * round is Sennrich's exact algorithm but R≈30k merges means 30k Spark
+    * actions; this variant accepts up to `batchK` NON-CONFLICTING pairs per
+    * round, cutting the action count to R/batchK.
+    *
+    * Conflict rule (deterministic and ORDER-FREE, so any engine replays
+    * it): rank every pair by (count DESC, lhs ASC, rhs ASC); a pair is
+    * accepted iff NO higher-ranked pair shares any of its symbols
+    * (dominance filtering — a pair conflicting only with a REJECTED higher
+    * pair is also rejected, slightly more conservative than greedy
+    * selection but expressible as one anti-join instead of a sequential
+    * scan); the first `batchK` accepted (by rank) form the batch. Accepted
+    * pairs are pairwise symbol-disjoint, so their ␟-wrapped replaces touch
+    * disjoint match sites and COMMUTE — batched application is
+    * order-independent, which is exactly what makes it sound.
+    *
+    * NOT Sennrich-identical beyond batchK = 1: a batched table can diverge
+    * from the serial one wherever a round-r merge would have created the
+    * round-r+1 winner (the serial learner sees the fused symbol, the batch
+    * does not). With batchK = 1 the dominance filter degenerates to the
+    * plain argmax and the table EQUALS [[bpeLearnMerges]]' (spec-pinned).
+    * Ship a batched table only behind the two-sample prefix-stability gate
+    * the recipe prescribes.
+    *
+    * Runs exactly `batchRounds` rounds (early-stops when no pairs remain);
+    * returns (batch, rank_in_batch, lhs, rhs, pair_count). Scale shape per
+    * round: ONE vocab-sized pass + one exchange (the [[bpeLearnMerges]]
+    * pair count), then ranking, the dominance anti-join and the ≤ batchK
+    * driver collect all on the alphabet²-bounded pair relation (the
+    * single-partition window is over that tiny relation, never the
+    * corpus). */
+  def bpeLearnMergesBatched(docs: DataFrame, batchRounds: Int, batchK: Int,
+      textCol: String = "text"): DataFrame = {
+    require(batchRounds >= 1, s"batchRounds must be >= 1, got $batchRounds")
+    require(batchK >= 1, s"batchK must be >= 1, got $batchK")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sep = BpeSep
+    val base = subwordBase(docs, textCol)
+    val out = Seq.newBuilder[(Long, Long, String, String, Long)]
+    var vocab = base
+    var exhausted = false
+    for (t <- 1 to batchRounds if !exhausted) {
+      val split0 = vocab
+        .select(col("freq"),
+          split(col("sym").substr(lit(2), length(col("sym")) - 2),
+            s"$sep$sep").as("s"))
+      val pairs = split0
+        .filter(size(col("s")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> struct(element_at(s, i) AS lhs, element_at(s, i + 1) AS rhs))"))
+          .as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+      val ranked = pairs.withColumn("rn",
+        row_number().over(
+          Window.orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)))
+      val q = ranked.as("q")
+      val h = ranked.as("h")
+      val conflict = col("h.rn") < col("q.rn") && (
+        col("h.lhs") === col("q.lhs") || col("h.lhs") === col("q.rhs") ||
+          col("h.rhs") === col("q.lhs") || col("h.rhs") === col("q.rhs"))
+      val accepted = q.join(h, conflict, "left_anti")
+        .withColumn("ar", row_number().over(Window.orderBy(col("rn"))))
+        .filter(col("ar") <= batchK)
+        .select(col("ar"), col("lhs"), col("rhs"), col("cnt"))
+        .orderBy(col("ar"))
+        .collect() // ≤ batchK rows — bounded driver collect
+      if (accepted.isEmpty) exhausted = true
+      else {
+        accepted.foreach { r =>
+          out += ((t.toLong, r.getInt(0).toLong,
+            r.getString(1), r.getString(2), r.getLong(3)))
+        }
+        vocab = accepted.foldLeft(vocab) { (v, r) =>
+          val (l, rr) = (r.getString(1), r.getString(2))
+          v.withColumn("sym",
+            replace(col("sym"), lit(s"$sep$l$sep$sep$rr$sep"),
+              lit(s"$sep$l$rr$sep")))
+        }
+      }
+    }
+    base.unpersist()
+    out.result().toDF("batch", "rank_in_batch", "lhs", "rhs", "pair_count")
   }
 
   /** APPLY a learned merge table: per-document token and BPE-piece counts

@@ -2451,6 +2451,37 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "l", "o", 7L), (4L, "lo", "w", 7L)))
   }
 
+  test("batched BPE learning with batchK=1 equals the serial learner") {
+    // dominance filtering degenerates to the plain argmax at k=1, so the
+    // batched table must EQUAL bpeLearnMerges' — the contract that makes
+    // the batched variant a safe job-count lever
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docsDf = Seq((1L, corpus)).toDF("doc_id", "text")
+    val serial = TextAnalysis.bpeLearnMerges(docsDf, 4)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    val batched = TextAnalysis.bpeLearnMergesBatched(docsDf, 4, 1)
+      .as[(Long, Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(batched.map(b => (b._1, b._3, b._4, b._5)) == serial)
+    assert(batched.forall(_._2 == 1L)) // one merge per batch at k=1
+  }
+
+  test("batched BPE learning: hand-computed dominance batch on the Sennrich corpus") {
+    // ranked pairs: (e,s)=9 (s,t)=9 (w,e)=8 (l,o)=7 (o,w)=7 (e,w)=6 (n,e)=6
+    // (d,e)=3 (i,d)=3 (w,i)=3 (e,r)=2. Dominance: (e,s) accepted; (s,t)
+    // shares s → out; (w,e) shares e → out; (l,o) disjoint → accepted;
+    // (o,w) shares o → out; every later pair conflicts with SOME
+    // higher-ranked pair — including (i,d), which dies to the REJECTED
+    // (d,e): dominance is deliberately more conservative than greedy
+    // (order-free, one anti-join). So one batch at k=4 accepts exactly 2.
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docsDf = Seq((1L, corpus)).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeLearnMergesBatched(docsDf, 1, 4)
+      .as[(Long, Long, String, String, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq((1L, 1L, "e", "s", 9L), (1L, 2L, "l", "o", 7L)))
+  }
+
   test("BPE merge learning on a Cyrillic corpus: hand-computed merges") {
     // мир×5 мирок×2 колесо×6 железо×3. Hand-run:
     //  r1: (л,е)=9 (both колесо and железо contribute)

@@ -1114,8 +1114,13 @@ class PlanSpec extends AnyFunSuite {
       docs.filter($"doc_id" % 50 =!= 0), bench, 3, 16, 5, 0.5))
     assert(!plan.contains("CartesianProduct"),
       s"span rebuild must never form a product:\n$plan")
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "decontaminateSpans must not leak a cached chunk relation")
+    // the SPECIFIC chunk relation must be released (same logical plan →
+    // same cache key; storageLevel is the public cache-lookup). A global
+    // cacheManager.isEmpty would race other suites on the shared session.
+    val chunksAgain = graft.operators.TextAnalysis.chunkByContent(
+      docs.filter($"doc_id" % 50 =!= 0), 16, 5)
+    assert(chunksAgain.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "decontaminateSpans must not leak its cached chunk relation")
   }
 
   test("audio fingerprint: narrow decode — only (doc_id, afp) ever reaches " +
@@ -1127,6 +1132,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"audio dedup must stay keyed:\n$plan")
+  }
+
+  test("jpeg decode gate: keyed plan — encoded media dies inside the decode " +
+      "stage, never a product") {
+    val df = SparkEntry.queries("mm_decode_jpeg")(spark, "/root/testdata/sf0.001")
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"jpeg dedup must stay keyed:\n$plan")
+    // the heavy binary column must not survive into any exchange: decode
+    // runs in mapPartitions and only (pid, dims, sums) rows leave the stage
+    assert(!"Exchange[^\\n]*media".r.findFirstIn(plan).isDefined,
+      s"media bytes reached an exchange:\n$plan")
   }
 
   test("pack efficiency: both aggregates reuse the batching window's " +

@@ -969,4 +969,64 @@ class StreamingSpec extends AnyFunSuite {
     // drift direction sanity: buckets 5..7 exist only in the stream side
     assert(streamed.count(r => r._1 >= 5 && r._2 == 0 && r._3 > 0) == 3)
   }
+
+  test("streaming manifest: per-batch fold lands on the one-shot manifest", SlowTest) {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val (b1, rest) = rows.splitAt(rows.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    val base = java.nio.file.Files.createTempDirectory("graft-man").toString
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingManifest.manifestSink(
+        input.toDF().toDF("doc_id", "text"), numShards = 8,
+        s"$base/state", s"$base/out", s"$base/ckpt")
+      .start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // the final generation's manifest is BIT-identical to a one-shot
+    // exportManifest over every row seen — counts, tokens and the
+    // wrap-around checksum all fold exactly
+    val streamed = sorted(spark.read.parquet(s"$base/out/batch_id=2"))
+    val oneShot = sorted(graft.operators.Sampling.exportManifest(
+      rows.toDF("doc_id", "text"), numShards = 8))
+    assert(streamed == oneShot, s"streamed=$streamed oneShot=$oneShot")
+    // and the intermediate batch 0 equals the one-shot over b1 alone
+    val s0 = sorted(spark.read.parquet(s"$base/out/batch_id=0"))
+    val o0 = sorted(graft.operators.Sampling.exportManifest(
+      b1.toDF("doc_id", "text"), numShards = 8))
+    assert(s0 == o0, s"batch-0 manifest diverges: $s0 vs $o0")
+  }
+
+  test("streaming manifest: checkpoint restart resumes the shard store", SlowTest) {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val base = java.nio.file.Files.createTempDirectory("graft-manr").toString
+    val input = MemoryStream[(Long, String)]
+    // same checkpoint across restarts — the batchId lineage the gen store
+    // keys on lives there (the O1 restart-test pattern)
+    def start() = graft.streaming.StreamingManifest.manifestSink(
+        input.toDF().toDF("doc_id", "text"), numShards = 8,
+        s"$base/state", s"$base/out", s"$base/ckpt")
+      .start()
+    val q1 = start()
+    try { input.addData(b1); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { input.addData(b2); q2.processAllAvailable() } finally q2.stop()
+    val restarted = spark.read.parquet(s"$base/out/batch_id=1")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val oneShot = graft.operators.Sampling.exportManifest(
+        rows.toDF("doc_id", "text"), numShards = 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(restarted == oneShot, s"restarted=$restarted oneShot=$oneShot")
+  }
 }
