@@ -1458,7 +1458,8 @@ object SparkEntry {
     * chained `replace` (accepted pairs are symbol-disjoint so the replaces
     * commute; missing ar slots no-op via a chr(1) sentinel, which the
     * normalization scrub guarantees never occurs in a symbolization). */
-  private def bpeBatchedLearnOracleSql(rounds: Int, k: Int): String = {
+  private def bpeBatchedLearnOracleSql(rounds: Int, k: Int,
+      wordpiece: Boolean = false): String = {
     val sp = "chr(31)"
     val sb = new StringBuilder
     sb ++= bpeBaseCtes
@@ -1468,10 +1469,24 @@ object SparkEntry {
       sb ++= s", x_$t AS (SELECT s, freq, " +
         "unnest(generate_series(1, len(s) - 1)) AS i " +
         s"FROM y_$t WHERE len(s) >= 2)"
-      sb ++= s", r_$t AS MATERIALIZED (SELECT lhs, rhs, cnt, " +
-        "row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS rn FROM (" +
-        s"SELECT s[i] AS lhs, s[i + 1] AS rhs, sum(freq) AS cnt " +
-        s"FROM x_$t GROUP BY 1, 2))"
+      if (wordpiece) {
+        // likelihood-scored ranking — the serial wordpiece mirror's
+        // symbol-count join, then the same dominance machinery below
+        sb ++= s", sc_$t AS MATERIALIZED (SELECT t, sum(freq) AS c FROM " +
+          s"(SELECT unnest(s) AS t, freq FROM y_$t) GROUP BY 1)"
+        sb ++= s", r_$t AS MATERIALIZED (SELECT lhs, rhs, cnt, " +
+          "row_number() OVER (ORDER BY score DESC, lhs, rhs) AS rn FROM (" +
+          "SELECT p.lhs, p.rhs, p.cnt, CAST(p.cnt AS DOUBLE) / " +
+          "(CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS score " +
+          s"FROM (SELECT s[i] AS lhs, s[i + 1] AS rhs, sum(freq) AS cnt " +
+          s"FROM x_$t GROUP BY 1, 2) p " +
+          s"JOIN sc_$t a ON a.t = p.lhs JOIN sc_$t b ON b.t = p.rhs))"
+      } else {
+        sb ++= s", r_$t AS MATERIALIZED (SELECT lhs, rhs, cnt, " +
+          "row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS rn FROM (" +
+          s"SELECT s[i] AS lhs, s[i + 1] AS rhs, sum(freq) AS cnt " +
+          s"FROM x_$t GROUP BY 1, 2))"
+      }
       sb ++= s", c_$t AS (SELECT q.rn AS rn FROM r_$t q JOIN r_$t h " +
         "ON h.rn < q.rn AND (h.lhs = q.lhs OR h.lhs = q.rhs " +
         "OR h.rhs = q.lhs OR h.rhs = q.rhs) GROUP BY q.rn)"
@@ -3053,6 +3068,11 @@ object SparkEntry {
     // cohesive pairs beat merely frequent ones; 10 likelihood-scored rounds
     "text_wordpiece_merges" -> ((s, dir) =>
       TextAnalysis.wordpieceLearnMerges(docsMulti(s, dir), 10)),
+    // the batched WordPiece sibling of text_bpe_merges_batched: identical
+    // dominance machinery, likelihood-scored ranking
+    "text_wordpiece_merges_batched" -> ((s, dir) =>
+      TextAnalysis.wordpieceLearnMergesBatched(docsMulti(s, dir),
+        batchRounds = 3, batchK = 4)),
     // the learned WordPiece table APPLIED via the same chained-replace
     // encoder as BPE (10-row driver collect, one narrow pass)
     "text_wordpiece_apply" -> ((s, dir) => {
@@ -5439,6 +5459,8 @@ object SparkEntry {
     // CTE rounds over the chr(31)-wrapped word vocabulary
     "text_bpe_merges" -> bpeLearnOracleSql(12),
     "text_bpe_merges_batched" -> bpeBatchedLearnOracleSql(3, 4),
+    "text_wordpiece_merges_batched" ->
+      bpeBatchedLearnOracleSql(3, 4, wordpiece = true),
     "text_wordpiece_merges" -> bpeLearnOracleSql(10, wordpiece = true),
     "text_wordpiece_apply" -> bpeApplyOracleSql(10, wordpiece = true),
     // learned-tokenizer application mirror: learning chain + per-token

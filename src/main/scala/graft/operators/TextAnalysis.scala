@@ -1657,7 +1657,22 @@ object TextAnalysis {
     * single-partition window is over that tiny relation, never the
     * corpus). */
   def bpeLearnMergesBatched(docs: DataFrame, batchRounds: Int, batchK: Int,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    subwordLearnMergesBatched(docs, batchRounds, batchK, textCol,
+      wordpiece = false)
+
+  /** The WordPiece sibling of [[bpeLearnMergesBatched]]: identical batching
+    * machinery (dominance filter, cap, commuting application), but rounds
+    * rank by the likelihood score count(ab)/(count(a)·count(b)) — the
+    * [[wordpieceLearnMerges]] objective. batchK = 1 equals the serial
+    * WordPiece table (spec-pinned). */
+  def wordpieceLearnMergesBatched(docs: DataFrame, batchRounds: Int,
+      batchK: Int, textCol: String = "text"): DataFrame =
+    subwordLearnMergesBatched(docs, batchRounds, batchK, textCol,
+      wordpiece = true)
+
+  private def subwordLearnMergesBatched(docs: DataFrame, batchRounds: Int,
+      batchK: Int, textCol: String, wordpiece: Boolean): DataFrame = {
     require(batchRounds >= 1, s"batchRounds must be >= 1, got $batchRounds")
     require(batchK >= 1, s"batchK must be >= 1, got $batchK")
     val spark = docs.sparkSession
@@ -1673,17 +1688,39 @@ object TextAnalysis {
         .select(col("freq"),
           split(col("sym").substr(lit(2), length(col("sym")) - 2),
             s"$sep$sep").as("s"))
-      val pairs = split0
-        .filter(size(col("s")) >= 2)
+      // the serial learner's single combined pass: pair rows + the NULL-rhs
+      // position rows the wordpiece symbol counts re-aggregate
+      val cnt0 = split0
         .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(s) - 1), " +
-            "i -> struct(element_at(s, i) AS lhs, element_at(s, i + 1) AS rhs))"))
+          "transform(sequence(1, size(s)), " +
+            "i -> struct(element_at(s, i) AS lhs, " +
+            "CASE WHEN i < size(s) THEN element_at(s, i + 1) END AS rhs))"))
           .as("p"))
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum(col("freq")).as("cnt"))
-      val ranked = pairs.withColumn("rn",
-        row_number().over(
-          Window.orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)))
+      val cnt =
+        if (wordpiece)
+          cnt0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else cnt0
+      val pairs = cnt.filter(col("rhs").isNotNull)
+      val scored =
+        if (!wordpiece) pairs.withColumn("__score", lit(0.0))
+        else {
+          val syms = cnt.groupBy(col("lhs").as("t")).agg(sum("cnt").as("c"))
+          pairs
+            .join(syms.select(col("t").as("lhs"), col("c").as("__ca")),
+              Seq("lhs"))
+            .join(syms.select(col("t").as("rhs"), col("c").as("__cb")),
+              Seq("rhs"))
+            .withColumn("__score", col("cnt").cast("double") /
+              (col("__ca").cast("double") * col("__cb").cast("double")))
+            .select(col("lhs"), col("rhs"), col("cnt"), col("__score"))
+        }
+      val order =
+        if (wordpiece) Seq(col("__score").desc, col("lhs").asc, col("rhs").asc)
+        else Seq(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+      val ranked = scored.withColumn("rn",
+        row_number().over(Window.orderBy(order: _*)))
       val q = ranked.as("q")
       val h = ranked.as("h")
       val conflict = col("h.rn") < col("q.rn") && (
@@ -1695,6 +1732,7 @@ object TextAnalysis {
         .select(col("ar"), col("lhs"), col("rhs"), col("cnt"))
         .orderBy(col("ar"))
         .collect() // ≤ batchK rows — bounded driver collect
+      if (wordpiece) cnt.unpersist()
       if (accepted.isEmpty) exhausted = true
       else {
         accepted.foreach { r =>

@@ -2466,6 +2466,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(batched.forall(_._2 == 1L)) // one merge per batch at k=1
   }
 
+  test("batched WordPiece learning with batchK=1 equals the serial learner") {
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docsDf = Seq((1L, corpus)).toDF("doc_id", "text")
+    val serial = TextAnalysis.wordpieceLearnMerges(docsDf, 4)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    val batched = TextAnalysis.wordpieceLearnMergesBatched(docsDf, 4, 1)
+      .as[(Long, Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(batched.map(b => (b._1, b._3, b._4, b._5)) == serial)
+  }
+
   test("batched BPE learning: hand-computed dominance batch on the Sennrich corpus") {
     // ranked pairs: (e,s)=9 (s,t)=9 (w,e)=8 (l,o)=7 (o,w)=7 (e,w)=6 (n,e)=6
     // (d,e)=3 (i,d)=3 (w,i)=3 (e,r)=2. Dominance: (e,s) accepted; (s,t)
