@@ -1984,6 +1984,36 @@ class OperatorsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("astral string semantics: Spark column ops are code-point based and " +
+      "UTF-8-binary ordered (the precondition for lifting the BMP word-form gate)") {
+    // Spark stores strings as UTF-8 (UTF8String): length/substring count
+    // CODE POINTS (like DuckDB), ORDER BY compares UTF-8 bytes = code-point
+    // order (like DuckDB's binary collation — NOT Java's UTF-16 order,
+    // where the surrogate range sorts below U+E000), and regex '.' consumes
+    // a full code point. These are exactly the facts that make an astral
+    // extension of isWordForm mirror-exact; this pin fails loudly if a
+    // Spark upgrade ever changes them.
+    import org.apache.spark.sql.functions.{length => flen, substring, regexp_replace => rre, expr}
+    val df = Seq(("a😀b", "", "😀"))
+      .toDF("s", "bmp_private", "astral")
+    val r = df.select(
+      flen($"s"),                       // 3 code points, not 4 UTF-16 units
+      substring($"s", 2, 1),            // the emoji, whole
+      rre($"s", "(.)", "<$1>"),         // '.' consumes the full code point
+      ($"bmp_private" < $"astral")      // UTF-8 byte order: E000 < 1F600
+    ).head()
+    assert(r.getInt(0) == 3)
+    assert(r.getString(1) == "😀")
+    assert(r.getString(2) == "<a><😀><b>")
+    assert(r.getBoolean(3), "Spark string ordering is not UTF-8-binary")
+    // Java \p{L} is code-point based too: the astral letter U+10437 passes
+    // the letters-only regex while the emoji does not
+    val r2 = Seq(("𐐷", "😀")).toDF("deseret", "emoji")
+      .select(expr("deseret rlike '^\\\\p{L}+$'"), expr("emoji rlike '^\\\\p{L}+$'"))
+      .head()
+    assert(r2.getBoolean(0) && !r2.getBoolean(1))
+  }
+
   test("SQL function registration: graft_* callable from spark.sql") {
     graft.sql.GraftExtensions.register(spark)
     val r = spark.sql(
