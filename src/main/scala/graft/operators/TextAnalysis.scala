@@ -1495,10 +1495,13 @@ object TextAnalysis {
     * pairs win over merely frequent ones. Symbol counts are taken over the
     * CURRENT symbolization each round, re-aggregated from the SAME single
     * pair-counting pass (every symbol position appears exactly once as a
-    * pair lhs — the last position pairs with NULL), then BROADCAST into the
-    * pair relation: one vocab-sized pass and one exchange per round, the
-    * rest alphabet-scale (the round-15 restructure; the former second
-    * explode + two shuffle joins measured ~2× the BPE round cost). The
+    * pair lhs — the last position pairs with NULL) and driver-collected —
+    * the symbol relation is alphabet-sized (chars + merges so far, the
+    * bpeTokenIds char-vocab collect bound) — so the score is a literal-map
+    * lookup: one vocab-sized pass and one exchange per round, the rest
+    * alphabet-scale (the round-15 restructure; the former second explode +
+    * two shuffle joins measured ~2× the BPE round cost, and the join form
+    * of the scoring measured ~20% slower than the map form at R=10). The
     * score is one IEEE division of exact long counts (products taken in
     * double to dodge overflow), identical on every engine; ties break
     * (lhs, rhs) ascending as in BPE. */
@@ -1584,18 +1587,19 @@ object TextAnalysis {
         if (!wordpiece) pairs
         else {
           // per-symbol occurrence counts: re-aggregate the SAME pass's
-          // output (every position appears exactly once as an lhs), then
-          // BROADCAST — the symbol relation is alphabet-sized (chars +
-          // merges so far), never vocab-sized, so neither join shuffles
-          // the pair relation
-          val syms = cnt.groupBy(col("lhs").as("t")).agg(sum("cnt").as("c"))
-          pairs
-            .join(syms.select(col("t").as("lhs"), col("c").as("__ca")),
-              Seq("lhs"))
-            .join(syms.select(col("t").as("rhs"), col("c").as("__cb")),
-              Seq("rhs"))
-            .withColumn("__score", col("cnt").cast("double") /
-              (col("__ca").cast("double") * col("__cb").cast("double")))
+          // output (every position appears exactly once as an lhs) and
+          // COLLECT — the symbol relation is alphabet-sized (chars +
+          // merges so far; the bpeTokenIds char-vocab collect bound), so
+          // the score rides a literal map lookup instead of two joins:
+          // the best-pair action is then a single stage over the cached
+          // pair relation (measured faster than the join form at R=10)
+          val syms: Map[String, Long] = cnt
+            .groupBy(col("lhs").as("t")).agg(sum("cnt").as("c"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val cOf = (e: org.apache.spark.sql.Column) =>
+            element_at(typedLit(syms), e).cast("double")
+          pairs.withColumn("__score", col("cnt").cast("double") /
+            (cOf(col("lhs")) * cOf(col("rhs"))))
         }
       val order =
         if (wordpiece) Seq(col("__score").desc, col("lhs").asc, col("rhs").asc)
@@ -1706,14 +1710,15 @@ object TextAnalysis {
       val scored =
         if (!wordpiece) pairs.withColumn("__score", lit(0.0))
         else {
-          val syms = cnt.groupBy(col("lhs").as("t")).agg(sum("cnt").as("c"))
-          pairs
-            .join(syms.select(col("t").as("lhs"), col("c").as("__ca")),
-              Seq("lhs"))
-            .join(syms.select(col("t").as("rhs"), col("c").as("__cb")),
-              Seq("rhs"))
-            .withColumn("__score", col("cnt").cast("double") /
-              (col("__ca").cast("double") * col("__cb").cast("double")))
+          // alphabet-sized driver collect + literal-map score, exactly the
+          // serial learner's form (same IEEE ops → same ranking)
+          val syms: Map[String, Long] = cnt
+            .groupBy(col("lhs").as("t")).agg(sum("cnt").as("c"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val cOf = (e: org.apache.spark.sql.Column) =>
+            element_at(typedLit(syms), e).cast("double")
+          pairs.withColumn("__score", col("cnt").cast("double") /
+            (cOf(col("lhs")) * cOf(col("rhs"))))
             .select(col("lhs"), col("rhs"), col("cnt"), col("__score"))
         }
       val order =
