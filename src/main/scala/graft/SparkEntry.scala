@@ -852,14 +852,15 @@ object SparkEntry {
       "'[\\x01-\\x08\\x0B\\x0E-\\x1F\\x{7F}-\\x{9F}\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g')"
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.isWordForm]]: 1..maxLen
-    * BMP Unicode letters over an ALREADY-normalized expression (RE2's \p{L}
-    * and Java's agree on the fixture's scripts; astral code points are
-    * excluded on both engines — see isWordForm's scaladoc). maxLen 0 = no
+    * Unicode letters — ANY plane, the round-15 astral lift — over an
+    * ALREADY-normalized expression. RE2's `\p{L}` and Java's are both
+    * code-point classifiers, DuckDB's `length` counts code points exactly
+    * as Spark's does on UTF8String, so the gate (and its cap) mean the
+    * same thing on both engines for astral letters too. maxLen 0 = no
     * length cap. */
   private def sqlWordGate(e: String, maxLen: Int = 0): String = {
     val cap = if (maxLen > 0) s" AND length($e) <= $maxLen" else ""
-    s"(regexp_matches($e, '^\\p{L}+$$') " +
-      s"AND NOT regexp_matches($e, '[\\x{10000}-\\x{10FFFF}]')$cap)"
+    s"(regexp_matches($e, '^\\p{L}+$$')$cap)"
   }
 
   /** Non-Latin decoration block for the subword-learning / fertility
@@ -908,7 +909,11 @@ object SparkEntry {
   private val AstralDocRows: Seq[(Long, String)] = Seq(
     (910001L, "𐐷𐐷𐐷 hello 𠀀𠀀 world 𐌰𐌰𐌰 мир"),
     (910007L, "😀 😀😀 mixé𝐀 𝐀𝐁𝐂 plain x9 123"),
-    (910013L, "𝕬𝖅 café 𐐷hello straße 😀ok"))
+    (910013L, "𝕬𝖅 café 𐐷hello straße 😀ok"),
+    // repetition-heavy astral words so astral PAIRS actually WIN merge
+    // rounds in the astral subword-learning proofs (text_*_astral): the
+    // (𐐷,𐐷) pair count beats every BMP pair of the decoration corpus
+    (910019L, "𐐷𐐷𐐷𐐷 𐐷𐐷𐐷𐐷 𐐷𐐷𐐷𐐷 𠀀𠀀𠀀 𠀀𠀀𠀀 𝕬𝖅𝕬𝖅 𝕬𝖅𝕬𝖅"))
 
   /** [[docsMulti]] ∪ [[AstralDocRows]] — the corpus the astral-exclusion
     * audit runs on. */
@@ -923,6 +928,35 @@ object SparkEntry {
       "UNION ALL " +
       AstralDocRows.map { case (id, t) => s"SELECT $id, '$t'" }
         .mkString(" UNION ALL ") + ")"
+
+  /** Fixture-only astral LEARN corpus for the astral subword proofs
+    * (text_bpe_merges_astral and friends): the multilingual decoration ∪
+    * the astral decoration, NO parquet scan — the proofs pin cross-engine
+    * astral exactness (code-point symbolization, ordering, ids), which is
+    * fixture-sized work; the at-scale plan shape is already pinned by the
+    * non-astral siblings on the full corpus. */
+  private def docsAstralSmall(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (MultiDocRows ++ AstralDocRows).toDF("doc_id", "text")
+  }
+
+  /** DuckDB twin of [[docsAstralSmall]]. */
+  private val AsdocsCte: String =
+    "asdocs(doc_id, text) AS (" +
+      (MultiDocRows ++ AstralDocRows)
+        .map { case (id, t) => s"SELECT CAST($id AS BIGINT) AS doc_id, '$t' AS text" }
+        .mkString(" UNION ALL ") + ")"
+
+  /** The WITH-prefix corpus CTE chain for a given subword-mirror corpus
+    * name — every subword oracle builder is parameterized by this so the
+    * same learn/apply/ids replay runs over the production corpus (mdocs)
+    * or the astral proof fixture (asdocs). */
+  private def corpusCte(corpus: String): String = corpus match {
+    case "mdocs"  => MdocsCte
+    case "adocs"  => AdocsCte
+    case "asdocs" => AsdocsCte
+    case other    => throw new IllegalArgumentException(s"unknown corpus $other")
+  }
 
   /** Shared CTE prefix for the subword-tokenization mirrors: word instances
     * with per-doc index (wd), substring frequencies → the 256-piece vocab in
@@ -1360,21 +1394,22 @@ object SparkEntry {
   /** The shared learn-chain prefix: word-form frequencies (bw) and the
     * ␟-wrapped start symbolization (v_0) — the twin of
     * TextAnalysis.subwordBase, used by the serial AND batched mirrors. */
-  private def bpeBaseCtes: String = {
+  private def bpeBaseCtes(corpus: String = "mdocs"): String = {
     val sp = "chr(31)"
     "bw AS MATERIALIZED (" +
       "SELECT t AS w, CAST(count(*) AS BIGINT) AS freq FROM " +
       s"(SELECT ${sqlNorm("t0")} AS t FROM " +
-      s"(SELECT unnest($RawToks) AS t0 FROM mdocs WHERE $TokN > 0)) " +
+      s"(SELECT unnest($RawToks) AS t0 FROM $corpus WHERE $TokN > 0)) " +
       s"WHERE ${sqlWordGate("t")} GROUP BY t)" +
       ", v_0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', " +
       s"$sp || '\\1' || $sp, 'g') AS sym, freq FROM bw)"
   }
 
-  private def bpeLearnCtes(rounds: Int, wordpiece: Boolean = false): String = {
+  private def bpeLearnCtes(rounds: Int, wordpiece: Boolean = false,
+      corpus: String = "mdocs"): String = {
     val sp = "chr(31)"
     val sb = new StringBuilder
-    sb ++= bpeBaseCtes
+    sb ++= bpeBaseCtes(corpus)
     for (r <- 1 to rounds) {
       sb ++= s", y_$r AS (SELECT string_split(substr(sym, 2, length(sym) - 2), " +
         s"$sp || $sp) AS s, freq FROM v_${r - 1})"
@@ -1410,7 +1445,8 @@ object SparkEntry {
     * strings, char ids by code-point rank over the learned word relation,
     * per-token chained-replace pieces enumerated in order, 99999 OOV rows
     * for non-word-forms. */
-  private def subwordIdsOracleSql(rounds: Int, wordpiece: Boolean = false): String = {
+  private def subwordIdsOracleSql(rounds: Int, wordpiece: Boolean = false,
+      corpus: String = "mdocs"): String = {
     val sp = "chr(31)"
     val rep = (1 to rounds).foldLeft(
       s"regexp_replace(nw, '(.)', $sp || '\\1' || $sp, 'g')") { (acc, r) =>
@@ -1420,14 +1456,14 @@ object SparkEntry {
     val munion = (1 to rounds)
       .map(r => s"SELECT lhs || rhs AS piece, rank FROM b_$r")
       .mkString(" UNION ALL ")
-    s"WITH $MdocsCte, ${bpeLearnCtes(rounds, wordpiece)}, " +
+    s"WITH ${corpusCte(corpus)}, ${bpeLearnCtes(rounds, wordpiece, corpus)}, " +
       "bchars AS (SELECT DISTINCT substring(w, p, 1) AS piece FROM bw, " +
       "LATERAL (SELECT unnest(generate_series(1, length(w))) AS p)), " +
       s"bmid AS (SELECT piece, CAST(min(rank) - 1 AS BIGINT) AS pid FROM ($munion) GROUP BY piece), " +
       s"bcid AS (SELECT piece, CAST($rounds + row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS pid FROM bchars), " +
       "vocabid AS (SELECT piece, pid FROM bmid UNION ALL SELECT piece, pid FROM bcid), " +
       s"bdw AS (SELECT doc_id, i AS wi, ${sqlNorm("toks[i]")} AS nw FROM " +
-      s"(SELECT doc_id, $RawToks AS toks FROM mdocs), " +
+      s"(SELECT doc_id, $RawToks AS toks FROM $corpus), " +
       "LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) " +
       "WHERE toks[i] <> ''), " +
       s"bps AS (SELECT doc_id, wi, CASE WHEN ${sqlWordGate("nw")} " +
@@ -1442,10 +1478,11 @@ object SparkEntry {
       "CAST(piece_id AS BIGINT) AS piece_id FROM pm"
   }
 
-  private def bpeLearnOracleSql(rounds: Int, wordpiece: Boolean = false): String = {
+  private def bpeLearnOracleSql(rounds: Int, wordpiece: Boolean = false,
+      corpus: String = "mdocs"): String = {
     val union = (1 to rounds).map(r => s"SELECT * FROM b_$r")
       .mkString(" UNION ALL ")
-    s"WITH $MdocsCte, ${bpeLearnCtes(rounds, wordpiece)} " +
+    s"WITH ${corpusCte(corpus)}, ${bpeLearnCtes(rounds, wordpiece, corpus)} " +
       "SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, " +
       s"CAST(cnt AS BIGINT) AS pair_count FROM ($union)"
   }
@@ -1462,7 +1499,7 @@ object SparkEntry {
       wordpiece: Boolean = false): String = {
     val sp = "chr(31)"
     val sb = new StringBuilder
-    sb ++= bpeBaseCtes
+    sb ++= bpeBaseCtes()
     for (t <- 1 to rounds) {
       sb ++= s", y_$t AS (SELECT string_split(substr(sym, 2, length(sym) - 2), " +
         s"$sp || $sp) AS s, freq FROM v_${t - 1})"
@@ -1520,16 +1557,17 @@ object SparkEntry {
   /** Learning + application CTE chain ending in `bn(doc_id, n_tokens, n)` —
     * per-doc token and learned-BPE piece counts; shared by the apply and
     * pack-on-learned-counts mirrors. */
-  private def bpeApplyCtes(rounds: Int, wordpiece: Boolean = false): String = {
+  private def bpeApplyCtes(rounds: Int, wordpiece: Boolean = false,
+      corpus: String = "mdocs"): String = {
     val sp = "chr(31)"
     val rep = (1 to rounds).foldLeft(
       s"regexp_replace(nw, '(.)', $sp || '\\1' || $sp, 'g')") { (acc, r) =>
       s"replace($acc, (SELECT $sp || lhs || $sp || $sp || rhs || $sp FROM b_$r), " +
         s"(SELECT $sp || lhs || rhs || $sp FROM b_$r))"
     }
-    s"${bpeLearnCtes(rounds, wordpiece)}, " +
+    s"${bpeLearnCtes(rounds, wordpiece, corpus)}, " +
       s"dw AS (SELECT doc_id, w, ${sqlNorm("w")} AS nw FROM " +
-      s"(SELECT doc_id, unnest($RawToks) AS w FROM mdocs WHERE $TokN > 0)), " +
+      s"(SELECT doc_id, unnest($RawToks) AS w FROM $corpus WHERE $TokN > 0)), " +
       s"pc AS (SELECT doc_id, CASE WHEN ${sqlWordGate("nw")} " +
       s"THEN len(string_split(substr($rep, 2, length($rep) - 2), $sp || $sp)) " +
       "ELSE 1 END AS p FROM dw), " +
@@ -1537,8 +1575,9 @@ object SparkEntry {
       "CAST(sum(p) AS BIGINT) AS n FROM pc GROUP BY doc_id)"
   }
 
-  private def bpeApplyOracleSql(rounds: Int, wordpiece: Boolean = false): String =
-    s"WITH $MdocsCte, ${bpeApplyCtes(rounds, wordpiece)} " +
+  private def bpeApplyOracleSql(rounds: Int, wordpiece: Boolean = false,
+      corpus: String = "mdocs"): String =
+    s"WITH ${corpusCte(corpus)}, ${bpeApplyCtes(rounds, wordpiece, corpus)} " +
       "SELECT doc_id, n_tokens, n AS n_pieces FROM bn"
 
   /** Analytic audio-fingerprint chain over `src(key, pid, nudge)` →
@@ -1733,8 +1772,10 @@ object SparkEntry {
     * best (cost, np, path) for the length-i prefix, candidates extend
     * states i−maxPieceLen..i−1 by the matching piece, argmin per word via
     * row_number ORDER BY (cost, np, path) — DuckDB's elementwise VARCHAR[]
-    * order equals the JVM's pure-ASCII sequence compare, so the unique
-    * optimum agrees. Words surface at their exact length's state. */
+    * order is binary (= code-point) order, exactly the
+    * WordForm.compareCodePoints tie-break the JVM DP uses, so the unique
+    * optimum agrees on any plane. Words surface at their exact length's
+    * state (lengths are code points on both engines). */
   private def unigramDpCtes(prefix: String, pcCte: String): String = {
     val dp0 = s"${prefix}0 AS (SELECT w, CAST(0 AS BIGINT) AS cost, " +
       "0 AS np, CAST([] AS VARCHAR[]) AS path FROM uw)"
@@ -1775,10 +1816,10 @@ object SparkEntry {
     * [[TextAnalysis.unigramLearn]]), the weighted substring seed scores,
     * and the seed vocab = top `seedSize` by (score DESC, piece ASC) ∪ all
     * single characters. */
-  private def unigramBaseCtes(seedSize: Int): String =
+  private def unigramBaseCtes(seedSize: Int, corpus: String = "mdocs"): String =
     s"uw AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM " +
       s"(SELECT ${sqlNorm("w0")} AS w FROM " +
-      s"(SELECT unnest($RawToks) AS w0 FROM mdocs)) " +
+      s"(SELECT unnest($RawToks) AS w0 FROM $corpus)) " +
       s"WHERE ${sqlWordGate("w", UnigramMaxWordLen)} GROUP BY w), " +
       "usd AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (" +
       "SELECT substring(w, p, n) AS piece, freq FROM uw, " +
@@ -1807,14 +1848,14 @@ object SparkEntry {
     * [[TextAnalysis.unigramEncodedCounts]] contract). Shared by the apply
     * and the pack-on-unigram-counts mirrors. */
   private def unigramApplyCtes(rounds: Int, seedSize: Int,
-      fracBits: Int): String =
-    s"${unigramBaseCtes(seedSize)}, " +
+      fracBits: Int, corpus: String = "mdocs"): String =
+    s"${unigramBaseCtes(seedSize, corpus)}, " +
       (1 to rounds).map(unigramRoundCtes(_, fracBits)).mkString(", ") + ", " +
       unigramCostCtes(s"uv$rounds", "upcf", fracBits) + ", " +
       unigramDpCtes("udpa_", "upcf") + ", " +
       s"awd AS (SELECT doc_id, i AS wi, toks[i] AS w, " +
       s"${sqlNorm("toks[i]")} AS nw FROM " +
-      s"(SELECT doc_id, $RawToks AS toks FROM mdocs), " +
+      s"(SELECT doc_id, $RawToks AS toks FROM $corpus), " +
       "LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) " +
       "WHERE toks[i] <> ''), " +
       "un AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
@@ -1823,8 +1864,8 @@ object SparkEntry {
       "AS n FROM awd LEFT JOIN udpa_seg s ON s.w = awd.nw GROUP BY doc_id)"
 
   private def unigramApplyOracleSql(rounds: Int, seedSize: Int,
-      fracBits: Int): String =
-    s"WITH $MdocsCte, ${unigramApplyCtes(rounds, seedSize, fracBits)} " +
+      fracBits: Int, corpus: String = "mdocs"): String =
+    s"WITH ${corpusCte(corpus)}, ${unigramApplyCtes(rounds, seedSize, fracBits, corpus)} " +
       "SELECT doc_id, n_tokens, n AS n_pieces FROM un"
 
   /** The [[graft.operators.Eval.rankingMetrics]] metric block as SQL: given
@@ -2796,6 +2837,22 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb(s, dir).filter(col("vec_id") < 10), emb(s, dir), 5)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
           round(col("cosine"), 4).as("cosine"))),
+    // MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019) — the
+    // parallel-corpus miner of a multilingual pipeline: the two "language
+    // sides" are the even/odd embedding halves, candidates are mutual
+    // 4-NN, the margin ratio normalizes cosine by both neighborhoods, and
+    // a pair ships only as BOTH endpoints' best margin above 1.0. The
+    // oracle replays unit vectors, left-fold dots, rank-ordered
+    // neighborhood folds, the fixed-order denominator and both argmax
+    // selections — one transposed rank anywhere changes the mined set
+    "sim_bitext_mine" -> ((s, dir) =>
+      Similarity.bitextMine(
+          emb(s, dir).filter(col("vec_id") % 2 === 0),
+          emb(s, dir).filter(col("vec_id") % 2 === 1),
+          k = 4, threshold = 1.0)
+        .select(col("src_id"), col("tgt_id"),
+          round(col("cosine"), 4).as("cosine"),
+          round(col("margin"), 4).as("margin"))),
     // SIM-MAP — graft extension: per-label centroid cosine map (corpus
     // cartography: which classes/sources overlap semantically) — exact
     // fixed-point component sums, fully distributed, group-sized output
@@ -3175,6 +3232,36 @@ object SparkEntry {
     "text_bpe_ids" -> ((s, dir) => {
       val d = docsMulti(s, dir)
       val merges = TextAnalysis.bpeLearnMerges(d, 12)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeTokenIds(d, merges)
+    }),
+    // ASTRAL SUBWORD PROOFS — the round-15 lift made the word-form gate
+    // code-point based on every engine; these four pin it END TO END on a
+    // fixture corpus where astral pairs WIN merge rounds (the (𐐷,𐐷) pair
+    // outweighs every BMP pair): merge learning with astral winners, the
+    // native fast apply's code-point symbolization, the unigram Viterbi's
+    // code-point DP, and the token-id export's astral char vocabulary in
+    // code-point order. Fixture-only corpus (no parquet scan) — the proofs
+    // pin cross-engine exactness; scale shape is the non-astral siblings'.
+    "text_bpe_merges_astral" -> ((s, dir) =>
+      TextAnalysis.bpeLearnMerges(docsAstralSmall(s), 8)),
+    "text_bpe_apply_fast_astral" -> ((s, dir) => {
+      val d = docsAstralSmall(s)
+      val merges = TextAnalysis.bpeLearnMerges(d, 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncodedCountsFast(d, merges)
+    }),
+    "text_unigram_apply_astral" -> ((s, dir) => {
+      val d = docsAstralSmall(s)
+      val vocab = TextAnalysis.unigramLearn(d, rounds = 2, seedSize = 120)
+      val cost = graft.functions.UnigramExpressions.costs(vocab.toMap, 6)
+      TextAnalysis.unigramEncodedCounts(d, cost)
+    }),
+    "text_bpe_ids_astral" -> ((s, dir) => {
+      val d = docsAstralSmall(s)
+      val merges = TextAnalysis.bpeLearnMerges(d, 8)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeTokenIds(d, merges)
@@ -3641,10 +3728,11 @@ object SparkEntry {
     // voted language — exact long sums, one division per language row
     "text_fertility" -> ((s, dir) =>
       TextAnalysis.tokenizerFertility(docsMulti(s, dir))),
-    // the BMP-exclusion audit (what the word-form gate's astral cutoff
-    // costs, measured): exact token-mass counters over the astral-decorated
-    // corpus — letter-vs-astral classification must agree between Java and
-    // RE2 for every fixture code point or the hash gate fails
+    // the astral-mass audit (post-lift: what the astral lift RECOVERS and
+    // what a letter gate still excludes): exact token-mass counters over
+    // the astral-decorated corpus — letter-vs-astral classification must
+    // agree between Java and RE2 for every fixture code point or the hash
+    // gate fails
     "text_astral_oov" -> ((s, dir) =>
       TextAnalysis.astralOovAudit(docsAstral(s, dir))),
     // Bradley–Terry preference strengths (the reward-model data-plane op):
@@ -5290,6 +5378,44 @@ object SparkEntry {
         "b.vec_id ASC) AS rank " +
         "FROM embeddings q, embeddings b WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id) " +
         "WHERE rank <= 5"),
+    // bitext-mining mirror: Spark's exact IEEE op sequence — unit vectors
+    // (elementwise /sqrt(left-fold)), left-fold dots, rank-ordered
+    // 0.0-seeded neighborhood sums, nn_src/8.0 + nn_tgt/8.0 denominator —
+    // then both margin argmaxes and the mutual + threshold filter
+    "sim_bitext_mine" -> {
+      val gs = "generate_series(1, 64)"
+      def fold(terms: String) =
+        s"list_reduce(list_prepend(0.0, $terms), (a, b) -> a + b)"
+      s"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"nu AS (SELECT vec_id, [v[i] / n for i in $gs] AS u FROM " +
+        s"(SELECT vec_id, v, sqrt(${fold(s"[v[i] * v[i] for i in $gs]")}) AS n FROM e) " +
+        "WHERE n > 0), " +
+        s"sc AS (SELECT s.vec_id AS src_id, t.vec_id AS tgt_id, " +
+        s"${fold(s"[s.u[i] * t.u[i] for i in $gs]")} AS cosine " +
+        "FROM nu s, nu t WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 = 1), " +
+        "fwd AS (SELECT src_id, tgt_id, cosine, rank FROM (" +
+        "SELECT src_id, tgt_id, cosine, row_number() OVER (" +
+        "PARTITION BY src_id ORDER BY cosine DESC, tgt_id ASC) AS rank FROM sc) " +
+        "WHERE rank <= 4), " +
+        "bwd AS (SELECT src_id, tgt_id, cosine, rank FROM (" +
+        "SELECT src_id, tgt_id, cosine, row_number() OVER (" +
+        "PARTITION BY tgt_id ORDER BY cosine DESC, src_id ASC) AS rank FROM sc) " +
+        "WHERE rank <= 4), " +
+        s"ns AS (SELECT src_id, ${fold("list(cosine ORDER BY rank)")} AS nn_src " +
+        "FROM fwd GROUP BY 1), " +
+        s"nt AS (SELECT tgt_id, ${fold("list(cosine ORDER BY rank)")} AS nn_tgt " +
+        "FROM bwd GROUP BY 1), " +
+        "cand AS (SELECT f.src_id, f.tgt_id, f.cosine, " +
+        "f.cosine / (ns.nn_src / 8.0 + nt.nn_tgt / 8.0) AS margin " +
+        "FROM fwd f JOIN bwd b ON b.src_id = f.src_id AND b.tgt_id = f.tgt_id " +
+        "JOIN ns ON ns.src_id = f.src_id JOIN nt ON nt.tgt_id = f.tgt_id), " +
+        "mx AS (SELECT src_id, tgt_id, cosine, margin, " +
+        "row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS rf, " +
+        "row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id ASC) AS rb " +
+        "FROM cand) " +
+        "SELECT src_id, tgt_id, ROUND(cosine, 4) AS cosine, " +
+        "ROUND(margin, 4) AS margin FROM mx WHERE rf = 1 AND rb = 1 AND margin > 1.0"
+    },
     "text_stats" ->
       (s"SELECT doc_id, $TokN AS n_tokens, " +
         s"(CASE WHEN $TokN = 0 THEN 0.0 ELSE " +
@@ -5519,6 +5645,14 @@ object SparkEntry {
     "text_wordpiece_apply_fast" -> bpeApplyOracleSql(10, wordpiece = true),
     "text_bpe_ids" -> subwordIdsOracleSql(12),
     "text_wordpiece_ids" -> subwordIdsOracleSql(10, wordpiece = true),
+    // astral-proof mirrors: the SAME learn/apply/ids replays over the
+    // fixture-only astral corpus — RE2's code-point `(.)` symbolization,
+    // binary (= code-point) collation and code-point `length`/`substring`
+    // replay the lifted gate exactly
+    "text_bpe_merges_astral" -> bpeLearnOracleSql(8, corpus = "asdocs"),
+    "text_bpe_apply_fast_astral" -> bpeApplyOracleSql(8, corpus = "asdocs"),
+    "text_unigram_apply_astral" -> unigramApplyOracleSql(2, 120, 6, corpus = "asdocs"),
+    "text_bpe_ids_astral" -> subwordIdsOracleSql(8, corpus = "asdocs"),
     // the unigram learn→apply→pack mirror: the full Viterbi-EM chain's
     // per-doc counts feeding the same prefix-sum pack recurrence
     "sample_pack_unigram" ->
@@ -5989,16 +6123,17 @@ object SparkEntry {
         "SELECT CAST(count(*) AS BIGINT) AS n_tokens, " +
         s"CAST(sum(CASE WHEN ${sqlWordGate("w")} THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_word_forms, " +
-        "CAST(sum(CASE WHEN regexp_matches(w, '^\\p{L}+$') THEN 1 ELSE 0 END) " +
-        "AS BIGINT) AS n_letter_tokens, " +
+        "CAST(sum(CASE WHEN regexp_matches(w, '^\\p{L}+$') AND " +
+        "regexp_matches(w, '[\\x{10000}-\\x{10FFFF}]') THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_astral_letter, " +
         "CAST(sum(CASE WHEN regexp_matches(w, '[\\x{10000}-\\x{10FFFF}]') " +
         "THEN 1 ELSE 0 END) AS BIGINT) AS n_astral_any, " +
+        "CAST(sum(CASE WHEN regexp_matches(w, '[\\x{10000}-\\x{10FFFF}]') AND " +
+        "NOT regexp_matches(w, '^\\p{L}+$') THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_astral_excluded, " +
         "CAST(sum(CASE WHEN regexp_matches(w, '^\\p{L}+$') AND " +
         "regexp_matches(w, '[\\x{10000}-\\x{10FFFF}]') THEN 1 ELSE 0 END) " +
-        "AS BIGINT) AS n_astral_oov, " +
-        "CAST(sum(CASE WHEN regexp_matches(w, '^\\p{L}+$') AND " +
-        "regexp_matches(w, '[\\x{10000}-\\x{10FFFF}]') THEN 1 ELSE 0 END) " +
-        "AS DOUBLE) / CAST(count(*) AS DOUBLE) AS astral_oov_share " +
+        "AS DOUBLE) / CAST(count(*) AS DOUBLE) AS astral_letter_share " +
         "FROM nt"),
     "eval_bradley_terry" -> bradleyTerryOracleSql(8, 1L << 20),
     // agreement mirror: ordered-pair counts merged into the unordered pair,

@@ -111,10 +111,14 @@ case class BpeCountPieces(child: Expression, merges: Seq[(String, String)])
   }
 
   private def encodeCount(w: String): Long = {
-    val syms = new Array[String](w.length)
+    // symbolize by CODE POINT (not UTF-16 char): an astral letter is one
+    // start symbol, matching the column path's regexp symbolization and
+    // the DuckDB mirror's RE2 `(.)`
+    val cps = w.codePoints().toArray
+    val syms = new Array[String](cps.length)
     var i = 0
-    while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
-    var m = w.length
+    while (i < cps.length) { syms(i) = new String(cps, i, 1); i += 1 }
+    var m = cps.length
     var r = 0
     while (r < mergeArr.length && m > 1) {
       val l = mergeArr(r)._1

@@ -232,12 +232,14 @@ case class NormalizeText(child: Expression)
 /** JVM-side single source of the subword WORD-FORM contract — shared by
   * [[NormalizeText]] and the native fast-path expressions
   * ([[BpeCountPieces]], `UnigramCountPieces`), and the column-level twin of
-  * `TextAnalysis.isWordForm`/`normWord`. A word form is 1..maxLen BMP
-  * Unicode letters of the NFC-normalized, control/zero-width-scrubbed
-  * token; `Character.isLetter(char)` is false on surrogates, so astral
-  * code points are rejected exactly like the regex gates'
-  * `[\x{10000}-\x{10FFFF}]` exclusion — one contract across Java regex,
-  * RE2, and these char loops. */
+  * `TextAnalysis.isWordForm`/`normWord`. A word form is 1..maxLen Unicode
+  * LETTERS — code points, ANY plane — of the NFC-normalized,
+  * control/zero-width-scrubbed token (the round-15 astral lift; see
+  * `TextAnalysis.isWordForm` for the four-engine contract). These native
+  * loops iterate by `codePointAt`, never by UTF-16 char, so a Deseret or
+  * CJK-Extension-B letter is one symbol here exactly as it is one
+  * character to Spark's UTF8String `length`/`substring`, to Java regex
+  * `\p{L}`, and to DuckDB/RE2 over UTF-8. */
 object WordForm {
 
   private def strip(c: Char): Boolean =
@@ -265,16 +267,45 @@ object WordForm {
     sb.toString
   }
 
-  /** 1..maxLen BMP letters (call on a [[normalize]]d token). */
+  /** 1..maxLen letters, counted and classified by CODE POINT (call on a
+    * [[normalize]]d token). `maxLen` bounds the code-point count — the
+    * unit Spark's `length` and DuckDB's `length` both report — so an
+    * astral-letter word caps identically on all engines. */
   def isLetterWord(s: String, maxLen: Int = Int.MaxValue): Boolean = {
-    if (s.isEmpty || s.length > maxLen) return false
+    if (s.isEmpty) return false
     var i = 0
+    var n = 0
     while (i < s.length) {
-      if (!Character.isLetter(s.charAt(i))) return false
-      i += 1
+      val cp = s.codePointAt(i)
+      if (!Character.isLetter(cp)) return false
+      n += 1
+      if (n > maxLen) return false
+      i += Character.charCount(cp)
     }
     true
   }
+
+  /** Compare two strings in CODE-POINT order — identical to UTF-8 byte
+    * order, i.e. Spark UTF8String's binary ordering and DuckDB's binary
+    * collation. Java's `String.compareTo` is UTF-16 order, which sorts
+    * astral code points (surrogates, 0xD800+) BELOW U+E000..U+FFFF — the
+    * one place the two orders disagree. Every driver-side tokenizer
+    * tie-break must use THIS order so the mirrors replay it. */
+  def compareCodePoints(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return java.lang.Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    java.lang.Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Code-point count (what `length` means on both engines). */
+  def cpCount(s: String): Int = s.codePointCount(0, s.length)
 }
 
 object TextExpressions {

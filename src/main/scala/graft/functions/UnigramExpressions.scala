@@ -82,13 +82,17 @@ object UnigramExpressions {
     * when some position is uncoverable (possible only when a character of
     * `w` is absent from the vocab — the learner always retains all
     * single characters it has seen, so this is the truly-unseen-char case).
-    * DP state i holds the best path for the prefix of length i; candidates
-    * extend states j ∈ [i−maxPieceLen, i−1] by the piece w[j, i). The
+    * Positions are CODE-POINT indexes (the astral lift: `maxPieceLen` and
+    * piece boundaries count what Spark's and DuckDB's `length` count, so
+    * the mirror replays the DP verbatim on astral words). DP state i holds
+    * the best path for the prefix of i code points; candidates extend
+    * states j ∈ [i−maxPieceLen, i−1] by the piece cps[j, i). The
     * (cost, np, path) order is a total order and lexicographic-concat
     * compatible, so per-state minimization is globally optimal. */
   private[graft] def viterbi(w: String, table: java.util.HashMap[String, java.lang.Long],
       maxPieceLen: Int): Array[String] = {
-    val n = w.length
+    val cps = w.codePoints().toArray
+    val n = cps.length
     val cost = new Array[Long](n + 1)
     val np = new Array[Int](n + 1)
     val back = new Array[Int](n + 1) // start index of the last piece
@@ -102,7 +106,7 @@ object UnigramExpressions {
       var j = math.max(0, i - maxPieceLen)
       while (j < i) {
         if (ok(j)) {
-          val c = table.get(w.substring(j, i))
+          val c = table.get(new String(cps, j, i - j))
           if (c != null) {
             val cc = cost(j) + c.longValue()
             val cn = np(j) + 1
@@ -112,7 +116,7 @@ object UnigramExpressions {
               if (bestJ < 0) true
               else if (cc != bc) cc < bc
               else if (cn != bn) cn < bn
-              else lexLess(w, back, j, i, bestJ)
+              else lexLess(cps, back, j, i, bestJ)
             if (better) { bestJ = j; bc = cc; bn = cn }
           }
         }
@@ -125,25 +129,33 @@ object UnigramExpressions {
     val out = new Array[String](np(n))
     var pos = n
     var k = np(n) - 1
-    while (pos > 0) { out(k) = w.substring(back(pos), pos); pos = back(pos); k -= 1 }
+    while (pos > 0) {
+      out(k) = new String(cps, back(pos), pos - back(pos))
+      pos = back(pos); k -= 1
+    }
     out
   }
 
-  /** Is the path ending (…, w[j, i)) lexicographically smaller than the one
-    * ending (…, w[bestJ, i))? Materializes both full piece sequences via
-    * the back pointers — only reached on exact (cost, np) ties. */
-  private def lexLess(w: String, back: Array[Int], j: Int, i: Int,
+  /** Is the path ending (…, cps[j, i)) lexicographically smaller than the
+    * one ending (…, cps[bestJ, i))? Materializes both full piece sequences
+    * via the back pointers — only reached on exact (cost, np) ties. Pieces
+    * compare in CODE-POINT order ([[WordForm.compareCodePoints]]) so the
+    * tie-break matches the engines' binary string order beyond the BMP. */
+  private def lexLess(cps: Array[Int], back: Array[Int], j: Int, i: Int,
       bestJ: Int): Boolean = {
     def path(lastStart: Int): List[String] = {
-      var acc: List[String] = List(w.substring(lastStart, i))
+      var acc: List[String] = List(new String(cps, lastStart, i - lastStart))
       var pos = lastStart
-      while (pos > 0) { acc = w.substring(back(pos), pos) :: acc; pos = back(pos) }
+      while (pos > 0) {
+        acc = new String(cps, back(pos), pos - back(pos)) :: acc
+        pos = back(pos)
+      }
       acc
     }
     val a = path(j).iterator
     val b = path(bestJ).iterator
     while (a.hasNext && b.hasNext) {
-      val cmp = a.next().compareTo(b.next())
+      val cmp = WordForm.compareCodePoints(a.next(), b.next())
       if (cmp != 0) return cmp < 0
     }
     a.isEmpty && b.hasNext // shorter prefix sorts first
@@ -188,7 +200,11 @@ case class UnigramSegment(child: Expression, pieceCosts: Map[String, Long],
     val seg = UnigramExpressions.viterbi(w, table, maxPieceLen)
     val out: Array[Any] =
       if (seg != null) seg.map(UTF8String.fromString)
-      else Array.tabulate[Any](w.length)(i => UTF8String.fromString(w.substring(i, i + 1)))
+      else { // uncoverable → per-CODE-POINT singles (astral-safe)
+        val cps = w.codePoints().toArray
+        Array.tabulate[Any](cps.length)(i =>
+          UTF8String.fromString(new String(cps, i, 1)))
+      }
     new GenericArrayData(out)
   }
 
@@ -233,7 +249,7 @@ case class UnigramCountPieces(child: Expression, pieceCosts: Map[String, Long],
       if (!WordForm.isLetterWord(w, maxLen = 16)) 1L
       else {
         val seg = UnigramExpressions.viterbi(w, table, maxPieceLen)
-        if (seg != null) seg.length.toLong else w.length.toLong
+        if (seg != null) seg.length.toLong else WordForm.cpCount(w).toLong
       }
     if (cache.size < CacheCap) cache.put(w0, java.lang.Long.valueOf(n))
     n

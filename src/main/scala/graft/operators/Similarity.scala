@@ -88,6 +88,87 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings") — the
+    * parallel-corpus op of an MT / multilingual-LLM data pipeline: given
+    * two embedding collections (the two language sides, encoded into one
+    * space), mine aligned pairs by MUTUAL BEST MARGIN. Raw cosine is a bad
+    * mining score (hubs score high against everything); the margin RATIO
+    * divides cos(x, y) by the mean cosine of the two points' k-NN
+    * neighborhoods, so a pair merely sitting in a dense region scores ~1
+    * while a true translation scores well above its neighborhood.
+    *
+    *   margin(x, y) = cos(x, y) / (Σ_{z∈NNk(x)} cos(x, z) / 2k +
+    *                               Σ_{z∈NNk(y)} cos(y, z) / 2k)
+    *
+    * Candidates are the MUTUAL k-NN pairs (y in x's forward top-k AND x in
+    * y's backward top-k); a pair is mined when it is the best-margin
+    * candidate of BOTH endpoints (the paper's "max" retrieval strategy,
+    * mutualized) and clears `threshold` (>1 = closer than the neighborhood
+    * average; the paper tunes ~1.04–1.2). Ties break by neighbor id.
+    *
+    * Determinism: unit vectors, left-fold dot products, rank-ordered
+    * 0.0-seeded neighborhood sums and a fixed-order denominator — every
+    * double is the same IEEE op sequence on any engine, so the DuckDB
+    * mirror replays scores AND argmax selections bit-exactly.
+    *
+    * Scale shape: this is the EXACT baseline — one broadcast of the
+    * smaller side over the larger (the [[bruteForceTopK]] contract), two
+    * window top-ks over the same persisted score relation, then
+    * candidate-sized joins. At 100 TB sides, swap the cross-score for the
+    * [[ivfTopKWith]] cell-probe join (both directions) and feed the SAME
+    * margin/mutual tail — the neighborhoods become approximate, the
+    * mining algebra is unchanged (faiss mines CCMatrix exactly this way). */
+  def bitextMine(src: DataFrame, tgt: DataFrame, k: Int, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val s = unitVectors(src, idCol, vecCol, "src_id", "su")
+    val t = unitVectors(tgt, idCol, vecCol, "tgt_id", "tu")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    import org.apache.spark.sql.expressions.Window
+    // ONE persisted score relation feeds both direction top-ks and the
+    // candidate join — the cross product is computed once
+    val scored = t.join(broadcast(s))
+      .withColumn("cosine", dot(col("su"), col("tu")))
+      .select("src_id", "tgt_id", "cosine")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wF = Window.partitionBy("src_id")
+      .orderBy(col("cosine").desc, col("tgt_id").asc)
+    val wB = Window.partitionBy("tgt_id")
+      .orderBy(col("cosine").desc, col("src_id").asc)
+    val fwd = scored.withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= k)
+      .persist(StorageLevel.MEMORY_AND_DISK) // neighborhood sums + candidates
+    val bwd = scored.withColumn("rank", row_number().over(wB))
+      .filter(col("rank") <= k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // rank-ordered 0.0-seeded folds (the eval_retrieval DCG pattern): the
+    // neighborhood sum is the same IEEE addition sequence on any engine
+    def nnSum(df: DataFrame, key: String, out: String): DataFrame =
+      df.groupBy(key).agg(
+        aggregate(
+          sort_array(collect_list(struct(col("rank"), col("cosine")))),
+          lit(0.0), (acc, e) => acc + e.getField("cosine")).as(out))
+    val nnS = nnSum(fwd, "src_id", "nn_src")
+    val nnT = nnSum(bwd, "tgt_id", "nn_tgt")
+    val denom2k = lit(2.0 * k)
+    val cand = fwd.select("src_id", "tgt_id", "cosine")
+      .join(bwd.select("src_id", "tgt_id"), Seq("src_id", "tgt_id")) // mutual k-NN
+      .join(nnS, "src_id").join(nnT, "tgt_id")
+      .withColumn("margin", col("cosine") /
+        (col("nn_src") / denom2k + col("nn_tgt") / denom2k))
+    val bestF = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    val bestB = Window.partitionBy("tgt_id")
+      .orderBy(col("margin").desc, col("src_id").asc)
+    cand
+      .withColumn("rf", row_number().over(bestF))
+      .withColumn("rb", row_number().over(bestB))
+      .filter(col("rf") === 1 && col("rb") === 1 &&
+        col("margin") > threshold)
+      .select("src_id", "tgt_id", "cosine", "margin")
+  }
+
   /** Deterministic centroid sample from a unit-vector relation: the first
     * `nLists` vectors by portable id hash (not xxhash64 — the selection stays
     * replayable by external engines; the DuckDB oracles mirror it in plain

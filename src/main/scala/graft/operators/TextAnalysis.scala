@@ -35,21 +35,29 @@ object TextAnalysis {
 
   /** The Unicode WORD-FORM gate shared by every subword learner and encoder
     * (BPE/WordPiece merge learning, unigram-LM learning, all apply paths):
-    * a word form is 1..maxLen Unicode LETTERS (`\p{L}`) from the Basic
-    * Multilingual Plane, taken over the NFC-NORMALIZED token
-    * ([[graft.functions.NormalizeText]] — compose first, then gate, so
-    * decomposed `é` and composed `é` are the same word on every engine).
+    * a word form is 1..maxLen Unicode LETTERS (`\p{L}`) — any plane — taken
+    * over the NFC-NORMALIZED token ([[graft.functions.NormalizeText]] —
+    * compose first, then gate, so decomposed `é` and composed `é` are the
+    * same word on every engine).
     *
-    * Why BMP-only: the gate must mean the same thing in four places — the
-    * Spark regex (Java, UTF-16), the DuckDB mirror (RE2, UTF-8), and the
-    * two native char-loop fast paths — and BMP letters are exactly where
-    * code unit = code point, so per-char symbolization, `length`, and
-    * binary string ordering agree everywhere. Astral-plane letters
-    * (`[\x{10000}-\x{10FFFF}]`) are excluded by BOTH regex engines AND by
-    * `Character.isLetter(char)` (false on surrogates) — one contract, no
-    * divergent edge. Mirrored by `SparkEntry.sqlWordGate`. */
+    * The round-15 ASTRAL LIFT: the gate must mean the same thing in four
+    * places — the Spark regex (Java, code-point-based `\p{L}`), the DuckDB
+    * mirror (RE2 over UTF-8), and the native fast-path loops — and all
+    * four are now CODE-POINT based end to end: Spark's `length`/`substring`
+    * count code points on UTF8String exactly as DuckDB's do over UTF-8;
+    * regexp symbolization (`(.)` find-loops) emits whole code points in
+    * both Java and RE2; the native loops iterate `codePointAt`
+    * ([[graft.functions.WordForm]]); and every driver-side tie-break
+    * compares code points (= UTF-8 byte order = both engines' binary
+    * collation). The former BMP restriction is retired; what remains
+    * excluded is only what `\p{L}` excludes — emoji, symbols, digits,
+    * mixed tokens. Mirrored by `SparkEntry.sqlWordGate`. The ONE pattern
+    * astral text still forbids is Java's `String.split` zero-width
+    * per-char split (`"(?!^)"` cuts surrogate pairs — measured, see
+    * OperatorsSpec "astral string semantics"); per-char work must use a
+    * `(.)` regexp find-loop instead. */
   private[graft] def isWordForm(w: Column, maxLen: Int = Int.MaxValue): Column = {
-    val base = w.rlike("^\\p{L}+$") && !w.rlike("[\\x{10000}-\\x{10FFFF}]")
+    val base = w.rlike("^\\p{L}+$")
     if (maxLen == Int.MaxValue) base else base && length(w) <= maxLen
   }
 
@@ -58,29 +66,31 @@ object TextAnalysis {
   private[graft] def normWord(w: Column): Column =
     graft.functions.TextExpressions.normalizeText(w)
 
-  /** ASTRAL-EXCLUSION AUDIT for the BMP word-form gate — [[isWordForm]]
-    * deliberately stops at the Basic Multilingual Plane (see its scaladoc:
-    * code unit = code point on every engine), which means astral-letter
-    * words (CJK Extensions B+, Deseret, mathematical alphanumerics, …)
-    * segment as whole-token OOV and contribute nothing to subword merges.
-    * This audit MEASURES that exclusion instead of leaving it silent: one
-    * row of exact token-mass counts over the corpus —
+  /** ASTRAL-MASS AUDIT for the word-form gate. Before round 15 the gate
+    * stopped at the BMP and this audit measured the exclusion; with the
+    * astral lift ([[isWordForm]]'s scaladoc), astral-letter words (CJK
+    * Extensions B+, Deseret, mathematical alphanumerics, …) are ADMITTED
+    * into subword learning, and the audit now measures what the lift
+    * recovers and what a letter gate still excludes — one row of exact
+    * token-mass counts over the corpus:
     *
-    *   - `n_tokens`        all non-empty whitespace tokens
-    *   - `n_word_forms`    tokens the BMP gate admits (today's learn mass)
-    *   - `n_letter_tokens` pure-letter tokens INCLUDING astral letters
-    *     (what a surrogate-aware gate would admit)
-    *   - `n_astral_any`    tokens containing any astral code point (adds
-    *     the emoji/symbol mass, which no letter gate would ever admit)
-    *   - `n_astral_oov`    pure-letter tokens blocked ONLY by the BMP
-    *     restriction — exactly the mass a gate extension would recover
-    *   - `astral_oov_share` = n_astral_oov / n_tokens
+    *   - `n_tokens`          all non-empty whitespace tokens
+    *   - `n_word_forms`      tokens the (lifted) gate admits — the learn
+    *     mass; equals the pure-letter count by construction now
+    *   - `n_astral_letter`   admitted word forms carrying ≥1 astral
+    *     letter — exactly the mass the lift recovered over the BMP gate
+    *   - `n_astral_any`      tokens containing any astral code point
+    *   - `n_astral_excluded` astral-containing tokens the gate still
+    *     rejects (emoji, symbols, mixed alphanumerics — mass no LETTER
+    *     gate would ever admit; a nonzero share here is emoji/symbol
+    *     load, not tokenizer loss)
+    *   - `astral_letter_share` = n_astral_letter / n_tokens
     *
-    * Run it before trusting a learned tokenizer on a new corpus: a share
-    * near 0 says the BMP contract is free there; a large share says this
-    * corpus needs the astral extension first. All counts are exact longs
-    * over the SAME normalization ([[normWord]]) the learners use; the one
-    * division is a single IEEE op — bit-stable on any engine.
+    * Run it on a new corpus to see how much of its learn mass is astral
+    * (scripts the pre-lift engine would have dropped) and how much astral
+    * content is non-linguistic. All counts are exact longs over the SAME
+    * normalization ([[normWord]]) the learners use; the one division is a
+    * single IEEE op — bit-stable on any engine.
     *
     * Scale shape: one narrow token explode + ONE map-side-combined
     * aggregation to a single row; the regexes run per token instance but
@@ -93,14 +103,14 @@ object TextAnalysis {
       .filter(length(col("w0")) > 0)
       .select(
         isWordForm(w).cast("long").as("__wf"),
-        letters.cast("long").as("__lt"),
+        (letters && astral).cast("long").as("__al"),
         astral.cast("long").as("__aa"),
-        (letters && astral).cast("long").as("__ao"))
+        (astral && !letters).cast("long").as("__ax"))
       .agg(count(lit(1)).as("n_tokens"), sum("__wf").as("n_word_forms"),
-        sum("__lt").as("n_letter_tokens"), sum("__aa").as("n_astral_any"),
-        sum("__ao").as("n_astral_oov"))
-      .withColumn("astral_oov_share",
-        col("n_astral_oov").cast("double") / col("n_tokens").cast("double"))
+        sum("__al").as("n_astral_letter"), sum("__aa").as("n_astral_any"),
+        sum("__ax").as("n_astral_excluded"))
+      .withColumn("astral_letter_share",
+        col("n_astral_letter").cast("double") / col("n_tokens").cast("double"))
   }
 
   /** Token count: whitespace tokenization. Whitespace-ONLY text (any mix of
@@ -1458,33 +1468,29 @@ object TextAnalysis {
     * recursion needed to replay merge application. */
   private[graft] val BpeSep = "\u001f"
 
-  /** Distributed BPE MERGE LEARNING (Sennrich, Haddow & Birch 2016,
+  /** BPE MERGE LEARNING (Sennrich, Haddow & Birch 2016,
     * "Neural Machine Translation of Rare Words with Subword Units",
     * Algorithm 1) — the other half of the subword story: [[learnSubwordVocab]]
     * + `SubwordExpressions.subwordIds` APPLY a vocabulary; this LEARNS the
     * merge table a BPE tokenizer ships. Standard formulation: merges are
     * learned on the WORD-FREQUENCY vocabulary (groupBy word), never the raw
     * corpus — at 100 TB the corpus may be 10¹¹ tokens but the distinct-word
-    * relation is ~10⁷ rows, so every learning round is config-scale work.
-    * Each round: enumerate adjacent symbol pairs per distinct word (narrow
-    * map), sum `freq` per pair (ONE map-side-combined exchange of (pair,
-    * partial) rows), take the global argmax under the TOTAL order
-    * (count DESC, lhs ASC, rhs ASC — deterministic on every engine and
-    * partitioning), collect that ONE row (the bounded-collect pattern of
-    * [[learnVocab]] / k-means), and apply the merge as a narrow `replace`
-    * on the wrapped representation (see [[BpeSep]]).
+    * relation is ~10⁷ rows. The corpus reduction is ONE distributed
+    * map-side-combined aggregation; the merge loop itself runs driver-local
+    * over the collected vocabulary ([[subwordLearnMergesLocal]] — zero
+    * Spark jobs per round; [[subwordLearnMerges]] is the row-identical
+    * distributed sibling for vocabularies beyond driver memory).
     *
-    * Learning runs over NFC-normalized Unicode word forms — 1..n BMP
-    * letters per [[isWordForm]] (the round-14 multilingual lift: non-Latin
-    * scripts contribute merges instead of segmenting as whole-token OOV).
-    * BMP-only pins symbol = codepoint = UTF-16 char, so Java-regex and RE2
-    * splitting agree exactly and the DuckDB mirror can replay every round.
+    * Learning runs over NFC-normalized Unicode word forms — 1..n letters
+    * per [[isWordForm]], any plane (the round-15 astral lift): symbols are
+    * code points, tie-breaks compare code points, so Java, RE2 and the
+    * native loops agree and the DuckDB mirror replays every round.
     *
     * Returns one row per learned merge: (rank, lhs, rhs, pair_count) —
     * stops early if the vocabulary runs out of adjacent pairs. */
   def bpeLearnMerges(docs: DataFrame, rounds: Int,
       textCol: String = "text"): DataFrame =
-    subwordLearnMerges(docs, rounds, textCol, wordpiece = false)
+    subwordLearnMergesLocal(docs, rounds, textCol, wordpiece = false)
 
   /** Distributed WORDPIECE merge learning (Schuster & Nakajima 2012,
     * "Japanese and Korean voice search"; the BERT tokenizer family): the
@@ -1493,21 +1499,16 @@ object TextAnalysis {
     * instead of the raw pair count — WordPiece merges the pair whose fusion
     * most increases a unigram LM's corpus likelihood, so rare-but-cohesive
     * pairs win over merely frequent ones. Symbol counts are taken over the
-    * CURRENT symbolization each round, re-aggregated from the SAME single
-    * pair-counting pass (every symbol position appears exactly once as a
-    * pair lhs — the last position pairs with NULL) and driver-collected —
-    * the symbol relation is alphabet-sized (chars + merges so far, the
-    * bpeTokenIds char-vocab collect bound) — so the score is a literal-map
-    * lookup: one vocab-sized pass and one exchange per round, the rest
-    * alphabet-scale (the round-15 restructure; the former second explode +
-    * two shuffle joins measured ~2× the BPE round cost, and the join form
-    * of the scoring measured ~20% slower than the map form at R=10). The
-    * score is one IEEE division of exact long counts (products taken in
-    * double to dodge overflow), identical on every engine; ties break
-    * (lhs, rhs) ascending as in BPE. */
+    * CURRENT symbolization each round; like BPE, the loop runs
+    * driver-local over the collected word-frequency vocabulary
+    * ([[subwordLearnMergesLocal]]; [[subwordLearnMerges]] is the
+    * distributed sibling). The score is one IEEE division of exact long
+    * counts (products taken in double to dodge overflow), identical on
+    * every engine; ties break (lhs, rhs) ascending in CODE-POINT order as
+    * in BPE. */
   def wordpieceLearnMerges(docs: DataFrame, rounds: Int,
       textCol: String = "text"): DataFrame =
-    subwordLearnMerges(docs, rounds, textCol, wordpiece = true)
+    subwordLearnMergesLocal(docs, rounds, textCol, wordpiece = true)
 
   /** The persisted (sym, freq) start state shared by the serial and
     * batched merge learners: word-form frequencies under the Unicode
@@ -1529,6 +1530,127 @@ object TextAnalysis {
       .select(regexp_replace(col("w"), "(.)", s"$sep$$1$sep").as("sym"),
         col("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** DRIVER-LOCAL subword merge learning over the DISTRIBUTED word-frequency
+    * vocabulary — the default learn path behind [[bpeLearnMerges]] and
+    * [[wordpieceLearnMerges]], row-identical to [[subwordLearnMerges]]
+    * (spec-pinned equal on the multilingual AND astral fixtures).
+    *
+    * The architecturally right split for tokenizer learning on Spark: the
+    * CORPUS-sized work (token explode → raw-group → normalize → word-form
+    * gate → freq sum, ~10¹¹ token instances at 100 TB) is one distributed
+    * map-side-combined aggregation, and the LEARN loop — which only ever
+    * reads the word-frequency relation — runs on the driver over the
+    * collected vocabulary (~10⁴–10⁷ distinct word forms; tens of MB). The
+    * distributed loop re-executed a replace chain + one exchange PER ROUND
+    * (O(R) Spark jobs, O(R²) chain work); this loop is zero Spark jobs
+    * after the single aggregation, which is how SentencePiece/HuggingFace
+    * train single-node once the corpus is reduced to word counts — here
+    * the reduction is the distributed half. Production R≈30k merges cost
+    * driver CPU only (the per-round recount is vocab·avg-len; see
+    * SCALE.md §Tokenizer-learning for the measured numbers and the
+    * sampled/batched recipes). For a vocabulary too large to collect
+    * (beyond ~10⁸ forms), fall back to [[subwordLearnMerges]] — same
+    * results, corpus stays on the cluster.
+    *
+    * Exactness: symbols are CODE POINTS; merge application is the same
+    * left-to-right non-overlapping adjacent scan as the engines' wrapped
+    * `replace`; pair counts and symbol counts are exact longs; the
+    * wordpiece score is the same single IEEE division; argmax tie-breaks
+    * compare code points ([[graft.functions.WordForm.compareCodePoints]]
+    * = both engines' binary collation) — so every round picks the row the
+    * DuckDB replay picks. */
+  private[graft] def subwordLearnMergesLocal(docs: DataFrame, rounds: Int,
+      textCol: String, wordpiece: Boolean): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cmp = graft.functions.WordForm.compareCodePoints _
+    // the distributed corpus→vocab reduction (subwordBase minus wrapping)
+    val words: Array[(String, Long)] = docs
+      .select(explode(tokens(col(textCol))).as("w0"))
+      .groupBy("w0").agg(count(lit(1)).as("freq"))
+      .select(normWord(col("w0")).as("w"), col("freq"))
+      .filter(isWordForm(col("w")))
+      .groupBy("w").agg(sum("freq").as("freq"))
+      .as[(String, Long)].collect()
+    // per-word symbol arrays (code points), compacted in place per merge
+    val syms: Array[Array[String]] = words.map { case (w, _) =>
+      val cps = w.codePoints().toArray
+      Array.tabulate(cps.length)(i => new String(cps, i, 1))
+    }
+    val lens: Array[Int] = syms.map(_.length)
+    val freqs: Array[Long] = words.map(_._2)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var exhausted = false
+    var r = 1
+    while (r <= rounds && !exhausted) {
+      // recount adjacent pairs (and, for wordpiece, symbol occurrences)
+      val pc = new java.util.HashMap[String, Array[Any]](1 << 12)
+      val sc = new java.util.HashMap[String, Long](1 << 10)
+      var wi = 0
+      while (wi < syms.length) {
+        val s = syms(wi); val m = lens(wi); val f = freqs(wi)
+        var i = 0
+        while (i < m) {
+          if (wordpiece) sc.merge(s(i), f, (a, b) => a + b)
+          if (i + 1 < m) {
+            // key on the WRAPPED pair string — unambiguous even when
+            // symbol concatenations collide (the ␟ wrappers the engines
+            // use for exactly this reason)
+            val k = BpeSep + s(i) + BpeSep + BpeSep + s(i + 1) + BpeSep
+            val e = pc.get(k)
+            if (e == null) pc.put(k, Array[Any](s(i), s(i + 1), f))
+            else e(2) = e(2).asInstanceOf[Long] + f
+          }
+          i += 1
+        }
+        wi += 1
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        // argmax under the engines' exact total order
+        var bl: String = null; var br: String = null
+        var bc = 0L; var bs = 0.0
+        val it = pc.values().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val l = e(0).asInstanceOf[String]
+          val rr = e(1).asInstanceOf[String]
+          val c = e(2).asInstanceOf[Long]
+          val sco =
+            if (wordpiece) c.toDouble / (sc.get(l).toDouble * sc.get(rr).toDouble)
+            else 0.0
+          val better =
+            if (bl == null) true
+            else if (wordpiece && sco != bs) sco > bs
+            else if (!wordpiece && c != bc) c > bc
+            else {
+              val cl = cmp(l, bl)
+              if (cl != 0) cl < 0 else cmp(rr, br) < 0
+            }
+          if (better) { bl = l; br = rr; bc = c; bs = sco }
+        }
+        merges += ((r.toLong, bl, br, bc))
+        // apply the merge: left-to-right non-overlapping, in place
+        wi = 0
+        while (wi < syms.length) {
+          val s = syms(wi); val m = lens(wi)
+          var i = 0; var wp = 0
+          while (i < m) {
+            if (i + 1 < m && s(i) == bl && s(i + 1) == br) {
+              s(wp) = bl + br; i += 2
+            } else { s(wp) = s(i); i += 1 }
+            wp += 1
+          }
+          lens(wi) = wp
+          wi += 1
+        }
+      }
+      r += 1
+    }
+    merges.result().toDF("rank", "lhs", "rhs", "pair_count")
   }
 
   private[graft] def subwordLearnMerges(docs: DataFrame, rounds: Int,
@@ -1859,13 +1981,20 @@ object TextAnalysis {
         .groupBy("piece").agg(sum("freq").as("cnt"))
         .as[(String, Long)].collect().toMap
       // M-step: used pieces keep their Viterbi counts; unused pieces are
-      // PRUNED except single characters, floored at 1 (coverage)
+      // PRUNED except single characters (one CODE POINT — astral chars are
+      // singles too), floored at 1 (coverage)
       vocab = counts ++ vocab.keysIterator
-        .filter(p => p.length == 1 && !counts.contains(p))
+        .filter(p => graft.functions.WordForm.cpCount(p) == 1 &&
+          !counts.contains(p))
         .map(_ -> 1L).toMap
     }
     words.unpersist()
-    vocab.toSeq.sortBy { case (p, c) => (-c, p) }
+    // (count DESC, piece ASC) in CODE-POINT order — the engines' binary
+    // collation; Java's UTF-16 compareTo would transpose astral pieces
+    vocab.toSeq.sortWith { case ((pa, ca), (pb, cb)) =>
+      if (ca != cb) ca > cb
+      else graft.functions.WordForm.compareCodePoints(pa, pb) < 0
+    }
   }
 
   /** APPLY a learned unigram vocabulary: per-document token and piece
@@ -1904,9 +2033,11 @@ object TextAnalysis {
   /** Trainer-facing TOKEN-ID export under a learned BPE merge table — the
     * BPE twin of the unigram ids export: every document's piece sequence
     * as (doc_id, pos, piece_id) rows. Vocabulary ids: merge of rank r
-    * (1-based) → id r−1; the character vocabulary follows in binary
-    * code-point order (identical in UTF-8 and UTF-16 on the BMP, where the
-    * word-form gate confines us), ids R..R+C−1; any other piece and every
+    * (1-based) → id r−1; the character vocabulary follows in CODE-POINT
+    * order (= UTF-8 byte order = both engines' binary collation; the
+    * driver sort uses [[graft.functions.WordForm.compareCodePoints]]
+    * because Java's UTF-16 `compareTo` disagrees beyond the BMP),
+    * ids R..R+C−1; any other piece and every
     * non-word-form token emit the 99999 OOV id. Two merges whose
     * concatenations collide on the same string resolve to the LOWEST id
     * (first-rank-wins — both engines build the map the same way).
@@ -1935,11 +2066,13 @@ object TextAnalysis {
       .groupBy("w0").agg(count(lit(1)).as("freq"))
       .select(normWord(col("w0")).as("w"))
       .filter(isWordForm(col("w")))
-      // Spark's split keeps the trailing empty match (limit −1 semantics,
-      // unlike Java's String.split) — drop it or "" squats on an id
-      .select(explode(split(col("w"), "(?!^)")).as("c"))
-      .filter(length(col("c")) > 0)
-      .distinct().as[String].collect().sorted.toSeq
+      // per-char via a `(.)` find-loop, NOT a zero-width split: Java's
+      // split("(?!^)") cuts surrogate pairs into lone surrogates (measured
+      // — OperatorsSpec "astral string semantics"), while regexp find
+      // advances by whole code points in Java and RE2 alike
+      .select(explode(regexp_extract_all(col("w"), lit("."), lit(0))).as("c"))
+      .distinct().as[String].collect()
+      .sortWith(graft.functions.WordForm.compareCodePoints(_, _) < 0).toSeq
     require(merges.size + chars.size < 99999,
       s"vocabulary ids (${merges.size} merges + ${chars.size} chars) would " +
         "reach the 99999 OOV sentinel — raise the sentinel or shrink the vocab")

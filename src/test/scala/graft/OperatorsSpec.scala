@@ -466,6 +466,31 @@ class OperatorsSpec extends AnyFunSuite {
       .forall(_._2 == 5))
   }
 
+  test("bitext mining: mined pairs form a partial matching of mutual-kNN " +
+      "best-margin candidates above threshold") {
+    import graft.operators.Similarity
+    val src = emb.filter($"vec_id" % 2 === 0)
+    val tgt = emb.filter($"vec_id" % 2 === 1)
+    val k = 4
+    val mined = Similarity.bitextMine(src, tgt, k, threshold = 1.0)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(mined.nonEmpty, "fixture should mine a non-trivial pair set")
+    // a MATCHING: each endpoint appears at most once (both-argmax filter)
+    assert(mined.map(_._1).distinct.length == mined.length)
+    assert(mined.map(_._2).distinct.length == mined.length)
+    assert(mined.forall(_._4 > 1.0))
+    // every mined pair is mutual k-NN: y in x's forward top-k AND x in
+    // y's backward top-k (checked against the exact top-k operator)
+    val fwd = Similarity.bruteForceTopK(src, tgt, k)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val bwd = Similarity.bruteForceTopK(tgt, src, k)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(mined.forall { case (s, t, _, _) =>
+      fwd.contains((s, t)) && bwd.contains((t, s)) })
+  }
+
   test("brute-force top-k matches a driver-side naive computation") {
     val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .collect().toMap.view.mapValues(_.map(_.toDouble)).toMap
@@ -2014,6 +2039,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r2.getBoolean(0) && !r2.getBoolean(1))
   }
 
+  test("astral word-form lift: gate, native loops, orders and splits agree " +
+      "by code point (round 15 — the BMP restriction is retired)") {
+    import graft.functions.WordForm
+    // the column gate admits astral LETTERS and still rejects emoji/mixed
+    val g = Seq(("𐐷𐐷", "𝕬𝖅", "😀", "mixé𝐀", "x9"))
+      .toDF("deseret", "mathbold", "emoji", "mixed_ok", "alnum")
+      .select(
+        TextAnalysis.isWordForm($"deseret"),
+        TextAnalysis.isWordForm($"mathbold"),
+        TextAnalysis.isWordForm($"emoji"),
+        TextAnalysis.isWordForm($"mixed_ok"), // é and 𝐀 are both letters
+        TextAnalysis.isWordForm($"alnum"),
+        TextAnalysis.isWordForm($"deseret", maxLen = 1)) // 2 CODE POINTS
+      .head()
+    assert(g.getBoolean(0) && g.getBoolean(1) && !g.getBoolean(2) &&
+      g.getBoolean(3) && !g.getBoolean(4))
+    assert(!g.getBoolean(5), "maxLen must count code points")
+    // the native contract matches: code-point letters, code-point maxLen
+    assert(WordForm.isLetterWord("𐐷𐐷") && WordForm.isLetterWord("mixé𝐀"))
+    assert(!WordForm.isLetterWord("😀") && !WordForm.isLetterWord("x9"))
+    assert(!WordForm.isLetterWord("𐐷𐐷", maxLen = 1) &&
+      WordForm.isLetterWord("𐐷𐐷", maxLen = 2))
+    // compareCodePoints = UTF-8 byte order; Java's UTF-16 compareTo is NOT
+    // (the private-use char U+E000 sorts above surrogates in UTF-16)
+    assert(WordForm.compareCodePoints("", "😀") < 0)
+    assert("".compareTo("😀") > 0, // the divergence the helper exists for
+      "JVM changed UTF-16 ordering semantics?")
+    assert(WordForm.compareCodePoints("ab", "abc") < 0 &&
+      WordForm.compareCodePoints("abc", "abc") == 0)
+    // the hazard that keeps zero-width split banned from per-char work:
+    // Java's split("(?!^)") cuts surrogate pairs into lone surrogates,
+    // while a '(.)' find-loop advances by whole code points
+    assert("𐐷b".split("(?!^)").length == 3, "JVM split semantics changed?")
+    val cps = Seq(Tuple1("𐐷b")).toDF("w")
+      .select(org.apache.spark.sql.functions
+        .regexp_extract_all($"w", lit("."), lit(0)))
+      .head().getSeq[String](0)
+    assert(cps == Seq("𐐷", "b"))
+  }
+
   test("SQL function registration: graft_* callable from spark.sql") {
     graft.sql.GraftExtensions.register(spark)
     val r = spark.sql(
@@ -2479,6 +2544,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(
       (1L, "e", "s", 9L), (2L, "es", "t", 9L),
       (3L, "l", "o", 7L), (4L, "lo", "w", 7L)))
+  }
+
+  test("subword learning: the driver-local loop equals the distributed loop " +
+      "row for row (BPE + WordPiece, Latin/Cyrillic/astral corpus)") {
+    // the local loop is the default behind bpeLearnMerges /
+    // wordpieceLearnMerges (corpus reduction distributed, merge loop on
+    // the collected vocabulary); the distributed loop must stay
+    // row-identical — including argmax tie-breaks and astral symbols
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++
+      Seq.fill(4)("слово") ++ Seq.fill(3)("𐐷𐐷𐐷𐐷") ++
+      Seq.fill(2)("𝕬𝖅𝕬𝖅") ++ Seq("mixé𝐀", "x9", "😀")).mkString(" ")
+    val docsDf = Seq((1L, corpus), (2L, "низкий низкий 𐐷𐐷 ok"))
+      .toDF("doc_id", "text")
+    for (wp <- Seq(false, true)) {
+      val local = TextAnalysis
+        .subwordLearnMergesLocal(docsDf, 10, "text", wordpiece = wp)
+        .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+      val dist = TextAnalysis
+        .subwordLearnMerges(docsDf, 10, "text", wordpiece = wp)
+        .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+      assert(local == dist, s"wordpiece=$wp")
+      assert(local.exists(m =>
+          m._2.exists(_.isSurrogate) || m._3.exists(_.isSurrogate)),
+        s"wordpiece=$wp: expected an astral merge in this fixture, got $local")
+    }
   }
 
   test("batched BPE learning with batchK=1 equals the serial learner") {

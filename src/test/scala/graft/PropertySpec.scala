@@ -885,4 +885,40 @@ object PropertySpec extends Properties("graft") {
         (p.map(costs).sum, p.length, p)).min
       conserve && (seg.toList == best._3)
     }
+
+  // astral sibling: words mix BMP and astral letters, the brute-force
+  // model walks CODE POINTS and tie-breaks in code-point order — pins the
+  // round-15 lift of the Viterbi DP (UTF-16 walks would mis-place every
+  // piece boundary after an astral char)
+  private val astralAlphabet = Seq("a", "b", "𐐷", "𠀀")
+  private val genAstralWord: Gen[String] =
+    Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(astralAlphabet)).map(_.mkString))
+  private val genAstralPieces: Gen[List[String]] =
+    Gen.listOf(Gen.choose(2, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(astralAlphabet)).map(_.mkString)))
+
+  property("unigram Viterbi on astral words: code-point conservation and " +
+      "optimality vs a code-point brute force") =
+    forAll(genAstralWord, genAstralPieces, Gen.choose(1L, 1000L)) { (w, extra, seed) =>
+      import graft.functions.{UnigramExpressions, WordForm}
+      val pieces = (astralAlphabet ++ extra).distinct
+      val costs = pieces.map(p =>
+        p -> (java.lang.Math.floorMod(seed * 31 + p.hashCode, 1000L) + 1L)).toMap
+      val table = UnigramExpressions.buildTable(costs)
+      val seg = UnigramExpressions.viterbi(w, table, 3)
+      val conserve = seg != null && seg.mkString == w
+      val cps = w.codePoints().toArray
+      def enum(p: Int): List[List[String]] =
+        if (p == cps.length) List(Nil)
+        else (1 to math.min(3, cps.length - p)).toList
+          .filter(n => costs.contains(new String(cps, p, n)))
+          .flatMap(n => enum(p + n).map(new String(cps, p, n) :: _))
+      implicit val cpOrd: Ordering[String] =
+        (a: String, b: String) => WordForm.compareCodePoints(a, b)
+      implicit val seqOrd: Ordering[List[String]] =
+        Ordering.Implicits.seqOrdering[List, String]
+      val best = enum(0).map(p => (p.map(costs).sum, p.length, p)).min
+      conserve && (seg.toList == best._3)
+    }
 }
