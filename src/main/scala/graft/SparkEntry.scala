@@ -598,6 +598,34 @@ object SparkEntry {
       "SELECT f.vec_id, CAST(l.dense AS BIGINT) AS cell, " +
       "ROUND((f.m).s, 4) AS score FROM fin f JOIN lbl l ON (f.m).c = l.cell"
 
+  /** Greedy k-center mirror (k=8, seed 42): round 1 is the hash-ordered
+    * first unit vector; each later round scores every unpicked vector's
+    * max list_inner_product against the prior one-row center CTEs (the
+    * same left-fold doubles as Spark's greatest-of-dots) and takes the
+    * (mc ASC, vec_id ASC) argmin — chained MATERIALIZED CTEs, the
+    * pageRank-oracle rule. */
+  private val KcenterSql = {
+    val k = 8
+    val h = hashRawSql("vec_id")
+    val sb = new StringBuilder(s"WITH $UnitVecCte, ")
+    sb ++= "k1 AS MATERIALIZED (SELECT vec_id, v, 0.0 AS mc FROM u " +
+      s"ORDER BY $h, vec_id LIMIT 1)"
+    for (r <- 2 to k) {
+      val prev = (1 until r).map(i => s"SELECT vec_id, v FROM k$i")
+        .mkString(" UNION ALL ")
+      sb ++= s", k$r AS MATERIALIZED (SELECT vec_id, any_value(nv) AS v, " +
+        "max(list_inner_product(cv, nv)) AS mc FROM (" +
+        s"SELECT n.vec_id, n.v AS nv, c.v AS cv FROM u n, ($prev) c " +
+        s"WHERE n.vec_id NOT IN (SELECT vec_id FROM ($prev))) " +
+        "GROUP BY vec_id ORDER BY mc ASC, vec_id ASC LIMIT 1)"
+    }
+    val un = (1 to k).map(r => s"SELECT $r AS rank, vec_id, mc FROM k$r")
+      .mkString(" UNION ALL ")
+    sb ++= s" SELECT CAST(rank AS BIGINT) AS rank, vec_id, " +
+      s"ROUND(mc, 4) AS max_cos FROM ($un)"
+    sb.toString
+  }
+
   /** IVF probe against the Lloyd-refined cent2 cells (k=5, nProbe=3,
     * queries = vec_id < 10) — the IvfTopkSql probe verbatim with fitted
     * centroids; the output carries no cell label, so the mirror's original
@@ -3514,6 +3542,16 @@ object SparkEntry {
       Similarity.kmeansAssign(e, Similarity.kmeansCentroids(e, 8, rounds = 2))
         .select(col("vec_id"), col("cell"), round(col("score"), 4).as("score"))
     }),
+    // GREEDY k-CENTER diversity coreset (Gonzalez 1985 farthest-point
+    // traversal): 8 maximally spread exemplars — hash-seeded round 1,
+    // then argmin-of-max-cosine rounds with id tie-breaks; max_cos is the
+    // coverage curve. The oracle replays the seeding and every round's
+    // candidate scores via chained materialized CTEs — one transposed
+    // pick anywhere changes all later rows
+    "sample_kcenter" -> ((s, dir) =>
+      Similarity.kcenterSelect(emb(s, dir), k = 8)
+        .select(col("rank"), col("vec_id"),
+          round(col("max_cos"), 4).as("max_cos"))),
     // IVF ANN over the SAME fitted cells — the kmeans→IVF composition
     "sim_ivf_kmeans" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -5806,6 +5844,7 @@ object SparkEntry {
         "PARTITION BY f ORDER BY rank ASC, doc_id ASC) AS rn FROM r) WHERE rn = 1"),
     "emb_project" -> EmbProjectSql,
     "sim_kmeans" -> KmeansAssignSql,
+    "sample_kcenter" -> KcenterSql,
     "sim_ivf_kmeans" -> IvfKmeansSql,
     // z-score alarms over the dense signup series: group stats via window
     // aggregates on the same grid as the gap-fill oracle

@@ -315,6 +315,66 @@ object Similarity {
     } finally { unit.unpersist(); () }
   }
 
+  /** GREEDY k-CENTER SELECTION (farthest-point traversal; Gonzalez 1985,
+    * "Clustering to minimize the maximum intercluster distance" — the
+    * classic 2-approximation) — the DIVERSITY-CORESET curation op: pick k
+    * maximally spread exemplars from an embedding collection (seed a
+    * diverse eval set, cap per-mode redundancy before expensive labeling,
+    * initialize k-means better than random). Round 1 takes the
+    * deterministic hash-ordered first vector (the [[sampleCentroids]]
+    * seeding); every later round picks the point LEAST similar to its
+    * nearest already-picked center — argmin over remaining points of
+    * max-cosine-to-centers, ties by id.
+    *
+    * Output: (rank, id, max_cos) for the k picks — `max_cos` is the
+    * selected point's similarity to its nearest prior center, so the
+    * column read top-down is the COVERAGE CURVE: the rank-r value bounds
+    * every remaining point's distance to the selected set (stop where it
+    * plateaus near 1 = the corpus is covered). Rank 1 reports 0.0.
+    *
+    * Scale shape: the selection loop is inherently sequential (each pick
+    * conditions the next), so it runs k − 1 bounded driver rounds — each
+    * ONE narrow scan of the persisted unit-vector relation scoring
+    * `greatest(dot(v, c₁..c_r))` (centers ride as literals, the k-means
+    * pattern) with a TakeOrdered(1); no shuffle, no quadratic pair set.
+    * k is config-scale (10²–10³); for very large k at 100 TB, hybridize:
+    * k-center over IVF cell centroids, then within-cell picks — same
+    * algebra, cells bound the scan count. */
+  def kcenterSelect(emb: DataFrame, k: Int, seed: Long = 42,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val unit = unitVectors(emb, idCol, vecCol, "id", "v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = unit
+        .orderBy(Sampling.hashRaw(col("id"), seed), col("id"))
+        .limit(1).select(col("id"), col("v"))
+        .as[(Long, Seq[Double])].collect().headOption
+      var centers = first.map { case (id, v) => (id, v, 0.0) }.toVector
+      var r = 2
+      var exhausted = centers.isEmpty
+      while (r <= k && !exhausted) {
+        val dots = centers.map(c => dot(col("v"), typedLit(c._2)))
+        val mc = if (dots.size == 1) dots.head else greatest(dots: _*)
+        val picked = centers.map(_._1)
+        val next = unit
+          .filter(!col("id").isin(picked: _*))
+          .select(col("id"), col("v"), mc.as("mc"))
+          .orderBy(col("mc").asc, col("id").asc)
+          .limit(1).as[(Long, Seq[Double], Double)].collect().headOption
+        next match {
+          case Some((id, v, m)) => centers :+= ((id, v, m)); r += 1
+          case None => exhausted = true // k exceeds the collection
+        }
+      }
+      centers.zipWithIndex
+        .map { case ((id, _, m), i) => (i + 1L, id, m) }
+        .toDF("rank", idCol, "max_cos")
+    } finally { unit.unpersist(); () }
+  }
+
   /** Cell assignment of every vector against a centroid list (e.g.
     * [[kmeansCentroids]]' output): (idCol, cell, score) — the same narrow
     * argmax fold as [[ivfTopK]]'s corpus side. */

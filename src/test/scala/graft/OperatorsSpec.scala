@@ -491,6 +491,40 @@ class OperatorsSpec extends AnyFunSuite {
       fwd.contains((s, t)) && bwd.contains((t, s)) })
   }
 
+  test("k-center selection matches a driver-side naive farthest-point model") {
+    import graft.operators.Similarity
+    val k = 5
+    val got = Similarity.kcenterSelect(emb, k)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == (1L to k.toLong))
+    assert(got.map(_._2).distinct.length == k)
+    // coverage curve is non-decreasing after rank 1 (greedy invariant)
+    assert(got.drop(1).map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    // naive model over collected unit vectors, same seeding and tie-breaks
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().map { case (id, v) =>
+        val d = v.map(_.toDouble)
+        val n = math.sqrt(d.foldLeft(0.0)((a, x) => a + x * x))
+        id -> d.map(_ / n)
+      }.sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val firstId = got.head._2
+    var picked = Vector(firstId)
+    var centers = Vector(vecs.find(_._1 == firstId).get._2)
+    for (r <- 2 to k) {
+      val (id, v, mc) = vecs.filter(p => !picked.contains(p._1)).map {
+        case (id, v) => (id, v, centers.map(c => dot(v, c)).max)
+      }.minBy { case (id, _, mc) => (mc, id) }
+      assert(got(r - 1)._2 == id, s"round $r picked ${got(r - 1)._2}, naive $id")
+      assert(math.abs(got(r - 1)._3 - mc) < 1e-9)
+      picked :+= id; centers :+= v
+    }
+  }
+
   test("brute-force top-k matches a driver-side naive computation") {
     val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .collect().toMap.view.mapValues(_.map(_.toDouble)).toMap

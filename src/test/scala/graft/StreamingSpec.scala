@@ -1004,6 +1004,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(s0 == o0, s"batch-0 manifest diverges: $s0 vs $o0")
   }
 
+  test("streaming CMS: the folded cell matrix equals the one-shot sketch " +
+      "and batch estimates carry the over-estimate guarantee") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // a skewed key stream: key 7 floods (every 3rd row), the rest spread
+    val all = Seq.tabulate(300)(i => if (i % 3 == 0) 7L else (i % 50).toLong)
+    val (b1, rest) = all.splitAt(100)
+    val (b2, b3) = rest.splitAt(100)
+    val base = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    val input = MemoryStream[Long]
+    val q = graft.streaming.StreamingSketch.cmsSink(
+        input.toDF().toDF("user_id"), col("user_id"), d = 4, w = 32,
+        s"$base/state", s"$base/out", s"$base/ckpt")
+      .start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    // 1. the accumulated cell matrix after the last batch is BIT-identical
+    //    to a one-shot cmsBuild over every row seen
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Long, Long)].collect().sortBy(c => (c._1, c._2)).toSeq
+    val folded = cells(spark.read.parquet(s"$base/state/gen=2"))
+    val oneShot = cells(graft.operators.Sketches.cmsBuild(
+      all.toDF("user_id"), col("user_id"), d = 4, w = 32))
+    assert(folded == oneShot, s"folded=$folded oneShot=$oneShot")
+    // 2. the batch-2 report equals one-shot estimates of b3's keys against
+    //    the full sketch, and every estimate >= the key's true total count
+    val est = spark.read.parquet(s"$base/out/batch_id=2")
+      .as[(Long, Long)].collect().toMap
+    val expected = graft.operators.Sketches.cmsEstimate(
+        graft.operators.Sketches.cmsBuild(
+          all.toDF("user_id"), col("user_id"), d = 4, w = 32),
+        b3.distinct.toDF("key"), "key", d = 4, w = 32)
+      .as[(Long, Long)].collect().toMap
+    assert(est == expected)
+    val truth = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(est.forall { case (k, e) => e >= truth(k) },
+      "CMS estimate must never under-count")
+    // the flood key's estimate is visibly dominant among the batch keys
+    assert(est(7L) == est.values.max)
+  }
+
+  test("streaming CMS: checkpoint restart resumes the cell store", SlowTest) {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val all = Seq.tabulate(200)(i => (i % 31).toLong)
+    val (b1, b2) = all.splitAt(100)
+    val base = java.nio.file.Files.createTempDirectory("graft-cmsr").toString
+    val input = MemoryStream[Long]
+    def start() = graft.streaming.StreamingSketch.cmsSink(
+        input.toDF().toDF("user_id"), col("user_id"), d = 4, w = 32,
+        s"$base/state", s"$base/out", s"$base/ckpt")
+      .start()
+    val q1 = start()
+    try { input.addData(b1); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { input.addData(b2); q2.processAllAvailable() } finally q2.stop()
+    val restarted = spark.read.parquet(s"$base/state/gen=1")
+      .as[(Int, Long, Long)].collect().sortBy(c => (c._1, c._2)).toSeq
+    val oneShot = graft.operators.Sketches.cmsBuild(
+        all.toDF("user_id"), col("user_id"), d = 4, w = 32)
+      .as[(Int, Long, Long)].collect().sortBy(c => (c._1, c._2)).toSeq
+    assert(restarted == oneShot, s"restarted=$restarted oneShot=$oneShot")
+  }
+
   test("streaming manifest: checkpoint restart resumes the shard store", SlowTest) {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
