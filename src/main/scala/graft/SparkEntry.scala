@@ -598,6 +598,58 @@ object SparkEntry {
       "SELECT f.vec_id, CAST(l.dense AS BIGINT) AS cell, " +
       "ROUND((f.m).s, 4) AS score FROM fin f JOIN lbl l ON (f.m).c = l.cell"
 
+  /** The margin + mutual-argmax tail shared by the exact and IVF bitext
+    * mirrors — expects CTEs `fk`/`bk` (src_id, tgt_id, cosine, rank), one
+    * per direction: rank-ordered 0.0-seeded neighborhood folds, the
+    * fixed-order /8.0 denominator (2k with k=4), both margin argmaxes,
+    * the mutual + threshold(1.0) filter. One definition, the
+    * stopword-list rule. */
+  private val BitextTailSql = {
+    def fold(terms: String) =
+      s"list_reduce(list_prepend(0.0, $terms), (a, b) -> a + b)"
+    s", ns AS (SELECT src_id, ${fold("list(cosine ORDER BY rank)")} AS nn_src " +
+      "FROM fk GROUP BY 1), " +
+      s"nt AS (SELECT tgt_id, ${fold("list(cosine ORDER BY rank)")} AS nn_tgt " +
+      "FROM bk GROUP BY 1), " +
+      "cand AS (SELECT f.src_id, f.tgt_id, f.cosine, " +
+      "f.cosine / (ns.nn_src / 8.0 + nt.nn_tgt / 8.0) AS margin " +
+      "FROM fk f JOIN bk b ON b.src_id = f.src_id AND b.tgt_id = f.tgt_id " +
+      "JOIN ns ON ns.src_id = f.src_id JOIN nt ON nt.tgt_id = f.tgt_id), " +
+      "mx AS (SELECT src_id, tgt_id, cosine, margin, " +
+      "row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS rf, " +
+      "row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id ASC) AS rb " +
+      "FROM cand) " +
+      "SELECT src_id, tgt_id, ROUND(cosine, 4) AS cosine, " +
+      "ROUND(margin, 4) AS margin FROM mx WHERE rf = 1 AND rb = 1 AND margin > 1.0"
+  }
+
+  /** One direction of the bitext-IVF mirror — the IvfTopkSql idiom with
+    * side parity filters: centroids hash-sampled from the CORPUS side
+    * (parity `cPar`), cell assignment over that side, probe ranking for
+    * the QUERY side (parity `qPar`); ends in `${p}knn(qid, nid, cosine,
+    * rank)`. */
+  private def bitextIvfSideCtes(p: String, qPar: Int, cPar: Int,
+      nLists: Int, nProbe: Int, k: Int): String = {
+    val h = hashRawSql("vec_id")
+    s"${p}cent AS (SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS cell, v " +
+      s"FROM u WHERE vec_id % 2 = $cPar " +
+      s"QUALIFY row_number() OVER (ORDER BY $h, vec_id) <= $nLists), " +
+      s"${p}asg AS (SELECT u.vec_id AS nid, any_value(u.v) AS cu, " +
+      "(max({'s': list_inner_product(c.v, u.v), 'c': c.cell})).c AS cell " +
+      s"FROM u, ${p}cent c WHERE u.vec_id % 2 = $cPar GROUP BY u.vec_id), " +
+      s"${p}prb AS (SELECT qid, qu, cell FROM (" +
+      "SELECT q.vec_id AS qid, q.v AS qu, c.cell, " +
+      "row_number() OVER (PARTITION BY q.vec_id " +
+      "ORDER BY list_inner_product(c.v, q.v) DESC, c.cell DESC) AS pr " +
+      s"FROM u q, ${p}cent c WHERE q.vec_id % 2 = $qPar) WHERE pr <= $nProbe), " +
+      s"${p}knn AS (SELECT qid, nid, cosine, rank FROM (" +
+      s"SELECT p.qid, a.nid, list_inner_product(p.qu, a.cu) AS cosine, " +
+      "row_number() OVER (PARTITION BY p.qid " +
+      "ORDER BY list_inner_product(p.qu, a.cu) DESC, a.nid ASC) AS rank " +
+      s"FROM ${p}prb p JOIN ${p}asg a ON p.cell = a.cell AND p.qid <> a.nid) " +
+      s"WHERE rank <= $k)"
+  }
+
   /** Greedy k-center mirror (k=8, seed 42): round 1 is the hash-ordered
     * first unit vector; each later round scores every unpicked vector's
     * max list_inner_product against the prior one-row center CTEs (the
@@ -2878,6 +2930,17 @@ object SparkEntry {
           emb(s, dir).filter(col("vec_id") % 2 === 0),
           emb(s, dir).filter(col("vec_id") % 2 === 1),
           k = 4, threshold = 1.0)
+        .select(col("src_id"), col("tgt_id"),
+          round(col("cosine"), 4).as("cosine"),
+          round(col("margin"), 4).as("margin"))),
+    // the SCALE path of the miner: both direction k-NNs via the IVF
+    // cell-probe join (centroids hash-sampled from each corpus side),
+    // the margin/mutual tail unchanged — the faiss/CCMatrix shape
+    "sim_bitext_ivf" -> ((s, dir) =>
+      Similarity.bitextMineIvf(
+          emb(s, dir).filter(col("vec_id") % 2 === 0),
+          emb(s, dir).filter(col("vec_id") % 2 === 1),
+          k = 4, threshold = 1.0, nLists = 8, nProbe = 3)
         .select(col("src_id"), col("tgt_id"),
           round(col("cosine"), 4).as("cosine"),
           round(col("margin"), 4).as("margin"))),
@@ -5420,40 +5483,30 @@ object SparkEntry {
     // (elementwise /sqrt(left-fold)), left-fold dots, rank-ordered
     // 0.0-seeded neighborhood sums, nn_src/8.0 + nn_tgt/8.0 denominator —
     // then both margin argmaxes and the mutual + threshold filter
-    "sim_bitext_mine" -> {
-      val gs = "generate_series(1, 64)"
-      def fold(terms: String) =
-        s"list_reduce(list_prepend(0.0, $terms), (a, b) -> a + b)"
-      s"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        s"nu AS (SELECT vec_id, [v[i] / n for i in $gs] AS u FROM " +
-        s"(SELECT vec_id, v, sqrt(${fold(s"[v[i] * v[i] for i in $gs]")}) AS n FROM e) " +
-        "WHERE n > 0), " +
-        s"sc AS (SELECT s.vec_id AS src_id, t.vec_id AS tgt_id, " +
-        s"${fold(s"[s.u[i] * t.u[i] for i in $gs]")} AS cosine " +
-        "FROM nu s, nu t WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 = 1), " +
-        "fwd AS (SELECT src_id, tgt_id, cosine, rank FROM (" +
+    "sim_bitext_mine" ->
+      (s"WITH $UnitVecCte, " +
+        "sc AS (SELECT s.vec_id AS src_id, t.vec_id AS tgt_id, " +
+        "list_inner_product(s.v, t.v) AS cosine " +
+        "FROM u s, u t WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 = 1), " +
+        "fk AS (SELECT src_id, tgt_id, cosine, rank FROM (" +
         "SELECT src_id, tgt_id, cosine, row_number() OVER (" +
         "PARTITION BY src_id ORDER BY cosine DESC, tgt_id ASC) AS rank FROM sc) " +
         "WHERE rank <= 4), " +
-        "bwd AS (SELECT src_id, tgt_id, cosine, rank FROM (" +
+        "bk AS (SELECT src_id, tgt_id, cosine, rank FROM (" +
         "SELECT src_id, tgt_id, cosine, row_number() OVER (" +
         "PARTITION BY tgt_id ORDER BY cosine DESC, src_id ASC) AS rank FROM sc) " +
-        "WHERE rank <= 4), " +
-        s"ns AS (SELECT src_id, ${fold("list(cosine ORDER BY rank)")} AS nn_src " +
-        "FROM fwd GROUP BY 1), " +
-        s"nt AS (SELECT tgt_id, ${fold("list(cosine ORDER BY rank)")} AS nn_tgt " +
-        "FROM bwd GROUP BY 1), " +
-        "cand AS (SELECT f.src_id, f.tgt_id, f.cosine, " +
-        "f.cosine / (ns.nn_src / 8.0 + nt.nn_tgt / 8.0) AS margin " +
-        "FROM fwd f JOIN bwd b ON b.src_id = f.src_id AND b.tgt_id = f.tgt_id " +
-        "JOIN ns ON ns.src_id = f.src_id JOIN nt ON nt.tgt_id = f.tgt_id), " +
-        "mx AS (SELECT src_id, tgt_id, cosine, margin, " +
-        "row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS rf, " +
-        "row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id ASC) AS rb " +
-        "FROM cand) " +
-        "SELECT src_id, tgt_id, ROUND(cosine, 4) AS cosine, " +
-        "ROUND(margin, 4) AS margin FROM mx WHERE rf = 1 AND rb = 1 AND margin > 1.0"
-    },
+        "WHERE rank <= 4) " +
+        BitextTailSql),
+    // the IVF-accelerated miner's mirror: per direction, centroids
+    // hash-sampled from the corpus side, cell assignment + probe ranking
+    // (the sim_ivf_topk idiom), then the IDENTICAL margin/mutual tail
+    "sim_bitext_ivf" ->
+      (s"WITH $UnitVecCte, " +
+        bitextIvfSideCtes("f", qPar = 0, cPar = 1, nLists = 8, nProbe = 3, k = 4) + ", " +
+        bitextIvfSideCtes("b", qPar = 1, cPar = 0, nLists = 8, nProbe = 3, k = 4) + ", " +
+        "fk AS (SELECT qid AS src_id, nid AS tgt_id, cosine, rank FROM fknn), " +
+        "bk AS (SELECT nid AS src_id, qid AS tgt_id, cosine, rank FROM bknn) " +
+        BitextTailSql),
     "text_stats" ->
       (s"SELECT doc_id, $TokN AS n_tokens, " +
         s"(CASE WHEN $TokN = 0 THEN 0.0 ELSE " +

@@ -138,10 +138,40 @@ object Similarity {
       .orderBy(col("cosine").desc, col("src_id").asc)
     val fwd = scored.withColumn("rank", row_number().over(wF))
       .filter(col("rank") <= k)
-      .persist(StorageLevel.MEMORY_AND_DISK) // neighborhood sums + candidates
     val bwd = scored.withColumn("rank", row_number().over(wB))
       .filter(col("rank") <= k)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    marginMutualTail(fwd, bwd, k, threshold)
+  }
+
+  /** [[bitextMine]] with the k-NN stage swapped for the IVF cell-probe
+    * join — the 100 TB path: each direction runs [[ivfTopK]] (centroids
+    * sampled from ITS corpus side), the margin/mutual tail is IDENTICAL.
+    * The neighborhoods are approximate (per IVF recall), the mining
+    * algebra and determinism are unchanged — this is how faiss mines
+    * CCMatrix-scale corpora. */
+  def bitextMineIvf(src: DataFrame, tgt: DataFrame, k: Int, threshold: Double,
+      nLists: Int, nProbe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val fwd = ivfTopK(src, tgt, k, nLists, nProbe, idCol, vecCol)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        col("cosine"), col("rank"))
+    val bwd = ivfTopK(tgt, src, k, nLists, nProbe, idCol, vecCol)
+      .select(col("query_id").as("tgt_id"), col("neighbor_id").as("src_id"),
+        col("cosine"), col("rank"))
+    marginMutualTail(fwd, bwd, k, threshold)
+  }
+
+  /** The margin + mutual-argmax tail shared by the exact and IVF miners:
+    * `fwd`/`bwd` carry one direction's k-NN each — (src_id, tgt_id,
+    * cosine, rank). Persists both (each feeds its neighborhood sum AND
+    * the candidate join); the persisted relations feed the returned lazy
+    * plan, so callers owning long-lived sessions clearCache. */
+  private def marginMutualTail(fwd0: DataFrame, bwd0: DataFrame, k: Int,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fwd = fwd0.persist(StorageLevel.MEMORY_AND_DISK)
+    val bwd = bwd0.persist(StorageLevel.MEMORY_AND_DISK)
     // rank-ordered 0.0-seeded folds (the eval_retrieval DCG pattern): the
     // neighborhood sum is the same IEEE addition sequence on any engine
     def nnSum(df: DataFrame, key: String, out: String): DataFrame =

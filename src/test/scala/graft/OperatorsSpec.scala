@@ -491,6 +491,31 @@ class OperatorsSpec extends AnyFunSuite {
       fwd.contains((s, t)) && bwd.contains((t, s)) })
   }
 
+  test("bitext IVF miner with a full probe equals the exact miner") {
+    import graft.operators.Similarity
+    val src = emb.filter($"vec_id" % 2 === 0)
+    val tgt = emb.filter($"vec_id" % 2 === 1)
+    val exact = Similarity.bitextMine(src, tgt, 4, 1.0)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    // nProbe == nLists scores every cell → the kNNs equal brute force and
+    // the mined set must be IDENTICAL, margins included
+    val full = Similarity.bitextMineIvf(src, tgt, 4, 1.0,
+        nLists = 8, nProbe = 8)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(full == exact)
+    // a partial probe approximates: neighborhood sums shift under the
+    // probe cut, so MINED-set recall is well below kNN recall — on this
+    // near-uniform synthetic fixture (an IVF worst case: no cluster
+    // structure for cells to exploit) nProbe 3/8 lands ~40%; assert the
+    // floor that catches a broken probe, not fixture-tuned luck
+    val approx = Similarity.bitextMineIvf(src, tgt, 4, 1.0,
+        nLists = 8, nProbe = 3)
+      .select($"src_id", $"tgt_id").as[(Long, Long)].collect().toSet
+    val exactPairs = exact.map(e => (e._1, e._2))
+    assert(approx.intersect(exactPairs).size * 4 >= exactPairs.size,
+      s"IVF recall collapsed: ${approx.intersect(exactPairs).size}/${exactPairs.size}")
+  }
+
   test("k-center selection matches a driver-side naive farthest-point model") {
     import graft.operators.Similarity
     val k = 5
