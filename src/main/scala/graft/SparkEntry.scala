@@ -1736,7 +1736,9 @@ object SparkEntry {
       "FROM tot a JOIN tot b ON a.user_id = b.user_id " +
       "AND a.event_type < b.event_type AND a.v <> b.v)"
 
-  private def bradleyTerryOracleSql(iters: Int, scale: Long): String = {
+  /** The BT fit's CTE chain (sym/mt/wt/p0..p$iters) over a `cmp` CTE —
+    * shared by the strengths mirror and the calibration mirror. */
+  private def bradleyTerryCtes(iters: Int, scale: Long): String = {
     val s2 = scale * scale
     val rounds = (1 to iters).map { k =>
       val prev = s"p${k - 1}"
@@ -1749,8 +1751,7 @@ object SparkEntry {
         s"p$k AS (SELECT item, (praw * $scale * (SELECT count(*) FROM wt)) " +
         s"// (SELECT sum(praw) FROM r$k) AS p FROM r$k)"
     }.mkString(", ")
-    s"WITH $BtCmpCtes, " +
-      "sym AS (SELECT winner AS i, loser AS j FROM cmp " +
+    "sym AS (SELECT winner AS i, loser AS j FROM cmp " +
       "UNION ALL SELECT loser AS i, winner AS j FROM cmp), " +
       "mt AS (SELECT i, j, count(*) + 2 AS m FROM sym GROUP BY 1, 2), " +
       "w0 AS (SELECT winner AS item, count(*) AS c FROM cmp GROUP BY 1), " +
@@ -1758,10 +1759,32 @@ object SparkEntry {
       "(SELECT i AS item, count(*) AS c FROM mt GROUP BY 1) np " +
       "LEFT JOIN w0 USING (item)), " +
       s"p0 AS (SELECT item, CAST($scale AS BIGINT) AS p FROM wt), " +
-      s"$rounds " +
+      rounds
+  }
+
+  private def bradleyTerryOracleSql(iters: Int, scale: Long): String =
+    s"WITH $BtCmpCtes, ${bradleyTerryCtes(iters, scale)} " +
       s"SELECT item, CAST(p AS BIGINT) AS strength_fp, " +
       s"CAST(wins AS BIGINT) AS wins FROM p$iters JOIN wt USING (item)"
-  }
+
+  /** Calibration mirror: the fit chain, then per comparison the
+    * lower-id item's predicted win probability (one double division of
+    * the exact fixed-point strengths), floor-bucketed; exact counts and
+    * one division per bucket row. */
+  private def btCalibrationOracleSql(iters: Int, scale: Long,
+      bins: Int): String =
+    s"WITH $BtCmpCtes, ${bradleyTerryCtes(iters, scale)}, " +
+      "ab AS (SELECT least(winner, loser) AS a, greatest(winner, loser) AS b, " +
+      "CASE WHEN winner <= loser THEN 1 ELSE 0 END AS wa FROM cmp), " +
+      s"prc AS (SELECT wa, CAST(sa.p AS DOUBLE) / CAST(sa.p + sb.p AS DOUBLE) AS pa " +
+      s"FROM ab JOIN p$iters sa ON sa.item = ab.a " +
+      s"JOIN p$iters sb ON sb.item = ab.b) " +
+      "SELECT bucket, n_cmp, n_a_wins, " +
+      "CAST(n_a_wins AS DOUBLE) / CAST(n_cmp AS DOUBLE) AS emp_rate, " +
+      s"(CAST(bucket AS DOUBLE) + 0.5) / $bins.0 AS expected_mid FROM (" +
+      s"SELECT least(CAST(floor(pa * $bins) AS BIGINT), ${bins - 1}) AS bucket, " +
+      "CAST(count(*) AS BIGINT) AS n_cmp, CAST(sum(wa) AS BIGINT) AS n_a_wins " +
+      "FROM prc GROUP BY 1)"
 
   /** Shared CTE chain of the span-decontamination mirrors: the planted-
     * quote host fixture (`cp` — doubled own text; %13==5 hosts embed their
@@ -2734,6 +2757,17 @@ object SparkEntry {
     // corpus release — counts, token/char totals, exact-dup count, mean +
     // exact-median doc length, in ONE aggregation pass
     "report_datacard" -> ((s, dir) => Profiling.dataCard(docs(s, dir))),
+    // k-ANONYMITY release gate over customer quasi-identifiers (nation,
+    // market segment, 1000-unit balance band — cents-exact, offset +1000
+    // so the band stays non-negative and floor/`div`//`//` agree): the
+    // dataset's actual k, the sub-k cell mass, the suppression share at
+    // k = 10
+    "report_kanon" -> ((s, dir) =>
+      Profiling.kAnonymityAudit(
+        s.read.parquet(s"$dir/customer.parquet"),
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(floor((c_acctbal + 1000) * 100) AS BIGINT) div 100000")),
+        k = 10L)),
     // the per-shard integrity record shipped beside an export: row/token
     // totals + an order-insensitive mod-2⁶⁴ content checksum (re-run it on
     // the delivered shards; any dropped/duplicated/corrupt doc flips it)
@@ -3842,6 +3876,15 @@ object SparkEntry {
     // division replayed exactly by the oracle's unrolled CTE chain
     "eval_bradley_terry" -> ((s, dir) =>
       Preference.bradleyTerry(btComparisons(s, dir), iters = 8)),
+    // reliability audit of the SAME fit: bucket comparisons by the
+    // model's predicted win probability for the lower-id item, compare
+    // the bucket's empirical win rate to its midpoint — the calibration
+    // screen before strengths are read as probabilities
+    "eval_bt_calibration" -> ((s, dir) => {
+      val cmp = btComparisons(s, dir)
+      Preference.btCalibration(cmp,
+        Preference.bradleyTerry(cmp, iters = 8), bins = 10)
+    }),
     // judgment-agreement audit over the SAME synthesized preference log:
     // per compared pair, the two directed counts and the majority share —
     // the noise screen that runs before any reward-model fit
@@ -4919,6 +4962,19 @@ object SparkEntry {
     // banding-eval mirror: portable slot replay + brute-force truth +
     // full-outer count roll-up
     "dedup_banding_eval" -> bandingEvalOracleSql(64, 16),
+    // k-anonymity mirror: the same quasi-identifier cells, exact counts,
+    // one division
+    "report_kanon" ->
+      ("WITH g AS (SELECT c_nationkey, c_mktsegment, " +
+        "CAST(floor((c_acctbal + 1000) * 100) AS BIGINT) // 100000 AS band, " +
+        "CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1, 2, 3) " +
+        "SELECT CAST(sum(n) AS BIGINT) AS n_rows, " +
+        "CAST(count(*) AS BIGINT) AS n_groups, " +
+        "CAST(min(n) AS BIGINT) AS k_anonymity, " +
+        "CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups, " +
+        "CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS n_risky_rows, " +
+        "CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS DOUBLE) / " +
+        "CAST(sum(n) AS DOUBLE) AS risky_row_share FROM g"),
     // data-card mirror: same one-pass stats, stacked to (metric, value)
     "report_datacard" ->
       (s"WITH b AS (SELECT COALESCE($TokN, 0) AS tc, " +
@@ -6228,6 +6284,7 @@ object SparkEntry {
         "AS DOUBLE) / CAST(count(*) AS DOUBLE) AS astral_letter_share " +
         "FROM nt"),
     "eval_bradley_terry" -> bradleyTerryOracleSql(8, 1L << 20),
+    "eval_bt_calibration" -> btCalibrationOracleSql(8, 1L << 20, 10),
     // agreement mirror: ordered-pair counts merged into the unordered pair,
     // majority share as one IEEE division of exact longs
     "eval_pair_agreement" ->

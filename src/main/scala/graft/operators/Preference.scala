@@ -118,6 +118,52 @@ object Preference {
     * pair-sized aggregate, and the ratio is a single IEEE division of
     * exact longs — bit-stable on any engine. Only observed pairs exist
     * anywhere (never items²). */
+  /** CALIBRATION AUDIT of a fitted Bradley–Terry model against its own
+    * comparison log — the reliability check a reward-model pipeline runs
+    * before trusting fitted strengths as probabilities: bucket every
+    * comparison by the model's PREDICTED win probability (for the
+    * lower-id item, so the orientation is outcome-blind) and compare the
+    * bucket's EMPIRICAL win rate to its midpoint. A calibrated model's
+    * emp_rate tracks expected_mid; systematic deviation means the
+    * strengths are order-right but probability-wrong (typical after too
+    * few MM iterations, or under rater noise — run
+    * [[raterAgreement]] first).
+    *
+    *   P̂(a beats b) = s_a / (s_a + s_b)   (Bradley–Terry by definition)
+    *
+    * Determinism: strengths are the fit's exact fixed-point longs, the
+    * prediction is ONE double division per comparison, bucketing is a
+    * floor on that double (bit-identical inputs → identical buckets on
+    * any engine), and everything else is exact counts + one division per
+    * output row.
+    *
+    * Scale shape: strengths are item-sized and broadcast twice; the log
+    * maps narrowly into (bucket, won) and ONE map-side-combined exchange
+    * lands `bins` rows. */
+  def btCalibration(comparisons: DataFrame, strengths: DataFrame,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val ab = comparisons.select(
+      least(col("winner"), col("loser")).as("a"),
+      greatest(col("winner"), col("loser")).as("b"),
+      when(col("winner") <= col("loser"), 1L).otherwise(0L).as("__wa"))
+    val st = strengths.select(col("item"), col("strength_fp"))
+    val pr = ab
+      .join(broadcast(st.select(col("item").as("a"),
+        col("strength_fp").as("__sa"))), Seq("a"))
+      .join(broadcast(st.select(col("item").as("b"),
+        col("strength_fp").as("__sb"))), Seq("b"))
+      .select(col("__wa"), (col("__sa").cast("double") /
+        (col("__sa") + col("__sb")).cast("double")).as("__pa"))
+    pr.groupBy(least(floor(col("__pa") * bins).cast("long"),
+        lit(bins - 1L)).as("bucket"))
+      .agg(count(lit(1)).as("n_cmp"), sum("__wa").as("n_a_wins"))
+      .withColumn("emp_rate",
+        col("n_a_wins").cast("double") / col("n_cmp").cast("double"))
+      .withColumn("expected_mid",
+        (col("bucket").cast("double") + 0.5) / bins.toDouble)
+  }
+
   def pairAgreement(comparisons: DataFrame): DataFrame = {
     val cnt = comparisons.groupBy("winner", "loser")
       .agg(count(lit(1)).as("n"))

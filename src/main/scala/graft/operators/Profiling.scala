@@ -25,6 +25,38 @@ object Profiling {
     * The total is a 1-row aggregate broadcast to the N survivors, and the
     * rank window runs on the already-limited N rows (bounded, single task
     * by construction — N is config-sized). */
+  /** k-ANONYMITY RELEASE GATE (Sweeney 2002, "k-anonymity: a model for
+    * protecting privacy") — the re-identification screen a dataset
+    * release runs over its quasi-identifier columns: a row whose
+    * quasi-identifier combination is shared by fewer than k rows is
+    * linkable. One summary row:
+    *
+    *   - `n_rows` / `n_groups`     totals over the quasi-identifier cells
+    *   - `k_anonymity`             the dataset's ACTUAL k (min cell size —
+    *     the release satisfies k-anonymity for any k ≤ this)
+    *   - `n_risky_groups` / `n_risky_rows`  cells (and their row mass)
+    *     below the requested `k`
+    *   - `risky_row_share`         the fraction of rows needing
+    *     suppression or coarser generalization before release
+    *
+    * All counts exact longs; the one division is a single IEEE op.
+    *
+    * Scale shape: ONE map-side-combined exchange on the quasi-identifier
+    * key (cells are generalization-bounded, far fewer than rows), then a
+    * single-row rollup. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[Column], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols: _*).agg(count(lit(1)).as("__n"))
+      .agg(sum("__n").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min("__n").as("k_anonymity"),
+        sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_risky_groups"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L)).as("n_risky_rows"))
+      .withColumn("risky_row_share",
+        col("n_risky_rows").cast("double") / col("n_rows").cast("double"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
     // unconditional: a key column NAMED 'cnt'/'share'/'rank' would be

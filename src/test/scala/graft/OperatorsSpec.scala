@@ -491,6 +491,24 @@ class OperatorsSpec extends AnyFunSuite {
       fwd.contains((s, t)) && bwd.contains((t, s)) })
   }
 
+  test("BT calibration: a perfectly calibrated bucket reads emp == mid; " +
+      "k-anonymity audit matches hand counts") {
+    import graft.operators.{Preference, Profiling}
+    // strengths 300 vs 100 → P(1 beats 2) = 0.75 → bucket 7; the log's
+    // empirical rate is made exactly 3/4
+    val cmp = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L))
+      .toDF("winner", "loser")
+    val st = Seq((1L, 300L, 3L), (2L, 100L, 1L))
+      .toDF("item", "strength_fp", "wins")
+    val cal = Preference.btCalibration(cmp, st, bins = 10)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(cal.toSeq == Seq((7L, 4L, 3L, 0.75, 0.75)))
+    val rows = (Seq.fill(5)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("q")
+    val audit = Profiling.kAnonymityAudit(rows, Seq($"q"), k = 3L)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(audit == ((8L, 3L, 1L, 2L, 3L, 3.0 / 8.0)))
+  }
+
   test("bitext IVF miner with a full probe equals the exact miner") {
     import graft.operators.Similarity
     val src = emb.filter($"vec_id" % 2 === 0)
