@@ -50,6 +50,22 @@ object SparkEntry {
       lit(" or http://ads.tracker"), (col("doc_id") % 5).cast("string"),
       lit(".net/x")))
 
+  /** URL-canonicalization dedup fixture: one synthetic source URL per doc
+    * with every canonicalization hazard planted — mixed-case host, a
+    * trailing slash on even ids, utm/fbclid tracking params interleaved
+    * with a REAL param (`id=` must survive the strip), and a fragment.
+    * Canonical key = (source, doc_id%7, doc_id%7) → planted dup groups.
+    * Single source for both engines (the SQL twin respells it verbatim). */
+  private def urlDupDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), concat(
+      lit("https://WWW."), coalesce(col("source"), lit("")),
+      lit(".Example.COM/a/"), (col("doc_id") % 7).cast("string"),
+      when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=s"), (col("doc_id") % 3).cast("string"),
+      lit("&id="), (col("doc_id") % 7).cast("string"),
+      when(col("doc_id") % 3 === 0, lit("&fbclid=zz")).otherwise(lit("")),
+      lit("#sec"), (col("doc_id") % 2).cast("string")).as("url"))
+
   /** C4-cleaning fixture: the testdata text is punctuation-free word soup,
     * so the query builds a deterministic multi-line "web page" around it —
     * a body sentence (first 8 space-separated pieces + '.'), a
@@ -1556,6 +1572,20 @@ object SparkEntry {
       "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id " +
       "ORDER BY wi, po) - 1 AS BIGINT) AS pos, " +
       "CAST(piece_id AS BIGINT) AS piece_id FROM pm"
+  }
+
+  /** Compression-curve mirror: the learn chain's merge rows joined with
+    * each round's corpus piece total (Σ freq·symbols over v_r). */
+  private def bpeCurveOracleSql(rounds: Int): String = {
+    val sp = "chr(31)"
+    val rows = (1 to rounds).map { r =>
+      s"SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, " +
+        "CAST(cnt AS BIGINT) AS pair_count, " +
+        "(SELECT CAST(sum(freq * len(string_split(substr(sym, 2, " +
+        s"length(sym) - 2), $sp || $sp))) AS BIGINT) FROM v_$r) " +
+        s"AS total_pieces FROM b_$r"
+    }.mkString(" UNION ALL ")
+    s"WITH $MdocsCte, ${bpeLearnCtes(rounds)} $rows"
   }
 
   private def bpeLearnOracleSql(rounds: Int, wordpiece: Boolean = false,
@@ -3160,6 +3190,12 @@ object SparkEntry {
           posexplode(TextAnalysis.urls(col("text"))).as(Seq("pos", "url")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("url"),
           TextAnalysis.urlDomain(col("url")).as("domain"))),
+    // URL-canonicalization dedup (the FineWeb/CC web-crawl key): lowercase
+    // scheme+host, strip fragment + tracking params (real params survive),
+    // drop the trailing slash, then exact-group by the canonical string —
+    // the planted case/slash/utm/fragment variants collapse per
+    // (source, path) group or the hash gate fails
+    "dedup_url" -> ((s, dir) => Dedup.dedupUrl(urlDupDocs(s, dir))),
     // C4/RefinedWeb-style URL-blocklist filter: drops doc_id%5 ∈ {0,1}
     // (exact + subdomain-suffix matches; example.org never matches)
     "text_domain_filter" -> ((s, dir) =>
@@ -3369,6 +3405,11 @@ object SparkEntry {
     // code-point DP, and the token-id export's astral char vocabulary in
     // code-point order. Fixture-only corpus (no parquet scan) — the proofs
     // pin cross-engine exactness; scale shape is the non-astral siblings'.
+    // the COMPRESSION CURVE of the same learn: merge table + corpus piece
+    // total after every round — the vocabulary-size selection tool (steep
+    // drops = high-value merges, the plateau = stop growing the vocab)
+    "text_bpe_curve" -> ((s, dir) =>
+      TextAnalysis.bpeLearnCurve(docsMulti(s, dir), 12)),
     "text_bpe_merges_astral" -> ((s, dir) =>
       TextAnalysis.bpeLearnMerges(docsAstralSmall(s), 8)),
     "text_bpe_apply_fast_astral" -> ((s, dir) => {
@@ -5420,6 +5461,31 @@ object SparkEntry {
         "CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)))) * 10000 + 0.499999) / 10000) AS score " +
         "FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats " +
         "GROUP BY doc_id"),
+    // URL-dedup mirror: the same fixture VALUES and the same
+    // canonicalization regexp chain (RE2's (?i) and no-match-'' extract
+    // semantics match Java's), then the exact group-by
+    "dedup_url" ->
+      ("WITH ud AS (SELECT doc_id, 'https://WWW.' || COALESCE(source, '') || " +
+        "'.Example.COM/a/' || CAST(doc_id % 7 AS VARCHAR) || " +
+        "(CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) || " +
+        "'?utm_source=s' || CAST(doc_id % 3 AS VARCHAR) || " +
+        "'&id=' || CAST(doc_id % 7 AS VARCHAR) || " +
+        "(CASE WHEN doc_id % 3 = 0 THEN '&fbclid=zz' ELSE '' END) || " +
+        "'#sec' || CAST(doc_id % 2 AS VARCHAR) AS url FROM documents), " +
+        "n1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM ud), " +
+        "n2 AS (SELECT doc_id, regexp_extract(nf, '^([^?]*)', 1) AS base0, " +
+        "regexp_extract(nf, '\\?(.*)$', 1) AS query FROM n1), " +
+        "n3 AS (SELECT doc_id, base0, regexp_replace(regexp_replace(" +
+        "'&' || query, '&(utm_[^=&]*|fbclid|gclid|ref)=[^&]*', '', 'g'), " +
+        "'^&+', '') AS q2 FROM n2), " +
+        "n4 AS (SELECT doc_id, q2, regexp_replace(" +
+        "lower(regexp_extract(base0, '(?i)^(https?://[^/]*)', 1)) || " +
+        "regexp_replace(base0, '(?i)^https?://[^/]*', ''), '/$', '') AS b " +
+        "FROM n3) " +
+        "SELECT url_canon, CAST(min(doc_id) AS BIGINT) AS keep_id, " +
+        "CAST(count(*) AS BIGINT) AS n_dups FROM (" +
+        "SELECT doc_id, CASE WHEN length(q2) > 0 THEN b || '?' || q2 " +
+        "ELSE b END AS url_canon FROM n4) GROUP BY 1"),
     // duplicated-span mirror: membership on shingle TEXT (the operator keys
     // on the 64-bit hash — same collision note as dedup_lines); interval
     // union via the identical lead() recurrence
@@ -5796,6 +5862,7 @@ object SparkEntry {
     // fixture-only astral corpus — RE2's code-point `(.)` symbolization,
     // binary (= code-point) collation and code-point `length`/`substring`
     // replay the lifted gate exactly
+    "text_bpe_curve" -> bpeCurveOracleSql(12),
     "text_bpe_merges_astral" -> bpeLearnOracleSql(8, corpus = "asdocs"),
     "text_bpe_apply_fast_astral" -> bpeApplyOracleSql(8, corpus = "asdocs"),
     "text_unigram_apply_astral" -> unigramApplyOracleSql(2, 120, 6, corpus = "asdocs"),

@@ -195,6 +195,46 @@ object Dedup {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  // ----------------------------------------------------------- URL dedup
+
+  /** URL CANONICALIZATION — the web-crawl dedup key (the FineWeb/CC
+    * convention: a page fetched via several URL spellings is ONE page):
+    * lowercase the scheme+host (case-insensitive by RFC 3986), strip the
+    * fragment (never sent to the server), strip TRACKING query params
+    * (utm_*, fbclid, gclid, ref) while PRESERVING the rest of the query
+    * (?page=2 is a different page; ?utm_source=x is not), and drop a
+    * trailing slash. Pure regexp/extract chain — identical in Java regex
+    * and RE2 (inline (?i), no backreferences), so the DuckDB mirror
+    * replays it verbatim. */
+  def urlCanonical(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base0 = regexp_extract(noFrag, "^([^?]*)", 1)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    // '&'-prefix the query so every param (including the first) strips
+    // with the SAME '&name=value' pattern, then drop leftover lead '&'s
+    val q2 = regexp_replace(
+      regexp_replace(concat(lit("&"), query),
+        "&(utm_[^=&]*|fbclid|gclid|ref)=[^&]*", ""),
+      "^&+", "")
+    val base = concat(
+      lower(regexp_extract(base0, "(?i)^(https?://[^/]*)", 1)),
+      regexp_replace(base0, "(?i)^https?://[^/]*", ""))
+    val baseNoSlash = regexp_replace(base, "/$", "")
+    when(length(q2) > 0, concat(baseNoSlash, lit("?"), q2))
+      .otherwise(baseNoSlash)
+  }
+
+  /** Exact dedup by CANONICAL URL: one row per canonical key with the
+    * kept id (MIN — deterministic) and the group size. ONE map-side-
+    * combined exchange keyed on the canonical string — the [[exact]]
+    * fingerprint shape with the canonicalizer as the key function. */
+  def dedupUrl(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(urlCanonical(col(urlCol)).as("url_canon"), col(idCol))
+      .groupBy("url_canon")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
   // ------------------------------------------------- n-gram Jaccard (exact)
 
   /** Exact Jaccard-similarity pairs over distinct word shingles, via an

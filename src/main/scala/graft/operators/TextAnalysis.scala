@@ -1563,6 +1563,31 @@ object TextAnalysis {
     * DuckDB replay picks. */
   private[graft] def subwordLearnMergesLocal(docs: DataFrame, rounds: Int,
       textCol: String, wordpiece: Boolean): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    subwordLearnLocalRows(docs, rounds, textCol, wordpiece)
+      .map { case (r, l, rr, c, _) => (r, l, rr, c) }
+      .toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** The BPE COMPRESSION CURVE — the vocabulary-size selection tool: the
+    * merge table WITH the corpus-wide piece total after each round
+    * (Σ freq·symbols over the word-frequency vocabulary, an exact long).
+    * Read top-down, total_pieces is the compression trade-off curve a
+    * tokenizer team walks to pick merge count: steep early drops are
+    * high-value merges, the plateau is where additional vocabulary stops
+    * buying sequence length. Same cost as the learn itself (the running
+    * total falls out of the in-memory loop for free). */
+  def bpeLearnCurve(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    subwordLearnLocalRows(docs, rounds, textCol, wordpiece = false)
+      .toDF("rank", "lhs", "rhs", "pair_count", "total_pieces")
+  }
+
+  private def subwordLearnLocalRows(docs: DataFrame, rounds: Int,
+      textCol: String, wordpiece: Boolean): Seq[(Long, String, String, Long, Long)] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1582,7 +1607,7 @@ object TextAnalysis {
     }
     val lens: Array[Int] = syms.map(_.length)
     val freqs: Array[Long] = words.map(_._2)
-    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
     var exhausted = false
     var r = 1
     while (r <= rounds && !exhausted) {
@@ -1632,8 +1657,9 @@ object TextAnalysis {
             }
           if (better) { bl = l; br = rr; bc = c; bs = sco }
         }
-        merges += ((r.toLong, bl, br, bc))
-        // apply the merge: left-to-right non-overlapping, in place
+        // apply the merge: left-to-right non-overlapping, in place; the
+        // post-round corpus piece total falls out of the same pass
+        var total = 0L
         wi = 0
         while (wi < syms.length) {
           val s = syms(wi); val m = lens(wi)
@@ -1645,12 +1671,14 @@ object TextAnalysis {
             wp += 1
           }
           lens(wi) = wp
+          total += freqs(wi) * wp
           wi += 1
         }
+        merges += ((r.toLong, bl, br, bc, total))
       }
       r += 1
     }
-    merges.result().toDF("rank", "lhs", "rhs", "pair_count")
+    merges.result()
   }
 
   private[graft] def subwordLearnMerges(docs: DataFrame, rounds: Int,

@@ -491,6 +491,21 @@ class OperatorsSpec extends AnyFunSuite {
       fwd.contains((s, t)) && bwd.contains((t, s)) })
   }
 
+  test("URL canonicalization: case, fragment, tracking params, trailing " +
+      "slash — real params survive") {
+    import graft.operators.Dedup
+    val cases = Seq(
+      ("HTTPS://WWW.Ex.COM/A/1/?utm_source=x&id=3&fbclid=z#top",
+        "https://www.ex.com/A/1?id=3"), // host lowers, PATH case stays
+      ("http://ex.com/p?utm_a=1&utm_b=2", "http://ex.com/p"),
+      ("https://Ex.com/", "https://ex.com"),
+      ("https://ex.com/p?page=2&ref=tw", "https://ex.com/p?page=2"),
+      ("https://ex.com/p", "https://ex.com/p"))
+    val got = cases.map(_._1).toDF("url")
+      .select(Dedup.urlCanonical($"url")).as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
   test("BT calibration: a perfectly calibrated bucket reads emp == mid; " +
       "k-anonymity audit matches hand counts") {
     import graft.operators.{Preference, Profiling}
