@@ -500,6 +500,20 @@ object SparkEntry {
       "SELECT id_a, id_b, CAST(cell AS BIGINT) AS cell, ROUND(c, 4) AS cosine " +
       s"FROM ($SemanticPairsCoreSql) WHERE c >= 0.4"
 
+  /** Threshold-sweep mirror: the shared within-cell pair core at the
+    * loosest cutoff, a threshold-list explode, and the two exact rollups
+    * (pairs; distinct greater-side ids = the min-keeps drop bound). */
+  private val ThresholdSweepSql =
+    s"WITH $UnitVecCte, $SemanticCellAsgSql, " +
+      s"base AS (SELECT id_a, id_b, c FROM ($SemanticPairsCoreSql) WHERE c >= 0.25), " +
+      "pt AS (SELECT t.threshold, id_a, id_b FROM base, " +
+      "(SELECT unnest([0.25, 0.3, 0.35, 0.4, 0.45]) AS threshold) t " +
+      "WHERE c >= t.threshold), " +
+      "np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs FROM pt GROUP BY 1), " +
+      "nd AS (SELECT threshold, CAST(count(DISTINCT id_b) AS BIGINT) AS n_dropped_lb " +
+      "FROM pt GROUP BY 1) " +
+      "SELECT np.threshold, n_pairs, n_dropped_lb FROM np JOIN nd USING (threshold)"
+
   /** URL-fixture CTE + regex/blocklist fragments shared by the two URL
     * oracles — the regexes are spelled with the explicit whitespace class so
     * Java (Spark) and RE2 (DuckDB) tokenize URLs identically. */
@@ -2962,6 +2976,12 @@ object SparkEntry {
       Dedup.semanticPairs(emb(s, dir), threshold = 0.4, nLists = 8)
         .select(col("id_a"), col("id_b"), col("cell").cast("long").as("cell"),
           round(col("cosine"), 4).as("cosine"))),
+    // the threshold TUNING TABLE over the same cell-bucketed candidates:
+    // pair count + min-keeps drop lower bound per candidate cutoff — walk
+    // loose→tight and pick the knee before committing a dedup threshold
+    "dedup_threshold_sweep" -> ((s, dir) =>
+      Dedup.semanticThresholdSweep(emb(s, dir),
+        thresholds = Seq(0.25, 0.3, 0.35, 0.4, 0.45), nLists = 8)),
     // embedding-space decontamination: corpus vectors semantically close
     // (same SemDeDup cell, cosine ≥ 0.25) to the held-out bench slice are
     // dropped — catches paraphrases n-gram decontam can't see
@@ -5308,6 +5328,7 @@ object SparkEntry {
         s"SELECT a.vec_id AS id_a, b.vec_id AS id_b, $CosD AS c " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) WHERE c >= 0.4"),
     "dedup_semantic" -> SemanticPairsSql,
+    "dedup_threshold_sweep" -> ThresholdSweepSql,
     // cross-set variant of the same cell machinery: the union's centroid
     // sample/argmax IS the shared u/cent/asg (corpus+bench partition the
     // table); contaminated = same-cell cross pair with cosine ≥ 0.4

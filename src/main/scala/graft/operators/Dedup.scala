@@ -1320,6 +1320,40 @@ object Dedup {
       .select(col("id").as(idCol)).distinct()
   }
 
+  /** DEDUP THRESHOLD SWEEP — the tuning table read BEFORE committing to a
+    * semantic-dedup cutoff: compute the cell-bucketed candidate pairs ONCE
+    * at the loosest candidate threshold ([[semanticPairs]]), then report
+    * for every candidate threshold the surviving pair count and
+    * `n_dropped_lb` — items with at least one smaller-id neighbor at that
+    * threshold, i.e. exactly the rows a min-keeps survivor pass deletes
+    * when pairs are transitively closed within a component's smaller ids;
+    * a LOWER BOUND on the component-based drop count in general (a
+    * non-minimal member whose only neighbors are larger-id still drops
+    * under [[nearDupSurvivors]] but is not counted here). Walk the table
+    * from loose to tight and pick the knee.
+    *
+    * Scale shape: one candidate-pair computation (the semanticPairs IVF
+    * cell join — never all-pairs), then a ≤|thresholds|-way explode of the
+    * PAIR relation (candidate-pair-sized, already threshold-filtered) and
+    * two map-side-combined aggregations; thresholds are config-scale. */
+  def semanticThresholdSweep(emb: DataFrame, thresholds: Seq[Double],
+      nLists: Int, seed: Long = 42, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(thresholds.nonEmpty, "at least one threshold")
+    require(thresholds == thresholds.sorted && thresholds.distinct == thresholds,
+      s"thresholds must be strictly ascending, got $thresholds")
+    val pairs = semanticPairs(emb, thresholds.min, nLists, seed, idCol, vecCol)
+      .persist(StorageLevel.MEMORY_AND_DISK) // two aggregations read it
+    val perT = pairs.select(col("id_a"), col("id_b"), col("cosine"),
+        explode(typedLit(thresholds)).as("threshold"))
+      .filter(col("cosine") >= col("threshold"))
+    val np = perT.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val nd = perT.select(col("threshold"), col("id_b")).distinct()
+      .groupBy("threshold").agg(count(lit(1)).as("n_dropped_lb"))
+    np.join(nd, Seq("threshold"))
+      .select(col("threshold"), col("n_pairs"), col("n_dropped_lb"))
+  }
+
   /** Corpus minus [[semanticContaminatedIds]]. */
   def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
       threshold: Double, nLists: Int, seed: Long = 42,

@@ -48,4 +48,28 @@ object StreamingPreference {
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
   }
+
+  /** foreachBatch sink for the AGREEMENT screen
+    * ([[graft.operators.Preference.pairAgreementFromCounts]]): the
+    * identical pair-count fold as [[bradleyTerrySink]] — the report, like
+    * the fit, is a pure function of the compacted directed counts, so the
+    * per-batch report over the accumulated table equals the one-shot
+    * report over every judgment seen BIT-identically (StreamingSpec pins
+    * it). Judgment quality is then surveilled live: a rater burst that
+    * flips pairs below majority shows up within its micro-batch, before a
+    * nightly refit would have trained on it. */
+  def agreementSink(comparisons: DataFrame, stateDir: String,
+      outDir: String, checkpointDir: String): DataStreamWriter[Row] = {
+    val spark = comparisons.sparkSession
+    comparisons.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = batch.groupBy("winner", "loser")
+          .agg(count(lit(1)).cast("long").as("n"))
+        val counts = GenStore.fold(spark, stateDir, batchId, delta,
+          Seq("winner", "loser"), "n")
+        Preference.pairAgreementFromCounts(counts)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+  }
 }

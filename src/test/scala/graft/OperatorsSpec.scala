@@ -506,6 +506,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == cases.map(_._2), s"got $got")
   }
 
+  test("Bradley-Terry: the driver-local MM loop equals the distributed " +
+      "loop row for row") {
+    import graft.operators.Preference
+    // repeated pairs, a never-winner, both directions — the BT streaming
+    // fixture's shape
+    val cmp = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (2L, 1L), (1L, 4L), (1L, 5L), (2L, 4L), (3L, 5L), (1L, 2L), (2L, 3L))
+      .toDF("winner", "loser")
+    val counts = cmp.groupBy("winner", "loser").agg(count(lit(1)).as("n"))
+    for (iters <- Seq(1, 4, 8)) {
+      val local = Preference.bradleyTerryWeightedLocal(counts, iters)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val dist = Preference.bradleyTerryWeightedDistributed(counts, iters)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(local == dist, s"iters=$iters")
+    }
+  }
+
   test("BT calibration: a perfectly calibrated bucket reads emp == mid; " +
       "k-anonymity audit matches hand counts") {
     import graft.operators.{Preference, Profiling}

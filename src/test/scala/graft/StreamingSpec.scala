@@ -908,6 +908,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(gens == Set("gen=1", "gen=2"), s"pruning left: $gens")
   }
 
+  test("streaming agreement screen: per-batch fold lands on the one-shot report") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // repeated pairs in both directions so majority shares do real work
+    val all = Seq((1L, 2L), (1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L),
+      (2L, 3L), (2L, 3L), (2L, 3L), (3L, 2L))
+    val (b1, b2) = all.splitAt(4)
+    val base = java.nio.file.Files.createTempDirectory("graft-agr").toString
+    val input = MemoryStream[(Long, Long)]
+    val q = graft.streaming.StreamingPreference.agreementSink(
+        input.toDF().toDF("winner", "loser"),
+        s"$base/state", s"$base/out", s"$base/ckpt")
+      .start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    val streamed = sorted(spark.read.parquet(s"$base/out/batch_id=1"))
+    val oneShot = sorted(graft.operators.Preference.pairAgreement(
+      all.toDF("winner", "loser")))
+    assert(streamed == oneShot, s"streamed=$streamed oneShot=$oneShot")
+    // the (2,3) pair's majority share is 3/4 — the noisy pair surfaces
+    assert(streamed.exists(r => r._1 == 2 && r._2 == 3 && r._6 == 0.75))
+  }
+
   test("streaming Bradley–Terry: checkpoint restart resumes the pair store", SlowTest) {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
