@@ -205,7 +205,10 @@ object Dedup {
     * (?page=2 is a different page; ?utm_source=x is not), and drop a
     * trailing slash. Pure regexp/extract chain — identical in Java regex
     * and RE2 (inline (?i), no backreferences), so the DuckDB mirror
-    * replays it verbatim. */
+    * replays it verbatim. Known simplification: a userinfo component
+    * (user:pass@host — case-sensitive by RFC) lowercases with the
+    * authority; for a DEDUP KEY the over-merge risk is negligible and
+    * credentialed URLs should not be dedup keys anyway. */
   def urlCanonical(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val base0 = regexp_extract(noFrag, "^([^?]*)", 1)
@@ -1335,7 +1338,11 @@ object Dedup {
     * Scale shape: one candidate-pair computation (the semanticPairs IVF
     * cell join — never all-pairs), then a ≤|thresholds|-way explode of the
     * PAIR relation (candidate-pair-sized, already threshold-filtered) and
-    * two map-side-combined aggregations; thresholds are config-scale. */
+    * two map-side-combined aggregations; thresholds are config-scale.
+    *
+    * Cache lifecycle: the candidate-pair relation stays persisted for the
+    * life of the returned plan (it feeds both rollups — the df-cap persist
+    * rationale); callers owning long-lived sessions clearCache. */
   def semanticThresholdSweep(emb: DataFrame, thresholds: Seq[Double],
       nLists: Int, seed: Long = 42, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
