@@ -56,6 +56,23 @@ object TokenizerLearnBench {
       .parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text")), 3).collect()
 
+    // production-R probe of the DRIVER-LOCAL loop (round 15): the reduction
+    // is one distributed aggregation, the rounds are driver CPU — measure
+    // deep-R wall time directly (this is the R≈30k recipe's evidence)
+    if (args.contains("local")) {
+      for (wordpiece <- Seq(false, true); r <- Seq(100, 1000, 5000)) {
+        val fam = if (wordpiece) "wordpiece" else "bpe"
+        val t0 = System.nanoTime()
+        val n = TextAnalysis
+          .subwordLearnMergesLocal(docs, r, "text", wordpiece)
+          .count()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"[tok-local] $fam rounds=$r learned=$n time=$t%.2fs")
+      }
+      spark.stop()
+      return
+    }
+
     // A/B of the per-round persist (round-15 fix) before the sampling sweep
     for (wordpiece <- Seq(false, true); p <- Seq(true, false)) {
       val fam = (if (wordpiece) "wordpiece" else "bpe") +
