@@ -1590,7 +1590,8 @@ object SparkEntry {
 
   /** Compression-curve mirror: the learn chain's merge rows joined with
     * each round's corpus piece total (Σ freq·symbols over v_r). */
-  private def bpeCurveOracleSql(rounds: Int): String = {
+  private def bpeCurveOracleSql(rounds: Int,
+      wordpiece: Boolean = false): String = {
     val sp = "chr(31)"
     val rows = (1 to rounds).map { r =>
       s"SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, " +
@@ -1599,7 +1600,7 @@ object SparkEntry {
         s"length(sym) - 2), $sp || $sp))) AS BIGINT) FROM v_$r) " +
         s"AS total_pieces FROM b_$r"
     }.mkString(" UNION ALL ")
-    s"WITH $MdocsCte, ${bpeLearnCtes(rounds)} $rows"
+    s"WITH $MdocsCte, ${bpeLearnCtes(rounds, wordpiece)} $rows"
   }
 
   private def bpeLearnOracleSql(rounds: Int, wordpiece: Boolean = false,
@@ -3430,6 +3431,8 @@ object SparkEntry {
     // drops = high-value merges, the plateau = stop growing the vocab)
     "text_bpe_curve" -> ((s, dir) =>
       TextAnalysis.bpeLearnCurve(docsMulti(s, dir), 12)),
+    "text_wordpiece_curve" -> ((s, dir) =>
+      TextAnalysis.wordpieceLearnCurve(docsMulti(s, dir), 10)),
     "text_bpe_merges_astral" -> ((s, dir) =>
       TextAnalysis.bpeLearnMerges(docsAstralSmall(s), 8)),
     "text_bpe_apply_fast_astral" -> ((s, dir) => {
@@ -5884,6 +5887,7 @@ object SparkEntry {
     // binary (= code-point) collation and code-point `length`/`substring`
     // replay the lifted gate exactly
     "text_bpe_curve" -> bpeCurveOracleSql(12),
+    "text_wordpiece_curve" -> bpeCurveOracleSql(10, wordpiece = true),
     "text_bpe_merges_astral" -> bpeLearnOracleSql(8, corpus = "asdocs"),
     "text_bpe_apply_fast_astral" -> bpeApplyOracleSql(8, corpus = "asdocs"),
     "text_unigram_apply_astral" -> unigramApplyOracleSql(2, 120, 6, corpus = "asdocs"),

@@ -1586,6 +1586,16 @@ object TextAnalysis {
       .toDF("rank", "lhs", "rhs", "pair_count", "total_pieces")
   }
 
+  /** The WordPiece sibling of [[bpeLearnCurve]] — same columns, merges
+    * ranked by the likelihood score; the curve reads the same way. */
+  def wordpieceLearnCurve(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    subwordLearnLocalRows(docs, rounds, textCol, wordpiece = true)
+      .toDF("rank", "lhs", "rhs", "pair_count", "total_pieces")
+  }
+
   private def subwordLearnLocalRows(docs: DataFrame, rounds: Int,
       textCol: String, wordpiece: Boolean): Seq[(Long, String, String, Long, Long)] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
