@@ -262,9 +262,18 @@ object Sampling {
     * narrow widths there.
     *
     * Scale shape: two map-side-combined aggregations — (bucket, shard,
-    * batch_idx) then (bucket, shard). The second regroups a strict prefix
-    * of the first's key, so Catalyst plans it WITHOUT a second exchange;
-    * all counts are exact longs, one IEEE division per output row. */
+    * batch_idx) then (bucket, shard) — and, fed by [[lengthBucketBatches]],
+    * ZERO additional exchanges: the batching window already hash-partitions
+    * on exactly (bucket, shard), which satisfies ClusteredDistribution for
+    * BOTH groupings (a partitioning on a subset of the grouping keys
+    * clusters the superset too), so each aggregate reuses it — plan-pinned
+    * in `PlanSpec` ("one shuffle total"). Note the reuse comes from the
+    * UPSTREAM partitioning, not from the second key being a prefix of the
+    * first: a first aggregate that itself introduced
+    * HashPartitioning(bucket, shard, batch_idx) would NOT satisfy
+    * ClusteredDistribution(bucket, shard) and Spark would plan a second
+    * (small, batch-count-sized) exchange. All counts are exact longs, one
+    * IEEE division per output row. */
   def packEfficiency(batches: DataFrame): DataFrame = {
     val perBatch = batches.groupBy("bucket", "shard", "batch_idx")
       .agg(max("n").as("__mx"), count(lit(1)).as("__rows"),
