@@ -1781,6 +1781,84 @@ object SparkEntry {
       "FROM tot a JOIN tot b ON a.user_id = b.user_id " +
       "AND a.event_type < b.event_type AND a.v <> b.v)"
 
+  /** Generation-eval fixture: two INDEPENDENT deterministic word-dropout
+    * corruptions of the same document — candidate = 15% drop (seed 7),
+    * reference = 10% drop (seed 42) — joined back on doc_id. Neither side
+    * is a subsequence of the other, so every BLEU precision, every clipped
+    * n-gram overlap and the LCS are non-trivial, while the whole pair
+    * corpus stays exactly replayable from the (seed, pct) hash rule. */
+  private def genPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.wordDropout(d, dropPct = 15, seed = 7)
+      .select(col("doc_id"), col("text_aug").as("cand"))
+      .join(TextAnalysis.wordDropout(d, dropPct = 10, seed = 42)
+        .select(col("doc_id"), col("text_aug").as("ref")), Seq("doc_id"))
+  }
+
+  /** DuckDB twin of [[genPairs]] COMPOSED with Eval.generationPairStats'
+    * token step (re-tokenize, drop empties, cap at 48): gp(doc_id, cs, rs).
+    * The dropout keep rule is the text_augment mirror's, at (15, seed 7)
+    * and (10, seed 42); re-tokenizing concat_ws(' ', kept) is the identity
+    * on the kept list except when it is [''] (empty source text), which
+    * the `x <> ''` filter removes on both engines. */
+  private val GenPairCtes: String = {
+    def kept(pct: Int, seed: Long) =
+      s"[toks[i] for i in generate_series(1, len(toks)) if " +
+        s"(${hashRawSql("(doc_id * 1000003 + (i - 1))", seed)}) % 100 >= $pct]"
+    s"gt AS (SELECT doc_id, $RawToks AS toks FROM documents), " +
+      s"gp AS (SELECT doc_id, " +
+      s"[x for x in ${kept(15, 7)} if x <> ''][1:48] AS cs, " +
+      s"[x for x in ${kept(10, 42)} if x <> ''][1:48] AS rs FROM gt)"
+  }
+
+  /** The per-pair generation-stats mirror over [[GenPairCtes]]'s gp —
+    * DuckDB twin of Eval.generationPairStats(maxN = 4, capTokens = 48):
+    * ms(doc_id, cand_len, ref_len, m1..m4, c1..c4, r1..r4, lcs). Clipped
+    * counts are the same Σ_g min(count_cand, count_ref) over distinct
+    * candidate grams; the LCS is the same append-fold DP, run as a nested
+    * list_reduce (DuckDB 1.0's list_reduce takes no seed, so the seed
+    * rides as the FIRST ELEMENT: the outer fold starts from the zero row
+    * and consumes one ref-position match mask per candidate token, the
+    * inner fold starts from [0] and appends dp_new[j] = mask[j]=1 ?
+    * prev[j]+1 : max(cur[-1], prev[j+1]) — bit-identical integer work to
+    * the Spark fold). */
+  private val GenStatsCtes: String = {
+    def grams(src: String, n: Int) =
+      if (n == 1) src
+      else s"[array_to_string($src[i:i+${n - 1}], ' ') for i in " +
+        s"generate_series(1, len($src) - ${n - 1})]"
+    def clip(n: Int) =
+      s"CAST(coalesce(list_sum([least(len(list_filter(cg$n, x -> x = g)), " +
+        s"len(list_filter(rg$n, x -> x = g))) for g in list_distinct(cg$n)])" +
+        s", 0) AS BIGINT) AS m$n"
+    val lcs =
+      "CAST(list_reduce(" +
+        "[[CAST(0 AS BIGINT) for _ in generate_series(0, len(rs))]] || " +
+        "[[CASE WHEN rs[j] = ct THEN CAST(1 AS BIGINT) ELSE 0 END " +
+        "for j in generate_series(1, len(rs))] for ct in cs], " +
+        "(a, mask) -> list_reduce(" +
+        "[[CAST(0 AS BIGINT)]] || [[CAST(j AS BIGINT)] " +
+        "for j in generate_series(1, len(rs))], " +
+        "(cur, jl) -> list_append(cur, " +
+        "CASE WHEN mask[CAST(jl[1] AS INT)] = 1 " +
+        "THEN a[CAST(jl[1] AS INT)] + 1 " +
+        "ELSE greatest(cur[-1], a[CAST(jl[1] AS INT) + 1]) END)))[-1] " +
+        "AS BIGINT) AS lcs"
+    s"$GenPairCtes, " +
+      "gg AS (SELECT doc_id, cs, rs, " +
+      (1 to 4).map(n =>
+        s"${grams("cs", n)} AS cg$n, ${grams("rs", n)} AS rg$n")
+        .mkString(", ") +
+      " FROM gp), " +
+      "ms AS (SELECT doc_id, " +
+      "CAST(len(cs) AS BIGINT) AS cand_len, " +
+      "CAST(len(rs) AS BIGINT) AS ref_len, " +
+      (1 to 4).map(n =>
+        s"${clip(n)}, CAST(len(cg$n) AS BIGINT) AS c$n, " +
+          s"CAST(len(rg$n) AS BIGINT) AS r$n").mkString(", ") +
+      s", $lcs FROM gg)"
+  }
+
   /** The BT fit's CTE chain (sym/mt/wt/p0..p$iters) over a `cmp` CTE —
     * shared by the strengths mirror and the calibration mirror. */
   private def bradleyTerryCtes(iters: Int, scale: Long): String = {
@@ -3960,6 +4038,31 @@ object SparkEntry {
     // tied pairs adjudicate nothing and leave both counts
     "eval_rater_agreement" -> ((s, dir) =>
       Preference.raterAgreement(btComparisons(s, dir))),
+    // corpus BLEU-4 over the generation-eval pair fixture (two
+    // different-seed dropout corruptions of each doc): clipped counts
+    // pooled over all pairs — the standard corpus formulation, never an
+    // average of sentence BLEUs — then the one ln/exp step rounds stable
+    "eval_gen_bleu" -> ((s, dir) =>
+      Eval.corpusBleu(Eval.generationPairStats(genPairs(s, dir)))),
+    // per-doc ROUGE-1/2/L over the same pair fixture: exact clipped
+    // counts and the LCS carried alongside single-division P/R/F scores
+    "eval_gen_rouge" -> ((s, dir) =>
+      Eval.rougeScores(Eval.generationPairStats(genPairs(s, dir)))),
+    // corpus chrF2 over the same pair fixture: character n-grams of the
+    // whitespace-removed capped text, clipped by the sorted-merge fold,
+    // pooled per order — pure finite IEEE arithmetic, no rounding at all
+    "eval_gen_chrf" -> ((s, dir) =>
+      Eval.corpusChrF(Eval.chrFPairStats(genPairs(s, dir)))),
+    // generation memorization audit: 30%-dropout "generations" scored for
+    // trigram-level memorization against the corpus they derive from —
+    // every deletion site mints novel trigrams, so seen ratios spread
+    // strictly inside (0, 1]; the Bloom-on-generations scale path runs
+    // even at fixture size (the fpp sliver dies in the exact confirm)
+    "eval_gen_memorization" -> ((s, dir) =>
+      Dedup.memorizationScores(
+        TextAnalysis.wordDropout(docs(s, dir), dropPct = 30, seed = 99)
+          .select(col("doc_id"), col("text_aug").as("text")),
+        docs(s, dir), n = 3)),
     // end-to-end pipeline composition — the real training-data shape, every
     // stage an already-oracled operator, chained through the (doc_id, text)
     // column contract: C4 clean → corpus line dedup → Gopher quality filter
@@ -6417,5 +6520,119 @@ object SparkEntry {
         "CAST(sum(CASE WHEN maj_a IS NOT NULL THEN na + nb ELSE 0 END) AS DOUBLE) " +
         "END AS agree_ratio " +
         "FROM un LEFT JOIN maj USING (item_a, item_b) GROUP BY 1"),
+    // corpus BLEU mirror: the same pooled exact sums, single-division
+    // precisions, ln-sum in the same left-to-right order, and the one
+    // transcendental product rounded stable on both engines
+    "eval_gen_bleu" ->
+      (s"WITH $GenStatsCtes, " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(cand_len) AS BIGINT) AS cand_tokens, " +
+        "CAST(sum(ref_len) AS BIGINT) AS ref_tokens, " +
+        (1 to 4).map(n => s"CAST(sum(m$n) AS BIGINT) AS sm$n, " +
+          s"CAST(sum(c$n) AS BIGINT) AS sc$n").mkString(", ") +
+        " FROM ms) " +
+        "SELECT n_pairs, cand_tokens, ref_tokens, " +
+        (1 to 4).map(n => s"CASE WHEN sc$n = 0 THEN 0.0 ELSE " +
+          s"CAST(sm$n AS DOUBLE) / CAST(sc$n AS DOUBLE) END AS p$n")
+          .mkString(", ") + ", " +
+        "CASE WHEN cand_tokens = 0 THEN 0.0 ELSE " +
+        sqlRound4("CASE WHEN cand_tokens >= ref_tokens THEN 1.0 " +
+          "ELSE exp(1.0 - CAST(ref_tokens AS DOUBLE) / " +
+          "CAST(cand_tokens AS DOUBLE)) END") +
+        " END AS bp, " +
+        "CASE WHEN sm1 = 0 OR sm2 = 0 OR sm3 = 0 OR sm4 = 0 " +
+        "OR cand_tokens = 0 THEN 0.0 ELSE " +
+        sqlRound4("(CASE WHEN cand_tokens >= ref_tokens THEN 1.0 " +
+          "ELSE exp(1.0 - CAST(ref_tokens AS DOUBLE) / " +
+          "CAST(cand_tokens AS DOUBLE)) END) * " +
+          "exp((((ln(CAST(sm1 AS DOUBLE) / CAST(sc1 AS DOUBLE)) + " +
+          "ln(CAST(sm2 AS DOUBLE) / CAST(sc2 AS DOUBLE))) + " +
+          "ln(CAST(sm3 AS DOUBLE) / CAST(sc3 AS DOUBLE))) + " +
+          "ln(CAST(sm4 AS DOUBLE) / CAST(sc4 AS DOUBLE))) / 4.0)") +
+        " END AS bleu FROM s"),
+    // corpus chrF mirror: the clipped counts replayed RELATIONALLY
+    // (unnest → per-(doc, n, gram) counts → join → sum(least)) — the
+    // values are engine-independent identities, so the mirror needn't
+    // mimic the Spark fold; pooled ratios and the β=2 composite are the
+    // same fixed-order finite IEEE arithmetic (no transcendental)
+    "eval_gen_chrf" ->
+      (s"WITH $GenPairCtes, " +
+        "ch AS (SELECT doc_id, " +
+        "substr(array_to_string(cs, ''), 1, 256) AS c, " +
+        "substr(array_to_string(rs, ''), 1, 256) AS r FROM gp), " +
+        "cgr AS (SELECT doc_id, n, " +
+        "[substr(c, i, n) for i in generate_series(1, length(c) - n + 1)] AS cg, " +
+        "[substr(r, i, n) for i in generate_series(1, length(r) - n + 1)] AS rg " +
+        "FROM ch, (SELECT unnest(generate_series(1, 6)) AS n) ns), " +
+        "cc AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS k FROM " +
+        "(SELECT doc_id, n, unnest(cg) AS g FROM cgr) GROUP BY 1, 2, 3), " +
+        "rc AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS k FROM " +
+        "(SELECT doc_id, n, unnest(rg) AS g FROM cgr) GROUP BY 1, 2, 3), " +
+        "mm AS (SELECT cc.n AS n, CAST(sum(least(cc.k, rc.k)) AS BIGINT) AS m " +
+        "FROM cc JOIN rc ON cc.doc_id = rc.doc_id AND cc.n = rc.n " +
+        "AND cc.g = rc.g GROUP BY 1), " +
+        "tt AS (SELECT n, CAST(sum(len(cg)) AS BIGINT) AS ct, " +
+        "CAST(sum(len(rg)) AS BIGINT) AS rt FROM cgr GROUP BY 1), " +
+        "pn AS (SELECT tt.n AS n, coalesce(mm.m, 0) AS m, tt.ct, tt.rt " +
+        "FROM tt LEFT JOIN mm USING (n)), " +
+        "s AS (SELECT " +
+        (1 to 6).map(n =>
+          s"max(CASE WHEN n = $n THEN m END) AS m$n, " +
+            s"max(CASE WHEN n = $n THEN ct END) AS ct$n, " +
+            s"max(CASE WHEN n = $n THEN rt END) AS rt$n").mkString(", ") +
+        " FROM pn), " +
+        "hd AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(length(c)) AS BIGINT) AS cand_chars, " +
+        "CAST(sum(length(r)) AS BIGINT) AS ref_chars FROM ch), " +
+        "fin AS (SELECT " +
+        "(" + (1 to 6).map(n => s"(CASE WHEN ct$n = 0 THEN 0.0 ELSE " +
+          s"CAST(m$n AS DOUBLE) / CAST(ct$n AS DOUBLE) END)").mkString(" + ") +
+        ") / 6.0 AS prec_avg, " +
+        "(" + (1 to 6).map(n => s"(CASE WHEN rt$n = 0 THEN 0.0 ELSE " +
+          s"CAST(m$n AS DOUBLE) / CAST(rt$n AS DOUBLE) END)").mkString(" + ") +
+        ") / 6.0 AS rec_avg FROM s) " +
+        "SELECT n_pairs, cand_chars, ref_chars, prec_avg, rec_avg, " +
+        "CASE WHEN 4.0 * prec_avg + rec_avg = 0.0 THEN 0.0 ELSE " +
+        "5.0 * prec_avg * rec_avg / (4.0 * prec_avg + rec_avg) END AS chrf2 " +
+        "FROM hd, fin"),
+    // memorization mirror: the generation rebuild replays the dropout →
+    // re-join → re-split chain (so the all-dropped [''] edge matches),
+    // membership is the string-keyed LEFT join (the hash-collision
+    // convention of the decontamination mirrors), one division per row
+    "eval_gen_memorization" ->
+      (s"WITH gk AS (SELECT doc_id, [toks[i] for i in " +
+        "generate_series(1, len(toks)) if " +
+        s"(${hashRawSql("(doc_id * 1000003 + (i - 1))", 99)}) % 100 >= 30] " +
+        s"AS kept FROM (SELECT doc_id, $RawToks AS toks FROM documents)), " +
+        "g2 AS (SELECT doc_id, string_split_regex(" +
+        "array_to_string(kept, ' '), '\\s+') AS toks FROM gk), " +
+        s"gsh AS (SELECT doc_id, unnest(list_distinct(${ngramsOfToks(3)})) " +
+        "AS s FROM g2), " +
+        s"ctk AS (SELECT string_split_regex(trim(text, '$SqlWs'), '\\s+') " +
+        "AS toks FROM documents), " +
+        s"csh AS (SELECT DISTINCT unnest(list_distinct(${ngramsOfToks(3)})) " +
+        "AS s FROM ctk), " +
+        "sc AS (SELECT gsh.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams, " +
+        "CAST(count(csh.s) AS BIGINT) AS n_seen " +
+        "FROM gsh LEFT JOIN csh ON gsh.s = csh.s GROUP BY 1) " +
+        "SELECT doc_id, n_ngrams, n_seen, " +
+        "CASE WHEN n_ngrams > 0 THEN CAST(n_seen AS DOUBLE) / " +
+        "CAST(n_ngrams AS DOUBLE) ELSE 0.0 END AS seen_ratio FROM sc"),
+    // per-doc ROUGE mirror: the same exact counts, every score a single
+    // IEEE division (F1 as 2m/(c+r), never the P·R composite)
+    "eval_gen_rouge" ->
+      (s"WITH $GenStatsCtes " +
+        "SELECT doc_id, m1, c1, r1, m2, c2, r2, lcs, cand_len, ref_len, " +
+        Seq(("m1", "c1", "r1", "1"), ("m2", "c2", "r2", "2"),
+          ("lcs", "cand_len", "ref_len", "l")).map { case (m, c, r, t) =>
+          s"CASE WHEN $c = 0 THEN 0.0 ELSE CAST($m AS DOUBLE) / " +
+            s"CAST($c AS DOUBLE) END AS rouge${t}_p, " +
+            s"CASE WHEN $r = 0 THEN 0.0 ELSE CAST($m AS DOUBLE) / " +
+            s"CAST($r AS DOUBLE) END AS rouge${t}_r, " +
+            s"CASE WHEN $c + $r = 0 THEN 0.0 ELSE " +
+            s"CAST($m * 2 AS DOUBLE) / CAST($c + $r AS DOUBLE) END " +
+            s"AS rouge${t}_f"
+        }.mkString(", ") +
+        " FROM ms"),
     "pipeline_e2e" -> PipelineE2eSql)
 }

@@ -930,6 +930,85 @@ object Dedup {
           .otherwise(lit(0.0)).as("overlap"))
   }
 
+  /** GENERATION MEMORIZATION AUDIT (cf. Carlini et al. 2021, "Extracting
+    * Training Data from Large Language Models"; McCoy et al. 2021, "How
+    * much do language models copy from their training data?"): for each
+    * GENERATED text, the share of its distinct word n-gram shingles that
+    * occur anywhere in the TRAINING CORPUS — seen_ratio near 1 means the
+    * generation is stitched from memorized corpus n-grams, near 0 means
+    * it is novel at the n-gram level. Returns (idCol, n_ngrams, n_seen,
+    * seen_ratio); the shingle conventions (distinct per doc, one short
+    * shingle for texts under n tokens) are [[wordShingles]]'s, membership
+    * is keyed on the 64-bit shingle hash (same collision contract as
+    * [[contaminationScores]]).
+    *
+    * The scale shape is the MIRROR IMAGE of [[contaminationScores]]:
+    * there the benchmark is small and BROADCAST against the 100 TB corpus
+    * scan; here the generations are the small side (an eval run —
+    * thousands to millions of samples) and the TRAINING corpus is the
+    * 100 TB side, which can neither broadcast nor be cheaply shuffled by
+    * shingle. So the generation shingle-hash set builds ONE Bloom filter
+    * (fpp-sized, generations-sized — MBs) shipped as a literal into the
+    * corpus scan: corpus shingles that cannot be generation shingles die
+    * map-side inside the scan stage (Bloom filters have no false
+    * negatives, so every truly seen shingle passes), and only the
+    * survivors — true hits plus an fpp sliver — reach the post-filter
+    * DISTINCT, whose output is bounded by the generation shingle count
+    * plus fpp noise. The final exact confirm is the equi-join back to the
+    * generation shingles (false positives match nothing and vanish), so
+    * fpp trades scan-side traffic, never correctness. The corpus is never
+    * exchanged by raw shingle; the only corpus-driven exchange carries
+    * the post-Bloom survivor hashes. */
+  def memorizationScores(gens: DataFrame, corpus: DataFrame, n: Int,
+      fpp: Double = 0.01, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val genSh = gens
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("s"))
+      .select(col(idCol), xxhash64(col("s")).as("sh_h"))
+    // cache for the two eager driver actions (count + bloom aggregate) and
+    // the downstream joins, then release — the contaminatedIdsBloom
+    // lifecycle (a registered persist would leak into unrelated plans)
+    genSh.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hashes = genSh.select(col("sh_h")).distinct()
+      val bytes = {
+        val n0 = math.max(hashes.count(), 1L)
+        val bloom = hashes.stat.bloomFilter("sh_h", n0, fpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        bos.toByteArray
+      }
+      val mightContain = org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            bytes, org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.GraftBridge.expression(col("sh_h"))))
+      val seenSet = corpus
+        .select(explode(wordShingles(col(textCol), n)).as("s"))
+        .select(xxhash64(col("s")).as("sh_h"))
+        .where(mightContain)
+        .distinct()
+        .withColumn("hit", lit(true))
+      val scored = genSh
+        .join(broadcast(seenSet), Seq("sh_h"), "left")
+        .groupBy(idCol).agg(
+          count(lit(1)).as("n_ngrams"),
+          count(col("hit")).as("n_seen"))
+      // restore NULL-text generations (zero shingles) as 0-over-0 rows,
+      // the contaminationScores convention
+      gens.select(col(idCol))
+        .join(scored, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+          coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+          when(coalesce(col("n_ngrams"), lit(0L)) > 0,
+            coalesce(col("n_seen"), lit(0L)).cast("double") /
+              col("n_ngrams").cast("double"))
+            .otherwise(lit(0.0)).as("seen_ratio"))
+    } finally genSh.unpersist(blocking = false)
+  }
+
   /** Per-benchmark-item contamination report — WHICH eval item leaked into
     * WHICH document: for every (corpus doc, benchmark doc) pair sharing
     * shingles, the CONTAINMENT of the benchmark item in the document,

@@ -75,4 +75,264 @@ object Eval {
           .otherwise(graft.functions.StableRound.round4(dcg / idcg))
           .as("ndcg_at_k"))
   }
+
+  // ------------------------------------------- generation-eval metrics
+
+  /** Per-pair GENERATION-EVAL statistics — the exact integer counts BLEU
+    * (Papineni et al. 2002) and ROUGE (Lin 2004) are built from, one row
+    * per (candidate, reference) text pair: token lengths, clipped n-gram
+    * matches m_n with candidate/reference n-gram totals c_n / r_n for
+    * n = 1..maxN, and the LCS length (the ROUGE-L numerator).
+    *
+    * Tokens are the engine-wide whitespace tokens
+    * ([[TextAnalysis.tokens]]), empty tokens dropped, both sides capped at
+    * `capTokens` — generations are short by nature, and the cap is what
+    * BOUNDS the per-row cost: clipped matching is the O(K log K)
+    * sorted-merge fold ([[clippedSorted]])
+    * and the LCS fold O(K²) integer steps, a constant per row once K is
+    * fixed. Everything here is exact integer work (clipped counts are
+    * Σ_g min(count_cand(g), count_ref(g));
+    * the LCS fold appends dp_new[j] = if match then dp_prev[j-1]+1 else
+    * max(dp_new[j-1], dp_prev[j])), so both engines agree bit-for-bit
+    * with no rounding at all.
+    *
+    * Scale shape: ONE narrow projection over the pair scan — no explode,
+    * no join, no shuffle; at 100 TB this is a map over the scan, and the
+    * downstream corpus BLEU roll-up is a single map-side-combined 1-row
+    * aggregate. (The alternative explode→groupBy(gram)→join formulation
+    * is linear in token count but costs three corpus-sized exchanges;
+    * with K bounded the zero-shuffle bounded-per-row map wins at any
+    * corpus size.) */
+  def generationPairStats(pairs: DataFrame, maxN: Int = 4,
+      capTokens: Int = 48, idCol: String = "doc_id",
+      candCol: String = "cand", refCol: String = "ref"): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    require(capTokens >= 1, s"capTokens must be >= 1, got $capTokens")
+    val tok = (c: org.apache.spark.sql.Column) =>
+      slice(filter(TextAnalysis.tokens(c), x => length(x) > lit(0)),
+        1, capTokens)
+    // n-grams of the capped token list, space-joined (tokens carry no
+    // whitespace, so the join is unambiguous)
+    def grams(toks: org.apache.spark.sql.Column, n: Int) =
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+    // LCS via the classic DP, one row per candidate token: the row list is
+    // 1-based with a leading 0 (P[j+1] = dp[j]), each new row built by a
+    // sequential append fold so dp_new[j-1] is element_at(cur, -1) —
+    // the exact formulation the DuckDB mirror replays with nested
+    // list_reduce
+    def lcs(cand: org.apache.spark.sql.Column,
+        ref: org.apache.spark.sql.Column) = {
+      val m = size(ref)
+      val fin = aggregate(cand, array_repeat(lit(0L), m + lit(1)),
+        (prev, ct) => aggregate(
+          when(m === 0, array().cast("array<int>"))
+            .otherwise(sequence(lit(1), m)),
+          array(lit(0L)),
+          (cur, j) => concat(cur, array(
+            when(element_at(ref, j) === ct,
+              element_at(prev, j) + lit(1L))
+              .otherwise(greatest(element_at(cur, lit(-1)),
+                element_at(prev, j + lit(1))))))))
+      element_at(fin, lit(-1))
+    }
+    val base = pairs.select(col(idCol),
+      tok(col(candCol)).as("__c"), tok(col(refCol)).as("__r"))
+    val withGrams = (1 to maxN).foldLeft(base)((d, n) =>
+      d.withColumn(s"__cg$n", grams(col("__c"), n))
+        .withColumn(s"__rg$n", grams(col("__r"), n)))
+    val cols =
+      col(idCol) ::
+        size(col("__c")).cast("long").as("cand_len") ::
+        size(col("__r")).cast("long").as("ref_len") ::
+        (1 to maxN).toList.flatMap(n => List(
+          clippedSorted(col(s"__cg$n"), col(s"__rg$n")).as(s"m$n"),
+          size(col(s"__cg$n")).cast("long").as(s"c$n"),
+          size(col(s"__rg$n")).cast("long").as(s"r$n"))) :::
+        List(lcs(col("__c"), col("__r")).as("lcs"))
+    withGrams.select(cols: _*)
+  }
+
+  /** Corpus BLEU-maxN (Papineni et al. 2002) over a
+    * [[generationPairStats]] output — the standard corpus formulation:
+    * precisions p_n = Σm_n / Σc_n pool the clipped counts over ALL pairs
+    * (never an average of sentence BLEUs), BP = min(1, e^(1−r/c)) on the
+    * pooled lengths, BLEU = BP · exp(Σ ln(p_n)/maxN). One output row.
+    *
+    * Exactness: the pooled sums are exact longs, each p_n is a single
+    * IEEE division, and the ln/exp geometric mean — the one
+    * transcendental — rounds through [[graft.functions.StableRound]] on
+    * both engines (bp and bleu round-4). Any p_n = 0 (or an empty
+    * candidate corpus) short-circuits to bleu = 0.0 with no log of zero.
+    *
+    * Scale shape: ONE map-side-combined aggregate to a single row — the
+    * per-pair stats stream through partial sums, nothing is collected. */
+  def corpusBleu(stats: DataFrame, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val sums = stats.agg(
+      count(lit(1)).as("n_pairs"),
+      (sum("cand_len").as("cand_tokens") ::
+        sum("ref_len").as("ref_tokens") ::
+        (1 to maxN).toList.flatMap(n =>
+          List(sum(s"m$n").as(s"__m$n"), sum(s"c$n").as(s"__c$n")))): _*)
+    val anyZero = (1 to maxN).map(n => col(s"__m$n") === 0L)
+      .reduce(_ || _) || col("cand_tokens") === 0L
+    val logSum = (1 to maxN).map(n =>
+      log(col(s"__m$n").cast("double") / col(s"__c$n").cast("double")))
+      .reduce(_ + _)
+    val bp = when(col("cand_tokens") >= col("ref_tokens"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("ref_tokens").cast("double") /
+        col("cand_tokens").cast("double")))
+    val prec = (1 to maxN).toList.map(n =>
+      when(col(s"__c$n") === 0L, lit(0.0))
+        .otherwise(col(s"__m$n").cast("double") /
+          col(s"__c$n").cast("double")).as(s"p$n"))
+    sums.select(
+      (col("n_pairs") :: col("cand_tokens") :: col("ref_tokens") ::
+        prec) :::
+        List(
+          when(col("cand_tokens") === 0L, lit(0.0))
+            .otherwise(graft.functions.StableRound.round4(bp)).as("bp"),
+          when(anyZero, lit(0.0))
+            .otherwise(graft.functions.StableRound.round4(
+              bp * exp(logSum / lit(maxN.toDouble)))).as("bleu")): _*)
+  }
+
+  /** Per-pair chrF statistics (Popović 2015, "chrF: character n-gram
+    * F-score for automatic MT evaluation") — the tokenization-free
+    * companion to BLEU/ROUGE: whitespace is removed (the capped token
+    * list concatenated with no separator, then capped at `capChars` code
+    * points) and clipped CHARACTER n-gram matches are counted for
+    * n = 1..maxN. One row per pair: char lengths, and per n the clipped
+    * matches mc_n with candidate/reference gram totals cc_n / rc_n — all
+    * exact longs.
+    *
+    * The clipped count here is the SORTED-MERGE formulation (tag each
+    * gram with its side, sort the union once, one linear fold summing
+    * min(count_cand, count_ref) per equal-gram run): O(L log L) per row
+    * against the distinct×scan O(D·L) of the word-gram path — at
+    * capChars=256 and six n's that is ~3k fold steps per row instead of
+    * ~800k string compares. Same exact integers, both formulations are
+    * Σ_g min(count_cand(g), count_ref(g)).
+    *
+    * Scale shape: a pure narrow map over the pair scan, zero shuffles;
+    * the [[corpusChrF]] roll-up is one map-side-combined single-row
+    * aggregate. Character positions are CODE POINTS on both engines
+    * (Spark UTF8String and DuckDB substr/length both count code points),
+    * so the mirror replays astral text too. */
+  def chrFPairStats(pairs: DataFrame, maxN: Int = 6, capChars: Int = 256,
+      capTokens: Int = 48, idCol: String = "doc_id",
+      candCol: String = "cand", refCol: String = "ref"): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    require(capChars >= 1, s"capChars must be >= 1, got $capChars")
+    val chars = (c: org.apache.spark.sql.Column) =>
+      substring(array_join(
+        slice(filter(TextAnalysis.tokens(c), x => length(x) > lit(0)),
+          1, capTokens), ""), 1, capChars)
+    def grams(s: org.apache.spark.sql.Column, n: Int) =
+      when(length(s) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(s) - lit(n - 1)),
+          i => substr(s, i, lit(n))))
+    val base = pairs.select(col(idCol),
+      chars(col(candCol)).as("__c"), chars(col(refCol)).as("__r"))
+    val withGrams = (1 to maxN).foldLeft(base)((d, n) =>
+      d.withColumn(s"__cg$n", grams(col("__c"), n))
+        .withColumn(s"__rg$n", grams(col("__r"), n)))
+    val cols =
+      col(idCol) ::
+        length(col("__c")).cast("long").as("cand_chars") ::
+        length(col("__r")).cast("long").as("ref_chars") ::
+        (1 to maxN).toList.flatMap(n => List(
+          clippedSorted(col(s"__cg$n"), col(s"__rg$n")).as(s"mc$n"),
+          size(col(s"__cg$n")).cast("long").as(s"cc$n"),
+          size(col(s"__rg$n")).cast("long").as(s"rc$n")))
+    withGrams.select(cols: _*)
+  }
+
+  /** Clipped multiset-intersection size of two gram lists by sorted
+    * merge: tag grams with their side, sort the tagged union (struct sort
+    * is lexicographic: gram, then side), then ONE linear fold that counts
+    * each side within an equal-gram run and adds min(ca, cb) when the run
+    * closes. Exactly Σ_g min(count_cand(g), count_ref(g)), as exact longs.
+    * The seed's sentinel gram is the empty string — never a real gram
+    * (grams are n ≥ 1 slices of non-empty tokens), so the first element
+    * always opens a fresh run on zero counts. */
+  private def clippedSorted(cg: org.apache.spark.sql.Column,
+      rg: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val tagged = array_sort(concat(
+      transform(cg, g => struct(g.as("g"), lit(1).as("s"))),
+      transform(rg, g => struct(g.as("g"), lit(2).as("s")))))
+    aggregate(tagged,
+      struct(lit("").as("pg"), lit(0L).as("ca"), lit(0L).as("cb"),
+        lit(0L).as("tot")),
+      (st, e) => when(e.getField("g") === st.getField("pg"),
+        struct(st.getField("pg").as("pg"),
+          (st.getField("ca") + (e.getField("s") === 1).cast("long")).as("ca"),
+          (st.getField("cb") + (e.getField("s") === 2).cast("long")).as("cb"),
+          st.getField("tot").as("tot")))
+        .otherwise(struct(e.getField("g").as("pg"),
+          (e.getField("s") === 1).cast("long").as("ca"),
+          (e.getField("s") === 2).cast("long").as("cb"),
+          (st.getField("tot") +
+            least(st.getField("ca"), st.getField("cb"))).as("tot"))),
+      st => st.getField("tot") +
+        least(st.getField("ca"), st.getField("cb")))
+  }
+
+  /** Corpus chrF2 over a [[chrFPairStats]] output — the standard pooled
+    * formulation: per n, precision/recall from the corpus-pooled clipped
+    * sums (each a single IEEE division of exact longs); P and R are the
+    * arithmetic means over the n orders (fixed left-to-right sum order on
+    * both engines); chrF2 = 5·P·R / (4·P + R) (β = 2 weights recall
+    * twice). Pure finite IEEE arithmetic in a deterministic order — no
+    * transcendental anywhere, so no rounding is needed. One output row. */
+  def corpusChrF(stats: DataFrame, maxN: Int = 6): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val sums = stats.agg(
+      count(lit(1)).as("n_pairs"),
+      (sum("cand_chars").as("cand_chars") ::
+        sum("ref_chars").as("ref_chars") ::
+        (1 to maxN).toList.flatMap(n => List(
+          sum(s"mc$n").as(s"__m$n"), sum(s"cc$n").as(s"__c$n"),
+          sum(s"rc$n").as(s"__r$n")))): _*)
+    def ratio(num: String, den: String) =
+      when(col(den) === 0L, lit(0.0))
+        .otherwise(col(num).cast("double") / col(den).cast("double"))
+    val p = (1 to maxN).map(n => ratio(s"__m$n", s"__c$n")).reduce(_ + _) /
+      lit(maxN.toDouble)
+    val r = (1 to maxN).map(n => ratio(s"__m$n", s"__r$n")).reduce(_ + _) /
+      lit(maxN.toDouble)
+    sums.select(col("n_pairs"), col("cand_chars"), col("ref_chars"),
+      p.as("prec_avg"), r.as("rec_avg"),
+      when(lit(4.0) * p + r === 0.0, lit(0.0))
+        .otherwise(lit(5.0) * p * r / (lit(4.0) * p + r)).as("chrf2"))
+  }
+
+  /** Per-pair ROUGE scores (Lin 2004) over a [[generationPairStats]]
+    * output: ROUGE-1 / ROUGE-2 precision, recall and F1 from the clipped
+    * n-gram counts, and ROUGE-L from the LCS length — one row per pair,
+    * the exact counts carried alongside so the scores audit themselves.
+    *
+    * Every ratio is a SINGLE IEEE division of exact longs (F1 collapses
+    * algebraically to 2m/(c+r) — never the P·R composite, which would
+    * stack three divisions) so both engines agree with no rounding.
+    * Zero denominators score 0.0. Pure narrow column math over the stats
+    * relation: no shuffle at any scale. */
+  def rougeScores(stats: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    def ratio(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column) =
+      when(den === 0L, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+    def triple(m: String, c: String, r: String, tag: String) = List(
+      ratio(col(m), col(c)).as(s"rouge${tag}_p"),
+      ratio(col(m), col(r)).as(s"rouge${tag}_r"),
+      ratio(col(m) * lit(2L), col(c) + col(r)).as(s"rouge${tag}_f"))
+    stats.select(
+      (col(idCol) :: col("m1") :: col("c1") :: col("r1") ::
+        col("m2") :: col("c2") :: col("r2") ::
+        col("lcs") :: col("cand_len") :: col("ref_len") ::
+        triple("m1", "c1", "r1", "1")) :::
+        triple("m2", "c2", "r2", "2") :::
+        triple("lcs", "cand_len", "ref_len", "l"): _*)
+  }
 }

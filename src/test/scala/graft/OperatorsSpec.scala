@@ -3051,6 +3051,131 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 2L, 0L, None, 0.0, 0.0, 0.0, 0.0)))
   }
 
+  test("generation pair stats match a hand-computed fixture") {
+    import graft.operators.Eval
+    // cand: [the cat sat on the mat], ref: [the cat on a mat]
+    //   m1: the min(2,1)=1, cat 1, sat 0, on 1, mat 1      → 4 of c1=6, r1=5
+    //   m2: only "the cat" overlaps                         → 1 of c2=5, r2=4
+    //   m3/m4: nothing                                      → 0
+    //   LCS: the,cat,on,mat                                 → 4
+    val pairs = Seq(
+      (1L, "the cat sat on the mat", "the cat on a mat"),
+      (2L, "", "a b"),            // empty candidate
+      (3L, " \t ", ""),           // whitespace-only vs empty
+      (4L, "x y z", "x y z"))     // identical
+      .toDF("doc_id", "cand", "ref")
+    val got = Eval.generationPairStats(pairs)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    //            id cl rl m1 c1 r1 m2 c2 r2 m3 c3 r3 m4 c4 r4 lcs
+    assert(got(0) == ((1L, 6L, 5L, 4L, 6L, 5L, 1L, 5L, 4L, 0L, 4L, 3L, 0L, 3L, 2L, 4L)))
+    assert(got(1) == ((2L, 0L, 2L, 0L, 0L, 2L, 0L, 0L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(2) == ((3L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(3) == ((4L, 3L, 3L, 3L, 3L, 3L, 2L, 2L, 2L, 1L, 1L, 1L, 0L, 0L, 0L, 3L)))
+    // the cap truncates both sides: 60-token cand against itself caps at 48
+    val long = Seq((1L, Array.tabulate(60)(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "t")
+    val capped = Eval.generationPairStats(
+      long.select($"doc_id", $"t".as("cand"), $"t".as("ref")))
+      .select("cand_len", "ref_len", "m1", "lcs")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(capped == ((48L, 48L, 48L, 48L)))
+  }
+
+  test("corpus BLEU pools clipped counts; zero any-n precision zeroes it") {
+    import graft.operators.Eval
+    // two pairs pooled: m/c per n summed BEFORE the ratio (corpus BLEU),
+    // cand 9 tokens vs ref 8 → bp = 1 (cand longer)
+    val pairs = Seq(
+      (1L, "a b c d", "a b c e"),
+      (2L, "p q r s t", "p q r s")).toDF("doc_id", "cand", "ref")
+    val stats = Eval.generationPairStats(pairs)
+    val row = Eval.corpusBleu(stats)
+      .select("n_pairs", "cand_tokens", "ref_tokens", "p1", "p2", "p3", "p4", "bp", "bleu")
+      .as[(Long, Long, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().head
+    // m1 = 3+4 = 7 of 9; m2 = 2+3 = 5 of 7; m3 = 1+2 of 5; m4 = 0+1 of 3
+    assert(row._1 == 2L && row._2 == 9L && row._3 == 8L)
+    assert(row._4 == 7.0 / 9.0 && row._5 == 5.0 / 7.0 &&
+      row._6 == 3.0 / 5.0 && row._7 == 1.0 / 3.0)
+    assert(row._8 == 1.0)
+    val expBleu = math.floor(math.exp((math.log(7.0 / 9.0) + math.log(5.0 / 7.0) +
+      math.log(3.0 / 5.0) + math.log(1.0 / 3.0)) / 4.0) * 10000 + 0.499999) / 10000
+    assert(row._9 == expBleu)
+    // a pair corpus with NO 4-gram overlap anywhere → bleu exactly 0,
+    // and a shorter-than-ref candidate gets bp < 1
+    val zero = Eval.corpusBleu(Eval.generationPairStats(
+      Seq((1L, "a b c d", "d c b a e")).toDF("doc_id", "cand", "ref")))
+      .select("bp", "bleu").as[(Double, Double)].collect().head
+    assert(zero._2 == 0.0 && zero._1 ==
+      math.floor(math.exp(1.0 - 5.0 / 4.0) * 10000 + 0.499999) / 10000)
+  }
+
+  test("chrF pair stats clip character n-grams; corpus chrF2 matches hand math") {
+    import graft.operators.Eval
+    // cand chars "abc", ref chars "abcd" (whitespace removed):
+    //   n=1: 3 of 3 vs 4 | n=2: ab,bc of ab,bc,cd → 2 of 2 vs 3
+    //   n=3: abc → 1 of 1 vs 2 | n=4: cand none, ref abcd → 0 of 0 vs 1
+    val st = Eval.chrFPairStats(
+      Seq((1L, "ab c", "abc d")).toDF("doc_id", "cand", "ref"))
+      .drop("doc_id").as[(Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(st == ((3L, 4L, 3L, 3L, 4L, 2L, 2L, 3L, 1L, 1L, 2L,
+      0L, 0L, 1L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    val row = Eval.corpusChrF(Eval.chrFPairStats(
+      Seq((1L, "ab c", "abc d")).toDF("doc_id", "cand", "ref")))
+      .select("prec_avg", "rec_avg", "chrf2")
+      .as[(Double, Double, Double)].collect().head
+    val p = ((((1.0 + 1.0) + 1.0) + 0.0) + 0.0 + 0.0) / 6.0
+    val r = ((((3.0 / 4.0 + 2.0 / 3.0) + 1.0 / 2.0) + 0.0) + 0.0 + 0.0) / 6.0
+    assert(row == ((p, r, 5.0 * p * r / (4.0 * p + r))))
+    // clipping respects multiplicity: "abab" vs "ab" → a,b clip to 1 each
+    val st2 = Eval.chrFPairStats(
+      Seq((1L, "abab", "ab")).toDF("doc_id", "cand", "ref"))
+      .select("mc1", "cc1", "rc1", "mc2", "cc2", "rc2", "mc3", "cc3")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(st2 == ((2L, 4L, 2L, 1L, 3L, 1L, 0L, 2L)))
+  }
+
+  test("memorization audit: seen share of generation shingles, Bloom-exact " +
+      "at any fpp") {
+    import graft.operators.Dedup
+    val gens = Seq(
+      (1L, Some("a b c d")),   // shingles {a b c, b c d}: first seen → 0.5
+      (2L, Some("q r")),       // one short shingle, exact corpus line → 1.0
+      (3L, Some("zz yy ww")),  // unseen anywhere → 0.0
+      (4L, Option.empty[String])) // NULL text → restored 0-over-0 row
+      .toDF("doc_id", "text")
+    val corpus = Seq((10L, "x a b c y"), (11L, "q r")).toDF("doc_id", "text")
+    val got = Dedup.memorizationScores(gens, corpus, n = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 1L, 0.5), (2L, 1L, 1L, 1.0),
+      (3L, 1L, 0L, 0.0), (4L, 0L, 0L, 0.0)))
+    // the Bloom pre-filter never changes the output — only the exact
+    // confirm decides; a sieve-like fpp must give identical rows
+    val loose = Dedup.memorizationScores(gens, corpus, n = 3, fpp = 0.5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(loose == got)
+  }
+
+  test("ROUGE scores are single divisions of the exact counts") {
+    import graft.operators.Eval
+    val pairs = Seq(
+      (1L, "the cat sat on the mat", "the cat on a mat"),
+      (2L, "", "a b")).toDF("doc_id", "cand", "ref")
+    val got = Eval.rougeScores(Eval.generationPairStats(pairs))
+      .select("doc_id", "rouge1_p", "rouge1_r", "rouge1_f",
+        "rouge2_f", "rougel_p", "rougel_r", "rougel_f")
+      .as[(Long, Double, Double, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, 4.0 / 6.0, 4.0 / 5.0, 8.0 / 11.0,
+      2.0 / 9.0, 4.0 / 6.0, 4.0 / 5.0, 8.0 / 11.0)))
+    // zero denominators score 0.0, never NULL/NaN
+    assert(got(1) == ((2L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("quality-keeper dedup: highest score wins, ties break to lowest id") {
     // docs 1/2/3 share a fingerprint (case + whitespace normalize away):
     // scores 5, 9, 9 → keeper is 2 (max score, tie with 3 → lower id);

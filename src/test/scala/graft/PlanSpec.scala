@@ -1080,6 +1080,34 @@ class PlanSpec extends AnyFunSuite {
       s"ranking metrics must stay keyed:\n$plan")
   }
 
+  test("generation pair stats are a pure narrow map over the pair scan — " +
+      "zero exchanges, no explode; corpus BLEU adds exactly the one-row " +
+      "partial-agg exchange") {
+    val pairs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "text AS cand", "text AS ref")
+    val stats = graft.operators.Eval.generationPairStats(pairs)
+    val plan = executedPlan(stats)
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"),
+      s"generation stats must not shuffle or explode:\n$plan")
+    val bleuPlan = executedPlan(graft.operators.Eval.corpusBleu(stats))
+    assert("Exchange".r.findAllIn(bleuPlan).length == 1 &&
+      bleuPlan.contains("partial_count"),
+      s"corpus BLEU must be one map-side-combined single-row aggregate:\n$bleuPlan")
+  }
+
+  test("memorization audit: the generation Bloom filter reaches the corpus " +
+      "scan stage; no product join anywhere") {
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val gens = docsDf.selectExpr("doc_id", "substr(text, 1, 40) AS text")
+    val plan = executedPlan(
+      graft.operators.Dedup.memorizationScores(gens, docsDf, n = 3))
+    assert(plan.contains("might_contain"),
+      s"corpus shingles must die map-side behind the Bloom literal:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"memorization must stay keyed:\n$plan")
+  }
+
   test("native unigram apply is a pure narrow map — zero exchanges, no explode " +
       "(the bpe_apply_fast contract for the Viterbi family)") {
     val costs = Map("a" -> 10L, "b" -> 12L, "ab" -> 15L, "c" -> 9L)
