@@ -4063,6 +4063,15 @@ object SparkEntry {
         TextAnalysis.wordDropout(docs(s, dir), dropPct = 30, seed = 99)
           .select(col("doc_id"), col("text_aug").as("text")),
         docs(s, dir), n = 3)),
+    // pass@k over a synthesized eval log: every event is one sample for
+    // its (event_type, user) task, "correct" = even floor(value·100) —
+    // the unbiased estimator as divisibility-exact integer binomial folds
+    "eval_pass_at_k" -> ((s, dir) =>
+      Eval.passAtK(
+        EventsAdapter.rawEvents(s, dir).select(
+          col("event_type"), col("user_id"),
+          (floor(col("value") * 100).cast("long") % 2 === 0).as("correct")),
+        ks = Seq(1, 2, 4), taskCols = Seq("event_type", "user_id"))),
     // end-to-end pipeline composition — the real training-data shape, every
     // stage an already-oracled operator, chained through the (doc_id, text)
     // column contract: C4 clean → corpus line dedup → Gopher quality filter
@@ -6595,6 +6604,26 @@ object SparkEntry {
         "CASE WHEN 4.0 * prec_avg + rec_avg = 0.0 THEN 0.0 ELSE " +
         "5.0 * prec_avg * rec_avg / (4.0 * prec_avg + rec_avg) END AS chrf2 " +
         "FROM hd, fin"),
+    // pass@k mirror: the SAME divisibility-exact binomial fold (seed-as-
+    // first-element list_reduce; every intermediate division is exact, so
+    // floor-vs-truncation can't diverge), one final division per k
+    "eval_pass_at_k" -> {
+      def binom(m: String, k: Int) =
+        s"list_reduce(list_prepend(CAST(1 AS BIGINT), " +
+          s"[CAST(j AS BIGINT) for j in generate_series(1, $k)]), " +
+          s"(acc, j) -> (acc * (($m) - $k + j)) // j)"
+      def pass(k: Int) =
+        s"CASE WHEN n < $k THEN NULL ELSE 1.0 - " +
+          s"CAST(${binom("n - c", k)} AS DOUBLE) / " +
+          s"CAST(${binom("n", k)} AS DOUBLE) END AS pass_at_$k"
+      "WITH b AS (SELECT event_type, user_id, " +
+        "CASE WHEN CAST(floor(value * 100) AS BIGINT) % 2 = 0 " +
+        "THEN 1 ELSE 0 END AS ok FROM events), " +
+        "t AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(ok) AS BIGINT) AS c FROM b GROUP BY 1, 2) " +
+        s"SELECT event_type, user_id, n, c, ${pass(1)}, ${pass(2)}, " +
+        s"${pass(4)} FROM t"
+    },
     // memorization mirror: the generation rebuild replays the dropout →
     // re-join → re-split chain (so the all-dropped [''] edge matches),
     // membership is the string-keyed LEFT join (the hash-collision

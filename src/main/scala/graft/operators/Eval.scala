@@ -309,6 +309,55 @@ object Eval {
         .otherwise(lit(5.0) * p * r / (lit(4.0) * p + r)).as("chrf2"))
   }
 
+  /** pass@k (Chen et al. 2021, "Evaluating Large Language Models Trained
+    * on Code", eq. 1 — the unbiased estimator): per task with n samples
+    * of which c are correct, pass@k = 1 − C(n−c, k)/C(n, k). One output
+    * row per task: the grouping columns, n, c, and one `pass_at_<k>`
+    * column per requested k (NULL when the task has fewer than k
+    * samples — the estimator is undefined there).
+    *
+    * EXACT integer formulation (not the paper's float product): each
+    * binomial runs as the classic divisibility-exact fold
+    * acc ← acc·(m−k+j) ÷ j for j = 1..k — every prefix product of j
+    * consecutive integers is divisible by j!, so the integer division is
+    * exact at every step (including the n−c < k case, where a zero
+    * factor at j = k−m collapses the fold to the correct C = 0, and any
+    * negative intermediates are exact too — floor vs truncation can't
+    * diverge on exact quotients). The final score is one division of
+    * exact longs and one subtraction: no transcendental, no rounding.
+    * Longs bound the domain to roughly C(n, k) < 2⁶³ — n into the tens
+    * of thousands at the k ≤ 10 an eval harness uses.
+    *
+    * Scale shape: ONE map-side-combined exchange on the task key; the
+    * per-task state is two longs, the k-step folds are constant per
+    * output row. */
+  def passAtK(samples: DataFrame, ks: Seq[Int],
+      taskCols: Seq[String] = Seq("task_id"),
+      correctCol: String = "correct"): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      s"ks must be non-empty positive, got $ks")
+    require(taskCols.nonEmpty, "taskCols must be non-empty")
+    def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftBridge.expression(a),
+          org.apache.spark.sql.GraftBridge.expression(b)))
+    def binom(m: org.apache.spark.sql.Column, k: Int) =
+      aggregate(sequence(lit(1L), lit(k.toLong)), lit(1L),
+        (acc, j) => intDiv(acc * (m - lit(k.toLong) + j), j))
+    val counts = samples.groupBy(taskCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col(correctCol).cast("long")).as("c"))
+    counts.select(taskCols.map(col) ++
+      List(col("n"), col("c")) ++
+      ks.map(k =>
+        when(col("n") < k, lit(null).cast("double"))
+          .otherwise(lit(1.0) -
+            binom(col("n") - col("c"), k).cast("double") /
+              binom(col("n"), k).cast("double"))
+          .as(s"pass_at_$k")): _*)
+  }
+
   /** Per-pair ROUGE scores (Lin 2004) over a [[generationPairStats]]
     * output: ROUGE-1 / ROUGE-2 precision, recall and F1 from the clipped
     * n-gram counts, and ROUGE-L from the LCS length — one row per pair,

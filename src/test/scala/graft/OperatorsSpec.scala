@@ -3160,6 +3160,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(loose == got)
   }
 
+  test("pass@k: unbiased estimator from exact binomials, NULL under k samples") {
+    import graft.operators.Eval
+    // task A: n=4, c=2 → pass@1 = 1 − C(2,1)/C(4,1) = 0.5,
+    //   pass@2 = 1 − C(2,2)/C(4,2) = 1 − 1/6, pass@4 = 1 − 0/1 = 1.0
+    // task B: n=1, c=0 → pass@1 = 0.0, pass@2/4 undefined (NULL)
+    // task C: n=3, c=3 → every k ≤ 3 scores 1.0 (C(0,k) = 0), pass@4 NULL
+    val samples = (Seq(("A", 1), ("A", 1), ("A", 0), ("A", 0), ("B", 0)) ++
+      Seq.fill(3)(("C", 1))).toDF("task_id", "correct")
+    val got = Eval.passAtK(samples, ks = Seq(1, 2, 4))
+      .as[(String, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(got(0) == (("A", 4L, 2L, Some(0.5), Some(1.0 - 1.0 / 6.0), Some(1.0))))
+    assert(got(1) == (("B", 1L, 0L, Some(0.0), None, None)))
+    assert(got(2) == (("C", 3L, 3L, Some(1.0), Some(1.0), None)))
+    // pass@n (k = n) is exactly "any sample correct"
+    val all = Eval.passAtK(samples.filter($"task_id" === "A"), ks = Seq(4))
+      .select("pass_at_4").as[Double].collect().head
+    assert(all == 1.0)
+  }
+
   test("ROUGE scores are single divisions of the exact counts") {
     import graft.operators.Eval
     val pairs = Seq(
