@@ -4072,6 +4072,14 @@ object SparkEntry {
           col("event_type"), col("user_id"),
           (floor(col("value") * 100).cast("long") % 2 === 0).as("correct")),
         ks = Seq(1, 2, 4), taskCols = Seq("event_type", "user_id"))),
+    // exact ROC AUC of a synthesized quality classifier: integer-bucketed
+    // score (floor(value·100) mod 16) vs a label sharing its low bits
+    // (mod 4 = 0) — strong-but-imperfect separation; the rank-sum
+    // identity stays integer to the one final division
+    "eval_auc" -> ((s, dir) =>
+      Eval.aucRoc(EventsAdapter.rawEvents(s, dir).select(
+        (floor(col("value") * 100).cast("long") % 16).as("score"),
+        (floor(col("value") * 100).cast("long") % 4 === 0).as("label")))),
     // end-to-end pipeline composition — the real training-data shape, every
     // stage an already-oracled operator, chained through the (doc_id, text)
     // column contract: C4 clean → corpus line dedup → Gopher quality filter
@@ -6624,6 +6632,24 @@ object SparkEntry {
         s"SELECT event_type, user_id, n, c, ${pass(1)}, ${pass(2)}, " +
         s"${pass(4)} FROM t"
     },
+    // AUC mirror: per-score class counts, the same doubled average-rank
+    // sum over the score-ordered running offset, one division at the end
+    "eval_auc" ->
+      ("WITH b AS (SELECT CAST(floor(value * 100) AS BIGINT) % 16 AS s, " +
+        "CASE WHEN CAST(floor(value * 100) AS BIGINT) % 4 = 0 " +
+        "THEN 1 ELSE 0 END AS y FROM events), " +
+        "g AS (SELECT s, CAST(sum(y) AS BIGINT) AS p, " +
+        "CAST(count(*) - sum(y) AS BIGINT) AS q FROM b GROUP BY 1), " +
+        "w AS (SELECT p, q, CAST(coalesce(sum(p + q) OVER (ORDER BY s " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+        "AS cum FROM g), " +
+        "t AS (SELECT CAST(sum(p) AS BIGINT) AS tp, " +
+        "CAST(sum(q) AS BIGINT) AS tq, " +
+        "CAST(sum(p * (2 * cum + p + q + 1)) AS BIGINT) AS s2 FROM w) " +
+        "SELECT tp AS n_pos, tq AS n_neg, " +
+        "CASE WHEN tp = 0 OR tq = 0 THEN NULL ELSE " +
+        "CAST(s2 - tp * (tp + 1) AS DOUBLE) / " +
+        "CAST(2 * tp * tq AS DOUBLE) END AS auc FROM t"),
     // memorization mirror: the generation rebuild replays the dropout →
     // re-join → re-split chain (so the all-dropped [''] edge matches),
     // membership is the string-keyed LEFT join (the hash-collision

@@ -358,6 +358,58 @@ object Eval {
           .as(s"pass_at_$k")): _*)
   }
 
+  /** Exact ROC AUC of a scored, binary-labeled relation via the
+    * Mann–Whitney rank-sum identity: AUC = (Σ ranks(positives) −
+    * P(P+1)/2) / (P·N), ties resolved by AVERAGE rank (the textbook
+    * estimator: P(s⁺ > s⁻) + ½·P(s⁺ = s⁻)) — the quality-filter /
+    * classifier discrimination number an eval harness reports. Output is
+    * ONE row: (n_pos, n_neg, auc); auc is NULL when either class is
+    * empty (undefined).
+    *
+    * Exact by construction: per-score group g at cumulative offset C the
+    * average rank is C + (g+1)/2, so DOUBLED rank sums stay integers —
+    * S2 = Σ p_s·(2·C_s + g_s + 1) — and AUC = (S2 − P(P+1)) / (2·P·N) is
+    * a SINGLE IEEE division of exact longs. The per-score fold runs over
+    * the score-sorted array, identical on both engines.
+    *
+    * Scale shape: ONE map-side-combined exchange keyed by score value,
+    * then a single-row aggregate whose state is the per-score count
+    * array. The contract: callers quantize the score first (a round-4 /
+    * integer-bucket score) so the DISTINCT-SCORE relation is
+    * vocabulary-sized — the collected fold array is bounded by it, the
+    * same bounded-driver-state contract as the histogram-quantile bins.
+    * Long bound: S2 ≤ 2·rows² keeps exact below ~3·10⁹ rows — eval sets,
+    * not corpora; bucket scores coarser for more. */
+  def aucRoc(scored: DataFrame, scoreCol: String = "score",
+      labelCol: String = "label"): DataFrame = {
+    val g = scored.groupBy(scoreCol).agg(
+      sum(col(labelCol).cast("long")).as("__p"),
+      (count(lit(1)) - sum(col(labelCol).cast("long"))).as("__q"))
+    val arr = sort_array(collect_list(struct(
+      col(scoreCol).as("s"), col("__p").as("p"), col("__q").as("q"))))
+    val st = aggregate(arr,
+      struct(lit(0L).as("cum"), lit(0L).as("s2"),
+        lit(0L).as("tp"), lit(0L).as("tq")),
+      (st, e) => struct(
+        (st.getField("cum") + e.getField("p") + e.getField("q")).as("cum"),
+        (st.getField("s2") + e.getField("p") *
+          (lit(2L) * st.getField("cum") + e.getField("p") +
+            e.getField("q") + lit(1L))).as("s2"),
+        (st.getField("tp") + e.getField("p")).as("tp"),
+        (st.getField("tq") + e.getField("q")).as("tq")))
+    g.agg(st.as("__st"))
+      .select(
+        col("__st.tp").as("n_pos"),
+        col("__st.tq").as("n_neg"),
+        when(col("__st.tp") === 0L || col("__st.tq") === 0L,
+          lit(null).cast("double"))
+          .otherwise(
+            (col("__st.s2") - col("__st.tp") * (col("__st.tp") + lit(1L)))
+              .cast("double") /
+              (lit(2L) * col("__st.tp") * col("__st.tq")).cast("double"))
+          .as("auc"))
+  }
+
   /** Per-pair ROUGE scores (Lin 2004) over a [[generationPairStats]]
     * output: ROUGE-1 / ROUGE-2 precision, recall and F1 from the clipped
     * n-gram counts, and ROUGE-L from the LCS length — one row per pair,

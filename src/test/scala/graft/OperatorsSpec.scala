@@ -3180,6 +3180,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all == 1.0)
   }
 
+  test("AUC: Mann-Whitney average-rank identity, exact to one division") {
+    import graft.operators.Eval
+    // pos scores {3, 2}, neg {1, 2}: ranks 1, 2.5, 2.5, 4 →
+    // Σranks⁺ = 6.5, AUC = (6.5 − 3)/4 = 0.875 (pairwise: 3 wins + ½ tie)
+    val d = Seq((3L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("score", "label")
+    val got = Eval.aucRoc(d).as[(Long, Long, Option[Double])].collect().head
+    assert(got == ((2L, 2L, Some(0.875))))
+    // perfect separation → 1.0; one-class input → NULL
+    val perfect = Eval.aucRoc(Seq((5L, true), (6L, true), (1L, false),
+      (2L, false)).toDF("score", "label"))
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(perfect == ((2L, 2L, Some(1.0))))
+    val oneClass = Eval.aucRoc(Seq((5L, true), (6L, true))
+      .toDF("score", "label"))
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(oneClass == ((2L, 0L, None)))
+  }
+
   test("ROUGE scores are single divisions of the exact counts") {
     import graft.operators.Eval
     val pairs = Seq(
