@@ -4072,6 +4072,17 @@ object SparkEntry {
           col("event_type"), col("user_id"),
           (floor(col("value") * 100).cast("long") % 2 === 0).as("correct")),
         ks = Seq(1, 2, 4), taskCols = Seq("event_type", "user_id"))),
+    // self-consistency majority vote: every event is a sample answering
+    // its (event_type, user) task with floor(value·100) mod 5, gold =
+    // user mod 5 (task-constant) — modal answer via one struct-min, ties
+    // to the smallest answer
+    "eval_majority_vote" -> ((s, dir) =>
+      Eval.majorityVote(
+        EventsAdapter.rawEvents(s, dir).select(
+          col("event_type"), col("user_id"),
+          (floor(col("value") * 100).cast("long") % 5).as("answer"),
+          (col("user_id") % 5).cast("long").as("gold")),
+        taskCols = Seq("event_type", "user_id"))),
     // exact ROC AUC of a synthesized quality classifier: integer-bucketed
     // score (floor(value·100) mod 16) vs a label sharing its low bits
     // (mod 4 = 0) — strong-but-imperfect separation; the rank-sum
@@ -6632,6 +6643,22 @@ object SparkEntry {
         s"SELECT event_type, user_id, n, c, ${pass(1)}, ${pass(2)}, " +
         s"${pass(4)} FROM t"
     },
+    // majority-vote mirror: the same struct-min argmax ((-count, answer)
+    // lexicographic), one division for the consensus share
+    "eval_majority_vote" ->
+      ("WITH b AS (SELECT event_type, user_id, " +
+        "CAST(floor(value * 100) AS BIGINT) % 5 AS ans, " +
+        "CAST(user_id % 5 AS BIGINT) AS gold FROM events), " +
+        "g AS (SELECT event_type, user_id, ans, " +
+        "CAST(count(*) AS BIGINT) AS cnt, max(gold) AS gold " +
+        "FROM b GROUP BY 1, 2, 3), " +
+        "m AS (SELECT event_type, user_id, CAST(sum(cnt) AS BIGINT) AS " +
+        "n_samples, min({'nc': -cnt, 'a': ans}) AS mm, max(gold) AS gold " +
+        "FROM g GROUP BY 1, 2) " +
+        "SELECT event_type, user_id, n_samples, (mm).a AS modal_answer, " +
+        "CAST(-(mm).nc AS BIGINT) AS modal_count, " +
+        "CAST(-(mm).nc AS DOUBLE) / CAST(n_samples AS DOUBLE) AS consensus, " +
+        "(mm).a = gold AS correct FROM m"),
     // AUC mirror: per-score class counts, the same doubled average-rank
     // sum over the score-ordered running offset, one division at the end
     "eval_auc" ->

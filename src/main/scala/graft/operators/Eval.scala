@@ -358,6 +358,39 @@ object Eval {
           .as(s"pass_at_$k")): _*)
   }
 
+  /** Self-consistency MAJORITY VOTE (Wang et al. 2022, "Self-Consistency
+    * Improves Chain of Thought Reasoning"): per task, the modal answer
+    * over its n samples — ties break to the SMALLEST answer
+    * (deterministic on any engine and partitioning) — plus the consensus
+    * share and whether the vote hits the task's gold answer (`goldCol`
+    * must be task-constant; the max over the task is taken). Output:
+    * taskCols, n_samples, modal_answer, modal_count, consensus
+    * (modal/n — a single IEEE division of exact longs), correct.
+    *
+    * Scale shape: two map-side-combined exchanges — (task, answer)
+    * counts, then the task roll-up where the argmax rides ONE struct-MIN
+    * of (−count, answer) (lexicographic min ⇒ count desc, answer asc; no
+    * window, no sort, no per-task state beyond the running min). */
+  def majorityVote(samples: DataFrame, taskCols: Seq[String] = Seq("task_id"),
+      answerCol: String = "answer", goldCol: String = "gold"): DataFrame = {
+    require(taskCols.nonEmpty, "taskCols must be non-empty")
+    val perAns = samples.groupBy((taskCols :+ answerCol).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"), max(col(goldCol)).as("__g"))
+    perAns.groupBy(taskCols.map(col): _*)
+      .agg(
+        sum("__cnt").as("n_samples"),
+        min(struct((-col("__cnt")).as("nc"), col(answerCol).as("a")))
+          .as("__m"),
+        max(col("__g")).as("__gold"))
+      .select(taskCols.map(col) ++ List(
+        col("n_samples"),
+        col("__m.a").as("modal_answer"),
+        (-col("__m.nc")).as("modal_count"),
+        ((-col("__m.nc")).cast("double") / col("n_samples").cast("double"))
+          .as("consensus"),
+        (col("__m.a") === col("__gold")).as("correct")): _*)
+  }
+
   /** Exact ROC AUC of a scored, binary-labeled relation via the
     * Mann–Whitney rank-sum identity: AUC = (Σ ranks(positives) −
     * P(P+1)/2) / (P·N), ties resolved by AVERAGE rank (the textbook

@@ -3180,6 +3180,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all == 1.0)
   }
 
+  test("majority vote: modal answer with smallest-answer tie-break") {
+    import graft.operators.Eval
+    // A: [1,1,2] gold 1 → modal 1 ×2, consensus 2/3, correct
+    // B: [2,2,1,1] gold 1 → 2-2 tie breaks to answer 1 → correct
+    // C: [3] gold 0 → modal 3, wrong
+    val samples = Seq(("A", 1L, 1L), ("A", 1L, 1L), ("A", 2L, 1L),
+      ("B", 2L, 1L), ("B", 2L, 1L), ("B", 1L, 1L), ("B", 1L, 1L),
+      ("C", 3L, 0L)).toDF("task_id", "answer", "gold")
+    val got = Eval.majorityVote(samples)
+      .as[(String, Long, Long, Long, Double, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("A", 3L, 1L, 2L, 2.0 / 3.0, true),
+      ("B", 4L, 1L, 2L, 0.5, true),
+      ("C", 1L, 3L, 1L, 1.0, false)))
+  }
+
   test("AUC: Mann-Whitney average-rank identity, exact to one division") {
     import graft.operators.Eval
     // pos scores {3, 2}, neg {1, 2}: ranks 1, 2.5, 2.5, 4 →
