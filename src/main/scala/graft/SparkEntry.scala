@@ -1795,6 +1795,29 @@ object SparkEntry {
         .select(col("doc_id"), col("text_aug").as("ref")), Seq("doc_id"))
   }
 
+  /** DuckDB twin of [[clfPreds]] + the bin/count stage shared by both
+    * calibration mirrors: g(bin, n, n_pos). */
+  private val ClfBinCtes: String =
+    "p AS (SELECT ((CAST(floor(value * 100) AS BIGINT) % 100 + 100) % 100) " +
+      "AS c FROM events), " +
+      "b AS (SELECT greatest(least(CAST(floor((CAST(c AS DOUBLE) / 100.0) " +
+      "* 10) AS BIGINT), 9), 0) AS bin, " +
+      "CASE WHEN c >= 50 THEN 1 ELSE 0 END AS y FROM p), " +
+      "g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY 1)"
+
+  /** Classifier-prediction fixture for the calibration queries:
+    * confidence = sign-folded centi-value percent ((⌊100v⌋ % 100 + 100)
+    * % 100, then ONE exact division by 100), label = confidence ≥ 0.5 —
+    * a monotone step, the maximally miscalibrated shape (bins saturate
+    * to accuracy 0 below the step and 1 above it). */
+  private def clfPreds(s: SparkSession, dir: String): DataFrame = {
+    val c100 = (floor(col("value") * 100).cast("long") % 100 + 100) % 100
+    EventsAdapter.rawEvents(s, dir).select(
+      (c100.cast("double") / lit(100.0)).as("conf"),
+      (c100 >= 50).as("label"))
+  }
+
   /** DuckDB twin of [[genPairs]] COMPOSED with Eval.generationPairStats'
     * token step (re-tokenize, drop empties, cap at 48): gp(doc_id, cs, rs).
     * The dropout keep rule is the text_augment mirror's, at (15, seed 7)
@@ -4072,6 +4095,13 @@ object SparkEntry {
           col("event_type"), col("user_id"),
           (floor(col("value") * 100).cast("long") % 2 === 0).as("correct")),
         ks = Seq(1, 2, 4), taskCols = Seq("event_type", "user_id"))),
+    // reliability diagram + ECE of a synthesized classifier: confidence =
+    // (floor(value·100) mod 100, sign-folded)/100, label = conf ≥ 0.5 —
+    // a monotone step, so the diagram shows saturated extremes and the
+    // ECE is large by construction; both replay to the bin midpoints
+    "eval_calibration_bins" -> ((s, dir) =>
+      Eval.calibrationBins(clfPreds(s, dir), bins = 10)),
+    "eval_ece" -> ((s, dir) => Eval.ece(clfPreds(s, dir), bins = 10)),
     // self-consistency majority vote: every event is a sample answering
     // its (event_type, user) task with floor(value·100) mod 5, gold =
     // user mod 5 (task-constant) — modal answer via one struct-min, ties
@@ -6643,6 +6673,27 @@ object SparkEntry {
         s"SELECT event_type, user_id, n, c, ${pass(1)}, ${pass(2)}, " +
         s"${pass(4)} FROM t"
     },
+    // calibration mirrors: the same sign-folded centi-value confidence,
+    // the same double binning expression (c/100·10, floored, clamped),
+    // midpoint gaps from exact longs; the ECE weighted sum folds the
+    // bin-ORDERED list through a 0.0-seeded list_reduce — the same
+    // addition order as the Spark sorted-array fold
+    "eval_calibration_bins" ->
+      (s"WITH $ClfBinCtes " +
+        "SELECT bin, n, n_pos, CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) " +
+        "AS acc, CAST(2 * bin + 1 AS DOUBLE) / 20.0 AS conf_mid, " +
+        "abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) - " +
+        "CAST(2 * bin + 1 AS DOUBLE) / 20.0) AS gap FROM g"),
+    "eval_ece" ->
+      (s"WITH $ClfBinCtes, " +
+        "g2 AS (SELECT bin, n, abs(CAST(n_pos AS DOUBLE) / " +
+        "CAST(n AS DOUBLE) - CAST(2 * bin + 1 AS DOUBLE) / 20.0) AS gap " +
+        "FROM g), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total, " +
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list(CAST(n AS DOUBLE) * gap ORDER BY bin)), (a, x) -> a + x) " +
+        "AS ws FROM g2) " +
+        "SELECT n_total, ws / CAST(n_total AS DOUBLE) AS ece FROM t"),
     // majority-vote mirror: the same struct-min argmax ((-count, answer)
     // lexicographic), one division for the consensus share
     "eval_majority_vote" ->

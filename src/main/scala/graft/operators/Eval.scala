@@ -358,6 +358,47 @@ object Eval {
           .as(s"pass_at_$k")): _*)
   }
 
+  /** Classifier CALIBRATION BINS (the reliability diagram behind ECE —
+    * Guo et al. 2017, "On Calibration of Modern Neural Networks"):
+    * predictions with a confidence in [0, 1] land in `bins` equal-width
+    * buckets (floor(conf·bins), clamped into [0, bins−1] so conf = 1.0
+    * joins the top bin); per bin the sample count, positive count, the
+    * empirical accuracy (one IEEE division of exact longs) and the gap to
+    * the bin MIDPOINT — the midpoint convention (as in
+    * Preference.btCalibration) keeps the reference exactly replayable
+    * ((2b+1)/(2·bins)) instead of an order-dependent mean of doubles.
+    * One map-side-combined exchange on the bin id; ≤ `bins` output rows. */
+  def calibrationBins(preds: DataFrame, bins: Int = 10,
+      confCol: String = "conf", labelCol: String = "label"): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val b = greatest(least(floor(col(confCol) * bins).cast("long"),
+      lit(bins - 1L)), lit(0L))
+    val acc = col("n_pos").cast("double") / col("n").cast("double")
+    val mid = (lit(2L) * col("bin") + lit(1L)).cast("double") /
+      lit(2.0 * bins)
+    preds.select(b.as("bin"), col(labelCol).cast("long").as("__y"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("__y").as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"), acc.as("acc"),
+        mid.as("conf_mid"), abs(acc - mid).as("gap"))
+  }
+
+  /** Expected calibration error over [[calibrationBins]]: ECE =
+    * Σ_b n_b·gap_b / N. The weighted sum folds over the BIN-SORTED array
+    * (the AUC/nDCG 0.0-seeded index-order fold) so the double additions
+    * happen in the same order on every engine and partitioning; the final
+    * division is the only other float op. One output row (n_total, ece). */
+  def ece(preds: DataFrame, bins: Int = 10, confCol: String = "conf",
+      labelCol: String = "label"): DataFrame = {
+    val cb = calibrationBins(preds, bins, confCol, labelCol)
+    val ws = aggregate(
+      sort_array(collect_list(struct(col("bin"), col("n"), col("gap")))),
+      lit(0.0),
+      (acc, e) => acc + e.getField("n").cast("double") * e.getField("gap"))
+    cb.agg(sum("n").as("n_total"), ws.as("__ws"))
+      .select(col("n_total"),
+        (col("__ws") / col("n_total").cast("double")).as("ece"))
+  }
+
   /** Self-consistency MAJORITY VOTE (Wang et al. 2022, "Self-Consistency
     * Improves Chain of Thought Reasoning"): per task, the modal answer
     * over its n samples — ties break to the SMALLEST answer

@@ -3180,6 +3180,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all == 1.0)
   }
 
+  test("calibration bins + ECE: midpoint gaps, bin-ordered weighted fold") {
+    import graft.operators.Eval
+    // bin 0: 2 preds, 0 correct | bin 5: 1 pred, 0 | bin 9: 2 preds, 2;
+    // conf = 1.0 must clamp into the top bin
+    val preds = Seq((0.05, false), (0.05, false), (0.55, false),
+      (0.95, true), (1.0, true)).toDF("conf", "label")
+    val cb = Eval.calibrationBins(preds, bins = 10)
+      .as[(Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    val g0 = math.abs(0.0 - 1.0 / 20.0)
+    val g5 = math.abs(0.0 - 11.0 / 20.0)
+    val g9 = math.abs(1.0 - 19.0 / 20.0)
+    assert(cb == Seq(
+      (0L, 2L, 0L, 0.0, 1.0 / 20.0, g0),
+      (5L, 1L, 0L, 0.0, 11.0 / 20.0, g5),
+      (9L, 2L, 2L, 1.0, 19.0 / 20.0, g9)))
+    val got = Eval.ece(preds, bins = 10)
+      .as[(Long, Double)].collect().head
+    assert(got == ((5L, (((0.0 + 2.0 * g0) + 1.0 * g5) + 2.0 * g9) / 5.0)))
+  }
+
   test("majority vote: modal answer with smallest-answer tie-break") {
     import graft.operators.Eval
     // A: [1,1,2] gold 1 → modal 1 ×2, consensus 2/3, correct
