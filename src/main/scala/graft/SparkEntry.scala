@@ -4095,6 +4095,16 @@ object SparkEntry {
           col("event_type"), col("user_id"),
           (floor(col("value") * 100).cast("long") % 2 === 0).as("correct")),
         ks = Seq(1, 2, 4), taskCols = Seq("event_type", "user_id"))),
+    // DPO pair mining over a synthesized judge log: every event scores a
+    // sample (event_id) for its (event_type|user) prompt; chosen/rejected
+    // ride two struct-mins, low-margin prompts (< 10 centi-points) drop
+    "train_dpo_pairs" -> ((s, dir) =>
+      Preference.dpoPairs(
+        EventsAdapter.rawEvents(s, dir).select(
+          concat_ws("|", col("event_type"), col("user_id")).as("task_id"),
+          col("event_id").cast("long").as("sample_id"),
+          (floor(col("value") * 100).cast("long") % 1000).as("score")),
+        minMargin = 10)),
     // reliability diagram + ECE of a synthesized classifier: confidence =
     // (floor(value·100) mod 100, sign-folded)/100, label = conf ≥ 0.5 —
     // a monotone step, so the diagram shows saturated extremes and the
@@ -6673,6 +6683,18 @@ object SparkEntry {
         s"SELECT event_type, user_id, n, c, ${pass(1)}, ${pass(2)}, " +
         s"${pass(4)} FROM t"
     },
+    // DPO-pair mirror: the same two struct-mins and the same margin gate
+    "train_dpo_pairs" ->
+      ("WITH b AS (SELECT event_type || '|' || CAST(user_id AS VARCHAR) " +
+        "AS task_id, CAST(event_id AS BIGINT) AS sid, " +
+        "CAST(floor(value * 100) AS BIGINT) % 1000 AS sc FROM events), " +
+        "g AS (SELECT task_id, min({'ns': -sc, 'i': sid}) AS bb, " +
+        "min({'s': sc, 'i': sid}) AS ww, " +
+        "CAST(count(*) AS BIGINT) AS n_samples FROM b GROUP BY 1) " +
+        "SELECT task_id, (bb).i AS chosen_id, (ww).i AS rejected_id, " +
+        "CAST(-(bb).ns AS BIGINT) AS chosen_score, (ww).s AS rejected_score, " +
+        "CAST(-(bb).ns - (ww).s AS BIGINT) AS margin, n_samples FROM g " +
+        "WHERE -(bb).ns - (ww).s >= 10"),
     // calibration mirrors: the same sign-folded centi-value confidence,
     // the same double binning expression (c/100·10, floored, clamped),
     // midpoint gaps from exact longs; the ECE weighted sum folds the

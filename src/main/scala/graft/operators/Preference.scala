@@ -321,4 +321,44 @@ object Preference {
           col("n_agree").cast("double") / col("n_adjudicated").cast("double")))
     out
   }
+
+  /** DPO / reward-model PREFERENCE-PAIR MINING (Rafailov et al. 2023,
+    * "Direct Preference Optimization"): from per-prompt SCORED samples
+    * (a reward score, a judge rating, a pass flag), build the training
+    * pair each prompt contributes — chosen = highest-scored sample,
+    * rejected = lowest-scored — with deterministic tie-breaks (equal
+    * scores resolve to the LOWEST sample id on both ends, so reruns,
+    * partitionings and engines mint the identical pair set). Prompts
+    * whose margin (best − worst score) falls below `minMargin` are
+    * dropped: a zero/low margin means the judge couldn't separate the
+    * samples and the pair would be label noise (this also drops every
+    * single-sample prompt, margin 0). Scores must be integers — the same
+    * integer-score mandate as Dedup.exactBest, because a cross-engine
+    * float argmax is not a stable order.
+    *
+    * Output: (taskCol, chosen_id, rejected_id, chosen_score,
+    * rejected_score, margin, n_samples).
+    *
+    * Scale shape: ONE map-side-combined exchange on the prompt key; the
+    * argmax/argmin ride two struct-MINs ((−score, id) and (score, id)) so
+    * per-prompt state is two structs and a count — no window, no sort,
+    * no per-prompt sample materialization. */
+  def dpoPairs(samples: DataFrame, minMargin: Long = 1L,
+      taskCol: String = "task_id", idCol: String = "sample_id",
+      scoreCol: String = "score"): DataFrame = {
+    val best = min(struct((-col(scoreCol)).as("ns"), col(idCol).as("i")))
+    val worst = min(struct(col(scoreCol).as("s"), col(idCol).as("i")))
+    samples
+      .select(col(taskCol), col(idCol), col(scoreCol).cast("long").as(scoreCol))
+      .groupBy(taskCol)
+      .agg(best.as("__b"), worst.as("__w"), count(lit(1)).as("n_samples"))
+      .select(col(taskCol),
+        col("__b.i").as("chosen_id"),
+        col("__w.i").as("rejected_id"),
+        (-col("__b.ns")).as("chosen_score"),
+        col("__w.s").as("rejected_score"),
+        (-col("__b.ns") - col("__w.s")).as("margin"),
+        col("n_samples"))
+      .filter(col("margin") >= minMargin)
+  }
 }

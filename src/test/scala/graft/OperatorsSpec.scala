@@ -3180,6 +3180,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all == 1.0)
   }
 
+  test("DPO pairs: struct-min argmax/argmin, low-margin prompts dropped") {
+    import graft.operators.Preference
+    // T1: best 9 (tie 2 vs 3 → id 2), worst 1 (id 4), margin 8
+    // T2: all-equal scores → margin 0 → dropped (chosen would = rejected)
+    // T3: single sample → margin 0 → dropped
+    val samples = Seq(("T1", 1L, 5L), ("T1", 2L, 9L), ("T1", 3L, 9L),
+      ("T1", 4L, 1L), ("T2", 5L, 7L), ("T2", 6L, 7L), ("T3", 7L, 3L))
+      .toDF("task_id", "sample_id", "score")
+    val got = Preference.dpoPairs(samples, minMargin = 1)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("T1", 2L, 4L, 9L, 1L, 8L, 4L)))
+    // margin gate: at minMargin = 9 even T1 drops
+    assert(Preference.dpoPairs(samples, minMargin = 9).count() == 0)
+  }
+
   test("calibration bins + ECE: midpoint gaps, bin-ordered weighted fold") {
     import graft.operators.Eval
     // bin 0: 2 preds, 0 correct | bin 5: 1 pred, 0 | bin 9: 2 preds, 2;
