@@ -1161,6 +1161,14 @@ object SparkEntry {
       "2147483647")
     pmSql(s"${pmSql(s"$t * 48271", "2147483647")} * 48271", "2147483647")
   }
+  /** DuckDB twin of Eval.binomFold — C(m, k) as the divisibility-exact
+    * integer fold via a seed-as-first-element list_reduce (k = 0 gives
+    * the bare seed 1: generate_series(1, 0) is empty in DuckDB). */
+  private def binomSql(m: String, k: Int): String =
+    s"list_reduce(list_prepend(CAST(1 AS BIGINT), " +
+      s"[CAST(j AS BIGINT) for j in generate_series(1, $k)]), " +
+      s"(acc, j) -> (acc * (($m) - $k + j)) // j)"
+
   private val HashRaw = hashRawSql("doc_id")
   private def hashBSql(id: String) = pmSql(hashRawSql(id), Sampling.Buckets.toString)
   private val HashB = hashBSql("doc_id")
@@ -4095,6 +4103,30 @@ object SparkEntry {
           col("event_type"), col("user_id"),
           (floor(col("value") * 100).cast("long") % 2 === 0).as("correct")),
         ks = Seq(1, 2, 4), taskCols = Seq("event_type", "user_id"))),
+    // per-pair word error rate over the same generation fixture: the full
+    // token-Levenshtein DP as the LCS-style append fold, one division
+    "eval_gen_wer" -> ((s, dir) =>
+      Eval.werStats(genPairs(s, dir))),
+    // Kendall tau between two rankings of the same users per event type —
+    // by total centi-spend vs by event count (row_number permutations
+    // with the (score desc, user asc) deterministic tie-break); the
+    // inversion fold runs over the a-rank-sorted per-query array
+    "eval_rank_corr" -> ((s, dir) => {
+      val t = EventsAdapter.rawEvents(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("va"),
+          count(lit(1)).as("vb"))
+      import org.apache.spark.sql.expressions.Window
+      val wa = Window.partitionBy("event_type")
+        .orderBy(col("va").desc, col("user_id").asc)
+      val wb = Window.partitionBy("event_type")
+        .orderBy(col("vb").desc, col("user_id").asc)
+      Eval.kendallTau(
+        t.select(col("event_type").as("query_id"),
+          col("user_id").as("doc_id"), row_number().over(wa).as("rank")),
+        t.select(col("event_type").as("query_id"),
+          col("user_id").as("doc_id"), row_number().over(wb).as("rank")))
+    }),
     // DPO pair mining over a synthesized judge log: every event scores a
     // sample (event_id) for its (event_type|user) prompt; chosen/rejected
     // ride two struct-mins, low-margin prompts (< 10 centi-points) drop
@@ -4123,6 +4155,14 @@ object SparkEntry {
           (floor(col("value") * 100).cast("long") % 5).as("answer"),
           (col("user_id") % 5).cast("long").as("gold")),
         taskCols = Seq("event_type", "user_id"))),
+    // best-of-n expected-max curve over the same judge log as the DPO
+    // pairs: what best-of-k buys per prompt, read off one sample set
+    "eval_best_of_n" -> ((s, dir) =>
+      Eval.bestOfN(
+        EventsAdapter.rawEvents(s, dir).select(
+          concat_ws("|", col("event_type"), col("user_id")).as("task_id"),
+          (floor(col("value") * 100).cast("long") % 1000).as("score")),
+        ks = Seq(1, 2, 4))),
     // exact ROC AUC of a synthesized quality classifier: integer-bucketed
     // score (floor(value·100) mod 16) vs a label sharing its low bits
     // (mod 4 = 0) — strong-but-imperfect separation; the rank-sum
@@ -6667,14 +6707,10 @@ object SparkEntry {
     // first-element list_reduce; every intermediate division is exact, so
     // floor-vs-truncation can't diverge), one final division per k
     "eval_pass_at_k" -> {
-      def binom(m: String, k: Int) =
-        s"list_reduce(list_prepend(CAST(1 AS BIGINT), " +
-          s"[CAST(j AS BIGINT) for j in generate_series(1, $k)]), " +
-          s"(acc, j) -> (acc * (($m) - $k + j)) // j)"
       def pass(k: Int) =
         s"CASE WHEN n < $k THEN NULL ELSE 1.0 - " +
-          s"CAST(${binom("n - c", k)} AS DOUBLE) / " +
-          s"CAST(${binom("n", k)} AS DOUBLE) END AS pass_at_$k"
+          s"CAST(${binomSql("n - c", k)} AS DOUBLE) / " +
+          s"CAST(${binomSql("n", k)} AS DOUBLE) END AS pass_at_$k"
       "WITH b AS (SELECT event_type, user_id, " +
         "CASE WHEN CAST(floor(value * 100) AS BIGINT) % 2 = 0 " +
         "THEN 1 ELSE 0 END AS ok FROM events), " +
@@ -6683,6 +6719,71 @@ object SparkEntry {
         s"SELECT event_type, user_id, n, c, ${pass(1)}, ${pass(2)}, " +
         s"${pass(4)} FROM t"
     },
+    // best-of-n mirror: the same score-ordered weighted sum of binomial
+    // coefficients, one division by C(n, k) per curve point
+    "eval_best_of_n" -> {
+      def bo(k: Int) =
+        s"CASE WHEN n_samples < $k THEN NULL ELSE " +
+          s"CAST(coalesce(list_sum([l[CAST(i AS INT)] * " +
+          s"${binomSql("i - 1", k - 1)} for i in " +
+          s"generate_series(1, len(l))]), 0) AS DOUBLE) / " +
+          s"CAST(${binomSql("n_samples", k)} AS DOUBLE) END AS best_of_$k"
+      "WITH b AS (SELECT event_type || '|' || CAST(user_id AS VARCHAR) " +
+        "AS task_id, CAST(floor(value * 100) AS BIGINT) % 1000 AS sc " +
+        "FROM events), " +
+        "g AS (SELECT task_id, CAST(count(*) AS BIGINT) AS n_samples, " +
+        "list(sc ORDER BY sc) AS l FROM b GROUP BY 1) " +
+        s"SELECT task_id, n_samples, ${bo(1)}, ${bo(2)}, ${bo(4)} FROM g"
+    },
+    // WER mirror: the same edit DP as nested seed-as-first-element
+    // list_reduce — row 0 counts 0..m, each row seeds with prev[1]+1
+    // (pure deletions) and appends the three-way min
+    "eval_gen_wer" ->
+      (s"WITH $GenPairCtes, " +
+        "w AS (SELECT doc_id, CAST(len(cs) AS BIGINT) AS cand_len, " +
+        "CAST(len(rs) AS BIGINT) AS ref_len, " +
+        "CAST(list_reduce(" +
+        "[[CAST(j AS BIGINT) for j in generate_series(0, len(rs))]] || " +
+        "[[CASE WHEN rs[j] = ct THEN CAST(1 AS BIGINT) ELSE 0 END " +
+        "for j in generate_series(1, len(rs))] for ct in cs], " +
+        "(a, mask) -> list_reduce(" +
+        "[[a[1] + 1]] || [[CAST(j AS BIGINT)] " +
+        "for j in generate_series(1, len(rs))], " +
+        "(cur, jl) -> list_append(cur, least(" +
+        "a[CAST(jl[1] AS INT) + 1] + 1, " +
+        "cur[-1] + 1, " +
+        "a[CAST(jl[1] AS INT)] + CASE WHEN mask[CAST(jl[1] AS INT)] = 1 " +
+        "THEN 0 ELSE 1 END))))[-1] AS BIGINT) AS edit_distance FROM gp) " +
+        "SELECT doc_id, cand_len, ref_len, edit_distance, " +
+        "CASE WHEN ref_len = 0 THEN NULL ELSE " +
+        "CAST(edit_distance AS DOUBLE) / CAST(ref_len AS DOUBLE) END " +
+        "AS wer FROM w"),
+    // rank-correlation mirror: the same permutations, the inversion count
+    // as a comprehension over the ra-ORDERED struct list, exact integers
+    // to the one tau division
+    "eval_rank_corr" ->
+      ("WITH t AS (SELECT event_type, user_id, " +
+        "sum(CAST(floor(value * 100) AS BIGINT)) AS va, " +
+        "CAST(count(*) AS BIGINT) AS vb FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, user_id, " +
+        "CAST(row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY va DESC, user_id ASC) AS BIGINT) AS ra, " +
+        "CAST(row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY vb DESC, user_id ASC) AS BIGINT) AS rb FROM t), " +
+        "g AS (SELECT event_type AS query_id, " +
+        "CAST(count(*) AS BIGINT) AS n_common, " +
+        "list({'ra': ra, 'rb': rb} ORDER BY ra) AS l FROM r GROUP BY 1), " +
+        "iv AS (SELECT query_id, n_common, CAST(coalesce(list_sum(" +
+        "[len([x for x in l[1:CAST(i AS INT) - 1] if " +
+        "struct_extract(x, 'rb') > struct_extract(l[CAST(i AS INT)], 'rb')]) " +
+        "for i in generate_series(2, len(l))]), 0) AS BIGINT) AS d FROM g), " +
+        "c AS (SELECT query_id, n_common, " +
+        "CAST(CAST(n_common * (n_common - 1) - 4 * d AS DOUBLE) / 2.0 " +
+        "AS BIGINT) AS cmd FROM iv) " +
+        "SELECT query_id, n_common, cmd AS concordant_minus_discordant, " +
+        "CASE WHEN n_common < 2 THEN NULL ELSE CAST(cmd AS DOUBLE) / " +
+        "(CAST(n_common * (n_common - 1) AS DOUBLE) / 2.0) END AS tau " +
+        "FROM c"),
     // DPO-pair mirror: the same two struct-mins and the same margin gate
     "train_dpo_pairs" ->
       ("WITH b AS (SELECT event_type || '|' || CAST(user_id AS VARCHAR) " +

@@ -337,14 +337,6 @@ object Eval {
     require(ks.nonEmpty && ks.forall(_ >= 1),
       s"ks must be non-empty positive, got $ks")
     require(taskCols.nonEmpty, "taskCols must be non-empty")
-    def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      org.apache.spark.sql.GraftBridge.column(
-        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-          org.apache.spark.sql.GraftBridge.expression(a),
-          org.apache.spark.sql.GraftBridge.expression(b)))
-    def binom(m: org.apache.spark.sql.Column, k: Int) =
-      aggregate(sequence(lit(1L), lit(k.toLong)), lit(1L),
-        (acc, j) => intDiv(acc * (m - lit(k.toLong) + j), j))
     val counts = samples.groupBy(taskCols.map(col): _*).agg(
       count(lit(1)).as("n"),
       sum(col(correctCol).cast("long")).as("c"))
@@ -353,9 +345,111 @@ object Eval {
       ks.map(k =>
         when(col("n") < k, lit(null).cast("double"))
           .otherwise(lit(1.0) -
-            binom(col("n") - col("c"), k).cast("double") /
-              binom(col("n"), k).cast("double"))
+            binomFold(col("n") - col("c"), k).cast("double") /
+              binomFold(col("n"), k).cast("double"))
           .as(s"pass_at_$k")): _*)
+  }
+
+  /** Per-pair WORD ERROR RATE (the ASR/translation token-edit metric):
+    * Levenshtein distance over the capped token sequences — insertions,
+    * deletions and substitutions all cost 1 — divided once by the
+    * reference length. One row per pair: (idCol, cand_len, ref_len,
+    * edit_distance, wer); wer is NULL for an empty reference (undefined;
+    * a non-empty candidate against an empty reference still reports its
+    * edit distance = cand_len).
+    *
+    * The DP is the [[generationPairStats]] LCS fold with the full edit
+    * recurrence: row j appends min(prev[j]+1, cur[j−1]+1, prev[j−1] +
+    * [tokens differ]) and row 0 is 0..m (deletions only) — the same
+    * sequential append fold both engines replay (`cur[−1]` is dp_new[j−1];
+    * the DuckDB mirror nests list_reduce with the seed-as-first-element
+    * trick). Exact integer work, one final division; O(K²) per row under
+    * the generation-length cap, zero shuffles. */
+  def werStats(pairs: DataFrame, capTokens: Int = 48,
+      idCol: String = "doc_id", candCol: String = "cand",
+      refCol: String = "ref"): DataFrame = {
+    require(capTokens >= 1, s"capTokens must be >= 1, got $capTokens")
+    val tok = (c: org.apache.spark.sql.Column) =>
+      slice(filter(TextAnalysis.tokens(c), x => length(x) > lit(0)),
+        1, capTokens)
+    def dist(cand: org.apache.spark.sql.Column,
+        ref: org.apache.spark.sql.Column) = {
+      val m = size(ref)
+      // row 0 = [0, 1, .., m]; Spark sequence(0, m) is safe here (m >= 0)
+      val fin = aggregate(cand, sequence(lit(0L), m.cast("long")),
+        (prev, ct) => aggregate(
+          when(m === 0, array().cast("array<int>"))
+            .otherwise(sequence(lit(1), m)),
+          // new row seeds with dp[i][0] = i = prev[1] + 1 (pure deletions)
+          array(element_at(prev, 1) + lit(1L)),
+          (cur, j) => concat(cur, array(least(
+            element_at(prev, j + lit(1)) + lit(1L),
+            element_at(cur, lit(-1)) + lit(1L),
+            element_at(prev, j) +
+              when(element_at(ref, j) === ct, lit(0L)).otherwise(lit(1L)))))))
+      element_at(fin, lit(-1))
+    }
+    pairs.select(col(idCol),
+      tok(col(candCol)).as("__c"), tok(col(refCol)).as("__r"))
+      .select(col(idCol),
+        size(col("__c")).cast("long").as("cand_len"),
+        size(col("__r")).cast("long").as("ref_len"),
+        dist(col("__c"), col("__r")).as("edit_distance"))
+      .withColumn("wer",
+        when(col("ref_len") === 0L, lit(null).cast("double"))
+          .otherwise(col("edit_distance").cast("double") /
+            col("ref_len").cast("double")))
+  }
+
+  /** KENDALL TAU rank agreement between two rankings of the same items
+    * (judge-vs-judge, reranker-vs-teacher, truncated-vs-full retrieval):
+    * per query, τ_a = (C − D) / (n(n−1)/2) over the items present in
+    * BOTH rankings (inner join). Contract: each ranking is a proper
+    * permutation per query — DISTINCT ranks, the rankingMetrics rank
+    * convention; with no ties C + D = n(n−1)/2, so D is the inversion
+    * count of the b-ranks taken in a-rank order and C − D = n(n−1)/2 −
+    * 2D. Everything is exact integer work until the ONE final division;
+    * τ is NULL for queries with fewer than 2 common items (undefined).
+    *
+    * Output: (queryIdCol, n_common, concordant_minus_discordant, tau).
+    *
+    * Scale shape: one equi-join on (query, item), one map-side-combined
+    * exchange to per-query state; the inversion count folds over the
+    * a-rank-sorted array — O(k²) per query with k the ranking depth, a
+    * constant per output row for the k ≤ 10³ of real eval harnesses. */
+  def kendallTau(a: DataFrame, b: DataFrame,
+      queryIdCol: String = "query_id", docIdCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    val ra = a.select(col(queryIdCol), col(docIdCol),
+      col(rankCol).cast("long").as("__ra"))
+    val rb = b.select(col(queryIdCol), col(docIdCol),
+      col(rankCol).cast("long").as("__rb"))
+    val grouped = ra.join(rb, Seq(queryIdCol, docIdCol))
+      .groupBy(queryIdCol)
+      .agg(count(lit(1)).as("n_common"),
+        array_sort(collect_list(struct(col("__ra").as("ra"),
+          col("__rb").as("rb")))).as("__arr"))
+    val arr = col("__arr")
+    val inv = aggregate(
+      when(size(arr) < 2, array().cast("array<int>"))
+        .otherwise(sequence(lit(2), size(arr))),
+      lit(0L),
+      (acc, i) => acc + size(filter(slice(arr, lit(1), i - lit(1)),
+        e => e.getField("rb") >
+          element_at(arr, i).getField("rb"))).cast("long"))
+    // C − D = (n(n−1) − 4D)/2 — the numerator is always even, so the
+    // double division is exact (and < 2⁵³ at any real ranking depth);
+    // τ divides the long once more by the exact n(n−1)/2
+    val cmd = ((col("n_common") * (col("n_common") - lit(1L)) -
+      lit(4L) * inv).cast("double") / lit(2.0)).cast("long")
+    grouped
+      .withColumn("__cmd", cmd)
+      .select(col(queryIdCol), col("n_common"),
+        col("__cmd").as("concordant_minus_discordant"),
+        when(col("n_common") < 2L, lit(null).cast("double"))
+          .otherwise(col("__cmd").cast("double") /
+            ((col("n_common") * (col("n_common") - lit(1L)))
+              .cast("double") / lit(2.0))).as("tau"))
   }
 
   /** Classifier CALIBRATION BINS (the reliability diagram behind ECE —
@@ -369,17 +463,33 @@ object Eval {
     * ((2b+1)/(2·bins)) instead of an order-dependent mean of doubles.
     * One map-side-combined exchange on the bin id; ≤ `bins` output rows. */
   def calibrationBins(preds: DataFrame, bins: Int = 10,
+      confCol: String = "conf", labelCol: String = "label"): DataFrame =
+    calibrationBinsFromCounts(calibrationCounts(preds, bins, confCol,
+      labelCol), bins)
+
+  /** The (bin, n, n_pos) count table behind [[calibrationBins]] — split
+    * out because these counts are ADDITIVE, which is what lets the
+    * streaming sink fold them through a GenStore generation table and
+    * recompute the identical diagram per micro-batch. */
+  def calibrationCounts(preds: DataFrame, bins: Int = 10,
       confCol: String = "conf", labelCol: String = "label"): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     val b = greatest(least(floor(col(confCol) * bins).cast("long"),
       lit(bins - 1L)), lit(0L))
+    preds.select(b.as("bin"), col(labelCol).cast("long").as("__y"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("__y").as("n_pos"))
+  }
+
+  /** [[calibrationBins]] as a pure function of an accumulated (bin, n,
+    * n_pos) count table (batch or streaming-folded — one implementation
+    * for both planes). */
+  def calibrationBinsFromCounts(counts: DataFrame, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
     val acc = col("n_pos").cast("double") / col("n").cast("double")
     val mid = (lit(2L) * col("bin") + lit(1L)).cast("double") /
       lit(2.0 * bins)
-    preds.select(b.as("bin"), col(labelCol).cast("long").as("__y"))
-      .groupBy("bin").agg(count(lit(1)).as("n"), sum("__y").as("n_pos"))
-      .select(col("bin"), col("n"), col("n_pos"), acc.as("acc"),
-        mid.as("conf_mid"), abs(acc - mid).as("gap"))
+    counts.select(col("bin"), col("n"), col("n_pos"), acc.as("acc"),
+      mid.as("conf_mid"), abs(acc - mid).as("gap"))
   }
 
   /** Expected calibration error over [[calibrationBins]]: ECE =
@@ -430,6 +540,70 @@ object Eval {
         ((-col("__m.nc")).cast("double") / col("n_samples").cast("double"))
           .as("consensus"),
         (col("__m.a") === col("__gold")).as("correct")): _*)
+  }
+
+  /** The divisibility-exact integer binomial C(m, k) as a k-step fold:
+    * acc ← acc·(m−k+j) ÷ j for j = 1..k. Every prefix product of j
+    * consecutive integers divides j!, so each integer division is exact —
+    * including the m < k case (a zero factor collapses to C = 0) and its
+    * negative intermediates, where exactness makes floor and truncation
+    * division identical. k = 0 short-circuits to 1 — Spark's sequence(1,
+    * 0) counts DOWN ([1, 0], a ÷0 trap), it never means "empty" here.
+    * Shared by [[passAtK]] and [[bestOfN]]. */
+  private def binomFold(m: org.apache.spark.sql.Column,
+      k: Int): org.apache.spark.sql.Column = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftBridge.expression(a),
+          org.apache.spark.sql.GraftBridge.expression(b)))
+    if (k == 0) lit(1L)
+    else aggregate(sequence(lit(1L), lit(k.toLong)), lit(1L),
+      (acc, j) => intDiv(acc * (m - lit(k.toLong) + j), j))
+  }
+
+  /** BEST-OF-N EXPECTED-MAX CURVE (the BoN estimator of Nakano et al.
+    * 2021 appx. / Gao et al. 2022, "Scaling Laws for Reward Model
+    * Overoptimization"): per task with n integer-scored samples, the
+    * expected MAXIMUM score of a uniformly random k-subset, for each
+    * requested k — the unbiased "what does best-of-k buy me" curve read
+    * off one sample set instead of resampling:
+    * E[max] = Σ_i s_(i) · C(i−1, k−1) / C(n, k), scores sorted ascending.
+    * NULL when the task has fewer than k samples.
+    *
+    * Exact: the weighted sum runs over the score-SORTED array with
+    * [[binomFold]] coefficients — every term a long — and divides ONCE by
+    * C(n, k). Long bound: Σ s·C(n−1, k−1) must stay under 2⁶³ (integer
+    * scores, eval-harness n and k — tens of samples, k ≤ 10 — leave
+    * orders of magnitude of headroom).
+    *
+    * Scale shape: one map-side-combined exchange on the task key; the
+    * per-task state is the n-bounded score list (samples per prompt, not
+    * corpus-sized), the fold O(n·k) per output row. */
+  def bestOfN(samples: DataFrame, ks: Seq[Int],
+      taskCols: Seq[String] = Seq("task_id"),
+      scoreCol: String = "score"): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      s"ks must be non-empty positive, got $ks")
+    require(taskCols.nonEmpty, "taskCols must be non-empty")
+    val grouped = samples
+      .select((taskCols.map(col) :+
+        col(scoreCol).cast("long").as("__s")): _*)
+      .groupBy(taskCols.map(col): _*)
+      .agg(count(lit(1)).as("n_samples"),
+        sort_array(collect_list(col("__s"))).as("__arr"))
+    def num(k: Int) = aggregate(
+      sequence(lit(1), size(col("__arr"))), lit(0L),
+      (acc, i) => acc +
+        element_at(col("__arr"), i) * binomFold((i - lit(1)).cast("long"), k - 1))
+    grouped.select(taskCols.map(col) ++
+      List(col("n_samples")) ++
+      ks.map(k =>
+        when(col("n_samples") < k, lit(null).cast("double"))
+          .otherwise(num(k).cast("double") /
+            binomFold(col("n_samples"), k).cast("double"))
+          .as(s"best_of_$k")): _*)
   }
 
   /** Exact ROC AUC of a scored, binary-labeled relation via the

@@ -3180,6 +3180,64 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all == 1.0)
   }
 
+  test("best-of-n: expected max of a random k-subset, exact coefficients") {
+    import graft.operators.Eval
+    // scores {1,3,5}: k=1 → mean 3; k=2 → ({1,3}→3 + {1,5}→5 + {3,5}→5)/3
+    // = 13/3; k=3 → the max, 5; k=4 → NULL (n < k)
+    val samples = Seq(("T", 1L), ("T", 3L), ("T", 5L))
+      .toDF("task_id", "score")
+    val got = Eval.bestOfN(samples, ks = Seq(1, 2, 3, 4))
+      .as[(String, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(got == (("T", 3L, Some(3.0), Some(13.0 / 3.0), Some(5.0), None)))
+  }
+
+  test("WER: full token-Levenshtein DP, NULL on empty reference") {
+    import graft.operators.Eval
+    // "a b c" vs "a x c": one substitution → 1/3
+    // "a b" vs "a b c d": two insertions → 2/4
+    // "a b c" vs "": distance 3, wer NULL (undefined)
+    // "" vs "a b": distance 2, wer 1.0
+    // kitten/sitting classic: distance 3 over 1-token... use word-level:
+    // "k i t t e n" vs "s i t t i n g" → 3 subs/ins → 3/7
+    val pairs = Seq(
+      (1L, "a b c", "a x c"),
+      (2L, "a b", "a b c d"),
+      (3L, "a b c", ""),
+      (4L, "", "a b"),
+      (5L, "k i t t e n", "s i t t i n g")).toDF("doc_id", "cand", "ref")
+    val got = Eval.werStats(pairs)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, 1L, Some(1.0 / 3.0)),
+      (2L, 2L, 4L, 2L, Some(0.5)),
+      (3L, 3L, 0L, 3L, None),
+      (4L, 0L, 2L, 2L, Some(1.0)),
+      (5L, 6L, 7L, 3L, Some(3.0 / 7.0))))
+  }
+
+  test("Kendall tau: inversion fold over the a-rank order") {
+    import graft.operators.Eval
+    // q1: b-ranks in a-order = [2,1,3] → D=1, C−D = 1, τ = 1/3
+    // q2: full reversal → τ = −1 | q3: identical → τ = 1
+    // q4: single common item → τ undefined (NULL)
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 10L, 1L), (2L, 11L, 2L), (2L, 12L, 3L),
+      (3L, 10L, 1L), (3L, 11L, 2L),
+      (4L, 10L, 1L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 10L, 2L), (1L, 11L, 1L), (1L, 12L, 3L),
+      (2L, 10L, 3L), (2L, 11L, 2L), (2L, 12L, 1L),
+      (3L, 10L, 1L), (3L, 11L, 2L),
+      (4L, 10L, 1L)).toDF("query_id", "doc_id", "rank")
+    val got = Eval.kendallTau(a, b)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, Some(1.0 / 3.0)),
+      (2L, 3L, -3L, Some(-1.0)),
+      (3L, 2L, 1L, Some(1.0)),
+      (4L, 1L, 0L, None)))
+  }
+
   test("DPO pairs: struct-min argmax/argmin, low-margin prompts dropped") {
     import graft.operators.Preference
     // T1: best 9 (tie 2 vs 3 → id 2), worst 1 (id 4), margin 8

@@ -998,6 +998,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count(r => r._1 >= 5 && r._2 == 0 && r._3 > 0) == 3)
   }
 
+  test("streaming calibration: per-batch fold lands on the one-shot diagram") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-cal").toString
+    // (conf-centipoints, label): accuracy decouples from confidence in
+    // the later batches — the drift this monitor exists to catch
+    val all = Seq.tabulate(60)(i =>
+      ((i % 100).toLong, (i % 3) == 0))
+    val (b1, rest) = all.splitAt(20)
+    val (b2, b3) = rest.splitAt(20)
+    import org.apache.spark.sql.functions.{col, lit}
+    val input = MemoryStream[(Long, Boolean)]
+    val q = graft.streaming.StreamingCalibration.calibrationSink(
+        input.toDF().toDF("c100", "y"),
+        conf = col("c100").cast("double") / lit(100.0),
+        label = col("y"), bins = 10,
+        s"$base/state", s"$base/out", s"$base/ckpt")
+      .start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    // final generation == one-shot diagram over every row seen,
+    // bit-for-bit (counts fold exactly; the ratios recompute from them)
+    val streamed = norm(spark.read.parquet(s"$base/out/batch_id=2"))
+    val oneShot = norm(graft.operators.Eval.calibrationBins(
+      all.toDF("c100", "y").select(
+        (col("c100").cast("double") / lit(100.0)).as("conf"),
+        col("y").as("label")), bins = 10))
+    assert(streamed == oneShot, s"streamed=$streamed oneShot=$oneShot")
+    // and batch 0 equals the one-shot over b1 alone
+    val s0 = norm(spark.read.parquet(s"$base/out/batch_id=0"))
+    val o0 = norm(graft.operators.Eval.calibrationBins(
+      b1.toDF("c100", "y").select(
+        (col("c100").cast("double") / lit(100.0)).as("conf"),
+        col("y").as("label")), bins = 10))
+    assert(s0 == o0, s"s0=$s0 o0=$o0")
+  }
+
   test("streaming manifest: per-batch fold lands on the one-shot manifest", SlowTest) {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
