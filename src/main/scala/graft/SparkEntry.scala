@@ -4074,16 +4074,16 @@ object SparkEntry {
     // pooled over all pairs — the standard corpus formulation, never an
     // average of sentence BLEUs — then the one ln/exp step rounds stable
     "eval_gen_bleu" -> ((s, dir) =>
-      Eval.corpusBleu(Eval.generationPairStats(genPairs(s, dir)))),
+      Eval.corpusBleu(Eval.generationPairStatsFast(genPairs(s, dir)))),
     // per-doc ROUGE-1/2/L over the same pair fixture: exact clipped
     // counts and the LCS carried alongside single-division P/R/F scores
     "eval_gen_rouge" -> ((s, dir) =>
-      Eval.rougeScores(Eval.generationPairStats(genPairs(s, dir)))),
+      Eval.rougeScores(Eval.generationPairStatsFast(genPairs(s, dir)))),
     // corpus chrF2 over the same pair fixture: character n-grams of the
     // whitespace-removed capped text, clipped by the sorted-merge fold,
     // pooled per order — pure finite IEEE arithmetic, no rounding at all
     "eval_gen_chrf" -> ((s, dir) =>
-      Eval.corpusChrF(Eval.chrFPairStats(genPairs(s, dir)))),
+      Eval.corpusChrF(Eval.chrFPairStatsFast(genPairs(s, dir)))),
     // generation memorization audit: 30%-dropout "generations" scored for
     // trigram-level memorization against the corpus they derive from —
     // every deletion site mints novel trigrams, so seen ratios spread
@@ -4106,7 +4106,7 @@ object SparkEntry {
     // per-pair word error rate over the same generation fixture: the full
     // token-Levenshtein DP as the LCS-style append fold, one division
     "eval_gen_wer" -> ((s, dir) =>
-      Eval.werStats(genPairs(s, dir))),
+      Eval.werStatsFast(genPairs(s, dir))),
     // Kendall tau between two rankings of the same users per event type —
     // by total centi-spend vs by event count (row_number permutations
     // with the (score desc, user asc) deterministic tie-break); the

@@ -309,6 +309,64 @@ object Eval {
         .otherwise(lit(5.0) * p * r / (lit(4.0) * p + r)).as("chrf2"))
   }
 
+  /** Native fast path of [[generationPairStats]] — identical schema and
+    * identical exact integers (equality-pinned in `OperatorsSpec`), one
+    * JVM eval per row instead of thousands of interpreted lambda steps
+    * (measured 19 s → sub-second for the ROUGE query at sf0.1). The
+    * higher-order formulation above remains the oracle-replayable spec. */
+  def generationPairStatsFast(pairs: DataFrame, maxN: Int = 4,
+      capTokens: Int = 48, idCol: String = "doc_id",
+      candCol: String = "cand", refCol: String = "ref"): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val st = graft.functions.GenEvalExpressions.pairTokenStats(
+      col(candCol), col(refCol), maxN, capTokens)
+    pairs.select(col(idCol), st.as("__st"))
+      .select(col(idCol) ::
+        col("__st.cand_len").as("cand_len") ::
+        col("__st.ref_len").as("ref_len") ::
+        (1 to maxN).toList.flatMap(n => List(
+          element_at(col("__st.m"), n).as(s"m$n"),
+          element_at(col("__st.c"), n).as(s"c$n"),
+          element_at(col("__st.r"), n).as(s"r$n"))) :::
+        List(col("__st.lcs").as("lcs")): _*)
+  }
+
+  /** Native fast path of [[chrFPairStats]] — same schema, same exact
+    * integers, equality-pinned; see [[generationPairStatsFast]]. */
+  def chrFPairStatsFast(pairs: DataFrame, maxN: Int = 6,
+      capChars: Int = 256, capTokens: Int = 48, idCol: String = "doc_id",
+      candCol: String = "cand", refCol: String = "ref"): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val st = graft.functions.GenEvalExpressions.pairCharStats(
+      col(candCol), col(refCol), maxN, capTokens, capChars)
+    pairs.select(col(idCol), st.as("__st"))
+      .select(col(idCol) ::
+        col("__st.cand_chars").as("cand_chars") ::
+        col("__st.ref_chars").as("ref_chars") ::
+        (1 to maxN).toList.flatMap(n => List(
+          element_at(col("__st.m"), n).as(s"mc$n"),
+          element_at(col("__st.c"), n).as(s"cc$n"),
+          element_at(col("__st.r"), n).as(s"rc$n"))): _*)
+  }
+
+  /** Native fast path of [[werStats]] — the same edit DP in one JVM
+    * pass (grams skipped: the expression runs at maxN = 0). */
+  def werStatsFast(pairs: DataFrame, capTokens: Int = 48,
+      idCol: String = "doc_id", candCol: String = "cand",
+      refCol: String = "ref"): DataFrame = {
+    val st = graft.functions.GenEvalExpressions.pairTokenStats(
+      col(candCol), col(refCol), 0, capTokens)
+    pairs.select(col(idCol), st.as("__st"))
+      .select(col(idCol),
+        col("__st.cand_len").as("cand_len"),
+        col("__st.ref_len").as("ref_len"),
+        col("__st.edit").as("edit_distance"))
+      .withColumn("wer",
+        when(col("ref_len") === 0L, lit(null).cast("double"))
+          .otherwise(col("edit_distance").cast("double") /
+            col("ref_len").cast("double")))
+  }
+
   /** pass@k (Chen et al. 2021, "Evaluating Large Language Models Trained
     * on Code", eq. 1 — the unbiased estimator): per task with n samples
     * of which c are correct, pass@k = 1 − C(n−c, k)/C(n, k). One output

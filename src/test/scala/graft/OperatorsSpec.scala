@@ -3180,6 +3180,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all == 1.0)
   }
 
+  test("generation-eval fast paths equal the fold specs row for row " +
+      "(corpus + ws edges + astral)", SlowTest) {
+    import graft.operators.Eval
+    // real corpus pairs (different-seed dropouts) + hand edges: empty,
+    // whitespace-only, identical, disjoint, repeated grams, astral text
+    // (code-point contract: 𐐷 must count one char on both paths)
+    val corpus = docs.limit(120).selectExpr("doc_id",
+      "text AS cand", "substr(text, 8) AS ref")
+    val edges = Seq(
+      (9001L, "", "a b"), (9002L, " \t ", ""), (9003L, "x y z", "x y z"),
+      (9004L, "q w", "e r t"), (9005L, "a a a b", "a b a"),
+      (9006L, "𐐷b c", "𐐷b d"),
+      (9007L, "naïve café", "naive cafe"))
+      .toDF("doc_id", "cand", "ref")
+    for (pairs <- Seq(corpus, edges)) {
+      val spec = Eval.generationPairStats(pairs).collect().toSet
+      val fast = Eval.generationPairStatsFast(pairs).collect().toSet
+      assert(fast == spec)
+      val cSpec = Eval.chrFPairStats(pairs).collect().toSet
+      val cFast = Eval.chrFPairStatsFast(pairs).collect().toSet
+      assert(cFast == cSpec)
+      val wSpec = Eval.werStats(pairs).collect().toSet
+      val wFast = Eval.werStatsFast(pairs).collect().toSet
+      assert(wFast == wSpec)
+    }
+  }
+
   test("best-of-n: expected max of a random k-subset, exact coefficients") {
     import graft.operators.Eval
     // scores {1,3,5}: k=1 → mean 3; k=2 → ({1,3}→3 + {1,5}→5 + {3,5}→5)/3
