@@ -1814,6 +1814,31 @@ object SparkEntry {
       "g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, " +
       "CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY 1)"
 
+  /** CC-audit fixture rows appended to the corpus: Luhn-valid test
+    * numbers (plain Visa, spaced MasterCard, dashed Amex), a bad check
+    * digit, a 13-digit Luhn failure, and non-candidates (too short /
+    * too long) — the digit noise the checksum gate must reject. */
+  private val CcDocRows: Seq[(Long, String)] = Seq(
+    (99001L, "pay 4111111111111111 today"),
+    (99002L, "ref 4111111111111112 bad check digit"),
+    (99003L, "card 5500 0000 0000 0004 spaced"),
+    (99004L, "amex 3782-822463-10005 dashed"),
+    (99005L, "order 1234567890123 thirteen digits failing luhn"),
+    (99006L, "short 411 222 and long 12345678901234567890 stay out"))
+
+  private def docsCc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(CcDocRows.toDF("doc_id", "text"))
+  }
+
+  /** DuckDB twin of [[docsCc]]. */
+  private val DccCte: String =
+    "dcc AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM " +
+      "(VALUES " + CcDocRows.map { case (id, t) =>
+        s"(CAST($id AS BIGINT), '$t')" }.mkString(", ") +
+      ") t(doc_id, text))"
+
   /** Classifier-prediction fixture for the calibration queries:
     * confidence = sign-folded centi-value percent ((⌊100v⌋ % 100 + 100)
     * % 100, then ONE exact division by 100), label = confidence ≥ 0.5 —
@@ -3304,6 +3329,10 @@ object SparkEntry {
         length(col("text")).cast("long").as("n_raw"))
     }),
     "text_pii" -> ((s, dir) => TextAnalysis.piiCounts(docs(s, dir))),
+    // checksum-validated card audit over the corpus + planted fixtures:
+    // the Luhn gate keeps test Visa/MC/Amex numbers and rejects the same
+    // digit mass with a wrong check digit
+    "text_cc_audit" -> ((s, dir) => TextAnalysis.ccAudit(docsCc(s, dir))),
     // CCNet-style LM scoring: bigram LM self-fit on the corpus (minCount=5),
     // each doc scored by mean add-one-smoothed negative log-likelihood
     "text_lm_nll" -> ((s, dir) => {
@@ -6703,6 +6732,26 @@ object SparkEntry {
         "CASE WHEN 4.0 * prec_avg + rec_avg = 0.0 THEN 0.0 ELSE " +
         "5.0 * prec_avg * rec_avg / (4.0 * prec_avg + rec_avg) END AS chrf2 " +
         "FROM hd, fin"),
+    // CC-audit mirror: the same maximal-run extraction (RE2 and Java
+    // agree on the one-separator pattern), the same digit collapse and
+    // the same Luhn digit-transform sum per candidate
+    "text_cc_audit" ->
+      (s"WITH $DccCte, " +
+        "cx AS (SELECT doc_id, [g for g in " +
+        "[regexp_replace(r, '[ -]', '', 'g') for r in " +
+        "regexp_extract_all(coalesce(text, ''), '[0-9](?:[ -]?[0-9])+')] " +
+        "if length(g) >= 13 and length(g) <= 19] AS cands FROM dcc), " +
+        "vx AS (SELECT doc_id, cands, [d for d in cands if " +
+        "(list_sum([CASE WHEN (length(d) - i) % 2 = 1 THEN " +
+        "CASE WHEN (ascii(d[CAST(i AS INT)]) - 48) * 2 > 9 " +
+        "THEN (ascii(d[CAST(i AS INT)]) - 48) * 2 - 9 " +
+        "ELSE (ascii(d[CAST(i AS INT)]) - 48) * 2 END " +
+        "ELSE ascii(d[CAST(i AS INT)]) - 48 END " +
+        "for i in generate_series(1, length(d))])) % 10 = 0] AS valid " +
+        "FROM cx) " +
+        "SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_cc_candidates, " +
+        "CAST(len(valid) AS BIGINT) AS n_cc_valid, " +
+        "len(valid) > 0 AS has_cc FROM vx"),
     // pass@k mirror: the SAME divisibility-exact binomial fold (seed-as-
     // first-element list_reduce; every intermediate division is exact, so
     // floor-vs-truncation can't diverge), one final division per k

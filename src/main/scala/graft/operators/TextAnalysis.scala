@@ -513,6 +513,50 @@ object TextAnalysis {
       md5(regexp_replace(noIp, PhoneRe, "<PHONE>").cast("binary")).as("redacted_md5"))
   }
 
+  /** CREDIT-CARD AUDIT — the checksum-validated tier of the PII plane:
+    * pattern-only card detection (any 13–19 digit run) false-positives on
+    * order ids, timestamps and hashes, so the release gate wants the LUHN
+    * check (ISO/IEC 7812 mod-10): candidates are maximal runs of digits
+    * with optional single space/dash separators (`4111 1111 1111 1111`,
+    * `3782-822463-10005`), collapsed to their digit string, kept when
+    * 13–19 digits, and validated by the right-anchored double-every-second
+    * digit sum. Returns (idCol, n_cc_candidates, n_cc_valid, has_cc).
+    *
+    * Everything is exact integer work over the extracted runs — the Luhn
+    * fold is a sum of digit transforms both engines replay identically —
+    * and the scan is one narrow codegen'd map (regexp_extract_all +
+    * array filters), zero shuffles at any corpus size. The maximal-run
+    * regex behaves identically under Java regex and RE2 (greedy,
+    * leftmost, no backtracking ambiguity: `[ -]?` admits one separator,
+    * so a double space splits the run on both engines). */
+  def ccAudit(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val runs = regexp_extract_all(coalesce(col(textCol), lit("")),
+      lit(CcCandRe), lit(0))
+    val cands = filter(transform(runs, r => regexp_replace(r, "[ -]", "")),
+      d => length(d) >= 13 && length(d) <= 19)
+    val valid = filter(cands, d => {
+      val n = length(d)
+      val total = aggregate(sequence(lit(1), n), lit(0L), (acc, i) => {
+        val dig = (ascii(substr(d, i, lit(1))) - lit(48)).cast("long")
+        val doubled = dig * lit(2L)
+        acc + when(pmod((n - i).cast("long"), lit(2L)) === 1L,
+          when(doubled > 9L, doubled - lit(9L)).otherwise(doubled))
+          .otherwise(dig)
+      })
+      pmod(total, lit(10L)) === 0L
+    })
+    docs.select(col(idCol),
+      size(cands).cast("long").as("n_cc_candidates"),
+      size(valid).cast("long").as("n_cc_valid"),
+      (size(valid) > 0).as("has_cc"))
+  }
+
+  /** Card-number candidate runs: digits joined by at most one space/dash
+    * between neighbors — the [[ccAudit]] extraction pattern (shared so
+    * the scaladoc'd contract and the code can't drift). */
+  private[graft] val CcCandRe = "[0-9](?:[ -]?[0-9])+"
+
   /** Top-k word n-grams by DOCUMENT frequency (each doc counts a shingle
     * once) — the corpus-statistics pass behind boilerplate detection,
     * stopword mining and hot-shingle capping (see Dedup.ngramJaccardPairs'

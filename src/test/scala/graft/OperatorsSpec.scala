@@ -3180,6 +3180,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all == 1.0)
   }
 
+  test("credit-card audit: the Luhn gate separates cards from digit noise") {
+    val d = Seq(
+      (1L, "pay 4111111111111111 today"),                     // valid Visa
+      (2L, "ref 4111111111111112 nope"),                      // bad check digit
+      (3L, "card 5500 0000 0000 0004 and 3782-822463-10005"), // MC + Amex
+      (4L, "order 123456789012 and 12345678901234567890 x"),  // 12 + 20 digits
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.ccAudit(d)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 1L, true), (2L, 1L, 0L, false),
+      (3L, 2L, 2L, true), (4L, 0L, 0L, false), (5L, 0L, 0L, false)))
+  }
+
   test("generation-eval fast paths equal the fold specs row for row " +
       "(corpus + ws edges + astral)", SlowTest) {
     import graft.operators.Eval
