@@ -170,24 +170,34 @@ object Eval {
     * per-pair stats stream through partial sums, nothing is collected. */
   def corpusBleu(stats: DataFrame, maxN: Int = 4): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
-    val sums = stats.agg(
+    corpusBleuFromSums(stats.agg(
       count(lit(1)).as("n_pairs"),
       (sum("cand_len").as("cand_tokens") ::
         sum("ref_len").as("ref_tokens") ::
         (1 to maxN).toList.flatMap(n =>
-          List(sum(s"m$n").as(s"__m$n"), sum(s"c$n").as(s"__c$n")))): _*)
-    val anyZero = (1 to maxN).map(n => col(s"__m$n") === 0L)
+          List(sum(s"m$n").as(s"m$n"), sum(s"c$n").as(s"c$n")))): _*),
+      maxN)
+  }
+
+  /** [[corpusBleu]]'s arithmetic as a pure function of the pooled sums
+    * (n_pairs, cand_tokens, ref_tokens, m1..mN, c1..cN) — split out
+    * because the sums are ADDITIVE (a one-row count table), which is
+    * what lets the streaming sink fold them through a GenStore
+    * generation and recompute the identical score per micro-batch. */
+  def corpusBleuFromSums(sums: DataFrame, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val anyZero = (1 to maxN).map(n => col(s"m$n") === 0L)
       .reduce(_ || _) || col("cand_tokens") === 0L
     val logSum = (1 to maxN).map(n =>
-      log(col(s"__m$n").cast("double") / col(s"__c$n").cast("double")))
+      log(col(s"m$n").cast("double") / col(s"c$n").cast("double")))
       .reduce(_ + _)
     val bp = when(col("cand_tokens") >= col("ref_tokens"), lit(1.0))
       .otherwise(exp(lit(1.0) - col("ref_tokens").cast("double") /
         col("cand_tokens").cast("double")))
     val prec = (1 to maxN).toList.map(n =>
-      when(col(s"__c$n") === 0L, lit(0.0))
-        .otherwise(col(s"__m$n").cast("double") /
-          col(s"__c$n").cast("double")).as(s"p$n"))
+      when(col(s"c$n") === 0L, lit(0.0))
+        .otherwise(col(s"m$n").cast("double") /
+          col(s"c$n").cast("double")).as(s"p$n"))
     sums.select(
       (col("n_pairs") :: col("cand_tokens") :: col("ref_tokens") ::
         prec) :::

@@ -1041,6 +1041,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(s0 == o0, s"s0=$s0 o0=$o0")
   }
 
+  test("streaming corpus BLEU: pooled sums fold to the one-shot score") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-bleu").toString
+    val all = Seq(
+      ("the cat sat on the mat", "the cat on a mat"),
+      ("a b c d e", "a b c d f"),
+      ("p q r s", "p q r s"),
+      ("x y", "y x"),
+      ("one two three four", "one two three five"),
+      ("m n o p q r", "m n o p q r"))
+    val (b1, rest) = all.splitAt(2)
+    val (b2, b3) = rest.splitAt(2)
+    val input = MemoryStream[(String, String)]
+    import org.apache.spark.sql.functions.lit
+    val q = graft.streaming.StreamingGenEval.bleuSink(
+        input.toDF().toDF("cand", "ref"),
+        stateDir = s"$base/state", outDir = s"$base/out",
+        checkpointDir = s"$base/ckpt")
+      .start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    // the accumulated score is BIT-identical to the one-shot corpus BLEU
+    // over every pair seen — the pooled sums fold exactly, the arithmetic
+    // is the same from-sums function
+    val streamed = norm(spark.read.parquet(s"$base/out/batch_id=2"))
+    val oneShot = norm(graft.operators.Eval.corpusBleu(
+      graft.operators.Eval.generationPairStatsFast(
+        all.toDF("cand", "ref").withColumn("__id", lit(0L)),
+        idCol = "__id")))
+    assert(streamed == oneShot, s"streamed=$streamed oneShot=$oneShot")
+    // and batch 0 equals the one-shot over b1 alone
+    val s0 = norm(spark.read.parquet(s"$base/out/batch_id=0"))
+    val o0 = norm(graft.operators.Eval.corpusBleu(
+      graft.operators.Eval.generationPairStatsFast(
+        b1.toDF("cand", "ref").withColumn("__id", lit(0L)),
+        idCol = "__id")))
+    assert(s0 == o0, s"s0=$s0 o0=$o0")
+  }
+
   test("streaming manifest: per-batch fold lands on the one-shot manifest", SlowTest) {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
