@@ -1108,6 +1108,19 @@ class PlanSpec extends AnyFunSuite {
       s"memorization must stay keyed:\n$plan")
   }
 
+  test("native generation-eval fast path is a pure narrow map — zero " +
+      "exchanges, no explode, struct fields shared via subexpression " +
+      "elimination") {
+    val pairs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "text AS cand", "text AS ref")
+    val plan = executedPlan(
+      graft.operators.Eval.generationPairStatsFast(pairs))
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"),
+      s"the fast pair-stats scan must not shuffle or explode:\n$plan")
+    assert(plan.toLowerCase.contains("pairtokenstats"),
+      s"the native expression must be in the plan:\n$plan")
+  }
+
   test("native unigram apply is a pure narrow map — zero exchanges, no explode " +
       "(the bpe_apply_fast contract for the Viterbi family)") {
     val costs = Map("a" -> 10L, "b" -> 12L, "ab" -> 15L, "c" -> 9L)
