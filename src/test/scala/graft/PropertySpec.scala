@@ -921,4 +921,103 @@ object PropertySpec extends Properties("graft") {
       val best = enum(0).map(p => (p.map(costs).sum, p.length, p)).min
       conserve && (seg.toList == best._3)
     }
+
+  // ------------------------------------------- eval-plane enumerations
+
+  property("pass@k equals brute-force subset enumeration ∀ (n, c, k)") =
+    forAll(Gen.choose(1, 8), Gen.choose(0, 8), Gen.choose(1, 9)) { (n, c0, k) =>
+      import graft.operators.Eval
+      val c = math.min(c0, n)
+      val samples = (0 until n).map(i => ("t", i < c)).toDF("task_id", "correct")
+      val got = Eval.passAtK(samples, Seq(k))
+        .select(s"pass_at_$k").as[Option[Double]].collect().head
+      if (k > n) got.isEmpty
+      else {
+        val subsets = (0 until n).combinations(k).toSeq
+        val noCorrect = subsets.count(_.forall(_ >= c))
+        // identical division: enumerated counts ARE C(n-c,k) and C(n,k)
+        got.contains(1.0 - noCorrect.toDouble / subsets.size.toDouble)
+      }
+    }
+
+  property("best-of-n equals the enumerated mean max over k-subsets") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 20L)).map(_.take(7)),
+        Gen.choose(1, 7)) { (scores, k) =>
+      import graft.operators.Eval
+      val samples = scores.map(("t", _)).toDF("task_id", "score")
+      val got = Eval.bestOfN(samples, Seq(k))
+        .select(s"best_of_$k").as[Option[Double]].collect().head
+      if (k > scores.size) got.isEmpty
+      else {
+        val subsets = scores.indices.combinations(k).toSeq
+        val sumMax = subsets.map(s => s.map(scores).max).sum
+        got.contains(sumMax.toDouble / subsets.size.toDouble)
+      }
+    }
+
+  property("AUC equals the enumerated pairwise win share (ties half)") =
+    forAll(Gen.nonEmptyListOf(
+        Gen.zip(Gen.choose(0L, 5L), Gen.oneOf(true, false))).map(_.take(10))) { rows =>
+      import graft.operators.Eval
+      val got = Eval.aucRoc(rows.toDF("score", "label"))
+        .select("auc").as[Option[Double]].collect().head
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      if (pos.isEmpty || neg.isEmpty) got.isEmpty
+      else {
+        val wins = (for (p <- pos; q <- neg) yield p > q).count(identity)
+        val ties = (for (p <- pos; q <- neg) yield p == q).count(identity)
+        // same exact longs: S2 - P(P+1) == 2*wins + ties
+        got.contains((2L * wins + ties).toDouble /
+          (2L * pos.size * neg.size).toDouble)
+      }
+    }
+
+  property("Kendall tau cmd equals the enumerated pair-sign sum") =
+    forAll(Gen.choose(1, 7), Gen.choose(0L, 1000L)) { (n, seed) =>
+        val ra = (1 to n).toList
+        val rb = new scala.util.Random(seed).shuffle(ra)
+        import graft.operators.Eval
+        val a = ra.zipWithIndex.map { case (r, d) => (1L, d.toLong, r.toLong) }
+          .toDF("query_id", "doc_id", "rank")
+        val b = rb.zipWithIndex.map { case (r, d) => (1L, d.toLong, r.toLong) }
+          .toDF("query_id", "doc_id", "rank")
+        val got = Eval.kendallTau(a, b)
+          .select("concordant_minus_discordant", "tau")
+          .as[(Long, Option[Double])].collect().head
+        val cmd = (for (i <- 0 until n; j <- i + 1 until n) yield
+          math.signum((ra(i) - ra(j)).toLong * (rb(i) - rb(j)))).sum
+        got._1 == cmd &&
+          (if (n < 2) got._2.isEmpty
+           else got._2.contains(cmd.toDouble / ((n.toLong * (n - 1)).toDouble / 2.0)))
+    }
+
+  property("WER edit distance equals the full-matrix reference; zero on self") =
+    forAll(Gen.listOf(Gen.oneOf("a", "b", "c")).map(_.take(8)),
+        Gen.listOf(Gen.oneOf("a", "b", "c")).map(_.take(8))) { (ta, tb) =>
+      import graft.operators.Eval
+      val pairs = Seq((1L, ta.mkString(" "), tb.mkString(" ")),
+        (2L, ta.mkString(" "), ta.mkString(" ")))
+        .toDF("doc_id", "cand", "ref")
+      val got = Eval.werStatsFast(pairs)
+        .select("doc_id", "edit_distance")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val d = Array.tabulate(ta.size + 1, tb.size + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to ta.size; j <- 1 to tb.size)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (ta(i - 1) == tb(j - 1)) 0 else 1))
+      got(0)._2 == d(ta.size)(tb.size) && got(1)._2 == 0L
+    }
+
+  property("clipped n-gram matches are symmetric: m(cand, ref) == m(ref, cand)") =
+    forAll(Gen.listOf(Gen.oneOf("a", "b")).map(_.take(10)),
+        Gen.listOf(Gen.oneOf("a", "b")).map(_.take(10))) { (ta, tb) =>
+      import graft.operators.Eval
+      def ms(c: String, r: String) =
+        Eval.generationPairStatsFast(Seq((1L, c, r)).toDF("doc_id", "cand", "ref"))
+          .select("m1", "m2", "m3", "m4").as[(Long, Long, Long, Long)]
+          .collect().head
+      ms(ta.mkString(" "), tb.mkString(" ")) == ms(tb.mkString(" "), ta.mkString(" "))
+    }
 }
