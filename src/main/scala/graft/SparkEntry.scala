@@ -3329,6 +3329,11 @@ object SparkEntry {
         length(col("text")).cast("long").as("n_raw"))
     }),
     "text_pii" -> ((s, dir) => TextAnalysis.piiCounts(docs(s, dir))),
+    // T5-style span corruption (native walk; the registry's denoising
+    // (inputs, targets) pair fixture) — hash-gated span starts, merged
+    // intervals, one sentinel per maximal run
+    "text_span_corrupt" -> ((s, dir) =>
+      TextAnalysis.spanCorruptFast(docs(s, dir))),
     // checksum-validated card audit over the corpus + planted fixtures:
     // the Luhn gate keeps test Visa/MC/Amex numbers and rejects the same
     // digit mass with a wrong check digit
@@ -6732,6 +6737,47 @@ object SparkEntry {
         "CASE WHEN 4.0 * prec_avg + rec_avg = 0.0 THEN 0.0 ELSE " +
         "5.0 * prec_avg * rec_avg / (4.0 * prec_avg + rec_avg) END AS chrf2 " +
         "FROM hd, fin"),
+    // span-corruption mirror: the same hash gates (start + length), the
+    // same bounded-lookback merged-interval rule, sentinel ranks from a
+    // prefix count — every decision a pure function of (doc, pos, seed)
+    "text_span_corrupt" -> {
+      val h1 = hashRawSql("(doc_id * 1000003 + (j - 1))", 42)
+      val h2 = hashRawSql("(doc_id * 1000003 + (j - 1))", 42 + 7919)
+      def sent(iExpr: String) =
+        s"'<extra_id_' || CAST(len([1 for j in generate_series(1, $iExpr) " +
+          s"if rs[CAST(j AS INT)]]) - 1 AS VARCHAR) || '>'"
+      s"WITH tt AS (SELECT doc_id, [x for x in $RawToks if x <> ''] AS tk " +
+        "FROM documents), " +
+        "ss AS (SELECT doc_id, tk, len(tk) AS n, " +
+        s"[($h1) % 100 < 6 for j in generate_series(1, len(tk))] AS st, " +
+        s"[2 + ($h2) % 3 for j in generate_series(1, len(tk))] AS ln " +
+        "FROM tt), " +
+        "cc2 AS (SELECT doc_id, tk, n, " +
+        "[len([1 for j in generate_series(greatest(i - 3, 1), i) " +
+        "if st[CAST(j AS INT)] and j + ln[CAST(j AS INT)] > i]) > 0 " +
+        "for i in generate_series(1, n)] AS co FROM ss), " +
+        "rr2 AS (SELECT doc_id, tk, n, co, " +
+        "[co[CAST(i AS INT)] and (i = 1 or not co[CAST(i AS INT) - 1]) " +
+        "for i in generate_series(1, n)] AS rs FROM cc2) " +
+        "SELECT doc_id, " +
+        // DuckDB's array_to_string([]) is NULL where Spark's concat_ws
+        // is '' — coalesce pins the empty-output convention
+        "coalesce(array_to_string([x for x in [CASE WHEN rs[CAST(i AS INT)] " +
+        "THEN " + sent("i") +
+        " WHEN not co[CAST(i AS INT)] THEN tk[CAST(i AS INT)] " +
+        "END for i in generate_series(1, n)] if x IS NOT NULL], ' '), '') " +
+        "AS inputs, " +
+        "coalesce(array_to_string([x for x in [CASE WHEN rs[CAST(i AS INT)] " +
+        "THEN " + sent("i") + " || ' ' || tk[CAST(i AS INT)] " +
+        "WHEN co[CAST(i AS INT)] THEN tk[CAST(i AS INT)] " +
+        "END for i in generate_series(1, n)] if x IS NOT NULL], ' '), '') " +
+        "AS targets, " +
+        "CAST(len([1 for i in generate_series(1, n) " +
+        "if rs[CAST(i AS INT)]]) AS BIGINT) AS n_spans, " +
+        "CAST(len([1 for i in generate_series(1, n) " +
+        "if co[CAST(i AS INT)]]) AS BIGINT) AS n_corrupted, " +
+        "CAST(n AS BIGINT) AS n_tokens FROM rr2"
+    },
     // CC-audit mirror: the same maximal-run extraction (RE2 and Java
     // agree on the one-separator pattern), the same digit collapse and
     // the same Luhn digit-transform sum per candidate

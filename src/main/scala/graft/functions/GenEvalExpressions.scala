@@ -44,6 +44,13 @@ object GenEvalExpressions {
     GraftBridge.column(PairCharStats(GraftBridge.expression(cand),
       GraftBridge.expression(ref), maxN, capTokens, capChars))
 
+  /** T5-style span corruption (TextAnalysis.spanCorrupt's native walk):
+    * struct(inputs, targets, n_spans, n_corrupted, n_tokens). */
+  def spanCorrupt(docId: Column, text: Column, startPct: Int,
+      seed: Long): Column =
+    GraftBridge.column(SpanCorrupt(GraftBridge.expression(docId),
+      GraftBridge.expression(text), startPct, seed))
+
   private[functions] val Ws = "\t\n\f\r "
 
   /** The engine tokenization contract (TextAnalysis.tokens + the empty
@@ -161,6 +168,100 @@ object GenEvalExpressions {
     }
     out.toArray
   }
+}
+
+/** T5-style span corruption as ONE walk per document — the native
+  * sibling of `TextAnalysis.spanCorrupt`'s per-position lambda chains
+  * (same hash gates via `Sampling.hashRawLong`, same merged-interval
+  * corruption rule, identical rows — equality-pinned). left = doc id
+  * (long), right = text. */
+case class SpanCorrupt(left: Expression, right: Expression, startPct: Int,
+    seed: Long) extends BinaryExpression with CodegenFallback {
+  import GenEvalExpressions._
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("inputs", StringType, nullable = false),
+    StructField("targets", StringType, nullable = false),
+    StructField("n_spans", LongType, nullable = false),
+    StructField("n_corrupted", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"span_corrupt needs (long, string), got " +
+        s"(${left.dataType}, ${right.dataType})")
+
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    val id = if (l == null) 0L else l.asInstanceOf[Long]
+    val text = if (r == null) "" else r.asInstanceOf[UTF8String].toString
+    val tk = toks(text, Int.MaxValue)
+    val n = tk.length
+    val starts = new Array[Boolean](n)
+    val lens = new Array[Int](n)
+    var j = 0
+    while (j < n) {
+      val p = id * 1000003L + j
+      starts(j) =
+        java.lang.Math.floorMod(
+          graft.operators.Sampling.hashRawLong(p, seed), 100L) < startPct
+      lens(j) = (2L + java.lang.Math.floorMod(
+        graft.operators.Sampling.hashRawLong(p, seed + 7919L), 3L)).toInt
+      j += 1
+    }
+    // corrupted(i) ⇔ some j in [i-3, i] starts a span covering i
+    val corrupted = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      var jj = math.max(i - 3, 0)
+      var hit = false
+      while (!hit && jj <= i) {
+        hit = starts(jj) && jj + lens(jj) > i
+        jj += 1
+      }
+      corrupted(i) = hit
+      i += 1
+    }
+    val in = new java.lang.StringBuilder
+    val tg = new java.lang.StringBuilder
+    var k = 0
+    var nCorr = 0L
+    i = 0
+    while (i < n) {
+      if (corrupted(i)) {
+        nCorr += 1
+        if (i == 0 || !corrupted(i - 1)) {
+          val s = "<extra_id_" + k + ">"
+          k += 1
+          if (in.length > 0) in.append(' ')
+          in.append(s)
+          if (tg.length > 0) tg.append(' ')
+          tg.append(s).append(' ').append(tk(i))
+        } else {
+          tg.append(' ').append(tk(i))
+        }
+      } else {
+        if (in.length > 0) in.append(' ')
+        in.append(tk(i))
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(in.toString), UTF8String.fromString(tg.toString),
+      k.toLong, nCorr, n.toLong))
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    throw new IllegalStateException("eval is overridden")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SpanCorrupt =
+    copy(left = newLeft, right = newRight)
 }
 
 /** struct(cand_len, ref_len, m[maxN], c[maxN], r[maxN], lcs, edit) of a

@@ -48,6 +48,20 @@ object Sampling {
     pmod(u * lit(G), lit(P))
   }
 
+  /** JVM twin of [[hashRaw]] — the SAME arithmetic on plain longs, for
+    * native expressions that replay a hash-gated decision imperatively
+    * (span corruption's native walk). The two must move together; the
+    * factor bound (≤ ~2·10⁶ per operand) keeps the product well inside
+    * Long. Equality with the Column form is spec-pinned. */
+  private[graft] def hashRawLong(id: Long, seed: Long): Long = {
+    val s1 = java.lang.Math.floorMod(seed, M1) + 1
+    val s2 = java.lang.Math.floorMod(seed, M2) + 1
+    val t = java.lang.Math.floorMod(
+      (java.lang.Math.floorMod(id, M1) + s1) *
+        (java.lang.Math.floorMod(id, M2) + s2), P)
+    java.lang.Math.floorMod(java.lang.Math.floorMod(t * G, P) * G, P)
+  }
+
   def hashBucket(id: Column, seed: Long): Column =
     pmod(hashRaw(id, seed), lit(Buckets))
 

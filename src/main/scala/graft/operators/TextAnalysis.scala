@@ -1498,6 +1498,95 @@ object TextAnalysis {
         (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_dropped"))
   }
 
+  /** T5-STYLE SPAN CORRUPTION (Raffel et al. 2020, §3.1.4 — the
+    * denoising pretraining objective; UL2's R-denoiser): deterministic
+    * span masking that emits the (inputs, targets) pair a
+    * denoising-objective trainer consumes — inputs = the text with each
+    * corrupted span replaced by one `<extra_id_K>` sentinel, targets =
+    * the sentinels each followed by the span they hide. Splicing targets
+    * back into inputs reconstructs the original token sequence exactly
+    * (property-pinned).
+    *
+    * Deterministic and ENGINE-CLOSED-FORM by design: rather than T5's
+    * sequential sampler (whose every decision depends on the previous
+    * span — unreplayable relationally), span starts are independent hash
+    * gates — position j STARTS a span iff hashRaw(doc·1000003+(j−1),
+    * seed) % 100 < startPct, with span length 2 + hash(seed+7919) % 3
+    * (2..4 tokens) — and a token is corrupted iff ANY of its ≤ 3
+    * predecessors (or itself) starts a span covering it; overlapping
+    * spans merge into one maximal run = one sentinel. Every per-position
+    * decision is a pure function of (doc_id, position, seed), so the
+    * corruption replays on any engine, rerun or partitioning, and the
+    * expected corrupted share is ≈ startPct·3 percent (18% at the
+    * default 6 — the T5 operating point).
+    *
+    * Returns (idCol, inputs, targets, n_spans, n_corrupted, n_tokens).
+    * Pure narrow column code — no explode, no shuffle; per-row cost is
+    * O(n·Lmax) for the flags plus O(n) per emitted sentinel for its
+    * rank. [[spanCorruptFast]] is the native sibling the registry runs;
+    * this formulation is the DuckDB-replayable spec. */
+  def spanCorrupt(docs: DataFrame, startPct: Int = 6, seed: Long = 42,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(startPct >= 0 && startPct <= 100,
+      s"startPct must be in [0,100], got $startPct")
+    val toksC = filter(tokens(col(textCol)), t => length(t) > lit(0))
+    val d = docs.select(col(idCol), toksC.as("__t"))
+      .withColumn("__n", size(col("__t")))
+    val idx = when(col("__n") === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), col("__n")))
+    val pos = (j: Column) =>
+      col(idCol).cast("long") * lit(1000003L) + (j.cast("long") - lit(1L))
+    val d2 = d
+      .withColumn("__st", transform(idx, j =>
+        pmod(Sampling.hashRaw(pos(j), seed), lit(100L)) < startPct))
+      .withColumn("__ln", transform(idx, j =>
+        (lit(2L) + pmod(Sampling.hashRaw(pos(j), seed + 7919L), lit(3L)))
+          .cast("int")))
+    val d3 = d2
+      .withColumn("__c", transform(idx, i =>
+        exists(sequence(greatest(i - lit(3), lit(1)), i), j =>
+          element_at(col("__st"), j) &&
+            (j + element_at(col("__ln"), j)) > i)))
+      .withColumn("__rs", transform(idx, i =>
+        element_at(col("__c"), i) &&
+          (i === 1 || !element_at(col("__c"), i - lit(1)))))
+    val kAt = (i: Column) => aggregate(slice(col("__rs"), lit(1), i),
+      lit(0), (a, x) => a + x.cast("int"))
+    val sentinel = (i: Column) =>
+      concat(lit("<extra_id_"), (kAt(i) - lit(1)).cast("string"), lit(">"))
+    val inTok = transform(idx, i =>
+      when(element_at(col("__rs"), i), sentinel(i))
+        .when(!element_at(col("__c"), i), element_at(col("__t"), i)))
+    val tgTok = transform(idx, i =>
+      when(element_at(col("__rs"), i),
+        concat(sentinel(i), lit(" "), element_at(col("__t"), i)))
+        .when(element_at(col("__c"), i), element_at(col("__t"), i)))
+    d3.select(col(idCol),
+      concat_ws(" ", filter(inTok, x => x.isNotNull)).as("inputs"),
+      concat_ws(" ", filter(tgTok, x => x.isNotNull)).as("targets"),
+      size(filter(col("__rs"), x => x)).cast("long").as("n_spans"),
+      size(filter(col("__c"), x => x)).cast("long").as("n_corrupted"),
+      col("__n").cast("long").as("n_tokens"))
+  }
+
+  /** Native fast path of [[spanCorrupt]] — identical rows
+    * (equality-pinned), one JVM walk per document instead of the
+    * interpreted per-position lambda chains; the registry runs this. */
+  def spanCorruptFast(docs: DataFrame, startPct: Int = 6, seed: Long = 42,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(startPct >= 0 && startPct <= 100,
+      s"startPct must be in [0,100], got $startPct")
+    val st = graft.functions.GenEvalExpressions.spanCorrupt(
+      col(idCol).cast("long"), col(textCol), startPct, seed)
+    docs.select(col(idCol), st.as("__sc"))
+      .select(col(idCol),
+        col("__sc.inputs").as("inputs"),
+        col("__sc.targets").as("targets"),
+        col("__sc.n_spans").as("n_spans"),
+        col("__sc.n_corrupted").as("n_corrupted"),
+        col("__sc.n_tokens").as("n_tokens"))
+  }
+
   // ------------------------------------------------- BPE merge learning
 
   /** The symbol separator of the BPE-learning representation: each symbol

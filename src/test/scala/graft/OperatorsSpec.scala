@@ -3180,6 +3180,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all == 1.0)
   }
 
+  test("span corruption: splice reconstruction, count identities, " +
+      "fast == spec", SlowTest) {
+    import graft.operators.TextAnalysis
+    val d = docs.limit(150).select($"doc_id", $"text")
+      .unionByName(Seq((90001L, ""), (90002L, " \t "),
+        (90003L, "solo")).toDF("doc_id", "text"))
+    val fast = TextAnalysis.spanCorruptFast(d)
+    val spec = TextAnalysis.spanCorrupt(d)
+    assert(fast.collect().toSet == spec.collect().toSet)
+    val rows = fast.join(d, "doc_id")
+      .select("inputs", "targets", "text", "n_spans", "n_corrupted", "n_tokens")
+      .as[(String, String, String, Long, Long, Long)].collect()
+    var corrupted = 0L
+    rows.foreach { case (in, tg, text, nSpans, nCorr, nTok) =>
+      val orig = Option(text).getOrElse("").trim.split("\\s+")
+        .filter(_.nonEmpty).toSeq
+      assert(nTok == orig.size)
+      // parse targets into sentinel -> span
+      val tgToks = tg.split(" ").filter(_.nonEmpty).toSeq
+      val spans = scala.collection.mutable.Map[String, Vector[String]]()
+      var cur: String = null
+      tgToks.foreach { t =>
+        if (t.startsWith("<extra_id_")) { cur = t; spans(cur) = Vector() }
+        else spans(cur) = spans(cur) :+ t
+      }
+      assert(spans.size == nSpans && spans.values.map(_.size).sum == nCorr)
+      // splicing the spans back at their sentinels reconstructs the doc
+      val rebuilt = in.split(" ").filter(_.nonEmpty).toSeq
+        .flatMap(t => if (t.startsWith("<extra_id_")) spans(t) else Seq(t))
+      assert(rebuilt == orig, s"splice failed for: $text")
+      corrupted += nCorr
+    }
+    // the default operating point corrupts a nontrivial share (~18%)
+    val total = rows.map(_._6).sum
+    assert(corrupted > total / 10 && corrupted < total / 2)
+  }
+
   test("credit-card audit: the Luhn gate separates cards from digit noise") {
     val d = Seq(
       (1L, "pay 4111111111111111 today"),                     // valid Visa
