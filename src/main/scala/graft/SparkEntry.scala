@@ -3329,6 +3329,9 @@ object SparkEntry {
         length(col("text")).cast("long").as("n_raw"))
     }),
     "text_pii" -> ((s, dir) => TextAnalysis.piiCounts(docs(s, dir))),
+    // fill-in-the-middle: hash-gated docs re-serialized PSM
+    // (<fim_prefix> P <fim_suffix> S <fim_middle> M), the rest verbatim
+    "text_fim" -> ((s, dir) => TextAnalysis.fimTransform(docs(s, dir))),
     // T5-style span corruption (native walk; the registry's denoising
     // (inputs, targets) pair fixture) — hash-gated span starts, merged
     // intervals, one sentinel per maximal run
@@ -6737,6 +6740,33 @@ object SparkEntry {
         "CASE WHEN 4.0 * prec_avg + rec_avg = 0.0 THEN 0.0 ELSE " +
         "5.0 * prec_avg * rec_avg / (4.0 * prec_avg + rec_avg) END AS chrf2 " +
         "FROM hd, fin"),
+    // FIM mirror: the same three doc-level hash draws, the same slice
+    // arithmetic; empty parts drop from the PSM join on both engines
+    "text_fim" -> {
+      val h0 = hashRawSql("doc_id", 42)
+      val h1 = hashRawSql("doc_id", 43)
+      val h2 = hashRawSql("doc_id", 44)
+      def seg(sl: String) =
+        s"coalesce(array_to_string($sl, ' '), '')"
+      s"WITH tf AS (SELECT doc_id, [x for x in $RawToks if x <> ''] AS tk " +
+        "FROM documents), " +
+        "sf2 AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n, " +
+        s"($h0) % 100 < 50 AS isf, " +
+        s"($h1) % (CAST(len(tk) AS BIGINT) + 1) AS ar FROM tf), " +
+        "sg AS (SELECT doc_id, tk, n, isf, ar, " +
+        s"ar + ($h2) % (n - ar + 1) AS br FROM sf2) " +
+        "SELECT doc_id, " +
+        "CASE WHEN isf THEN coalesce(array_to_string([x for x in " +
+        s"['<fim_prefix>', ${seg("tk[1:CAST(ar AS INT)]")}, " +
+        s"'<fim_suffix>', ${seg("tk[CAST(br AS INT) + 1:CAST(n AS INT)]")}, " +
+        s"'<fim_middle>', ${seg("tk[CAST(ar AS INT) + 1:CAST(br AS INT)]")}] " +
+        "if length(x) > 0], ' '), '') " +
+        s"ELSE ${seg("tk")} END AS fim_text, " +
+        "isf AS is_fim, " +
+        "CASE WHEN isf THEN ar ELSE n END AS n_prefix, " +
+        "CASE WHEN isf THEN br - ar ELSE 0 END AS n_middle, " +
+        "CASE WHEN isf THEN n - br ELSE 0 END AS n_suffix FROM sg"
+    },
     // span-corruption mirror: the same hash gates (start + length), the
     // same bounded-lookback merged-interval rule, sentinel ranks from a
     // prefix count — every decision a pure function of (doc, pos, seed)

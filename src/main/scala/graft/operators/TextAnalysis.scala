@@ -1569,6 +1569,56 @@ object TextAnalysis {
       col("__n").cast("long").as("n_tokens"))
   }
 
+  /** FILL-IN-THE-MIDDLE transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"; the
+    * StarCoder/code-model PSM format): each document selected by the
+    * `fimPct` hash gate is split at two hash-drawn token cuts
+    * 0 ≤ a ≤ b ≤ n into (prefix, middle, suffix) and re-serialized as
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M` — the
+    * prefix-suffix-middle ordering that teaches infilling; unselected
+    * documents pass through verbatim (rejoined tokens). All three draws
+    * are pure functions of (doc_id, seed): the transformed corpus
+    * re-derives exactly on any engine, rerun or partitioning — the
+    * [[wordDropout]]/[[spanCorrupt]] reproducibility contract.
+    *
+    * Returns (idCol, fim_text, is_fim, n_prefix, n_middle, n_suffix).
+    * Pure narrow column code — three doc-level hashes and three array
+    * slices, no per-position work, no explode, no shuffle: a map over
+    * the scan at any corpus size. */
+  def fimTransform(docs: DataFrame, fimPct: Int = 50, seed: Long = 42,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(fimPct >= 0 && fimPct <= 100,
+      s"fimPct must be in [0,100], got $fimPct")
+    val toksC = filter(tokens(col(textCol)), t => length(t) > lit(0))
+    val d = docs.select(col(idCol), toksC.as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+    val id = col(idCol).cast("long")
+    val isFim = pmod(Sampling.hashRaw(id, seed), lit(100L)) < fimPct
+    val a = pmod(Sampling.hashRaw(id, seed + 1), col("__n") + lit(1L))
+    val b = a + pmod(Sampling.hashRaw(id, seed + 2), col("__n") - a + lit(1L))
+    val joinNonEmpty = (parts: Column) =>
+      concat_ws(" ", filter(parts, p => length(p) > lit(0)))
+    val pre = concat_ws(" ", slice(col("__t"), lit(1), col("__a").cast("int")))
+    val mid = concat_ws(" ", slice(col("__t"), (col("__a") + lit(1L)).cast("int"),
+      (col("__b") - col("__a")).cast("int")))
+    val suf = concat_ws(" ", slice(col("__t"), (col("__b") + lit(1L)).cast("int"),
+      (col("__n") - col("__b")).cast("int")))
+    d.withColumn("__fim", isFim)
+      .withColumn("__a", when(isFim, a).otherwise(lit(0L)))
+      .withColumn("__b", when(col("__fim"), b).otherwise(lit(0L)))
+      .select(col(idCol),
+        when(col("__fim"), joinNonEmpty(array(
+          lit("<fim_prefix>"), pre, lit("<fim_suffix>"), suf,
+          lit("<fim_middle>"), mid)))
+          .otherwise(concat_ws(" ", col("__t"))).as("fim_text"),
+        col("__fim").as("is_fim"),
+        when(col("__fim"), col("__a")).otherwise(col("__n")).as("n_prefix"),
+        when(col("__fim"), col("__b") - col("__a")).otherwise(lit(0L))
+          .as("n_middle"),
+        when(col("__fim"), col("__n") - col("__b")).otherwise(lit(0L))
+          .as("n_suffix"))
+  }
+
   /** Native fast path of [[spanCorrupt]] — identical rows
     * (equality-pinned), one JVM walk per document instead of the
     * interpreted per-position lambda chains; the registry runs this. */

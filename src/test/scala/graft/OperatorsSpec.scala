@@ -3217,6 +3217,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(corrupted > total / 10 && corrupted < total / 2)
   }
 
+  test("FIM transform: PSM reassembly reconstructs every selected doc", SlowTest) {
+    import graft.operators.TextAnalysis
+    val d = docs.limit(200).select($"doc_id", $"text")
+      .unionByName(Seq((90001L, ""), (90002L, "one"))
+        .toDF("doc_id", "text"))
+    val rows = TextAnalysis.fimTransform(d).join(d, "doc_id")
+      .select("fim_text", "is_fim", "text", "n_prefix", "n_middle", "n_suffix")
+      .as[(String, Boolean, String, Long, Long, Long)].collect()
+    var fims = 0
+    rows.foreach { case (ft, isFim, text, np, nm, ns) =>
+      val orig = Option(text).getOrElse("").trim.split("\\s+")
+        .filter(_.nonEmpty).toSeq
+      if (!isFim) {
+        assert(ft == orig.mkString(" ") && np == orig.size && nm == 0 && ns == 0)
+      } else {
+        fims += 1
+        assert(np + nm + ns == orig.size)
+        // parse the PSM serialization back into P/S/M and reassemble
+        val t = ft.split(" ").filter(_.nonEmpty).toSeq
+        assert(t.head == "<fim_prefix>")
+        val si = t.indexOf("<fim_suffix>")
+        val mi = t.indexOf("<fim_middle>")
+        val p = t.slice(1, si)
+        val s2 = t.slice(si + 1, mi)
+        val m = t.drop(mi + 1)
+        assert(p.size == np && m.size == nm && s2.size == ns)
+        assert((p ++ m ++ s2) == orig, s"PSM reassembly failed: $text")
+      }
+    }
+    // the 50% gate selects a nontrivial share of the 202 docs
+    assert(fims > 60 && fims < 140)
+  }
+
   test("credit-card audit: the Luhn gate separates cards from digit noise") {
     val d = Seq(
       (1L, "pay 4111111111111111 today"),                     // valid Visa
