@@ -4192,6 +4192,16 @@ object SparkEntry {
           (floor(col("value") * 100).cast("long") % 5).as("answer"),
           (col("user_id") % 5).cast("long").as("gold")),
         taskCols = Seq("event_type", "user_id"))),
+    // Welch A/B comparison per metric: arms from user parity with a
+    // planted +25-centipoint effect on arm b — exact integer sufficient
+    // statistics, the only root an IEEE-correctly-rounded sqrt
+    "eval_ab_welch" -> ((s, dir) =>
+      Eval.abWelch(EventsAdapter.rawEvents(s, dir).select(
+        col("event_type").as("metric"),
+        when(col("user_id") % 2 === 0, lit("a")).otherwise(lit("b"))
+          .as("arm"),
+        (floor(col("value") * 100).cast("long") +
+          (col("user_id") % 2) * 25).as("value")))),
     // best-of-n expected-max curve over the same judge log as the DPO
     // pairs: what best-of-k buys per prompt, read off one sample set
     "eval_best_of_n" -> ((s, dir) =>
@@ -6843,6 +6853,44 @@ object SparkEntry {
         "CAST(sum(ok) AS BIGINT) AS c FROM b GROUP BY 1, 2) " +
         s"SELECT event_type, user_id, n, c, ${pass(1)}, ${pass(2)}, " +
         s"${pass(4)} FROM t"
+    },
+    // Welch mirror: the same exact (n, Σx, Σx²) per arm, the same
+    // division/sqrt sequence — sqrt is correctly rounded on both engines
+    "eval_ab_welch" -> {
+      def vr(t: String) =
+        s"(CASE WHEN n$t < 2 THEN NULL ELSE " +
+          s"CAST(n$t * q$t - s$t * s$t AS DOUBLE) / " +
+          s"CAST(n$t * (n$t - 1) AS DOUBLE) END)"
+      def se2(t: String) = s"(${vr(t)} / CAST(n$t AS DOUBLE))"
+      val diff = "(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - " +
+        "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))"
+      val degen = s"na < 2 OR nb < 2 OR (${se2("a")} + ${se2("b")}) = 0.0"
+      "WITH b AS (SELECT event_type AS metric, " +
+        "CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm, " +
+        "CAST(floor(value * 100) AS BIGINT) + (user_id % 2) * 25 AS v " +
+        "FROM events), " +
+        "g AS (SELECT metric, arm, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS q " +
+        "FROM b GROUP BY 1, 2), " +
+        "p AS (SELECT metric, " +
+        "max(CASE WHEN arm = 'a' THEN n END) AS na, " +
+        "max(CASE WHEN arm = 'a' THEN s END) AS sa, " +
+        "max(CASE WHEN arm = 'a' THEN q END) AS qa, " +
+        "max(CASE WHEN arm = 'b' THEN n END) AS nb, " +
+        "max(CASE WHEN arm = 'b' THEN s END) AS sb, " +
+        "max(CASE WHEN arm = 'b' THEN q END) AS qb " +
+        "FROM g GROUP BY 1) " +
+        "SELECT metric, na AS n_a, nb AS n_b, " +
+        "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a, " +
+        "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b, " +
+        s"$diff AS diff, ${vr("a")} AS var_a, ${vr("b")} AS var_b, " +
+        s"CASE WHEN $degen THEN NULL ELSE " +
+        s"$diff / sqrt(${se2("a")} + ${se2("b")}) END AS t, " +
+        s"CASE WHEN $degen THEN NULL ELSE " +
+        s"(${se2("a")} + ${se2("b")}) * (${se2("a")} + ${se2("b")}) / " +
+        s"(${se2("a")} * ${se2("a")} / CAST(na - 1 AS DOUBLE) + " +
+        s"${se2("b")} * ${se2("b")} / CAST(nb - 1 AS DOUBLE)) END AS df " +
+        "FROM p WHERE na IS NOT NULL AND nb IS NOT NULL"
     },
     // best-of-n mirror: the same score-ordered weighted sum of binomial
     // coefficients, one division by C(n, k) per curve point

@@ -674,6 +674,68 @@ object Eval {
           .as(s"best_of_$k")): _*)
   }
 
+  /** WELCH TWO-SAMPLE A/B COMPARISON — the eval-harness primitive for
+    * "is model/arm A actually better than B on this metric": per group,
+    * both arms' counts, means, sample variances, the mean difference,
+    * Welch's t statistic and its Satterthwaite degrees of freedom.
+    * Callers integer-ize the metric first (the engine-wide exactBest /
+    * dpoPairs score discipline): then every sufficient statistic (n, Σx,
+    * Σx²) is an exact long, each variance is
+    * (n·Σx² − (Σx)²) / (n·(n−1)) — integer numerator, one division —
+    * and t / df are short fixed IEEE sequences whose only root is
+    * `sqrt`, which IEEE 754 rounds CORRECTLY (unlike ln/exp) — so both
+    * engines agree bit-for-bit with no rounding defense at all.
+    *
+    * Output: (groupCols..., n_a, n_b, mean_a, mean_b, diff, var_a,
+    * var_b, t, df) — t and df NULL when either arm has < 2 samples or
+    * both variances are 0 (degenerate).
+    *
+    * Scale shape: ONE map-side-combined exchange on (group, arm) then a
+    * width-2 pivot per group — per-group state is six longs. */
+  def abWelch(samples: DataFrame, groupCols: Seq[String] = Seq("metric"),
+      armCol: String = "arm", valueCol: String = "value",
+      armA: String = "a", armB: String = "b"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val v = col(valueCol).cast("long")
+    val perArm = samples.groupBy((groupCols :+ armCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s"),
+        sum(v * v).as("__s2"))
+    def side(tag: String, arm: String) = Seq(
+      max(when(col(armCol) === arm, col("__n"))).as(s"__n$tag"),
+      max(when(col(armCol) === arm, col("__s"))).as(s"__s$tag"),
+      max(when(col(armCol) === arm, col("__s2"))).as(s"__q$tag"))
+    val sa = side("a", armA)
+    val sb = side("b", armB)
+    val g = perArm.groupBy(groupCols.map(col): _*)
+      .agg(sa.head, (sa.tail ++ sb): _*)
+    def mean(t: String) = col(s"__s$t").cast("double") /
+      col(s"__n$t").cast("double")
+    // sample variance is undefined below two samples — NULL, never the
+    // engine-divergent 0/0 NaN
+    def vr(t: String) =
+      when(col(s"__n$t") < 2L, lit(null).cast("double"))
+        .otherwise(
+          (col(s"__n$t") * col(s"__q$t") - col(s"__s$t") * col(s"__s$t"))
+            .cast("double") /
+            (col(s"__n$t") * (col(s"__n$t") - lit(1L))).cast("double"))
+    val se2a = vr("a") / col("__na").cast("double")
+    val se2b = vr("b") / col("__nb").cast("double")
+    val degenerate = col("__na") < 2L || col("__nb") < 2L ||
+      (se2a + se2b === 0.0)
+    val t = (mean("a") - mean("b")) / sqrt(se2a + se2b)
+    val df = (se2a + se2b) * (se2a + se2b) /
+      (se2a * se2a / (col("__na") - lit(1L)).cast("double") +
+        se2b * se2b / (col("__nb") - lit(1L)).cast("double"))
+    g.filter(col("__na").isNotNull && col("__nb").isNotNull)
+      .select(groupCols.map(col) ++ List(
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        mean("a").as("mean_a"), mean("b").as("mean_b"),
+        (mean("a") - mean("b")).as("diff"),
+        vr("a").as("var_a"), vr("b").as("var_b"),
+        when(degenerate, lit(null).cast("double")).otherwise(t).as("t"),
+        when(degenerate, lit(null).cast("double")).otherwise(df).as("df")): _*)
+  }
+
   /** Exact ROC AUC of a scored, binary-labeled relation via the
     * Mann–Whitney rank-sum identity: AUC = (Σ ranks(positives) −
     * P(P+1)/2) / (P·N), ties resolved by AVERAGE rank (the textbook

@@ -3401,6 +3401,31 @@ class OperatorsSpec extends AnyFunSuite {
       ("C", 1L, 3L, 1L, 1.0, false)))
   }
 
+  test("Welch A/B: hand-computed t and Satterthwaite df, degenerate NULLs") {
+    import graft.operators.Eval
+    // g1: a = {10, 14} (mean 12, var 8), b = {20, 20, 26} (mean 22,
+    // var 12) → se² = 4 + 4, t = −10/√8, df = 64/24
+    // g2: single-sample arm a → t/df NULL, means still reported
+    // g3: only arm a present → dropped (no comparison to make)
+    val d = Seq(
+      ("g1", "a", 10L), ("g1", "a", 14L),
+      ("g1", "b", 20L), ("g1", "b", 20L), ("g1", "b", 26L),
+      ("g2", "a", 7L), ("g2", "b", 5L), ("g2", "b", 9L),
+      ("g3", "a", 1L), ("g3", "a", 2L))
+      .toDF("metric", "arm", "value")
+    val got = Eval.abWelch(d)
+      .as[(String, Long, Long, Double, Double, Double, Option[Double],
+        Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    val t1 = -10.0 / math.sqrt(4.0 + 4.0)
+    val df1 = (4.0 + 4.0) * (4.0 + 4.0) /
+      (4.0 * 4.0 / 1.0 + 4.0 * 4.0 / 2.0)
+    assert(got == Seq(
+      ("g1", 2L, 3L, 12.0, 22.0, -10.0, Some(8.0), Some(12.0),
+        Some(t1), Some(df1)),
+      ("g2", 1L, 2L, 7.0, 7.0, 0.0, None, Some(8.0), None, None)))
+  }
+
   test("AUC: Mann-Whitney average-rank identity, exact to one division") {
     import graft.operators.Eval
     // pos scores {3, 2}, neg {1, 2}: ranks 1, 2.5, 2.5, 4 →
