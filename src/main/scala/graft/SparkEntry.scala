@@ -4112,6 +4112,11 @@ object SparkEntry {
     // average of sentence BLEUs — then the one ln/exp step rounds stable
     "eval_gen_bleu" -> ((s, dir) =>
       Eval.corpusBleu(Eval.generationPairStatsFast(genPairs(s, dir)))),
+    // corpus BLEU with jackknife error bars: leave-one-pair-out scores
+    // on the StableRound fixed-point grid, exact integer variance sums
+    "eval_gen_bleu_ci" -> ((s, dir) =>
+      Eval.corpusBleuJackknife(
+        Eval.generationPairStatsFast(genPairs(s, dir)))),
     // per-doc ROUGE-1/2/L over the same pair fixture: exact clipped
     // counts and the LCS carried alongside single-division P/R/F scores
     "eval_gen_rouge" -> ((s, dir) =>
@@ -7047,6 +7052,53 @@ object SparkEntry {
         "SELECT doc_id, n_ngrams, n_seen, " +
         "CASE WHEN n_ngrams > 0 THEN CAST(n_seen AS DOUBLE) / " +
         "CAST(n_ngrams AS DOUBLE) ELSE 0.0 END AS seen_ratio FROM sc"),
+    // BLEU-jackknife mirror: the same leave-one-out arithmetic per pair
+    // on the same fixed-point grid, exact integer variance sums, the
+    // same sqrt/division sequence
+    "eval_gen_bleu_ci" -> {
+      def lv(t: String, c: String) = s"(t$t - $c)"
+      val lZero = (1 to 4).map(n => s"${lv(s"m$n", s"m$n")} = 0")
+        .mkString(" OR ") + s" OR ${lv("cand", "cand_len")} = 0"
+      val lBp = s"(CASE WHEN ${lv("cand", "cand_len")} >= " +
+        s"${lv("ref", "ref_len")} THEN 1.0 ELSE " +
+        s"exp(1.0 - CAST(${lv("ref", "ref_len")} AS DOUBLE) / " +
+        s"CAST(${lv("cand", "cand_len")} AS DOUBLE)) END)"
+      val lLog = "((" + (1 to 4).map(n =>
+        s"ln(CAST(${lv(s"m$n", s"m$n")} AS DOUBLE) / " +
+          s"CAST(${lv(s"c$n", s"c$n")} AS DOUBLE))").mkString(" + ") +
+        ") / 4.0)"
+      val fZero = (1 to 4).map(n => s"tm$n = 0").mkString(" OR ") +
+        " OR tcand = 0"
+      val fBp = "(CASE WHEN tcand >= tref THEN 1.0 ELSE " +
+        "exp(1.0 - CAST(tref AS DOUBLE) / CAST(tcand AS DOUBLE)) END)"
+      val fLog = "((" + (1 to 4).map(n =>
+        s"ln(CAST(tm$n AS DOUBLE) / CAST(tc$n AS DOUBLE))")
+        .mkString(" + ") + ") / 4.0)"
+      val seExpr = "sqrt(CAST(n - 1 AS DOUBLE) * " +
+        "CAST(n * ss2 - ss * ss AS DOUBLE)) / CAST(n AS DOUBLE) / 10000.0"
+      s"WITH $GenStatsCtes, " +
+        "tt2 AS (SELECT CAST(count(*) AS BIGINT) AS tn, " +
+        "CAST(sum(cand_len) AS BIGINT) AS tcand, " +
+        "CAST(sum(ref_len) AS BIGINT) AS tref, " +
+        (1 to 4).map(n => s"CAST(sum(m$n) AS BIGINT) AS tm$n, " +
+          s"CAST(sum(c$n) AS BIGINT) AS tc$n").mkString(", ") +
+        " FROM ms), " +
+        "jx AS (SELECT CASE WHEN " + lZero + " THEN 0 ELSE " +
+        s"CAST(floor($lBp * exp($lLog) * 10000.0 + 0.499999) AS BIGINT) " +
+        "END AS si FROM ms, tt2), " +
+        "ag AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(si) AS BIGINT) AS ss, " +
+        "CAST(sum(si * si) AS BIGINT) AS ss2 FROM jx), " +
+        "fl AS (SELECT tn AS n_pairs, CASE WHEN " + fZero +
+        s" THEN 0.0 ELSE ${sqlRound4(s"$fBp * exp($fLog)")} END AS bleu " +
+        "FROM tt2) " +
+        "SELECT n_pairs, bleu, " +
+        "CAST(ss AS DOUBLE) / CAST(n * 10000 AS DOUBLE) AS jk_mean, " +
+        s"CASE WHEN n < 2 THEN NULL ELSE $seExpr END AS jk_se, " +
+        s"CASE WHEN n < 2 THEN NULL ELSE bleu - 1.96 * $seExpr END AS ci_lo, " +
+        s"CASE WHEN n < 2 THEN NULL ELSE bleu + 1.96 * $seExpr END AS ci_hi " +
+        "FROM fl, ag"
+    },
     // per-doc ROUGE mirror: the same exact counts, every score a single
     // IEEE division (F1 as 2m/(c+r), never the P·R composite)
     "eval_gen_rouge" ->

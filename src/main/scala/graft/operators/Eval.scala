@@ -788,6 +788,67 @@ object Eval {
           .as("auc"))
   }
 
+  /** Corpus BLEU with JACKKNIFE ERROR BARS — the "is this BLEU delta
+    * real" number: leave-one-pair-out scores θ_i recompute from the
+    * pooled sums minus pair i's stats (pure arithmetic per row — no
+    * second corpus pass), and the jackknife standard error
+    * se = sqrt((n−1)/n · Σ(θ_i − θ̄)²) comes from EXACT integer sums of
+    * the round-4 FIXED-POINT θ_i grid (s_i = ⌊θ_i·10⁴ + 0.499999⌋, the
+    * StableRound lattice): Σs_i and Σs_i² are longs, so the variance
+    * needs no order-dependent double summation — the only floats are
+    * one correctly-rounded sqrt and a couple of exactly-rounded
+    * products. θ_i whose leave-out pool zeroes any m_n score 0 (the
+    * corpusBleu convention). Output is ONE row: (n_pairs, bleu, jk_mean,
+    * jk_se, ci_lo, ci_hi — the ±1.96·se normal interval); se and the
+    * interval are NULL below two pairs. Long-exactness bound:
+    * n·Σs_i² < 2⁶³ holds to ~10⁹ pairs; the doubled product in the sqrt
+    * stays inside 2⁵³ to ~10⁴ pairs — eval-set scale, documented.
+    *
+    * Scale shape: one map-side-combined 1-row total, broadcast back
+    * across the pair stats (the 1-row-broadcast-stat pattern), one more
+    * map-side-combined 1-row aggregate. */
+  def corpusBleuJackknife(stats: DataFrame, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val tot = stats.agg(
+      count(lit(1)).as("tn"),
+      (sum("cand_len").as("tcand") :: sum("ref_len").as("tref") ::
+        (1 to maxN).toList.flatMap(n =>
+          List(sum(s"m$n").as(s"tm$n"), sum(s"c$n").as(s"tc$n")))): _*)
+    val j = stats.crossJoin(broadcast(tot))
+    def lm(n: Int) = col(s"tm$n") - col(s"m$n")
+    def lc(n: Int) = col(s"tc$n") - col(s"c$n")
+    val lcand = col("tcand") - col("cand_len")
+    val lref = col("tref") - col("ref_len")
+    val anyZero = (1 to maxN).map(n => lm(n) === 0L).reduce(_ || _) ||
+      lcand === 0L
+    val logSum = (1 to maxN).map(n =>
+      log(lm(n).cast("double") / lc(n).cast("double"))).reduce(_ + _)
+    val bp = when(lcand >= lref, lit(1.0))
+      .otherwise(exp(lit(1.0) - lref.cast("double") / lcand.cast("double")))
+    // the leave-out score directly on the StableRound fixed-point grid
+    val si = when(anyZero, lit(0L)).otherwise(
+      floor(bp * exp(logSum / lit(maxN.toDouble)) * lit(10000.0) +
+        lit(0.499999)).cast("long"))
+    val agg = j.select(si.as("__si"))
+      .agg(count(lit(1)).as("n"), sum("__si").as("ss"),
+        sum(col("__si") * col("__si")).as("ss2"))
+    val full = corpusBleu(stats, maxN).select(col("n_pairs"), col("bleu"))
+    // se² = (n−1)·(n·Σs² − (Σs)²) / (n²·10⁸)  ⇒  se = √(·)/(n·10⁴)
+    val se = sqrt((col("n") - lit(1L)).cast("double") *
+      (col("n") * col("ss2") - col("ss") * col("ss")).cast("double")) /
+      col("n").cast("double") / lit(10000.0)
+    full.crossJoin(broadcast(agg))
+      .select(col("n_pairs"), col("bleu"),
+        (col("ss").cast("double") / (col("n") * lit(10000L)).cast("double"))
+          .as("jk_mean"),
+        when(col("n") < 2L, lit(null).cast("double")).otherwise(se)
+          .as("jk_se"),
+        when(col("n") < 2L, lit(null).cast("double"))
+          .otherwise(col("bleu") - lit(1.96) * se).as("ci_lo"),
+        when(col("n") < 2L, lit(null).cast("double"))
+          .otherwise(col("bleu") + lit(1.96) * se).as("ci_hi"))
+  }
+
   /** Per-pair ROUGE scores (Lin 2004) over a [[generationPairStats]]
     * output: ROUGE-1 / ROUGE-2 precision, recall and F1 from the clipped
     * n-gram counts, and ROUGE-L from the LCS length — one row per pair,

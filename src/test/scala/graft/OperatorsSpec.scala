@@ -3445,6 +3445,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(oneClass == ((2L, 0L, None)))
   }
 
+  test("BLEU jackknife: leave-one-out grid scores, exact variance sums") {
+    import graft.operators.Eval
+    // two pairs; leaving out pair 2 zeroes the 4-gram pool → that theta
+    // is 0, so se reduces to s1/(2·10^4) exactly (sqrt of a square)
+    val pairs = Seq(
+      (1L, "a b c d", "a b c e"),
+      (2L, "p q r s t", "p q r s")).toDF("doc_id", "cand", "ref")
+    val got = Eval.corpusBleuJackknife(Eval.generationPairStats(pairs))
+      .as[(Long, Double, Double, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    // theta without pair 1 = corpus BLEU of pair 2 alone (bp = 1)
+    val log2s = ((math.log(4.0 / 5.0) + math.log(3.0 / 4.0)) +
+      math.log(2.0 / 3.0)) + math.log(1.0 / 2.0)
+    val s1 = math.floor(1.0 * math.exp(log2s / 4.0) * 10000.0 + 0.499999).toLong
+    val bleu = { // the corpusBleu value over both pairs (pooled sums)
+      val ls = ((math.log(7.0 / 9.0) + math.log(5.0 / 7.0)) +
+        math.log(3.0 / 5.0)) + math.log(1.0 / 3.0)
+      math.floor(1.0 * math.exp(ls / 4.0) * 10000 + 0.499999) / 10000
+    }
+    val se = math.sqrt(1.0 * (2.0 * s1 * s1 - s1 * s1).toDouble) / 2.0 / 10000.0
+    assert(got._1 == 2L && got._2 == bleu)
+    assert(got._3 == s1.toDouble / 20000.0)
+    assert(got._4.contains(se))
+    assert(got._5.contains(bleu - 1.96 * se) && got._6.contains(bleu + 1.96 * se))
+    // single pair → error bars undefined
+    val one = Eval.corpusBleuJackknife(Eval.generationPairStats(
+      Seq((1L, "a b c", "a b c")).toDF("doc_id", "cand", "ref")))
+      .select("jk_se", "ci_lo").as[(Option[Double], Option[Double])]
+      .collect().head
+    assert(one == ((None, None)))
+  }
+
   test("ROUGE scores are single divisions of the exact counts") {
     import graft.operators.Eval
     val pairs = Seq(
