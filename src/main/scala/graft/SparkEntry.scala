@@ -4112,6 +4112,14 @@ object SparkEntry {
     // average of sentence BLEUs — then the one ln/exp step rounds stable
     "eval_gen_bleu" -> ((s, dir) =>
       Eval.corpusBleu(Eval.generationPairStatsFast(genPairs(s, dir)))),
+    // per-language corpus BLEU: the same pooled arithmetic within each
+    // documents.lang slice — the per-slice eval table
+    "eval_gen_bleu_by_lang" -> ((s, dir) =>
+      Eval.corpusBleuGrouped(
+        Eval.generationPairStatsFast(genPairs(s, dir))
+          .join(docs(s, dir).select(col("doc_id"), col("lang")),
+            Seq("doc_id")),
+        keyCols = Seq("lang"))),
     // corpus BLEU with jackknife error bars: leave-one-pair-out scores
     // on the StableRound fixed-point grid, exact integer variance sums
     "eval_gen_bleu_ci" -> ((s, dir) =>
@@ -7052,6 +7060,39 @@ object SparkEntry {
         "SELECT doc_id, n_ngrams, n_seen, " +
         "CASE WHEN n_ngrams > 0 THEN CAST(n_seen AS DOUBLE) / " +
         "CAST(n_ngrams AS DOUBLE) ELSE 0.0 END AS seen_ratio FROM sc"),
+    // per-language BLEU mirror: the same pooled sums and arithmetic,
+    // grouped by the documents.lang slice
+    "eval_gen_bleu_by_lang" ->
+      (s"WITH $GenStatsCtes, " +
+        "sl AS (SELECT d.lang AS lang, ms.doc_id, ms.cand_len, " +
+        "ms.ref_len, " +
+        (1 to 4).map(n => s"ms.m$n, ms.c$n").mkString(", ") +
+        " FROM ms JOIN documents d USING (doc_id)), " +
+        "s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(cand_len) AS BIGINT) AS cand_tokens, " +
+        "CAST(sum(ref_len) AS BIGINT) AS ref_tokens, " +
+        (1 to 4).map(n => s"CAST(sum(m$n) AS BIGINT) AS sm$n, " +
+          s"CAST(sum(c$n) AS BIGINT) AS sc$n").mkString(", ") +
+        " FROM sl GROUP BY 1) " +
+        "SELECT lang, n_pairs, cand_tokens, ref_tokens, " +
+        (1 to 4).map(n => s"CASE WHEN sc$n = 0 THEN 0.0 ELSE " +
+          s"CAST(sm$n AS DOUBLE) / CAST(sc$n AS DOUBLE) END AS p$n")
+          .mkString(", ") + ", " +
+        "CASE WHEN cand_tokens = 0 THEN 0.0 ELSE " +
+        sqlRound4("CASE WHEN cand_tokens >= ref_tokens THEN 1.0 " +
+          "ELSE exp(1.0 - CAST(ref_tokens AS DOUBLE) / " +
+          "CAST(cand_tokens AS DOUBLE)) END") +
+        " END AS bp, " +
+        "CASE WHEN sm1 = 0 OR sm2 = 0 OR sm3 = 0 OR sm4 = 0 " +
+        "OR cand_tokens = 0 THEN 0.0 ELSE " +
+        sqlRound4("(CASE WHEN cand_tokens >= ref_tokens THEN 1.0 " +
+          "ELSE exp(1.0 - CAST(ref_tokens AS DOUBLE) / " +
+          "CAST(cand_tokens AS DOUBLE)) END) * " +
+          "exp((((ln(CAST(sm1 AS DOUBLE) / CAST(sc1 AS DOUBLE)) + " +
+          "ln(CAST(sm2 AS DOUBLE) / CAST(sc2 AS DOUBLE))) + " +
+          "ln(CAST(sm3 AS DOUBLE) / CAST(sc3 AS DOUBLE))) + " +
+          "ln(CAST(sm4 AS DOUBLE) / CAST(sc4 AS DOUBLE))) / 4.0)") +
+        " END AS bleu FROM s"),
     // BLEU-jackknife mirror: the same leave-one-out arithmetic per pair
     // on the same fixed-point grid, exact integer variance sums, the
     // same sqrt/division sequence

@@ -179,12 +179,33 @@ object Eval {
       maxN)
   }
 
+  /** Per-slice corpus BLEU — the per-language / per-domain / per-source
+    * eval table: [[corpusBleu]]'s pooled formulation applied WITHIN each
+    * group of `keyCols` (stats joined with slice columns first). One
+    * map-side-combined exchange on the slice key, one output row per
+    * slice; the arithmetic is [[corpusBleuFromSums]] verbatim, so a
+    * single-slice corpus reproduces [[corpusBleu]] exactly. */
+  def corpusBleuGrouped(stats: DataFrame, keyCols: Seq[String],
+      maxN: Int = 4): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    corpusBleuFromSums(stats.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n_pairs"),
+      (sum("cand_len").as("cand_tokens") ::
+        sum("ref_len").as("ref_tokens") ::
+        (1 to maxN).toList.flatMap(n =>
+          List(sum(s"m$n").as(s"m$n"), sum(s"c$n").as(s"c$n")))): _*),
+      maxN, keyCols)
+  }
+
   /** [[corpusBleu]]'s arithmetic as a pure function of the pooled sums
     * (n_pairs, cand_tokens, ref_tokens, m1..mN, c1..cN) — split out
     * because the sums are ADDITIVE (a one-row count table), which is
     * what lets the streaming sink fold them through a GenStore
-    * generation and recompute the identical score per micro-batch. */
-  def corpusBleuFromSums(sums: DataFrame, maxN: Int = 4): DataFrame = {
+    * generation and recompute the identical score per micro-batch;
+    * `keyCols` carries slice keys through for the grouped variant. */
+  def corpusBleuFromSums(sums: DataFrame, maxN: Int = 4,
+      keyCols: Seq[String] = Nil): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
     val anyZero = (1 to maxN).map(n => col(s"m$n") === 0L)
       .reduce(_ || _) || col("cand_tokens") === 0L
@@ -199,7 +220,8 @@ object Eval {
         .otherwise(col(s"m$n").cast("double") /
           col(s"c$n").cast("double")).as(s"p$n"))
     sums.select(
-      (col("n_pairs") :: col("cand_tokens") :: col("ref_tokens") ::
+      (keyCols.map(col).toList :::
+        col("n_pairs") :: col("cand_tokens") :: col("ref_tokens") ::
         prec) :::
         List(
           when(col("cand_tokens") === 0L, lit(0.0))

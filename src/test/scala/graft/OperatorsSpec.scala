@@ -3445,6 +3445,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(oneClass == ((2L, 0L, None)))
   }
 
+  test("grouped corpus BLEU: one-slice group reproduces the global score") {
+    import graft.operators.Eval
+    val pairs = Seq(
+      (1L, "a b c d", "a b c e"),
+      (2L, "p q r s t", "p q r s")).toDF("doc_id", "cand", "ref")
+    val stats = Eval.generationPairStats(pairs)
+    val global = Eval.corpusBleu(stats).collect().head
+    val grouped = Eval.corpusBleuGrouped(
+      stats.withColumn("lang", lit("xx")), Seq("lang")).collect().head
+    assert(grouped.getString(0) == "xx" &&
+      grouped.toSeq.drop(1) == global.toSeq)
+    // two slices score independently: the perfect-copy slice reads 1.0
+    val mixed = Eval.generationPairStats(Seq(
+      (1L, "a b c d e", "a b c d e"),
+      (2L, "x y z w", "w z y x")).toDF("doc_id", "cand", "ref"))
+      .withColumn("lang", when(col("doc_id") === 1L, "en").otherwise("zz"))
+    val byLang = Eval.corpusBleuGrouped(mixed, Seq("lang"))
+      .select("lang", "bleu").as[(String, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(byLang == Seq(("en", 1.0), ("zz", 0.0)))
+  }
+
   test("BLEU jackknife: leave-one-out grid scores, exact variance sums") {
     import graft.operators.Eval
     // two pairs; leaving out pair 2 zeroes the 4-gram pool → that theta
