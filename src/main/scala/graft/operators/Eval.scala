@@ -137,8 +137,11 @@ object Eval {
                 element_at(prev, j + lit(1))))))))
       element_at(fin, lit(-1))
     }
+    // NULL text coalesces to "" (the native fast path's convention) so
+    // fast == spec row for row even on NULL cand/ref (ADVICE r15)
     val base = pairs.select(col(idCol),
-      tok(col(candCol)).as("__c"), tok(col(refCol)).as("__r"))
+      tok(coalesce(col(candCol), lit(""))).as("__c"),
+      tok(coalesce(col(refCol), lit(""))).as("__r"))
     val withGrams = (1 to maxN).foldLeft(base)((d, n) =>
       d.withColumn(s"__cg$n", grams(col("__c"), n))
         .withColumn(s"__rg$n", grams(col("__r"), n)))
@@ -207,24 +210,32 @@ object Eval {
   def corpusBleuFromSums(sums: DataFrame, maxN: Int = 4,
       keyCols: Seq[String] = Nil): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
-    val anyZero = (1 to maxN).map(n => col(s"m$n") === 0L)
-      .reduce(_ || _) || col("cand_tokens") === 0L
+    // sum() over ZERO rows yields NULL, which would leak NULL through
+    // cand_tokens === 0 / anyZero into NULL bp/bleu instead of the
+    // documented empty-corpus → 0.0 short-circuit (a streaming sink's
+    // first empty micro-batch hits this) — coalesce every pooled sum to
+    // 0L before any comparison (ADVICE r15)
+    def s(name: String) = coalesce(col(name), lit(0L))
+    val anyZero = (1 to maxN).map(n => s(s"m$n") === 0L)
+      .reduce(_ || _) || s("cand_tokens") === 0L
     val logSum = (1 to maxN).map(n =>
-      log(col(s"m$n").cast("double") / col(s"c$n").cast("double")))
+      log(s(s"m$n").cast("double") / s(s"c$n").cast("double")))
       .reduce(_ + _)
-    val bp = when(col("cand_tokens") >= col("ref_tokens"), lit(1.0))
-      .otherwise(exp(lit(1.0) - col("ref_tokens").cast("double") /
-        col("cand_tokens").cast("double")))
+    val bp = when(s("cand_tokens") >= s("ref_tokens"), lit(1.0))
+      .otherwise(exp(lit(1.0) - s("ref_tokens").cast("double") /
+        s("cand_tokens").cast("double")))
     val prec = (1 to maxN).toList.map(n =>
-      when(col(s"c$n") === 0L, lit(0.0))
-        .otherwise(col(s"m$n").cast("double") /
-          col(s"c$n").cast("double")).as(s"p$n"))
+      when(s(s"c$n") === 0L, lit(0.0))
+        .otherwise(s(s"m$n").cast("double") /
+          s(s"c$n").cast("double")).as(s"p$n"))
     sums.select(
       (keyCols.map(col).toList :::
-        col("n_pairs") :: col("cand_tokens") :: col("ref_tokens") ::
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs") ::
+        s("cand_tokens").as("cand_tokens") ::
+        s("ref_tokens").as("ref_tokens") ::
         prec) :::
         List(
-          when(col("cand_tokens") === 0L, lit(0.0))
+          when(s("cand_tokens") === 0L, lit(0.0))
             .otherwise(graft.functions.StableRound.round4(bp)).as("bp"),
           when(anyZero, lit(0.0))
             .otherwise(graft.functions.StableRound.round4(
@@ -266,8 +277,10 @@ object Eval {
       when(length(s) < n, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), length(s) - lit(n - 1)),
           i => substr(s, i, lit(n))))
+    // NULL text → "" to match the native fast path (ADVICE r15)
     val base = pairs.select(col(idCol),
-      chars(col(candCol)).as("__c"), chars(col(refCol)).as("__r"))
+      chars(coalesce(col(candCol), lit(""))).as("__c"),
+      chars(coalesce(col(refCol), lit(""))).as("__r"))
     val withGrams = (1 to maxN).foldLeft(base)((d, n) =>
       d.withColumn(s"__cg$n", grams(col("__c"), n))
         .withColumn(s"__rg$n", grams(col("__r"), n)))
@@ -479,8 +492,10 @@ object Eval {
               when(element_at(ref, j) === ct, lit(0L)).otherwise(lit(1L)))))))
       element_at(fin, lit(-1))
     }
+    // NULL text → "" to match the native fast path (ADVICE r15)
     pairs.select(col(idCol),
-      tok(col(candCol)).as("__c"), tok(col(refCol)).as("__r"))
+      tok(coalesce(col(candCol), lit(""))).as("__c"),
+      tok(coalesce(col(refCol), lit(""))).as("__r"))
       .select(col(idCol),
         size(col("__c")).cast("long").as("cand_len"),
         size(col("__r")).cast("long").as("ref_len"),

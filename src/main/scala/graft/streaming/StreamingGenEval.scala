@@ -28,9 +28,9 @@ object StreamingGenEval {
     * into the store and write the accumulated corpus-BLEU report (the
     * [[Eval.corpusBleu]] schema) to `outDir/batch_id=N`. `rows` must
     * carry `candCol`/`refCol` text columns. */
-  def bleuSink(rows: DataFrame, maxN: Int = 4, capTokens: Int = 48,
-      stateDir: String = "", outDir: String = "",
-      checkpointDir: String = "", candCol: String = "cand",
+  def bleuSink(rows: DataFrame, stateDir: String, outDir: String,
+      checkpointDir: String, maxN: Int = 4, capTokens: Int = 48,
+      candCol: String = "cand",
       refCol: String = "ref"): DataStreamWriter[Row] = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
     val spark = rows.sparkSession

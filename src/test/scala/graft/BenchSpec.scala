@@ -98,7 +98,9 @@ class BenchSpec extends AnyFunSuite {
       (1 to 10).map(i => s"future_extension_q$i")
     val qs = Bench.finalQueries(names.map(_ -> 9.999), topN = 40)
     val line = s"""{"metric":"total","value":1230,"unit":"sec","queries":$qs,""" +
-      s""""loadavg":[31.9,28.4],"contended":false,"throughput_eps":1126599,""" +
+      s""""loadavg":[31.9,28.4],"contended":false,""" +
+      s""""calib_median_sec":0.0312,"calib_flagged_count":249,""" +
+      s""""throttled":false,"throughput_eps":1126599,""" +
       s""""throughput_eps_min":136382,"sf":"/root/testdata/sf0.1"}"""
     assert(line.length + 120 + 200 < 2000,
       s"final bench line is ${line.length} raw chars at registry+10 — it " +
@@ -111,7 +113,9 @@ class BenchSpec extends AnyFunSuite {
     val results = names.map(_ -> 1.234) :+ ("zz_failed" -> -1.0)
     val qs = Bench.finalQueries(results, topN = 40)
     val finalLine = s"""{"metric":"total","value":230.8,"unit":"sec","queries":$qs,""" +
-      s""""loadavg":[1.5,3.2],"contended":false,"throughput_eps":1126599,""" +
+      s""""loadavg":[1.5,3.2],"contended":false,""" +
+      s""""calib_median_sec":0.0312,"calib_flagged_count":0,""" +
+      s""""throttled":false,"throughput_eps":1126599,""" +
       s""""throughput_eps_min":136382,"sf":"/root/testdata/sf0.1"}"""
     // synthetic full stdout: a giant verbose line (overflows any tail),
     // then the final line — as Bench.main prints them
@@ -128,6 +132,34 @@ class BenchSpec extends AnyFunSuite {
     assert(lastLine.count(_ == '{') == lastLine.count(_ == '}'))
     assert(lastLine.count(_ == '[') == lastLine.count(_ == ']'))
     assert(!lastLine.contains(",}") && !lastLine.contains(",]"))
+  }
+
+  test("calibration flag-and-rerun fires on an injected slow window and " +
+      "stays quiet on a clean sweep") {
+    // 8 queries → 9 bracketing probes. Clean sweep: all probes 50 ms.
+    val names = (1 to 8).map(i => s"q$i")
+    val clean = IndexedSeq.fill(9)(0.050)
+    assert(Bench.flaggedQueries(names, clean, 1.5).isEmpty)
+    // hypervisor throttle window over queries 4–6: probes 4..6 (0-based)
+    // run 2.4× slow — exactly the r15 driver-artifact shape. Queries
+    // bracketed by ANY hot probe flag: q4 (probes 3,4), q5 (4,5),
+    // q6 (5,6), q7 (6,7) — the contiguous cluster the rerun disambiguates
+    val window = clean.updated(4, 0.120).updated(5, 0.120).updated(6, 0.120)
+    assert(Bench.flaggedQueries(names, window, 1.5) ==
+      Seq("q4", "q5", "q6", "q7"))
+    // factor math: q1's window is max(p0,p1)/median
+    val fs = Bench.calibFactors(window)
+    assert(fs.length == 8)
+    assert(math.abs(fs(0) - 1.0) < 1e-9 && math.abs(fs(4) - 2.4) < 1e-9)
+    // a sweep throttled end-to-end self-normalizes (factors ≈ 1) — the
+    // defense there is the ABSOLUTE median recorded in the artifact
+    assert(Bench.flaggedQueries(names, IndexedSeq.fill(9)(0.150), 1.5).isEmpty)
+    assert(Bench.medianOf(IndexedSeq.fill(9)(0.150)) == 0.150)
+    // record stamp: 3+ flags surviving their rerun → throttled
+    assert(!Bench.isThrottled(0) && !Bench.isThrottled(2))
+    assert(Bench.isThrottled(3))
+    // the probe itself: fixed work, returns a positive elapsed time
+    assert(Bench.calibrationProbe(1000000L) > 0.0)
   }
 
   test("Verify.fullBenchTimes harvests the full-precision local record first") {

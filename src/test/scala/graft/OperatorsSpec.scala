@@ -3275,7 +3275,10 @@ class OperatorsSpec extends AnyFunSuite {
       (9001L, "", "a b"), (9002L, " \t ", ""), (9003L, "x y z", "x y z"),
       (9004L, "q w", "e r t"), (9005L, "a a a b", "a b a"),
       (9006L, "𐐷b c", "𐐷b d"),
-      (9007L, "naïve café", "naive cafe"))
+      (9007L, "naïve café", "naive cafe"),
+      // NULL text coalesces to "" on BOTH paths (ADVICE r15: the spec
+      // folds used to propagate NULL where the natives emitted zeros)
+      (9008L, null, "a b"), (9009L, "a b", null), (9010L, null, null))
       .toDF("doc_id", "cand", "ref")
     for (pairs <- Seq(corpus, edges)) {
       val spec = Eval.generationPairStats(pairs).collect().toSet
