@@ -1512,22 +1512,35 @@ object SparkEntry {
   /** The shared learn-chain prefix: word-form frequencies (bw) and the
     * ␟-wrapped start symbolization (v_0) — the twin of
     * TextAnalysis.subwordBase, used by the serial AND batched mirrors. */
-  private def bpeBaseCtes(corpus: String = "mdocs"): String = {
+  private def bpeBaseCtes(corpus: String = "mdocs",
+      byteLevel: Boolean = false): String = {
     val sp = "chr(31)"
-    "bw AS MATERIALIZED (" +
-      "SELECT t AS w, CAST(count(*) AS BIGINT) AS freq FROM " +
-      s"(SELECT ${sqlNorm("t0")} AS t FROM " +
-      s"(SELECT unnest($RawToks) AS t0 FROM $corpus WHERE $TokN > 0)) " +
-      s"WHERE ${sqlWordGate("t")} GROUP BY t)" +
-      ", v_0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', " +
-      s"$sp || '\\1' || $sp, 'g') AS sym, freq FROM bw)"
+    if (byteLevel)
+      // byte level (GPT-2 family): NO normalization, NO word-form gate —
+      // every non-empty raw token participates; the start symbolization is
+      // the token's UTF-8 bytes as ␟-wrapped uppercase hex pairs
+      // (DuckDB hex(encode(w)) == Spark hex(encode(w, 'UTF-8')))
+      "bw AS MATERIALIZED (" +
+        "SELECT w, CAST(count(*) AS BIGINT) AS freq FROM " +
+        s"(SELECT unnest($RawToks) AS w FROM $corpus WHERE $TokN > 0) " +
+        "WHERE w <> '' GROUP BY w)" +
+        ", v_0 AS MATERIALIZED (SELECT regexp_replace(hex(encode(w)), " +
+        s"'(..)', $sp || '\\1' || $sp, 'g') AS sym, freq FROM bw)"
+    else
+      "bw AS MATERIALIZED (" +
+        "SELECT t AS w, CAST(count(*) AS BIGINT) AS freq FROM " +
+        s"(SELECT ${sqlNorm("t0")} AS t FROM " +
+        s"(SELECT unnest($RawToks) AS t0 FROM $corpus WHERE $TokN > 0)) " +
+        s"WHERE ${sqlWordGate("t")} GROUP BY t)" +
+        ", v_0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', " +
+        s"$sp || '\\1' || $sp, 'g') AS sym, freq FROM bw)"
   }
 
   private def bpeLearnCtes(rounds: Int, wordpiece: Boolean = false,
-      corpus: String = "mdocs"): String = {
+      corpus: String = "mdocs", byteLevel: Boolean = false): String = {
     val sp = "chr(31)"
     val sb = new StringBuilder
-    sb ++= bpeBaseCtes(corpus)
+    sb ++= bpeBaseCtes(corpus, byteLevel)
     for (r <- 1 to rounds) {
       sb ++= s", y_$r AS (SELECT string_split(substr(sym, 2, length(sym) - 2), " +
         s"$sp || $sp) AS s, freq FROM v_${r - 1})"
@@ -1612,10 +1625,11 @@ object SparkEntry {
   }
 
   private def bpeLearnOracleSql(rounds: Int, wordpiece: Boolean = false,
-      corpus: String = "mdocs"): String = {
+      corpus: String = "mdocs", byteLevel: Boolean = false): String = {
     val union = (1 to rounds).map(r => s"SELECT * FROM b_$r")
       .mkString(" UNION ALL ")
-    s"WITH ${corpusCte(corpus)}, ${bpeLearnCtes(rounds, wordpiece, corpus)} " +
+    s"WITH ${corpusCte(corpus)}, " +
+      s"${bpeLearnCtes(rounds, wordpiece, corpus, byteLevel)} " +
       "SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, " +
       s"CAST(cnt AS BIGINT) AS pair_count FROM ($union)"
   }
@@ -1712,6 +1726,74 @@ object SparkEntry {
       corpus: String = "mdocs"): String =
     s"WITH ${corpusCte(corpus)}, ${bpeApplyCtes(rounds, wordpiece, corpus)} " +
       "SELECT doc_id, n_tokens, n AS n_pieces FROM bn"
+
+  /** Byte-level learning + application CTE chain ending in
+    * `bn(doc_id, n_tokens, n)` — the [[bpeApplyCtes]] twin with the
+    * hex-byte symbolization, no norm, no gate, no OOV branch. */
+  private def bbpeApplyCtes(rounds: Int, corpus: String = "mdocs"): String = {
+    val sp = "chr(31)"
+    val rep = (1 to rounds).foldLeft(
+      s"regexp_replace(hex(encode(w)), '(..)', $sp || '\\1' || $sp, 'g')") {
+      (acc, r) =>
+        s"replace($acc, (SELECT $sp || lhs || $sp || $sp || rhs || $sp FROM b_$r), " +
+          s"(SELECT $sp || lhs || rhs || $sp FROM b_$r))"
+    }
+    s"${bpeLearnCtes(rounds, wordpiece = false, corpus, byteLevel = true)}, " +
+      "dw AS (SELECT doc_id, w FROM " +
+      s"(SELECT doc_id, unnest($RawToks) AS w FROM $corpus WHERE $TokN > 0) " +
+      "WHERE w <> ''), " +
+      s"pc AS (SELECT doc_id, len(string_split(substr($rep, 2, " +
+      s"length($rep) - 2), $sp || $sp)) AS p FROM dw), " +
+      "bn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(p) AS BIGINT) AS n FROM pc GROUP BY doc_id)"
+  }
+
+  private def bbpeApplyOracleSql(rounds: Int,
+      corpus: String = "mdocs"): String =
+    s"WITH ${corpusCte(corpus)}, ${bbpeApplyCtes(rounds, corpus)} " +
+      "SELECT doc_id, n_tokens, n AS n_pieces FROM bn"
+
+  /** Byte-level token-id export mirror: the learn chain, merge ids via
+    * min-rank over concatenated hex pair strings, byte ids FIXED at
+    * rounds+byte (the 256-row generate_series — no corpus-derived char
+    * vocab, no OOV rows: every piece is a merge product or a single
+    * byte), per-token chained-replace pieces enumerated in order, dense
+    * (token, piece) position per document. */
+  private def bbpeIdsOracleSql(rounds: Int,
+      corpus: String = "mdocs"): String = {
+    val sp = "chr(31)"
+    val rep = (1 to rounds).foldLeft(
+      s"regexp_replace(hex(encode(w)), '(..)', $sp || '\\1' || $sp, 'g')") {
+      (acc, r) =>
+        s"replace($acc, (SELECT $sp || lhs || $sp || $sp || rhs || $sp FROM b_$r), " +
+          s"(SELECT $sp || lhs || rhs || $sp FROM b_$r))"
+    }
+    val munion = (1 to rounds)
+      .map(r => s"SELECT lhs || rhs AS piece, rank FROM b_$r")
+      .mkString(" UNION ALL ")
+    s"WITH ${corpusCte(corpus)}, " +
+      s"${bpeLearnCtes(rounds, wordpiece = false, corpus, byteLevel = true)}, " +
+      s"bmid AS (SELECT piece, CAST(min(rank) - 1 AS BIGINT) AS pid " +
+      s"FROM ($munion) GROUP BY piece), " +
+      s"bbyte AS (SELECT printf('%02X', b) AS piece, " +
+      s"CAST($rounds + b AS BIGINT) AS pid FROM " +
+      "(SELECT unnest(generate_series(0, 255)) AS b)), " +
+      "vocabid AS (SELECT piece, pid FROM bmid " +
+      "UNION ALL SELECT piece, pid FROM bbyte), " +
+      s"bdw AS (SELECT doc_id, i AS wi, toks[i] AS w FROM " +
+      s"(SELECT doc_id, $RawToks AS toks FROM $corpus), " +
+      "LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) " +
+      "WHERE toks[i] <> ''), " +
+      s"bps AS (SELECT doc_id, wi, string_split(substr($rep, 2, " +
+      s"length($rep) - 2), $sp || $sp) AS ps FROM bdw), " +
+      "pm AS (SELECT doc_id, wi, po, v.pid AS piece_id " +
+      "FROM (SELECT doc_id, wi, po, ps[po] AS piece FROM bps, " +
+      "LATERAL (SELECT unnest(generate_series(1, len(ps))) AS po)) x " +
+      "JOIN vocabid v USING (piece)) " +
+      "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id " +
+      "ORDER BY wi, po) - 1 AS BIGINT) AS pos, " +
+      "CAST(piece_id AS BIGINT) AS piece_id FROM pm"
+  }
 
   /** Analytic audio-fingerprint chain over `src(key, pid, nudge)` →
     * `aaf(key, afp)`: per-key PCM parameters from the pattern id, samples
@@ -3447,6 +3529,48 @@ object SparkEntry {
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeEncodedCountsFast(d, merges)
+    }),
+    // BYTE-LEVEL BPE merge learning (the GPT-2/tiktoken production family):
+    // same loop, starting symbols are UTF-8 BYTES as fixed-width hex and
+    // EVERY token participates (digits/punct/code) — no gate, no OOV
+    "text_bbpe_merges" -> ((s, dir) =>
+      TextAnalysis.bbpeLearnMerges(docsMulti(s, dir), 12)),
+    // the learned byte-level table APPLIED: per-doc token and piece counts;
+    // an unmerged token costs its UTF-8 byte count
+    "text_bbpe_apply" -> ((s, dir) => {
+      val d = docsMulti(s, dir)
+      val merges = TextAnalysis.bbpeLearnMerges(d, 12)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bbpeEncodedCounts(d, merges)
+    }),
+    // the NATIVE zero-shuffle byte-level apply behind the SAME oracle
+    "text_bbpe_apply_fast" -> ((s, dir) => {
+      val d = docsMulti(s, dir)
+      val merges = TextAnalysis.bbpeLearnMerges(d, 12)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bbpeEncodedCountsFast(d, merges)
+    }),
+    // byte-level token-id export: merge ranks then the FIXED 256-byte
+    // alphabet — stable ids on ANY corpus (no learned char vocab), and no
+    // OOV sentinel exists by construction
+    "text_bbpe_ids" -> ((s, dir) => {
+      val d = docsMulti(s, dir)
+      val merges = TextAnalysis.bbpeLearnMerges(d, 12)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bbpeTokenIds(d, merges)
+    }),
+    // learn → apply → pack end to end on the byte-level counts
+    "sample_pack_bbpe" -> ((s, dir) => {
+      val d = docsMulti(s, dir)
+      val merges = TextAnalysis.bbpeLearnMerges(d, 12)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Sampling.packSequences(d, "doc_id",
+          SubwordExpressions.bbpeCountPieces(col("text"), merges), 512L, 8)
+        .select("doc_id", "shard", "seq_id", "tok_offset")
     }),
     // WORDPIECE merge learning (the BERT tokenizer family): same loop as
     // BPE, winner maximizes count(ab)/(count(a)·count(b)) — rare-but-
@@ -6092,6 +6216,20 @@ object SparkEntry {
     // merge-learning mirror: `rounds` chained (pairs → argmax → replace)
     // CTE rounds over the chr(31)-wrapped word vocabulary
     "text_bpe_merges" -> bpeLearnOracleSql(12),
+    "text_bbpe_merges" -> bpeLearnOracleSql(12, byteLevel = true),
+    "text_bbpe_apply" -> bbpeApplyOracleSql(12),
+    "text_bbpe_apply_fast" -> bbpeApplyOracleSql(12),
+    "text_bbpe_ids" -> bbpeIdsOracleSql(12),
+    // byte-level pack mirror: the byte-level apply chain's per-doc counts
+    // feeding the same prefix-sum pack recurrence
+    "sample_pack_bbpe" ->
+      (s"WITH $MdocsCte, ${bbpeApplyCtes(12)} " +
+        "SELECT doc_id, shard, CAST((cum - n) // 512 AS BIGINT) AS seq_id, " +
+        "CAST((cum - n) % 512 AS BIGINT) AS tok_offset FROM (" +
+        s"SELECT doc_id, ${pmSql(HashRaw, "8")} AS shard, n, " +
+        s"sum(n) OVER (PARTITION BY ${pmSql(HashRaw, "8")} ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum " +
+        "FROM mdocs JOIN bn USING (doc_id) WHERE n > 0)"),
     "text_bpe_merges_batched" -> bpeBatchedLearnOracleSql(3, 4),
     "text_wordpiece_merges_batched" ->
       bpeBatchedLearnOracleSql(3, 4, wordpiece = true),

@@ -63,6 +63,30 @@ object SubwordExpressions {
     * encoded, every other token counts one piece). */
   def bpeCountPieces(text: Column, merges: Seq[(String, String)]): Column =
     GraftBridge.column(BpeCountPieces(GraftBridge.expression(text), merges))
+
+  /** Total BYTE-LEVEL BPE piece count of a text under a rank-ordered
+    * hex-byte merge table — the native fast path of
+    * `TextAnalysis.bbpeEncodedCounts` (every token segments, no gate). */
+  def bbpeCountPieces(text: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(BpeCountPieces(GraftBridge.expression(text), merges,
+      byteLevel = true))
+
+  /** UPPERCASE fixed-width hex symbols of a string's UTF-8 bytes — the
+    * byte-level BPE starting symbolization, shared by the driver-local
+    * learner and the native counter (== Spark `hex(encode(w, 'UTF-8'))`
+    * split into pairs == DuckDB `hex(encode(w))`). */
+  private[graft] def hexBytes(w: String): Array[String] = {
+    val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bs.length)
+    var i = 0
+    while (i < bs.length) {
+      val b = bs(i) & 0xff
+      out(i) = new String(Array(HexDigits(b >> 4), HexDigits(b & 0xf)))
+      i += 1
+    }
+    out
+  }
+  private val HexDigits = "0123456789ABCDEF".toCharArray
 }
 
 /** Sequential BPE merge application as ONE scalar expression: per word, the
@@ -79,7 +103,8 @@ object SubwordExpressions {
   * once per DISTINCT word per partition, not once per occurrence. The
   * cache is capped (determinism is unaffected — it only memoizes a pure
   * function). */
-case class BpeCountPieces(child: Expression, merges: Seq[(String, String)])
+case class BpeCountPieces(child: Expression, merges: Seq[(String, String)],
+    byteLevel: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
@@ -104,8 +129,14 @@ case class BpeCountPieces(child: Expression, merges: Seq[(String, String)])
   private def countTok(w0: String): Long = {
     val hit = cache.get(w0)
     if (hit != null) return hit.longValue()
-    val w = WordForm.normalize(w0)
-    val n = if (WordForm.isLetterWord(w)) encodeCount(w) else 1L
+    // byte level (the GPT-2 contract): no normalization, no gate — every
+    // token is its UTF-8 byte sequence and always segments
+    val n =
+      if (byteLevel) encodeCount(w0)
+      else {
+        val w = WordForm.normalize(w0)
+        if (WordForm.isLetterWord(w)) encodeCount(w) else 1L
+      }
     if (cache.size < CacheCap) cache.put(w0, java.lang.Long.valueOf(n))
     n
   }
@@ -113,12 +144,16 @@ case class BpeCountPieces(child: Expression, merges: Seq[(String, String)])
   private def encodeCount(w: String): Long = {
     // symbolize by CODE POINT (not UTF-16 char): an astral letter is one
     // start symbol, matching the column path's regexp symbolization and
-    // the DuckDB mirror's RE2 `(.)`
-    val cps = w.codePoints().toArray
-    val syms = new Array[String](cps.length)
+    // the DuckDB mirror's RE2 `(.)`. Byte level symbolizes by UTF-8 BYTE
+    // (fixed-width hex, the learner's representation) instead
+    val syms: Array[String] =
+      if (byteLevel) SubwordExpressions.hexBytes(w)
+      else {
+        val cps = w.codePoints().toArray
+        Array.tabulate(cps.length)(i => new String(cps, i, 1))
+      }
     var i = 0
-    while (i < cps.length) { syms(i) = new String(cps, i, 1); i += 1 }
-    var m = cps.length
+    var m = syms.length
     var r = 0
     while (r < mergeArr.length && m > 1) {
       val l = mergeArr(r)._1

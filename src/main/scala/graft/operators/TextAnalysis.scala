@@ -1693,6 +1693,35 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame =
     subwordLearnMergesLocal(docs, rounds, textCol, wordpiece = true)
 
+  /** BYTE-LEVEL BPE merge learning (Radford et al. 2019, "Language Models
+    * are Unsupervised Multitask Learners" §2.2 — the GPT-2 / tiktoken
+    * tokenizer family): the SAME bottom-up merge loop as
+    * [[bpeLearnMerges]], but the starting symbols are the token's UTF-8
+    * BYTES, not its code points, and there is NO word-form gate — every
+    * whitespace token participates (digits, punctuation, code, emoji),
+    * which is what makes the family OOV-free by construction: any text is
+    * a byte sequence, so any token segments.
+    *
+    * Symbols are rendered as fixed-width UPPERCASE HEX (one byte = two hex
+    * chars) — exact on every engine (Spark `hex(encode(w,'UTF-8'))` ==
+    * DuckDB `hex(encode(w))`), and hex-string lexicographic order IS byte
+    * order (fixed 2 chars per byte over an ordered ASCII alphabet), so the
+    * argmax tie-breaks replay bit-for-bit with no code-point subtleties.
+    * No NFC normalization either: byte-level tokenizers segment the bytes
+    * the corpus actually carries (GPT-2 does not normalize).
+    *
+    * Scale shape is [[bpeLearnMerges]]'s verbatim: corpus → distinct-token
+    * frequency relation in ONE distributed map-side-combined aggregation
+    * (~10⁷ rows at 100 TB), then the merge loop driver-local over the
+    * collected vocabulary (zero Spark jobs per round).
+    *
+    * Returns one row per merge: (rank, lhs, rhs, pair_count) with lhs/rhs
+    * hex byte strings. */
+  def bbpeLearnMerges(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame =
+    subwordLearnMergesLocal(docs, rounds, textCol, wordpiece = false,
+      byteLevel = true)
+
   /** The persisted (sym, freq) start state shared by the serial and
     * batched merge learners: word-form frequencies under the Unicode
     * contract, each character ␟-wrapped. The CALLER unpersists.
@@ -1745,10 +1774,11 @@ object TextAnalysis {
     * = both engines' binary collation) — so every round picks the row the
     * DuckDB replay picks. */
   private[graft] def subwordLearnMergesLocal(docs: DataFrame, rounds: Int,
-      textCol: String, wordpiece: Boolean): DataFrame = {
+      textCol: String, wordpiece: Boolean,
+      byteLevel: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    subwordLearnLocalRows(docs, rounds, textCol, wordpiece)
+    subwordLearnLocalRows(docs, rounds, textCol, wordpiece, byteLevel)
       .map { case (r, l, rr, c, _) => (r, l, rr, c) }
       .toDF("rank", "lhs", "rhs", "pair_count")
   }
@@ -1780,23 +1810,38 @@ object TextAnalysis {
   }
 
   private def subwordLearnLocalRows(docs: DataFrame, rounds: Int,
-      textCol: String, wordpiece: Boolean): Seq[(Long, String, String, Long, Long)] = {
+      textCol: String, wordpiece: Boolean,
+      byteLevel: Boolean = false): Seq[(Long, String, String, Long, Long)] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = docs.sparkSession
     import spark.implicits._
+    // hex symbols are pure ASCII, where code-point compare == String
+    // compare == both engines' binary collation — one comparator serves
     val cmp = graft.functions.WordForm.compareCodePoints _
-    // the distributed corpus→vocab reduction (subwordBase minus wrapping)
-    val words: Array[(String, Long)] = docs
-      .select(explode(tokens(col(textCol))).as("w0"))
-      .groupBy("w0").agg(count(lit(1)).as("freq"))
-      .select(normWord(col("w0")).as("w"), col("freq"))
-      .filter(isWordForm(col("w")))
-      .groupBy("w").agg(sum("freq").as("freq"))
-      .as[(String, Long)].collect()
-    // per-word symbol arrays (code points), compacted in place per merge
+    // the distributed corpus→vocab reduction (subwordBase minus wrapping).
+    // Byte level: NO normalization, NO word-form gate — every non-empty
+    // whitespace token is a byte sequence and participates
+    val words: Array[(String, Long)] =
+      if (byteLevel) docs
+        .select(explode(tokens(col(textCol))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .as[(String, Long)].collect()
+      else docs
+        .select(explode(tokens(col(textCol))).as("w0"))
+        .groupBy("w0").agg(count(lit(1)).as("freq"))
+        .select(normWord(col("w0")).as("w"), col("freq"))
+        .filter(isWordForm(col("w")))
+        .groupBy("w").agg(sum("freq").as("freq"))
+        .as[(String, Long)].collect()
+    // per-word symbol arrays (code points, or UTF-8 bytes as 2-hex-char
+    // strings at byte level), compacted in place per merge
     val syms: Array[Array[String]] = words.map { case (w, _) =>
-      val cps = w.codePoints().toArray
-      Array.tabulate(cps.length)(i => new String(cps, i, 1))
+      if (byteLevel) graft.functions.SubwordExpressions.hexBytes(w)
+      else {
+        val cps = w.codePoints().toArray
+        Array.tabulate(cps.length)(i => new String(cps, i, 1))
+      }
     }
     val lens: Array[Int] = syms.map(_.length)
     val freqs: Array[Long] = words.map(_._2)
@@ -2338,6 +2383,109 @@ object TextAnalysis {
       .select(col(idCol), col("tpos"),
         posexplode(coalesce(col("__ids"), array(lit(99999L))))
           .as(Seq("ppos", "piece_id")))
+      .select(col(idCol),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(idCol).orderBy(col("tpos"), col("ppos"))) - 1)
+          .cast("long").as("pos"),
+        col("piece_id"))
+  }
+
+  // ------------------------------------------------- byte-level BPE apply
+
+  /** The ␟-wrapped hex-byte symbolization of a raw token — byte-level
+    * BPE's starting state: `hex(encode(w))` is two uppercase hex chars per
+    * UTF-8 byte on BOTH engines, and the `(..)`-pair wrap gives the same
+    * replace-only merge application as the code-point family. The 0x1F
+    * separator can never collide with payload: payload chars are always
+    * [0-9A-F]. */
+  private def bbpeWrapped(w: Column): Column =
+    regexp_replace(hex(encode(w, "UTF-8")), "(..)", s"$BpeSep$$1$BpeSep")
+
+  /** APPLY a learned byte-level merge table ([[bbpeLearnMerges]] rank
+    * order): per-document token and piece counts. EVERY non-empty token
+    * segments — no word-form gate, no OOV branch; an unmerged token costs
+    * its UTF-8 byte count. Same scale shape as [[bpeEncodedCounts]]:
+    * explode + chained constant replaces (one codegen'd projection) + ONE
+    * map-side-combined groupBy(doc); no joins. Documents with no tokens
+    * emit no row. */
+  def bbpeEncodedCounts(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sep = BpeSep
+    val symFinal = merges.foldLeft(bbpeWrapped(col("w"))) {
+      case (acc, (l, r)) =>
+        replace(acc, lit(s"$sep$l$sep$sep$r$sep"), lit(s"$sep$l$r$sep"))
+    }
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col(idCol),
+        size(split(symFinal.substr(lit(2), length(symFinal) - 2),
+          s"$sep$sep")).as("__p"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__p")).as("n_pieces"))
+  }
+
+  /** The NATIVE fast path of [[bbpeEncodedCounts]] — row-identical output
+    * (same oracle), the [[bpeEncodedCountsFast]] plan: the per-document
+    * piece count is ONE scalar expression over the scan (sequential
+    * in-place merges on the byte symbolization + the Zipf word cache), no
+    * explode, zero shuffles. The shape that carries a 50k-merge
+    * production byte-level table. */
+  def bbpeEncodedCountsFast(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        graft.functions.SubwordExpressions
+          .bbpeCountPieces(col(textCol), merges).as("n_pieces"))
+      .filter(col("n_tokens") > 0)
+
+  /** Trainer-facing TOKEN-ID export under a learned byte-level merge table
+    * — the OOV-FREE sibling of [[bpeTokenIds]]: merge of rank r (1-based)
+    * → id r−1; the byte alphabet follows at ids R..R+255 (byte value
+    * order — FIXED, 256 ids, derived from nothing). That kills
+    * [[bpeTokenIds]]' corpus-coupling contract: no character vocabulary is
+    * learned from `docs`, so ANY corpus exports stable ids under a given
+    * merge table, and no piece can miss the map (every symbol is either a
+    * merge product or a single byte) — no OOV sentinel exists.
+    *
+    * Scale shape: each DISTINCT token is encoded once (the Zipf
+    * amortization, relational form); the corpus-sized token stream picks
+    * its piece-id array up through one word-keyed broadcast-sized join;
+    * dense position is the per-doc window of the unigram/BPE id exports. */
+  def bbpeTokenIds(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sep = BpeSep
+    val rankOf: Map[String, Long] = {
+      val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+      merges.zipWithIndex.foreach { case ((l, r), i) =>
+        val p = l + r
+        if (!m.contains(p)) m += p -> i.toLong // first-rank-wins on collision
+      }
+      (0 until 256).foreach(b =>
+        m += f"$b%02X" -> (merges.size + b).toLong) // 2-hex pieces never
+                                                    // collide with ≥4-hex merges
+      m.toMap
+    }
+    val symFinal = merges.foldLeft(bbpeWrapped(col("w"))) {
+      case (acc, (l, r)) =>
+        replace(acc, lit(s"$sep$l$sep$sep$r$sep"), lit(s"$sep$l$r$sep"))
+    }
+    val pieces = split(symFinal.substr(lit(2), length(symFinal) - 2),
+      s"$sep$sep")
+    val wordIds = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+      .select(col("w").as("__w"),
+        transform(pieces, p =>
+          element_at(typedLit(rankOf), p)).as("__ids"))
+    val tok = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("tpos", "w")))
+      .filter(length(col("w")) > 0)
+    tok
+      .join(wordIds, tok("w") === wordIds("__w"))
+      .select(col(idCol), col("tpos"),
+        posexplode(col("__ids")).as(Seq("ppos", "piece_id")))
       .select(col(idCol),
         (row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(idCol).orderBy(col("tpos"), col("ppos"))) - 1)

@@ -3263,6 +3263,48 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, 2L, 2L, true), (4L, 0L, 0L, false), (5L, 0L, 0L, false)))
   }
 
+  test("byte-level BPE: learn/apply/ids over UTF-8 bytes, no gate, no OOV") {
+    // ab×3, x9×2, €×1 (E2 82 AC — one multi-byte token), aaa×1 (overlap:
+    // left-to-right non-overlapping application must give [6161, 61])
+    val d = Seq((1L, "ab ab x9"), (2L, "ab x9 €"), (3L, "aaa"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bbpeLearnMerges(d, 8)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // hand replay: r1 (61,62)=3; r2 tie at 2 → lhs asc picks (61,61) over
+    // (78,39); r3 (78,39)=2; r4 three singles tie → "6161" < "82" < "E2";
+    // r5 (82,AC); r6 (E2,82AC); r7 exhausts (early stop — 6 rows, not 8)
+    assert(merges == Seq(
+      (1L, "61", "62", 3L), (2L, "61", "61", 2L), (3L, "78", "39", 2L),
+      (4L, "6161", "61", 1L), (5L, "82", "AC", 1L), (6L, "E2", "82AC", 1L)))
+    val mt = merges.map { case (_, l, r, _) => (l, r) }
+    // full table: every token collapses to ONE piece — no OOV branch,
+    // multi-byte € included
+    val applied = TextAnalysis.bbpeEncodedCounts(d, mt)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(applied == Set((1L, 3L, 3L), (2L, 3L, 3L), (3L, 1L, 1L)))
+    // truncated table (first 2 merges): x9 stays 2 bytes, € stays 3
+    val applied2 = TextAnalysis.bbpeEncodedCounts(d, mt.take(2))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(applied2 == Set((1L, 3L, 4L), (2L, 3L, 6L), (3L, 1L, 2L)))
+    // native fast path == chained-replace spec, both tables
+    for (m <- Seq(mt, mt.take(2), Seq.empty[(String, String)])) {
+      val spec = TextAnalysis.bbpeEncodedCounts(d, m).collect().toSet
+      val fast = TextAnalysis.bbpeEncodedCountsFast(d, m).collect().toSet
+      assert(fast == spec, s"fast != spec under ${m.size} merges")
+    }
+    // ids: merge rank r → r−1, bytes at R+b; dense per-doc positions
+    val ids = TextAnalysis.bbpeTokenIds(d, mt)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ids == Set((1L, 0L, 0L), (1L, 1L, 0L), (1L, 2L, 2L),
+      (2L, 0L, 0L), (2L, 1L, 2L), (2L, 2L, 5L), (3L, 0L, 3L)))
+    // byte ids are FIXED: under the EMPTY table "x9" is [6+0x78... no —
+    // 0+0x78, 0+0x39] (R=0): any corpus, stable ids, no learned char vocab
+    val rawIds = TextAnalysis.bbpeTokenIds(
+        Seq((9L, "x9")).toDF("doc_id", "text"), Nil)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rawIds == Set((9L, 0L, 0x78L), (9L, 1L, 0x39L)))
+  }
+
   test("generation-eval fast paths equal the fold specs row for row " +
       "(corpus + ws edges + astral)", SlowTest) {
     import graft.operators.Eval

@@ -1039,6 +1039,18 @@ class PlanSpec extends AnyFunSuite {
       s"the native apply must not explode tokens:\n$plan")
   }
 
+  test("native byte-level BPE apply is a pure narrow map — zero exchanges, " +
+      "no explode") {
+    val df = graft.operators.TextAnalysis.bbpeEncodedCountsFast(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      Seq(("74", "68"), ("7468", "65"), ("69", "6E")))
+    val plan = executedPlan(df)
+    assert(!plan.contains("Exchange"),
+      s"the native byte-level apply must not shuffle at all:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"the native byte-level apply must not explode tokens:\n$plan")
+  }
+
   test("water-filling: the K-row count relation is cached — every consumer " +
       "reads the one corpus aggregation, never re-scanning") {
     try {
