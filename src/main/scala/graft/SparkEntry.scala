@@ -1939,15 +1939,24 @@ object SparkEntry {
     * and (10, seed 42); re-tokenizing concat_ws(' ', kept) is the identity
     * on the kept list except when it is [''] (empty source text), which
     * the `x <> ''` filter removes on both engines. */
-  private val GenPairCtes: String = {
-    def kept(pct: Int, seed: Long) =
-      s"[toks[i] for i in generate_series(1, len(toks)) if " +
-        s"(${hashRawSql("(doc_id * 1000003 + (i - 1))", seed)}) % 100 >= $pct]"
-    s"gt AS (SELECT doc_id, $RawToks AS toks FROM documents), " +
-      s"gp AS (SELECT doc_id, " +
-      s"[x for x in ${kept(15, 7)} if x <> ''][1:48] AS cs, " +
-      s"[x for x in ${kept(10, 42)} if x <> ''][1:48] AS rs FROM gt)"
-  }
+  private def genKeptSql(pct: Int, seed: Long): String =
+    s"[toks[i] for i in generate_series(1, len(toks)) if " +
+      s"(${hashRawSql("(doc_id * 1000003 + (i - 1))", seed)}) % 100 >= $pct]"
+
+  /** One `${p}gp(doc_id, cs, rs)` pair CTE with the candidate dropout at
+    * (candPct, candSeed) against the FIXED (10, seed 42) reference —
+    * prefix-parameterized so the paired A/B mirror can run two systems
+    * against the shared reference off one `gt`. */
+  private def genPairCtePfx(p: String, candPct: Int, candSeed: Long): String =
+    s"${p}gp AS (SELECT doc_id, " +
+      s"[x for x in ${genKeptSql(candPct, candSeed)} if x <> ''][1:48] AS cs, " +
+      s"[x for x in ${genKeptSql(10, 42)} if x <> ''][1:48] AS rs FROM gt)"
+
+  private val GtCte: String =
+    s"gt AS (SELECT doc_id, $RawToks AS toks FROM documents)"
+
+  private val GenPairCtes: String =
+    s"$GtCte, ${genPairCtePfx("", 15, 7)}"
 
   /** The per-pair generation-stats mirror over [[GenPairCtes]]'s gp —
     * DuckDB twin of Eval.generationPairStats(maxN = 4, capTokens = 48):
@@ -1960,7 +1969,9 @@ object SparkEntry {
     * inner fold starts from [0] and appends dp_new[j] = mask[j]=1 ?
     * prev[j]+1 : max(cur[-1], prev[j+1]) — bit-identical integer work to
     * the Spark fold). */
-  private val GenStatsCtes: String = {
+  /** The `${p}gg`/`${p}ms` stats chain over an existing `${p}gp` — the
+    * per-pair generation-stats mirror, prefix-parameterized. */
+  private def genStatsChainPfx(p: String): String = {
     def grams(src: String, n: Int) =
       if (n == 1) src
       else s"[array_to_string($src[i:i+${n - 1}], ' ') for i in " +
@@ -1982,20 +1993,22 @@ object SparkEntry {
         "THEN a[CAST(jl[1] AS INT)] + 1 " +
         "ELSE greatest(cur[-1], a[CAST(jl[1] AS INT) + 1]) END)))[-1] " +
         "AS BIGINT) AS lcs"
-    s"$GenPairCtes, " +
-      "gg AS (SELECT doc_id, cs, rs, " +
+    s"${p}gg AS (SELECT doc_id, cs, rs, " +
       (1 to 4).map(n =>
         s"${grams("cs", n)} AS cg$n, ${grams("rs", n)} AS rg$n")
         .mkString(", ") +
-      " FROM gp), " +
-      "ms AS (SELECT doc_id, " +
+      s" FROM ${p}gp), " +
+      s"${p}ms AS (SELECT doc_id, " +
       "CAST(len(cs) AS BIGINT) AS cand_len, " +
       "CAST(len(rs) AS BIGINT) AS ref_len, " +
       (1 to 4).map(n =>
         s"${clip(n)}, CAST(len(cg$n) AS BIGINT) AS c$n, " +
           s"CAST(len(rg$n) AS BIGINT) AS r$n").mkString(", ") +
-      s", $lcs FROM gg)"
+      s", $lcs FROM ${p}gg)"
   }
+
+  private val GenStatsCtes: String =
+    s"$GenPairCtes, ${genStatsChainPfx("")}"
 
   /** The BT fit's CTE chain (sym/mt/wt/p0..p$iters) over a `cmp` CTE —
     * shared by the strengths mirror and the calibration mirror. */
@@ -4249,6 +4262,32 @@ object SparkEntry {
     "eval_gen_bleu_ci" -> ((s, dir) =>
       Eval.corpusBleuJackknife(
         Eval.generationPairStatsFast(genPairs(s, dir)))),
+    // PAIRED approximate-randomization test (Koehn 2004): system A =
+    // 15%-dropout (seed 7), system B = 20%-dropout (seed 13), SAME
+    // references — 200 hash-gated per-pair swap resamples, each resampled
+    // BLEU on the round-4 grid, p = (#{|Δr| ≥ |Δobs|}+1)/(R+1) — an exact
+    // integer count both engines enumerate identically
+    "eval_ab_paired" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ref = TextAnalysis.wordDropout(d, dropPct = 10, seed = 42)
+        .select(col("doc_id"), col("text_aug").as("ref"))
+      def stats(pct: Int, seed: Long) = Eval.generationPairStatsFast(
+        TextAnalysis.wordDropout(d, dropPct = pct, seed = seed)
+          .select(col("doc_id"), col("text_aug").as("cand"))
+          .join(ref, Seq("doc_id")))
+      Eval.pairedBleuSignificance(stats(15, 7), stats(20, 13),
+        resamples = 200, seed = 11)
+    }),
+    // McNemar paired-accuracy test over a synthesized paired prediction
+    // log: per event, system A correct = c100 ≥ 40, system B correct =
+    // (31·c100+7) mod 100 ≥ 50 — discordant counts + the continuity-
+    // corrected statistic, one division of exact longs
+    "eval_mcnemar" -> ((s, dir) => {
+      val c100 = (floor(col("value") * 100).cast("long") % 100 + 100) % 100
+      Eval.mcnemar(EventsAdapter.rawEvents(s, dir).select(
+        (c100 >= 40).as("correct_a"),
+        ((c100 * 31 + 7) % 100 >= 50).as("correct_b")))
+    }),
     // per-doc ROUGE-1/2/L over the same pair fixture: exact clipped
     // counts and the LCS carried alongside single-division P/R/F scores
     "eval_gen_rouge" -> ((s, dir) =>
@@ -6829,6 +6868,73 @@ object SparkEntry {
     // corpus BLEU mirror: the same pooled exact sums, single-division
     // precisions, ln-sum in the same left-to-right order, and the one
     // transcendental product rounded stable on both engines
+    // paired approximate-randomization mirror: two stats chains off one
+    // gt, the per-(pair, r) chained-hash swap gate, per-r pooled sums,
+    // each resampled BLEU on the same floor grid as the jackknife, then
+    // the exact integer exceedance count — one division for p
+    "eval_ab_paired" -> {
+      val r = 200
+      val seed = 11L
+      val stat = Seq("cand_len", "ref_len") ++
+        (1 to 4).flatMap(n => Seq(s"m$n", s"c$n"))
+      val flip = pmSql(hashRawSql(
+        s"(${hashRawSql("doc_id", seed)}) + r", seed * 31 + 7), "2")
+      def si(t: String) = {
+        val zero = (1 to 4).map(n => s"${t}_m$n = 0").mkString(" OR ") +
+          s" OR ${t}_cand_len = 0"
+        val bp = s"(CASE WHEN ${t}_cand_len >= ${t}_ref_len THEN 1.0 " +
+          s"ELSE exp(1.0 - CAST(${t}_ref_len AS DOUBLE) / " +
+          s"CAST(${t}_cand_len AS DOUBLE)) END)"
+        val lg = "((" + (1 to 4).map(n =>
+          s"ln(CAST(${t}_m$n AS DOUBLE) / CAST(${t}_c$n AS DOUBLE))")
+          .mkString(" + ") + ") / 4.0)"
+        s"CASE WHEN $zero THEN 0 ELSE " +
+          s"CAST(floor($bp * exp($lg) * 10000.0 + 0.499999) AS BIGINT) END"
+      }
+      s"WITH $GtCte, ${genPairCtePfx("a", 15, 7)}, ${genStatsChainPfx("a")}, " +
+        s"${genPairCtePfx("b", 20, 13)}, ${genStatsChainPfx("b")}, " +
+        "j AS (SELECT a.doc_id, " +
+        stat.map(nm => s"a.$nm AS a_$nm, b.$nm AS b_$nm").mkString(", ") +
+        " FROM ams a JOIN bms b USING (doc_id)), " +
+        s"g AS (SELECT r, CASE WHEN r > 0 AND $flip = 1 THEN 1 ELSE 0 END " +
+        "AS fl, " + stat.map(nm => s"a_$nm, b_$nm").mkString(", ") +
+        s" FROM j, LATERAL (SELECT unnest(generate_series(0, $r)) AS r)), " +
+        "s AS (SELECT r, CAST(count(*) AS BIGINT) AS n, " +
+        stat.map(nm =>
+          s"CAST(sum(CASE WHEN fl = 1 THEN b_$nm ELSE a_$nm END) AS BIGINT) " +
+            s"AS a_$nm, " +
+            s"CAST(sum(CASE WHEN fl = 1 THEN a_$nm ELSE b_$nm END) AS BIGINT) " +
+            s"AS b_$nm").mkString(", ") +
+        " FROM g GROUP BY r), " +
+        s"d AS (SELECT r, n, ${si("a")} AS sa, ${si("b")} AS sb, " +
+        s"${si("a")} - (${si("b")}) AS dd FROM s), " +
+        "o AS (SELECT n AS n_pairs, sa AS oa, sb AS ob, dd AS od FROM d " +
+        "WHERE r = 0) " +
+        "SELECT o.n_pairs, CAST(o.oa AS DOUBLE) / 10000.0 AS bleu_a, " +
+        "CAST(o.ob AS DOUBLE) / 10000.0 AS bleu_b, " +
+        "CAST(o.od AS DOUBLE) / 10000.0 AS delta, " +
+        "CAST(count(*) AS BIGINT) AS resamples, " +
+        "CAST(sum(CASE WHEN abs(d.dd) >= abs(o.od) THEN 1 ELSE 0 END) + 1 " +
+        "AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE) AS p_value " +
+        "FROM d, o WHERE d.r > 0 GROUP BY 1, 2, 3, 4"
+    },
+    // McNemar mirror: the same modular paired-correctness fixture, four
+    // exact counts, the continuity-corrected statistic as one division
+    "eval_mcnemar" ->
+      ("WITH p AS (SELECT ((CAST(floor(value * 100) AS BIGINT) % 100 " +
+        "+ 100) % 100) AS c FROM events), " +
+        "b AS (SELECT CASE WHEN c >= 40 THEN 1 ELSE 0 END AS a, " +
+        "CASE WHEN (c * 31 + 7) % 100 >= 50 THEN 1 ELSE 0 END AS bb FROM p), " +
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(coalesce(sum(CASE WHEN a = 0 AND bb = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n00, " +
+        "CAST(coalesce(sum(CASE WHEN a = 0 AND bb = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n01, " +
+        "CAST(coalesce(sum(CASE WHEN a = 1 AND bb = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n10, " +
+        "CAST(coalesce(sum(CASE WHEN a = 1 AND bb = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n11 FROM b) " +
+        "SELECT n, n00, n01, n10, n11, " +
+        "CASE WHEN n01 + n10 = 0 THEN NULL ELSE " +
+        "CAST(greatest(abs(n10 - n01) - 1, 0) * " +
+        "greatest(abs(n10 - n01) - 1, 0) AS DOUBLE) / " +
+        "CAST(n01 + n10 AS DOUBLE) END AS chi2 FROM g"),
     "eval_gen_bleu" ->
       (s"WITH $GenStatsCtes, " +
         "s AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +

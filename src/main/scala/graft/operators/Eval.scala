@@ -886,6 +886,129 @@ object Eval {
           .otherwise(col("bleu") + lit(1.96) * se).as("ci_hi"))
   }
 
+  /** McNEMAR TEST for PAIRED accuracy comparison — "are systems A and B
+    * different on the SAME eval items": the unpaired [[abWelch]] wastes
+    * the pairing; McNemar conditions on the discordant pairs only. Input
+    * is one row per item with boolean correctness of each system; output
+    * is ONE row: (n, n00, n01, n10, n11, chi2) where n01 = A wrong ∧ B
+    * right, n10 = A right ∧ B wrong, and chi2 is the Edwards
+    * continuity-corrected statistic (max(|n10−n01|−1, 0))² / (n10+n01)
+    * (≈χ²₁; 3.84 ≈ p 0.05). chi2 is NULL when no discordant pairs exist
+    * (the test is undefined — the systems agree everywhere).
+    *
+    * Exact by construction: four long counts, an integer numerator, ONE
+    * division — both engines agree bit-for-bit. Zero-row input yields
+    * the zero-count row (sums coalesced — the corpusBleuFromSums
+    * lesson), not NULLs.
+    *
+    * Scale shape: ONE map-side-combined aggregate to a single row. */
+  def mcnemar(pairs: DataFrame, aCol: String = "correct_a",
+      bCol: String = "correct_b"): DataFrame = {
+    val a = col(aCol).cast("boolean")
+    val b = col(bCol).cast("boolean")
+    def cnt(p: org.apache.spark.sql.Column, as: String) =
+      coalesce(sum(when(p, 1L).otherwise(0L)), lit(0L)).as(as)
+    val g = pairs.agg(
+      count(lit(1)).as("n"),
+      cnt(!a && !b, "n00"), cnt(!a && b, "n01"),
+      cnt(a && !b, "n10"), cnt(a && b, "n11"))
+    val disc = col("n01") + col("n10")
+    val num = greatest(abs(col("n10") - col("n01")) - lit(1L), lit(0L))
+    g.select(col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
+      when(disc === 0L, lit(null).cast("double"))
+        .otherwise((num * num).cast("double") / disc.cast("double"))
+        .as("chi2"))
+  }
+
+  /** PAIRED APPROXIMATE-RANDOMIZATION significance test for corpus BLEU
+    * (Koehn 2004, "Statistical Significance Tests for Machine Translation
+    * Evaluation"; Noreen 1989) — the right test for "is system A's BLEU
+    * really above system B's" when both ran the SAME eval set: under the
+    * null the two systems are exchangeable per item, so each resample
+    * swaps A↔B stats independently per pair and the p-value is the share
+    * of resampled |ΔBLEU| at or above the observed |ΔBLEU| (with the
+    * standard +1 smoothing: p = (#{|Δ_r| ≥ |Δ_obs|} + 1) / (R + 1)).
+    *
+    * Determinism discipline: the per-(pair, resample) swap decision is a
+    * pure function of (id, r, seed) through the engine's portable hash —
+    * both engines enumerate the SAME R resamples, so the p-value is an
+    * exact integer count, not a Monte-Carlo approximation that merely
+    * converges. Each resampled BLEU lands on the round-4 FIXED-POINT grid
+    * first (the [[corpusBleuJackknife]] lattice: s = ⌊bleu·10⁴+0.499999⌋,
+    * an exact long), so Δ comparisons are LONG comparisons — no
+    * float-boundary skew can flip a count.
+    *
+    * `statsA` / `statsB` are [[generationPairStats]]-shaped relations of
+    * the two systems against the shared references, joined on `idCol`
+    * (inner — items missing from either side drop, they aren't paired).
+    * Output is ONE row: (n_pairs, bleu_a, bleu_b, delta, resamples,
+    * p_value).
+    *
+    * Scale shape: the pair relation fans out ×(R+1) against a broadcast
+    * resample index (the one deliberate expansion — R is bounded, ~10²–10³,
+    * and eval sets are corpus-card-scale, not corpus-scale), collapses in
+    * ONE map-side-combined exchange keyed by r (R+1 groups), and the rest
+    * is arithmetic on an (R+1)-row relation + a 1-row broadcast compare. */
+  def pairedBleuSignificance(statsA: DataFrame, statsB: DataFrame,
+      resamples: Int, seed: Long = 42, maxN: Int = 4,
+      idCol: String = "doc_id"): DataFrame = {
+    require(resamples >= 1, s"resamples must be >= 1, got $resamples")
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val statNames = "cand_len" :: "ref_len" ::
+      (1 to maxN).toList.flatMap(n => List(s"m$n", s"c$n"))
+    def side(df: DataFrame, t: String) = df.select(
+      col(idCol) +: statNames.map(n => col(n).as(s"${t}_$n")): _*)
+    val joined = side(statsA, "a").join(side(statsB, "b"), Seq(idCol))
+    val spark = statsA.sparkSession
+    // r = 0 is the OBSERVED assignment (never swapped); r = 1..R swap
+    // per pair by the chained portable hash of (id, r)
+    val rs = broadcast(spark.range(0L, resamples + 1L).toDF("__r"))
+    val flip = col("__r") > 0L &&
+      pmod(Sampling.hashRaw(
+        Sampling.hashRaw(col(idCol), seed) + col("__r"), seed * 31 + 7),
+        lit(2L)) === 1L
+    val aggs = statNames.flatMap { nm => List(
+      sum(when(flip, col(s"b_$nm")).otherwise(col(s"a_$nm"))).as(s"a_$nm"),
+      sum(when(flip, col(s"a_$nm")).otherwise(col(s"b_$nm"))).as(s"b_$nm"))
+    }
+    val sums = joined.crossJoin(rs).groupBy("__r")
+      .agg(count(lit(1)).as("n"), aggs: _*)
+    // the corpusBleu arithmetic straight onto the fixed-point grid
+    def si(t: String) = {
+      val anyZero = (1 to maxN).map(n => col(s"${t}_m$n") === 0L)
+        .reduce(_ || _) || col(s"${t}_cand_len") === 0L
+      val logSum = (1 to maxN).map(n =>
+        log(col(s"${t}_m$n").cast("double") /
+          col(s"${t}_c$n").cast("double"))).reduce(_ + _)
+      val bp = when(col(s"${t}_cand_len") >= col(s"${t}_ref_len"), lit(1.0))
+        .otherwise(exp(lit(1.0) - col(s"${t}_ref_len").cast("double") /
+          col(s"${t}_cand_len").cast("double")))
+      when(anyZero, lit(0L)).otherwise(
+        floor(bp * exp(logSum / lit(maxN.toDouble)) * lit(10000.0) +
+          lit(0.499999)).cast("long"))
+    }
+    val perR = sums.select(col("__r"), col("n"),
+      si("a").as("__sa"), si("b").as("__sb"))
+      .withColumn("__d", col("__sa") - col("__sb"))
+    val obs = perR.filter(col("__r") === 0L).select(
+      col("n").as("n_pairs"), col("__sa").as("__oa"),
+      col("__sb").as("__ob"), col("__d").as("__od"))
+    perR.filter(col("__r") > 0L).crossJoin(broadcast(obs))
+      .agg(max(col("n_pairs")).as("n_pairs"),
+        max(col("__oa")).as("__oa"), max(col("__ob")).as("__ob"),
+        max(col("__od")).as("__od"),
+        count(lit(1)).as("resamples"),
+        sum(when(abs(col("__d")) >= abs(col("__od")), 1L).otherwise(0L))
+          .as("__ge"))
+      .select(col("n_pairs"),
+        (col("__oa").cast("double") / lit(10000.0)).as("bleu_a"),
+        (col("__ob").cast("double") / lit(10000.0)).as("bleu_b"),
+        (col("__od").cast("double") / lit(10000.0)).as("delta"),
+        col("resamples"),
+        ((col("__ge") + lit(1L)).cast("double") /
+          (col("resamples") + lit(1L)).cast("double")).as("p_value"))
+  }
+
   /** Per-pair ROUGE scores (Lin 2004) over a [[generationPairStats]]
     * output: ROUGE-1 / ROUGE-2 precision, recall and F1 from the clipped
     * n-gram counts, and ROUGE-L from the LCS length — one row per pair,

@@ -3263,6 +3263,63 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, 2L, 2L, true), (4L, 0L, 0L, false), (5L, 0L, 0L, false)))
   }
 
+  test("McNemar: hand-computed discordant counts, degenerate and empty inputs") {
+    import graft.operators.Eval
+    val rows = Seq.fill(3)((true, true)) ++ Seq.fill(4)((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(2)((false, false))
+    val got = Eval.mcnemar(rows.toDF("correct_a", "correct_b"))
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect().head
+    // chi2 = (|4−1|−1)²/(4+1) = 4/5
+    assert(got == (10L, 2L, 1L, 4L, 3L, Some(0.8)))
+    // no discordant pairs → chi2 undefined (NULL), never 0/0
+    val agree = Eval.mcnemar(Seq((true, true), (false, false))
+      .toDF("correct_a", "correct_b"))
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect().head
+    assert(agree == (2L, 1L, 0L, 0L, 1L, None))
+    // empty input → the zero-count row, not NULLs
+    val empty = Eval.mcnemar(
+      Seq.empty[(Boolean, Boolean)].toDF("correct_a", "correct_b"))
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect().head
+    assert(empty == (0L, 0L, 0L, 0L, 0L, None))
+    // |n10−n01| = 1 → corrected numerator floors at 0, chi2 = 0
+    val one = Eval.mcnemar(Seq((true, false), (false, true), (true, false))
+      .toDF("correct_a", "correct_b"))
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect().head
+    assert(one._6 == Some(0.0))
+  }
+
+  test("paired randomization: identical systems give p = 1, swapping " +
+      "systems negates delta and keeps p; observed BLEUs match corpusBleu") {
+    import graft.operators.Eval
+    val d = docs.limit(80).select(col("doc_id"), col("text"))
+    val ref = TextAnalysis.wordDropout(d, dropPct = 10, seed = 42)
+      .select(col("doc_id"), col("text_aug").as("ref"))
+    def stats(pct: Int, seed: Long) = Eval.generationPairStatsFast(
+      TextAnalysis.wordDropout(d, dropPct = pct, seed = seed)
+        .select(col("doc_id"), col("text_aug").as("cand"))
+        .join(ref, Seq("doc_id")))
+    val sa = stats(15, 7).cache()
+    val sb = stats(25, 13).cache()
+    def run(x: org.apache.spark.sql.DataFrame,
+        y: org.apache.spark.sql.DataFrame)
+        : (Long, Double, Double, Double, Long, Double) =
+      Eval.pairedBleuSignificance(x, y, resamples = 99, seed = 5)
+        .as[(Long, Double, Double, Double, Long, Double)].collect().head
+    // A vs A: every resample has delta 0 = |observed| → p = (99+1)/(99+1)
+    val self = run(sa, sa)
+    assert(self._4 == 0.0 && self._6 == 1.0, s"self=$self")
+    // A vs B / B vs A: same flips, arms swapped — delta negates, p equal
+    val ab = run(sa, sb)
+    val ba = run(sb, sa)
+    assert(ab._2 == ba._3 && ab._3 == ba._2, s"ab=$ab ba=$ba")
+    assert(ab._4 == -ba._4 && ab._6 == ba._6, s"ab=$ab ba=$ba")
+    // the observed BLEUs are corpusBleu's round-4 numbers exactly
+    val ca = Eval.corpusBleu(sa).select("bleu").as[Double].collect().head
+    val cb = Eval.corpusBleu(sb).select("bleu").as[Double].collect().head
+    assert(ab._2 == ca && ab._3 == cb, s"ab=$ab ca=$ca cb=$cb")
+    sa.unpersist(); sb.unpersist()
+  }
+
   test("byte-level BPE: learn/apply/ids over UTF-8 bytes, no gate, no OOV") {
     // ab×3, x9×2, €×1 (E2 82 AC — one multi-byte token), aaa×1 (overlap:
     // left-to-right non-overlapping application must give [6161, 61])
