@@ -3996,6 +3996,15 @@ object SparkEntry {
       Similarity.kcenterSelect(emb(s, dir), k = 8)
         .select(col("rank"), col("vec_id"),
           round(col("max_cos"), 4).as("max_cos"))),
+    // BATCHED k-center: TakeOrdered(B) + the driver-local accept-prefix
+    // walk — EXACTLY Gonzalez greedy at any batch size (the prefix rule
+    // ends the batch before any pick serial could have reordered), so
+    // the oracle is the SERIAL replay itself: the driver gate pins
+    // batched == serial every round
+    "sample_kcenter_batched" -> ((s, dir) =>
+      Similarity.kcenterSelectBatched(emb(s, dir), k = 8, batchB = 4)
+        .select(col("rank"), col("vec_id"),
+          round(col("max_cos"), 4).as("max_cos"))),
     // IVF ANN over the SAME fitted cells — the kmeans→IVF composition
     "sim_ivf_kmeans" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -6494,6 +6503,7 @@ object SparkEntry {
     "emb_project" -> EmbProjectSql,
     "sim_kmeans" -> KmeansAssignSql,
     "sample_kcenter" -> KcenterSql,
+    "sample_kcenter_batched" -> KcenterSql,
     "sim_ivf_kmeans" -> IvfKmeansSql,
     // z-score alarms over the dense signup series: group stats via window
     // aggregates on the same grid as the gap-fill oracle

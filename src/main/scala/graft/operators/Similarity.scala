@@ -405,6 +405,91 @@ object Similarity {
     } finally { unit.unpersist(); () }
   }
 
+  /** BATCHED k-center — [[kcenterSelect]] with the job-count lever (the
+    * [[graft.operators.TextAnalysis.bpeLearnMergesBatched]] idea lifted to
+    * farthest-point traversal): each round ONE scan takes the `batchB`
+    * farthest candidates (TakeOrdered(B) instead of 1), then a driver-local
+    * walk accepts the ordered PREFIX while each candidate's similarity to
+    * every batch-accepted point stays ≤ its own max-cos-to-centers, and
+    * STOPS the batch at the first violation.
+    *
+    * Unlike the BPE batcher's dominance filter (a defined variant), this
+    * prefix rule is EXACTLY Gonzalez greedy for any batchB: an accepted
+    * candidate's distance-to-set is untouched by the batch's earlier
+    * accepts (max(mc, cos·) = mc when every cos ≤ mc), every point after
+    * it in (mc asc, id asc) order can only move CLOSER to the set as
+    * centers are added, and the first violation ends the batch before any
+    * pick serial greedy might have reordered — so the output rows are
+    * bit-identical to [[kcenterSelect]] at every batchB (spec-pinned; the
+    * driver-side interference dot replays [[graft.functions
+    * .VectorExpressions.dot]]'s sequential fold exactly). Spread-out
+    * collections accept near-full batches, collapsing k−1 driver rounds
+    * toward k/B — the lever that takes coreset-k past ~10³ without O(k)
+    * job launches (SCALE.md records measured round counts). */
+  def kcenterSelectBatched(emb: DataFrame, k: Int, batchB: Int,
+      seed: Long = 42, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    kcenterSelectBatchedCounted(emb, k, batchB, seed, idCol, vecCol)._1
+
+  /** [[kcenterSelectBatched]] plus the DRIVER-ROUND COUNT it took — the
+    * job-count number SCALE.md records and the spec asserts on. */
+  private[graft] def kcenterSelectBatchedCounted(emb: DataFrame, k: Int,
+      batchB: Int, seed: Long = 42, idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, Int) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(batchB >= 1, s"batchB must be >= 1, got $batchB")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // the engine dot's sequential left-fold, replayed on the driver
+    def dotLocal(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val unit = unitVectors(emb, idCol, vecCol, "id", "v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = unit
+        .orderBy(Sampling.hashRaw(col("id"), seed), col("id"))
+        .limit(1).select(col("id"), col("v"))
+        .as[(Long, Seq[Double])].collect().headOption
+      var centers = first.map { case (id, v) => (id, v, 0.0) }.toVector
+      var rounds = 0
+      var exhausted = centers.isEmpty
+      while (centers.size < k && !exhausted) {
+        rounds += 1
+        val dots = centers.map(c => dot(col("v"), typedLit(c._2)))
+        val mc = if (dots.size == 1) dots.head else greatest(dots: _*)
+        val picked = centers.map(_._1)
+        val want = math.min(batchB, k - centers.size)
+        val cand = unit
+          .filter(!col("id").isin(picked: _*))
+          .select(col("id"), col("v"), mc.as("mc"))
+          .orderBy(col("mc").asc, col("id").asc)
+          .limit(want).as[(Long, Seq[Double], Double)].collect()
+        if (cand.isEmpty) exhausted = true
+        else {
+          var accepted = Vector.empty[(Long, Seq[Double], Double)]
+          var stop = false
+          cand.foreach { c =>
+            if (!stop) {
+              if (accepted.forall(a => dotLocal(c._2, a._2) <= c._3))
+                accepted :+= c
+              else stop = true
+            }
+          }
+          centers ++= accepted
+          // fewer candidates than requested AND all accepted: nothing left
+          if (!stop && cand.length < want) exhausted = true
+        }
+      }
+      (centers.zipWithIndex
+        .map { case ((id, _, m), i) => (i + 1L, id, m) }
+        .toDF("rank", idCol, "max_cos"), rounds)
+    } finally { unit.unpersist(); () }
+  }
+
   /** Cell assignment of every vector against a centroid list (e.g.
     * [[kmeansCentroids]]' output): (idCol, cell, score) — the same narrow
     * argmax fold as [[ivfTopK]]'s corpus side. */

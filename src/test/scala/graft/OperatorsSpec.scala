@@ -567,6 +567,44 @@ class OperatorsSpec extends AnyFunSuite {
       s"IVF recall collapsed: ${approx.intersect(exactPairs).size}/${exactPairs.size}")
   }
 
+  test("batched k-center equals serial greedy at every batch size and " +
+      "cuts the driver-round count once modes are covered") {
+    import graft.operators.Similarity
+    // isotropic fixture: equality must hold (rows bit-identical), though
+    // near-equidistant points rarely batch — not asserted on rounds
+    val kIso = 8
+    val serialIso = Similarity.kcenterSelect(emb, kIso)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    for (b <- Seq(1, 4)) {
+      val got = Similarity.kcenterSelectBatched(emb, kIso, b)
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(got == serialIso, s"iso batchB=$b diverged from serial greedy")
+    }
+    // clustered corpus, k WELL BEYOND the mode count — the real coreset
+    // regime (k ≫ modes): once every cluster holds a center, each
+    // candidate's max-cos is intra-cluster-high while cross-cluster
+    // mutual cosines stay near 0, so the accept-prefix condition holds
+    // and batches fill
+    val cl = RecallBench.clusteredCorpus(spark, 400L, 32, 8, 0.15)
+    val k = 40
+    val serial = Similarity.kcenterSelect(cl, k)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    var roundsAt = Map.empty[Int, Int]
+    for (b <- Seq(1, 8)) {
+      val (df, rounds) =
+        Similarity.kcenterSelectBatchedCounted(cl, k, b)
+      val got = df.as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      // the accept-prefix rule is EXACT Gonzalez — rows identical, every b
+      assert(got == serial, s"clustered batchB=$b diverged from serial")
+      roundsAt += b -> rounds
+    }
+    // batch=1 degenerates to the serial loop (k−1 rounds after the seed);
+    // batch=8 must collapse the refinement phase
+    info(s"driver rounds at k=$k over 8 modes: $roundsAt")
+    assert(roundsAt(1) == k - 1)
+    assert(roundsAt(8) * 2 <= roundsAt(1), s"rounds: $roundsAt")
+  }
+
   test("k-center selection matches a driver-side naive farthest-point model") {
     import graft.operators.Similarity
     val k = 5
