@@ -1448,6 +1448,34 @@ object Dedup {
       semanticContaminatedIds(corpus, benchmark, threshold, nLists, seed, idCol, vecCol),
       Seq(idCol), "left_anti")
 
+  /** [[semanticPairs]] under a caller-supplied FROZEN centroid generation
+    * (no data-derived sampling) — the batch twin the streaming semantic
+    * sink is equality-pinned against: cell assignment, the within-cell
+    * pair join and the cosine filter are the same plan, but the cells are
+    * a fixed external artifact, so ANY split of the corpus into batches
+    * assigns identically and the pair set is a pure function of the data
+    * seen. Output: (id_a < id_b, cell, cosine).
+    *
+    * Cache lifecycle: the unit-vector relation feeds both join sides and
+    * stays persisted for the life of the returned plan; callers owning
+    * long-lived sessions clearCache. */
+  def semanticPairsFrozen(emb: DataFrame, centroids: Seq[Seq[Double]],
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "frozen centroid generation must be non-empty")
+    val v = Similarity.unitVectors(emb, idCol, vecCol, "id", "v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val assigned = v.withColumn("cell",
+      array_max(Similarity.cellScores(col("v"), centroids)).getField("c"))
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", graft.functions.VectorExpressions.dot(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cell", "cosine")
+  }
+
   def semanticPairs(emb: DataFrame, threshold: Double, nLists: Int,
       seed: Long = 42, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

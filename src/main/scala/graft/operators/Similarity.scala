@@ -40,7 +40,7 @@ object Similarity {
     * chain evaluations per row (measured 108 s for 2,000 64-dim vectors —
     * the round-10 `sim_topk_q8` scale-killer). Filtering on `_n` inlines
     * only one scalar chain per row. */
-  private[operators] def unitVectors(emb: DataFrame, idCol: String, vecCol: String,
+  private[graft] def unitVectors(emb: DataFrame, idCol: String, vecCol: String,
       outId: String, outVec: String): DataFrame =
     unitVectorsWith(emb, idCol, vecCol, outId, outVec, Nil)
 
@@ -212,7 +212,7 @@ object Similarity {
 
   /** (score, cell) struct per centroid — argmax/sort over this array drives
     * cell assignment and probe selection. */
-  private[operators] def cellScores(v: Column, centroids: Seq[Seq[Double]]): Column =
+  private[graft] def cellScores(v: Column, centroids: Seq[Seq[Double]]): Column =
     array(centroids.zipWithIndex.map {
       case (p, i) => struct(dot(v, typedLit(p)).as("s"), lit(i).as("c"))
     }: _*)

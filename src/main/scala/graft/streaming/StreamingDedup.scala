@@ -170,6 +170,85 @@ object StreamingDedup {
     * incrementalNew is insensitive to duplicate SEEN rows (the anti-join
     * side is distinct-by-fingerprint), so correctness holds — the store
     * just carries benign duplicate rows until compaction. */
+  /** STREAMING SEMANTIC near-dup detection — the embedding face of this
+    * file (exact: fingerprint; fuzzy: MinHash bands; semantic: IVF-bucketed
+    * cosine): each micro-batch is unit-normalized, cell-assigned against a
+    * FROZEN centroid generation (an external artifact — e.g. a
+    * `Similarity.kmeansCentroids` fit; frozen cells are what make the
+    * assignment batch-split-invariant), and cosine-joined WITHIN its cell
+    * against both the accumulated store and the batch itself. Pairs at or
+    * above `threshold` land under `outDir/batch_id=N` as
+    * (id_a < id_b, cell, cosine); every batch vector then appends to the
+    * store.
+    *
+    * Correctness contract (StreamingSpec-pinned): the UNION of the per-batch
+    * pair outputs over any batch split equals the one-shot
+    * [[graft.operators.Dedup.semanticPairsFrozen]] over all vectors seen,
+    * bit-identically (same cells, same sequential-fold dot, ids oriented
+    * the same way) — and survives a checkpoint restart.
+    *
+    * Replay safety: output partitions are per-batch OVERWRITE (exactly-once
+    * output); the store append is at-least-once, healed at READ by
+    * `dropDuplicates(id)` (v is a pure function of id) plus an anti-join
+    * that excludes the current batch's own ids from the stored side — a
+    * replayed batch whose append DID land neither self-pairs nor
+    * double-counts its pairs.
+    *
+    * State shape: the store is a parquet TABLE, not stream state and not a
+    * [[GenStore]] generation — per-DOCUMENT keys violate GenStore's
+    * count-table contract (each generation rewrite would be corpus-sized);
+    * an append-only table costs O(batch) I/O per batch and outlives any
+    * state-store TTL, the [[incrementalDedupSink]] rationale. The only
+    * per-batch exchanges are the cell joins — store-side work is bounded
+    * by the probed cells, never all-pairs. */
+  def semanticPairsSink(emb: DataFrame, centroids: Seq[Seq[Double]],
+      threshold: Double, storeDir: String, outDir: String,
+      checkpointDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataStreamWriter[Row] = {
+    require(centroids.nonEmpty, "frozen centroid generation must be non-empty")
+    val spark = emb.sparkSession
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.Similarity
+        val assigned = Similarity.unitVectors(batch, idCol, vecCol, "id", "v")
+          .withColumn("cell",
+            array_max(Similarity.cellScores(col("v"), centroids))
+              .getField("c"))
+          .select(col("cell"), col("id"), col("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val path = new org.apache.hadoop.fs.Path(storeDir)
+          val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val stored =
+            if (fs.exists(path))
+              spark.read.parquet(storeDir)
+                .dropDuplicates("id") // replayed appends are benign
+                .join(assigned.select("id"), Seq("id"), "left_anti")
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], assigned.schema)
+          val dot = graft.functions.VectorExpressions.dot _
+          val cross = stored
+            .select(col("cell"), col("id").as("ia"), col("v").as("va"))
+            .join(assigned.select(col("cell"), col("id").as("ib"),
+              col("v").as("vb")), Seq("cell"))
+          val within = assigned
+            .select(col("cell"), col("id").as("ia"), col("v").as("va"))
+            .join(assigned.select(col("cell"), col("id").as("ib"),
+              col("v").as("vb")), Seq("cell"))
+            .filter(col("ia") < col("ib"))
+          cross.unionByName(within)
+            .withColumn("cosine", dot(col("va"), col("vb")))
+            .filter(col("cosine") >= threshold)
+            .select(least(col("ia"), col("ib")).as("id_a"),
+              greatest(col("ia"), col("ib")).as("id_b"),
+              col("cell"), col("cosine"))
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          assigned.write.mode("append").parquet(storeDir)
+        } finally { assigned.unpersist(); () }
+      }
+  }
+
   def incrementalDedupSink(docs: DataFrame, seenDir: String, outDir: String,
       checkpointDir: String, idCol: String = "doc_id",
       textCol: String = "text"): DataStreamWriter[Row] = {

@@ -605,6 +605,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming semantic dedup: per-batch cell-pair union equals the " +
+      "one-shot frozen-cell pairs, restart-safe", SlowTest) {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sem-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sem-out").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-sem-store")
+      .resolve("store").toString
+    // clustered corpus → rich intra-cluster pairs; the FROZEN centroid
+    // generation is an arbitrary external artifact (first 4 vectors,
+    // unit-normalized driver-side)
+    val all = RecallBench.clusteredCorpus(spark, 120L, 16, 4, 0.4)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1).toSeq
+    val centroids: Seq[Seq[Double]] = all.take(4).map { case (_, v) =>
+      val d = v.map(_.toDouble)
+      val n = math.sqrt(d.foldLeft(0.0)((a, x) => a + x * x))
+      d.map(_ / n).toSeq
+    }
+    val thr = 0.5
+    val (b1, rest) = all.splitAt(40)
+    val (b2, b3) = rest.splitAt(40)
+    val input = MemoryStream[(Long, Array[Float])]
+    def start() = graft.streaming.StreamingDedup.semanticPairsSink(
+      input.toDF().toDF("vec_id", "embedding"), centroids, thr,
+      storeDir, outDir, ckpt).start()
+    val q1 = start()
+    try {
+      input.addData(b1); q1.processAllAvailable()
+      input.addData(b2); q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start() // restart: the store carries the horizon
+    try {
+      input.addData(b3); q2.processAllAvailable()
+    } finally q2.stop()
+    val streamed = spark.read.parquet(s"$outDir/batch_id=*")
+      .select($"id_a", $"id_b", $"cell".cast("long"), $"cosine")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val oneShot = graft.operators.Dedup.semanticPairsFrozen(
+        all.toDF("vec_id", "embedding"), centroids, thr)
+      .select($"id_a", $"id_b", $"cell".cast("long"), $"cosine")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    spark.catalog.clearCache() // semanticPairsFrozen persists its unit relation
+    assert(streamed.nonEmpty, "fixture produced no pairs — test is vacuous")
+    assert(streamed == oneShot,
+      s"missing=${(oneShot -- streamed).take(3)} extra=${(streamed -- oneShot).take(3)}")
+  }
+
   test("streaming incremental dedup sink: unbounded horizon via the seen store, restart-safe", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
