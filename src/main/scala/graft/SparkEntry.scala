@@ -4142,6 +4142,17 @@ object SparkEntry {
     // oracle replays the sample formula analytically (PCM is lossless, so
     // the decoded samples ARE the formula) — a hash match proves header
     // write, chunk walk, and sample interpretation are all exact
+    // MM — audio VAD: frame-energy silence/speech segmentation through the
+    // REAL RIFF decode, over the planted-silence fixture (speech–silence–
+    // speech with closed-form extents); exact long energies, integer-
+    // division timestamps — the audio quality-filter tier
+    "mm_audio_vad" -> ((s, dir) =>
+      Multimodal.vadSegments(s,
+          Multimodal.synthesizeAudioSilence(s, docs(s, dir)).toDF(),
+          win = 64, thrMeanSq = 1000000L)
+        .select(col("doc_id"), col("span"), col("is_speech"),
+          col("start_sample"), col("n_samples"), col("sum_sq"),
+          col("start_ms"))),
     "mm_audio" -> ((s, dir) =>
       Multimodal.decodeAudio(s,
           Multimodal.synthesizeAudio(s, docs(s, dir)).toDF())
@@ -6706,6 +6717,34 @@ object SparkEntry {
     // and interleaved sample formula (audioSample) replayed analytically over
     // a generate_series — DuckDB needs no audio codec because PCM is
     // lossless; all-BIGINT arithmetic keeps the compare exact
+    // audio VAD mirror: the planted-silence waveform replayed analytically
+    // (silence gate q1 ≤ k < q2), 64-sample window energies, the same
+    // mean-square threshold compare, spans via gaps-and-islands
+    "mm_audio_vad" ->
+      ("WITH ap AS (SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS rate, " +
+        "1 + doc_id % 2 AS ch, " +
+        "(doc_id % 256 + 64) * (1 + doc_id % 2) AS total FROM documents), " +
+        "aq AS (SELECT doc_id, rate, ch, total, total // 4 + doc_id % 8 AS q1, " +
+        "total // 2 + doc_id % 8 AS q2 FROM ap), " +
+        "sam AS (SELECT doc_id, rate, ch, k, " +
+        "CASE WHEN k >= q1 AND k < q2 THEN 0 " +
+        "ELSE (doc_id * 31 + 7 * k * k + 13 * k) % 65536 - 32768 END AS s " +
+        "FROM aq, LATERAL (SELECT unnest(generate_series(0, total - 1)) AS k)), " +
+        "we AS (SELECT doc_id, any_value(rate) AS rate, any_value(ch) AS ch, " +
+        "k // 64 AS w, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(s * s) AS BIGINT) AS e FROM sam GROUP BY doc_id, k // 64), " +
+        "cls AS (SELECT doc_id, rate, ch, w, n, e, " +
+        "CASE WHEN e > 1000000 * n THEN 1 ELSE 0 END AS sp FROM we), " +
+        "isl AS (SELECT doc_id, rate, ch, w, n, e, sp, " +
+        "w - row_number() OVER (PARTITION BY doc_id, sp ORDER BY w) AS grp " +
+        "FROM cls), " +
+        "spn AS (SELECT doc_id, any_value(rate) AS rate, any_value(ch) AS ch, " +
+        "sp, min(w) AS w0, CAST(sum(n) AS BIGINT) AS n_samples, " +
+        "CAST(sum(e) AS BIGINT) AS sum_sq FROM isl GROUP BY doc_id, sp, grp) " +
+        "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY w0) - 1 AS BIGINT) AS span, sp = 1 AS is_speech, " +
+        "CAST(w0 * 64 AS BIGINT) AS start_sample, n_samples, sum_sq, " +
+        "CAST((w0 * 64 // ch) * 1000 // rate AS BIGINT) AS start_ms FROM spn"),
     "mm_audio" ->
       ("SELECT doc_id, CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate, " +
         "CAST(1 + doc_id % 2 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits, " +

@@ -495,6 +495,98 @@ object Multimodal {
         "duration_ms", "sum_amp", "sum_sq")
   }
 
+  /** [[synthesizeAudio]] with a PLANTED mid-clip silence span — the VAD
+    * fixture: interleaved sample k is zeroed for q1 ≤ k < q2 where
+    * q1 = total/4 + docId%8 and q2 = total/2 + docId%8 (integer division,
+    * per-doc jitter so span edges don't all land on window boundaries),
+    * every other sample is the full-range [[audioSample]] scramble. The
+    * result is speech–silence–speech with exactly known extents, closed
+    * form in docId alone — the oracle replays it analytically. */
+  def synthesizeAudioSilence(spark: SparkSession,
+      docs: DataFrame): Dataset[(Long, Array[Byte], String)] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { docId =>
+        val (rate, ch, frames) = audioParams(docId)
+        val total = frames * ch
+        val q1 = total / 4 + (docId % 8).toInt
+        val q2 = total / 2 + (docId % 8).toInt
+        (docId, wavBytes(rate, ch, frames, k =>
+          if (k >= q1 && k < q2) 0 else audioSample(docId, k)), "audio/wav")
+      }
+    }.toDF("doc_id", "media", "mime").as[(Long, Array[Byte], String)]
+  }
+
+  /** FRAME-ENERGY VAD SEGMENTATION — the audio quality-filter tier (the
+    * silence/speech structure a speech-data pipeline gates on: drop
+    * dead-air clips, bill only voiced seconds, cut long recordings at
+    * pauses). The same RIFF chunk walk as [[decodeAudio]] ([[parsePcm]]),
+    * then the interleaved samples cut into fixed `win`-sample windows
+    * (last window partial), window energy E(w) = Σ s² as an exact long,
+    * window w is SPEECH iff E(w) > thrMeanSq · n_w (an exact long-by-long
+    * compare — thrMeanSq is the mean-square threshold, so partial windows
+    * are judged by the same per-sample bar), and consecutive same-class
+    * windows merge into spans.
+    *
+    * One row per span: (doc_id, span (0-based in time order), is_speech,
+    * start_sample (interleaved index), n_samples, sum_sq,
+    * start_ms = (start_sample div ch)·1000 div rate — all integer
+    * divisions, so any engine replays the table bit-for-bit).
+    * Undecodable rows emit the −1 sentinel span.
+    *
+    * Scale shape: a typed mapPartitions flatMap over the scan — the
+    * decode, windowing and span merge all happen where the bytes are
+    * read; ZERO shuffles, output is span-sized (≪ sample-sized). */
+  def vadSegments(spark: SparkSession, media: DataFrame, win: Int,
+      thrMeanSq: Long): DataFrame = {
+    import spark.implicits._
+    require(win >= 1, s"win must be >= 1, got $win")
+    require(thrMeanSq >= 0, s"thrMeanSq must be >= 0, got $thrMeanSq")
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, bytes) =>
+          val pcm = parsePcm(bytes)
+          if (pcm == null)
+            Iterator.single((docId, -1L, false, -1L, -1L, -1L, -1L))
+          else {
+            val total = pcm.samples.length
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Boolean, Long, Long, Long, Long)]
+            var span = 0L
+            var curSpeech = false
+            var curStart = 0L; var curN = 0L; var curSum = 0L
+            def flush(): Unit = if (curN > 0) {
+              out += ((docId, span, curSpeech, curStart, curN, curSum,
+                (curStart / pcm.channels) * 1000L / pcm.rate))
+              span += 1
+            }
+            var w0 = 0
+            while (w0 < total) {
+              val n = math.min(win, total - w0)
+              var e = 0L
+              var i = 0
+              while (i < n) {
+                val s = pcm.samples(w0 + i).toLong
+                e += s * s
+                i += 1
+              }
+              val speech = e > thrMeanSq * n
+              if (curN > 0 && speech == curSpeech) { curN += n; curSum += e }
+              else {
+                flush()
+                curSpeech = speech; curStart = w0.toLong
+                curN = n; curSum = e
+              }
+              w0 += win
+            }
+            flush()
+            out.iterator
+          }
+        }
+      }.toDF("doc_id", "span", "is_speech", "start_sample", "n_samples",
+        "sum_sq", "start_ms")
+  }
+
   /** 64-bit audio fingerprint from REAL decoded PCM — the audio sibling of
     * [[imageAHash]], in the energy-difference-sign family of Haitsma &
     * Kalker 2002 ("A highly robust audio fingerprinting system", the

@@ -3301,6 +3301,41 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, 2L, 2L, true), (4L, 0L, 0L, false), (5L, 0L, 0L, false)))
   }
 
+  test("audio VAD: planted silence segments land exactly, undecodable " +
+      "rows emit the sentinel span") {
+    import graft.operators.Multimodal
+    // docId 0: rate 8000, mono, 64 frames; silence gate q1=16, q2=32 —
+    // with win=8: windows 0–1 speech, 2–3 silent (zeroed exactly), 4–7
+    // speech → three spans with closed-form extents
+    val media = Multimodal.synthesizeAudioSilence(spark,
+      Seq(0L).toDF("doc_id")).toDF()
+    val got = Multimodal.vadSegments(spark, media, win = 8,
+        thrMeanSq = 1000000L)
+      .select(col("doc_id"), col("span"), col("is_speech"),
+        col("start_sample"), col("n_samples"), col("sum_sq"), col("start_ms"))
+      .as[(Long, Long, Boolean, Long, Long, Long, Long)]
+      .collect().sortBy(_._2).toSeq
+    assert(got.length == 3, s"got $got")
+    assert(got.map(g => (g._2, g._3, g._4, g._5, g._7)) == Seq(
+      (0L, true, 0L, 16L, 0L),
+      (1L, false, 16L, 16L, 2L),
+      (2L, true, 32L, 32L, 4L)), s"got $got")
+    assert(got(1)._6 == 0L && got(0)._6 > 0L && got(2)._6 > 0L)
+    // a window-boundary-free gate: docId 1 jitters the span edges by 1 —
+    // the mixed boundary windows classify by energy, spans still 3
+    val jit = Multimodal.vadSegments(spark,
+        Multimodal.synthesizeAudioSilence(spark, Seq(1L).toDF("doc_id")).toDF(),
+        win = 8, thrMeanSq = 1000000L)
+      .select(col("is_speech")).as[Boolean].collect().toSeq
+    assert(jit.length == 3 && jit == Seq(true, false, true), s"jit $jit")
+    // garbage bytes → the −1 sentinel row, never a stage failure
+    val bad = Seq((9L, Array[Byte](1, 2, 3), "audio/wav"))
+      .toDF("doc_id", "media", "mime")
+    val sentinel = Multimodal.vadSegments(spark, bad, 8, 1000000L)
+      .as[(Long, Long, Boolean, Long, Long, Long, Long)].collect().toSeq
+    assert(sentinel == Seq((9L, -1L, false, -1L, -1L, -1L, -1L)))
+  }
+
   test("McNemar: hand-computed discordant counts, degenerate and empty inputs") {
     import graft.operators.Eval
     val rows = Seq.fill(3)((true, true)) ++ Seq.fill(4)((true, false)) ++
