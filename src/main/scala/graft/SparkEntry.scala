@@ -1643,10 +1643,10 @@ object SparkEntry {
     * commute; missing ar slots no-op via a chr(1) sentinel, which the
     * normalization scrub guarantees never occurs in a symbolization). */
   private def bpeBatchedLearnOracleSql(rounds: Int, k: Int,
-      wordpiece: Boolean = false): String = {
+      wordpiece: Boolean = false, byteLevel: Boolean = false): String = {
     val sp = "chr(31)"
     val sb = new StringBuilder
-    sb ++= bpeBaseCtes()
+    sb ++= bpeBaseCtes(byteLevel = byteLevel)
     for (t <- 1 to rounds) {
       sb ++= s", y_$t AS (SELECT string_split(substr(sym, 2, length(sym) - 2), " +
         s"$sp || $sp) AS s, freq FROM v_${t - 1})"
@@ -1794,6 +1794,33 @@ object SparkEntry {
       "ORDER BY wi, po) - 1 AS BIGINT) AS pos, " +
       "CAST(piece_id AS BIGINT) AS piece_id FROM pm"
   }
+
+  /** The VAD mirror's span chain — planted-silence samples (gate
+    * q1 ≤ k < q2), 64-sample window energies, mean-square threshold,
+    * gaps-and-islands merge — ending in
+    * `spn(doc_id, rate, ch, sp, w0, n_samples, sum_sq)`; shared by the
+    * span and voiced-fraction mirrors. */
+  private val AudioVadCtes: String =
+    "ap AS (SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS rate, " +
+      "1 + doc_id % 2 AS ch, " +
+      "(doc_id % 256 + 64) * (1 + doc_id % 2) AS total FROM documents), " +
+      "aq AS (SELECT doc_id, rate, ch, total, total // 4 + doc_id % 8 AS q1, " +
+      "total // 2 + doc_id % 8 AS q2 FROM ap), " +
+      "sam AS (SELECT doc_id, rate, ch, k, " +
+      "CASE WHEN k >= q1 AND k < q2 THEN 0 " +
+      "ELSE (doc_id * 31 + 7 * k * k + 13 * k) % 65536 - 32768 END AS s " +
+      "FROM aq, LATERAL (SELECT unnest(generate_series(0, total - 1)) AS k)), " +
+      "we AS (SELECT doc_id, any_value(rate) AS rate, any_value(ch) AS ch, " +
+      "k // 64 AS w, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(s * s) AS BIGINT) AS e FROM sam GROUP BY doc_id, k // 64), " +
+      "cls AS (SELECT doc_id, rate, ch, w, n, e, " +
+      "CASE WHEN e > 1000000 * n THEN 1 ELSE 0 END AS sp FROM we), " +
+      "isl AS (SELECT doc_id, rate, ch, w, n, e, sp, " +
+      "w - row_number() OVER (PARTITION BY doc_id, sp ORDER BY w) AS grp " +
+      "FROM cls), " +
+      "spn AS (SELECT doc_id, any_value(rate) AS rate, any_value(ch) AS ch, " +
+      "sp, min(w) AS w0, CAST(sum(n) AS BIGINT) AS n_samples, " +
+      "CAST(sum(e) AS BIGINT) AS sum_sq FROM isl GROUP BY doc_id, sp, grp)"
 
   /** Analytic audio-fingerprint chain over `src(key, pid, nudge)` →
     * `aaf(key, afp)`: per-key PCM parameters from the pattern id, samples
@@ -3548,6 +3575,16 @@ object SparkEntry {
     // EVERY token participates (digits/punct/code) — no gate, no OOV
     "text_bbpe_merges" -> ((s, dir) =>
       TextAnalysis.bbpeLearnMerges(docsMulti(s, dir), 12)),
+    // the DISTRIBUTED byte-level learn sibling (vocabularies beyond driver
+    // memory): row-identical to the driver-local loop, gated against the
+    // SAME oracle
+    "text_bbpe_merges_dist" -> ((s, dir) =>
+      TextAnalysis.bbpeLearnMergesDistributed(docsMulti(s, dir), 12)),
+    // the batched byte-level learner: dominance-filtered multi-merge
+    // rounds over hex-byte symbols — the R/k job-count lever at R ≈ 50k
+    "text_bbpe_merges_batched" -> ((s, dir) =>
+      TextAnalysis.bbpeLearnMergesBatched(docsMulti(s, dir),
+        batchRounds = 3, batchK = 4)),
     // the learned byte-level table APPLIED: per-doc token and piece counts;
     // an unmerged token costs its UTF-8 byte count
     "text_bbpe_apply" -> ((s, dir) => {
@@ -4153,6 +4190,14 @@ object SparkEntry {
         .select(col("doc_id"), col("span"), col("is_speech"),
           col("start_sample"), col("n_samples"), col("sum_sq"),
           col("start_ms"))),
+    // per-doc voiced fraction over the same fixture — the audio quality
+    // filter number (exact long sample counts, one division)
+    "mm_audio_vad_ratio" -> ((s, dir) =>
+      Multimodal.vadSpeechRatio(s,
+          Multimodal.synthesizeAudioSilence(s, docs(s, dir)).toDF(),
+          win = 64, thrMeanSq = 1000000L)
+        .select(col("doc_id"), col("n_spans"), col("speech_samples"),
+          col("total_samples"), col("speech_ratio"))),
     "mm_audio" -> ((s, dir) =>
       Multimodal.decodeAudio(s,
           Multimodal.synthesizeAudio(s, docs(s, dir)).toDF())
@@ -4296,6 +4341,19 @@ object SparkEntry {
           .select(col("doc_id"), col("text_aug").as("cand"))
           .join(ref, Seq("doc_id")))
       Eval.pairedBleuSignificance(stats(15, 7), stats(20, 13),
+        resamples = 200, seed = 11)
+    }),
+    // the GENERIC paired randomization (mean difference of per-item
+    // integer metrics): does 15% word dropout reduce mean token count —
+    // per-pair sums swap by the same hash gate, D_r is an exact LONG
+    "eval_ab_paired_mean" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val a = d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("score_a"))
+      val b = TextAnalysis.wordDropout(d, dropPct = 15, seed = 7)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text_aug")).cast("long").as("score_b"))
+      Eval.pairedMeanSignificance(a.join(b, Seq("doc_id")),
         resamples = 200, seed = 11)
     }),
     // McNemar paired-accuracy test over a synthesized paired prediction
@@ -6276,6 +6334,11 @@ object SparkEntry {
     // CTE rounds over the chr(31)-wrapped word vocabulary
     "text_bpe_merges" -> bpeLearnOracleSql(12),
     "text_bbpe_merges" -> bpeLearnOracleSql(12, byteLevel = true),
+    // the distributed sibling answers the SAME replay — the driver gate
+    // pins distributed == driver-local row for row
+    "text_bbpe_merges_dist" -> bpeLearnOracleSql(12, byteLevel = true),
+    "text_bbpe_merges_batched" ->
+      bpeBatchedLearnOracleSql(3, 4, byteLevel = true),
     "text_bbpe_apply" -> bbpeApplyOracleSql(12),
     "text_bbpe_apply_fast" -> bbpeApplyOracleSql(12),
     "text_bbpe_ids" -> bbpeIdsOracleSql(12),
@@ -6721,30 +6784,22 @@ object SparkEntry {
     // (silence gate q1 ≤ k < q2), 64-sample window energies, the same
     // mean-square threshold compare, spans via gaps-and-islands
     "mm_audio_vad" ->
-      ("WITH ap AS (SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS rate, " +
-        "1 + doc_id % 2 AS ch, " +
-        "(doc_id % 256 + 64) * (1 + doc_id % 2) AS total FROM documents), " +
-        "aq AS (SELECT doc_id, rate, ch, total, total // 4 + doc_id % 8 AS q1, " +
-        "total // 2 + doc_id % 8 AS q2 FROM ap), " +
-        "sam AS (SELECT doc_id, rate, ch, k, " +
-        "CASE WHEN k >= q1 AND k < q2 THEN 0 " +
-        "ELSE (doc_id * 31 + 7 * k * k + 13 * k) % 65536 - 32768 END AS s " +
-        "FROM aq, LATERAL (SELECT unnest(generate_series(0, total - 1)) AS k)), " +
-        "we AS (SELECT doc_id, any_value(rate) AS rate, any_value(ch) AS ch, " +
-        "k // 64 AS w, CAST(count(*) AS BIGINT) AS n, " +
-        "CAST(sum(s * s) AS BIGINT) AS e FROM sam GROUP BY doc_id, k // 64), " +
-        "cls AS (SELECT doc_id, rate, ch, w, n, e, " +
-        "CASE WHEN e > 1000000 * n THEN 1 ELSE 0 END AS sp FROM we), " +
-        "isl AS (SELECT doc_id, rate, ch, w, n, e, sp, " +
-        "w - row_number() OVER (PARTITION BY doc_id, sp ORDER BY w) AS grp " +
-        "FROM cls), " +
-        "spn AS (SELECT doc_id, any_value(rate) AS rate, any_value(ch) AS ch, " +
-        "sp, min(w) AS w0, CAST(sum(n) AS BIGINT) AS n_samples, " +
-        "CAST(sum(e) AS BIGINT) AS sum_sq FROM isl GROUP BY doc_id, sp, grp) " +
+      (s"WITH $AudioVadCtes " +
         "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id " +
         "ORDER BY w0) - 1 AS BIGINT) AS span, sp = 1 AS is_speech, " +
         "CAST(w0 * 64 AS BIGINT) AS start_sample, n_samples, sum_sq, " +
         "CAST((w0 * 64 // ch) * 1000 // rate AS BIGINT) AS start_ms FROM spn"),
+    // per-doc voiced-fraction rollup of the same span chain — the audio
+    // quality-filter number; exact long sample counts, ONE division
+    "mm_audio_vad_ratio" ->
+      (s"WITH $AudioVadCtes " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+        "CAST(sum(CASE WHEN sp = 1 THEN n_samples ELSE 0 END) AS BIGINT) " +
+        "AS speech_samples, " +
+        "CAST(sum(n_samples) AS BIGINT) AS total_samples, " +
+        "CAST(sum(CASE WHEN sp = 1 THEN n_samples ELSE 0 END) AS DOUBLE) / " +
+        "CAST(sum(n_samples) AS DOUBLE) AS speech_ratio " +
+        "FROM spn GROUP BY doc_id"),
     "mm_audio" ->
       ("SELECT doc_id, CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate, " +
         "CAST(1 + doc_id % 2 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits, " +
@@ -6962,6 +7017,37 @@ object SparkEntry {
         "SELECT o.n_pairs, CAST(o.oa AS DOUBLE) / 10000.0 AS bleu_a, " +
         "CAST(o.ob AS DOUBLE) / 10000.0 AS bleu_b, " +
         "CAST(o.od AS DOUBLE) / 10000.0 AS delta, " +
+        "CAST(count(*) AS BIGINT) AS resamples, " +
+        "CAST(sum(CASE WHEN abs(d.dd) >= abs(o.od) THEN 1 ELSE 0 END) + 1 " +
+        "AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE) AS p_value " +
+        "FROM d, o WHERE d.r > 0 GROUP BY 1, 2, 3, 4"
+    },
+    // generic paired-mean randomization mirror: per-doc token counts vs
+    // the 15%-dropout token counts, the same hash swap gate, per-r LONG
+    // sum differences, exact exceedance count
+    "eval_ab_paired_mean" -> {
+      val r = 200
+      val seed = 11L
+      val flip = pmSql(hashRawSql(
+        s"(${hashRawSql("doc_id", seed)}) + r", seed * 31 + 7), "2")
+      s"WITH $GtCte, " +
+        s"pa AS (SELECT doc_id, CAST($TokN AS BIGINT) AS a FROM documents), " +
+        s"pb AS (SELECT doc_id, CAST(len([x for x in ${genKeptSql(15, 7)} " +
+        "if x <> '']) AS BIGINT) AS b FROM gt), " +
+        "j AS (SELECT doc_id, a, b FROM pa JOIN pb USING (doc_id)), " +
+        s"g AS (SELECT r, CASE WHEN r > 0 AND $flip = 1 THEN 1 ELSE 0 END " +
+        s"AS fl, a, b FROM j, LATERAL (SELECT unnest(generate_series(0, $r)) AS r)), " +
+        "s AS (SELECT r, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN fl = 1 THEN b ELSE a END) AS BIGINT) AS s_a, " +
+        "CAST(sum(CASE WHEN fl = 1 THEN a ELSE b END) AS BIGINT) AS s_b " +
+        "FROM g GROUP BY r), " +
+        "d AS (SELECT r, n, s_a, s_b, s_a - s_b AS dd FROM s), " +
+        "o AS (SELECT n AS n_pairs, s_a AS oa, s_b AS ob, dd AS od FROM d " +
+        "WHERE r = 0) " +
+        "SELECT o.n_pairs, " +
+        "CAST(o.oa AS DOUBLE) / CAST(o.n_pairs AS DOUBLE) AS mean_a, " +
+        "CAST(o.ob AS DOUBLE) / CAST(o.n_pairs AS DOUBLE) AS mean_b, " +
+        "CAST(o.od AS DOUBLE) / CAST(o.n_pairs AS DOUBLE) AS diff, " +
         "CAST(count(*) AS BIGINT) AS resamples, " +
         "CAST(sum(CASE WHEN abs(d.dd) >= abs(o.od) THEN 1 ELSE 0 END) + 1 " +
         "AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE) AS p_value " +

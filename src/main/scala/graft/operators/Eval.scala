@@ -1009,6 +1009,62 @@ object Eval {
           (col("resamples") + lit(1L)).cast("double")).as("p_value"))
   }
 
+  /** PAIRED approximate-randomization test for a generic PER-ITEM integer
+    * metric (exact-match scores, pass rates, token budgets, latencies on a
+    * fixed grid) — [[pairedBleuSignificance]]'s machinery with the mean
+    * difference as the statistic: per resample each item's (a, b) scores
+    * swap by the same chained-portable-hash gate, and because n is fixed
+    * the comparison reduces to the SUM difference D_r = Σa′ − Σb′ — an
+    * EXACT LONG, so exceedance counting has no float boundary at all
+    * (tighter even than the BLEU variant's fixed-point grid). Callers
+    * integer-ize the metric first (the [[abWelch]] discipline).
+    *
+    * Output is ONE row: (n_pairs, mean_a, mean_b, diff, resamples,
+    * p_value) — means and diff are single divisions of exact longs,
+    * p = (#{|D_r| ≥ |D_obs|} + 1) / (R + 1) one division of exact counts.
+    *
+    * Scale shape: identical to the BLEU variant — pairs × (R+1) against a
+    * broadcast resample index, ONE map-side-combined exchange keyed by r,
+    * then arithmetic on an (R+1)-row relation. */
+  def pairedMeanSignificance(pairs: DataFrame, resamples: Int,
+      seed: Long = 42, idCol: String = "doc_id", aCol: String = "score_a",
+      bCol: String = "score_b"): DataFrame = {
+    require(resamples >= 1, s"resamples must be >= 1, got $resamples")
+    val spark = pairs.sparkSession
+    val rs = broadcast(spark.range(0L, resamples + 1L).toDF("__r"))
+    val flip = col("__r") > 0L &&
+      pmod(Sampling.hashRaw(
+        Sampling.hashRaw(col(idCol), seed) + col("__r"), seed * 31 + 7),
+        lit(2L)) === 1L
+    val base = pairs.select(col(idCol),
+      col(aCol).cast("long").as("__a"), col(bCol).cast("long").as("__b"))
+    val perR = base.crossJoin(rs).groupBy("__r").agg(
+        count(lit(1)).as("n"),
+        sum(when(flip, col("__b")).otherwise(col("__a"))).as("__sa"),
+        sum(when(flip, col("__a")).otherwise(col("__b"))).as("__sb"))
+      .withColumn("__d", col("__sa") - col("__sb"))
+    val obs = perR.filter(col("__r") === 0L).select(
+      col("n").as("n_pairs"), col("__sa").as("__oa"),
+      col("__sb").as("__ob"), col("__d").as("__od"))
+    perR.filter(col("__r") > 0L).crossJoin(broadcast(obs))
+      .agg(max(col("n_pairs")).as("n_pairs"),
+        max(col("__oa")).as("__oa"), max(col("__ob")).as("__ob"),
+        max(col("__od")).as("__od"),
+        count(lit(1)).as("resamples"),
+        sum(when(abs(col("__d")) >= abs(col("__od")), 1L).otherwise(0L))
+          .as("__ge"))
+      .select(col("n_pairs"),
+        (col("__oa").cast("double") / col("n_pairs").cast("double"))
+          .as("mean_a"),
+        (col("__ob").cast("double") / col("n_pairs").cast("double"))
+          .as("mean_b"),
+        (col("__od").cast("double") / col("n_pairs").cast("double"))
+          .as("diff"),
+        col("resamples"),
+        ((col("__ge") + lit(1L)).cast("double") /
+          (col("resamples") + lit(1L)).cast("double")).as("p_value"))
+  }
+
   /** Per-pair ROUGE scores (Lin 2004) over a [[generationPairStats]]
     * output: ROUGE-1 / ROUGE-2 precision, recall and F1 from the clipped
     * n-gram counts, and ROUGE-L from the LCS length — one row per pair,

@@ -587,6 +587,29 @@ object Multimodal {
         "sum_sq", "start_ms")
   }
 
+  /** Per-document VOICED-FRACTION rollup of [[vadSegments]] — the audio
+    * quality FILTER number (the langId/qualityScore analog for speech
+    * data: gate dead-air clips, bill voiced seconds): span count, voiced
+    * and total sample counts (exact longs) and speech_ratio as ONE
+    * division. Undecodable docs (the −1 sentinel span) report
+    * n_spans = 0 with NULL ratio — distinguishable from a genuinely
+    * all-silent clip (ratio 0.0). One map-side-combined exchange over the
+    * span-sized relation. */
+  def vadSpeechRatio(spark: SparkSession, media: DataFrame, win: Int,
+      thrMeanSq: Long): DataFrame =
+    vadSegments(spark, media, win, thrMeanSq)
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("span") >= 0L, 1L).otherwise(0L)).as("n_spans"),
+        sum(when(col("span") >= 0L && col("is_speech"), col("n_samples"))
+          .otherwise(0L)).as("speech_samples"),
+        sum(when(col("span") >= 0L, col("n_samples")).otherwise(0L))
+          .as("total_samples"))
+      .withColumn("speech_ratio",
+        when(col("total_samples") > 0L,
+          col("speech_samples").cast("double") /
+            col("total_samples").cast("double")))
+
   /** 64-bit audio fingerprint from REAL decoded PCM — the audio sibling of
     * [[imageAHash]], in the energy-difference-sign family of Haitsma &
     * Kalker 2002 ("A highly robust audio fingerprinting system", the

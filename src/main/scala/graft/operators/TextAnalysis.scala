@@ -1731,9 +1731,20 @@ object TextAnalysis {
     * token instance (~10¹¹ at 100 TB) — measured 2× on the learn queries.
     * Grouping raw-then-normalized is algebraically identical to
     * normalizing first (freqs of raw forms that normalize together sum). */
-  private def subwordBase(docs: DataFrame, textCol: String): DataFrame = {
+  private def subwordBase(docs: DataFrame, textCol: String,
+      byteLevel: Boolean = false): DataFrame = {
     val sep = BpeSep
-    docs
+    if (byteLevel)
+      // byte level: every non-empty raw token, symbolized as ␟-wrapped
+      // hex byte pairs — no normalization, no gate (the bbpe contract)
+      docs
+        .select(explode(tokens(col(textCol))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(regexp_replace(hex(encode(col("w"), "UTF-8")), "(..)",
+          s"$sep$$1$sep").as("sym"), col("freq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else docs
       .select(explode(tokens(col(textCol))).as("w0"))
       .groupBy("w0").agg(count(lit(1)).as("freq"))
       .select(normWord(col("w0")).as("w"), col("freq"))
@@ -1921,12 +1932,13 @@ object TextAnalysis {
 
   private[graft] def subwordLearnMerges(docs: DataFrame, rounds: Int,
       textCol: String, wordpiece: Boolean,
-      persistRounds: Boolean = false): DataFrame = {
+      persistRounds: Boolean = false,
+      byteLevel: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = docs.sparkSession
     import spark.implicits._
     val sep = BpeSep
-    val base = subwordBase(docs, textCol)
+    val base = subwordBase(docs, textCol, byteLevel)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var vocab = base
     // the previous round's PERSISTED symbolization, released once the next
@@ -2063,15 +2075,33 @@ object TextAnalysis {
     subwordLearnMergesBatched(docs, batchRounds, batchK, textCol,
       wordpiece = true)
 
+  /** The byte-level sibling of [[bpeLearnMergesBatched]]: the same
+    * dominance-filtered multi-merge rounds over the hex-byte
+    * symbolization — the R/k job-count lever for a production byte-level
+    * table (R ≈ 50k for the GPT-2 family). */
+  def bbpeLearnMergesBatched(docs: DataFrame, batchRounds: Int, batchK: Int,
+      textCol: String = "text"): DataFrame =
+    subwordLearnMergesBatched(docs, batchRounds, batchK, textCol,
+      wordpiece = false, byteLevel = true)
+
+  /** DISTRIBUTED byte-level merge learning — [[bbpeLearnMerges]]' sibling
+    * for vocabularies beyond driver memory (the [[subwordLearnMerges]]
+    * contract: same rows, corpus stays on the cluster). */
+  def bbpeLearnMergesDistributed(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame =
+    subwordLearnMerges(docs, rounds, textCol, wordpiece = false,
+      byteLevel = true)
+
   private def subwordLearnMergesBatched(docs: DataFrame, batchRounds: Int,
-      batchK: Int, textCol: String, wordpiece: Boolean): DataFrame = {
+      batchK: Int, textCol: String, wordpiece: Boolean,
+      byteLevel: Boolean = false): DataFrame = {
     require(batchRounds >= 1, s"batchRounds must be >= 1, got $batchRounds")
     require(batchK >= 1, s"batchK must be >= 1, got $batchK")
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val sep = BpeSep
-    val base = subwordBase(docs, textCol)
+    val base = subwordBase(docs, textCol, byteLevel)
     val out = Seq.newBuilder[(Long, Long, String, String, Long)]
     var vocab = base
     var exhausted = false

@@ -3336,6 +3336,78 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sentinel == Seq((9L, -1L, false, -1L, -1L, -1L, -1L)))
   }
 
+  test("VAD speech ratio: voiced fraction is exact; undecodable docs " +
+      "report zero spans with NULL ratio") {
+    import graft.operators.Multimodal
+    // docId 0 (64 samples, silence k∈[16,32)): speech 48/64 = 0.75, 3 spans
+    val media = Multimodal.synthesizeAudioSilence(spark,
+      Seq(0L).toDF("doc_id")).toDF()
+    val got = Multimodal.vadSpeechRatio(spark, media, win = 8,
+        thrMeanSq = 1000000L)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(got == (0L, 3L, 48L, 64L, Some(0.75)), s"got $got")
+    val bad = Seq((9L, Array[Byte](1, 2, 3), "audio/wav"))
+      .toDF("doc_id", "media", "mime")
+    val sentinel = Multimodal.vadSpeechRatio(spark, bad, 8, 1000000L)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(sentinel == (9L, 0L, 0L, 0L, None), s"got $sentinel")
+  }
+
+  test("paired mean randomization: brute-force hash replay, identical " +
+      "scores give p = 1, swap symmetry") {
+    import graft.operators.{Eval, Sampling}
+    val seed = 5L
+    val rr = 16
+    val pairs = Seq((1L, 10L, 7L), (2L, 4L, 9L), (3L, 8L, 8L), (4L, 2L, 1L))
+    val got = Eval.pairedMeanSignificance(
+        pairs.toDF("doc_id", "score_a", "score_b"), resamples = rr,
+        seed = seed)
+      .as[(Long, Double, Double, Double, Long, Double)].collect().head
+    // driver replay of the EXACT hash enumeration the operator runs
+    def flip(id: Long, r: Long): Boolean =
+      Math.floorMod(Sampling.hashRawLong(
+        Sampling.hashRawLong(id, seed) + r, seed * 31 + 7), 2L) == 1L
+    val dObs = pairs.map(p => p._2 - p._3).sum
+    val ge = (1 to rr).count { r =>
+      val d = pairs.map(p =>
+        if (flip(p._1, r.toLong)) p._3 - p._2 else p._2 - p._3).sum
+      math.abs(d) >= math.abs(dObs)
+    }
+    val expP = (ge + 1).toDouble / (rr + 1).toDouble
+    assert(got._1 == 4L && got._4 == dObs.toDouble / 4.0 && got._6 == expP,
+      s"got $got expected p $expP")
+    // identical scores: every |D_r| = 0 = |D_obs| → p = 1
+    val self = Eval.pairedMeanSignificance(
+        pairs.map(p => (p._1, p._2, p._2)).toDF("doc_id", "score_a", "score_b"),
+        resamples = rr, seed = seed)
+      .as[(Long, Double, Double, Double, Long, Double)].collect().head
+    assert(self._4 == 0.0 && self._6 == 1.0)
+    // swapping systems negates diff, keeps p
+    val ba = Eval.pairedMeanSignificance(
+        pairs.map(p => (p._1, p._3, p._2)).toDF("doc_id", "score_a", "score_b"),
+        resamples = rr, seed = seed)
+      .as[(Long, Double, Double, Double, Long, Double)].collect().head
+    assert(ba._4 == -got._4 && ba._6 == got._6 &&
+      ba._2 == got._3 && ba._3 == got._2)
+  }
+
+  test("byte-level BPE distributed and batched learners match the " +
+      "driver-local loop") {
+    val d = Seq((1L, "ab ab x9"), (2L, "ab x9 €"), (3L, "aaa"))
+      .toDF("doc_id", "text")
+    val local = TextAnalysis.bbpeLearnMerges(d, 8)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val dist = TextAnalysis.bbpeLearnMergesDistributed(d, 8)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(dist == local, s"dist=$dist local=$local")
+    // batchK = 1 batched ≡ the serial argmax sequence (ranks renamed to
+    // (batch, rank_in_batch) — compare the merge/count sequence)
+    val b1 = TextAnalysis.bbpeLearnMergesBatched(d, batchRounds = 6, batchK = 1)
+      .orderBy("batch").as[(Long, Long, String, String, Long)]
+      .collect().toSeq.map(r => (r._3, r._4, r._5))
+    assert(b1 == local.map(r => (r._2, r._3, r._4)), s"b1=$b1")
+  }
+
   test("McNemar: hand-computed discordant counts, degenerate and empty inputs") {
     import graft.operators.Eval
     val rows = Seq.fill(3)((true, true)) ++ Seq.fill(4)((true, false)) ++
