@@ -1612,7 +1612,7 @@ object SparkEntry {
   /** Compression-curve mirror: the learn chain's merge rows joined with
     * each round's corpus piece total (Σ freq·symbols over v_r). */
   private def bpeCurveOracleSql(rounds: Int,
-      wordpiece: Boolean = false): String = {
+      wordpiece: Boolean = false, byteLevel: Boolean = false): String = {
     val sp = "chr(31)"
     val rows = (1 to rounds).map { r =>
       s"SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, " +
@@ -1621,7 +1621,8 @@ object SparkEntry {
         s"length(sym) - 2), $sp || $sp))) AS BIGINT) FROM v_$r) " +
         s"AS total_pieces FROM b_$r"
     }.mkString(" UNION ALL ")
-    s"WITH $MdocsCte, ${bpeLearnCtes(rounds, wordpiece)} $rows"
+    s"WITH $MdocsCte, " +
+      s"${bpeLearnCtes(rounds, wordpiece, byteLevel = byteLevel)} $rows"
   }
 
   private def bpeLearnOracleSql(rounds: Int, wordpiece: Boolean = false,
@@ -2036,6 +2037,44 @@ object SparkEntry {
 
   private val GenStatsCtes: String =
     s"$GenPairCtes, ${genStatsChainPfx("")}"
+
+  /** Per-DOC chrF stats over an existing `${p}gp` — the relational clipped
+    * counts of the eval_gen_chrf mirror kept at document grain and
+    * pivoted wide: ends in `${p}cw(doc_id, cand_chars, ref_chars,
+    * mc1..6, cc1..6, rc1..6)`, the [[graft.operators.Eval.chrFPairStats]]
+    * row shape the paired-test mirror swaps per resample. */
+  private def chrfDocStatsCtes(p: String): String = {
+    val pivots = (1 to 6).flatMap(n => Seq(
+      s"CAST(max(CASE WHEN pn.n = $n THEN pn.m END) AS BIGINT) AS mc$n",
+      s"CAST(max(CASE WHEN pn.n = $n THEN pn.ct END) AS BIGINT) AS cc$n",
+      s"CAST(max(CASE WHEN pn.n = $n THEN pn.rt END) AS BIGINT) AS rc$n"))
+      .mkString(", ")
+    s"${p}ch AS (SELECT doc_id, substr(array_to_string(cs, ''), 1, 256) AS c, " +
+      s"substr(array_to_string(rs, ''), 1, 256) AS r FROM ${p}gp), " +
+      s"${p}cgr AS (SELECT doc_id, n, " +
+      "[substr(c, i, n) for i in generate_series(1, length(c) - n + 1)] AS cg, " +
+      "[substr(r, i, n) for i in generate_series(1, length(r) - n + 1)] AS rg " +
+      s"FROM ${p}ch, (SELECT unnest(generate_series(1, 6)) AS n) ns), " +
+      s"${p}ccx AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS k FROM " +
+      s"(SELECT doc_id, n, unnest(cg) AS g FROM ${p}cgr) GROUP BY 1, 2, 3), " +
+      s"${p}rcx AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS k FROM " +
+      s"(SELECT doc_id, n, unnest(rg) AS g FROM ${p}cgr) GROUP BY 1, 2, 3), " +
+      s"${p}mm AS (SELECT cc.doc_id, cc.n, " +
+      "CAST(sum(least(cc.k, rc.k)) AS BIGINT) AS m " +
+      s"FROM ${p}ccx cc JOIN ${p}rcx rc ON cc.doc_id = rc.doc_id " +
+      "AND cc.n = rc.n AND cc.g = rc.g GROUP BY 1, 2), " +
+      s"${p}tt AS (SELECT doc_id, n, CAST(len(cg) AS BIGINT) AS ct, " +
+      s"CAST(len(rg) AS BIGINT) AS rt FROM ${p}cgr), " +
+      s"${p}pn AS (SELECT tt.doc_id, tt.n, coalesce(mm.m, 0) AS m, tt.ct, " +
+      s"tt.rt FROM ${p}tt tt LEFT JOIN ${p}mm mm ON mm.doc_id = tt.doc_id " +
+      "AND mm.n = tt.n), " +
+      s"${p}cl AS (SELECT doc_id, CAST(length(c) AS BIGINT) AS cand_chars, " +
+      s"CAST(length(r) AS BIGINT) AS ref_chars FROM ${p}ch), " +
+      s"${p}cw AS (SELECT pn.doc_id, any_value(cl.cand_chars) AS cand_chars, " +
+      s"any_value(cl.ref_chars) AS ref_chars, $pivots " +
+      s"FROM ${p}pn pn JOIN ${p}cl cl ON cl.doc_id = pn.doc_id " +
+      "GROUP BY pn.doc_id)"
+  }
 
   /** The BT fit's CTE chain (sym/mt/wt/p0..p$iters) over a `cmp` CTE —
     * shared by the strengths mirror and the calibration mirror. */
@@ -3575,6 +3614,10 @@ object SparkEntry {
     // EVERY token participates (digits/punct/code) — no gate, no OOV
     "text_bbpe_merges" -> ((s, dir) =>
       TextAnalysis.bbpeLearnMerges(docsMulti(s, dir), 12)),
+    // the byte-level compression curve: total_pieces starts at the
+    // corpus's UTF-8 byte budget and walks down as merges land
+    "text_bbpe_curve" -> ((s, dir) =>
+      TextAnalysis.bbpeLearnCurve(docsMulti(s, dir), 10)),
     // the DISTRIBUTED byte-level learn sibling (vocabularies beyond driver
     // memory): row-identical to the driver-local loop, gated against the
     // SAME oracle
@@ -4341,6 +4384,19 @@ object SparkEntry {
           .select(col("doc_id"), col("text_aug").as("cand"))
           .join(ref, Seq("doc_id")))
       Eval.pairedBleuSignificance(stats(15, 7), stats(20, 13),
+        resamples = 200, seed = 11)
+    }),
+    // the chrF sibling of eval_ab_paired: the same swap machinery over
+    // per-pair char-gram stats, each resampled chrF2 on the round-4 grid
+    "eval_ab_paired_chrf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ref = TextAnalysis.wordDropout(d, dropPct = 10, seed = 42)
+        .select(col("doc_id"), col("text_aug").as("ref"))
+      def stats(pct: Int, seed: Long) = Eval.chrFPairStatsFast(
+        TextAnalysis.wordDropout(d, dropPct = pct, seed = seed)
+          .select(col("doc_id"), col("text_aug").as("cand"))
+          .join(ref, Seq("doc_id")))
+      Eval.pairedChrFSignificance(stats(15, 7), stats(20, 13),
         resamples = 200, seed = 11)
     }),
     // the GENERIC paired randomization (mean difference of per-item
@@ -6339,6 +6395,7 @@ object SparkEntry {
     "text_bbpe_merges_dist" -> bpeLearnOracleSql(12, byteLevel = true),
     "text_bbpe_merges_batched" ->
       bpeBatchedLearnOracleSql(3, 4, byteLevel = true),
+    "text_bbpe_curve" -> bpeCurveOracleSql(10, byteLevel = true),
     "text_bbpe_apply" -> bbpeApplyOracleSql(12),
     "text_bbpe_apply_fast" -> bbpeApplyOracleSql(12),
     "text_bbpe_ids" -> bbpeIdsOracleSql(12),
@@ -7016,6 +7073,54 @@ object SparkEntry {
         "WHERE r = 0) " +
         "SELECT o.n_pairs, CAST(o.oa AS DOUBLE) / 10000.0 AS bleu_a, " +
         "CAST(o.ob AS DOUBLE) / 10000.0 AS bleu_b, " +
+        "CAST(o.od AS DOUBLE) / 10000.0 AS delta, " +
+        "CAST(count(*) AS BIGINT) AS resamples, " +
+        "CAST(sum(CASE WHEN abs(d.dd) >= abs(o.od) THEN 1 ELSE 0 END) + 1 " +
+        "AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE) AS p_value " +
+        "FROM d, o WHERE d.r > 0 GROUP BY 1, 2, 3, 4"
+    },
+    // paired chrF mirror: two per-doc chrF stats chains off one gt, the
+    // same swap gate, per-r pooled per-order sums, each resampled chrF2
+    // on the floor grid (fixed left-to-right ratio sums), exceedance count
+    "eval_ab_paired_chrf" -> {
+      val r = 200
+      val seed = 11L
+      val stat = Seq("cand_chars", "ref_chars") ++
+        (1 to 6).flatMap(n => Seq(s"mc$n", s"cc$n", s"rc$n"))
+      val flip = pmSql(hashRawSql(
+        s"(${hashRawSql("doc_id", seed)}) + r", seed * 31 + 7), "2")
+      def si(t: String) = {
+        def pr(den: String) = "(" + (1 to 6).map(n =>
+          s"CASE WHEN ${t}_$den$n = 0 THEN 0.0 ELSE " +
+            s"CAST(${t}_mc$n AS DOUBLE) / CAST(${t}_$den$n AS DOUBLE) END")
+          .mkString(" + ") + ") / 6.0"
+        val p = pr("cc")
+        val rr = pr("rc")
+        s"CAST(floor((CASE WHEN 4.0 * ($p) + ($rr) = 0.0 THEN 0.0 " +
+          s"ELSE 5.0 * ($p) * ($rr) / (4.0 * ($p) + ($rr)) END) " +
+          "* 10000.0 + 0.499999) AS BIGINT)"
+      }
+      s"WITH $GtCte, ${genPairCtePfx("a", 15, 7)}, ${chrfDocStatsCtes("a")}, " +
+        s"${genPairCtePfx("b", 20, 13)}, ${chrfDocStatsCtes("b")}, " +
+        "j AS (SELECT a.doc_id, " +
+        stat.map(nm => s"a.$nm AS a_$nm, b.$nm AS b_$nm").mkString(", ") +
+        " FROM acw a JOIN bcw b USING (doc_id)), " +
+        s"g AS (SELECT r, CASE WHEN r > 0 AND $flip = 1 THEN 1 ELSE 0 END " +
+        "AS fl, " + stat.map(nm => s"a_$nm, b_$nm").mkString(", ") +
+        s" FROM j, LATERAL (SELECT unnest(generate_series(0, $r)) AS r)), " +
+        "s AS (SELECT r, CAST(count(*) AS BIGINT) AS n, " +
+        stat.map(nm =>
+          s"CAST(sum(CASE WHEN fl = 1 THEN b_$nm ELSE a_$nm END) AS BIGINT) " +
+            s"AS a_$nm, " +
+            s"CAST(sum(CASE WHEN fl = 1 THEN a_$nm ELSE b_$nm END) AS BIGINT) " +
+            s"AS b_$nm").mkString(", ") +
+        " FROM g GROUP BY r), " +
+        s"d AS (SELECT r, n, sa, sb, sa - sb AS dd FROM " +
+        s"(SELECT r, n, ${si("a")} AS sa, ${si("b")} AS sb FROM s)), " +
+        "o AS (SELECT n AS n_pairs, sa AS oa, sb AS ob, dd AS od FROM d " +
+        "WHERE r = 0) " +
+        "SELECT o.n_pairs, CAST(o.oa AS DOUBLE) / 10000.0 AS chrf_a, " +
+        "CAST(o.ob AS DOUBLE) / 10000.0 AS chrf_b, " +
         "CAST(o.od AS DOUBLE) / 10000.0 AS delta, " +
         "CAST(count(*) AS BIGINT) AS resamples, " +
         "CAST(sum(CASE WHEN abs(d.dd) >= abs(o.od) THEN 1 ELSE 0 END) + 1 " +

@@ -958,7 +958,13 @@ object Eval {
       (1 to maxN).toList.flatMap(n => List(s"m$n", s"c$n"))
     def side(df: DataFrame, t: String) = df.select(
       col(idCol) +: statNames.map(n => col(n).as(s"${t}_$n")): _*)
+    // persisted (pair-count-sized, eval-set scale): the ×(R+1) fan-out
+    // below would otherwise RE-EVALUATE the per-pair stat computation per
+    // resample row (Catalyst collapses the projection through the
+    // crossJoin) — measured 13.7 s → 1.3 s on the mean variant's dropout
+    // scores. Callers owning long-lived sessions clearCache.
     val joined = side(statsA, "a").join(side(statsB, "b"), Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = statsA.sparkSession
     // r = 0 is the OBSERVED assignment (never swapped); r = 1..R swap
     // per pair by the chained portable hash of (id, r)
@@ -987,9 +993,12 @@ object Eval {
         floor(bp * exp(logSum / lit(maxN.toDouble)) * lit(10000.0) +
           lit(0.499999)).cast("long"))
     }
+    // persisted ((R+1)-row): the observed row and the resample scan both
+    // read it — without the cache the whole fan-out aggregation runs twice
     val perR = sums.select(col("__r"), col("n"),
       si("a").as("__sa"), si("b").as("__sb"))
       .withColumn("__d", col("__sa") - col("__sb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val obs = perR.filter(col("__r") === 0L).select(
       col("n").as("n_pairs"), col("__sa").as("__oa"),
       col("__sb").as("__ob"), col("__d").as("__od"))
@@ -1003,6 +1012,79 @@ object Eval {
       .select(col("n_pairs"),
         (col("__oa").cast("double") / lit(10000.0)).as("bleu_a"),
         (col("__ob").cast("double") / lit(10000.0)).as("bleu_b"),
+        (col("__od").cast("double") / lit(10000.0)).as("delta"),
+        col("resamples"),
+        ((col("__ge") + lit(1L)).cast("double") /
+          (col("resamples") + lit(1L)).cast("double")).as("p_value"))
+  }
+
+  /** [[pairedBleuSignificance]] for corpus chrF2 — the same hash-gated
+    * per-pair swap machinery over [[chrFPairStats]] relations: per
+    * resample the pooled per-order clipped sums recompute [[corpusChrF]]'s
+    * exact arithmetic, each score lands on the round-4 fixed-point grid,
+    * and p is the exact integer exceedance count. Output:
+    * (n_pairs, chrf_a, chrf_b, delta, resamples, p_value). Same scale
+    * shape: pairs × (R+1) against a broadcast index, ONE map-side-combined
+    * exchange keyed by r. */
+  def pairedChrFSignificance(statsA: DataFrame, statsB: DataFrame,
+      resamples: Int, seed: Long = 42, maxN: Int = 6,
+      idCol: String = "doc_id"): DataFrame = {
+    require(resamples >= 1, s"resamples must be >= 1, got $resamples")
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val statNames = "cand_chars" :: "ref_chars" ::
+      (1 to maxN).toList.flatMap(n => List(s"mc$n", s"cc$n", s"rc$n"))
+    def side(df: DataFrame, t: String) = df.select(
+      col(idCol) +: statNames.map(n => col(n).as(s"${t}_$n")): _*)
+    // persisted pair-sized + (R+1)-row relations — the
+    // pairedBleuSignificance cache rationale (no per-resample stat
+    // recompute, no double fan-out pass)
+    val joined = side(statsA, "a").join(side(statsB, "b"), Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = statsA.sparkSession
+    val rs = broadcast(spark.range(0L, resamples + 1L).toDF("__r"))
+    val flip = col("__r") > 0L &&
+      pmod(Sampling.hashRaw(
+        Sampling.hashRaw(col(idCol), seed) + col("__r"), seed * 31 + 7),
+        lit(2L)) === 1L
+    val aggs = statNames.flatMap { nm => List(
+      sum(when(flip, col(s"b_$nm")).otherwise(col(s"a_$nm"))).as(s"a_$nm"),
+      sum(when(flip, col(s"a_$nm")).otherwise(col(s"b_$nm"))).as(s"b_$nm"))
+    }
+    val sums = joined.crossJoin(rs).groupBy("__r")
+      .agg(count(lit(1)).as("n"), aggs: _*)
+    // corpusChrF's arithmetic onto the fixed-point grid
+    def si(t: String) = {
+      def ratio(num: org.apache.spark.sql.Column,
+          den: org.apache.spark.sql.Column) =
+        when(den === 0L, lit(0.0))
+          .otherwise(num.cast("double") / den.cast("double"))
+      val p = (1 to maxN).map(n =>
+        ratio(col(s"${t}_mc$n"), col(s"${t}_cc$n"))).reduce(_ + _) /
+        lit(maxN.toDouble)
+      val r = (1 to maxN).map(n =>
+        ratio(col(s"${t}_mc$n"), col(s"${t}_rc$n"))).reduce(_ + _) /
+        lit(maxN.toDouble)
+      val chrf = when(lit(4.0) * p + r === 0.0, lit(0.0))
+        .otherwise(lit(5.0) * p * r / (lit(4.0) * p + r))
+      floor(chrf * lit(10000.0) + lit(0.499999)).cast("long")
+    }
+    val perR = sums.select(col("__r"), col("n"),
+      si("a").as("__sa"), si("b").as("__sb"))
+      .withColumn("__d", col("__sa") - col("__sb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val obs = perR.filter(col("__r") === 0L).select(
+      col("n").as("n_pairs"), col("__sa").as("__oa"),
+      col("__sb").as("__ob"), col("__d").as("__od"))
+    perR.filter(col("__r") > 0L).crossJoin(broadcast(obs))
+      .agg(max(col("n_pairs")).as("n_pairs"),
+        max(col("__oa")).as("__oa"), max(col("__ob")).as("__ob"),
+        max(col("__od")).as("__od"),
+        count(lit(1)).as("resamples"),
+        sum(when(abs(col("__d")) >= abs(col("__od")), 1L).otherwise(0L))
+          .as("__ge"))
+      .select(col("n_pairs"),
+        (col("__oa").cast("double") / lit(10000.0)).as("chrf_a"),
+        (col("__ob").cast("double") / lit(10000.0)).as("chrf_b"),
         (col("__od").cast("double") / lit(10000.0)).as("delta"),
         col("resamples"),
         ((col("__ge") + lit(1L)).cast("double") /
@@ -1036,13 +1118,21 @@ object Eval {
       pmod(Sampling.hashRaw(
         Sampling.hashRaw(col(idCol), seed) + col("__r"), seed * 31 + 7),
         lit(2L)) === 1L
+    // persisted (pair-count-sized): without the barrier Catalyst inlines
+    // the caller's score expressions through the crossJoin and recomputes
+    // them per (pair, resample) row — the bench caught the dropout-score
+    // fixture at 13.7 s; with the cache it is one pass over the pairs
     val base = pairs.select(col(idCol),
       col(aCol).cast("long").as("__a"), col(bCol).cast("long").as("__b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted ((R+1)-row): read by both the observed row and the
+    // resample exceedance scan
     val perR = base.crossJoin(rs).groupBy("__r").agg(
         count(lit(1)).as("n"),
         sum(when(flip, col("__b")).otherwise(col("__a"))).as("__sa"),
         sum(when(flip, col("__a")).otherwise(col("__b"))).as("__sb"))
       .withColumn("__d", col("__sa") - col("__sb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val obs = perR.filter(col("__r") === 0L).select(
       col("n").as("n_pairs"), col("__sa").as("__oa"),
       col("__sb").as("__ob"), col("__d").as("__od"))

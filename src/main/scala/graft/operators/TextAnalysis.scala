@@ -1820,6 +1820,20 @@ object TextAnalysis {
       .toDF("rank", "lhs", "rhs", "pair_count", "total_pieces")
   }
 
+  /** The BYTE-LEVEL compression curve — [[bpeLearnCurve]] over the
+    * hex-byte symbolization: total_pieces starts at the corpus's UTF-8
+    * BYTE budget (every token participates — this curve prices the whole
+    * corpus, not just word forms) and walks down as merges land; the
+    * vocabulary-size selection tool for the GPT-2 family. */
+  def bbpeLearnCurve(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    subwordLearnLocalRows(docs, rounds, textCol, wordpiece = false,
+      byteLevel = true)
+      .toDF("rank", "lhs", "rhs", "pair_count", "total_pieces")
+  }
+
   private def subwordLearnLocalRows(docs: DataFrame, rounds: Int,
       textCol: String, wordpiece: Boolean,
       byteLevel: Boolean = false): Seq[(Long, String, String, Long, Long)] = {
