@@ -1039,6 +1039,24 @@ class PlanSpec extends AnyFunSuite {
       s"the native apply must not explode tokens:\n$plan")
   }
 
+  test("paired randomization reads CACHED per-pair stats — the resample " +
+      "fan-out never re-evaluates per-pair work") {
+    // the round-16 bench catch: Catalyst collapses projections through
+    // the ×(R+1) crossJoin, re-running the pair-stat computation per
+    // resample row (13.7 s vs 1.3 s). The operators persist the pair
+    // relation and the per-resample relation — pin both cache reads
+    try {
+      for (q <- Seq("eval_ab_paired_mean", "eval_ab_paired",
+          "eval_ab_paired_chrf")) {
+        val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        val plan = executedPlan(df)
+        assert("InMemoryTableScan".r.findAllIn(plan).length >= 2,
+          s"$q must read both the pair cache and the per-resample cache:\n" +
+            plan.take(4000))
+      }
+    } finally spark.catalog.clearCache()
+  }
+
   test("native byte-level BPE apply is a pure narrow map — zero exchanges, " +
       "no explode") {
     val df = graft.operators.TextAnalysis.bbpeEncodedCountsFast(
