@@ -4386,6 +4386,22 @@ object SparkEntry {
       Eval.pairedBleuSignificance(stats(15, 7), stats(20, 13),
         resamples = 200, seed = 11)
     }),
+    // MULTI-REFERENCE corpus BLEU (Papineni §2.1's full clip): two
+    // independent dropout references per candidate — per-gram ceilings
+    // max over refs, brevity length = closest ref (ties shorter); the
+    // pooled roll-up is corpusBleu unchanged
+    "eval_gen_bleu_multiref" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def drop(pct: Int, seed: Long, as: String) =
+        TextAnalysis.wordDropout(d, dropPct = pct, seed = seed)
+          .select(col("doc_id"), col("text_aug").as(as))
+      val pairs = drop(15, 7, "cand")
+        .join(drop(10, 42, "ref1"), Seq("doc_id"))
+        .join(drop(12, 99, "ref2"), Seq("doc_id"))
+        .select(col("doc_id"), col("cand"),
+          array(col("ref1"), col("ref2")).as("refs"))
+      Eval.corpusBleu(Eval.generationPairStatsMultiRef(pairs))
+    }),
     // the chrF sibling of eval_ab_paired: the same swap machinery over
     // per-pair char-gram stats, each resampled chrF2 on the round-4 grid
     "eval_ab_paired_chrf" -> ((s, dir) => {
@@ -7078,6 +7094,63 @@ object SparkEntry {
         "CAST(sum(CASE WHEN abs(d.dd) >= abs(o.od) THEN 1 ELSE 0 END) + 1 " +
         "AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE) AS p_value " +
         "FROM d, o WHERE d.r > 0 GROUP BY 1, 2, 3, 4"
+    },
+    // multi-reference BLEU mirror: candidate + TWO reference kept-lists
+    // off one gt, per-gram clip ceilings maxed over the refs (distinct-
+    // gram comprehension), closest-ref brevity length, the standard
+    // pooled corpus tail
+    "eval_gen_bleu_multiref" -> {
+      def grams(src: String, n: Int) =
+        if (n == 1) src
+        else s"[array_to_string($src[i:i+${n - 1}], ' ') for i in " +
+          s"generate_series(1, len($src) - ${n - 1})]"
+      def clip(n: Int) =
+        s"CAST(coalesce(list_sum([least(len(list_filter(cg$n, x -> x = g)), " +
+          s"greatest(len(list_filter(ag$n, x -> x = g)), " +
+          s"len(list_filter(bg$n, x -> x = g)))) " +
+          s"for g in list_distinct(cg$n)]), 0) AS BIGINT) AS m$n"
+      s"WITH $GtCte, " +
+        "gpm AS (SELECT doc_id, " +
+        s"[x for x in ${genKeptSql(15, 7)} if x <> ''][1:48] AS cs, " +
+        s"[x for x in ${genKeptSql(10, 42)} if x <> ''][1:48] AS r1, " +
+        s"[x for x in ${genKeptSql(12, 99)} if x <> ''][1:48] AS r2 FROM gt), " +
+        "gg2 AS (SELECT doc_id, cs, r1, r2, " +
+        (1 to 4).map(n => s"${grams("cs", n)} AS cg$n, " +
+          s"${grams("r1", n)} AS ag$n, ${grams("r2", n)} AS bg$n")
+          .mkString(", ") +
+        " FROM gpm), " +
+        "ms2 AS (SELECT doc_id, CAST(len(cs) AS BIGINT) AS cand_len, " +
+        "CAST(CASE WHEN abs(len(r1) - len(cs)) < abs(len(r2) - len(cs)) " +
+        "THEN len(r1) WHEN abs(len(r2) - len(cs)) < abs(len(r1) - len(cs)) " +
+        "THEN len(r2) ELSE least(len(r1), len(r2)) END AS BIGINT) AS ref_len, " +
+        (1 to 4).map(n =>
+          s"${clip(n)}, CAST(len(cg$n) AS BIGINT) AS c$n").mkString(", ") +
+        " FROM gg2), " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(cand_len) AS BIGINT) AS cand_tokens, " +
+        "CAST(sum(ref_len) AS BIGINT) AS ref_tokens, " +
+        (1 to 4).map(n => s"CAST(sum(m$n) AS BIGINT) AS sm$n, " +
+          s"CAST(sum(c$n) AS BIGINT) AS sc$n").mkString(", ") +
+        " FROM ms2) " +
+        "SELECT n_pairs, cand_tokens, ref_tokens, " +
+        (1 to 4).map(n => s"CASE WHEN sc$n = 0 THEN 0.0 ELSE " +
+          s"CAST(sm$n AS DOUBLE) / CAST(sc$n AS DOUBLE) END AS p$n")
+          .mkString(", ") + ", " +
+        "CASE WHEN cand_tokens = 0 THEN 0.0 ELSE " +
+        sqlRound4("CASE WHEN cand_tokens >= ref_tokens THEN 1.0 " +
+          "ELSE exp(1.0 - CAST(ref_tokens AS DOUBLE) / " +
+          "CAST(cand_tokens AS DOUBLE)) END") +
+        " END AS bp, " +
+        "CASE WHEN sm1 = 0 OR sm2 = 0 OR sm3 = 0 OR sm4 = 0 " +
+        "OR cand_tokens = 0 THEN 0.0 ELSE " +
+        sqlRound4("(CASE WHEN cand_tokens >= ref_tokens THEN 1.0 " +
+          "ELSE exp(1.0 - CAST(ref_tokens AS DOUBLE) / " +
+          "CAST(cand_tokens AS DOUBLE)) END) * " +
+          "exp((((ln(CAST(sm1 AS DOUBLE) / CAST(sc1 AS DOUBLE)) + " +
+          "ln(CAST(sm2 AS DOUBLE) / CAST(sc2 AS DOUBLE))) + " +
+          "ln(CAST(sm3 AS DOUBLE) / CAST(sc3 AS DOUBLE))) + " +
+          "ln(CAST(sm4 AS DOUBLE) / CAST(sc4 AS DOUBLE))) / 4.0)") +
+        " END AS bleu FROM s"
     },
     // paired chrF mirror: two per-doc chrF stats chains off one gt, the
     // same swap gate, per-r pooled per-order sums, each resampled chrF2

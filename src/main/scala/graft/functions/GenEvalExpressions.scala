@@ -44,6 +44,14 @@ object GenEvalExpressions {
     GraftBridge.column(PairCharStats(GraftBridge.expression(cand),
       GraftBridge.expression(ref), maxN, capTokens, capChars))
 
+  /** MULTI-REFERENCE BLEU pair stats: struct(cand_len, ref_len (closest,
+    * ties shorter), m, c — arrays of maxN longs with the clip ceiling
+    * maxed over ALL references). `refs` is an array<string> column. */
+  def multiRefTokenStats(cand: Column, refs: Column, maxN: Int,
+      capTokens: Int): Column =
+    GraftBridge.column(MultiRefTokenStats(GraftBridge.expression(cand),
+      GraftBridge.expression(refs), maxN, capTokens))
+
   /** T5-style span corruption (TextAnalysis.spanCorrupt's native walk):
     * struct(inputs, targets, n_spans, n_corrupted, n_tokens). */
   def spanCorrupt(docId: Column, text: Column, startPct: Int,
@@ -83,14 +91,14 @@ object GenEvalExpressions {
     val m = new java.util.HashMap[String, Int](ca * 2)
     var i = 0
     while (i < ca) {
-      val g = gram(a, i, n)
+      val g = gramAt(a, i, n)
       m.merge(g, 1, Integer.sum)
       i += 1
     }
     var matched = 0L
     i = 0
     while (i < cb) {
-      val g = gram(b, i, n)
+      val g = gramAt(b, i, n)
       val left = m.getOrDefault(g, 0)
       if (left > 0) { matched += 1; m.put(g, left - 1) }
       i += 1
@@ -98,7 +106,7 @@ object GenEvalExpressions {
     (matched, ca.toLong, cb.toLong)
   }
 
-  private def gram(t: Array[String], i: Int, n: Int): String =
+  private[functions] def gramAt(t: Array[String], i: Int, n: Int): String =
     if (n == 1) t(i)
     else {
       val sb = new java.lang.StringBuilder(t(i))
@@ -316,6 +324,114 @@ case class PairTokenStats(left: Expression, right: Expression, maxN: Int,
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): PairTokenStats =
+    copy(left = newLeft, right = newRight)
+}
+
+/** struct(cand_len, ref_len, m[maxN], c[maxN]) — MULTI-REFERENCE BLEU
+  * statistics (Papineni et al. 2002 §2.1's actual formulation, which the
+  * single-ref path can't express): per n-gram the clip ceiling is the MAX
+  * count over ALL references, and ref_len is the reference length CLOSEST
+  * to the candidate's (ties to the shorter — the standard BP convention).
+  * NULL candidate text and NULL ref elements coalesce to ""; an
+  * empty/NULL refs array yields ref_len 0 and zero matches. One JVM eval
+  * per row — the multi-ref eval relation stays a zero-shuffle narrow map
+  * once refs are collected per candidate. */
+case class MultiRefTokenStats(left: Expression, right: Expression,
+    maxN: Int, capTokens: Int) extends BinaryExpression with CodegenFallback {
+  import GenEvalExpressions._
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cand_len", LongType, nullable = false),
+    StructField("ref_len", LongType, nullable = false),
+    StructField("m", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("c", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"multi_ref_token_stats needs (string, array<string>), got ($l, $r)")
+    }
+
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    val cs = if (l == null) "" else l.asInstanceOf[UTF8String].toString
+    val a = toks(cs, capTokens)
+    val refs: Array[Array[String]] =
+      if (r == null) Array.empty
+      else {
+        val arr = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        Array.tabulate(arr.numElements()) { i =>
+          val u = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+          toks(if (u == null) "" else u.toString, capTokens)
+        }
+      }
+    // closest ref length, ties to the SHORTER (minimize (|len−cand|, len))
+    var refLen = 0L
+    var bestDiff = Long.MaxValue
+    refs.foreach { t =>
+      val d = math.abs(t.length.toLong - a.length)
+      if (d < bestDiff || (d == bestDiff && t.length < refLen)) {
+        bestDiff = d; refLen = t.length.toLong
+      }
+    }
+    val m = new Array[Long](maxN)
+    val c = new Array[Long](maxN)
+    var n = 1
+    while (n <= maxN) {
+      val (mm, cc) = clippedMaxRef(a, refs, n)
+      m(n - 1) = mm; c(n - 1) = cc
+      n += 1
+    }
+    new GenericInternalRow(Array[Any](a.length.toLong, refLen,
+      new GenericArrayData(m), new GenericArrayData(c)))
+  }
+
+  /** Σ_g min(count_cand(g), max_r count_ref_r(g)) plus the candidate gram
+    * total — the multi-reference clipped count. */
+  private def clippedMaxRef(a: Array[String], refs: Array[Array[String]],
+      n: Int): (Long, Long) = {
+    val ca = math.max(a.length - n + 1, 0)
+    if (ca == 0) return (0L, 0L)
+    val cand = new java.util.HashMap[String, Int](ca * 2)
+    var i = 0
+    while (i < ca) {
+      cand.merge(GenEvalExpressions.gramAt(a, i, n), 1, Integer.sum)
+      i += 1
+    }
+    val ceil = new java.util.HashMap[String, Int](ca * 2)
+    refs.foreach { t =>
+      val cb = math.max(t.length - n + 1, 0)
+      val one = new java.util.HashMap[String, Int](math.max(cb * 2, 4))
+      var j = 0
+      while (j < cb) {
+        one.merge(GenEvalExpressions.gramAt(t, j, n), 1, Integer.sum)
+        j += 1
+      }
+      val it = one.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        ceil.merge(e.getKey, e.getValue, (x, y) => Integer.max(x, y))
+      }
+    }
+    var matched = 0L
+    val it = cand.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      matched += math.min(e.getValue, ceil.getOrDefault(e.getKey, 0)).toLong
+    }
+    (matched, ca.toLong)
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    throw new IllegalStateException("eval is overridden")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): MultiRefTokenStats =
     copy(left = newLeft, right = newRight)
 }
 

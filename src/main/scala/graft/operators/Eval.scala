@@ -376,6 +376,36 @@ object Eval {
         List(col("__st.lcs").as("lcs")): _*)
   }
 
+  /** MULTI-REFERENCE BLEU statistics (Papineni et al. 2002 §2.1's full
+    * formulation — what the single-ref path structurally cannot express):
+    * per n-gram the clip ceiling is the MAX count over ALL references of
+    * the candidate's item, and `ref_len` is the reference length CLOSEST
+    * to the candidate's (ties to the shorter — the standard brevity
+    * convention), so [[corpusBleu]] consumes the output unchanged.
+    * `pairs` carries one row per candidate with `refsCol` an
+    * array<string> of its references (refs arriving as ROWS collect per
+    * candidate with ONE groupBy(collect_list) exchange first — reference
+    * counts are small constants, so the array is bounded).
+    *
+    * Scale shape: one narrow native map over the eval relation
+    * ([[graft.functions.MultiRefTokenStats]] — per-row HashMap gram
+    * ceilings, no explode, no join); the corpus roll-up stays the one
+    * map-side-combined single-row aggregate. */
+  def generationPairStatsMultiRef(pairs: DataFrame, maxN: Int = 4,
+      capTokens: Int = 48, idCol: String = "doc_id",
+      candCol: String = "cand", refsCol: String = "refs"): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val st = graft.functions.GenEvalExpressions.multiRefTokenStats(
+      col(candCol), col(refsCol), maxN, capTokens)
+    pairs.select(col(idCol), st.as("__st"))
+      .select(col(idCol) ::
+        col("__st.cand_len").as("cand_len") ::
+        col("__st.ref_len").as("ref_len") ::
+        (1 to maxN).toList.flatMap(n => List(
+          element_at(col("__st.m"), n).as(s"m$n"),
+          element_at(col("__st.c"), n).as(s"c$n"))): _*)
+  }
+
   /** Native fast path of [[chrFPairStats]] — same schema, same exact
     * integers, equality-pinned; see [[generationPairStatsFast]]. */
   def chrFPairStatsFast(pairs: DataFrame, maxN: Int = 6,

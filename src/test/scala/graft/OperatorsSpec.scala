@@ -3336,6 +3336,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sentinel == Seq((9L, -1L, false, -1L, -1L, -1L, -1L)))
   }
 
+  test("multi-reference BLEU stats: max-over-refs clipping, closest-ref " +
+      "brevity length, single-ref consistency") {
+    import graft.operators.Eval
+    val pairs = Seq(
+      // m1: a,b,c all ceilinged 1 → 3; m2: {a b}∈r1, {b c}∈r2 → 2;
+      // ref lens 3 and 2 vs cand 3 → closest 3
+      (1L, "a b c", Seq("a b d", "b c")),
+      // repeated-gram ceiling: cand a×2, refs ceilings max(1, 3)=3 → m1=2;
+      // ref lens 1, 3 vs cand 2: diffs 1,1 → tie → SHORTER → 1
+      (2L, "a a", Seq("a", "a a a")),
+      // empty refs array: ref_len 0, zero matches
+      (3L, "x y", Seq.empty[String]),
+      // NULL ref element coalesces to ""
+      (4L, "p q", Seq(null.asInstanceOf[String], "p q")))
+      .toDF("doc_id", "cand", "refs")
+    val got = Eval.generationPairStatsMultiRef(pairs, maxN = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, 3L, 3L, 2L, 2L),
+      (2L, 2L, 1L, 2L, 2L, 1L, 1L),
+      (3L, 2L, 0L, 0L, 2L, 0L, 1L),
+      (4L, 2L, 2L, 2L, 2L, 1L, 1L)), s"got $got")
+    // one ref ≡ the single-ref stats (m/c and ref_len agree row for row)
+    val d = docs.limit(60).selectExpr("doc_id", "text AS cand",
+      "substr(text, 8) AS ref")
+    val single = Eval.generationPairStatsFast(d)
+      .select("doc_id", "cand_len", "ref_len", "m1", "c1", "m2", "c2",
+        "m3", "c3", "m4", "c4").collect().toSet
+    val multi = Eval.generationPairStatsMultiRef(
+        d.select(col("doc_id"), col("cand"), array(col("ref")).as("refs")))
+      .collect().toSet
+    assert(multi == single)
+  }
+
   test("VAD speech ratio: voiced fraction is exact; undecodable docs " +
       "report zero spans with NULL ratio") {
     import graft.operators.Multimodal
