@@ -4386,6 +4386,13 @@ object SparkEntry {
       Eval.pairedBleuSignificance(stats(15, 7), stats(20, 13),
         resamples = 200, seed = 11)
     }),
+    // distinct-n generation diversity (Li 2016): distinct/total n-grams
+    // over the dropout-generation corpus, n = 1..3 — the mode-collapse
+    // audit; exact long counts, one division per row
+    "eval_gen_distinct_n" -> ((s, dir) =>
+      Eval.distinctNgramRatio(
+        TextAnalysis.wordDropout(docs(s, dir), dropPct = 15, seed = 7)
+          .select(col("text_aug").as("cand")))),
     // MULTI-REFERENCE corpus BLEU (Papineni §2.1's full clip): two
     // independent dropout references per candidate — per-gram ceilings
     // max over refs, brevity length = closest ref (ties shorter); the
@@ -7095,6 +7102,27 @@ object SparkEntry {
         "AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE) AS p_value " +
         "FROM d, o WHERE d.r > 0 GROUP BY 1, 2, 3, 4"
     },
+    // distinct-n mirror: the same kept-list generations, per-n gram
+    // comprehensions, exact counts, one division; zero-gram orders keep
+    // their row with NULL ratio
+    "eval_gen_distinct_n" ->
+      (s"WITH $GtCte, " +
+        s"gk AS (SELECT [x for x in ${genKeptSql(15, 7)} if x <> ''][1:48] " +
+        "AS t FROM gt), " +
+        "e AS (SELECT n, unnest(CASE WHEN len(t) < n THEN [] " +
+        "ELSE [array_to_string(t[i:i+n-1], ' ') for i in " +
+        "generate_series(1, len(t) - n + 1)] END) AS g " +
+        "FROM gk, (SELECT unnest(generate_series(1, 3)) AS n) ns), " +
+        "per AS (SELECT n, CAST(count(*) AS BIGINT) AS n_grams, " +
+        "CAST(count(DISTINCT g) AS BIGINT) AS n_distinct FROM e GROUP BY n) " +
+        "SELECT CAST(ns.n AS BIGINT) AS n, " +
+        "coalesce(per.n_grams, 0) AS n_grams, " +
+        "coalesce(per.n_distinct, 0) AS n_distinct, " +
+        "CASE WHEN coalesce(per.n_grams, 0) > 0 THEN " +
+        "CAST(per.n_distinct AS DOUBLE) / CAST(per.n_grams AS DOUBLE) END " +
+        "AS distinct_ratio " +
+        "FROM (SELECT unnest(generate_series(1, 3)) AS n) ns " +
+        "LEFT JOIN per ON per.n = ns.n"),
     // multi-reference BLEU mirror: candidate + TWO reference kept-lists
     // off one gt, per-gram clip ceilings maxed over the refs (distinct-
     // gram comprehension), closest-ref brevity length, the standard

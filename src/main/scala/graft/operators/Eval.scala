@@ -376,6 +376,50 @@ object Eval {
         List(col("__st.lcs").as("lcs")): _*)
   }
 
+  /** DISTINCT-N generation diversity (Li et al. 2016, "A
+    * Diversity-Promoting Objective Function for Neural Conversation
+    * Models"): for n = 1..maxN, the number of DISTINCT n-grams across
+    * the whole generation corpus over the total n-gram count — the
+    * standard mode-collapse audit (self-repetitive generators score low).
+    * One row per n: (n, n_grams, n_distinct, distinct_ratio) — counts are
+    * exact longs, the ratio ONE division; n with zero grams reports NULL
+    * ratio. Tokenization is the gen-eval contract (set-trim, ws split,
+    * drop empties, cap).
+    *
+    * Scale shape: one explode of per-row tagged grams (bounded by
+    * maxN·capTokens per row) into ONE exchange keyed by (n, gram) for the
+    * distinct count, re-aggregated to maxN rows — at 100 TB this is the
+    * same shape as every n-gram profile in the text plane. */
+  def distinctNgramRatio(gens: DataFrame, maxN: Int = 3,
+      capTokens: Int = 48, textCol: String = "cand"): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val tok = slice(filter(TextAnalysis.tokens(
+      coalesce(col(textCol), lit(""))), x => length(x) > lit(0)),
+      1, capTokens)
+    def grams(toks: org.apache.spark.sql.Column, n: Int) =
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+    val tagged = gens.select(tok.as("__t"))
+      .select(explode(flatten(array((1 to maxN).map(n =>
+        transform(grams(col("__t"), n),
+          g => struct(lit(n).as("n"), g.as("g")))): _*))).as("p"))
+      .select(col("p.n").as("n"), col("p.g").as("g"))
+    val per = tagged.groupBy("n", "g").agg(count(lit(1)).as("__k"))
+      .groupBy("n").agg(sum("__k").as("n_grams"),
+        count(lit(1)).as("n_distinct"))
+    // every n gets a row even when the corpus has no grams of that order
+    val ns = broadcast(gens.sparkSession.range(1, maxN + 1L)
+      .select(col("id").cast("int").as("n")))
+    ns.join(per, Seq("n"), "left")
+      .select(col("n").cast("long").as("n"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0L,
+          col("n_distinct").cast("double") / col("n_grams").cast("double"))
+          .as("distinct_ratio"))
+  }
+
   /** MULTI-REFERENCE BLEU statistics (Papineni et al. 2002 §2.1's full
     * formulation — what the single-ref path structurally cannot express):
     * per n-gram the clip ceiling is the MAX count over ALL references of

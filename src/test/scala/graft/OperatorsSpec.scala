@@ -3336,6 +3336,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sentinel == Seq((9L, -1L, false, -1L, -1L, -1L, -1L)))
   }
 
+  test("distinct-n: hand-counted ratios, empty orders keep NULL-ratio rows") {
+    import graft.operators.Eval
+    // corpus "a b a", "a b": 1-grams a,b,a,a,b → 5 total, 2 distinct;
+    // 2-grams "a b","b a","a b" → 3 total, 2 distinct; 3-grams "a b a"
+    // → 1 total, 1 distinct
+    val got = Eval.distinctNgramRatio(
+        Seq("a b a", "a b").toDF("cand"), maxN = 4)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 5L, 2L, Some(0.4)),
+      (2L, 3L, 2L, Some(2.0 / 3.0)),
+      (3L, 1L, 1L, Some(1.0)),
+      (4L, 0L, 0L, None)), s"got $got")
+    // a maximally repetitive corpus collapses the ratio
+    val rep = Eval.distinctNgramRatio(
+        Seq.fill(10)("x x x x").toDF("cand"), maxN = 2)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(rep == Seq((1L, 40L, 1L, Some(0.025)),
+      (2L, 30L, 1L, Some(1.0 / 30.0))), s"rep $rep")
+  }
+
   test("multi-reference BLEU stats: max-over-refs clipping, closest-ref " +
       "brevity length, single-ref consistency") {
     import graft.operators.Eval
