@@ -30,6 +30,20 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // wall-clock budget (r16 lesson: BENCH_r16.json came back rc=124 /
+    // parsed:null because the 266-query sweep + warmup + calibration no
+    // longer fit the driver's own timeout — a timeout must never again
+    // produce an artifact with no data). Elapsed is measured from main
+    // entry; when the budget is exceeded the sweep stops where it is and
+    // the compact line still goes out, stamped partial with the unswept
+    // count (full unswept list on the verbose line + BENCH_FULL_local.json
+    // — the compact line must stay inside the ~2000-char tail capture).
+    // <=0 disables.
+    val benchStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1320").toDouble
+    def overBudget: Boolean = budgetSec > 0 && elapsedSec > budgetSec
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -84,11 +98,15 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.filter(SparkEntry.tierFilter()).sorted
     names.foreach { n =>
       // a query that fails at warmup would otherwise hide until the timed
-      // run — surface the message immediately
-      try exec(n, "/root/testdata/sf0.001")
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup of $n failed: ${e.getMessage}")
-      }
+      // run — surface the message immediately. Budget-gated: under a
+      // heavily throttled grant the sf0.001 pass alone can eat the budget;
+      // skipping the remaining warmups only makes timings colder, while
+      // blowing the budget produces NO timings at all
+      if (!overBudget)
+        try exec(n, "/root/testdata/sf0.001")
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup of $n failed: ${e.getMessage}")
+        }
     }
 
     def timedRun(name: String): Double = {
@@ -121,45 +139,76 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_CALIB_FLAG", "1.5").toDouble
     val probes = scala.collection.mutable.ArrayBuffer[Double](calibrationProbe())
     val rerun = scala.collection.mutable.ListBuffer.empty[String]
-    val raw = names.map { name =>
-      val times = (1 to 2).map(_ => timedRun(name))
-      val best =
-        if (times.contains(-1.0)) -1.0
-        else previous.get(name) match {
-          case Some(prev) if prev > 0 && times.min > 3 * prev =>
-            rerun += name
-            val t3 = timedRun(name)
-            if (t3 < 0) -1.0 else math.min(times.min, t3)
-          case _ => times.min
-        }
-      probes += calibrationProbe()
-      name -> best
+    val rawBuf = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    val unswept = scala.collection.mutable.ListBuffer.empty[String]
+    // steady-state policy (r16 verdict #1b): ONE timed run for a query whose
+    // previous-round record was sub-second AND whose single run lands within
+    // 3× of it — that query can't be hiding a regression the second run
+    // would reveal, and dropping ~130 runs is minutes of sweep wall-clock.
+    // Everything else keeps min-of-2, plus the existing >3×-previous rerun.
+    names.foreach { name =>
+      if (overBudget) unswept += name
+      else {
+        val t1 = timedRun(name)
+        val best =
+          if (t1 < 0) -1.0
+          else if (!needSecondRun(previous.get(name), t1)) t1
+          else {
+            val t2 = timedRun(name)
+            if (t2 < 0) -1.0
+            else {
+              val mn = math.min(t1, t2)
+              previous.get(name) match {
+                case Some(prev) if prev > 0 && mn > 3 * prev && !overBudget =>
+                  rerun += name
+                  val t3 = timedRun(name)
+                  if (t3 < 0) -1.0 else math.min(mn, t3)
+                case _ => mn
+              }
+            }
+          }
+        probes += calibrationProbe()
+        rawBuf += name -> best
+        // incremental record: atomic temp-file rename after EVERY query, so
+        // even a hard kill (the driver's timeout is SIGKILL-backed) leaves a
+        // parseable partial record on disk for the end-of-round commit
+        writeFullRecordAtomic("BENCH_FULL_local.json",
+          inProgressRecord(rawBuf.toList, names.drop(rawBuf.size), sfDir))
+      }
     }
+    val raw = rawBuf.toList
+    val sweptNames = raw.map(_._1)
     val calibMedian = medianOf(probes.toSeq)
     val factors0 = calibFactors(probes.toIndexedSeq)
-    val flagged0 = names.indices
-      .filter(i => factors0(i) > calibFlagThreshold).map(names)
+    val flagged0 = sweptNames.indices
+      .filter(i => factors0(i) > calibFlagThreshold).map(sweptNames)
     // rerun every flagged query once, bracketed by fresh probes: if the
     // fresh window is clean the new (min) time replaces the suspect one
     // and the flag clears; a window still hot keeps the flag — the record
     // is then stamped throttled rather than pretending the number is good
     val resultsMap = scala.collection.mutable.LinkedHashMap(raw: _*)
     val factors = scala.collection.mutable.Map(
-      names.zip(factors0).toSeq: _*)
+      sweptNames.zip(factors0).toSeq: _*)
     val calibRerun = scala.collection.mutable.ListBuffer.empty[String]
     flagged0.foreach { name =>
-      calibRerun += name
-      val p0 = calibrationProbe()
-      val t = timedRun(name)
-      val p1 = calibrationProbe()
-      val f = math.max(p0, p1) / calibMedian
-      if (t >= 0 && resultsMap(name) >= 0)
-        resultsMap(name) = math.min(resultsMap(name), t)
-      if (f <= calibFlagThreshold) factors(name) = f
+      // budget-gated: once over budget, surviving flags stand as-is (the
+      // record is then honestly stamped throttled) rather than burning the
+      // emission window on reruns
+      if (!overBudget) {
+        calibRerun += name
+        val p0 = calibrationProbe()
+        val t = timedRun(name)
+        val p1 = calibrationProbe()
+        val f = math.max(p0, p1) / calibMedian
+        if (t >= 0 && resultsMap(name) >= 0)
+          resultsMap(name) = math.min(resultsMap(name), t)
+        if (f <= calibFlagThreshold) factors(name) = f
+      }
     }
-    val flaggedFinal = names.filter(n => factors(n) > calibFlagThreshold)
+    val flaggedFinal = sweptNames.filter(n => factors(n) > calibFlagThreshold)
     val throttled = isThrottled(flaggedFinal.size)
-    val results = names.map(n => n -> resultsMap(n))
+    val results = sweptNames.map(n => n -> resultsMap(n))
+    val partial = unswept.nonEmpty
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // top-50 slowest individually + per-family sums: the line stays inside
@@ -171,7 +220,7 @@ object Bench {
     // keeps only the last ~2000 chars of stdout, so the throughput stats,
     // loadavgs and sf sit at the END of this line — they survive in the tail
     // remainder above the compact line even when the line's head is cut
-    val calibJson = names.map(n =>
+    val calibJson = sweptNames.map(n =>
       "\"" + n + "\":" + f"${factors(n)}%.2f").mkString("{", ",", "}")
     val calibFields =
       s""""calibration":$calibJson,""" +
@@ -179,9 +228,13 @@ object Bench {
       s""""calib_flag_threshold":$calibFlagThreshold,""" +
       s""""calib_rerun":${calibRerun.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""calib_flagged":${flaggedFinal.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""throttled":$throttled,"""
+      s""""throttled":$throttled,""" +
+      s""""partial":$partial,""" +
+      s""""unswept":${unswept.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""budget_sec":$budgetSec,""" +
+      f""""elapsed_sec":$elapsedSec%.1f,"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      """"query_repeat_policy":"min-of-2 timed runs per query, after a sf0.001 warmup pass; one extra run when >3x the previous round's time",""" +
+      """"query_repeat_policy":"single timed run when the previous-round record is <1s and the run lands within 3x of it, else min-of-2, after a sf0.001 warmup pass; one extra run when still >3x the previous round's time; whole sweep under a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC) with graceful partial emission",""" +
       """"throughput_policy":"median-of-5 after a discarded warmup run (min recorded); while the counted min is >3x below the counted median the slowest counted run is replaced by a fresh one (max 3); runs list is execution order incl. warmup and replacements",""" +
       """"calibration_policy":"fixed 20M-iteration single-thread xor-mul-rotate probe timed before/after every query; factor = max(bracketing probes)/sweep median; factor > threshold flags the query for ONE bracketed rerun (min taken when the fresh window is clean); 3+ surviving flags stamp the record throttled",""" +
       calibFields +
@@ -195,8 +248,7 @@ object Bench {
       s""""throughput_eps_min":${epsMin.round},"throughput_eps":${eps.round}}""")
     // insurance against ANY stdout truncation: the full verbose record also
     // lands in a file the driver's end-of-round commit will pick up
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL_local.json"),
+    try writeFullRecordAtomic("BENCH_FULL_local.json",
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         calibFields +
         s""""rerun_queries":${rerun.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
@@ -220,15 +272,9 @@ object Bench {
     // (plus every failure) in seconds and folds the rest into one
     // "_other+K" sum; the flat full-precision map lives on the verbose
     // line and in BENCH_FULL_local.json.
-    println(s"""{"metric":"total","value":${sig3(total)},"unit":"sec",""" +
-      s""""queries":${finalQueries(results, topN = 40)},""" +
-      s""""loadavg":[${f"$loadBefore%.1f"},${f"$loadAfter%.1f"}],""" +
-      s""""contended":$contended,""" +
-      f""""calib_median_sec":$calibMedian%.4f,""" +
-      s""""calib_flagged_count":${flaggedFinal.size},""" +
-      s""""throttled":$throttled,""" +
-      s""""throughput_eps":${eps.round},"throughput_eps_min":${epsMin.round},""" +
-      s""""sf":"$sfDir"}""")
+    println(compactLine(results, topN = 40, loadBefore, loadAfter, contended,
+      calibMedian, flaggedFinal.size, throttled, eps, epsMin, sfDir,
+      partial, unswept.size))
     spark.stop()
   }
 
@@ -286,6 +332,71 @@ object Bench {
     * paints a contiguous, family-looking regression cluster). */
   private[graft] def isThrottled(flaggedAfterRerun: Int): Boolean =
     flaggedAfterRerun >= 3
+
+  /** Single-run fast path (sweep-budget lever, r16 verdict #1b): a query
+    * whose previous-round record was sub-second AND whose single timed run
+    * lands within 3× of that record keeps the single run — a genuine
+    * regression or a hot calibration window both push the run past 3× and
+    * fall through to min-of-2 (and from there to the existing 3×-previous
+    * extra run). A failed run (-1) also falls through so the failure is
+    * confirmed before it enters the record. */
+  private[graft] def needSecondRun(prev: Option[Double], t1: Double,
+      fastBelowSec: Double = 1.0): Boolean =
+    !(t1 >= 0 && prev.exists(p => p > 0 && p < fastBelowSec && t1 <= 3 * p))
+
+  /** The compact LAST line of record in the driver's documented shape.
+    * Factored out of main so BenchSpec can pin that the budget-exhausted
+    * (partial) path still emits a parseable, capture-sized line: `partial`
+    * carries only the COUNT of unswept queries — the full name list goes to
+    * the verbose line and BENCH_FULL_local.json, because a 100-name list
+    * would overflow the ~2000-char tail capture this line must fit. */
+  private[graft] def compactLine(results: Seq[(String, Double)], topN: Int,
+      loadBefore: Double, loadAfter: Double, contended: Boolean,
+      calibMedian: Double, flaggedCount: Int, throttled: Boolean,
+      eps: Double, epsMin: Double, sfDir: String,
+      partial: Boolean, unsweptCount: Int): String = {
+    val total = results.collect { case (_, t) if t >= 0 => t }.sum
+    s"""{"metric":"total","value":${sig3(total)},"unit":"sec",""" +
+      s""""queries":${finalQueries(results, topN)},""" +
+      s""""loadavg":[${f"$loadBefore%.1f"},${f"$loadAfter%.1f"}],""" +
+      s""""contended":$contended,""" +
+      f""""calib_median_sec":$calibMedian%.4f,""" +
+      s""""calib_flagged_count":$flaggedCount,""" +
+      s""""throttled":$throttled,""" +
+      s""""partial":$partial,"unswept_count":$unsweptCount,""" +
+      s""""throughput_eps":${eps.round},"throughput_eps_min":${epsMin.round},""" +
+      s""""sf":"$sfDir"}"""
+  }
+
+  /** Mid-sweep snapshot of the full record: every timing so far plus the
+    * not-yet-swept names, parseable standalone — this is what survives on
+    * disk when the driver's timeout SIGKILLs the JVM mid-sweep. */
+  private[graft] def inProgressRecord(done: Seq[(String, Double)],
+      remaining: Seq[String], sfDir: String): String = {
+    val total = done.collect { case (_, t) if t >= 0 => t }.sum
+    val qs = done.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""in_progress":true,"partial":true,""" +
+      s""""unswept":${remaining.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""sf":"$sfDir"}"""
+  }
+
+  /** Write-then-atomic-rename so a reader (or the end-of-round commit) never
+    * sees a half-written record, and a hard kill leaves the previous intact
+    * snapshot in place. */
+  private[graft] def writeFullRecordAtomic(path: String, content: String): Unit = {
+    val target = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Paths.get(path + ".tmp")
+    java.nio.file.Files.writeString(tmp, content)
+    try java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 
   /** Integer milliseconds for the compact line (-1 failure marker kept). */
   private[graft] def ms(v: Double): String =

@@ -1579,19 +1579,28 @@ object SparkEntry {
   private def subwordIdsOracleSql(rounds: Int, wordpiece: Boolean = false,
       corpus: String = "mdocs"): String = {
     val sp = "chr(31)"
+    // COALESCE-to-sentinel guard: when a learn round exhausts, its b_r is
+    // EMPTY and the scalar subquery yields NULL — an unguarded replace()
+    // would NULL the whole symbolization, while the Spark side just applies
+    // fewer merges. chr(1) never matches payload, so exhausted rounds no-op
+    // (the batched learner's existing trick).
     val rep = (1 to rounds).foldLeft(
       s"regexp_replace(nw, '(.)', $sp || '\\1' || $sp, 'g')") { (acc, r) =>
-      s"replace($acc, (SELECT $sp || lhs || $sp || $sp || rhs || $sp FROM b_$r), " +
-        s"(SELECT $sp || lhs || rhs || $sp FROM b_$r))"
+      s"replace($acc, COALESCE((SELECT $sp || lhs || $sp || $sp || rhs || $sp FROM b_$r), chr(1)), " +
+        s"COALESCE((SELECT $sp || lhs || rhs || $sp FROM b_$r), chr(1)))"
     }
     val munion = (1 to rounds)
       .map(r => s"SELECT lhs || rhs AS piece, rank FROM b_$r")
       .mkString(" UNION ALL ")
+    // char-id base = the ACTUAL merge-row count, not the requested round
+    // count: the Spark side assigns char ids from merges.size, and the two
+    // diverge whenever the learner exhausts before `rounds` merges
     s"WITH ${corpusCte(corpus)}, ${bpeLearnCtes(rounds, wordpiece, corpus)}, " +
+      s"mcnt AS (SELECT count(*) AS c FROM ($munion)), " +
       "bchars AS (SELECT DISTINCT substring(w, p, 1) AS piece FROM bw, " +
       "LATERAL (SELECT unnest(generate_series(1, length(w))) AS p)), " +
       s"bmid AS (SELECT piece, CAST(min(rank) - 1 AS BIGINT) AS pid FROM ($munion) GROUP BY piece), " +
-      s"bcid AS (SELECT piece, CAST($rounds + row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS pid FROM bchars), " +
+      s"bcid AS (SELECT piece, CAST((SELECT c FROM mcnt) + row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS pid FROM bchars), " +
       "vocabid AS (SELECT piece, pid FROM bmid UNION ALL SELECT piece, pid FROM bcid), " +
       s"bdw AS (SELECT doc_id, i AS wi, ${sqlNorm("toks[i]")} AS nw FROM " +
       s"(SELECT doc_id, $RawToks AS toks FROM $corpus), " +
@@ -1708,10 +1717,12 @@ object SparkEntry {
   private def bpeApplyCtes(rounds: Int, wordpiece: Boolean = false,
       corpus: String = "mdocs"): String = {
     val sp = "chr(31)"
+    // exhausted-round guard: see subwordIdsOracleSql (empty b_r -> NULL
+    // replace operand would NULL the symbolization; chr(1) no-ops instead)
     val rep = (1 to rounds).foldLeft(
       s"regexp_replace(nw, '(.)', $sp || '\\1' || $sp, 'g')") { (acc, r) =>
-      s"replace($acc, (SELECT $sp || lhs || $sp || $sp || rhs || $sp FROM b_$r), " +
-        s"(SELECT $sp || lhs || rhs || $sp FROM b_$r))"
+      s"replace($acc, COALESCE((SELECT $sp || lhs || $sp || $sp || rhs || $sp FROM b_$r), chr(1)), " +
+        s"COALESCE((SELECT $sp || lhs || rhs || $sp FROM b_$r), chr(1)))"
     }
     s"${bpeLearnCtes(rounds, wordpiece, corpus)}, " +
       s"dw AS (SELECT doc_id, w, ${sqlNorm("w")} AS nw FROM " +
@@ -1733,11 +1744,12 @@ object SparkEntry {
     * hex-byte symbolization, no norm, no gate, no OOV branch. */
   private def bbpeApplyCtes(rounds: Int, corpus: String = "mdocs"): String = {
     val sp = "chr(31)"
+    // exhausted-round guard: see subwordIdsOracleSql
     val rep = (1 to rounds).foldLeft(
       s"regexp_replace(hex(encode(w)), '(..)', $sp || '\\1' || $sp, 'g')") {
       (acc, r) =>
-        s"replace($acc, (SELECT $sp || lhs || $sp || $sp || rhs || $sp FROM b_$r), " +
-          s"(SELECT $sp || lhs || rhs || $sp FROM b_$r))"
+        s"replace($acc, COALESCE((SELECT $sp || lhs || $sp || $sp || rhs || $sp FROM b_$r), chr(1)), " +
+          s"COALESCE((SELECT $sp || lhs || rhs || $sp FROM b_$r), chr(1)))"
     }
     s"${bpeLearnCtes(rounds, wordpiece = false, corpus, byteLevel = true)}, " +
       "dw AS (SELECT doc_id, w FROM " +
@@ -1756,28 +1768,32 @@ object SparkEntry {
 
   /** Byte-level token-id export mirror: the learn chain, merge ids via
     * min-rank over concatenated hex pair strings, byte ids FIXED at
-    * rounds+byte (the 256-row generate_series — no corpus-derived char
-    * vocab, no OOV rows: every piece is a merge product or a single
+    * mergeCount+byte (the 256-row generate_series — no corpus-derived
+    * char vocab, no OOV rows: every piece is a merge product or a single
     * byte), per-token chained-replace pieces enumerated in order, dense
     * (token, piece) position per document. */
   private def bbpeIdsOracleSql(rounds: Int,
       corpus: String = "mdocs"): String = {
     val sp = "chr(31)"
+    // exhausted-round guard: see subwordIdsOracleSql
     val rep = (1 to rounds).foldLeft(
       s"regexp_replace(hex(encode(w)), '(..)', $sp || '\\1' || $sp, 'g')") {
       (acc, r) =>
-        s"replace($acc, (SELECT $sp || lhs || $sp || $sp || rhs || $sp FROM b_$r), " +
-          s"(SELECT $sp || lhs || rhs || $sp FROM b_$r))"
+        s"replace($acc, COALESCE((SELECT $sp || lhs || $sp || $sp || rhs || $sp FROM b_$r), chr(1)), " +
+          s"COALESCE((SELECT $sp || lhs || rhs || $sp FROM b_$r), chr(1)))"
     }
     val munion = (1 to rounds)
       .map(r => s"SELECT lhs || rhs AS piece, rank FROM b_$r")
       .mkString(" UNION ALL ")
+    // byte-id base = ACTUAL merge-row count (Spark side uses merges.size),
+    // not the requested round count — see subwordIdsOracleSql
     s"WITH ${corpusCte(corpus)}, " +
       s"${bpeLearnCtes(rounds, wordpiece = false, corpus, byteLevel = true)}, " +
+      s"mcnt AS (SELECT count(*) AS c FROM ($munion)), " +
       s"bmid AS (SELECT piece, CAST(min(rank) - 1 AS BIGINT) AS pid " +
       s"FROM ($munion) GROUP BY piece), " +
       s"bbyte AS (SELECT printf('%02X', b) AS piece, " +
-      s"CAST($rounds + b AS BIGINT) AS pid FROM " +
+      s"CAST((SELECT c FROM mcnt) + b AS BIGINT) AS pid FROM " +
       "(SELECT unnest(generate_series(0, 255)) AS b)), " +
       "vocabid AS (SELECT piece, pid FROM bmid " +
       "UNION ALL SELECT piece, pid FROM bbyte), " +

@@ -982,7 +982,12 @@ object Eval {
     val b = col(bCol).cast("boolean")
     def cnt(p: org.apache.spark.sql.Column, as: String) =
       coalesce(sum(when(p, 1L).otherwise(0L)), lit(0L)).as(as)
-    val g = pairs.agg(
+    // NULL policy: an item with NULL correctness on EITHER side is excluded
+    // from the test entirely (it can be classified into no contingency
+    // cell); without the filter, `n` would count it while every cell's
+    // `when` evaluates NULL -> otherwise(0) and the cells silently fail to
+    // sum to n
+    val g = pairs.filter(a.isNotNull && b.isNotNull).agg(
       count(lit(1)).as("n"),
       cnt(!a && !b, "n00"), cnt(!a && b, "n01"),
       cnt(a && !b, "n10"), cnt(a && b, "n11"))
@@ -1076,13 +1081,18 @@ object Eval {
     val obs = perR.filter(col("__r") === 0L).select(
       col("n").as("n_pairs"), col("__sa").as("__oa"),
       col("__sb").as("__ob"), col("__d").as("__od"))
+    // empty-pair convention (the corpusBleuFromSums lesson): an empty inner
+    // join collapses perR to zero rows and the ungrouped agg would emit one
+    // all-NULL row — coalesce every agg output so the result is the DEFINED
+    // zero row (n_pairs 0, scores 0.0, resamples 0, p_value 1.0)
     perR.filter(col("__r") > 0L).crossJoin(broadcast(obs))
-      .agg(max(col("n_pairs")).as("n_pairs"),
-        max(col("__oa")).as("__oa"), max(col("__ob")).as("__ob"),
-        max(col("__od")).as("__od"),
+      .agg(coalesce(max(col("n_pairs")), lit(0L)).as("n_pairs"),
+        coalesce(max(col("__oa")), lit(0L)).as("__oa"),
+        coalesce(max(col("__ob")), lit(0L)).as("__ob"),
+        coalesce(max(col("__od")), lit(0L)).as("__od"),
         count(lit(1)).as("resamples"),
-        sum(when(abs(col("__d")) >= abs(col("__od")), 1L).otherwise(0L))
-          .as("__ge"))
+        coalesce(sum(when(abs(col("__d")) >= abs(col("__od")), 1L)
+          .otherwise(0L)), lit(0L)).as("__ge"))
       .select(col("n_pairs"),
         (col("__oa").cast("double") / lit(10000.0)).as("bleu_a"),
         (col("__ob").cast("double") / lit(10000.0)).as("bleu_b"),
@@ -1149,13 +1159,15 @@ object Eval {
     val obs = perR.filter(col("__r") === 0L).select(
       col("n").as("n_pairs"), col("__sa").as("__oa"),
       col("__sb").as("__ob"), col("__d").as("__od"))
+    // empty-pair convention: see pairedBleuSignificance — defined zero row
     perR.filter(col("__r") > 0L).crossJoin(broadcast(obs))
-      .agg(max(col("n_pairs")).as("n_pairs"),
-        max(col("__oa")).as("__oa"), max(col("__ob")).as("__ob"),
-        max(col("__od")).as("__od"),
+      .agg(coalesce(max(col("n_pairs")), lit(0L)).as("n_pairs"),
+        coalesce(max(col("__oa")), lit(0L)).as("__oa"),
+        coalesce(max(col("__ob")), lit(0L)).as("__ob"),
+        coalesce(max(col("__od")), lit(0L)).as("__od"),
         count(lit(1)).as("resamples"),
-        sum(when(abs(col("__d")) >= abs(col("__od")), 1L).otherwise(0L))
-          .as("__ge"))
+        coalesce(sum(when(abs(col("__d")) >= abs(col("__od")), 1L)
+          .otherwise(0L)), lit(0L)).as("__ge"))
       .select(col("n_pairs"),
         (col("__oa").cast("double") / lit(10000.0)).as("chrf_a"),
         (col("__ob").cast("double") / lit(10000.0)).as("chrf_b"),
@@ -1210,19 +1222,25 @@ object Eval {
     val obs = perR.filter(col("__r") === 0L).select(
       col("n").as("n_pairs"), col("__sa").as("__oa"),
       col("__sb").as("__ob"), col("__d").as("__od"))
+    // empty-pair convention: see pairedBleuSignificance — defined zero row
+    // (the n_pairs=0 division guard keeps means at 0.0, not IEEE NaN)
     perR.filter(col("__r") > 0L).crossJoin(broadcast(obs))
-      .agg(max(col("n_pairs")).as("n_pairs"),
-        max(col("__oa")).as("__oa"), max(col("__ob")).as("__ob"),
-        max(col("__od")).as("__od"),
+      .agg(coalesce(max(col("n_pairs")), lit(0L)).as("n_pairs"),
+        coalesce(max(col("__oa")), lit(0L)).as("__oa"),
+        coalesce(max(col("__ob")), lit(0L)).as("__ob"),
+        coalesce(max(col("__od")), lit(0L)).as("__od"),
         count(lit(1)).as("resamples"),
-        sum(when(abs(col("__d")) >= abs(col("__od")), 1L).otherwise(0L))
-          .as("__ge"))
+        coalesce(sum(when(abs(col("__d")) >= abs(col("__od")), 1L)
+          .otherwise(0L)), lit(0L)).as("__ge"))
       .select(col("n_pairs"),
-        (col("__oa").cast("double") / col("n_pairs").cast("double"))
+        when(col("n_pairs") === 0L, lit(0.0))
+          .otherwise(col("__oa").cast("double") / col("n_pairs").cast("double"))
           .as("mean_a"),
-        (col("__ob").cast("double") / col("n_pairs").cast("double"))
+        when(col("n_pairs") === 0L, lit(0.0))
+          .otherwise(col("__ob").cast("double") / col("n_pairs").cast("double"))
           .as("mean_b"),
-        (col("__od").cast("double") / col("n_pairs").cast("double"))
+        when(col("n_pairs") === 0L, lit(0.0))
+          .otherwise(col("__od").cast("double") / col("n_pairs").cast("double"))
           .as("diff"),
         col("resamples"),
         ((col("__ge") + lit(1L)).cast("double") /

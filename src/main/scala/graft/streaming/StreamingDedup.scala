@@ -222,7 +222,12 @@ object StreamingDedup {
           val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val stored =
             if (fs.exists(path))
-              spark.read.parquet(storeDir)
+              // explicit schema: a crash can land AFTER the store directory
+              // is created but BEFORE any parquet footer commits — schema
+              // inference would throw on replay and wedge the restart this
+              // sink advertises as safe; with the schema given, an empty or
+              // partial directory degrades to zero rows
+              spark.read.schema(assigned.schema).parquet(storeDir)
                 .dropDuplicates("id") // replayed appends are benign
                 .join(assigned.select("id"), Seq("id"), "left_anti")
             else spark.createDataFrame(

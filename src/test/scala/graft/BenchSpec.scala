@@ -96,12 +96,11 @@ class BenchSpec extends AnyFunSuite {
     // makes line growth O(topN), so +10 future queries must still fit
     val names = SparkEntry.queries.keys.toSeq.sorted ++
       (1 to 10).map(i => s"future_extension_q$i")
-    val qs = Bench.finalQueries(names.map(_ -> 9.999), topN = 40)
-    val line = s"""{"metric":"total","value":1230,"unit":"sec","queries":$qs,""" +
-      s""""loadavg":[31.9,28.4],"contended":false,""" +
-      s""""calib_median_sec":0.0312,"calib_flagged_count":249,""" +
-      s""""throttled":false,"throughput_eps":1126599,""" +
-      s""""throughput_eps_min":136382,"sf":"/root/testdata/sf0.1"}"""
+    val line = Bench.compactLine(names.map(_ -> 9.999), topN = 40,
+      loadBefore = 31.9, loadAfter = 28.4, contended = false,
+      calibMedian = 0.0312, flaggedCount = 249, throttled = false,
+      eps = 1126599, epsMin = 136382, sfDir = "/root/testdata/sf0.1",
+      partial = true, unsweptCount = 999)
     assert(line.length + 120 + 200 < 2000,
       s"final bench line is ${line.length} raw chars at registry+10 — it " +
         "would truncate in the driver's ~2000-char tail capture")
@@ -111,12 +110,11 @@ class BenchSpec extends AnyFunSuite {
       "tail 2000 chars -> last line -> json-shaped with metric/value/queries") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(_ -> 1.234) :+ ("zz_failed" -> -1.0)
-    val qs = Bench.finalQueries(results, topN = 40)
-    val finalLine = s"""{"metric":"total","value":230.8,"unit":"sec","queries":$qs,""" +
-      s""""loadavg":[1.5,3.2],"contended":false,""" +
-      s""""calib_median_sec":0.0312,"calib_flagged_count":0,""" +
-      s""""throttled":false,"throughput_eps":1126599,""" +
-      s""""throughput_eps_min":136382,"sf":"/root/testdata/sf0.1"}"""
+    val finalLine = Bench.compactLine(results, topN = 40,
+      loadBefore = 1.5, loadAfter = 3.2, contended = false,
+      calibMedian = 0.0312, flaggedCount = 0, throttled = false,
+      eps = 1126599, epsMin = 136382, sfDir = "/root/testdata/sf0.1",
+      partial = false, unsweptCount = 0)
     // synthetic full stdout: a giant verbose line (overflows any tail),
     // then the final line — as Bench.main prints them
     val stdout = ("x" * 8000) + "\n" + finalLine + "\n"
@@ -174,5 +172,53 @@ class BenchSpec extends AnyFunSuite {
     // an absent record falls back (empty dir -> previousRoundTimes -> empty)
     val empty = java.nio.file.Files.createTempDirectory("verifyspec2").toFile
     assert(Verify.fullBenchTimes(empty.getAbsolutePath).isEmpty)
+  }
+
+  test("budget-exhausted sweep still emits a parseable partial compact line") {
+    // the r16 failure mode: driver timeout -> rc 124 -> parsed:null. The
+    // budget path must emit the SAME documented shape with partial=true and
+    // the unswept COUNT (never the list — the line must stay capture-sized)
+    val swept = Seq("a1_sum_1d" -> 0.25, "text_stats" -> 1.2, "zz_fail" -> -1.0)
+    val line = Bench.compactLine(swept, topN = 40, loadBefore = 2.0,
+      loadAfter = 30.0, contended = false, calibMedian = 0.0360,
+      flaggedCount = 1, throttled = false, eps = 500000, epsMin = 400000,
+      sfDir = "/root/testdata/sf0.1", partial = true, unsweptCount = 143)
+    assert(line.startsWith("{") && line.endsWith("}"))
+    assert(line.contains(""""metric":"total"""") && line.contains(""""unit":"sec""""))
+    assert(line.contains(""""partial":true,"unswept_count":143"""))
+    assert(line.contains(""""queries":{""") && line.contains(""""zz_fail":-1"""))
+    assert(line.count(_ == '{') == line.count(_ == '}') && !line.contains(",}"))
+    // swept-total only: 0.25 + 1.2 (failure excluded)
+    assert(line.contains(""""value":1.45"""))
+  }
+
+  test("in-progress record snapshots timings + unswept list and survives an " +
+      "atomic rename") {
+    val rec = Bench.inProgressRecord(Seq("a1_sum_1d" -> 0.25, "bad" -> -1.0),
+      Seq("text_stats", "w1_count_1h"), "/root/testdata/sf0.1")
+    assert(rec.contains(""""in_progress":true,"partial":true"""))
+    assert(rec.contains(""""unswept":["text_stats","w1_count_1h"]"""))
+    assert(rec.contains(""""a1_sum_1d":0.25""") && rec.contains(""""value":0.25"""))
+    assert(rec.count(_ == '{') == rec.count(_ == '}') && !rec.contains(",}"))
+    val dir = java.nio.file.Files.createTempDirectory("benchatomic").toFile
+    val path = new java.io.File(dir, "BENCH_FULL_local.json").getAbsolutePath
+    Bench.writeFullRecordAtomic(path, rec)
+    Bench.writeFullRecordAtomic(path, rec) // overwrite path (REPLACE_EXISTING)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path)) == rec)
+    assert(!new java.io.File(path + ".tmp").exists(), "tmp must be renamed away")
+  }
+
+  test("needSecondRun: sub-second previous + clean single run skips run 2") {
+    // fast path: prev < 1s and t1 within 3x
+    assert(!Bench.needSecondRun(Some(0.25), 0.30))
+    assert(!Bench.needSecondRun(Some(0.99), 2.9))
+    // slow query always gets min-of-2
+    assert(Bench.needSecondRun(Some(1.5), 1.5))
+    // no baseline, suspicious run, or failure all fall through
+    assert(Bench.needSecondRun(None, 0.1))
+    assert(Bench.needSecondRun(Some(0.25), 0.80))
+    assert(Bench.needSecondRun(Some(0.25), -1.0))
+    assert(Bench.needSecondRun(Some(-1.0), 0.1))
   }
 }
