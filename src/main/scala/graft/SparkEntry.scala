@@ -952,6 +952,25 @@ object SparkEntry {
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
   private val LowerToks = s"string_split_regex(trim(lower(text), '$SqlWs'), '\\s+')"
   private val RawToks = s"string_split_regex(trim(text, '$SqlWs'), '\\s+')"
+
+  /** DuckDB twin of [[graft.operators.TextAnalysis.gpt2Pretokens]]: the
+    * SAME lookahead-free reformulation of the GPT-2 splitter — strip
+    * chr(1), the R2/R1 marker-insertion regexp_replaces, then
+    * regexp_extract_all with the explicit-class pattern (RE2 and Java
+    * agree on every construct used: literal classes, `\p{L}`/`\p{N}`,
+    * greedy `+`, leftmost-first alternation). */
+  private val Gpt2ToksSql: String = {
+    val ws = "[ \\t\\n\\f\\r]"
+    val nsw = "[\\t\\n\\f\\r]"
+    val nonWs = "[^ \\t\\n\\f\\r\\x01]"
+    val extract = "''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+" +
+      "| ?[^ \\t\\n\\f\\r\\x01\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
+    val r2 = s"regexp_replace(replace(text, chr(1), ''), " +
+      s"'($ws)($nsw)($nonWs)', '\\1' || chr(1) || '\\2' || chr(1) || '\\3', 'g')"
+    val r1 = s"regexp_replace($r2, '($ws)( )($nonWs)', " +
+      s"'\\1' || chr(1) || '\\2\\3', 'g')"
+    s"regexp_extract_all($r1, '$extract')"
+  }
   private val TokN = s"(CASE WHEN length(trim(text, '$SqlWs')) = 0 THEN 0 ELSE len($RawToks) END)"
 
   /** DuckDB twin of [[graft.functions.WordForm.normalize]] (NFC + the
@@ -1039,6 +1058,37 @@ object SparkEntry {
       AstralDocRows.map { case (id, t) => s"SELECT $id, '$t'" }
         .mkString(" UNION ALL ") + ")"
 
+  /** GPT-2 pretokenizer decoration block (the decorate-the-fixture
+    * pattern): the synthetic corpus is prose-like, so the splitter's edge
+    * branches — contraction suffixes, digit runs, punctuation runs,
+    * multi-space runs yielding their last space, tab-before-word,
+    * paragraph "\n\n" tokens — need planted coverage, plus a
+    * space-prefix-dominant doc so a " word"-shaped merge provably WINS a
+    * learn round (the Ġ-convention proof). Ids start at 920000, beyond
+    * [[AstralDocRows]]' block. Texts contain apostrophes — the SQL twin
+    * doubles them. Single source for BOTH engines. */
+  private val Gpt2DocRows: Seq[(Long, String)] = Seq(
+    (920003L, "the cat isn't on the mat, the cat won't sit there"),
+    (920007L, "alpha  beta   gamma\n\nnew paragraph\tcode:\tx=1 y=22"),
+    (920011L, "abc123 456 789 12.5% $100 x50 don're it'll C3PO"),
+    (920019L, "the the the the the the the the the the the the"))
+
+  /** [[docsMulti]] ∪ [[Gpt2DocRows]] — the corpus the GPT-2-pretokenized
+    * byte-level queries run on. */
+  private def docsGpt2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docsMulti(s, dir).unionByName(Gpt2DocRows.toDF("doc_id", "text"))
+  }
+
+  /** DuckDB twin of [[docsGpt2]] (apostrophes doubled; embedded real
+    * newlines/tabs are legal inside SQL string literals). */
+  private val GdocsCte: String =
+    s"$MdocsCte, gdocs(doc_id, text) AS (SELECT doc_id, text FROM mdocs " +
+      "UNION ALL " +
+      Gpt2DocRows.map { case (id, t) =>
+        s"SELECT $id, '${t.replace("'", "''")}'" }
+        .mkString(" UNION ALL ") + ")"
+
   /** Fixture-only astral LEARN corpus for the astral subword proofs
     * (text_bpe_merges_astral and friends): the multilingual decoration ∪
     * the astral decoration, NO parquet scan — the proofs pin cross-engine
@@ -1065,6 +1115,7 @@ object SparkEntry {
     case "mdocs"  => MdocsCte
     case "adocs"  => AdocsCte
     case "asdocs" => AsdocsCte
+    case "gdocs"  => GdocsCte
     case other    => throw new IllegalArgumentException(s"unknown corpus $other")
   }
 
@@ -1513,16 +1564,18 @@ object SparkEntry {
     * ␟-wrapped start symbolization (v_0) — the twin of
     * TextAnalysis.subwordBase, used by the serial AND batched mirrors. */
   private def bpeBaseCtes(corpus: String = "mdocs",
-      byteLevel: Boolean = false): String = {
+      byteLevel: Boolean = false, gpt2: Boolean = false): String = {
     val sp = "chr(31)"
     if (byteLevel)
       // byte level (GPT-2 family): NO normalization, NO word-form gate —
-      // every non-empty raw token participates; the start symbolization is
-      // the token's UTF-8 bytes as ␟-wrapped uppercase hex pairs
+      // every non-empty raw token (whitespace-split, or GPT-2-pretokenized
+      // when gpt2) participates; the start symbolization is the token's
+      // UTF-8 bytes as ␟-wrapped uppercase hex pairs
       // (DuckDB hex(encode(w)) == Spark hex(encode(w, 'UTF-8')))
       "bw AS MATERIALIZED (" +
         "SELECT w, CAST(count(*) AS BIGINT) AS freq FROM " +
-        s"(SELECT unnest($RawToks) AS w FROM $corpus WHERE $TokN > 0) " +
+        (if (gpt2) s"(SELECT unnest($Gpt2ToksSql) AS w FROM $corpus) "
+         else s"(SELECT unnest($RawToks) AS w FROM $corpus WHERE $TokN > 0) ") +
         "WHERE w <> '' GROUP BY w)" +
         ", v_0 AS MATERIALIZED (SELECT regexp_replace(hex(encode(w)), " +
         s"'(..)', $sp || '\\1' || $sp, 'g') AS sym, freq FROM bw)"
@@ -1537,10 +1590,11 @@ object SparkEntry {
   }
 
   private def bpeLearnCtes(rounds: Int, wordpiece: Boolean = false,
-      corpus: String = "mdocs", byteLevel: Boolean = false): String = {
+      corpus: String = "mdocs", byteLevel: Boolean = false,
+      gpt2: Boolean = false): String = {
     val sp = "chr(31)"
     val sb = new StringBuilder
-    sb ++= bpeBaseCtes(corpus, byteLevel)
+    sb ++= bpeBaseCtes(corpus, byteLevel, gpt2)
     for (r <- 1 to rounds) {
       sb ++= s", y_$r AS (SELECT string_split(substr(sym, 2, length(sym) - 2), " +
         s"$sp || $sp) AS s, freq FROM v_${r - 1})"
@@ -1635,11 +1689,12 @@ object SparkEntry {
   }
 
   private def bpeLearnOracleSql(rounds: Int, wordpiece: Boolean = false,
-      corpus: String = "mdocs", byteLevel: Boolean = false): String = {
+      corpus: String = "mdocs", byteLevel: Boolean = false,
+      gpt2: Boolean = false): String = {
     val union = (1 to rounds).map(r => s"SELECT * FROM b_$r")
       .mkString(" UNION ALL ")
     s"WITH ${corpusCte(corpus)}, " +
-      s"${bpeLearnCtes(rounds, wordpiece, corpus, byteLevel)} " +
+      s"${bpeLearnCtes(rounds, wordpiece, corpus, byteLevel, gpt2)} " +
       "SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, " +
       s"CAST(cnt AS BIGINT) AS pair_count FROM ($union)"
   }
@@ -1742,7 +1797,8 @@ object SparkEntry {
   /** Byte-level learning + application CTE chain ending in
     * `bn(doc_id, n_tokens, n)` — the [[bpeApplyCtes]] twin with the
     * hex-byte symbolization, no norm, no gate, no OOV branch. */
-  private def bbpeApplyCtes(rounds: Int, corpus: String = "mdocs"): String = {
+  private def bbpeApplyCtes(rounds: Int, corpus: String = "mdocs",
+      gpt2: Boolean = false): String = {
     val sp = "chr(31)"
     // exhausted-round guard: see subwordIdsOracleSql
     val rep = (1 to rounds).foldLeft(
@@ -1751,9 +1807,10 @@ object SparkEntry {
         s"replace($acc, COALESCE((SELECT $sp || lhs || $sp || $sp || rhs || $sp FROM b_$r), chr(1)), " +
           s"COALESCE((SELECT $sp || lhs || rhs || $sp FROM b_$r), chr(1)))"
     }
-    s"${bpeLearnCtes(rounds, wordpiece = false, corpus, byteLevel = true)}, " +
+    s"${bpeLearnCtes(rounds, wordpiece = false, corpus, byteLevel = true, gpt2)}, " +
       "dw AS (SELECT doc_id, w FROM " +
-      s"(SELECT doc_id, unnest($RawToks) AS w FROM $corpus WHERE $TokN > 0) " +
+      (if (gpt2) s"(SELECT doc_id, unnest($Gpt2ToksSql) AS w FROM $corpus) "
+       else s"(SELECT doc_id, unnest($RawToks) AS w FROM $corpus WHERE $TokN > 0) ") +
       "WHERE w <> ''), " +
       s"pc AS (SELECT doc_id, len(string_split(substr($rep, 2, " +
       s"length($rep) - 2), $sp || $sp)) AS p FROM dw), " +
@@ -1762,8 +1819,8 @@ object SparkEntry {
   }
 
   private def bbpeApplyOracleSql(rounds: Int,
-      corpus: String = "mdocs"): String =
-    s"WITH ${corpusCte(corpus)}, ${bbpeApplyCtes(rounds, corpus)} " +
+      corpus: String = "mdocs", gpt2: Boolean = false): String =
+    s"WITH ${corpusCte(corpus)}, ${bbpeApplyCtes(rounds, corpus, gpt2)} " +
       "SELECT doc_id, n_tokens, n AS n_pieces FROM bn"
 
   /** Byte-level token-id export mirror: the learn chain, merge ids via
@@ -1773,7 +1830,7 @@ object SparkEntry {
     * byte), per-token chained-replace pieces enumerated in order, dense
     * (token, piece) position per document. */
   private def bbpeIdsOracleSql(rounds: Int,
-      corpus: String = "mdocs"): String = {
+      corpus: String = "mdocs", gpt2: Boolean = false): String = {
     val sp = "chr(31)"
     // exhausted-round guard: see subwordIdsOracleSql
     val rep = (1 to rounds).foldLeft(
@@ -1788,7 +1845,7 @@ object SparkEntry {
     // byte-id base = ACTUAL merge-row count (Spark side uses merges.size),
     // not the requested round count — see subwordIdsOracleSql
     s"WITH ${corpusCte(corpus)}, " +
-      s"${bpeLearnCtes(rounds, wordpiece = false, corpus, byteLevel = true)}, " +
+      s"${bpeLearnCtes(rounds, wordpiece = false, corpus, byteLevel = true, gpt2)}, " +
       s"mcnt AS (SELECT count(*) AS c FROM ($munion)), " +
       s"bmid AS (SELECT piece, CAST(min(rank) - 1 AS BIGINT) AS pid " +
       s"FROM ($munion) GROUP BY piece), " +
@@ -1798,7 +1855,8 @@ object SparkEntry {
       "vocabid AS (SELECT piece, pid FROM bmid " +
       "UNION ALL SELECT piece, pid FROM bbyte), " +
       s"bdw AS (SELECT doc_id, i AS wi, toks[i] AS w FROM " +
-      s"(SELECT doc_id, $RawToks AS toks FROM $corpus), " +
+      (if (gpt2) s"(SELECT doc_id, $Gpt2ToksSql AS toks FROM $corpus), "
+       else s"(SELECT doc_id, $RawToks AS toks FROM $corpus), ") +
       "LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) " +
       "WHERE toks[i] <> ''), " +
       s"bps AS (SELECT doc_id, wi, string_split(substr($rep, 2, " +
@@ -3670,6 +3728,31 @@ object SparkEntry {
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bbpeTokenIds(d, merges)
+    }),
+    // byte-level BPE under the GPT-2 REGEX PRETOKENIZER (the tiktoken
+    // vocabulary shape): merges never cross a pretoken boundary,
+    // space-prefixed words (" the") learn as single units, contractions
+    // split, digit runs isolate — on the contraction/whitespace-decorated
+    // corpus where a space-prefixed merge provably wins a round
+    "text_bbpe_merges_gpt2" -> ((s, dir) =>
+      TextAnalysis.bbpeLearnMergesGpt2(docsGpt2(s, dir), 12)),
+    // the GPT-2-pretokenized table APPLIED: per-doc pretoken and piece
+    // counts (whitespace-run pretokens count like any other byte sequence)
+    "text_bbpe_apply_gpt2" -> ((s, dir) => {
+      val d = docsGpt2(s, dir)
+      val merges = TextAnalysis.bbpeLearnMergesGpt2(d, 12)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bbpeEncodedCounts(d, merges, gpt2 = true)
+    }),
+    // GPT-2-pretokenized token-id export: space-prefixed pieces carry
+    // their own ids (the Ġ convention), dense position per document
+    "text_bbpe_ids_gpt2" -> ((s, dir) => {
+      val d = docsGpt2(s, dir)
+      val merges = TextAnalysis.bbpeLearnMergesGpt2(d, 12)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bbpeTokenIds(d, merges, gpt2 = true)
     }),
     // learn → apply → pack end to end on the byte-level counts
     "sample_pack_bbpe" -> ((s, dir) => {
@@ -6438,6 +6521,12 @@ object SparkEntry {
     "text_bbpe_apply" -> bbpeApplyOracleSql(12),
     "text_bbpe_apply_fast" -> bbpeApplyOracleSql(12),
     "text_bbpe_ids" -> bbpeIdsOracleSql(12),
+    "text_bbpe_merges_gpt2" ->
+      bpeLearnOracleSql(12, byteLevel = true, corpus = "gdocs", gpt2 = true),
+    "text_bbpe_apply_gpt2" ->
+      bbpeApplyOracleSql(12, corpus = "gdocs", gpt2 = true),
+    "text_bbpe_ids_gpt2" ->
+      bbpeIdsOracleSql(12, corpus = "gdocs", gpt2 = true),
     // byte-level pack mirror: the byte-level apply chain's per-doc counts
     // feeding the same prefix-sum pack recurrence
     "sample_pack_bbpe" ->

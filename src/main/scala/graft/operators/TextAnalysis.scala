@@ -1722,6 +1722,75 @@ object TextAnalysis {
     subwordLearnMergesLocal(docs, rounds, textCol, wordpiece = false,
       byteLevel = true)
 
+  /** GPT-2 PRETOKENIZATION (Radford et al. 2019 §2.2; the tiktoken-family
+    * splitter): the published pattern
+    * `'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+`
+    * — contraction suffixes, letter runs, digit runs and punctuation runs,
+    * each OPTIONALLY CARRYING ONE LEADING SPACE (the Ġ space-prefix
+    * convention that makes " the" a single learnable token), and interior
+    * whitespace runs yielding their last space to the following token.
+    *
+    * The `(?!\S)` negative lookahead is NOT RE2-expressible, so the DuckDB
+    * mirror could never replay it — instead BOTH engines run this exact
+    * lookahead-free reformulation (proved equivalent in OperatorsSpec on
+    * every whitespace-run shape):
+    *
+    *   1. strip any pre-existing \u0001 (the marker must be ours alone);
+    *   2. R2: `(ws)(non-space-ws)(non-ws)` → `$1\u0001$2\u0001$3` — a run
+    *      whose LAST char is non-space whitespace splits off that char as
+    *      its own token (it can never attach: ` ?` matches only a space);
+    *   3. R1: `(ws)( )(non-ws)` → `$1\u0001$2$3` — a run whose last char
+    *      IS a space splits before it, so the space attaches to the
+    *      following letter/digit/punct token, exactly what the lookahead's
+    *      backtrack-by-one achieves;
+    *   4. extract with the pattern minus the lookahead branch — inside a
+    *      marked string no whitespace run is ever followed by non-space
+    *      except the length-1 cases the ` ?X`/`\s+` branches already
+    *      handle, and the marker (excluded from every class) acts as a
+    *      match barrier that regexp_extract_all skips.
+    *
+    * Whitespace is the repo's 5-char ASCII set ([[WsCharsRaw]] — RE2's
+    * `\s`), written as EXPLICIT classes on both engines (Java's `\s` adds
+    * \x0B; Python's re.UNICODE `\s` in the original GPT-2 adds Unicode
+    * spaces — documented delta: NBSP et al. land in punctuation runs here,
+    * on both engines identically). Tokens INCLUDE whitespace runs — at
+    * byte level they are byte sequences like any other and GPT-2 learns
+    * "\n\n"-style merges from them.
+    *
+    * Scale shape: three codegen'd regex passes + one extract per row — a
+    * narrow map over the scan, no shuffle; the vocabulary reduction that
+    * follows is the same single map-side-combined groupBy. */
+  def gpt2Pretokens(text: Column): Column = {
+    val ws = "[ \t\n\f\r]"
+    val nsw = "[\t\n\f\r]"
+    val nonWs = "[^ \t\n\f\r\u0001]"
+    val marked = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "\u0001", ""),
+        s"($ws)($nsw)($nonWs)", "$1\u0001$2\u0001$3"),
+      s"($ws)( )($nonWs)", "$1\u0001$2$3")
+    regexp_extract_all(marked, lit(Gpt2ExtractPattern), lit(0))
+  }
+
+  /** The lookahead-free GPT-2 extraction pattern (see [[gpt2Pretokens]]) —
+    * Java- and RE2-identical by construction: explicit ASCII whitespace
+    * classes, Unicode letter/number properties, the \u0001 marker excluded
+    * everywhere. */
+  private[graft] val Gpt2ExtractPattern =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
+      "| ?[^ \t\n\f\r\u0001\\p{L}\\p{N}]+|[ \t\n\f\r]+"
+
+  /** [[bbpeLearnMerges]] under [[gpt2Pretokens]] — byte-level BPE whose
+    * learned merges match the tiktoken-family vocabulary shape: merges
+    * never cross a pretoken boundary, space-prefixed word tokens (" the")
+    * learn as single units, contractions split ('s/'t/…), digit runs
+    * isolate from letters. Same scale shape (one distributed vocabulary
+    * reduction, driver-local merge loop). */
+  def bbpeLearnMergesGpt2(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame =
+    subwordLearnMergesLocal(docs, rounds, textCol, wordpiece = false,
+      byteLevel = true, gpt2 = true)
+
   /** The persisted (sym, freq) start state shared by the serial and
     * batched merge learners: word-form frequencies under the Unicode
     * contract, each character ␟-wrapped. The CALLER unpersists.
@@ -1786,10 +1855,10 @@ object TextAnalysis {
     * DuckDB replay picks. */
   private[graft] def subwordLearnMergesLocal(docs: DataFrame, rounds: Int,
       textCol: String, wordpiece: Boolean,
-      byteLevel: Boolean = false): DataFrame = {
+      byteLevel: Boolean = false, gpt2: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    subwordLearnLocalRows(docs, rounds, textCol, wordpiece, byteLevel)
+    subwordLearnLocalRows(docs, rounds, textCol, wordpiece, byteLevel, gpt2)
       .map { case (r, l, rr, c, _) => (r, l, rr, c) }
       .toDF("rank", "lhs", "rhs", "pair_count")
   }
@@ -1836,8 +1905,10 @@ object TextAnalysis {
 
   private def subwordLearnLocalRows(docs: DataFrame, rounds: Int,
       textCol: String, wordpiece: Boolean,
-      byteLevel: Boolean = false): Seq[(Long, String, String, Long, Long)] = {
+      byteLevel: Boolean = false,
+      gpt2: Boolean = false): Seq[(Long, String, String, Long, Long)] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(!gpt2 || byteLevel, "gpt2 pretokenization is a byte-level mode")
     val spark = docs.sparkSession
     import spark.implicits._
     // hex symbols are pure ASCII, where code-point compare == String
@@ -1845,10 +1916,13 @@ object TextAnalysis {
     val cmp = graft.functions.WordForm.compareCodePoints _
     // the distributed corpus→vocab reduction (subwordBase minus wrapping).
     // Byte level: NO normalization, NO word-form gate — every non-empty
-    // whitespace token is a byte sequence and participates
+    // token (whitespace-split, or GPT-2-pretokenized incl. whitespace
+    // runs and space-prefixed words) is a byte sequence and participates
     val words: Array[(String, Long)] =
       if (byteLevel) docs
-        .select(explode(tokens(col(textCol))).as("w"))
+        .select(explode(
+          if (gpt2) gpt2Pretokens(col(textCol)) else tokens(col(textCol)))
+          .as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("w").agg(count(lit(1)).as("freq"))
         .as[(String, Long)].collect()
@@ -2453,14 +2527,17 @@ object TextAnalysis {
     * map-side-combined groupBy(doc); no joins. Documents with no tokens
     * emit no row. */
   def bbpeEncodedCounts(docs: DataFrame, merges: Seq[(String, String)],
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      gpt2: Boolean = false): DataFrame = {
     val sep = BpeSep
     val symFinal = merges.foldLeft(bbpeWrapped(col("w"))) {
       case (acc, (l, r)) =>
         replace(acc, lit(s"$sep$l$sep$sep$r$sep"), lit(s"$sep$l$r$sep"))
     }
     docs
-      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .select(col(idCol), explode(
+        if (gpt2) gpt2Pretokens(col(textCol)) else tokens(col(textCol)))
+        .as("w"))
       .filter(length(col("w")) > 0)
       .select(col(idCol),
         size(split(symFinal.substr(lit(2), length(symFinal) - 2),
@@ -2497,7 +2574,9 @@ object TextAnalysis {
     * its piece-id array up through one word-keyed broadcast-sized join;
     * dense position is the per-doc window of the unigram/BPE id exports. */
   def bbpeTokenIds(docs: DataFrame, merges: Seq[(String, String)],
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      gpt2: Boolean = false): DataFrame = {
+    def toks(c: Column) = if (gpt2) gpt2Pretokens(c) else tokens(c)
     val sep = BpeSep
     val rankOf: Map[String, Long] = {
       val m = scala.collection.mutable.LinkedHashMap[String, Long]()
@@ -2517,14 +2596,14 @@ object TextAnalysis {
     val pieces = split(symFinal.substr(lit(2), length(symFinal) - 2),
       s"$sep$sep")
     val wordIds = docs
-      .select(explode(tokens(col(textCol))).as("w"))
+      .select(explode(toks(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .distinct()
       .select(col("w").as("__w"),
         transform(pieces, p =>
           element_at(typedLit(rankOf), p)).as("__ids"))
     val tok = docs
-      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("tpos", "w")))
+      .select(col(idCol), posexplode(toks(col(textCol))).as(Seq("tpos", "w")))
       .filter(length(col("w")) > 0)
     tok
       .join(wordIds, tok("w") === wordIds("__w"))

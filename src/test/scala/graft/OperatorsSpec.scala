@@ -3464,6 +3464,68 @@ class OperatorsSpec extends AnyFunSuite {
     assert(b1 == local.map(r => (r._2, r._3, r._4)), s"b1=$b1")
   }
 
+  test("GPT-2 pretokenizer: hand-computed goldens on every whitespace-run " +
+      "shape, contractions, digit and punctuation runs") {
+    def pt(s: String): Seq[String] = Seq((1L, s)).toDF("doc_id", "text")
+      .select(TextAnalysis.gpt2Pretokens(col("text")).as("t"))
+      .as[Seq[String]].collect().head
+    // the lookahead semantics: an interior run of n whitespace chars keeps
+    // n-1 as one token; the last char attaches to the next token iff it is
+    // a literal space
+    assert(pt("a  b") == Seq("a", " ", " b"))
+    assert(pt("a   b") == Seq("a", "  ", " b"))
+    assert(pt("a\t\tb") == Seq("a", "\t", "\t", "b"))
+    assert(pt("x\n\n\ny") == Seq("x", "\n\n", "\n", "y"))
+    assert(pt("x \ty") == Seq("x", " ", "\t", "y"))
+    assert(pt("x\n y") == Seq("x", "\n", " y"))
+    assert(pt("x \t\n y") == Seq("x", " \t\n", " y"))
+    assert(pt("  leading") == Seq(" ", " leading"))
+    assert(pt(" leading") == Seq(" leading"))
+    assert(pt("trail   ") == Seq("trail", "   "))
+    assert(pt("   ") == Seq("   "))
+    // contractions split case-sensitively; capital 'T falls to punct + word
+    assert(pt("isn't won't it'll we're I've I'm he'd") ==
+      Seq("isn", "'t", " won", "'t", " it", "'ll", " we", "'re",
+        " I", "'ve", " I", "'m", " he", "'d"))
+    assert(pt("ISN'T") == Seq("ISN", "'", "T"))
+    // letter/digit/punct runs with the one-leading-space attachment
+    assert(pt("abc123def") == Seq("abc", "123", "def"))
+    assert(pt("$100 12.5%") == Seq("$", "100", " 12", ".", "5", "%"))
+    assert(pt("café 123") == Seq("café", " 123"))
+    assert(pt("") == Seq.empty)
+  }
+
+  test("GPT-2 byte-level BPE: a space-prefixed merge wins a learn round, " +
+      "and apply counts pretokens") {
+    // vocab: "aa" ×1, " aa" ×3. Round 1: (61,61) count 4 beats (20,61)
+    // count 3. Round 2: the SPACE-PREFIXED pair (20,6161) count 3 wins —
+    // the Ġ-convention merge whitespace-split bbpe can never represent.
+    val d = Seq((1L, "aa aa aa aa")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bbpeLearnMergesGpt2(d, 2)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(merges == Seq((1L, "61", "61", 4L), (2L, "20", "6161", 3L)),
+      s"merges=$merges")
+    // apply: n_tokens counts PRETOKENS (4: "aa" + three " aa"), each fully
+    // merged to one piece
+    val mt = merges.map(m => (m._2, m._3))
+    val applied = TextAnalysis
+      .bbpeEncodedCounts(d, mt, gpt2 = true)
+      .as[(Long, Long, Long)].collect().head
+    assert(applied == ((1L, 4L, 4L)), s"applied=$applied")
+    // ids: merge ids 0 ("6161") and 1 ("206161"... rank-2 merge), byte ids
+    // from merges.size=2: "aa" → [0]; " aa" → [1]
+    val ids = TextAnalysis.bbpeTokenIds(d, mt, gpt2 = true)
+      .orderBy("pos").as[(Long, Long, Long)].collect().toSeq
+    assert(ids == Seq((1L, 0L, 0L), (1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 1L)),
+      s"ids=$ids")
+    // whitespace pretokens participate in learning: a "\n\n"-heavy corpus
+    // learns the newline-pair merge first (0A,0A)
+    val nl = Seq((1L, "p\n\n\nq\n\n\nr")).toDF("doc_id", "text")
+    val m1 = TextAnalysis.bbpeLearnMergesGpt2(nl, 1)
+      .as[(Long, String, String, Long)].collect().head
+    assert(m1 == ((1L, "0A", "0A", 2L)), s"m1=$m1")
+  }
+
   test("McNemar: hand-computed discordant counts, degenerate and empty inputs") {
     import graft.operators.Eval
     val rows = Seq.fill(3)((true, true)) ++ Seq.fill(4)((true, false)) ++
