@@ -1080,6 +1080,35 @@ object SparkEntry {
     docsMulti(s, dir).unionByName(Gpt2DocRows.toDF("doc_id", "text"))
   }
 
+  /** Language-ID decoration block: Portuguese/Spanish pairs the STOPWORD
+    * tier cannot separate (they share surface stopwords; the pt docs'
+    * only stopword hit is English "a", so the stopword tier labels them
+    * "en") but the char-trigram tier separates on "ção/ción"-class
+    * morphology — plus German and French controls. All lowercase (no
+    * case-folding subtleties), ids from 930000. Single source for BOTH
+    * engines. */
+  private val LangIdDocRows: Seq[(Long, String)] = Seq(
+    (930001L, "a canção dos meninos não era uma ilusão mas um sonho"),
+    (930007L, "la canción de los niños era una ilusión y el sueño"),
+    (930011L, "não há tradução sem atenção às expressões da canção"),
+    (930013L, "las naciones del mundo hablan una lengua que es común"),
+    (930017L, "die kinder singen ein schönes lied und lachen nicht"),
+    (930019L, "les enfants chantent une belle chanson dans les rues"))
+
+  /** documents ∪ [[LangIdDocRows]] — the corpus the n-gram language-id
+    * queries run on. */
+  private def docsLang(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(LangIdDocRows.toDF("doc_id", "text"))
+  }
+
+  /** DuckDB twin of [[docsLang]]. */
+  private val LdocsCte: String =
+    "ldocs(doc_id, text) AS (SELECT doc_id, text FROM documents UNION ALL " +
+      LangIdDocRows.map { case (id, t) => s"SELECT $id, '$t'" }
+        .mkString(" UNION ALL ") + ")"
+
   /** DuckDB twin of [[docsGpt2]] (apostrophes doubled; embedded real
     * newlines/tabs are legal inside SQL string literals). */
   private val GdocsCte: String =
@@ -2558,6 +2587,41 @@ object SparkEntry {
   }
   private val LangIdSql = langIdSql("documents")
 
+  /** DuckDB twin of [[graft.operators.TextAnalysis.langIdNgram]]: the
+    * fixed trigram-profile VALUES CTE (single literal source —
+    * TextAnalysis.LangNgramProfiles), per-doc trigram windows over
+    * lower(text), profile join, per-language exact long sums, argmax via
+    * row_number ORDER BY (score DESC, lang) — the (−score, lang)
+    * struct-min total order. Yields CTEs prof/lng/lsc/lbst. */
+  private val LangNgramCtes: String = {
+    val vals = graft.operators.TextAnalysis.LangNgramProfiles
+      .map { case (l, g, w) => s"('$l', '$g', $w)" }.mkString(", ")
+    s"prof(lang, gram, w) AS (VALUES $vals), " +
+      "lng AS (SELECT doc_id, substr(lt, i, 3) AS gram FROM " +
+      "(SELECT doc_id, lower(text) AS lt FROM ldocs), " +
+      "LATERAL (SELECT unnest(generate_series(1, length(lt) - 2)) AS i)), " +
+      "lsc AS (SELECT doc_id, lang, CAST(sum(w) AS BIGINT) AS score " +
+      "FROM lng JOIN prof USING (gram) GROUP BY doc_id, lang), " +
+      "lbst AS (SELECT doc_id, lang, score FROM " +
+      "(SELECT doc_id, lang, score, row_number() OVER (PARTITION BY doc_id " +
+      "ORDER BY score DESC, lang) AS rn FROM lsc) WHERE rn = 1)"
+  }
+
+  private val LangIdNgramSql: String =
+    s"WITH $LdocsCte, $LangNgramCtes " +
+      "SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred, " +
+      "CAST(COALESCE(b.score, 0) AS BIGINT) AS score " +
+      "FROM ldocs d LEFT JOIN lbst b USING (doc_id)"
+
+  /** Disagreement report between the stopword tier and the trigram tier,
+    * both over the SAME decorated corpus. */
+  private val LangIdNgramDiffSql: String =
+    s"WITH $LdocsCte, $LangNgramCtes, st AS (${langIdSql("ldocs")}) " +
+      "SELECT s.doc_id, s.lang_pred AS lang_stop, " +
+      "COALESCE(b.lang, 'und') AS lang_ngram " +
+      "FROM st s LEFT JOIN lbst b USING (doc_id) " +
+      "WHERE s.lang_pred <> COALESCE(b.lang, 'und')"
+
   // ------------------------------------------------------------- contract
 
   /** Flagship: full rule pipeline (filter → window → group → avg → envelope
@@ -3526,6 +3590,22 @@ object SparkEntry {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"), sum(length(col("chunk"))).as("total_len"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langIdByJoin(docs(s, dir))),
+    // CHAR-TRIGRAM language id (the CLD/fastText-style profile tier):
+    // fixed integer trigram weights, exact long scores, (−score, lang)
+    // argmax — separates pt/es where stopword lists cannot
+    "text_langid_ngram" -> ((s, dir) =>
+      TextAnalysis.langIdNgram(docsLang(s, dir))),
+    // where the two tiers DISAGREE on the same corpus (the pt fixture docs
+    // read "en" to the stopword tier — their only stopword hit is "a")
+    "text_langid_ngram_diff" -> ((s, dir) => {
+      val dl = docsLang(s, dir)
+      val stop = TextAnalysis.langIdByJoin(dl)
+        .withColumnRenamed("lang_pred", "lang_stop")
+      val ng = TextAnalysis.langIdNgram(dl)
+        .select(col("doc_id"), col("lang_pred").as("lang_ngram"))
+      stop.join(ng, "doc_id")
+        .filter(col("lang_stop") =!= col("lang_ngram"))
+    }),
     // code-switching detector: per-LINE language votes rolled up to
     // majority language + minority-line fraction per document
     "text_langid_lines" -> ((s, dir) =>
@@ -6354,6 +6434,8 @@ object SparkEntry {
         s"md5(regexp_replace(lower(trim(text, '$SqlWs')), '\\s+', ' ', 'g')) AS fingerprint " +
         "FROM documents"),
     "text_langid" -> LangIdSql,
+    "text_langid_ngram" -> LangIdNgramSql,
+    "text_langid_ngram_diff" -> LangIdNgramDiffSql,
     // intra-doc line dedup mirror: positional first-occurrence via a
     // (doc, line) row_number, survivors rejoined in position order
     "text_dedup_lines_intra" ->

@@ -267,6 +267,85 @@ object TextAnalysis {
       .select(col("id").as(idCol), coalesce(col("lang_pred"), lit("und")).as("lang_pred"))
   }
 
+  /** Fixed per-language CHARACTER-TRIGRAM profiles for [[langIdNgram]] —
+    * (lang, trigram, weight) with integer weights, distinctive grams
+    * weighted 3, supporting grams 1–2. Trigram inventories are standard
+    * public linguistics (the CLD/fastText feature family: Portuguese
+    * "ção"/"ão "/"não" vs Spanish "ción"/"los"/" el", German "sch"/"der",
+    * French "les"/"eau", English "the"/"ing"); grams INCLUDE spaces so
+    * word-boundary morphology ("ão ", "en ") is a feature. Single literal
+    * source for BOTH engines (the stopword-list rule: never respell). */
+  val LangNgramProfiles: Seq[(String, String, Long)] = Seq(
+    // deliberately ABSENT: the classic English-collision grams — "der"
+    // (order/under), "le " (table/possible), "est" (fastest/best), "en "
+    // (open/even), "es " (tables) — each would fire constantly inside
+    // English text; boundary-anchored or language-unique grams carry the
+    // evidence instead
+    ("de", "die", 2L), ("de", "und", 3L),
+    ("de", "ein", 2L), ("de", "sch", 3L), ("de", "ich", 2L),
+    ("de", "cht", 2L), ("de", "ung", 3L), ("de", "das", 2L),
+    ("de", "ist", 2L), ("de", " ge", 1L),
+    ("en", "the", 3L), ("en", " th", 2L), ("en", "he ", 1L),
+    ("en", "ing", 2L), ("en", "and", 2L), ("en", " of", 2L),
+    ("en", "of ", 2L), ("en", "ed ", 1L), ("en", " to", 1L),
+    ("en", "ion", 1L), ("en", "was", 2L), ("en", " is", 1L),
+    ("es", "ión", 3L), ("es", "ció", 3L), ("es", "los", 2L),
+    ("es", "las", 2L), ("es", " el", 2L), ("es", "el ", 1L),
+    ("es", " la", 1L), ("es", "la ", 1L), ("es", "una", 2L),
+    ("es", "ado", 1L), ("es", " es", 1L),
+    ("fr", "les", 2L), ("fr", " le", 2L),
+    ("fr", "des", 2L), ("fr", "ent", 1L), ("fr", "eau", 3L),
+    ("fr", "aux", 3L), ("fr", "une", 2L),
+    ("fr", "ais", 2L), ("fr", "oir", 2L), ("fr", " et", 1L),
+    ("pt", "ção", 3L), ("pt", "ão ", 3L), ("pt", "não", 3L),
+    ("pt", "uma", 2L), ("pt", " um", 2L), ("pt", "os ", 1L),
+    ("pt", "dos", 2L), ("pt", "ara", 1L), ("pt", " há", 3L),
+    ("pt", "em ", 1L), ("pt", "ões", 3L), ("pt", " às", 3L))
+
+  /** CHAR-N-GRAM LANGUAGE ID — the profile tier above the stopword tier
+    * ([[langIdByJoin]]): per-document trigram windows over the lowercased
+    * text (spaces included), each gram scored against the fixed
+    * [[LangNgramProfiles]] weights, per-language EXACT LONG sums, argmax
+    * under the (−score, lang) total order (the langIdByJoin tie-break
+    * discipline — ties go to the alphabetically first language). Docs with
+    * zero profile hits in every language report ('und', 0). This is the
+    * CLD/fastText-style character-n-gram Naive-Bayes shape with fixed
+    * integer log-weights — it separates languages stopword lists cannot
+    * (Portuguese vs Spanish share surface stopwords like "a"/"de" but
+    * diverge sharply on "ção/ción"-class morphology).
+    *
+    * Scale shape: the trigram relation is corpus-character-sized but
+    * NARROW (id, 3-char gram); the profile join is a BROADCAST hash join
+    * (the profile is a few dozen rows); scores collapse in one
+    * map-side-combined (doc, lang) aggregation — profile misses drop at
+    * the join, so the exchange carries only profile HITS, and the argmax
+    * is a second map-side-combined min-of-struct keyed by doc. Nothing
+    * wider than (id, lang, long) ever shuffles. */
+  def langIdNgram(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prof = broadcast(LangNgramProfiles.toDF("lang", "gram", "w"))
+    val lt = lower(col(textCol))
+    val grams = docs.select(col(idCol).as("id"), explode(
+        when(length(lt) >= 3,
+          transform(sequence(lit(1), length(lt) - lit(2)),
+            i => lt.substr(i, lit(3))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    val prof2 = prof.withColumnRenamed("gram", "__g")
+    val scores = grams.join(prof2, grams("gram") === prof2("__g"))
+      .groupBy("id", "lang").agg(sum("w").as("score"))
+    val best = scores.groupBy("id")
+      .agg(min(struct((-col("score")).as("ns"), col("lang"),
+        col("score"))).as("b"))
+      .select(col("id"), col("b.lang").as("lang_pred"),
+        col("b.score").as("score"))
+    docs.select(col(idCol).as("id")).join(best, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
   /** Tokenizer FERTILITY by language — pieces emitted per whitespace word,
     * the standard "how badly does this tokenizer fragment language X" audit
     * (fertility ≈ 1 for a tokenizer fluent in the language, ≫ 1 for one

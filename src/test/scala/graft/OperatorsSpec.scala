@@ -3464,6 +3464,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(b1 == local.map(r => (r._2, r._3, r._4)), s"b1=$b1")
   }
 
+  test("char-trigram language id separates pt from es where the stopword " +
+      "tier cannot, with exact scores and und fallback") {
+    val d = Seq(
+      (1L, "a canção dos meninos não era uma ilusão mas um sonho"),
+      (2L, "la canción de los niños era una ilusión y el sueño"),
+      (3L, "zzz qqq xxx"),
+      (4L, "die kinder singen ein schönes lied und lachen nicht"))
+      .toDF("doc_id", "text")
+    val ng = TextAnalysis.langIdNgram(d).orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(ng.map(r => (r._1, r._2)) ==
+      Seq((1L, "pt"), (2L, "es"), (3L, "und"), (4L, "de")), s"ng=$ng")
+    assert(ng(2)._3 == 0L) // zero profile hits -> defined zero score
+    assert(ng(0)._3 > 0L && ng(1)._3 > 0L)
+    // the stopword tier MISLABELS the Portuguese doc as English — its only
+    // stopword hit is "a"; pt shares its real stopwords with no list
+    val st = TextAnalysis.langIdByJoin(d).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(st.head == ((1L, "en")), s"st=$st")
+    assert(st(1) == ((2L, "es"))) // both tiers agree on the Spanish doc
+  }
+
   test("GPT-2 pretokenizer: hand-computed goldens on every whitespace-run " +
       "shape, contractions, digit and punctuation runs") {
     def pt(s: String): Seq[String] = Seq((1L, s)).toDF("doc_id", "text")
