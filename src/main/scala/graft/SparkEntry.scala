@@ -1449,6 +1449,52 @@ object SparkEntry {
       "ah AS (SELECT pid, CAST(CASE WHEN sig >= 9223372036854775808 " +
       "THEN sig - 18446744073709551616 ELSE sig END AS BIGINT) AS phash FROM sg)"
 
+  /** Full DuckDB replay of [[graft.operators.Multimodal.imagePHashDct]]
+    * over the gradient scene family: per-doc scene parameters
+    * (Multimodal.gradientParams — every division a nonneg floor with the
+    * sign OUTSIDE, so `//` replays the JVM exactly), the 32×32
+    * nearest-neighbor luma grid, the separable integer DCT against the
+    * EMBEDDED fixed-point cosine table (literals read from
+    * Multimodal.DctCos at oracle-build time — single source, no trig
+    * re-evaluation), the rank-32 AC median (value at a rank is
+    * deterministic under ties), and the >median bit fold with the aHash
+    * HUGEINT→BIGINT wrap. Yields CTE `phb(doc_id, phash)`. */
+  private def pHashDctCtes: String = {
+    val cosVals = (for (k <- 0 until 8; n <- 0 until 32)
+      yield s"($k, $n, ${graft.operators.Multimodal.DctCos(k)(n)})")
+      .mkString(", ")
+    "gq AS (SELECT doc_id, w, h, gid % 3 - 1 AS ax, (gid // 3) % 3 - 1 AS ay, " +
+      "(gid // 9) % 5 - 2 AS cxy, (gid // 45) % 3 - 1 AS qx, " +
+      "(gid // 135) % 3 - 1 AS qy FROM " +
+      "(SELECT doc_id, (doc_id // 2) % 405 AS gid, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END AS w, 16 AS h " +
+      "FROM documents)), " +
+      s"dcos(k, n, c) AS (VALUES $cosVals), " +
+      "g32 AS (SELECT doc_id, j, i, 1000 * greatest(0, least(255, " +
+      "128 + ax * (((i * w) // 32) * 48 // w) " +
+      "+ ay * (((j * h) // 32) * 48 // h) " +
+      "+ cxy * (((i * w) // 32) * ((j * h) // 32) * 48 // (w * h)) " +
+      "+ qx * (((i * w) // 32) * ((i * w) // 32) * 48 // (w * w)) " +
+      "+ qy * (((j * h) // 32) * ((j * h) // 32) * 48 // (h * h)))) AS g " +
+      "FROM gq, LATERAL (SELECT unnest(generate_series(0, 31)) AS i), " +
+      "LATERAL (SELECT unnest(generate_series(0, 31)) AS j)), " +
+      "pt1 AS (SELECT doc_id, j, d.k AS v, sum(g * d.c) AS t FROM g32 " +
+      "JOIN dcos d ON d.n = i GROUP BY 1, 2, 3), " +
+      "pt2 AS (SELECT doc_id, d.k AS u, v, sum(d.c * t) AS f FROM pt1 " +
+      "JOIN dcos d ON d.n = j GROUP BY 1, 2, 3), " +
+      "pac AS (SELECT doc_id, u, v, f, row_number() OVER " +
+      "(PARTITION BY doc_id ORDER BY f) AS rn " +
+      "FROM pt2 WHERE NOT (u = 0 AND v = 0)), " +
+      "pmd AS (SELECT doc_id, f AS med FROM pac WHERE rn = 32), " +
+      "psg AS (SELECT a.doc_id, sum(CASE WHEN a.f > m.med " +
+      "THEN CAST(1 AS HUGEINT) << CAST(a.u * 8 + a.v AS INT) " +
+      "ELSE CAST(0 AS HUGEINT) END) AS sig " +
+      "FROM pac a JOIN pmd m USING (doc_id) GROUP BY 1), " +
+      "phb AS (SELECT doc_id, CAST(CASE WHEN sig >= 9223372036854775808 " +
+      "THEN sig - 18446744073709551616 ELSE sig END AS BIGINT) AS phash " +
+      "FROM psg)"
+  }
+
   /** Full DuckDB replay of Graph.labelPropagation: same symmetrized weighted
     * edge relation, every synchronous round unrolled as a MATERIALIZED CTE
     * with the identical lexicographic min({-wsum, label}) vote. */
@@ -4353,6 +4399,26 @@ object SparkEntry {
     "mm_phash" -> ((s, dir) =>
       Multimodal.imageAHash(s,
         Multimodal.synthesizeImages(s, docs(s, dir)).toDF()).toDF()),
+    // DCT perceptual hash over the GRADIENT scene family (the r14 lesson
+    // as an operator proof): near-planar scenes aHash collapses separate
+    // under the low-frequency DCT structure; the oracle recomputes the
+    // full 32×32-grid integer DCT signature analytically
+    "mm_phash_dct" -> ((s, dir) =>
+      Multimodal.imagePHashDct(s,
+        Multimodal.synthesizeImagesGradient(s, docs(s, dir)).toDF()).toDF()),
+    // pHash wired into the banded hamming join: consecutive docs render
+    // the SAME scene at different sizes (planted rescale near-dups, ≤3
+    // bits apart); the oracle verifies by brute force over the analytic
+    // signatures
+    "mm_phash_dct_neardup" -> ((s, dir) => {
+      val sigs = Multimodal.imagePHashDct(s,
+          Multimodal.synthesizeImagesGradient(s, docs(s, dir)).toDF())
+        .toDF("id", "sig")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.hammingPairs(sigs, 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+    }),
     // MM6 — graft extension: image exact-dedup end to end — duplicates are
     // PLANTED (doc_id % 7 == 3 renders its predecessor's pattern), each
     // distinct pattern is encoded as a real PNG exactly once, hashed through
@@ -7022,6 +7088,14 @@ object SparkEntry {
     "mm_phash" ->
       (s"WITH ${aHashCtes("(SELECT doc_id AS pid FROM documents)")} " +
         "SELECT pid AS doc_id, phash FROM ah"),
+    "mm_phash_dct" ->
+      s"WITH $pHashDctCtes SELECT doc_id, phash FROM phb",
+    "mm_phash_dct_neardup" ->
+      (s"WITH $pHashDctCtes " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming " +
+        "FROM phb a JOIN phb b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.phash, b.phash)) <= 3"),
     // image exact-dedup mirror: the SAME analytic signature over the
     // DISTINCT planted-duplicate pattern ids, joined back and grouped —
     // log-compaction semantics (min keeper, duplicate count) per signature

@@ -157,6 +157,13 @@ object Multimodal {
   private def renderImage(pid: Long, format: String,
       rgbOf: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     val (w, h) = patternDims(pid)
+    renderImageDims(w, h, format, rgbOf)
+  }
+
+  /** The dims-explicit encode core (the gradient fixture picks its own
+    * sizes; everything else derives them from the pattern id). */
+  private def renderImageDims(w: Int, h: Int, format: String,
+      rgbOf: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -341,6 +348,164 @@ object Multimodal {
       b += 1
     }
     sig
+  }
+
+  /** Integer 32-point DCT-II cosine table for [[imagePHashDct]]:
+    * C(k)(n) = round(cos(π·(2n+1)·k / 64) · 2¹⁴) for k ∈ 0..7 (only the low
+    * 8 frequencies are ever read), n ∈ 0..31. SINGLE SOURCE for both
+    * engines: the DuckDB oracle embeds these exact values as literals at
+    * oracle-build time (SparkEntry reads this array), so no trig function
+    * is ever evaluated twice. */
+  private[graft] val DctCos: Array[Array[Long]] =
+    Array.tabulate(8, 32)((k, n) =>
+      Math.round(Math.cos(Math.PI * (2 * n + 1) * k / 64.0) * 16384.0))
+
+  /** 64-bit DCT PERCEPTUAL HASH (pHash) from REAL decoded pixels — the
+    * robust tier above [[imageAHash]]: aHash thresholds 8×8 BLOCK MEANS
+    * against the global mean, so every near-planar gradient collapses to
+    * the same half-plane mask (the r14 fixture lesson) and distinct gentle
+    * gradients false-merge; pHash thresholds the low-frequency DCT
+    * STRUCTURE, which encodes gradient direction and curvature mix, so
+    * those scenes separate while re-renders of the same scene (rescales,
+    * re-encodes) still land within a few bits.
+    *
+    * All-integer and bit-replayable by the SQL oracle: 32×32
+    * nearest-neighbor luma grid (gray = 299R+587G+114B, ×1000 undivided;
+    * source pixel (⌊i·w/32⌋, ⌊j·h/32⌋) — exact for any w, h), separable
+    * 2-D DCT-II with the fixed-point [[DctCos]] table (terms bounded by
+    * 2⁵⁶ — exact longs), then bit u·8+v set iff F(u,v) exceeds the MEDIAN
+    * of the 63 AC coefficients (element 31 of the ascending sort — a real
+    * element, never an averaged midpoint; DC is excluded and its bit
+    * always 0, the standard pHash discipline making the hash
+    * brightness-invariant). Undecodable rows get the −1 sentinel.
+    * Narrow partition-parallel map; only (doc_id, phash) ever shuffles. */
+  def imagePHashDct(spark: SparkSession, media: DataFrame): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    media.select("doc_id", "media", "mime", "width", "height").as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { rec =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.media))
+            catch { case _: java.io.IOException => null }
+          if (img == null) (rec.doc_id, -1L)
+          else (rec.doc_id, pHashDctOf(img))
+        }
+      }.toDF("doc_id", "phash").as[(Long, Long)]
+  }
+
+  /** The integer DCT hash of one decoded image — semantics as documented
+    * on [[imagePHashDct]]. */
+  private[graft] def pHashDctOf(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    // 32×32 nearest-neighbor luma grid, ×1000 fixed point
+    val g = Array.ofDim[Long](32, 32)
+    var j = 0
+    while (j < 32) {
+      val y = j * h / 32
+      var i = 0
+      while (i < 32) {
+        val x = i * w / 32
+        val rgb = img.getRGB(x, y)
+        g(j)(i) = ((rgb >> 16) & 0xff) * 299L +
+          ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
+        i += 1
+      }
+      j += 1
+    }
+    // separable integer DCT: t(j)(v) = Σ_i g(j)(i)·C(v)(i);
+    // F(u)(v) = Σ_j C(u)(j)·t(j)(v)
+    val t = Array.ofDim[Long](32, 8)
+    j = 0
+    while (j < 32) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var i = 0
+        while (i < 32) { s += g(j)(i) * DctCos(v)(i); i += 1 }
+        t(j)(v) = s
+        v += 1
+      }
+      j += 1
+    }
+    val f = Array.ofDim[Long](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var jj = 0
+        while (jj < 32) { s += DctCos(u)(jj) * t(jj)(v); jj += 1 }
+        f(u)(v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = new Array[Long](63)
+    var b = 0
+    var k = 0
+    while (b < 64) {
+      if (b != 0) { ac(k) = f(b / 8)(b % 8); k += 1 }
+      b += 1
+    }
+    java.util.Arrays.sort(ac)
+    val med = ac(31)
+    var sig = 0L
+    b = 1
+    while (b < 64) {
+      if (f(b / 8)(b % 8) > med) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Deterministic GRADIENT scene family for the pHash-vs-aHash proof —
+    * near-planar luma surfaces in NORMALIZED coordinates (so two renders
+    * of the same scene at different sizes are genuine rescale near-dups):
+    * scene gid ∈ 0..404 decodes to slopes ax, ay ∈ {−1,0,1}, cross term
+    * cxy ∈ {−2..2} and curvatures qx, qy ∈ {−1,0,1}; luma(x, y) =
+    * clamp(128 + ax·⌊48x/w⌋ + ay·⌊48y/h⌋ + cxy·⌊48xy/(wh)⌋ +
+    * qx·⌊48x²/w²⌋ + qy·⌊48y²/h²⌋). Every division is a floor of a
+    * NONNEGATIVE quantity with the sign applied OUTSIDE, so Spark, the
+    * JVM render loop and DuckDB `//` agree exactly. On this family aHash
+    * PROVABLY collapses distinct scenes (e.g. gids 206/356/268 share one
+    * aHash at both render sizes) while their pHashes differ by 24+ bits —
+    * the OperatorsSpec proof. */
+  private[graft] def gradientParams(gid: Long): (Int, Int, Int, Int, Int) =
+    ((gid % 3).toInt - 1, ((gid / 3) % 3).toInt - 1,
+      ((gid / 9) % 5).toInt - 2, ((gid / 45) % 3).toInt - 1,
+      ((gid / 135) % 3).toInt - 1)
+
+  private[graft] def gradientDims(docId: Long): (Int, Int) =
+    if (docId % 2 == 0) (16, 16) else (24, 16)
+
+  private[graft] def gradientValue(gid: Long, w: Int, h: Int,
+      x: Int, y: Int): Int = {
+    val (ax, ay, cxy, qx, qy) = gradientParams(gid)
+    val v = 128 + ax * (x * 48 / w) + ay * (y * 48 / h) +
+      cxy * (x * y * 48 / (w * h)) + qx * (x * x * 48 / (w * w)) +
+      qy * (y * y * 48 / (h * h))
+    math.max(0, math.min(255, v))
+  }
+
+  /** REAL encoded PNGs of the gradient family: docs pair up — doc 2k and
+    * 2k+1 render the SAME scene gid = ⌊doc_id/2⌋ mod 405 at DIFFERENT
+    * sizes (16×16 and 24×16), so consecutive docs are planted rescale
+    * near-dups. Same narrow-map plumbing as [[synthesizeImages]]. */
+  def synthesizeImagesGradient(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { docId =>
+        val gid = (docId / 2) % 405
+        val (w, h) = gradientDims(docId)
+        val png = renderImageDims(w, h, "png", (x, y) => {
+          val v = gradientValue(gid, w, h, x, y)
+          (v, v, v)
+        })
+        MediaRecord(docId, png, "image/png", w, h)
+      }
+    }
   }
 
   /** Deterministic per-doc PCM parameters shared by [[synthesizeAudio]] and

@@ -3464,6 +3464,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(b1 == local.map(r => (r._2, r._3, r._4)), s"b1=$b1")
   }
 
+  test("DCT pHash separates gradient scenes aHash provably collapses on, " +
+      "while rescale near-dups stay within 3 bits") {
+    // docs 2k/2k+1 render scene gid=k at 16×16 and 24×16. Scenes 206, 356
+    // and 268 were found by exhaustive search over the 405-scene family:
+    // ALL SIX renders share the single aHash 0xfefcf8f0e0c08000 (the
+    // half-plane mask every near-planar diagonal gradient collapses to —
+    // the r14 fixture lesson), while their DCT pHashes differ by 31/31/10
+    // bits between scenes and ≤2 bits between sizes of the same scene.
+    val scenes = Seq(206L, 356L, 268L)
+    val ids = scenes.flatMap(g => Seq(g * 2, g * 2 + 1))
+    val media = Multimodal.synthesizeImagesGradient(spark,
+      ids.toDF("doc_id")).toDF()
+    val ah = Multimodal.imageAHash(spark, media).collect().toMap
+    val ph = Multimodal.imagePHashDct(spark, media).collect().toMap
+    assert(ah.values.toSet == Set(0xfefcf8f0e0c08000L), s"ah=$ah")
+    def pop(x: Long) = java.lang.Long.bitCount(x)
+    for (a <- scenes; b <- scenes if a < b)
+      assert(pop(ph(a * 2) ^ ph(b * 2)) >= 10,
+        s"scenes $a/$b not separated: ${ph(a * 2)} ${ph(b * 2)}")
+    scenes.foreach(g => assert(pop(ph(g * 2) ^ ph(g * 2 + 1)) <= 3,
+      s"scene $g unstable across rescale"))
+    // wired into the banded hamming join: EXACTLY the 3 planted rescale
+    // pairs come back, no false merges — the aHash tier would return all
+    // 15 pairs here
+    val pairs = Dedup.hammingPairs(
+        Multimodal.imagePHashDct(spark, media).toDF("id", "sig"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == scenes.map(g => (g * 2, g * 2 + 1)).toSet, s"pairs=$pairs")
+    val aPairs = Dedup.hammingPairs(
+        Multimodal.imageAHash(spark, media).toDF("id", "sig"), 3)
+      .collect()
+    assert(aPairs.length == 15, s"aHash should false-merge all pairs")
+  }
+
   test("char-trigram language id separates pt from es where the stopword " +
       "tier cannot, with exact scores and und fallback") {
     val d = Seq(
