@@ -4486,6 +4486,15 @@ object SparkEntry {
           win = 64, thrMeanSq = 1000000L)
         .select(col("doc_id"), col("n_spans"), col("speech_samples"),
           col("total_samples"), col("speech_ratio"))),
+    // per-shard VAD quality rollup — the one-shot twin the streaming sink
+    // (StreamingVad.vadRatioSink) must land on bit-identically
+    "mm_audio_vad_shards" -> ((s, dir) =>
+      Multimodal.vadShardRollup(s,
+          Multimodal.synthesizeAudioSilence(s, docs(s, dir)).toDF(),
+          win = 64, thrMeanSq = 1000000L, numShards = 8)
+        .select(col("shard"), col("n_docs"), col("n_undecodable"),
+          col("n_spans"), col("speech_samples"), col("total_samples"),
+          col("speech_ratio"))),
     "mm_audio" -> ((s, dir) =>
       Multimodal.decodeAudio(s,
           Multimodal.synthesizeAudio(s, docs(s, dir)).toDF())
@@ -7141,6 +7150,21 @@ object SparkEntry {
         "CAST(sum(CASE WHEN sp = 1 THEN n_samples ELSE 0 END) AS DOUBLE) / " +
         "CAST(sum(n_samples) AS DOUBLE) AS speech_ratio " +
         "FROM spn GROUP BY doc_id"),
+    "mm_audio_vad_shards" ->
+      (s"WITH $AudioVadCtes, " +
+        "vr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+        "CAST(sum(CASE WHEN sp = 1 THEN n_samples ELSE 0 END) AS BIGINT) AS sp_s, " +
+        "CAST(sum(n_samples) AS BIGINT) AS tot_s FROM spn GROUP BY doc_id) " +
+        // every fixture doc decodes (spn covers all of documents), so the
+        // undecodable count is the analytic 0 per shard
+        s"SELECT CAST(${pmSql(hashRawSql("doc_id"), "8")} AS BIGINT) AS shard, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(0 AS BIGINT) AS n_undecodable, " +
+        "CAST(sum(n_spans) AS BIGINT) AS n_spans, " +
+        "CAST(sum(sp_s) AS BIGINT) AS speech_samples, " +
+        "CAST(sum(tot_s) AS BIGINT) AS total_samples, " +
+        "CAST(sum(sp_s) AS DOUBLE) / CAST(sum(tot_s) AS DOUBLE) AS speech_ratio " +
+        "FROM vr GROUP BY 1"),
     "mm_audio" ->
       ("SELECT doc_id, CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate, " +
         "CAST(1 + doc_id % 2 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits, " +

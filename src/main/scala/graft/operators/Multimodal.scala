@@ -775,6 +775,49 @@ object Multimodal {
           col("speech_samples").cast("double") /
             col("total_samples").cast("double")))
 
+  /** Per-SHARD ADDITIVE VAD partial — the streaming-manifest shape for the
+    * audio quality plane: the [[vadSpeechRatio]] per-doc stats collapsed
+    * onto pmod(hashRaw(doc_id), numShards) shards as PURE LONG SUMS (doc /
+    * undecodable / span / voiced-sample / total-sample counts). Every
+    * column is a commutative monoid over document rows, and each audio doc
+    * arrives exactly once on an append stream (the manifest contract), so
+    * per-batch partials folded through [[graft.streaming.GenStore]] land
+    * BIT-IDENTICALLY on the one-shot [[vadShardRollup]] of all rows seen.
+    * Undecodable docs (n_spans = 0 from the −1 sentinel) count in n_docs
+    * and n_undecodable but contribute no samples.
+    *
+    * Scale shape: the codec walk stays where the bytes are (zero
+    * shuffles); the only exchange carries numShards rows of longs. */
+  def vadShardPartial(spark: SparkSession, media: DataFrame, win: Int,
+      thrMeanSq: Long, numShards: Int, seed: Long = 42): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    vadSpeechRatio(spark, media, win, thrMeanSq)
+      .groupBy(pmod(Sampling.hashRaw(col("doc_id"), seed),
+        lit(numShards.toLong)).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_spans") === 0L, 1L).otherwise(0L)).as("n_undecodable"),
+        sum("n_spans").as("n_spans"),
+        sum("speech_samples").as("speech_samples"),
+        sum("total_samples").as("total_samples"))
+  }
+
+  /** Finish a (possibly accumulated) [[vadShardPartial]] relation: the
+    * per-shard voiced fraction as ONE division of exact longs; NULL when
+    * the shard carries no decodable samples. */
+  def vadShardFinish(acc: DataFrame): DataFrame =
+    acc.withColumn("speech_ratio",
+      when(col("total_samples") > 0L,
+        col("speech_samples").cast("double") /
+          col("total_samples").cast("double")))
+
+  /** One-shot per-shard VAD quality rollup — partial + finish; the batch
+    * twin the streaming sink ([[graft.streaming.StreamingVad]]) must land
+    * on bit-identically. */
+  def vadShardRollup(spark: SparkSession, media: DataFrame, win: Int,
+      thrMeanSq: Long, numShards: Int, seed: Long = 42): DataFrame =
+    vadShardFinish(
+      vadShardPartial(spark, media, win, thrMeanSq, numShards, seed))
+
   /** 64-bit audio fingerprint from REAL decoded PCM — the audio sibling of
     * [[imageAHash]], in the energy-difference-sign family of Haitsma &
     * Kalker 2002 ("A highly robust audio fingerprinting system", the

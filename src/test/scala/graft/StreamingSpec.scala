@@ -1238,6 +1238,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(restarted == oneShot, s"restarted=$restarted oneShot=$oneShot")
   }
 
+  test("streaming VAD: per-batch fold lands on the one-shot shard rollup, " +
+      "undecodable docs counted", SlowTest) {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real planted-silence WAVs + one undecodable byte blob in batch 2
+    val ids = (0L until 60L).toDF("doc_id")
+    val wavs = graft.operators.Multimodal.synthesizeAudioSilence(spark, ids)
+      .map(r => (r._1, r._2)).collect().toSeq :+ (9999L, Array[Byte](1, 2, 3))
+    val (b1, rest) = wavs.splitAt(20)
+    val (b2, b3) = rest.splitAt(20)
+    val base = java.nio.file.Files.createTempDirectory("graft-vad").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.StreamingVad.vadRatioSink(
+        input.toDF().toDF("doc_id", "media"), win = 64,
+        thrMeanSq = 1000000L, numShards = 8,
+        s"$base/state", s"$base/out", s"$base/ckpt")
+      .start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Long, Long, Option[Double])]
+        .collect().sortBy(_._1).toSeq
+    val streamed = sorted(spark.read.parquet(s"$base/out/batch_id=2"))
+    val oneShot = sorted(graft.operators.Multimodal.vadShardRollup(spark,
+      wavs.toDF("doc_id", "media"), win = 64, thrMeanSq = 1000000L,
+      numShards = 8))
+    assert(streamed == oneShot, s"streamed=$streamed oneShot=$oneShot")
+    // the undecodable blob is counted in its shard, contributing no samples
+    assert(streamed.map(_._3).sum == 1L)
+    // intermediate batch 0 equals the one-shot over b1 alone
+    val s0 = sorted(spark.read.parquet(s"$base/out/batch_id=0"))
+    val o0 = sorted(graft.operators.Multimodal.vadShardRollup(spark,
+      b1.toDF("doc_id", "media"), win = 64, thrMeanSq = 1000000L,
+      numShards = 8))
+    assert(s0 == o0, s"batch-0 rollup diverges: $s0 vs $o0")
+  }
+
+  test("streaming VAD: checkpoint restart resumes the shard store", SlowTest) {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ids = (0L until 40L).toDF("doc_id")
+    val wavs = graft.operators.Multimodal.synthesizeAudioSilence(spark, ids)
+      .map(r => (r._1, r._2)).collect().toSeq
+    val (b1, b2) = wavs.splitAt(20)
+    val base = java.nio.file.Files.createTempDirectory("graft-vadr").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    def start() = graft.streaming.StreamingVad.vadRatioSink(
+        input.toDF().toDF("doc_id", "media"), win = 64,
+        thrMeanSq = 1000000L, numShards = 8,
+        s"$base/state", s"$base/out", s"$base/ckpt")
+      .start()
+    val q1 = start()
+    try { input.addData(b1); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { input.addData(b2); q2.processAllAvailable() } finally q2.stop()
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Long, Long, Option[Double])]
+        .collect().sortBy(_._1).toSeq
+    val restarted = sorted(spark.read.parquet(s"$base/out/batch_id=1"))
+    val oneShot = sorted(graft.operators.Multimodal.vadShardRollup(spark,
+      wavs.toDF("doc_id", "media"), win = 64, thrMeanSq = 1000000L,
+      numShards = 8))
+    assert(restarted == oneShot, s"restarted=$restarted oneShot=$oneShot")
+  }
+
   test("streaming manifest: checkpoint restart resumes the shard store", SlowTest) {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
