@@ -708,6 +708,39 @@ object SparkEntry {
     sb.toString
   }
 
+  /** MMR mirror (k=8, λ=0.5): query = min-id unit vector, candidates = the
+    * rest with their query cosine materialized once; each round's argmax of
+    * `0.5·rel − 0.5·max(cos to picks)` is a chained materialized CTE with
+    * the identical IEEE op order and (score DESC, vec_id ASC) tie-break —
+    * one transposed pick anywhere changes all later rows. */
+  private val MmrSql = {
+    val k = 8
+    val sb = new StringBuilder(s"WITH $UnitVecCte, ")
+    sb ++= "mq AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM u " +
+      "ORDER BY vec_id LIMIT 1), "
+    sb ++= "mc0 AS MATERIALIZED (SELECT u.vec_id, u.v, " +
+      "list_inner_product(u.v, mq.qv) AS rel FROM u, mq " +
+      "WHERE u.vec_id <> mq.qid), "
+    sb ++= "m1 AS MATERIALIZED (SELECT vec_id, v, rel, " +
+      "0.5 * rel - 0.5 * 0.0 AS score FROM mc0 " +
+      "ORDER BY score DESC, vec_id ASC LIMIT 1)"
+    for (r <- 2 to k) {
+      val prev = (1 until r).map(i => s"SELECT vec_id, v FROM m$i")
+        .mkString(" UNION ALL ")
+      sb ++= s", m$r AS MATERIALIZED (SELECT vec_id, any_value(nv) AS v, " +
+        "any_value(rel) AS rel, 0.5 * any_value(rel) - " +
+        "0.5 * max(list_inner_product(pv, nv)) AS score FROM (" +
+        s"SELECT n.vec_id, n.v AS nv, n.rel AS rel, p.v AS pv FROM mc0 n, ($prev) p " +
+        s"WHERE n.vec_id NOT IN (SELECT vec_id FROM ($prev))) " +
+        "GROUP BY vec_id ORDER BY score DESC, vec_id ASC LIMIT 1)"
+    }
+    val un = (1 to k).map(r => s"SELECT $r AS rank, vec_id, rel, score FROM m$r")
+      .mkString(" UNION ALL ")
+    sb ++= s" SELECT CAST(rank AS BIGINT) AS rank, vec_id, " +
+      s"ROUND(rel, 4) AS rel, ROUND(score, 4) AS score FROM ($un)"
+    sb.toString
+  }
+
   /** IVF probe against the Lloyd-refined cent2 cells (k=5, nProbe=3,
     * queries = vec_id < 10) — the IvfTopkSql probe verbatim with fitted
     * centroids; the output carries no cell label, so the mirror's original
@@ -2797,6 +2830,15 @@ object SparkEntry {
       EventsAdapter.rawEvents(s, dir).select(col("event_id"),
         Layout.zValueN(Seq(col("user_id"), expr("ts_us div 86400000000L"),
           expr("(ts_us div 3600000000L) % 24L")), 20).as("z"))),
+    // L3 — graft extension: the Hilbert curve key over the same (user,
+    // day) dims (order 21) — the continuous curve whose equal-count file
+    // cuts bound tighter boxes than Z's quadrant jumps; the per-level
+    // rotation walk is a codegen'd custom expression, the oracle replays
+    // it as a recursive CTE over the identical integer arithmetic
+    "layout_hilbert" -> ((s, dir) =>
+      EventsAdapter.rawEvents(s, dir).select(col("event_id"),
+        Layout.hilbertValue(col("user_id"),
+          expr("ts_us div 86400000000L"), 21).as("h"))),
     // G2 — graft extension: fixed-point weighted PageRank over the
     // interaction-transition graph (per-user consecutive props.k
     // transitions) — 10 power iterations, all-integer, bit-identical to
@@ -4310,6 +4352,15 @@ object SparkEntry {
       Similarity.kcenterSelectBatched(emb(s, dir), k = 8, batchB = 4)
         .select(col("rank"), col("vec_id"),
           round(col("max_cos"), 4).as("max_cos"))),
+    // MMR diverse selection (Carbonell & Goldstein 1998): relevance to the
+    // min-id query vector traded against max-cosine to prior picks at
+    // λ=0.5 — the "about THIS topic, but don't repeat" curation pick; the
+    // oracle replays every greedy round as chained materialized CTEs
+    "sample_mmr" -> ((s, dir) =>
+      Similarity.mmrSelect(emb(s, dir), k = 8, lambda = 0.5)
+        .select(col("rank"), col("vec_id"),
+          round(col("rel"), 4).as("rel"),
+          round(col("score"), 4).as("score"))),
     // IVF ANN over the SAME fitted cells — the kmeans→IVF composition
     "sim_ivf_kmeans" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -4605,6 +4656,12 @@ object SparkEntry {
     // tied pairs adjudicate nothing and leave both counts
     "eval_rater_agreement" -> ((s, dir) =>
       Preference.raterAgreement(btComparisons(s, dir))),
+    // Krippendorff's alpha over the SAME preference log: chance-corrected
+    // reliability (1 = perfect, 0 = chance) — units are unordered item
+    // pairs, labels the judgment direction; the only per-unit division
+    // rides a 1e-6 integer floor grid so both engines sum exact longs
+    "eval_krippendorff" -> ((s, dir) =>
+      Preference.krippendorffAlpha(btComparisons(s, dir))),
     // corpus BLEU-4 over the generation-eval pair fixture (two
     // different-seed dropout corruptions of each doc): clipped counts
     // pooled over all pairs — the standard corpus formulation, never an
@@ -5275,6 +5332,23 @@ object SparkEntry {
       (s"SELECT event_id, ${zorderNSql(Seq("user_id",
         s"($TsUs // 86400000000)", s"(($TsUs // 3600000000) % 24)"), 20)} AS z " +
         "FROM events"),
+    // Hilbert mirror (order 21): the per-level rotation walk as a recursive
+    // CTE — rx/ry from the PRE-step x/y, the d increment's xor, the
+    // reflect-and-swap, s halving to 0; identical integer arithmetic
+    "layout_hilbert" ->
+      ("WITH RECURSIVE hw AS (" +
+        "SELECT event_id, (user_id & 2097151) AS x, " +
+        s"(($TsUs // 86400000000) & 2097151) AS y, " +
+        "CAST(0 AS BIGINT) AS d, CAST(1048576 AS BIGINT) AS s FROM events " +
+        "UNION ALL SELECT event_id, " +
+        "CASE WHEN (y & s) <> 0 THEN x WHEN (x & s) <> 0 THEN s - 1 - y " +
+        "ELSE y END AS x, " +
+        "CASE WHEN (y & s) <> 0 THEN y WHEN (x & s) <> 0 THEN s - 1 - x " +
+        "ELSE x END AS y, " +
+        "d + s * s * CAST(xor(3 * (CASE WHEN (x & s) <> 0 THEN 1 ELSE 0 END), " +
+        "CASE WHEN (y & s) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS d, " +
+        "s // 2 AS s FROM hw WHERE s > 0) " +
+        "SELECT event_id, d AS h FROM hw WHERE s = 0"),
     // PageRank mirror: same edge extraction (lead over (t, event_id)),
     // then the 10 power iterations UNROLLED as CTEs with the identical
     // all-integer arithmetic — floor division everywhere, both engines
@@ -6920,6 +6994,7 @@ object SparkEntry {
     "sim_kmeans" -> KmeansAssignSql,
     "sample_kcenter" -> KcenterSql,
     "sample_kcenter_batched" -> KcenterSql,
+    "sample_mmr" -> MmrSql,
     "sim_ivf_kmeans" -> IvfKmeansSql,
     // z-score alarms over the dense signup series: group stats via window
     // aggregates on the same grid as the gap-fill oracle
@@ -7334,6 +7409,27 @@ object SparkEntry {
         "CAST(sum(CASE WHEN maj_a IS NOT NULL THEN na + nb ELSE 0 END) AS DOUBLE) " +
         "END AS agree_ratio " +
         "FROM un LEFT JOIN maj USING (item_a, item_b) GROUP BY 1"),
+    // Krippendorff mirror: identical unit/label framing, the same 1e-6
+    // integer floor grid for the per-unit division, the same fixed double
+    // expression for the final alpha
+    "eval_krippendorff" ->
+      (s"WITH $BtCmpCtes, " +
+        "ku AS (SELECT least(winner, loser) AS a, greatest(winner, loser) AS b, " +
+        "CASE WHEN winner < loser THEN 1 ELSE 0 END AS lab FROM cmp), " +
+        "kg AS (SELECT a, b, CAST(count(*) AS BIGINT) AS m, " +
+        "CAST(sum(lab) AS BIGINT) AS ones FROM ku GROUP BY 1, 2 " +
+        "HAVING count(*) >= 2), " +
+        "kt AS (SELECT CAST(count(*) AS BIGINT) AS units, " +
+        "CAST(sum(m) AS BIGINT) AS n_values, " +
+        "CAST(sum(m - ones) AS BIGINT) AS n_zero, " +
+        "CAST(sum(ones) AS BIGINT) AS n_one, " +
+        "CAST(sum((2 * ones * (m - ones) * 1000000) // (m - 1)) AS BIGINT) " +
+        "AS do_scaled FROM kg) " +
+        "SELECT units, n_values, n_zero, n_one, do_scaled, " +
+        "CASE WHEN n_zero = 0 OR n_one = 0 THEN NULL ELSE " +
+        "1.0 - (CAST(n_values - 1 AS DOUBLE) * CAST(do_scaled AS DOUBLE)) / " +
+        "(1000000.0 * 2.0 * CAST(n_zero AS DOUBLE) * CAST(n_one AS DOUBLE)) " +
+        "END AS alpha FROM kt"),
     // corpus BLEU mirror: the same pooled exact sums, single-division
     // precisions, ln-sum in the same left-to-right order, and the one
     // transcendental product rounded stable on both engines

@@ -79,6 +79,30 @@ object Layout {
       .drop(z)
   }
 
+  /** 2-D HILBERT curve value of two non-negative dimensions (masked to the
+    * low `order` bits each — same explicit-reduction caveat as [[zValue]]):
+    * the continuous space-filling alternative to Z-order. Consecutive
+    * Hilbert indexes are always grid-adjacent, so equal-count file cuts
+    * get tighter per-file bounding boxes than the Z curve's quadrant
+    * jumps — strictly better min/max pruning on skewed predicate boxes.
+    * One codegen'd [[graft.functions.HilbertIndex2D]] per row. */
+  def hilbertValue(x: Column, y: Column, order: Int): Column =
+    graft.functions.SpaceFillingExpressions.hilbert2d(
+      x.cast("long"), y.cast("long"), order)
+
+  /** [[zorderCluster]] with the Hilbert key: range-partition into
+    * `numFiles` output partitions by the Hilbert value and sort within —
+    * the same one-shuffle write-time clustering, a tighter curve. */
+  def hilbertCluster(df: DataFrame, xCol: String, yCol: String, order: Int,
+      numFiles: Int): DataFrame = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val h = "__graft_h"
+    df.withColumn(h, hilbertValue(col(xCol), col(yCol), order))
+      .repartitionByRange(numFiles, col(h))
+      .sortWithinPartitions(col(h))
+      .drop(h)
+  }
+
   /** The zone map a writer would persist: per output partition (= file),
     * min/max of each listed dimension plus the row count — the audit
     * surface for "how prunable is this layout". Runs as one narrow

@@ -490,6 +490,82 @@ object Similarity {
     } finally { unit.unpersist(); () }
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE selection (Carbonell & Goldstein 1998,
+    * "The use of MMR, diversity-based reranking") — the RELEVANT-but-
+    * DIVERSE curation op, the missing middle between [[bruteForceTopK]]
+    * (pure relevance: near-duplicate picks) and [[kcenterSelect]] (pure
+    * diversity: ignores the query). Greedily picks k items maximizing
+    *   λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s),
+    * the standard objective for "give me k examples ABOUT this topic that
+    * don't repeat each other" — seed-set expansion for targeted fine-tuning
+    * data, diverse few-shot exemplar selection, dedup-aware retrieval.
+    *
+    * Query convention: the minimum-id unit vector is the query; every
+    * other vector is a candidate (callers with a real query vector join it
+    * in as id −1). First pick maximizes λ·rel alone (the max-sim term is
+    * 0 over an empty selected set — the published convention).
+    *
+    * Output: (rank, id, rel, score) — `rel` the pick's query cosine,
+    * `score` its MMR objective at pick time. From rank 2 on the score
+    * column is the non-increasing diminishing-returns curve (later rounds'
+    * scores are pointwise ≤ earlier rounds'; rank 1→2 may rise when
+    * cosines to pick 1 are negative, because the empty-set max-sim
+    * convention is 0) — stop where it crosses 0 (the next pick repeats
+    * more than it informs).
+    *
+    * Scale shape: identical to [[kcenterSelect]] — k bounded driver
+    * rounds, each ONE narrow scan of the persisted unit-vector relation
+    * (selected vectors ride as literals in a `greatest(dot…)` chain) and
+    * a TakeOrdered(1); no shuffle, no pair materialization. λ, rel and
+    * the score arithmetic are plain IEEE ops in a fixed order, so the
+    * DuckDB mirror replays every round's argmax bit-identically. */
+  def mmrSelect(emb: DataFrame, k: Int, lambda: Double = 0.5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val unit = unitVectors(emb, idCol, vecCol, "id", "v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val q = unit.orderBy(col("id").asc).limit(1)
+        .as[(Long, Seq[Double])].collect().headOption
+      q match {
+        case None =>
+          spark.emptyDataset[(Long, Long, Double, Double)]
+            .toDF("rank", idCol, "rel", "score")
+        case Some((qid, qv)) =>
+          val rel = dot(col("v"), typedLit(qv))
+          // (id, v, rel, score) per pick, in pick order
+          var picks = Vector.empty[(Long, Seq[Double], Double, Double)]
+          var exhausted = false
+          while (picks.size < k && !exhausted) {
+            val sims = picks.map(p => dot(col("v"), typedLit(p._2)))
+            val ms =
+              if (sims.isEmpty) lit(0.0)
+              else if (sims.size == 1) sims.head
+              else greatest(sims: _*)
+            val score = lit(lambda) * col("rel") - lit(1.0 - lambda) * ms
+            val taken = qid +: picks.map(_._1)
+            val next = unit
+              .filter(!col("id").isin(taken: _*))
+              .select(col("id"), col("v"), rel.as("rel"))
+              .select(col("id"), col("v"), col("rel"), score.as("score"))
+              .orderBy(col("score").desc, col("id").asc)
+              .limit(1).as[(Long, Seq[Double], Double, Double)]
+              .collect().headOption
+            next match {
+              case Some(p) => picks :+= p
+              case None => exhausted = true // k exceeds the candidate set
+            }
+          }
+          picks.zipWithIndex
+            .map { case ((id, _, r, s), i) => (i + 1L, id, r, s) }
+            .toDF("rank", idCol, "rel", "score")
+      }
+    } finally { unit.unpersist(); () }
+  }
+
   /** Cell assignment of every vector against a centroid list (e.g.
     * [[kmeansCentroids]]' output): (idCol, cell, score) — the same narrow
     * argmax fold as [[ivfTopK]]'s corpus side. */

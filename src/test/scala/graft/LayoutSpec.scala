@@ -66,6 +66,48 @@ class LayoutSpec extends AnyFunSuite {
       s"z layout must out-prune the day sort on a user-only filter: z=$zUser d=$dUser")
   }
 
+  test("hilbert curve: bijective on the order-3 grid, consecutive indexes " +
+      "grid-adjacent (the continuity Z cannot offer)") {
+    import spark.implicits._
+    val pts = (0L until 8L).flatMap(x => (0L until 8L).map(y => (x, y)))
+      .toDF("x", "y")
+    val got = pts.select(col("x"), col("y"),
+        Layout.hilbertValue(col("x"), col("y"), 3).as("h"))
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    // bijection: the 64 cells map exactly onto 0..63
+    assert(got.map(_._3).toSeq == (0L until 64L))
+    // classic orientation starts at the origin
+    assert((got.head._1, got.head._2) == ((0L, 0L)))
+    // continuity: every consecutive index pair is grid-adjacent — the
+    // property Z-order lacks (its quadrant seams jump diagonally)
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(math.abs(a._1 - b._1) + math.abs(a._2 - b._2) == 1,
+          s"non-adjacent step $a -> $b")
+      case _ =>
+    }
+    // Z on the same grid violates continuity at least once (the seam jump)
+    val z = pts.select(col("x"), col("y"),
+        Layout.zValue(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(z.sliding(2).exists {
+      case Array(a, b) => math.abs(a._1 - b._1) + math.abs(a._2 - b._2) > 1
+      case _ => false
+    })
+  }
+
+  test("hilbert layout: prunes the 2-D box at least as well as both " +
+      "single sorts") {
+    val hZones = Layout.zoneMap(
+      Layout.hilbertCluster(ev, "user_id", "day", order = 21, numFiles = 16),
+      Seq("user_id", "day")).collect()
+    val h = files(hZones, Map(userBox, dayBox))
+    val u = files(uZones, Map(userBox, dayBox))
+    val d = files(dZones, Map(userBox, dayBox))
+    assert(h <= u && h <= d, s"hilbert=$h must not lose to user=$u / day=$d")
+    assert(h <= 6, s"the box must prune most of the 16 hilbert files, read $h")
+  }
+
   test("zone maps partition the data: counts sum to the input, 16 files") {
     assert(zZones.length == 16)
     val total = zZones.map(_.getAs[Long]("rows")).sum

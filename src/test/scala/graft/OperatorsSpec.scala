@@ -639,6 +639,56 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("MMR selection matches a driver-side naive greedy; λ=1 degenerates " +
+      "to pure relevance order") {
+    import graft.operators.Similarity
+    val k = 6
+    val got = Similarity.mmrSelect(emb, k, lambda = 0.5)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == (1L to k.toLong))
+    assert(got.map(_._2).distinct.length == k)
+    // naive model over collected unit vectors: same query convention
+    // (min-id vector), same IEEE op order, same (score desc, id asc) pick
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().map { case (id, v) =>
+        val d = v.map(_.toDouble)
+        val n = math.sqrt(d.foldLeft(0.0)((a, x) => a + x * x))
+        id -> d.map(_ / n)
+      }.sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val (qid, qv) = vecs.head
+    val cands = vecs.tail.map { case (id, v) => (id, v, dot(v, qv)) }
+    var picked = Vector.empty[(Long, Array[Double])]
+    for (r <- 1 to k) {
+      val (id, v, rel, score) = cands
+        .filter(c => !picked.exists(_._1 == c._1))
+        .map { case (id, v, rel) =>
+          val ms = if (picked.isEmpty) 0.0 else picked.map(p => dot(v, p._2)).max
+          (id, v, rel, 0.5 * rel - 0.5 * ms)
+        }.minBy { case (id, _, _, s) => (-s, id) }
+      assert(got(r - 1)._2 == id, s"round $r picked ${got(r - 1)._2}, naive $id")
+      assert(got(r - 1)._3 == rel, s"round $r rel mismatch")
+      assert(got(r - 1)._4 == score, s"round $r score mismatch")
+      picked :+= ((id, v))
+    }
+    // from rank 2 on the curve is non-increasing (the greedy invariant:
+    // a later round's scores are pointwise ≤ the earlier round's); rank
+    // 1→2 may RISE when cosines to pick 1 are negative (the empty-set
+    // max-sim convention is 0, not −1), so it is excluded
+    assert(got.drop(1).map(_._4).sliding(2)
+      .forall(p => p.length < 2 || p(0) >= p(1)))
+    // λ=1: the max-sim term vanishes — picks are exactly relevance order
+    val pure = Similarity.mmrSelect(emb, k, lambda = 1.0)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).map(_._2).toSeq
+    val relOrder = cands.sortBy { case (id, _, rel) => (-rel, id) }
+      .take(k).map(_._1).toSeq
+    assert(pure == relOrder, s"λ=1 picks $pure != relevance order $relOrder")
+  }
+
   test("brute-force top-k matches a driver-side naive computation") {
     val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .collect().toMap.view.mapValues(_.map(_.toDouble)).toMap
@@ -3958,6 +4008,34 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, 2L, 3L, 1L, 4L, 0.75), // 1 beat 2 thrice, lost once
       (1L, 3L, 2L, 0L, 2L, 1.0),  // unanimous
       (3L, 4L, 0L, 1L, 1L, 1.0))) // single judgment, 4 won
+  }
+
+  test("Krippendorff alpha: hand-computed nominal coefficient, degenerate NULLs") {
+    import graft.operators.Preference
+    // units: (1,2) m=4 ones=3 → d=6, 6e6//3 = 2e6; (1,3) m=2 unanimous → 0;
+    // (2,3) m=2 split → d=2, 2e6//1 = 2e6; (3,4) m=1 → unpairable, excluded.
+    // n=8, c1=6, c0=2, do_scaled=4e6 →
+    // α = 1 − 7·4e6/(1e6·2·2·6) = 1 − 7/6 = −1/6 (systematic disagreement)
+    val cmp = (Seq.fill(3)((1L, 2L)) ++ Seq((2L, 1L)) ++
+      Seq.fill(2)((1L, 3L)) ++ Seq((2L, 3L), (3L, 2L)) ++ Seq((4L, 3L)))
+      .toDF("winner", "loser")
+    val got = Preference.krippendorffAlpha(cmp)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq((3L, 8L, 2L, 6L, 4000000L,
+      Some(1.0 - 28000000.0 / 24000000.0))))
+    // perfect agreement with both labels present globally → α = 1
+    val perfect = (Seq.fill(2)((1L, 2L)) ++ Seq.fill(2)((9L, 5L)))
+      .toDF("winner", "loser")
+    assert(Preference.krippendorffAlpha(perfect)
+      .select($"alpha").as[Option[Double]].collect().toSeq == Seq(Some(1.0)))
+    // one global label (every winner lexicographically smaller) → chance
+    // correction undefined → NULL alpha; same for a log with no pairable unit
+    val oneLabel = Seq.fill(3)((1L, 2L)).toDF("winner", "loser")
+    assert(Preference.krippendorffAlpha(oneLabel)
+      .select($"alpha").as[Option[Double]].collect().toSeq == Seq(None))
+    val unpairable = Seq((1L, 2L), (3L, 4L)).toDF("winner", "loser")
+    assert(Preference.krippendorffAlpha(unpairable)
+      .select($"alpha").as[Option[Double]].collect().toSeq == Seq(None))
   }
 
   test("BPE token-id export: merge ids by rank, char ids by order, OOV 99999") {
