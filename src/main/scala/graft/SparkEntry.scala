@@ -3291,6 +3291,11 @@ object SparkEntry {
               lit(" on day "), (col("doc_id") % 28).cast("string")))
             .otherwise(col("text"))))),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5)),
+    // ASYMMETRIC containment pairs (the LSH-Ensemble relation): a short
+    // doc quoted whole inside a long one scores ≈1 here and ≈0 on
+    // Jaccard — directed subset-duplication the symmetric family misses
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), 3, 0.8)),
     // the AUDIT lens: for every near-dup pair, the 3 rarest shared
     // shingles — human-reviewable evidence for WHY two documents matched
     "dedup_evidence" -> ((s, dir) => {
@@ -4662,6 +4667,18 @@ object SparkEntry {
     // rides a 1e-6 integer floor grid so both engines sum exact longs
     "eval_krippendorff" -> ((s, dir) =>
       Preference.krippendorffAlpha(btComparisons(s, dir))),
+    // interval alpha over a 0–9 RATING framing of the same log (unit =
+    // event type, rating = each user's spend total folded onto the 0–9
+    // grid): squared-difference disagreement via exact moment algebra —
+    // the score-scale annotation audit nominal alpha cannot express
+    "eval_krippendorff_interval" -> ((s, dir) => {
+      val totals = EventsAdapter.rawEvents(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+      Preference.krippendorffAlphaInterval(
+        totals.select(col("event_type").as("unit"),
+          expr("(((v % 100) + 100) % 100) div 10").as("value")))
+    }),
     // corpus BLEU-4 over the generation-eval pair fixture (two
     // different-seed dropout corruptions of each doc): clipped counts
     // pooled over all pairs — the standard corpus formulation, never an
@@ -5901,6 +5918,26 @@ object SparkEntry {
         "MIN(doc_id) AS keep_id, count(*) AS n_docs FROM d " +
         "GROUP BY 1 HAVING count(*) > 1"),
     "dedup_ngram" -> JaccardPairsSql,
+    // containment mirror: the same inverted-index pair counts, each
+    // unordered pair emitted DIRECTED against its own shingle count
+    "dedup_containment" ->
+      (s"$ShinglesCte, e AS (SELECT doc_id, unnest(sh) AS s FROM t), " +
+        "szj AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(count(*) AS BIGINT) AS inter, " +
+        "CAST(any_value(sa.n) AS BIGINT) AS na, " +
+        "CAST(any_value(sb.n) AS BIGINT) AS nb " +
+        "FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "JOIN szj sa ON sa.doc_id = a.doc_id " +
+        "JOIN szj sb ON sb.doc_id = b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id) " +
+        "SELECT contained_id, container_id, n_inter, n_contained, containment " +
+        "FROM (SELECT id_a AS contained_id, id_b AS container_id, " +
+        "inter AS n_inter, na AS n_contained, " +
+        "CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment FROM p " +
+        "UNION ALL SELECT id_b, id_a, inter, nb, " +
+        "CAST(inter AS DOUBLE) / CAST(nb AS DOUBLE) FROM p) " +
+        "WHERE containment >= 0.8"),
     // prefix filtering is LOSSLESS, so its mirror IS the brute-force pair
     // spec — the oracle equality proves the candidate pruning drops nothing
     "dedup_prefix" -> JaccardPairsSql,
@@ -7430,6 +7467,29 @@ object SparkEntry {
         "1.0 - (CAST(n_values - 1 AS DOUBLE) * CAST(do_scaled AS DOUBLE)) / " +
         "(1000000.0 * 2.0 * CAST(n_zero AS DOUBLE) * CAST(n_one AS DOUBLE)) " +
         "END AS alpha FROM kt"),
+    // interval-alpha mirror: identical 0–9 rating derivation, the same
+    // moment algebra (2·(m·Σv² − (Σv)²) per unit, pooled S₁/S₂ for the
+    // expected term), the same 1e-6 floor grid and final expression
+    "eval_krippendorff_interval" ->
+      ("WITH tot AS (SELECT user_id, event_type, " +
+        "sum(CAST(floor(value * 100) AS BIGINT)) AS v FROM events GROUP BY 1, 2), " +
+        "rt AS (SELECT event_type AS u, (((v % 100) + 100) % 100) // 10 AS val " +
+        "FROM tot), " +
+        "g AS (SELECT u, CAST(count(*) AS BIGINT) AS m, " +
+        "CAST(sum(val) AS BIGINT) AS s1, CAST(sum(val * val) AS BIGINT) AS s2 " +
+        "FROM rt GROUP BY 1 HAVING count(*) >= 2), " +
+        "k AS (SELECT CAST(count(*) AS BIGINT) AS units, " +
+        "CAST(sum(m) AS BIGINT) AS n_values, " +
+        "CAST(sum(s1) AS BIGINT) AS v_sum, " +
+        "CAST(sum(s2) AS BIGINT) AS v_sumsq, " +
+        "CAST(sum((2 * (m * s2 - s1 * s1) * 1000000) // (m - 1)) AS BIGINT) " +
+        "AS do_scaled FROM g) " +
+        "SELECT units, n_values, v_sum, v_sumsq, do_scaled, " +
+        "CASE WHEN n_values * v_sumsq - v_sum * v_sum = 0 THEN NULL ELSE " +
+        "1.0 - (CAST(n_values - 1 AS DOUBLE) * CAST(do_scaled AS DOUBLE)) / " +
+        "(1000000.0 * 2.0 * " +
+        "CAST(n_values * v_sumsq - v_sum * v_sum AS DOUBLE)) " +
+        "END AS alpha FROM k"),
     // corpus BLEU mirror: the same pooled exact sums, single-division
     // precisions, ln-sum in the same left-to-right order, and the one
     // transcendental product rounded stable on both engines

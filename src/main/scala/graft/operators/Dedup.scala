@@ -313,6 +313,56 @@ object Dedup {
     }
   }
 
+  /** Exact CONTAINMENT pairs over distinct word shingles — the ASYMMETRIC
+    * dedup relation Jaccard is blind to (the LSH-Ensemble problem, Zhu et
+    * al. 2016): a short document quoted whole inside a long one has
+    * containment |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so a
+    * subset-duplicate (a doc swallowed by a later expansion, a chunk
+    * re-published inside an aggregation page) survives every symmetric
+    * threshold. Same inverted-index shape as [[ngramJaccardPairs]]
+    * (explode → shingle-hash equi-join → pair count), same `maxDocFreq`
+    * skew valve (containment is then defined over surviving shingles,
+    * sizes recomputed post-filter); the one extra step is emitting each
+    * co-occurring pair DIRECTED — once per side that clears the
+    * threshold, scored against ITS OWN shingle count.
+    *
+    * Output: (contained_id, container_id, n_inter, n_contained,
+    * containment) — read "contained_id's shingles are `containment`-
+    * covered by container_id". Both directions can appear (mutual
+    * near-dups); exact duplicates score 1.0 both ways. */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+      maxDocFreq: Long = 0, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(threshold >= 0 && threshold <= 1,
+      s"threshold must be in [0,1], got $threshold")
+    val sh = docs.select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), n)).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("sh_h"))
+    val surviving = if (maxDocFreq > 0) {
+      val shP = sh.persist(StorageLevel.MEMORY_AND_DISK)
+      val hot = shP.groupBy("sh_h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq).select("sh_h")
+      shP.join(broadcast(hot), Seq("sh_h"), "left_anti")
+    } else sh
+    // sizes attach to the PAIR relation (candidate pairs only), never to
+    // the corpus-scale exploded relation — the ngramJaccardPairs lesson
+    val sizes = surviving.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = surviving.select(col("id").as("id_a"), col("sh_h"))
+    val b = surviving.select(col("id").as("id_b"), col("sh_h"))
+    val pairs = a.join(b, Seq("sh_h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+    def directed(cid: String, oid: String, nc: String) = pairs.select(
+      col(cid).as("contained_id"), col(oid).as("container_id"),
+      col("inter").as("n_inter"), col(nc).as("n_contained"),
+      (col("inter").cast("double") / col(nc).cast("double")).as("containment"))
+    directed("id_a", "id_b", "na").unionAll(directed("id_b", "id_a", "nb"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Exact Jaccard pairs via PREFIX FILTERING (SSJoin / All-Pairs / PPJoin
     * candidate generation: Chaudhuri et al. 2006, Bayardo et al. 2007, Xiao
     * et al. 2008) — same output contract as [[ngramJaccardPairs]] with

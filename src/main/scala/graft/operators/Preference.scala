@@ -398,15 +398,30 @@ object Preference {
     * key, then a single global aggregate of five longs — the log itself
     * is never re-read and nothing rater² or item² exists. */
   def krippendorffAlpha(comparisons: DataFrame,
+      winnerCol: String = "winner", loserCol: String = "loser"): DataFrame =
+    krippendorffAlphaWeighted(
+      comparisons.groupBy(col(winnerCol), col(loserCol))
+        .agg(count(lit(1)).as("n")),
+      winnerCol, loserCol)
+
+  /** [[krippendorffAlpha]] from an already-COMPACTED directed count table
+    * `(winner, loser, n)` — alpha is a pure function of that relation
+    * (unit m = both directions' counts summed, ones = the smaller-item-won
+    * direction), which is what makes the STREAMING form free: counts add
+    * across micro-batches, so a [[graft.streaming.GenStore]]-accumulated
+    * table refits bit-identically to a one-shot pass (the
+    * bradleyTerryWeighted discipline). */
+  def krippendorffAlphaWeighted(counts: DataFrame,
       winnerCol: String = "winner", loserCol: String = "loser"): DataFrame = {
-    val units = comparisons
+    val units = counts
       .select(
         least(col(winnerCol), col(loserCol)).as("a"),
         greatest(col(winnerCol), col(loserCol)).as("b"),
-        when(col(winnerCol) < col(loserCol), lit(1L)).otherwise(lit(0L))
-          .as("lab"))
+        when(col(winnerCol) < col(loserCol), col("n")).otherwise(lit(0L))
+          .as("ones_n"),
+        col("n"))
       .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("m"), sum(col("lab")).as("ones"))
+      .agg(sum(col("n")).as("m"), sum(col("ones_n")).as("ones"))
       .filter(col("m") >= 2)
     units
       .agg(
@@ -422,5 +437,51 @@ object Preference {
             ((col("n_values") - 1).cast("double") * col("do_scaled").cast("double")) /
               (lit(1000000.0) * lit(2.0) * col("n_zero").cast("double") *
                 col("n_one").cast("double"))))
+  }
+
+  /** KRIPPENDORFF'S ALPHA for INTERVAL data (Krippendorff 2004, §11.3) —
+    * the rating-scale sibling of [[krippendorffAlpha]]: when judgments are
+    * numeric scores (0–9 quality ratings, 1–5 Likert grades), nominal
+    * alpha treats a 4-vs-5 split exactly like 0-vs-9; the interval metric
+    * weights each disagreement by the SQUARED difference, which is what a
+    * score-scale annotation audit needs.
+    *
+    * Input: one row per judgment `(unitCol, valueCol)` with integer
+    * values. The squared-difference sums collapse to moment algebra —
+    * per unit u: Σ_{i≠j}(vᵢ−vⱼ)² = 2·(m_u·Σv² − (Σv)²), and globally the
+    * expected disagreement is 2·(n·S₂ − S₁²) over the pooled moments —
+    * so EVERYTHING is exact longs; the per-unit /(m_u−1) rides the same
+    * 10⁻⁶ floor grid as the nominal form, and
+    *   α = 1 − (n−1)·do_scaled / (10⁶·2·(n·S₂ − S₁²)),
+    * one fixed double expression (exact casts below 2⁵³ — with b-bit
+    * ratings that bounds n ≲ 2^{(53−2b)/2}, far above judgment-log scale).
+    * Zero score variance (or no pairable unit) → NULL alpha.
+    *
+    * Output: ONE row (units, n_values, v_sum, v_sumsq, do_scaled, alpha).
+    * Scale shape: one map-side-combined exchange on the unit key, then a
+    * single global aggregate — identical to the nominal form. */
+  def krippendorffAlphaInterval(ratings: DataFrame,
+      unitCol: String = "unit", valueCol: String = "value"): DataFrame = {
+    val units = ratings
+      .select(col(unitCol).as("u"), col(valueCol).cast("long").as("v"))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("m"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+      .filter(col("m") >= 2)
+    units
+      .agg(
+        count(lit(1)).as("units"),
+        sum(col("m")).as("n_values"),
+        sum(col("s1")).as("v_sum"),
+        sum(col("s2")).as("v_sumsq"),
+        sum(expr("(2 * (m * s2 - s1 * s1) * 1000000) div (m - 1)"))
+          .as("do_scaled"))
+      .withColumn("alpha", {
+        val de = col("n_values") * col("v_sumsq") - col("v_sum") * col("v_sum")
+        when(de.isNull || de === 0, lit(null).cast("double"))
+          .otherwise(lit(1.0) -
+            ((col("n_values") - 1).cast("double") * col("do_scaled").cast("double")) /
+              (lit(1000000.0) * lit(2.0) * de.cast("double")))
+      })
   }
 }

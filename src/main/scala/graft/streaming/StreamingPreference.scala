@@ -72,4 +72,28 @@ object StreamingPreference {
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
   }
+
+  /** foreachBatch sink: Krippendorff's alpha, live — the chance-corrected
+    * reliability coefficient over every judgment seen so far, refreshed
+    * each micro-batch from the SAME directed pair-count store the
+    * Bradley–Terry and agreement sinks use (alpha is a pure function of
+    * that compacted table — [[graft.operators.Preference
+    * .krippendorffAlphaWeighted]]), so a collapsing annotator pool is
+    * visible within its batch instead of at the nightly refit. One-row
+    * output per batch under `outDir/batch_id=N`, exactly-once via the
+    * GenStore generation discipline. */
+  def krippendorffSink(comparisons: DataFrame, stateDir: String,
+      outDir: String, checkpointDir: String): DataStreamWriter[Row] = {
+    val spark = comparisons.sparkSession
+    comparisons.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = batch.groupBy("winner", "loser")
+          .agg(count(lit(1)).cast("long").as("n"))
+        val counts = GenStore.fold(spark, stateDir, batchId, delta,
+          Seq("winner", "loser"), "n")
+        Preference.krippendorffAlphaWeighted(counts)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+  }
 }

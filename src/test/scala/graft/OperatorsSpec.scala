@@ -4010,6 +4010,54 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, 4L, 0L, 1L, 1L, 1.0))) // single judgment, 4 won
   }
 
+  test("containment pairs: subset-dup scores 1.0 where Jaccard reads 0.5; " +
+      "directed, exact dups both ways") {
+    import graft.operators.Dedup
+    // doc 1's 4 shingles all appear in doc 2 (8 shingles): containment
+    // 1→2 = 1.0 while Jaccard = 4/8 = 0.5 — the asymmetric relation the
+    // symmetric threshold misses. docs 4/5 identical → 1.0 both ways.
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "x y z w q r"),
+      (4L, "p q r s t"), (5L, "p q r s t")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, 3, 0.8)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 2L, 4L, 4L, 1.0),
+      (4L, 5L, 3L, 3L, 1.0),
+      (5L, 4L, 3L, 3L, 1.0)), s"got $got")
+    // Jaccard at the same 0.8 threshold is blind to the (1,2) subset pair
+    val jac = Dedup.ngramJaccardPairs(d, 3, 0.8)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(!jac.contains((1L, 2L)), s"jaccard unexpectedly caught it: $jac")
+    // lowering the threshold lets the reverse (diluted) direction through
+    val both = Dedup.containmentPairs(d, 3, 0.5)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(both.contains((2L, 1L, 4L, 8L, 0.5)), s"got $both")
+  }
+
+  test("Krippendorff interval alpha: hand-computed squared-difference " +
+      "coefficient, zero-variance NULL") {
+    import graft.operators.Preference
+    // u1 [1,3]: d=2·(2·10−16)=8 → 8e6//1; u2 [5,5,8]: d=2·(3·114−324)=36
+    // → 36e6//2; u3 [7] unpairable. n=5, S1=22, S2=124, do=26e6,
+    // n·S2−S1² = 136 → α = 1 − 4·26e6/(1e6·2·136) = 1 − 5.2/13.6
+    val r = Seq(("u1", 1L), ("u1", 3L), ("u2", 5L), ("u2", 5L), ("u2", 8L),
+      ("u3", 7L)).toDF("unit", "value")
+    val got = Preference.krippendorffAlphaInterval(r)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq((2L, 5L, 22L, 124L, 26000000L,
+      Some(1.0 - 104000000.0 / 272000000.0))), s"got $got")
+    // zero score variance → chance correction undefined → NULL
+    val flat = Seq(("u1", 4L), ("u1", 4L), ("u2", 4L), ("u2", 4L))
+      .toDF("unit", "value")
+    assert(Preference.krippendorffAlphaInterval(flat)
+      .select($"alpha").as[Option[Double]].collect().toSeq == Seq(None))
+  }
+
   test("Krippendorff alpha: hand-computed nominal coefficient, degenerate NULLs") {
     import graft.operators.Preference
     // units: (1,2) m=4 ones=3 → d=6, 6e6//3 = 2e6; (1,3) m=2 unanimous → 0;

@@ -984,6 +984,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(r => r._1 == 2 && r._2 == 3 && r._6 == 0.75))
   }
 
+  test("streaming Krippendorff: per-batch fold lands on the one-shot alpha, " +
+      "across a checkpoint restart", SlowTest) {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // mixed-direction pairs so the alpha's disagreement sums do real work
+    val all = Seq((1L, 2L), (1L, 2L), (2L, 1L), (1L, 3L), (1L, 3L),
+      (2L, 3L), (3L, 2L), (4L, 3L))
+    val (b1, b2) = all.splitAt(4)
+    val base = java.nio.file.Files.createTempDirectory("graft-kri").toString
+    val input = MemoryStream[(Long, Long)]
+    def start() = graft.streaming.StreamingPreference.krippendorffSink(
+        input.toDF().toDF("winner", "loser"),
+        s"$base/state", s"$base/out", s"$base/ckpt")
+      .start()
+    // restart between the batches: the post-restart refit must continue
+    // the count store (the GenStore lineage contract)
+    val q1 = start()
+    try { input.addData(b1); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { input.addData(b2); q2.processAllAvailable() } finally q2.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Long, Option[Double])].collect().toSeq
+    val streamed = rows(spark.read.parquet(s"$base/out/batch_id=1"))
+    val oneShot = rows(graft.operators.Preference.krippendorffAlpha(
+      all.toDF("winner", "loser")))
+    assert(streamed == oneShot, s"streamed=$streamed oneShot=$oneShot")
+    // the intermediate batch is the one-shot over its own prefix too
+    val mid = rows(spark.read.parquet(s"$base/out/batch_id=0"))
+    val midShot = rows(graft.operators.Preference.krippendorffAlpha(
+      b1.toDF("winner", "loser")))
+    assert(mid == midShot, s"mid=$mid midShot=$midShot")
+  }
+
   test("streaming Bradley–Terry: checkpoint restart resumes the pair store", SlowTest) {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
