@@ -323,27 +323,31 @@ object TextAnalysis {
     * wider than (id, lang, long) ever shuffles. */
   def langIdNgram(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val prof = broadcast(LangNgramProfiles.toDF("lang", "gram", "w"))
-    val lt = lower(col(textCol))
-    val grams = docs.select(col(idCol).as("id"), explode(
-        when(length(lt) >= 3,
-          transform(sequence(lit(1), length(lt) - lit(2)),
-            i => lt.substr(i, lit(3))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
-    val prof2 = prof.withColumnRenamed("gram", "__g")
-    val scores = grams.join(prof2, grams("gram") === prof2("__g"))
-      .groupBy("id", "lang").agg(sum("w").as("score"))
-    val best = scores.groupBy("id")
-      .agg(min(struct((-col("score")).as("ns"), col("lang"),
-        col("score"))).as("b"))
-      .select(col("id"), col("b.lang").as("lang_pred"),
-        col("b.score").as("score"))
-    docs.select(col(idCol).as("id")).join(best, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
-        coalesce(col("score"), lit(0L)).as("score"))
+    // single-pass native scorer (graft.functions.NgramProfileScores): the
+    // original explode→broadcast-join→double-aggregate spelling exchanged a
+    // corpus-character-sized trigram relation (~4.5 s at sf0.1); this is
+    // ONE narrow map per row + a scalar argmax — same exact long sums, so
+    // the join-formulation oracle replays it unchanged. All profile
+    // weights are positive, which is what makes "argmax over ALL langs,
+    // then 0-score → und" equal to the old hit-langs-only argmax.
+    val langs = LangNgramProfiles.map(_._1).distinct.sorted
+    val li = langs.zipWithIndex.toMap
+    val gr = LangNgramProfiles.map { case (l, g, w) => (g, li(l), w) }
+    val scored = docs.select(col(idCol),
+      graft.functions.TextExpressions
+        .ngramProfileScores(lower(col(textCol)), gr, langs.size).as("__sc"))
+    // (−score, lang) struct-min over the fixed language list — the
+    // langIdByJoin tie-break discipline, as a scalar array_min
+    val best = array_min(array(langs.zipWithIndex.map { case (l, i) =>
+      struct((-col("__sc")(i)).as("ns"), lit(l).as("lang"),
+        col("__sc")(i).as("score"))
+    }: _*))
+    scored.select(col(idCol), best.as("__b"))
+      .select(col(idCol),
+        when(col("__b.score") > 0, col("__b.lang")).otherwise(lit("und"))
+          .as("lang_pred"),
+        when(col("__b.score") > 0, col("__b.score")).otherwise(lit(0L))
+          .as("score"))
   }
 
   /** Tokenizer FERTILITY by language — pieces emitted per whitespace word,
