@@ -2,7 +2,7 @@ package graft
 
 import graft.model.{AggregationSpec, RollupSpec}
 import graft.functions.SubwordExpressions
-import graft.operators.{Anomaly, Dedup, Eval, FuzzyString, GapFill, HeavyHitters, Layout, Lineage, Multimodal, Preference, Profiling, Relational, Sampling, Sessions, Similarity, Sketches, Snapshot, TextAnalysis}
+import graft.operators.{Anomaly, Classify, Dedup, Eval, FuzzyString, GapFill, HeavyHitters, Layout, Lineage, Multimodal, Preference, Profiling, Relational, Sampling, Sessions, Similarity, Sketches, Snapshot, TextAnalysis}
 import graft.plan.RuleCompiler
 import graft.sources.{EnvelopeJson, EventsAdapter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -2607,6 +2607,42 @@ object SparkEntry {
     * twice (contribution join + dangling-mass subquery), so DuckDB's
     * default CTE inlining would re-expand the whole chain 2^iters times —
     * the mirror of the Spark side's per-round localCheckpoint. */
+  /** Batch-perceptron mirror (bias + 3 integer text stats, label
+    * lang=en): weights live in 1-row CTEs chained per round — round r's
+    * mistake filter evaluates margins under w_{r-1}, the update sums ride
+    * the same filter, and the output unions one (round, n_mis, w0..w3)
+    * row per round. All-integer, so the replay is exact. */
+  private def perceptronOracleSql(rounds: Int): String = {
+    val k = 4
+    val sb = new StringBuilder
+    sb ++= "WITH f AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, " +
+      "CAST(1 AS BIGINT) AS x0, " +
+      s"CAST($TokN AS BIGINT) AS x1, " +
+      s"CAST(len(list_distinct($RawToks)) AS BIGINT) AS x2, " +
+      "CAST(length(text) AS BIGINT) AS x3 FROM documents), "
+    sb ++= "w0 AS (SELECT " +
+      (0 until k).map(i => s"CAST(0 AS BIGINT) AS c$i").mkString(", ") + ")"
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      val marg = "f.y * (" +
+        (0 until k).map(i => s"w$p.c$i * f.x$i").mkString(" + ") + ")"
+      sb ++= s", u$r AS (SELECT " +
+        s"CAST(count(*) FILTER (WHERE $marg <= 0) AS BIGINT) AS mis, " +
+        (0 until k).map(i =>
+          s"CAST(coalesce(sum(f.y * f.x$i) FILTER (WHERE $marg <= 0), 0) " +
+            s"AS BIGINT) AS d$i").mkString(", ") +
+        s" FROM f, w$p)"
+      sb ++= s", w$r AS (SELECT " +
+        (0 until k).map(i => s"w$p.c$i + u$r.d$i AS c$i").mkString(", ") +
+        s" FROM w$p, u$r)"
+    }
+    sb ++= " " + (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, u$r.mis AS n_mis, " +
+        (0 until k).map(i => s"w$r.c$i AS w$i").mkString(", ") +
+        s" FROM u$r, w$r").mkString(" UNION ALL ")
+    sb.toString
+  }
+
   private def pageRankOracleSql(iters: Int, scale: Long, dampNum: Long,
       dampDen: Long): String = {
     val base = (dampDen - dampNum) * scale / dampDen
@@ -4835,6 +4871,22 @@ object SparkEntry {
           col("event_id").cast("long").as("sample_id"),
           (floor(col("value") * 100).cast("long") % 1000).as("score")),
         minMargin = 10)),
+    // in-engine quality-classifier fit: batch perceptron (all-integer
+    // mistake-driven updates, so the fitted weights are a pure function
+    // of the corpus) predicting lang=en from three cheap integer text
+    // stats; output = the per-round training curve + weights, the oracle
+    // replays every round as chained 1-row weight CTEs
+    "train_perceptron" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Classify.batchPerceptron(
+        d.select(
+          when(col("lang") === "en", 1L).otherwise(lit(-1L)).as("y"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("f_ntok"),
+          size(array_distinct(TextAnalysis.tokens(col("text"))))
+            .cast("long").as("f_ndist"),
+          length(col("text")).cast("long").as("f_nchar")),
+        Seq("f_ntok", "f_ndist", "f_nchar"), "y", rounds = 4)
+    }),
     // reliability diagram + ECE of a synthesized classifier: confidence =
     // (floor(value·100) mod 100, sign-folded)/100, label = conf ≥ 0.5 —
     // a monotone step, so the diagram shows saturated extremes and the
@@ -7996,6 +8048,10 @@ object SparkEntry {
         "CASE WHEN n_common < 2 THEN NULL ELSE CAST(cmd AS DOUBLE) / " +
         "(CAST(n_common * (n_common - 1) AS DOUBLE) / 2.0) END AS tau " +
         "FROM c"),
+    // perceptron mirror: the same feature projection, every round's
+    // mistake filter and integer update as chained 1-row weight CTEs —
+    // a single transposed mistake anywhere changes all later weights
+    "train_perceptron" -> perceptronOracleSql(4),
     // DPO-pair mirror: the same two struct-mins and the same margin gate
     "train_dpo_pairs" ->
       ("WITH b AS (SELECT event_type || '|' || CAST(user_id AS VARCHAR) " +

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+/** In-engine trainable linear filters — the "fit a quality classifier ON
+  * the corpus you are curating" capability (the FastText/fineweb-edu
+  * quality-filter workflow), restricted to learners whose training
+  * arithmetic is EXACT: no sigmoid, no float gradient, so the fitted
+  * weights are a pure integer function of the data and replay
+  * bit-identically on any engine, rerun, or partitioning — the same
+  * oracle discipline as every other graft learner (the PageRank /
+  * Bradley–Terry unrolled-round shape).
+  */
+object Classify {
+
+  /** BATCH PERCEPTRON (Rosenblatt 1958 update, synchronous batch variant —
+    * the classic mistake-driven linear separator): integer features
+    * x ∈ Z^k with an implicit leading bias 1, labels y ∈ {−1, +1};
+    * round r computes every row's margin y·(w_{r-1}·x) under the CURRENT
+    * weights, and adds Σ y·x over the misclassified rows (margin ≤ 0,
+    * so round 1 under w = 0 updates on EVERY row — the standard
+    * convention) to the weight vector. All arithmetic is exact longs:
+    * the fitted weights and the per-round mistake counts are a pure
+    * function of the multiset of (y, x) rows.
+    *
+    * Output: one row per round, `(round, n_mis, w0, w1, …, wk)` — w0 the
+    * bias, wi the weight of featureCols(i−1), each row the weights AFTER
+    * that round's update and `n_mis` the mistakes made UNDER the weights
+    * the round started with (read top-down: the training curve; a
+    * separable feature set drives n_mis toward 0).
+    *
+    * Rows whose label or any feature is NULL drop out of both the count
+    * and the update (NULL margin fails the ≤ 0 filter on every engine).
+    *
+    * Scale shape: `rounds` bounded driver rounds over a persisted narrow
+    * (y, x) projection — each ONE map-side-combined global aggregate of
+    * k+2 longs with the weights riding as literals (the k-means /
+    * k-center round pattern); nothing corpus-sized shuffles, ever. Weight
+    * magnitude is bounded by rounds·Σ|x|, so with b-bit features and
+    * N rows keep rounds·N·2^b below 2^63 — at true 100 TB row counts,
+    * fit on a deterministic hash-sample (the qualityQuantileFilter
+    * pattern) rather than widening to 128-bit sums. */
+  def batchPerceptron(data: DataFrame, featureCols: Seq[String],
+      labelCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(featureCols.nonEmpty, "at least one feature column required")
+    val spark = data.sparkSession
+    val k = featureCols.size + 1
+    val proj = data.select(
+      col(labelCol).cast("long").as("y") +: lit(1L).as("x0") +:
+        featureCols.zipWithIndex.map { case (f, i) =>
+          col(f).cast("long").as(s"x${i + 1}")
+        }: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val w = Array.fill[Long](k)(0L)
+      val out = Vector.newBuilder[Row]
+      for (r <- 1 to rounds) {
+        val margin = col("y") *
+          (0 until k).map(i => lit(w(i)) * col(s"x$i")).reduce(_ + _)
+        val mis = margin <= 0
+        val aggs = count(when(mis, 1)).as("mis") +:
+          (0 until k).map(i =>
+            coalesce(sum(when(mis, col("y") * col(s"x$i"))), lit(0L))
+              .as(s"d$i"))
+        val row = proj.agg(aggs.head, aggs.tail: _*).collect()(0)
+        var i = 0
+        while (i < k) { w(i) += row.getLong(i + 1); i += 1 }
+        out += Row.fromSeq(r.toLong +: row.getLong(0) +: w.toVector)
+      }
+      val schema = StructType(
+        StructField("round", LongType, nullable = false) +:
+          StructField("n_mis", LongType, nullable = false) +:
+          (0 until k).map(i => StructField(s"w$i", LongType, nullable = false)))
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.result(): _*), schema)
+    } finally { proj.unpersist(); () }
+  }
+
+  /** Inference companion: the signed decision value w·[1, x] and the ±1
+    * prediction for every row, with the weights as plain literals — a
+    * narrow codegen'd map, the deploy side of [[batchPerceptron]]. */
+  def perceptronPredict(data: DataFrame, featureCols: Seq[String],
+      weights: Seq[Long]): DataFrame = {
+    require(weights.size == featureCols.size + 1,
+      s"need ${featureCols.size + 1} weights (bias first), got ${weights.size}")
+    val score = weights.zipWithIndex.map { case (wv, i) =>
+      if (i == 0) lit(wv) * lit(1L)
+      else lit(wv) * col(featureCols(i - 1)).cast("long")
+    }.reduce(_ + _)
+    data.withColumn("score", score)
+      .withColumn("pred", when(col("score") > 0, lit(1L)).otherwise(lit(-1L)))
+  }
+}

@@ -4058,6 +4058,36 @@ class OperatorsSpec extends AnyFunSuite {
       .select($"alpha").as[Option[Double]].collect().toSeq == Seq(None))
   }
 
+  test("batch perceptron: hand-computed rounds, NULL rows drop, separable " +
+      "fixture converges, predict matches the decision rule") {
+    import graft.operators.Classify
+    // round 1 under w=0: every margin is 0 → both defined rows update
+    // (Σ y·[1,x] = (1,2)+(-1,1) = (0,3)); the NULL-feature row drops out
+    // of count and update. round 2: margins 6 and 3 → converged.
+    val d = Seq((1L, Some(2L)), (-1L, Some(-1L)), (1L, None))
+      .toDF("y", "x1")
+    val got = Classify.batchPerceptron(d, Seq("x1"), "y", rounds = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 0L, 3L), (2L, 0L, 0L, 3L)), s"got $got")
+    // predict under the fitted weights: score = 0 + 3·x, sign rule > 0
+    val pred = Classify.perceptronPredict(
+        Seq(2L, -1L, 0L).toDF("x1"), Seq("x1"), Seq(0L, 3L))
+      .select($"x1", $"score", $"pred").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(pred == Seq((-1L, -3L, -1L), (0L, 0L, -1L), (2L, 6L, 1L)))
+    // a linearly separable 2-feature fixture drives mistakes to 0 and
+    // then holds the weights fixed (updates vanish once separated)
+    val sep = (1 to 20).map(i => (1L, i.toLong + 10L, 1L)) ++
+      (1 to 20).map(i => (-1L, i.toLong, 9L))
+    val curve = Classify.batchPerceptron(
+        sep.toDF("y", "a", "b"), Seq("a", "b"), "y", rounds = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(curve.last._2 == 0L, s"did not converge: $curve")
+    val atZero = curve.find(_._2 == 0L).get
+    assert(curve.filter(_._1 >= atZero._1)
+      .forall(r => (r._3, r._4, r._5) == ((atZero._3, atZero._4, atZero._5))))
+  }
+
   test("Krippendorff alpha: hand-computed nominal coefficient, degenerate NULLs") {
     import graft.operators.Preference
     // units: (1,2) m=4 ones=3 → d=6, 6e6//3 = 2e6; (1,3) m=2 unanimous → 0;
