@@ -2612,10 +2612,10 @@ object SparkEntry {
     * mistake filter evaluates margins under w_{r-1}, the update sums ride
     * the same filter, and the output unions one (round, n_mis, w0..w3)
     * row per round. All-integer, so the replay is exact. */
-  private def perceptronOracleSql(rounds: Int): String = {
+  private def perceptronCtes(rounds: Int): String = {
     val k = 4
     val sb = new StringBuilder
-    sb ++= "WITH f AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, " +
+    sb ++= "f AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, " +
       "CAST(1 AS BIGINT) AS x0, " +
       s"CAST($TokN AS BIGINT) AS x1, " +
       s"CAST(len(list_distinct($RawToks)) AS BIGINT) AS x2, " +
@@ -2636,12 +2636,25 @@ object SparkEntry {
         (0 until k).map(i => s"w$p.c$i + u$r.d$i AS c$i").mkString(", ") +
         s" FROM w$p, u$r)"
     }
-    sb ++= " " + (1 to rounds).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS round, u$r.mis AS n_mis, " +
-        (0 until k).map(i => s"w$r.c$i AS w$i").mkString(", ") +
-        s" FROM u$r, w$r").mkString(" UNION ALL ")
     sb.toString
   }
+
+  private def perceptronOracleSql(rounds: Int): String =
+    s"WITH ${perceptronCtes(rounds)} " +
+      (1 to rounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, u$r.mis AS n_mis, " +
+          (0 until 4).map(i => s"w$r.c$i AS w$i").mkString(", ") +
+          s" FROM u$r, w$r").mkString(" UNION ALL ")
+
+  /** Uncertainty-sampling mirror: the same fit, then every doc scored
+    * under the final weights and the 20 smallest |score| taken with the
+    * (abs, doc_id) tie-break. */
+  private def perceptronUncertainSql(rounds: Int, k: Int): String =
+    s"WITH ${perceptronCtes(rounds)} " +
+      "SELECT doc_id, score FROM (SELECT f.doc_id, " +
+      (0 until 4).map(i => s"w$rounds.c$i * f.x$i").mkString(" + ") +
+      s" AS score FROM f, w$rounds) WHERE score IS NOT NULL " +
+      s"ORDER BY abs(score), doc_id LIMIT $k"
 
   private def pageRankOracleSql(iters: Int, scale: Long, dampNum: Long,
       dampDen: Long): String = {
@@ -4886,6 +4899,29 @@ object SparkEntry {
             .cast("long").as("f_ndist"),
           length(col("text")).cast("long").as("f_nchar")),
         Seq("f_ntok", "f_ndist", "f_nchar"), "y", rounds = 4)
+    }),
+    // UNCERTAINTY SAMPLING (active-learning batch selection): fit the
+    // perceptron, score every doc under the final weights, take the 20
+    // docs nearest the decision boundary (smallest |score|, doc_id ties)
+    // — the "label these next" pick, composed from the same exact fit
+    "sample_uncertain" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val featCols = Seq("f_ntok", "f_ndist", "f_nchar")
+      val feats = d.select(
+        col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(lit(-1L)).as("y"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("f_ntok"),
+        size(array_distinct(TextAnalysis.tokens(col("text"))))
+          .cast("long").as("f_ndist"),
+        length(col("text")).cast("long").as("f_nchar"))
+      val fit = Classify.batchPerceptron(feats, featCols, "y", rounds = 4)
+        .filter(col("round") === 4).collect()(0)
+      val w = (0 until 4).map(i => fit.getLong(2 + i))
+      Classify.perceptronPredict(feats, featCols, w)
+        .filter(col("score").isNotNull)
+        .orderBy(abs(col("score")).asc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id"), col("score"))
     }),
     // reliability diagram + ECE of a synthesized classifier: confidence =
     // (floor(value·100) mod 100, sign-folded)/100, label = conf ≥ 0.5 —
@@ -8052,6 +8088,7 @@ object SparkEntry {
     // mistake filter and integer update as chained 1-row weight CTEs —
     // a single transposed mistake anywhere changes all later weights
     "train_perceptron" -> perceptronOracleSql(4),
+    "sample_uncertain" -> perceptronUncertainSql(4, 20),
     // DPO-pair mirror: the same two struct-mins and the same margin gate
     "train_dpo_pairs" ->
       ("WITH b AS (SELECT event_type || '|' || CAST(user_id AS VARCHAR) " +
