@@ -4900,6 +4900,20 @@ object SparkEntry {
           length(col("text")).cast("long").as("f_nchar")),
         Seq("f_ntok", "f_ndist", "f_nchar"), "y", rounds = 4)
     }),
+    // OPTIMAL DECISION STUMPS (the AdaBoost base learner): per feature,
+    // the exactly-best 1-D threshold rule from cumulative label counts —
+    // the interpretable "cut at n_tokens ≤ t" face of the filter family
+    "train_stumps" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Classify.bestStumps(
+        d.select(
+          when(col("lang") === "en", 1L).otherwise(lit(-1L)).as("y"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("f_ntok"),
+          size(array_distinct(TextAnalysis.tokens(col("text"))))
+            .cast("long").as("f_ndist"),
+          length(col("text")).cast("long").as("f_nchar")),
+        Seq("f_ntok", "f_ndist", "f_nchar"), "y")
+    }),
     // UNCERTAINTY SAMPLING (active-learning batch selection): fit the
     // perceptron, score every doc under the final weights, take the 20
     // docs nearest the decision boundary (smallest |score|, doc_id ties)
@@ -5441,7 +5455,7 @@ object SparkEntry {
     // CTE — rx/ry from the PRE-step x/y, the d increment's xor, the
     // reflect-and-swap, s halving to 0; identical integer arithmetic
     "layout_hilbert" ->
-      ("WITH RECURSIVE hw AS (" +
+      ("WITH RECURSIVE hw(event_id, x, y, d, s) AS (" +
         "SELECT event_id, (user_id & 2097151) AS x, " +
         s"(($TsUs // 86400000000) & 2097151) AS y, " +
         "CAST(0 AS BIGINT) AS d, CAST(1048576 AS BIGINT) AS s FROM events " +
@@ -8089,6 +8103,34 @@ object SparkEntry {
     // a single transposed mistake anywhere changes all later weights
     "train_perceptron" -> perceptronOracleSql(4),
     "sample_uncertain" -> perceptronUncertainSql(4, 20),
+    // stump mirror: the same melt, cumulative label counts over the
+    // value domain, both polarities, the same (err, v, pol) struct-min
+    "train_stumps" ->
+      (s"WITH b AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, " +
+        s"CAST($TokN AS BIGINT) AS f_ntok, " +
+        s"CAST(len(list_distinct($RawToks)) AS BIGINT) AS f_ndist, " +
+        "CAST(length(text) AS BIGINT) AS f_nchar FROM documents), " +
+        "m AS (SELECT 'f_ntok' AS feature, f_ntok AS v, y FROM b " +
+        "UNION ALL SELECT 'f_ndist', f_ndist, y FROM b " +
+        "UNION ALL SELECT 'f_nchar', f_nchar, y FROM b), " +
+        "m2 AS (SELECT * FROM m WHERE v IS NOT NULL AND y IS NOT NULL), " +
+        "g AS (SELECT feature, v, " +
+        "CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np, " +
+        "CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nn " +
+        "FROM m2 GROUP BY 1, 2), " +
+        "c AS (SELECT feature, v, " +
+        "sum(np) OVER (PARTITION BY feature ORDER BY v) AS cp, " +
+        "sum(nn) OVER (PARTITION BY feature ORDER BY v) AS cn, " +
+        "sum(np) OVER (PARTITION BY feature) AS p, " +
+        "sum(nn) OVER (PARTITION BY feature) AS n FROM g), " +
+        "e AS (SELECT feature, v, CAST(1 AS BIGINT) AS pol, " +
+        "cn + p - cp AS err, p + n AS r FROM c " +
+        "UNION ALL SELECT feature, v, CAST(-1 AS BIGINT), " +
+        "cp + n - cn, p + n FROM c) " +
+        "SELECT feature, (mn).v AS threshold, (mn).pol AS polarity, " +
+        "CAST((mn).e AS BIGINT) AS n_errors, CAST((mn).r AS BIGINT) AS n_rows " +
+        "FROM (SELECT feature, min({'e': err, 'v': v, 'pol': pol, 'r': r}) " +
+        "AS mn FROM e GROUP BY 1)"),
     // DPO-pair mirror: the same two struct-mins and the same margin gate
     "train_dpo_pairs" ->
       ("WITH b AS (SELECT event_type || '|' || CAST(user_id AS VARCHAR) " +

@@ -80,6 +80,62 @@ object Classify {
     } finally { proj.unpersist(); () }
   }
 
+  /** OPTIMAL DECISION STUMPS (the AdaBoost base learner; Freund &
+    * Schapire 1997): for every integer feature, the exactly-optimal
+    * 1-D threshold rule — minimize misclassifications over BOTH
+    * polarities ("x ≤ t → +1" and "x ≤ t → −1") and every observed
+    * threshold — computed in closed form from cumulative label counts.
+    * This is the interpretable face of the quality-filter family: where
+    * [[batchPerceptron]] fits an opaque linear score, the stump table
+    * reads as "cut documents at n_tokens ≤ 47" with its exact error
+    * count, per feature.
+    *
+    * Output: one row per feature, `(feature, threshold, polarity,
+    * n_errors, n_rows)` — polarity +1 means "x ≤ threshold predicts +1",
+    * −1 the reverse; `n_errors` the rule's exact training
+    * misclassifications over the `n_rows` non-NULL rows; ties broken by
+    * the (n_errors, threshold, polarity) total order so every engine
+    * picks the same stump. Rows with NULL label or feature drop (and
+    * n_rows is per-feature, so unevenly-NULL features stay honest).
+    *
+    * Scale shape: the melt is a narrow union (one pass per feature over
+    * the projection); counts collapse in ONE map-side-combined exchange
+    * keyed (feature, value); the cumulative scan windows over the
+    * VALUE-DOMAIN-sized relation (distinct values per feature — config-
+    * scale next to the corpus), and the argmin is a feature-keyed
+    * struct-min. Nothing corpus-sized is ever windowed. */
+  def bestStumps(data: DataFrame, featureCols: Seq[String],
+      labelCol: String): DataFrame = {
+    require(featureCols.nonEmpty, "at least one feature column required")
+    import org.apache.spark.sql.expressions.Window
+    val melted = featureCols.map { f =>
+      data.select(lit(f).as("feature"), col(f).cast("long").as("v"),
+        col(labelCol).cast("long").as("y"))
+    }.reduce(_ unionAll _)
+      .filter(col("v").isNotNull && col("y").isNotNull)
+    val g = melted.groupBy(col("feature"), col("v"))
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === -1, 1L).otherwise(0L)).as("nn"))
+    val cum = Window.partitionBy("feature").orderBy("v")
+    val tot = Window.partitionBy("feature")
+    val c = g.select(col("feature"), col("v"),
+      sum("np").over(cum).as("cp"), sum("nn").over(cum).as("cn"),
+      sum("np").over(tot).as("p"), sum("nn").over(tot).as("n"))
+    // polarity +1: errors = negatives ≤ t + positives > t; −1 the mirror
+    val e = c.select(col("feature"), col("v"), lit(1L).as("polarity"),
+        (col("cn") + col("p") - col("cp")).as("err"),
+        (col("p") + col("n")).as("n_rows"))
+      .unionAll(c.select(col("feature"), col("v"), lit(-1L).as("polarity"),
+        (col("cp") + col("n") - col("cn")).as("err"),
+        (col("p") + col("n")).as("n_rows")))
+    e.groupBy(col("feature"))
+      .agg(min(struct(col("err"), col("v"), col("polarity"),
+        col("n_rows"))).as("b"))
+      .select(col("feature"), col("b.v").as("threshold"),
+        col("b.polarity").as("polarity"), col("b.err").as("n_errors"),
+        col("b.n_rows").as("n_rows"))
+  }
+
   /** Inference companion: the signed decision value w·[1, x] and the ±1
     * prediction for every row, with the weights as plain literals — a
     * narrow codegen'd map, the deploy side of [[batchPerceptron]]. */

@@ -4088,6 +4088,34 @@ class OperatorsSpec extends AnyFunSuite {
       .forall(r => (r._3, r._4, r._5) == ((atZero._3, atZero._4, atZero._5))))
   }
 
+  test("decision stumps: hand-computed optimal thresholds per feature, " +
+      "matches a driver-side exhaustive search") {
+    import graft.operators.Classify
+    // feature a: best rule is "x ≤ 1 → −1" (1 error: the (−1, a=7) row);
+    // feature b separates perfectly at "x ≤ 3 → −1"
+    val d = Seq((1L, 5L, 10L), (1L, 7L, 11L), (-1L, 1L, 2L), (-1L, 7L, 3L))
+      .toDF("y", "a", "b")
+    val got = Classify.bestStumps(d, Seq("a", "b"), "y")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 1L, -1L, 1L, 4L), ("b", 3L, -1L, 0L, 4L)),
+      s"got $got")
+    // exhaustive driver-side check on feature a: no (threshold, polarity)
+    // rule over observed values does better than the reported stump
+    val rows = Seq((1L, 5L), (1L, 7L), (-1L, 1L), (-1L, 7L))
+    val bruteBest = (for {
+      t <- rows.map(_._2).distinct
+      pol <- Seq(1L, -1L)
+    } yield {
+      val errs = rows.count { case (y, v) =>
+        val pred = if (v <= t) pol else -pol
+        pred != y
+      }
+      (errs.toLong, t, pol)
+    }).min
+    val a = got.find(_._1 == "a").get
+    assert((a._4, a._2, a._3) == bruteBest, s"stump $a vs brute $bruteBest")
+  }
+
   test("Krippendorff alpha: hand-computed nominal coefficient, degenerate NULLs") {
     import graft.operators.Preference
     // units: (1,2) m=4 ones=3 → d=6, 6e6//3 = 2e6; (1,3) m=2 unanimous → 0;

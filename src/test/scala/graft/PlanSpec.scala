@@ -274,6 +274,20 @@ class PlanSpec extends AnyFunSuite {
       s"assignment must stay scan-local (argmax over plan literals):\n$plan")
   }
 
+  test("trigram language id is one narrow map — single scorer instance, " +
+      "no explode, no join, no exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = executedPlan(graft.operators.TextAnalysis.langIdNgram(docs))
+    assert(!plan.contains("Exchange"),
+      s"langIdNgram must stay scan-local:\n$plan")
+    assert(!plan.toLowerCase.contains("generate"),
+      s"langIdNgram must not explode the trigram relation:\n$plan")
+    // CollapseProject must NOT inline the non-cheap scorer into its 10
+    // consumers — exactly one evaluation per row
+    assert("ngramprofilescores".r.findAllIn(plan.toLowerCase).length == 1,
+      s"scorer expression duplicated:\n$plan")
+  }
+
   test("quality quantile cutoff rides a 1-row broadcast; the filter pass stays narrow") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = executedPlan(graft.operators.TextAnalysis
