@@ -2639,6 +2639,64 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Shared feature CTE of the stump mirrors: y = lang=en, three integer
+    * text stats. */
+  private val StumpBaseCte: String =
+    "b AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, " +
+      s"CAST($TokN AS BIGINT) AS f_ntok, " +
+      s"CAST(len(list_distinct($RawToks)) AS BIGINT) AS f_ndist, " +
+      "CAST(length(text) AS BIGINT) AS f_nchar FROM documents)"
+
+  /** Boosted-stumps mirror: per round, the weighted candidate pipeline
+    * (melt with the CASE-product weight of the prior rounds' stump
+    * scalars, weighted cumulative counts, both polarities) and the
+    * global (err, feature, v, pol) struct-min into a 1-row s{r} CTE the
+    * NEXT round's weights cross-join — one transposed pick anywhere
+    * changes every later round. */
+  private def boostedStumpsOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder(s"WITH $StumpBaseCte")
+    def wExpr(r: Int): String =
+      if (r == 1) "CAST(1 AS BIGINT)"
+      else (1 until r).map { j =>
+        val x = s"CASE s$j.feature WHEN 'f_ntok' THEN b.f_ntok " +
+          "WHEN 'f_ndist' THEN b.f_ndist ELSE b.f_nchar END"
+        s"(CASE WHEN (CASE WHEN $x <= s$j.v THEN s$j.pol ELSE -s$j.pol END) " +
+          "<> b.y THEN 2 ELSE 1 END)"
+      }.mkString("CAST(", " * ", " AS BIGINT)")
+    for (r <- 1 to rounds) {
+      val joins = "b" + (1 until r).map(j => s", s$j").mkString
+      val arms = Seq("f_ntok", "f_ndist", "f_nchar").map(f =>
+        s"SELECT '$f' AS feature, b.$f AS v, b.y AS y, ${wExpr(r)} AS w " +
+          s"FROM $joins").mkString(" UNION ALL ")
+      sb ++= s", m$r AS (SELECT * FROM ($arms) " +
+        "WHERE v IS NOT NULL AND y IS NOT NULL)"
+      sb ++= s", g$r AS (SELECT feature, v, " +
+        "CAST(sum(CASE WHEN y = 1 THEN w ELSE 0 END) AS BIGINT) AS np, " +
+        "CAST(sum(CASE WHEN y = -1 THEN w ELSE 0 END) AS BIGINT) AS nn " +
+        s"FROM m$r GROUP BY 1, 2)"
+      sb ++= s", c$r AS (SELECT feature, v, " +
+        "sum(np) OVER (PARTITION BY feature ORDER BY v) AS cp, " +
+        "sum(nn) OVER (PARTITION BY feature ORDER BY v) AS cn, " +
+        "sum(np) OVER (PARTITION BY feature) AS p, " +
+        "sum(nn) OVER (PARTITION BY feature) AS n " +
+        s"FROM g$r)"
+      sb ++= s", e$r AS (SELECT feature, v, CAST(1 AS BIGINT) AS pol, " +
+        s"cn + p - cp AS err, p + n AS wt FROM c$r " +
+        "UNION ALL SELECT feature, v, CAST(-1 AS BIGINT), " +
+        s"cp + n - cn, p + n FROM c$r)"
+      sb ++= s", s$r AS (SELECT (mn).f AS feature, (mn).v AS v, " +
+        "(mn).pol AS pol, CAST((mn).e AS BIGINT) AS err, " +
+        "CAST((mn).wt AS BIGINT) AS wt FROM " +
+        "(SELECT min({'e': err, 'f': feature, 'v': v, 'pol': pol, " +
+        s"'wt': wt}) AS mn FROM e$r))"
+    }
+    sb ++= " " + (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, feature, v AS threshold, " +
+        s"pol AS polarity, err AS w_errors, wt AS w_total FROM s$r")
+      .mkString(" UNION ALL ")
+    sb.toString
+  }
+
   private def perceptronOracleSql(rounds: Int): String =
     s"WITH ${perceptronCtes(rounds)} " +
       (1 to rounds).map(r =>
@@ -4913,6 +4971,21 @@ object SparkEntry {
             .cast("long").as("f_ndist"),
           length(col("text")).cast("long").as("f_nchar")),
         Seq("f_ntok", "f_ndist", "f_nchar"), "y")
+    }),
+    // BOOSTED STUMPS (integer weight-doubling rounds — the exact-
+    // arithmetic cousin of discrete AdaBoost): each round's globally-best
+    // weighted stump, misclassified rows' weights doubled for the next —
+    // the ensemble curve of what the filter still misses
+    "train_stumps_boosted" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Classify.boostedStumps(
+        d.select(
+          when(col("lang") === "en", 1L).otherwise(lit(-1L)).as("y"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("f_ntok"),
+          size(array_distinct(TextAnalysis.tokens(col("text"))))
+            .cast("long").as("f_ndist"),
+          length(col("text")).cast("long").as("f_nchar")),
+        Seq("f_ntok", "f_ndist", "f_nchar"), "y", rounds = 3)
     }),
     // UNCERTAINTY SAMPLING (active-learning batch selection): fit the
     // perceptron, score every doc under the final weights, take the 20
@@ -8106,10 +8179,7 @@ object SparkEntry {
     // stump mirror: the same melt, cumulative label counts over the
     // value domain, both polarities, the same (err, v, pol) struct-min
     "train_stumps" ->
-      (s"WITH b AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, " +
-        s"CAST($TokN AS BIGINT) AS f_ntok, " +
-        s"CAST(len(list_distinct($RawToks)) AS BIGINT) AS f_ndist, " +
-        "CAST(length(text) AS BIGINT) AS f_nchar FROM documents), " +
+      (s"WITH $StumpBaseCte, " +
         "m AS (SELECT 'f_ntok' AS feature, f_ntok AS v, y FROM b " +
         "UNION ALL SELECT 'f_ndist', f_ndist, y FROM b " +
         "UNION ALL SELECT 'f_nchar', f_nchar, y FROM b), " +
@@ -8131,6 +8201,7 @@ object SparkEntry {
         "CAST((mn).e AS BIGINT) AS n_errors, CAST((mn).r AS BIGINT) AS n_rows " +
         "FROM (SELECT feature, min({'e': err, 'v': v, 'pol': pol, 'r': r}) " +
         "AS mn FROM e GROUP BY 1)"),
+    "train_stumps_boosted" -> boostedStumpsOracleSql(3),
     // DPO-pair mirror: the same two struct-mins and the same margin gate
     "train_dpo_pairs" ->
       ("WITH b AS (SELECT event_type || '|' || CAST(user_id AS VARCHAR) " +

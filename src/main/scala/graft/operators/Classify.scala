@@ -105,35 +105,110 @@ object Classify {
     * scale next to the corpus), and the argmin is a feature-keyed
     * struct-min. Nothing corpus-sized is ever windowed. */
   def bestStumps(data: DataFrame, featureCols: Seq[String],
-      labelCol: String): DataFrame = {
+      labelCol: String): DataFrame =
+    stumpCandidates(data, featureCols, labelCol, lit(1L))
+      .groupBy(col("feature"))
+      .agg(min(struct(col("err"), col("v"), col("polarity"),
+        col("w_total"))).as("b"))
+      .select(col("feature"), col("b.v").as("threshold"),
+        col("b.polarity").as("polarity"), col("b.err").as("n_errors"),
+        col("b.w_total").as("n_rows"))
+
+  /** Every candidate stump's WEIGHTED error: (feature, v, polarity, err,
+    * w_total) over all observed thresholds and both polarities, with each
+    * row counting `wCol` instead of 1 — the shared core of [[bestStumps]]
+    * (weights ≡ 1) and [[boostedStumps]]. */
+  private def stumpCandidates(data: DataFrame, featureCols: Seq[String],
+      labelCol: String, wCol: org.apache.spark.sql.Column): DataFrame = {
     require(featureCols.nonEmpty, "at least one feature column required")
     import org.apache.spark.sql.expressions.Window
     val melted = featureCols.map { f =>
       data.select(lit(f).as("feature"), col(f).cast("long").as("v"),
-        col(labelCol).cast("long").as("y"))
+        col(labelCol).cast("long").as("y"), wCol.cast("long").as("w"))
     }.reduce(_ unionAll _)
       .filter(col("v").isNotNull && col("y").isNotNull)
     val g = melted.groupBy(col("feature"), col("v"))
-      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"),
-        sum(when(col("y") === -1, 1L).otherwise(0L)).as("nn"))
+      .agg(sum(when(col("y") === 1, col("w")).otherwise(0L)).as("np"),
+        sum(when(col("y") === -1, col("w")).otherwise(0L)).as("nn"))
     val cum = Window.partitionBy("feature").orderBy("v")
     val tot = Window.partitionBy("feature")
     val c = g.select(col("feature"), col("v"),
       sum("np").over(cum).as("cp"), sum("nn").over(cum).as("cn"),
       sum("np").over(tot).as("p"), sum("nn").over(tot).as("n"))
     // polarity +1: errors = negatives ≤ t + positives > t; −1 the mirror
-    val e = c.select(col("feature"), col("v"), lit(1L).as("polarity"),
+    c.select(col("feature"), col("v"), lit(1L).as("polarity"),
         (col("cn") + col("p") - col("cp")).as("err"),
-        (col("p") + col("n")).as("n_rows"))
+        (col("p") + col("n")).as("w_total"))
       .unionAll(c.select(col("feature"), col("v"), lit(-1L).as("polarity"),
         (col("cp") + col("n") - col("cn")).as("err"),
-        (col("p") + col("n")).as("n_rows")))
-    e.groupBy(col("feature"))
-      .agg(min(struct(col("err"), col("v"), col("polarity"),
-        col("n_rows"))).as("b"))
-      .select(col("feature"), col("b.v").as("threshold"),
-        col("b.polarity").as("polarity"), col("b.err").as("n_errors"),
-        col("b.n_rows").as("n_rows"))
+        (col("p") + col("n")).as("w_total")))
+  }
+
+  /** BOOSTED STUMPS with integer weight-doubling — the mistake-doubling
+    * reweighting scheme (the Littlestone–Warmuth weighted-majority /
+    * discrete-AdaBoost-with-fixed-α=ln 2 family): round r fits the
+    * globally-best stump under the CURRENT row weights, then every row
+    * the new stump misclassifies has its weight DOUBLED, so the next
+    * round's stump must attend to what the ensemble still gets wrong.
+    * Doubling (not AdaBoost's ε-dependent α) keeps every weight an exact
+    * power of two — w(row) = 2^(mistakes by prior stumps) = a product of
+    * integer CASEs — so the whole ensemble is a pure integer function of
+    * the corpus, replayable round-for-round by the oracle's chained
+    * 1-row stump CTEs. With R rounds weights stay ≤ 2^{R−1}: keep
+    * R + log₂(rows·max_w) under 63.
+    *
+    * Output: one row per round, `(round, feature, threshold, polarity,
+    * w_errors, w_total)` — the round's chosen stump, its weighted error
+    * and the total weight in play (w_total grows as mistakes compound:
+    * the curve of how much mass the ensemble still misses). Overall
+    * argmin ties break by the (err, feature, threshold, polarity) total
+    * order.
+    *
+    * Scale shape: `rounds` bounded driver rounds; each recomputes row
+    * weights inline (a CASE chain over the ≤ r−1 collected stump
+    * literals — a narrow map, no stored per-row state) and reruns the
+    * [[stumpCandidates]] pipeline: one map-side-combined exchange plus
+    * the value-domain window per round, one collected row back. */
+  def boostedStumps(data: DataFrame, featureCols: Seq[String],
+      labelCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = data.sparkSession
+    val proj = data.select(col(labelCol).cast("long").as("y") +:
+        featureCols.map(f => col(f).cast("long").as(f)): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // (feature, threshold, polarity) of the stumps picked so far
+      var stumps = Vector.empty[(String, Long, Long)]
+      def misFactor(s: (String, Long, Long)) = {
+        val pred = when(col(s._1) <= lit(s._2), lit(s._3))
+          .otherwise(lit(-s._3))
+        when(pred =!= col("y"), lit(2L)).otherwise(lit(1L))
+      }
+      val out = Vector.newBuilder[Row]
+      for (r <- 1 to rounds) {
+        val w =
+          if (stumps.isEmpty) lit(1L)
+          else stumps.map(misFactor).reduce(_ * _)
+        val best = stumpCandidates(proj, featureCols, "y", w)
+          .orderBy(col("err").asc, col("feature").asc, col("v").asc,
+            col("polarity").asc)
+          .limit(1).collect()(0)
+        val pick = (best.getString(0), best.getLong(1), best.getLong(2))
+        stumps :+= pick
+        out += Row(r.toLong, pick._1, pick._2, pick._3,
+          best.getLong(3), best.getLong(4))
+      }
+      val schema = StructType(Seq(
+        StructField("round", LongType, nullable = false),
+        StructField("feature", org.apache.spark.sql.types.StringType,
+          nullable = false),
+        StructField("threshold", LongType, nullable = false),
+        StructField("polarity", LongType, nullable = false),
+        StructField("w_errors", LongType, nullable = false),
+        StructField("w_total", LongType, nullable = false)))
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.result(): _*), schema)
+    } finally { proj.unpersist(); () }
   }
 
   /** Inference companion: the signed decision value w·[1, x] and the ±1

@@ -4116,6 +4116,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert((a._4, a._2, a._3) == bruteBest, s"stump $a vs brute $bruteBest")
   }
 
+  test("boosted stumps: weight-doubling shifts the pick, hand-traced rounds") {
+    import graft.operators.Classify
+    // feature a labels (+,+,−,−,+) at v=1..5; c is constant noise.
+    // round 1: best overall is a ≤ 2 → +1 (1 error: the (+1, a=5) row).
+    // doubling that row's weight twice drags the round-3 argmin to the
+    // a ≤ 4 → −1 stump — boosting visibly re-aims the ensemble.
+    val d = Seq((1L, 1L, 7L), (1L, 2L, 7L), (-1L, 3L, 7L), (-1L, 4L, 7L),
+      (1L, 5L, 7L)).toDF("y", "a", "c")
+    val got = Classify.boostedStumps(d, Seq("a", "c"), "y", rounds = 3)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a", 2L, 1L, 1L, 5L),
+      (2L, "a", 2L, 1L, 2L, 6L),
+      (3L, "a", 4L, -1L, 2L, 8L)), s"got $got")
+    // round 1 under unit weights == the unweighted overall-best stump
+    val flat = Classify.bestStumps(d, Seq("a", "c"), "y")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._4, r._1, r._2, r._3)).min
+    assert((got.head._5, got.head._2, got.head._3, got.head._4) == flat)
+  }
+
   test("Krippendorff alpha: hand-computed nominal coefficient, degenerate NULLs") {
     import graft.operators.Preference
     // units: (1,2) m=4 ones=3 → d=6, 6e6//3 = 2e6; (1,3) m=2 unanimous → 0;
