@@ -96,8 +96,10 @@ class LayoutSpec extends AnyFunSuite {
     })
   }
 
+  // SlowTest: a full 16-file clustering write path; the order-3 grid test
+  // above plus the driver oracle gate keep the fast coverage
   test("hilbert layout: prunes the 2-D box at least as well as both " +
-      "single sorts") {
+      "single sorts", SlowTest) {
     val hZones = Layout.zoneMap(
       Layout.hilbertCluster(ev, "user_id", "day", order = 21, numFiles = 16),
       Seq("user_id", "day")).collect()

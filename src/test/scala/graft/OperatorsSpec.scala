@@ -639,8 +639,9 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  // SlowTest: 2 × k driver rounds; the driver oracle gate covers sample_mmr
   test("MMR selection matches a driver-side naive greedy; λ=1 degenerates " +
-      "to pure relevance order") {
+      "to pure relevance order", SlowTest) {
     import graft.operators.Similarity
     val k = 6
     val got = Similarity.mmrSelect(emb, k, lambda = 0.5)
