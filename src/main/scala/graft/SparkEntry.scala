@@ -4510,6 +4510,13 @@ object SparkEntry {
     "mm_frames_decode" -> ((s, dir) =>
       Multimodal.decodeFrames(s,
         Multimodal.synthesizeVideos(s, docs(s, dir)))),
+    // scene-change keyframes: per video, the L1 channel-sum delta vs the
+    // previous frame, flagged against a fixed threshold (frame 0 always
+    // keys — NULL delta) — the cheap cut detector frame-sampling runs
+    // before expensive per-frame featurizing; exact longs, analytic replay
+    "mm_video_keyframes" -> ((s, dir) =>
+      Multimodal.keyframeSelect(s,
+        Multimodal.synthesizeVideos(s, docs(s, dir)), thr = 20000L)),
     // frame-level NEAR-dup across videos: doc_id % 7 == 3 renders its
     // predecessor's video (planted, the mm_dedup discipline — bounded
     // duplicate groups, linear pair count), per-frame signatures run the
@@ -7344,6 +7351,28 @@ object SparkEntry {
         "SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, width, height, " +
         "sum_r, sum_g, sum_b, phash AS fhash " +
         "FROM fr JOIN cs USING (pid) JOIN ah USING (pid)"),
+    // keyframe mirror: the same analytic channel sums, the same lag-window
+    // L1 delta and threshold flag (frame 0 → NULL delta, always keyed)
+    "mm_video_keyframes" ->
+      (s"WITH $FramesCte, " +
+        "cs AS (SELECT pid, " +
+        s"CAST(sum(${FrameRgbSql._1}) AS BIGINT) AS sum_r, " +
+        s"CAST(sum(${FrameRgbSql._2}) AS BIGINT) AS sum_g, " +
+        s"CAST(sum(${FrameRgbSql._3}) AS BIGINT) AS sum_b " +
+        "FROM (SELECT pid, CAST(pid % 16 + 8 AS BIGINT) AS width, " +
+        "CAST(pid % 12 + 8 AS BIGINT) AS height " +
+        "FROM (SELECT DISTINCT pid FROM fr)), " +
+        "LATERAL (SELECT unnest(generate_series(0, width - 1)) AS x), " +
+        "LATERAL (SELECT unnest(generate_series(0, height - 1)) AS y) " +
+        "GROUP BY pid) " +
+        "SELECT doc_id, frame_idx, delta, " +
+        "CAST(CASE WHEN delta IS NULL OR delta > 20000 THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS is_key FROM (" +
+        "SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, " +
+        "abs(sum_r - lag(sum_r) OVER w) + abs(sum_g - lag(sum_g) OVER w) + " +
+        "abs(sum_b - lag(sum_b) OVER w) AS delta " +
+        "FROM fr JOIN cs USING (pid) " +
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY f))"),
     // frame near-dup mirror: analytic per-frame signatures, exhaustive
     // hamming self-join (the oracle may pay the pair space; the engine must
     // not — its plan is the banded pigeonhole join)

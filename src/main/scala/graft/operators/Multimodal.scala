@@ -985,6 +985,36 @@ object Multimodal {
     * decode keeps its slot with the −1/0 sentinel row. Codec work belongs
     * in `mapPartitions`; the heavy binary column dies inside the stage —
     * only (doc_id, frame_idx, dims, sums, fhash) rows ever leave it. */
+  /** SCENE-CHANGE KEYFRAME SELECTION — the video analog of [[vadSegments]]
+    * (there: speech vs silence by window energy; here: cut vs continuation
+    * by inter-frame change): per video, each frame's L1 channel-sum delta
+    * against its predecessor, and the keyframe flag — frame 0 always
+    * (delta NULL, the no-predecessor convention) plus every frame whose
+    * delta exceeds `thr`. This is the standard cheap scene-cut detector a
+    * frame-sampling pipeline runs BEFORE expensive per-frame featurizing:
+    * sample keyframes, skip the near-static continuation frames.
+    *
+    * Output: (doc_id, frame_idx, delta, is_key) — exact long arithmetic
+    * over [[decodeFrames]]' channel sums, so the analytic oracle replays
+    * the decision per frame.
+    *
+    * Scale shape: the container walk + PNG decode run where the bytes are
+    * ([[decodeFrames]] — the binary column dies inside the stage); the lag
+    * window rides ONE doc-keyed exchange of (doc, frame, 3 longs) rows —
+    * frames-per-video-sized partitions, never corpus-wide. */
+  def keyframeSelect(spark: SparkSession, media: DataFrame,
+      thr: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    decodeFrames(spark, media)
+      .select(col("doc_id"), col("frame_idx"),
+        (abs(col("sum_r") - lag("sum_r", 1).over(w)) +
+          abs(col("sum_g") - lag("sum_g", 1).over(w)) +
+          abs(col("sum_b") - lag("sum_b", 1).over(w))).as("delta"))
+      .withColumn("is_key",
+        when(col("delta").isNull || col("delta") > thr, 1L).otherwise(0L))
+  }
+
   def decodeFrames(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]

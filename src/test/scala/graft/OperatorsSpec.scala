@@ -4139,6 +4139,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert((got.head._5, got.head._2, got.head._3, got.head._4) == flat)
   }
 
+  test("video keyframes: frame 0 keys with NULL delta, deltas match the " +
+      "decoded channel sums") {
+    import graft.operators.Multimodal
+    val docsDf = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    val media = Multimodal.synthesizeVideos(spark, docsDf)
+    val fr = Multimodal.decodeFrames(spark, media)
+      .select($"doc_id", $"frame_idx", $"sum_r", $"sum_g", $"sum_b")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val byDoc = fr.groupBy(_._1)
+    val got = Multimodal.keyframeSelect(spark, media, thr = 2000L)
+      .as[(Long, Long, Option[Long], Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got.length == fr.length)
+    got.foreach { case (d, f, delta, key) =>
+      if (f == 0L) assert(delta.isEmpty && key == 1L, s"frame 0 of $d")
+      else {
+        val cur = byDoc(d).find(_._2 == f).get
+        val prev = byDoc(d).find(_._2 == f - 1).get
+        val exp = math.abs(cur._3 - prev._3) + math.abs(cur._4 - prev._4) +
+          math.abs(cur._5 - prev._5)
+        assert(delta.contains(exp), s"doc $d frame $f delta")
+        assert(key == (if (exp > 2000L) 1L else 0L), s"doc $d frame $f key")
+      }
+    }
+    // continuation frames exist (2..4 frames per video by construction)
+    assert(got.exists(_._2 > 0L))
+  }
+
   test("Krippendorff alpha: hand-computed nominal coefficient, degenerate NULLs") {
     import graft.operators.Preference
     // units: (1,2) m=4 ones=3 → d=6, 6e6//3 = 2e6; (1,3) m=2 unanimous → 0;
