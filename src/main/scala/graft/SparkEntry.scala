@@ -1528,6 +1528,39 @@ object SparkEntry {
       "FROM psg)"
   }
 
+  /** Shared transition-graph extraction prefix for the unweighted graph
+    * oracles (bfs / kcore / linkpred): identical to the weighted family's
+    * prefix but with multiplicity collapsed, matching the operators'
+    * leading `.distinct()`. */
+  private lazy val GraphDistinctEdgesSql: String =
+    s"ev AS (SELECT user_id, $TsUs AS t, event_id, " +
+      "CAST(json_extract_string(props, '$.k') AS BIGINT) AS node FROM events " +
+      "WHERE json_extract_string(props, '$.k') IS NOT NULL), " +
+      "tr AS (SELECT node AS src, lead(node) OVER (" +
+      "PARTITION BY user_id ORDER BY t, event_id) AS dst FROM ev), " +
+      "edges AS (SELECT DISTINCT src, dst FROM tr WHERE dst IS NOT NULL)"
+
+  /** Full DuckDB replay of Graph.kcore: `rounds` unrolled peeling rounds
+    * over the symmetrized simple graph — each round keeps the nodes whose
+    * degree among current survivors is ≥ k; peeling is idempotent after
+    * the fixpoint, so extra unrolled rounds are no-ops and the truncated
+    * semantics meet Spark's early exit bit-for-bit. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val head = s"WITH $GraphDistinctEdgesSql, " +
+      "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (" +
+      "SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges) " +
+      "WHERE src <> dst), " +
+      "a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)"
+    val iterCtes = (1 to rounds).map { i =>
+      s"a$i AS MATERIALIZED (SELECT node FROM (SELECT s.src AS node, " +
+        s"count(*) AS dg FROM sym s JOIN a${i - 1} x ON s.src = x.node " +
+        s"JOIN a${i - 1} y ON s.dst = y.node GROUP BY 1) WHERE dg >= $k)"
+    }.mkString(", ")
+    s"$head, $iterCtes SELECT s.src AS node, CAST(count(*) AS BIGINT) AS core_deg " +
+      s"FROM sym s JOIN a$rounds x ON s.src = x.node " +
+      s"JOIN a$rounds y ON s.dst = y.node GROUP BY 1"
+  }
+
   /** Full DuckDB replay of Graph.labelPropagation: same symmetrized weighted
     * edge relation, every synchronous round unrolled as a MATERIALIZED CTE
     * with the identical lexicographic min({-wsum, label}) vote. */
@@ -2996,6 +3029,53 @@ object SparkEntry {
       graft.operators.Graph.triangleCounts(
         graft.operators.Graph.transitionEdges(
           ev, "user_id", Seq("ts_us", "event_id"), "node"))
+    }),
+    // G6 — graft extension: multi-source BFS hop distances over the
+    // transition graph from the seed set {node % 20 == 0} — the
+    // seed-distance curation tier ("everything within 4 link-hops of a
+    // trusted seed"); level-synchronous frontier rounds, exact by level
+    // order, oracle = the textbook recursive CTE + min(d)
+    "graph_bfs" -> ((s, dir) => {
+      val ev = EventsAdapter.rawEvents(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("node"))
+        .where(col("node").isNotNull)
+      val edges = graft.operators.Graph.transitionEdges(
+        ev, "user_id", Seq("ts_us", "event_id"), "node")
+      val srcs = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .where(col("node") % 20 === 0).distinct()
+      graft.operators.Graph.bfsDistances(edges, srcs, maxHops = 4)
+    }),
+    // G7 — graft extension: truncated k-core peeling (k=3, ≤8 rounds) over
+    // the undirected transition graph — the dense-backbone extractor;
+    // survivors with their within-core degree, oracle = 8 unrolled
+    // peeling rounds (idempotent past the fixpoint)
+    "graph_kcore" -> ((s, dir) => {
+      val ev = EventsAdapter.rawEvents(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("node"))
+        .where(col("node").isNotNull)
+      graft.operators.Graph.kcore(
+        graft.operators.Graph.transitionEdges(
+          ev, "user_id", Seq("ts_us", "event_id"), "node"),
+        k = 3, maxRounds = 8)
+    }),
+    // G8 — graft extension: link-prediction scores for distance-2
+    // non-edges (common neighbors, resource-allocation on the 10⁻⁶ grid,
+    // Adamic–Adar on the stable 10⁻⁴ grid), mid-node degree cap 4096 as
+    // the hub skew valve, cn ≥ 2
+    "graph_linkpred" -> ((s, dir) => {
+      val ev = EventsAdapter.rawEvents(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("node"))
+        .where(col("node").isNotNull)
+      graft.operators.Graph.linkPredictionScores(
+        graft.operators.Graph.transitionEdges(
+          ev, "user_id", Seq("ts_us", "event_id"), "node"),
+        maxDeg = 1L << 12, minCommon = 2)
+        .select(col("a"), col("b"), col("cn"), col("ra_fp"),
+          safeRound4(col("aa")).as("aa"))
     }),
     // SK1 — graft extension: KMV (bottom-k) distinct-count estimate of
     // active users per event type. k=64 < the sf0.01 cardinality, so the
@@ -5606,6 +5686,42 @@ object SparkEntry {
         "ON o.u = wd.v AND o.v = wd.w) " +
         "SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (" +
         "SELECT unnest([u, v, w]) AS node FROM t) GROUP BY 1"),
+    // BFS mirror: same edge extraction, then the textbook recursive CTE —
+    // UNION-dedup on (node, d) pairs bounds the recursion, min(d) is the
+    // hop distance (level order IS distance order on both engines)
+    "graph_bfs" ->
+      (s"WITH RECURSIVE $GraphDistinctEdgesSql, " +
+        "srcs AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges " +
+        "UNION ALL SELECT dst FROM edges) WHERE node % 20 = 0), " +
+        "reach AS (SELECT node, 0 AS d FROM srcs " +
+        "UNION SELECT e.dst, r.d + 1 FROM reach r JOIN edges e " +
+        "ON e.src = r.node WHERE r.d < 4) " +
+        "SELECT node, CAST(min(d) AS BIGINT) AS hops FROM reach GROUP BY 1"),
+    // k-core mirror: 8 unrolled peeling rounds over the symmetrized simple
+    // graph — idempotent past the fixpoint, so the truncated-peeling
+    // semantics match Spark's early exit exactly
+    "graph_kcore" -> kcoreOracleSql(3, 8),
+    // link-prediction mirror: mid-keyed wedge join under the same deg ≤
+    // 4096 hub cap, exact cn / fixed-point RA, Adamic–Adar through ln()
+    // absorbed by the shared stable 10⁻⁴ rounding
+    "graph_linkpred" ->
+      (s"WITH $GraphDistinctEdgesSql, " +
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, " +
+        "greatest(src, dst) AS b FROM edges WHERE src <> dst), " +
+        "sym AS (SELECT a AS z, b AS nb FROM und " +
+        "UNION ALL SELECT b AS z, a AS nb FROM und), " +
+        "deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1), " +
+        "mids AS MATERIALIZED (SELECT s.z, s.nb, d.deg FROM sym s " +
+        "JOIN deg d ON s.z = d.z AND d.deg <= 4096), " +
+        "wd AS (SELECT m1.nb AS a, m2.nb AS b, m1.deg FROM mids m1 " +
+        "JOIN mids m2 ON m1.z = m2.z AND m1.nb < m2.nb), " +
+        "sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn, " +
+        "CAST(sum(1000000 // deg) AS BIGINT) AS ra_fp, " +
+        "sum(1.0 / ln(CAST(deg AS DOUBLE))) AS aa FROM wd GROUP BY 1, 2 " +
+        "HAVING count(*) >= 2) " +
+        "SELECT sc.a, sc.b, sc.cn, sc.ra_fp, " +
+        s"${sqlRound4("sc.aa")} AS aa FROM sc " +
+        "WHERE NOT EXISTS (SELECT 1 FROM und u WHERE u.a = sc.a AND u.b = sc.b)"),
     // KMV distinct mirror: k smallest distinct portable hashes per type,
     // then the identical all-integer estimator ((k−1)·P // (h_k+1); exact
     // count when fewer than k distinct hashes exist)

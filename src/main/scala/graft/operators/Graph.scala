@@ -190,6 +190,157 @@ object Graph {
       .select(col("src"), col("neg_dst"), col("slot").cast("long").as("slot"))
   }
 
+  /** Multi-source BFS hop distances over the DIRECTED graph `edges(src,
+    * dst, …)`: `(node, hops)` for every node reachable from `sources(node)`
+    * within `maxHops` hops, `hops` = the minimum hop count (sources score
+    * 0). The reachability primitive of the curation toolbox: "everything
+    * within h link-hops of a trusted seed set" (seed-distance quality
+    * tiers), or its complement, "orphans no seed can reach".
+    *
+    * Level-synchronous frontier expansion — the standard Pregel/BSP
+    * formulation: each round joins the CURRENT frontier (nodes first
+    * reached last round) against the edge relation, anti-joins everything
+    * already visited, and the survivors are the next frontier at depth
+    * r+1. Exact by construction (level order IS distance order), so any
+    * engine replays it; the DuckDB oracle is the textbook recursive CTE
+    * with a `min(d)` roll-up.
+    *
+    * Scale shape, same discipline as [[pageRank]]: the edge relation is
+    * repartitioned by `src` and persisted ONCE; each round shuffles only
+    * the frontier (node-sized, usually much smaller) into that join and
+    * the deduped next frontier out. The visited set is re-materialized per
+    * round via [[Lineage.materialize]] so lineage stays O(1) and a
+    * configured checkpoint dir gives executor-loss-safe rounds. The only
+    * driver action per round is the frontier count for early exit —
+    * O(diameter) tiny jobs, the price every BSP BFS pays. */
+  def bfsDistances(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val eo = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = Lineage.materialize(
+      sources.select(col("node")).distinct().select(col("node"), lit(0L).as("hops")))
+    var frontier = dist
+    var r = 0L
+    var done = maxHops == 0
+    while (!done) {
+      r += 1
+      val next = Lineage.materialize(
+        frontier.join(eo.withColumnRenamed("src", "node"), Seq("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .select(col("node"), lit(r).as("hops")))
+      val exhausted = next.isEmpty
+      if (!exhausted) {
+        dist = Lineage.materialize(dist.unionByName(next))
+        frontier = next
+      }
+      if (exhausted || r >= maxHops) done = true
+    }
+    eo.unpersist()
+    dist
+  }
+
+  /** Truncated k-core peeling over the undirected simple graph induced by
+    * `edges(src, dst, …)` (self-loops dropped, direction/multiplicity
+    * collapsed): repeatedly delete every node whose degree WITHIN the
+    * surviving set is < `k`, for up to `maxRounds` rounds or until a round
+    * deletes nothing. Returns `(node, core_deg)` for the survivors with
+    * their within-core degree (≥ k at fixpoint). The k-core is the classic
+    * "dense backbone" extractor — link-farm and mirror-family cores in a
+    * crawl host graph sit in high k-cores while honest long-tail pages
+    * peel away in the first rounds (Seidman 1983's degeneracy peeling).
+    *
+    * Semantics are deliberately TRUNCATED at `maxRounds`: both engines
+    * compute exactly `min(fixpoint, maxRounds)` rounds, so the DuckDB
+    * oracle can unroll `maxRounds` chained CTEs (peeling is idempotent
+    * after the fixpoint, so oracle rounds past Spark's early exit are
+    * no-ops). On real graphs the fixpoint lands in a few rounds; pick
+    * `maxRounds` ≥ the expected peel depth and check the returned degrees
+    * (all ≥ k ⇔ converged).
+    *
+    * Scale shape: the symmetrized edge relation is aggregated and persisted
+    * once; each round is one degree aggregation over the alive-restricted
+    * edges (two semi-joins on the node key + one map-side-combined count)
+    * — everything keyed, nothing quadratic. Alive sets are materialized
+    * per round via [[Lineage.materialize]]; the per-round driver action is
+    * the survivor count for the early exit, O(rounds) tiny jobs. */
+  def kcore(edges: DataFrame, k: Long, maxRounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    def aliveDeg(alive: DataFrame): DataFrame =
+      sym.join(alive.withColumnRenamed("node", "src"), Seq("src"))
+        .join(alive.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+    var alive = Lineage.materialize(sym.select(col("src").as("node")).distinct())
+    var n = alive.count()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      rounds += 1
+      val next = Lineage.materialize(
+        aliveDeg(alive).where(col("core_deg") >= k).select(col("node")))
+      val m = next.count()
+      if (m == n) done = true else { alive = next; n = m }
+    }
+    // sym stays persisted under the returned (lazy) plan — blocks release
+    // via the ContextCleaner once the caller drops it, the documented cache
+    // lifecycle of ngramJaccardPairs/triangleCounts
+    aliveDeg(alive)
+  }
+
+  /** Link-prediction scores for the NON-edges at distance 2 in the
+    * undirected simple graph induced by `edges(src, dst, …)`: for every
+    * unordered pair (a, b), a < b, that shares ≥ `minCommon` common
+    * neighbors and is NOT itself an edge, returns
+    *   - `cn`     — common-neighbor count (exact long),
+    *   - `ra_fp`  — resource-allocation index Σ_z 1/deg(z) on the 10⁻⁶
+    *                fixed-point grid (`Σ 1000000 div deg(z)`, exact long —
+    *                Zhou et al. 2009),
+    *   - `aa`     — Adamic–Adar Σ_z 1/ln(deg(z)) (Adamic & Adar 2003),
+    *                a double rounded on the boundary-stable 10⁻⁴ grid by
+    *                the caller's oracle discipline.
+    * Every common neighbor z has ≥ 2 distinct neighbors, so deg(z) ≥ 2 and
+    * ln(deg(z)) > 0 — no division guard needed.
+    *
+    * Scale shape: one wedge self-join keyed on the shared mid node z, then
+    * one (a, b)-keyed aggregate and an anti-join against the edge
+    * relation — all equi-joins. The wedge volume is Σ deg(z)², which a
+    * power-law hub turns quadratic (the triangle "last reducer" curse, but
+    * orientation can't save a mid-keyed wedge); `maxDeg` is the standard
+    * link-prediction skew valve — mid nodes with deg > maxDeg are dropped
+    * (a hub shared by half the graph carries ~zero signal anyway: its RA
+    * and AA contributions vanish as 1/deg). The cap is part of the
+    * operator's semantics and the oracle replays it. */
+  def linkPredictionScores(edges: DataFrame, maxDeg: Long = 1L << 12,
+      minCommon: Long = 1L): DataFrame = {
+    require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = und.select(col("a").as("z"), col("b").as("nb"))
+      .unionByName(und.select(col("b").as("z"), col("a").as("nb")))
+    val deg = sym.groupBy("z").agg(count(lit(1)).as("deg"))
+    val mids = sym.join(deg.where(col("deg") <= maxDeg), Seq("z"))
+    val wedges = mids.select(col("z"), col("nb").as("a"), col("deg"))
+      .join(mids.select(col("z"), col("nb").as("b")), Seq("z"))
+      .where(col("a") < col("b"))
+    val scored = wedges
+      .groupBy("a", "b").agg(
+        count(lit(1)).as("cn"),
+        sum(expr("1000000L div deg")).as("ra_fp"),
+        sum(lit(1.0) / log(col("deg").cast("double"))).as("aa"))
+      .where(col("cn") >= minCommon)
+    // und stays persisted under the returned plan (ContextCleaner lifecycle)
+    scored.join(und, Seq("a", "b"), "left_anti")
+  }
+
   /** Per-node triangle counts over the undirected simple graph induced by
     * `edges(src, dst, …)` — self-loops dropped, direction and multiplicity
     * collapsed. Returns `(node, triangles)` for every node on ≥ 1 triangle.

@@ -102,4 +102,88 @@ class GraphSpec extends AnyFunSuite {
     assert(r == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L),
       s"shared-edge wheel must give 2,3 two triangles each: $r")
   }
+
+  private def bfs(edges: Seq[(Long, Long)], srcs: Seq[Long],
+      maxHops: Int): Map[Long, Long] =
+    Graph.bfsDistances(edges.map { case (s, d) => (s, d, 1L) }
+        .toDF("src", "dst", "w"),
+      srcs.toDF("node"), maxHops).as[(Long, Long)].collect().toMap
+
+  test("bfs: hop distances on a path + island, capped at maxHops", SlowTest) {
+    // 1→2→3→4→5 and a separate 10→11; seeds {1, 10}, horizon 2
+    val r = bfs(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)),
+      Seq(1L, 10L), maxHops = 2)
+    assert(r == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 10L -> 0L, 11L -> 1L),
+      s"horizon-2 distances wrong: $r")
+  }
+
+  test("bfs: min distance wins on diamonds; early exit past the fixpoint", SlowTest) {
+    // 1→2→4, 1→3, 3→4 (two routes to 4), generous horizon exercises the
+    // empty-frontier early exit; direction respected (nothing reaches 1)
+    val r = bfs(Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 4L), (4L, 1L)),
+      Seq(1L), maxHops = 10)
+    assert(r == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L),
+      s"diamond min-distances wrong: $r")
+  }
+
+  private def core(edges: Seq[(Long, Long)], k: Long,
+      rounds: Int): Map[Long, Long] =
+    Graph.kcore(edges.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"),
+      k, rounds).as[(Long, Long)].collect().toMap
+
+  test("kcore: K4 survives 3-core, pendant chain peels over two rounds", SlowTest) {
+    // K4 on {1..4} + chain 1-5-6: round 1 drops 6 (deg 1) and 5 (deg 2),
+    // round 2 confirms the fixpoint; K4 keeps within-core degree 3
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val r = core(k4 ++ Seq((1L, 5L), (5L, 6L)), k = 3, rounds = 8)
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core of K4+tail must be K4: $r")
+  }
+
+  test("kcore: truncation at maxRounds is the documented semantics", SlowTest) {
+    // path 1-2-3-4-5 under k=2: round 1 peels the endpoints; truncated at
+    // 1 round the survivors are {2,3,4} with their within-survivor degrees
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val r1 = core(path, k = 2, rounds = 1)
+    assert(r1 == Map(2L -> 1L, 3L -> 2L, 4L -> 1L),
+      s"one truncated peel of the path is {2,3,4}: $r1")
+    // run to fixpoint: the whole path unravels
+    assert(core(path, k = 2, rounds = 8).isEmpty, "a path has no 2-core")
+  }
+
+  private def lp(edges: Seq[(Long, Long)], maxDeg: Long, minCommon: Long) =
+    Graph.linkPredictionScores(
+      edges.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"),
+      maxDeg, minCommon)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4, t._5)).toMap
+
+  test("linkpred: square scores both diagonals, triangle yields nothing", SlowTest) {
+    // C4 1-2-3-4-1: (1,3) share {2,4} (both deg 2), (2,4) share {1,3};
+    // cn=2, RA = 2·(10⁶ div 2), AA = 2/ln 2
+    val r = lp(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)),
+      maxDeg = 1L << 12, minCommon = 1)
+    assert(r.keySet == Set((1L, 3L), (2L, 4L)), s"C4 diagonals only: $r")
+    val (cn, ra, aa) = r((1L, 3L))
+    assert(cn == 2L && ra == 1000000L,
+      s"C4 diagonal must score cn=2, ra=10⁶: $r")
+    assert(math.abs(aa - 2.0 / math.log(2.0)) < 1e-9, s"AA = 2/ln2: $aa")
+    // a triangle's distance-2 pairs are all true edges — anti-joined away
+    assert(lp(Seq((1L, 2L), (2L, 3L), (3L, 1L)), 1L << 12, 1L).isEmpty,
+      "triangle has no non-edge candidates")
+  }
+
+  test("linkpred: the hub cap drops high-degree mids from scoring", SlowTest) {
+    // star 9-{1,2,3}: deg(9)=3; with maxDeg=2 the hub can't be a mid, so
+    // no pairs emerge; with the cap open, all 3 leaf pairs score via 9
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L))
+    assert(lp(star, maxDeg = 2L, minCommon = 1L).isEmpty,
+      "capped hub must not mediate pairs")
+    val open = lp(star, maxDeg = 1L << 12, minCommon = 1L)
+    assert(open.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"open cap scores all leaf pairs: $open")
+    val (cn, ra, aa) = open((1L, 2L))
+    assert(cn == 1L && ra == 333333L, s"leaf pair via deg-3 hub: ${open((1L, 2L))}")
+    assert(math.abs(aa - 1.0 / math.log(3.0)) < 1e-9, s"AA = 1/ln3: $aa")
+  }
 }
