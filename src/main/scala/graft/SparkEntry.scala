@@ -1528,6 +1528,36 @@ object SparkEntry {
       "FROM psg)"
   }
 
+  /** Shared WITH-prefix for the Naive Bayes oracles: the full model fit
+    * (class-token counts, class totals, vocab, doc term/length tables) and
+    * the per-(doc, class) score in the identical sparse refactor
+    * score = ln(D_c/D) − T_d·ln(N_c+V) + Σ tf·ln(C+1), ending in CTE `sc`
+    * with the stable-rounded negated score `ns` ready for the struct-min
+    * argmax. */
+  private lazy val NbWithSql: String =
+    "WITH tk AS (SELECT doc_id, cls, w FROM (SELECT doc_id, lang AS cls, " +
+      "unnest(string_split_regex(trim(lower(text), " +
+      s"'${TextAnalysis.WsCharsRaw}'), '\\s+')) AS w FROM documents " +
+      "WHERE lang IS NOT NULL AND text IS NOT NULL) WHERE w <> ''), " +
+      "ct AS MATERIALIZED (SELECT cls, w, count(*) AS cnt FROM tk GROUP BY 1, 2), " +
+      "cl AS MATERIALIZED (SELECT d.cls, d.ndocs, COALESCE(t.ntok, 0) AS ntok " +
+      "FROM (SELECT lang AS cls, count(*) AS ndocs FROM documents " +
+      "WHERE lang IS NOT NULL GROUP BY 1) d LEFT JOIN (" +
+      "SELECT cls, sum(cnt) AS ntok FROM ct GROUP BY 1) t USING (cls)), " +
+      "v AS (SELECT count(DISTINCT w) AS vsize FROM ct), " +
+      "dt AS (SELECT count(*) AS dtot FROM documents), " +
+      "dtf AS (SELECT doc_id, w, count(*) AS tf FROM tk GROUP BY 1, 2), " +
+      "dl AS (SELECT doc_id, count(*) AS tlen FROM tk GROUP BY 1), " +
+      "co AS (SELECT doc_id, cls, sum(tf * ln(CAST(cnt + 1 AS DOUBLE))) AS s " +
+      "FROM dtf JOIN ct USING (w) GROUP BY 1, 2), " +
+      "sc AS (SELECT b.doc_id, b.lang, c.cls, " +
+      s"-${sqlRound4("ln(CAST(c.ndocs AS DOUBLE) / CAST(dt.dtot AS DOUBLE)) " +
+        "- b.tlen * ln(CAST(c.ntok + v.vsize AS DOUBLE)) + COALESCE(co.s, 0.0)")} " +
+      "AS ns FROM (SELECT d.doc_id, d.lang, COALESCE(dl.tlen, 0) AS tlen " +
+      "FROM documents d LEFT JOIN dl USING (doc_id)) b " +
+      "CROSS JOIN cl c CROSS JOIN v CROSS JOIN dt " +
+      "LEFT JOIN co ON co.doc_id = b.doc_id AND co.cls = c.cls)"
+
   /** Shared transition-graph extraction prefix for the unweighted graph
     * oracles (bfs / kcore / linkpred): identical to the weighted family's
     * prefix but with multiplicity collapsed, matching the operators'
@@ -5034,6 +5064,24 @@ object SparkEntry {
     // of the corpus) predicting lang=en from three cheap integer text
     // stats; output = the per-round training curve + weights, the oracle
     // replays every round as chained 1-row weight CTEs
+    // MULTINOMIAL NAIVE BAYES (add-one smoothing, sparse ln(C+1)
+    // refactor): self-fit on the lang label, every doc scored; argmax on
+    // the stable 10⁻⁴ grid with min-label ties
+    "train_nb" -> ((s, dir) =>
+      Classify.naiveBayes(docs(s, dir))),
+    // the confusion matrix of the NB self-fit — the one-screen summary of
+    // what the learned router confuses
+    "train_nb_confusion" -> ((s, dir) =>
+      Classify.naiveBayes(docs(s, dir))
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))),
+    // interpolated Kneser–Ney bigram LM scoring (d=0.75, minCount=2) —
+    // the continuation-probability upgrade of text_lm_nll's add-one model
+    "text_lm_kn" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.knScores(d, d, minCount = 2)
+        .select(col("doc_id"), col("n_bigrams"),
+          safeRound4(col("mean_nll")).as("mean_nll"))
+    }),
     "train_perceptron" -> ((s, dir) => {
       val d = docs(s, dir)
       Classify.batchPerceptron(
@@ -8316,6 +8364,46 @@ object SparkEntry {
         "CASE WHEN n_common < 2 THEN NULL ELSE CAST(cmd AS DOUBLE) / " +
         "(CAST(n_common * (n_common - 1) AS DOUBLE) / 2.0) END AS tau " +
         "FROM c"),
+    // Naive Bayes mirror: same counts, same sparse ln(C+1) refactor, same
+    // stable-grid argmax with the min-label tie struct
+    "train_nb" ->
+      (s"$NbWithSql SELECT doc_id, lang, " +
+        "(min({'ns': ns, 'c': cls})).c AS pred, " +
+        "-(min({'ns': ns, 'c': cls})).ns AS score FROM sc GROUP BY 1, 2"),
+    "train_nb_confusion" ->
+      (s"$NbWithSql, pr AS (SELECT doc_id, lang, " +
+        "(min({'ns': ns, 'c': cls})).c AS pred FROM sc GROUP BY 1, 2) " +
+        "SELECT lang, pred, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2"),
+    // Kneser–Ney mirror: retained-bigram counts, continuation table, the
+    // same d=0.75 interpolation; ln absorbed by the stable 10⁻⁴ rounding
+    "text_lm_kn" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(" +
+        s"trim(lower(text), '${TextAnalysis.WsCharsRaw}'), '\\s+') AS tk " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "bi AS (SELECT doc_id, [tk[i] || ' ' || tk[i+1] for i in " +
+        "generate_series(1, len(tk) - 1)] AS bs FROM toks WHERE len(tk) >= 2), " +
+        "refbig AS MATERIALIZED (SELECT b, count(*) AS cb FROM (" +
+        "SELECT unnest(bs) AS b FROM bi) GROUP BY 1 HAVING count(*) >= 2), " +
+        "w1t AS (SELECT split_part(b, ' ', 1) AS w1, sum(cb) AS cw1, " +
+        "count(*) AS n1p FROM refbig GROUP BY 1), " +
+        "cont AS (SELECT split_part(b, ' ', 2) AS w2, count(*) AS r " +
+        "FROM refbig GROUP BY 1), " +
+        "sca AS (SELECT sum(r) AS rr, count(*) AS u FROM cont), " +
+        "db AS (SELECT doc_id, unnest(bs) AS b FROM bi), " +
+        "sc AS (SELECT doc_id, count(*) AS nb, avg(-ln(" +
+        "CASE WHEN cw1 IS NOT NULL THEN " +
+        "greatest(CAST(COALESCE(cb, 0) AS DOUBLE) - 0.75, 0.0) / " +
+        "CAST(cw1 AS DOUBLE) + (0.75 * CAST(n1p AS DOUBLE) / " +
+        "CAST(cw1 AS DOUBLE)) * (CAST(COALESCE(r, 0) + 1 AS DOUBLE) / " +
+        "CAST(rr + u AS DOUBLE)) ELSE CAST(COALESCE(r, 0) + 1 AS DOUBLE) / " +
+        "CAST(rr + u AS DOUBLE) END)) AS nll " +
+        "FROM db LEFT JOIN refbig USING (b) " +
+        "LEFT JOIN w1t ON split_part(db.b, ' ', 1) = w1t.w1 " +
+        "LEFT JOIN cont ON split_part(db.b, ' ', 2) = cont.w2 " +
+        "CROSS JOIN sca GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams, " +
+        s"${sqlRound4("COALESCE(nll, 0.0)")} AS mean_nll " +
+        "FROM documents d LEFT JOIN sc USING (doc_id)"),
     // perceptron mirror: the same feature projection, every round's
     // mistake filter and integer update as chained 1-row weight CTEs —
     // a single transposed mistake anywhere changes all later weights

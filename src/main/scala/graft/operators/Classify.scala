@@ -214,6 +214,81 @@ object Classify {
   /** Inference companion: the signed decision value w·[1, x] and the ±1
     * prediction for every row, with the weights as plain literals — a
     * narrow codegen'd map, the deploy side of [[batchPerceptron]]. */
+  /** MULTINOMIAL NAIVE BAYES text classifier, self-fit and self-scored:
+    * trains add-one-smoothed per-class token models on `docs` (rows with a
+    * NULL label are excluded from the model) and scores EVERY row,
+    * returning `(idCol, labelCol, pred, score)` — the argmax class and its
+    * log-posterior (McCallum & Nigam 1998's event model). The standard
+    * first-ladder rung of corpus classification: topic/domain/language
+    * routing, and the cheap teacher for distilling corpus-level labels.
+    *
+    *   score(d, c) = ln(D_c / D) + Σ_w tf(d,w) · ln((C(w,c)+1)/(N_c+V))
+    *               = ln(D_c / D) − T_d·ln(N_c+V) + Σ_w tf·ln(C(w,c)+1)
+    *
+    * The refactor on the right is the SPARSITY trick that makes the plan
+    * scale: ln(C+1) = 0 for unseen (w, c), so the only corpus-sized join
+    * is doc-term-frequencies against the OBSERVED class-token table —
+    * never a dense vocab × classes expansion. T_d rides a per-doc count;
+    * the −T_d·ln(N_c+V) and prior terms attach in the small doc × classes
+    * product (classes broadcast). Tokenization is the engine-wide
+    * [[TextAnalysis.lmToks]] boundary.
+    *
+    * Determinism: every count is an exact long; ln/multiply/sum run in
+    * doubles, and the argmax is taken over scores on the boundary-stable
+    * 10⁻⁴ grid ([[graft.functions.StableRound.round4]]) with ties to the
+    * SMALLEST class label — one lexicographic `min(struct(-score, c))`,
+    * so both engines pick the same class even when two classes' scores
+    * collide on the grid. Returned `score` is the rounded winner.
+    *
+    * Scale shape: three map-side-combined aggregates over the exploded
+    * token relation (class-token, doc-term, doc-length; the explode is
+    * persisted and feeds all three), one (w)-keyed equi-join for the
+    * sparse contributions, and the doc × classes product where classes is
+    * a broadcast (class cardinality is human-scale by construction). V, D
+    * ride 1-row broadcast cross joins — the plan is fully lazy, no driver
+    * scalar. */
+  def naiveBayes(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", labelCol: String = "lang"): DataFrame = {
+    val toks = docs.where(col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol).as("__cls"),
+        explode(TextAnalysis.lmToks(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val classTok = toks.groupBy(col("__cls"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val classes = docs.where(col(labelCol).isNotNull)
+      .groupBy(col(labelCol).as("__cls")).agg(count(lit(1)).as("ndocs"))
+      .join(classTok.groupBy("__cls").agg(sum("cnt").as("ntok")), Seq("__cls"), "left")
+      .select(col("__cls"), col("ndocs"), coalesce(col("ntok"), lit(0L)).as("ntok"))
+    val vocab = classTok.select("w").distinct().agg(count(lit(1)).as("vsize"))
+    val totd = docs.agg(count(lit(1)).as("dtot"))
+    val docTf = toks.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val docLen = toks.groupBy(col(idCol)).agg(count(lit(1)).as("tlen"))
+    val contrib = docTf.join(classTok, Seq("w"))
+      .groupBy(col(idCol), col("__cls"))
+      .agg(sum(col("tf").cast("double") *
+        log((col("cnt") + lit(1L)).cast("double"))).as("__s"))
+    val score = log(col("ndocs").cast("double") / col("dtot").cast("double")) -
+      col("tlen").cast("double") *
+        log((col("ntok") + col("vsize")).cast("double")) +
+      coalesce(col("__s"), lit(0.0))
+    docs.select(col(idCol), col(labelCol))
+      .join(docLen, Seq(idCol), "left")
+      .na.fill(0L, Seq("tlen"))
+      .crossJoin(broadcast(classes))
+      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(totd))
+      .join(contrib, Seq(idCol, "__cls"), "left")
+      .select(col(idCol), col(labelCol),
+        struct((-graft.functions.StableRound.round4(score)).as("ns"),
+          col("__cls").as("c")).as("__m"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(min(col("__m")).as("__m"))
+      .select(col(idCol), col(labelCol),
+        col("__m.c").as("pred"), (-col("__m.ns")).as("score"))
+  }
+
   def perceptronPredict(data: DataFrame, featureCols: Seq[String],
       weights: Seq[Long]): DataFrame = {
     require(weights.size == featureCols.size + 1,

@@ -1073,6 +1073,75 @@ object TextAnalysis {
         coalesce(col("mean_nll"), lit(0.0)).as("mean_nll"))
   }
 
+  /** Interpolated KNESER–NEY bigram LM scoring (Kneser & Ney 1995; the
+    * interpolated form and fixed discount follow Chen & Goodman 1999) —
+    * the stronger sibling of [[lmScores]]' add-one model for perplexity
+    * filtering: continuation probability fixes add-one's famous failure
+    * mode (frequent-but-context-bound words like "Francisco" stop
+    * inflating unseen-bigram mass). Fit on `reference`, score each doc in
+    * `docs` by mean negative log-likelihood per bigram → `(idCol,
+    * n_bigrams, mean_nll)`; no-bigram docs score 0.0 over 0.
+    *
+    * Model, with d = 0.75 and counts from the RETAINED bigram table
+    * (bigrams with count ≥ `minCount`; rarer ones are unseen — the scale
+    * knob, same role as [[lmScores]]' minCount):
+    *   - c(w1 w2), c(w1) = Σ_w2 c(w1 w2), n1p(w1) = |{w2 : retained}|
+    *   - r(w2) = |{w1 : retained}| (left-context diversity), R = Σ r
+    *     (total retained bigram types), U = |{w2}|
+    *   - pcont(w2) = (r(w2)+1) / (R+U)  — add-one over continuation
+    *     counts, so unseen words keep positive mass
+    *   - c(w1) > 0:  p = max(c(w1 w2)−d, 0)/c(w1)
+    *                     + (d·n1p(w1)/c(w1))·pcont(w2)
+    *   - c(w1) = 0:  p = pcont(w2)  (back off entirely)
+    *
+    * Determinism: all counts exact longs; the ln at the end is the only
+    * transcendental, absorbed by the caller's stable 10⁻⁴ rounding (the
+    * [[lmScores]] oracle discipline).
+    *
+    * Scale shape mirrors [[lmScores]]: the model tables are map-side
+    * combined aggregates keyed by bigram/token, joined back to the corpus
+    * bigrams on those keys (broadcast when stats allow, shuffled equi-join
+    * otherwise); the two scalars R, U ride a 1-row broadcast cross join.
+    * The continuation table adds ONE more token-keyed aggregate over the
+    * retained-bigram relation — model-sized, not corpus-sized. */
+  def knScores(docs: DataFrame, reference: DataFrame, minCount: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    // persisted: feeds the w1 table, the continuation table, and the join
+    // (ContextCleaner lifecycle, as lmScores)
+    val big = reference
+      .select(explode(allBigrams(col(textCol))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w1t = big.groupBy(substring_index(col("b"), " ", 1).as("w1"))
+      .agg(sum("cb").as("cw1"), count(lit(1)).as("n1p"))
+    val cont = big.groupBy(substring_index(col("b"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("r"))
+    val scal = cont.agg(sum("r").as("rr"), count(lit(1)).as("u"))
+    val pc = (coalesce(col("r"), lit(0L)) + lit(1L)).cast("double") /
+      (col("rr") + col("u")).cast("double")
+    val p = when(col("cw1").isNotNull,
+      greatest(coalesce(col("cb"), lit(0L)).cast("double") - lit(0.75), lit(0.0)) /
+        col("cw1").cast("double") +
+        (lit(0.75) * col("n1p").cast("double") / col("cw1").cast("double")) * pc)
+      .otherwise(pc)
+    val scored = docs
+      .select(col(idCol), explode(allBigrams(col(textCol))).as("b"))
+      .join(big, Seq("b"), "left")
+      .join(w1t, substring_index(col("b"), " ", 1) === col("w1"), "left")
+      .join(cont, substring_index(col("b"), " ", -1) === col("w2"), "left")
+      .crossJoin(broadcast(scal))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_bigrams"),
+        avg(-log(p)).as("mean_nll"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("mean_nll"), lit(0.0)).as("mean_nll"))
+  }
+
   // ------------------------------------------------- URL / domain filtering
 
   /** URL regexes, built from [[WsChars]] and shared verbatim with the

@@ -4059,6 +4059,52 @@ class OperatorsSpec extends AnyFunSuite {
       .select($"alpha").as[Option[Double]].collect().toSeq == Seq(None))
   }
 
+  test("naive bayes: hand-computed posteriors, null-label rows score but " +
+      "don't train, empty docs fall to the prior, ties break to min label") {
+    import graft.operators.Classify
+    val d = Seq(
+      (1L, "cat cat", "A"), (2L, "dog", "B"),
+      (3L, "cat dog", null), (4L, "", "A"))
+      .toDF("doc_id", "text", "lang")
+    val got = Classify.naiveBayes(d)
+      .as[(Long, Option[String], String, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    // model: A{cat:2} N_A=2, B{dog:1} N_B=1, V=2, priors 2/4 and 1/4
+    assert(got(1L)._2 == "A" && got(2L)._2 == "B")
+    // doc 3 (null label): A = ln(1/2)−2ln4+ln3, B = ln(1/4)−2ln3+ln2 → A
+    assert(got(3L)._1.isEmpty && got(3L)._2 == "A")
+    // doc 4 (no tokens): prior-only, A at ln(2/4)
+    assert(got(4L)._2 == "A")
+    assert(math.abs(got(4L)._3 - (-0.6931)) < 1e-9,
+      s"prior-only score must be round4(ln 1/2): ${got(4L)._3}")
+    val a1 = math.log(2.0 / 4) - 2 * math.log(4.0) + 2 * math.log(3.0)
+    assert(math.abs(got(1L)._3 - math.floor(a1 * 10000 + 0.499999) / 10000) < 1e-9)
+    // symmetric classes: identical scores, winner is the smaller label
+    val sym = Classify.naiveBayes(
+      Seq((1L, "x", "B"), (2L, "x", "A")).toDF("doc_id", "text", "lang"))
+      .as[(Long, Option[String], String, Double)].collect()
+    assert(sym.forall(_._3 == "A"), s"ties must break to min label: ${sym.toSeq}")
+  }
+
+  test("kneser-ney: hand-computed interpolated probabilities and backoff") {
+    // reference "a b a b a c": bigrams ab:2, ba:2, ac:1; minCount=2 keeps
+    // {ab, ba} → cw1(a)=2 n1p(a)=1, cont r(a)=r(b)=1, R=2, U=2
+    val ref = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val probe = Seq((10L, "a b"), (11L, "a c"), (12L, "q a"), (13L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.knScores(probe, ref, minCount = 2)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // seen bigram: max(2−.75,0)/2 + (.75·1/2)·pcont(b)=.625+.375·.5
+    assert(got(10L)._1 == 1L)
+    assert(math.abs(got(10L)._2 - -math.log(0.8125)) < 1e-12)
+    // unseen bigram, seen w1: discount mass only, unseen w2 ⇒ pcont 1/4
+    assert(math.abs(got(11L)._2 - -math.log(0.375 * 0.25)) < 1e-12)
+    // unseen w1: full backoff to pcont(a) = 1/2
+    assert(math.abs(got(12L)._2 - -math.log(0.5)) < 1e-12)
+    // no bigrams: kept with the (0, 0.0) convention
+    assert(got(13L) == ((0L, 0.0)))
+  }
+
   test("batch perceptron: hand-computed rounds, NULL rows drop, separable " +
       "fixture converges, predict matches the decision rule") {
     import graft.operators.Classify
