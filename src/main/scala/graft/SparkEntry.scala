@@ -1528,6 +1528,19 @@ object SparkEntry {
       "FROM psg)"
   }
 
+  /** Blocklist fixture phrases, shared verbatim by the Spark query and the
+    * DuckDB mirror. Chosen to exercise the automaton's hard cases on the
+    * corpus vocabulary: "able" is a proper suffix of "table" (suffix-link
+    * hit), "table table" overlaps its own "table"s, and "big query" /
+    * "query big" overlap each other inside "... query big query ...". */
+  private val BlocklistPats = Seq(
+    "table", "able", "table table", "big query", "query big", "merge batch")
+
+  /** The same phrases as a DuckDB CTE `p(pat)`. */
+  private lazy val BlocklistPatsCteSql: String =
+    "p AS (SELECT unnest([" +
+      BlocklistPats.map(p => s"'$p'").mkString(", ") + "]) AS pat)"
+
   /** Shared WITH-prefix for the Naive Bayes oracles: the full model fit
     * (class-token counts, class totals, vocab, doc term/length tables) and
     * the per-(doc, class) score in the identical sparse refactor
@@ -3976,6 +3989,14 @@ object SparkEntry {
     }),
     // URL extraction over the synthetic-URL fixture: one row per URL with
     // its position and lower-cased domain
+    // single-pass Aho–Corasick blocklist audit: per-doc occurrence counts
+    // for every pattern with ≥ 1 hit (overlaps counted — the fixture's
+    // "table table" / "big query"+"query big" pairs exercise them)
+    "text_blocklist" -> ((s, dir) =>
+      TextAnalysis.blocklistHits(docs(s, dir), BlocklistPats)),
+    // the survivors gate: docs with zero blocklist occurrences
+    "text_blocklist_clean" -> ((s, dir) =>
+      TextAnalysis.blocklistSurvivors(docs(s, dir), BlocklistPats)),
     "text_urls" -> ((s, dir) =>
       urlDocs(s, dir)
         .select(col("doc_id"),
@@ -6702,6 +6723,26 @@ object SparkEntry {
         "CAST(count(*) AS DOUBLE) / any_value(bn.bench_shingles) AS containment " +
         "FROM c JOIN b USING (s) JOIN bn ON b.bench_id = bn.bench_id " +
         "GROUP BY 1, 2) WHERE containment >= 0.05"),
+    // blocklist mirror: every start position via the lateral position
+    // walk — substr on code points, but substring-occurrence counts are
+    // indexing-unit independent, so the automaton and the walk agree
+    "text_blocklist" ->
+      (s"WITH $BlocklistPatsCteSql, " +
+        "h AS (SELECT d.doc_id, p.pat AS pattern, count(*) AS hits " +
+        "FROM documents d CROSS JOIN p, LATERAL (SELECT " +
+        "unnest(generate_series(1, len(d.text) - len(p.pat) + 1)) AS i) g " +
+        "WHERE d.text IS NOT NULL " +
+        "AND substr(d.text, g.i, len(p.pat)) = p.pat GROUP BY 1, 2) " +
+        "SELECT doc_id, pattern, CAST(hits AS BIGINT) AS hits FROM h"),
+    "text_blocklist_clean" ->
+      (s"WITH $BlocklistPatsCteSql, " +
+        "h AS (SELECT DISTINCT d.doc_id FROM documents d CROSS JOIN p, " +
+        "LATERAL (SELECT unnest(generate_series(1, " +
+        "len(d.text) - len(p.pat) + 1)) AS i) g " +
+        "WHERE d.text IS NOT NULL " +
+        "AND substr(d.text, g.i, len(p.pat)) = p.pat) " +
+        "SELECT doc_id FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM h)"),
     "text_urls" ->
       (s"WITH $UrlDocsCteSql, ex AS (SELECT doc_id, " +
         s"regexp_extract_all(text, '$UrlReSql') AS us FROM d) " +

@@ -279,6 +279,126 @@ case class NgramProfileScores(child: Expression,
     copy(child = newChild)
 }
 
+/** Single-pass multi-pattern substring counter — the blocklist/abuse-term
+  * scan of corpus filtering (C4's badwords pass, policy phrase audits) as
+  * ONE Aho–Corasick automaton walk per row (Aho & Corasick 1975). Returns
+  * `array<long>` of per-pattern occurrence counts in the caller's pattern
+  * order, counting EVERY start position (overlaps included, case
+  * sensitive); NULL input counts all-zero.
+  *
+  * Why an expression: N patterns as N `instr`/`regexp_count` calls re-scan
+  * the corpus N times — a thousand-phrase blocklist over 100 TB must be
+  * one pass, and the automaton makes the per-character cost O(1) amortized
+  * (goto or suffix-link fallback) + O(matches). The automaton is built
+  * ONCE per deserialized instance (per executor task-set, not per row),
+  * like [[TokenIds]]' table; patterns ship inside the plan — right for
+  * config-sized blocklists (KBs–MBs), while a corpus-learned list would
+  * ride a broadcast join instead. Per-node output lists are pre-merged
+  * through the suffix chain at build time, so matching never walks suffix
+  * links on the hot path.
+  *
+  * Counting is substring-occurrence counting, which is indexing-unit
+  * independent: the UTF-16 char walk here and a code-point `substr` walk
+  * (the DuckDB oracle) agree on every count, because a pattern is a valid
+  * string and can never match starting at a low surrogate. */
+case class BlocklistCounts(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  require(patterns.nonEmpty, "at least one pattern required")
+  require(patterns.forall(_.nonEmpty), "patterns must be non-empty strings")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"BlocklistCounts requires a string argument, got ${other.simpleString}")
+  }
+
+  /** (goto tables, suffix links, merged per-node pattern-id outputs). */
+  @transient private lazy val automaton: (
+      Array[java.util.HashMap[Character, Integer]], Array[Int], Array[Array[Int]]) = {
+    val goto = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+    val ends = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    patterns.zipWithIndex.foreach { case (p, pid) =>
+      var s = 0
+      var i = 0
+      while (i < p.length) {
+        val c = p.charAt(i)
+        val nxt = goto(s).get(c)
+        if (nxt == null) {
+          goto += new java.util.HashMap[Character, Integer]()
+          ends += Nil
+          goto(s).put(c, goto.size - 1)
+          s = goto.size - 1
+        } else s = nxt
+        i += 1
+      }
+      ends(s) = pid :: ends(s)
+    }
+    val n = goto.size
+    val fail = new Array[Int](n)
+    val out = new Array[Array[Int]](n)
+    out(0) = ends(0).toArray
+    val q = new java.util.ArrayDeque[Int]()
+    goto(0).forEach { (_, v) => fail(v) = 0; q.add(v) }
+    while (!q.isEmpty) {
+      val u = q.poll()
+      // merge the suffix chain's outputs once, at build time
+      out(u) = (ends(u) ++ out(fail(u)).toList).toArray
+      goto(u).forEach { (c, v) =>
+        var f = fail(u)
+        while (f != 0 && goto(f).get(c) == null) f = fail(f)
+        val t = goto(f).get(c)
+        fail(v) = if (t != null && t != v) t else 0
+        q.add(v)
+      }
+    }
+    (goto.toArray, fail, out)
+  }
+
+  override def nullable: Boolean = false
+
+  private def zeros: GenericArrayData =
+    new GenericArrayData(
+      Array.fill[Any](patterns.size)(java.lang.Long.valueOf(0L)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) zeros else nullSafeEval(v)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val (goto, fail, out) = automaton
+    val counts = new Array[Long](patterns.size)
+    var state = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      var nxt = goto(state).get(c)
+      while (nxt == null && state != 0) {
+        state = fail(state)
+        nxt = goto(state).get(c)
+      }
+      if (nxt != null) state = nxt
+      val hits = out(state)
+      var j = 0
+      while (j < hits.length) { counts(hits(j)) += 1L; j += 1 }
+      i += 1
+    }
+    val res = new Array[Any](counts.length)
+    var k = 0
+    while (k < counts.length) { res(k) = java.lang.Long.valueOf(counts(k)); k += 1 }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BlocklistCounts =
+    copy(child = newChild)
+}
+
 /** Unicode text normalization for corpus ingest: NFC canonical composition
   * (combining sequences compose, compatibility singletons like U+212B
   * ANGSTROM SIGN map to their canonical letter) followed by a scrub of the
@@ -407,6 +527,11 @@ object TextExpressions {
   /** NFC normalization + control/zero-width scrub. See [[NormalizeText]]. */
   def normalizeText(text: Column): Column =
     GraftBridge.column(NormalizeText(GraftBridge.expression(text)))
+
+  /** Per-pattern overlapping occurrence counts in one Aho–Corasick pass.
+    * See [[BlocklistCounts]]. */
+  def blocklistCounts(text: Column, patterns: Seq[String]): Column =
+    GraftBridge.column(BlocklistCounts(GraftBridge.expression(text), patterns))
 
   /** Per-language trigram-profile scores in one pass. See
     * [[NgramProfileScores]]. */

@@ -1142,6 +1142,41 @@ object TextAnalysis {
         coalesce(col("mean_nll"), lit(0.0)).as("mean_nll"))
   }
 
+  // ------------------------------------------------- blocklist scanning
+
+  /** Per-document blocklist hit counts — `(idCol, pattern, hits)` for every
+    * document × pattern with ≥ 1 occurrence (exact substring, case
+    * sensitive, overlaps counted: every start position). The C4-style
+    * badwords/policy-phrase audit. ONE Aho–Corasick pass per document
+    * ([[graft.functions.BlocklistCounts]]): a thousand-phrase blocklist
+    * costs the same single scan as one phrase — N `instr` probes or N
+    * regexes would re-read the corpus N times at 100 TB. The plan is one
+    * narrow map (the counts array) + one posexplode filtered to hits > 0,
+    * so the output is sparse (hit-sized, not docs × patterns); no join,
+    * no exchange. */
+  def blocklistHits(docs: DataFrame, patterns: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cnts = graft.functions.TextExpressions.blocklistCounts(col(textCol), patterns)
+    docs.select(col(idCol), posexplode(cnts).as(Seq("__pos", "hits")))
+      .where(col("hits") > 0)
+      .select(col(idCol),
+        element_at(lit(patterns.toArray), col("__pos") + 1).as("pattern"),
+        col("hits"))
+  }
+
+  /** The complement gate: documents with ZERO blocklist occurrences (the
+    * survivors a filtering pipeline keeps). Same single-pass automaton;
+    * the total rides a tiny per-row fold over the counts array, so the
+    * whole filter is one narrow scan — the shape to compose under other
+    * corpus filters. NULL text counts zero hits and survives (score it
+    * with the quality plane, not the blocklist). */
+  def blocklistSurvivors(docs: DataFrame, patterns: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cnts = graft.functions.TextExpressions.blocklistCounts(col(textCol), patterns)
+    docs.where(aggregate(cnts, lit(0L), (acc, x) => acc + x) === 0L)
+      .select(col(idCol))
+  }
+
   // ------------------------------------------------- URL / domain filtering
 
   /** URL regexes, built from [[WsChars]] and shared verbatim with the

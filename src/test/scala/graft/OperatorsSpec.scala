@@ -1007,6 +1007,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fast == hof)
   }
 
+  test("blocklist: overlapping, nested, and suffix-linked patterns all count") {
+    val d = Seq(
+      (1L, "aaaa"),                  // "aa" at 3 overlapping starts
+      (2L, "xabcx"),                 // "abc" once; suffix "bc" once
+      (3L, "ababab"),                // "abab" overlaps itself: starts 0, 2
+      (4L, null.asInstanceOf[String]), // NULL → zero everywhere
+      (5L, "bc bc")).toDF("doc_id", "text")
+    val pats = Seq("aa", "abc", "bc", "abab")
+    val got = TextAnalysis.blocklistHits(d, pats)
+      .as[(Long, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got == Map(
+      (1L, "aa") -> 3L, (2L, "abc") -> 1L, (2L, "bc") -> 1L,
+      (3L, "abab") -> 2L, (5L, "bc") -> 2L), s"got $got")
+    // survivors: only the NULL-text doc has zero hits
+    val clean = TextAnalysis.blocklistSurvivors(d, pats)
+      .as[Long].collect().toSet
+    assert(clean == Set(4L), s"survivors: $clean")
+  }
+
   test("quality score is bounded and favors stopword-bearing prose") {
     val q = docs.select(TextAnalysis.qualityScore($"text").as("q"))
     assert(q.filter($"q" < 0 || $"q" > 1).count() == 0)
