@@ -3989,6 +3989,10 @@ object SparkEntry {
     }),
     // URL extraction over the synthetic-URL fixture: one row per URL with
     // its position and lower-cased domain
+    // c-TF-IDF signature terms per language: the cluster-labeling step
+    // (top-10 terms per label on the stable grid, ties to the term)
+    "text_ctfidf" -> ((s, dir) =>
+      TextAnalysis.classTfidf(docs(s, dir), k = 10)),
     // single-pass Aho–Corasick blocklist audit: per-doc occurrence counts
     // for every pattern with ≥ 1 hit (overlaps counted — the fixture's
     // "table table" / "big query"+"query big" pairs exercise them)
@@ -6723,6 +6727,25 @@ object SparkEntry {
         "CAST(count(*) AS DOUBLE) / any_value(bn.bench_shingles) AS containment " +
         "FROM c JOIN b USING (s) JOIN bn ON b.bench_id = bn.bench_id " +
         "GROUP BY 1, 2) WHERE containment >= 0.05"),
+    // c-TF-IDF mirror: same class/corpus token counts, mean-per-class A,
+    // the same pre-rank stable rounding and term tie-break
+    "text_ctfidf" ->
+      ("WITH tk AS (SELECT label, w FROM (SELECT lang AS label, " +
+        "unnest(string_split_regex(trim(lower(text), " +
+        s"'${TextAnalysis.WsCharsRaw}'), '\\s+')) AS w FROM documents " +
+        "WHERE lang IS NOT NULL AND text IS NOT NULL) WHERE w <> ''), " +
+        "ctf AS MATERIALIZED (SELECT label, w, count(*) AS tf " +
+        "FROM tk GROUP BY 1, 2), " +
+        "fw AS (SELECT w, sum(tf) AS fw FROM ctf GROUP BY 1), " +
+        "aavg AS (SELECT CAST(sum(tf) AS DOUBLE) / " +
+        "CAST(count(DISTINCT label) AS DOUBLE) AS aavg FROM ctf), " +
+        "s AS (SELECT label, w, " +
+        s"${sqlRound4("CAST(tf AS DOUBLE) * ln(1.0 + aavg / CAST(fw AS DOUBLE))")} " +
+        "AS score FROM ctf JOIN fw USING (w) CROSS JOIN aavg), " +
+        "r AS (SELECT label, w, score, row_number() OVER (" +
+        "PARTITION BY label ORDER BY score DESC, w ASC) AS rank FROM s) " +
+        "SELECT label, w AS term, score, CAST(rank AS BIGINT) AS rank " +
+        "FROM r WHERE rank <= 10"),
     // blocklist mirror: every start position via the lateral position
     // walk — substr on code points, but substring-occurrence counts are
     // indexing-unit independent, so the automaton and the walk agree

@@ -1142,6 +1142,46 @@ object TextAnalysis {
         coalesce(col("mean_nll"), lit(0.0)).as("mean_nll"))
   }
 
+  /** Class-based TF-IDF signature terms (the c-TF-IDF of Grootendorst's
+    * BERTopic, 2022): treat each label's concatenated documents as ONE
+    * pseudo-document and rank the terms that distinguish it —
+    * `score(w, c) = tf(w, c) · ln(1 + A / f_w)` with `tf` the class token
+    * count, `f_w` the corpus token count, and `A` the mean tokens per
+    * class. Output: top-`k` `(label, term, score, rank)` per label — the
+    * "what is this cluster/source/language about" labeling step after any
+    * grouping (communities, dedup clusters, domains). NULL labels drop.
+    *
+    * Determinism: counts are exact longs; the single ln rides the stable
+    * 10⁻⁴ grid BEFORE ranking, and rank ties break on the term, so both
+    * engines pick identical top-k sets. Scale shape: one exploded-token
+    * aggregate (map-side combined, the [[topNgrams]] shape) persisted to
+    * feed the corpus-frequency roll-up, the 1-row broadcast A, and the
+    * score join — all (label, w)/(w)-keyed, vocab-sized after the first
+    * aggregate. The rank window partitions by label over class-vocab-sized
+    * relations (never corpus-sized rows). */
+  def classTfidf(docs: DataFrame, k: Int, labelCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ctf = docs.where(col(labelCol).isNotNull)
+      .select(col(labelCol).as("label"), explode(lmToks(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("label", "w").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fw = ctf.groupBy("w").agg(sum("tf").as("fw"))
+    val aavg = ctf.agg((sum("tf").cast("double") /
+      countDistinct("label").cast("double")).as("aavg"))
+    val scored = ctf.join(fw, Seq("w")).crossJoin(broadcast(aavg))
+      .withColumn("score", graft.functions.StableRound.round4(
+        col("tf").cast("double") *
+          log(lit(1.0) + col("aavg") / col("fw").cast("double"))))
+    val win = Window.partitionBy("label")
+      .orderBy(col("score").desc, col("w").asc)
+    scored.withColumn("rank", row_number().over(win).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("label"), col("w").as("term"), col("score"), col("rank"))
+  }
+
   // ------------------------------------------------- blocklist scanning
 
   /** Per-document blocklist hit counts — `(idCol, pattern, hits)` for every

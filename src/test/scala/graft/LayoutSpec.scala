@@ -41,7 +41,7 @@ class LayoutSpec extends AnyFunSuite {
   private val userBox = "user_id" -> (3L, 5L)
   private val dayBox = "day" -> (19730L, 19735L)
 
-  test("two-dimensional box: the z layout reads no more files than either sort") {
+  test("two-dimensional box: the z layout reads no more files than either sort", SlowTest) {
     val z = files(zZones, Map(userBox, dayBox))
     val u = files(uZones, Map(userBox, dayBox))
     val d = files(dZones, Map(userBox, dayBox))

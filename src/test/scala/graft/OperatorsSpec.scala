@@ -507,7 +507,7 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("Bradley-Terry: the driver-local MM loop equals the distributed " +
-      "loop row for row") {
+      "loop row for row", SlowTest) {
     import graft.operators.Preference
     // repeated pairs, a never-winner, both directions — the BT streaming
     // fixture's shape
@@ -542,7 +542,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(audit == ((8L, 3L, 1L, 2L, 3L, 3.0 / 8.0)))
   }
 
-  test("bitext IVF miner with a full probe equals the exact miner") {
+  test("bitext IVF miner with a full probe equals the exact miner", SlowTest) {
     import graft.operators.Similarity
     val src = emb.filter($"vec_id" % 2 === 0)
     val tgt = emb.filter($"vec_id" % 2 === 1)
@@ -568,7 +568,7 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("batched k-center equals serial greedy at every batch size and " +
-      "cuts the driver-round count once modes are covered") {
+      "cuts the driver-round count once modes are covered", SlowTest) {
     import graft.operators.Similarity
     // isotropic fixture: equality must hold (rows bit-identical), though
     // near-equidistant points rarely batch — not asserted on rounds
@@ -1005,6 +1005,20 @@ class OperatorsSpec extends AnyFunSuite {
       .as[Double].collect().toSeq
     val fast = two.select(VectorExpressions.dot($"v", $"w")).as[Double].collect().toSeq
     assert(fast == hof)
+  }
+
+  test("c-TF-IDF: hand-computed class signature scores and ranks") {
+    // A: cat×2 dog×1, B: dog×2 → f(cat)=2, f(dog)=3, A-bar = 5/2
+    val d = Seq((1L, "cat cat dog", "A"), (2L, "dog dog", "B"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.classTfidf(d, k = 2)
+      .as[(String, String, Double, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    def r4(x: Double) = math.floor(x * 10000 + 0.499999) / 10000
+    assert(got(("A", "cat")) == ((r4(2 * math.log(1 + 2.5 / 2)), 1L)))
+    assert(got(("A", "dog")) == ((r4(1 * math.log(1 + 2.5 / 3)), 2L)))
+    assert(got(("B", "dog")) == ((r4(2 * math.log(1 + 2.5 / 3)), 1L)))
+    assert(got.size == 3, s"got $got")
   }
 
   test("blocklist: overlapping, nested, and suffix-linked patterns all count") {
@@ -2766,7 +2780,7 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("subword learning: the driver-local loop equals the distributed loop " +
-      "row for row (BPE + WordPiece, Latin/Cyrillic/astral corpus)") {
+      "row for row (BPE + WordPiece, Latin/Cyrillic/astral corpus)", SlowTest) {
     // the local loop is the default behind bpeLearnMerges /
     // wordpieceLearnMerges (corpus reduction distributed, merge loop on
     // the collected vocabulary); the distributed loop must stay
