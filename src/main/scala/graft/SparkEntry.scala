@@ -5766,7 +5766,7 @@ object SparkEntry {
       (s"WITH RECURSIVE $GraphDistinctEdgesSql, " +
         "srcs AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges " +
         "UNION ALL SELECT dst FROM edges) WHERE node % 20 = 0), " +
-        "reach AS (SELECT node, 0 AS d FROM srcs " +
+        "reach(node, d) AS (SELECT node, 0 AS d FROM srcs " +
         "UNION SELECT e.dst, r.d + 1 FROM reach r JOIN edges e " +
         "ON e.src = r.node WHERE r.d < 4) " +
         "SELECT node, CAST(min(d) AS BIGINT) AS hops FROM reach GROUP BY 1"),

@@ -3,7 +3,7 @@ package graft
 import graft.model.{AggregationSpec, Metric, MetricEnvelope, RollupSpec}
 import graft.streaming.StreamRunner
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Streaming end-to-end through MemoryStream: append-mode emission on
@@ -1206,7 +1206,7 @@ class StreamingSpec extends AnyFunSuite {
       "and batch estimates carry the over-estimate guarantee") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
     // a skewed key stream: key 7 floods (every 3rd row), the rest spread
     val all = Seq.tabulate(300)(i => if (i % 3 == 0) 7L else (i % 50).toLong)
     val (b1, rest) = all.splitAt(100)
@@ -1250,7 +1250,7 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming CMS: checkpoint restart resumes the cell store", SlowTest) {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
     val all = Seq.tabulate(200)(i => (i % 31).toLong)
     val (b1, b2) = all.splitAt(100)
     val base = java.nio.file.Files.createTempDirectory("graft-cmsr").toString
@@ -1363,5 +1363,46 @@ class StreamingSpec extends AnyFunSuite {
         rows.toDF("doc_id", "text"), numShards = 8)
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(restarted == oneShot, s"restarted=$restarted oneShot=$oneShot")
+  }
+
+  test("streaming blocklist: per-batch fold lands on the one-shot audit " +
+      "across a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pats = Seq("aa", "abc", "bc")
+    val rows = Seq((1L, "aaaa"), (2L, "xabcx"), (3L, "no hits"),
+      (4L, null.asInstanceOf[String]), (5L, "bc aa bc"), (6L, "abcabc"))
+    val (b1, b2) = rows.splitAt(3)
+    val base = java.nio.file.Files.createTempDirectory("graft-blk").toString
+    val input = MemoryStream[(Long, String)]
+    // same checkpoint + stateDir across restarts (the GenStore contract)
+    def start() = graft.streaming.StreamingBlocklist.blocklistSink(
+        input.toDF().toDF("doc_id", "text"), pats,
+        s"$base/state", s"$base/out", s"$base/ckpt")
+      .start()
+    val q1 = start()
+    try { input.addData(b1); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { input.addData(b2); q2.processAllAvailable() } finally q2.stop()
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val restarted = sorted(spark.read.parquet(s"$base/out/batch_id=1"))
+    val oneShot = sorted(
+      graft.operators.TextAnalysis.blocklistHits(
+          rows.toDF("doc_id", "text"), pats)
+        .groupBy("pattern").agg(
+          sum("hits").as("hits"), count(lit(1)).as("n_docs")))
+    assert(restarted == oneShot, s"restarted=$restarted oneShot=$oneShot")
+    // hand totals: aa → 3+1 over docs {1,5}; abc → 1+2 over {2,6};
+    // bc → 1+2+2 over {2,5,6}
+    assert(restarted.map(t => t._1 -> t._2).toMap ==
+      Map("aa" -> 4L, "abc" -> 3L, "bc" -> 5L), s"totals: $restarted")
+    // the intermediate batch equals the one-shot over b1 alone
+    val s0 = sorted(spark.read.parquet(s"$base/out/batch_id=0"))
+    val o0 = sorted(
+      graft.operators.TextAnalysis.blocklistHits(b1.toDF("doc_id", "text"), pats)
+        .groupBy("pattern").agg(
+          sum("hits").as("hits"), count(lit(1)).as("n_docs")))
+    assert(s0 == o0, s"batch-0 audit diverges: $s0 vs $o0")
   }
 }
