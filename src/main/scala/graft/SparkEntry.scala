@@ -4,7 +4,7 @@ import graft.model.{AggregationSpec, RollupSpec}
 import graft.functions.SubwordExpressions
 import graft.operators.{Anomaly, Classify, Dedup, Eval, FuzzyString, GapFill, HeavyHitters, Layout, Lineage, Multimodal, Preference, Profiling, Relational, Sampling, Sessions, Similarity, Sketches, Snapshot, TextAnalysis}
 import graft.plan.RuleCompiler
-import graft.sources.{EnvelopeJson, EventsAdapter}
+import graft.sources.{EnvelopeJson, EventsAdapter, ScanParallelism}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,9 +29,9 @@ object SparkEntry {
   private def envs(s: SparkSession, dir: String): DataFrame =
     EventsAdapter.envelopes(s, dir)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    ScanParallelism.floor(s.read.parquet(s"$dir/documents.parquet"))
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    ScanParallelism.floor(s.read.parquet(s"$dir/embeddings.parquet"))
 
   /** URL-blocklist config for the text_urls / text_domain_filter queries:
     * doc_id%5==0 is hit by the EXACT rule, %5==1 by the SUBDOMAIN-suffix
@@ -2896,7 +2896,13 @@ object SparkEntry {
     // S2 — JSON serialize → parse round-trip with corrupt-record dropping
     "s2_json_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val good = EnvelopeJson.serialize(envs(s, dir))
+      // scan-parallelism floor applied IN the query, not in envelopes():
+      // the serialize→parse round-trip is ~3.5 s of single-core JSON work
+      // over a one-split scan (r17 profiling: the whole query was one
+      // 1-task stage), so fanning out pays here — while the ~40 cheap
+      // filter/aggregate envelope queries lose more to the extra exchange
+      // than their sub-second aggregation saves (measured, r17)
+      val good = EnvelopeJson.serialize(ScanParallelism.floor(envs(s, dir)))
       val bad = Seq("{not json", "{\"metric\": 12}").toDF("value")
       EnvelopeJson.parse(good.unionByName(bad))
         .groupBy(col("metric.name").as("name")).agg(count(lit(1)).as("n"))

@@ -143,6 +143,18 @@ object Multimodal {
     }
   }
 
+  /** javax.imageio defaults to DISK-backed stream caching: every
+    * ImageIO.read/write over a byte-array stream creates (and deletes) a
+    * temp file via FileCacheImage{Input,Output}Stream. Harmless serially;
+    * under a 32-task codec stage the temp-file create/delete storm
+    * serializes on the filesystem — r17 profiling measured the video
+    * family's summed task time inflating ~100× (blocked on file I/O, not
+    * CPU) once the scan-parallelism floor spread the decode across cores.
+    * Memory caching produces byte-identical streams; this is a JVM-global
+    * toggle evaluated when the object loads (driver AND executors load it
+    * through the codec closures). */
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One deterministic pattern id → one genuine PNG stream — the encode
     * half shared by [[synthesizeImages]] and [[synthesizeVideos]]. */
   private def renderPng(pid: Long): Array[Byte] =

@@ -16,6 +16,15 @@ class PlanSpec extends AnyFunSuite {
   private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** The scan-parallelism floor ([[graft.sources.ScanParallelism.floor]])
+    * adds ONE round-robin REPARTITION_BY_NUM exchange directly above a
+    * single-split scan — it spreads scan output across cores, it does not
+    * move data to a key. The narrow-map pins below ignore exactly that
+    * exchange and keep forbidding keyed (hash/range) data shuffles, so a
+    * regression away from the narrow-map design still fails. */
+  private def withoutScanFloor(plan: String): String =
+    plan.replace("Exchange RoundRobinPartitioning", "ScanFloorRepartition")
+
   test("metric-name filter is pushed into the parquet scan") {
     val q = SparkEntry.queries("f1_name_filter")(spark, "/root/testdata/sf0.001")
     val scan = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
@@ -205,7 +214,8 @@ class PlanSpec extends AnyFunSuite {
     // filter are pure scan→project(→explode)/filter pipelines
     Seq("text_chunk_tokens", "emb_quantize", "text_urls", "text_domain_filter")
       .foreach { q =>
-        val p = executedPlan(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
+        val p = withoutScanFloor(
+          executedPlan(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")))
         assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
       }
   }
@@ -213,8 +223,8 @@ class PlanSpec extends AnyFunSuite {
   test("C4 clean never shuffles; tf-idf and dup-span joins stay keyed") {
     // C4 cleaning is all higher-order array functions over one row — any
     // Exchange means a regression away from the narrow-map design
-    val c4 = executedPlan(
-      SparkEntry.queries("text_c4_clean")(spark, "/root/testdata/sf0.001"))
+    val c4 = withoutScanFloor(executedPlan(
+      SparkEntry.queries("text_c4_clean")(spark, "/root/testdata/sf0.001")))
     assert(!c4.contains("Exchange"), s"C4 clean must not shuffle:\n$c4")
     // tf-idf: the one admissible nested-loop join is the 1-row corpus-size
     // scalar (same pattern as LM scoring's vsize); the per-doc rank must
@@ -889,8 +899,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("PCA projection is a narrow map — components ride as literals, " +
       "nothing shuffles") {
-    val plan = executedPlan(
-      SparkEntry.queries("emb_pca")(spark, "/root/testdata/sf0.001"))
+    val plan = withoutScanFloor(executedPlan(
+      SparkEntry.queries("emb_pca")(spark, "/root/testdata/sf0.001")))
     assert(!plan.contains("Exchange"),
       s"projection must not shuffle the corpus:\n$plan")
     assert(!plan.contains("Join"), s"projection must not join:\n$plan")
