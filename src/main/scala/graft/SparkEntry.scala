@@ -28,10 +28,22 @@ object SparkEntry {
 
   private def envs(s: SparkSession, dir: String): DataFrame =
     EventsAdapter.envelopes(s, dir)
-  private def docs(s: SparkSession, dir: String): DataFrame =
-    ScanParallelism.floor(s.read.parquet(s"$dir/documents.parquet"))
-  private def emb(s: SparkSession, dir: String): DataFrame =
-    ScanParallelism.floor(s.read.parquet(s"$dir/embeddings.parquet"))
+  /** `floored = true` applies the scan-parallelism floor
+    * ([[graft.sources.ScanParallelism]]). SELECTIVE by measurement, not
+    * blanket: the r17 full-sweep A/B showed the floor winning 0.4–4.4 s on
+    * ~40 heavy narrow-chain queries (tokenize/explode, codec walks, pair
+    * machinery) but TAXING the ~80 already-sub-second queries 0.2–0.9 s
+    * each (one extra exchange + 32-way trivial-task scheduling), a net
+    * wash. Each query opts in where profiling showed single-core
+    * starvation; the default stays the bare scan. */
+  private def docs(s: SparkSession, dir: String,
+      floored: Boolean = false): DataFrame =
+    if (floored) ScanParallelism.flooredParquet(s, s"$dir/documents.parquet")
+    else s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String,
+      floored: Boolean = false): DataFrame =
+    if (floored) ScanParallelism.flooredParquet(s, s"$dir/embeddings.parquet")
+    else s.read.parquet(s"$dir/embeddings.parquet")
 
   /** URL-blocklist config for the text_urls / text_domain_filter queries:
     * doc_id%5==0 is hit by the EXACT rule, %5==1 by the SUBDOMAIN-suffix
@@ -96,8 +108,9 @@ object SparkEntry {
     * notice on doc_id%10<2 (docs on both get adjacent spans whose bridging
     * shingles are duplicated too) — giving every df regime: unique body,
     * hot tails, and partial interval overlap. */
-  private def spanDocs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).withColumn("text", concat(
+  private def spanDocs(s: SparkSession, dir: String,
+      floored: Boolean = false): DataFrame =
+    docs(s, dir, floored).withColumn("text", concat(
       coalesce(col("text"), lit("")),
       when(col("doc_id") % 4 === 0,
         lit(" subscribe to our newsletter for weekly updates and exclusive offers today"))
@@ -114,8 +127,9 @@ object SparkEntry {
     * doc_id%37 (kills the C4 keep_doc rule), a global rights footer and a
     * rotating badge line (both hot) — so every chained stage has work to do
     * in both directions. */
-  private def pipeDocs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).withColumn("text", concat_ws("\n",
+  private def pipeDocs(s: SparkSession, dir: String,
+      floored: Boolean = false): DataFrame =
+    docs(s, dir, floored).withColumn("text", concat_ws("\n",
       concat(array_join(slice(split(coalesce(col("text"), lit("")), " "), 1, 24), " "),
         lit(".")),
       lit("Please enable JavaScript to view the comments."),
@@ -1043,9 +1057,10 @@ object SparkEntry {
 
   /** documents(doc_id, text) ∪ [[MultiDocRows]] — the corpus every subword
     * learner/encoder query and the fertility audit run on. */
-  private def docsMulti(s: SparkSession, dir: String): DataFrame = {
+  private def docsMulti(s: SparkSession, dir: String,
+      floored: Boolean = false): DataFrame = {
     import s.implicits._
-    docs(s, dir).select(col("doc_id"), col("text"))
+    docs(s, dir, floored).select(col("doc_id"), col("text"))
       .unionByName(MultiDocRows.toDF("doc_id", "text"))
   }
 
@@ -1108,9 +1123,10 @@ object SparkEntry {
 
   /** [[docsMulti]] ∪ [[Gpt2DocRows]] — the corpus the GPT-2-pretokenized
     * byte-level queries run on. */
-  private def docsGpt2(s: SparkSession, dir: String): DataFrame = {
+  private def docsGpt2(s: SparkSession, dir: String,
+      floored: Boolean = false): DataFrame = {
     import s.implicits._
-    docsMulti(s, dir).unionByName(Gpt2DocRows.toDF("doc_id", "text"))
+    docsMulti(s, dir, floored).unionByName(Gpt2DocRows.toDF("doc_id", "text"))
   }
 
   /** Language-ID decoration block: Portuguese/Spanish pairs the STOPWORD
@@ -2163,8 +2179,9 @@ object SparkEntry {
     * is a subsequence of the other, so every BLEU precision, every clipped
     * n-gram overlap and the LCS are non-trivial, while the whole pair
     * corpus stays exactly replayable from the (seed, pct) hash rule. */
-  private def genPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+  private def genPairs(s: SparkSession, dir: String,
+      floored: Boolean = false): DataFrame = {
+    val d = docs(s, dir, floored)
     TextAnalysis.wordDropout(d, dropPct = 15, seed = 7)
       .select(col("doc_id"), col("text_aug").as("cand"))
       .join(TextAnalysis.wordDropout(d, dropPct = 10, seed = 42)
@@ -2896,13 +2913,15 @@ object SparkEntry {
     // S2 — JSON serialize → parse round-trip with corrupt-record dropping
     "s2_json_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      // scan-parallelism floor applied IN the query, not in envelopes():
-      // the serialize→parse round-trip is ~3.5 s of single-core JSON work
-      // over a one-split scan (r17 profiling: the whole query was one
-      // 1-task stage), so fanning out pays here — while the ~40 cheap
+      // scan-parallelism floor applied BELOW the envelope projection for
+      // THIS query only (floorScan): the serialize→parse round-trip is
+      // ~3.5 s of single-core JSON work over a one-split scan (r17
+      // profiling: to_json alone was a 2.9 s single-task stage), so the
+      // fan-out must sit under to_json — while the ~40 cheap
       // filter/aggregate envelope queries lose more to the extra exchange
       // than their sub-second aggregation saves (measured, r17)
-      val good = EnvelopeJson.serialize(ScanParallelism.floor(envs(s, dir)))
+      val good = EnvelopeJson.serialize(
+        EventsAdapter.envelopes(s, dir, floorScan = true))
       val bad = Seq("{not json", "{\"metric\": 12}").toDF("value")
       EnvelopeJson.parse(good.unionByName(bad))
         .groupBy(col("metric.name").as("name")).agg(count(lit(1)).as("n"))
@@ -3366,7 +3385,7 @@ object SparkEntry {
     // T-BM25k — batch retrieval join: top-5 BM25 docs per benchmark query
     // (queries = first 3 tokens of every doc_id % 100 == 0 document)
     "text_bm25_topk" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docs(s, dir, floored = true)
       val queries = d.filter(col("doc_id") % 100 === 0 && col("text").isNotNull)
         .select(col("doc_id").as("query_id"),
           explode(slice(split(trim(lower(col("text")), TextAnalysis.WsCharsRaw),
@@ -3377,19 +3396,26 @@ object SparkEntry {
     // ground truth (a doc is relevant iff it contains EVERY query term) —
     // hits@5, MRR numerator, exact-ratio precision/recall, fold-pinned nDCG
     "eval_retrieval" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docs(s, dir, floored = true)
       val queries = d.filter(col("doc_id") % 100 === 0 && col("text").isNotNull)
         .select(col("doc_id").as("query_id"),
           explode(slice(split(trim(lower(col("text")), TextAnalysis.WsCharsRaw),
             s"${TextAnalysis.WsClass}+"), 1, 3)).as("term"))
-      val ranked = TextAnalysis.bm25Multi(d, queries, topK = 5)
+      // the ground-truth side SHARES the retrieval join's persisted postings
+      // (bm25MultiWithPostings): the postings relation is exactly the
+      // distinct (doc, matched-term) pairs the conjunctive ground truth
+      // needs — deriving it independently (the r16 shape) re-scanned and
+      // re-tokenized the whole corpus a second time, plus three more
+      // query-table derivations, each a corpus scan (doc_id % 100 doesn't
+      // push down). The query-term table is normalized ONCE here and fed to
+      // both sides (bm25Multi re-normalizes idempotently)
+      val (ranked, postings) = TextAnalysis.bm25MultiWithPostings(d, queries, topK = 5)
       val qt = queries.select(col("query_id"), lower(trim(col("term"))).as("term"))
         .filter(length(col("term")) > 0).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nt = qt.groupBy("query_id").agg(count(lit(1)).as("nt"))
-      val terms = qt.select(col("term").as("tok")).distinct()
-      val dt = d.filter(col("text").isNotNull)
-        .select(col("doc_id"), explode(TextAnalysis.lmToks(col("text"))).as("tok"))
-        .join(broadcast(terms), Seq("tok")).distinct()
+      // postings is grouped by (doc, tok) — already distinct pairs
+      val dt = postings.select(col("doc_id"), col("tok"))
       val relevant = dt.join(broadcast(qt), qt("term") === dt("tok"))
         .groupBy(col("query_id"), col("doc_id"))
         .agg(count(lit(1)).as("matched"))
@@ -3526,7 +3552,7 @@ object SparkEntry {
               lit(" shipped to customer "), (col("doc_id") * 7).cast("string"),
               lit(" on day "), (col("doc_id") % 28).cast("string")))
             .otherwise(col("text"))))),
-    "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5)),
+    "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir, floored = true), 3, 0.5)),
     // ASYMMETRIC containment pairs (the LSH-Ensemble relation): a short
     // doc quoted whole inside a long one scores ≈1 here and ≈0 on
     // Jaccard — directed subset-duplication the symmetric family misses
@@ -3545,7 +3571,7 @@ object SparkEntry {
     // quadratic trap on a natural-language-sized vocabulary — see scaladoc)
     "dedup_cosine" -> ((s, dir) =>
       Dedup.cosineTfPairs(
-          docs(s, dir).where(TextAnalysis.tokenCount(col("text")) > 0),
+          docs(s, dir, floored = true).where(TextAnalysis.tokenCount(col("text")) > 0),
           threshold = 0.8, n = 3)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
     // the EXACT-output skew-safe path: prefix-filtered candidate generation
@@ -3606,18 +3632,18 @@ object SparkEntry {
     // 64-slot/16-band MinHash vs the exact Jaccard ≥ 0.5 ground truth —
     // the empirical (k, bands) tuning number for the dedup family
     "dedup_banding_eval" -> ((s, dir) =>
-      Dedup.minhashBandingEval(docs(s, dir), n = 3, k = 64, bands = 16,
+      Dedup.minhashBandingEval(docs(s, dir, floored = true), n = 3, k = 64, bands = 16,
         threshold = 0.5)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
     "dedup_cluster" -> ((s, dir) =>
-      Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5))),
+      Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs(s, dir, floored = true), 3, 0.5))),
     // the CHAINING audit: per near-dup cluster, member/edge counts and the
     // weakest edge — a big cluster held together by a 0.51-Jaccard bridge
     // is a transitive-merge artifact, not a duplicate family
     "dedup_cluster_diameter" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5)
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir, floored = true), 3, 0.5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cc = Dedup.connectedComponents(pairs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -3633,7 +3659,7 @@ object SparkEntry {
     // ("how many 2-clusters vs 50-doc boilerplate blobs") — the number that
     // decides whether near-dup removal is a trim or a massacre
     "dedup_cluster_sizes" -> ((s, dir) =>
-      Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5))
+      Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs(s, dir, floored = true), 3, 0.5))
         .groupBy("component").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size")
         .agg(count(lit(1)).as("n_clusters"),
@@ -3642,8 +3668,8 @@ object SparkEntry {
     "dedup_exact_survivors" -> ((s, dir) =>
       Dedup.exactSurvivors(docs(s, dir)).select("doc_id")),
     "dedup_neardup_survivors" -> ((s, dir) =>
-      Dedup.nearDupSurvivors(docs(s, dir),
-        Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5)).select("doc_id")),
+      Dedup.nearDupSurvivors(docs(s, dir, floored = true),
+        Dedup.ngramJaccardPairs(docs(s, dir, floored = true), 3, 0.5)).select("doc_id")),
     // benchmark decontamination: docs sharing a word trigram with the held-out
     // "benchmark" slice (doc_id % 50 == 0) are dropped from the corpus
     "dedup_decontam" -> ((s, dir) => {
@@ -3701,7 +3727,7 @@ object SparkEntry {
     // NEAR-duplicating (LSH candidates, exact-Jaccard-verified ≥ 0.5) the
     // accumulated corpus — re-crawls that changed a word still dedup
     "dedup_incremental_fuzzy" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docs(s, dir, floored = true)
       Dedup.incrementalNewFuzzy(d.filter(col("doc_id") % 4 === 3),
           d.filter(col("doc_id") % 4 =!= 3),
           n = 3, k = 128, bands = 32, threshold = 0.5)
@@ -3727,7 +3753,7 @@ object SparkEntry {
     // leakage audit: near-dup pairs straddling the 80/10/10 split — the
     // documents that would leak eval text into training
     "audit_split_leakage" -> ((s, dir) =>
-      Dedup.splitLeakage(docs(s, dir),
+      Dedup.splitLeakage(docs(s, dir, floored = true),
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), 3, 0.5)),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(emb(s, dir), 0.4)
@@ -3774,8 +3800,8 @@ object SparkEntry {
     // selections — one transposed rank anywhere changes the mined set
     "sim_bitext_mine" -> ((s, dir) =>
       Similarity.bitextMine(
-          emb(s, dir).filter(col("vec_id") % 2 === 0),
-          emb(s, dir).filter(col("vec_id") % 2 === 1),
+          emb(s, dir, floored = true).filter(col("vec_id") % 2 === 0),
+          emb(s, dir, floored = true).filter(col("vec_id") % 2 === 1),
           k = 4, threshold = 1.0)
         .select(col("src_id"), col("tgt_id"),
           round(col("cosine"), 4).as("cosine"),
@@ -3806,13 +3832,13 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
           round(col("cosine"), 4).as("cosine"))),
     "sim_lsh_pairs" -> ((s, dir) =>
-      Similarity.lshBucketedPairs(emb(s, dir), threshold = 0.4, nPlanes = 6, tables = 8)
+      Similarity.lshBucketedPairs(emb(s, dir, floored = true), threshold = 0.4, nPlanes = 6, tables = 8)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
     // cross-TABLE LSH join (fuzzy entity matching): even-id vectors matched
     // against odd-id vectors through shared hyperplane buckets
     "sim_lsh_join" -> ((s, dir) =>
-      Similarity.lshJoin(emb(s, dir).filter(col("vec_id") % 2 === 0),
-          emb(s, dir).filter(col("vec_id") % 2 === 1),
+      Similarity.lshJoin(emb(s, dir, floored = true).filter(col("vec_id") % 2 === 0),
+          emb(s, dir, floored = true).filter(col("vec_id") % 2 === 1),
           threshold = 0.4, nPlanes = 6, tables = 8)
         .select(col("left_id"), col("right_id"),
           round(col("cosine"), 4).as("cosine"))),
@@ -4055,8 +4081,8 @@ object SparkEntry {
     // OOV 99999) — every (doc, position, token_id) compared exactly against
     // the mirror's recursive-CTE replay of the same greedy walk
     "text_bpe" -> ((s, dir) => {
-      val vocab = TextAnalysis.learnSubwordVocab(docs(s, dir), 256, 4)
-      docs(s, dir).select(col("doc_id"),
+      val vocab = TextAnalysis.learnSubwordVocab(docs(s, dir, floored = true), 256, 4)
+      docs(s, dir, floored = true).select(col("doc_id"),
           posexplode(SubwordExpressions.subwordIds(col("text"), vocab, 99999L, 4)))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("col").as("token_id"))
@@ -4077,7 +4103,7 @@ object SparkEntry {
     // 12-merge table learned from the corpus itself (12-row driver collect,
     // then one narrow explode + chained-replace pass)
     "text_bpe_apply" -> ((s, dir) => {
-      val d = docsMulti(s, dir)
+      val d = docsMulti(s, dir, floored = true)
       val merges = TextAnalysis.bpeLearnMerges(d, 12)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
@@ -4144,7 +4170,7 @@ object SparkEntry {
     // alphabet — stable ids on ANY corpus (no learned char vocab), and no
     // OOV sentinel exists by construction
     "text_bbpe_ids" -> ((s, dir) => {
-      val d = docsMulti(s, dir)
+      val d = docsMulti(s, dir, floored = true)
       val merges = TextAnalysis.bbpeLearnMerges(d, 12)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
@@ -4169,7 +4195,7 @@ object SparkEntry {
     // GPT-2-pretokenized token-id export: space-prefixed pieces carry
     // their own ids (the Ġ convention), dense position per document
     "text_bbpe_ids_gpt2" -> ((s, dir) => {
-      val d = docsGpt2(s, dir)
+      val d = docsGpt2(s, dir, floored = true)
       val merges = TextAnalysis.bbpeLearnMergesGpt2(d, 12)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
@@ -4244,7 +4270,7 @@ object SparkEntry {
     // segmentation AND the rank assignment, so one transposed id anywhere
     // fails the gate
     "text_unigram_ids" -> ((s, dir) => {
-      val d = docsMulti(s, dir)
+      val d = docsMulti(s, dir, floored = true)
       val vocab = TextAnalysis.unigramLearn(d, rounds = 2, seedSize = 120)
       val cost = graft.functions.UnigramExpressions.costs(vocab.toMap, 6)
       val rankOf = vocab.zipWithIndex
@@ -4342,7 +4368,7 @@ object SparkEntry {
     // Viterbi apply → pack end to end, the sample_pack_learned loop for the
     // second tokenizer family (budget 512 pieces, 8 shards)
     "sample_pack_unigram" -> ((s, dir) => {
-      val d = docsMulti(s, dir)
+      val d = docsMulti(s, dir, floored = true)
       val vocab = TextAnalysis.unigramLearn(d, rounds = 2, seedSize = 120)
       val cost = graft.functions.UnigramExpressions.costs(vocab.toMap, 6)
       Sampling.packSequences(d, "doc_id",
@@ -4354,8 +4380,8 @@ object SparkEntry {
     // whitespace proxy — same pack-and-split recurrence as sample_pack,
     // n = greedy-encoded piece count per document
     "sample_pack_bpe" -> ((s, dir) => {
-      val vocab = TextAnalysis.learnSubwordVocab(docs(s, dir), 256, 4)
-      Sampling.packSequences(docs(s, dir), "doc_id",
+      val vocab = TextAnalysis.learnSubwordVocab(docs(s, dir, floored = true), 256, 4)
+      Sampling.packSequences(docs(s, dir, floored = true), "doc_id",
           size(SubwordExpressions.subwordIds(col("text"), vocab, 99999L, 4))
             .cast("long"), 512L, 8)
         .select("doc_id", "shard", "seq_id", "tok_offset")
@@ -4405,7 +4431,7 @@ object SparkEntry {
     // regardless of host length. Oracle replays chunking, shingling and
     // scoring exactly
     "report_contam_spans" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docs(s, dir, floored = true)
       val bench = d.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
       val host = d.filter(col("doc_id") % 50 =!= 0)
         .join(bench.select(col("doc_id").as("bid"), col("text").as("btext")),
@@ -4424,7 +4450,7 @@ object SparkEntry {
     // the text (chunks partition the text, so the rebuild is exact); every
     // corpus doc comes back with its kept/removed chunk accounting
     "dedup_decontam_spans" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docs(s, dir, floored = true)
       val bench = d.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
       val host = d.filter(col("doc_id") % 50 =!= 0)
         .join(bench.select(col("doc_id").as("bid"), col("text").as("btext")),
@@ -4438,17 +4464,17 @@ object SparkEntry {
     // exact-substring duplication signal: fraction of tokens covered by
     // cross-doc duplicated 5-gram spans (boilerplate-tail fixture)
     "text_dup_spans" -> ((s, dir) =>
-      TextAnalysis.dupSpanStats(spanDocs(s, dir), 5)),
+      TextAnalysis.dupSpanStats(spanDocs(s, dir, floored = true), 5)),
     // the CUT half over the same fixture: duplicated spans removed, text
     // rebuilt from the surviving tokens (canonical lower-cased rejoin)
     "text_dedup_spans" -> ((s, dir) =>
-      TextAnalysis.removeDupSpans(spanDocs(s, dir), 5)),
+      TextAnalysis.removeDupSpans(spanDocs(s, dir, floored = true), 5)),
     // cluster-aware leakage-safe split: every near-dup cluster is assigned
     // atomically (the prevention counterpart of audit_split_leakage, same
     // pair source); unpaired docs reproduce sample_split exactly
     "sample_split_safe" -> ((s, dir) =>
-      Dedup.leakageSafeSplit(docs(s, dir),
-        Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5),
+      Dedup.leakageSafeSplit(docs(s, dir, floored = true),
+        Dedup.ngramJaccardPairs(docs(s, dir, floored = true), 3, 0.5),
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")),
     // Gopher-style repetition signals; sentence boundaries become line breaks
@@ -4650,14 +4676,14 @@ object SparkEntry {
     // signature analytically from the framePatternId closed form
     "mm_frames_decode" -> ((s, dir) =>
       Multimodal.decodeFrames(s,
-        Multimodal.synthesizeVideos(s, docs(s, dir)))),
+        Multimodal.synthesizeVideos(s, docs(s, dir, floored = true)))),
     // scene-change keyframes: per video, the L1 channel-sum delta vs the
     // previous frame, flagged against a fixed threshold (frame 0 always
     // keys — NULL delta) — the cheap cut detector frame-sampling runs
     // before expensive per-frame featurizing; exact longs, analytic replay
     "mm_video_keyframes" -> ((s, dir) =>
       Multimodal.keyframeSelect(s,
-        Multimodal.synthesizeVideos(s, docs(s, dir)), thr = 20000L)),
+        Multimodal.synthesizeVideos(s, docs(s, dir, floored = true)), thr = 20000L)),
     // frame-level NEAR-dup across videos: doc_id % 7 == 3 renders its
     // predecessor's video (planted, the mm_dedup discipline — bounded
     // duplicate groups, linear pair count), per-frame signatures run the
@@ -4668,7 +4694,7 @@ object SparkEntry {
       // chain executes twice (the minhashLshPairs persist rationale);
       // Bench/Verify clearCache() between queries reclaims it
       val sigs = Multimodal.decodeFrames(s,
-          Multimodal.synthesizeVideos(s, docs(s, dir)))
+          Multimodal.synthesizeVideos(s, docs(s, dir, floored = true)))
         .select((col("doc_id") * 8 + col("frame_idx")).as("id"),
           col("fhash").as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -4683,7 +4709,7 @@ object SparkEntry {
     // exchange keyed by video, the compaction one keyed by signature
     "mm_video_dedup" -> ((s, dir) => {
       val fr = Multimodal.decodeFrames(s,
-        Multimodal.synthesizeVideos(s, docs(s, dir)))
+        Multimodal.synthesizeVideos(s, docs(s, dir, floored = true)))
       fr.groupBy(col("doc_id"))
         .agg(array_join(
           transform(
@@ -4698,7 +4724,7 @@ object SparkEntry {
     // a hash match proves encode, decode and extraction are all lossless
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeImages(s,
-          Multimodal.synthesizeImages(s, docs(s, dir)).toDF())
+          Multimodal.synthesizeImages(s, docs(s, dir, floored = true)).toDF())
         .toDF()
         .select(col("doc_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
@@ -4709,21 +4735,21 @@ object SparkEntry {
     // codec, grayscale, blocking, or thresholding fails the gate
     "mm_phash" -> ((s, dir) =>
       Multimodal.imageAHash(s,
-        Multimodal.synthesizeImages(s, docs(s, dir)).toDF()).toDF()),
+        Multimodal.synthesizeImages(s, docs(s, dir, floored = true)).toDF()).toDF()),
     // DCT perceptual hash over the GRADIENT scene family (the r14 lesson
     // as an operator proof): near-planar scenes aHash collapses separate
     // under the low-frequency DCT structure; the oracle recomputes the
     // full 32×32-grid integer DCT signature analytically
     "mm_phash_dct" -> ((s, dir) =>
       Multimodal.imagePHashDct(s,
-        Multimodal.synthesizeImagesGradient(s, docs(s, dir)).toDF()).toDF()),
+        Multimodal.synthesizeImagesGradient(s, docs(s, dir, floored = true)).toDF()).toDF()),
     // pHash wired into the banded hamming join: consecutive docs render
     // the SAME scene at different sizes (planted rescale near-dups, ≤3
     // bits apart); the oracle verifies by brute force over the analytic
     // signatures
     "mm_phash_dct_neardup" -> ((s, dir) => {
       val sigs = Multimodal.imagePHashDct(s,
-          Multimodal.synthesizeImagesGradient(s, docs(s, dir)).toDF())
+          Multimodal.synthesizeImagesGradient(s, docs(s, dir, floored = true)).toDF())
         .toDF("id", "sig")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.hammingPairs(sigs, 3)
@@ -4736,7 +4762,7 @@ object SparkEntry {
     // the real decode path, and doc ids group-compact per signature with the
     // min-keeper/count contract of Dedup.exact
     "mm_dedup" -> ((s, dir) => {
-      val pats = docs(s, dir).select(col("doc_id"),
+      val pats = docs(s, dir, floored = true).select(col("doc_id"),
         (col("doc_id") - when(col("doc_id") % 7 === 3, 1).otherwise(0)).as("pid"))
       val hashes = Multimodal.imageAHash(s,
           Multimodal.synthesizeImages(s,
@@ -4840,7 +4866,7 @@ object SparkEntry {
     // Dedup.hammingPairs' pigeonhole-banded equi-join (exact at
     // maxHamming=7 < 8 bands; the oracle is the brute-force pair spec)
     "mm_audio_neardup" -> ((s, dir) => {
-      val pats = docs(s, dir).select(col("doc_id"),
+      val pats = docs(s, dir, floored = true).select(col("doc_id"),
         (col("doc_id") - when(col("doc_id") % 11 === 4, 1).otherwise(0)).as("pid"),
         when(col("doc_id") % 11 === 4, 1).otherwise(0).as("nudge"))
       val fps = Multimodal.audioFingerprint(s,
@@ -4939,27 +4965,27 @@ object SparkEntry {
     // pooled over all pairs — the standard corpus formulation, never an
     // average of sentence BLEUs — then the one ln/exp step rounds stable
     "eval_gen_bleu" -> ((s, dir) =>
-      Eval.corpusBleu(Eval.generationPairStatsFast(genPairs(s, dir)))),
+      Eval.corpusBleu(Eval.generationPairStatsFast(genPairs(s, dir, floored = true)))),
     // per-language corpus BLEU: the same pooled arithmetic within each
     // documents.lang slice — the per-slice eval table
     "eval_gen_bleu_by_lang" -> ((s, dir) =>
       Eval.corpusBleuGrouped(
-        Eval.generationPairStatsFast(genPairs(s, dir))
-          .join(docs(s, dir).select(col("doc_id"), col("lang")),
+        Eval.generationPairStatsFast(genPairs(s, dir, floored = true))
+          .join(docs(s, dir, floored = true).select(col("doc_id"), col("lang")),
             Seq("doc_id")),
         keyCols = Seq("lang"))),
     // corpus BLEU with jackknife error bars: leave-one-pair-out scores
     // on the StableRound fixed-point grid, exact integer variance sums
     "eval_gen_bleu_ci" -> ((s, dir) =>
       Eval.corpusBleuJackknife(
-        Eval.generationPairStatsFast(genPairs(s, dir)))),
+        Eval.generationPairStatsFast(genPairs(s, dir, floored = true)))),
     // PAIRED approximate-randomization test (Koehn 2004): system A =
     // 15%-dropout (seed 7), system B = 20%-dropout (seed 13), SAME
     // references — 200 hash-gated per-pair swap resamples, each resampled
     // BLEU on the round-4 grid, p = (#{|Δr| ≥ |Δobs|}+1)/(R+1) — an exact
     // integer count both engines enumerate identically
     "eval_ab_paired" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docs(s, dir, floored = true)
       val ref = TextAnalysis.wordDropout(d, dropPct = 10, seed = 42)
         .select(col("doc_id"), col("text_aug").as("ref"))
       def stats(pct: Int, seed: Long) = Eval.generationPairStatsFast(
@@ -4974,14 +5000,14 @@ object SparkEntry {
     // audit; exact long counts, one division per row
     "eval_gen_distinct_n" -> ((s, dir) =>
       Eval.distinctNgramRatio(
-        TextAnalysis.wordDropout(docs(s, dir), dropPct = 15, seed = 7)
+        TextAnalysis.wordDropout(docs(s, dir, floored = true), dropPct = 15, seed = 7)
           .select(col("text_aug").as("cand")))),
     // MULTI-REFERENCE corpus BLEU (Papineni §2.1's full clip): two
     // independent dropout references per candidate — per-gram ceilings
     // max over refs, brevity length = closest ref (ties shorter); the
     // pooled roll-up is corpusBleu unchanged
     "eval_gen_bleu_multiref" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docs(s, dir, floored = true)
       def drop(pct: Int, seed: Long, as: String) =
         TextAnalysis.wordDropout(d, dropPct = pct, seed = seed)
           .select(col("doc_id"), col("text_aug").as(as))
@@ -4995,7 +5021,7 @@ object SparkEntry {
     // the chrF sibling of eval_ab_paired: the same swap machinery over
     // per-pair char-gram stats, each resampled chrF2 on the round-4 grid
     "eval_ab_paired_chrf" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docs(s, dir, floored = true)
       val ref = TextAnalysis.wordDropout(d, dropPct = 10, seed = 42)
         .select(col("doc_id"), col("text_aug").as("ref"))
       def stats(pct: Int, seed: Long) = Eval.chrFPairStatsFast(
@@ -5031,12 +5057,12 @@ object SparkEntry {
     // per-doc ROUGE-1/2/L over the same pair fixture: exact clipped
     // counts and the LCS carried alongside single-division P/R/F scores
     "eval_gen_rouge" -> ((s, dir) =>
-      Eval.rougeScores(Eval.generationPairStatsFast(genPairs(s, dir)))),
+      Eval.rougeScores(Eval.generationPairStatsFast(genPairs(s, dir, floored = true)))),
     // corpus chrF2 over the same pair fixture: character n-grams of the
     // whitespace-removed capped text, clipped by the sorted-merge fold,
     // pooled per order — pure finite IEEE arithmetic, no rounding at all
     "eval_gen_chrf" -> ((s, dir) =>
-      Eval.corpusChrF(Eval.chrFPairStatsFast(genPairs(s, dir)))),
+      Eval.corpusChrF(Eval.chrFPairStatsFast(genPairs(s, dir, floored = true)))),
     // generation memorization audit: 30%-dropout "generations" scored for
     // trigram-level memorization against the corpus they derive from —
     // every deletion site mints novel trigrams, so seen ratios spread
@@ -5059,7 +5085,7 @@ object SparkEntry {
     // per-pair word error rate over the same generation fixture: the full
     // token-Levenshtein DP as the LCS-style append fold, one division
     "eval_gen_wer" -> ((s, dir) =>
-      Eval.werStatsFast(genPairs(s, dir))),
+      Eval.werStatsFast(genPairs(s, dir, floored = true))),
     // Kendall tau between two rankings of the same users per event type —
     // by total centi-spend vs by event count (row_number permutations
     // with the (score desc, user asc) deterministic tie-break); the
@@ -5233,7 +5259,7 @@ object SparkEntry {
     // this composition calls — connectedComponents' eager checkpoints sever
     // the pair plan from the final query plan, so it can't be pinned there.
     "pipeline_e2e" -> ((s, dir) => {
-      val cleaned = TextAnalysis.c4Clean(pipeDocs(s, dir),
+      val cleaned = TextAnalysis.c4Clean(pipeDocs(s, dir, floored = true),
           minWordsPerLine = 3, minKeptLines = 4)
         .filter(col("keep_doc"))
         .select(col("doc_id"), col("text_clean").as("text"))
@@ -5248,6 +5274,14 @@ object SparkEntry {
       // corpus; Bench/Verify clear the catalog cache between queries
       val quality = TextAnalysis.qualityFilter(lineDeduped).select("doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize the corpus-scale pass (C4 → line dedup → quality) ONCE
+      // at full parallelism and measure the survivor count; everything
+      // downstream is survivor-sized and runs at a survivor-derived
+      // partition count (Lineage.withLoopPartitions — the session setting
+      // stays the upper bound, so a production-scale survivor set keeps
+      // full cluster parallelism; only small ones stop paying dozens of
+      // session-partition stages across decontaminate/pairs/split/pack)
+      val nQuality = quality.count()
       // decontaminated is CHECKPOINTED (lineage truncated), not just
       // persisted: five downstream consumers (pair stage, CC edges, split
       // join, train projection, renumber) each carry the full upstream
@@ -5258,20 +5292,29 @@ object SparkEntry {
       // every consumer an O(1) leaf plan; Lineage.materialize upgrades it to
       // a reliable checkpoint when a checkpoint dir is configured (the
       // executor-loss contract shared with the iterative graph operators)
-      val decontaminated = Lineage.materialize(Dedup.decontaminate(
-          quality.filter(col("doc_id") % 50 =!= 0),
-          quality.filter(col("doc_id") % 50 === 0), 3))
-      val train = Dedup.leakageSafeSplit(decontaminated,
-          pipelinePairs(decontaminated),
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .filter(col("split") === "train").select("doc_id", "text")
-      val renumbered = Sampling.shuffleOrder(train, "doc_id", 8)
-        .select((col("shard") * lit(4294967296L) + col("pos")).as("nid"), col("text"))
-      Sampling.materializeSequences(
-          Sampling.packSequences(renumbered, "nid",
-            TextAnalysis.tokenCount(col("text")), 256L, 4),
-          idCol = "nid")
-        .select(col("shard"), col("seq_id"), col("n_docs"), col("seq_text"))
+      Lineage.withLoopPartitions(s, nQuality) {
+        val decontaminated = Lineage.materialize(Dedup.decontaminate(
+            quality.filter(col("doc_id") % 50 =!= 0),
+            quality.filter(col("doc_id") % 50 === 0), 3))
+        val train = Dedup.leakageSafeSplit(decontaminated,
+            pipelinePairs(decontaminated),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .filter(col("split") === "train").select("doc_id", "text")
+        val renumbered = Sampling.shuffleOrder(train, "doc_id", 8)
+          .select((col("shard") * lit(4294967296L) + col("pos")).as("nid"), col("text"))
+        // the final pack/materialize chain stays LAZY and therefore binds
+        // its shuffle partitioning at the caller's action, outside this
+        // wrap — only the eager survivor-set machinery (decontaminate
+        // checkpoint, pair persists, the CC rounds inside the split)
+        // benefits; eagerly checkpointing the packed output here just to
+        // bind it would add a full extra materialization of the train
+        // corpus at production scale
+        Sampling.materializeSequences(
+            Sampling.packSequences(renumbered, "nid",
+              TextAnalysis.tokenCount(col("text")), 256L, 4),
+            idCol = "nid")
+          .select(col("shard"), col("seq_id"), col("n_docs"), col("seq_text"))
+      }
     }),
 
     // ----- relational extensions: as-of + binned range joins -----

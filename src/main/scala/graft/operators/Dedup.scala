@@ -1256,6 +1256,12 @@ object Dedup {
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
+    // label rounds run at an edge-count-derived partition count (the label
+    // frontier is pair-graph-sized, typically corpus-fraction tiny; see
+    // Lineage.withLoopPartitions). The count is a cached-relation scan —
+    // `edges` was just eagerly materialized above.
+    val ne = edges.count()
+    Lineage.withLoopPartitions(pairs.sparkSession, ne) {
     // every generation is checkpointed (eager): the label frontier feeds
     // the NEXT round's plan twice (join left side + neighborMin), so without
     // lineage truncation the logical plan doubles per round — 2^maxIter nodes
@@ -1310,6 +1316,7 @@ object Dedup {
     }
     // already materialized + checkpoint-backed; .drop is a narrow projection
     labels
+    } // withLoopPartitions
   }
 
   /** Survivors of near-dup clustering: every document except non-minimal

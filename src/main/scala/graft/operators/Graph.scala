@@ -71,28 +71,48 @@ object Graph {
       .unionByName(edges.select(col("dst").as("node")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
-    val outw = edges.groupBy("src").agg(sum("w").as("outw"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val eo = edges.join(outw, "src").repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val base = (dampDen - dampNum) * scale / dampDen
-    var r = nodes.select(col("node"), lit(scale).as("r"))
-    for (_ <- 1 to iters) {
-      // mass parked on no-out-edge nodes, redistributed uniformly — a
-      // 1-row aggregate riding a broadcast, never a driver collect
-      val dang = r.join(outw.select(col("src").as("node")), Seq("node"), "left_anti")
-        .agg(coalesce(sum("r"), lit(0L)).as("__dang"))
-      val contrib = eo.join(r.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), expr("(r * w) div outw").as("__c"))
-        .groupBy("node").agg(sum("__c").as("__c"))
-      r = Lineage.materialize(nodes.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("node"),
-          (lit(base) + expr(s"($dampNum * (coalesce(__c, 0L) + " +
-            s"(__dang div ${n}L))) div $dampDen")).as("r")))
+    // all round relations (ranks, contributions, the dangling probe) are
+    // node-scale: run the rounds at a node-count-derived partition count
+    // (see Lineage.withLoopPartitions — session setting stays the upper
+    // bound; a tiny graph stops paying 32-partition exchanges × rounds)
+    val spk = edges.sparkSession
+    val sessionP = spk.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopP = Lineage.loopPartitions(spk, n)
+    Lineage.withShufflePartitions(spk, loopP) {
+      // re-anchor the node relation AT the loop partitioning: the outer
+      // persist was laid out at the session partition count, and a cached
+      // layout pins every downstream stage's task count — rounds would
+      // keep paying session-partition stages regardless of the loop conf.
+      // Skipped when the clamp lands on the session setting (production-
+      // scale graphs): the reshuffle would move everything for nothing
+      val nodesL =
+        if (loopP == sessionP) nodes
+        else nodes.repartition(col("node")).persist(StorageLevel.MEMORY_AND_DISK)
+      val outw = edges.groupBy("src").agg(sum("w").as("outw"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val eo = edges.join(outw, "src").repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val base = (dampDen - dampNum) * scale / dampDen
+      var r = nodesL.select(col("node"), lit(scale).as("r"))
+      for (_ <- 1 to iters) {
+        // mass parked on no-out-edge nodes, redistributed uniformly — a
+        // 1-row aggregate riding a broadcast, never a driver collect
+        val dang = r.join(outw.select(col("src").as("node")), Seq("node"), "left_anti")
+          .agg(coalesce(sum("r"), lit(0L)).as("__dang"))
+        val contrib = eo.join(r.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), expr("(r * w) div outw").as("__c"))
+          .groupBy("node").agg(sum("__c").as("__c"))
+        r = Lineage.materialize(nodesL.join(contrib, Seq("node"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("node"),
+            (lit(base) + expr(s"($dampNum * (coalesce(__c, 0L) + " +
+              s"(__dang div ${n}L))) div $dampDen")).as("r")))
+      }
+      nodes.unpersist()
+      if (!(nodesL eq nodes)) nodesL.unpersist()
+      outw.unpersist(); eo.unpersist()
+      r.select(col("node"), col("r").as("rank_fp"))
     }
-    nodes.unpersist(); outw.unpersist(); eo.unpersist()
-    r.select(col("node"), col("r").as("rank_fp"))
   }
 
   /** Synchronous label-propagation communities (Raghavan et al. 2007) over
@@ -122,25 +142,38 @@ object Graph {
     * generation to a reliable, executor-loss-surviving checkpoint. */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val sym = edges.select(col("src"), col("dst"), col("w"))
+    val symPre = edges.select(col("src"), col("dst"), col("w"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .where(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var lab = sym.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-    for (_ <- 1 to iters) {
-      lab = Lineage.materialize(
-        sym.join(lab.withColumnRenamed("node", "src"), Seq("src"))
-          .groupBy(col("dst").as("node"), col("label"))
-          .agg(sum("w").as("__wsum"))
-          .groupBy("node")
-          .agg(min(struct((-col("__wsum")).as("nw"), col("label").as("l"))).as("__m"))
-          .select(col("node"), col("__m.l").as("label")))
+    // rounds run at an edge-count-derived partition count (the loop state is
+    // graph-sized; see Lineage.withLoopPartitions) — the count doubles as
+    // the eager materialization of the persisted edge relation
+    val ne = symPre.count()
+    val spk = edges.sparkSession
+    val sessionP = spk.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopP = Lineage.loopPartitions(spk, ne)
+    Lineage.withShufflePartitions(spk, loopP) {
+      val sym =
+        if (loopP == sessionP) symPre
+        else Lineage.materialize(symPre.repartition(col("src")))
+      if (!(sym eq symPre)) symPre.unpersist()
+      var lab = sym.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      for (_ <- 1 to iters) {
+        lab = Lineage.materialize(
+          sym.join(lab.withColumnRenamed("node", "src"), Seq("src"))
+            .groupBy(col("dst").as("node"), col("label"))
+            .agg(sum("w").as("__wsum"))
+            .groupBy("node")
+            .agg(min(struct((-col("__wsum")).as("nw"), col("label").as("l"))).as("__m"))
+            .select(col("node"), col("__m.l").as("label")))
+      }
+      if (sym eq symPre) symPre.unpersist()
+      lab.select(col("node"), col("label").as("community"))
     }
-    sym.unpersist()
-    lab.select(col("node"), col("label").as("community"))
   }
 
   /** Deterministic NEGATIVE-edge sampling — the training-data counterpart
@@ -215,29 +248,41 @@ object Graph {
     * O(diameter) tiny jobs, the price every BSP BFS pays. */
   def bfsDistances(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val eo = edges.select(col("src"), col("dst")).distinct()
+    val eoPre = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    var dist = Lineage.materialize(
-      sources.select(col("node")).distinct().select(col("node"), lit(0L).as("hops")))
-    var frontier = dist
-    var r = 0L
-    var done = maxHops == 0
-    while (!done) {
-      r += 1
-      val next = Lineage.materialize(
-        frontier.join(eo.withColumnRenamed("src", "node"), Seq("node"))
-          .select(col("dst").as("node")).distinct()
-          .join(dist, Seq("node"), "left_anti")
-          .select(col("node"), lit(r).as("hops")))
-      val exhausted = next.isEmpty
-      if (!exhausted) {
-        dist = Lineage.materialize(dist.unionByName(next))
-        frontier = next
+    // rounds at an edge-count-derived partition count (frontier/visited are
+    // graph-sized); the count eagerly materializes the persisted edges
+    val ne = eoPre.count()
+    val spk = edges.sparkSession
+    val sessionP = spk.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopP = Lineage.loopPartitions(spk, ne)
+    Lineage.withShufflePartitions(spk, loopP) {
+      val eo =
+        if (loopP == sessionP) eoPre
+        else Lineage.materialize(eoPre.repartition(col("src")))
+      if (!(eo eq eoPre)) eoPre.unpersist()
+      var dist = Lineage.materialize(
+        sources.select(col("node")).distinct().select(col("node"), lit(0L).as("hops")))
+      var frontier = dist
+      var r = 0L
+      var done = maxHops == 0
+      while (!done) {
+        r += 1
+        val next = Lineage.materialize(
+          frontier.join(eo.withColumnRenamed("src", "node"), Seq("node"))
+            .select(col("dst").as("node")).distinct()
+            .join(dist, Seq("node"), "left_anti")
+            .select(col("node"), lit(r).as("hops")))
+        val exhausted = next.isEmpty
+        if (!exhausted) {
+          dist = Lineage.materialize(dist.unionByName(next))
+          frontier = next
+        }
+        if (exhausted || r >= maxHops) done = true
       }
-      if (exhausted || r >= maxHops) done = true
+      if (eo eq eoPre) eoPre.unpersist()
+      dist
     }
-    eo.unpersist()
-    dist
   }
 
   /** Truncated k-core peeling over the undirected simple graph induced by
@@ -278,14 +323,20 @@ object Graph {
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
     var alive = Lineage.materialize(sym.select(col("src").as("node")).distinct())
     var n = alive.count()
-    var rounds = 0
-    var done = false
-    while (!done && rounds < maxRounds) {
-      rounds += 1
-      val next = Lineage.materialize(
-        aliveDeg(alive).where(col("core_deg") >= k).select(col("node")))
-      val m = next.count()
-      if (m == n) done = true else { alive = next; n = m }
+    // peel rounds at an edge-count-derived partition count (alive sets and
+    // degree aggregates are graph-sized; sym is already materialized by the
+    // alive computation, so the count is a cached-relation scan)
+    val ne = sym.count()
+    Lineage.withLoopPartitions(edges.sparkSession, ne) {
+      var rounds = 0
+      var done = false
+      while (!done && rounds < maxRounds) {
+        rounds += 1
+        val next = Lineage.materialize(
+          aliveDeg(alive).where(col("core_deg") >= k).select(col("node")))
+        val m = next.count()
+        if (m == n) done = true else { alive = next; n = m }
+      }
     }
     // sym stays persisted under the returned (lazy) plan — blocks release
     // via the ContextCleaner once the caller drops it, the documented cache

@@ -1491,13 +1491,32 @@ object TextAnalysis {
   def bm25Multi(docs: DataFrame, queries: DataFrame, topK: Int,
       k1: Double = 1.2, b: Double = 0.75,
       queryIdCol: String = "query_id", termCol: String = "term",
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bm25MultiWithPostings(docs, queries, topK, k1, b,
+      queryIdCol, termCol, idCol, textCol)._1
+
+  /** [[bm25Multi]] plus its PERSISTED postings relation — `(idCol, tok, tf,
+    * dl)`, one row per (document, matched query term). Exposed because a
+    * retrieval-evaluation caller needs the full match relation (not just the
+    * top-k) for ground truth, and deriving it independently would re-scan
+    * and re-tokenize the whole corpus a second time (r17: eval_retrieval
+    * paid one extra corpus explode + three extra query-table scans per run).
+    * The query-term table is persisted too: it feeds two broadcasts here
+    * and any caller-side ground-truth derivation, and each un-persisted
+    * consumer re-ran its upstream (a corpus scan when the queries are
+    * themselves mined from the corpus). Both caches are query/config-scale
+    * or hit-scale, the documented cache budget of this operator family. */
+  def bm25MultiWithPostings(docs: DataFrame, queries: DataFrame, topK: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      queryIdCol: String = "query_id", termCol: String = "term",
+      idCol: String = "doc_id", textCol: String = "text"): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(topK >= 1, s"topK must be >= 1, got $topK")
     require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
     val qt = queries
       .select(col(queryIdCol), lower(trim(col(termCol))).as("tok"))
       .filter(length(col("tok")) > 0).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val terms = qt.select("tok").distinct()
     val dlExpr = coalesce(tokenCount(col(textCol)).cast("double"), lit(0.0))
     val stats = docs
@@ -1524,8 +1543,8 @@ object TextAnalysis {
           .as("score"))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("score").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
+    (scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK), tf)
   }
 
   // ------------------------------------------------- duplicated-span signal

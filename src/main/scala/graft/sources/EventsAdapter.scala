@@ -18,12 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object EventsAdapter {
 
-  def envelopes(spark: SparkSession, sfDir: String): DataFrame = {
+  /** `floorScan = true` applies [[ScanParallelism.floor]] to the RAW events
+    * scan (below the envelope projection), for the few consumers whose
+    * downstream is heavy narrow work (the s2 JSON round-trip). The default
+    * stays un-floored: the ~40 cheap filter/aggregate envelope queries lose
+    * more to the extra exchange than their sub-second aggregation saves
+    * (measured, r17). */
+  def envelopes(spark: SparkSession, sfDir: String,
+      floorScan: Boolean = false): DataFrame = {
     // the testdata writes TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
     // default; read the raw int64 nanos and truncate to micros ourselves
     // (identical to DuckDB's CAST(ts AS TIMESTAMP) truncation in the oracle)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    toEnvelopes(spark.read.parquet(s"$sfDir/events.parquet"))
+    val path = s"$sfDir/events.parquet"
+    toEnvelopes(if (floorScan) ScanParallelism.flooredParquet(spark, path)
+      else spark.read.parquet(path))
   }
 
   /** The raw events table with `ts` already normalized to epoch-micros

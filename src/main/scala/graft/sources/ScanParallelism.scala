@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Scale-adaptive parallelism floor for base-table scans (optimization
   * guide §2.6 idle capacity / §6 input splits).
@@ -11,22 +11,54 @@ import org.apache.spark.sql.DataFrame
   * one core while the rest of local[N] idles — r17 profiling measured
   * s2_json_roundtrip spending 4.9 s of its 5.1 s wall inside one 1-task
   * stage, and the same single-task scan stage under the heavy broadcast
-  * builds of eval_retrieval (5.7 s) and dedup_cosine (3.9 s). When the
-  * planned scan has fewer partitions than the session's default
-  * parallelism, round-robin repartition up to it; Catalyst pushes filters
-  * and column pruning below a Repartition, so the exchange carries the
-  * pruned scan output. Row-to-partition assignment is retry-deterministic
+  * builds of eval_retrieval (5.7 s) and dedup_cosine (3.9 s). When the scan
+  * would plan fewer partitions than the session's default parallelism,
+  * round-robin repartition up to it; Catalyst pushes filters and column
+  * pruning below a Repartition, so the exchange carries the pruned scan
+  * output. Row-to-partition assignment is retry-deterministic
   * (spark.sql.execution.sortBeforeRepartition, on by default), and no
   * declared query's result depends on partitioning: double outputs ride
   * the epsilon-shifted rounds, orders ride explicit sort keys, and
   * collect_list aggregates are always wrapped in array_sort (r17 audit).
   *
-  * At production scale this is a NO-OP by construction: a 100 TB table
-  * scans as thousands of splits (>= cores), the condition is false, and no
-  * shuffle is added — the floor only fires when input SPLITS, not data,
-  * are the parallelism bound (the one-big-gzip shape of guide §2.5's
-  * "input skew": fix is the same repartition-after-read). */
+  * The split count is ESTIMATED from the input's filesystem length against
+  * spark.sql.files.maxPartitionBytes — never by planning the DataFrame: the
+  * first r17 floor asked `df.rdd.getNumPartitions`, which runs the whole
+  * analysis/optimization/planning pipeline per call, and with 140 reader
+  * call sites that surfaced as a uniform +0.6–0.9 s driver-time tax on
+  * every light docs-based query in the full sweep (the win on the heavy
+  * queries stayed, but the tail gave most of it back). One FileSystem
+  * length lookup is ~1 ms and equally scale-correct.
+  *
+  * At production scale this is a NO-OP by construction: a 100 TB table's
+  * estimated split count is ≥ cores, the condition is false, and no shuffle
+  * is added — the floor only fires when input SPLITS, not data, are the
+  * parallelism bound (the one-big-gzip shape of guide §2.5's "input skew";
+  * the fix there is the same repartition-after-read). */
 object ScanParallelism {
+  def flooredParquet(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val p = spark.sparkContext.defaultParallelism
+    if (estimatedSplits(spark, path) < p) df.repartition(p) else df
+  }
+
+  /** ceil(total input bytes / maxPartitionBytes), the planner's split-count
+    * estimate to first order (openCostInBytes packing refines it upward,
+    * which could only make the floor fire LESS — never spuriously). */
+  private[graft] def estimatedSplits(spark: SparkSession, path: String): Long = {
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes =
+      try fs.getContentSummary(hPath).getLength
+      catch { case _: java.io.IOException => Long.MaxValue } // unknowable → no floor
+    math.max(1L, (bytes + maxSplit - 1) / math.max(1L, maxSplit))
+  }
+
+  /** Floor over an already-built DataFrame when the caller knows the scan is
+    * split-starved (s2's envelope path, where the reader conf is shared);
+    * prefer [[flooredParquet]] — this variant costs a planning pass. */
   def floor(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
