@@ -5292,7 +5292,9 @@ object SparkEntry {
       // every consumer an O(1) leaf plan; Lineage.materialize upgrades it to
       // a reliable checkpoint when a checkpoint dir is configured (the
       // executor-loss contract shared with the iterative graph operators)
-      Lineage.withLoopPartitions(s, nQuality) {
+      val sessionP = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val loopP = Lineage.loopPartitions(s, nQuality)
+      Lineage.withShufflePartitions(s, loopP) {
         val decontaminated = Lineage.materialize(Dedup.decontaminate(
             quality.filter(col("doc_id") % 50 =!= 0),
             quality.filter(col("doc_id") % 50 === 0), 3))
@@ -5302,18 +5304,21 @@ object SparkEntry {
           .filter(col("split") === "train").select("doc_id", "text")
         val renumbered = Sampling.shuffleOrder(train, "doc_id", 8)
           .select((col("shard") * lit(4294967296L) + col("pos")).as("nid"), col("text"))
-        // the final pack/materialize chain stays LAZY and therefore binds
-        // its shuffle partitioning at the caller's action, outside this
-        // wrap — only the eager survivor-set machinery (decontaminate
-        // checkpoint, pair persists, the CC rounds inside the split)
-        // benefits; eagerly checkpointing the packed output here just to
-        // bind it would add a full extra materialization of the train
-        // corpus at production scale
-        Sampling.materializeSequences(
+        val packed = Sampling.materializeSequences(
             Sampling.packSequences(renumbered, "nid",
               TextAnalysis.tokenCount(col("text")), 256L, 4),
             idCol = "nid")
           .select(col("shard"), col("seq_id"), col("n_docs"), col("seq_text"))
+        // a LAZY tail binds its shuffle partitioning at the caller's
+        // action, OUTSIDE this wrap — the split/shuffle/pack chain would
+        // run its half-dozen window and aggregate exchanges at session
+        // width over the survivor-fraction relation. When the clamp
+        // actually shrank (small survivor set), eagerly materializing the
+        // packed output HERE keeps those stages at the loop partitioning;
+        // when it didn't (production-scale survivors), the tail stays
+        // lazy — no extra materialization of the train corpus is ever
+        // added at scale
+        if (loopP < sessionP) Lineage.materialize(packed) else packed
       }
     }),
 

@@ -2273,8 +2273,22 @@ object TextAnalysis {
     import spark.implicits._
     val sep = BpeSep
     val base = subwordBase(docs, textCol, byteLevel)
+    // rounds run at a vocab-count-derived partition count (the loop state
+    // is the distinct-token relation, not the corpus; see
+    // Lineage.withLoopPartitions) — the count doubles as the eager
+    // materialization of the persisted base. When the clamp shrinks, the
+    // cached base is re-anchored at the loop partitioning (a cached layout
+    // pins every round's map-side task count); at production vocab scale
+    // the clamp hits the session setting and nothing is reshuffled.
+    val nb = base.count()
+    val sessionP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopP = graft.operators.Lineage.loopPartitions(spark, nb)
+    graft.operators.Lineage.withShufflePartitions(spark, loopP) {
+    val baseL =
+      if (loopP == sessionP) base
+      else graft.operators.Lineage.materialize(base.repartition(loopP))
     val merges = Seq.newBuilder[(Long, String, String, Long)]
-    var vocab = base
+    var vocab = baseL
     // the previous round's PERSISTED symbolization, released once the next
     // round's is cached (below) — never the shared `base`. Per-round
     // persistence is OFF by default: the round-15 A/B (TokenizerLearnBench,
@@ -2360,6 +2374,7 @@ object TextAnalysis {
     prevRound.foreach(_.unpersist())
     base.unpersist()
     merges.result().toDF("rank", "lhs", "rhs", "pair_count")
+    } // withLoopPartitions
   }
 
   /** BATCHED BPE merge learning — the job-count lever of the 100 TB recipe
@@ -2436,8 +2451,17 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val sep = BpeSep
     val base = subwordBase(docs, textCol, byteLevel)
+    // batched rounds at a vocab-count-derived partition count, cached base
+    // re-anchored when the clamp shrinks — the subwordLearnMerges pattern
+    val nb = base.count()
+    val sessionP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopP = graft.operators.Lineage.loopPartitions(spark, nb)
+    graft.operators.Lineage.withShufflePartitions(spark, loopP) {
+    val baseL =
+      if (loopP == sessionP) base
+      else graft.operators.Lineage.materialize(base.repartition(loopP))
     val out = Seq.newBuilder[(Long, Long, String, String, Long)]
-    var vocab = base
+    var vocab = baseL
     var exhausted = false
     for (t <- 1 to batchRounds if !exhausted) {
       val split0 = vocab
@@ -2506,6 +2530,7 @@ object TextAnalysis {
     }
     base.unpersist()
     out.result().toDF("batch", "rank_in_batch", "lhs", "rhs", "pair_count")
+    } // withLoopPartitions
   }
 
   /** APPLY a learned merge table: per-document token and BPE-piece counts

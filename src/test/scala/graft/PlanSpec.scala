@@ -349,7 +349,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("pipeline_e2e composes every stage's pinned shape — no cartesian, no shuffle above packing", SlowTest) {
-    val df = SparkEntry.queries("pipeline_e2e")(spark, "/root/testdata/sf0.001")
+    // r17: when the measured survivor set is SMALL the query eagerly
+    // materializes its packed output inside the survivor-sized partition
+    // wrap and returns a checkpoint leaf (pinned below). To inspect the
+    // full production-path tail (clamp at the session bound → lazy), run
+    // the composition with the session width pinned to the clamp floor
+    val df = graft.operators.Lineage.withShufflePartitions(spark, 1) {
+      SparkEntry.queries("pipeline_e2e")(spark, "/root/testdata/sf0.001")
+    }
     val plan = executedPlan(df)
     // composing the stages must not flip any keyed join into an all-pairs
     // product (the failure mode where a stats change un-broadcasts a dim)
@@ -379,6 +386,13 @@ class PlanSpec extends AnyFunSuite {
       s"expected a keyed label join on doc_id:\n$plan")
     // and rows actually flow end-to-end on the smallest fixture
     assert(df.count() > 0, "pipeline produced no sequences at sf0.001")
+    // the scale-conditional tail: at the DEFAULT test session width the
+    // survivor clamp shrinks, so the query must return the eagerly
+    // materialized packed output (a checkpoint leaf — the tail's exchanges
+    // ran at the survivor-derived partitioning, not at session width)
+    val dfSmall = SparkEntry.queries("pipeline_e2e")(spark, "/root/testdata/sf0.001")
+    assert(executedPlan(dfSmall).contains("Scan ExistingRDD"),
+      "expected the small-survivor path to return the materialized packed output")
   }
 
   test("pipeline_e2e's pair stage is the df-capped join: broadcast anti-join on sh_h") {
