@@ -94,8 +94,14 @@ object Bench {
     val previous = previousRoundTimes()
 
     // SPARK_GRAFT_TIER=core|extended|all (default all) — same pressure
-    // valve as Verify; the artifact of record keeps the full sweep
-    val names = SparkEntry.queries.keys.toSeq.filter(SparkEntry.tierFilter()).sorted
+    // valve as Verify; the artifact of record keeps the full sweep.
+    // LONGEST-FIRST order (by the previous record, unknown-baseline queries
+    // first since they could be anything): when the wall-clock budget runs
+    // out mid-sweep, the unswept remainder is the cheap sub-second tail,
+    // not a third of the registry (r17's alphabetical sweep left 89
+    // queries — including whole families — unswept at the driver's budget)
+    val names = sweepOrder(
+      SparkEntry.queries.keys.toSeq.filter(SparkEntry.tierFilter()), previous)
     names.foreach { n =>
       // a query that fails at warmup would otherwise hide until the timed
       // run — surface the message immediately. Budget-gated: under a
@@ -304,6 +310,18 @@ object Bench {
   private[graft] def medianOf(xs: Seq[Double]): Double =
     xs.sorted.apply(xs.size / 2)
 
+  /** Budget-aware sweep order: queries with no previous-round baseline
+    * first (alphabetical — they could be arbitrarily slow and MUST get
+    * timed), then the rest by previous time DESCENDING, name as tie-break.
+    * Purely an ordering of the same runs; the emitted artifact is
+    * order-independent (maps keyed by name). */
+  private[graft] def sweepOrder(names: Seq[String],
+      previous: Map[String, Double]): Seq[String] = {
+    val (unknown, known) = names.sorted.partition(n =>
+      !previous.get(n).exists(_ > 0))
+    unknown ++ known.sortBy(n => (-previous(n), n))
+  }
+
   /** Per-query calibration factor from the probe sequence: query i ran
     * between probes(i) and probes(i+1); its factor is the WORSE of the two
     * bracketing probes relative to the sweep-median probe — >1 means the
@@ -490,7 +508,7 @@ object Bench {
       .sortBy(_.getName).reverse
     val entry = java.util.regex.Pattern.compile(
       "\\\\?\"([A-Za-z0-9_]+)\\\\?\":(-?[0-9][0-9.]*)")
-    rounds.iterator.map { f =>
+    val fromRounds = rounds.iterator.map { f =>
       try {
         val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         val m = entry.matcher(text)
@@ -499,7 +517,40 @@ object Bench {
         out.result()
       } catch { case _: Throwable => Map.empty[String, Double] }
     }.find(_.size > 5).getOrElse(Map.empty)
+    // the committed full-precision record covers EVERY query, where the
+    // compact driver artifact keeps only the top-40 slowest — without the
+    // fallback ~250 queries had no baseline, so the sub-second single-run
+    // fast path never fired for them and the driver's 32-core sweep paid
+    // min-of-2 across the whole registry and blew its wall-clock budget
+    // (r17: 89 queries unswept). Newest-driver-artifact values win where
+    // both exist; the fallback only FILLS gaps. Run-count policy only —
+    // every timed run still computes from the parquet inputs.
+    fullRecordTimes(new java.io.File(dir, "BENCH_FULL_local.json")) ++ fromRounds
   }
+
+  /** Per-query seconds from a full-record file: extraction is scoped to the
+    * flat `"queries":{...}` object (regex over the whole file would also
+    * harvest the `"calibration":{name:factor}` map and poison the baseline
+    * with ≈1.0 pseudo-times). Missing/truncated file → empty map. */
+  private[graft] def fullRecordTimes(f: java.io.File): Map[String, Double] =
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val start = text.indexOf("\"queries\":{")
+      if (start < 0) Map.empty
+      else {
+        val open = start + "\"queries\":".length
+        val close = text.indexOf('}', open) // flat object: first '}' ends it
+        if (close < 0) Map.empty
+        else {
+          val entry = java.util.regex.Pattern.compile(
+            "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.]*)")
+          val m = entry.matcher(text.substring(open, close))
+          val out = Map.newBuilder[String, Double]
+          while (m.find()) out += m.group(1) -> m.group(2).toDouble
+          out.result()
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
 
   /** Ingest-throughput probe against the reference's one published number
     * (">50K metrics/sec", README.md:62-63): JSON envelopes/sec through the

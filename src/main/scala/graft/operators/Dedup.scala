@@ -1261,7 +1261,19 @@ object Dedup {
     // Lineage.withLoopPartitions). The count is a cached-relation scan —
     // `edges` was just eagerly materialized above.
     val ne = edges.count()
-    Lineage.withLoopPartitions(pairs.sparkSession, ne) {
+    val spk = pairs.sparkSession
+    val sessionP = Lineage.effectiveShufflePartitions(spk)
+    val loopP = Lineage.loopPartitions(spk, ne)
+    Lineage.withShufflePartitions(spk, loopP) {
+    // re-anchor the checkpointed edge relation AT the loop partitioning when
+    // the clamp shrank (the Graph.pageRank discipline, previously skipped
+    // here — ADVICE r17): the materialized layout pins every round's
+    // neighborMin join at the width it was written with, so without this
+    // each round still scanned session-width edge partitions. At production
+    // scale loopP == sessionP and no reshuffle is added.
+    val edgesL =
+      if (loopP == sessionP) edges
+      else Lineage.materialize(edges.repartition(col("dst")))
     // every generation is checkpointed (eager): the label frontier feeds
     // the NEXT round's plan twice (join left side + neighborMin), so without
     // lineage truncation the logical plan doubles per round — 2^maxIter nodes
@@ -1269,7 +1281,7 @@ object Dedup {
     // deep graphs. Checkpointing keeps the per-round plan O(1); superseded
     // generations' blocks are released by the ContextCleaner once the previous
     // frontier goes out of scope.
-    var labels = materialize(edges.select(col("src").as("id"))
+    var labels = materialize(edgesL.select(col("src").as("id"))
       .distinct().withColumn("component", col("id")))
     var iter = 0
     var converged = false
@@ -1279,20 +1291,24 @@ object Dedup {
     // throw despite having converged
     while (iter <= maxIter && !converged) {
       // each node adopts the min of its own and its neighbors' labels; the
-      // previous label rides along so the convergence probe needs no second
-      // join (at scale that join was another full shuffle of the labels)
-      val neighborMin = edges
+      // previous label rides along AND the changed-count probe is observed
+      // DURING the round's own materialization (Lineage.materializeObserved)
+      // — one driver action per round, where r17 paid a second full job
+      // re-scanning the frame it had just written only to count changes
+      val neighborMin = edgesL
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("n_min"))
-      val next = materialize( // eager — materializes every partition now
+      val (next, obs) = Lineage.materializeObserved( // eager materialization
         labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"), col("component").as("old"),
+          .select(col("id"),
             least(col("component"), coalesce(col("n_min"), col("component")))
-              .as("component")))
-      val changed = next
-        .agg(count(when(col("component") =!= col("old"), lit(1)))).head().getLong(0)
-      labels = next.drop("old")
+              .as("component"),
+            (col("component") =!= least(col("component"),
+              coalesce(col("n_min"), col("component")))).as("__chg")),
+        count(when(col("__chg"), lit(1))).as("__changed"))
+      val changed = obs("__changed").asInstanceOf[Long]
+      labels = next.drop("__chg")
       converged = changed == 0
       iter += 1
     }

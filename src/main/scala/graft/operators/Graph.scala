@@ -76,7 +76,7 @@ object Graph {
     // (see Lineage.withLoopPartitions — session setting stays the upper
     // bound; a tiny graph stops paying 32-partition exchanges × rounds)
     val spk = edges.sparkSession
-    val sessionP = spk.conf.get("spark.sql.shuffle.partitions").toInt
+    val sessionP = Lineage.effectiveShufflePartitions(spk)
     val loopP = Lineage.loopPartitions(spk, n)
     Lineage.withShufflePartitions(spk, loopP) {
       // re-anchor the node relation AT the loop partitioning: the outer
@@ -93,24 +93,38 @@ object Graph {
       val eo = edges.join(outw, "src").repartition(col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val base = (dampDen - dampNum) * scale / dampDen
-      var r = nodesL.select(col("node"), lit(scale).as("r"))
+      // dangling handling without a per-round job: the flag "node has no
+      // out-edge" is STATIC, so it rides every rank generation as a column,
+      // and the round's dangling mass Σ r(u) over flagged nodes is observed
+      // DURING the rank materialization (exact long sum — the identical
+      // value the r17 anti-join + 1-row broadcast computed, minus one
+      // broadcast-build job and one anti-join exchange per round). Round 1
+      // needs only the flagged-node COUNT: every initial rank is `scale`.
+      val flagged = nodesL.join(
+          outw.select(col("src").as("node"), lit(true).as("__has_out")),
+          Seq("node"), "left")
+        .select(col("node"), col("__has_out").isNull.as("__dangling"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nDang = flagged.filter(col("__dangling")).count()
+      var dang = nDang * scale
+      var r = flagged.select(col("node"), col("__dangling"), lit(scale).as("r"))
       for (_ <- 1 to iters) {
-        // mass parked on no-out-edge nodes, redistributed uniformly — a
-        // 1-row aggregate riding a broadcast, never a driver collect
-        val dang = r.join(outw.select(col("src").as("node")), Seq("node"), "left_anti")
-          .agg(coalesce(sum("r"), lit(0L)).as("__dang"))
-        val contrib = eo.join(r.withColumnRenamed("node", "src"), Seq("src"))
+        val contrib = eo.join(
+            r.select(col("node").as("src"), col("r")), Seq("src"))
           .select(col("dst").as("node"), expr("(r * w) div outw").as("__c"))
           .groupBy("node").agg(sum("__c").as("__c"))
-        r = Lineage.materialize(nodesL.join(contrib, Seq("node"), "left")
-          .crossJoin(broadcast(dang))
-          .select(col("node"),
-            (lit(base) + expr(s"($dampNum * (coalesce(__c, 0L) + " +
-              s"(__dang div ${n}L))) div $dampDen")).as("r")))
+        val (rNext, obs) = Lineage.materializeObserved(
+          flagged.join(contrib, Seq("node"), "left")
+            .select(col("node"), col("__dangling"),
+              (lit(base) + expr(s"($dampNum * (coalesce(__c, 0L) + " +
+                s"(${dang}L div ${n}L))) div $dampDen")).as("r")),
+          coalesce(sum(when(col("__dangling"), col("r"))), lit(0L)).as("__dang"))
+        r = rNext
+        dang = obs("__dang").asInstanceOf[Long]
       }
       nodes.unpersist()
       if (!(nodesL eq nodes)) nodesL.unpersist()
-      outw.unpersist(); eo.unpersist()
+      flagged.unpersist(); outw.unpersist(); eo.unpersist()
       r.select(col("node"), col("r").as("rank_fp"))
     }
   }
@@ -153,7 +167,7 @@ object Graph {
     // the eager materialization of the persisted edge relation
     val ne = symPre.count()
     val spk = edges.sparkSession
-    val sessionP = spk.conf.get("spark.sql.shuffle.partitions").toInt
+    val sessionP = Lineage.effectiveShufflePartitions(spk)
     val loopP = Lineage.loopPartitions(spk, ne)
     Lineage.withShufflePartitions(spk, loopP) {
       val sym =
@@ -254,7 +268,7 @@ object Graph {
     // graph-sized); the count eagerly materializes the persisted edges
     val ne = eoPre.count()
     val spk = edges.sparkSession
-    val sessionP = spk.conf.get("spark.sql.shuffle.partitions").toInt
+    val sessionP = Lineage.effectiveShufflePartitions(spk)
     val loopP = Lineage.loopPartitions(spk, ne)
     Lineage.withShufflePartitions(spk, loopP) {
       val eo =
@@ -263,19 +277,27 @@ object Graph {
       if (!(eo eq eoPre)) eoPre.unpersist()
       var dist = Lineage.materialize(
         sources.select(col("node")).distinct().select(col("node"), lit(0L).as("hops")))
+      // the visited set is a LAZY union of the materialized frontier leaves
+      // (≤ maxHops + 1 of them, each an O(1) leaf plan): re-materializing
+      // the whole union every round (the r17 shape) paid one extra
+      // checkpoint job per round for a relation the next round only
+      // anti-joins against. The frontier-exhaustion probe rides the
+      // frontier's own materialization (observe) instead of a separate
+      // isEmpty job — ONE driver action per BFS round, down from three.
       var frontier = dist
       var r = 0L
       var done = maxHops == 0
       while (!done) {
         r += 1
-        val next = Lineage.materialize(
+        val (next, obs) = Lineage.materializeObserved(
           frontier.join(eo.withColumnRenamed("src", "node"), Seq("node"))
             .select(col("dst").as("node")).distinct()
             .join(dist, Seq("node"), "left_anti")
-            .select(col("node"), lit(r).as("hops")))
-        val exhausted = next.isEmpty
+            .select(col("node"), lit(r).as("hops")),
+          count(lit(1)).as("__n"))
+        val exhausted = obs("__n").asInstanceOf[Long] == 0L
         if (!exhausted) {
-          dist = Lineage.materialize(dist.unionByName(next))
+          dist = dist.unionByName(next)
           frontier = next
         }
         if (exhausted || r >= maxHops) done = true
@@ -321,8 +343,12 @@ object Graph {
       sym.join(alive.withColumnRenamed("node", "src"), Seq("src"))
         .join(alive.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
-    var alive = Lineage.materialize(sym.select(col("src").as("node")).distinct())
-    var n = alive.count()
+    // initial alive set: survivor count observed during the materialization
+    // (one job, not materialize + count)
+    val (alive0, obs0) = Lineage.materializeObserved(
+      sym.select(col("src").as("node")).distinct(), count(lit(1)).as("__n"))
+    var alive = alive0
+    var n = obs0("__n").asInstanceOf[Long]
     // peel rounds at an edge-count-derived partition count (alive sets and
     // degree aggregates are graph-sized; sym is already materialized by the
     // alive computation, so the count is a cached-relation scan)
@@ -332,9 +358,11 @@ object Graph {
       var done = false
       while (!done && rounds < maxRounds) {
         rounds += 1
-        val next = Lineage.materialize(
-          aliveDeg(alive).where(col("core_deg") >= k).select(col("node")))
-        val m = next.count()
+        // convergence probe fused into the round's own materialization
+        val (next, obs) = Lineage.materializeObserved(
+          aliveDeg(alive).where(col("core_deg") >= k).select(col("node")),
+          count(lit(1)).as("__n"))
+        val m = obs("__n").asInstanceOf[Long]
         if (m == n) done = true else { alive = next; n = m }
       }
     }

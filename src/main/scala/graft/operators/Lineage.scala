@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 
 /** Shared lineage-truncation for iterative operators (pageRank, label
   * propagation, connected components, the pipeline survivor set): every
@@ -27,6 +27,25 @@ private[graft] object Lineage {
   def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
+
+  /** [[materialize]] plus aggregate metrics computed IN THE SAME job via
+    * `Dataset.observe` (CollectMetricsExec is a pass-through node whose
+    * accumulators ride the materialization action) — an iterative round's
+    * convergence probe (changed-count, frontier size, survivor count) no
+    * longer pays a SECOND driver action re-scanning what the round just
+    * wrote. r17 left every loop at two-to-three blocking jobs per round
+    * (materialize + probe); at loop scale the probe job is pure fixed
+    * overhead — task scheduling + BSP job latency, zero useful bytes.
+    *
+    * Returns the materialized frame and the observed metric row as a map
+    * (`Observation.get` blocks until the action's QueryExecutionListener
+    * delivers — the materialization above already completed it). Metrics
+    * must be aggregate expressions over the frame, each aliased. */
+  def materializeObserved(df: DataFrame, metrics: Column*): (DataFrame, Map[String, Any]) = {
+    val obs = Observation()
+    val out = materialize(df.observe(obs, metrics.head, metrics.tail: _*))
+    (out, obs.get)
+  }
 
   /** Run an iterative operator's rounds with `spark.sql.shuffle.partitions`
     * pinned to a partition count derived from the MEASURED problem size,
@@ -65,20 +84,37 @@ private[graft] object Lineage {
     * production scale, where the clamp is expected to hit the bound). */
   def loopPartitions(spark: org.apache.spark.sql.SparkSession,
       rows: Long, rowsPerPartition: Long = 500000L): Int = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val prev = effectiveShufflePartitions(spark)
     math.max(1L, math.min(prev.toLong,
       (math.max(rows, 0L) + rowsPerPartition - 1) / rowsPerPartition)).toInt
   }
 
-  /** Set spark.sql.shuffle.partitions for the duration of `body`, restoring
-    * the session value afterwards (plans resolve the conf at action time,
-    * so every exchange and eager materialization inside `body` runs at
-    * `p`). */
+  /** The shuffle-partition setting THIS THREAD's plans resolve right now:
+    * the thread-local override installed by [[withShufflePartitions]] when
+    * inside one (nested loops clamp against the enclosing loop's width, the
+    * r17 semantics), the session setting otherwise. */
+  def effectiveShufflePartitions(spark: org.apache.spark.sql.SparkSession): Int =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.sql.shuffle.partitions",
+        spark.conf.get("spark.sql.shuffle.partitions")).toInt
+
+  /** Run `body` with spark.sql.shuffle.partitions = `p` via a THREAD-LOCAL
+    * SQLConf override (`SQLConf.withExistingConf` over a clone of the
+    * effective conf): planning of every action issued by this thread inside
+    * `body` resolves the override, while concurrent queries on other
+    * threads of the same session keep the session setting — the r17
+    * implementation mutated the session-global conf and would have silently
+    * mis-partitioned a concurrent query (ADVICE r17; ThreadSafetySpec pins
+    * the isolation). The thread-local is restored on exit either way.
+    *
+    * Caveat unchanged from r17: a LAZY frame returned out of `body` binds
+    * its exchanges at the CALLER's action, outside the override — loops
+    * that need the override on their output materialize it inside (the
+    * pipeline_e2e tail pattern). */
   def withShufflePartitions[T](spark: org.apache.spark.sql.SparkSession,
       p: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, p.toString)
-    try body finally spark.conf.set(key, prev)
+    val cloned = org.apache.spark.sql.internal.SQLConf.get.clone()
+    cloned.setConfString("spark.sql.shuffle.partitions", p.toString)
+    org.apache.spark.sql.internal.SQLConf.withExistingConf(cloned)(body)
   }
 }

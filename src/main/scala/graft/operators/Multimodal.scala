@@ -172,6 +172,35 @@ object Multimodal {
     renderImageDims(w, h, format, rgbOf)
   }
 
+  /** Per-thread cached ImageWriter per format: `ImageIO.write` performs a
+    * SYNCHRONIZED plugin-registry lookup (`getImageWritersByFormatName`
+    * walks the IIORegistry under its category lock) plus a writer
+    * instantiation on EVERY call — r17 measured the JPEG-encode family
+    * (mm_decode_jpeg, mm_dedup) inflating per-task under 32-way concurrency
+    * exactly there once the scan floor spread the encode across cores. A
+    * task thread reuses one writer per format for its whole partition; the
+    * emitted stream is byte-identical (same writer class, default write
+    * params, fresh output stream per image). Writers are never disposed —
+    * one per (executor thread, format), bounded and reusable for the
+    * executor's lifetime. */
+  private val writerCache =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageWriter]] {
+      override def initialValue() =
+        new java.util.HashMap[String, javax.imageio.ImageWriter]()
+    }
+
+  private def cachedWriter(format: String): javax.imageio.ImageWriter = {
+    val cache = writerCache.get()
+    var w = cache.get(format)
+    if (w == null) {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName(format)
+      require(it.hasNext, s"no javax.imageio writer for format '$format'")
+      w = it.next()
+      cache.put(format, w)
+    }
+    w
+  }
+
   /** The dims-explicit encode core (the gradient fixture picks its own
     * sizes; everything else derives them from the pattern id). */
   private def renderImageDims(w: Int, h: Int, format: String,
@@ -188,8 +217,24 @@ object Multimodal {
       }
       y += 1
     }
+    encodeImage(img, format)
+  }
+
+  /** Encode via the thread-cached writer — the byte-stream contract of
+    * `ImageIO.write(img, format, stream)` (memory-cached output stream,
+    * default write params), minus its per-call registry lookup. */
+  private def encodeImage(img: java.awt.image.BufferedImage,
+      format: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, format, bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val writer = cachedWriter(format)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+    } finally {
+      writer.setOutput(null)
+      ios.close()
+    }
     bos.toByteArray
   }
 
@@ -288,9 +333,8 @@ object Multimodal {
                 java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
               g2.drawImage(img, 0, 0, targetW, targetH, null)
             } finally g2.dispose()
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(out, "png", bos)
-            rec.copy(media = bos.toByteArray, width = targetW, height = targetH)
+            rec.copy(media = encodeImage(out, "png"),
+              width = targetW, height = targetH)
           }
         }
       }

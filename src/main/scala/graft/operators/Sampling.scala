@@ -338,15 +338,23 @@ object Sampling {
     val cuts = sampleByHash(df, idCol, sampleRate, seed)
       .select(score.as("__q"))
       .agg(cutCols.head, cutCols.tail: _*)
+    // score ONCE into a column, then compare against the cutoffs: inlining
+    // `score` into the stage expression evaluated the composite quality
+    // score (token split + stopword scan + alpha-ratio regex) once PER
+    // CUTOFF per row — stages−1 redundant full-text passes that r17's
+    // profile showed dominating the assignment stage. The separate project
+    // survives optimization because CollapseProject refuses to duplicate a
+    // non-cheap expression consumed more than once (the same single-eval
+    // guarantee the guide's §4.4 non-determinism trick buys for UDFs).
     val stage = (1 until stages).map(k =>
-        when(score >= coalesce(col(s"__c$k"), lit(Double.PositiveInfinity)),
+        when(col("__s") >= coalesce(col(s"__c$k"), lit(Double.PositiveInfinity)),
           1L).otherwise(0L))
       .reduce(_ + _)
     val w = Window.partitionBy(col("stage"), col("shard"))
       .orderBy(col("__h").asc, col(idCol).asc)
-    df.crossJoin(broadcast(cuts))
-      .select(col(idCol), stage.as("stage"),
-        hashRaw(col(idCol), seed).as("__h"))
+    df.select(col(idCol), score.as("__s"), hashRaw(col(idCol), seed).as("__h"))
+      .crossJoin(broadcast(cuts))
+      .select(col(idCol), stage.as("stage"), col("__h"))
       .withColumn("shard", pmod(col("__h"), lit(numShards.toLong)))
       .withColumn("pos", row_number().over(w).cast("long") - 1)
       .drop("__h")

@@ -1510,6 +1510,27 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75,
       queryIdCol: String = "query_id", termCol: String = "term",
       idCol: String = "doc_id", textCol: String = "text"): (DataFrame, DataFrame) = {
+    val (ranked, tf, _) = bm25MultiFull(docs, queries, topK, k1, b,
+      queryIdCol, termCol, idCol, textCol)
+    (ranked, tf)
+  }
+
+  /** [[bm25MultiWithPostings]] plus the PERSISTED normalized query-term
+    * table `(queryIdCol, tok)` — the third relation a retrieval-evaluation
+    * caller needs. r17's eval_retrieval derived and persisted ITS OWN copy
+    * of exactly this table (one extra corpus scan to rebuild the query set,
+    * plus a duplicate MEMORY_AND_DISK cache entry of the same few-hundred-row
+    * relation); sharing the one already built here removes both.
+    *
+    * Cache contract (all three persists — qt, tf): caller (or the
+    * session's query runner) is responsible for `spark.catalog.clearCache()`
+    * between logical queries, the documented Bench/Verify discipline; a
+    * long-lived library caller should unpersist the returned relations when
+    * done. */
+  def bm25MultiFull(docs: DataFrame, queries: DataFrame, topK: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      queryIdCol: String = "query_id", termCol: String = "term",
+      idCol: String = "doc_id", textCol: String = "text"): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(topK >= 1, s"topK must be >= 1, got $topK")
     require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
@@ -1544,7 +1565,7 @@ object TextAnalysis {
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("score").desc, col(idCol).asc)
     (scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK), tf)
+      .filter(col("rank") <= topK), tf, qt)
   }
 
   // ------------------------------------------------- duplicated-span signal
@@ -2281,7 +2302,7 @@ object TextAnalysis {
     // pins every round's map-side task count); at production vocab scale
     // the clamp hits the session setting and nothing is reshuffled.
     val nb = base.count()
-    val sessionP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sessionP = Lineage.effectiveShufflePartitions(spark)
     val loopP = graft.operators.Lineage.loopPartitions(spark, nb)
     graft.operators.Lineage.withShufflePartitions(spark, loopP) {
     val baseL =
@@ -2454,7 +2475,7 @@ object TextAnalysis {
     // batched rounds at a vocab-count-derived partition count, cached base
     // re-anchored when the clamp shrinks — the subwordLearnMerges pattern
     val nb = base.count()
-    val sessionP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sessionP = Lineage.effectiveShufflePartitions(spark)
     val loopP = graft.operators.Lineage.loopPartitions(spark, nb)
     graft.operators.Lineage.withShufflePartitions(spark, loopP) {
     val baseL =

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object EventsAdapter {
 
-  /** `floorScan = true` applies [[ScanParallelism.floor]] to the RAW events
+  /** `floorScan = true` applies [[ScanParallelism.flooredParquet]] to the RAW events
     * scan (below the envelope projection), for the few consumers whose
     * downstream is heavy narrow work (the s2 JSON round-trip). The default
     * stays un-floored: the ~40 cheap filter/aggregate envelope queries lose

@@ -44,23 +44,27 @@ object ScanParallelism {
 
   /** ceil(total input bytes / maxPartitionBytes), the planner's split-count
     * estimate to first order (openCostInBytes packing refines it upward,
-    * which could only make the floor fire LESS — never spuriously). */
+    * which could only make the floor fire LESS — never spuriously).
+    *
+    * Single files take the one-RPC `getFileStatus` path; only directories
+    * pay `getContentSummary` (a recursive listing on object stores —
+    * O(children), fine for the table layouts here but not free). An
+    * unreadable input short-circuits to "no floor" BEFORE the ceiling
+    * arithmetic: r17 folded the Long.MaxValue sentinel into
+    * `(bytes + maxSplit - 1)`, which overflows negative and made the floor
+    * fire — the exact inverse of the documented intent (ADVICE r17). */
   private[graft] def estimatedSplits(spark: SparkSession, path: String): Long = {
     val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes =
-      try fs.getContentSummary(hPath).getLength
-      catch { case _: java.io.IOException => Long.MaxValue } // unknowable → no floor
-    math.max(1L, (bytes + maxSplit - 1) / math.max(1L, maxSplit))
-  }
-
-  /** Floor over an already-built DataFrame when the caller knows the scan is
-    * split-starved (s2's envelope path, where the reader conf is shared);
-    * prefer [[flooredParquet]] — this variant costs a planning pass. */
-  def floor(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+      try {
+        val st = fs.getFileStatus(hPath)
+        if (st.isFile) st.getLen else fs.getContentSummary(hPath).getLength
+      } catch { case _: java.io.IOException => -1L } // unknowable → no floor
+    if (bytes < 0) Long.MaxValue
+    else math.max(1L, bytes / math.max(1L, maxSplit) +
+      (if (bytes % math.max(1L, maxSplit) == 0) 0L else 1L))
   }
 }

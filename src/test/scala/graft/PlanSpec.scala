@@ -16,14 +16,70 @@ class PlanSpec extends AnyFunSuite {
   private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  /** The scan-parallelism floor ([[graft.sources.ScanParallelism.floor]])
+  /** The scan-parallelism floor ([[graft.sources.ScanParallelism.flooredParquet]])
     * adds ONE round-robin REPARTITION_BY_NUM exchange directly above a
     * single-split scan — it spreads scan output across cores, it does not
     * move data to a key. The narrow-map pins below ignore exactly that
     * exchange and keep forbidding keyed (hash/range) data shuffles, so a
-    * regression away from the narrow-map design still fails. */
-  private def withoutScanFloor(plan: String): String =
+    * regression away from the narrow-map design still fails.
+    *
+    * PRECISE (ADVICE r17 — the r17 mask stripped EVERY round-robin exchange,
+    * so a future mid-pipeline `repartition(n)` would have passed the
+    * "must not shuffle" pins silently): a round-robin exchange is only
+    * masked when a FileScan appears BENEATH it before any other exchange in
+    * the printed tree — i.e. it sits directly on the scan pipeline. Any
+    * other round-robin exchange stays in the string and fails the caller's
+    * no-Exchange assertion. */
+  private def withoutScanFloor(plan: String): String = {
+    val lines = plan.split("\n")
+    lines.indices.filter(i => lines(i).contains("Exchange RoundRobinPartitioning"))
+      .foreach { i =>
+        val below = lines.drop(i + 1)
+        val onScan = below.takeWhile(!_.contains("Exchange "))
+          .exists(_.contains("FileScan"))
+        assert(onScan,
+          s"round-robin exchange is NOT a scan floor (no FileScan directly beneath):\n$plan")
+      }
     plan.replace("Exchange RoundRobinPartitioning", "ScanFloorRepartition")
+  }
+
+  test("scan floor: fires as one round-robin exchange on the scan when " +
+      "splits < parallelism, and is a NO-OP when the scan already splits enough") {
+    val path = "/root/testdata/sf0.001/documents.parquet"
+    // fired: a ~60 KB single file estimates 1 split < local[4]'s parallelism
+    val floored = graft.sources.ScanParallelism.flooredParquet(spark, path)
+    val plan = executedPlan(floored)
+    assert("Exchange RoundRobinPartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one scan-floor exchange:\n$plan")
+    val below = plan.split("\n").dropWhile(!_.contains("Exchange RoundRobinPartitioning"))
+    assert(below.exists(_.contains("FileScan")),
+      s"floor exchange must sit on the file scan:\n$plan")
+    // not fired: shrink maxPartitionBytes so the SAME file estimates >= cores
+    // splits — production shape, no exchange may be added
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "4096")
+      val bare = executedPlan(
+        graft.sources.ScanParallelism.flooredParquet(spark, path))
+      assert(!bare.contains("Exchange"),
+        s"floor must be a no-op when the scan splits enough:\n$bare")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("envelope JSON parse evaluates from_json ONCE through a generator " +
+      "(corrupt rows drop as empty arrays, never via a parse-duplicating filter)") {
+    import spark.implicits._
+    val json = Seq(
+      """{"metric":{"name":"m0","dimensions":{},"timestamp":1.0,"value":2.0,"value_meta":{}},"meta":{},"creation_time":0}""",
+      "not json").toDF("value")
+    val parsed = graft.sources.EnvelopeJson.parse(json)
+    val plan = executedPlan(parsed)
+    assert("from_json".r.findAllIn(plan).length == 1,
+      s"from_json must be evaluated exactly once per row (r17 Finding 4):\n$plan")
+    assert(plan.contains("Generate"),
+      s"corrupt-row drop must ride the generator, not a pushable filter:\n$plan")
+  }
 
   test("metric-name filter is pushed into the parquet scan") {
     val q = SparkEntry.queries("f1_name_filter")(spark, "/root/testdata/sf0.001")
