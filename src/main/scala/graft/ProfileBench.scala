@@ -26,7 +26,19 @@ object ProfileBench {
     @volatile var gcMs = 0L
     @volatile var shufReadB = 0L
     @volatile var shufWriteB = 0L
-    override def onJobStart(j: SparkListenerJobStart): Unit = synchronized { jobs += 1 }
+    val jobLog = new scala.collection.mutable.ListBuffer[(Int, Long, String)]
+    private val jobStartMs = new scala.collection.mutable.HashMap[Int, (Long, String)]
+    override def onJobStart(j: SparkListenerJobStart): Unit = synchronized {
+      jobs += 1
+      jobStartMs(j.jobId) = (j.time,
+        Option(j.properties).map(_.getProperty("spark.job.description", ""))
+          .getOrElse(""))
+    }
+    override def onJobEnd(j: SparkListenerJobEnd): Unit = synchronized {
+      jobStartMs.remove(j.jobId).foreach { case (t0, desc) =>
+        jobLog += ((j.jobId, j.time - t0, desc))
+      }
+    }
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = synchronized {
       stages += 1
     }
@@ -42,7 +54,7 @@ object ProfileBench {
     }
     def reset(): Unit = synchronized {
       jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0; gcMs = 0
-      shufReadB = 0; shufWriteB = 0
+      shufReadB = 0; shufWriteB = 0; jobLog.clear(); jobStartMs.clear()
     }
   }
 
@@ -50,12 +62,17 @@ object ProfileBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "2").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc A/B lever: SPARK_GRAFT_PROFILE_CONF="k=v;k2=v2"
+    sys.env.get("SPARK_GRAFT_PROFILE_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val acc = new Acc
     spark.sparkContext.addSparkListener(acc)
@@ -84,6 +101,10 @@ object ProfileBench {
           println(f"$n%-28s $i%3d $wall%7.2f ${acc.jobs}%5d ${acc.stages}%6d " +
             f"${acc.tasks}%5d ${acc.taskTimeMs / 1e3}%7.1f ${acc.gcMs / 1e3}%5.1f " +
             f"${acc.shufReadB / 1e6}%9.1f ${acc.shufWriteB / 1e6}%8.1f")
+          if (i == runs && sys.env.contains("SPARK_GRAFT_PROFILE_JOBS"))
+            acc.jobLog.toList.foreach { case (id, ms, desc) =>
+              println(f"    job $id%4d ${ms}%6d ms  ${desc.take(90)}")
+            }
         }
       } catch { case e: Throwable =>
         println(s"$n FAILED: ${e.getMessage}")

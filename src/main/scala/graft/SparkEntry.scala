@@ -5298,8 +5298,24 @@ object SparkEntry {
       // a reliable checkpoint when a checkpoint dir is configured (the
       // executor-loss contract shared with the iterative graph operators)
       val sessionP = Lineage.effectiveShufflePartitions(s)
+      // r18 NEGATIVE RESULTS, recorded so the next round doesn't retry them
+      // (phase-labelled ProfileBench A/Bs, 3 runs each): the r17 shape —
+      // ONE survivor-derived clamp over the whole decontaminate → pairs →
+      // split → pack chain — beat every restructuring tried. (a) Running
+      // the compute-dense pair/split machinery at session width: 11–12.8 s
+      // vs 7.3–9.8 s wrapped (32-way trivial-task inflation, summed task
+      // time 110 → 200 s). (b) Additionally materializing `decontaminated`
+      // at an explicit compute-derived width (~64 docs/task, exempt from
+      // AQE coalescing) so the narrow shingle stages parallelize: 11.0–12.9
+      // s — the extra width costs more in scheduling than the single-core
+      // shingle work it recovers at this scale. (c) Widening the clamp
+      // itself (64/256 rows per partition): no task-count change — AQE's
+      // byte-based coalescing collapses the tiny exchanges regardless. What
+      // DID move the query: the connectedComponents convergence probe now
+      // rides the round's own materialization (Lineage.materializeObserved),
+      // which removed one full job per label round from the split phase.
       val loopP = Lineage.loopPartitions(s, nQuality)
-      Lineage.withShufflePartitions(s, loopP) {
+      Lineage.withLoopConf(s, loopP) {
         val decontaminated = Lineage.materialize(Dedup.decontaminate(
             quality.filter(col("doc_id") % 50 =!= 0),
             quality.filter(col("doc_id") % 50 === 0), 3))
@@ -5314,15 +5330,9 @@ object SparkEntry {
               TextAnalysis.tokenCount(col("text")), 256L, 4),
             idCol = "nid")
           .select(col("shard"), col("seq_id"), col("n_docs"), col("seq_text"))
-        // a LAZY tail binds its shuffle partitioning at the caller's
-        // action, OUTSIDE this wrap — the split/shuffle/pack chain would
-        // run its half-dozen window and aggregate exchanges at session
-        // width over the survivor-fraction relation. When the clamp
-        // actually shrank (small survivor set), eagerly materializing the
-        // packed output HERE keeps those stages at the loop partitioning;
-        // when it didn't (production-scale survivors), the tail stays
-        // lazy — no extra materialization of the train corpus is ever
-        // added at scale
+        // lazy tail binds its exchanges at the caller's action, outside
+        // this wrap — materialize inside it when the clamp shrank (r17
+        // Finding 7); production-scale survivors keep the lazy tail
         if (loopP < sessionP) Lineage.materialize(packed) else packed
       }
     }),

@@ -1264,7 +1264,7 @@ object Dedup {
     val spk = pairs.sparkSession
     val sessionP = Lineage.effectiveShufflePartitions(spk)
     val loopP = Lineage.loopPartitions(spk, ne)
-    Lineage.withShufflePartitions(spk, loopP) {
+    Lineage.withLoopConf(spk, loopP) {
     // re-anchor the checkpointed edge relation AT the loop partitioning when
     // the clamp shrank (the Graph.pageRank discipline, previously skipped
     // here — ADVICE r17): the materialized layout pins every round's

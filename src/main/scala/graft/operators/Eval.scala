@@ -43,7 +43,12 @@ object Eval {
     val r = ranked
       .select(col(queryIdCol), col(docIdCol), col(rankCol).cast("long").as("__rank"))
       .filter(col("__rank") <= k)
+    // persisted: the per-query counts AND the hit join both read the
+    // relevant set, and an un-persisted ground-truth relation re-ran its
+    // whole derivation (for eval_retrieval: the postings join) per consumer.
+    // Hit-scale rows; the session's clearCache discipline owns the lifecycle.
     val rel = relevant.select(col(queryIdCol), col(docIdCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nrel = rel.groupBy(queryIdCol).agg(count(lit(1)).as("n_relevant"))
     val hits = r.join(rel, Seq(queryIdCol, docIdCol))
       .groupBy(queryIdCol)

@@ -67,8 +67,19 @@ object Graph {
     require(dampDen >= 1 && dampNum >= 0 && dampNum <= dampDen,
       s"damping must satisfy 0 <= num <= den, got $dampNum/$dampDen")
     require(scale >= 1, s"scale must be >= 1, got $scale")
-    val nodes = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node")))
+    // MATERIALIZE the input edge relation first (localCheckpoint leaf, not
+    // a persist): nodes (2 passes), the out-weight aggregate and the eo
+    // build each re-executed the caller's whole edge-derivation chain
+    // (events scan + JSON extraction + transition window for the bench
+    // queries) — ~2.5 s of graph_pagerank's 4.3 s wall (r18 profile). A
+    // plain .persist pins the cache at the session's 32-partition layout
+    // and every downstream stage inherits that width (measured: task count
+    // 156 → 340, summed task time 2.6 → 20 s — trivial-task inflation); the
+    // checkpointed leaf instead keeps the AQE-coalesced width of its final
+    // stage, which is size-appropriate at every scale.
+    val edgesP = Lineage.materialize(edges)
+    val nodes = edgesP.select(col("src").as("node"))
+      .unionByName(edgesP.select(col("dst").as("node")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     // all round relations (ranks, contributions, the dangling probe) are
@@ -78,7 +89,7 @@ object Graph {
     val spk = edges.sparkSession
     val sessionP = Lineage.effectiveShufflePartitions(spk)
     val loopP = Lineage.loopPartitions(spk, n)
-    Lineage.withShufflePartitions(spk, loopP) {
+    Lineage.withLoopConf(spk, loopP) {
       // re-anchor the node relation AT the loop partitioning: the outer
       // persist was laid out at the session partition count, and a cached
       // layout pins every downstream stage's task count — rounds would
@@ -88,9 +99,9 @@ object Graph {
       val nodesL =
         if (loopP == sessionP) nodes
         else nodes.repartition(col("node")).persist(StorageLevel.MEMORY_AND_DISK)
-      val outw = edges.groupBy("src").agg(sum("w").as("outw"))
+      val outw = edgesP.groupBy("src").agg(sum("w").as("outw"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val eo = edges.join(outw, "src").repartition(col("src"))
+      val eo = edgesP.join(outw, "src").repartition(col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val base = (dampDen - dampNum) * scale / dampDen
       // dangling handling without a per-round job: the flag "node has no
@@ -169,7 +180,7 @@ object Graph {
     val spk = edges.sparkSession
     val sessionP = Lineage.effectiveShufflePartitions(spk)
     val loopP = Lineage.loopPartitions(spk, ne)
-    Lineage.withShufflePartitions(spk, loopP) {
+    Lineage.withLoopConf(spk, loopP) {
       val sym =
         if (loopP == sessionP) symPre
         else Lineage.materialize(symPre.repartition(col("src")))
@@ -215,14 +226,19 @@ object Graph {
   def negativeEdges(edges: DataFrame, k: Int, numShards: Int = 8,
       seed: Long = 42): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val nodes = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node")))
+    // materialized leaf (see pageRank): the node set and the undirected
+    // anti-join relation each read the edges twice — 4 executions of the
+    // caller's edge chain otherwise; a persist would pin session-width
+    // task counts on every consumer (measured, pageRank note).
+    val edgesP = Lineage.materialize(edges)
+    val nodes = edgesP.select(col("src").as("node"))
+      .unionByName(edgesP.select(col("dst").as("node")))
       .distinct()
     val ord = Sampling.shuffleOrder(nodes, "node", numShards, seed)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = ord.groupBy("shard").agg(count(lit(1)).as("__sz"))
-    val und = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val und = edgesP.select(col("src"), col("dst"))
+      .unionByName(edgesP.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     ord.join(broadcast(sizes), "shard")
       .select(col("node").as("src"), col("shard"), col("pos"), col("__sz"),
@@ -270,7 +286,7 @@ object Graph {
     val spk = edges.sparkSession
     val sessionP = Lineage.effectiveShufflePartitions(spk)
     val loopP = Lineage.loopPartitions(spk, ne)
-    Lineage.withShufflePartitions(spk, loopP) {
+    Lineage.withLoopConf(spk, loopP) {
       val eo =
         if (loopP == sessionP) eoPre
         else Lineage.materialize(eoPre.repartition(col("src")))
@@ -353,7 +369,7 @@ object Graph {
     // degree aggregates are graph-sized; sym is already materialized by the
     // alive computation, so the count is a cached-relation scan)
     val ne = sym.count()
-    Lineage.withLoopPartitions(edges.sparkSession, ne) {
+    Lineage.withLoopConf(edges.sparkSession, Lineage.loopPartitions(edges.sparkSession, ne)) {
       var rounds = 0
       var done = false
       while (!done && rounds < maxRounds) {
@@ -448,10 +464,15 @@ object Graph {
     * equi-joins — no cartesian anywhere. The head-degree rides the
     * oriented relation so the wedge stage needs no second degree join. */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
+    // materialized leaf: deg (2 passes) and the orientation join each
+    // re-derive the undirected edge set — 3 executions of the caller's
+    // edge chain otherwise (a persist would pin session-width task counts
+    // on every consumer; see the pageRank note).
+    val und = Lineage.materialize(
+      edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct())
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))

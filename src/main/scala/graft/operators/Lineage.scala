@@ -76,6 +76,18 @@ private[graft] object Lineage {
       rows: Long, rowsPerPartition: Long = 500000L)(body: => T): T =
     withShufflePartitions(spark, loopPartitions(spark, rows, rowsPerPartition))(body)
 
+  /** Alias kept deliberately thin: an r18 experiment tried disabling AQE
+    * inside size-clamped loops through the same thread-local conf, but
+    * `InsertAdaptiveSparkPlan` resolves `spark.sql.adaptive.enabled` from
+    * the SESSION conf, not the thread-local SQLConf, so the toggle never
+    * took effect (job counts byte-identical in the A/B) — and disabling AQE
+    * globally made every loop query WORSE (task-time inflation from
+    * uncoalesced 32-way trivial stages; same finding as r17's rejected
+    * `parallelismFirst=false`). Only the partition override goes through. */
+  def withLoopConf[T](spark: org.apache.spark.sql.SparkSession,
+      loopP: Int)(body: => T): T =
+    withShufflePartitions(spark, loopP)(body)
+
   /** The clamp alone: size-derived loop partition count, session setting as
     * the upper bound. Exposed so callers can SKIP the re-anchoring
     * repartition of their persisted edge relation when the clamp lands on

@@ -306,13 +306,39 @@ object Similarity {
     * members (or whose mean cancels to the zero vector) drop out and the
     * labels compact order-preservingly — standard k-means degeneracy, the
     * list can only shrink. */
+  /** Persist the unit-vector relation for an iterative fit at a
+    * ROW-DERIVED width: the cached layout pins every round's assignment
+    * stage, and at bench scale the single-split scan leaves it at ONE
+    * partition — r18 profiling measured each Lloyd round of
+    * sim_topk_pq_kmeans as a ~300 ms single-task job while 31 cores idled.
+    * ~1k vectors per task puts a round's argmax work at the scheduling
+    * sweet spot; the session shuffle-partition setting stays the upper
+    * bound (loopPartitions), so a production-scale relation that already
+    * scans wide is NEVER widened (widening only fires when the cached
+    * width is below the clamp). Returns the persisted (possibly
+    * re-anchored) relation. */
+  private def persistForRounds(unit: DataFrame,
+      rowsPerPartition: Long = 1024L): DataFrame = {
+    val p0 = unit.persist(StorageLevel.MEMORY_AND_DISK)
+    val n = p0.count()
+    val target = Lineage.loopPartitions(unit.sparkSession, n, rowsPerPartition)
+    if (target > p0.rdd.getNumPartitions) {
+      val wide = p0.repartition(target).persist(StorageLevel.MEMORY_AND_DISK)
+      wide.count()
+      p0.unpersist()
+      wide
+    } else p0
+  }
+
   def kmeansCentroids(emb: DataFrame, nLists: Int, rounds: Int,
       seed: Long = 42, idCol: String = "vec_id",
       vecCol: String = "embedding"): Seq[Seq[Double]] = {
     require(nLists >= 1, s"nLists must be >= 1, got $nLists")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val unit = unitVectors(emb, idCol, vecCol, "id", "v")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val unit =
+      if (rounds >= 1) persistForRounds(unitVectors(emb, idCol, vecCol, "id", "v"))
+      else unitVectors(emb, idCol, vecCol, "id", "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var cents = sampleCentroids(unit, "id", "v", nLists, seed)
       for (_ <- 0 until rounds if cents.nonEmpty) {
@@ -933,8 +959,10 @@ object Similarity {
       seed: Long = 42): Seq[Seq[Seq[Double]]] = {
     require(m >= 1 && ksub >= 1, s"bad PQ params m=$m ksub=$ksub")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val unit = unitVectors(corpus, idCol, vecCol, "id", "v")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val unit =
+      if (rounds >= 1) persistForRounds(unitVectors(corpus, idCol, vecCol, "id", "v"))
+      else unitVectors(corpus, idCol, vecCol, "id", "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val sample = sampleCentroids(unit, "id", "v", ksub, seed)
       require(sample.nonEmpty, "PQ needs a non-empty corpus")
@@ -1361,12 +1389,20 @@ object Similarity {
       .select(col("id"), col("v"), col("bb.tbl"), col("bb.bucket"))
     val l = banded.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("v").as("va"))
     val r = banded.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    // score and threshold-filter BEFORE the dedup exchange: the r17 shape
+    // deduplicated first, so the (id_a, id_b) shuffle carried BOTH unit
+    // vectors (~1 KB/pair — 163 MB at bench scale, the query's entire
+    // shuffle volume); scoring first costs one extra deterministic dot per
+    // extra table collision and the exchange then moves 24 bytes/pair of
+    // survivors (guide §2.3 "shuffle keys and metadata instead of
+    // payloads"). The deduplicated result is identical: a pair's cosine is
+    // the same in every colliding table.
     l.join(r, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", dot(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Cross-TABLE semantic join by LSH buckets — fuzzy entity matching /
@@ -1412,10 +1448,13 @@ object Similarity {
       v.select(col("*"), explode(array(bucketStructs: _*)).as("bb"))
         .select(v.columns.map(col) :+ col("bb.tbl") :+ col("bb.bucket"): _*)
     }
+    // score + threshold before the dedup exchange — same rationale and same
+    // result set as [[lshBucketedPairs]] (the dedup then shuffles 24-byte
+    // survivor rows, not vector payloads)
     banded(l, "vl").join(banded(r, "vr"), Seq("tbl", "bucket"))
-      .dropDuplicates("left_id", "right_id")
       .withColumn("cosine", dot(col("vl"), col("vr")))
       .filter(col("cosine") >= threshold)
       .select("left_id", "right_id", "cosine")
+      .dropDuplicates("left_id", "right_id")
   }
 }

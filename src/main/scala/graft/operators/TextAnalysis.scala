@@ -2304,7 +2304,7 @@ object TextAnalysis {
     val nb = base.count()
     val sessionP = Lineage.effectiveShufflePartitions(spark)
     val loopP = graft.operators.Lineage.loopPartitions(spark, nb)
-    graft.operators.Lineage.withShufflePartitions(spark, loopP) {
+    graft.operators.Lineage.withLoopConf(spark, loopP) {
     val baseL =
       if (loopP == sessionP) base
       else graft.operators.Lineage.materialize(base.repartition(loopP))
@@ -2477,7 +2477,7 @@ object TextAnalysis {
     val nb = base.count()
     val sessionP = Lineage.effectiveShufflePartitions(spark)
     val loopP = graft.operators.Lineage.loopPartitions(spark, nb)
-    graft.operators.Lineage.withShufflePartitions(spark, loopP) {
+    graft.operators.Lineage.withLoopConf(spark, loopP) {
     val baseL =
       if (loopP == sessionP) base
       else graft.operators.Lineage.materialize(base.repartition(loopP))
